@@ -1,0 +1,61 @@
+"""Text-analysis column functions for LLM-data pipelines (SURVEY.md §2.4).
+
+Whitespace tokenization, shingling, token statistics, quality scoring,
+language-ID heuristics, and document fingerprints — all as JVM-side
+expressions (split / higher-order functions / regexp), so they run inside
+whole-stage codegen with no Python round-trip at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: tiny multilingual stopword lists for the language-ID heuristic
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "fr": ("le", "la", "de", "et", "les"),
+    "de": ("der", "die", "das", "und", "nicht"),
+    "es": ("el", "la", "de", "que", "los"),
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens (single-space split — the corpus convention)."""
+    return F.split(text, " ")
+
+
+def n_tokens(text: Column) -> Column:
+    """Count of non-whitespace runs (robust to repeated spaces)."""
+    return F.regexp_count(text, F.lit(r"\S+")).cast("long")
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """k-gram word shingles as strings: ``tok[i] tok[i+1] … tok[i+k-1]``."""
+    t = tokens(text)
+    idx = F.sequence(F.lit(0), F.size(t) - k)
+    cols = lambda i: [F.element_at(t, i + j + 1) for j in range(k)]  # noqa: E731
+    return F.transform(idx, lambda i: F.concat_ws(" ", *cols(i)))
+
+
+def stopword_count(text: Column, words: tuple[str, ...]) -> Column:
+    """Number of tokens that are in ``words``."""
+    lst = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens(text), lambda x: F.array_contains(lst, x))).cast("long")
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic document quality in [0,1]: penalize very short docs and
+    degenerate token diversity (near-dup token spam)."""
+    nt = n_tokens(text).cast("double")
+    uniq = F.size(F.array_distinct(tokens(text))).cast("double")
+    len_score = F.least(F.lit(1.0), nt / F.lit(50.0))
+    diversity = uniq / F.greatest(nt, F.lit(1.0))
+    return len_score * F.lit(0.5) + diversity * F.lit(0.5)
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of whitespace-normalized,
+    lowercased text.  Stable across engines and runs."""
+    normalized = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+    return F.md5(normalized)

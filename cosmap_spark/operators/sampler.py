@@ -1,0 +1,70 @@
+"""Uniform-on-sphere region sampler as a DataFrame generator.
+
+Reference: ``RandomSampler.generate_samples`` draws n points uniform in
+(φ = ra, cos θ) over a frame-shrunk patch, then maps back to (ra°, dec°)
+(reference src/cosmap/analysis/sampler.py:87-140); the frame is shrunk by
+the sample radius so whole cones stay inside the patch
+(src/cosmap/analysis/sampler.py:48-85).
+
+Spark-first restatement: ``spark.range(n)`` plus *hash-seeded* uniforms.
+We deliberately avoid ``rand(seed)``: its stream is assigned per
+partition-index, so results change whenever partitioning changes — a
+determinism hazard at scale (SURVEY.md §7 hard part 4).  Instead each
+sample id derives its uniforms from ``xxhash64(id, seed)``, which is
+partition-layout-independent, reproducible on any cluster size, and
+perfectly parallel (no driver-side RNG state).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_HASH_BUCKETS = 2**40  # uniform grid fine enough for double precision
+
+
+def _hash_uniform(id_col: Column, seed: int, stream: int) -> Column:
+    """Deterministic U[0,1) from (id, seed, stream) — partition-independent."""
+    h = F.xxhash64(id_col, F.lit(seed), F.lit(stream))
+    return F.pmod(h, F.lit(_HASH_BUCKETS)).cast("double") / F.lit(float(_HASH_BUCKETS))
+
+
+def uniform_sphere_samples(
+    spark: SparkSession,
+    n: int,
+    *,
+    seed: int = 42,
+    radius_deg: float = 1.0,
+    ra_bounds: tuple[float, float] = (0.0, 360.0),
+    dec_bounds: tuple[float, float] = (-90.0, 90.0),
+    shrink_frame: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """n circular sample regions, area-uniform over the patch.
+
+    Uniform in (ra, sin dec): ``ra = lo + u1·(hi−lo)``;
+    ``dec = degrees(asin(slo + u2·(shi−slo)))`` — the same change of
+    variables as the reference (uniform in cos of colatitude,
+    src/cosmap/analysis/sampler.py:87-113), written as the sin-of-latitude
+    form.  ``shrink_frame`` reproduces the reference's frame margin so
+    every cone lies fully inside the patch (sampler.py:48-85).
+    """
+    ra_lo, ra_hi = ra_bounds
+    dec_lo, dec_hi = dec_bounds
+    if shrink_frame:
+        ra_lo, ra_hi = ra_lo + radius_deg, ra_hi - radius_deg
+        dec_lo, dec_hi = dec_lo + radius_deg, dec_hi - radius_deg
+        if ra_bounds == (0.0, 360.0):  # full circle: no RA margin needed
+            ra_lo, ra_hi = 0.0, 360.0
+    import math
+
+    sin_lo, sin_hi = math.sin(math.radians(dec_lo)), math.sin(math.radians(dec_hi))
+    base = spark.range(0, n, 1, num_partitions) if num_partitions else spark.range(n)
+    u1 = _hash_uniform(F.col("id"), seed, 1)
+    u2 = _hash_uniform(F.col("id"), seed, 2)
+    return base.select(
+        F.col("id").alias("sample_id"),
+        (F.lit(ra_lo) + u1 * F.lit(ra_hi - ra_lo)).alias("ra"),
+        F.degrees(F.asin(F.lit(sin_lo) + u2 * F.lit(sin_hi - sin_lo))).alias("dec"),
+        F.lit(float(radius_deg)).alias("radius_deg"),
+    )

@@ -1,0 +1,199 @@
+"""Join queries (SURVEY.md §2.2 "Joins").
+
+The reference implements exactly one join — the cone search (a broadcast
+theta-join, covered in spatial.py).  Everything here is the general join
+zoo our engine inherits from Spark, each with a scale-aware physical
+strategy: broadcast hints for dimension tables, bucket-style equi-joins
+for the range join, and a union+window forward-fill (single shuffle, no
+theta-join) for the as-of join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cosmap_spark.queries.registry import query
+from cosmap_spark.tables import load_table
+
+
+@query(
+    "q_join_inner",
+    oracle="""
+    SELECT o.o_orderkey, c.c_name, o.o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join (Catalyst picks broadcast-hash here; at 100 TB the
+    same plan holds because customer stays ≪ orders after the filter)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    return o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        "o_orderkey", "c_name", "o_totalprice"
+    )
+
+
+@query(
+    "q_join_broadcast",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, p.p_brand
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size < 10
+    """,
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit ``broadcast()`` hint: fact ⋈ small dim with zero shuffle of
+    the fact side — the pattern that must hold at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_size") < 10)
+    return li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).select(
+        "l_orderkey", "l_linenumber", "p_brand"
+    )
+
+
+@query(
+    "q_join_left",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c LEFT JOIN orders o
+      ON o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with a join-side predicate (nulls preserved)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cond = (o["o_custkey"] == c["c_custkey"]) & (o["o_orderstatus"] == "F")
+    return c.join(o, cond, "left").select("c_custkey", "o_orderkey", "o_totalprice")
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers with at least one big order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000.0)
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no orders at all."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_join_range",
+    oracle="""
+    SELECT e1.event_id, count(*) AS n_next_day
+    FROM events e1 JOIN events e2
+      ON e2.user_id = e1.user_id
+     AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 1 DAY
+    WHERE e1.event_type = 'purchase'
+    GROUP BY e1.event_id
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join — the relational twin of the cone search
+    (SURVEY.md §2.2): per purchase, count same-user events in the
+    following 24 h.  Scale path: bucketize time to 1-day grid and join on
+    ``(user_id, bucket ∈ {b, b+1})`` — an EQUI-join a hash join can
+    execute — with the exact range predicate as residual.  Identical to
+    the zone trick in the cone search; no O(n²) theta-join at any scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = 86_400
+    e1 = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id"), F.col("user_id").alias("u1"),
+            F.col("ts").alias("ts1"),
+            F.explode(
+                F.array(
+                    (F.unix_timestamp("ts") / day).cast("long"),
+                    (F.unix_timestamp("ts") / day).cast("long") + 1,
+                )
+            ).alias("bucket"),
+        )
+    )
+    e2 = ev.select(
+        F.col("user_id").alias("u2"), F.col("ts").alias("ts2"),
+        F.floor(F.unix_timestamp("ts") / day).alias("bucket"),
+    )
+    joined = e1.join(
+        e2,
+        (e1["u1"] == e2["u2"]) & (e1["bucket"] == e2["bucket"])
+        & (e2["ts2"] > e1["ts1"])
+        & (e2["ts2"] <= e1["ts1"] + F.expr("INTERVAL 1 DAY")),
+    )
+    return joined.groupBy("event_id").agg(F.count("*").alias("n_next_day"))
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+    WITH j AS (
+      SELECT p.event_id, c.event_id AS last_click_id,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY c.ts DESC, c.event_id DESC) AS rn
+      FROM events p JOIN events c
+        ON c.user_id = p.user_id AND c.ts < p.ts AND c.event_type = 'click'
+      WHERE p.event_type = 'purchase'
+    )
+    SELECT event_id, last_click_id FROM j WHERE rn = 1
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the most recent strictly-earlier
+    click by the same user.
+
+    Scale-first plan: instead of a theta-join + per-key top-1 (quadratic
+    in events-per-user), tag and UNION both streams, sort once per user,
+    and forward-fill the last click id with ``last(..., ignorenulls)`` —
+    one shuffle on user_id, linear work, the standard distributed as-of
+    pattern.  Tag orders purchases *before* same-timestamp clicks so the
+    "strictly earlier" semantics match the oracle's ``c.ts < p.ts``.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id"),
+        F.lit(1).alias("tag"), F.lit(None).cast("long").alias("purchase_id"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(None).cast("long").alias("click_id"),
+        F.lit(0).alias("tag"), F.col("event_id").alias("purchase_id"),
+    )
+    # tag 0 (purchase) sorts before tag 1 (click) at equal ts, so a
+    # same-instant click is NOT visible to the purchase (strict <).
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "click_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = clicks.unionByName(purchases).withColumn(
+        "last_click_id", F.last("click_id", ignorenulls=True).over(w)
+    )
+    return (
+        filled.where(F.col("purchase_id").isNotNull() & F.col("last_click_id").isNotNull())
+        .select(F.col("purchase_id").alias("event_id"), "last_click_id")
+    )

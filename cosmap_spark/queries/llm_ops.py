@@ -1,0 +1,329 @@
+"""LLM-training-data pipeline queries (SURVEY.md §2.4): dedup, similarity
+search, text analysis, multimodal columns.
+
+These are first-class engine capabilities beyond the reference's own
+operator set (mandated by BASELINE.json).  Implementations live in
+operators/dedup.py, operators/knn.py, functions/text.py; this module
+binds them to the correctness ledger.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cosmap_spark.functions.text import (
+    LANG_STOPWORDS,
+    fingerprint,
+    n_tokens,
+    quality_score,
+    tokens,
+)
+from cosmap_spark.functions.vectors import cosine_similarity, cosine_sql
+from cosmap_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from cosmap_spark.operators.knn import knn_bruteforce, knn_lsh
+from cosmap_spark.queries.registry import query
+from cosmap_spark.tables import load_table
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           min(doc_id) AS canonical_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on full text, canonical id = min id.
+    One shuffle on the md5 — at 100 TB, shuffle keys are 32-byte hashes,
+    never the documents themselves."""
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+_NGRAM_THRESHOLD = 0.08  # calibrated: random-vocab corpus ⇒ sparse 3-gram overlap
+
+_NGRAM_ORACLE = f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    idx AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks),
+    sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle FROM idx),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= {_NGRAM_THRESHOLD}
+"""
+
+
+@query("q_dedup_ngram", oracle=_NGRAM_ORACLE)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard near-dup pairs; candidates via
+    shared-shingle equi-join (complete for Jaccard > 0, never O(n²));
+    oracle recomputes brute-force in DuckDB."""
+    pairs = ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), k=3, threshold=_NGRAM_THRESHOLD
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@query("q_dedup_near")  # rows-only: LSH recall is probabilistic by design
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs with exact-Jaccard verification
+    — the 100 TB dedup path (candidates only within LSH buckets).
+    Rows-only check; recall vs the exact pairs is unit-tested."""
+    return minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        k=3, num_hashes=32, bands=8, threshold=_NGRAM_THRESHOLD,
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@query("q_dedup_simhash")  # rows-only: fingerprint bits are hash-specific
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 3) with 16-bit-chunk candidate
+    bucketing (Manku et al. WWW'07) — no cross join at any scale."""
+    return simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
+
+
+_KNN_ORACLE = f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+    pairs AS (
+      SELECT q.qid, e.vec_id AS nid,
+             round({cosine_sql('q.qvec', 'e.embedding')}, 6) AS sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.qid
+    ),
+    ranked AS (
+      SELECT qid, nid, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+      FROM pairs
+    )
+    SELECT qid, nid, sim, CAST(rn AS BIGINT) AS rn FROM ranked WHERE rn <= 5
+"""
+
+
+@query("q_knn_cosine", oracle=_KNN_ORACLE)
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN by cosine: broadcast query set × corpus, JVM-side
+    zip_with/aggregate dot products, rank on 6-dp-rounded similarity
+    (ulp-stable across engines) with id tie-break."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_bruteforce(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+@query("q_knn_lsh")  # rows-only: ANN recall is probabilistic by design
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN via random-hyperplane LSH buckets + exact
+    re-rank — the scale path; recall is unit-tested against brute force."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_lsh(emb, emb.where(F.col("vec_id") < 10), k=5, dim=64)
+
+
+_STOP = LANG_STOPWORDS["en"]
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in _STOP) + "]"
+
+
+@query(
+    "q_text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           n_chars,
+           CAST(length(text) AS BIGINT) AS len_chars,
+           CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_toks,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+           round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / len(regexp_extract_all(text, '\\S+')), 6) AS avg_tok_len,
+           round(CAST(len(list_filter(string_split(text, ' '),
+                                      x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
+                 / len(regexp_extract_all(text, '\\S+')), 6) AS stop_ratio
+    FROM documents
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics: counts, distinct tokens, average
+    token length, stopword ratio — all JVM-side expressions."""
+    d = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    nt = n_tokens(text)
+    stop_arr = F.array(*[F.lit(w) for w in _STOP])
+    n_stop = F.size(F.filter(tokens(text), lambda x: F.array_contains(stop_arr, x)))
+    return d.select(
+        "doc_id",
+        "n_chars",
+        F.length(text).cast("long").alias("len_chars"),
+        nt.alias("n_toks"),
+        F.size(F.array_distinct(tokens(text))).cast("long").alias("n_uniq"),
+        F.round(
+            F.length(F.replace(text, F.lit(" "), F.lit(""))).cast("double") / nt, 6
+        ).alias("avg_tok_len"),
+        F.round(n_stop.cast("double") / nt, 6).alias("stop_ratio"),
+    )
+
+
+@query(
+    "q_quality_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) AS nt,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS uniq
+      FROM documents
+    )
+    SELECT doc_id,
+           round(least(1.0, nt / 50.0) * 0.5 + (uniq / greatest(nt, 1.0)) * 0.5, 6) AS quality
+    FROM t
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: length saturation + token diversity."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.round(quality_score(F.col("text")), 6).alias("quality"))
+
+
+_LANGS = ("en", "fr", "de", "es")
+
+
+def _lang_count_sql(lang: str) -> str:
+    words = "[" + ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang]) + "]"
+    return (
+        f"len(list_filter(string_split(text, ' '), x -> list_contains({words}, x)))"
+    )
+
+
+@query(
+    "q_lang_id",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id, lang,
+             {_lang_count_sql('en')} AS c_en, {_lang_count_sql('fr')} AS c_fr,
+             {_lang_count_sql('de')} AS c_de, {_lang_count_sql('es')} AS c_es
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN greatest(c_en, c_fr, c_de, c_es) = 0 THEN 'und'
+                WHEN c_en >= greatest(c_fr, c_de, c_es) THEN 'en'
+                WHEN c_fr >= greatest(c_de, c_es) THEN 'fr'
+                WHEN c_de >= c_es THEN 'de'
+                ELSE 'es' END AS lang_guess
+    FROM c
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID (n-gram-free heuristic), deterministic
+    argmax with fixed tie order en>fr>de>es."""
+    d = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+
+    def cnt(lang: str):
+        words = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+        return F.size(F.filter(tokens(text), lambda x: F.array_contains(words, x)))
+
+    c_en, c_fr, c_de, c_es = cnt("en"), cnt("fr"), cnt("de"), cnt("es")
+    guess = (
+        F.when(F.greatest(c_en, c_fr, c_de, c_es) == 0, "und")
+        .when(c_en >= F.greatest(c_fr, c_de, c_es), "en")
+        .when(c_fr >= F.greatest(c_de, c_es), "fr")
+        .when(c_de >= c_es, "de")
+        .otherwise("es")
+    )
+    return d.select("doc_id", "lang", guess.alias("lang_guess"))
+
+
+@query(
+    "q_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_words,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpeish
+    FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: word regex + a BPE-ish piece regex (≤4-char
+    alphabetic pieces, digits, single symbols)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit("[A-Za-z]+")).cast("long").alias("n_words"),
+        F.regexp_count(F.col("text"), F.lit("[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9 ]"))
+        .cast("long").alias("n_bpeish"),
+    )
+
+
+@query(
+    "q_doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-text md5 fingerprint (stable across engines/runs)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+@query(
+    "q_multimodal_join",
+    oracle="""
+    SELECT d.doc_id, d.lang, d.n_chars,
+           CAST(len(e.embedding) AS BIGINT) AS dim, e.label,
+           round(sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))), 6) AS vec_norm
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+)
+def q_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal row assembly: text metadata ⋈ vector column in one row
+    (the doc ⋈ embedding id-join), plus a computed vector norm."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    from cosmap_spark.functions.vectors import norm
+
+    return (
+        d.join(e, d["doc_id"] == e["vec_id"])
+        .select(
+            "doc_id", "lang", "n_chars",
+            F.size("embedding").cast("long").alias("dim"),
+            "label",
+            F.round(norm(F.col("embedding")), 6).alias("vec_norm"),
+        )
+    )
+
+
+@query(
+    "q_embed_dup",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round({cosine_sql('a.embedding', 'b.embedding')}, 6) AS sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.99
+    """,
+)
+def q_embed_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (sim ≥ 0.99).  Brute-force
+    pair scan here (correctness baseline); the LSH-bucketed variant
+    (q_knn_lsh machinery) is the scale path.  Threshold applied to the
+    ROUNDED similarity so the cut is ulp-stable across engines."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    sim = F.round(cosine_similarity(F.col("va"), F.col("vb")), 6)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("sim"))
+        .where(F.col("sim") >= 0.99)
+    )

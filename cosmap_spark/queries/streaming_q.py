@@ -1,0 +1,136 @@
+"""Streaming-semantics queries, batch-mode twins (SURVEY.md §2.2
+"Streaming").
+
+The reference is batch-only with incremental collection (O22).  Our
+engine's real streaming surface lives in cosmap_spark/streaming/ and is
+exercised by tests/test_streaming.py with actual readStream sources; the
+oracle can't run streams, so the ledger declares the batch-equivalent
+aggregations (identical window semantics — Spark's window()/
+session_window() functions behave the same in batch and streaming).
+
+All window starts surface as epoch seconds (bigint): Spark's windows are
+epoch-aligned, so ``unix_timestamp(window.start) ==
+floor(epoch(ts)/slide)*slide`` exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cosmap_spark.queries.registry import query
+from cosmap_spark.tables import load_table
+
+
+@query(
+    "q_tumbling_window",
+    oracle="""
+    SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS bucket_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute tumbling window aggregation (streaming twin:
+    ``readStream … groupBy(window(ts, '10 minutes'), type)``)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.unix_timestamp("w.start").alias("bucket_start"),
+            "event_type", "n_events", "total_value",
+        )
+    )
+
+
+@query(
+    "q_sliding_window",
+    oracle="""
+    WITH offs AS (SELECT unnest([0, 600, 1200]) AS off)
+    SELECT CAST(floor(epoch(ts) / 600) * 600 - off AS BIGINT) AS window_start,
+           count(*) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events CROSS JOIN offs
+    GROUP BY 1
+    """,
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute windows sliding every 10 minutes: each event lands in 3
+    windows; the oracle reproduces Spark's epoch-aligned starts with an
+    explicit offset unnest."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "30 minutes", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.unix_timestamp("w.start").alias("window_start"),
+            "n_events", "total_value",
+        )
+    )
+
+
+@query(
+    "q_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 30-minute inactivity gap per user
+    (streaming twin: ``session_window`` + watermark).  A gap of exactly
+    30 min closes the session in Spark (window end = last_ts + gap,
+    half-open), hence the ``>=`` in the oracle's sessionization."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "q_late_data",
+    oracle="""
+    SELECT event_type, count(*) AS n_kept
+    FROM events
+    WHERE ts >= (SELECT max(ts) - INTERVAL 5 DAY FROM events)
+    GROUP BY event_type
+    """,
+)
+def q_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark semantics, batch twin: drop rows older than
+    (max event time − 5 days) — what ``withWatermark('ts', '5 days')``
+    retains at end-of-stream.  The true streaming version (late rows
+    dropped incrementally) runs in tests/test_streaming.py."""
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = ev.agg((F.max("ts") - F.expr("INTERVAL 5 DAY")).alias("cut"))
+    return (
+        ev.crossJoin(F.broadcast(cutoff))
+        .where(F.col("ts") >= F.col("cut"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_kept"))
+    )

@@ -1,0 +1,106 @@
+"""UDF/UDAF/UDTF queries (SURVEY.md §2.2 "UDF surface").
+
+User transformations are the reference's ENTIRE compute model — arbitrary
+Python over per-sample tables invoked by getattr (reference
+src/cosmap/analysis/task.py:178-187).  The Spark mapping is exactly the
+Arrow-vectorized trio below: scalar ``pandas_udf``, GROUPED_AGG
+``pandas_udf``, and grouped-map ``applyInPandas``.  Rounding is applied
+JVM-side (``F.round``) after the UDF so the half-up rule matches the
+oracle (numpy rounds half-to-even).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+from cosmap_spark.queries.registry import query
+from cosmap_spark.tables import load_table
+
+
+@query(
+    "q_udf_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax), 6) AS charged
+    FROM lineitem
+    """,
+)
+def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar pandas UDF (Arrow batches); the arithmetic is
+    pure IEEE multiply/add in float64 so it is bit-identical to the SQL
+    expression oracle."""
+
+    @F.pandas_udf(DoubleType())
+    def charged(ep: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
+        return ep * (1.0 - disc) * (1.0 + tax)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.round(charged("l_extendedprice", "l_discount", "l_tax"), 6).alias("charged"),
+    )
+
+
+@query(
+    "q_udaf_grouped",
+    oracle="""
+    SELECT l_returnflag,
+           round(avg(l_quantity), 6) AS mean_qty,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF (custom per-group aggregate) checked
+    against the built-in ``avg`` oracle."""
+
+    @F.pandas_udf("double")
+    def mean_qty(qty: pd.Series) -> float:  # GROUPED_AGG via usage in agg()
+        return float(qty.mean())
+
+    @F.pandas_udf("long")
+    def n_rows(qty: pd.Series) -> int:
+        return int(qty.shape[0])
+
+    li = load_table(spark, sf_dir, "lineitem")
+    # Spark disallows mixing pandas grouped-agg UDFs with JVM aggregates
+    # in one agg(); both aggregates are pandas UDFs instead.
+    return li.groupBy("l_returnflag").agg(
+        F.round(mean_qty("l_quantity"), 6).alias("mean_qty"),
+        n_rows("l_quantity").alias("n_rows"),
+    )
+
+
+@query(
+    "q_udtf_grouped_map",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           round((l_extendedprice - avg(l_extendedprice) OVER w)
+                 / stddev_samp(l_extendedprice) OVER w, 6) AS zscore
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_returnflag)
+    """,
+)
+def q_udtf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map ``applyInPandas`` — the per-sample "whole small table
+    in, table out" shape of a reference transformation (reference
+    src/cosmap/analysis/task.py:168-188) — computing a per-group z-score;
+    oracle is the equivalent window SQL."""
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = pdf["l_extendedprice"].mean()
+        s = pdf["l_extendedprice"].std(ddof=1)
+        out = pdf[["l_orderkey", "l_linenumber", "l_returnflag"]].copy()
+        out["zscore"] = (pdf["l_extendedprice"] - m) / s
+        return out
+
+    li = load_table(spark, sf_dir, "lineitem")
+    result = li.groupBy("l_returnflag").applyInPandas(
+        normalize,
+        schema="l_orderkey long, l_linenumber int, l_returnflag string, zscore double",
+    )
+    return result.withColumn("zscore", F.round("zscore", 6))

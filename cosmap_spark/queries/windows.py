@@ -1,0 +1,108 @@
+"""Window-function queries (SURVEY.md §2.2 "Window functions") + top-k.
+
+Absent from the reference (samples are independent); stock Spark here,
+with deterministic tie-breaks everywhere so the oracle hash matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cosmap_spark.queries.registry import query
+from cosmap_spark.tables import load_table
+
+
+@query(
+    "q_window_rank",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+             rank() OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC) AS rnk
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number + rank per group: each customer's top-3 orders."""
+    o = load_table(spark, sf_dir, "orders")
+    w_rn = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    w_rk = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    return (
+        o.select(
+            "o_custkey", "o_orderkey", "o_totalprice",
+            F.row_number().over(w_rn).alias("rn"),
+            F.rank().over(w_rk).alias("rnk"),
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "q_window_running",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(sum(l_extendedprice) OVER (
+             PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM lineitem
+    """,
+)
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum per order over line numbers (explicit ROWS frame).
+    (l_orderkey, l_linenumber) is not unique in the corpus, so the frame
+    order adds l_extendedprice as tiebreak — remaining ties are identical
+    rows, for which any order yields the same output multiset."""
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        F.round(F.sum("l_extendedprice").over(w), 2).alias("running_total"),
+    )
+
+
+@query(
+    "q_window_lag",
+    oracle="""
+    SELECT event_id, user_id, value,
+           lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+           lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value
+    FROM events
+    """,
+)
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead along each user's event timeline."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+    )
+
+
+@query(
+    "q_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject (per-partition heap
+    + driver merge — no full sort, no shuffle of non-winners)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )

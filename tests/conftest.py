@@ -1,0 +1,38 @@
+"""Shared fixtures: one SparkSession per test session, DuckDB oracle con."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cosmap_spark.session import get_spark  # noqa: E402
+from cosmap_spark.tables import TABLES  # noqa: E402
+
+#: sf0.001 keeps the unit suite fast; the driver's gate runs sf0.01.
+SF_DIR = os.environ.get("COSMAP_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="cosmap-tests", master="local[8]",
+                  extra_conf={"spark.sql.shuffle.partitions": "8",
+                              "spark.ui.enabled": "false"})
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    yield con
+    con.close()

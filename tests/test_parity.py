@@ -1,0 +1,85 @@
+"""Local mirror of the driver's t2 gate: every registered query vs its
+DuckDB oracle, compared as order-insensitive multisets of rows with
+columns sorted by name — the same normalization the driver applies.
+
+Run at sf0.001 by default (fast); set COSMAP_TEST_SF_DIR=/root/testdata/sf0.01
+to reproduce the driver's exact scale.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from cosmap_spark.queries import all_oracles, all_queries
+
+from .conftest import SF_DIR
+
+
+def _canon(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # collapse -0.0 vs 0.0 and fold rounding residue far below the
+        # per-query round() precision
+        return round(v + 0.0, 9)
+    if hasattr(v, "__int__") and not isinstance(v, (int, bool)):
+        try:
+            return int(v)  # numpy ints / Decimal that are integral
+        except (TypeError, ValueError):
+            return float(v)
+    return v
+
+
+def _rows(df_pandas):
+    cols = sorted(df_pandas.columns)
+    out = [tuple(_canon(v) for v in row) for row in df_pandas[cols].itertuples(index=False, name=None)]
+    return sorted(out, key=repr), cols
+
+
+QUERIES = all_queries()
+ORACLES = all_oracles()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_parity(name, spark, duck):
+    sdf = QUERIES[name](spark, SF_DIR)
+    spark_pd = sdf.toPandas()
+    if name not in ORACLES:
+        # rows-only contract: runs, stable schema, ≥0 rows
+        assert spark_pd.shape[0] >= 0
+        return
+    duck_pd = duck.execute(ORACLES[name]).fetchdf()
+    s_rows, s_cols = _rows(spark_pd)
+    d_rows, d_cols = _rows(duck_pd)
+    assert s_cols == d_cols, f"{name}: column mismatch {s_cols} vs {d_cols}"
+    assert len(s_rows) == len(d_rows), (
+        f"{name}: row count {len(s_rows)} vs oracle {len(d_rows)}"
+    )
+    mismatches = [
+        (a, b) for a, b in zip(s_rows, d_rows) if a != b
+    ]
+    assert not mismatches, (
+        f"{name}: {len(mismatches)} mismatched rows; first: {mismatches[:3]}"
+    )
+
+
+def test_all_queries_have_docstrings():
+    for name, fn in QUERIES.items():
+        assert fn.__doc__, f"{name} lacks a docstring"
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert len(df.columns) >= 2
+
+
+def test_sf_dir_used():
+    # guard: parity must run against a real scale factor directory
+    assert "testdata" in SF_DIR
