@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+
+    {"metric": "headline_total", "value": N, "unit": "sec",
+     "queries": {...}, "sf": ...}
+
+Each query is executed to completion (count() — forces full evaluation
+without driver-side materialization of rows) after a shared-session
+warm-up; per-query wall-clock is reported, plus the total.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+#: the headline set: one per engine capability pillar
+HEADLINE = [
+    "q_sample_agg",       # flagship: spatial cone join + per-sample agg
+    "q_cone_search",      # raw spatial join throughput
+    "q_join_inner",       # relational equi-join
+    "q_window_running",   # window functions
+    "q_agg_distinct",     # shuffle aggregation
+    "q_tumbling_window",  # time-window aggregation
+    "q_udtf_grouped_map", # Arrow applyInPandas path
+    "q_text_stats",       # text analysis over documents
+    "q_dedup_exact",      # dedup hash-agg
+    "q_knn_cosine",       # vector similarity search
+    "q_topk",             # global top-k
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from cosmap_spark.session import get_spark
+
+    spark = get_spark(app_name="cosmap-bench", master=f"local[{cpus}]",
+                      extra_conf={"spark.ui.enabled": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from cosmap_spark.queries import all_queries
+
+    queries = all_queries()
+    # warm-up: JVM/codegen/parquet-footer caches on a cheap query
+    queries["q_topk"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).count()
+        dt = round(time.perf_counter() - t0, 3)
+        timings[name] = dt
+        total += dt
+    spark.stop()
+
+    print(json.dumps({
+        "metric": "headline_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()
