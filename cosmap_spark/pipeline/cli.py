@@ -1,0 +1,81 @@
+"""CLI: ``python -m cosmap_spark.pipeline.cli <cmd>`` —
+install / uninstall / run / list / locate (reference
+src/cosmap/entrypoint.py:8-88, click-based; argparse here to avoid the
+extra dependency)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="cosmap-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("install", help="register an analysis directory")
+    sp.add_argument("directory")
+    sp = sub.add_parser("uninstall", help="remove an analysis from the registry")
+    sp.add_argument("name")
+    sub.add_parser("list", help="list installed analyses")
+    sp = sub.add_parser("locate", help="print an analysis' directory")
+    sp.add_argument("name")
+    sp = sub.add_parser("run", help="run an analysis config (JSON file)")
+    sp.add_argument("config")
+    sp.add_argument("--catalog", required=True, help="parquet path of the catalog table")
+    sp.add_argument("--show", type=int, default=20)
+
+    args = p.parse_args(argv)
+    from cosmap_spark.pipeline import manage
+    from cosmap_spark.pipeline.errors import CosmapSparkError
+
+    try:
+        return _dispatch(args)
+    except CosmapSparkError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+
+
+def _dispatch(args: argparse.Namespace) -> int:
+    from cosmap_spark.pipeline import manage
+
+    if args.cmd == "install":
+        name = manage.install_analysis(args.directory)
+        print(f"installed analysis {name!r}")
+    elif args.cmd == "uninstall":
+        manage.uninstall_analysis(args.name)
+        print(f"uninstalled analysis {args.name!r}")
+    elif args.cmd == "list":
+        for name, path in sorted(manage.list_analyses().items()):
+            print(f"{name}\t{path}")
+    elif args.cmd == "locate":
+        print(manage.locate_analysis(args.name))
+    elif args.cmd == "run":
+        run_config = json.loads(open(args.config).read())
+        base = manage.load_analysis_files(
+            manage.locate_analysis(run_config["base-analysis"])
+        )
+        if "analysis-mod" in run_config:
+            mod = manage.load_analysis_files(
+                manage.locate_analysis(run_config["analysis-mod"])
+            )
+            base = manage.combine_with_mod(base, mod)
+        from cosmap_spark.pipeline.analysis import Analysis
+        from cosmap_spark.pipeline.config import combine_run_config
+        from cosmap_spark.session import get_spark
+
+        cfg = combine_run_config(base["parameters"], run_config)
+        spark = get_spark(app_name=f"cosmap-run-{run_config['base-analysis']}")
+        analysis = Analysis(
+            cfg, base["transformations"], base["implementations"],
+            setup_block=base.get("setup"),
+            setup_implementations=base.get("implementations"),
+        )
+        result = analysis.run(spark, spark.read.parquet(args.catalog))
+        result.show(args.show, truncate=False)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,164 @@
+"""Compile a transformation block into one lazy DataFrame plan.
+
+Reference execution (src/cosmap/analysis/task.py:168-188): walk the topo
+order; each transformation receives its ``needed-data`` catalogs, its
+``dependencies`` (upstream results, keyword-aliased), and its
+``needed-parameters`` (dotted config paths), via kwargs injection
+(src/cosmap/analysis/utils.py:174-229); the terminal ``is-output``
+node's result is the sample's output row.
+
+Spark-first restatement: the walk happens ONCE on the driver, composing
+lazy DataFrame transformations — not once per sample.  A node is either
+
+* **native** — a Python callable composing DataFrame ops: receives
+  DataFrames/values, returns a DataFrame/value; zero execution cost at
+  compile time (laziness), fused by Catalyst; or
+* **per-sample** (``"per-sample": true`` + ``"schema"``) — a black-box
+  pandas function applied to each sample's little table via
+  ``applyInPandas`` over ``sample_id`` groups: the exact "whole small
+  table in → table out" contract a reference transformation had.  The
+  function may raise :class:`BadSampleError` to drop its sample
+  (reference task.py:155-157) — the group is then omitted from the
+  output rather than failing the job.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+from cosmap_spark.pipeline.dag import output_node, topo_order
+from cosmap_spark.pipeline.errors import BadSampleError, DagValidationError
+
+
+def _get_impl(implementations: Any, name: str) -> Callable:
+    """Transformation lookup by name (reference getattr discovery,
+    src/cosmap/analysis/utils.py:68-87)."""
+    fn = getattr(implementations, name, None)
+    if fn is None and isinstance(implementations, dict):
+        fn = implementations.get(name)
+    if not callable(fn):
+        raise DagValidationError(
+            f"transformation {name!r} is declared in the block but has no "
+            f"callable implementation"
+        )
+    return fn
+
+
+def resolve_parameter(parameters: dict, dotted: str) -> Any:
+    """Resolve a ``"Block.param"`` dotted path (reference
+    get_task_parameters_from_dictionary, src/cosmap/analysis/utils.py:174-229).
+    ``"all"`` passes the whole parameter tree."""
+    if dotted == "all":
+        return parameters
+    cur: Any = parameters
+    for part in dotted.split("."):
+        if hasattr(cur, part):
+            cur = getattr(cur, part)
+            continue
+        if isinstance(cur, dict) and part in cur:
+            cur = cur[part]
+            continue
+        raise DagValidationError(f"unknown parameter path {dotted!r}")
+    return cur
+
+
+def verify_block(block: dict, implementations: Any) -> None:
+    """Spec ↔ implementation cross-check + DAG validity (reference
+    CosmapAnalysis.verify_analysis, src/cosmap/analysis/analysis.py:93-126)."""
+    topo_order(block)
+    output_node(block)
+    for name in block:
+        _get_impl(implementations, name)
+
+
+def compile_pipeline(
+    block: dict,
+    implementations: Any,
+    *,
+    parameters: dict | None = None,
+) -> Callable[[dict[str, DataFrame]], DataFrame]:
+    """Return ``run(data) -> DataFrame`` executing the block lazily.
+
+    ``data`` maps dtype names (the reference's ``needed-data``, e.g.
+    ``"catalog"``) to DataFrames.  All composition is lazy; nothing
+    touches the cluster until an action on the returned DataFrame.
+    """
+    parameters = parameters or {}
+    verify_block(block, implementations)
+    order = topo_order(block)
+    out_node = output_node(block)
+
+    def run(data: dict[str, DataFrame]) -> DataFrame:
+        results: dict[str, Any] = {}
+        for name in order:
+            spec = block[name]
+            kwargs: dict[str, Any] = {}
+            for dtype in spec.get("needed-data", []) or []:
+                if dtype not in data:
+                    raise DagValidationError(
+                        f"transformation {name!r} needs data {dtype!r} "
+                        f"which was not provided"
+                    )
+                kwargs[dtype] = data[dtype]
+            for alias, dep in (spec.get("dependencies", {}) or {}).items():
+                if isinstance(dep, (list, tuple)):
+                    kwargs[alias] = [results[d] for d in dep]
+                else:
+                    kwargs[alias] = results[dep]
+            for p in spec.get("needed-parameters", []) or []:
+                kwargs[p.rsplit(".", 1)[-1]] = resolve_parameter(parameters, p)
+            for p in spec.get("optional-parameters", []) or []:
+                try:
+                    kwargs[p.rsplit(".", 1)[-1]] = resolve_parameter(parameters, p)
+                except DagValidationError:
+                    pass  # soft-fail (reference utils.py:208-214)
+            fn = _get_impl(implementations, name)
+            if spec.get("per-sample"):
+                kwargs_np = {k: v for k, v in kwargs.items() if not isinstance(v, DataFrame)}
+                dfs = [v for v in kwargs.values() if isinstance(v, DataFrame)]
+                if len(dfs) != 1:
+                    raise DagValidationError(
+                        f"per-sample transformation {name!r} must consume "
+                        f"exactly one DataFrame, got {len(dfs)}"
+                    )
+                schema = spec.get("schema")
+                if not schema:
+                    raise DagValidationError(
+                        f"per-sample transformation {name!r} must declare "
+                        f"an output 'schema' (the engine does not infer "
+                        f"schemas from first rows — SURVEY.md §7 hard part 3)"
+                    )
+
+                results[name] = dfs[0].groupBy("sample_id").applyInPandas(
+                    _badsample_guard(fn, kwargs_np, schema), schema=schema
+                )
+            else:
+                results[name] = fn(**kwargs)
+        result = results[out_node]
+        if not isinstance(result, DataFrame):
+            raise DagValidationError(
+                f"output transformation {out_node!r} must return a DataFrame, "
+                f"got {type(result).__name__}"
+            )
+        return result
+
+    return run
+
+
+def _badsample_guard(fn: Callable, kwargs: dict, schema: str) -> Callable:
+    """Wrap a per-sample pandas fn: BadSampleError ⇒ empty frame (sample
+    dropped), matching reference task.py:155-157 semantics."""
+    import pandas as pd
+
+    cols = [c.strip().split()[0] for c in schema.split(",")]
+
+    def guarded(pdf: pd.DataFrame) -> pd.DataFrame:
+        try:
+            return fn(pdf, **kwargs)
+        except BadSampleError:
+            return pd.DataFrame({c: pd.Series(dtype="object") for c in cols})
+
+    return guarded

@@ -169,6 +169,69 @@ def q_bad_sample_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- O13/O14: declarative DAG pipeline ------------------------------------
+
+#: a 3-node transformation block in the reference's spec dialect
+#: (dependencies / needed-data / needed-parameters / is-output)
+_TOPO_BLOCK = {
+    "add_arcsec": {"needed-data": ["catalog"]},
+    "select_far": {
+        "dependencies": {"joined": "add_arcsec"},
+        "needed-parameters": ["analysis_parameters.min_frac"],
+    },
+    "summarize": {"dependencies": {"filtered": "select_far"}, "is-output": True},
+}
+
+
+class _TopoImpls:
+    """Native transformations: DataFrame in → DataFrame out (lazy)."""
+
+    @staticmethod
+    def add_arcsec(catalog: DataFrame) -> DataFrame:
+        return catalog.withColumn("sep_arcsec", F.col("sep_deg") * 3600.0)
+
+    @staticmethod
+    def select_far(joined: DataFrame, min_frac: float) -> DataFrame:
+        return joined.where(F.col("sep_deg") > F.col("radius_deg") * min_frac)
+
+    @staticmethod
+    def summarize(filtered: DataFrame) -> DataFrame:
+        return filtered.groupBy("sample_id").agg(
+            F.count("*").alias("n_objects"),
+            F.round(F.sum("sep_arcsec"), 4).alias("total_arcsec"),
+            F.round(F.avg("mag_r"), 6).alias("mean_mag"),
+        )
+
+
+@query(
+    "q_topo_chain",
+    oracle=with_fixture_ctes(f"""
+    SELECT s.sample_id,
+           count(*) AS n_objects,
+           round(sum({SEP_DEG_SQL} * 3600.0), 4) AS total_arcsec,
+           round(avg(c.mag_r), 6) AS mean_mag
+    FROM samples s JOIN catalog c ON {SEP_DEG_SQL} <= s.radius_deg
+    WHERE {SEP_DEG_SQL} > s.radius_deg * 0.25
+    GROUP BY s.sample_id
+    """),
+)
+def q_topo_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The declarative DAG pipeline end-to-end (reference O13/O14:
+    spec → cycle-checked topo order → kwargs-injected execution,
+    src/cosmap/analysis/dependencies.py:19-64 + task.py:168-188): a
+    3-node block compiled by ``compile_pipeline`` into one lazy plan
+    over the cone-search join."""
+    from cosmap_spark.pipeline import compile_pipeline
+
+    run = compile_pipeline(
+        _TOPO_BLOCK,
+        _TopoImpls,
+        parameters={"analysis_parameters": {"min_frac": 0.25}},
+    )
+    joined = cone_search(catalog_df(spark, sf_dir), samples_df(spark, sf_dir))
+    return run({"catalog": joined})
+
+
 @query(
     "q_unit_convert",
     oracle=with_fixture_ctes("""

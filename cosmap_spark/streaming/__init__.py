@@ -1,0 +1,19 @@
+"""Structured Streaming surface (SURVEY.md §2.2 "Streaming").
+
+The reference has no streaming — its closest analog is incremental
+result collection over Dask futures (reference
+src/cosmap/analysis/analysis.py:150-162).  Our engine exposes the events
+table as a replayable file stream and provides the standard streaming
+operator set: tumbling/sliding/session windows, watermarked late-data
+handling, stateful dedup, and a custom stateful operator via
+``applyInPandasWithState``.  Batch twins of these aggregations live in
+cosmap_spark/queries/streaming_q.py (the oracle can't run streams).
+"""
+
+from cosmap_spark.streaming.ops import (  # noqa: F401
+    events_stream,
+    session_counts,
+    stateful_user_counter,
+    tumbling_counts,
+    windowed_dedup,
+)

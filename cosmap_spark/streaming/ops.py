@@ -1,0 +1,121 @@
+"""Streaming operators over an events-shaped stream.
+
+Each op takes a *streaming* DataFrame (``isStreaming``) with at least
+``(ts timestamp, user_id long, event_type string, value double)`` and
+returns a streaming DataFrame; callers pick the sink/trigger.  All ops
+also work on batch DataFrames (Spark's unified API) — that property is
+what lets the ledger check their batch twins against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: the on-disk schema of events.parquet (ts is TIMESTAMP(NANOS) → long
+#: under nanosAsLong; converted to TimestampType in events_stream)
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, path: str,
+                  *, max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream over events parquet files in ``path``.
+
+    At scale this is the landing-zone pattern: new parquet files appear
+    in a directory; the file source tracks processed files in the
+    checkpoint and replays none."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(path)
+    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def tumbling_counts(events: DataFrame, *, window: str = "10 minutes",
+                    watermark: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling-window counts per event type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type", "n_events", "total_value",
+        )
+    )
+
+
+def session_counts(events: DataFrame, *, gap: str = "30 minutes",
+                   watermark: str = "1 hour") -> DataFrame:
+    """Watermarked session windows per user (inactivity gap)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id", "n_events",
+        )
+    )
+
+
+def windowed_dedup(events: DataFrame, *, watermark: str = "1 hour") -> DataFrame:
+    """Stateful exact dedup on event_id within the watermark horizon
+    (``dropDuplicatesWithinWatermark``): state is bounded — ids older
+    than the watermark are evicted, the 100 TB-stream requirement."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+_COUNTER_STATE = StructType([StructField("n", LongType())])
+_COUNTER_OUT = StructType(
+    [StructField("user_id", LongType()), StructField("n_events", LongType())]
+)
+
+
+def stateful_user_counter(events: DataFrame, *, timeout: str = "NoTimeout") -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: a running
+    per-user event counter — the minimal template for reference-style
+    arbitrary per-key state (the pattern for custom stateful transforms
+    the built-in operators can't express)."""
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_COUNTER_OUT,
+            stateStructType=_COUNTER_STATE,
+            outputMode="update",
+            timeoutConf=timeout,
+        )
+    )

@@ -1,0 +1,254 @@
+"""Pipeline-engine unit tests: DAG validation error cases mirroring the
+reference's rejections (FIXTURES.md "DAG-validation specs"), @-reference
+resolution, variant merge semantics, per-sample UDFs + BadSampleError,
+and the setup-block pre-pass."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from cosmap_spark.pipeline import (
+    BadSampleError,
+    DagCycleError,
+    DagValidationError,
+    compile_pipeline,
+    topo_order,
+)
+from cosmap_spark.pipeline.analysis import run_setup_block
+from cosmap_spark.pipeline.config import (
+    load_config,
+    quantity_to_deg,
+    resolve_references,
+)
+from cosmap_spark.pipeline.dag import output_node
+from cosmap_spark.pipeline.manage import (
+    combine_dicts,
+    combine_transformations,
+    combine_with_mod,
+)
+
+# --- DAG validation (reference dependencies.py:60-62, task.py:104-107) ----
+
+
+def test_cycle_2node_rejected():
+    block = {
+        "a": {"dependencies": {"x": "b"}},
+        "b": {"dependencies": {"y": "a"}, "is-output": True},
+    }
+    with pytest.raises(DagCycleError):
+        topo_order(block)
+
+
+def test_cycle_3node_rejected():
+    block = {
+        "a": {"dependencies": {"x": "c"}},
+        "b": {"dependencies": {"y": "a"}},
+        "c": {"dependencies": {"z": "b"}, "is-output": True},
+    }
+    with pytest.raises(DagCycleError):
+        topo_order(block)
+
+
+def test_missing_dependency_rejected():
+    block = {"a": {"dependencies": {"x": "ghost"}, "is-output": True}}
+    with pytest.raises(DagValidationError):
+        topo_order(block)
+
+
+def test_nonterminal_output_rejected():
+    block = {
+        "a": {"is-output": True},
+        "b": {"dependencies": {"x": "a"}},
+    }
+    with pytest.raises(DagValidationError):
+        output_node(block)
+
+
+def test_multiple_outputs_rejected():
+    block = {"a": {"is-output": True}, "b": {"is-output": True}}
+    with pytest.raises(DagValidationError):
+        output_node(block)
+
+
+def test_missing_implementation_rejected(spark):
+    block = {"nope": {"is-output": True}}
+    with pytest.raises(DagValidationError, match="no.*callable|callable.*no"):
+        compile_pipeline(block, object())
+
+
+def test_topo_respects_dependencies():
+    block = {
+        "c": {"dependencies": {"x": "b"}, "is-output": True},
+        "b": {"dependencies": {"x": "a"}},
+        "a": {},
+    }
+    assert topo_order(block) == ["a", "b", "c"]
+
+
+# --- config layer ---------------------------------------------------------
+
+
+def test_quantity_normalization():
+    assert quantity_to_deg({"value": 120, "units": "arcmin"}) == pytest.approx(2.0)
+    assert quantity_to_deg({"value": 7200, "units": "arcsec"}) == pytest.approx(2.0)
+    assert quantity_to_deg(2.0) == 2.0
+    with pytest.raises(ValueError):
+        quantity_to_deg({"value": 1, "units": "parsec"})
+
+
+def test_at_reference_resolution():
+    tree = {
+        "Main": {"radius": 2.5},
+        "Analysis": {"min_radius": "@Main.radius", "also": "@Analysis.min_radius"},
+    }
+    out = resolve_references(tree)
+    assert out["Analysis"]["min_radius"] == 2.5
+    assert out["Analysis"]["also"] == 2.5
+
+
+def test_at_reference_cycle_rejected():
+    tree = {"A": {"x": "@B.y"}, "B": {"y": "@A.x"}}
+    with pytest.raises(DagValidationError):
+        resolve_references(tree)
+
+
+def test_config_validates_sampling_units():
+    cfg = load_config(
+        {
+            "name": "t",
+            "sampling_parameters": {
+                "n_samples": 10,
+                "sample_dimensions": {"value": 120, "units": "arcmin"},
+            },
+        }
+    )
+    assert cfg.sampling_parameters.sample_dimensions == pytest.approx(2.0)
+
+
+# --- variant overlay (reference manage.py:206-332 semantics) --------------
+
+
+def test_combine_transformations_overwrites_whole_node():
+    base = {"t1": {"needed-data": ["catalog"], "is-output": True}}
+    overlay = {"t1": {"dependencies": {"x": "t0"}}}
+    merged = combine_transformations(base, overlay)
+    # node replaced entirely: base keys do NOT survive inside the node
+    assert merged["t1"] == {"dependencies": {"x": "t0"}}
+
+
+def test_combine_dicts_deep_right_biased():
+    base = {"a": {"x": 1, "y": 2}, "b": 3}
+    overlay = {"a": {"y": 20, "z": 30}}
+    assert combine_dicts(base, overlay) == {"a": {"x": 1, "y": 20, "z": 30}, "b": 3}
+
+
+def test_combine_with_mod_prefers_variant_impl():
+    class Base:
+        @staticmethod
+        def f():
+            return "base"
+
+    class Mod:
+        @staticmethod
+        def f():
+            return "mod"
+
+    merged = combine_with_mod(
+        {"implementations": Base, "transformations": {}, "parameters": {}},
+        {"implementations": Mod},
+    )
+    assert merged["implementations"].f() == "mod"
+
+
+# --- execution: native chain, per-sample UDF, bad-sample drop -------------
+
+
+def _mini_samples(spark):
+    return spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (2, 5.0), (3, 1.0)], "sample_id long, x double"
+    )
+
+
+def test_compile_pipeline_native_chain(spark):
+    block = {
+        "double_x": {"needed-data": ["catalog"]},
+        "total": {"dependencies": {"d": "double_x"}, "is-output": True},
+    }
+
+    class Impls:
+        @staticmethod
+        def double_x(catalog):
+            return catalog.withColumn("x2", F.col("x") * 2)
+
+        @staticmethod
+        def total(d):
+            return d.groupBy("sample_id").agg(F.sum("x2").alias("t"))
+
+    run = compile_pipeline(block, Impls)
+    out = {r["sample_id"]: r["t"] for r in run({"catalog": _mini_samples(spark)}).collect()}
+    assert out == {1: 60.0, 2: 10.0, 3: 2.0}
+
+
+def test_per_sample_udf_and_bad_sample_drop(spark):
+    block = {
+        "per_sample_stat": {
+            "needed-data": ["catalog"],
+            "per-sample": True,
+            "schema": "sample_id long, n long",
+            "is-output": True,
+        },
+    }
+
+    class Impls:
+        @staticmethod
+        def per_sample_stat(pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(pdf) < 2:  # reference-style bad-sample rejection
+                raise BadSampleError("too few rows")
+            return pd.DataFrame(
+                {"sample_id": [pdf["sample_id"].iloc[0]], "n": [len(pdf)]}
+            )
+
+    run = compile_pipeline(block, Impls)
+    rows = {r["sample_id"]: r["n"] for r in run({"catalog": _mini_samples(spark)}).collect()}
+    assert rows == {1: 2}  # samples 2 and 3 dropped, job alive
+
+
+def test_parameter_injection(spark):
+    block = {
+        "scale": {
+            "needed-data": ["catalog"],
+            "needed-parameters": ["analysis_parameters.factor"],
+            "is-output": True,
+        },
+    }
+
+    class Impls:
+        @staticmethod
+        def scale(catalog, factor):
+            return catalog.withColumn("x", F.col("x") * factor)
+
+    run = compile_pipeline(
+        block, Impls, parameters={"analysis_parameters": {"factor": 10.0}}
+    )
+    vals = sorted(r["x"] for r in run({"catalog": _mini_samples(spark)}).collect())
+    assert vals == [10.0, 50.0, 100.0, 200.0]
+
+
+def test_setup_block_exports_parameters():
+    block = {
+        "compute_threshold": {"needed-parameters": ["analysis_parameters.base"]},
+        "derived": {
+            "dependencies": {"t": "compute_threshold"},
+            "output-name": "threshold",
+        },
+    }
+
+    impls = {
+        "compute_threshold": lambda base: base * 2,
+        "derived": lambda t: t + 1,
+    }
+    params = run_setup_block(block, impls, {"analysis_parameters": {"base": 10}})
+    assert params["analysis_parameters"]["threshold"] == 21
