@@ -1,0 +1,44 @@
+"""Sinks.
+
+The reference's only writer is an append-mode CSV with hand-rolled
+chunked numpy buffering (reference O23/O24,
+src/cosmap/output/parser.py:46-119 + writer.py:23-35) and a dict-of-
+outputs fan-out (O25, output/output.py:53-75).  Spark's writers replace
+the buffering entirely: executors stream partitions to the sink, the
+driver never materializes results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def append_csv(df: DataFrame, path: str, *, header: bool = True) -> None:
+    """Append-mode CSV sink (reference dataframeCsvWriter semantics:
+    header on first write — Spark writes one header per file, which is
+    the distributed-correct reading of that contract)."""
+    df.write.mode("append").option("header", header).csv(path)
+
+
+def write_output(df: DataFrame, path: str, *, fmt: str = "parquet",
+                 mode: str = "append", partition_by: list[str] | None = None) -> None:
+    """General sink: parquet (primary), csv, json; optional partitioning."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if fmt == "csv":
+        writer.option("header", True).csv(path)
+    elif fmt == "json":
+        writer.json(path)
+    elif fmt == "parquet":
+        writer.parquet(path)
+    else:
+        raise ValueError(f"unsupported sink format {fmt!r}")
+
+
+def multi_output(outputs: dict[str, DataFrame], base_path: str,
+                 *, fmt: str = "parquet", mode: str = "append") -> None:
+    """Dict-of-results fan-out: one sink per key (reference
+    multiDataframeOutputHandler, src/cosmap/output/output.py:53-75)."""
+    for name, df in outputs.items():
+        write_output(df, f"{base_path}/{name}", fmt=fmt, mode=mode)

@@ -1,0 +1,80 @@
+"""Sampler properties: partition-independence (the determinism hazard
+rand(seed) has and our hash-seeding avoids), area-uniformity on the
+sphere (the reference's stated invariant,
+src/cosmap/analysis/sampler.py:87-101 comments), and frame shrinking."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from cosmap_spark.operators.sampler import uniform_sphere_samples
+
+
+def test_deterministic_across_partitionings(spark):
+    a = uniform_sphere_samples(spark, 2000, seed=42, num_partitions=1).collect()
+    b = uniform_sphere_samples(spark, 2000, seed=42, num_partitions=16).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_seed_changes_stream(spark):
+    a = uniform_sphere_samples(spark, 100, seed=1).collect()
+    b = uniform_sphere_samples(spark, 100, seed=2).collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, b))
+
+
+def test_area_uniform_over_sphere(spark):
+    """Split the sphere into 10 equal-area dec bands (equal sin(dec)
+    slices): expected n/10 per band; allow 5σ binomial deviation."""
+    n = 20_000
+    df = uniform_sphere_samples(spark, n, seed=42, shrink_frame=False)
+    bands = (
+        df.select(
+            F.floor((F.sin(F.radians("dec")) + 1.0) / 0.2).alias("band")
+        )
+        .groupBy("band").count().collect()
+    )
+    counts = {r["band"]: r["count"] for r in bands}
+    # band index 10 only for sin(dec)==1 exactly — fold into band 9
+    counts[9] = counts.get(9, 0) + counts.pop(10, 0)
+    expect = n / 10
+    sigma = math.sqrt(n * 0.1 * 0.9)
+    assert set(counts) == set(range(10))
+    for band, c in counts.items():
+        assert abs(c - expect) < 5 * sigma, (band, c)
+
+
+def test_ra_uniform(spark):
+    n = 20_000
+    df = uniform_sphere_samples(spark, n, seed=7, shrink_frame=False)
+    counts = {
+        r["b"]: r["count"]
+        for r in df.select(F.floor(F.col("ra") / 36.0).alias("b")).groupBy("b").count().collect()
+    }
+    expect, sigma = n / 10, math.sqrt(n * 0.1 * 0.9)
+    for b, c in counts.items():
+        assert abs(c - expect) < 5 * sigma, (b, c)
+
+
+def test_frame_shrink_keeps_cones_inside(spark):
+    df = uniform_sphere_samples(
+        spark, 5000, seed=3, radius_deg=5.0,
+        ra_bounds=(30.0, 60.0), dec_bounds=(-10.0, 40.0),
+    )
+    row = df.agg(
+        F.min("ra").alias("ra_lo"), F.max("ra").alias("ra_hi"),
+        F.min("dec").alias("dec_lo"), F.max("dec").alias("dec_hi"),
+    ).collect()[0]
+    assert row["ra_lo"] >= 35.0 and row["ra_hi"] <= 55.0
+    assert row["dec_lo"] >= -5.0 and row["dec_hi"] <= 35.0
+
+
+def test_radec_in_range(spark):
+    df = uniform_sphere_samples(spark, 2000, seed=11, shrink_frame=False)
+    row = df.agg(
+        F.min("ra").alias("r0"), F.max("ra").alias("r1"),
+        F.min("dec").alias("d0"), F.max("dec").alias("d1"),
+    ).collect()[0]
+    assert 0.0 <= row["r0"] and row["r1"] < 360.0
+    assert -90.0 <= row["d0"] and row["d1"] <= 90.0

@@ -1,0 +1,144 @@
+"""Spatial-join correctness: the zone/bbox-pruned cone search must equal
+the brute-force haversine theta-join everywhere — including the poles and
+the RA=0 wraparound (SURVEY.md §7 hard part 1), the cases the reference
+delegated to external libraries and never tested."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from cosmap_spark.functions.spherical import angular_sep_deg
+from cosmap_spark.operators.cone_search import cone_search, cone_search_bruteforce
+from cosmap_spark.tables import catalog_df, samples_df
+
+
+def _pairs(df):
+    return sorted((r["sample_id"], r["object_id"]) for r in df.collect())
+
+
+def test_zone_join_equals_bruteforce_on_fixtures(spark):
+    cat = catalog_df(spark, "/root/testdata/sf0.001")
+    smp = samples_df(spark, "/root/testdata/sf0.001")
+    assert _pairs(cone_search(cat, smp)) == _pairs(cone_search_bruteforce(cat, smp))
+
+
+@pytest.fixture()
+def pole_catalog(spark):
+    rows = [
+        # (object_id, ra, dec): hand-placed pole + wraparound points
+        (1, 0.1, 89.9), (2, 359.9, 89.9), (3, 180.0, 89.95), (4, 90.0, 89.5),
+        (5, 0.1, -89.9), (6, 359.9, -89.9), (7, 180.0, -89.95),
+        (8, 0.5, 0.0), (9, 359.5, 0.0), (10, 180.0, 0.0),
+        (11, 0.0, -90.0), (12, 33.0, 45.0),
+    ]
+    return spark.createDataFrame(rows, "object_id long, ra double, dec double")
+
+
+@pytest.fixture()
+def pole_samples(spark):
+    rows = [
+        # centers at the poles, straddling RA=0, and mid-latitude
+        (100, 0.0, 90.0, 1.0), (101, 0.0, -90.0, 1.0),
+        (102, 359.95, 0.0, 1.0), (103, 0.05, 0.0, 1.0),
+        (104, 0.0, 89.0, 2.0), (105, 180.0, -89.0, 2.0),
+        (106, 33.0, 45.0, 0.5),
+    ]
+    return spark.createDataFrame(
+        rows, "sample_id long, ra double, dec double, radius_deg double"
+    )
+
+
+def test_pole_and_wraparound(spark, pole_catalog, pole_samples):
+    got = _pairs(cone_search(pole_catalog, pole_samples))
+    want = _pairs(cone_search_bruteforce(pole_catalog, pole_samples))
+    assert got == want
+    # sanity on specific geometry: both wraparound points are within 1°
+    # of both near-RA-0 equator centers
+    assert (102, 8) in got and (102, 9) in got
+    assert (103, 8) in got and (103, 9) in got
+    # pole cones catch all high-|dec| points regardless of RA
+    assert {(100, 1), (100, 2), (100, 3)}.issubset(set(got))
+    assert {(101, 5), (101, 6), (101, 7), (101, 11)}.issubset(set(got))
+
+
+def test_haversine_known_values(spark):
+    df = spark.createDataFrame(
+        [(0.0, 0.0, 0.0, 90.0), (0.0, 0.0, 180.0, 0.0), (10.0, 0.0, 190.0, 0.0),
+         (0.0, 45.0, 180.0, 45.0), (359.9, 0.0, 0.1, 0.0)],
+        "ra1 double, dec1 double, ra2 double, dec2 double",
+    )
+    seps = [
+        r["s"] for r in df.select(
+            angular_sep_deg(F.col("ra1"), F.col("dec1"), F.col("ra2"), F.col("dec2")).alias("s")
+        ).collect()
+    ]
+    assert seps[0] == pytest.approx(90.0, abs=1e-9)
+    assert seps[1] == pytest.approx(180.0, abs=1e-9)
+    assert seps[2] == pytest.approx(180.0, abs=1e-9)
+    assert seps[3] == pytest.approx(90.0, abs=1e-9)   # across the pole
+    assert seps[4] == pytest.approx(0.2, abs=1e-9)    # RA wraparound
+
+
+def test_haversine_matches_vincenty_reference(spark):
+    """Cross-check against a numpy Vincenty implementation (the formula
+    astropy's separation uses) on random pairs."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    ra1, ra2 = rng.uniform(0, 360, 200), rng.uniform(0, 360, 200)
+    dec1, dec2 = rng.uniform(-90, 90, 200), rng.uniform(-90, 90, 200)
+    l1, l2 = np.radians(dec1), np.radians(dec2)
+    dl = np.radians(ra2 - ra1)
+    num = np.hypot(
+        np.cos(l2) * np.sin(dl),
+        np.cos(l1) * np.sin(l2) - np.sin(l1) * np.cos(l2) * np.cos(dl),
+    )
+    den = np.sin(l1) * np.sin(l2) + np.cos(l1) * np.cos(l2) * np.cos(dl)
+    want = np.degrees(np.arctan2(num, den))
+    rows = [
+        (float(a), float(b), float(c), float(d))
+        for a, b, c, d in zip(ra1, dec1, ra2, dec2)
+    ]
+    df = spark.createDataFrame(rows, "ra1 double, dec1 double, ra2 double, dec2 double")
+    got = [
+        r["s"] for r in df.select(
+            angular_sep_deg(F.col("ra1"), F.col("dec1"), F.col("ra2"), F.col("dec2")).alias("s")
+        ).collect()
+    ]
+    assert np.allclose(got, want, atol=1e-8)
+
+
+def test_zone_partitioned_ingest_roundtrip(spark, tmp_path):
+    from cosmap_spark.sources.readers import ingest_catalog
+
+    cat = catalog_df(spark, "/root/testdata/sf0.001")
+    smp = samples_df(spark, "/root/testdata/sf0.001")
+    ingest_catalog(cat, str(tmp_path / "zoned"))
+    back = spark.read.parquet(str(tmp_path / "zoned")).drop("zone")
+    assert _pairs(cone_search(back, smp)) == _pairs(cone_search_bruteforce(cat, smp))
+
+
+def test_sample_agg_matches_loop_semantics(spark):
+    """The ONE-JOIN inversion must equal the reference's per-sample-loop
+    semantics: for each sample independently, a cone query + aggregate.
+    Checked by running each sample's cone as its own filter."""
+    cat = catalog_df(spark, "/root/testdata/sf0.001")
+    smp = samples_df(spark, "/root/testdata/sf0.001").limit(5)
+    joined = cone_search(cat, smp)
+    got = {
+        r["sample_id"]: r["n"]
+        for r in joined.groupBy("sample_id").agg(F.count("*").alias("n")).collect()
+    }
+    for s in smp.collect():
+        n = (
+            cat.where(
+                angular_sep_deg(
+                    F.lit(s["ra"]), F.lit(s["dec"]), F.col("ra"), F.col("dec")
+                ) <= s["radius_deg"]
+            ).count()
+        )
+        assert got.get(s["sample_id"], 0) == n
