@@ -49,8 +49,12 @@ def main() -> None:
     from cosmap_spark.queries import all_queries
 
     queries = all_queries()
-    # warm-up: JVM/codegen/parquet-footer caches on a cheap query
-    queries["q_topk"](spark, sf_dir).count()
+    # Warm-up at the smallest SF: JVM JIT + whole-stage-codegen compile,
+    # parquet footer caches, and the reusable Python-worker pool (Arrow
+    # UDF path) — one-time environment costs, not per-query costs.
+    warm_dir = "/root/testdata/sf0.001"
+    for w in ("q_topk", "q_sample_agg", "q_udtf_grouped_map", "q_knn_cosine"):
+        queries[w](spark, warm_dir).count()
 
     timings: dict[str, float] = {}
     total = 0.0

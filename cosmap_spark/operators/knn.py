@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from cosmap_spark.functions.vectors import cosine_similarity
+from cosmap_spark.functions.vectors import cosine_similarity, dot, norm
 
 
 def knn_bruteforce(
@@ -30,13 +30,20 @@ def knn_bruteforce(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact top-k cosine neighbors (excluding self) per query vector."""
+    # Precompute each side's norm ONCE (not per pair): at k queries the
+    # naive cosine recomputes dot(n,n) k times per corpus row — this
+    # projection removes ~2/3 of the per-pair flops.
     q = queries.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("qnorm"),
     )
     c = corpus.select(
-        F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"),
+        norm(F.col(vec_col)).alias("nnorm"),
     )
-    sim = F.round(cosine_similarity(F.col("qvec"), F.col("nvec")), 6)
+    sim = F.round(
+        dot(F.col("qvec"), F.col("nvec")) / (F.col("qnorm") * F.col("nnorm")), 6
+    )
     pairs = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("nid") != F.col("qid"))
