@@ -74,6 +74,7 @@ def _load_all() -> None:
         functions_q,
         joins,
         llm_ops,
+        relational_extra,
         setops,
         spatial,
         streaming_q,
