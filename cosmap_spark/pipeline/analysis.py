@@ -91,19 +91,33 @@ class Analysis:
                 self.setup_block, self.setup_implementations, params
             )
         sp = self.config.sampling_parameters
-        samples = uniform_sphere_samples(
-            spark,
-            sp.n_samples,
-            seed=sp.seed,
-            radius_deg=sp.sample_dimensions,
-            ra_bounds=tuple(sp.ra_bounds),
-            dec_bounds=tuple(sp.dec_bounds),
+
+        def _default_sampler(spark_, sampling):
+            return uniform_sphere_samples(
+                spark_,
+                sampling.n_samples,
+                seed=sampling.seed,
+                radius_deg=sampling.sample_dimensions,
+                ra_bounds=tuple(sampling.ra_bounds),
+                dec_bounds=tuple(sampling.dec_bounds),
+            )
+
+        from cosmap_spark.pipeline import plugins
+
+        # O31 hook: a registered generate_samples plugin overrides the
+        # uniform sphere sampler (firstresult, unique)
+        samples = plugins.call(
+            "generate_samples", spark, sp, default=_default_sampler
         )
         cols = self.config.dataset_parameters.columns
         if cols:  # O3: source projection → parquet column pruning
             needed = {"ra", "dec", *cols}
             catalog = catalog.select(*[c for c in catalog.columns if c in needed])
-        joined = cone_search(catalog, samples)
+        from cosmap_spark.pipeline import plugins
+
+        joined = plugins.call(
+            "cone_strategy", catalog, samples, default=cone_search
+        )
         run = compile_pipeline(
             self.transformations, self.implementations, parameters=params
         )

@@ -37,6 +37,18 @@ def main(argv: list[str] | None = None) -> int:
         return 1
 
 
+def _load_run_config(path: str) -> dict:
+    """Config ingestion with suffix dispatch — JSON or TOML (reference O4,
+    src/cosmap/api/cmds.py:20-30)."""
+    if path.endswith(".toml"):
+        import tomllib
+
+        with open(path, "rb") as fh:
+            return tomllib.load(fh)
+    with open(path) as fh:
+        return json.load(fh)
+
+
 def _dispatch(args: argparse.Namespace) -> int:
     from cosmap_spark.pipeline import manage
 
@@ -52,7 +64,7 @@ def _dispatch(args: argparse.Namespace) -> int:
     elif args.cmd == "locate":
         print(manage.locate_analysis(args.name))
     elif args.cmd == "run":
-        run_config = json.loads(open(args.config).read())
+        run_config = _load_run_config(args.config)
         base = manage.load_analysis_files(
             manage.locate_analysis(run_config["base-analysis"])
         )

@@ -102,6 +102,28 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_regex_funcs",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_type, '([A-Z]+)$', 1) AS last_word,
+           regexp_matches(p_name, 'a.*e') AS has_ae,
+           regexp_replace(p_brand, '[0-9]+', '#', 'g') AS brand_masked
+    FROM part
+    """,
+)
+def q_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extract/match/replace parity (note DuckDB needs the 'g'
+    flag to match Spark's replace-all semantics)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_type", r"([A-Z]+)$", 1).alias("last_word"),
+        F.col("p_name").rlike("a.*e").alias("has_ae"),
+        F.regexp_replace("p_brand", "[0-9]+", "#").alias("brand_masked"),
+    )
+
+
+@query(
     "q_json_funcs",
     oracle="""
     SELECT event_id,

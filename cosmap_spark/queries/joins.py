@@ -103,6 +103,25 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_join_full",
+    oracle="""
+    SELECT c.c_custkey, s.s_suppkey, coalesce(c.c_nationkey, s.s_nationkey) AS nationkey
+    FROM (SELECT * FROM customer WHERE c_custkey < 200) c
+    FULL OUTER JOIN (SELECT * FROM supplier WHERE s_suppkey >= 50) s
+      ON c.c_custkey = s.s_suppkey
+    """,
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with null-filling coalesce on both unmatched sides."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") < 200)
+    s = load_table(spark, sf_dir, "supplier").where(F.col("s_suppkey") >= 50)
+    return c.join(s, c["c_custkey"] == s["s_suppkey"], "full_outer").select(
+        "c_custkey", "s_suppkey",
+        F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+    )
+
+
+@query(
     "q_join_range",
     oracle="""
     SELECT e1.event_id, count(*) AS n_next_day
