@@ -122,6 +122,21 @@ def test_zone_partitioned_ingest_roundtrip(spark, tmp_path):
     assert _pairs(cone_search(back, smp)) == _pairs(cone_search_bruteforce(cat, smp))
 
 
+def test_zone_partition_pruning_reads_fewer_files(spark, tmp_path):
+    """Scale evidence: a dec-band query over the zone-partitioned catalog
+    must touch only that band's files (partition pruning)."""
+    from cosmap_spark.sources.readers import ingest_catalog
+
+    cat = catalog_df(spark, "/root/testdata/sf0.001")
+    ingest_catalog(cat, str(tmp_path / "zoned"))
+    back = spark.read.parquet(str(tmp_path / "zoned"))
+    all_files = set(back.inputFiles())
+    pruned = back.where(F.col("zone").between(28, 32))  # ±6° around equator
+    touched = set(pruned.inputFiles())
+    assert touched and touched < all_files
+    assert len(touched) <= 5  # one file per zone partition here
+
+
 def test_sample_agg_matches_loop_semantics(spark):
     """The ONE-JOIN inversion must equal the reference's per-sample-loop
     semantics: for each sample independently, a cone query + aggregate.
