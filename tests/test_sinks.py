@@ -1,0 +1,62 @@
+"""Sink round-trips (reference O24/O25) and sketch-accuracy bounds."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cosmap_spark.sinks import append_csv, multi_output, write_output
+from cosmap_spark.tables import load_table
+
+
+def test_append_csv_roundtrip(spark, tmp_path):
+    nation = load_table(spark, "/root/testdata/sf0.001", "nation")
+    path = str(tmp_path / "csv_out")
+    append_csv(nation, path)
+    append_csv(nation, path)  # append mode: second write adds rows
+    back = spark.read.option("header", True).option("inferSchema", True).csv(path)
+    assert back.count() == nation.count() * 2
+    assert set(back.columns) == set(nation.columns)
+
+
+def test_multi_output_fanout(spark, tmp_path):
+    region = load_table(spark, "/root/testdata/sf0.001", "region")
+    nation = load_table(spark, "/root/testdata/sf0.001", "nation")
+    multi_output({"region": region, "nation": nation}, str(tmp_path / "multi"))
+    assert spark.read.parquet(str(tmp_path / "multi/region")).count() == region.count()
+    assert spark.read.parquet(str(tmp_path / "multi/nation")).count() == nation.count()
+
+
+def test_partitioned_write(spark, tmp_path):
+    nation = load_table(spark, "/root/testdata/sf0.001", "nation")
+    write_output(nation, str(tmp_path / "part"), partition_by=["n_regionkey"])
+    back = spark.read.parquet(str(tmp_path / "part"))
+    assert back.count() == nation.count()
+    # partition dirs exist per region key
+    assert any("n_regionkey=" in str(p) for p in (tmp_path / "part").iterdir())
+
+
+def test_approx_count_distinct_error_bound(spark):
+    """HLL++ at rsd=0.02 must land within ~3×rsd of exact (documented
+    contract of q_agg_approx_distinct's rows-only check)."""
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    row = orders.agg(
+        F.countDistinct("o_custkey").alias("exact"),
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) / row["exact"] <= 0.06
+
+
+def test_cone_search_plans_broadcast_hash_join(spark):
+    """Plan-shape guard: the cone search must stay an equi hash join with
+    a broadcast build side — a regression to BroadcastNestedLoopJoin
+    would be quadratic at scale."""
+    from cosmap_spark.operators.cone_search import cone_search
+    from cosmap_spark.tables import catalog_df, samples_df
+
+    j = cone_search(
+        catalog_df(spark, "/root/testdata/sf0.001"),
+        samples_df(spark, "/root/testdata/sf0.001"),
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan
