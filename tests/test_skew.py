@@ -1,0 +1,100 @@
+"""Skew-mitigation operator tests: salted aggregation and replicated
+broadcast join must be RESULT-identical to their plain counterparts
+(salting changes the shuffle layout, never the answer), plus the capped
+shingle candidate generation and the non-broadcast cone-search path."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cosmap_spark.operators.skew import replicated_broadcast_join, salted_agg
+from cosmap_spark.tables import load_table
+
+
+def test_salted_agg_equals_plain_agg(spark):
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    plain = {
+        (r["user_id"]): (r["n"], round(r["total"], 4), r["mx"])
+        for r in ev.groupBy("user_id").agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("total"),
+            F.max("value").alias("mx"),
+        ).collect()
+    }
+    salted = {
+        (r["user_id"]): (r["n"], round(r["total"], 4), r["mx"])
+        for r in salted_agg(
+            ev, ["user_id"],
+            {
+                "n": (F.count("*"), F.sum("n")),
+                "total": (F.sum("value"), F.sum("total")),
+                "mx": (F.max("value"), F.max("mx")),
+            },
+            n_salts=8,
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_replicated_broadcast_join_equals_plain(spark):
+    o = load_table(spark, "/root/testdata/sf0.001", "orders").withColumnRenamed(
+        "o_custkey", "k"
+    )
+    c = load_table(spark, "/root/testdata/sf0.001", "customer").withColumnRenamed(
+        "c_custkey", "k"
+    )
+    plain = sorted(
+        (r["o_orderkey"], r["c_name"])
+        for r in o.join(c, "k").select("o_orderkey", "c_name").collect()
+    )
+    salted = sorted(
+        (r["o_orderkey"], r["c_name"])
+        for r in replicated_broadcast_join(o, c, "k", n_salts=4)
+        .select("o_orderkey", "c_name").collect()
+    )
+    assert salted == plain
+
+
+def test_ngram_cap_keeps_jaccard_exact(spark):
+    """With a DF cap, any pair still reported must carry its EXACT
+    Jaccard (intersection counts hot shingles even though candidate
+    generation skipped them)."""
+    from cosmap_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    docs = docs.unionByName(
+        docs.where(F.col("doc_id") < 5).select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            *[c for c in docs.columns if c != "doc_id"],
+        )
+    )
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.9, max_shingle_df=50).collect()
+    }
+    # exact copies (jaccard 1.0) survive the cap and keep exact scores
+    for i in range(5):
+        assert capped.get((i, i + 10000)) == 1.0
+    for pair, j in capped.items():
+        assert full[pair] == j
+
+
+def test_cone_search_shuffled_path_equals_broadcast(spark):
+    from cosmap_spark.operators.cone_search import cone_search
+    from cosmap_spark.tables import catalog_df, samples_df
+
+    cat = catalog_df(spark, "/root/testdata/sf0.001")
+    smp = samples_df(spark, "/root/testdata/sf0.001")
+    bc = sorted(
+        (r["sample_id"], r["object_id"])
+        for r in cone_search(cat, smp, broadcast_samples=True).collect()
+    )
+    sh = sorted(
+        (r["sample_id"], r["object_id"])
+        for r in cone_search(cat, smp, broadcast_samples=False).collect()
+    )
+    assert bc == sh
