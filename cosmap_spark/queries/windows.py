@@ -91,6 +91,51 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_window_ntile",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
+    FROM orders
+    """,
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile bucketing over a total order (id tie-break keeps the bucket
+    assignment deterministic across engines)."""
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.ntile(4).over(w).cast("long").alias("quartile")
+    )
+
+
+@query(
+    "q_window_first_last",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           first_value(l_extendedprice) OVER w AS first_price,
+           last_value(l_extendedprice) OVER w AS last_price
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_orderkey
+                 ORDER BY l_linenumber, l_extendedprice
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last_value with an explicit full-partition frame (the
+    default frame would make last_value ≡ current row)."""
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.first("l_extendedprice").over(w).alias("first_price"),
+        F.last("l_extendedprice").over(w).alias("last_price"),
+    )
+
+
+@query(
     "q_topk",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice
