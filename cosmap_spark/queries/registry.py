@@ -78,6 +78,7 @@ def _load_all() -> None:
         setops,
         spatial,
         streaming_q,
+        tpch,
         udfs,
         windows,
     )

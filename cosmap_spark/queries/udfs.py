@@ -78,29 +78,35 @@ def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_udtf_grouped_map",
     oracle="""
-    SELECT l_orderkey, l_linenumber, l_returnflag,
+    SELECT l_orderkey, l_linenumber, CAST(l_suppkey AS BIGINT) AS l_suppkey,
            round((l_extendedprice - avg(l_extendedprice) OVER w)
                  / stddev_samp(l_extendedprice) OVER w, 6) AS zscore
     FROM lineitem
-    WINDOW w AS (PARTITION BY l_returnflag)
+    WINDOW w AS (PARTITION BY l_suppkey)
     """,
 )
 def q_udtf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map ``applyInPandas`` — the per-sample "whole small table
     in, table out" shape of a reference transformation (reference
     src/cosmap/analysis/task.py:168-188) — computing a per-group z-score;
-    oracle is the equivalent window SQL."""
+    oracle is the equivalent window SQL.
+
+    Grouped by ``l_suppkey`` (high cardinality: ~SF*10k groups of ~60
+    rows), matching the reference's many-small-samples shape.  A
+    low-cardinality key here (e.g. 3 return flags) would funnel the whole
+    table through 3 Python workers — the grouped-map path only scales
+    when groups outnumber cores."""
 
     def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
         m = pdf["l_extendedprice"].mean()
         s = pdf["l_extendedprice"].std(ddof=1)
-        out = pdf[["l_orderkey", "l_linenumber", "l_returnflag"]].copy()
+        out = pdf[["l_orderkey", "l_linenumber", "l_suppkey"]].copy()
         out["zscore"] = (pdf["l_extendedprice"] - m) / s
         return out
 
     li = load_table(spark, sf_dir, "lineitem")
-    result = li.groupBy("l_returnflag").applyInPandas(
+    result = li.groupBy("l_suppkey").applyInPandas(
         normalize,
-        schema="l_orderkey long, l_linenumber int, l_returnflag string, zscore double",
+        schema="l_orderkey long, l_linenumber int, l_suppkey long, zscore double",
     )
     return result.withColumn("zscore", F.round("zscore", 6))
