@@ -26,7 +26,7 @@ from cosmap_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
-from cosmap_spark.operators.knn import knn_bruteforce, knn_lsh
+from cosmap_spark.operators.knn import knn_bruteforce, knn_ivf, knn_lsh
 from cosmap_spark.queries.registry import query
 from cosmap_spark.tables import load_table
 
@@ -127,6 +127,16 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-rank — the scale path; recall is unit-tested against brute force."""
     emb = load_table(spark, sf_dir, "embeddings")
     return knn_lsh(emb, emb.where(F.col("vec_id") < 10), k=5, dim=64)
+
+
+@query("q_knn_ivf")  # rows-only: ANN recall is probabilistic by design
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN via an IVF coarse quantizer (hash-seeded
+    centroids + one Lloyd step, all DataFrame ops): probe the nprobe
+    nearest inverted lists, exact re-rank inside them.  Work per query
+    is ~nprobe/nlist of the corpus; recall unit-tested vs brute force."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_ivf(emb, emb.where(F.col("vec_id") < 10), k=5, nlist=16, nprobe=8)
 
 
 _STOP = LANG_STOPWORDS["en"]

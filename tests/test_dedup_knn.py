@@ -98,3 +98,25 @@ def test_knn_bruteforce_self_excluded_and_ranked(spark):
     assert all(r["nid"] != 0 for r in out)
     sims = [r["sim"] for r in sorted(out, key=lambda r: r["rn"])]
     assert sims == sorted(sims, reverse=True)
+
+
+def test_knn_ivf_recall_vs_bruteforce(spark):
+    from cosmap_spark.operators.knn import knn_ivf
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r["qid"], r["nid"]) for r in knn_bruteforce(emb, q, k=5).collect()
+    }
+    approx = {
+        (r["qid"], r["nid"])
+        for r in knn_ivf(emb, q, k=5, nlist=16, nprobe=8).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall {recall}"
+    # determinism: same seed → identical result set
+    again = {
+        (r["qid"], r["nid"])
+        for r in knn_ivf(emb, q, k=5, nlist=16, nprobe=8).collect()
+    }
+    assert approx == again
