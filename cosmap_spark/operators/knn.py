@@ -174,12 +174,20 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign every corpus vector to its nearest centroid: the inverted
     lists.  Map-side only — no join, no shuffle; at scale the result is
-    written ``partitionBy("cid")`` so probes prune whole lists off disk."""
+    written ``partitionBy("cid")`` so probes prune whole lists off disk.
+
+    ``cid`` is surfaced through ``explode(array(expr))`` — a Generate
+    output attribute rather than a plain alias — because Catalyst's
+    InferFiltersFromConstraints otherwise substitutes the alias's
+    DEFINING expression (which references this side's scan attributes)
+    across the downstream equi-join into the probe side, producing an
+    unbindable Filter (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at runtime on
+    Spark 4.1).  Generate outputs are opaque to constraint rewriting."""
     best = F.array_max(_scored_centroids(F.col(vec_col), cents))
     return corpus.select(
         F.col(id_col).alias("nid"),
         F.col(vec_col).alias("nvec"),
-        (-best["negcid"]).alias("cid"),
+        F.explode(F.array(-best["negcid"])).alias("cid"),
     )
 
 
@@ -254,14 +262,18 @@ def knn_ivf(
     cents, assigned = ivf_build(
         corpus, nlist=nlist, iters=iters, id_col=id_col, vec_col=vec_col, seed=seed
     )
+    # Project to fresh attribute names BEFORE building the probe generator:
+    # a lambda/generator capturing a column of a non-immediate child can be
+    # mis-rewritten when Catalyst substitutes the (self-joined) scan.
+    q0 = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
     probes = F.slice(
-        F.reverse(F.array_sort(_scored_centroids(F.col(vec_col), cents))),
+        F.reverse(F.array_sort(_scored_centroids(F.col("qvec"), cents))),
         1,
         nprobe,
     )
-    q = queries.select(
-        F.col(id_col).alias("qid"),
-        F.col(vec_col).alias("qvec"),
+    q = q0.select(
+        "qid",
+        "qvec",
         F.explode(F.transform(probes, lambda s: -s["negcid"])).alias("cid"),
     )
     cand = (
