@@ -32,6 +32,7 @@ HEADLINE = [
     "q_dedup_exact",      # dedup hash-agg
     "q_knn_cosine",       # vector similarity search
     "q_topk",             # global top-k
+    "q_tpch_local_supplier",  # 6-way mixed broadcast/shuffle join
 ]
 
 

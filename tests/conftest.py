@@ -19,9 +19,13 @@ SF_DIR = os.environ.get("COSMAP_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
+    import tempfile
+
+    warehouse = tempfile.mkdtemp(prefix="cosmap-warehouse-")
     s = get_spark(app_name="cosmap-tests", master="local[8]",
                   extra_conf={"spark.sql.shuffle.partitions": "8",
-                              "spark.ui.enabled": "false"})
+                              "spark.ui.enabled": "false",
+                              "spark.sql.warehouse.dir": warehouse})
     s.sparkContext.setLogLevel("ERROR")
     yield s
     s.stop()

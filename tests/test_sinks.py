@@ -60,3 +60,33 @@ def test_cone_search_plans_broadcast_hash_join(spark):
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "NestedLoop" not in plan
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    from cosmap_spark.sinks.bucketing import bucketed_join, write_bucketed
+
+    SF_DIR = "/root/testdata/sf0.001"
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).withColumnRenamed("o_orderkey", "l_orderkey")
+    write_bucketed(li, "b_lineitem", bucket_cols=["l_orderkey"], n_buckets=4,
+                   sort_cols=["l_orderkey"])
+    write_bucketed(orders, "b_orders", bucket_cols=["l_orderkey"], n_buckets=4,
+                   sort_cols=["l_orderkey"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "b_lineitem", "b_orders", on=["l_orderkey"])
+        n = joined.count()
+        assert n == load_table(spark, SF_DIR, "lineitem").count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
