@@ -68,3 +68,43 @@ def uniform_sphere_samples(
         F.degrees(F.asin(F.lit(sin_lo) + u2 * F.lit(sin_hi - sin_lo))).alias("dec"),
         F.lit(float(radius_deg)).alias("radius_deg"),
     )
+
+
+def deterministic_sample(
+    df: DataFrame,
+    fraction: float,
+    *,
+    key_cols: list[str],
+    seed: int = 42,
+) -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows by hash threshold.
+
+    ``df.sample()`` shares the partition-index-seeded RNG hazard of
+    ``rand(seed)``: re-partition the input and the sample changes.  Hash
+    thresholding on the row KEY is partition-layout-independent,
+    re-runnable (same rows survive every run, on any cluster), and
+    composable: samples at f1 ⊇ samples at f2 when f1 ≥ f2 with the same
+    seed — the nested-subsample property training-data curation wants."""
+    u = _hash_uniform(F.xxhash64(*[F.col(c) for c in key_cols]), seed, 3)
+    return df.where(u < F.lit(float(fraction)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    *,
+    strata_col: str,
+    key_cols: list[str],
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (``sampleBy`` twin, minus the
+    partition-dependence): each stratum keeps its own fraction.  Strata
+    absent from ``fractions`` are dropped — the rebalancing primitive for
+    skewed training corpora (e.g. downsample the dominant language)."""
+    u = _hash_uniform(F.xxhash64(*[F.col(c) for c in key_cols]), seed, 4)
+    frac = None
+    for value, f in fractions.items():
+        cond = F.col(strata_col) == F.lit(value)
+        frac = F.when(cond, F.lit(float(f))) if frac is None else frac.when(cond, F.lit(float(f)))
+    frac = frac.otherwise(F.lit(0.0)) if frac is not None else F.lit(0.0)
+    return df.where(u < frac)

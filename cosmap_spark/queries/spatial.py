@@ -12,7 +12,10 @@ from pyspark.sql import functions as F
 
 from cosmap_spark.functions.spherical import SEP_DEG_SQL
 from cosmap_spark.operators.cone_search import cone_search
-from cosmap_spark.operators.sampler import uniform_sphere_samples
+from cosmap_spark.operators.sampler import (
+    stratified_sample,
+    uniform_sphere_samples,
+)
 from cosmap_spark.queries.registry import query
 from cosmap_spark.tables import catalog_df, load_table, samples_df, with_fixture_ctes
 
@@ -116,6 +119,20 @@ def q_sphere_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     src/cosmap/analysis/sampler.py:87-140). Hash-seeded → deterministic
     under any partitioning; statistical uniformity is property-tested."""
     return uniform_sphere_samples(spark, 10_000, seed=42, radius_deg=1.0)
+@query("q_stratified_sample")  # rows-only: hash-threshold output; property-tested
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sampling of documents by language —
+    the corpus-rebalancing primitive (downsample dominant strata).
+    Partition-layout-independent by construction (hash threshold on
+    doc_id, not rand()); determinism and nested-subsample properties
+    are unit-tested."""
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs.select("doc_id", "lang"),
+        {"en": 0.25, "fr": 1.0, "es": 0.5, "de": 0.5, "zh": 0.5},
+        strata_col="lang",
+        key_cols=["doc_id"],
+    )
 
 
 # --- O20/O27: per-sample aggregation (the README quickstart) --------------

@@ -11,9 +11,11 @@ cosmap_spark/queries/streaming_q.py (the oracle can't run streams).
 """
 
 from cosmap_spark.streaming.ops import (  # noqa: F401
+    enrich_with_dimension,
     events_stream,
     session_counts,
     stateful_user_counter,
     tumbling_counts,
     windowed_dedup,
+    write_incremental,
 )

@@ -119,3 +119,37 @@ def stateful_user_counter(events: DataFrame, *, timeout: str = "NoTimeout") -> D
             timeoutConf=timeout,
         )
     )
+
+
+def enrich_with_dimension(events: DataFrame, dim: DataFrame,
+                          *, on: str = "user_id", how: str = "left") -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    (batch) dimension table.  Spark broadcasts the static side per batch
+    when it fits — the streaming twin of the engine's broadcast dimension
+    joins; no state, no watermark needed for stream-static equi-joins."""
+    return events.join(F.broadcast(dim), on=on, how=how)
+
+
+def write_incremental(df: DataFrame, path: str, checkpoint: str,
+                      *, fmt: str = "parquet",
+                      partition_by: list[str] | None = None,
+                      trigger_available_now: bool = True):
+    """Incremental append sink via ``foreachBatch`` — the Spark twin of
+    the reference's drain-completed-futures + append-CSV loop (reference
+    src/cosmap/analysis/analysis.py:150-162, output/writer.py:23-35):
+    each micro-batch lands as an atomic append; the checkpoint makes the
+    whole pipeline exactly-once per batch epoch."""
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        w = batch_df.write.mode("append")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.format(fmt).save(path)
+
+    writer = (
+        df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -78,3 +78,38 @@ def test_radec_in_range(spark):
     ).collect()[0]
     assert 0.0 <= row["r0"] and row["r1"] < 360.0
     assert -90.0 <= row["d0"] and row["d1"] <= 90.0
+
+
+def test_deterministic_sample_partition_independent(spark):
+    from cosmap_spark.operators.sampler import deterministic_sample
+    from cosmap_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select("doc_id")
+    a = {r["doc_id"] for r in deterministic_sample(docs, 0.3, key_cols=["doc_id"]).collect()}
+    b = {
+        r["doc_id"]
+        for r in deterministic_sample(docs.repartition(7), 0.3, key_cols=["doc_id"]).collect()
+    }
+    assert a == b                       # layout-independent
+    n = docs.count()
+    assert 0.2 * n < len(a) < 0.4 * n   # fraction in tolerance
+    # nested-subsample property: smaller fraction is a subset
+    c = {r["doc_id"] for r in deterministic_sample(docs, 0.1, key_cols=["doc_id"]).collect()}
+    assert c <= a
+
+
+def test_stratified_sample_rebalances(spark):
+    from cosmap_spark.operators.sampler import stratified_sample
+    from cosmap_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = stratified_sample(
+        docs, {"en": 0.25, "fr": 1.0}, strata_col="lang", key_cols=["doc_id"]
+    )
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    full = {r["lang"]: r["n"] for r in
+            docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"en", "fr"}          # absent strata dropped
+    assert counts["fr"] == full["fr"]            # fraction 1.0 keeps all
+    assert counts["en"] < 0.5 * full["en"]       # dominant stratum downsampled

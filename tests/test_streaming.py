@@ -167,3 +167,43 @@ def test_watermark_drops_late_rows(spark, tmp_path):
         F.expr("timestamp_micros(min(ts) div 1000)")
     ).collect()[0][0].replace(minute=0, second=0, microsecond=0)
     assert emitted["lo"] >= min_on_time
+
+
+def test_stream_static_enrichment(spark, stream_dir, tmp_path):
+    from cosmap_spark.streaming import enrich_with_dimension
+    from cosmap_spark.tables import load_table
+
+    events = events_stream(spark, str(stream_dir))
+    # synthetic user dimension: user_id -> tier
+    dim = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .select("user_id").distinct()
+        .withColumn("tier", F.when(F.col("user_id") % 2 == 0, "a").otherwise("b"))
+    )
+    q = _run_to_memory(
+        enrich_with_dimension(events, dim), "enriched", tmp_path, "append"
+    )
+    out = spark.table("enriched")
+    batch = load_table(spark, "/root/testdata/sf0.001", "events")
+    assert out.count() == batch.count()          # left join keeps all events
+    assert out.where(F.col("tier").isNull()).count() == 0
+    q.stop()
+
+
+def test_foreachbatch_incremental_sink(spark, stream_dir, tmp_path):
+    from cosmap_spark.streaming import write_incremental
+    from cosmap_spark.tables import load_table
+
+    events = events_stream(spark, str(stream_dir))
+    out_path = str(tmp_path / "out")
+    q = write_incremental(
+        events, out_path, str(tmp_path / "ckpt-inc"), partition_by=["event_type"]
+    )
+    q.awaitTermination(120)
+    back = spark.read.parquet(out_path)
+    batch = load_table(spark, "/root/testdata/sf0.001", "events")
+    assert back.count() == batch.count()
+    # second run with the same checkpoint: no new files → no duplicates
+    q2 = write_incremental(events, out_path, str(tmp_path / "ckpt-inc"))
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out_path).count() == batch.count()
