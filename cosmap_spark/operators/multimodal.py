@@ -124,3 +124,41 @@ def sample_frames(df: DataFrame, *, blob_col: str = "blob",
     return df.mapInPandas(
         frames, schema=f"{id_col} long, frame_idx int, frame_blob binary"
     )
+
+
+def resize_images(df: DataFrame, *, blob_col: str = "blob",
+                  id_col: str = "media_id",
+                  target: tuple[int, int] = (32, 32)) -> DataFrame:
+    """Image-resize plumbing: blob → resized blob + recorded dims.
+
+    STUB kernel: real implementation is ``PIL.Image.resize(target)`` +
+    re-encode; the fake truncates/pads the byte stream to the target
+    pixel count so output sizes are deterministic.  Keeps the binary
+    column shape (blob in, blob out) so resize composes with
+    decode/feature stages in one mapInPandas pipeline — batches stay in
+    Arrow, rows never individually cross the JVM↔Python boundary."""
+
+    tw, th = target
+    out_len = tw * th
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for blob in pdf[blob_col]:
+                blob = bytes(blob)
+                if len(blob) >= out_len:
+                    blobs.append(blob[:out_len])
+                else:
+                    blobs.append(blob + b"\x00" * (out_len - len(blob)))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "blob": blobs,
+                    "width": [tw] * len(blobs),
+                    "height": [th] * len(blobs),
+                }
+            )
+
+    return df.mapInPandas(
+        resize, schema=f"{id_col} long, blob binary, width int, height int"
+    )

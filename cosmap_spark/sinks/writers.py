@@ -42,3 +42,24 @@ def multi_output(outputs: dict[str, DataFrame], base_path: str,
     multiDataframeOutputHandler, src/cosmap/output/output.py:53-75)."""
     for name, df in outputs.items():
         write_output(df, f"{base_path}/{name}", fmt=fmt, mode=mode)
+
+
+def compact_parquet(spark, src_path: str, dst_path: str,
+                    *, target_file_mb: int = 256) -> int:
+    """Compact a small-files directory (e.g. a streaming sink's output)
+    into ~``target_file_mb`` files: read, coalesce to the computed file
+    count, rewrite.  Returns the output file count.
+
+    Small files are the classic landing-zone pathology at scale — a
+    100 TB table written in 1 MB files means 10⁸ parquet footers per
+    scan.  ``coalesce`` (not ``repartition``) avoids a shuffle: it only
+    merges read-splits.  Run per-partition-directory for partitioned
+    tables so partition pruning is preserved."""
+    import math
+
+    df = spark.read.parquet(src_path)
+    # Size from the scan's own statistics (file-source sizeInBytes).
+    total_bytes = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    df.coalesce(n_files).write.mode("overwrite").parquet(dst_path)
+    return n_files

@@ -83,3 +83,14 @@ def test_hdf5_ingest_raises_not_implemented(spark, tmp_path):
     (tmp_path / "a.hdf5").write_bytes(b"x")
     with pytest.raises(NotImplementedError, match="h5py|ingest"):
         read_hdf5_directory(spark, str(tmp_path))
+
+
+def test_resize_images_shape_and_compose(media):
+    from cosmap_spark.operators.multimodal import resize_images
+
+    out = resize_images(media, target=(32, 32))
+    rows = out.collect()
+    assert all(len(r["blob"]) == 32 * 32 for r in rows)
+    assert all(r["width"] == 32 and r["height"] == 32 for r in rows)
+    # composes: resize → decode in one pipeline, still 20 rows
+    assert decode_images(resize_images(media)).count() == 20

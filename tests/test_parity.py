@@ -83,3 +83,17 @@ def test_entry_smoke(spark):
 def test_sf_dir_used():
     # guard: parity must run against a real scale factor directory
     assert "testdata" in SF_DIR
+
+
+def test_tpch_q5_plan_broadcasts_dimensions(spark):
+    """Scale evidence: the 6-way join plans exactly two broadcast sides
+    (nation⋈region prejoin, supplier prejoin) and never broadcasts or
+    re-sorts the fact chain needlessly."""
+    from cosmap_spark.queries import all_queries
+
+    df = all_queries()["q_tpch_local_supplier"](spark, SF_DIR)
+    df.count()  # let AQE finalize
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

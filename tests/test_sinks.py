@@ -90,3 +90,19 @@ def test_bucketed_join_has_no_exchange(spark):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    from cosmap_spark.sinks.writers import compact_parquet
+
+    src = str(tmp_path / "small")
+    load_table(spark, "/root/testdata/sf0.001", "lineitem").repartition(16).write.parquet(src)
+    import glob
+    assert len(glob.glob(f"{src}/*.parquet")) >= 16
+    dst = str(tmp_path / "compact")
+    n = compact_parquet(spark, src, dst, target_file_mb=256)
+    assert n == 1
+    assert len(glob.glob(f"{dst}/*.parquet")) == 1
+    assert spark.read.parquet(dst).count() == load_table(
+        spark, "/root/testdata/sf0.001", "lineitem"
+    ).count()
