@@ -21,6 +21,7 @@ from cosmap_spark.functions.text import (
 )
 from cosmap_spark.functions.vectors import cosine_similarity, cosine_sql
 from cosmap_spark.operators.dedup import (
+    dedup_clusters,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -75,6 +76,45 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), k=3, threshold=_NGRAM_THRESHOLD
     )
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+_CLUSTERS_ORACLE = f"""
+    WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    idx AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks),
+    sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle FROM idx),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= {_NGRAM_THRESHOLD}
+    ),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(id, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON r.id = e.dst
+    )
+    SELECT id, min(label) AS cluster_id FROM reach GROUP BY id
+"""
+
+
+@query("q_dedup_clusters", oracle=_CLUSTERS_ORACLE)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-pair closure: near-dup pairs -> connected components ->
+    (id, cluster_id = component min).  Iterative min-label propagation
+    (hash-to-min), one shuffle per round, O(diameter) rounds; the oracle
+    computes the same components via a recursive reachability CTE.  This
+    is the step that turns pairwise dedup output into droppable
+    clusters."""
+    pairs = ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), k=3, threshold=_NGRAM_THRESHOLD
+    )
+    return dedup_clusters(pairs)
 
 
 @query("q_dedup_near")  # rows-only: LSH recall is probabilistic by design

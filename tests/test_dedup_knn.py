@@ -120,3 +120,35 @@ def test_knn_ivf_recall_vs_bruteforce(spark):
         for r in knn_ivf(emb, q, k=5, nlist=16, nprobe=8).collect()
     }
     assert approx == again
+
+
+def test_dedup_clusters_connected_components(spark):
+    from cosmap_spark.operators.dedup import dedup_clusters
+
+    # two chains + one triangle + an isolated pair:
+    # {1-2-3-4}, {10-11-12}, {20,21,22 triangle}, {30-31}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12),
+         (20, 21), (21, 22), (20, 22), (30, 31)],
+        "id_a long, id_b long",
+    )
+    out = {r["id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert {out[i] for i in (1, 2, 3, 4)} == {1}
+    assert {out[i] for i in (10, 11, 12)} == {10}
+    assert {out[i] for i in (20, 21, 22)} == {20}
+    assert {out[i] for i in (30, 31)} == {30}
+
+
+def test_dedup_clusters_on_real_pairs(spark):
+    from cosmap_spark.operators.dedup import dedup_clusters, ngram_jaccard_pairs
+    from cosmap_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    clusters = dedup_clusters(pairs)
+    n_nodes = clusters.count()
+    if n_nodes:
+        # every cluster_id is a member id; canonical docs = cluster minima
+        ids = {r["id"] for r in clusters.collect()}
+        assert all(r["cluster_id"] in ids for r in clusters.collect())
+        assert clusters.where(F.col("cluster_id") > F.col("id")).count() == 0
