@@ -175,3 +175,19 @@ def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
             ), 2,
         ).alias("urgent_total"),
     )
+
+
+@query("q_heavy_hitters")  # rows-only: sketch contents are engine-specific
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via the approx_top_k sketch (Spark 4) — frequent-item
+    detection without a full groupBy shuffle: partial sketches merge
+    associatively, the map-side combine IS the algorithm.  Exactness on
+    well-separated frequencies is unit-tested against the exact counts
+    (tests/test_properties.py)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        F.explode(F.expr("approx_top_k(o_orderpriority, 3)")).alias("hit")
+    ).select(
+        F.col("hit.item").alias("item"),
+        F.col("hit.count").cast("long").alias("est_count"),
+    )

@@ -97,3 +97,18 @@ def test_tpch_q5_plan_broadcasts_dimensions(spark):
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q6_filters_pushed_to_scan(spark):
+    """Scale evidence: all Q6 predicates reach the parquet reader and the
+    scan schema is pruned to the needed columns."""
+    from cosmap_spark.queries import all_queries
+
+    df = all_queries()["q_tpch_forecast"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"IsNotNull({col})" in plan or f"GreaterThan({col}" in plan or col in plan.split("PushedFilters")[1][:400], plan
+    read_schema = plan.split("ReadSchema:")[1][:200]
+    assert "l_extendedprice" in read_schema
+    assert "l_tax" not in read_schema  # unused column pruned

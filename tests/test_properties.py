@@ -96,3 +96,26 @@ def test_quantity_units_consistent(v):
         rel_tol=1e-12, abs_tol=1e-12,
     )
     assert quantity_to_deg({"value": v, "units": "deg"}) == v
+
+
+def test_approx_top_k_matches_exact_on_separated_freqs(spark):
+    from pyspark.sql import functions as F
+
+    from cosmap_spark.tables import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    exact = {
+        r["o_orderpriority"]: r["n"]
+        for r in orders.groupBy("o_orderpriority").agg(F.count("*").alias("n")).collect()
+    }
+    top3 = sorted(exact, key=lambda k: (-exact[k], k))[:3]
+    approx = {
+        r["item"]: r["est_count"]
+        for r in orders.select(
+            F.explode(F.expr("approx_top_k(o_orderpriority, 3)")).alias("hit")
+        ).select("hit.item", F.col("hit.count").alias("est_count")).collect()
+    }
+    # low-cardinality column: the sketch is exact
+    assert set(approx) == set(top3)
+    for k in top3:
+        assert approx[k] == exact[k]
