@@ -112,3 +112,13 @@ def test_tpch_q6_filters_pushed_to_scan(spark):
     read_schema = plan.split("ReadSchema:")[1][:200]
     assert "l_extendedprice" in read_schema
     assert "l_tax" not in read_schema  # unused column pruned
+
+
+def test_topk_plans_take_ordered(spark):
+    """Scale evidence: orderBy().limit(k) must plan TakeOrderedAndProject
+    (per-partition heaps, no global sort/exchange of the full table)."""
+    from cosmap_spark.queries import all_queries
+
+    df = all_queries()["q_topk"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
