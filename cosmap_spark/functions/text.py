@@ -59,3 +59,30 @@ def fingerprint(text: Column) -> Column:
     lowercased text.  Stable across engines and runs."""
     normalized = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
     return F.md5(normalized)
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact email-shaped and long-digit-run substrings (the
+    minimal PII scrub pass every training-data pipeline ships):
+    JVM-side regexp_replace chain — order matters (emails first, so
+    their digit runs don't get half-replaced)."""
+    scrubbed = F.regexp_replace(
+        text, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"
+    )
+    return F.regexp_replace(scrubbed, r"\d{9,}", "<NUM>")
+
+
+def repetition_ratio(text: Column, k: int = 3) -> Column:
+    """Fraction of k-gram occurrences belonging to the most frequent
+    k-gram (Gopher-style repetition filter, Rae et al. 2021 §A1.1):
+    near 1.0 ⇒ the document is one phrase repeated.  All higher-order
+    functions — aggregate over the shingle multiset, no UDF."""
+    sh = shingles(text, k)
+    counts = F.transform(
+        F.array_distinct(sh),
+        lambda s: F.size(F.filter(sh, lambda x: x == s)),
+    )
+    max_count = F.array_max(counts)
+    return F.when(
+        F.size(sh) > 0, max_count.cast("double") / F.size(sh).cast("double")
+    ).otherwise(F.lit(0.0))

@@ -17,6 +17,8 @@ from cosmap_spark.functions.text import (
     fingerprint,
     n_tokens,
     quality_score,
+    repetition_ratio,
+    scrub_pii,
     tokens,
 )
 from cosmap_spark.functions.vectors import cosine_similarity, cosine_sql
@@ -177,6 +179,80 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     is ~nprobe/nlist of the corpus; recall unit-tested vs brute force."""
     emb = load_table(spark, sf_dir, "embeddings")
     return knn_ivf(emb, emb.where(F.col("vec_id") < 10), k=5, nlist=16, nprobe=8)
+
+
+@query(
+    "q_text_scrub",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\d{9,}', '<NUM>', 'g') AS scrubbed
+    FROM documents
+    """,
+)
+def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style scrub pass: redact email-shaped substrings and long digit
+    runs, JVM-side regexp_replace chain (no UDF).  DuckDB needs the 'g'
+    flag to match Spark's replace-all semantics."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", scrub_pii(F.col("text")).alias("scrubbed"))
+
+
+@query(
+    "q_length_buckets",
+    oracle=r"""
+    SELECT CAST(floor(len(regexp_extract_all(text, '\S+')) / 32) AS BIGINT) AS bucket,
+           count(*) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length bucketing — the histogram behind sequence packing /
+    curriculum batching.  One shuffle on a derived low-cardinality key."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.floor(n_tokens(F.col("text")) / 32).cast("long")
+    return d.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+    )
+
+
+@query(
+    "q_repetition",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3
+                  THEN list_transform(range(1, len(t) - 1),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                  ELSE [] END AS s
+      FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN len(s) > 0
+                THEN round(CAST(list_max(list_transform(list_distinct(s),
+                         d -> len(list_filter(s, x -> x = d)))) AS DOUBLE) / len(s), 6)
+                ELSE 0.0 END AS rep_ratio
+    FROM sh
+    """,
+)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition ratio (most frequent 3-gram's share of all
+    3-grams, Rae et al. 2021 A1.1) — per-row higher-order functions, no
+    UDF and no explode/shuffle.  At 100 TB the same statistic can be
+    computed via shingle-explode + groupBy when documents are huge;
+    per-row folds are right while a document fits a row."""
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    rep = F.when(
+        F.size(t) >= 3, F.round(repetition_ratio(F.col("text"), 3), 6)
+    ).otherwise(F.lit(0.0))
+    return d.select("doc_id", rep.alias("rep_ratio"))
 
 
 _STOP = LANG_STOPWORDS["en"]
