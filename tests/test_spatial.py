@@ -162,3 +162,27 @@ def test_sample_agg_matches_loop_semantics(spark):
             ).count()
         )
         assert got.get(s["sample_id"], 0) == n
+
+
+def test_zone_partitions_prune_dynamically(spark, tmp_path):
+    """Runtime (dynamic) partition pruning: joining the zone-partitioned
+    catalog to a dimension with a selective filter injects a runtime
+    zone filter into the scan — partitions for unmatched zones are never
+    read.  Static pruning (literal predicates) is covered above; this is
+    the join-driven variant that matters when the touched zones are only
+    known at run time."""
+    from cosmap_spark.sources.readers import ingest_catalog
+    from cosmap_spark.tables import catalog_df
+
+    d = str(tmp_path / "zoned")
+    ingest_catalog(catalog_df(spark, "/root/testdata/sf0.001"), d)
+    part = spark.read.parquet(d)
+    dim = (
+        spark.range(60)
+        .select(F.col("id").alias("zone"), (F.col("id") % 7).alias("family"))
+        .where(F.col("family") == 3)
+    )
+    joined = part.join(dim, "zone")
+    joined.count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
