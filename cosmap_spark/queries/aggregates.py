@@ -98,3 +98,43 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
     )
+
+
+@query(
+    "q_salted_agg",
+    oracle="""
+    SELECT l_suppkey,
+           count(*) AS n,
+           round(sum(l_quantity), 2) AS total_qty,
+           round(max(l_extendedprice), 2) AS max_price
+    FROM lineitem
+    GROUP BY l_suppkey
+    """,
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation (operators/skew.py): partial agg
+    per (key, salt) then final combine per key.  The oracle is the PLAIN
+    single-phase groupBy — salting must be invisible in the result; this
+    query is the proof.  At scale, the salt spreads a hot key over
+    n_salts reducers; the second shuffle moves only n_salts rows per
+    key."""
+    from cosmap_spark.operators.skew import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li,
+        ["l_suppkey"],
+        {
+            "n": (F.count("*"), F.sum("n")),
+            "total_qty": (F.sum("l_quantity"), F.sum("total_qty")),
+            "max_price": (F.max("l_extendedprice"), F.max("max_price")),
+        },
+        n_salts=16,
+        salt_source="l_orderkey",
+    )
+    return out.select(
+        "l_suppkey",
+        F.col("n").cast("long").alias("n"),
+        F.round("total_qty", 2).alias("total_qty"),
+        F.round("max_price", 2).alias("max_price"),
+    )
