@@ -255,6 +255,28 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", rep.alias("rep_ratio"))
 
 
+@query(
+    "q_media_metadata",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS blob_sha
+    FROM documents
+    """,
+)
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata derivation (operators/multimodal.py
+    attach_media_metadata) over a real binary column: document text
+    encoded to UTF-8 blobs, then byte length + content fingerprint —
+    all JVM-side, the dedup/caching key for opaque media at scale."""
+    from cosmap_spark.operators.multimodal import attach_media_metadata
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("blob")
+    )
+    return attach_media_metadata(d).select("doc_id", "n_bytes", "blob_sha")
+
+
 _STOP = LANG_STOPWORDS["en"]
 _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in _STOP) + "]"
 
