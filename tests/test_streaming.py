@@ -207,3 +207,42 @@ def test_foreachbatch_incremental_sink(spark, stream_dir, tmp_path):
     q2 = write_incremental(events, out_path, str(tmp_path / "ckpt-inc"))
     q2.awaitTermination(120)
     assert spark.read.parquet(out_path).count() == batch.count()
+
+
+def test_streaming_pipeline_composition(spark, stream_dir, tmp_path):
+    """The full streaming story end-to-end: landing zone -> stateful
+    dedup -> stream-static enrichment -> checkpointed incremental sink;
+    then a replayed file (duplicate event_ids) adds ZERO new rows —
+    exactly-once across the whole composition."""
+    from cosmap_spark.streaming import (
+        enrich_with_dimension,
+        windowed_dedup,
+        write_incremental,
+    )
+    from cosmap_spark.tables import load_table
+
+    dim = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .select("user_id").distinct()
+        .withColumn("tier", F.when(F.col("user_id") % 2 == 0, "a").otherwise("b"))
+    )
+    out_path = str(tmp_path / "pipe_out")
+    ckpt = str(tmp_path / "pipe_ckpt")
+
+    def run_once():
+        events = events_stream(spark, str(stream_dir))
+        q = write_incremental(
+            enrich_with_dimension(windowed_dedup(events), dim), out_path, ckpt
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    n_batch = load_table(spark, "/root/testdata/sf0.001", "events").count()
+    first = spark.read.parquet(out_path)
+    assert first.count() == n_batch          # source has unique event_ids
+    assert "tier" in first.columns
+
+    # replay: same events under a new file name -> all dups, nothing lands
+    shutil.copy(SF_EVENTS, stream_dir / "part-001-replay.parquet")
+    run_once()
+    assert spark.read.parquet(out_path).count() == n_batch
