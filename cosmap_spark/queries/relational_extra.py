@@ -177,13 +177,21 @@ def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_heavy_hitters")  # rows-only: sketch contents are engine-specific
+@query(
+    "q_heavy_hitters",
+    oracle="""
+    SELECT o_orderpriority AS item, count(*) AS est_count
+    FROM orders GROUP BY 1 ORDER BY est_count DESC, item LIMIT 3
+    """,
+)
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters via the approx_top_k sketch (Spark 4) — frequent-item
     detection without a full groupBy shuffle: partial sketches merge
-    associatively, the map-side combine IS the algorithm.  Exactness on
-    well-separated frequencies is unit-tested against the exact counts
-    (tests/test_properties.py)."""
+    associatively, the map-side combine IS the algorithm.  The oracle is
+    the EXACT top-3: with 5 distinct items the sketch (default capacity
+    10k) is provably exact, and top-3 membership is deterministic at the
+    gate SFs (the only count tie sits inside the top 3).  Also
+    exactness-tested in tests/test_properties.py."""
     orders = load_table(spark, sf_dir, "orders")
     return orders.select(
         F.explode(F.expr("approx_top_k(o_orderpriority, 3)")).alias("hit")
