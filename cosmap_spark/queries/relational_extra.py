@@ -199,3 +199,62 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hit.item").alias("item"),
         F.col("hit.count").cast("long").alias("est_count"),
     )
+
+
+@query(
+    "q_variant_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    """,
+)
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access via the VARIANT type (Spark 4):
+    parse_json once, typed variant_get extraction — the modern
+    replacement for per-path get_json_object re-parsing (q_json_funcs
+    covers the classic form).  Columnar-shredded at rest when written;
+    here it exercises parse + typed path extraction."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k_val"),
+    )
+
+
+@query(
+    "q_lateral_topn",
+    oracle="""
+    SELECT o.o_orderkey, t.l_linenumber, t.price
+    FROM orders o,
+    LATERAL (
+      SELECT l_linenumber, round(l_extendedprice, 2) AS price
+      FROM lineitem
+      WHERE l_orderkey = o.o_orderkey
+      ORDER BY l_extendedprice DESC, l_linenumber
+      LIMIT 2
+    ) t
+    WHERE o.o_orderdate >= DATE '1997-03-01' AND o.o_orderdate < DATE '1997-04-01'
+    """,
+)
+def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: top-2 lineitems per March-1997 order.
+    Catalyst decorrelates this into a window-ranked join (same physical
+    shape as the explicit row_number form in q_window_rank) — declared to
+    pin the decorrelation path, not as a new physical operator."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, t.l_linenumber, t.price
+        FROM v_orders o,
+        LATERAL (
+          SELECT l_linenumber, round(l_extendedprice, 2) AS price
+          FROM v_lineitem
+          WHERE l_orderkey = o.o_orderkey
+          ORDER BY l_extendedprice DESC, l_linenumber
+          LIMIT 2
+        ) t
+        WHERE o.o_orderdate >= DATE '1997-03-01' AND o.o_orderdate < DATE '1997-04-01'
+        """
+    )
