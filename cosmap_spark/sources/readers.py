@@ -108,3 +108,24 @@ def ingest_catalog(
         .partitionBy("zone")
         .parquet(path)
     )
+
+
+def read_csv_tolerant(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    *,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """CSV ingest that quarantines malformed rows instead of failing the
+    job (PERMISSIVE + corrupt-record column) — at landing-zone scale a
+    handful of bad lines must not kill a 10⁵-task ingest.  Callers split
+    the result on ``corrupt_col IS NULL``: clean rows forward, quarantine
+    rows to a dead-letter sink for inspection."""
+    return (
+        spark.read.option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .schema(f"{schema}, {corrupt_col} string")
+        .csv(path)
+    )

@@ -106,3 +106,24 @@ def test_compact_parquet_reduces_files(spark, tmp_path):
     assert spark.read.parquet(dst).count() == load_table(
         spark, "/root/testdata/sf0.001", "lineitem"
     ).count()
+
+
+def test_tolerant_csv_quarantines_bad_rows(spark, tmp_path):
+    from cosmap_spark.sources.readers import read_csv_tolerant
+
+    p = tmp_path / "landing.csv"
+    p.write_text(
+        "id,val\n"
+        "1,10.5\n"
+        "2,not_a_number\n"     # malformed: val not double
+        "3,30.25\n"
+    )
+    df = read_csv_tolerant(spark, str(p), "id long, val double")
+    # cache first: corrupt-record column semantics require materialization
+    df = df.cache()
+    clean = df.where(F.col("_corrupt_record").isNull())
+    bad = df.where(F.col("_corrupt_record").isNotNull())
+    assert clean.count() == 2
+    assert bad.count() == 1
+    assert "not_a_number" in bad.first()["_corrupt_record"]
+    df.unpersist()
