@@ -14,6 +14,7 @@ from cosmap_spark.streaming.ops import (  # noqa: F401
     enrich_with_dimension,
     events_stream,
     session_counts,
+    sliding_counts,
     stateful_user_counter,
     tumbling_counts,
     windowed_dedup,

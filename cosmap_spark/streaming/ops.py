@@ -153,3 +153,20 @@ def write_incremental(df: DataFrame, path: str, checkpoint: str,
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def sliding_counts(events: DataFrame, *, window: str = "10 minutes",
+                   slide: str = "5 minutes",
+                   watermark: str = "1 hour") -> DataFrame:
+    """Watermarked sliding-window counts per event type: each event lands
+    in window/slide overlapping windows (state is proportionally larger
+    than tumbling — the cost of overlap).  Batch twin: q_sliding_window."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type", "n_events",
+        )
+    )

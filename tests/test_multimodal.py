@@ -94,3 +94,27 @@ def test_resize_images_shape_and_compose(media):
     assert all(r["width"] == 32 and r["height"] == 32 for r in rows)
     # composes: resize → decode in one pipeline, still 20 rows
     assert decode_images(resize_images(media)).count() == 20
+
+
+def test_map_in_arrow_zero_copy_path(media):
+    """mapInArrow: the lowest-overhead Python hook — RecordBatch in,
+    RecordBatch out, no pandas conversion.  Computes per-blob byte sums
+    batch-at-a-time with pyarrow compute only."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def bytesum(batches):
+        for batch in batches:
+            blobs = batch.column("blob")
+            sums = pa.array(
+                [pc.sum(pa.array(memoryview(b.as_py()))).as_py() for b in blobs],
+                type=pa.int64(),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("media_id"), sums], names=["media_id", "byte_sum"]
+            )
+
+    out = media.mapInArrow(bytesum, schema="media_id long, byte_sum long")
+    rows = {r["media_id"]: r["byte_sum"] for r in out.collect()}
+    # blob i = bytes(range(256)) * (8+i): sum = 32640 * (8+i)
+    assert rows[0] == 32640 * 8 and rows[5] == 32640 * 13

@@ -246,3 +246,29 @@ def test_streaming_pipeline_composition(spark, stream_dir, tmp_path):
     shutil.copy(SF_EVENTS, stream_dir / "part-001-replay.parquet")
     run_once()
     assert spark.read.parquet(out_path).count() == n_batch
+
+
+def test_sliding_stream_matches_batch(spark, stream_dir, tmp_path):
+    from cosmap_spark.streaming import sliding_counts
+    from cosmap_spark.tables import load_table
+
+    events = events_stream(spark, str(stream_dir))
+    q = _run_to_memory(
+        sliding_counts(events), "sliding_out", tmp_path, "append"
+    )
+    stream_rows = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.table("sliding_out").collect()
+    }
+    batch = sliding_counts(
+        load_table(spark, "/root/testdata/sf0.001", "events")
+    )
+    batch_rows = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in batch.collect()
+    }
+    # append mode emits only watermark-closed windows: subset w/ equal counts
+    assert stream_rows
+    for k, v in stream_rows.items():
+        assert batch_rows[k] == v
+    q.stop()
