@@ -138,3 +138,22 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("total_qty", 2).alias("total_qty"),
         F.round("max_price", 2).alias("max_price"),
     )
+
+
+@query(
+    "q_string_agg",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS names
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: collect_list is order-nondeterministic
+    under partitioning, so the deterministic form is array_sort THEN
+    concat — the required pattern for reproducible string aggs on any
+    cluster (same reason the sampler avoids rand())."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("names")
+    )

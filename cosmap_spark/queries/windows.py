@@ -151,3 +151,28 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
+
+
+@query(
+    "q_window_pct",
+    oracle="""
+    SELECT o_orderkey,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY round(o_totalprice, 2), o_orderkey)
+    """,
+)
+def q_window_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution analytics: percent_rank + cume_dist per status group,
+    ordered on the ROUNDED price with id tie-break (ulp-stable ranks)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy(F.round("o_totalprice", 2), "o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
