@@ -157,3 +157,30 @@ def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.groupBy("n_regionkey").agg(
         F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("names")
     )
+
+
+@query(
+    "q_arg_max",
+    oracle="""
+    SELECT o_orderstatus, o_orderkey AS top_order, price AS top_price
+    FROM (
+      SELECT o_orderstatus, o_orderkey, round(o_totalprice, 2) AS price,
+             row_number() OVER (
+               PARTITION BY o_orderstatus
+               ORDER BY round(o_totalprice, 2) DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def q_arg_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped arg-max via ``max_by`` on a (value, id) struct — the
+    aggregation form of per-group top-1: partial/final combine moves ONE
+    row per group per partition through the shuffle, vs a window sort of
+    every row.  The struct tie-break makes ties deterministic (bare
+    max_by is not); the oracle is the equivalent window top-1."""
+    o = load_table(spark, sf_dir, "orders")
+    key = F.struct(F.round("o_totalprice", 2).alias("p"), F.col("o_orderkey").alias("k"))
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", key).alias("top_order"),
+        F.max(F.round("o_totalprice", 2)).alias("top_price"),
+    )
