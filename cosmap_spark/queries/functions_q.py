@@ -179,3 +179,72 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sums, "vec_id")
         .select("vec_id", "dim", "first_el", "sum_el", "max_el")
     )
+
+
+@query(
+    "q_cond_agg",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) FILTER (o_totalprice > 100000)                     AS n_big,
+           round(sum(o_totalprice) FILTER (o_orderpriority = '1-URGENT'), 2) AS urgent_total,
+           round(avg(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END), 4) AS low_avg
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_cond_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (FILTER-clause semantics): count_if +
+    conditional sum/avg via CASE — one pass, one shuffle, NULLs excluded
+    from avg exactly as FILTER excludes rows."""
+    o = load_table(spark, sf_dir, "orders")
+    urgent = F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice"))
+    low = F.when(F.col("o_orderpriority") == "5-LOW", F.col("o_totalprice"))
+    return o.groupBy("o_orderstatus").agg(
+        F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
+        F.round(F.sum(urgent), 2).alias("urgent_total"),
+        F.round(F.avg(low), 4).alias("low_avg"),
+    )
+
+
+@query(
+    "q_bit_agg",
+    oracle="""
+    SELECT o_orderstatus,
+           bit_and(o_orderkey) AS k_and,
+           bit_or(o_orderkey)  AS k_or,
+           bit_xor(o_orderkey) AS k_xor
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_bit_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates — fully associative/commutative, so the
+    partial/final split is exact (no ordering sensitivity at all)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.bit_and("o_orderkey").alias("k_and"),
+        F.bit_or("o_orderkey").alias("k_or"),
+        F.bit_xor("o_orderkey").alias("k_xor"),
+    )
+
+
+@query(
+    "q_date_arith",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS days_since,
+           CAST(CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS VARCHAR) AS due_date,
+           CAST(last_day(o_orderdate) AS VARCHAR) AS month_end
+    FROM orders
+    """,
+)
+def q_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic breadth: datediff from an epoch date, fixed-interval
+    shift, month-end — dates surfaced as formatted strings (never raw
+    temporal values, per the cross-engine discipline)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("long").alias("days_since"),
+        F.date_add(F.col("o_orderdate"), 30).cast("string").alias("due_date"),
+        F.last_day(F.col("o_orderdate")).cast("string").alias("month_end"),
+    )
