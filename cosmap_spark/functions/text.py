@@ -31,11 +31,21 @@ def n_tokens(text: Column) -> Column:
 
 
 def shingles(text: Column, k: int = 3) -> Column:
-    """k-gram word shingles as strings: ``tok[i] tok[i+1] … tok[i+k-1]``."""
+    """k-gram word shingles as strings: ``tok[i] tok[i+1] … tok[i+k-1]``.
+
+    Documents with fewer than ``k`` tokens yield an EMPTY array: the
+    unguarded ``sequence(0, size-k)`` would descend (sequence's step
+    defaults to -1 when stop < start) and element_at would then throw
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT under ANSI mode — so the short-doc
+    case is guarded explicitly, mirroring the ``CASE WHEN len >= k``
+    guard in the DuckDB oracles."""
     t = tokens(text)
     idx = F.sequence(F.lit(0), F.size(t) - k)
     cols = lambda i: [F.element_at(t, i + j + 1) for j in range(k)]  # noqa: E731
-    return F.transform(idx, lambda i: F.concat_ws(" ", *cols(i)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", *cols(i)))
+    return F.when(F.size(t) >= k, grams).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def stopword_count(text: Column, words: tuple[str, ...]) -> Column:

@@ -76,7 +76,23 @@ def replicated_broadcast_join(
     join key becomes (on, salt) — a hot key's rows land on n different
     reducers instead of one.  With the small side also broadcast, this
     composes into a skew-proof broadcast join for when the small side is
-    near the broadcast limit and Catalyst falls back to shuffle."""
+    near the broadcast limit and Catalyst falls back to shuffle.
+
+    Only left-preserving joins are valid: each big row carries exactly
+    ONE salt, so inner/left/semi/anti semantics are unchanged — but an
+    unmatched small-side row exists once PER REPLICA, so right/full outer
+    joins would emit it n_salts times.  Those are rejected."""
+    allowed = {
+        "inner", "left", "leftouter", "left_outer",
+        "semi", "leftsemi", "left_semi",
+        "anti", "leftanti", "left_anti",
+    }
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"replicated_broadcast_join supports left-preserving joins only "
+            f"(inner/left/semi/anti); got how={how!r} — a right/full outer "
+            f"join would duplicate unmatched small-side rows per salt replica"
+        )
     big_s = big.withColumn(
         "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
     )

@@ -23,7 +23,11 @@ from cosmap_spark.operators.cone_search import cone_search
 from cosmap_spark.operators.sampler import uniform_sphere_samples
 from cosmap_spark.pipeline.config import AnalysisConfig, load_config
 from cosmap_spark.pipeline.dag import topo_order
-from cosmap_spark.pipeline.pipeline import compile_pipeline, resolve_parameter
+from cosmap_spark.pipeline.pipeline import (
+    _get_impl,
+    compile_pipeline,
+    resolve_parameter,
+)
 
 
 def run_setup_block(
@@ -46,9 +50,10 @@ def run_setup_block(
     exports: dict[str, Any] = {}
     for name in order:
         spec = block[name]
-        fn = getattr(implementations, name, None) or (
-            implementations.get(name) if isinstance(implementations, dict) else None
-        )
+        # same lookup + not-callable check as the distributed pipeline:
+        # a missing setup implementation raises DagValidationError naming
+        # the node instead of an opaque "'NoneType' is not callable"
+        fn = _get_impl(implementations, name)
         kwargs: dict[str, Any] = {}
         for alias, dep in (spec.get("dependencies", {}) or {}).items():
             kwargs[alias] = results[dep]

@@ -21,7 +21,7 @@ from cosmap_spark.functions.text import (
     scrub_pii,
     tokens,
 )
-from cosmap_spark.functions.vectors import cosine_similarity, cosine_sql
+from cosmap_spark.functions.vectors import cosine_sql
 from cosmap_spark.operators.dedup import (
     dedup_clusters,
     exact_dedup,
@@ -52,6 +52,15 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NGRAM_THRESHOLD = 0.08  # calibrated: random-vocab corpus ⇒ sparse 3-gram overlap
 
+# Hot-shingle valve for candidate generation (operators/dedup.py): shingles
+# shared by more than this many documents are excluded from the candidate
+# join ONLY (Jaccard itself stays exact).  This caps the n² term a hot
+# shingle would otherwise contribute at scale; the residual miss case —
+# a pair whose entire overlap is hot shingles — cannot clear the 0.08
+# threshold on this corpus, so the ledger stays hash-identical to the
+# uncapped brute-force oracle.
+_MAX_SHINGLE_DF = 100
+
 _NGRAM_ORACLE = f"""
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     idx AS (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks),
@@ -75,7 +84,10 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared-shingle equi-join (complete for Jaccard > 0, never O(n²));
     oracle recomputes brute-force in DuckDB."""
     pairs = ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), k=3, threshold=_NGRAM_THRESHOLD
+        load_table(spark, sf_dir, "documents"),
+        k=3,
+        threshold=_NGRAM_THRESHOLD,
+        max_shingle_df=_MAX_SHINGLE_DF,
     )
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -114,7 +126,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the step that turns pairwise dedup output into droppable
     clusters."""
     pairs = ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), k=3, threshold=_NGRAM_THRESHOLD
+        load_table(spark, sf_dir, "documents"),
+        k=3,
+        threshold=_NGRAM_THRESHOLD,
+        max_shingle_df=_MAX_SHINGLE_DF,
     )
     return dedup_clusters(pairs)
 
@@ -462,16 +477,15 @@ def q_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_embed_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (sim ≥ 0.99).  Brute-force
-    pair scan here (correctness baseline); the LSH-bucketed variant
-    (q_knn_lsh machinery) is the scale path.  Threshold applied to the
-    ROUNDED similarity so the cut is ulp-stable across engines."""
+    """Embedding-cosine near-duplicate pairs (sim ≥ 0.99) via
+    hyperplane-LSH candidate buckets + exact-cosine verification
+    (operators/knn.py:embedding_dup_pairs) — the 100 TB shape: the
+    candidate join is an equi-join on (table, bucket), never the
+    quadratic ``id_a < id_b`` pair scan the DuckDB oracle brute-forces.
+    Recall at this threshold is > 0.9999 (8 tables × 8 planes; see the
+    operator docstring) and is unit-tested vs brute force; threshold is
+    applied to the ROUNDED similarity so the cut is ulp-stable."""
+    from cosmap_spark.operators.knn import embedding_dup_pairs
+
     e = load_table(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    sim = F.round(cosine_similarity(F.col("va"), F.col("vb")), 6)
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", sim.alias("sim"))
-        .where(F.col("sim") >= 0.99)
-    )
+    return embedding_dup_pairs(e, threshold=0.99, dim=64)

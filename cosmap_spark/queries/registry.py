@@ -69,18 +69,24 @@ def _load_all() -> None:
     global _LOADED
     if _LOADED:
         return
+    # Import order IS registration order (dict insertion), and the driver's
+    # correctness gate checks queries in registration order under a bounded
+    # budget (~50 queries in round 1).  Register the SURVEY §2.3 core first
+    # (spatial / windows / set-ops / streaming / UDF / TPC-H / subqueries),
+    # then joins, and demote the breadth ledgers already driver-verified in
+    # CORRECTNESS_r01 (aggregates, scalar functions, LLM ops) to the tail.
     from cosmap_spark.queries import (  # noqa: F401
+        spatial,
+        windows,
+        setops,
+        streaming_q,
+        udfs,
+        tpch,
+        relational_extra,
+        joins,
         aggregates,
         functions_q,
-        joins,
         llm_ops,
-        relational_extra,
-        setops,
-        spatial,
-        streaming_q,
-        tpch,
-        udfs,
-        windows,
     )
 
     _LOADED = True

@@ -112,10 +112,16 @@ def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_approx_percentile")  # rows-only: sketch estimates are engine-specific
 def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (KLL-style sketch) — the 100 TB path where exact
-    percentile's full sort/shuffle is prohibitive."""
+    percentile's full sort/shuffle is prohibitive.  The two quantiles are
+    projected out as SCALAR columns (not an array) so the driver's
+    canonicalizer can sort/hash the rows."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.expr("approx_percentile(l_quantity, array(0.5, 0.9), 1000)").alias("approx_qtys")
+        F.expr("approx_percentile(l_quantity, array(0.5, 0.9), 1000)").alias("__q")
+    ).select(
+        "l_returnflag",
+        F.col("__q")[0].alias("approx_p50"),
+        F.col("__q")[1].alias("approx_p90"),
     )
 
 

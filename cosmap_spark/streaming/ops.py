@@ -134,17 +134,24 @@ def write_incremental(df: DataFrame, path: str, checkpoint: str,
                       *, fmt: str = "parquet",
                       partition_by: list[str] | None = None,
                       trigger_available_now: bool = True):
-    """Incremental append sink via ``foreachBatch`` — the Spark twin of
-    the reference's drain-completed-futures + append-CSV loop (reference
-    src/cosmap/analysis/analysis.py:150-162, output/writer.py:23-35):
-    each micro-batch lands as an atomic append; the checkpoint makes the
-    whole pipeline exactly-once per batch epoch."""
+    """Incremental sink via ``foreachBatch`` — the Spark twin of the
+    reference's drain-completed-futures + append-CSV loop (reference
+    src/cosmap/analysis/analysis.py:150-162, output/writer.py:23-35).
+
+    foreachBatch alone is only at-least-once: a micro-batch whose write
+    partially succeeded before a failure is REPLAYED with the same
+    ``epoch_id`` on restart, so a blind append would land duplicates.
+    The write is made idempotent by keying each epoch to its own
+    ``epoch=<id>`` subdirectory written with mode("overwrite") — a
+    replayed epoch replaces its own output instead of appending, giving
+    exactly-once table contents per epoch.  Readers scan ``path`` and
+    see ``epoch`` as a discovered partition column (drop it on read)."""
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        w = batch_df.write.mode("append")
+        w = batch_df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
-        w.format(fmt).save(path)
+        w.format(fmt).save(f"{path}/epoch={epoch_id}")
 
     writer = (
         df.writeStream.foreachBatch(write_batch)

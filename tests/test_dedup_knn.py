@@ -152,3 +152,90 @@ def test_dedup_clusters_on_real_pairs(spark):
         ids = {r["id"] for r in clusters.collect()}
         assert all(r["cluster_id"] in ids for r in clusters.collect())
         assert clusters.where(F.col("cluster_id") > F.col("id")).count() == 0
+
+
+def test_shingles_short_docs_yield_empty_not_crash(spark):
+    """Docs with fewer than k tokens must produce an EMPTY shingle array
+    (not an ANSI INVALID_ARRAY_INDEX_IN_ELEMENT_AT from the descending
+    sequence(0, size-k)) — and every shingle-based tier must survive a
+    corpus containing them."""
+    from cosmap_spark.functions.text import shingles
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "two tokens"), (4, "now three tokens"),
+         (5, "a b c d e"), (6, "a b c d e")],
+        "doc_id long, text string",
+    )
+    sizes = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", F.size(shingles(F.col("text"), 3)).alias("n")
+        ).collect()
+    }
+    assert sizes[2] == 0 and sizes[3] == 0   # < k tokens -> no shingles
+    assert sizes[4] == 1 and sizes[5] == 3
+    # every shingle-based dedup tier runs on the same corpus
+    jac = ngram_jaccard_pairs(docs, threshold=0.9)
+    assert {(r["id_a"], r["id_b"]) for r in jac.collect()} == {(5, 6)}
+    capped = ngram_jaccard_pairs(docs, threshold=0.9, max_shingle_df=10)
+    assert {(r["id_a"], r["id_b"]) for r in capped.collect()} == {(5, 6)}
+    lsh = minhash_lsh_pairs(docs, threshold=0.9)
+    assert {(r["id_a"], r["id_b"]) for r in lsh.collect()} == {(5, 6)}
+
+
+def test_embedding_dup_lsh_recall_vs_bruteforce(spark):
+    """Planted near-identical vectors (tiny perturbation, cosine ≥ 0.99)
+    must be recovered by the LSH-bucketed pair finder; precision is exact
+    by construction (every candidate is cosine-verified)."""
+    from cosmap_spark.functions.vectors import cosine_similarity
+    from cosmap_spark.operators.knn import embedding_dup_pairs
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    # planted dups: scale by 1.001 and nudge the first component by 1e-3
+    planted = emb.where(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: (
+                x.cast("double") * 1.001
+                + F.when(i == 0, F.lit(1e-3)).otherwise(F.lit(0.0))
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(planted).cache()
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_dup_pairs(corpus, threshold=0.99, dim=64).collect()
+    }
+    # brute-force oracle (test-only)
+    a = corpus.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = corpus.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias("sim"),
+        )
+        .where(F.col("sim") >= 0.99)
+        .collect()
+    }
+    assert len(brute) >= 20, "fixture must plant near-dup pairs"
+    assert got.issubset(brute), "cosine verification must keep precision exact"
+    recall = len(got & brute) / len(brute)
+    assert recall >= 0.95, f"embedding-dup LSH recall {recall}"
+
+
+def test_dedup_clusters_raises_when_not_converged(spark):
+    from cosmap_spark.operators.dedup import dedup_clusters
+
+    # a 12-node chain has diameter 11 > 3 rounds of min-label propagation
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(chain, max_iterations=3)
+    out = {r["id"]: r["cluster_id"] for r in dedup_clusters(chain).collect()}
+    assert set(out.values()) == {1}

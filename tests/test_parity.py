@@ -122,3 +122,15 @@ def test_topk_plans_take_ordered(spark):
     df = all_queries()["q_topk"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_embed_dup_plan_is_bucketed_not_quadratic(spark):
+    """Scale evidence: q_embed_dup's candidate generation is an equi-join
+    on (table, LSH bucket) — never a BroadcastNestedLoopJoin / cartesian
+    pair scan (the O(n²) shape the DuckDB oracle brute-forces)."""
+    from cosmap_spark.queries import all_queries
+
+    df = all_queries()["q_embed_dup"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

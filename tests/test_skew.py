@@ -98,3 +98,23 @@ def test_cone_search_shuffled_path_equals_broadcast(spark):
         for r in cone_search(cat, smp, broadcast_samples=False).collect()
     )
     assert bc == sh
+
+
+def test_replicated_join_rejects_right_preserving_how(spark):
+    """Right/full outer would emit unmatched small-side rows once per
+    salt replica — the operator must refuse instead of silently
+    multiplying output rows."""
+    import pytest
+
+    o = load_table(spark, "/root/testdata/sf0.001", "orders").withColumnRenamed(
+        "o_custkey", "k"
+    )
+    c = load_table(spark, "/root/testdata/sf0.001", "customer").withColumnRenamed(
+        "c_custkey", "k"
+    )
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="left-preserving"):
+            replicated_broadcast_join(o, c, "k", how=how)
+    # left-preserving joins still work
+    n_semi = replicated_broadcast_join(o, c, "k", how="leftsemi").count()
+    assert n_semi == o.join(c, "k", "leftsemi").count()
