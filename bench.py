@@ -33,6 +33,9 @@ HEADLINE = [
     "q_knn_cosine",       # vector similarity search
     "q_topk",             # global top-k
     "q_tpch_local_supplier",  # 6-way mixed broadcast/shuffle join
+    "q_dedup_ngram",      # shingle-join near-dup (capped candidate gen)
+    "q_join_overlap",     # interval-overlap join (grid equi-join + residual)
+    "q_knn_lsh",          # bucketed approximate vector search
 ]
 
 
@@ -54,7 +57,8 @@ def main() -> None:
     # parquet footer caches, and the reusable Python-worker pool (Arrow
     # UDF path) — one-time environment costs, not per-query costs.
     warm_dir = "/root/testdata/sf0.001"
-    for w in ("q_topk", "q_sample_agg", "q_udtf_grouped_map", "q_knn_cosine"):
+    for w in ("q_topk", "q_sample_agg", "q_udtf_grouped_map", "q_knn_cosine",
+              "q_dedup_ngram", "q_knn_lsh"):
         queries[w](spark, warm_dir).count()
 
     timings: dict[str, float] = {}

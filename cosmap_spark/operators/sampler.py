@@ -70,6 +70,57 @@ def uniform_sphere_samples(
     )
 
 
+def uniform_box_samples(
+    spark: SparkSession,
+    n: int,
+    *,
+    seed: int = 42,
+    width_deg: float = 2.0,
+    height_deg: float = 2.0,
+    ra_bounds: tuple[float, float] = (0.0, 360.0),
+    dec_bounds: tuple[float, float] = (-90.0, 90.0),
+    shrink_frame: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """n rectangular sample regions with area-uniform centers.
+
+    The reference declares a Rectangle sample shape (center/bounds +
+    units) but never wires it up, and its validator is broken — it
+    returns ``bound * units`` of the LAST element for every field
+    (reference src/cosmap/config/models/geometry.py:44-63, bug at :63;
+    SURVEY.md §4.2 says to fix, not replicate).  Here a box sample is
+    explicit ra/dec bounds per row: centers drawn with the same
+    hash-seeded (ra, sin dec) scheme as the cone sampler, the frame
+    shrunk by the HALF-width/height per side so whole boxes stay inside
+    the patch (the analog of the reference's cone-radius margin,
+    src/cosmap/analysis/sampler.py:48-85).
+    """
+    ra_lo, ra_hi = ra_bounds
+    dec_lo, dec_hi = dec_bounds
+    if shrink_frame:
+        ra_lo, ra_hi = ra_lo + width_deg / 2, ra_hi - width_deg / 2
+        dec_lo, dec_hi = dec_lo + height_deg / 2, dec_hi - height_deg / 2
+        if ra_bounds == (0.0, 360.0):  # full circle: no RA margin needed
+            ra_lo, ra_hi = 0.0, 360.0
+    import math
+
+    sin_lo, sin_hi = math.sin(math.radians(dec_lo)), math.sin(math.radians(dec_hi))
+    base = spark.range(0, n, 1, num_partitions) if num_partitions else spark.range(n)
+    u1 = _hash_uniform(F.col("id"), seed, 1)
+    u2 = _hash_uniform(F.col("id"), seed, 2)
+    ra = F.lit(ra_lo) + u1 * F.lit(ra_hi - ra_lo)
+    dec = F.degrees(F.asin(F.lit(sin_lo) + u2 * F.lit(sin_hi - sin_lo)))
+    return base.select(
+        F.col("id").alias("sample_id"),
+        ra.alias("ra"),
+        dec.alias("dec"),
+        (ra - F.lit(width_deg / 2)).alias("ra_min"),
+        (ra + F.lit(width_deg / 2)).alias("ra_max"),
+        (dec - F.lit(height_deg / 2)).alias("dec_min"),
+        (dec + F.lit(height_deg / 2)).alias("dec_max"),
+    )
+
+
 def deterministic_sample(
     df: DataFrame,
     fraction: float,

@@ -108,6 +108,11 @@ def load_analysis_files(directory: str | Path) -> dict[str, Any]:
     out["implementations"] = getattr(mod, "Main", mod)
     if (directory / "setup.json").exists():
         out["setup"] = json.loads((directory / "setup.json").read_text())
+    # optional external plugins shipped with the analysis (reference
+    # plugins/manage.py:24-58 loads hook impls from external modules):
+    # recorded here, registered by the runner (cli.run / tests)
+    if (directory / "plugins.py").exists():
+        out["plugins_file"] = str(directory / "plugins.py")
     return out
 
 

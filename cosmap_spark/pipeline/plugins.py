@@ -61,3 +61,66 @@ def request(hook: str, default: Callable | None = None) -> Callable:
 def call(hook: str, *args: Any, default: Callable | None = None, **kwargs: Any) -> Any:
     """Firstresult call: the single registered impl (or default) runs."""
     return request(hook, default)(*args, **kwargs)
+
+
+# --- external plugin discovery --------------------------------------------
+#
+# The reference loads plugin implementations from OUTSIDE the package: a
+# JSON registry names external modules whose attributes are imported and
+# registered on demand (reference src/cosmap/plugins/manage.py:24-58 +
+# src/cosmap/plugins/plugins.json).  Same contract here, for both module
+# names and plain .py files (the analysis-directory case).
+
+
+def _import_target(target: str):
+    """``pkg.module`` or ``/path/to/file.py`` → a live module object."""
+    import importlib
+    import importlib.util
+    from pathlib import Path
+
+    if target.endswith(".py"):
+        p = Path(target)
+        if not p.exists():
+            raise CosmapSparkError(f"plugin file {target!r} does not exist")
+        spec = importlib.util.spec_from_file_location(
+            f"cosmap_plugin_{p.stem}", p
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+    try:
+        return importlib.import_module(target)
+    except ImportError as exc:
+        raise CosmapSparkError(f"cannot import plugin module {target!r}: {exc}") from exc
+
+
+def load_external(source: str, *, replace: bool = False) -> list[str]:
+    """Register every attribute of ``source`` (module name or .py path)
+    whose name matches a known hook.  Returns the hooks registered."""
+    mod = _import_target(source)
+    found = [h for h in KNOWN_HOOKS if callable(getattr(mod, h, None))]
+    for h in found:
+        register(h, getattr(mod, h), replace=replace)
+    return found
+
+
+def load_plugin_registry(path: str, *, replace: bool = False) -> list[str]:
+    """Load a JSON plugin registry ``{hook: "module_or_file[:attr]"}``
+    (the reference's plugins.json shape) and register each entry."""
+    import json
+
+    spec = json.loads(open(path).read())
+    loaded: list[str] = []
+    for hook, target in spec.items():
+        if hook not in KNOWN_HOOKS:
+            raise CosmapSparkError(f"unknown hook {hook!r} in {path}")
+        mod_name, _, attr = target.partition(":")
+        mod = _import_target(mod_name)
+        fn = getattr(mod, attr or hook, None)
+        if not callable(fn):
+            raise CosmapSparkError(
+                f"plugin target {target!r} for hook {hook!r} is not callable"
+            )
+        register(hook, fn, replace=replace)
+        loaded.append(hook)
+    return loaded

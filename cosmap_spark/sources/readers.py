@@ -54,32 +54,70 @@ def identify_hdf5_files(path: str | Path) -> list[Path]:
     return files
 
 
+def _default_hdf5_reader(file_path: str, dataset_key: str):
+    """Open ONE HDF5 file and return the named group as a pandas frame.
+
+    This is the only function in the engine that touches h5py (reference
+    layout: one group per data type, one 1-D dataset per column —
+    src/cosmap/dataset/opencosmo.py:22 ``oc.open``).  It is injectable
+    via ``read_hdf5_directory(reader=...)`` so the ingest plumbing is
+    testable (and swappable for other layouts) without h5py installed.
+    """
+    try:
+        import h5py
+    except ImportError as exc:  # pragma: no cover - environment-dependent
+        raise NotImplementedError(
+            "HDF5 ingest requires h5py on the executors; install h5py or "
+            "pass a custom reader= callable"
+        ) from exc
+    import pandas as pd
+
+    with h5py.File(file_path, "r") as f:  # pragma: no cover - needs h5py
+        grp = f[dataset_key]
+        return pd.DataFrame({name: grp[name][...] for name in grp})
+
+
 def read_hdf5_directory(
     spark: SparkSession,
     path: str,
+    schema: str,
     *,
     dataset_key: str = "catalog",
+    reader=None,
 ) -> DataFrame:
-    """Ingest a directory of HDF5 files as one DataFrame.
+    """Ingest a directory of HDF5 files as one DataFrame (reference O2,
+    src/cosmap/dataset/opencosmo.py:57-65 ``identify_opencosmo_files`` +
+    ``oc.open``).
 
-    Strategy: driver lists files; executors each open THEIR files with
-    h5py inside ``mapInPandas`` batches (parallel ingest, no driver
-    bottleneck).  h5py is not installed in this environment, so the
-    executor-side open is stubbed — the listing, distribution, and
-    schema plumbing are real.
+    HDF5 is not a splittable distributed format, so the scale shape is:
+    the driver lists file paths only (never opens them); the paths become
+    a one-column DataFrame repartitioned so each task owns whole files;
+    executors open THEIR files inside ``mapInPandas`` and emit Arrow
+    batches.  Parallelism = number of files; no driver bottleneck and no
+    byte ever moves through the driver.  ``schema`` is declared by the
+    caller (engine policy: no first-row inference — SURVEY.md §7 hard
+    part 3); columns are projected/ordered to match it.
+
+    ``reader(file_path, dataset_key) -> pandas.DataFrame`` defaults to
+    the h5py-backed :func:`_default_hdf5_reader`; inject a fake for
+    tests or a different in-file layout.
     """
+    from pyspark.sql.types import StructType
+
     files = identify_hdf5_files(path)
-    try:
-        import h5py  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - environment-dependent
-        raise NotImplementedError(
-            "HDF5 ingest requires h5py on the executors; found "
-            f"{len(files)} file(s) to ingest. Install h5py or convert to "
-            "parquet with an external job."
-        ) from exc
-    raise NotImplementedError(
-        "h5py present but reader intentionally deferred to ingest job"
-    )  # pragma: no cover
+    read_one = reader or _default_hdf5_reader
+    field_names = [f.name for f in StructType.fromDDL(schema).fields]
+    assignments = spark.createDataFrame(
+        [(str(f),) for f in files], "file_path string"
+    ).repartition(len(files), "file_path")
+
+    def ingest(batches):
+        for pdf in batches:
+            for file_path in pdf["file_path"]:
+                out = read_one(file_path, dataset_key)
+                yield out[field_names]
+
+    return assignments.mapInPandas(ingest, schema=schema)
 
 
 def ingest_catalog(

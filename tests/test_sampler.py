@@ -113,3 +113,49 @@ def test_stratified_sample_rebalances(spark):
     assert set(counts) == {"en", "fr"}          # absent strata dropped
     assert counts["fr"] == full["fr"]            # fraction 1.0 keeps all
     assert counts["en"] < 0.5 * full["en"]       # dominant stratum downsampled
+
+
+def test_box_sample_containment_and_determinism(spark):
+    from cosmap_spark.operators.sampler import uniform_box_samples
+
+    a = uniform_box_samples(
+        spark, 5000, seed=3, width_deg=4.0, height_deg=2.0,
+        ra_bounds=(30.0, 60.0), dec_bounds=(-10.0, 40.0), num_partitions=1,
+    )
+    b = uniform_box_samples(
+        spark, 5000, seed=3, width_deg=4.0, height_deg=2.0,
+        ra_bounds=(30.0, 60.0), dec_bounds=(-10.0, 40.0), num_partitions=16,
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # frame shrink: every WHOLE box inside the requested patch
+    row = a.agg(
+        F.min("ra_min").alias("r0"), F.max("ra_max").alias("r1"),
+        F.min("dec_min").alias("d0"), F.max("dec_max").alias("d1"),
+    ).collect()[0]
+    assert row["r0"] >= 30.0 and row["r1"] <= 60.0
+    assert row["d0"] >= -10.0 and row["d1"] <= 40.0
+    # bounds are consistent with the declared extents
+    bad = a.where(
+        (F.col("ra_max") - F.col("ra_min") - 4.0).cast("double") > 1e-9
+    ).count()
+    assert bad == 0
+
+
+def test_box_sample_centers_area_uniform(spark):
+    """Centers follow the same (ra, sin dec) area-uniform law as cones."""
+    from cosmap_spark.operators.sampler import uniform_box_samples
+
+    n = 20_000
+    df = uniform_box_samples(
+        spark, n, seed=42, width_deg=0.0, height_deg=0.0, shrink_frame=False
+    )
+    counts = {
+        r["band"]: r["count"]
+        for r in df.select(
+            F.floor((F.sin(F.radians("dec")) + 1.0) / 0.2).alias("band")
+        ).groupBy("band").count().collect()
+    }
+    counts[9] = counts.get(9, 0) + counts.pop(10, 0)
+    expect, sigma = n / 10, math.sqrt(n * 0.1 * 0.9)
+    for band, c in counts.items():
+        assert abs(c - expect) < 5 * sigma, (band, c)

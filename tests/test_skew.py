@@ -56,9 +56,11 @@ def test_replicated_broadcast_join_equals_plain(spark):
 
 
 def test_ngram_cap_keeps_jaccard_exact(spark):
-    """With a DF cap, any pair still reported must carry its EXACT
-    Jaccard (intersection counts hot shingles even though candidate
-    generation skipped them)."""
+    """With a DF cap no shingle actually exceeds (this corpus: max df
+    ≈ 11 < 50), the capped path must be byte-identical to the uncapped
+    exact Jaccard — the ledger-binding regime.  (When hot shingles DO
+    exist they are dropped from both sides of the ratio; that regime is
+    covered by test_ngram_cap_stop_shingle_semantics.)"""
     from cosmap_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = load_table(spark, "/root/testdata/sf0.001", "documents")
@@ -118,3 +120,37 @@ def test_replicated_join_rejects_right_preserving_how(spark):
     # left-preserving joins still work
     n_semi = replicated_broadcast_join(o, c, "k", how="leftsemi").count()
     assert n_semi == o.join(c, "k", "leftsemi").count()
+
+
+def test_ngram_cap_stop_shingle_semantics(spark):
+    """When a shingle's document frequency exceeds the cap it is a STOP
+    shingle: excluded from both the intersection and the union, so the
+    reported value is the exact Jaccard of the capped shingle sets."""
+    from cosmap_spark.operators.dedup import ngram_jaccard_pairs
+
+    # "w x y z" contributes shingles shared by ALL 4 docs (df=4 > cap=3);
+    # the distinct tails make each pair's rare overlap empty except 1<->2
+    docs = spark.createDataFrame(
+        [
+            (1, "w x y z a1 b1 c1 d1"),
+            (2, "w x y z a1 b1 c1 d2"),
+            (3, "w x y z a3 b3 c3 d3"),
+            (4, "w x y z a4 b4 c4 d4"),
+        ],
+        "doc_id long, text string",
+    )
+    capped = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+        for r in ngram_jaccard_pairs(docs, threshold=0.01, max_shingle_df=3).collect()
+    }
+    # doc1/doc2 rare shingles: doc1 tail {z a1 b1, a1 b1 c1, b1 c1 d1},
+    # doc2 tail {z a1 b1, a1 b1 c1, b1 c1 d2} plus the df<=3 boundary
+    # shingles "y z a1" (df=2, kept): intersection {y z a1, z a1 b1,
+    # a1 b1 c1} = 3, union = 3 + 1 + 1 = 5
+    assert capped == {(1, 2): 0.6}
+    # uncapped exact includes the hot shingles: inter 5 of 8/8 → many pairs
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.01).collect()
+    }
+    assert len(full) == 6  # every pair shares the hot prefix
