@@ -23,19 +23,21 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "q_sample_agg",       # flagship: spatial cone join + per-sample agg
     "q_cone_search",      # raw spatial join throughput
-    "q_join_inner",       # relational equi-join
-    "q_window_running",   # window functions
-    "q_agg_distinct",     # shuffle aggregation
-    "q_tumbling_window",  # time-window aggregation
+    "q_join_variants",    # the equi-join zoo (inner/broadcast/outer/semi/anti)
+    "q_window_frames",    # window functions (running/first/last frames)
+    "q_agg_suite",        # shuffle aggregation (distinct/bit/arg-max)
+    "q_stream_windows",   # time-window aggregation (tumble/slide/late)
     "q_udtf_grouped_map", # Arrow applyInPandas path
-    "q_text_stats",       # text analysis over documents
+    "q_text_profile",     # text analysis over documents
     "q_dedup_exact",      # dedup hash-agg
     "q_knn_cosine",       # vector similarity search
     "q_topk",             # global top-k
     "q_tpch_local_supplier",  # 6-way mixed broadcast/shuffle join
     "q_dedup_ngram",      # shingle-join near-dup (capped candidate gen)
     "q_join_overlap",     # interval-overlap join (grid equi-join + residual)
-    "q_knn_lsh",          # bucketed approximate vector search
+    "q_knn_ann",          # bucketed approximate vector search (LSH + IVF)
+    "q_tfidf",            # corpus featurization (explode + two groupBys)
+    "q_resample",         # time-series grid resample + window fills
 ]
 
 
@@ -58,7 +60,7 @@ def main() -> None:
     # UDF path) — one-time environment costs, not per-query costs.
     warm_dir = "/root/testdata/sf0.001"
     for w in ("q_topk", "q_sample_agg", "q_udtf_grouped_map", "q_knn_cosine",
-              "q_dedup_ngram", "q_knn_lsh"):
+              "q_dedup_ngram", "q_knn_ann"):
         queries[w](spark, warm_dir).count()
 
     timings: dict[str, float] = {}

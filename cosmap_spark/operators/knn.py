@@ -226,14 +226,19 @@ def _centroid_array(cents: list[tuple[int, list[float]]]):
     The centroid table is tiny (nlist × dim floats) so it ships to every
     task as part of the plan — the broadcast-variable pattern with zero
     join or shuffle.  Beyond a few thousand centroids, switch to a
-    broadcast join + ``max_by`` aggregation instead."""
-    return F.array(*[
-        F.struct(
-            F.lit(int(cid)).cast("long").alias("cid"),
-            F.array(*[F.lit(float(x)) for x in vec]).alias("cvec"),
+    broadcast join + ``max_by`` aggregation instead.
+
+    Built as ONE parsed SQL expression string rather than nlist × dim
+    nested ``F.lit`` Column objects: the literal tree is identical, but
+    construction is a single py4j round trip instead of thousands
+    (measured ~4s of driver-side overhead at nlist=16, dim=64)."""
+    structs = ", ".join(
+        "named_struct('cid', CAST({} AS BIGINT), 'cvec', array({}))".format(
+            int(cid), ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in vec)
         )
         for cid, vec in cents
-    ])
+    )
+    return F.expr(f"array({structs})")
 
 
 def _scored_centroids(vec, cents: list[tuple[int, list[float]]]):

@@ -4,6 +4,13 @@ The reference's only aggregation is the per-sample count+sum (O27,
 covered by q_sample_agg).  Spark gives partial/final aggregation (map-side
 combine) automatically — every ``groupBy().agg()`` below ships partial
 states, not rows, through the shuffle.
+
+Consolidated (round 2): one suite per aggregation *family* — plain/
+distinct/bitwise/arg-max in ``q_agg_suite``, the grouping-set lattice in
+``q_grouping_multi``, conditional aggregation in ``q_cond_agg``,
+order-statistics + moments in ``q_stats_suite``, sketches in
+``q_approx_sketches`` — so the whole surface fits the driver's bounded
+correctness window.
 """
 
 from __future__ import annotations
@@ -16,88 +23,142 @@ from cosmap_spark.tables import load_table
 
 
 @query(
-    "q_agg_distinct",
+    "q_agg_suite",
     oracle="""
-    SELECT o_orderstatus,
-           count(DISTINCT o_custkey) AS n_cust,
-           count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS total
-    FROM orders GROUP BY o_orderstatus
+    WITH base AS (
+      SELECT o_orderstatus,
+             count(DISTINCT o_custkey) AS n_cust,
+             count(*) AS n_orders,
+             round(sum(o_totalprice), 2) AS total,
+             bit_and(o_orderkey) AS k_and,
+             bit_or(o_orderkey)  AS k_or,
+             bit_xor(o_orderkey) AS k_xor,
+             max(round(o_totalprice, 2)) AS top_price
+      FROM orders GROUP BY o_orderstatus
+    ),
+    top AS (
+      SELECT o_orderstatus, o_orderkey AS top_order FROM (
+        SELECT o_orderstatus, o_orderkey,
+               row_number() OVER (PARTITION BY o_orderstatus
+                 ORDER BY round(o_totalprice, 2) DESC, o_orderkey DESC) AS rn
+        FROM orders) WHERE rn = 1
+    )
+    SELECT b.o_orderstatus, b.n_cust, b.n_orders, b.total,
+           b.k_and, b.k_or, b.k_xor, t.top_order, b.top_price
+    FROM base b JOIN top t USING (o_orderstatus)
     """,
 )
-def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct aggregate alongside plain aggregates (two-phase expand)."""
-    return (
-        load_table(spark, sf_dir, "orders")
-        .groupBy("o_orderstatus")
-        .agg(
-            F.countDistinct("o_custkey").alias("n_cust"),
-            F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
-        )
+def q_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The plain-aggregation family in one grouped pass over orders:
+
+    * distinct aggregate alongside plain aggregates (two-phase expand);
+    * bitwise aggregates — fully associative/commutative, so the
+      partial/final split is exact (no ordering sensitivity at all);
+    * grouped arg-max via ``max_by`` on a (value, id) struct — the
+      aggregation form of per-group top-1: partial/final combine moves
+      ONE row per group per partition through the shuffle, vs a window
+      sort of every row.  The struct tie-break makes ties deterministic
+      (bare max_by is not)."""
+    o = load_table(spark, sf_dir, "orders")
+    key = F.struct(F.round("o_totalprice", 2).alias("p"), F.col("o_orderkey").alias("k"))
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.bit_and("o_orderkey").alias("k_and"),
+        F.bit_or("o_orderkey").alias("k_or"),
+        F.bit_xor("o_orderkey").alias("k_xor"),
+        F.max_by("o_orderkey", key).alias("top_order"),
+        F.max(F.round("o_totalprice", 2)).alias("top_price"),
     )
 
 
-@query("q_agg_approx_distinct")  # rows-only: HLL estimate is engine-specific
-def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct estimate — the sketch path for 100 TB where
-    exact distinct would shuffle every key.  Checked rows-only (estimates
-    are engine-specific); a unit test bounds the relative error."""
-    return (
-        load_table(spark, sf_dir, "orders")
-        .groupBy("o_orderstatus")
-        .agg(F.approx_count_distinct("o_custkey", 0.02).alias("n_cust_approx"))
-    )
-
-
-@query(
-    "q_rollup",
-    oracle="""
-    SELECT r.r_name, n.n_name,
-           count(*) AS n_customers,
-           round(sum(c.c_acctbal), 2) AS total_bal
+_GROUPING_ORACLE = """
+    SELECT 'rollup' AS mode, r.r_name AS d1, n.n_name AS d2,
+           count(*) AS n, round(sum(c.c_acctbal), 2) AS total
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
     GROUP BY ROLLUP (r.r_name, n.n_name)
-    """,
-)
-def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP over the region→nation hierarchy (subtotals + grand total);
-    the dimension joins broadcast."""
+    UNION ALL
+    SELECT 'cube', o_orderstatus, o_orderpriority,
+           count(*), round(sum(o_totalprice), 2)
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    UNION ALL
+    SELECT 'sets', o_orderstatus, o_orderpriority,
+           count(*), round(sum(o_totalprice), 2)
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    UNION ALL
+    SELECT 'string_agg', CAST(n_regionkey AS VARCHAR),
+           string_agg(n_name, ',' ORDER BY n_name), count(*), NULL
+    FROM nation GROUP BY n_regionkey
+"""
+
+
+@query("q_grouping_multi", oracle=_GROUPING_ORACLE)
+def q_grouping_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The grouping-set lattice as one tagged union:
+
+    * ``rollup`` — subtotals + grand total over the region→nation
+      hierarchy (the dimension joins broadcast);
+    * ``cube`` — all 4 grouping sets over two independent dimensions;
+    * ``sets`` — explicit GROUPING SETS (the general form behind both);
+    * ``string_agg`` — ordered string aggregation: collect_list is
+      order-nondeterministic under partitioning, so the deterministic
+      form is array_sort THEN concat — the required pattern for
+      reproducible string aggs on any cluster (same reason the sampler
+      avoids rand())."""
     c = load_table(spark, sf_dir, "customer")
     n = F.broadcast(load_table(spark, sf_dir, "nation"))
     r = F.broadcast(load_table(spark, sf_dir, "region"))
-    return (
+
+    def shape(df: DataFrame, mode: str, d1, d2, n_col, total) -> DataFrame:
+        return df.select(
+            F.lit(mode).alias("mode"),
+            d1.cast("string").alias("d1"),
+            d2.cast("string").alias("d2"),
+            n_col.cast("long").alias("n"),
+            total.cast("double").alias("total"),
+        )
+
+    rollup = shape(
         c.join(n, c["c_nationkey"] == n["n_nationkey"])
         .join(r, n["n_regionkey"] == r["r_regionkey"])
         .rollup("r_name", "n_name")
-        .agg(
-            F.count("*").alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
-        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("c_acctbal"), 2).alias("total")),
+        "rollup", F.col("r_name"), F.col("n_name"), F.col("n"), F.col("total"),
     )
-
-
-@query(
-    "q_cube",
-    oracle="""
-    SELECT o_orderstatus, o_orderpriority,
-           count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS total
-    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
-    """,
-)
-def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over two independent dimensions (all 4 grouping sets)."""
-    return (
-        load_table(spark, sf_dir, "orders")
-        .cube("o_orderstatus", "o_orderpriority")
-        .agg(
-            F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
-        )
+    o = load_table(spark, sf_dir, "orders")
+    cube = shape(
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")),
+        "cube", F.col("o_orderstatus"), F.col("o_orderpriority"),
+        F.col("n"), F.col("total"),
     )
+    o.createOrReplaceTempView("__gm_orders")
+    sets = shape(
+        spark.sql(
+            """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM __gm_orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+            """
+        ),
+        "sets", F.col("o_orderstatus"), F.col("o_orderpriority"),
+        F.col("n"), F.col("total"),
+    )
+    nat = load_table(spark, sf_dir, "nation")
+    string_agg = shape(
+        nat.groupBy("n_regionkey").agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("names"),
+            F.count("*").alias("n"),
+        ),
+        "string_agg", F.col("n_regionkey"), F.col("names"),
+        F.col("n"), F.lit(None),
+    )
+    return rollup.unionByName(cube).unionByName(sets).unionByName(string_agg)
 
 
 @query(
@@ -141,46 +202,113 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q_string_agg",
+    "q_cond_agg",
     oracle="""
-    SELECT n_regionkey,
-           string_agg(n_name, ',' ORDER BY n_name) AS names
-    FROM nation GROUP BY n_regionkey
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 200000 THEN 'medium'
+                ELSE 'large' END AS bucket,
+           count(*) AS n_orders,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           count(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+           round(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                          THEN o_totalprice ELSE 0.0 END), 2) AS urgent_total,
+           round(avg(CASE WHEN o_orderpriority = '5-LOW'
+                          THEN o_totalprice END), 4) AS low_avg
+    FROM orders GROUP BY 1
     """,
 )
-def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered string aggregation: collect_list is order-nondeterministic
-    under partitioning, so the deterministic form is array_sort THEN
-    concat — the required pattern for reproducible string aggs on any
-    cluster (same reason the sampler avoids rand())."""
-    n = load_table(spark, sf_dir, "nation")
-    return n.groupBy("n_regionkey").agg(
-        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("names")
+def q_cond_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE bucketing + conditional aggregation (FILTER-clause semantics):
+    count_if + conditional count/sum/avg via CASE — one pass, one
+    shuffle, NULLs excluded from avg exactly as FILTER excludes rows."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 200000, "medium")
+        .otherwise("large")
+    )
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n_orders"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+        F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
+        F.round(
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice"))
+                .otherwise(0.0)
+            ), 2,
+        ).alias("urgent_total"),
+        F.round(
+            F.avg(F.when(F.col("o_orderpriority") == "5-LOW", F.col("o_totalprice"))),
+            4,
+        ).alias("low_avg"),
     )
 
 
 @query(
-    "q_arg_max",
+    "q_stats_suite",
     oracle="""
-    SELECT o_orderstatus, o_orderkey AS top_order, price AS top_price
-    FROM (
-      SELECT o_orderstatus, o_orderkey, round(o_totalprice, 2) AS price,
-             row_number() OVER (
-               PARTITION BY o_orderstatus
-               ORDER BY round(o_totalprice, 2) DESC, o_orderkey DESC) AS rn
-      FROM orders
-    ) WHERE rn = 1
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+           round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+           round(min(l_quantity), 6) AS min_qty,
+           round(max(l_quantity), 6) AS max_qty,
+           round(stddev_samp(l_quantity), 4) AS sd_qty,
+           round(var_samp(l_quantity), 2) AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price
+    FROM lineitem GROUP BY l_returnflag
     """,
 )
-def q_arg_max(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped arg-max via ``max_by`` on a (value, id) struct — the
-    aggregation form of per-group top-1: partial/final combine moves ONE
-    row per group per partition through the shuffle, vs a window sort of
-    every row.  The struct tie-break makes ties deterministic (bare
-    max_by is not); the oracle is the equivalent window top-1."""
-    o = load_table(spark, sf_dir, "orders")
-    key = F.struct(F.round("o_totalprice", 2).alias("p"), F.col("o_orderkey").alias("k"))
-    return o.groupBy("o_orderstatus").agg(
-        F.max_by("o_orderkey", key).alias("top_order"),
-        F.max(F.round("o_totalprice", 2)).alias("top_price"),
+def q_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order statistics + second moments per group: exact interpolated
+    percentiles (Spark ``percentile`` ≡ DuckDB ``quantile_cont``: both
+    linear-interpolation on the sorted multiset), sample stddev/variance,
+    and correlation/covariance between quantity and price.  All moments
+    use one-pass co-moment accumulation in both engines; outputs are
+    rounded below the accumulation-order noise floor.  The sketch-based
+    scale path is q_approx_sketches."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90_qty"),
+        F.round(F.min("l_quantity"), 6).alias("min_qty"),
+        F.round(F.max("l_quantity"), 6).alias("max_qty"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 2).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
     )
+
+
+@query("q_approx_sketches")  # rows-only: sketch estimates are engine-specific
+def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch family — the 100 TB path where exact computation would
+    shuffle every key or fully sort every group:
+
+    * KLL-style ``approx_percentile`` per lineitem return flag (scalar
+      columns, projected out of the quantile array);
+    * HyperLogLog++ ``approx_count_distinct`` per order status.
+
+    Both are mergeable sketches: partial states combine associatively,
+    so the map-side combine IS the algorithm.  Checked rows-only
+    (estimates are engine-specific); unit tests bound the relative
+    error vs the exact values."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pct = li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_quantity, array(0.5, 0.9), 1000)").alias("__q")
+    ).select(
+        F.lit("approx_percentile").alias("sketch"),
+        F.col("l_returnflag").alias("grp"),
+        F.col("__q")[0].cast("double").alias("p50_or_ndv"),
+        F.col("__q")[1].cast("double").alias("p90"),
+    )
+    o = load_table(spark, sf_dir, "orders")
+    ndv = o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("n_cust_approx")
+    ).select(
+        F.lit("approx_count_distinct").alias("sketch"),
+        F.col("o_orderstatus").alias("grp"),
+        F.col("n_cust_approx").cast("double").alias("p50_or_ndv"),
+        F.lit(None).cast("double").alias("p90"),
+    )
+    return pct.unionByName(ndv)

@@ -5,6 +5,10 @@ spatial.py); string/date/JSON/array functions are absent there and come
 from the Spark function surface.  Float outputs of libm-backed functions
 are rounded to 6 dp in both engines (JVM vs C libm may differ in the last
 ulp).
+
+Consolidated (round 2): one suite per input shape — math+string+regex
+over part, calendar+arithmetic over orders, classic-JSON+VARIANT over
+events, array ops over embeddings.
 """
 
 from __future__ import annotations
@@ -17,7 +21,7 @@ from cosmap_spark.tables import load_table
 
 
 @query(
-    "q_math_trig",
+    "q_part_scalars",
     oracle="""
     SELECT p_partkey,
            round(sin(radians(p_retailprice)), 6) AS sin_price,
@@ -25,13 +29,28 @@ from cosmap_spark.tables import load_table
            round(sqrt(CAST(p_size AS DOUBLE)), 6) AS sqrt_size,
            round(ln(p_retailprice), 6) AS ln_price,
            round(atan2(CAST(p_size AS DOUBLE), p_retailprice), 6) AS at2,
-           round(pow(p_retailprice, 0.5), 6) AS pow_half
+           round(pow(p_retailprice, 0.5), 6) AS pow_half,
+           lower(p_name) AS lname,
+           upper(p_type) AS utype,
+           substr(p_name, 1, 8) AS prefix,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           p_name || '/' || p_brand AS tagged,
+           p_name LIKE '%an%' AS has_an,
+           regexp_extract(p_type, '([A-Z]+)$', 1) AS last_word,
+           regexp_matches(p_name, 'a.*e') AS has_ae,
+           regexp_replace(p_brand, '[0-9]+', '#', 'g') AS brand_masked
     FROM part WHERE p_retailprice > 0
     """,
 )
-def q_math_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trig/log/power scalar math (reference O10/O11 use the same family:
-    cos/arccos/degrees/radians, src/cosmap/analysis/sampler.py:87-113)."""
+def q_part_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-row scalar surface in one projection over part:
+
+    * trig/log/power math (reference O10/O11 use the same family:
+      cos/arccos/degrees/radians, src/cosmap/analysis/sampler.py:87-113);
+    * lower/upper/substr/length/concat + LIKE predicate (as a boolean
+      column, so the semantics are value-verified, not just row-count);
+    * regex extract/match/replace parity (note DuckDB needs the 'g'
+      flag to match Spark's replace-all semantics)."""
     p = load_table(spark, sf_dir, "part").where(F.col("p_retailprice") > 0)
     return p.select(
         "p_partkey",
@@ -41,32 +60,15 @@ def q_math_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log("p_retailprice"), 6).alias("ln_price"),
         F.round(F.atan2(F.col("p_size").cast("double"), F.col("p_retailprice")), 6).alias("at2"),
         F.round(F.pow("p_retailprice", 0.5), 6).alias("pow_half"),
-    )
-
-
-@query(
-    "q_string_funcs",
-    oracle="""
-    SELECT c_custkey,
-           lower(c_name) AS lname,
-           upper(c_mktsegment) AS useg,
-           substr(c_name, 1, 8) AS prefix,
-           CAST(length(c_name) AS BIGINT) AS name_len,
-           c_name || '/' || c_mktsegment AS tagged
-    FROM customer
-    WHERE c_name LIKE '%1%'
-    """,
-)
-def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lower/upper/substr/length/concat + LIKE predicate."""
-    c = load_table(spark, sf_dir, "customer").where(F.col("c_name").like("%1%"))
-    return c.select(
-        "c_custkey",
-        F.lower("c_name").alias("lname"),
-        F.upper("c_mktsegment").alias("useg"),
-        F.substring("c_name", 1, 8).alias("prefix"),
-        F.length("c_name").cast("long").alias("name_len"),
-        F.concat_ws("/", "c_name", "c_mktsegment").alias("tagged"),
+        F.lower("p_name").alias("lname"),
+        F.upper("p_type").alias("utype"),
+        F.substring("p_name", 1, 8).alias("prefix"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.concat_ws("/", "p_name", "p_brand").alias("tagged"),
+        F.col("p_name").like("%an%").alias("has_an"),
+        F.regexp_extract("p_type", r"([A-Z]+)$", 1).alias("last_word"),
+        F.col("p_name").rlike("a.*e").alias("has_ae"),
+        F.regexp_replace("p_brand", "[0-9]+", "#").alias("brand_masked"),
     )
 
 
@@ -80,12 +82,15 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(quarter(o_orderdate) AS BIGINT) AS o_quarter,
            strftime(o_orderdate, '%Y-%m-%d') AS o_date_str,
            strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS o_month_start,
-           CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since
+           CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since,
+           CAST(CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS VARCHAR) AS due_date,
+           CAST(last_day(o_orderdate) AS VARCHAR) AS month_end
     FROM orders
     """,
 )
 def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Calendar extraction, truncation, formatting, day arithmetic.
+    """Calendar extraction, truncation, formatting, and date arithmetic:
+    day diffs from an epoch date, fixed-interval shift, month-end.
     Dates surface as strings/ints (never raw timestamps) for exact
     cross-engine hashing."""
     o = load_table(spark, sf_dir, "orders")
@@ -98,28 +103,8 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date_str"),
         F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("o_month_start"),
         F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).cast("long").alias("days_since"),
-    )
-
-
-@query(
-    "q_regex_funcs",
-    oracle="""
-    SELECT p_partkey,
-           regexp_extract(p_type, '([A-Z]+)$', 1) AS last_word,
-           regexp_matches(p_name, 'a.*e') AS has_ae,
-           regexp_replace(p_brand, '[0-9]+', '#', 'g') AS brand_masked
-    FROM part
-    """,
-)
-def q_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Regex extract/match/replace parity (note DuckDB needs the 'g'
-    flag to match Spark's replace-all semantics)."""
-    p = load_table(spark, sf_dir, "part")
-    return p.select(
-        "p_partkey",
-        F.regexp_extract("p_type", r"([A-Z]+)$", 1).alias("last_word"),
-        F.col("p_name").rlike("a.*e").alias("has_ae"),
-        F.regexp_replace("p_brand", "[0-9]+", "#").alias("brand_masked"),
+        F.date_add(F.col("o_orderdate"), 30).cast("string").alias("due_date"),
+        F.last_day(F.col("o_orderdate")).cast("string").alias("month_end"),
     )
 
 
@@ -128,17 +113,24 @@ def q_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id,
            CAST(props->>'$.k' AS BIGINT) AS k,
-           CAST(props->>'$.k' AS BIGINT) % 7 AS k_mod
+           CAST(props->>'$.k' AS BIGINT) % 7 AS k_mod,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_variant
     FROM events
     WHERE CAST(props->>'$.k' AS BIGINT) > 50
     """,
 )
 def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON path extraction from the events.props payload column."""
+    """Semi-structured access, classic and modern: per-path
+    ``get_json_object`` re-parsing alongside the VARIANT type (Spark 4)
+    — parse_json once, typed variant_get extraction, columnar-shredded
+    at rest when written.  Both paths must agree on the same payload."""
     ev = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("long")
     return ev.select(
-        "event_id", k.alias("k"), (k % 7).alias("k_mod")
+        "event_id",
+        k.alias("k"),
+        (k % 7).alias("k_mod"),
+        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k_variant"),
     ).where(F.col("k") > 50)
 
 
@@ -178,73 +170,4 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(sums, "vec_id")
         .select("vec_id", "dim", "first_el", "sum_el", "max_el")
-    )
-
-
-@query(
-    "q_cond_agg",
-    oracle="""
-    SELECT o_orderstatus,
-           count(*) FILTER (o_totalprice > 100000)                     AS n_big,
-           round(sum(o_totalprice) FILTER (o_orderpriority = '1-URGENT'), 2) AS urgent_total,
-           round(avg(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END), 4) AS low_avg
-    FROM orders GROUP BY o_orderstatus
-    """,
-)
-def q_cond_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Conditional aggregation (FILTER-clause semantics): count_if +
-    conditional sum/avg via CASE — one pass, one shuffle, NULLs excluded
-    from avg exactly as FILTER excludes rows."""
-    o = load_table(spark, sf_dir, "orders")
-    urgent = F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice"))
-    low = F.when(F.col("o_orderpriority") == "5-LOW", F.col("o_totalprice"))
-    return o.groupBy("o_orderstatus").agg(
-        F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
-        F.round(F.sum(urgent), 2).alias("urgent_total"),
-        F.round(F.avg(low), 4).alias("low_avg"),
-    )
-
-
-@query(
-    "q_bit_agg",
-    oracle="""
-    SELECT o_orderstatus,
-           bit_and(o_orderkey) AS k_and,
-           bit_or(o_orderkey)  AS k_or,
-           bit_xor(o_orderkey) AS k_xor
-    FROM orders GROUP BY o_orderstatus
-    """,
-)
-def q_bit_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bitwise aggregates — fully associative/commutative, so the
-    partial/final split is exact (no ordering sensitivity at all)."""
-    o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.bit_and("o_orderkey").alias("k_and"),
-        F.bit_or("o_orderkey").alias("k_or"),
-        F.bit_xor("o_orderkey").alias("k_xor"),
-    )
-
-
-@query(
-    "q_date_arith",
-    oracle="""
-    SELECT o_orderkey,
-           CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS days_since,
-           CAST(CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS VARCHAR) AS due_date,
-           CAST(last_day(o_orderdate) AS VARCHAR) AS month_end
-    FROM orders
-    """,
-)
-def q_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Date arithmetic breadth: datediff from an epoch date, fixed-interval
-    shift, month-end — dates surfaced as formatted strings (never raw
-    temporal values, per the cross-engine discipline)."""
-    o = load_table(spark, sf_dir, "orders")
-    return o.select(
-        "o_orderkey",
-        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
-        .cast("long").alias("days_since"),
-        F.date_add(F.col("o_orderdate"), 30).cast("string").alias("due_date"),
-        F.last_day(F.col("o_orderdate")).cast("string").alias("month_end"),
     )

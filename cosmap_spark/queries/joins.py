@@ -17,108 +17,96 @@ from cosmap_spark.queries.registry import query
 from cosmap_spark.tables import load_table
 
 
-@query(
-    "q_join_inner",
-    oracle="""
-    SELECT o.o_orderkey, c.c_name, o.o_totalprice
+_VARIANTS_ORACLE = """
+    SELECT 'inner' AS op, o.o_orderkey AS a, c.c_custkey AS b, o.o_totalprice AS x
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     WHERE c.c_mktsegment = 'BUILDING'
-    """,
-)
-def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi inner join (Catalyst picks broadcast-hash here; at 100 TB the
-    same plan holds because customer stays ≪ orders after the filter)."""
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
-    return o.join(c, o["o_custkey"] == c["c_custkey"]).select(
-        "o_orderkey", "c_name", "o_totalprice"
-    )
-
-
-@query(
-    "q_join_broadcast",
-    oracle="""
-    SELECT l.l_orderkey, l.l_linenumber, p.p_brand
-    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-    WHERE p.p_size < 10
-    """,
-)
-def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit ``broadcast()`` hint: fact ⋈ small dim with zero shuffle of
-    the fact side — the pattern that must hold at 100 TB."""
-    li = load_table(spark, sf_dir, "lineitem")
-    p = load_table(spark, sf_dir, "part").where(F.col("p_size") < 10)
-    return li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).select(
-        "l_orderkey", "l_linenumber", "p_brand"
-    )
-
-
-@query(
-    "q_join_left",
-    oracle="""
-    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    UNION ALL
+    SELECT 'broadcast', l.l_orderkey, p.p_partkey, CAST(l.l_linenumber AS DOUBLE)
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey WHERE p.p_size < 10
+    UNION ALL
+    SELECT 'left', c.c_custkey, o.o_orderkey, o.o_totalprice
     FROM customer c LEFT JOIN orders o
       ON o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
-    """,
-)
-def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left outer join with a join-side predicate (nulls preserved)."""
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
-    cond = (o["o_custkey"] == c["c_custkey"]) & (o["o_orderstatus"] == "F")
-    return c.join(o, cond, "left").select("c_custkey", "o_orderkey", "o_totalprice")
-
-
-@query(
-    "q_join_semi",
-    oracle="""
-    SELECT c_custkey, c_name FROM customer c
+    UNION ALL
+    SELECT 'semi', c_custkey, NULL, NULL FROM customer c
     WHERE EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
-    """,
-)
-def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-semi join (EXISTS): customers with at least one big order."""
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000.0)
-    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select(
-        "c_custkey", "c_name"
-    )
-
-
-@query(
-    "q_join_anti",
-    oracle="""
-    SELECT c_custkey, c_name FROM customer c
+    UNION ALL
+    SELECT 'anti', c_custkey, NULL, NULL FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-    """,
-)
-def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join (NOT EXISTS): customers with no orders at all."""
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
-    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
-        "c_custkey", "c_name"
-    )
-
-
-@query(
-    "q_join_full",
-    oracle="""
-    SELECT c.c_custkey, s.s_suppkey, coalesce(c.c_nationkey, s.s_nationkey) AS nationkey
+    UNION ALL
+    SELECT 'full', c.c_custkey, s.s_suppkey,
+           CAST(coalesce(c.c_nationkey, s.s_nationkey) AS DOUBLE)
     FROM (SELECT * FROM customer WHERE c_custkey < 200) c
     FULL OUTER JOIN (SELECT * FROM supplier WHERE s_suppkey >= 50) s
       ON c.c_custkey = s.s_suppkey
-    """,
-)
-def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full outer join with null-filling coalesce on both unmatched sides."""
-    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") < 200)
-    s = load_table(spark, sf_dir, "supplier").where(F.col("s_suppkey") >= 50)
-    return c.join(s, c["c_custkey"] == s["s_suppkey"], "full_outer").select(
-        "c_custkey", "s_suppkey",
-        F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+"""
+
+
+@query("q_join_variants", oracle=_VARIANTS_ORACLE)
+def q_join_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The equi-join zoo as one tagged union — every branch an
+    independent plan, value-verified through the shared (op, a, b, x)
+    schema:
+
+    * ``inner``     — Catalyst picks broadcast-hash (customer stays
+      \u226a orders after the segment filter; the same plan holds at
+      100 TB);
+    * ``broadcast`` — explicit ``broadcast()`` hint: fact \u22c8 small dim
+      with zero shuffle of the fact side;
+    * ``left``      — left outer with a join-side predicate (nulls
+      preserved);
+    * ``semi``      — EXISTS: customers with at least one big order;
+    * ``anti``      — NOT EXISTS: customers with no orders at all;
+    * ``full``      — full outer with null-filling coalesce on both
+      unmatched sides."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+
+    def tag(df: DataFrame, op: str, a, b, x) -> DataFrame:
+        return df.select(
+            F.lit(op).alias("op"),
+            a.cast("long").alias("a"),
+            (b if b is not None else F.lit(None)).cast("long").alias("b"),
+            (x if x is not None else F.lit(None)).cast("double").alias("x"),
+        )
+
+    c_bld = c.where(F.col("c_mktsegment") == "BUILDING")
+    inner = tag(
+        o.join(c_bld, o["o_custkey"] == c_bld["c_custkey"]),
+        "inner", F.col("o_orderkey"), F.col("c_custkey"), F.col("o_totalprice"),
     )
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_size") < 10)
+    bcast = tag(
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]),
+        "broadcast", F.col("l_orderkey"), F.col("p_partkey"), F.col("l_linenumber"),
+    )
+    left = tag(
+        c.join(o, (o["o_custkey"] == c["c_custkey"]) & (o["o_orderstatus"] == "F"), "left"),
+        "left", F.col("c_custkey"), F.col("o_orderkey"), F.col("o_totalprice"),
+    )
+    o_big = o.where(F.col("o_totalprice") > 300000.0)
+    semi = tag(
+        c.join(o_big, c["c_custkey"] == o_big["o_custkey"], "left_semi"),
+        "semi", F.col("c_custkey"), None, None,
+    )
+    anti = tag(
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti"),
+        "anti", F.col("c_custkey"), None, None,
+    )
+    c_small = c.where(F.col("c_custkey") < 200)
+    s_big = load_table(spark, sf_dir, "supplier").where(F.col("s_suppkey") >= 50)
+    full = tag(
+        c_small.join(s_big, c_small["c_custkey"] == s_big["s_suppkey"], "full_outer"),
+        "full", F.col("c_custkey"), F.col("s_suppkey"),
+        F.coalesce("c_nationkey", "s_nationkey"),
+    )
+    out = inner
+    for branch in (bcast, left, semi, anti, full):
+        out = out.unionByName(branch)
+    return out
 
 
 @query(

@@ -5,6 +5,12 @@ These are first-class engine capabilities beyond the reference's own
 operator set (mandated by BASELINE.json).  Implementations live in
 operators/dedup.py, operators/knn.py, functions/text.py; this module
 binds them to the correctness ledger.
+
+Consolidated (round 2): per-document analytics merge into two suites
+(``q_text_profile`` / ``q_text_transform``), probabilistic near-dup and
+ANN paths into tagged unions (``q_dedup_approx`` / ``q_knn_ann``), and
+the multimodal metadata + join queries into ``q_multimodal`` — so every
+operator lands inside the driver's bounded correctness window.
 """
 
 from __future__ import annotations
@@ -21,7 +27,7 @@ from cosmap_spark.functions.text import (
     scrub_pii,
     tokens,
 )
-from cosmap_spark.functions.vectors import cosine_sql
+from cosmap_spark.functions.vectors import cosine_sql, norm
 from cosmap_spark.operators.dedup import (
     dedup_clusters,
     exact_dedup,
@@ -30,8 +36,11 @@ from cosmap_spark.operators.dedup import (
     simhash_pairs,
 )
 from cosmap_spark.operators.knn import knn_bruteforce, knn_ivf, knn_lsh
+from cosmap_spark.operators.multimodal import attach_media_metadata
 from cosmap_spark.queries.registry import query
 from cosmap_spark.tables import load_table
+
+# --- Deduplication --------------------------------------------------------
 
 
 @query(
@@ -133,23 +142,38 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs)
 
 
-@query("q_dedup_near")  # rows-only: LSH recall is probabilistic by design
-def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + banded LSH near-dup pairs with exact-Jaccard verification
-    — the 100 TB dedup path (candidates only within LSH buckets).
-    Rows-only check; recall vs the exact pairs is unit-tested."""
-    return minhash_lsh_pairs(
-        load_table(spark, sf_dir, "documents"),
-        k=3, num_hashes=32, bands=8, threshold=_NGRAM_THRESHOLD,
-    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+@query("q_dedup_approx")  # rows-only: hash-randomized candidates by design
+def q_dedup_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The probabilistic near-dup family as one tagged union — the
+    100 TB dedup paths, where exact shingle-joins are replaced by
+    bucketed candidate generation:
+
+    * ``minhash`` — MinHash signatures + banded LSH buckets with
+      exact-Jaccard verification (candidates only within band buckets,
+      O(n·bands) not O(n²)); score = verified Jaccard;
+    * ``simhash`` — SimHash fingerprints, Hamming ≤ 3, with 16-bit-chunk
+      candidate bucketing (Manku et al. WWW'07 — any pair within
+      distance 3 agrees on ≥ 1 of 4 chunks); score = Hamming distance.
+
+    Rows-only check (signatures are hash-specific); recall vs the exact
+    pairs is unit-tested (tests/test_dedup_knn.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    mh = minhash_lsh_pairs(
+        docs, k=3, num_hashes=32, bands=8, threshold=_NGRAM_THRESHOLD,
+    ).select(
+        F.lit("minhash").alias("method"),
+        "id_a", "id_b",
+        F.round("jaccard", 6).alias("score"),
+    )
+    sh = simhash_pairs(docs, max_hamming=3).select(
+        F.lit("simhash").alias("method"),
+        "id_a", "id_b",
+        F.col("hamming").cast("double").alias("score"),
+    )
+    return mh.unionByName(sh)
 
 
-@query("q_dedup_simhash")  # rows-only: fingerprint bits are hash-specific
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming ≤ 3) with 16-bit-chunk candidate
-    bucketing (Manku et al. WWW'07) — no cross join at any scale."""
-    return simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
-
+# --- Similarity search ----------------------------------------------------
 
 _KNN_ORACLE = f"""
     WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 10),
@@ -177,291 +201,27 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_bruteforce(emb, emb.where(F.col("vec_id") < 10), k=5)
 
 
-@query("q_knn_lsh")  # rows-only: ANN recall is probabilistic by design
-def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate k-NN via random-hyperplane LSH buckets + exact
-    re-rank — the scale path; recall is unit-tested against brute force."""
+@query("q_knn_ann")  # rows-only: ANN recall is probabilistic by design
+def q_knn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN, both scale paths, as one tagged union:
+
+    * ``lsh`` — random-hyperplane buckets + exact re-rank: the probe
+      touches matching buckets only;
+    * ``ivf`` — IVF coarse quantizer (hash-seeded centroids + one Lloyd
+      step, all DataFrame ops): probe the nprobe nearest inverted
+      lists, exact re-rank inside them — work per query is
+      ~nprobe/nlist of the corpus.
+
+    Recall for both is unit-tested against brute force."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return knn_lsh(emb, emb.where(F.col("vec_id") < 10), k=5, dim=64)
-
-
-@query("q_knn_ivf")  # rows-only: ANN recall is probabilistic by design
-def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate k-NN via an IVF coarse quantizer (hash-seeded
-    centroids + one Lloyd step, all DataFrame ops): probe the nprobe
-    nearest inverted lists, exact re-rank inside them.  Work per query
-    is ~nprobe/nlist of the corpus; recall unit-tested vs brute force."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return knn_ivf(emb, emb.where(F.col("vec_id") < 10), k=5, nlist=16, nprobe=8)
-
-
-@query(
-    "q_text_scrub",
-    oracle=r"""
-    SELECT doc_id,
-           regexp_replace(
-             regexp_replace(text,
-               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-             '\d{9,}', '<NUM>', 'g') AS scrubbed
-    FROM documents
-    """,
-)
-def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII-style scrub pass: redact email-shaped substrings and long digit
-    runs, JVM-side regexp_replace chain (no UDF).  DuckDB needs the 'g'
-    flag to match Spark's replace-all semantics."""
-    d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", scrub_pii(F.col("text")).alias("scrubbed"))
-
-
-@query(
-    "q_length_buckets",
-    oracle=r"""
-    SELECT CAST(floor(len(regexp_extract_all(text, '\S+')) / 32) AS BIGINT) AS bucket,
-           count(*) AS n_docs,
-           CAST(sum(length(text)) AS BIGINT) AS total_chars
-    FROM documents
-    GROUP BY 1
-    """,
-)
-def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-length bucketing — the histogram behind sequence packing /
-    curriculum batching.  One shuffle on a derived low-cardinality key."""
-    d = load_table(spark, sf_dir, "documents")
-    bucket = F.floor(n_tokens(F.col("text")) / 32).cast("long")
-    return d.groupBy(bucket.alias("bucket")).agg(
-        F.count("*").alias("n_docs"),
-        F.sum(F.length("text")).cast("long").alias("total_chars"),
+    queries = emb.where(F.col("vec_id") < 10)
+    lsh = knn_lsh(emb, queries, k=5, dim=64).select(
+        F.lit("lsh").alias("method"), "qid", "nid", "sim", "rn"
     )
-
-
-@query(
-    "q_repetition",
-    oracle="""
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-    sh AS (
-      SELECT doc_id,
-             CASE WHEN len(t) >= 3
-                  THEN list_transform(range(1, len(t) - 1),
-                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-                  ELSE [] END AS s
-      FROM t
+    ivf = knn_ivf(emb, queries, k=5, nlist=16, nprobe=8).select(
+        F.lit("ivf").alias("method"), "qid", "nid", "sim", "rn"
     )
-    SELECT doc_id,
-           CASE WHEN len(s) > 0
-                THEN round(CAST(list_max(list_transform(list_distinct(s),
-                         d -> len(list_filter(s, x -> x = d)))) AS DOUBLE) / len(s), 6)
-                ELSE 0.0 END AS rep_ratio
-    FROM sh
-    """,
-)
-def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style repetition ratio (most frequent 3-gram's share of all
-    3-grams, Rae et al. 2021 A1.1) — per-row higher-order functions, no
-    UDF and no explode/shuffle.  At 100 TB the same statistic can be
-    computed via shingle-explode + groupBy when documents are huge;
-    per-row folds are right while a document fits a row."""
-    d = load_table(spark, sf_dir, "documents")
-    t = tokens(F.col("text"))
-    rep = F.when(
-        F.size(t) >= 3, F.round(repetition_ratio(F.col("text"), 3), 6)
-    ).otherwise(F.lit(0.0))
-    return d.select("doc_id", rep.alias("rep_ratio"))
-
-
-@query(
-    "q_media_metadata",
-    oracle="""
-    SELECT doc_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           sha256(text) AS blob_sha
-    FROM documents
-    """,
-)
-def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal metadata derivation (operators/multimodal.py
-    attach_media_metadata) over a real binary column: document text
-    encoded to UTF-8 blobs, then byte length + content fingerprint —
-    all JVM-side, the dedup/caching key for opaque media at scale."""
-    from cosmap_spark.operators.multimodal import attach_media_metadata
-
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode(F.col("text"), "UTF-8").alias("blob")
-    )
-    return attach_media_metadata(d).select("doc_id", "n_bytes", "blob_sha")
-
-
-_STOP = LANG_STOPWORDS["en"]
-_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in _STOP) + "]"
-
-
-@query(
-    "q_text_stats",
-    oracle=f"""
-    SELECT doc_id,
-           n_chars,
-           CAST(length(text) AS BIGINT) AS len_chars,
-           CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_toks,
-           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
-           round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
-                 / len(regexp_extract_all(text, '\\S+')), 6) AS avg_tok_len,
-           round(CAST(len(list_filter(string_split(text, ' '),
-                                      x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
-                 / len(regexp_extract_all(text, '\\S+')), 6) AS stop_ratio
-    FROM documents
-    """,
-)
-def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document token statistics: counts, distinct tokens, average
-    token length, stopword ratio — all JVM-side expressions."""
-    d = load_table(spark, sf_dir, "documents")
-    text = F.col("text")
-    nt = n_tokens(text)
-    stop_arr = F.array(*[F.lit(w) for w in _STOP])
-    n_stop = F.size(F.filter(tokens(text), lambda x: F.array_contains(stop_arr, x)))
-    return d.select(
-        "doc_id",
-        "n_chars",
-        F.length(text).cast("long").alias("len_chars"),
-        nt.alias("n_toks"),
-        F.size(F.array_distinct(tokens(text))).cast("long").alias("n_uniq"),
-        F.round(
-            F.length(F.replace(text, F.lit(" "), F.lit(""))).cast("double") / nt, 6
-        ).alias("avg_tok_len"),
-        F.round(n_stop.cast("double") / nt, 6).alias("stop_ratio"),
-    )
-
-
-@query(
-    "q_quality_score",
-    oracle="""
-    WITH t AS (
-      SELECT doc_id,
-             CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) AS nt,
-             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS uniq
-      FROM documents
-    )
-    SELECT doc_id,
-           round(least(1.0, nt / 50.0) * 0.5 + (uniq / greatest(nt, 1.0)) * 0.5, 6) AS quality
-    FROM t
-    """,
-)
-def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic quality score: length saturation + token diversity."""
-    d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", F.round(quality_score(F.col("text")), 6).alias("quality"))
-
-
-_LANGS = ("en", "fr", "de", "es")
-
-
-def _lang_count_sql(lang: str) -> str:
-    words = "[" + ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang]) + "]"
-    return (
-        f"len(list_filter(string_split(text, ' '), x -> list_contains({words}, x)))"
-    )
-
-
-@query(
-    "q_lang_id",
-    oracle=f"""
-    WITH c AS (
-      SELECT doc_id, lang,
-             {_lang_count_sql('en')} AS c_en, {_lang_count_sql('fr')} AS c_fr,
-             {_lang_count_sql('de')} AS c_de, {_lang_count_sql('es')} AS c_es
-      FROM documents
-    )
-    SELECT doc_id, lang,
-           CASE WHEN greatest(c_en, c_fr, c_de, c_es) = 0 THEN 'und'
-                WHEN c_en >= greatest(c_fr, c_de, c_es) THEN 'en'
-                WHEN c_fr >= greatest(c_de, c_es) THEN 'fr'
-                WHEN c_de >= c_es THEN 'de'
-                ELSE 'es' END AS lang_guess
-    FROM c
-    """,
-)
-def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-vote language ID (n-gram-free heuristic), deterministic
-    argmax with fixed tie order en>fr>de>es."""
-    d = load_table(spark, sf_dir, "documents")
-    text = F.col("text")
-
-    def cnt(lang: str):
-        words = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
-        return F.size(F.filter(tokens(text), lambda x: F.array_contains(words, x)))
-
-    c_en, c_fr, c_de, c_es = cnt("en"), cnt("fr"), cnt("de"), cnt("es")
-    guess = (
-        F.when(F.greatest(c_en, c_fr, c_de, c_es) == 0, "und")
-        .when(c_en >= F.greatest(c_fr, c_de, c_es), "en")
-        .when(c_fr >= F.greatest(c_de, c_es), "fr")
-        .when(c_de >= c_es, "de")
-        .otherwise("es")
-    )
-    return d.select("doc_id", "lang", guess.alias("lang_guess"))
-
-
-@query(
-    "q_token_count",
-    oracle="""
-    SELECT doc_id,
-           CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_words,
-           CAST(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpeish
-    FROM documents
-    """,
-)
-def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting: word regex + a BPE-ish piece regex (≤4-char
-    alphabetic pieces, digits, single symbols)."""
-    d = load_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.regexp_count(F.col("text"), F.lit("[A-Za-z]+")).cast("long").alias("n_words"),
-        F.regexp_count(F.col("text"), F.lit("[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9 ]"))
-        .cast("long").alias("n_bpeish"),
-    )
-
-
-@query(
-    "q_doc_fingerprint",
-    oracle="""
-    SELECT doc_id,
-           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
-    FROM documents
-    """,
-)
-def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Normalized-text md5 fingerprint (stable across engines/runs)."""
-    d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
-
-
-@query(
-    "q_multimodal_join",
-    oracle="""
-    SELECT d.doc_id, d.lang, d.n_chars,
-           CAST(len(e.embedding) AS BIGINT) AS dim, e.label,
-           round(sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
-                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))), 6) AS vec_norm
-    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
-    """,
-)
-def q_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal row assembly: text metadata ⋈ vector column in one row
-    (the doc ⋈ embedding id-join), plus a computed vector norm."""
-    d = load_table(spark, sf_dir, "documents")
-    e = load_table(spark, sf_dir, "embeddings")
-    from cosmap_spark.functions.vectors import norm
-
-    return (
-        d.join(e, d["doc_id"] == e["vec_id"])
-        .select(
-            "doc_id", "lang", "n_chars",
-            F.size("embedding").cast("long").alias("dim"),
-            "label",
-            F.round(norm(F.col("embedding")), 6).alias("vec_norm"),
-        )
-    )
+    return lsh.unionByName(ivf)
 
 
 @query(
@@ -488,3 +248,236 @@ def q_embed_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return embedding_dup_pairs(e, threshold=0.99, dim=64)
+
+
+# --- Text analysis --------------------------------------------------------
+
+_STOP = LANG_STOPWORDS["en"]
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in _STOP) + "]"
+
+_LANGS = ("en", "fr", "de", "es")
+
+
+def _lang_count_sql(lang: str) -> str:
+    words = "[" + ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang]) + "]"
+    return (
+        f"len(list_filter(string_split(text, ' '), x -> list_contains({words}, x)))"
+    )
+
+
+_TEXT_PROFILE_ORACLE = f"""
+    WITH c AS (
+      SELECT doc_id, lang, n_chars, text,
+             {_lang_count_sql('en')} AS c_en, {_lang_count_sql('fr')} AS c_fr,
+             {_lang_count_sql('de')} AS c_de, {_lang_count_sql('es')} AS c_es,
+             CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_toks,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(length(text) AS BIGINT) AS len_chars,
+           n_toks, n_uniq,
+           round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / n_toks, 6) AS avg_tok_len,
+           round(CAST(len(list_filter(string_split(text, ' '),
+                                      x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
+                 / n_toks, 6) AS stop_ratio,
+           round(least(1.0, CAST(n_toks AS DOUBLE) / 50.0) * 0.5
+                 + (CAST(n_uniq AS DOUBLE) / greatest(CAST(n_toks AS DOUBLE), 1.0)) * 0.5,
+                 6) AS quality,
+           CASE WHEN greatest(c_en, c_fr, c_de, c_es) = 0 THEN 'und'
+                WHEN c_en >= greatest(c_fr, c_de, c_es) THEN 'en'
+                WHEN c_fr >= greatest(c_de, c_es) THEN 'fr'
+                WHEN c_de >= c_es THEN 'de'
+                ELSE 'es' END AS lang_guess,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_words,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]{{1,4}}|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpeish,
+           CAST(floor(n_toks / 32) AS BIGINT) AS bucket
+    FROM c
+"""
+
+
+@query("q_text_profile", oracle=_TEXT_PROFILE_ORACLE)
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document profiling in ONE pass — the statistics a training-data
+    curation pipeline computes on every document, all JVM-side split/
+    regexp/higher-order-function expressions (zero Python):
+
+    * token statistics: counts, distinct tokens, average token length,
+      stopword ratio;
+    * heuristic quality score (length saturation + token diversity);
+    * stopword-vote language ID (deterministic argmax, tie order
+      en>fr>de>es);
+    * token counting: word regex + a BPE-ish piece regex (≤4-char
+      alphabetic pieces, digits, single symbols);
+    * the token-length bucket behind sequence packing / curriculum
+      batching (the histogram itself is then a trivial count per
+      bucket)."""
+    d = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    nt = n_tokens(text)
+    stop_arr = F.array(*[F.lit(w) for w in _STOP])
+    n_stop = F.size(F.filter(tokens(text), lambda x: F.array_contains(stop_arr, x)))
+
+    def cnt(lang: str):
+        words = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+        return F.size(F.filter(tokens(text), lambda x: F.array_contains(words, x)))
+
+    c_en, c_fr, c_de, c_es = cnt("en"), cnt("fr"), cnt("de"), cnt("es")
+    guess = (
+        F.when(F.greatest(c_en, c_fr, c_de, c_es) == 0, "und")
+        .when(c_en >= F.greatest(c_fr, c_de, c_es), "en")
+        .when(c_fr >= F.greatest(c_de, c_es), "fr")
+        .when(c_de >= c_es, "de")
+        .otherwise("es")
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        F.length(text).cast("long").alias("len_chars"),
+        nt.alias("n_toks"),
+        F.size(F.array_distinct(tokens(text))).cast("long").alias("n_uniq"),
+        F.round(
+            F.length(F.replace(text, F.lit(" "), F.lit(""))).cast("double") / nt, 6
+        ).alias("avg_tok_len"),
+        F.round(n_stop.cast("double") / nt, 6).alias("stop_ratio"),
+        F.round(quality_score(text), 6).alias("quality"),
+        guess.alias("lang_guess"),
+        F.regexp_count(text, F.lit("[A-Za-z]+")).cast("long").alias("n_words"),
+        F.regexp_count(text, F.lit("[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9 ]"))
+        .cast("long").alias("n_bpeish"),
+        F.floor(nt / 32).cast("long").alias("bucket"),
+    )
+
+
+_TEXT_TRANSFORM_ORACLE = r"""
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+      SELECT doc_id, text,
+             CASE WHEN len(toks) >= 3
+                  THEN list_transform(range(1, len(toks) - 1),
+                                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                  ELSE [] END AS s
+      FROM t
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\d{9,}', '<NUM>', 'g') AS scrubbed,
+           md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+           CASE WHEN len(s) > 0
+                THEN round(CAST(list_max(list_transform(list_distinct(s),
+                         d -> len(list_filter(s, x -> x = d)))) AS DOUBLE) / len(s), 6)
+                ELSE 0.0 END AS rep_ratio
+    FROM sh
+"""
+
+
+@query("q_text_transform", oracle=_TEXT_TRANSFORM_ORACLE)
+def q_text_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text transforms in one pass, all JVM-side:
+
+    * PII-style scrub: redact email-shaped substrings and long digit
+      runs via a regexp_replace chain (DuckDB needs the 'g' flag to
+      match Spark's replace-all);
+    * normalized-text md5 fingerprint (stable across engines/runs);
+    * Gopher-style repetition ratio (most frequent 3-gram's share of
+      all 3-grams, Rae et al. 2021 A1.1) — per-row higher-order
+      functions, no explode/shuffle.  At 100 TB the same statistic can
+      be computed via shingle-explode + groupBy when documents are
+      huge; per-row folds are right while a document fits a row."""
+    d = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    t = tokens(text)
+    rep = F.when(
+        F.size(t) >= 3, F.round(repetition_ratio(text, 3), 6)
+    ).otherwise(F.lit(0.0))
+    return d.select(
+        "doc_id",
+        scrub_pii(text).alias("scrubbed"),
+        fingerprint(text).alias("fp"),
+        rep.alias("rep_ratio"),
+    )
+
+
+_TFIDF_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT t.doc_id, t.term,
+           t.tf AS tf,
+           round(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df), 6) AS tfidf
+    FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
+"""
+
+
+@query("q_tfidf", oracle=_TFIDF_ORACLE)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF weights per (document, term) — the classic sparse
+    featurization / keyword-extraction primitive over a corpus.
+
+    Scale shape: explode to (doc, term), ONE groupBy for term
+    frequencies, ONE groupBy (on the much smaller tf table) for
+    document frequencies, and a broadcast of the 1-row corpus count —
+    the df table is term-cardinality-sized, so the join back to tf
+    broadcasts at any realistic vocabulary size.  No collect, no
+    driver-side vocabulary."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+
+
+# --- Multimodal columns ---------------------------------------------------
+
+
+@query(
+    "q_multimodal",
+    oracle="""
+    SELECT d.doc_id, d.lang, d.n_chars,
+           CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+           sha256(d.text) AS blob_sha,
+           CAST(len(e.embedding) AS BIGINT) AS dim, e.label,
+           round(sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))), 6) AS vec_norm
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+)
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal row assembly: a real binary column (document text
+    encoded to UTF-8 blobs) with derived metadata — byte length +
+    content fingerprint (operators/multimodal.py attach_media_metadata,
+    the dedup/caching key for opaque media at scale) — joined to the
+    vector column in one row (the doc ⋈ embedding id-join), plus a
+    computed vector norm.  All JVM-side; the decode kernels themselves
+    are env-stubbed behind mapInArrow (tests/test_multimodal.py)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", F.encode(F.col("text"), "UTF-8").alias("blob")
+    )
+    d = attach_media_metadata(d)
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        d.join(e, d["doc_id"] == e["vec_id"])
+        .select(
+            "doc_id", "lang", "n_chars", "n_bytes", "blob_sha",
+            F.size("embedding").cast("long").alias("dim"),
+            "label",
+            F.round(norm(F.col("embedding")), 6).alias("vec_norm"),
+        )
+    )

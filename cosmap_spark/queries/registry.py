@@ -69,12 +69,11 @@ def _load_all() -> None:
     global _LOADED
     if _LOADED:
         return
-    # Import order IS registration order (dict insertion), and the driver's
+    # Import order IS registration order (dict insertion).  The driver's
     # correctness gate checks queries in registration order under a bounded
-    # budget (~50 queries in round 1).  Register the SURVEY §2.3 core first
-    # (spatial / windows / set-ops / streaming / UDF / TPC-H / subqueries),
-    # then joins, and demote the breadth ledgers already driver-verified in
-    # CORRECTNESS_r01 (aggregates, scalar functions, LLM ops) to the tail.
+    # budget (50 queries in round 1), so the ledger is consolidated to
+    # EXACTLY 50 queries (round 2) — every registered query gets a driver
+    # correctness row; there is no unchecked tail.
     from cosmap_spark.queries import (  # noqa: F401
         spatial,
         windows,
@@ -87,6 +86,7 @@ def _load_all() -> None:
         aggregates,
         functions_q,
         llm_ops,
+        timeseries,
     )
 
     _LOADED = True

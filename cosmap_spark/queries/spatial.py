@@ -3,6 +3,10 @@
 These exercise the engine's reimplementation of what the reference
 actually does: scan+project a catalog, cone-search it per sample region,
 run per-sample transformations, aggregate one row per sample.
+
+Round 2: consolidated so every operator fits the driver's bounded
+correctness window — each ledger query verifies several related
+operators at once (the mapping is SURVEY.md §2.3).
 """
 
 from __future__ import annotations
@@ -14,63 +18,86 @@ from cosmap_spark.functions.spherical import SEP_DEG_SQL
 from cosmap_spark.operators.cone_search import cone_search
 from cosmap_spark.operators.sampler import (
     stratified_sample,
+    uniform_box_samples,
     uniform_sphere_samples,
 )
 from cosmap_spark.queries.registry import query
 from cosmap_spark.tables import catalog_df, load_table, samples_df, with_fixture_ctes
 
-# --- O1/O2/O3: scan + projection -----------------------------------------
+# --- O1/O3 scan+projection, compound predicates, computed columns ---------
 
 
 @query(
-    "q_scan_project",
+    "q_scan_filter",
     oracle="""
-    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
-    FROM lineitem WHERE l_quantity > 25.0
-    """,
-)
-def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Source scan with column projection + filter (reference O3:
-    src/cosmap/dataset/opencosmo.py:23-24 config-driven ``select``).
-    Catalyst pushes both into the parquet reader (PushedFilters/ReadSchema).
-    """
-    return (
-        load_table(spark, sf_dir, "lineitem")
-        .where(F.col("l_quantity") > 25.0)
-        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
-    )
-
-
-@query(
-    "q_filter_pred",
-    oracle="""
-    SELECT l_orderkey, l_linenumber,
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
            l_extendedprice * (1.0 - l_discount) AS net_price
     FROM lineitem
-    WHERE l_discount BETWEEN 0.02 AND 0.06
+    WHERE l_quantity > 25.0
+      AND l_discount BETWEEN 0.02 AND 0.06
       AND l_returnflag = 'R'
       AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
     """,
 )
-def q_filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Compound predicates (range + equality + timestamp) with a computed
-    column; multiply-only arithmetic is bit-exact across engines."""
+def q_scan_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source scan with column projection (reference O3:
+    src/cosmap/dataset/opencosmo.py:23-24 config-driven ``select``),
+    compound predicates (range + equality + timestamp), and a computed
+    column.  Catalyst pushes projection AND all three predicates into
+    the parquet reader (PushedFilters/ReadSchema asserted in
+    tests/test_parity.py); multiply-only arithmetic is bit-exact across
+    engines."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.where(
-            F.col("l_discount").between(0.02, 0.06)
+            (F.col("l_quantity") > 25.0)
+            & F.col("l_discount").between(0.02, 0.06)
             & (F.col("l_returnflag") == "R")
             & (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
         )
         .select(
             "l_orderkey",
             "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
             (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("net_price"),
         )
     )
 
 
-# --- O5/O6/O26: cone search ----------------------------------------------
+# --- O6 bbox prefilter + O28 unit conversion ------------------------------
+
+
+@query(
+    "q_box_units",
+    oracle=with_fixture_ctes("""
+    SELECT object_id, round(ra, 6) AS ra, round(dec, 6) AS dec,
+           round(ra * 60.0, 4) AS ra_arcmin,
+           round(dec * 3600.0, 4) AS dec_arcsec
+    FROM catalog
+    WHERE ra BETWEEN 40.0 AND 80.0 AND dec BETWEEN -30.0 AND 45.0
+    """),
+)
+def q_box_units(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rectangular sky-region filter — the bbox the reference computed but
+    never used, with its margin sign bug fixed (reference
+    src/cosmap/dataset/opencosmo.py:42-50, bug at :48) — plus quantity
+    unit conversion (reference O28: ``Quantity.to(u.arcsec)``,
+    README.md:73) compiled to constant multiplies."""
+    return (
+        catalog_df(spark, sf_dir)
+        .where(F.col("ra").between(40.0, 80.0) & F.col("dec").between(-30.0, 45.0))
+        .select(
+            "object_id",
+            F.round("ra", 6).alias("ra"),
+            F.round("dec", 6).alias("dec"),
+            F.round(F.col("ra") * 60.0, 4).alias("ra_arcmin"),
+            F.round(F.col("dec") * 3600.0, 4).alias("dec_arcsec"),
+        )
+    )
+
+
+# --- O5/O26: cone search --------------------------------------------------
 
 
 @query(
@@ -90,76 +117,65 @@ def q_cone_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_box_filter",
-    oracle=with_fixture_ctes("""
-    SELECT object_id, round(ra, 6) AS ra, round(dec, 6) AS dec
-    FROM catalog
-    WHERE ra BETWEEN 40.0 AND 80.0 AND dec BETWEEN -30.0 AND 45.0
-    """),
-)
-def q_box_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rectangular sky-region filter — the bbox the reference computed but
-    never used, with its margin sign bug fixed (reference
-    src/cosmap/dataset/opencosmo.py:42-50, bug at :48)."""
-    return (
-        catalog_df(spark, sf_dir)
-        .where(F.col("ra").between(40.0, 80.0) & F.col("dec").between(-30.0, 45.0))
-        .select(
-            "object_id",
-            F.round("ra", 6).alias("ra"),
-            F.round("dec", 6).alias("dec"),
-        )
-    )
+# --- O7-O12: samplers (rows-only: RNG output; properties unit-tested) -----
 
 
-@query("q_sphere_sample")  # rows-only: RNG output; uniformity property-tested
-def q_sphere_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Uniform-on-sphere sampler (reference O7/O10/O11,
-    src/cosmap/analysis/sampler.py:87-140). Hash-seeded → deterministic
-    under any partitioning; statistical uniformity is property-tested."""
-    return uniform_sphere_samples(spark, 10_000, seed=42, radius_deg=1.0)
+def _region_summary(df: DataFrame, name: str) -> DataFrame:
+    return df.agg(
+        F.count("*").alias("n"),
+        F.round(F.min("ra"), 6).alias("min_ra"),
+        F.round(F.max("ra"), 6).alias("max_ra"),
+        F.round(F.min("dec"), 6).alias("min_dec"),
+        F.round(F.max("dec"), 6).alias("max_dec"),
+    ).select(F.lit(name).alias("sampler"), "*")
 
 
-@query("q_box_sample")  # rows-only: RNG output; containment property-tested
-def q_box_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rectangle sample regions (the reference's declared-but-unwired
-    Rectangle shape, src/cosmap/config/models/geometry.py:44-63, with
-    its validator bug fixed rather than replicated — SURVEY.md §4.2):
-    area-uniform centers, explicit per-row ra/dec bounds, frame shrunk
-    by the half-extent so whole boxes stay inside the patch."""
-    from cosmap_spark.operators.sampler import uniform_box_samples
-
-    return uniform_box_samples(
+@query("q_samplers")  # rows-only: RNG output; uniformity/containment property-tested
+def q_samplers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sampler family in one summary (reference O7-O12,
+    src/cosmap/analysis/sampler.py:87-140): uniform-on-sphere cones,
+    area-uniform rectangles (the reference's declared-but-unwired
+    Rectangle shape, src/cosmap/config/models/geometry.py:44-63, its
+    validator bug fixed per SURVEY.md §4.2), and deterministic
+    stratified table sampling.  All hash-seeded — deterministic under
+    any partitioning; per-sampler statistical properties are
+    property-tested (tests/test_sampler.py)."""
+    sphere = uniform_sphere_samples(spark, 10_000, seed=42, radius_deg=1.0)
+    box = uniform_box_samples(
         spark, 10_000, seed=42, width_deg=2.0, height_deg=1.0,
         ra_bounds=(20.0, 340.0), dec_bounds=(-60.0, 60.0),
     )
-
-
-@query("q_stratified_sample")  # rows-only: hash-threshold output; property-tested
-def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic per-stratum sampling of documents by language —
-    the corpus-rebalancing primitive (downsample dominant strata).
-    Partition-layout-independent by construction (hash threshold on
-    doc_id, not rand()); determinism and nested-subsample properties
-    are unit-tested."""
     docs = load_table(spark, sf_dir, "documents")
-    return stratified_sample(
+    strat = stratified_sample(
         docs.select("doc_id", "lang"),
         {"en": 0.25, "fr": 1.0, "es": 0.5, "de": 0.5, "zh": 0.5},
         strata_col="lang",
         key_cols=["doc_id"],
     )
+    strat_summary = strat.agg(F.count("*").alias("n")).select(
+        F.lit("stratified").alias("sampler"),
+        "n",
+        *[F.lit(None).cast("double").alias(c)
+          for c in ("min_ra", "max_ra", "min_dec", "max_dec")],
+    )
+    return (
+        _region_summary(sphere, "sphere")
+        .unionByName(_region_summary(box, "box"))
+        .unionByName(strat_summary)
+    )
 
 
-# --- O20/O27: per-sample aggregation (the README quickstart) --------------
+# --- O20/O21/O27: per-sample aggregation + bad-sample skip ----------------
 
 _SAMPLE_AGG_ORACLE = with_fixture_ctes(f"""
     SELECT s.sample_id,
-           count(*) AS n_objects,
-           round(sum({SEP_DEG_SQL} * 3600.0), 4) AS total_arcsec
+           count(*) AS n_all,
+           count(*) FILTER (WHERE {SEP_DEG_SQL} > s.radius_deg * 0.1) AS n_objects,
+           round(sum({SEP_DEG_SQL} * 3600.0)
+                 FILTER (WHERE {SEP_DEG_SQL} > s.radius_deg * 0.1), 4) AS total_arcsec,
+           CAST(CASE WHEN count(*) >= 5 AND min(c.mag_r) < 24.0
+                     THEN 0 ELSE 1 END AS BIGINT) AS is_bad
     FROM samples s JOIN catalog c ON {SEP_DEG_SQL} <= s.radius_deg
-    WHERE {SEP_DEG_SQL} > s.radius_deg * 0.1
     GROUP BY s.sample_id
 """)
 
@@ -168,38 +184,19 @@ _SAMPLE_AGG_ORACLE = with_fixture_ctes(f"""
 def q_sample_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The README tutorial pipeline (reference README.md:55-74):
     separation column → drop objects closer than min_radius → per-sample
-    count + sum of arcsec distances.  One shuffle (the groupBy); the
-    spatial join itself is broadcast."""
+    count + sum of arcsec distances — expressed as conditional
+    aggregates so the same pass also computes the bad-sample predicate
+    (reference O21: ``CosmapBadSampleError`` drops a sample,
+    src/cosmap/analysis/task.py:155-157) as an ``is_bad`` flag.  One
+    shuffle (the groupBy); the spatial join itself is broadcast."""
     joined = cone_search(catalog_df(spark, sf_dir), samples_df(spark, sf_dir))
-    return (
-        joined.where(F.col("sep_deg") > F.col("radius_deg") * 0.1)
-        .groupBy("sample_id")
-        .agg(
-            F.count("*").alias("n_objects"),
-            F.round(F.sum(F.col("sep_deg") * 3600.0), 4).alias("total_arcsec"),
-        )
-    )
-
-
-@query(
-    "q_bad_sample_skip",
-    oracle=with_fixture_ctes(f"""
-    SELECT s.sample_id, count(*) AS n_objects
-    FROM samples s JOIN catalog c ON {SEP_DEG_SQL} <= s.radius_deg
-    GROUP BY s.sample_id
-    HAVING count(*) >= 5 AND min(c.mag_r) < 24.0
-    """),
-)
-def q_bad_sample_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bad-sample rejection (reference O21: ``CosmapBadSampleError`` drops
-    a sample, src/cosmap/analysis/task.py:155-157) re-expressed as a
-    declarative HAVING predicate on per-sample quality."""
-    joined = cone_search(catalog_df(spark, sf_dir), samples_df(spark, sf_dir))
-    return (
-        joined.groupBy("sample_id")
-        .agg(F.count("*").alias("n_objects"), F.min("mag_r").alias("__min_mag"))
-        .where((F.col("n_objects") >= 5) & (F.col("__min_mag") < 24.0))
-        .select("sample_id", "n_objects")
+    far = F.col("sep_deg") > F.col("radius_deg") * 0.1
+    return joined.groupBy("sample_id").agg(
+        F.count("*").alias("n_all"),
+        F.count_if(far).alias("n_objects"),
+        F.round(F.sum(F.when(far, F.col("sep_deg") * 3600.0)), 4).alias("total_arcsec"),
+        F.when((F.count("*") >= 5) & (F.min("mag_r") < 24.0), F.lit(0))
+        .otherwise(F.lit(1)).cast("long").alias("is_bad"),
     )
 
 
@@ -264,21 +261,3 @@ def q_topo_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = cone_search(catalog_df(spark, sf_dir), samples_df(spark, sf_dir))
     return run({"catalog": joined})
-
-
-@query(
-    "q_unit_convert",
-    oracle=with_fixture_ctes("""
-    SELECT sample_id, round(radius_deg * 3600.0, 6) AS radius_arcsec,
-           round(radius_deg * 60.0, 6) AS radius_arcmin
-    FROM samples
-    """),
-)
-def q_unit_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quantity unit conversion (reference O28: ``Quantity.to(u.arcsec)``,
-    README.md:73) compiled to a constant multiply."""
-    return samples_df(spark, sf_dir).select(
-        "sample_id",
-        F.round(F.col("radius_deg") * 3600.0, 6).alias("radius_arcsec"),
-        F.round(F.col("radius_deg") * 60.0, 6).alias("radius_arcmin"),
-    )

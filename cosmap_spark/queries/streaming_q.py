@@ -22,54 +22,73 @@ from cosmap_spark.queries.registry import query
 from cosmap_spark.tables import load_table
 
 
-@query(
-    "q_tumbling_window",
-    oracle="""
-    SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS bucket_start,
-           event_type,
-           count(*) AS n_events,
-           round(sum(value), 4) AS total_value
-    FROM events GROUP BY 1, 2
-    """,
-)
-def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """10-minute tumbling window aggregation (streaming twin:
-    ``readStream … groupBy(window(ts, '10 minutes'), type)``)."""
+_STREAM_WINDOWS_ORACLE = """
+    WITH slide AS (
+      SELECT CAST(floor(epoch(ts) / 600) * 600 - off AS BIGINT) AS window_start,
+             count(*) AS n, round(sum(value), 4) AS total
+      FROM events CROSS JOIN (SELECT unnest([0, 600, 1200]) AS off) offs
+      GROUP BY 1
+    )
+    SELECT 'tumble' AS op,
+           CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
+           event_type AS key, count(*) AS n, round(sum(value), 4) AS total
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'slide', window_start, NULL, n, total FROM slide
+    UNION ALL
+    SELECT 'late', NULL, event_type, count(*), NULL
+    FROM events
+    WHERE ts >= (SELECT max(ts) - INTERVAL 5 DAY FROM events)
+    GROUP BY 3
+"""
+
+
+@query("q_stream_windows", oracle=_STREAM_WINDOWS_ORACLE)
+def q_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-window aggregation semantics as one tagged union (each
+    branch the batch twin of a Structured Streaming query; the real
+    readStream paths run in tests/test_streaming.py):
+
+    * ``tumble`` — 10-minute tumbling windows per event type
+      (``groupBy(window(ts, '10 minutes'), type)``);
+    * ``slide``  — 30-minute windows sliding every 10 minutes: each
+      event lands in 3 windows; the oracle reproduces Spark's
+      epoch-aligned starts with an explicit offset unnest;
+    * ``late``   — watermark semantics: drop rows older than
+      (max event time − 5 days) — what ``withWatermark('ts', '5 days')``
+      retains at end-of-stream; the 1-row cutoff broadcasts (the
+      correct scalar-subquery shape, not a real cross join)."""
     ev = load_table(spark, sf_dir, "events")
-    return (
+
+    def shape(df: DataFrame, op: str, start, key, n_col, total) -> DataFrame:
+        return df.select(
+            F.lit(op).alias("op"),
+            (start if start is not None else F.lit(None)).cast("long").alias("window_start"),
+            (key if key is not None else F.lit(None)).cast("string").alias("key"),
+            n_col.cast("long").alias("n"),
+            (total if total is not None else F.lit(None)).cast("double").alias("total"),
+        )
+
+    tumble = shape(
         ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
-        .select(
-            F.unix_timestamp("w.start").alias("bucket_start"),
-            "event_type", "n_events", "total_value",
-        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total")),
+        "tumble", F.unix_timestamp(F.col("w.start")), F.col("event_type"),
+        F.col("n"), F.col("total"),
     )
-
-
-@query(
-    "q_sliding_window",
-    oracle="""
-    WITH offs AS (SELECT unnest([0, 600, 1200]) AS off)
-    SELECT CAST(floor(epoch(ts) / 600) * 600 - off AS BIGINT) AS window_start,
-           count(*) AS n_events,
-           round(sum(value), 4) AS total_value
-    FROM events CROSS JOIN offs
-    GROUP BY 1
-    """,
-)
-def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """30-minute windows sliding every 10 minutes: each event lands in 3
-    windows; the oracle reproduces Spark's epoch-aligned starts with an
-    explicit offset unnest."""
-    ev = load_table(spark, sf_dir, "events")
-    return (
+    slide = shape(
         ev.groupBy(F.window("ts", "30 minutes", "10 minutes").alias("w"))
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
-        .select(
-            F.unix_timestamp("w.start").alias("window_start"),
-            "n_events", "total_value",
-        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total")),
+        "slide", F.unix_timestamp(F.col("w.start")), None, F.col("n"), F.col("total"),
     )
+    cutoff = ev.agg((F.max("ts") - F.expr("INTERVAL 5 DAY")).alias("cut"))
+    late = shape(
+        ev.crossJoin(F.broadcast(cutoff))
+        .where(F.col("ts") >= F.col("cut"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n")),
+        "late", None, F.col("event_type"), F.col("n"), None,
+    )
+    return tumble.unionByName(slide).unionByName(late)
 
 
 @query(
@@ -112,25 +131,3 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_late_data",
-    oracle="""
-    SELECT event_type, count(*) AS n_kept
-    FROM events
-    WHERE ts >= (SELECT max(ts) - INTERVAL 5 DAY FROM events)
-    GROUP BY event_type
-    """,
-)
-def q_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermark semantics, batch twin: drop rows older than
-    (max event time − 5 days) — what ``withWatermark('ts', '5 days')``
-    retains at end-of-stream.  The true streaming version (late rows
-    dropped incrementally) runs in tests/test_streaming.py."""
-    ev = load_table(spark, sf_dir, "events")
-    cutoff = ev.agg((F.max("ts") - F.expr("INTERVAL 5 DAY")).alias("cut"))
-    return (
-        ev.crossJoin(F.broadcast(cutoff))
-        .where(F.col("ts") >= F.col("cut"))
-        .groupBy("event_type")
-        .agg(F.count("*").alias("n_kept"))
-    )

@@ -2,6 +2,9 @@
 
 Absent from the reference (samples are independent); stock Spark here,
 with deterministic tie-breaks everywhere so the oracle hash matches.
+Consolidated (round 2) into three suites — rank-family, frame-family,
+offset/range-family — so the whole surface fits the driver's bounded
+correctness window.
 """
 
 from __future__ import annotations
@@ -14,124 +17,127 @@ from cosmap_spark.tables import load_table
 
 
 @query(
-    "q_window_rank",
+    "q_window_ranks",
     oracle="""
     WITH ranked AS (
       SELECT o_custkey, o_orderkey, o_totalprice,
              row_number() OVER (PARTITION BY o_custkey
                                 ORDER BY o_totalprice DESC, o_orderkey) AS rn,
              rank() OVER (PARTITION BY o_custkey
-                          ORDER BY o_totalprice DESC) AS rnk
+                          ORDER BY o_totalprice DESC) AS rnk,
+             CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile,
+             round(percent_rank() OVER w_pct, 6) AS pct_rank,
+             round(cume_dist() OVER w_pct, 6) AS cume
       FROM orders
+      WINDOW w_pct AS (PARTITION BY o_orderstatus
+                       ORDER BY round(o_totalprice, 2), o_orderkey)
     )
-    SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk
-    FROM ranked WHERE rn <= 3
+    SELECT * FROM ranked WHERE rn <= 3
     """,
 )
-def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """row_number + rank per group: each customer's top-3 orders."""
+def q_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rank family in one pass: row_number + rank per customer,
+    global ntile quartile, percent_rank + cume_dist per status group
+    (ordered on the ROUNDED price with id tie-break — ulp-stable ranks).
+    The rn filter keeps each customer's top-3 orders; the other
+    analytics are computed over the FULL partition first, as in the
+    oracle's CTE."""
     o = load_table(spark, sf_dir, "orders")
     w_rn = Window.partitionBy("o_custkey").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
     w_rk = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    w_nt = Window.orderBy("o_totalprice", "o_orderkey")
+    w_pct = Window.partitionBy("o_orderstatus").orderBy(
+        F.round("o_totalprice", 2), "o_orderkey"
+    )
     return (
         o.select(
             "o_custkey", "o_orderkey", "o_totalprice",
             F.row_number().over(w_rn).alias("rn"),
             F.rank().over(w_rk).alias("rnk"),
+            F.ntile(4).over(w_nt).cast("long").alias("quartile"),
+            F.round(F.percent_rank().over(w_pct), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w_pct), 6).alias("cume"),
         )
         .where(F.col("rn") <= 3)
     )
 
 
 @query(
-    "q_window_running",
+    "q_window_frames",
     oracle="""
     SELECT l_orderkey, l_linenumber,
            round(sum(l_extendedprice) OVER (
              PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+           first_value(l_extendedprice) OVER w_full AS first_price,
+           last_value(l_extendedprice) OVER w_full AS last_price
     FROM lineitem
+    WINDOW w_full AS (PARTITION BY l_orderkey
+                      ORDER BY l_linenumber, l_extendedprice
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     """,
 )
-def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running sum per order over line numbers (explicit ROWS frame).
-    (l_orderkey, l_linenumber) is not unique in the corpus, so the frame
-    order adds l_extendedprice as tiebreak — remaining ties are identical
-    rows, for which any order yields the same output multiset."""
-    w = (
-        Window.partitionBy("l_orderkey")
-        .orderBy("l_linenumber", "l_extendedprice")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit ROWS frames: cumulative running sum plus first/last_value
+    over the full partition (the default frame would make last_value ≡
+    current row).  (l_orderkey, l_linenumber) is not unique in the
+    corpus, so the frame order adds l_extendedprice as tiebreak —
+    remaining ties are identical rows, for which any order yields the
+    same output multiset."""
+    base = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_extendedprice")
+    w_run = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_full = base.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber",
-        F.round(F.sum("l_extendedprice").over(w), 2).alias("running_total"),
+        F.round(F.sum("l_extendedprice").over(w_run), 2).alias("running_total"),
+        F.first("l_extendedprice").over(w_full).alias("first_price"),
+        F.last("l_extendedprice").over(w_full).alias("last_price"),
     )
 
 
 @query(
-    "q_window_lag",
+    "q_window_lag_range",
     oracle="""
     SELECT event_id, user_id, value,
-           lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
-           lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value
+           lag(value) OVER w_seq AS prev_value,
+           lead(value) OVER w_seq AS next_value,
+           round(sum(value) OVER (
+             PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 600 PRECEDING AND CURRENT ROW), 4) AS rolling_10m,
+           round((value - avg(value) OVER w_all)
+                 / stddev_samp(value) OVER w_all, 6) AS zscore
     FROM events
+    WINDOW w_seq AS (PARTITION BY user_id ORDER BY ts, event_id),
+           w_all AS (PARTITION BY user_id)
     """,
 )
-def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lag/lead along each user's event timeline."""
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return load_table(spark, sf_dir, "events").select(
+def q_window_lag_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset + value-range window family along each user's event
+    timeline: lag/lead, a rolling 10-minute RANGE-frame sum (range
+    frames are tie-safe — the frame is a value interval, not a row
+    interval), and a per-user z-score (the window-analytic anomaly
+    detector: |z| > k flags outliers without a second pass over the
+    data).  Single-event users get a NULL z-score in both engines
+    (stddev_samp of one row is NULL)."""
+    ev = load_table(spark, sf_dir, "events")
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_rng = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-600, Window.currentRow)
+    )
+    w_all = Window.partitionBy("user_id")
+    return ev.select(
         "event_id", "user_id", "value",
-        F.lag("value").over(w).alias("prev_value"),
-        F.lead("value").over(w).alias("next_value"),
-    )
-
-
-@query(
-    "q_window_ntile",
-    oracle="""
-    SELECT o_orderkey,
-           CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
-    FROM orders
-    """,
-)
-def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile bucketing over a total order (id tie-break keeps the bucket
-    assignment deterministic across engines)."""
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", F.ntile(4).over(w).cast("long").alias("quartile")
-    )
-
-
-@query(
-    "q_window_first_last",
-    oracle="""
-    SELECT l_orderkey, l_linenumber,
-           first_value(l_extendedprice) OVER w AS first_price,
-           last_value(l_extendedprice) OVER w AS last_price
-    FROM lineitem
-    WINDOW w AS (PARTITION BY l_orderkey
-                 ORDER BY l_linenumber, l_extendedprice
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-    """,
-)
-def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """first/last_value with an explicit full-partition frame (the
-    default frame would make last_value ≡ current row)."""
-    w = (
-        Window.partitionBy("l_orderkey")
-        .orderBy("l_linenumber", "l_extendedprice")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.select(
-        "l_orderkey", "l_linenumber",
-        F.first("l_extendedprice").over(w).alias("first_price"),
-        F.last("l_extendedprice").over(w).alias("last_price"),
+        F.lag("value").over(w_seq).alias("prev_value"),
+        F.lead("value").over(w_seq).alias("next_value"),
+        F.round(F.sum("value").over(w_rng), 4).alias("rolling_10m"),
+        F.round(
+            (F.col("value") - F.avg("value").over(w_all))
+            / F.stddev_samp("value").over(w_all), 6,
+        ).alias("zscore"),
     )
 
 
@@ -150,29 +156,4 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(10)
         .select("o_orderkey", "o_custkey", "o_totalprice")
-    )
-
-
-@query(
-    "q_window_pct",
-    oracle="""
-    SELECT o_orderkey,
-           round(percent_rank() OVER w, 6) AS pct_rank,
-           round(cume_dist() OVER w, 6) AS cume
-    FROM orders
-    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY round(o_totalprice, 2), o_orderkey)
-    """,
-)
-def q_window_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution analytics: percent_rank + cume_dist per status group,
-    ordered on the ROUNDED price with id tie-break (ulp-stable ranks)."""
-    o = load_table(spark, sf_dir, "orders")
-    w = (
-        Window.partitionBy("o_orderstatus")
-        .orderBy(F.round("o_totalprice", 2), "o_orderkey")
-    )
-    return o.select(
-        "o_orderkey",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
     )

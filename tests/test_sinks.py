@@ -37,7 +37,7 @@ def test_partitioned_write(spark, tmp_path):
 
 def test_approx_count_distinct_error_bound(spark):
     """HLL++ at rsd=0.02 must land within ~3×rsd of exact (documented
-    contract of q_agg_approx_distinct's rows-only check)."""
+    contract of q_approx_sketches's rows-only check)."""
     orders = load_table(spark, "/root/testdata/sf0.001", "orders")
     row = orders.agg(
         F.countDistinct("o_custkey").alias("exact"),
