@@ -11,6 +11,7 @@ driver never materializes results.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def append_csv(df: DataFrame, path: str, *, header: bool = True) -> None:
@@ -63,3 +64,38 @@ def compact_parquet(spark, src_path: str, dst_path: str,
     n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
     df.coalesce(n_files).write.mode("overwrite").parquet(dst_path)
     return n_files
+
+
+def merge_upsert(spark, path: str, updates: DataFrame, keys: list[str]) -> None:
+    """Keyed upsert into a parquet directory — MERGE INTO semantics
+    (update-or-insert by key; updates win, unmatched existing rows
+    survive) without a transactional table format.
+
+    Plan: existing LEFT ANTI updates-keys (drops rows being replaced)
+    UNION ALL updates — the update-key side broadcasts when small, so
+    the big existing table never shuffles.  The merged result is fully
+    written to a temp directory BEFORE the old directory is swapped out
+    (read-before-delete), then swapped by two renames — the format-free
+    equivalent of a table format's commit; readers racing the swap see
+    the old or new snapshot, never a partial one.  At scale with a
+    partitioned table, run per-partition so only touched partitions
+    rewrite (the classic copy-on-write merge); a log-backed format
+    (Delta/Iceberg) replaces the rename dance when available."""
+    import os
+    import shutil
+    import uuid
+
+    if not os.path.exists(path):
+        updates.write.mode("overwrite").parquet(path)
+        return
+    existing = spark.read.parquet(path)
+    upd_keys = updates.select(*keys).distinct()
+    merged = existing.join(F.broadcast(upd_keys), keys, "left_anti").unionByName(
+        updates.select(*existing.columns)
+    )
+    tmp = f"{path}.__merge_tmp_{uuid.uuid4().hex}"
+    merged.write.mode("overwrite").parquet(tmp)
+    old = f"{path}.__merge_old_{uuid.uuid4().hex}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
