@@ -5,8 +5,8 @@ result collection over Dask futures (reference
 src/cosmap/analysis/analysis.py:150-162).  Our engine exposes the events
 table as a replayable file stream and provides the standard streaming
 operator set: tumbling/sliding/session windows, watermarked late-data
-handling, stateful dedup, and a custom stateful operator via
-``applyInPandasWithState``.  Batch twins of these aggregations live in
+handling, stateful dedup, watermarked stream-stream joins, and a custom stateful
+operator via ``applyInPandasWithState``.  Batch twins of these aggregations live in
 cosmap_spark/queries/streaming_q.py (the oracle can't run streams).
 """
 
@@ -16,6 +16,7 @@ from cosmap_spark.streaming.ops import (  # noqa: F401
     session_counts,
     sliding_counts,
     stateful_user_counter,
+    stream_stream_join,
     tumbling_counts,
     windowed_dedup,
     write_incremental,

@@ -177,3 +177,33 @@ def sliding_counts(events: DataFrame, *, window: str = "10 minutes",
             "event_type", "n_events",
         )
     )
+
+
+def stream_stream_join(clicks: DataFrame, purchases: DataFrame,
+                       *, watermark: str = "1 hour",
+                       lookback: str = "1 hour") -> DataFrame:
+    """Watermarked stream-stream inner join: each purchase joins the same
+    user's clicks from the preceding ``lookback`` interval.
+
+    Both sides carry watermarks AND the join condition bounds their
+    event-time distance — the two requirements that let Spark drop
+    buffered state once the watermark passes, keeping state size
+    proportional to (rate × lookback), not the whole history.  Without
+    the time bound the join state would grow forever; the query planner
+    enforces neither silently, so this operator encodes them."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"), F.col("value").alias("click_value"),
+    ).withWatermark("c_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    ).withWatermark("p_ts", watermark)
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}"))
+    )
+    return p.join(c, cond, "inner").select(
+        "purchase_id", "p_user", "p_ts", "click_id", "c_ts", "click_value"
+    )

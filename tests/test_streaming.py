@@ -272,3 +272,54 @@ def test_sliding_stream_matches_batch(spark, stream_dir, tmp_path):
     for k, v in stream_rows.items():
         assert batch_rows[k] == v
     q.stop()
+
+
+def test_stream_stream_join_matches_batch(spark, stream_dir, tmp_path):
+    """Watermarked stream-stream join vs the identical batch join: the
+    streaming result must be a subset (watermark may hold back the
+    tail) and agree exactly on every emitted row."""
+    from cosmap_spark.streaming import stream_stream_join
+
+    sdf = events_stream(spark, str(stream_dir))
+    clicks = sdf.where(F.col("event_type") == "click")
+    purchases = sdf.where(F.col("event_type") == "purchase")
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(
+        stream_stream_join(clicks, purchases), name, tmp_path, "append"
+    )
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+
+    from cosmap_spark.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    want = {
+        (r["purchase_id"], r["click_id"])
+        for r in p.join(
+            c,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        ).collect()
+    }
+    assert got, "stream-stream join emitted nothing"
+    assert got.issubset(want)
+    # everything whose purchase time is comfortably behind the final
+    # watermark must have been emitted
+    import datetime
+
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    cutoff = max_ts - datetime.timedelta(hours=3)
+    p_ts = {r["event_id"]: r["ts"] for r in ev.where(F.col("event_type") == "purchase").collect()}
+    closed = {pair for pair in want if p_ts[pair[0]] <= cutoff}
+    assert closed.issubset(got)
