@@ -138,3 +138,26 @@ def pack_bins(
         (F.greatest(F.col("start"), bin_lo) - bin_lo).cast("long").alias("bin_start"),
         (F.least(F.col("end"), bin_hi) - bin_lo).cast("long").alias("bin_end"),
     ).where(F.col("bin_end") > F.col("bin_start"))
+
+
+def row_index(
+    df: DataFrame,
+    *,
+    order_col: str = "doc_id",
+    out_col: str = "row_idx",
+    num_shards: int | None = None,
+) -> DataFrame:
+    """Dense 0-based global row index in ``order_col`` order — the
+    distributed replacement for ``monotonically_increasing_id`` (whose
+    values are partition-dependent and gapped) and for a global
+    ``row_number()`` window (which serializes through one task).
+    Same two-pass prefix-sum machinery as ``pack_offsets`` with a token
+    weight of 1."""
+    counted = df.withColumn("__one", F.lit(1).cast("long"))
+    packed = pack_offsets(
+        counted, capacity=1, token_col="__one",
+        order_col=order_col, num_shards=num_shards,
+    )
+    return packed.withColumnRenamed("start", out_col).drop(
+        "__one", "end", "first_bin", "last_bin"
+    )

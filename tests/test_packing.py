@@ -97,3 +97,12 @@ def test_merge_upsert(spark, tmp_path):
         assert got[k] == k * 10  # untouched rows survive
     for k in range(8, 13):
         assert got[k] == -1  # updates win / inserts land
+
+
+def test_row_index_dense_and_ordered(spark):
+    from cosmap_spark.operators.packing import row_index
+
+    docs = _docs(spark)
+    got = row_index(docs, num_shards=7).collect()
+    by_id = sorted((r["doc_id"], r["row_idx"]) for r in got)
+    assert [idx for _, idx in by_id] == list(range(len(by_id)))
