@@ -38,6 +38,7 @@ HEADLINE = [
     "q_knn_ann",          # bucketed approximate vector search (LSH + IVF)
     "q_tfidf",            # corpus featurization (explode + two groupBys)
     "q_resample",         # time-series grid resample + window fills
+    "q_decontam",         # benchmark decontamination (broadcast shingle join)
 ]
 
 

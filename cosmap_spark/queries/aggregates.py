@@ -6,11 +6,10 @@ combine) automatically — every ``groupBy().agg()`` below ships partial
 states, not rows, through the shuffle.
 
 Consolidated (round 2): one suite per aggregation *family* — plain/
-distinct/bitwise/arg-max in ``q_agg_suite``, the grouping-set lattice in
-``q_grouping_multi``, conditional aggregation in ``q_cond_agg``,
-order-statistics + moments in ``q_stats_suite``, sketches in
-``q_approx_sketches`` — so the whole surface fits the driver's bounded
-correctness window.
+distinct/bitwise/arg-max/conditional (FILTER-clause) in ``q_agg_suite``,
+the grouping-set lattice in ``q_grouping_multi``, order-statistics +
+moments in ``q_stats_suite``, sketches in ``q_approx_sketches`` — so the
+whole surface fits the driver's bounded correctness window.
 """
 
 from __future__ import annotations
@@ -22,34 +21,48 @@ from cosmap_spark.queries.registry import query
 from cosmap_spark.tables import load_table
 
 
+_BUCKET_SQL = """CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 200000 THEN 'medium'
+                ELSE 'large' END"""
+
+
 @query(
     "q_agg_suite",
-    oracle="""
+    oracle=f"""
     WITH base AS (
       SELECT o_orderstatus,
+             {_BUCKET_SQL} AS bucket,
              count(DISTINCT o_custkey) AS n_cust,
              count(*) AS n_orders,
              round(sum(o_totalprice), 2) AS total,
              bit_and(o_orderkey) AS k_and,
              bit_or(o_orderkey)  AS k_or,
              bit_xor(o_orderkey) AS k_xor,
-             max(round(o_totalprice, 2)) AS top_price
-      FROM orders GROUP BY o_orderstatus
+             max(round(o_totalprice, 2)) AS top_price,
+             count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+             round(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                            THEN o_totalprice ELSE 0.0 END), 2) AS urgent_total,
+             round(avg(CASE WHEN o_orderpriority = '5-LOW'
+                            THEN o_totalprice END), 4) AS low_avg
+      FROM orders GROUP BY 1, 2
     ),
     top AS (
-      SELECT o_orderstatus, o_orderkey AS top_order FROM (
-        SELECT o_orderstatus, o_orderkey,
-               row_number() OVER (PARTITION BY o_orderstatus
+      SELECT o_orderstatus, bucket, o_orderkey AS top_order FROM (
+        SELECT o_orderstatus, {_BUCKET_SQL} AS bucket, o_orderkey,
+               row_number() OVER (PARTITION BY o_orderstatus, {_BUCKET_SQL}
                  ORDER BY round(o_totalprice, 2) DESC, o_orderkey DESC) AS rn
         FROM orders) WHERE rn = 1
     )
-    SELECT b.o_orderstatus, b.n_cust, b.n_orders, b.total,
-           b.k_and, b.k_or, b.k_xor, t.top_order, b.top_price
-    FROM base b JOIN top t USING (o_orderstatus)
+    SELECT b.o_orderstatus, b.bucket, b.n_cust, b.n_orders, b.total,
+           b.k_and, b.k_or, b.k_xor, t.top_order, b.top_price,
+           b.n_urgent, b.urgent_total, b.low_avg
+    FROM base b JOIN top t USING (o_orderstatus, bucket)
     """,
 )
 def q_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The plain-aggregation family in one grouped pass over orders:
+    """The plain-aggregation family in one grouped pass over orders,
+    keyed by (status, CASE price bucket) — a derived-expression group
+    key, evaluated once pre-shuffle:
 
     * distinct aggregate alongside plain aggregates (two-phase expand);
     * bitwise aggregates — fully associative/commutative, so the
@@ -58,10 +71,18 @@ def q_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       aggregation form of per-group top-1: partial/final combine moves
       ONE row per group per partition through the shuffle, vs a window
       sort of every row.  The struct tie-break makes ties deterministic
-      (bare max_by is not)."""
+      (bare max_by is not);
+    * conditional aggregation (FILTER-clause semantics): ``count_if`` +
+      CASE-guarded sum/avg — NULLs fall out of avg exactly as FILTER
+      excludes rows.  One pass, one shuffle for all thirteen columns."""
     o = load_table(spark, sf_dir, "orders")
     key = F.struct(F.round("o_totalprice", 2).alias("p"), F.col("o_orderkey").alias("k"))
-    return o.groupBy("o_orderstatus").agg(
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 200000, "medium")
+        .otherwise("large")
+    )
+    return o.groupBy("o_orderstatus", bucket.alias("bucket")).agg(
         F.countDistinct("o_custkey").alias("n_cust"),
         F.count("*").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
@@ -70,6 +91,17 @@ def q_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_xor("o_orderkey").alias("k_xor"),
         F.max_by("o_orderkey", key).alias("top_order"),
         F.max(F.round("o_totalprice", 2)).alias("top_price"),
+        F.count_if(F.col("o_orderpriority") == "1-URGENT").alias("n_urgent"),
+        F.round(
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice"))
+                .otherwise(0.0)
+            ), 2,
+        ).alias("urgent_total"),
+        F.round(
+            F.avg(F.when(F.col("o_orderpriority") == "5-LOW", F.col("o_totalprice"))),
+            4,
+        ).alias("low_avg"),
     )
 
 
@@ -198,49 +230,6 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.round("total_qty", 2).alias("total_qty"),
         F.round("max_price", 2).alias("max_price"),
-    )
-
-
-@query(
-    "q_cond_agg",
-    oracle="""
-    SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
-                WHEN o_totalprice < 200000 THEN 'medium'
-                ELSE 'large' END AS bucket,
-           count(*) AS n_orders,
-           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
-           count(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
-           round(sum(CASE WHEN o_orderpriority = '1-URGENT'
-                          THEN o_totalprice ELSE 0.0 END), 2) AS urgent_total,
-           round(avg(CASE WHEN o_orderpriority = '5-LOW'
-                          THEN o_totalprice END), 4) AS low_avg
-    FROM orders GROUP BY 1
-    """,
-)
-def q_cond_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CASE bucketing + conditional aggregation (FILTER-clause semantics):
-    count_if + conditional count/sum/avg via CASE — one pass, one
-    shuffle, NULLs excluded from avg exactly as FILTER excludes rows."""
-    o = load_table(spark, sf_dir, "orders")
-    bucket = (
-        F.when(F.col("o_totalprice") < 50000, "small")
-        .when(F.col("o_totalprice") < 200000, "medium")
-        .otherwise("large")
-    )
-    return o.groupBy(bucket.alias("bucket")).agg(
-        F.count("*").alias("n_orders"),
-        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
-        F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
-        F.round(
-            F.sum(
-                F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice"))
-                .otherwise(0.0)
-            ), 2,
-        ).alias("urgent_total"),
-        F.round(
-            F.avg(F.when(F.col("o_orderpriority") == "5-LOW", F.col("o_totalprice"))),
-            4,
-        ).alias("low_avg"),
     )
 
 

@@ -29,6 +29,7 @@ from cosmap_spark.functions.text import (
 )
 from cosmap_spark.functions.vectors import cosine_sql, norm
 from cosmap_spark.operators.dedup import (
+    contamination_hits,
     dedup_clusters,
     exact_dedup,
     minhash_lsh_pairs,
@@ -140,6 +141,39 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_shingle_df=_MAX_SHINGLE_DF,
     )
     return dedup_clusters(pairs)
+
+
+_DECONTAM_ORACLE = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    idx AS (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+            FROM toks WHERE len(t) >= 8),
+    sh AS (SELECT DISTINCT doc_id,
+                  list_aggregate(t[i:i+7], 'string_agg', ' ') AS shingle
+           FROM idx),
+    bench AS (SELECT * FROM sh WHERE doc_id % 7 = 0),
+    corpus AS (SELECT * FROM sh WHERE doc_id % 7 <> 0)
+    SELECT c.doc_id, count(DISTINCT c.shingle) AS n_shingles,
+           count(DISTINCT b.doc_id) AS n_bench
+    FROM corpus c JOIN bench b ON c.shingle = b.shingle
+    GROUP BY c.doc_id
+"""
+
+
+@query("q_decontam", oracle=_DECONTAM_ORACLE)
+def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.py:contamination_hits):
+    flag every training document that shares any 8-gram with the held-out
+    benchmark slice (``doc_id % 7 == 0`` stands in for the eval suite),
+    reporting distinct colliding 8-grams and distinct benchmarks hit —
+    the GPT-3/PaLM n-gram-collision recipe.  Scale shape: the benchmark
+    shingle set broadcasts; the corpus never shuffles.  Oracle recomputes
+    the overlap brute-force on raw gram strings."""
+    d = load_table(spark, sf_dir, "documents")
+    return contamination_hits(
+        d.where(F.col("doc_id") % 7 != 0),
+        d.where(F.col("doc_id") % 7 == 0),
+        k=8,
+    )
 
 
 @query("q_dedup_approx")  # rows-only: hash-randomized candidates by design

@@ -239,3 +239,33 @@ def test_dedup_clusters_raises_when_not_converged(spark):
         dedup_clusters(chain, max_iterations=3)
     out = {r["id"]: r["cluster_id"] for r in dedup_clusters(chain).collect()}
     assert set(out.values()) == {1}
+
+
+def test_contamination_hits_planted(spark):
+    from cosmap_spark.operators.dedup import contamination_hits
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    bench = docs.where(F.col("doc_id") < 5)
+    # corpus: verbatim copies of three benchmark docs (full 8-gram
+    # overlap) + clean docs far from the benchmark slice
+    leaked = bench.where(F.col("doc_id") < 3).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    clean = docs.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 110))
+    corpus = leaked.unionByName(clean)
+
+    out = contamination_hits(corpus, bench, k=8)
+    got = {r["doc_id"]: (r["n_shingles"], r["n_bench"]) for r in out.collect()}
+    for i in (10000, 10001, 10002):
+        assert i in got, "verbatim benchmark copy must be flagged"
+        n_sh, n_bench = got[i]
+        assert n_sh > 10 and n_bench >= 1
+    assert all(k >= 10000 for k in got), "clean docs must not be flagged"
+    # scale shape: the benchmark shingle set broadcasts; the corpus side
+    # must never sort-merge-shuffle
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
