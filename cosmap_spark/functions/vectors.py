@@ -28,6 +28,30 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def quantize_int8(v: Column) -> Column:
+    """Symmetric per-vector int8 quantization:
+    ``struct(q: array<tinyint>, scale: double)`` with
+    ``scale = max|vᵢ|/127`` — the storage/bandwidth path for embedding
+    corpora (4×8 bytes → 1 byte per dim + one scale).  Pure JVM
+    higher-order functions; at 100 TB this is the difference between
+    shuffling 256 B and 2 KB per 256-dim vector in every ANN stage.
+
+    Round is half-up (ties away from zero on positives), values land in
+    [-127, 127] by construction (max|v|/scale = 127 exactly; fp noise is
+    orders of magnitude below the .5 rounding boundary)."""
+    absmax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = F.greatest(absmax, F.lit(1e-300)) / F.lit(127.0)
+    q = F.transform(v, lambda x: F.round(x.cast("double") / scale).cast("tinyint"))
+    return F.struct(q.alias("q"), scale.alias("scale"))
+
+
+def dequantize_int8(qs: Column) -> Column:
+    """Inverse of :func:`quantize_int8`: ``array<double>`` with
+    per-element error ≤ scale/2 (so cosine error is O(1/254) per dim —
+    re-rank candidates with full precision when it matters)."""
+    return F.transform(qs["q"], lambda x: x.cast("double") * qs["scale"])
+
+
 def dot_sql(a: str, b: str) -> str:
     """DuckDB twin of :func:`dot` (list lambda, left-to-right list_sum)."""
     return (

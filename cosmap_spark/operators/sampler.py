@@ -159,3 +159,71 @@ def stratified_sample(
         frac = F.when(cond, F.lit(float(f))) if frac is None else frac.when(cond, F.lit(float(f)))
     frac = frac.otherwise(F.lit(0.0)) if frac is not None else F.lit(0.0)
     return df.where(u < frac)
+
+
+def temperature_mixture(
+    df: DataFrame,
+    *,
+    source_col: str,
+    key_cols: list[str],
+    alpha: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-flattened source mixture by downsampling — the
+    multilingual/multi-domain rebalancing recipe (mixture weight
+    p_s ∝ n_s^alpha, alpha < 1 flattens toward uniform; alpha = 1 is the
+    natural mixture, alpha = 0 uniform-over-sources).
+
+    Realized WITHOUT upsampling: each source keeps
+    ``frac_s = (n_min / n_s)^(1 - alpha)`` of its rows via the same
+    partition-independent hash threshold as ``deterministic_sample`` —
+    the exponent is ≤ 0 in n_s, so every fraction is ≤ 1, the smallest
+    source is kept whole, and expected post-sample sizes are ∝ n_s^alpha
+    (the flattened mixture).  The only driver-side step is the per-source count
+    aggregate — #sources rows (the tiny-side collect pattern, like the
+    IVF centroid table); the data path is one scan + one map-side
+    filter, no shuffle of the corpus at all.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1]; got {alpha}")
+    counts = {
+        r["s"]: r["n"]
+        for r in df.groupBy(F.col(source_col).alias("s"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    n_min = min(counts.values())
+    fractions = {s: (n_min / n) ** (1.0 - alpha) for s, n in counts.items()}
+    return stratified_sample(
+        df, fractions, strata_col=source_col, key_cols=key_cols, seed=seed
+    )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    *,
+    key_cols: list[str],
+    epoch: int,
+    num_partitions: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic global training-order shuffle for one epoch.
+
+    The permutation key is ``xxhash64(key, seed, epoch)`` — a new,
+    reproducible pseudo-random total order per epoch, independent of
+    input partition layout (the ``rand(seed)`` hazard again).  The order
+    is realized as ``repartitionByRange + sortWithinPartitions`` on the
+    hash: a RANGE exchange plus partition-local sorts — rows are
+    globally ordered across the partition index without ever funneling
+    through a single-task global sort, so a 100 TB epoch shuffles
+    exactly once at full parallelism.  Downstream writers that consume
+    partitions in index order (parquet part files, ``pack_offsets``)
+    see the permuted stream."""
+    h = F.xxhash64(*[F.col(c) for c in key_cols], F.lit(seed), F.lit(int(epoch)))
+    keyed = df.withColumn("__shuffle_key", h)
+    n = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    return (
+        keyed.repartitionByRange(int(n), "__shuffle_key")
+        .sortWithinPartitions("__shuffle_key")
+        .drop("__shuffle_key")
+    )

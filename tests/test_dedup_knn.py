@@ -269,3 +269,38 @@ def test_contamination_hits_planted(spark):
         out._jdf.queryExecution(), "formatted"
     )
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_int8_quantization_roundtrip(spark):
+    from cosmap_spark.functions.vectors import (
+        cosine_similarity,
+        dequantize_int8,
+        quantize_int8,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        quantize_int8(F.col("embedding")).alias("qs"),
+    )
+    checked = q.select(
+        "vec_id",
+        F.array_max(F.transform("qs.q", lambda x: F.abs(x.cast("int")))).alias("qmax"),
+        F.array_max(
+            F.zip_with(
+                "v",
+                dequantize_int8(F.col("qs")),
+                lambda a, b: F.abs(a.cast("double") - b),
+            )
+        ).alias("max_err"),
+        F.col("qs.scale").alias("scale"),
+        F.round(
+            cosine_similarity(F.col("v"), dequantize_int8(F.col("qs"))), 6
+        ).alias("cos_rt"),
+    ).collect()
+    assert len(checked) > 0
+    for r in checked:
+        assert r["qmax"] <= 127, "int8 range"
+        assert r["max_err"] <= r["scale"] / 2 + 1e-12, "per-element bound"
+        assert r["cos_rt"] >= 0.999, "roundtrip must preserve direction"

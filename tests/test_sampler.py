@@ -159,3 +159,60 @@ def test_box_sample_centers_area_uniform(spark):
     expect, sigma = n / 10, math.sqrt(n * 0.1 * 0.9)
     for band, c in counts.items():
         assert abs(c - expect) < 5 * sigma, (band, c)
+
+
+def test_temperature_mixture_flattens(spark):
+    from cosmap_spark.operators.sampler import temperature_mixture
+
+    # 3 sources, 8000 / 1000 / 500 rows — a skewed natural mixture
+    df = (
+        spark.range(9500)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") < 8000, "web")
+            .when(F.col("id") < 9000, "books")
+            .otherwise("code")
+            .alias("source"),
+        )
+    )
+    out = temperature_mixture(
+        df, source_col="source", key_cols=["doc_id"], alpha=0.5, seed=7
+    )
+    got = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+    # smallest source kept whole; expected kept_s = n_s * (n_min/n_s)^(1-a)
+    # = sqrt(n_s * n_min) for alpha = .5  (post sizes ∝ sqrt(n_s))
+    assert got["code"] == 500
+    for s, n in (("web", 8000), ("books", 1000)):
+        expect = math.sqrt(n * 500)
+        assert abs(got[s] - expect) < 4 * math.sqrt(expect), (s, got[s], expect)
+    # deterministic: same seed -> same surviving rows
+    again = temperature_mixture(
+        df, source_col="source", key_cols=["doc_id"], alpha=0.5, seed=7
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_epoch_shuffle_permutes_deterministically(spark):
+    from cosmap_spark.operators.sampler import epoch_shuffle
+
+    df = spark.range(5000).select(F.col("id").alias("doc_id"))
+
+    def order(epoch, parts):
+        out = epoch_shuffle(
+            df, key_cols=["doc_id"], epoch=epoch, num_partitions=parts
+        )
+        return [r["doc_id"] for r in out.collect()]
+
+    e0, e0b, e1 = order(0, 8), order(0, 8), order(1, 8)
+    assert e0 == e0b, "same epoch must reproduce the same order"
+    assert e0 != e1, "different epochs must permute differently"
+    assert sorted(e0) == list(range(5000)) == sorted(e1), "a permutation"
+    # ordering is global across partition index, never a 1-task sort
+    out = epoch_shuffle(df, key_cols=["doc_id"], epoch=0, num_partitions=8)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan.lower()
