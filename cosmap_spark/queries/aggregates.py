@@ -43,7 +43,7 @@ _BUCKET_SQL = """CASE WHEN o_totalprice < 50000 THEN 'small'
              round(sum(CASE WHEN o_orderpriority = '1-URGENT'
                             THEN o_totalprice ELSE 0.0 END), 2) AS urgent_total,
              round(avg(CASE WHEN o_orderpriority = '5-LOW'
-                            THEN o_totalprice END), 4) AS low_avg
+                            THEN o_totalprice END), 2) AS low_avg
       FROM orders GROUP BY 1, 2
     ),
     top AS (
@@ -100,7 +100,7 @@ def q_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("urgent_total"),
         F.round(
             F.avg(F.when(F.col("o_orderpriority") == "5-LOW", F.col("o_totalprice"))),
-            4,
+            2,
         ).alias("low_avg"),
     )
 

@@ -1,15 +1,22 @@
 """End-to-end LLM-corpus curation pipeline: the composition test that a
 reference user switching to this engine actually runs — dedup → cluster
-drop → quality filter → sequence packing → upsert sink — all lazy
-DataFrame ops until the final write."""
+drop → decontamination → quality filter → mixture rebalance → epoch
+shuffle → sequence packing → upsert sink — all lazy DataFrame ops until
+the final write."""
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
 from cosmap_spark.functions.text import n_tokens, quality_score
-from cosmap_spark.operators.dedup import dedup_clusters, exact_dedup, ngram_jaccard_pairs
+from cosmap_spark.operators.dedup import (
+    contamination_hits,
+    dedup_clusters,
+    exact_dedup,
+    ngram_jaccard_pairs,
+)
 from cosmap_spark.operators.packing import pack_offsets
+from cosmap_spark.operators.sampler import epoch_shuffle, temperature_mixture
 from cosmap_spark.sinks.writers import merge_upsert
 from cosmap_spark.tables import load_table
 
@@ -32,18 +39,32 @@ def test_curation_pipeline(spark, tmp_path):
     )
     docs2 = docs1.join(F.broadcast(losers), "doc_id", "left_anti")
 
-    # 3. quality gate
-    docs3 = docs2.withColumn("quality", quality_score(F.col("text"))).where(
+    # 3. benchmark decontamination: drop docs colliding with the
+    # held-out eval slice on any 8-gram
+    bench = docs.where(F.col("doc_id") % 7 == 0)
+    tainted = contamination_hits(
+        docs2.where(F.col("doc_id") % 7 != 0), bench, k=8
+    ).select("doc_id")
+    docs2d = docs2.join(F.broadcast(tainted), "doc_id", "left_anti")
+
+    # 4. quality gate
+    docs3 = docs2d.withColumn("quality", quality_score(F.col("text"))).where(
         F.col("quality") >= 0.5
     )
 
-    # 4. sequence packing over the survivors
+    # 5. temperature-flattened language mixture (downsample-only)
+    docs4 = temperature_mixture(
+        docs3, source_col="lang", key_cols=["doc_id"], alpha=0.7, seed=11
+    )
+
+    # 6. epoch-0 training order, then sequence packing over the stream
+    ordered = epoch_shuffle(docs4, key_cols=["doc_id"], epoch=0, num_partitions=4)
     packed = pack_offsets(
-        docs3.select("doc_id", n_tokens(F.col("text")).alias("n_toks")),
+        ordered.select("doc_id", n_tokens(F.col("text")).alias("n_toks")),
         capacity=128,
     )
 
-    # 5. upsert into the curated table (idempotent re-run)
+    # 7. upsert into the curated table (idempotent re-run)
     out = str(tmp_path / "curated")
     final = packed.select("doc_id", "n_toks", "start", "end", "first_bin", "last_bin")
     merge_upsert(spark, out, final, ["doc_id"])
