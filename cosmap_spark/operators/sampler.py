@@ -192,6 +192,8 @@ def temperature_mixture(
         .agg(F.count("*").alias("n"))
         .collect()
     }
+    if not counts:
+        return df
     n_min = min(counts.values())
     fractions = {s: (n_min / n) ** (1.0 - alpha) for s, n in counts.items()}
     return stratified_sample(

@@ -127,3 +127,54 @@ def test_tolerant_csv_quarantines_bad_rows(spark, tmp_path):
     assert bad.count() == 1
     assert "not_a_number" in bad.first()["_corrupt_record"]
     df.unpersist()
+
+
+def test_zorder_write_prunes_in_both_dimensions(spark, tmp_path):
+    """File/row-group min-max stats after a Z-order write must make a
+    small (ra, dec) box selective; an id-ordered layout (golden-angle
+    positions are uncorrelated with id) leaves nearly every file's
+    bounding box covering the whole sky."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from cosmap_spark.sinks.writers import write_zordered
+    from cosmap_spark.tables import catalog_df
+
+    cat = catalog_df(spark, "/root/testdata/sf0.01")
+    zpath, bpath = str(tmp_path / "zorder"), str(tmp_path / "byid")
+    write_zordered(
+        cat, zpath, cols=["ra", "dec"],
+        ranges={"ra": (0.0, 360.0), "dec": (-90.0, 90.0)},
+        bits=12, num_files=32,
+    )
+    (
+        cat.repartitionByRange(32, "object_id")
+        .sortWithinPartitions("object_id")
+        .write.mode("overwrite").parquet(bpath)
+    )
+
+    def frac_hit(path, box):
+        (ra_lo, ra_hi), (dec_lo, dec_hi) = box
+        hit = tot = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            i_ra, i_dec = names.index("ra"), names.index("dec")
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                sra = rg.column(i_ra).statistics
+                sdec = rg.column(i_dec).statistics
+                tot += 1
+                if sra.max >= ra_lo and sra.min <= ra_hi \
+                        and sdec.max >= dec_lo and sdec.min <= dec_hi:
+                    hit += 1
+        assert tot >= 30, "expected ~one row group per file"
+        return hit / tot
+
+    box = ((40.0, 60.0), (10.0, 30.0))  # ~1.5% of the (ra, sin dec) area
+    f_z, f_id = frac_hit(zpath, box), frac_hit(bpath, box)
+    assert f_id > 0.9, f"id layout should be unselective, got {f_id}"
+    assert f_z <= 0.25, f"z-order layout must prune most row groups, got {f_z}"
+    # and the data survives intact
+    assert spark.read.parquet(zpath).count() == cat.count()
