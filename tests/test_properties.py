@@ -119,3 +119,72 @@ def test_approx_top_k_matches_exact_on_separated_freqs(spark):
     assert set(approx) == set(top3)
     for k in top3:
         assert approx[k] == exact[k]
+
+
+# --- packing prefix sum: contiguity + bin arithmetic on random inputs -----
+
+
+@given(
+    st.lists(st.integers(1, 50), min_size=1, max_size=40),
+    st.integers(8, 64),
+)
+@settings(max_examples=8, deadline=None)
+def test_pack_offsets_prefix_sum_invariants(spark, toks, capacity):
+    from cosmap_spark.operators.packing import pack_offsets
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(toks)], "doc_id long, n_toks long"
+    )
+    rows = sorted(
+        pack_offsets(df, capacity=capacity, num_shards=3).collect(),
+        key=lambda r: r["start"],
+    )
+    pos = 0
+    for r in rows:
+        assert r["start"] == pos, "offsets must be a contiguous prefix sum"
+        assert r["end"] == r["start"] + r["n_toks"]
+        assert r["first_bin"] == r["start"] // capacity
+        assert r["last_bin"] == (r["end"] - 1) // capacity
+        pos = r["end"]
+    assert pos == sum(toks)
+    # prefix order == order_col order
+    assert [r["doc_id"] for r in rows] == list(range(len(toks)))
+
+
+# --- temperature mixture: downsample-only + partition independence --------
+
+
+@given(
+    st.lists(st.integers(5, 60), min_size=2, max_size=4),
+    st.sampled_from([0.0, 0.3, 0.7, 1.0]),
+)
+@settings(max_examples=6, deadline=None)
+def test_temperature_mixture_invariants(spark, sizes, alpha):
+    from pyspark.sql import functions as F
+
+    from cosmap_spark.operators.sampler import temperature_mixture
+
+    rows, base = [], 0
+    for s, n in enumerate(sizes):
+        rows += [(base + i, f"s{s}") for i in range(n)]
+        base += 1000
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    out1 = temperature_mixture(
+        df.coalesce(1), source_col="source", key_cols=["doc_id"], alpha=alpha
+    )
+    out8 = temperature_mixture(
+        df.repartition(8), source_col="source", key_cols=["doc_id"], alpha=alpha
+    )
+    ids1 = sorted(r["doc_id"] for r in out1.collect())
+    ids8 = sorted(r["doc_id"] for r in out8.collect())
+    assert ids1 == ids8, "sampling must be partition-layout-independent"
+
+    kept = {r["source"]: r["count"] for r in out1.groupBy("source").count().collect()}
+    n_min = min(sizes)
+    for s, n in enumerate(sizes):
+        assert kept.get(f"s{s}", 0) <= n, "downsample-only"
+        if n == n_min:
+            assert kept.get(f"s{s}", 0) == n, "smallest source kept whole"
+    if alpha == 1.0:
+        assert sum(kept.values()) == len(rows), "alpha=1 is the natural mixture"
