@@ -207,3 +207,31 @@ def stream_stream_join(clicks: DataFrame, purchases: DataFrame,
     return p.join(c, cond, "inner").select(
         "purchase_id", "p_user", "p_ts", "click_id", "c_ts", "click_value"
     )
+
+
+def decontaminate_stream(stream_docs: DataFrame, bench: DataFrame,
+                         path: str, checkpoint: str, *, k: int = 8):
+    """Streaming benchmark decontamination — the landing-zone curation
+    gate: as document files arrive, each micro-batch runs the batch
+    ``contamination_hits`` (operators/dedup.py) against the STATIC
+    benchmark, whose shingle set broadcasts per epoch exactly as in the
+    batch plan.
+
+    Per-document results depend only on (document, benchmark), never on
+    other stream rows, so no watermark or state store is needed and the
+    union over epochs equals the batch answer on the same corpus (the
+    stream/batch equivalence the test asserts).  Output is epoch-keyed
+    like ``write_incremental`` — a replayed epoch overwrites itself, so
+    the flagged-doc table is exactly-once per epoch."""
+    from cosmap_spark.operators.dedup import contamination_hits
+
+    def run(batch_df: DataFrame, epoch_id: int) -> None:
+        hits = contamination_hits(batch_df, bench, k=k)
+        hits.write.mode("overwrite").parquet(f"{path}/epoch={epoch_id}")
+
+    return (
+        stream_docs.writeStream.foreachBatch(run)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -323,3 +323,46 @@ def test_stream_stream_join_matches_batch(spark, stream_dir, tmp_path):
     p_ts = {r["event_id"]: r["ts"] for r in ev.where(F.col("event_type") == "purchase").collect()}
     closed = {pair for pair in want if p_ts[pair[0]] <= cutoff}
     assert closed.issubset(got)
+
+
+def test_streaming_decontam_matches_batch(spark, tmp_path):
+    """Stream/batch equivalence for the decontamination gate: documents
+    arriving file-by-file produce exactly the flagged set the batch
+    operator computes over the whole corpus."""
+    from cosmap_spark.operators.dedup import contamination_hits
+    from cosmap_spark.streaming.ops import decontaminate_stream
+    from cosmap_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    bench = docs.where(F.col("doc_id") % 7 == 0)
+    corpus = docs.where(F.col("doc_id") % 7 != 0)
+
+    land = tmp_path / "doc_landing"
+    corpus.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        str(land), mode="append"
+    )
+    corpus.where(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        str(land), mode="append"
+    )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    q = decontaminate_stream(
+        stream, bench, str(tmp_path / "flags"), str(tmp_path / "flag_ckpt")
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["doc_id"], r["n_shingles"], r["n_bench"])
+        for r in spark.read.parquet(str(tmp_path / "flags")).drop("epoch").collect()
+    }
+    want = {
+        (r["doc_id"], r["n_shingles"], r["n_bench"])
+        for r in contamination_hits(corpus, bench, k=8).collect()
+    }
+    assert got == want and len(want) > 0
