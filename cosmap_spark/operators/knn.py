@@ -20,7 +20,13 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from cosmap_spark.functions.vectors import cosine_similarity, dot, norm
+from cosmap_spark.functions.vectors import (
+    cosine_similarity,
+    dequantize_int8,
+    dot,
+    norm,
+    quantize_int8,
+)
 
 
 def knn_bruteforce(
@@ -138,14 +144,25 @@ def knn_lsh(
     tables: int = 4,
     planes: int = 8,
     seed: int = 13,
+    quantize: bool = False,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH candidates, exact re-rank.
 
     Recall is probabilistic (more tables ⇒ higher recall); checked
-    rows-only, with a recall unit test against ``knn_bruteforce``."""
+    rows-only, with a recall unit test against ``knn_bruteforce``.
+
+    ``quantize=True`` carries the CORPUS vectors through the candidate
+    join/distinct as int8 structs (functions/vectors.py:quantize_int8)
+    and dequantizes only inside the re-rank cosine — a 4× cut of the
+    big side's shuffle bytes (the query side broadcasts and stays full
+    precision).  Re-rank similarity then has O(1/254)-per-dim
+    quantization error; recall vs brute force is unit-tested for both
+    modes."""
     kw = dict(id_col=id_col, vec_col=vec_col, tables=tables, planes=planes,
               seed=seed, dim=dim)
     cb = _bucketize(corpus, "n", **kw)
+    if quantize:
+        cb = cb.withColumn("nvec", quantize_int8(F.col("nvec")))
     qb = _bucketize(queries, "q", **kw)
     cand = (
         cb.join(F.broadcast(qb), ["tbl", "bucket"])
@@ -153,7 +170,8 @@ def knn_lsh(
         .select("qid", "qvec", "nid", "nvec")
         .distinct()
     )
-    sim = F.round(cosine_similarity(F.col("qvec"), F.col("nvec")), 6)
+    nv = dequantize_int8(F.col("nvec")) if quantize else F.col("nvec")
+    sim = F.round(cosine_similarity(F.col("qvec"), nv), 6)
     scored = cand.select("qid", "nid", sim.alias("sim"))
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
     return (

@@ -108,6 +108,10 @@ def write_zordered(
     exchange at full parallelism — no single-task sort) and sort within
     partitions so row groups inside each file are compact too.
     """
+    if bits * len(cols) > 63:
+        raise ValueError(
+            f"bits*len(cols) must fit a signed long: {bits}*{len(cols)} > 63"
+        )
     if ranges is None:
         agg = df.agg(
             *[F.min(c).alias(f"{c}_lo") for c in cols],

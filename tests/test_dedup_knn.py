@@ -90,6 +90,16 @@ def test_knn_lsh_recall_vs_bruteforce(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"ANN recall {recall}"
+    # int8-shuffle mode: identical candidate generation, re-rank on
+    # dequantized vectors — neighbor sets must stay near-identical
+    quant = {
+        (r["qid"], r["nid"])
+        for r in knn_lsh(
+            emb, q, k=5, dim=64, tables=8, planes=4, quantize=True
+        ).collect()
+    }
+    overlap = len(quant & approx) / len(approx)
+    assert overlap >= 0.9, f"quantized re-rank drifted: {overlap}"
 
 
 def test_knn_bruteforce_self_excluded_and_ranked(spark):
