@@ -314,3 +314,36 @@ def test_int8_quantization_roundtrip(spark):
         assert r["qmax"] <= 127, "int8 range"
         assert r["max_err"] <= r["scale"] / 2 + 1e-12, "per-element bound"
         assert r["cos_rt"] >= 0.999, "roundtrip must preserve direction"
+
+
+def test_incremental_minhash_dedup_two_batches(spark, tmp_path):
+    from cosmap_spark.operators.dedup import incremental_minhash_dedup
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    batch1 = docs.where(F.col("doc_id") < 200)
+    # batch 2: verbatim copies of ten batch-1 docs + fresh docs
+    copies = batch1.where(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    batch2 = copies.unionByName(
+        docs.where((F.col("doc_id") >= 200) & (F.col("doc_id") < 300))
+    )
+    store = str(tmp_path / "sig_store")
+
+    incremental_minhash_dedup(spark, batch1, store, threshold=0.5).collect()
+    n1 = spark.read.parquet(store).count()
+    assert n1 == batch1.count(), "store holds one signature per doc"
+
+    pairs2 = incremental_minhash_dedup(spark, batch2, store, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs2.collect()}
+    for i in range(10):
+        assert got.get((i, i + 10000)) == 1.0, (
+            "verbatim copy of a HISTORICAL doc must be caught via the "
+            "signature store alone"
+        )
+    assert all(b >= 10000 or a >= 200 for a, b in got), (
+        "old-vs-old pairs must not be re-reported"
+    )
+    assert spark.read.parquet(store).count() == n1 + batch2.count()
