@@ -79,6 +79,17 @@ def quality_score(text: Column) -> Column:
     return len_score * F.lit(0.5) + diversity * F.lit(0.5)
 
 
+def canonicalize(text: Column) -> Column:
+    """Dedup-canonical text form: lowercase, punctuation stripped,
+    whitespace collapsed, trimmed — the standard normalization applied
+    BEFORE exact/fuzzy dedup so trivial formatting variants (case,
+    smart punctuation, double spaces) hash identically.  Pure JVM
+    regexp expressions; compose as
+    ``exact_dedup(df.withColumn("text", canonicalize(col("text"))))``."""
+    no_punct = F.regexp_replace(F.lower(text), r"[^\p{L}\p{N}\s]", " ")
+    return F.trim(F.regexp_replace(no_punct, r"\s+", " "))
+
+
 def fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of whitespace-normalized,
     lowercased text.  Stable across engines and runs."""

@@ -33,6 +33,8 @@ def write_output(df: DataFrame, path: str, *, fmt: str = "parquet",
         writer.json(path)
     elif fmt == "parquet":
         writer.parquet(path)
+    elif fmt == "orc":
+        writer.orc(path)
     else:
         raise ValueError(f"unsupported sink format {fmt!r}")
 

@@ -347,3 +347,23 @@ def test_incremental_minhash_dedup_two_batches(spark, tmp_path):
         "old-vs-old pairs must not be re-reported"
     )
     assert spark.read.parquet(store).count() == n1 + batch2.count()
+
+
+def test_canonicalize_unifies_formatting_variants(spark):
+    from cosmap_spark.functions.text import canonicalize
+    from cosmap_spark.operators.dedup import exact_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The quick brown fox."),
+            (2, "the  QUICK   brown fox"),
+            (3, "The; quick, brown... fox!!!"),
+            (4, "a different document"),
+        ],
+        "doc_id long, text string",
+    )
+    canon = docs.withColumn("text", canonicalize(F.col("text")))
+    vals = {r["doc_id"]: r["text"] for r in canon.collect()}
+    assert vals[1] == vals[2] == vals[3] == "the quick brown fox"
+    groups = exact_dedup(canon).where(F.col("n_copies") > 1).collect()
+    assert len(groups) == 1 and groups[0]["n_copies"] == 3

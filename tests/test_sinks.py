@@ -178,3 +178,12 @@ def test_zorder_write_prunes_in_both_dimensions(spark, tmp_path):
     assert f_z <= 0.25, f"z-order layout must prune most row groups, got {f_z}"
     # and the data survives intact
     assert spark.read.parquet(zpath).count() == cat.count()
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    nation = load_table(spark, "/root/testdata/sf0.001", "nation")
+    path = str(tmp_path / "orc_out")
+    write_output(nation, path, fmt="orc", mode="overwrite")
+    back = spark.read.orc(path)
+    assert back.count() == nation.count()
+    assert back.schema == nation.schema
