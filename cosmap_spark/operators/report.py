@@ -1,0 +1,60 @@
+"""Corpus report — the "data card" summary a curation pipeline publishes
+with every corpus snapshot (per-source composition, token statistics,
+quality, duplication), computed in two passes over the corpus:
+
+* one ``groupBy(group_col)`` for all per-document statistics (Spark's
+  partial/final split ships O(groups) accumulator tuples, including the
+  exact-percentile buffers);
+* one hash-dedup aggregate for the duplicate rate (shuffles 16-byte
+  md5s, never documents — same shape as ``exact_dedup``).
+
+Everything is JVM-side expressions over :mod:`cosmap_spark.functions.text`;
+the output is groups-sized (tiny), safe to collect or publish anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cosmap_spark.functions.text import n_tokens, quality_score
+
+
+def corpus_report(
+    df: DataFrame,
+    *,
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row per ``group_col`` value:
+
+    ``n_docs, total_tokens, p50_tokens, p90_tokens, avg_quality,
+    n_distinct_texts, dup_rate`` — ``dup_rate`` is the fraction of
+    documents whose exact text occurs more than once within the group
+    (the quantity exact dedup would remove, canonical copies excluded).
+    """
+    text = F.col(text_col)
+    nt = n_tokens(text)
+    stats = df.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(nt).alias("total_tokens"),
+        F.percentile(nt, F.lit(0.5)).cast("double").alias("p50_tokens"),
+        F.percentile(nt, F.lit(0.9)).cast("double").alias("p90_tokens"),
+        F.round(F.avg(quality_score(text)), 6).alias("avg_quality"),
+    )
+    per_text = df.groupBy(group_col, F.md5(text).alias("__h")).agg(
+        F.count("*").alias("n_copies")
+    )
+    dup = per_text.groupBy(group_col).agg(
+        F.count("*").alias("n_distinct_texts"),
+        F.sum(F.col("n_copies") - 1).alias("__n_dropped"),
+    )
+    return (
+        stats.join(dup, group_col)
+        .withColumn(
+            "dup_rate",
+            F.round(F.col("__n_dropped").cast("double") / F.col("n_docs"), 6),
+        )
+        .drop("__n_dropped")
+    )

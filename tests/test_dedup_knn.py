@@ -367,3 +367,30 @@ def test_canonicalize_unifies_formatting_variants(spark):
     assert vals[1] == vals[2] == vals[3] == "the quick brown fox"
     groups = exact_dedup(canon).where(F.col("n_copies") > 1).collect()
     assert len(groups) == 1 and groups[0]["n_copies"] == 3
+
+
+def test_corpus_report_data_card(spark):
+    from cosmap_spark.operators.report import corpus_report
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "lang", "text"
+    )
+    # plant 5 exact dups inside one language group
+    one_lang = docs.limit(1).collect()[0]["lang"]
+    dups = docs.where(F.col("lang") == one_lang).limit(5).select(
+        (F.col("doc_id") + 90000).alias("doc_id"), "lang", "text"
+    )
+    corpus = docs.unionByName(dups)
+
+    rep = {r["lang"]: r.asDict() for r in corpus_report(corpus).collect()}
+    langs = {r["lang"] for r in docs.select("lang").distinct().collect()}
+    assert set(rep) == langs
+    for lang, row in rep.items():
+        assert row["n_docs"] > 0 and row["total_tokens"] > 0
+        assert row["p50_tokens"] <= row["p90_tokens"]
+        assert 0.0 <= row["avg_quality"] <= 1.0
+        assert row["n_distinct_texts"] <= row["n_docs"]
+    planted = rep[one_lang]
+    assert planted["dup_rate"] >= 5 / planted["n_docs"] - 1e-9
+    clean = {k: v for k, v in rep.items() if k != one_lang}
+    assert all(v["dup_rate"] == 0.0 for v in clean.values())
