@@ -49,9 +49,12 @@ def corpus_report(
     dup = per_text.groupBy(group_col).agg(
         F.count("*").alias("n_distinct_texts"),
         F.sum(F.col("n_copies") - 1).alias("__n_dropped"),
-    )
+    ).withColumnRenamed(group_col, "__g")
+    # null-safe join key: unlabeled documents (NULL group) are a real
+    # row of the data card, not silently dropped by the equi-join
     return (
-        stats.join(dup, group_col)
+        stats.join(dup, stats[group_col].eqNullSafe(dup["__g"]))
+        .drop("__g")
         .withColumn(
             "dup_rate",
             F.round(F.col("__n_dropped").cast("double") / F.col("n_docs"), 6),

@@ -101,7 +101,17 @@ def uniform_box_samples(
         ra_lo, ra_hi = ra_lo + width_deg / 2, ra_hi - width_deg / 2
         dec_lo, dec_hi = dec_lo + height_deg / 2, dec_hi - height_deg / 2
         if ra_bounds == (0.0, 360.0):  # full circle: no RA margin needed
+            # NOTE: boxes near 0/360 then emit ra_min < 0 or
+            # ra_max > 360 — the unwrapped representation; consumers
+            # filtering `ra BETWEEN ra_min AND ra_max` must compare on
+            # (ra mod 360) shifted into the box frame, exactly as the
+            # cone search handles RA wrap.
             ra_lo, ra_hi = 0.0, 360.0
+        if ra_lo >= ra_hi or dec_lo >= dec_hi:
+            raise ValueError(
+                f"box ({width_deg}°×{height_deg}°) does not fit the patch "
+                f"ra={ra_bounds} dec={dec_bounds} after frame shrinking"
+            )
     import math
 
     sin_lo, sin_hi = math.sin(math.radians(dec_lo)), math.sin(math.radians(dec_hi))
@@ -155,7 +165,9 @@ def stratified_sample(
     u = _hash_uniform(F.xxhash64(*[F.col(c) for c in key_cols]), seed, 4)
     frac = None
     for value, f in fractions.items():
-        cond = F.col(strata_col) == F.lit(value)
+        # eqNullSafe so a None stratum key (unlabeled rows) is a real,
+        # addressable stratum instead of silently matching nothing
+        cond = F.col(strata_col).eqNullSafe(F.lit(value))
         frac = F.when(cond, F.lit(float(f))) if frac is None else frac.when(cond, F.lit(float(f)))
     frac = frac.otherwise(F.lit(0.0)) if frac is not None else F.lit(0.0)
     return df.where(u < frac)
@@ -208,24 +220,33 @@ def epoch_shuffle(
     epoch: int,
     num_partitions: int | None = None,
     seed: int = 42,
+    key_col_out: str | None = None,
 ) -> DataFrame:
     """Deterministic global training-order shuffle for one epoch.
 
     The permutation key is ``xxhash64(key, seed, epoch)`` — a new,
     reproducible pseudo-random total order per epoch, independent of
     input partition layout (the ``rand(seed)`` hazard again).  The order
-    is realized as ``repartitionByRange + sortWithinPartitions`` on the
-    hash: a RANGE exchange plus partition-local sorts — rows are
-    globally ordered across the partition index without ever funneling
-    through a single-task global sort, so a 100 TB epoch shuffles
-    exactly once at full parallelism.  Downstream writers that consume
-    partitions in index order (parquet part files, ``pack_offsets``)
-    see the permuted stream."""
+    is realized as ``repartitionByRange + sortWithinPartitions`` on
+    (hash, *key_cols) — the key-columns tie-break makes the order total
+    even across 64-bit hash collisions (inevitable at ~10¹² rows) — a
+    RANGE exchange plus partition-local sorts: rows are globally ordered
+    across the partition index without ever funneling through a
+    single-task global sort, so a 100 TB epoch shuffles exactly once at
+    full parallelism.
+
+    Downstream consumers that read partitions in index order (parquet
+    part files) see the permuted stream.  Operators that re-order by an
+    explicit column — ``pack_offsets(order_col=...)``, ``row_index`` —
+    would UNDO the permutation if pointed at the original id; pass
+    ``key_col_out`` to keep the permutation key as a column and hand it
+    to them as the order column instead."""
     h = F.xxhash64(*[F.col(c) for c in key_cols], F.lit(seed), F.lit(int(epoch)))
-    keyed = df.withColumn("__shuffle_key", h)
+    key = key_col_out or "__shuffle_key"
+    keyed = df.withColumn(key, h)
     n = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    return (
-        keyed.repartitionByRange(int(n), "__shuffle_key")
-        .sortWithinPartitions("__shuffle_key")
-        .drop("__shuffle_key")
+    out = (
+        keyed.repartitionByRange(int(n), key)
+        .sortWithinPartitions(key, *key_cols)
     )
+    return out if key_col_out else out.drop(key)

@@ -151,14 +151,21 @@ def merge_upsert(spark, path: str, updates: DataFrame, keys: list[str]) -> None:
 
     Plan: existing LEFT ANTI updates-keys (drops rows being replaced)
     UNION ALL updates — the update-key side broadcasts when small, so
-    the big existing table never shuffles.  The merged result is fully
-    written to a temp directory BEFORE the old directory is swapped out
-    (read-before-delete), then swapped by two renames — the format-free
-    equivalent of a table format's commit; readers racing the swap see
-    the old or new snapshot, never a partial one.  At scale with a
-    partitioned table, run per-partition so only touched partitions
-    rewrite (the classic copy-on-write merge); a log-backed format
-    (Delta/Iceberg) replaces the rename dance when available."""
+    the big existing table never shuffles.  When NO existing key is
+    touched (pure inserts — e.g. each dedup batch appending fresh
+    signature ids) the rewrite is skipped entirely and the new rows
+    append as new files: O(batch), not O(table).
+
+    Rewrites land fully in a temp directory BEFORE the live directory
+    is swapped (read-before-delete), then swap by two renames.  The
+    swap is NOT atomic: a reader racing the μs window between the
+    renames can see a missing path, and a crash inside it leaves the
+    data under ``<path>.__merge_backup`` (deterministic name — restore
+    by renaming it back).  Directory renames cannot be made atomic on a
+    plain filesystem; a log-backed format (Delta/Iceberg) is the real
+    fix at production scale, and this helper is the format-free
+    approximation.  At scale with a partitioned table, run
+    per-partition so only touched partitions rewrite."""
     import os
     import shutil
     import uuid
@@ -168,12 +175,21 @@ def merge_upsert(spark, path: str, updates: DataFrame, keys: list[str]) -> None:
         return
     existing = spark.read.parquet(path)
     upd_keys = updates.select(*keys).distinct()
+    if existing.join(F.broadcast(upd_keys), keys, "left_semi").limit(1).count() == 0:
+        updates.select(*existing.columns).write.mode("append").parquet(path)
+        return
     merged = existing.join(F.broadcast(upd_keys), keys, "left_anti").unionByName(
         updates.select(*existing.columns)
     )
     tmp = f"{path}.__merge_tmp_{uuid.uuid4().hex}"
     merged.write.mode("overwrite").parquet(tmp)
-    old = f"{path}.__merge_old_{uuid.uuid4().hex}"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    backup = f"{path}.__merge_backup"
+    if os.path.exists(backup):  # leftover from an interrupted merge
+        shutil.rmtree(backup)
+    os.rename(path, backup)
+    try:
+        os.rename(tmp, path)
+    except BaseException:
+        os.rename(backup, path)  # restore the live table, then re-raise
+        raise
+    shutil.rmtree(backup)

@@ -67,11 +67,18 @@ def main() -> None:
     docs = temperature_mixture(docs, source_col="lang", key_cols=["doc_id"],
                                alpha=0.7)
 
-    ordered = epoch_shuffle(docs, key_cols=["doc_id"], epoch=0)
-    packed = pack_offsets(
-        ordered.select("doc_id", "lang", n_tokens(F.col("text")).alias("n_toks")),
-        capacity=2048,
+    # keep the permutation key: pack_offsets re-orders by its order_col,
+    # so packing must order by the epoch key, not the original doc_id
+    ordered = epoch_shuffle(
+        docs, key_cols=["doc_id"], epoch=0, key_col_out="epoch_key"
     )
+    packed = pack_offsets(
+        ordered.select(
+            "doc_id", "lang", "epoch_key", n_tokens(F.col("text")).alias("n_toks")
+        ),
+        capacity=2048,
+        order_col="epoch_key",
+    ).drop("epoch_key")
     merge_upsert(spark, f"{out}/curated", packed, ["doc_id"])
 
     print(f"curated: {spark.read.parquet(f'{out}/curated').count()} docs -> {out}")

@@ -57,12 +57,20 @@ def test_curation_pipeline(spark, tmp_path):
         docs3, source_col="lang", key_cols=["doc_id"], alpha=0.7, seed=11
     )
 
-    # 6. epoch-0 training order, then sequence packing over the stream
-    ordered = epoch_shuffle(docs4, key_cols=["doc_id"], epoch=0, num_partitions=4)
-    packed = pack_offsets(
-        ordered.select("doc_id", n_tokens(F.col("text")).alias("n_toks")),
-        capacity=128,
+    # 6. epoch-0 training order, then sequence packing over the stream —
+    # packing orders by its order_col, so it must pack on the kept
+    # permutation key (packing on doc_id would undo the shuffle)
+    ordered = epoch_shuffle(
+        docs4, key_cols=["doc_id"], epoch=0, num_partitions=4,
+        key_col_out="epoch_key",
     )
+    packed = pack_offsets(
+        ordered.select(
+            "doc_id", "epoch_key", n_tokens(F.col("text")).alias("n_toks")
+        ),
+        capacity=128,
+        order_col="epoch_key",
+    ).drop("epoch_key")
 
     # 7. upsert into the curated table (idempotent re-run)
     out = str(tmp_path / "curated")

@@ -216,3 +216,26 @@ def test_epoch_shuffle_permutes_deterministically(spark):
     )
     assert "SinglePartition" not in plan
     assert "rangepartitioning" in plan.lower()
+
+
+def test_epoch_shuffle_key_drives_packing(spark):
+    """pack_offsets re-orders by order_col — packing on the kept epoch
+    key must yield a different (valid) packing per epoch."""
+    from cosmap_spark.operators.packing import pack_offsets
+    from cosmap_spark.operators.sampler import epoch_shuffle
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"), F.lit(10).cast("long").alias("n_toks")
+    )
+
+    def starts(epoch):
+        o = epoch_shuffle(
+            docs, key_cols=["doc_id"], epoch=epoch, num_partitions=4,
+            key_col_out="k",
+        )
+        p = pack_offsets(o, capacity=64, order_col="k", num_shards=4)
+        return {r["doc_id"]: r["start"] for r in p.collect()}
+
+    s0, s1 = starts(0), starts(1)
+    assert set(s0.values()) == set(range(0, 2000, 10)) == set(s1.values())
+    assert s0 != s1, "different epochs must pack in different orders"
