@@ -173,6 +173,25 @@ def stratified_sample(
     return df.where(u < frac)
 
 
+def weighted_sample(
+    df: DataFrame,
+    *,
+    weight_col: str,
+    key_cols: list[str],
+    seed: int = 42,
+) -> DataFrame:
+    """Keep each row independently with probability ``weight_col``
+    (clamped to [0, 1]) — quality-weighted corpus selection (keep
+    P(doc) ∝ quality score), deterministic via the same
+    partition-independent hash threshold as ``deterministic_sample``:
+    the same rows survive every run on any cluster layout, and a row's
+    fate is monotone in its weight (raising a doc's score never drops
+    it).  Map-side only; no shuffle."""
+    u = _hash_uniform(F.xxhash64(*[F.col(c) for c in key_cols]), seed, 5)
+    w = F.least(F.greatest(F.col(weight_col).cast("double"), F.lit(0.0)), F.lit(1.0))
+    return df.where(u < w)
+
+
 def temperature_mixture(
     df: DataFrame,
     *,

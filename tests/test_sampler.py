@@ -239,3 +239,41 @@ def test_epoch_shuffle_key_drives_packing(spark):
     s0, s1 = starts(0), starts(1)
     assert set(s0.values()) == set(range(0, 2000, 10)) == set(s1.values())
     assert s0 != s1, "different epochs must pack in different orders"
+
+
+def test_weighted_sample_probability_and_determinism(spark):
+    from cosmap_spark.operators.sampler import weighted_sample
+
+    df = spark.range(12000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 2000, 0.0)      # never kept
+        .when(F.col("id") < 4000, 1.0)       # always kept
+        .when(F.col("id") < 8000, 0.25)
+        .otherwise(0.75)
+        .alias("w"),
+    )
+    out = weighted_sample(df, weight_col="w", key_cols=["doc_id"], seed=5)
+    got = {r["doc_id"] for r in out.collect()}
+    assert not any(i < 2000 for i in got)
+    assert all(i in got for i in range(2000, 4000))
+    n25 = sum(1 for i in got if 4000 <= i < 8000)
+    n75 = sum(1 for i in got if i >= 8000)
+    assert abs(n25 - 1000) < 5 * (4000 * 0.25 * 0.75) ** 0.5
+    assert abs(n75 - 3000) < 5 * (4000 * 0.75 * 0.25) ** 0.5
+    # partition-layout independence
+    again = {
+        r["doc_id"]
+        for r in weighted_sample(
+            df.repartition(13), weight_col="w", key_cols=["doc_id"], seed=5
+        ).collect()
+    }
+    assert got == again
+    # monotone in weight: doubling every weight only ADDS rows
+    boosted = {
+        r["doc_id"]
+        for r in weighted_sample(
+            df.withColumn("w", F.col("w") * 2), weight_col="w",
+            key_cols=["doc_id"], seed=5,
+        ).collect()
+    }
+    assert got <= boosted
