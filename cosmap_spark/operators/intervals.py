@@ -1,12 +1,13 @@
 """Interval coalescing: merge overlapping/adjacent intervals per key.
 
 The compaction primitive behind sessionization, downtime reports, byte-
-range dedup, and time-range indexes.  One shuffle: intervals sort within
-their key partition, a running maximum of ``end`` detects gaps, and the
-gap flags' prefix sum numbers the merged groups — the classic
-gaps-and-islands plan, expressed as two window passes over a SINGLE
-(key, start) sort (Catalyst evaluates both windows on one Sort + one
-Exchange; no self-join, no iteration).
+range dedup, and time-range indexes.  Intervals sort within their key
+partition, a running maximum of ``end`` detects gaps, and the gap
+flags' prefix sum numbers the merged groups — the classic
+gaps-and-islands plan.  Both window passes share ONE (key, start)
+Sort + Exchange; the final groupBy of merged runs adds a second, much
+smaller exchange (merged-group cardinality, not input rows).  No
+self-join, no iteration.
 """
 
 from __future__ import annotations

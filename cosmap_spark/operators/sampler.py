@@ -29,6 +29,14 @@ def _hash_uniform(id_col: Column, seed: int, stream: int) -> Column:
     return F.pmod(h, F.lit(_HASH_BUCKETS)).cast("double") / F.lit(float(_HASH_BUCKETS))
 
 
+def _key_uniform(key_cols: list[str], seed: int, stream: int) -> Column:
+    """U[0,1) from a composite row key — the shared hash-threshold core
+    of deterministic/stratified/weighted sampling (one place to change
+    key normalization; distinct ``stream`` per sampler keeps their
+    decisions independent)."""
+    return _hash_uniform(F.xxhash64(*[F.col(c) for c in key_cols]), seed, stream)
+
+
 def uniform_sphere_samples(
     spark: SparkSession,
     n: int,
@@ -146,7 +154,7 @@ def deterministic_sample(
     re-runnable (same rows survive every run, on any cluster), and
     composable: samples at f1 ⊇ samples at f2 when f1 ≥ f2 with the same
     seed — the nested-subsample property training-data curation wants."""
-    u = _hash_uniform(F.xxhash64(*[F.col(c) for c in key_cols]), seed, 3)
+    u = _key_uniform(key_cols, seed, 3)
     return df.where(u < F.lit(float(fraction)))
 
 
@@ -162,7 +170,7 @@ def stratified_sample(
     partition-dependence): each stratum keeps its own fraction.  Strata
     absent from ``fractions`` are dropped — the rebalancing primitive for
     skewed training corpora (e.g. downsample the dominant language)."""
-    u = _hash_uniform(F.xxhash64(*[F.col(c) for c in key_cols]), seed, 4)
+    u = _key_uniform(key_cols, seed, 4)
     frac = None
     for value, f in fractions.items():
         # eqNullSafe so a None stratum key (unlabeled rows) is a real,
@@ -186,9 +194,18 @@ def weighted_sample(
     partition-independent hash threshold as ``deterministic_sample``:
     the same rows survive every run on any cluster layout, and a row's
     fate is monotone in its weight (raising a doc's score never drops
-    it).  Map-side only; no shuffle."""
-    u = _hash_uniform(F.xxhash64(*[F.col(c) for c in key_cols]), seed, 5)
-    w = F.least(F.greatest(F.col(weight_col).cast("double"), F.lit(0.0)), F.lit(1.0))
+    it).  Map-side only; no shuffle.
+
+    NULL and NaN weights both drop the row: a weight the scoring
+    pipeline failed to compute must not survive by default (Spark sorts
+    NaN above every double, so an unguarded clamp would keep NaN rows
+    with probability 1 — the exact rows whose score computation
+    failed)."""
+    u = _key_uniform(key_cols, seed, 5)
+    w_raw = F.col(weight_col).cast("double")
+    w = F.when(w_raw.isNull() | F.isnan(w_raw), F.lit(0.0)).otherwise(
+        F.least(F.greatest(w_raw, F.lit(0.0)), F.lit(1.0))
+    )
     return df.where(u < w)
 
 

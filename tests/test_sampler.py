@@ -277,3 +277,14 @@ def test_weighted_sample_probability_and_determinism(spark):
         ).collect()
     }
     assert got <= boosted
+    # NULL and NaN weights are both dropped (a failed score must not
+    # survive by default — unguarded NaN would clamp to 1.0 and flood)
+    broken = df.withColumn(
+        "w",
+        F.when(F.col("doc_id") % 2 == 0, F.lit(float("nan"))).otherwise(
+            F.lit(None).cast("double")
+        ),
+    )
+    assert weighted_sample(
+        broken, weight_col="w", key_cols=["doc_id"], seed=5
+    ).count() == 0
