@@ -79,6 +79,93 @@ def quality_score(text: Column) -> Column:
     return len_score * F.lit(0.5) + diversity * F.lit(0.5)
 
 
+def strip_markup(text: Column) -> Column:
+    """Drop HTML/XML-ish markup from scraped text: remove
+    ``<script>``/``<style>`` blocks with their content, strip remaining
+    tags, decode the half-dozen entities that dominate real corpora,
+    collapse whitespace.  Pure JVM regexp passes — the cheap first
+    filter a web-scrape pipeline runs on every document before any
+    scoring or dedup (a real boilerplate extractor adds DOM heuristics;
+    this is the regex-complete core of it)."""
+    no_blocks = F.regexp_replace(
+        text, r"(?is)<(script|style)\b[^>]*>.*?</\1>", " "
+    )
+    no_tags = F.regexp_replace(no_blocks, r"(?s)<[^>]+>", " ")
+    decoded = no_tags
+    for ent, ch in (
+        ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&#39;", "'"), ("&nbsp;", " "),
+    ):
+        decoded = F.replace(decoded, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(decoded, r"\s+", " "))
+
+
+def chunk_text(
+    df,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 256,
+    overlap: int = 32,
+):
+    """Split documents into overlapping token windows — the
+    embedding/RAG chunking step: one row per chunk with
+    ``(id_col, chunk_id, chunk_start, n_chunk_toks, chunk)``.
+
+    Chunks start every ``chunk_tokens - overlap`` tokens, each spanning
+    ``chunk_tokens``; every token lands in at least one chunk and
+    consecutive chunks share ``overlap`` tokens.  All JVM higher-order
+    functions (sequence → slice → concat) over ONE materialized token
+    array per document — no Python, no shuffle; output size is
+    input / (1 - overlap/chunk_tokens)."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"need 0 <= overlap < chunk_tokens; got {overlap}")
+    step = chunk_tokens - overlap
+    toks = F.col("__toks")
+    n = F.size(toks)
+    # last start = largest multiple of step that is < n (short docs: 0)
+    last = F.greatest(
+        F.floor((n - F.lit(1)) / step).cast("long") * step, F.lit(0)
+    )
+    # drop a trailing start that is pure overlap (fully inside the
+    # previous chunk): start + chunk would begin past the text only
+    # when the doc fits earlier chunks
+    starts = F.filter(
+        F.sequence(F.lit(0), last, F.lit(step)),
+        lambda s: (s == 0) | (s + F.lit(overlap) < n),
+    )
+    out = (
+        df.select(
+            F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+        )
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    starts,
+                    lambda s: F.struct(
+                        s.alias("chunk_start"),
+                        F.concat_ws(
+                            " ", F.slice(toks, s + 1, chunk_tokens)
+                        ).alias("chunk"),
+                        F.least(n - s, F.lit(chunk_tokens)).alias(
+                            "n_chunk_toks"
+                        ),
+                    ),
+                )
+            ).alias("chunk_id", "c"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.col("c.chunk_start").cast("long").alias("chunk_start"),
+            F.col("c.n_chunk_toks").cast("long").alias("n_chunk_toks"),
+            F.col("c.chunk").alias("chunk"),
+        )
+    )
+    return out
+
+
 def canonicalize(text: Column) -> Column:
     """Dedup-canonical text form: lowercase, punctuation stripped,
     whitespace collapsed, trimmed — the standard normalization applied

@@ -1,0 +1,68 @@
+"""Document chunking + markup stripping (functions/text.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cosmap_spark.functions.text import chunk_text, strip_markup
+from cosmap_spark.tables import load_table
+
+
+def test_chunk_text_covers_every_token_with_overlap(spark):
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    toks = {
+        r["doc_id"]: r["t"].split(" ")
+        for r in docs.select("doc_id", F.col("text").alias("t")).collect()
+    }
+    chunks = chunk_text(docs, chunk_tokens=64, overlap=16).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(toks)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["chunk_id"])
+        n = len(toks[doc_id])
+        covered = set()
+        for r in rows:
+            s, ln = r["chunk_start"], r["n_chunk_toks"]
+            assert ln == min(64, n - s)
+            # chunk text is exactly the token slice
+            assert r["chunk"] == " ".join(toks[doc_id][s:s + 64])
+            covered.update(range(s, s + ln))
+        assert covered == set(range(n)), f"doc {doc_id} has coverage gaps"
+        # consecutive chunks overlap by exactly 16 (starts step by 48)
+        starts = [r["chunk_start"] for r in rows]
+        assert all(b - a == 48 for a, b in zip(starts, starts[1:]))
+        # no pure-overlap tail chunk
+        if len(rows) > 1:
+            assert rows[-1]["n_chunk_toks"] > 16
+
+
+def test_chunk_text_short_doc_single_chunk(spark):
+    docs = spark.createDataFrame(
+        [(1, "just five little tokens here")], "doc_id long, text string"
+    )
+    rows = chunk_text(docs, chunk_tokens=64, overlap=16).collect()
+    assert len(rows) == 1
+    assert rows[0]["chunk"] == "just five little tokens here"
+    assert rows[0]["n_chunk_toks"] == 5
+
+
+def test_strip_markup(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "<html><body><p>Hello <b>world</b></p>"
+                "<script>var x = '<evil>';</script>"
+                "<style>p { color: red; }</style>"
+                "Tom &amp; Jerry &lt;3&nbsp;&quot;quoted&quot;</body></html>"),
+            (2, "no markup at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["clean"] for r in df.select(
+        "doc_id", strip_markup(F.col("text")).alias("clean")
+    ).collect()}
+    assert out[1] == 'Hello world Tom & Jerry <3 "quoted"'
+    assert out[2] == "no markup at all"
