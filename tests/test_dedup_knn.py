@@ -394,3 +394,30 @@ def test_corpus_report_data_card(spark):
     assert planted["dup_rate"] >= 5 / planted["n_docs"] - 1e-9
     clean = {k: v for k, v in rep.items() if k != one_lang}
     assert all(v["dup_rate"] == 0.0 for v in clean.values())
+
+
+def test_leakage_safe_split_keeps_clusters_together(corpus_with_dups):
+    from cosmap_spark.operators.dedup import leakage_safe_split
+
+    pairs = ngram_jaccard_pairs(corpus_with_dups, threshold=0.8)
+    out = leakage_safe_split(
+        corpus_with_dups, pairs, test_fraction=0.3, seed=9
+    )
+    split = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(split) == corpus_with_dups.count()
+    # every planted near-dup pair lands on ONE side of the boundary
+    for i in range(10):
+        assert split[i] == split[i + 10000], "exact copy crossed the split"
+    for i in range(10, 20):
+        assert split[i] == split[i + 20000], "near-dup crossed the split"
+    # both sides populated, fraction in a loose tolerance
+    n_test = sum(1 for v in split.values() if v == "test")
+    assert 0.15 < n_test / len(split) < 0.45
+    # deterministic under re-partitioning
+    again = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_split(
+            corpus_with_dups.repartition(7), pairs, test_fraction=0.3, seed=9
+        ).collect()
+    }
+    assert split == again
