@@ -249,6 +249,71 @@ def temperature_mixture(
     )
 
 
+def select_to_token_budget(
+    df: DataFrame,
+    *,
+    budget: int,
+    priority_col: str,
+    token_col: str,
+    key_cols: list[str],
+    seed: int = 42,
+    precision: int = 4,
+) -> DataFrame:
+    """Select the highest-``priority_col`` documents until ~``budget``
+    tokens — "give me the best N-token corpus" — WITHOUT a global sort.
+
+    The naive form (order by priority, running token sum, cut at the
+    budget) serializes 100 TB through one sorted window.  Instead:
+    priorities round to ``precision`` dp buckets; ONE aggregate gives
+    per-bucket token sums (bucket cardinality ≤ 10^precision·range —
+    thousands, not corpus-sized); a window over that tiny table finds
+    each bucket's cumulative tokens-before; buckets entirely under the
+    budget keep everything, buckets past it drop, and the single
+    boundary bucket keeps the residual fraction by the deterministic
+    key-hash threshold.  The corpus itself is touched by exactly one
+    aggregate and one map-side filtered join against the broadcast
+    bucket plan.
+
+    Exactness: buckets above the cut are complete; only the boundary
+    bucket is sampled, so realized tokens = budget ± the boundary
+    binomial noise (and ties within a bucket are resolved by hash, not
+    rank — the price of never sorting the corpus).  Larger budgets
+    yield supersets (same hash stream, higher thresholds)."""
+    from pyspark.sql import Window
+
+    b = F.round(F.col(priority_col).cast("double"), precision)
+    buckets = df.groupBy(b.alias("__b")).agg(
+        F.sum(F.col(token_col)).alias("__toks")
+    )
+    w = Window.orderBy(F.col("__b").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    plan = (
+        buckets.withColumn(
+            "__before", F.coalesce(F.sum("__toks").over(w), F.lit(0))
+        )
+        .withColumn(
+            "__take",
+            F.when(F.col("__before") >= budget, F.lit(0.0))
+            .when(
+                F.col("__before") + F.col("__toks") <= budget, F.lit(1.0)
+            )
+            .otherwise(
+                (F.lit(budget) - F.col("__before"))
+                / F.col("__toks").cast("double")
+            ),
+        )
+        .where(F.col("__take") > 0)
+        .select("__b", "__take")
+    )
+    u = _key_uniform(key_cols, seed, 6)
+    return (
+        df.join(F.broadcast(plan), b == F.col("__b"))
+        .where(u < F.col("__take"))
+        .drop("__b", "__take")
+    )
+
+
 def epoch_shuffle(
     df: DataFrame,
     *,

@@ -288,3 +288,40 @@ def test_weighted_sample_probability_and_determinism(spark):
     assert weighted_sample(
         broken, weight_col="w", key_cols=["doc_id"], seed=5
     ).count() == 0
+
+
+def test_select_to_token_budget(spark):
+    from cosmap_spark.operators.sampler import select_to_token_budget
+
+    docs = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id") * 37, 100) / 100.0).alias("quality"),
+        (F.pmod(F.col("id") * 13, 50) + 10).alias("n_toks"),
+    )
+    total = docs.agg(F.sum("n_toks")).collect()[0][0]
+    budget = int(total * 0.4)
+    sel = select_to_token_budget(
+        docs, budget=budget, priority_col="quality", token_col="n_toks",
+        key_cols=["doc_id"], seed=3,
+    )
+    rows = sel.collect()
+    got_toks = sum(r["n_toks"] for r in rows)
+    assert abs(got_toks - budget) < 0.05 * budget, (got_toks, budget)
+    # the selection is top-priority-first: every selected bucket's
+    # quality >= every excluded doc's quality except the boundary bucket
+    sel_ids = {r["doc_id"] for r in rows}
+    q_min_sel = min(round(r["quality"], 4) for r in rows)
+    dropped_above = [
+        r for r in docs.collect()
+        if r["doc_id"] not in sel_ids and round(r["quality"], 4) > q_min_sel
+    ]
+    assert not dropped_above, "a higher-priority bucket was cut"
+    # monotone: doubling the budget only adds documents
+    bigger = {
+        r["doc_id"]
+        for r in select_to_token_budget(
+            docs, budget=2 * budget, priority_col="quality",
+            token_col="n_toks", key_cols=["doc_id"], seed=3,
+        ).collect()
+    }
+    assert sel_ids <= bigger
