@@ -66,3 +66,43 @@ def test_strip_markup(spark):
     ).collect()}
     assert out[1] == 'Hello world Tom & Jerry <3 "quoted"'
     assert out[2] == "no markup at all"
+
+
+def test_chunk_embed_ann_composition(spark):
+    """The RAG indexing path end-to-end: chunk documents, embed each
+    chunk (deterministic hash features stand in for a model — the
+    engine's multimodal-stub discipline), then ANN-search the chunk
+    index and verify a chunk of the query doc itself ranks first."""
+    from cosmap_spark.operators.knn import knn_bruteforce, knn_lsh
+
+    docs = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .where(F.col("doc_id") < 60)
+        .select("doc_id", "text")
+    )
+    chunks = chunk_text(docs, chunk_tokens=32, overlap=8)
+    dim = 16
+    feats = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: (
+            F.pmod(F.xxhash64(F.col("chunk"), i), F.lit(1000)).cast("double")
+            / 500.0 - 1.0
+        ),
+    )
+    index = chunks.select(
+        (F.col("doc_id") * 10000 + F.col("chunk_id")).alias("vec_id"),
+        feats.alias("embedding"),
+    )
+    queries = index.where(F.col("vec_id") % 10000 == 0).limit(5)
+
+    exact = knn_bruteforce(index, queries, k=3).collect()
+    # identical chunk text ⇒ identical features; otherwise hash features
+    # are near-orthogonal, so the true top neighbors are meaningful
+    assert {r["qid"] for r in exact} == {
+        r["vec_id"] for r in queries.collect()
+    }
+    approx = knn_lsh(index, queries, k=3, dim=dim, tables=8, planes=4)
+    exact_pairs = {(r["qid"], r["nid"]) for r in exact}
+    approx_pairs = {(r["qid"], r["nid"]) for r in approx.collect()}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.4, f"chunk-index ANN recall {recall}"
