@@ -136,10 +136,11 @@ def q_samplers(spark: SparkSession, sf_dir: str) -> DataFrame:
     src/cosmap/analysis/sampler.py:87-140): uniform-on-sphere cones,
     area-uniform rectangles (the reference's declared-but-unwired
     Rectangle shape, src/cosmap/config/models/geometry.py:44-63, its
-    validator bug fixed per SURVEY.md §4.2), and deterministic
-    stratified table sampling.  All hash-seeded — deterministic under
-    any partitioning; per-sampler statistical properties are
-    property-tested (tests/test_sampler.py)."""
+    validator bug fixed per SURVEY.md §4.2), and the deterministic
+    table-sampling family: stratified, temperature-flattened mixture,
+    per-row weighted, and token-budget selection.  All hash-seeded —
+    deterministic under any partitioning; per-sampler statistical
+    properties are property-tested (tests/test_sampler.py)."""
     sphere = uniform_sphere_samples(spark, 10_000, seed=42, radius_deg=1.0)
     box = uniform_box_samples(
         spark, 10_000, seed=42, width_deg=2.0, height_deg=1.0,
@@ -152,16 +153,41 @@ def q_samplers(spark: SparkSession, sf_dir: str) -> DataFrame:
         strata_col="lang",
         key_cols=["doc_id"],
     )
-    strat_summary = strat.agg(F.count("*").alias("n")).select(
-        F.lit("stratified").alias("sampler"),
-        "n",
-        *[F.lit(None).cast("double").alias(c)
-          for c in ("min_ra", "max_ra", "min_dec", "max_dec")],
+    def table_summary(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count("*").alias("n")).select(
+            F.lit(name).alias("sampler"),
+            "n",
+            *[F.lit(None).cast("double").alias(c)
+              for c in ("min_ra", "max_ra", "min_dec", "max_dec")],
+        )
+
+    from cosmap_spark.operators.sampler import (
+        select_to_token_budget,
+        temperature_mixture,
+        weighted_sample,
+    )
+
+    mix = temperature_mixture(
+        docs.select("doc_id", "lang"), source_col="lang",
+        key_cols=["doc_id"], alpha=0.5,
+    )
+    weighted = weighted_sample(
+        docs.select("doc_id", (F.length("text") / 500.0).alias("w")),
+        weight_col="w", key_cols=["doc_id"],
+    )
+    budget = select_to_token_budget(
+        docs.select("doc_id", F.length("text").alias("n_chars"),
+                    (F.col("doc_id") % 100 / 100.0).alias("prio")),
+        budget=50_000, priority_col="prio", token_col="n_chars",
+        key_cols=["doc_id"],
     )
     return (
         _region_summary(sphere, "sphere")
         .unionByName(_region_summary(box, "box"))
-        .unionByName(strat_summary)
+        .unionByName(table_summary(strat, "stratified"))
+        .unionByName(table_summary(mix, "temperature_mixture"))
+        .unionByName(table_summary(weighted, "weighted"))
+        .unionByName(table_summary(budget, "token_budget"))
     )
 
 
