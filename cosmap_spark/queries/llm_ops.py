@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from cosmap_spark.functions.text import (
     LANG_STOPWORDS,
+    canonicalize,
     fingerprint,
     n_tokens,
     quality_score,
@@ -399,6 +400,9 @@ _TEXT_TRANSFORM_ORACLE = r"""
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
              '\d{9,}', '<NUM>', 'g') AS scrubbed,
            md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+           trim(regexp_replace(
+             regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'),
+             '\s+', ' ', 'g')) AS canon,
            CASE WHEN len(s) > 0
                 THEN round(CAST(list_max(list_transform(list_distinct(s),
                          d -> len(list_filter(s, x -> x = d)))) AS DOUBLE) / len(s), 6)
@@ -415,6 +419,8 @@ def q_text_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
       runs via a regexp_replace chain (DuckDB needs the 'g' flag to
       match Spark's replace-all);
     * normalized-text md5 fingerprint (stable across engines/runs);
+    * dedup-canonical form (lowercase, punctuation stripped, whitespace
+      collapsed — functions/text.py:canonicalize);
     * Gopher-style repetition ratio (most frequent 3-gram's share of
       all 3-grams, Rae et al. 2021 A1.1) — per-row higher-order
       functions, no explode/shuffle.  At 100 TB the same statistic can
@@ -430,6 +436,7 @@ def q_text_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         scrub_pii(text).alias("scrubbed"),
         fingerprint(text).alias("fp"),
+        canonicalize(text).alias("canon"),
         rep.alias("rep_ratio"),
     )
 
