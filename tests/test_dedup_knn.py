@@ -421,3 +421,17 @@ def test_leakage_safe_split_keeps_clusters_together(corpus_with_dups):
         ).collect()
     }
     assert split == again
+
+
+def test_incremental_dedup_corrupt_store_raises(spark, tmp_path):
+    """An EXISTING but unreadable store must raise — silently treating
+    it as 'first batch' would discard the whole dedup history."""
+    from cosmap_spark.operators.dedup import incremental_minhash_dedup
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    ).limit(20)
+    store = tmp_path / "bad_store"
+    store.mkdir()  # exists, but holds no parquet
+    with pytest.raises(Exception):
+        incremental_minhash_dedup(spark, docs, str(store)).collect()
