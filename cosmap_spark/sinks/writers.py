@@ -144,6 +144,37 @@ def write_zordered(
     )
 
 
+def describe_layout(path: str, columns: list[str]) -> list[dict]:
+    """Row-group-level min/max layout report for a parquet directory —
+    the ops tool behind clustering decisions: one dict per row group
+    with ``file``, ``n_rows``, and ``<col>_min`` / ``<col>_max`` per
+    requested column.  Reads FOOTERS only (pyarrow), never data pages,
+    so it is safe to point at a huge table from the driver.
+
+    Use it to answer "is this table worth re-clustering?": for a
+    predicate box, the fraction of row groups whose bounds intersect it
+    IS the scan fraction a filtered query will pay (the quantity the
+    z-order test asserts on)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in sorted(_glob.glob(f"{path}/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        idx = {c: names.index(c) for c in columns}
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            row = {"file": f.rsplit("/", 1)[-1], "n_rows": rg.num_rows}
+            for c, i in idx.items():
+                st = rg.column(i).statistics
+                row[f"{c}_min"] = None if st is None else st.min
+                row[f"{c}_max"] = None if st is None else st.max
+            out.append(row)
+    return out
+
+
 def merge_upsert(spark, path: str, updates: DataFrame, keys: list[str]) -> None:
     """Keyed upsert into a parquet directory — MERGE INTO semantics
     (update-or-insert by key; updates win, unmatched existing rows

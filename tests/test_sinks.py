@@ -154,23 +154,18 @@ def test_zorder_write_prunes_in_both_dimensions(spark, tmp_path):
         .write.mode("overwrite").parquet(bpath)
     )
 
+    from cosmap_spark.sinks.writers import describe_layout
+
     def frac_hit(path, box):
         (ra_lo, ra_hi), (dec_lo, dec_hi) = box
-        hit = tot = 0
-        for f in glob.glob(f"{path}/*.parquet"):
-            md = pq.ParquetFile(f).metadata
-            names = [md.schema.column(i).name for i in range(md.num_columns)]
-            i_ra, i_dec = names.index("ra"), names.index("dec")
-            for g in range(md.num_row_groups):
-                rg = md.row_group(g)
-                sra = rg.column(i_ra).statistics
-                sdec = rg.column(i_dec).statistics
-                tot += 1
-                if sra.max >= ra_lo and sra.min <= ra_hi \
-                        and sdec.max >= dec_lo and sdec.min <= dec_hi:
-                    hit += 1
-        assert tot >= 30, "expected ~one row group per file"
-        return hit / tot
+        groups = describe_layout(path, ["ra", "dec"])
+        assert len(groups) >= 30, "expected ~one row group per file"
+        hit = sum(
+            1 for g in groups
+            if g["ra_max"] >= ra_lo and g["ra_min"] <= ra_hi
+            and g["dec_max"] >= dec_lo and g["dec_min"] <= dec_hi
+        )
+        return hit / len(groups)
 
     box = ((40.0, 60.0), (10.0, 30.0))  # ~1.5% of the (ra, sin dec) area
     f_z, f_id = frac_hit(zpath, box), frac_hit(bpath, box)
