@@ -249,6 +249,69 @@ def temperature_mixture(
     )
 
 
+def negative_pairs(
+    df: DataFrame,
+    *,
+    k: int = 4,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    exclude_pairs: DataFrame | None = None,
+) -> DataFrame:
+    """k pseudo-random negative partners per document — the contrastive-
+    training pair miner (anchor, negative) with negatives uniform over
+    the corpus, deterministic, and never self.
+
+    Sampling uniformly from a distributed table without knowing ids is
+    the trick: ``row_index`` (operators/packing.py) assigns dense
+    0..n-1 positions via the sharded prefix sum, each anchor derives k
+    partner POSITIONS as ``(idx + 1 + hash(idx, seed, j) mod (n-1))
+    mod n`` (offset ≥ 1 ⇒ never itself), and one equi-join maps
+    positions back to ids.  ``exclude_pairs`` (id_a, id_b — e.g. a
+    near-dup pair set) drops known FALSE negatives via a left-anti
+    join.  Output: ``(anchor_id, negative_id, neg_rank)``; after
+    exclusions an anchor may carry fewer than k rows."""
+    from cosmap_spark.operators.packing import row_index
+
+    idx = row_index(df.select(id_col), order_col=id_col)
+    n = idx.count()
+    if n < 2:
+        raise ValueError("need at least 2 rows to mine negatives")
+    offs = F.array(*[
+        (
+            F.lit(1)
+            + F.pmod(
+                F.xxhash64(F.col("row_idx"), F.lit(seed), F.lit(j)),
+                F.lit(n - 1),
+            )
+        ).alias(f"o{j}")
+        for j in range(k)
+    ])
+    anchors = idx.select(
+        F.col(id_col).alias("anchor_id"),
+        F.posexplode(
+            F.transform(
+                offs, lambda o: F.pmod(F.col("row_idx") + o, F.lit(n))
+            )
+        ).alias("neg_rank", "__pidx"),
+    )
+    partners = idx.select(
+        F.col("row_idx").alias("__pidx"), F.col(id_col).alias("negative_id")
+    )
+    pairs = anchors.join(partners, "__pidx").select(
+        "anchor_id", "negative_id", F.col("neg_rank").cast("long").alias("neg_rank")
+    )
+    if exclude_pairs is not None:
+        norm = exclude_pairs.select(
+            F.least("id_a", "id_b").alias("__x"),
+            F.greatest("id_a", "id_b").alias("__y"),
+        )
+        keyed = pairs.withColumn(
+            "__x", F.least("anchor_id", "negative_id")
+        ).withColumn("__y", F.greatest("anchor_id", "negative_id"))
+        pairs = keyed.join(norm, ["__x", "__y"], "left_anti").drop("__x", "__y")
+    return pairs
+
+
 def select_to_token_budget(
     df: DataFrame,
     *,

@@ -325,3 +325,38 @@ def test_select_to_token_budget(spark):
         ).collect()
     }
     assert sel_ids <= bigger
+
+
+def test_negative_pairs_uniform_never_self_excludable(spark):
+    from cosmap_spark.operators.sampler import negative_pairs
+
+    docs = spark.range(500).select(F.col("id").alias("doc_id"))
+    pairs = negative_pairs(docs, k=4, seed=11).collect()
+    assert len(pairs) == 2000
+    by_anchor = {}
+    for r in pairs:
+        assert r["negative_id"] != r["anchor_id"], "self-negative"
+        by_anchor.setdefault(r["anchor_id"], set()).add(r["neg_rank"])
+    assert set(by_anchor) == set(range(500))
+    assert all(ranks == {0, 1, 2, 3} for ranks in by_anchor.values())
+    # negatives cover the corpus roughly uniformly (no hot partner)
+    from collections import Counter
+
+    hits = Counter(r["negative_id"] for r in pairs)
+    assert max(hits.values()) <= 20  # mean 4, loose binomial ceiling
+    # deterministic
+    again = negative_pairs(docs, k=4, seed=11).collect()
+    assert sorted(map(tuple, pairs)) == sorted(map(tuple, again))
+    # known false negatives are excluded
+    dups = spark.createDataFrame(
+        [(r["anchor_id"], r["negative_id"]) for r in pairs[:50]],
+        "id_a long, id_b long",
+    )
+    cleaned = negative_pairs(docs, k=4, seed=11, exclude_pairs=dups).collect()
+    banned = {(r["id_a"], r["id_b"]) for r in dups.collect()}
+    for r in cleaned:
+        key = (min(r["anchor_id"], r["negative_id"]),
+               max(r["anchor_id"], r["negative_id"]))
+        norm_banned = {(min(a, b), max(a, b)) for a, b in banned}
+        assert key not in norm_banned
+    assert len(cleaned) <= 2000 - 50 + 10  # duplicates in the ban list
