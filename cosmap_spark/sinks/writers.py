@@ -212,8 +212,19 @@ def merge_upsert(spark, path: str, updates: DataFrame, keys: list[str]) -> None:
     merged = existing.join(F.broadcast(upd_keys), keys, "left_anti").unionByName(
         updates.select(*existing.columns)
     )
+    _swap_in(path, merged)
+
+
+def _swap_in(path: str, replacement: DataFrame) -> None:
+    """Write ``replacement`` fully to a temp directory, then swap it in
+    via the backup-rename dance shared by merge_upsert/delete_keys (see
+    merge_upsert's docstring for the atomicity caveats)."""
+    import os
+    import shutil
+    import uuid
+
     tmp = f"{path}.__merge_tmp_{uuid.uuid4().hex}"
-    merged.write.mode("overwrite").parquet(tmp)
+    replacement.write.mode("overwrite").parquet(tmp)
     backup = f"{path}.__merge_backup"
     if os.path.exists(backup):  # leftover from an interrupted merge
         shutil.rmtree(backup)
@@ -224,3 +235,25 @@ def merge_upsert(spark, path: str, updates: DataFrame, keys: list[str]) -> None:
         os.rename(backup, path)  # restore the live table, then re-raise
         raise
     shutil.rmtree(backup)
+
+
+def delete_keys(spark, path: str, keys_df: DataFrame, key_cols: list[str]) -> int:
+    """Propagate deletions into a parquet table — the
+    right-to-be-forgotten primitive: every row whose key appears in
+    ``keys_df`` is removed, via the same copy-on-write swap as
+    ``merge_upsert``.  Returns the number of rows removed; a no-match
+    call is a NO-OP (no rewrite — idempotent re-runs after a partial
+    propagation are free).  Run against every derived table holding the
+    key (curated corpus, signature store, chunk index…) to complete a
+    deletion end-to-end."""
+    import os
+
+    if not os.path.exists(path):
+        return 0
+    existing = spark.read.parquet(path)
+    dk = keys_df.select(*key_cols).distinct()
+    n_hit = existing.join(F.broadcast(dk), key_cols, "left_semi").count()
+    if n_hit == 0:
+        return 0
+    _swap_in(path, existing.join(F.broadcast(dk), key_cols, "left_anti"))
+    return n_hit

@@ -182,3 +182,29 @@ def test_orc_roundtrip(spark, tmp_path):
     back = spark.read.orc(path)
     assert back.count() == nation.count()
     assert back.schema == nation.schema
+
+
+def test_delete_keys_propagates_and_is_idempotent(spark, tmp_path):
+    from cosmap_spark.sinks.writers import delete_keys
+
+    nation = load_table(spark, "/root/testdata/sf0.001", "nation")
+    path = str(tmp_path / "tbl")
+    nation.write.parquet(path)
+    n0 = nation.count()
+
+    doomed = spark.createDataFrame([(0,), (5,), (9,)], "n_nationkey long")
+    assert delete_keys(spark, path, doomed, ["n_nationkey"]) == 3
+    back = spark.read.parquet(path)
+    assert back.count() == n0 - 3
+    assert back.where(F.col("n_nationkey").isin(0, 5, 9)).count() == 0
+    # idempotent + no-op fast path: second call touches nothing
+    import os
+
+    mtime = max(os.path.getmtime(os.path.join(path, f))
+                for f in os.listdir(path))
+    assert delete_keys(spark, path, doomed, ["n_nationkey"]) == 0
+    mtime2 = max(os.path.getmtime(os.path.join(path, f))
+                 for f in os.listdir(path))
+    assert mtime2 == mtime, "no-match delete must not rewrite the table"
+    # missing table is a 0, not an error
+    assert delete_keys(spark, str(tmp_path / "nope"), doomed, ["n_nationkey"]) == 0
