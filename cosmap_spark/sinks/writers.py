@@ -205,14 +205,57 @@ def merge_upsert(spark, path: str, updates: DataFrame, keys: list[str]) -> None:
         updates.write.mode("overwrite").parquet(path)
         return
     existing = spark.read.parquet(path)
+    # align updates to the EXISTING column order AND types: appending
+    # files with wider types (e.g. long keys into an int table) would
+    # poison the directory with mixed parquet schemas that fail on read
+    updates = updates.select(
+        *[F.col(f.name).cast(f.dataType) for f in existing.schema.fields]
+    )
     upd_keys = updates.select(*keys).distinct()
     if existing.join(F.broadcast(upd_keys), keys, "left_semi").limit(1).count() == 0:
-        updates.select(*existing.columns).write.mode("append").parquet(path)
+        updates.write.mode("append").parquet(path)
         return
     merged = existing.join(F.broadcast(upd_keys), keys, "left_anti").unionByName(
-        updates.select(*existing.columns)
+        updates
     )
     _swap_in(path, merged)
+
+
+def merge_upsert_partitioned(
+    spark,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+    *,
+    partition_col: str,
+) -> None:
+    """``merge_upsert`` for a ``partitionBy(partition_col)`` table that
+    rewrites ONLY the partitions the updates touch — the copy-on-write
+    contract at table scale: a small update against a 100 TB table
+    costs O(touched partitions), and untouched partition directories
+    are never read, rewritten, or even listed.
+
+    The touched-partition list is a distinct projection of the updates
+    (tiny); each touched ``<col>=<value>`` directory then runs the flat
+    ``merge_upsert`` (with its append fast path and backup-swap) on its
+    own slice of the updates.  New partition values create fresh
+    directories."""
+    import os
+
+    if not os.path.exists(path):
+        updates.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+        return
+    touched = [
+        r["p"] for r in updates.select(
+            F.col(partition_col).alias("p")
+        ).distinct().collect()
+    ]
+    for value in touched:
+        part_dir = os.path.join(path, f"{partition_col}={value}")
+        slice_df = updates.where(
+            F.col(partition_col).eqNullSafe(F.lit(value))
+        ).drop(partition_col)
+        merge_upsert(spark, part_dir, slice_df, keys)
 
 
 def _swap_in(path: str, replacement: DataFrame) -> None:

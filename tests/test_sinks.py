@@ -208,3 +208,39 @@ def test_delete_keys_propagates_and_is_idempotent(spark, tmp_path):
     assert mtime2 == mtime, "no-match delete must not rewrite the table"
     # missing table is a 0, not an error
     assert delete_keys(spark, str(tmp_path / "nope"), doomed, ["n_nationkey"]) == 0
+
+
+def test_partitioned_upsert_rewrites_only_touched_partitions(spark, tmp_path):
+    import os
+
+    from cosmap_spark.sinks.writers import merge_upsert_partitioned
+
+    nation = load_table(spark, "/root/testdata/sf0.001", "nation")
+    path = str(tmp_path / "ptbl")
+    merge_upsert_partitioned(
+        spark, path, nation, ["n_nationkey"], partition_col="n_regionkey"
+    )
+    n0 = nation.count()
+
+    def files_mtime(region):
+        d = os.path.join(path, f"n_regionkey={region}")
+        return {f: os.path.getmtime(os.path.join(d, f))
+                for f in os.listdir(d) if f.endswith(".parquet")}
+
+    before = {r: files_mtime(r) for r in (0, 1, 2, 3, 4)}
+    # update nation 12 (region 12 % 5 == 2) + insert a new nation there
+    upd = spark.createDataFrame(
+        [(97, "ATLANTIS", 2), (12, "UPDATED", 2)],
+        "n_nationkey long, n_name string, n_regionkey long",
+    )
+    merge_upsert_partitioned(
+        spark, path, upd, ["n_nationkey"], partition_col="n_regionkey"
+    )
+    back = spark.read.parquet(path)
+    assert back.count() == n0 + 1
+    got = {r["n_nationkey"]: r["n_name"]
+           for r in back.where(F.col("n_regionkey") == 2).collect()}
+    assert got[97] == "ATLANTIS" and got[12] == "UPDATED"
+    # untouched partitions keep their exact files
+    for region in (0, 1, 3, 4):
+        assert files_mtime(region) == before[region], f"region {region} rewritten"
