@@ -1,4 +1,35 @@
 """Relational & spatial operators built from native DataFrame primitives."""
 
 from cosmap_spark.operators.cone_search import cone_search  # noqa: F401
-from cosmap_spark.operators.sampler import uniform_sphere_samples  # noqa: F401
+from cosmap_spark.operators.dedup import (  # noqa: F401
+    contamination_hits,
+    dedup_clusters,
+    exact_dedup,
+    incremental_minhash_dedup,
+    leakage_safe_split,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from cosmap_spark.operators.intervals import coalesce_intervals  # noqa: F401
+from cosmap_spark.operators.knn import (  # noqa: F401
+    knn_bruteforce,
+    knn_ivf,
+    knn_lsh,
+)
+from cosmap_spark.operators.packing import (  # noqa: F401
+    pack_offsets,
+    row_index,
+)
+from cosmap_spark.operators.report import corpus_report  # noqa: F401
+from cosmap_spark.operators.sampler import (  # noqa: F401
+    deterministic_sample,
+    epoch_shuffle,
+    negative_pairs,
+    select_to_token_budget,
+    stratified_sample,
+    temperature_mixture,
+    uniform_box_samples,
+    uniform_sphere_samples,
+    weighted_sample,
+)

@@ -1,7 +1,13 @@
-"""Output connectors (reference O24/O25)."""
+"""Output connectors (reference O24/O25) and table maintenance."""
 
 from cosmap_spark.sinks.writers import (  # noqa: F401
     append_csv,
+    compact_parquet,
+    delete_keys,
+    describe_layout,
+    merge_upsert,
+    merge_upsert_partitioned,
     multi_output,
     write_output,
+    write_zordered,
 )
