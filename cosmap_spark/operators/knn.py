@@ -181,6 +181,60 @@ def knn_lsh(
     )
 
 
+def hard_negative_pairs(
+    corpus: DataFrame,
+    *,
+    k: int = 4,
+    dup_pairs: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    tables: int = 4,
+    planes: int = 8,
+    seed: int = 13,
+) -> DataFrame:
+    """Semi-hard contrastive negatives: each vector's top-k most-similar
+    NON-duplicate neighbors — the pairs that actually move an embedding
+    model, versus the uniform negatives of
+    ``operators/sampler.py::negative_pairs``.
+
+    Composition of the engine's own parts: LSH-bucketed approximate
+    k-NN over the corpus against itself (never all-pairs), then an
+    anti-join against ``dup_pairs`` (normalized id order) so known
+    near-duplicates — FALSE negatives — are excluded before ranks are
+    taken.  Output ``(anchor_id, negative_id, sim, neg_rank)``."""
+    ann = knn_lsh(
+        corpus, corpus, k=k + 8, id_col=id_col, vec_col=vec_col,
+        dim=dim, tables=tables, planes=planes, seed=seed,
+    ).select(
+        F.col("qid").alias("anchor_id"),
+        F.col("nid").alias("negative_id"),
+        "sim",
+    )
+    if dup_pairs is not None:
+        norm = dup_pairs.select(
+            F.least("id_a", "id_b").alias("__x"),
+            F.greatest("id_a", "id_b").alias("__y"),
+        )
+        ann = (
+            ann.withColumn("__x", F.least("anchor_id", "negative_id"))
+            .withColumn("__y", F.greatest("anchor_id", "negative_id"))
+            .join(norm, ["__x", "__y"], "left_anti")
+            .drop("__x", "__y")
+        )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("sim").desc(), F.col("negative_id")
+    )
+    return (
+        ann.withColumn("neg_rank", F.row_number().over(w))
+        .where(F.col("neg_rank") <= k)
+        .select(
+            "anchor_id", "negative_id", "sim",
+            F.col("neg_rank").cast("long").alias("neg_rank"),
+        )
+    )
+
+
 def embedding_dup_pairs(
     corpus: DataFrame,
     *,

@@ -435,3 +435,37 @@ def test_incremental_dedup_corrupt_store_raises(spark, tmp_path):
     store.mkdir()  # exists, but holds no parquet
     with pytest.raises(Exception):
         incremental_minhash_dedup(spark, docs, str(store)).collect()
+
+
+def test_hard_negative_pairs_excludes_dups_and_ranks_by_sim(spark):
+    from cosmap_spark.operators.knn import embedding_dup_pairs, hard_negative_pairs
+
+    base = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    copies = base.where(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    emb = base.unionByName(copies).cache()
+    dups = embedding_dup_pairs(emb, threshold=0.99, dim=64)
+    assert dups.count() >= 20, "fixture plants near-dup embeddings"
+    hard = hard_negative_pairs(
+        emb, k=3, dup_pairs=dups, dim=64, tables=8, planes=4
+    )
+    rows = hard.collect()
+    banned = {
+        (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]))
+        for r in dups.collect()
+    }
+    by_anchor = {}
+    for r in rows:
+        assert r["negative_id"] != r["anchor_id"]
+        key = (min(r["anchor_id"], r["negative_id"]),
+               max(r["anchor_id"], r["negative_id"]))
+        assert key not in banned, "near-dup leaked in as a hard negative"
+        by_anchor.setdefault(r["anchor_id"], []).append(r)
+    for anchor, lst in by_anchor.items():
+        lst.sort(key=lambda r: r["neg_rank"])
+        sims = [r["sim"] for r in lst]
+        assert sims == sorted(sims, reverse=True)
+        assert len(lst) <= 3
