@@ -9,6 +9,7 @@ from cosmap_spark.operators.dedup import (  # noqa: F401
     leakage_safe_split,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    passage_dedup,
     simhash_pairs,
 )
 from cosmap_spark.operators.intervals import coalesce_intervals  # noqa: F401

@@ -6,8 +6,9 @@ operator set (mandated by BASELINE.json).  Implementations live in
 operators/dedup.py, operators/knn.py, functions/text.py; this module
 binds them to the correctness ledger.
 
-Consolidated (round 2): per-document analytics merge into two suites
-(``q_text_profile`` / ``q_text_transform``), probabilistic near-dup and
+Consolidated (rounds 2-3): per-document analytics merge into ONE wide
+suite (``q_text_profile`` — profiling + scrub/fingerprint/canonical/
+repetition, all per-row JVM expressions), probabilistic near-dup and
 ANN paths into tagged unions (``q_dedup_approx`` / ``q_knn_ann``), and
 the multimodal metadata + join queries into ``q_multimodal`` — so every
 operator lands inside the driver's bounded correctness window.
@@ -306,8 +307,17 @@ _TEXT_PROFILE_ORACLE = f"""
              {_lang_count_sql('en')} AS c_en, {_lang_count_sql('fr')} AS c_fr,
              {_lang_count_sql('de')} AS c_de, {_lang_count_sql('es')} AS c_es,
              CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_toks,
-             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+             string_split(text, ' ') AS toks
       FROM documents
+    ),
+    sh AS (
+      SELECT c.*,
+             CASE WHEN len(toks) >= 3
+                  THEN list_transform(range(1, len(toks) - 1),
+                                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                  ELSE [] END AS s
+      FROM c
     )
     SELECT doc_id, lang,
            CAST(length(text) AS BIGINT) AS len_chars,
@@ -326,8 +336,20 @@ _TEXT_PROFILE_ORACLE = f"""
                 ELSE 'es' END AS lang_guess,
            CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_words,
            CAST(len(regexp_extract_all(text, '[A-Za-z]{{1,4}}|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpeish,
-           CAST(floor(n_toks / 32) AS BIGINT) AS bucket
-    FROM c
+           CAST(floor(n_toks / 32) AS BIGINT) AS bucket,
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+             '\\d{{9,}}', '<NUM>', 'g') AS scrubbed,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+           trim(regexp_replace(
+             regexp_replace(lower(text), '[^\\p{{L}}\\p{{N}}\\s]', ' ', 'g'),
+             '\\s+', ' ', 'g')) AS canon,
+           CASE WHEN len(s) > 0
+                THEN round(CAST(list_max(list_transform(list_distinct(s),
+                         d -> len(list_filter(s, x -> x = d)))) AS DOUBLE) / len(s), 6)
+                ELSE 0.0 END AS rep_ratio
+    FROM sh
 """
 
 
@@ -346,7 +368,16 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       alphabetic pieces, digits, single symbols);
     * the token-length bucket behind sequence packing / curriculum
       batching (the histogram itself is then a trivial count per
-      bucket)."""
+      bucket);
+    * PII-style scrub: redact email-shaped substrings and long digit
+      runs via a regexp_replace chain (DuckDB needs the 'g' flag to
+      match Spark's replace-all);
+    * normalized-text md5 fingerprint (stable across engines/runs);
+    * dedup-canonical form (lowercase, punctuation stripped, whitespace
+      collapsed — functions/text.py:canonicalize);
+    * Gopher-style repetition ratio (most frequent 3-gram's share of
+      all 3-grams, Rae et al. 2021 A1.1) — per-row higher-order
+      functions, no explode/shuffle."""
     d = load_table(spark, sf_dir, "documents")
     text = F.col("text")
     nt = n_tokens(text)
@@ -381,64 +412,63 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(text, F.lit("[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9 ]"))
         .cast("long").alias("n_bpeish"),
         F.floor(nt / 32).cast("long").alias("bucket"),
-    )
-
-
-_TEXT_TRANSFORM_ORACLE = r"""
-    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
-    sh AS (
-      SELECT doc_id, text,
-             CASE WHEN len(toks) >= 3
-                  THEN list_transform(range(1, len(toks) - 1),
-                                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-                  ELSE [] END AS s
-      FROM t
-    )
-    SELECT doc_id,
-           regexp_replace(
-             regexp_replace(text,
-               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-             '\d{9,}', '<NUM>', 'g') AS scrubbed,
-           md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
-           trim(regexp_replace(
-             regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'),
-             '\s+', ' ', 'g')) AS canon,
-           CASE WHEN len(s) > 0
-                THEN round(CAST(list_max(list_transform(list_distinct(s),
-                         d -> len(list_filter(s, x -> x = d)))) AS DOUBLE) / len(s), 6)
-                ELSE 0.0 END AS rep_ratio
-    FROM sh
-"""
-
-
-@query("q_text_transform", oracle=_TEXT_TRANSFORM_ORACLE)
-def q_text_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document text transforms in one pass, all JVM-side:
-
-    * PII-style scrub: redact email-shaped substrings and long digit
-      runs via a regexp_replace chain (DuckDB needs the 'g' flag to
-      match Spark's replace-all);
-    * normalized-text md5 fingerprint (stable across engines/runs);
-    * dedup-canonical form (lowercase, punctuation stripped, whitespace
-      collapsed — functions/text.py:canonicalize);
-    * Gopher-style repetition ratio (most frequent 3-gram's share of
-      all 3-grams, Rae et al. 2021 A1.1) — per-row higher-order
-      functions, no explode/shuffle.  At 100 TB the same statistic can
-      be computed via shingle-explode + groupBy when documents are
-      huge; per-row folds are right while a document fits a row."""
-    d = load_table(spark, sf_dir, "documents")
-    text = F.col("text")
-    t = tokens(text)
-    rep = F.when(
-        F.size(t) >= 3, F.round(repetition_ratio(text, 3), 6)
-    ).otherwise(F.lit(0.0))
-    return d.select(
-        "doc_id",
         scrub_pii(text).alias("scrubbed"),
         fingerprint(text).alias("fp"),
         canonicalize(text).alias("canon"),
-        rep.alias("rep_ratio"),
+        F.when(F.size(tokens(text)) >= 3, F.round(repetition_ratio(text, 3), 6))
+        .otherwise(F.lit(0.0))
+        .alias("rep_ratio"),
     )
+
+
+_PASSAGE_DEDUP_ORACLE = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    ch AS (
+      SELECT doc_id,
+             unnest(range(greatest(CAST(ceil(len(toks) / 8.0) AS BIGINT), 1))) AS idx,
+             unnest(list_transform(
+               range(greatest(CAST(ceil(len(toks) / 8.0) AS BIGINT), 1)),
+               i -> array_to_string(
+                      list_slice(toks, i * 8 + 1, least((i + 1) * 8, len(toks))),
+                      ' '))) AS chunk
+      FROM t
+    ),
+    r AS (
+      SELECT doc_id, idx, chunk,
+             row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+      FROM ch
+    )
+    SELECT doc_id,
+           count(*) AS n_chunks,
+           sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+           coalesce(array_to_string(
+             list(chunk ORDER BY idx) FILTER (WHERE rn = 1), ' '), '') AS text_clean
+    FROM r GROUP BY doc_id
+"""
+
+
+@query("q_passage_dedup", oracle=_PASSAGE_DEDUP_ORACLE)
+def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicate-passage removal (operators/dedup.py:
+    passage_dedup) — the C4 "repeated three-sentence span" rule (Raffel
+    et al. 2020 §2.2) adapted to token streams: non-overlapping 8-token
+    passages, globally-first occurrence wins (ordered by (doc_id,
+    position)), documents reassembled from their surviving passages.
+
+    This is sub-document dedup — it strips boilerplate/quoted passages
+    INSIDE otherwise-unique documents, the duplication mode document-
+    level exact/minhash dedup cannot see.
+
+    Scale shape: winner election is groupBy(passage-md5).agg(min(struct))
+    — map-side partial combine collapses a billion-fold hot passage
+    before the exchange (a window over the passage would pin the hot key
+    to one unsplittable task); the join back is AQE-skew-splittable; the
+    final groupBy is per-document.  Shuffles carry 32-byte hashes, not
+    text."""
+    from cosmap_spark.operators.dedup import passage_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    return passage_dedup(d, k=8)
 
 
 _TFIDF_ORACLE = """
