@@ -16,7 +16,7 @@ operator lands inside the driver's bounded correctness window.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cosmap_spark.functions.text import (
@@ -476,34 +476,58 @@ _TFIDF_ORACLE = """
       SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
     ),
     tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-    n AS (SELECT count(*) AS n_docs FROM documents)
+    dfreq AS (SELECT term, count(*) AS df, sum(tf) AS ctf FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    tot AS (SELECT sum(tf) AS n_tok FROM tf)
     SELECT t.doc_id, t.term,
            t.tf AS tf,
-           round(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df), 6) AS tfidf
-    FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
+           round(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df), 6) AS tfidf,
+           round(CAST(d.ctf AS DOUBLE) / tot.n_tok, 8) AS p_term,
+           round(
+             sum(t.tf * -ln(CAST(d.ctf AS DOUBLE) / tot.n_tok))
+               OVER (PARTITION BY t.doc_id)
+             / sum(t.tf) OVER (PARTITION BY t.doc_id), 4) AS lm_nll
+    FROM tf t JOIN dfreq d USING (term) CROSS JOIN n CROSS JOIN tot
 """
 
 
 @query("q_tfidf", oracle=_TFIDF_ORACLE)
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TF-IDF weights per (document, term) — the classic sparse
-    featurization / keyword-extraction primitive over a corpus.
+    """TF-IDF weights per (document, term) plus corpus unigram-LM
+    features — sparse featurization and the CCNet-style statistical
+    quality proxy (Wenzek et al. 2020) in one computation tree:
+
+    * ``tfidf`` — classic tf × ln(N/df);
+    * ``p_term`` — the term's corpus unigram probability (MLE over all
+      token occurrences);
+    * ``lm_nll`` — the document's average per-token negative
+      log-likelihood under that unigram LM: high = improbable token mix
+      (gibberish / OCR noise), low = stereotyped text.  The distributed
+      analog of CCNet's "perplexity under a reference LM" filter, with
+      the corpus itself as the LM.
 
     Scale shape: explode to (doc, term), ONE groupBy for term
-    frequencies, ONE groupBy (on the much smaller tf table) for
-    document frequencies, and a broadcast of the 1-row corpus count —
-    the df table is term-cardinality-sized, so the join back to tf
-    broadcasts at any realistic vocabulary size.  No collect, no
+    frequencies, ONE groupBy (on the much smaller tf table) for per-term
+    df + collection frequency, broadcasts of the 1-row totals — the
+    term table is vocabulary-sized, so it broadcasts at any realistic
+    scale.  The per-document NLL is a window over ``doc_id`` (bounded
+    by document size, skew-free) rather than a groupBy + self-join —
+    one exchange instead of two plus a join.  No collect, no
     driver-side vocabulary."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    dfreq = tf.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("ctf")
+    )
     n_docs = d.agg(F.count("*").alias("n_docs"))
+    n_tok = tf.agg(F.sum("tf").alias("n_tok"))
+    w = Window.partitionBy("doc_id")
+    p_term = F.col("ctf").cast("double") / F.col("n_tok")
     return (
         tf.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(n_docs))
+        .crossJoin(F.broadcast(n_tok))
         .select(
             "doc_id",
             "term",
@@ -511,6 +535,12 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
             ).alias("tfidf"),
+            F.round(p_term, 8).alias("p_term"),
+            F.round(
+                F.sum(F.col("tf") * -F.log(p_term)).over(w)
+                / F.sum("tf").over(w),
+                4,
+            ).alias("lm_nll"),
         )
     )
 
