@@ -17,6 +17,7 @@ from cosmap_spark.operators.knn import (  # noqa: F401
     knn_bruteforce,
     knn_ivf,
     knn_lsh,
+    semantic_dedup_pairs,
 )
 from cosmap_spark.operators.packing import (  # noqa: F401
     pack_offsets,

@@ -451,3 +451,55 @@ def knn_ivf(
         .where(F.col("rn") <= k)
         .select("qid", "nid", "sim", F.col("rn").cast("long").alias("rn"))
     )
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    *,
+    threshold: float = 0.95,
+    nlist: int = 16,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 29,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate pairs found by clustering the embedding space with a
+    k-means coarse quantizer and comparing vectors ONLY within their
+    cluster.
+
+    Complements ``embedding_dup_pairs`` (hyperplane LSH, cos ≥ ~0.99):
+    LSH collision probability collapses as the threshold drops (at
+    cos = 0.95, θ ≈ 18°, an 8-plane bucket agrees w.p. ≈ 0.43 — recall
+    dies), while cluster-scoped comparison keeps recall high at the
+    MODERATE thresholds semantic dedup targets, because semantically
+    close vectors co-locate under the same nearest centroid.
+
+    Scale shape: centroid assignment is map-side (the centroid literal
+    ships with the plan — ``ivf_assign``); the only exchange is the
+    self-equi-join on ``cid``, so the quadratic term is bounded per
+    cluster: E[pairs] ≈ n²/(2·nlist) for balanced clusters — at 100 TB
+    run with nlist ~ 10⁵ (the paper's regime), making each inverted
+    list a few thousand vectors.  Every reported pair carries its exact
+    cosine (precision 1.0 by construction); misses are exactly the
+    cross-cluster pairs (recall unit-tested vs brute force).
+
+    Returns ``[id_a, id_b, sim]`` with ``id_a < id_b``, sim rounded to
+    6 dp for cross-engine/partitioning stability.
+    """
+    _, assigned = ivf_build(
+        corpus, nlist=nlist, iters=iters, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    a = assigned.select(
+        "cid", F.col("nid").alias("id_a"), F.col("nvec").alias("va")
+    )
+    b = assigned.select(
+        "cid", F.col("nid").alias("id_b"), F.col("nvec").alias("vb")
+    )
+    sim = F.round(cosine_similarity(F.col("va"), F.col("vb")), 6)
+    return (
+        a.join(b, "cid")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("sim"))
+        .where(F.col("sim") >= threshold)
+    )

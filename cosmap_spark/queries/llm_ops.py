@@ -189,10 +189,15 @@ def q_dedup_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
       O(n·bands) not O(n²)); score = verified Jaccard;
     * ``simhash`` — SimHash fingerprints, Hamming ≤ 3, with 16-bit-chunk
       candidate bucketing (Manku et al. WWW'07 — any pair within
-      distance 3 agrees on ≥ 1 of 4 chunks); score = Hamming distance.
+      distance 3 agrees on ≥ 1 of 4 chunks); score = Hamming distance;
+    * ``semdedup`` — cluster-scoped semantic near-dup over the embedding
+      table (SemDeDup, Abbas et al. 2023): k-means coarse quantizer,
+      pairwise exact cosine ONLY within each cluster — the moderate-
+      threshold regime where hyperplane-LSH recall collapses; score =
+      exact cosine.
 
-    Rows-only check (signatures are hash-specific); recall vs the exact
-    pairs is unit-tested (tests/test_dedup_knn.py)."""
+    Rows-only check (signatures/centroids are hash-specific); recall vs
+    the exact pairs is unit-tested (tests/test_dedup_knn.py)."""
     docs = load_table(spark, sf_dir, "documents")
     mh = minhash_lsh_pairs(
         docs, k=3, num_hashes=32, bands=8, threshold=_NGRAM_THRESHOLD,
@@ -206,7 +211,16 @@ def q_dedup_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b",
         F.col("hamming").cast("double").alias("score"),
     )
-    return mh.unionByName(sh)
+    from cosmap_spark.operators.knn import semantic_dedup_pairs
+
+    sem = semantic_dedup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.95, nlist=16
+    ).select(
+        F.lit("semdedup").alias("method"),
+        "id_a", "id_b",
+        F.col("sim").alias("score"),
+    )
+    return mh.unionByName(sh).unionByName(sem)
 
 
 # --- Similarity search ----------------------------------------------------

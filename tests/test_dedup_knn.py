@@ -469,3 +469,48 @@ def test_hard_negative_pairs_excludes_dups_and_ranks_by_sim(spark):
         sims = [r["sim"] for r in lst]
         assert sims == sorted(sims, reverse=True)
         assert len(lst) <= 3
+
+
+def test_semantic_dedup_recall_vs_bruteforce(spark):
+    """SemDeDup (cluster-scoped cosine pairs) at a MODERATE threshold:
+    planted perturbed copies (cosine ≥ 0.95 but < 0.99 — below the LSH
+    sweet spot) must be recovered; every reported pair must be a true
+    ≥-threshold pair (precision exact: pairs carry verified cosine)."""
+    from cosmap_spark.functions.vectors import cosine_similarity
+    from cosmap_spark.operators.knn import semantic_dedup_pairs
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    # perturb every component by ±4%-scale noise keyed on position —
+    # keeps cosine ≈ 0.96-0.999, mostly under the 0.99 LSH regime
+    planted = emb.where(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: (
+                x.cast("double") + F.sin(i.cast("double") * 7.0) * 0.04
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(planted).cache()
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dedup_pairs(corpus, threshold=0.95, nlist=8).collect()
+    }
+    a = corpus.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = corpus.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias("sim"),
+        )
+        .where(F.col("sim") >= 0.95)
+        .collect()
+    }
+    assert len(brute) >= 20, "fixture must plant moderate-similarity pairs"
+    assert got.issubset(brute), "within-cluster cosine must keep precision exact"
+    recall = len(got & brute) / len(brute)
+    assert recall >= 0.9, f"SemDeDup recall {recall}"
