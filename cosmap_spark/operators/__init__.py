@@ -24,6 +24,11 @@ from cosmap_spark.operators.packing import (  # noqa: F401
     row_index,
 )
 from cosmap_spark.operators.report import corpus_report  # noqa: F401
+from cosmap_spark.operators.vocab import (  # noqa: F401
+    apply_bpe_merge,
+    bpe_pair_counts,
+    token_vocab,
+)
 from cosmap_spark.operators.sampler import (  # noqa: F401
     deterministic_sample,
     epoch_shuffle,

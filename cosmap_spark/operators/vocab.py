@@ -1,0 +1,134 @@
+"""Vocabulary induction over a corpus (SURVEY.md §2.5, round 3).
+
+The distributed half of BPE-style tokenizer training: the per-iteration
+work — corpus-wide symbol-pair frequency counting and applying a chosen
+merge — is embarrassingly parallel DataFrame work and dominates the
+cost; the argmax/merge-table bookkeeping between iterations is
+driver-side and O(vocab), exactly like every published BPE trainer
+(Sennrich et al. 2016).  All JVM-side: higher-order functions build the
+pair stream per row, one groupBy counts it.
+
+At 100 TB: ``bpe_pair_counts`` is one explode + one partially-aggregated
+groupBy on pair strings — the shuffle carries (pair, partial-count)
+after map-side combine, bounded by per-task distinct pairs (vocab²-ish
+worst case, vocab-sized in practice), never by corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cosmap_spark.functions.text import tokens
+
+
+def token_vocab(
+    df: DataFrame, *, text_col: str = "text", top_n: int | None = None
+) -> DataFrame:
+    """Corpus token histogram ``[token, n]`` — the vocabulary a
+    word-level tokenizer (or a BPE trainer's symbol seed) starts from.
+
+    One explode + one groupBy (map-side combine makes hot tokens cheap);
+    ``top_n`` adds a ``TakeOrderedAndProject`` (never a global sort) with
+    a deterministic (count desc, token asc) tie-break.
+    """
+    counts = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    if top_n is not None:
+        counts = counts.orderBy(F.col("n").desc(), F.col("token")).limit(top_n)
+    return counts
+
+
+def _adjacent_pairs(t):
+    """array<string> of space-joined adjacent token pairs; empty for
+    single-token rows (guarded — an unguarded slice(size-1) descends,
+    the short-doc hazard every sequence op here guards against)."""
+    n = F.size(t)
+    zipped = F.zip_with(
+        F.slice(t, 1, n - 1),
+        F.slice(t, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return F.when(n >= 2, zipped).otherwise(F.array().cast("array<string>"))
+
+
+def bpe_pair_counts(
+    df: DataFrame, *, text_col: str = "text", top_n: int | None = None
+) -> DataFrame:
+    """Adjacent-symbol-pair frequencies across the corpus — ONE BPE
+    training iteration's statistics: ``[left, right, n]``, optionally
+    the deterministic top-``top_n`` merge candidates (count desc, then
+    (left, right) asc, so ties never depend on partitioning).
+    """
+    pairs = (
+        df.select(F.explode(_adjacent_pairs(tokens(F.col(text_col)))).alias("p"))
+        .groupBy("p")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.split_part(F.col("p"), F.lit(" "), F.lit(1)).alias("left"),
+            F.split_part(F.col("p"), F.lit(" "), F.lit(2)).alias("right"),
+            "n",
+        )
+    )
+    if top_n is not None:
+        pairs = pairs.orderBy(
+            F.col("n").desc(), F.col("left"), F.col("right")
+        ).limit(top_n)
+    return pairs
+
+
+def apply_bpe_merge(
+    df: DataFrame,
+    left: str,
+    right: str,
+    *,
+    text_col: str = "text",
+    joiner: str = "_",
+) -> DataFrame:
+    """Apply one BPE merge ``(left, right) -> left+joiner+right`` to the
+    whole corpus, greedy left-to-right (the BPE convention: in
+    ``a a a`` the merge ``(a, a)`` produces ``a_a a``, not ``a a_a``).
+
+    Implemented as a per-row ``aggregate`` fold over the token array —
+    state is (merged-so-far, pending-token); no UDF, no shuffle.  The
+    fold appends one element per step, so cost is linear per row with
+    Spark's copy-on-append array semantics bounded by row size — fine
+    while documents fit a row (the same regime as every per-row text op
+    here).
+    """
+    t = tokens(F.col(text_col))
+    merged_tok = F.lit(left + joiner + right)
+
+    fold = F.aggregate(
+        t,
+        F.struct(
+            F.array().cast("array<string>").alias("acc"),
+            F.lit(None).cast("string").alias("pend"),
+        ),
+        lambda st, x: F.when(
+            st["pend"].isNull(), F.struct(st["acc"].alias("acc"), x.alias("pend"))
+        )
+        .when(
+            (st["pend"] == F.lit(left)) & (x == F.lit(right)),
+            # merge consumes BOTH symbols: the merged token is committed
+            # (it can't merge again with the next symbol — BPE applies one
+            # merge rule per pass) and pend resets
+            F.struct(
+                F.concat(st["acc"], F.array(merged_tok)).alias("acc"),
+                F.lit(None).cast("string").alias("pend"),
+            ),
+        )
+        .otherwise(
+            F.struct(
+                F.concat(st["acc"], F.array(st["pend"])).alias("acc"),
+                x.alias("pend"),
+            )
+        ),
+        lambda st: F.when(
+            st["pend"].isNull(), st["acc"]
+        ).otherwise(F.concat(st["acc"], F.array(st["pend"]))),
+    )
+    return df.withColumn(text_col, F.concat_ws(" ", fold))
