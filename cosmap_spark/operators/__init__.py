@@ -1,5 +1,11 @@
 """Relational & spatial operators built from native DataFrame primitives."""
 
+from cosmap_spark.operators.classifier import (  # noqa: F401
+    classifier_auc,
+    hashed_features,
+    score_documents,
+    train_quality_classifier,
+)
 from cosmap_spark.operators.cone_search import cone_search  # noqa: F401
 from cosmap_spark.operators.dedup import (  # noqa: F401
     contamination_hits,
