@@ -167,3 +167,33 @@ def read_csv_tolerant(
         .schema(f"{schema}, {corrupt_col} string")
         .csv(path)
     )
+
+
+def read_jsonl_documents(
+    spark: SparkSession,
+    path: str,
+    *,
+    schema: str = "doc_id bigint, text string, lang string, source string, meta map<string,string>",
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """JSONL corpus ingest — the interchange format LLM-training corpora
+    actually arrive in (one JSON object per line: Dolma, RedPajama, the
+    Pile all ship this shape).
+
+    Same dead-letter contract as ``read_csv_tolerant``: PERMISSIVE mode
+    quarantines malformed lines into ``corrupt_col`` instead of failing
+    a 10⁵-task ingest; callers split on ``corrupt_col IS NULL``.  The
+    schema is EXPLICIT (never inferred): inference would scan the whole
+    landing zone twice and lock in whatever the first sample happened
+    to contain — at 100 TB the schema is a contract, not a guess.
+
+    JSON lines are splittable by newline, so a single huge .jsonl file
+    still parallelizes across tasks (unlike multiline JSON); compressed
+    inputs should be zstd/bzip2 (splittable) or pre-sharded gzip.
+    """
+    return (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .schema(f"{schema}, {corrupt_col} string")
+        .json(path)
+    )

@@ -244,3 +244,25 @@ def test_partitioned_upsert_rewrites_only_touched_partitions(spark, tmp_path):
     # untouched partitions keep their exact files
     for region in (0, 1, 3, 4):
         assert files_mtime(region) == before[region], f"region {region} rewritten"
+
+
+def test_jsonl_ingest_quarantines_bad_lines(spark, tmp_path):
+    from cosmap_spark.sources.readers import read_jsonl_documents
+
+    p = tmp_path / "corpus.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world", "lang": "en", "source": "web"}\n'
+        '{"doc_id": 2, "text": "bonjour", "lang": "fr", "source": "web", '
+        '"meta": {"url": "http://x"}}\n'
+        "{not json at all\n"
+        '{"doc_id": "NaN-ish", "text": 42}\n'
+    )
+    df = read_jsonl_documents(spark, str(p)).cache()
+    clean = df.where(F.col("_corrupt_record").isNull())
+    bad = df.where(F.col("_corrupt_record").isNotNull())
+    assert clean.count() == 2
+    assert bad.count() == 2
+    got = {r["doc_id"]: r for r in clean.collect()}
+    assert got[1]["text"] == "hello world"
+    assert got[2]["meta"]["url"] == "http://x"
+    df.unpersist()
