@@ -17,20 +17,29 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
-#: the on-disk schema of events.parquet (ts is TIMESTAMP(NANOS) → long
-#: under nanosAsLong; converted to TimestampType in events_stream)
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _events_schema(ts_type) -> StructType:
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+
+
+#: events.parquet schema when ts is TIMESTAMP(NANOS) — Spark reads the
+#: nanos column only as a raw long (``nanosAsLong``); events_stream then
+#: converts to TimestampType.
+EVENTS_RAW_SCHEMA = _events_schema(LongType())
+
+#: events.parquet schema when ts is TIMESTAMP(MICROS) — Spark-native.
+EVENTS_MICROS_SCHEMA = _events_schema(TimestampType())
 
 
 def events_stream(spark: SparkSession, path: str,
@@ -39,16 +48,26 @@ def events_stream(spark: SparkSession, path: str,
 
     At scale this is the landing-zone pattern: new parquet files appear
     in a directory; the file source tracks processed files in the
-    checkpoint and replays none."""
+    checkpoint and replays none.
+
+    The on-disk timestamp unit is probed from the existing files (test
+    data generations have shipped ``ts`` both as TIMESTAMP(NANOS), which
+    Spark reads only as a raw long, and as Spark-native
+    TIMESTAMP(MICROS)); the stream always surfaces a proper
+    TimestampType ``ts`` either way, mirroring ``tables.load_table``."""
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    ts_is_long = dict(spark.read.parquet(path).dtypes).get("ts") == "bigint"
+    schema = EVENTS_RAW_SCHEMA if ts_is_long else EVENTS_MICROS_SCHEMA
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(path)
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if ts_is_long:
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
 
 
 def tumbling_counts(events: DataFrame, *, window: str = "10 minutes",

@@ -148,10 +148,14 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     n_after_first = spark.read.parquet(out_dir).count()
     assert n_after_first > 0  # watermark advanced; closed windows emitted
 
-    # a late file: same events shifted 30 days into the past
+    # a late file: same events shifted 30 days into the past.  Written
+    # via the unit-normalized loader so the staged file carries
+    # TIMESTAMP(MICROS) ts, matching what events_stream probes.
+    from cosmap_spark.tables import load_table
+
     late = (
-        spark.read.parquet(SF_EVENTS)
-        .withColumn("ts", F.col("ts") - F.lit(30 * 86400 * 10**9))
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .withColumn("ts", F.col("ts") - F.expr("INTERVAL 30 DAYS"))
         .limit(500)
     )
     staging = tmp_path / "late_staging"
@@ -163,8 +167,8 @@ def test_watermark_drops_late_rows(spark, tmp_path):
         F.min("window_start").alias("lo")
     ).collect()[0]
     # late windows (30 days earlier) must NOT appear in the output
-    min_on_time = spark.read.parquet(SF_EVENTS).agg(
-        F.expr("timestamp_micros(min(ts) div 1000)")
+    min_on_time = load_table(spark, "/root/testdata/sf0.001", "events").agg(
+        F.min("ts")
     ).collect()[0][0].replace(minute=0, second=0, microsecond=0)
     assert emitted["lo"] >= min_on_time
 
