@@ -1,0 +1,83 @@
+"""Repo-wide physical-plan audit over the ENTIRE 50-query ledger.
+
+Every registered query's physical plan is linted for the operators that
+kill a 100 TB run but stay invisible at test scale:
+
+* ``CartesianProduct`` — O(n·m) pair generation;
+* ``BroadcastNestedLoopJoin`` — per-row scan of the broadcast side
+  (quadratic work unless one side is constant-size);
+* ``BatchEvalPython`` — row-at-a-time (non-Arrow) Python UDF; the only
+  sanctioned Python paths are Arrow-vectorized (``ArrowEvalPython``,
+  ``FlatMapGroupsInPandas``, ``MapInPandas`` / ``PythonMapInArrow``);
+* ``Exchange SinglePartition`` — a global one-task shuffle (the
+  unpartitioned-window / global-sort hazard).  Final single-row
+  aggregates don't produce it under AQE at this scale; none of the
+  ledger plans need it.
+
+Queries whose SEMANTICS require a nested-loop broadcast of a
+constant-size side are allowlisted with the justification inline —
+everything else must stay clean, so any future edit that regresses a
+join to a nested loop or sneaks a Python UDF into a hot path fails
+here, not on the cluster.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cosmap_spark.queries.registry import all_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+#: queries where a BroadcastNestedLoopJoin is the INTENDED plan, because
+#: one side is a constant-size (O(1) or O(k), never O(n)) broadcast:
+BNLJ_ALLOWED = {
+    # cross-join coverage is the query's purpose (5-row dim, broadcast)
+    "q_setops",
+    # scalar watermark-cutoff subquery: 1-row broadcast against events
+    "q_stream_windows",
+    # exact brute-force k-NN baseline: the k query vectors are broadcast
+    # and scored against every corpus row by design (the recall oracle
+    # for the bucketed q_knn_ann scale path)
+    "q_knn_cosine",
+    # corpus-level constants (N_docs, total tokens) joined to every doc:
+    # 1-row broadcast
+    "q_tfidf",
+}
+
+BANNED_EVERYWHERE = (
+    "CartesianProduct",
+    "BatchEvalPython",
+    "Exchange SinglePartition",
+)
+
+
+def _formatted_plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(all_queries()))
+def test_ledger_plan_is_scale_safe(spark, name):
+    df = all_queries()[name](spark, SF_DIR)
+    plan = _formatted_plan(df)
+    for banned in BANNED_EVERYWHERE:
+        assert banned not in plan, f"{name}: {banned} in physical plan"
+    if name not in BNLJ_ALLOWED:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: BroadcastNestedLoopJoin in physical plan — either fix "
+            "the join or (only for a constant-size broadcast side) add the "
+            "query to BNLJ_ALLOWED with a justification"
+        )
+
+
+def test_bnlj_allowlist_is_tight(spark):
+    """Every allowlisted query still actually plans a BNLJ — prune stale
+    entries so the allowlist can't silently grow beyond its need."""
+    for name in sorted(BNLJ_ALLOWED):
+        df = all_queries()[name](spark, SF_DIR)
+        assert "BroadcastNestedLoopJoin" in _formatted_plan(df), (
+            f"{name} no longer plans a BroadcastNestedLoopJoin — remove it "
+            "from BNLJ_ALLOWED"
+        )
