@@ -29,6 +29,12 @@ from cosmap_spark.operators.packing import (  # noqa: F401
     pack_offsets,
     row_index,
 )
+from cosmap_spark.operators.pq import (  # noqa: F401
+    knn_ivfpq,
+    pq_adc_topk,
+    pq_encode,
+    pq_train,
+)
 from cosmap_spark.operators.report import corpus_report  # noqa: F401
 from cosmap_spark.operators.vocab import (  # noqa: F401
     apply_bpe_merge,

@@ -432,6 +432,7 @@ def knn_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 29,
+    prebuilt: tuple[list[tuple[int, list[float]]], DataFrame] | None = None,
 ) -> DataFrame:
     """Approximate top-k cosine via IVF: probe the ``nprobe`` nearest
     inverted lists per query, exact re-rank within candidates.
@@ -440,8 +441,13 @@ def knn_ivf(
     for brute force); recall is probabilistic in nprobe and unit-tested
     against ``knn_bruteforce``.  The candidate join broadcasts the
     (small) exploded probe table against the corpus-side inverted lists,
-    so the corpus never shuffles."""
-    cents, assigned = ivf_build(
+    so the corpus never shuffles.
+
+    ``prebuilt`` accepts an ``ivf_build`` result so one trained index
+    serves many searches (at scale the index is the persisted,
+    cid-partitioned table; training per query would be absurd there and
+    is merely slow here)."""
+    cents, assigned = prebuilt if prebuilt is not None else ivf_build(
         corpus, nlist=nlist, iters=iters, id_col=id_col, vec_col=vec_col, seed=seed
     )
     # Project to fresh attribute names BEFORE building the probe generator:

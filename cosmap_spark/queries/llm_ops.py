@@ -39,6 +39,7 @@ from cosmap_spark.operators.dedup import (
     simhash_pairs,
 )
 from cosmap_spark.operators.knn import knn_bruteforce, knn_ivf, knn_lsh
+from cosmap_spark.operators.pq import knn_ivfpq
 from cosmap_spark.operators.multimodal import attach_media_metadata
 from cosmap_spark.queries.registry import query
 from cosmap_spark.tables import load_table
@@ -253,25 +254,45 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_knn_ann")  # rows-only: ANN recall is probabilistic by design
 def q_knn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate k-NN, both scale paths, as one tagged union:
+    """Approximate k-NN, all three scale paths, as one tagged union:
 
     * ``lsh`` — random-hyperplane buckets + exact re-rank: the probe
       touches matching buckets only;
     * ``ivf`` — IVF coarse quantizer (hash-seeded centroids + one Lloyd
       step, all DataFrame ops): probe the nprobe nearest inverted
       lists, exact re-rank inside them — work per query is
-      ~nprobe/nlist of the corpus.
+      ~nprobe/nlist of the corpus;
+    * ``ivfpq`` — IVF + product-quantized codes + ADC shortlist +
+      exact refine (operators/pq.py): the billion-scale layout where
+      the scan reads m smallint codes per vector, not the vector.
 
-    Recall for both is unit-tested against brute force."""
+    ``score`` is the branch's ranking score — exact cosine for
+    lsh/ivf, NEGATIVE exact L2 distance for ivfpq (refine metric);
+    monotone-decreasing in rank for every branch.  Recall for all
+    three is unit-tested against brute force."""
+    from cosmap_spark.operators.knn import ivf_build
+
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
     lsh = knn_lsh(emb, queries, k=5, dim=64).select(
-        F.lit("lsh").alias("method"), "qid", "nid", "sim", "rn"
+        F.lit("lsh").alias("method"), "qid", "nid",
+        F.col("sim").alias("score"), "rn",
     )
-    ivf = knn_ivf(emb, queries, k=5, nlist=16, nprobe=8).select(
-        F.lit("ivf").alias("method"), "qid", "nid", "sim", "rn"
+    # one trained coarse quantizer serves BOTH ivf and ivfpq — the
+    # persisted-index pattern (train once, search many)
+    index = ivf_build(emb, nlist=16, iters=1)
+    ivf = knn_ivf(emb, queries, k=5, nlist=16, nprobe=8, prebuilt=index).select(
+        F.lit("ivf").alias("method"), "qid", "nid",
+        F.col("sim").alias("score"), "rn",
     )
-    return lsh.unionByName(ivf)
+    ivfpq = knn_ivfpq(
+        emb, queries, k=5, nlist=16, nprobe=8, m=8, ksub=16, rerank=20,
+        prebuilt=index,
+    ).select(
+        F.lit("ivfpq").alias("method"), "qid", "nid",
+        (-F.col("dist")).alias("score"), "rn",
+    )
+    return lsh.unionByName(ivf).unionByName(ivfpq)
 
 
 @query(

@@ -1,0 +1,147 @@
+"""Product-quantization suite: code validity, determinism, recall of
+ADC search vs exact L2 brute force (numpy reference), training
+improvement, and the partial-top-k plan shape."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cosmap_spark.operators.pq import (
+    _as_array,
+    knn_ivfpq,
+    pq_adc_topk,
+    pq_encode,
+    pq_train,
+    _encode_batch,
+)
+from cosmap_spark.tables import load_table
+
+SF = "/root/testdata/sf0.01"  # 500 vectors, dim 64
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def vecs(emb):
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    v = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    return ids, v
+
+
+@pytest.fixture(scope="module")
+def books(emb):
+    return pq_train(emb, m=8, ksub=16, iters=2, dim=64)
+
+
+def _exact_l2_topk(ids, v, qid, k):
+    qv = v[ids == qid][0]
+    d = ((v - qv) ** 2).sum(axis=1)
+    order = np.lexsort((ids, d))
+    return [int(ids[i]) for i in order if ids[i] != qid][:k]
+
+
+def test_codebook_shape_and_determinism(emb, books):
+    a = _as_array(books)
+    assert a.shape == (8, 16, 8)
+    again = pq_train(emb, m=8, ksub=16, iters=2, dim=64)
+    assert np.allclose(a, _as_array(again))
+
+
+def test_encode_codes_in_range_and_compact(emb, books):
+    enc = pq_encode(emb, books).collect()
+    assert len(enc) == emb.count()
+    for r in enc[:50]:
+        assert len(r["codes"]) == 8
+        assert all(0 <= c < 16 for c in r["codes"])
+    # the searchable form is 8 smallint codes vs 64 float64s: 32x
+    assert 8 * 2 < 64 * 8 / 4
+
+
+def test_training_reduces_quantization_error(emb, vecs):
+    """Lloyd iterations must not increase total reconstruction error."""
+    _, v = vecs
+
+    def recon_err(codebooks):
+        books = _as_array(codebooks)
+        codes = _encode_batch(v, books)
+        m, _, dsub = books.shape
+        err = 0.0
+        for s in range(m):
+            err += (
+                (v[:, s * dsub:(s + 1) * dsub] - books[s][codes[:, s]]) ** 2
+            ).sum()
+        return err
+
+    e0 = recon_err(pq_train(emb, m=8, ksub=16, iters=0, dim=64))
+    e2 = recon_err(pq_train(emb, m=8, ksub=16, iters=2, dim=64))
+    assert e2 <= e0
+    assert e2 < 0.9 * e0  # and it actually learned something
+
+
+def test_adc_rerank_recall_vs_exact(spark, emb, vecs, books):
+    ids, v = vecs
+    queries = emb.where(F.col("vec_id") < 10)
+    coded = pq_encode(emb, books)
+    got = pq_adc_topk(
+        coded, queries, books, k=5, rerank=50, vectors=emb
+    ).collect()
+    by_q: dict[int, list[int]] = {}
+    for r in got:
+        by_q.setdefault(r["qid"], []).append((r["rn"], r["nid"]))
+    assert set(by_q) == set(range(10))
+    hits = total = 0
+    for qid, pairs in by_q.items():
+        assert [rn for rn, _ in sorted(pairs)] == [1, 2, 3, 4, 5]
+        exact = set(_exact_l2_topk(ids, v, qid, 5))
+        hits += len(exact & {nid for _, nid in pairs})
+        total += 5
+    recall = hits / total
+    # pure ADC at m=8/ksub=16 sits near 0.14 on these near-uniform
+    # vectors; the R=50 exact refine recovers the shortlist's content
+    assert recall >= 0.5, f"ADC+rerank recall@5 {recall}"
+
+
+def test_adc_deterministic_across_partitionings(spark, emb, books):
+    queries = emb.where(F.col("vec_id") < 10)
+    a = pq_adc_topk(pq_encode(emb, books), queries, books, k=5).collect()
+    b = pq_adc_topk(
+        pq_encode(emb.repartition(13), books), queries, books, k=5
+    ).collect()
+    key = lambda r: (r["qid"], r["rn"])  # noqa: E731
+    assert sorted(map(tuple, a), key=lambda t: (t[0], t[3])) == sorted(
+        map(tuple, b), key=lambda t: (t[0], t[3])
+    ), "partial top-k must be partition-layout independent"
+    assert {key(r) for r in a} == {(q, rn) for q in range(10) for rn in range(1, 6)}
+
+
+def test_ivfpq_recall_and_plan(spark, emb, vecs):
+    ids, v = vecs
+    queries = emb.where(F.col("vec_id") < 10)
+    out = knn_ivfpq(
+        emb, queries, k=5, nlist=8, nprobe=6, m=8, ksub=16, rerank=50
+    )
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    rows = out.collect()
+    by_q: dict[int, set[int]] = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], set()).add(r["nid"])
+    hits = total = 0
+    for qid, got in by_q.items():
+        exact = set(_exact_l2_topk(ids, v, qid, 5))
+        hits += len(exact & got)
+        total += 5
+    recall = hits / total
+    # 6/8 lists probed caps attainable recall; the exact refine removes
+    # ADC error within probed lists.  Lenient floor — brute force is
+    # the recall oracle, not the bar.
+    assert recall >= 0.5, f"IVF-PQ recall@5 {recall}"
