@@ -209,3 +209,80 @@ def repetition_ratio(text: Column, k: int = 3) -> Column:
     return F.when(
         F.size(sh) > 0, max_count.cast("double") / F.size(sh).cast("double")
     ).otherwise(F.lit(0.0))
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(text: Column) -> Column:
+    """The Gopher document-quality rule battery (Rae et al. 2021,
+    §A1.1) as ONE struct column — each signal plus the combined
+    ``passes`` verdict, so pipelines can gate on the verdict and audit
+    on the components without recomputing anything:
+
+    * ``n_words``            — 50 ≤ count ≤ 100 000;
+    * ``mean_word_len``      — 3 ≤ mean characters per word ≤ 10;
+    * ``symbol_word_ratio``  — (# + …) per word < 0.1;
+    * ``bullet_line_frac``   — < 90% of lines start with a bullet;
+    * ``ellipsis_line_frac`` — < 30% of lines end with an ellipsis;
+    * ``alpha_word_frac``    — ≥ 80% of words contain a letter;
+    * ``n_gopher_stopwords`` — ≥ 2 distinct of the 8 Gopher stopwords.
+
+    Everything is split/filter/aggregate higher-order expressions over
+    ONE materialized token array and ONE line array per row — JVM-side,
+    map-side, no shuffle; the struct projects in a single pass over the
+    corpus.  Thresholds are the paper's. The short-doc guards mirror
+    the engine-wide empty-array conventions.
+
+    Words split on ANY whitespace run (not the corpus's single-space
+    ``tokens()`` convention): line breaks must separate words for the
+    per-line rules to agree with the per-word ones."""
+    toks = F.filter(F.split(text, r"\s+"), lambda t: t != "")
+    lines = F.filter(F.split(text, "\n"), lambda ln: F.trim(ln) != "")
+    nw = F.size(toks).cast("double")
+    nl = F.size(lines).cast("double")
+    safe_nw = F.greatest(nw, F.lit(1.0))
+    safe_nl = F.greatest(nl, F.lit(1.0))
+    mean_wl = (
+        F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t)) / safe_nw
+    )
+    n_sym = F.regexp_count(text, F.lit(r"#|\.\.\.|…")).cast("double")
+    bullets = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).rlike(r"^([-*•‣▪]|[0-9]+[.)])"))
+    ).cast("double")
+    ellipses = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).rlike(r"(\.\.\.|…)$"))
+    ).cast("double")
+    alpha = F.size(
+        F.filter(toks, lambda t: t.rlike("[A-Za-z]"))
+    ).cast("double")
+    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    n_stop = F.size(
+        F.array_intersect(F.transform(toks, F.lower), stop_arr)
+    ).cast("long")
+
+    n_words = nw.cast("long")
+    mean_word_len = F.round(mean_wl, 6)
+    symbol_word_ratio = F.round(n_sym / safe_nw, 6)
+    bullet_line_frac = F.round(bullets / safe_nl, 6)
+    ellipsis_line_frac = F.round(ellipses / safe_nl, 6)
+    alpha_word_frac = F.round(alpha / safe_nw, 6)
+    passes = (
+        n_words.between(50, 100_000)
+        & mean_word_len.between(3.0, 10.0)
+        & (symbol_word_ratio < 0.1)
+        & (bullet_line_frac < 0.9)
+        & (ellipsis_line_frac < 0.3)
+        & (alpha_word_frac >= 0.8)
+        & (n_stop >= 2)
+    )
+    return F.struct(
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_word_ratio.alias("symbol_word_ratio"),
+        bullet_line_frac.alias("bullet_line_frac"),
+        ellipsis_line_frac.alias("ellipsis_line_frac"),
+        alpha_word_frac.alias("alpha_word_frac"),
+        n_stop.alias("n_gopher_stopwords"),
+        passes.alias("passes"),
+    )
