@@ -18,6 +18,7 @@ from cosmap_spark.operators.dedup import (  # noqa: F401
     passage_dedup,
     simhash_pairs,
 )
+from cosmap_spark.operators.graph import degrees, pagerank  # noqa: F401
 from cosmap_spark.operators.intervals import coalesce_intervals  # noqa: F401
 from cosmap_spark.operators.knn import (  # noqa: F401
     knn_bruteforce,

@@ -1,0 +1,81 @@
+"""PageRank / degree tests: exact parity with a numpy power-iteration
+reference on graphs with dangling nodes and cycles; invariants."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from cosmap_spark.operators.graph import degrees, pagerank
+
+#        0 -> 1 -> 2 -> 0   (cycle)
+#        1 -> 3            (3 is dangling)
+#        4 -> 0, 4 -> 1    (4 has no in-links)
+EDGES = [(0, 1), (1, 2), (2, 0), (1, 3), (4, 0), (4, 1)]
+
+
+def _np_pagerank(edges, n, d=0.85, iters=20, tol=1e-6):
+    out_deg = np.zeros(n)
+    for s, _ in edges:
+        out_deg[s] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dangling = r[out_deg == 0].sum()
+        nxt = np.full(n, (1 - d) / n) + d * dangling / n
+        for s, t in edges:
+            nxt[t] += d * r[s] / out_deg[s]
+        if np.abs(nxt - r).sum() < tol:
+            r = nxt
+            break
+        r = nxt
+    return r
+
+
+@pytest.fixture()
+def edges_df(spark):
+    return spark.createDataFrame(EDGES, "src long, dst long")
+
+
+def test_pagerank_matches_numpy_reference(spark, edges_df):
+    got = {r["node"]: r["rank"] for r in pagerank(edges_df).collect()}
+    want = _np_pagerank(EDGES, 5)
+    assert set(got) == set(range(5))
+    for node in range(5):
+        assert got[node] == pytest.approx(want[node], abs=1e-6), node
+    # ranks are a distribution
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+    # structure: the cycle nodes outrank the no-in-link node
+    assert got[0] > got[4] and got[1] > got[4]
+
+
+def test_pagerank_deterministic_across_partitionings(spark, edges_df):
+    a = sorted(map(tuple, pagerank(edges_df, max_iterations=6).collect()))
+    b = sorted(
+        map(tuple, pagerank(edges_df.repartition(7), max_iterations=6).collect())
+    )
+    assert a == b
+
+
+def test_pagerank_tol_early_stop(spark, edges_df):
+    """A loose tol must converge to the same fixpoint region (sanity
+    that the delta-based stop doesn't corrupt ranks)."""
+    got = {r["node"]: r["rank"] for r in pagerank(edges_df, tol=1e-3).collect()}
+    want = _np_pagerank(EDGES, 5, tol=1e-3)
+    for node in range(5):
+        assert got[node] == pytest.approx(want[node], abs=1e-3)
+
+
+def test_degrees(spark, edges_df):
+    got = {r["node"]: (r["out_deg"], r["in_deg"]) for r in degrees(edges_df).collect()}
+    assert got == {
+        0: (1, 2),
+        1: (2, 2),
+        2: (1, 1),
+        3: (0, 1),
+        4: (2, 0),
+    }
+
+
+def test_empty_graph(spark):
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(empty).count() == 0
