@@ -286,3 +286,87 @@ def gopher_rules(text: Column) -> Column:
         n_stop.alias("n_gopher_stopwords"),
         passes.alias("passes"),
     )
+
+
+C4_BAD_PHRASES = ("lorem ipsum", "javascript", "cookie policy",
+                  "terms of use", "privacy policy", "uses cookies")
+
+
+def c4_clean(text: Column) -> Column:
+    """The C4 line-level cleaning recipe (Raffel et al. 2020 §2.2) as
+    one struct column — the cleaned text plus audit counters:
+
+    a line SURVIVES iff it ends in terminal punctuation (. ! ? "),
+    has ≥ 4 whitespace words, and contains no boilerplate phrase
+    (cookie/javascript/lorem-ipsum notices, case-insensitive); the
+    document's ``clean_text`` is the surviving lines re-joined, and a
+    document with any "{" (code page marker in the paper) is flagged.
+
+    Returns ``struct(clean_text, n_lines, n_kept, has_brace)``.
+    Everything is one split + filter/transform higher-order pass per
+    row — map-side JVM expressions, no shuffle, no Python; pair with
+    :func:`gopher_rules` (document level) for the full quality gate."""
+    lines = F.split(text, "\n")
+    phrase_alt = "|".join(p.replace(" ", r"\s+") for p in C4_BAD_PHRASES)
+    keep = F.filter(
+        lines,
+        lambda ln: F.trim(ln).rlike(r"""[.!?"']$""")
+        & (F.size(F.filter(F.split(F.trim(ln), r"\s+"), lambda w: w != "")) >= 4)
+        & ~F.lower(ln).rlike(phrase_alt),
+    )
+    n_lines = F.size(F.filter(lines, lambda ln: F.trim(ln) != "")).cast("long")
+    return F.struct(
+        F.concat_ws("\n", keep).alias("clean_text"),
+        n_lines.alias("n_lines"),
+        F.size(keep).cast("long").alias("n_kept"),
+        text.contains("{").alias("has_brace"),
+    )
+
+
+#: Unicode script blocks profiled by :func:`script_profile` (Java regex
+#: script classes — Spark's rlike/regexp_count run Java regex)
+SCRIPTS = ("Latin", "Cyrillic", "Han", "Arabic",
+           "Devanagari", "Greek", "Hangul", "Hiragana", "Katakana")
+
+
+def script_profile(text: Column) -> Column:
+    """Unicode-script profile of a document — the script-level companion
+    to the stopword language-ID heuristic, and the standard first cut
+    for routing multilingual web text (script ≠ language, but Latin vs
+    Han vs Cyrillic routing is exact and vocabulary-free):
+
+    ``struct(n_letters, <script>_frac …, dominant_script)`` where each
+    fraction is that script's share of LETTER characters and
+    ``dominant_script`` is the argmax (ties broken alphabetically;
+    ``"none"`` for letterless documents).  One regexp_count per script
+    per row — map-side JVM, no shuffle."""
+    n_letters = F.regexp_count(text, F.lit(r"\p{L}")).cast("double")
+    safe = F.greatest(n_letters, F.lit(1.0))
+    fracs = {
+        s: F.round(
+            F.regexp_count(text, F.lit(rf"\p{{Is{s}}}")).cast("double") / safe, 6
+        )
+        for s in SCRIPTS
+    }
+    scored = F.array(
+        *[
+            F.struct(fracs[s].alias("frac"), F.lit(s.lower()).alias("name"))
+            for s in SCRIPTS
+        ]
+    )
+    # argmax with ALPHABETICAL tie-break: filter to the max fraction,
+    # then take the lexicographically smallest name
+    max_frac = F.array_max(F.transform(scored, lambda s: s["frac"]))
+    dominant = F.when(n_letters == 0, F.lit("none")).otherwise(
+        F.array_min(
+            F.transform(
+                F.filter(scored, lambda s: s["frac"] == max_frac),
+                lambda s: s["name"],
+            )
+        )
+    )
+    return F.struct(
+        n_letters.cast("long").alias("n_letters"),
+        *[fracs[s].alias(f"{s.lower()}_frac") for s in SCRIPTS],
+        dominant.alias("dominant_script"),
+    )
