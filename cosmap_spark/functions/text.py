@@ -86,7 +86,12 @@ def strip_markup(text: Column) -> Column:
     collapse whitespace.  Pure JVM regexp passes — the cheap first
     filter a web-scrape pipeline runs on every document before any
     scoring or dedup (a real boilerplate extractor adds DOM heuristics;
-    this is the regex-complete core of it)."""
+    this is the regex-complete core of it).
+
+    LINE STRUCTURE IS PRESERVED: horizontal whitespace runs collapse to
+    one space and blank-line runs to one newline, but source newlines
+    survive — so the line-level filters downstream (``c4_clean``)
+    still see lines.  Markup itself never creates a line break."""
     no_blocks = F.regexp_replace(
         text, r"(?is)<(script|style)\b[^>]*>.*?</\1>", " "
     )
@@ -97,7 +102,9 @@ def strip_markup(text: Column) -> Column:
         ("&quot;", '"'), ("&#39;", "'"), ("&nbsp;", " "),
     ):
         decoded = F.replace(decoded, F.lit(ent), F.lit(ch))
-    return F.trim(F.regexp_replace(decoded, r"\s+", " "))
+    one_space = F.regexp_replace(decoded, r"[^\S\n]+", " ")
+    one_newline = F.regexp_replace(one_space, r" ?\n[ \n]*", "\n")
+    return F.trim(one_newline)
 
 
 def chunk_text(
