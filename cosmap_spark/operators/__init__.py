@@ -45,6 +45,8 @@ from cosmap_spark.operators.vocab import (  # noqa: F401
 from cosmap_spark.operators.sampler import (  # noqa: F401
     deterministic_sample,
     epoch_shuffle,
+    group_kfold_assign,
+    kfold_assign,
     negative_pairs,
     select_to_token_budget,
     stratified_sample,

@@ -414,3 +414,48 @@ def epoch_shuffle(
         .sortWithinPartitions(key, *key_cols)
     )
     return out if key_col_out else out.drop(key)
+
+
+def kfold_assign(
+    df: DataFrame,
+    *,
+    key_cols: list[str],
+    k: int = 5,
+    seed: int = 59,
+    fold_col: str = "fold",
+) -> DataFrame:
+    """Deterministic k-fold assignment: ``fold ∈ [0, k)`` from the row
+    key's hash — map-side only, partition-layout independent, stable
+    across runs and clusters (the cross-validation splitter).
+
+    Each row's fold is an independent uniform choice, so folds are
+    balanced to within sampling noise (√n per fold), and re-running
+    with the same seed reproduces the exact split — the property that
+    lets a 100 TB corpus be k-folded WITHOUT materializing fold tables:
+    any job recomputes membership from the key."""
+    if k < 2:
+        raise ValueError(f"need k >= 2 folds; got {k}")
+    h = F.xxhash64(*[F.col(c) for c in key_cols], F.lit(seed), F.lit(71))
+    return df.withColumn(fold_col, F.pmod(h, F.lit(k)).cast("int"))
+
+
+def group_kfold_assign(
+    df: DataFrame,
+    *,
+    group_col: str,
+    k: int = 5,
+    seed: int = 59,
+    fold_col: str = "fold",
+) -> DataFrame:
+    """k-fold where the unit is a GROUP: every row of a group lands in
+    the same fold (fold = hash of the group key alone).
+
+    The grouped sibling of ``dedup.leakage_safe_split`` — use the
+    near-dup cluster label, the source domain, or the author id as the
+    group so correlated rows never straddle a train/eval fold boundary
+    (the leakage a row-wise k-fold silently reintroduces).  Map-side,
+    no shuffle, no group table materialized."""
+    if k < 2:
+        raise ValueError(f"need k >= 2 folds; got {k}")
+    h = F.xxhash64(F.col(group_col), F.lit(seed), F.lit(73))
+    return df.withColumn(fold_col, F.pmod(h, F.lit(k)).cast("int"))

@@ -254,3 +254,27 @@ def decontaminate_stream(stream_docs: DataFrame, bench: DataFrame,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def quality_gate(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """C4 line cleaning + Gopher document gate as ONE stateless
+    transformation — the landing-zone quality filter.
+
+    Purely map-side column expressions (functions/text.py), so it works
+    identically on a STREAMING DataFrame (each arriving file's rows are
+    gated within their micro-batch; no watermark, no state store — a
+    document's fate depends on nothing but the document) and on a batch
+    DataFrame — Spark's unified API, which is what the stream/batch
+    equivalence test asserts.  Survivors carry ``clean_text`` plus the
+    full Gopher audit struct (``quality_audit``) for downstream
+    mixture/weighting decisions."""
+    from cosmap_spark.functions.text import c4_clean, gopher_rules
+
+    out = docs.withColumn("__c4", c4_clean(F.col(text_col)))
+    out = out.withColumn("__g", gopher_rules(F.col("__c4.clean_text")))
+    return (
+        out.where(F.col("__g.passes"))
+        .withColumn("clean_text", F.col("__c4.clean_text"))
+        .withColumn("quality_audit", F.col("__g"))
+        .drop("__c4", "__g")
+    )
