@@ -138,9 +138,10 @@ def q_samplers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rectangle shape, src/cosmap/config/models/geometry.py:44-63, its
     validator bug fixed per SURVEY.md §4.2), and the deterministic
     table-sampling family: stratified, temperature-flattened mixture,
-    per-row weighted, and token-budget selection.  All hash-seeded —
-    deterministic under any partitioning; per-sampler statistical
-    properties are property-tested (tests/test_sampler.py)."""
+    per-row weighted, token-budget selection, and k-fold assignment
+    (fold-0 summary).  All hash-seeded — deterministic under any
+    partitioning; per-sampler statistical properties are
+    property-tested (tests/test_sampler.py, tests/test_kfold.py)."""
     sphere = uniform_sphere_samples(spark, 10_000, seed=42, radius_deg=1.0)
     box = uniform_box_samples(
         spark, 10_000, seed=42, width_deg=2.0, height_deg=1.0,
@@ -181,6 +182,11 @@ def q_samplers(spark: SparkSession, sf_dir: str) -> DataFrame:
         budget=50_000, priority_col="prio", token_col="n_chars",
         key_cols=["doc_id"],
     )
+    from cosmap_spark.operators.sampler import kfold_assign
+
+    fold0 = kfold_assign(
+        docs.select("doc_id"), key_cols=["doc_id"], k=5
+    ).where(F.col("fold") == 0)
     return (
         _region_summary(sphere, "sphere")
         .unionByName(_region_summary(box, "box"))
@@ -188,6 +194,7 @@ def q_samplers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(table_summary(mix, "temperature_mixture"))
         .unionByName(table_summary(weighted, "weighted"))
         .unionByName(table_summary(budget, "token_budget"))
+        .unionByName(table_summary(fold0, "kfold_fold0"))
     )
 
 
