@@ -206,16 +206,52 @@ def repetition_ratio(text: Column, k: int = 3) -> Column:
     """Fraction of k-gram occurrences belonging to the most frequent
     k-gram (Gopher-style repetition filter, Rae et al. 2021 §A1.1):
     near 1.0 ⇒ the document is one phrase repeated.  All higher-order
-    functions — aggregate over the shingle multiset, no UDF."""
-    sh = shingles(text, k)
-    counts = F.transform(
-        F.array_distinct(sh),
-        lambda s: F.size(F.filter(sh, lambda x: x == s)),
-    )
-    max_count = F.array_max(counts)
-    return F.when(
-        F.size(sh) > 0, max_count.cast("double") / F.size(sh).cast("double")
-    ).otherwise(F.lit(0.0))
+    functions — no UDF.
+
+    Computed as SORT + LONGEST-EQUAL-RUN fold: O(n log n) per row.  The
+    obvious form — count each distinct shingle with a nested filter —
+    is O(distinct · n) per ROW, which is quadratic on low-repetition
+    text and turns a 20k-shingle document into ~4·10⁸ comparisons; the
+    fixtures (~100 shingles) masked it.
+
+    Both the token and the sorted-shingle arrays are BOUND ONCE via the
+    single-element-array + ``transform`` trick: Spark performs no
+    common-subexpression elimination inside lambda bodies, so a bare
+    ``shingles(text)`` referenced twice re-splits the whole document
+    per reference (and per ``element_at`` inside the shingle builder —
+    measured ~40 s/doc at 20k tokens); a lambda VARIABLE, by contrast,
+    is a value bound once per element.  The fold's initial ``prev`` is
+    NULL: null equality yields null, so the first element always takes
+    the otherwise(run=1) branch — no sentinel a real shingle could
+    collide with."""
+
+    def over_shingles(sh: Column) -> Column:
+        init = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        )
+
+        def step(acc, x):
+            run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+            return F.struct(
+                x.alias("prev"),
+                run.alias("run"),
+                F.greatest(acc["best"], run).alias("best"),
+            )
+
+        best = F.aggregate(sh, init, step)["best"]
+        return F.when(
+            F.size(sh) > 0, best.cast("double") / F.size(sh).cast("double")
+        ).otherwise(F.lit(0.0))
+
+    return F.transform(
+        F.array(tokens(text)),
+        lambda toks: F.transform(
+            F.array(F.array_sort(shingles_from_tokens(toks, k))),
+            over_shingles,
+        )[F.lit(0)],
+    )[F.lit(0)]
 
 
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
