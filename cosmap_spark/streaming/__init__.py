@@ -17,6 +17,7 @@ from cosmap_spark.streaming.ops import (  # noqa: F401
     session_counts,
     sliding_counts,
     stateful_user_counter,
+    stateful_user_counter_tws,
     stream_stream_join,
     tumbling_counts,
     windowed_dedup,

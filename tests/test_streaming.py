@@ -370,3 +370,54 @@ def test_streaming_decontam_matches_batch(spark, tmp_path):
         for r in contamination_hits(corpus, bench, k=8).collect()
     }
     assert got == want and len(want) > 0
+
+
+def _protobuf_works() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_works(),
+    reason="transformWithState's Python runner needs google.protobuf, "
+    "broken in this environment (see stateful_user_counter_tws docstring)",
+)
+def test_stateful_counter_tws(spark, stream_dir, tmp_path):
+    """The transformWithStateInPandas twin must produce the same final
+    per-user counts as the batch aggregation (and as the
+    applyInPandasWithState version)."""
+    from cosmap_spark.streaming.ops import stateful_user_counter_tws
+    from cosmap_spark.tables import load_table
+
+    sdf = events_stream(spark, str(stream_dir))
+    name = f"tws_{uuid.uuid4().hex[:8]}"
+    # transformWithState requires the RocksDB state store
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        _run_to_memory(stateful_user_counter_tws(sdf), name, tmp_path, "update")
+    finally:
+        if old is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, old)
+    got = {
+        r["user_id"]: r["n_events"]
+        for r in spark.sql(
+            f"SELECT user_id, max(n_events) AS n_events FROM {name} GROUP BY user_id"
+        ).collect()
+    }
+    want = {
+        r["user_id"]: r["n"]
+        for r in load_table(spark, "/root/testdata/sf0.001", "events")
+        .groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want
