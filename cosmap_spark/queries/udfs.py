@@ -110,3 +110,34 @@ def q_udtf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="l_orderkey long, l_linenumber int, l_suppkey long, zscore double",
     )
     return result.withColumn("zscore", F.round("zscore", 6))
+
+
+def sentence_udtf():
+    """Python UDTF (Spark 4 table function): explode a document into
+    (sentence_id, sentence, n_chars) rows — the LATERAL-join member of
+    the UDF family, complementing the Arrow trio above.
+
+    Registered Arrow-optimized (``useArrow=True``) but still
+    fundamentally the Python path: fine as API-surface coverage and for
+    driver-side tooling, NOT for a 100 TB hot loop — the engine's
+    sentence/chunk splitting at scale is the pure-JVM
+    ``functions.text.chunk_text``.  Beyond-ledger: differential-tested
+    in tests/test_udtf.py against an equivalent JVM expression."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sentence_id int, sentence string, n_chars int",
+          useArrow=True)
+    class SplitSentences:
+        def eval(self, text: str):
+            if text is None:
+                return
+            import re
+
+            parts = [
+                s.strip() for s in re.split(r"(?<=[.!?])\s+", text)
+                if s.strip()
+            ]
+            for i, s in enumerate(parts):
+                yield i, s, len(s)
+
+    return SplitSentences
