@@ -34,6 +34,18 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
 }
 
+# Runtime bloom-filter join reduction
+# (spark.sql.optimizer.runtime.bloomFilter.enabled +
+# runtimeFilter.semiJoinReduction.enabled) is deliberately NOT in
+# ENGINE_CONF: at 100 TB it is the cheapest shuffle-bytes win available
+# (non-matching fact rows die before the exchange), but it makes every
+# join — including the dozens of tiny dimension joins in the test
+# ledger — pay an extra aggregation pass to build its filter, measured
+# ~10× wall-clock on the sf0.01 differential gate.  Enable it per-job
+# on real fact-scale workloads via ``get_spark(extra_conf=...)``; the
+# creation-side thresholds only start paying for themselves when the
+# probe side is orders of magnitude past test scale.
+
 
 def get_spark(app_name: str = "cosmap_spark", master: str | None = None,
               extra_conf: dict[str, str] | None = None) -> SparkSession:
