@@ -37,6 +37,10 @@ from cosmap_spark.operators.pq import (  # noqa: F401
     pq_train,
 )
 from cosmap_spark.operators.report import corpus_report  # noqa: F401
+from cosmap_spark.operators.robust import (  # noqa: F401
+    robust_outliers,
+    winsorize,
+)
 from cosmap_spark.operators.vocab import (  # noqa: F401
     apply_bpe_merge,
     bpe_pair_counts,
