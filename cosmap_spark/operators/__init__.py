@@ -11,12 +11,17 @@ from cosmap_spark.operators.dedup import (  # noqa: F401
     contamination_hits,
     dedup_clusters,
     exact_dedup,
+    hamming_pairs,
     incremental_minhash_dedup,
     leakage_safe_split,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     passage_dedup,
     simhash_pairs,
+)
+from cosmap_spark.operators.multimodal import (  # noqa: F401
+    image_phash,
+    phash_dup_pairs,
 )
 from cosmap_spark.operators.graph import degrees, pagerank  # noqa: F401
 from cosmap_spark.operators.intervals import coalesce_intervals  # noqa: F401

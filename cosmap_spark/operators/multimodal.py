@@ -162,3 +162,80 @@ def resize_images(df: DataFrame, *, blob_col: str = "blob",
     return df.mapInPandas(
         resize, schema=f"{id_col} long, blob binary, width int, height int"
     )
+
+
+def _fake_decode_pixels(blob: bytes, side: int = 32):
+    """STUB decode (deterministic fake): real implementation is
+    ``PIL.Image.open(...).convert("L").resize((side, side))``.  The
+    fake tiles the raw bytes into a side×side grayscale array, which is
+    LOCALITY-PRESERVING — a small blob edit changes few pixels — so the
+    perceptual-hash robustness property is exercised end-to-end."""
+    import numpy as np
+
+    if not blob:
+        return np.zeros((side, side), dtype=np.float64)
+    return np.resize(np.frombuffer(blob, dtype=np.uint8), (side, side)).astype(
+        np.float64
+    )
+
+
+def _phash_from_pixels(pixels) -> int:
+    """REAL pHash math (the part that is not environment-gated): DCT-II
+    of the 32×32 grayscale, keep the top-left 8×8 low-frequency block,
+    threshold each coefficient at the block median → 64-bit fingerprint.
+    Pure numpy (explicit DCT basis matrix — no scipy dependency);
+    deterministic, byte-order independent."""
+    import numpy as np
+
+    n = pixels.shape[0]
+    k = np.arange(n)[:, None]
+    m = np.arange(n)[None, :]
+    basis = np.cos(np.pi * (m + 0.5) * k / n)  # DCT-II basis (n × n)
+    dct = basis @ pixels @ basis.T
+    block = dct[:8, :8].ravel()
+    bits = block > np.median(block)
+    out = 0
+    for i, b in enumerate(bits):
+        if b:
+            out |= 1 << i
+    # two's-complement into int64 range for a Spark LongType column
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def image_phash(df: DataFrame, *, blob_col: str = "blob",
+                id_col: str = "media_id") -> DataFrame:
+    """Perceptual hash per image blob → ``(media_id, phash long)``.
+
+    Arrow-batched ``mapInPandas`` like every media kernel; only the
+    pixel DECODE is the environment-gated stub — the DCT/median/
+    threshold pipeline is the real algorithm and runs against whatever
+    pixel array the decoder yields, so swapping in Pillow changes one
+    function."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = [
+                _phash_from_pixels(_fake_decode_pixels(b)) for b in pdf[blob_col]
+            ]
+            yield pd.DataFrame({"media_id": pdf[id_col], "phash": hashes})
+
+    return df.select(id_col, blob_col).mapInPandas(
+        kernel, "media_id long, phash long"
+    )
+
+
+def phash_dup_pairs(df: DataFrame, *, blob_col: str = "blob",
+                    id_col: str = "media_id",
+                    max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate IMAGE pairs: perceptual hash + the generic Manku
+    banded Hamming join (operators/dedup.py::hamming_pairs) — the image
+    twin of text SimHash dedup, with the same guarantee: candidates
+    only from 16-bit-chunk equi-joins (never all-pairs), exact
+    ``bit_count`` verification, exact recall at Hamming ≤ 3.  Feed the
+    pairs to ``dedup.dedup_clusters`` to drop all-but-one copy."""
+    from cosmap_spark.operators.dedup import hamming_pairs
+
+    return hamming_pairs(
+        image_phash(df, blob_col=blob_col, id_col=id_col),
+        id_col="media_id", hash_col="phash", max_hamming=max_hamming,
+    )
