@@ -195,10 +195,17 @@ def q_dedup_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
       table (SemDeDup, Abbas et al. 2023): k-means coarse quantizer,
       pairwise exact cosine ONLY within each cluster — the moderate-
       threshold regime where hyperplane-LSH recall collapses; score =
-      exact cosine.
+      exact cosine;
+    * ``phash`` — perceptual-hash near-dup through the SAME banded
+      Hamming join (operators/multimodal.py::phash_dup_pairs), bound
+      here to utf-8 document bytes standing in for image blobs (the
+      driver tables carry no media; the code path — DCT pHash kernel +
+      hamming_pairs — is the one a real image corpus uses); score =
+      Hamming distance.
 
     Rows-only check (signatures/centroids are hash-specific); recall vs
-    the exact pairs is unit-tested (tests/test_dedup_knn.py)."""
+    the exact pairs is unit-tested (tests/test_dedup_knn.py,
+    tests/test_phash.py)."""
     docs = load_table(spark, sf_dir, "documents")
     mh = minhash_lsh_pairs(
         docs, k=3, num_hashes=32, bands=8, threshold=_NGRAM_THRESHOLD,
@@ -221,7 +228,17 @@ def q_dedup_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b",
         F.col("sim").alias("score"),
     )
-    return mh.unionByName(sh).unionByName(sem)
+    from cosmap_spark.operators.multimodal import phash_dup_pairs
+
+    ph = phash_dup_pairs(
+        docs.select("doc_id", F.encode("text", "utf-8").alias("blob")),
+        id_col="doc_id", max_hamming=3,
+    ).select(
+        F.lit("phash").alias("method"),
+        "id_a", "id_b",
+        F.col("hamming").cast("double").alias("score"),
+    )
+    return mh.unionByName(sh).unionByName(sem).unionByName(ph)
 
 
 # --- Similarity search ----------------------------------------------------
