@@ -1,0 +1,106 @@
+"""Generic distributed as-of join (the ``pandas.merge_asof`` analog).
+
+For every left row, attach the single closest right row by the ``on``
+ordering — most recent earlier (``backward``) or nearest later
+(``forward``) — optionally scoped to equal ``by`` keys, with or
+without exact-timestamp matches.  The reference shape for market data,
+sensor alignment, and attribution (purchase ← last click).
+
+Scale-first plan (the one q_join_asof has always used, now factored
+for reuse): instead of a range theta-join + per-key top-1 — quadratic
+in rows-per-key and a BroadcastNestedLoopJoin hazard — both sides are
+tagged and UNIONED, sorted once per key, and the right side's payload
+is forward/backward-filled with ``last``/``first(ignorenulls)`` over a
+running window: ONE shuffle on the ``by`` key, linear work, no join
+node at all.  All right-side payload columns ride in a single struct,
+so the fill is one window expression regardless of how many columns
+are attached.
+
+Equal-key ordering encodes the exactness semantics: the right row
+sorts before the left row at equal ``on`` iff exact matches should be
+visible (``allow_exact``), mirrored for ``forward``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    by: list[str] | None = None,
+    direction: str = "backward",
+    allow_exact: bool = False,
+    right_cols: list[str] | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Left rows + ``prefix``-renamed columns of the matched right row
+    (null when no right row qualifies).
+
+    ``direction='backward'``: match the LAST right row with
+    ``right.on < left.on`` (``<=`` when ``allow_exact``);
+    ``'forward'``: the FIRST right row with ``right.on > left.on``
+    (``>=`` when ``allow_exact``).  Ties among equal right ``on``
+    values break on the first payload column for determinism."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward; got {direction!r}")
+    keys = by or []
+    payload_cols = right_cols or [
+        c for c in right.columns if c != on and c not in keys
+    ]
+    if not payload_cols:
+        raise ValueError("right side has no payload columns to attach")
+
+    payload = F.struct(*[F.col(c) for c in payload_cols])
+    # tag ordering ⇔ visibility at equal `on` (see module docstring);
+    # for backward fills the LAST preceding row wins, for forward the
+    # FIRST following row wins.
+    if direction == "backward":
+        right_tag, left_tag = (0, 1) if allow_exact else (1, 0)
+    else:
+        right_tag, left_tag = (1, 0) if allow_exact else (0, 1)
+
+    lhs = left.select(
+        *[F.col(c) for c in left.columns],
+        F.lit(left_tag).alias("__tag"),
+        F.lit(None).cast(
+            right.select(payload.alias("p")).schema["p"].dataType
+        ).alias("__payload"),
+        F.lit(True).alias("__is_left"),
+    )
+    rhs = right.select(
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
+          for c in left.columns if c != on and c not in keys],
+        *[F.col(c) for c in (*keys, on)],
+        F.lit(right_tag).alias("__tag"),
+        payload.alias("__payload"),
+        F.lit(False).alias("__is_left"),
+    ).select(*[F.col(c) for c in left.columns],
+             "__tag", "__payload", "__is_left")
+
+    combined = lhs.unionByName(rhs)
+    tie = F.col("__payload")[payload_cols[0]]
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col(on).asc(), F.col("__tag").asc(), tie.asc_nulls_last())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        matched = F.last("__payload", ignorenulls=True).over(w)
+    else:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col(on).asc(), F.col("__tag").asc(), tie.asc_nulls_first())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        matched = F.first("__payload", ignorenulls=True).over(w)
+
+    out = combined.withColumn("__m", matched).where(F.col("__is_left"))
+    return out.select(
+        *[F.col(c) for c in left.columns],
+        *[F.col("__m")[c].alias(f"{prefix}{c}") for c in payload_cols],
+    )

@@ -174,35 +174,35 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: for each purchase, the most recent strictly-earlier
     click by the same user.
 
-    Scale-first plan: instead of a theta-join + per-key top-1 (quadratic
-    in events-per-user), tag and UNION both streams, sort once per user,
-    and forward-fill the last click id with ``last(..., ignorenulls)`` —
-    one shuffle on user_id, linear work, the standard distributed as-of
-    pattern.  Tag orders purchases *before* same-timestamp clicks so the
-    "strictly earlier" semantics match the oracle's ``c.ts < p.ts``.
+    Scale-first plan (now the reusable operator
+    ``operators/asof.py::asof_join`` — the pandas ``merge_asof``
+    analog, differential-tested against it in tests/test_asof.py):
+    instead of a theta-join + per-key top-1 (quadratic in
+    events-per-user), tag and UNION both streams, sort once per user,
+    and forward-fill the right payload with ``last(..., ignorenulls)``
+    — one shuffle on user_id, linear work, no join node.  Strict
+    ``<`` semantics: a same-instant click is not visible to the
+    purchase, matching the oracle's ``c.ts < p.ts``.
     """
+    from cosmap_spark.operators.asof import asof_join
+
     ev = load_table(spark, sf_dir, "events")
-    clicks = ev.where(F.col("event_type") == "click").select(
-        "user_id", "ts", F.col("event_id").alias("click_id"),
-        F.lit(1).alias("tag"), F.lit(None).cast("long").alias("purchase_id"),
-    )
     purchases = ev.where(F.col("event_type") == "purchase").select(
-        "user_id", "ts", F.lit(None).cast("long").alias("click_id"),
-        F.lit(0).alias("tag"), F.col("event_id").alias("purchase_id"),
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
     )
-    # tag 0 (purchase) sorts before tag 1 (click) at equal ts, so a
-    # same-instant click is NOT visible to the purchase (strict <).
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "tag", "click_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = clicks.unionByName(purchases).withColumn(
-        "last_click_id", F.last("click_id", ignorenulls=True).over(w)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
     )
     return (
-        filled.where(F.col("purchase_id").isNotNull() & F.col("last_click_id").isNotNull())
-        .select(F.col("purchase_id").alias("event_id"), "last_click_id")
+        asof_join(
+            purchases, clicks, on="ts", by=["user_id"],
+            direction="backward", allow_exact=False,
+        )
+        .where(F.col("asof_click_id").isNotNull())
+        .select(
+            F.col("purchase_id").alias("event_id"),
+            F.col("asof_click_id").alias("last_click_id"),
+        )
     )
 
 
