@@ -42,7 +42,10 @@ from cosmap_spark.operators.pq import (  # noqa: F401
     pq_encode,
     pq_train,
 )
-from cosmap_spark.operators.report import corpus_report  # noqa: F401
+from cosmap_spark.operators.report import (  # noqa: F401
+    corpus_report,
+    plan_summary,
+)
 from cosmap_spark.operators.robust import (  # noqa: F401
     robust_outliers,
     winsorize,

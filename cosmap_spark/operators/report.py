@@ -61,3 +61,70 @@ def corpus_report(
         )
         .drop("__n_dropped")
     )
+
+
+def plan_summary(df) -> dict:
+    """Parse a DataFrame's FORMATTED physical plan into the counters
+    that decide whether it survives a 100× scale-up — the
+    introspection tool behind the repo's plan-audit discipline
+    (tests/test_plan_audit.py), exposed for users and CI gates:
+
+    ``exchanges``            shuffles (each is a full network pass);
+    ``broadcast_joins`` /
+    ``sortmerge_joins`` /
+    ``shuffled_hash_joins``  join strategy mix;
+    ``nested_loop_joins`` /
+    ``cartesian_products``   the quadratic hazards (should be 0);
+    ``python_evals``         row-at-a-time Python (should be 0) vs
+    ``arrow_evals``          sanctioned Arrow-vectorized Python;
+    ``codegen_spans``        WholeStageCodegen regions (bigger = more
+                             of the plan fused JVM-side);
+    ``scans``                per-scan ``(pushed_filters, read_schema)``
+                             so column pruning and predicate pushdown
+                             are checkable.
+
+    String parsing of ``explain("formatted")`` by necessity — Spark
+    exposes no stable structured plan API to Python — so counters key
+    on operator names that have been stable across 3.x/4.x.
+
+    AQE caveat: before execution the summary reflects the INITIAL
+    adaptive plan; ``codegen_spans`` (and runtime join demotions)
+    appear only after executing THIS DataFrame's own query execution —
+    ``df.collect()``, not ``df.count()``, which builds a separate
+    aggregated execution."""
+    import re
+
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    # codegen regions only surface as `*(n)` stars in SIMPLE mode (and
+    # for AQE plans only once executed — isFinalPlan=true)
+    simple = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    scans = []
+    for m in re.finditer(r"PushedFilters: \[(.*?)\]", plan):
+        scans.append({"pushed_filters": m.group(1), "read_schema": None})
+    for i, m in enumerate(re.finditer(r"ReadSchema: (\S+)", plan)):
+        if i < len(scans):
+            scans[i]["read_schema"] = m.group(1)
+        else:
+            scans.append({"pushed_filters": None, "read_schema": m.group(1)})
+    return {
+        "exchanges": plan.count("Exchange"),
+        "broadcast_joins": plan.count("BroadcastHashJoin"),
+        "sortmerge_joins": plan.count("SortMergeJoin"),
+        "shuffled_hash_joins": plan.count("ShuffledHashJoin"),
+        "nested_loop_joins": plan.count("BroadcastNestedLoopJoin"),
+        "cartesian_products": plan.count("CartesianProduct"),
+        "python_evals": plan.count("BatchEvalPython"),
+        "arrow_evals": (
+            plan.count("ArrowEvalPython")
+            + plan.count("FlatMapGroupsInPandas")
+            + plan.count("MapInPandas")
+            + plan.count("PythonMapInArrow")
+        ),
+        "codegen_spans": len(set(re.findall(r"\*\((\d+)\)", simple))),
+        "scans": scans,
+        "plan": plan,
+    }

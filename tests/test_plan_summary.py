@@ -1,0 +1,52 @@
+"""plan_summary introspection: counters against plans whose shapes the
+repo already guarantees elsewhere."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cosmap_spark.operators.report import plan_summary
+from cosmap_spark.queries.registry import all_queries
+from cosmap_spark.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_cone_search_counters(spark):
+    df = all_queries()["q_cone_search"](spark, SF)
+    s = plan_summary(df)
+    assert s["broadcast_joins"] >= 1
+    assert s["cartesian_products"] == 0
+    assert s["nested_loop_joins"] == 0
+    assert s["python_evals"] == 0
+    # codegen spans materialize only in AQE's FINAL plan, and only for
+    # THIS DataFrame's own query execution — collect(), not count()
+    # (count() builds a separate aggregated execution)
+    df.collect()
+    assert plan_summary(df)["codegen_spans"] >= 1
+
+
+def test_scan_pruning_visible(spark):
+    li = load_table(spark, SF, "lineitem")
+    df = li.where(F.col("l_quantity") > 40).select("l_orderkey", "l_quantity")
+    s = plan_summary(df)
+    assert s["exchanges"] == 0
+    assert len(s["scans"]) == 1
+    scan = s["scans"][0]
+    assert "l_quantity" in (scan["pushed_filters"] or ""), scan
+    rs = scan["read_schema"] or ""
+    assert "l_orderkey" in rs and "l_quantity" in rs
+    assert "l_extendedprice" not in rs, "column pruning must reach the scan"
+
+
+def test_udf_paths_classified(spark):
+    s = plan_summary(all_queries()["q_udtf_grouped_map"](spark, SF))
+    assert s["python_evals"] == 0
+    assert s["arrow_evals"] >= 1
+
+
+def test_counts_match_plan_audit_expectations(spark):
+    # the allowlisted BNLJ query reports exactly what the audit sees
+    s = plan_summary(all_queries()["q_knn_cosine"](spark, SF))
+    assert s["nested_loop_joins"] >= 1  # intended broadcast of k queries
+    assert s["cartesian_products"] == 0
