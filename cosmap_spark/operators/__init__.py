@@ -25,7 +25,10 @@ from cosmap_spark.operators.multimodal import (  # noqa: F401
     phash_dup_pairs,
 )
 from cosmap_spark.operators.graph import degrees, pagerank  # noqa: F401
-from cosmap_spark.operators.intervals import coalesce_intervals  # noqa: F401
+from cosmap_spark.operators.intervals import (  # noqa: F401
+    coalesce_intervals,
+    interval_overlap_join,
+)
 from cosmap_spark.operators.knn import (  # noqa: F401
     knn_bruteforce,
     knn_ivf,

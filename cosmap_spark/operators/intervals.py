@@ -59,3 +59,65 @@ def coalesce_intervals(
         )
         .drop("__run")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame | None = None,
+    *,
+    start_col: str = "start",
+    end_col: str = "end",
+    id_col: str = "id",
+    by: list[str] | None = None,
+    grid: int = 86_400,
+) -> DataFrame:
+    """All overlapping interval pairs — the generic grid-bucketed
+    overlap join (the time-domain twin of the cone search's zone
+    trick, factored out of q_join_overlap for reuse).
+
+    Each interval explodes to every ``grid``-second cell it spans
+    (``sequence``), candidates come from an EQUI-join on
+    (by..., cell) — executable by a hash join, never |A|×|B| — the
+    exact closed-interval overlap predicate runs as residual, and
+    cross-cell duplicates fold on the id pair.  Work scales with
+    cells-per-interval × intervals-per-cell; pick ``grid`` near the
+    typical interval length so both factors stay small.
+
+    ``right=None`` ⇒ self-join, emitting each unordered pair once
+    (``id_a < id_b``).  Output: ``by… , id_a, id_b, start_a, end_a,
+    start_b, end_b, overlap`` (overlap in the interval's units,
+    ≥ 0 for closed-interval touching)."""
+    keys = by or []
+    self_join = right is None
+    rhs_src = left if self_join else right
+
+    def spanned(df: DataFrame, p: str) -> DataFrame:
+        return df.select(
+            *[F.col(k).alias(f"__{p}_{k}") for k in keys],
+            F.col(id_col).alias(f"id_{p}"),
+            F.col(start_col).alias(f"start_{p}"),
+            F.col(end_col).alias(f"end_{p}"),
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(start_col) / grid).cast("long"),
+                    F.floor(F.col(end_col) / grid).cast("long"),
+                )
+            ).alias(f"__cell_{p}"),
+        )
+
+    a, b = spanned(left, "a"), spanned(rhs_src, "b")
+    cond = F.col("__cell_a") == F.col("__cell_b")
+    for k in keys:
+        cond = cond & (F.col(f"__a_{k}") == F.col(f"__b_{k}"))
+    cond = cond & (F.col("start_a") <= F.col("end_b")) & (F.col("start_b") <= F.col("end_a"))
+    if self_join:
+        cond = cond & (F.col("id_a") < F.col("id_b"))
+    pairs = (
+        a.join(b, cond)
+        .dropDuplicates(["id_a", "id_b", *[f"__a_{k}" for k in keys]])
+    )
+    return pairs.select(
+        *[F.col(f"__a_{k}").alias(k) for k in keys],
+        "id_a", "id_b", "start_a", "end_a", "start_b", "end_b",
+        (F.least("end_a", "end_b") - F.greatest("start_a", "start_b")).alias("overlap"),
+    )

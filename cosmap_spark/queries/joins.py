@@ -225,43 +225,23 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_join_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-OVERLAP join (two interval sets, not point-in-range):
     derive per-event intervals of 1-7 h, find same-user overlapping
-    pairs.  Scale path generalizes the day-grid trick: each interval
-    explodes to EVERY day cell it spans (``sequence`` — not just {b,b+1}),
-    the join is an equi-join on (user, cell), cross-cell duplicates are
-    folded by the aggregate-free ``dropDuplicates`` on the pair key, and
-    the exact overlap predicate runs as residual.  Work scales with
-    cells-per-interval × events-per-cell, never |A|×|B|."""
+    pairs — now bound to the reusable
+    ``operators/intervals.py::interval_overlap_join``, which
+    generalizes the day-grid trick: each interval explodes to EVERY
+    grid cell it spans (``sequence``), candidates come from an
+    equi-join on (user, cell), cross-cell duplicates fold on the pair
+    key, and the exact overlap predicate runs as residual.  Work
+    scales with cells-per-interval × events-per-cell, never |A|×|B|
+    (brute-force parity is unit-tested in tests/test_intervals.py)."""
+    from cosmap_spark.operators.intervals import interval_overlap_join
+
     ev = load_table(spark, sf_dir, "events")
-    day = 86_400
     iv = ev.select(
         "user_id",
-        "event_id",
-        F.unix_timestamp("ts").alias("s"),
-        (F.unix_timestamp("ts") + (F.col("event_id") % 7 + 1) * 3600).alias("e"),
+        F.col("event_id").alias("id"),
+        F.unix_timestamp("ts").alias("start"),
+        (F.unix_timestamp("ts") + (F.col("event_id") % 7 + 1) * 3600).alias("end"),
     )
-    def spanned(df, prefix):
-        return df.select(
-            F.col("user_id").alias(f"{prefix}u"),
-            F.col("event_id").alias(f"{prefix}id"),
-            F.col("s").alias(f"{prefix}s"),
-            F.col("e").alias(f"{prefix}e"),
-            F.explode(
-                F.sequence((F.col("s") / day).cast("long"), (F.col("e") / day).cast("long"))
-            ).alias("cell"),
-        )
-    a, b = spanned(iv, "a"), spanned(iv, "b")
-    pairs = (
-        a.join(b, (F.col("au") == F.col("bu")) & (a.cell == b.cell))
-        .where(
-            (F.col("aid") < F.col("bid"))
-            & (F.col("as") <= F.col("be"))
-            & (F.col("bs") <= F.col("ae"))
-        )
-        .dropDuplicates(["aid", "bid"])
-    )
-    return pairs.select(
-        F.col("au").alias("user_id"),
-        F.col("aid").alias("id_a"),
-        F.col("bid").alias("id_b"),
-        (F.least("ae", "be") - F.greatest("as", "bs")).alias("overlap_s"),
+    return interval_overlap_join(iv, by=["user_id"], grid=86_400).select(
+        "user_id", "id_a", "id_b", F.col("overlap").alias("overlap_s")
     )

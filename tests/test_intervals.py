@@ -60,3 +60,56 @@ def test_coalesce_single_sort_no_selfjoin(spark):
     assert "Join" not in plan
     rows = {(r["start"], r["end"], r["n_merged"]) for r in out.collect()}
     assert rows == {(0, 12, 2), (20, 30, 1)}
+
+
+def test_interval_overlap_join_vs_bruteforce(spark):
+    import random
+
+    from cosmap_spark.operators.intervals import interval_overlap_join
+
+    rng = random.Random(17)
+    rows = [
+        (i, rng.choice(["u", "v", "w"]), rng.randrange(0, 2000),)
+        for i in range(80)
+    ]
+    rows = [(i, k, s, s + rng.randrange(1, 600)) for i, k, s in rows]
+    df = spark.createDataFrame(rows, "id long, k string, start long, end long")
+
+    got = {
+        (r["id_a"], r["id_b"]): r["overlap"]
+        for r in interval_overlap_join(df, by=["k"], grid=500).collect()
+    }
+    want = {}
+    for ia, ka, sa, ea in rows:
+        for ib, kb, sb, eb in rows:
+            if ia < ib and ka == kb and sa <= eb and sb <= ea:
+                want[(ia, ib)] = min(ea, eb) - max(sa, sb)
+    assert got == want
+
+    # two-sided variant: evens vs odds, no a<b constraint
+    ev = df.where("id % 2 = 0")
+    od = df.where("id % 2 = 1")
+    got2 = {
+        (r["id_a"], r["id_b"])
+        for r in interval_overlap_join(ev, od, by=["k"], grid=500).collect()
+    }
+    want2 = {
+        (ia, ib)
+        for ia, ka, sa, ea in rows if ia % 2 == 0
+        for ib, kb, sb, eb in rows if ib % 2 == 1
+        and ka == kb and sa <= eb and sb <= ea
+    }
+    assert got2 == want2
+
+
+def test_interval_overlap_join_plan_is_equi(spark):
+    from cosmap_spark.operators.intervals import interval_overlap_join
+    from cosmap_spark.operators.report import plan_summary
+
+    df = spark.createDataFrame(
+        [(1, 0, 100), (2, 50, 150), (3, 400, 500)], "id long, start long, end long"
+    )
+    s = plan_summary(interval_overlap_join(df, grid=100))
+    assert s["cartesian_products"] == 0
+    assert s["nested_loop_joins"] == 0
+    assert s["broadcast_joins"] + s["sortmerge_joins"] + s["shuffled_hash_joins"] >= 1
