@@ -48,6 +48,7 @@ from cosmap_spark.operators.pq import (  # noqa: F401
 from cosmap_spark.operators.report import (  # noqa: F401
     corpus_report,
     plan_summary,
+    table_profile,
 )
 from cosmap_spark.operators.robust import (  # noqa: F401
     robust_outliers,

@@ -128,3 +128,43 @@ def plan_summary(df) -> dict:
         "scans": scans,
         "plan": plan,
     }
+
+
+def table_profile(df, *, rsd: float = 0.02) -> dict:
+    """One-pass data profile of ANY table: per column — null count,
+    approximate distinct count (HLL sketch aggregate), min/max, and for
+    numerics mean/stddev — the generic data-card a pipeline publishes
+    next to every table it writes (``corpus_report`` is the
+    documents-specialized sibling).
+
+    ONE aggregation job regardless of column count: every statistic is
+    an aggregate expression in a single ``agg`` pass, so the scan cost
+    is paid once and the sketch/partial states shuffle as one combine —
+    never a per-column job (the ``describe()`` trap at 100 TB is
+    per-column passes and exact distincts).  Returns
+    ``{"n_rows": ..., "columns": {name: {stat: value}}}``."""
+    from pyspark.sql import functions as F
+
+    numeric = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for name, dtype in df.dtypes:
+        c = F.col(name)
+        aggs.append(F.count(F.when(c.isNull(), 1)).alias(f"__nulls__{name}"))
+        base = dtype.split("(")[0]
+        if base in numeric or base in ("string", "date", "timestamp", "boolean", "decimal"):
+            aggs.append(F.approx_count_distinct(c, rsd).alias(f"__dist__{name}"))
+            aggs.append(F.min(c).alias(f"__min__{name}"))
+            aggs.append(F.max(c).alias(f"__max__{name}"))
+        if base in numeric or base == "decimal":
+            aggs.append(F.round(F.avg(c), 6).alias(f"__avg__{name}"))
+            aggs.append(F.round(F.stddev(c), 6).alias(f"__std__{name}"))
+    row = df.agg(*aggs).collect()[0].asDict()
+    out: dict = {"n_rows": row["__n"], "columns": {}}
+    for name, dtype in df.dtypes:
+        col: dict = {"dtype": dtype, "nulls": row[f"__nulls__{name}"]}
+        for stat in ("dist", "min", "max", "avg", "std"):
+            key = f"__{stat}__{name}"
+            if key in row:
+                col["approx_distinct" if stat == "dist" else stat] = row[key]
+        out["columns"][name] = col
+    return out

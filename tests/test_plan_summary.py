@@ -3,6 +3,7 @@ repo already guarantees elsewhere."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from cosmap_spark.operators.report import plan_summary
@@ -50,3 +51,33 @@ def test_counts_match_plan_audit_expectations(spark):
     s = plan_summary(all_queries()["q_knn_cosine"](spark, SF))
     assert s["nested_loop_joins"] >= 1  # intended broadcast of k queries
     assert s["cartesian_products"] == 0
+
+
+def test_table_profile_one_pass(spark):
+    from cosmap_spark.operators.report import table_profile
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.5), (3, None, None), (3, "a", 4.0)],
+        "id long, s string, x double",
+    )
+    p = table_profile(df)
+    assert p["n_rows"] == 4
+    assert p["columns"]["s"]["nulls"] == 1
+    assert p["columns"]["x"]["nulls"] == 1
+    assert p["columns"]["id"]["min"] == 1 and p["columns"]["id"]["max"] == 3
+    assert p["columns"]["x"]["avg"] == pytest.approx(2.5)
+    # HLL distinct within rsd of truth (3 distinct ids, 2 strings)
+    assert abs(p["columns"]["id"]["approx_distinct"] - 3) <= 1
+    assert abs(p["columns"]["s"]["approx_distinct"] - 2) <= 1
+
+
+def test_table_profile_star_schema(spark):
+    from cosmap_spark.operators.report import table_profile
+
+    li = load_table(spark, SF, "lineitem")
+    p = table_profile(li)
+    assert p["n_rows"] == li.count()
+    assert set(p["columns"]) == set(li.columns)
+    q = p["columns"]["l_quantity"]
+    assert q["min"] >= 0 and q["max"] >= q["min"]
+    assert q["std"] is not None
