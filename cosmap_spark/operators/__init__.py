@@ -6,7 +6,10 @@ from cosmap_spark.operators.classifier import (  # noqa: F401
     score_documents,
     train_quality_classifier,
 )
-from cosmap_spark.operators.asof import asof_join  # noqa: F401
+from cosmap_spark.operators.asof import (  # noqa: F401
+    asof_join,
+    asof_join_cogroup,
+)
 from cosmap_spark.operators.cone_search import cone_search  # noqa: F401
 from cosmap_spark.operators.dedup import (  # noqa: F401
     contamination_hits,

@@ -104,3 +104,59 @@ def asof_join(
         *[F.col(c) for c in left.columns],
         *[F.col("__m")[c].alias(f"{prefix}{c}") for c in payload_cols],
     )
+
+
+def asof_join_cogroup(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    by: list[str],
+    direction: str = "backward",
+    allow_exact: bool = False,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """The COGROUP twin of :func:`asof_join`: both sides are cogrouped
+    on ``by`` and each key's pair of pandas frames is merged with
+    ``pandas.merge_asof`` inside ``applyInPandas``.
+
+    This is the remaining member of the Arrow-UDF family (scalar /
+    grouped-agg / grouped-map / table-function / map / stateful /
+    COGROUP) and the reference pattern for per-key logic that needs
+    BOTH sides as local frames.  It is NOT the scale path — a hot key's
+    two sides must fit one executor's pandas frame, where the
+    union+window ``asof_join`` streams — so its role here is
+    cross-validation: equality with ``asof_join`` over every
+    direction/exactness combination is asserted in tests/test_asof.py,
+    pinning the distributed implementation to pandas semantics."""
+    import pandas as pd
+
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward; got {direction!r}")
+    payload_cols = [c for c in right.columns if c != on and c not in by]
+    ltypes = dict(left.dtypes)
+    rtypes = dict(right.dtypes)
+    schema = ", ".join(
+        [f"{c} {ltypes[c]}" for c in left.columns]
+        + [f"{prefix}{c} {rtypes[c]}" for c in payload_cols]
+    )
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(lpdf):
+            return pd.DataFrame(columns=list(lpdf.columns)
+                                + [f"{prefix}{c}" for c in payload_cols])
+        out = pd.merge_asof(
+            lpdf.sort_values(on),
+            rpdf.sort_values(on)[[on, *payload_cols]],
+            on=on,
+            direction=direction,
+            allow_exact_matches=allow_exact,
+            suffixes=("", "__r"),
+        )
+        return out.rename(columns={c: f"{prefix}{c}" for c in payload_cols})
+
+    return (
+        left.groupBy(*by)
+        .cogroup(right.groupBy(*by))
+        .applyInPandas(merge, schema)
+    )

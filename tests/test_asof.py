@@ -94,3 +94,27 @@ def test_asof_plan_has_no_join(spark, frames):
     for node in ("Join", "CartesianProduct", "BroadcastNestedLoop"):
         assert node not in plan, f"asof_join must not plan a {node}"
     assert "Window" in plan
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("allow_exact", [False, True])
+def test_cogroup_twin_equals_distributed(spark, frames, direction, allow_exact):
+    """The per-key pandas cogroup implementation and the union+window
+    distributed implementation must agree exactly — pinning the scale
+    path to pandas merge_asof semantics through a second, independent
+    execution strategy."""
+    from cosmap_spark.operators.asof import asof_join_cogroup
+
+    left, right = frames
+    ldf = spark.createDataFrame(left.astype({"t": "int64"}))
+    rdf = spark.createDataFrame(right.astype({"t": "int64", "rn": "int64"}))
+    kw = dict(on="t", by=["k"], direction=direction, allow_exact=allow_exact)
+    a = sorted(
+        ((r["k"], r["t"], r["lv"], r["asof_rv"], r["asof_rn"])
+         for r in asof_join(ldf, rdf, **kw).collect())
+    )
+    b = sorted(
+        ((r["k"], r["t"], r["lv"], r["asof_rv"], r["asof_rn"])
+         for r in asof_join_cogroup(ldf, rdf, **kw).collect())
+    )
+    assert a == b
