@@ -65,6 +65,8 @@ from cosmap_spark.operators.vocab import (  # noqa: F401
 from cosmap_spark.operators.sampler import (  # noqa: F401
     deterministic_sample,
     epoch_shuffle,
+    equi_depth_bin,
+    exact_k_sample,
     group_kfold_assign,
     kfold_assign,
     negative_pairs,

@@ -459,3 +459,66 @@ def group_kfold_assign(
         raise ValueError(f"need k >= 2 folds; got {k}")
     h = F.xxhash64(F.col(group_col), F.lit(seed), F.lit(73))
     return df.withColumn(fold_col, F.pmod(h, F.lit(k)).cast("int"))
+
+
+def exact_k_sample(
+    df: DataFrame,
+    *,
+    k: int,
+    key_cols: list[str],
+    seed: int = 83,
+) -> DataFrame:
+    """EXACTLY k rows, uniform over the table, deterministic: the k
+    rows with the smallest ``xxhash64(key, seed)`` — a global top-k
+    that Catalyst executes as TakeOrderedAndProject (per-partition
+    heap of k, merge of partition heaps on the driver side of the
+    exchange; never a global sort).
+
+    Complements ``deterministic_sample`` (rate-based: size varies
+    binomially) when the contract is a hard row budget — eval-set
+    carving, fixed-size debugging slices.  Same hash-threshold family:
+    partition-layout independent, stable across runs/clusters, and a
+    different seed draws an (almost) independent sample."""
+    h = F.xxhash64(*[F.col(c) for c in key_cols], F.lit(seed))
+    return (
+        df.withColumn("__h", h)
+        .orderBy("__h", *key_cols)
+        .limit(k)
+        .drop("__h")
+    )
+
+
+def equi_depth_bin(
+    df: DataFrame,
+    col: str,
+    *,
+    n_bins: int = 10,
+    accuracy: int = 10_000,
+    bin_col: str | None = None,
+) -> DataFrame:
+    """Assign each row the equi-DEPTH bin (quantile bucket) of ``col``:
+    bin b holds approximately 1/n_bins of the rows — the stratification
+    key for quality-score curricula and skew-aware splits, where
+    equal-WIDTH buckets (``width_bucket``) collapse under heavy tails.
+
+    One ``percentile_approx`` sketch pass computes the n_bins-1 inner
+    edges (a tiny literal broadcast row); assignment is the map-side
+    count of edges ≤ x via a higher-order ``filter`` over the edge
+    array — no UDF, no second shuffle.  Bins are [0, n_bins):
+    ties at an edge go to the higher bin (edge value itself sits in
+    the lower: assignment is ``#edges < x`` … strictly less)."""
+    if n_bins < 2:
+        raise ValueError(f"need n_bins >= 2; got {n_bins}")
+    probs = F.array(*[F.lit(i / n_bins) for i in range(1, n_bins)])
+    edges = df.agg(
+        F.percentile_approx(col, probs, accuracy).alias("__edges")
+    )
+    out_col = bin_col or f"{col}_bin"
+    return (
+        df.join(F.broadcast(edges))
+        .withColumn(
+            out_col,
+            F.size(F.filter("__edges", lambda e: e < F.col(col))).cast("int"),
+        )
+        .drop("__edges")
+    )

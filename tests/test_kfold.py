@@ -99,3 +99,61 @@ def test_quality_gate_stream_batch_equivalence(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(map(tuple, spark.sql(f"SELECT * FROM {name}").collect()))
     assert got == want
+
+
+def test_exact_k_sample(spark):
+    from cosmap_spark.operators.sampler import exact_k_sample
+
+    docs = load_table(spark, SF, "documents")
+    s = exact_k_sample(docs, k=40, key_cols=["doc_id"])
+    assert s.count() == 40
+    # deterministic & layout-independent
+    a = sorted(r["doc_id"] for r in s.select("doc_id").collect())
+    b = sorted(
+        r["doc_id"]
+        for r in exact_k_sample(
+            docs.repartition(9), k=40, key_cols=["doc_id"]
+        ).select("doc_id").collect()
+    )
+    assert a == b
+    # different seed → mostly different rows
+    c = set(
+        r["doc_id"]
+        for r in exact_k_sample(docs, k=40, key_cols=["doc_id"], seed=84)
+        .select("doc_id").collect()
+    )
+    assert len(set(a) & c) < 30
+    # plan: distributed top-k, not a global sort
+    plan = s._sc._jvm.PythonSQLUtils.explainString(
+        s._jdf.queryExecution(), "formatted"
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_equi_depth_bin(spark):
+    import numpy as np
+
+    from cosmap_spark.operators.sampler import equi_depth_bin
+
+    # heavy-tailed data: equal-width would dump ~everything in bin 0
+    rng = np.random.default_rng(11)
+    vals = np.concatenate([rng.lognormal(0, 2, 2000), [1e8, 1e9]])
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "id long, x double"
+    )
+    out = equi_depth_bin(df, "x", n_bins=10)
+    sizes = {
+        r["x_bin"]: r["n"]
+        for r in out.groupBy("x_bin").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(sizes) == set(range(10))
+    # equi-depth: every bin within 2x of the ideal share even on the
+    # lognormal tail (sketch accuracy + ties allow slack)
+    ideal = len(vals) / 10
+    assert all(0.5 * ideal <= n <= 2.0 * ideal for n in sizes.values()), sizes
+    # monotone: bin index ordered with value
+    rows = sorted(
+        ((r["x"], r["x_bin"]) for r in out.collect()), key=lambda t: t[0]
+    )
+    bins = [b for _, b in rows]
+    assert bins == sorted(bins)
