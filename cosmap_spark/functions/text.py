@@ -389,7 +389,9 @@ def script_profile(text: Column) -> Column:
     ``struct(n_letters, <script>_frac …, dominant_script)`` where each
     fraction is that script's share of LETTER characters and
     ``dominant_script`` is the argmax (ties broken alphabetically;
-    ``"none"`` for letterless documents).
+    ``"none"`` for letterless documents, ``"other"`` when the letters
+    belong entirely to scripts outside the profiled nine — Hebrew,
+    Thai, … must not win the all-zero argmax by alphabet).
 
     The (n_letters, per-script-frac array) pair is BOUND ONCE with the
     single-element-array + ``transform`` trick (see
@@ -421,12 +423,19 @@ def script_profile(text: Column) -> Column:
 
         def with_max(mx: Column) -> Column:
             # argmax with ALPHABETICAL tie-break: filter to the max
-            # fraction, take the lexicographically smallest name
-            dominant = F.when(nl == 0, F.lit("none")).otherwise(
-                F.array_min(
-                    F.transform(
-                        F.filter(sc, lambda s: s["frac"] == mx),
-                        lambda s: s["name"],
+            # fraction, take the lexicographically smallest name.
+            # max == 0 with letters present ⇒ every letter is in an
+            # UNPROFILED script — route to "other", not the
+            # alphabetically-first zero
+            dominant = (
+                F.when(nl == 0, F.lit("none"))
+                .when(mx == 0, F.lit("other"))
+                .otherwise(
+                    F.array_min(
+                        F.transform(
+                            F.filter(sc, lambda s: s["frac"] == mx),
+                            lambda s: s["name"],
+                        )
                     )
                 )
             )

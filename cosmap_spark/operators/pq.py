@@ -176,6 +176,20 @@ def _adc_luts(
 _ADC_SCHEMA = "qid bigint, nid bigint, dist double"
 
 
+def _topk_by_dist_nid(dists: np.ndarray, nids: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the k smallest under the TOTAL order (dist, nid).
+
+    The tie-break must be part of the local top-k: a plain
+    ``argpartition(dist)`` keeps an arbitrary member of a boundary
+    dist-tie (exact-duplicate vectors share codes, hence distances), and
+    the global (dist, nid) window cannot recover a candidate a batch
+    already dropped — making results partition-layout dependent.
+    Top-k under a total order is associative, so lexsort-based local
+    top-k is exactly safe."""
+    order = np.lexsort((nids, dists))
+    return order[:k]
+
+
 def _adc_scorer(qids: np.ndarray, luts: np.ndarray, k: int):
     """mapInPandas scorer emitting each batch's PARTIAL top-k per query
     — the map-side combine for distributed top-k."""
@@ -195,10 +209,7 @@ def _adc_scorer(qids: np.ndarray, luts: np.ndarray, k: int):
                 dm, nm = d[mask], nids[mask]
                 if not len(dm):
                     continue
-                top = (
-                    np.argpartition(dm, k - 1)[:k] if len(dm) > k
-                    else np.arange(len(dm))
-                )
+                top = _topk_by_dist_nid(dm, nm, k)
                 out.append(
                     pd.DataFrame(
                         {"qid": qid, "nid": nm[top], "dist": dm[top]}
@@ -359,6 +370,7 @@ def knn_ivfpq(
     qpos = {int(q): i for i, q in enumerate(qids)}
     m_ = luts.shape[1]
     s_idx = np.arange(m_)
+    n_short = max(k, rerank or 0)
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -368,12 +380,21 @@ def knn_ivfpq(
             qi = np.array([qpos[q] for q in pdf["qid"]], dtype=np.int64)
             d = np.round(luts[qi[:, None], s_idx[None, :], codes].sum(axis=1), 6)
             keep = pdf["nid"].to_numpy() != pdf["qid"].to_numpy()
-            yield pd.DataFrame(
+            scored_pdf = pd.DataFrame(
                 {"qid": pdf["qid"][keep], "nid": pdf["nid"][keep], "dist": d[keep]}
+            )
+            # PARTIAL top-shortlist per query (the same total-order
+            # (dist, nid) local top-k as _adc_scorer) — without it the
+            # post-scan exchange carries every probed candidate, i.e.
+            # O(corpus) rows at scale instead of
+            # O(partitions · |Q| · n_short)
+            yield (
+                scored_pdf.sort_values(["qid", "dist", "nid"])
+                .groupby("qid", sort=False)
+                .head(n_short)
             )
 
     scored = cand.mapInPandas(score, _ADC_SCHEMA)
-    n_short = max(k, rerank or 0)
     w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("nid"))
     shortlist = (
         scored.withColumn("rn", F.row_number().over(w))

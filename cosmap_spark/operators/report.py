@@ -69,7 +69,10 @@ def plan_summary(df) -> dict:
     introspection tool behind the repo's plan-audit discipline
     (tests/test_plan_audit.py), exposed for users and CI gates:
 
-    ``exchanges``            shuffles (each is a full network pass);
+    ``exchanges``            SHUFFLE exchanges only (each is a full
+                             network pass; broadcast/reused exchanges
+                             are counted separately);
+    ``broadcast_exchanges``  broadcast ships of a small side;
     ``broadcast_joins`` /
     ``sortmerge_joins`` /
     ``shuffled_hash_joins``  join strategy mix;
@@ -83,9 +86,12 @@ def plan_summary(df) -> dict:
                              so column pruning and predicate pushdown
                              are checkable.
 
-    String parsing of ``explain("formatted")`` by necessity — Spark
-    exposes no stable structured plan API to Python — so counters key
-    on operator names that have been stable across 3.x/4.x.
+    Counters come from the formatted plan's NODE HEADERS
+    (``(n) NodeName`` lines) — each physical node appears exactly once
+    there, unlike raw substring counts, which see every node twice
+    (tree + detail section) and would double every counter.  String
+    parsing by necessity — Spark exposes no stable structured plan API
+    to Python — keyed on operator names stable across 3.x/4.x.
 
     AQE caveat: before execution the summary reflects the INITIAL
     adaptive plan; ``codegen_spans`` (and runtime join demotions)
@@ -110,19 +116,26 @@ def plan_summary(df) -> dict:
             scans[i]["read_schema"] = m.group(1)
         else:
             scans.append({"pushed_filters": None, "read_schema": m.group(1)})
+    from collections import Counter
+
+    nodes = Counter(
+        re.findall(r"(?m)^\(\d+\) (\S+)", plan)
+    )
     return {
-        "exchanges": plan.count("Exchange"),
-        "broadcast_joins": plan.count("BroadcastHashJoin"),
-        "sortmerge_joins": plan.count("SortMergeJoin"),
-        "shuffled_hash_joins": plan.count("ShuffledHashJoin"),
-        "nested_loop_joins": plan.count("BroadcastNestedLoopJoin"),
-        "cartesian_products": plan.count("CartesianProduct"),
-        "python_evals": plan.count("BatchEvalPython"),
+        "exchanges": nodes["Exchange"],
+        "broadcast_exchanges": nodes["BroadcastExchange"],
+        "broadcast_joins": nodes["BroadcastHashJoin"],
+        "sortmerge_joins": nodes["SortMergeJoin"],
+        "shuffled_hash_joins": nodes["ShuffledHashJoin"],
+        "nested_loop_joins": nodes["BroadcastNestedLoopJoin"],
+        "cartesian_products": nodes["CartesianProduct"],
+        "python_evals": nodes["BatchEvalPython"],
         "arrow_evals": (
-            plan.count("ArrowEvalPython")
-            + plan.count("FlatMapGroupsInPandas")
-            + plan.count("MapInPandas")
-            + plan.count("PythonMapInArrow")
+            nodes["ArrowEvalPython"]
+            + nodes["FlatMapGroupsInPandas"]
+            + nodes["MapInPandas"]
+            + nodes["PythonMapInArrow"]
+            + nodes["FlatMapCoGroupsInPandas"]
         ),
         "codegen_spans": len(set(re.findall(r"\*\((\d+)\)", simple))),
         "scans": scans,

@@ -504,9 +504,10 @@ def equi_depth_bin(
     One ``percentile_approx`` sketch pass computes the n_bins-1 inner
     edges (a tiny literal broadcast row); assignment is the map-side
     count of edges ≤ x via a higher-order ``filter`` over the edge
-    array — no UDF, no second shuffle.  Bins are [0, n_bins):
-    ties at an edge go to the higher bin (edge value itself sits in
-    the lower: assignment is ``#edges < x`` … strictly less)."""
+    array — no UDF, no second shuffle.  Bins are [0, n_bins); a value
+    exactly equal to a bin edge lands in the LOWER bin (assignment is
+    ``#edges strictly < x``, so the edge value itself does not count
+    its own edge)."""
     if n_bins < 2:
         raise ValueError(f"need n_bins >= 2; got {n_bins}")
     probs = F.array(*[F.lit(i / n_bins) for i in range(1, n_bins)])

@@ -59,7 +59,14 @@ def events_stream(spark: SparkSession, path: str,
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
-    ts_is_long = dict(spark.read.parquet(path).dtypes).get("ts") == "bigint"
+    # Probe the unit from existing files; an EMPTY landing directory is
+    # normal for this pattern (the stream starts before the first file
+    # arrives), so fall back to the modern MICROS schema rather than
+    # letting the eager probe's schema inference fail the startup.
+    try:
+        ts_is_long = dict(spark.read.parquet(path).dtypes).get("ts") == "bigint"
+    except Exception:
+        ts_is_long = False
     schema = EVENTS_RAW_SCHEMA if ts_is_long else EVENTS_MICROS_SCHEMA
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:

@@ -81,3 +81,16 @@ def test_table_profile_star_schema(spark):
     q = p["columns"]["l_quantity"]
     assert q["min"] >= 0 and q["max"] >= q["min"]
     assert q["std"] is not None
+
+
+def test_counters_are_exact_not_doubled(spark):
+    from cosmap_spark.operators.report import plan_summary
+
+    a = spark.range(100).groupBy((F.col("id") % 5).alias("k")).count()
+    s = plan_summary(a)
+    assert s["exchanges"] == 1  # the one aggregation shuffle, not 2
+    b = a.join(F.broadcast(spark.range(5).selectExpr("id as k")), "k")
+    s2 = plan_summary(b)
+    assert s2["broadcast_joins"] == 1
+    assert s2["broadcast_exchanges"] == 1
+    assert s2["exchanges"] == 1  # broadcast exchange not counted here

@@ -145,3 +145,27 @@ def test_ivfpq_recall_and_plan(spark, emb, vecs):
     # ADC error within probed lists.  Lenient floor — brute force is
     # the recall oracle, not the bar.
     assert recall >= 0.5, f"IVF-PQ recall@5 {recall}"
+
+
+def test_adc_topk_deterministic_with_duplicate_vectors(spark, emb, books):
+    """Exact-duplicate vectors (a dedup engine's normal case) produce
+    ADC distance TIES; the per-batch partial top-k must apply the full
+    (dist, nid) order so results stay partition-layout independent."""
+    dup = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(dup)  # every vector exists twice
+    queries = emb.where(F.col("vec_id") < 6)
+    a = sorted(
+        (r["qid"], r["rn"], r["nid"])
+        for r in pq_adc_topk(
+            pq_encode(corpus, books), queries, books, k=5
+        ).collect()
+    )
+    b = sorted(
+        (r["qid"], r["rn"], r["nid"])
+        for r in pq_adc_topk(
+            pq_encode(corpus.repartition(17), books), queries, books, k=5
+        ).collect()
+    )
+    assert a == b

@@ -67,3 +67,13 @@ def test_corpus_run_is_mapside(spark):
     assert "EvalPython" not in plan
     rows = out.collect()
     assert all(r["s"]["dominant_script"] == "latin" for r in rows)
+
+
+def test_unprofiled_scripts_route_to_other(spark):
+    # Hebrew and Thai letters are outside the nine profiled scripts:
+    # the all-zero argmax must NOT hand them to the alphabetically
+    # first script ("arabic")
+    s = _profile(spark, ["שלום עולם זה מבחן", "สวัสดีชาวโลก"])
+    for i in (0, 1):
+        assert s[i]["n_letters"] > 0
+        assert s[i]["dominant_script"] == "other", s[i]

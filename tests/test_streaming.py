@@ -421,3 +421,13 @@ def test_stateful_counter_tws(spark, stream_dir, tmp_path):
         .groupBy("user_id").agg(F.count("*").alias("n")).collect()
     }
     assert got == want
+
+
+def test_events_stream_starts_on_empty_landing_dir(spark, tmp_path):
+    """The landing-zone pattern starts the stream BEFORE the first file
+    arrives; the ts-unit probe must fall back, not fail startup."""
+    d = tmp_path / "empty_landing"
+    d.mkdir()
+    sdf = events_stream(spark, str(d))
+    assert sdf.isStreaming
+    assert dict(sdf.dtypes)["ts"] == "timestamp"
