@@ -226,7 +226,8 @@ def image_phash(df: DataFrame, *, blob_col: str = "blob",
 
 def phash_dup_pairs(df: DataFrame, *, blob_col: str = "blob",
                     id_col: str = "media_id",
-                    max_hamming: int = 3) -> DataFrame:
+                    max_hamming: int = 3,
+                    n_chunks: int = 4) -> DataFrame:
     """Near-duplicate IMAGE pairs: perceptual hash + the generic Manku
     banded Hamming join (operators/dedup.py::hamming_pairs) — the image
     twin of text SimHash dedup, with the same guarantee: candidates
@@ -238,4 +239,5 @@ def phash_dup_pairs(df: DataFrame, *, blob_col: str = "blob",
     return hamming_pairs(
         image_phash(df, blob_col=blob_col, id_col=id_col),
         id_col="media_id", hash_col="phash", max_hamming=max_hamming,
+        n_chunks=n_chunks,
     )

@@ -86,3 +86,59 @@ def test_empty_blob(spark):
     assert out[0]["phash"] == out[1]["phash"]
     pairs = phash_dup_pairs(df).collect()
     assert [(r["id_a"], r["id_b"], r["hamming"]) for r in pairs] == [(1, 2, 0)]
+
+
+def test_hamming_pairs_wider_radius_with_more_chunks(spark):
+    from cosmap_spark.operators.dedup import hamming_pairs
+
+    # fingerprints with known pairwise distances
+    fps = spark.createDataFrame(
+        [
+            (1, 0b0),
+            (2, 0b1111111),          # 7 bits from id 1
+            (3, 0b1),                # 1 bit from id 1, 6 from id 2
+            (4, -1),                 # 64 bits from id 1
+        ],
+        "id long, fp long",
+    )
+    # radius 7 demands >= 8 chunks — the guarantee is enforced
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hamming_pairs(fps, hash_col="fp", max_hamming=7, n_chunks=4)
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_pairs(
+            fps, hash_col="fp", max_hamming=7, n_chunks=8
+        ).collect()
+    }
+    assert got == {(1, 2): 7, (1, 3): 1, (2, 3): 6}
+
+
+def test_hamming_pairs_parity_brute_force_chunks8(spark):
+    import random
+
+    from cosmap_spark.operators.dedup import hamming_pairs
+
+    rng = random.Random(23)
+    base = rng.getrandbits(63)
+    rows = [(0, base)]
+    for i in range(1, 25):
+        fp = base
+        for _ in range(rng.randrange(0, 10)):  # up to 9 bit flips
+            fp ^= 1 << rng.randrange(64)
+        rows.append((i, fp - (1 << 64) if fp >= (1 << 63) else fp))
+    fps = spark.createDataFrame(rows, "id long, fp long")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in hamming_pairs(
+            fps, hash_col="fp", max_hamming=7, n_chunks=8
+        ).collect()
+    }
+    want = {
+        (a, b)
+        for ai, (a, fa) in enumerate(rows)
+        for b, fb in rows[ai + 1:]
+        if bin((fa ^ fb) & ((1 << 64) - 1)).count("1") <= 7
+    }
+    assert got == want
