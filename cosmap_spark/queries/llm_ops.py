@@ -492,7 +492,7 @@ _PASSAGE_DEDUP_ORACLE = """
     )
     SELECT doc_id,
            count(*) AS n_chunks,
-           sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
            coalesce(array_to_string(
              list(chunk ORDER BY idx) FILTER (WHERE rn = 1), ' '), '') AS text_clean
     FROM r GROUP BY doc_id
