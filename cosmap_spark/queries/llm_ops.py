@@ -312,17 +312,31 @@ def q_knn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh.unionByName(ivf).unionByName(ivfpq)
 
 
-@query(
-    "q_embed_dup",
-    oracle=f"""
-    WITH pairs AS (
+_EMBED_DUP_ORACLE = f"""
+    WITH jit AS (
+      SELECT vec_id + 1000000 AS vec_id,
+             list_transform(range(1, 65),
+               i -> CAST(embedding[i] AS DOUBLE)
+                    + 0.08 * CAST(embedding[(i % 64) + 1] AS DOUBLE)) AS embedding
+      FROM embeddings WHERE vec_id < 60
+    ),
+    uni AS (
+      SELECT vec_id,
+             list_transform(range(1, 65),
+               i -> CAST(embedding[i] AS DOUBLE)) AS embedding
+      FROM embeddings
+      UNION ALL SELECT vec_id, embedding FROM jit
+    ),
+    pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              round({cosine_sql('a.embedding', 'b.embedding')}, 6) AS sim
-      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      FROM uni a JOIN uni b ON a.vec_id < b.vec_id
     )
     SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.99
-    """,
-)
+"""
+
+
+@query("q_embed_dup", oracle=_EMBED_DUP_ORACLE)
 def q_embed_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (sim ≥ 0.99) via
     hyperplane-LSH candidate buckets + exact-cosine verification
@@ -331,11 +345,33 @@ def q_embed_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic ``id_a < id_b`` pair scan the DuckDB oracle brute-forces.
     Recall at this threshold is > 0.9999 (8 tables × 8 planes; see the
     operator docstring) and is unit-tested vs brute force; threshold is
-    applied to the ROUNDED similarity so the cut is ulp-stable."""
+    applied to the ROUNDED similarity so the cut is ulp-stable.
+
+    The synthetic embeddings are i.i.d. (max pairwise cosine ≈ 0.51 at
+    sf0.01), so the raw corpus has NO pairs at any dedup-meaningful
+    threshold and the gate row would verify an empty set (round 2's
+    vacuous green).  The query therefore unions 60 planted near-twins —
+    each a deterministic rotation-jitter ``e'ᵢ = eᵢ + 0.08·e₍ᵢ₊₁ mod 64₎``
+    (cosine ≈ 0.997 to its source, ≤ 0.52 to everything else), computed
+    with identical IEEE-double arithmetic in the oracle SQL — so the
+    hash covers 60 real (id_a, id_b, sim) triples end-to-end through
+    the LSH path."""
     from cosmap_spark.operators.knn import embedding_dup_pairs
 
     e = load_table(spark, sf_dir, "embeddings")
-    return embedding_dup_pairs(e, threshold=0.99, dim=64)
+    emb = F.col("embedding")
+    jittered = F.transform(
+        emb,
+        lambda x, i: x.cast("double")
+        + F.lit(0.08) * F.element_at(emb, ((i + 1) % 64) + 1).cast("double"),
+    )
+    base = e.select(
+        "vec_id", F.transform(emb, lambda x: x.cast("double")).alias("embedding")
+    )
+    jit = e.where(F.col("vec_id") < 60).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), jittered.alias("embedding")
+    )
+    return embedding_dup_pairs(base.unionByName(jit), threshold=0.99, dim=64)
 
 
 # --- Text analysis --------------------------------------------------------
