@@ -47,6 +47,31 @@ from cosmap_spark.tables import load_table
 # --- Deduplication --------------------------------------------------------
 
 
+def _with_planted_twins(e: DataFrame, n: int = 60) -> DataFrame:
+    """Union the embeddings table with ``n`` deterministic near-twins:
+    ``e'ᵢ = eᵢ + 0.08·e₍ᵢ₊₁ mod 64₎`` at ``vec_id + 1_000_000``
+    (cosine ≈ 0.997 to the source vector, ≤ ~0.52 to everything else).
+
+    The synthetic embeddings are i.i.d. (max pairwise cosine ≈ 0.51),
+    so every dedup-meaningful threshold yields an EMPTY pair set on the
+    raw table and a gate row that verifies nothing.  The jitter is plain
+    IEEE-double arithmetic reproducible verbatim in DuckDB SQL (see
+    ``_EMBED_DUP_ORACLE``), so oracle-checked queries stay hash-exact."""
+    emb = F.col("embedding")
+    jittered = F.transform(
+        emb,
+        lambda x, i: x.cast("double")
+        + F.lit(0.08) * F.element_at(emb, ((i + 1) % 64) + 1).cast("double"),
+    )
+    base = e.select(
+        "vec_id", F.transform(emb, lambda x: x.cast("double")).alias("embedding")
+    )
+    jit = e.where(F.col("vec_id") < n).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), jittered.alias("embedding")
+    )
+    return base.unionByName(jit)
+
+
 @query(
     "q_dedup_exact",
     oracle="""
@@ -195,13 +220,16 @@ def q_dedup_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
       table (SemDeDup, Abbas et al. 2023): k-means coarse quantizer,
       pairwise exact cosine ONLY within each cluster — the moderate-
       threshold regime where hyperplane-LSH recall collapses; score =
-      exact cosine;
+      exact cosine (run over ``_with_planted_twins`` so the branch
+      contributes real pairs — the i.i.d. embeddings have none);
     * ``phash`` — perceptual-hash near-dup through the SAME banded
       Hamming join (operators/multimodal.py::phash_dup_pairs), bound
       here to utf-8 document bytes standing in for image blobs (the
       driver tables carry no media; the code path — DCT pHash kernel +
-      hamming_pairs — is the one a real image corpus uses); score =
-      Hamming distance.
+      hamming_pairs — is the one a real image corpus uses); all 500
+      documents are pairwise-distinct at sf ≤ 0.1, so 40 exact-copy
+      blobs are planted (``doc_id + 1_000_000``) to give the branch a
+      real pair set; score = Hamming distance.
 
     Rows-only check (signatures/centroids are hash-specific); recall vs
     the exact pairs is unit-tested (tests/test_dedup_knn.py,
@@ -222,7 +250,8 @@ def q_dedup_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cosmap_spark.operators.knn import semantic_dedup_pairs
 
     sem = semantic_dedup_pairs(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.95, nlist=16
+        _with_planted_twins(load_table(spark, sf_dir, "embeddings")),
+        threshold=0.95, nlist=16,
     ).select(
         F.lit("semdedup").alias("method"),
         "id_a", "id_b",
@@ -230,9 +259,12 @@ def q_dedup_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from cosmap_spark.operators.multimodal import phash_dup_pairs
 
+    blobs = docs.select("doc_id", F.encode("text", "utf-8").alias("blob"))
+    planted = blobs.where(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "blob"
+    )
     ph = phash_dup_pairs(
-        docs.select("doc_id", F.encode("text", "utf-8").alias("blob")),
-        id_col="doc_id", max_hamming=3,
+        blobs.unionByName(planted), id_col="doc_id", max_hamming=3,
     ).select(
         F.lit("phash").alias("method"),
         "id_a", "id_b",
@@ -358,20 +390,8 @@ def q_embed_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the LSH path."""
     from cosmap_spark.operators.knn import embedding_dup_pairs
 
-    e = load_table(spark, sf_dir, "embeddings")
-    emb = F.col("embedding")
-    jittered = F.transform(
-        emb,
-        lambda x, i: x.cast("double")
-        + F.lit(0.08) * F.element_at(emb, ((i + 1) % 64) + 1).cast("double"),
-    )
-    base = e.select(
-        "vec_id", F.transform(emb, lambda x: x.cast("double")).alias("embedding")
-    )
-    jit = e.where(F.col("vec_id") < 60).select(
-        (F.col("vec_id") + 1000000).alias("vec_id"), jittered.alias("embedding")
-    )
-    return embedding_dup_pairs(base.unionByName(jit), threshold=0.99, dim=64)
+    uni = _with_planted_twins(load_table(spark, sf_dir, "embeddings"))
+    return embedding_dup_pairs(uni, threshold=0.99, dim=64)
 
 
 # --- Text analysis --------------------------------------------------------
