@@ -147,6 +147,31 @@ def test_ivfpq_recall_and_plan(spark, emb, vecs):
     assert recall >= 0.5, f"IVF-PQ recall@5 {recall}"
 
 
+def test_ivfpq_gate_parameters_recall_floor(spark, emb, vecs):
+    """The q_knn_ann ``ivfpq`` branch ships nlist=16/nprobe=14/m=16/
+    ksub=64/rerank=100 (queries/llm_ops.py) — measured recall@5 = 0.98
+    on the driver embeddings.  The gate row is rows-only (ANN recall is
+    probabilistic by contract), so THIS test is where those defaults are
+    held honest: the floor is pinned at the exact ledger parameters.
+    (The i.i.d. embeddings are IVF's worst case — see the ledger
+    comment; recall ≥ 0.9 costs nprobe=14/16 on this data.)"""
+    ids, v = vecs
+    queries = emb.where(F.col("vec_id") < 10)
+    out = knn_ivfpq(
+        emb, queries, k=5, nlist=16, nprobe=14, m=16, ksub=64, rerank=100
+    )
+    by_q: dict[int, set[int]] = {}
+    for r in out.collect():
+        by_q.setdefault(r["qid"], set()).add(r["nid"])
+    hits = total = 0
+    for qid, got in by_q.items():
+        exact = set(_exact_l2_topk(ids, v, qid, 5))
+        hits += len(exact & got)
+        total += 5
+    recall = hits / total
+    assert recall >= 0.9, f"gate-parameter IVF-PQ recall@5 {recall}"
+
+
 def test_adc_topk_deterministic_with_duplicate_vectors(spark, emb, books):
     """Exact-duplicate vectors (a dedup engine's normal case) produce
     ADC distance TIES; the per-batch partial top-k must apply the full
