@@ -23,28 +23,101 @@ from pydantic import BaseModel, ConfigDict, Field, field_validator
 
 from cosmap_spark.pipeline.errors import DagValidationError
 
-#: conversion factors to degrees for angle-unit normalization
-_TO_DEG = {
-    "deg": 1.0, "degree": 1.0, "degrees": 1.0,
-    "arcmin": 1.0 / 60.0, "arcminute": 1.0 / 60.0,
-    "arcsec": 1.0 / 3600.0, "arcsecond": 1.0 / 3600.0,
-    "rad": 57.29577951308232, "radian": 57.29577951308232,
+#: Declared unit table: unit name → (dimension, factor to that
+#: dimension's CANONICAL unit).  The reference accepts arbitrary astropy
+#: Quantities (src/cosmap/config/models/sky.py:10-41,
+#: ``getattr(u, v["units"])``); this engine deliberately has no unit
+#: objects past the config layer (SURVEY.md §4.3.2) — every quantity
+#: normalizes HERE, driver-side, to one canonical float per dimension,
+#: so unit conversion reaches the plan as a constant multiply that
+#: Catalyst constant-folds.  Canonical units: angle→deg, length→Mpc,
+#: mass→Msun, flux density→Jy, time→s, velocity→km/s.
+_PC_PER_MPC = 1.0e6
+_M_PER_PC = 3.0856775814913673e16        # IAU 2015 parsec, metres
+_KG_PER_MSUN = 1.988409870698051e30      # IAU 2015 nominal solar mass
+_S_PER_YR = 3.15576e7                    # Julian year
+
+UNIT_TABLE: dict[str, tuple[str, float]] = {
+    # angle — canonical deg
+    "deg": ("angle", 1.0), "degree": ("angle", 1.0), "degrees": ("angle", 1.0),
+    "arcmin": ("angle", 1.0 / 60.0), "arcminute": ("angle", 1.0 / 60.0),
+    "arcsec": ("angle", 1.0 / 3600.0), "arcsecond": ("angle", 1.0 / 3600.0),
+    "mas": ("angle", 1.0 / 3.6e6),
+    "rad": ("angle", 57.29577951308232), "radian": ("angle", 57.29577951308232),
+    # length — canonical Mpc
+    "mpc": ("length", 1.0),
+    "kpc": ("length", 1.0e-3),
+    "pc": ("length", 1.0 / _PC_PER_MPC),
+    "lyr": ("length", 9.4607304725808e15 / (_M_PER_PC * _PC_PER_MPC)),
+    "au": ("length", 1.0 / (206264.80624709636 * _PC_PER_MPC)),
+    "km": ("length", 1.0e3 / (_M_PER_PC * _PC_PER_MPC)),
+    "m": ("length", 1.0 / (_M_PER_PC * _PC_PER_MPC)),
+    # mass — canonical Msun
+    "msun": ("mass", 1.0), "m_sun": ("mass", 1.0), "solmass": ("mass", 1.0),
+    "kg": ("mass", 1.0 / _KG_PER_MSUN),
+    "g": ("mass", 1.0e-3 / _KG_PER_MSUN),
+    # flux density — canonical Jy
+    "jy": ("flux", 1.0), "jansky": ("flux", 1.0),
+    "mjy": ("flux", 1.0e-3), "ujy": ("flux", 1.0e-6),
+    "w/m2/hz": ("flux", 1.0e26),
+    # time — canonical s
+    "s": ("time", 1.0), "second": ("time", 1.0), "seconds": ("time", 1.0),
+    "min": ("time", 60.0), "minute": ("time", 60.0),
+    "hr": ("time", 3600.0), "hour": ("time", 3600.0),
+    "day": ("time", 86400.0), "days": ("time", 86400.0),
+    "yr": ("time", _S_PER_YR), "year": ("time", _S_PER_YR),
+    "myr": ("time", _S_PER_YR * 1.0e6), "gyr": ("time", _S_PER_YR * 1.0e9),
+    # velocity — canonical km/s
+    "km/s": ("velocity", 1.0), "m/s": ("velocity", 1.0e-3),
+    # dimensionless
+    "": ("dimensionless", 1.0), "1": ("dimensionless", 1.0),
+    "dimensionless": ("dimensionless", 1.0),
+}
+
+#: dimension → canonical unit name (for error messages / docs)
+CANONICAL_UNIT = {
+    "angle": "deg", "length": "Mpc", "mass": "Msun",
+    "flux": "Jy", "time": "s", "velocity": "km/s", "dimensionless": "",
 }
 
 
-def quantity_to_deg(q: Any) -> float:
-    """Normalize a quantity spec to degrees.
+def quantity_to(q: Any, dimension: str | None = None) -> float:
+    """Normalize a quantity spec to the canonical unit of its dimension.
 
-    Accepts a bare number (assumed degrees) or ``{"value": v, "units":
-    u}`` (reference README.md:155-163 JSON form)."""
+    Accepts a bare number (assumed already canonical — requires
+    ``dimension`` so "canonical" is well-defined) or ``{"value": v,
+    "units": u}`` (reference README.md:155-163 JSON form).  When
+    ``dimension`` is given, a quantity of any other dimension raises —
+    the validation the reference delegates to astropy
+    (``Quantity.to`` raising ``UnitConversionError``), done here against
+    the declared table."""
+    if isinstance(q, bool):
+        raise ValueError(f"cannot interpret quantity {q!r}")
     if isinstance(q, (int, float)):
+        if dimension is None:
+            raise ValueError(
+                "bare number needs an expected dimension to be canonical"
+            )
         return float(q)
     if isinstance(q, dict) and "value" in q:
-        unit = str(q.get("units", "deg")).lower()
-        if unit not in _TO_DEG:
-            raise ValueError(f"unknown angular unit {unit!r}")
-        return float(q["value"]) * _TO_DEG[unit]
+        unit = str(q.get("units", "")).lower()
+        if unit not in UNIT_TABLE:
+            raise ValueError(f"unknown unit {unit!r}")
+        dim, factor = UNIT_TABLE[unit]
+        if dimension is not None and dim != dimension:
+            raise ValueError(
+                f"expected a {dimension} quantity (canonical "
+                f"{CANONICAL_UNIT[dimension]}), got {dim} unit {unit!r}"
+            )
+        return float(q["value"]) * factor
     raise ValueError(f"cannot interpret quantity {q!r}")
+
+
+def quantity_to_deg(q: Any) -> float:
+    """Angle-only shorthand: bare numbers are assumed degrees."""
+    if isinstance(q, dict) and "value" in q and "units" not in q:
+        q = {**q, "units": "deg"}
+    return quantity_to(q, "angle")
 
 
 # --- @-reference resolution ----------------------------------------------

@@ -21,6 +21,7 @@ from cosmap_spark.operators.sampler import (
     uniform_box_samples,
     uniform_sphere_samples,
 )
+from cosmap_spark.pipeline.config import quantity_to
 from cosmap_spark.queries.registry import query
 from cosmap_spark.tables import catalog_df, load_table, samples_df, with_fixture_ctes
 
@@ -68,12 +69,26 @@ def q_scan_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- O6 bbox prefilter + O28 unit conversion ------------------------------
 
 
+# Non-angular Quantities consumed by q_box_units, normalized ONCE at
+# import through the declared unit table (pipeline/config.py) — the
+# reference's astropy ``Quantity.to`` generalizes past angles
+# (sky.py:10-41); here conversion is a driver-side constant multiply and
+# the SAME Python float lands verbatim in both the Spark plan and the
+# oracle SQL below, so the comparison is bit-exact.
+_HUBBLE_DIST_MPC = quantity_to(
+    {"value": 299792.458 / 70.0, "units": "Mpc"}, "length"
+)  # c/H0 for H0 = 70 km/s/Mpc
+_MAX_DIST_MPC = quantity_to({"value": 4.2e9, "units": "pc"}, "length")
+
+
 @query(
     "q_box_units",
-    oracle=with_fixture_ctes("""
+    oracle=with_fixture_ctes(f"""
     SELECT object_id, round(ra, 6) AS ra, round(dec, 6) AS dec,
            round(ra * 60.0, 4) AS ra_arcmin,
-           round(dec * 3600.0, 4) AS dec_arcsec
+           round(dec * 3600.0, 4) AS dec_arcsec,
+           round(z * {_HUBBLE_DIST_MPC!r}, 4) AS dist_mpc,
+           z * {_HUBBLE_DIST_MPC!r} <= {_MAX_DIST_MPC!r} AS within_dist
     FROM catalog
     WHERE ra BETWEEN 40.0 AND 80.0 AND dec BETWEEN -30.0 AND 45.0
     """),
@@ -83,7 +98,13 @@ def q_box_units(spark: SparkSession, sf_dir: str) -> DataFrame:
     never used, with its margin sign bug fixed (reference
     src/cosmap/dataset/opencosmo.py:42-50, bug at :48) — plus quantity
     unit conversion (reference O28: ``Quantity.to(u.arcsec)``,
-    README.md:73) compiled to constant multiplies."""
+    README.md:73) compiled to constant multiplies.
+
+    Beyond angles, the generalized unit layer feeds two LENGTH
+    quantities (a Hubble distance declared in Mpc, a cut declared in pc
+    — reference sky.py:10-41 validates arbitrary astropy units): both
+    normalize to canonical Mpc at plan-build time, so the executors see
+    only folded double literals."""
     return (
         catalog_df(spark, sf_dir)
         .where(F.col("ra").between(40.0, 80.0) & F.col("dec").between(-30.0, 45.0))
@@ -93,6 +114,8 @@ def q_box_units(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("dec", 6).alias("dec"),
             F.round(F.col("ra") * 60.0, 4).alias("ra_arcmin"),
             F.round(F.col("dec") * 3600.0, 4).alias("dec_arcsec"),
+            F.round(F.col("z") * _HUBBLE_DIST_MPC, 4).alias("dist_mpc"),
+            ((F.col("z") * _HUBBLE_DIST_MPC) <= _MAX_DIST_MPC).alias("within_dist"),
         )
     )
 

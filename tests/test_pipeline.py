@@ -99,6 +99,37 @@ def test_quantity_normalization():
         quantity_to_deg({"value": 1, "units": "parsec"})
 
 
+def test_general_unit_table():
+    """The generalized unit layer (reference sky.py:10-41 validates
+    arbitrary astropy Quantities; here a declared table, constant
+    multiply to one canonical unit per dimension)."""
+    from cosmap_spark.pipeline.config import UNIT_TABLE, quantity_to
+
+    # length → canonical Mpc
+    assert quantity_to({"value": 4.2e9, "units": "pc"}, "length") == pytest.approx(4200.0)
+    assert quantity_to({"value": 2500.0, "units": "kpc"}, "length") == pytest.approx(2.5)
+    # mass → canonical Msun
+    assert quantity_to({"value": 1.988409870698051e30, "units": "kg"}, "mass") == pytest.approx(1.0)
+    # flux → canonical Jy
+    assert quantity_to({"value": 250.0, "units": "mJy"}, "flux") == pytest.approx(0.25)
+    assert quantity_to({"value": 1e-26, "units": "W/m2/Hz"}, "flux") == pytest.approx(1.0)
+    # time → canonical s
+    assert quantity_to({"value": 2.0, "units": "hr"}, "time") == pytest.approx(7200.0)
+    # round-trip through the table's own factor is exact (one multiply)
+    for unit, (dim, factor) in UNIT_TABLE.items():
+        if factor:
+            v = quantity_to({"value": 3.5, "units": unit}, dim)
+            assert v / factor == pytest.approx(3.5)
+    # dimension mismatch raises (astropy UnitConversionError analog)
+    with pytest.raises(ValueError, match="expected a length"):
+        quantity_to({"value": 1.0, "units": "arcmin"}, "length")
+    # bare number without a declared dimension is ambiguous
+    with pytest.raises(ValueError, match="bare number"):
+        quantity_to(3.0)
+    with pytest.raises(ValueError, match="unknown unit"):
+        quantity_to({"value": 1.0, "units": "furlong"}, "length")
+
+
 def test_at_reference_resolution():
     tree = {
         "Main": {"radius": 2.5},
