@@ -48,6 +48,13 @@ def asof_join(
     values break on the first payload column for determinism."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward; got {direction!r}")
+    reserved = {"__tag", "__payload", "__is_left", "__m"}
+    clash = reserved & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(
+            f"asof_join reserves internal column names {sorted(reserved)}; "
+            f"rename input columns {sorted(clash)}"
+        )
     keys = by or []
     payload_cols = right_cols or [
         c for c in right.columns if c != on and c not in keys

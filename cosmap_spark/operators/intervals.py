@@ -86,7 +86,15 @@ def interval_overlap_join(
     ``right=None`` ⇒ self-join, emitting each unordered pair once
     (``id_a < id_b``).  Output: ``by… , id_a, id_b, start_a, end_a,
     start_b, end_b, overlap`` (overlap in the interval's units,
-    ≥ 0 for closed-interval touching)."""
+    ≥ 0 for closed-interval touching).
+
+    Cross-cell duplicate folding keys on (ids, endpoints, by-keys), so
+    rows that share an id but carry DIFFERENT intervals each keep their
+    overlap pairs; two rows with identical (id, start, end) still
+    collapse to one — give rows distinct ids if that matters.  In the
+    two-table form the id spaces are assumed disjoint: a shared id
+    produces an ``id_a == id_b`` pair the caller must filter if the two
+    sides are really one population."""
     keys = by or []
     self_join = right is None
     rhs_src = left if self_join else right
@@ -114,7 +122,10 @@ def interval_overlap_join(
         cond = cond & (F.col("id_a") < F.col("id_b"))
     pairs = (
         a.join(b, cond)
-        .dropDuplicates(["id_a", "id_b", *[f"__a_{k}" for k in keys]])
+        .dropDuplicates([
+            "id_a", "id_b", "start_a", "end_a", "start_b", "end_b",
+            *[f"__a_{k}" for k in keys],
+        ])
     )
     return pairs.select(
         *[F.col(f"__a_{k}").alias(k) for k in keys],

@@ -361,7 +361,15 @@ def ivf_assign(
         if len(vecs) == 0:
             return pd.Series([], dtype="int64")
         v = np.stack(vecs.to_numpy()).astype(np.float64)  # (n, dim)
-        sims = np.round((v @ mat.T) / np.outer(np.linalg.norm(v, axis=1), cnorm), 6)
+        # clamp norms: a zero vector would otherwise divide 0/0 (numpy
+        # warning + NaN row + arbitrary argmax); clamped, its sims are
+        # all exactly 0.0 and argmax deterministically picks the first
+        # (smallest) cid — same tie rule as the expression path, where
+        # cosine_similarity on a zero vector yields NaN and max_by
+        # likewise degenerates to the tie-break
+        norms = np.maximum(np.linalg.norm(v, axis=1), 1e-300)
+        cnorms = np.maximum(cnorm, 1e-300)
+        sims = np.round((v @ mat.T) / np.outer(norms, cnorms), 6)
         # argmax returns the FIRST max index; rows sorted by cid ⇒ ties
         # prefer the smallest cid, same as max-by-(sim, -cid)
         return pd.Series(cids[np.argmax(sims, axis=1)])

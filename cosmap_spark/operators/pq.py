@@ -28,7 +28,14 @@ Scale shape (mirrors the FAISS IVF-PQ layout, re-expressed Spark-first):
 
 Query-set contract matches ``knn_bruteforce``: |Q| is small (it is
 collected and shipped in the scorer's closure, exactly the broadcast
-pattern of the exact path).
+pattern of the exact path).  The LUT costs m·ksub doubles per query
+(8 KB at m=16/ksub=64), so the driver-collect serving shape holds to
+|Q| ~ 10⁵ (~1 GB closure).  For corpus-scale |Q| — joining two
+embedding corpora — build the LUT rows AS a DataFrame (posexplode the
+query against the in-plan codebook literal) and shuffle-join them to
+candidates on (cid, qid) instead; O(|Q|·m·ksub) exchange, linear in
+|Q|, never in corpus size.  See SCALE.md §Similarity search for the
+full switchover analysis.
 """
 
 from __future__ import annotations

@@ -68,16 +68,20 @@ def robust_outliers(
     median and MAD come from two sketch aggregations (the second pass
     needs |x − median|, so two passes is the honest minimum — a
     mean/std single pass is exactly what outliers corrupt).  With
-    ``group_by`` the parameters are per group (e.g. per source/lang)
-    and join back on the group key — broadcast when small, hash join
-    otherwise.  Appends ``<col>_z`` (rounded 6 dp) and
-    ``<col>_outlier``; MAD = 0 (constant column) flags nothing."""
+    ``group_by`` the parameters are per group (e.g. per source/lang);
+    the join back on the group key is left to AQE, which broadcasts when
+    the per-group table is small and falls back to a hash join when the
+    key is high-cardinality — forcing ``F.broadcast`` here would pin a
+    driver-sized build side at scale.  The ungrouped path stays an
+    explicit broadcast: it is a single-row table by construction.
+    Appends ``<col>_z`` (rounded 6 dp) and ``<col>_outlier``; MAD = 0
+    (constant column) flags nothing."""
     keys = group_by or []
     med_agg = df.groupBy(*keys).agg(
         F.percentile_approx(col, F.lit(0.5), accuracy).alias("__med")
     )
     with_med = (
-        df.join(F.broadcast(med_agg), keys) if keys else df.join(F.broadcast(med_agg))
+        df.join(med_agg, keys) if keys else df.join(F.broadcast(med_agg))
     )
     mad_agg = with_med.groupBy(*keys).agg(
         F.percentile_approx(
@@ -85,7 +89,7 @@ def robust_outliers(
         ).alias("__mad")
     )
     full = (
-        with_med.join(F.broadcast(mad_agg), keys)
+        with_med.join(mad_agg, keys)
         if keys
         else with_med.join(F.broadcast(mad_agg))
     )

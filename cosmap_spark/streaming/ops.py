@@ -59,13 +59,21 @@ def events_stream(spark: SparkSession, path: str,
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
-    # Probe the unit from existing files; an EMPTY landing directory is
-    # normal for this pattern (the stream starts before the first file
-    # arrives), so fall back to the modern MICROS schema rather than
-    # letting the eager probe's schema inference fail the startup.
+    # Probe the unit from existing files; an EMPTY or not-yet-created
+    # landing directory is normal for this pattern (the stream starts
+    # before the first file arrives), so THOSE probe failures fall back
+    # to the modern MICROS schema.  Anything else (permissions, corrupt
+    # footer, transient IO) propagates — silently defaulting the schema
+    # there would misconfigure a NANOS stream and surface later as a
+    # baffling parquet type error.
+    from pyspark.errors import AnalysisException
+
     try:
         ts_is_long = dict(spark.read.parquet(path).dtypes).get("ts") == "bigint"
-    except Exception:
+    except AnalysisException as e:
+        cond = getattr(e, "getCondition", lambda: None)() or str(e)
+        if not ("UNABLE_TO_INFER_SCHEMA" in cond or "PATH_NOT_FOUND" in cond):
+            raise
         ts_is_long = False
     schema = EVENTS_RAW_SCHEMA if ts_is_long else EVENTS_MICROS_SCHEMA
     reader = spark.readStream.schema(schema)

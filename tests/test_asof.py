@@ -118,3 +118,14 @@ def test_cogroup_twin_equals_distributed(spark, frames, direction, allow_exact):
          for r in asof_join_cogroup(ldf, rdf, **kw).collect())
     )
     assert a == b
+
+
+def test_asof_rejects_reserved_internal_names(spark):
+    """Inputs carrying the operator's internal column names must raise a
+    clear error instead of silently corrupting the fill."""
+    import pytest
+
+    left = spark.createDataFrame([(1, 10, 0)], "k long, t long, __tag long")
+    right = spark.createDataFrame([(1, 5, 1.0)], "k long, t long, rv double")
+    with pytest.raises(ValueError, match="reserves internal column names"):
+        asof_join(left, right, on="t", by=["k"])

@@ -113,3 +113,22 @@ def test_interval_overlap_join_plan_is_equi(spark):
     assert s["cartesian_products"] == 0
     assert s["nested_loop_joins"] == 0
     assert s["broadcast_joins"] + s["sortmerge_joins"] + s["shuffled_hash_joins"] >= 1
+
+
+def test_interval_overlap_join_duplicate_ids_keep_distinct_intervals(spark):
+    """Cross-cell dedup keys on (ids, endpoints): rows sharing an id but
+    carrying different intervals must each keep their pairs (the dedup
+    previously collapsed them nondeterministically)."""
+    from cosmap_spark.operators.intervals import interval_overlap_join
+
+    df = spark.createDataFrame(
+        [(1, 0, 100), (1, 200, 300), (2, 50, 250)],
+        "id long, start long, end long",
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["start_a"], r["start_b"])
+        for r in interval_overlap_join(df, grid=100).collect()
+    }
+    # id 1's FIRST interval overlaps id 2, and id 1's SECOND interval
+    # also overlaps id 2 — both pairs must survive
+    assert got == {(1, 2, 0, 50), (1, 2, 200, 50)}
