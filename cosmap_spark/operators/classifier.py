@@ -128,39 +128,54 @@ def train_quality_classifier(
     w = [0.0] * dim
     b = 0.0
     for _ in range(iters):
-        w_df = F.broadcast(
-            feats.sparkSession.createDataFrame(
-                [(i, float(wi)) for i, wi in enumerate(w)], "fid long, w double"
-            )
-        )
-        scored = (
-            feats.join(w_df, "fid")
-            .groupBy("id")
-            .agg(F.sum(F.col("c") * F.col("w")).alias("s"))
-        )
-        err = (
-            labels.join(scored, "id", "left")
-            .select(
-                "id",
-                (
-                    F.lit(1.0)
-                    / (F.lit(1.0) + F.exp(-(F.coalesce(F.col("s"), F.lit(0.0)) + F.lit(b))))
-                    - F.col("y")
-                ).alias("e"),
-            )
-        )
-        grad_rows = (
-            feats.join(err, "id")
-            .groupBy("fid")
-            .agg(F.sum(F.col("c") * F.col("e")).alias("g"))
-            .collect()
-        )
+        err, grad = _iteration_frames(feats, labels, w, b)
+        grad_rows = grad.collect()
         b_grad = err.agg(F.sum("e")).collect()[0][0] / n
         for r in grad_rows:
             i = int(r["fid"])
             w[i] -= lr * (r["g"] / n + l2 * w[i])
         b -= lr * b_grad
     return w, b
+
+
+def _iteration_frames(
+    feats: DataFrame, labels: DataFrame, w: list[float], b: float
+) -> tuple[DataFrame, DataFrame]:
+    """One gradient-descent iteration's two DataFrames: per-document
+    error ``[id, e]`` and per-feature gradient ``[fid, g]``.
+
+    Separated from the loop so the plan-audit suite can gate the shape
+    of EVERY data pass the trainer makes (tests/test_plan_summary.py):
+    the O(dim) weight table broadcasts, both aggregations are
+    map-side-combined groupBys, and no Python ever touches the
+    corpus-sized feature table."""
+    w_df = F.broadcast(
+        feats.sparkSession.createDataFrame(
+            [(i, float(wi)) for i, wi in enumerate(w)], "fid long, w double"
+        )
+    )
+    scored = (
+        feats.join(w_df, "fid")
+        .groupBy("id")
+        .agg(F.sum(F.col("c") * F.col("w")).alias("s"))
+    )
+    err = (
+        labels.join(scored, "id", "left")
+        .select(
+            "id",
+            (
+                F.lit(1.0)
+                / (F.lit(1.0) + F.exp(-(F.coalesce(F.col("s"), F.lit(0.0)) + F.lit(b))))
+                - F.col("y")
+            ).alias("e"),
+        )
+    )
+    grad = (
+        feats.join(err, "id")
+        .groupBy("fid")
+        .agg(F.sum(F.col("c") * F.col("e")).alias("g"))
+    )
+    return err, grad
 
 
 def classifier_auc(scores: DataFrame, labels: DataFrame) -> float:

@@ -94,3 +94,100 @@ def test_counters_are_exact_not_doubled(spark):
     assert s2["broadcast_joins"] == 1
     assert s2["broadcast_exchanges"] == 1
     assert s2["exchanges"] == 1  # broadcast exchange not counted here
+
+
+# --- beyond-ledger operators: the same exchange/Python-path gates the
+# --- 50 ledger queries get from tests/test_plan_audit.py
+
+
+def _clean(s):
+    assert s["cartesian_products"] == 0
+    assert s["nested_loop_joins"] == 0
+    assert s["python_evals"] == 0
+
+
+def test_classifier_training_iteration_plan(spark):
+    """Every data pass of the GD trainer: weight table broadcasts
+    (O(dim), never a shuffle of the feature table against it), both
+    aggregations are groupBys, zero Python anywhere."""
+    from cosmap_spark.operators.classifier import (
+        _iteration_frames,
+        hashed_features,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    feats = hashed_features(docs, dim=64)
+    s = plan_summary(feats)
+    _clean(s)
+    assert s["exchanges"] == 1  # the one (id, fid) combine shuffle
+    assert s["arrow_evals"] == 0  # hashing is JVM-side
+
+    labels = docs.select(
+        F.col("doc_id").alias("id"), (F.col("doc_id") % 2).cast("double").alias("y")
+    )
+    err, grad = _iteration_frames(feats, labels, [0.0] * 64, 0.0)
+    for df in (err, grad):
+        s = plan_summary(df)
+        _clean(s)
+        assert s["broadcast_joins"] >= 1, "weight table must broadcast"
+        assert s["arrow_evals"] == 0
+
+
+def test_classifier_serving_plan_is_map_side(spark):
+    """score_documents ships weights as a plan literal: no join, no
+    shuffle, no Python."""
+    from cosmap_spark.operators.classifier import score_documents
+
+    docs = load_table(spark, SF, "documents")
+    s = plan_summary(score_documents(docs, [0.1] * 64))
+    _clean(s)
+    assert s["exchanges"] == 0
+    assert s["arrow_evals"] == 0
+    assert s["broadcast_joins"] + s["sortmerge_joins"] + s["shuffled_hash_joins"] == 0
+
+
+def test_vocab_induction_plans(spark):
+    """token_vocab/bpe_pair_counts: one combine shuffle each, top-n via
+    TakeOrderedAndProject (never a global sort); apply_bpe_merge is a
+    pure map-side fold."""
+    from cosmap_spark.operators.vocab import (
+        apply_bpe_merge,
+        bpe_pair_counts,
+        token_vocab,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    for df in (token_vocab(docs, top_n=50), bpe_pair_counts(docs, top_n=50)):
+        s = plan_summary(df)
+        _clean(s)
+        assert s["arrow_evals"] == 0
+        assert s["exchanges"] == 1
+        assert "TakeOrderedAndProject" in s["plan"]
+        assert "Sort " not in s["plan"].split("TakeOrderedAndProject")[0]
+    s = plan_summary(apply_bpe_merge(docs, "the", "quick"))
+    _clean(s)
+    assert s["exchanges"] == 0
+    assert s["arrow_evals"] == 0
+
+
+def test_incremental_dedup_plan(spark):
+    """incremental_minhash_dedup: the arriving batch's bands broadcast
+    against (store ∪ new); history is read as signatures only — the
+    candidate join must be a broadcast hash join, never quadratic.
+    Audited via _incremental_pairs (the public entry localCheckpoints
+    the result, which truncates the auditable lineage)."""
+    from cosmap_spark.operators.dedup import (
+        _incremental_pairs,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    new_sig = minhash_signatures(docs.where(F.col("doc_id") % 2 == 1))
+    old_sig = minhash_signatures(docs.where(F.col("doc_id") % 2 == 0))
+    out = _incremental_pairs(
+        new_sig, new_sig.unionByName(old_sig),
+        bands=8, rows=4, num_hashes=32, threshold=0.5,
+    )
+    s = plan_summary(out)
+    _clean(s)
+    assert s["broadcast_joins"] >= 1, "new-batch bands must broadcast"
