@@ -3,11 +3,29 @@
 sf0.1) on local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
 
     {"metric": "headline_total", "value": N, "unit": "sec",
-     "queries": {...}, "sf": ...}
+     "queries": {...}, "sf": ...,
+     "knn_ann_split": {"train": ..., "serve": ...},
+     "scaling": {"factors": [...], "queries": {...}}}
 
 Each query is executed to completion (count() — forces full evaluation
 without driver-side materialization of rows) after a shared-session
-warm-up; per-query wall-clock is reported, plus the total.
+warm-up; per-query wall-clock is reported, plus the total (``value`` is
+the HEADLINE total only — the split/scaling sections are supplementary
+measurements, not double-counted).
+
+``knn_ann_split`` separates q_knn_ann's one-time index training
+(ivf_build + pq_train) from the serving path (the union re-run against
+prebuilt artifacts) — the serve number is the decision-relevant
+throughput of a persisted index.
+
+``scaling`` times the scale-sensitive queries on replicated-but-
+DECORRELATED copies of the sf0.1 documents/embeddings (per-replica
+token suffixes / vector jitter, so dedup pair structure stays
+replica-local and the workload per row matches the original — plain
+replication would instead make every document a 10-way exact dup and
+measure a different workload).  Slopes near 1.0 in the factor mean
+linear scaling; SCALE.md interprets the numbers.  Set
+SPARK_GRAFT_SKIP_SCALING=1 to skip (e.g. quick local iterations).
 """
 
 from __future__ import annotations
@@ -43,6 +61,80 @@ HEADLINE = [
 ]
 
 
+#: queries re-timed at growing data factors (all read only
+#: documents/embeddings, the tables the builder replicates)
+SCALING_SET = ["q_dedup_ngram", "q_passage_dedup", "q_decontam", "q_knn_ann"]
+SCALING_FACTORS = [1, 4, 10]
+
+
+def _build_scaled(spark, base_dir: str, out_dir: str, factor: int) -> None:
+    """Materialize documents/embeddings at ``factor``× the base size,
+    decorrelated per replica: every token gets a replica suffix (so no
+    shingle/passage ever matches across replicas and per-replica dedup
+    structure equals the original's) and every embedding is jittered by
+    a replica-specific rotation mix (cosine to its source ≈ 0.995 — far
+    from the 0.99+ dup thresholds after the planted-twin offset ids,
+    and the distribution stays near-uniform)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    done = os.path.join(out_dir, "_done")
+    if os.path.exists(done):
+        return
+    docs = spark.read.parquet(os.path.join(base_dir, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(base_dir, "embeddings.parquet"))
+    doc_parts = []
+    emb_parts = []
+    for r in range(factor):
+        if r == 0:
+            doc_parts.append(docs)
+            emb_parts.append(
+                emb.select("vec_id", F.transform(
+                    "embedding", lambda x: x.cast("double")).alias("embedding"),
+                    *[c for c in emb.columns if c not in ("vec_id", "embedding")])
+            )
+            continue
+        suffixed = F.concat_ws(
+            " ",
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda t: F.concat(t, F.lit(f"·{r}")),
+            ),
+        )
+        doc_parts.append(
+            docs.select(
+                (F.col("doc_id") + r * 10_000_000).alias("doc_id"),
+                suffixed.alias("text"),
+                *[c for c in docs.columns if c not in ("doc_id", "text")],
+            ).select(*docs.columns)
+        )
+        e = F.col("embedding")
+        coef = 0.1 * r
+        jit = F.transform(
+            e,
+            lambda x, i: x.cast("double")
+            + F.lit(coef) * F.element_at(e, ((i + 7 * r) % 64) + 1).cast("double"),
+        )
+        emb_parts.append(
+            emb.select(
+                (F.col("vec_id") + r * 10_000_000).alias("vec_id"),
+                jit.alias("embedding"),
+                *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+            ).select(*emb.columns)
+        )
+    d = doc_parts[0]
+    for p in doc_parts[1:]:
+        d = d.unionByName(p)
+    v = emb_parts[0]
+    for p in emb_parts[1:]:
+        v = v.unionByName(p)
+    d.write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
+    v.write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
+    with open(done, "w") as f:
+        f.write("ok")
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -50,8 +142,13 @@ def main() -> None:
 
     from cosmap_spark.session import get_spark
 
+    # local-mode = ONE JVM doing driver + all executor work; the 1g
+    # default heap GC-thrashes 32 concurrent tasks at the scaling
+    # factors. Static conf, so it must be set here before JVM start.
     spark = get_spark(app_name="cosmap-bench", master=f"local[{cpus}]",
-                      extra_conf={"spark.ui.enabled": "false"})
+                      extra_conf={"spark.ui.enabled": "false",
+                                  "spark.driver.memory":
+                                      os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")})
     spark.sparkContext.setLogLevel("ERROR")
 
     from cosmap_spark.queries import all_queries
@@ -80,15 +177,63 @@ def main() -> None:
         dt = round(best, 3)
         timings[name] = dt
         total += dt
+
+    # --- q_knn_ann train/serve split (prebuilt-index reuse) ---------------
+    from cosmap_spark.operators.knn import ivf_build
+    from cosmap_spark.operators.pq import pq_train
+    from cosmap_spark.queries.llm_ops import knn_ann_union
+    from cosmap_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    t0 = time.perf_counter()
+    index = ivf_build(emb, nlist=16, iters=1)
+    books = pq_train(emb, m=16, ksub=64, iters=1, dim=64)
+    train_t = time.perf_counter() - t0
+    serve_t = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        knn_ann_union(spark, sf_dir, index=index, codebooks=books).count()
+        serve_t = min(serve_t, time.perf_counter() - t0)
+    split = {"train": round(train_t, 3), "serve": round(serve_t, 3)}
+
+    # --- sf-scaling section ----------------------------------------------
+    scaling = None
+    if not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
+        import tempfile
+
+        scale_root = os.path.join(tempfile.gettempdir(), "cosmap_scale")
+        scaling = {"base_sf": sf, "factors": SCALING_FACTORS, "queries": {}}
+        per_q: dict[str, dict[str, float]] = {q: {} for q in SCALING_SET}
+        for factor in SCALING_FACTORS:
+            if factor == 1:
+                fdir = sf_dir
+            else:
+                fdir = os.path.join(scale_root, f"{sf}x{factor}")
+                _build_scaled(spark, sf_dir, fdir, factor)
+            for q in SCALING_SET:
+                best = float("inf")
+                # min-of-2, like the headline: single-JVM GC pauses at
+                # the larger factors add multi-second one-off noise
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    queries[q](spark, fdir).count()
+                    best = min(best, time.perf_counter() - t0)
+                per_q[q][str(factor)] = round(best, 3)
+        scaling["queries"] = per_q
+
     spark.stop()
 
-    print(json.dumps({
+    out = {
         "metric": "headline_total",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+        "knn_ann_split": split,
+    }
+    if scaling is not None:
+        out["scaling"] = scaling
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -331,6 +331,7 @@ def knn_ivfpq(
     dim: int = 64,
     seed: int = 41,
     prebuilt: tuple[list, DataFrame] | None = None,
+    codebooks: Codebooks | None = None,
 ) -> DataFrame:
     """IVF coarse quantizer + PQ codes + ADC re-rank — the standard
     billion-scale ANN layout as a composition of this engine's parts:
@@ -347,18 +348,22 @@ def knn_ivfpq(
 
     Work per query ≈ (nprobe/nlist) · corpus · m table adds, memory per
     corpus vector ≈ m codes — both knobs independent of dim.
-    ``prebuilt`` takes an ``ivf_build`` result so the coarse quantizer
-    is trained once and shared (see ``knn.knn_ivf``)."""
+    ``prebuilt`` takes an ``ivf_build`` result and ``codebooks`` a
+    ``pq_train`` result so BOTH training jobs are paid once and shared
+    across searches (the persisted-index pattern — at scale codes and
+    centroids live in tables, and a per-query retrain would be absurd;
+    see ``knn.knn_ivf``)."""
     from cosmap_spark.operators.knn import _scored_centroids, ivf_build
 
     cents, assigned = prebuilt if prebuilt is not None else ivf_build(
         corpus, nlist=nlist, iters=train_iters,
         id_col=id_col, vec_col=vec_col, seed=seed,
     )
-    codebooks = pq_train(
-        corpus, m=m, ksub=ksub, iters=train_iters,
-        id_col=id_col, vec_col=vec_col, dim=dim, seed=seed,
-    )
+    if codebooks is None:
+        codebooks = pq_train(
+            corpus, m=m, ksub=ksub, iters=train_iters,
+            id_col=id_col, vec_col=vec_col, dim=dim, seed=seed,
+        )
     coded = pq_encode(
         assigned, codebooks, id_col="nid", vec_col="nvec", keep=["cid"]
     )

@@ -319,6 +319,22 @@ def q_knn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh/ivf, NEGATIVE exact L2 distance for ivfpq (refine metric);
     monotone-decreasing in rank for every branch.  Recall for all
     three is unit-tested against brute force."""
+    return knn_ann_union(spark, sf_dir)
+
+
+def knn_ann_union(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    index=None,
+    codebooks=None,
+) -> DataFrame:
+    """The q_knn_ann plan, with the trained artifacts injectable:
+    ``index`` an ``ivf_build`` result, ``codebooks`` a ``pq_train``
+    result.  The ledger entry trains both in-query (self-contained for
+    the gate); bench.py pre-trains them once and times this function
+    alone, so the reported serve number is the search cost a persisted
+    index delivers, separate from the train cost paid once."""
     from cosmap_spark.operators.knn import ivf_build
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -329,7 +345,8 @@ def q_knn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # one trained coarse quantizer serves BOTH ivf and ivfpq — the
     # persisted-index pattern (train once, search many)
-    index = ivf_build(emb, nlist=16, iters=1)
+    if index is None:
+        index = ivf_build(emb, nlist=16, iters=1)
     ivf = knn_ivf(emb, queries, k=5, nlist=16, nprobe=8, prebuilt=index).select(
         F.lit("ivf").alias("method"), "qid", "nid",
         F.col("sim").alias("score"), "rn",
@@ -343,7 +360,7 @@ def q_knn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # where nprobe/nlist of a few percent reaches the same recall.
     ivfpq = knn_ivfpq(
         emb, queries, k=5, nlist=16, nprobe=14, m=16, ksub=64, rerank=100,
-        prebuilt=index,
+        prebuilt=index, codebooks=codebooks,
     ).select(
         F.lit("ivfpq").alias("method"), "qid", "nid",
         (-F.col("dist")).alias("score"), "rn",
