@@ -161,10 +161,12 @@ def q_samplers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rectangle shape, src/cosmap/config/models/geometry.py:44-63, its
     validator bug fixed per SURVEY.md §4.2), and the deterministic
     table-sampling family: stratified, temperature-flattened mixture,
-    per-row weighted, token-budget selection, and k-fold assignment
-    (fold-0 summary).  All hash-seeded — deterministic under any
-    partitioning; per-sampler statistical properties are
-    property-tested (tests/test_sampler.py, tests/test_kfold.py)."""
+    per-row weighted, token-budget selection, k-fold assignment
+    (fold-0 summary), and DSIR importance resampling (hashed-ngram
+    target/raw likelihood ratio + Gumbel top-k — operators/dsir.py).
+    All hash-seeded — deterministic under any partitioning; per-sampler
+    statistical properties are property-tested (tests/test_sampler.py,
+    tests/test_kfold.py, tests/test_dsir.py)."""
     sphere = uniform_sphere_samples(spark, 10_000, seed=42, radius_deg=1.0)
     box = uniform_box_samples(
         spark, 10_000, seed=42, width_deg=2.0, height_deg=1.0,
@@ -210,6 +212,16 @@ def q_samplers(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold0 = kfold_assign(
         docs.select("doc_id"), key_cols=["doc_id"], k=5
     ).where(F.col("fold") == 0)
+    # DSIR importance resampling (operators/dsir.py, Xie et al. 2023):
+    # non-'en' documents as the target domain, the full corpus as raw —
+    # k docs drawn ∝ exp(log p_target − log p_raw) via Gumbel top-k
+    from cosmap_spark.operators.dsir import dsir_sample
+
+    dsir = dsir_sample(
+        docs.select("doc_id", "text"),
+        docs.where(F.col("lang") != "en").select("doc_id", "text"),
+        k=50, buckets=2048,
+    )
     return (
         _region_summary(sphere, "sphere")
         .unionByName(_region_summary(box, "box"))
@@ -218,6 +230,7 @@ def q_samplers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(table_summary(weighted, "weighted"))
         .unionByName(table_summary(budget, "token_budget"))
         .unionByName(table_summary(fold0, "kfold_fold0"))
+        .unionByName(table_summary(dsir, "dsir_importance"))
     )
 
 

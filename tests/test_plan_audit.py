@@ -43,6 +43,11 @@ BNLJ_ALLOWED = {
     # corpus-level constants (N_docs, total tokens) joined to every doc:
     # 1-row broadcast
     "q_tfidf",
+    # dsir branch: the raw/target model TOTALS (1-row aggregates each)
+    # crossJoin(broadcast) onto the O(buckets) llr table — the same
+    # scalar-subquery shape as q_tfidf; the corpus-sized joins in the
+    # branch are hash joins (asserted in tests/test_dsir.py)
+    "q_samplers",
 }
 
 BANNED_EVERYWHERE = (
