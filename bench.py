@@ -4,8 +4,14 @@ sf0.1) on local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
 
     {"metric": "headline_total", "value": N, "unit": "sec",
      "queries": {...}, "sf": ...,
+     "machine_calibration_sec": ...,
      "knn_ann_split": {"train": ..., "serve": ...},
      "scaling": {"factors": [...], "queries": {...}}}
+
+``machine_calibration_sec`` times a fixed engine-independent synthetic
+workload (hash + shuffle agg over 20M generated rows): rounds run on
+sandboxes differing up to ~2× in speed, so cross-round query
+comparisons should be made on time/calibration ratios.
 
 Each query is executed to completion (count() — forces full evaluation
 without driver-side materialization of rows) after a shared-session
@@ -162,6 +168,26 @@ def main() -> None:
               "q_dedup_ngram", "q_knn_ann"):
         queries[w](spark, warm_dir).count()
 
+    # Machine calibration: a fixed synthetic workload (hash + shuffle
+    # agg over 20M generated rows — none of this repo's code) whose
+    # wall-clock measures the sandbox, not the engine.  Rounds run on
+    # machines that differ up to ~2×; divide query times by this number
+    # before comparing across rounds.
+    from pyspark.sql import functions as F
+
+    def _calibrate() -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            (spark.range(20_000_000)
+             .select(F.xxhash64("id").alias("h"))
+             .groupBy(F.pmod("h", F.lit(1000)).alias("k"))
+             .agg(F.count("*"), F.avg("h")).count())
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
+    calibration = _calibrate()
+
     # Two timed runs per query, report the min: the first run at the
     # target SF still pays one-time plan costs (AQE stats, codegen for
     # this plan's shape, shuffle-file creation); the min is the
@@ -229,6 +255,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "machine_calibration_sec": calibration,
         "knn_ann_split": split,
     }
     if scaling is not None:
