@@ -53,14 +53,21 @@ from cosmap_spark.operators.report import (  # noqa: F401
     plan_summary,
     table_profile,
 )
+from cosmap_spark.operators.dsir import (  # noqa: F401
+    dsir_sample,
+    dsir_weights,
+    hashed_ngram_features,
+)
 from cosmap_spark.operators.robust import (  # noqa: F401
     robust_outliers,
     winsorize,
 )
 from cosmap_spark.operators.vocab import (  # noqa: F401
     apply_bpe_merge,
+    bpe_encode,
     bpe_pair_counts,
     token_vocab,
+    train_bpe,
 )
 from cosmap_spark.operators.sampler import (  # noqa: F401
     deterministic_sample,

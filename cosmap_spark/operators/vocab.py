@@ -132,3 +132,109 @@ def apply_bpe_merge(
         ).otherwise(F.concat(st["acc"], F.array(st["pend"]))),
     )
     return df.withColumn(text_col, F.concat_ws(" ", fold))
+
+
+def train_bpe(
+    df: DataFrame,
+    *,
+    n_merges: int = 50,
+    text_col: str = "text",
+    joiner: str = "_",
+    min_count: int = 2,
+    checkpoint_every: int = 8,
+) -> list[tuple[str, str]]:
+    """The full BPE training loop (Sennrich et al. 2016): repeatedly
+    count adjacent-pair frequencies across the corpus, merge the argmax
+    pair, until ``n_merges`` rules exist or no pair reaches
+    ``min_count``.  Returns the ORDERED merge list for
+    :func:`bpe_encode`.
+
+    Per iteration the corpus-side work is exactly one
+    ``bpe_pair_counts`` job (explode + map-side-combined groupBy) plus
+    the lazy merge rewrite; only the single argmax row reaches the
+    driver.  ``apply_bpe_merge`` stacks one ``aggregate`` fold per rule
+    onto the plan, so lineage is truncated every ``checkpoint_every``
+    merges (``localCheckpoint`` — the same discipline as
+    ``dedup.dedup_clusters``); without it 50 nested folds overwhelm the
+    analyzer long before the data does.
+
+    Cost model is the honest one from the paper: training makes
+    O(n_merges) passes over the corpus.  At 100 TB, train on a
+    deterministic sample (``sampler.exact_k_sample``) — vocabulary
+    statistics converge long before corpus scale — then ``bpe_encode``
+    the full corpus in ONE pass."""
+    merges: list[tuple[str, str]] = []
+    cur = df.select(text_col)
+    for i in range(n_merges):
+        top = bpe_pair_counts(cur, text_col=text_col, top_n=1).collect()
+        if not top or top[0]["n"] < min_count:
+            break
+        left, right = top[0]["left"], top[0]["right"]
+        merges.append((left, right))
+        cur = apply_bpe_merge(cur, left, right, text_col=text_col, joiner=joiner)
+        if (i + 1) % checkpoint_every == 0:
+            cur = cur.localCheckpoint(eager=False)
+    return merges
+
+
+def _bpe_encode_tokens(toks: list, merges: list[tuple[str, str]], joiner: str) -> list:
+    """Pure-Python single-document BPE application — one greedy
+    left-to-right pass per rule, in rule order: EXACTLY
+    ``apply_bpe_merge``'s semantics (a merged token cannot re-merge
+    within its own rule's pass, but can in a later rule's).  Shared by
+    the Arrow kernel and the differential test's reference."""
+    for left, right in merges:
+        merged = left + joiner + right
+        out: list = []
+        pend = None
+        for x in toks:
+            if pend is None:
+                pend = x
+            elif pend == left and x == right:
+                out.append(merged)
+                pend = None
+            else:
+                out.append(pend)
+                pend = x
+        if pend is not None:
+            out.append(pend)
+        toks = out
+    return toks
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+    joiner: str = "_",
+) -> DataFrame:
+    """Apply a TRAINED merge list to the whole corpus in one pass —
+    the serving half of tokenizer training, appending ``out_col``
+    (array<string>).
+
+    ``apply_bpe_merge`` is the trainer's rewrite (one corpus pass per
+    rule — O(n_merges) passes if chained); real tokenization applies
+    the full rule list per document in one scan.  That inner loop is
+    genuinely imperative (merge-until-done with rule precedence), i.e.
+    the documented Arrow exception: a pandas UDF over token arrays,
+    O(vocab) merge list shipped once in the closure, no join, no
+    shuffle.  Parity with the chained-``apply_bpe_merge`` rewrite is
+    asserted in tests/test_vocab_encode.py."""
+    m = list(merges)
+
+    @F.pandas_udf("array<string>")
+    def _enc(texts):
+        import pandas as pd
+
+        return pd.Series(
+            [
+                _bpe_encode_tokens(
+                    [t for t in (s.split(" ") if s else []) if t != ""], m, joiner
+                )
+                for s in texts
+            ]
+        )
+
+    return df.withColumn(out_col, _enc(F.col(text_col)))
