@@ -58,6 +58,11 @@ from cosmap_spark.operators.dsir import (  # noqa: F401
     dsir_weights,
     hashed_ngram_features,
 )
+from cosmap_spark.operators.lm import (  # noqa: F401
+    bigram_model,
+    doc_nll,
+    perplexity_filter,
+)
 from cosmap_spark.operators.robust import (  # noqa: F401
     robust_outliers,
     winsorize,
