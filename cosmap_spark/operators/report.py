@@ -181,3 +181,59 @@ def table_profile(df, *, rsd: float = 0.02) -> dict:
                 col["approx_distinct" if stat == "dist" else stat] = row[key]
         out["columns"][name] = col
     return out
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols: list[str],
+    *,
+    top_n: int = 10,
+    accuracy: int = 10_000,
+) -> dict:
+    """Key-distribution diagnostics for a prospective join/aggregation
+    key — the decision input for the engine's three skew remedies
+    (AQE skew-join splitting, salting via ``salted_agg``, broadcast):
+
+    ``n_rows, n_keys, max_count, p50/p90/p99_count``, the ``top``
+    heavy-hitter list, ``skew_ratio`` (max/p50 — >100 means AQE will
+    split or a salt is needed), and ``suggested_salt`` (the factor that
+    levels the heaviest key down to p99; 1 = no salting needed).
+
+    Cost: ONE groupBy over the key (the same shuffle the real
+    join/agg would pay) feeding one sketch aggregation and one
+    ``top_n`` TakeOrdered — output is O(top_n), driver-safe at any
+    scale."""
+    import math
+
+    counts = df.groupBy(*key_cols).agg(F.count("*").alias("__c"))
+    stats = counts.agg(
+        F.sum("__c").alias("n_rows"),
+        F.count("*").alias("n_keys"),
+        F.max("__c").alias("max_count"),
+        F.percentile_approx(
+            "__c", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), accuracy
+        ).alias("q"),
+    ).collect()[0]
+    heavy = (
+        counts.orderBy(F.col("__c").desc(), *key_cols)
+        .limit(top_n)
+        .collect()
+    )
+    p50, p90, p99 = (float(x) for x in stats["q"])
+    max_count = int(stats["max_count"])
+    skew_ratio = max_count / max(p50, 1.0)
+    suggested_salt = max(1, math.ceil(max_count / max(p99, 1.0)))
+    return {
+        "n_rows": int(stats["n_rows"]),
+        "n_keys": int(stats["n_keys"]),
+        "max_count": max_count,
+        "p50_count": p50,
+        "p90_count": p90,
+        "p99_count": p99,
+        "skew_ratio": round(skew_ratio, 2),
+        "suggested_salt": suggested_salt,
+        "top": [
+            {**{c: r[c] for c in key_cols}, "count": int(r["__c"])}
+            for r in heavy
+        ],
+    }

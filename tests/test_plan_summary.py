@@ -191,3 +191,27 @@ def test_incremental_dedup_plan(spark):
     s = plan_summary(out)
     _clean(s)
     assert s["broadcast_joins"] >= 1, "new-batch bands must broadcast"
+
+
+def test_skew_report_flags_planted_hot_key(spark):
+    from cosmap_spark.operators.report import skew_report
+
+    df = spark.range(10_000).select(
+        F.when(F.col("id") < 5_000, F.lit(7)).otherwise(F.col("id") % 100).alias("k")
+    )
+    rep = skew_report(df, ["k"])
+    assert rep["n_rows"] == 10_000
+    assert rep["top"][0]["k"] == 7 and rep["top"][0]["count"] >= 5_000
+    assert rep["max_count"] >= 5_000
+    assert rep["skew_ratio"] > 50
+    assert rep["suggested_salt"] > 10
+
+
+def test_skew_report_uniform_key_needs_no_salt(spark):
+    from cosmap_spark.operators.report import skew_report
+
+    df = spark.range(10_000).select((F.col("id") % 100).alias("k"))
+    rep = skew_report(df, ["k"])
+    assert rep["n_keys"] == 100
+    assert rep["suggested_salt"] == 1
+    assert rep["skew_ratio"] <= 1.5
