@@ -188,3 +188,73 @@ def test_temperature_mixture_invariants(spark, sizes, alpha):
             assert kept.get(f"s{s}", 0) == n, "smallest source kept whole"
     if alpha == 1.0:
         assert sum(kept.values()) == len(rows), "alpha=1 is the natural mixture"
+
+
+# --- BPE encode: pure-Python kernel properties ----------------------------
+
+bpe_tokens = st.lists(
+    st.sampled_from(["a", "b", "c", "d", "ab", "bc"]), max_size=12
+)
+bpe_merges = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c", "d", "a_b", "b_c"]),
+        st.sampled_from(["a", "b", "c", "d", "a_b", "b_c"]),
+    ),
+    max_size=4,
+)
+
+
+@given(bpe_tokens, bpe_merges)
+@settings(max_examples=300, deadline=None)
+def test_bpe_unmerge_roundtrip(toks, merges):
+    """Splitting every joiner in the encoded stream recovers the
+    original token stream exactly — BPE merging is lossless (merge
+    rules only ever join adjacent tokens with the joiner)."""
+    from cosmap_spark.operators.vocab import _bpe_encode_tokens
+
+    enc = _bpe_encode_tokens(list(toks), merges, "_")
+    flat = [p for t in enc for p in t.split("_")]
+    # inputs that already contain the joiner re-split; restrict check to
+    # the joiner-free alphabet subset
+    want = [p for t in toks for p in t.split("_")]
+    assert flat == want
+    # token count never increases, and is stable when no rule fires
+    assert len(enc) <= len(toks)
+
+
+@given(bpe_tokens)
+@settings(max_examples=100, deadline=None)
+def test_bpe_empty_rules_identity(toks):
+    from cosmap_spark.operators.vocab import _bpe_encode_tokens
+
+    assert _bpe_encode_tokens(list(toks), [], "_") == list(toks)
+
+
+# --- generalized unit table: dimensional consistency ----------------------
+
+
+@given(
+    st.floats(min_value=-1e12, max_value=1e12, allow_nan=False),
+    st.sampled_from(
+        ["deg", "arcmin", "arcsec", "rad", "mas",
+         "Mpc", "kpc", "pc", "km", "m",
+         "Msun", "kg", "g", "Jy", "mJy", "uJy",
+         "s", "min", "hr", "day", "yr"]
+    ),
+)
+@settings(max_examples=300, deadline=None)
+def test_unit_conversion_is_linear_and_dimension_checked(v, unit):
+    """quantity_to is exactly one multiply (linearity, sign/zero
+    preservation) and rejects every wrong-dimension request."""
+    from cosmap_spark.pipeline.config import UNIT_TABLE, quantity_to
+
+    import pytest as _pytest
+
+    dim, factor = UNIT_TABLE[unit.lower()]
+    out = quantity_to({"value": v, "units": unit}, dim)
+    assert out == v * factor
+    assert quantity_to({"value": 2 * v, "units": unit}, dim) == 2 * v * factor
+    for other in ("angle", "length", "mass", "flux", "time"):
+        if other != dim:
+            with _pytest.raises(ValueError):
+                quantity_to({"value": v, "units": unit}, other)
