@@ -67,6 +67,9 @@ from cosmap_spark.operators.robust import (  # noqa: F401
     robust_outliers,
     winsorize,
 )
+from cosmap_spark.operators.sketch import (  # noqa: F401
+    heavy_hitters_sketch,
+)
 from cosmap_spark.operators.vocab import (  # noqa: F401
     apply_bpe_merge,
     bpe_encode,
@@ -78,6 +81,7 @@ from cosmap_spark.operators.sampler import (  # noqa: F401
     deterministic_sample,
     epoch_shuffle,
     equi_depth_bin,
+    exact_k_per_group,
     exact_k_sample,
     group_kfold_assign,
     kfold_assign,

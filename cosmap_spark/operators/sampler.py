@@ -523,3 +523,32 @@ def equi_depth_bin(
         )
         .drop("__edges")
     )
+
+
+def exact_k_per_group(
+    df: DataFrame,
+    *,
+    k: int,
+    group_cols: list[str],
+    key_cols: list[str],
+    seed: int = 97,
+) -> DataFrame:
+    """Up to ``k`` rows PER GROUP, uniform within the group,
+    deterministic: rank by ``xxhash64(key, seed)`` inside each group
+    and keep rank ≤ k — the grouped twin of :func:`exact_k_sample`
+    (per-language eval slices, per-source debugging samples, capped
+    per-domain contributions).
+
+    One hash-partitioned window per group key — never a global sort;
+    group sizes bound the sort runs, so skewed groups cost their own
+    size, not the table's.  Same hash-threshold family: partition-
+    layout independent, stable across runs, seed-swappable."""
+    from pyspark.sql import Window
+
+    h = F.xxhash64(*[F.col(c) for c in key_cols], F.lit(seed))
+    w = Window.partitionBy(*group_cols).orderBy(h, *key_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -1,0 +1,97 @@
+"""Bounded-state frequency sketching — heavy hitters without shuffling
+the key universe.
+
+``q_heavy_hitters`` (exact groupBy + HAVING) is the right plan while
+the DISTINCT-key table fits the shuffle; at URL/user/n-gram cardinality
+(10⁹⁺ keys for a 100 TB corpus) the exchange itself becomes the
+bottleneck, and the classic fix is two passes with bounded state:
+
+1. **candidate generation** — one Misra-Gries summary (Misra & Gries
+   1982) of size ``k`` per PARTITION, maintained across that
+   partition's Arrow batches; the exchange then carries only
+   O(partitions · k) candidate rows instead of the key universe.
+2. **exact verification** — the tiny candidate set broadcast back
+   against the corpus for true counts (one scan, map-side join, the
+   aggregation state bounded by |candidates|).
+
+Guarantee (the standard MG merge property): any key with global count
+> N/(k+1) survives pass 1 in at least one partition, so the verified
+output is EXACT for every key above that threshold — the sketch can
+only add false candidates (cheap: they get exact counts and fall out
+of the final filter), never lose a true heavy hitter.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _mg_summarize(k: int):
+    """mapInPandas factory: one Misra-Gries summary of size ``k`` per
+    partition, emitted once at partition end."""
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        for pdf in batches:
+            for key, c in pdf["key"].value_counts().items():
+                c = int(c)
+                if key in counters:
+                    counters[key] += c
+                elif len(counters) < k:
+                    counters[key] = c
+                else:
+                    # decrement-all by the min survivable amount: the
+                    # batched generalization of MG's decrement step
+                    dec = min(c, min(counters.values()))
+                    counters = {
+                        x: n - dec for x, n in counters.items() if n > dec
+                    }
+                    if c > dec:
+                        counters[key] = c - dec
+        if counters:
+            yield pd.DataFrame(
+                {"key": list(counters), "mg_count": list(counters.values())}
+            )
+
+    return summarize
+
+
+def heavy_hitters_sketch(
+    df: DataFrame,
+    key_col: str,
+    *,
+    k: int = 64,
+    min_count: int | None = None,
+) -> DataFrame:
+    """``[key, n]`` — EXACT counts of every key whose global frequency
+    exceeds ``max(min_count, N/(k+1))``, without ever shuffling the key
+    universe: Misra-Gries candidates per partition (bounded state,
+    O(partitions·k) exchange) + broadcast exact-verify scan.
+
+    Use when ``groupBy(key)`` itself is the bottleneck (distinct keys ≫
+    shuffle budget); below that scale ``q_heavy_hitters``'s exact plan
+    is simpler and one pass.  The default threshold N/(k+1) is the MG
+    guarantee; pass ``min_count`` to cut higher."""
+    key_type = dict(df.dtypes)[key_col]
+    keyed = df.select(F.col(key_col).alias("key"))
+    cand = (
+        keyed.mapInPandas(_mg_summarize(k), f"key {key_type}, mg_count long")
+        .groupBy("key")
+        .agg(F.max("mg_count").alias("mg_count"))
+        .select("key")
+    )
+    exact = (
+        keyed.join(F.broadcast(cand), "key")
+        .groupBy("key")
+        .agg(F.count("*").alias("n"))
+    )
+    n_rows = keyed.count()
+    floor = n_rows // (k + 1) + 1
+    threshold = max(min_count or 0, floor)
+    return exact.where(F.col("n") >= threshold).select(
+        F.col("key").alias(key_col), "n"
+    )

@@ -360,3 +360,36 @@ def test_negative_pairs_uniform_never_self_excludable(spark):
         norm_banned = {(min(a, b), max(a, b)) for a, b in banned}
         assert key not in norm_banned
     assert len(cleaned) <= 2000 - 50 + 10  # duplicates in the ban list
+
+
+def test_exact_k_per_group(spark):
+    from cosmap_spark.operators.sampler import exact_k_per_group
+
+    df = spark.createDataFrame(
+        [(i, ["en", "fr", "de"][i % 3]) for i in range(300)]
+        + [(1000, "zh")],  # undersized group passes through whole
+        "doc_id long, lang string",
+    )
+    got = exact_k_per_group(df, k=10, group_cols=["lang"], key_cols=["doc_id"])
+    by_lang = {r["lang"]: 0 for r in got.collect()}
+    for r in got.collect():
+        by_lang[r["lang"]] += 1
+    assert by_lang == {"en": 10, "fr": 10, "de": 10, "zh": 1}
+    # deterministic + partition independent
+    a = sorted((r["doc_id"], r["lang"]) for r in got.collect())
+    b = sorted(
+        (r["doc_id"], r["lang"])
+        for r in exact_k_per_group(
+            df.repartition(13), k=10, group_cols=["lang"], key_cols=["doc_id"]
+        ).collect()
+    )
+    assert a == b
+    # a different seed draws a (near-)disjoint en-sample
+    c = {
+        r["doc_id"]
+        for r in exact_k_per_group(
+            df, k=10, group_cols=["lang"], key_cols=["doc_id"], seed=5
+        ).collect()
+        if r["lang"] == "en"
+    }
+    assert c != {x for x, l in a if l == "en"}

@@ -1,0 +1,77 @@
+"""Misra-Gries heavy-hitter sketch: exactness above the guarantee
+threshold vs a full groupBy, bounded candidate exchange, partition
+independence of the RESULT (candidates may differ, verified output may
+not), and plan gates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cosmap_spark.operators.sketch import heavy_hitters_sketch
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    """200k rows: key 0 ≈ 50%, keys 1-4 ≈ 5% each, the rest spread over
+    ~25k distinct tail keys."""
+    return spark.range(200_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit(0))
+        .when(F.col("id") % 40 < 8, (F.col("id") % 40) % 8 % 5 + 1)
+        .otherwise(F.col("id") % 25_000 + 100)
+        .alias("k")
+    ).cache()
+
+
+def _exact_counts(df, min_count):
+    return {
+        r["k"]: r["n"]
+        for r in df.groupBy("k").agg(F.count("*").alias("n"))
+        .where(F.col("n") >= min_count).collect()
+    }
+
+
+def test_matches_exact_groupby_above_threshold(spark, skewed):
+    n = skewed.count()
+    k = 64
+    floor = n // (k + 1) + 1
+    want = _exact_counts(skewed, floor)
+    got = {r["k"]: r["n"] for r in
+           heavy_hitters_sketch(skewed, "k", k=k).collect()}
+    assert got == want
+    assert 0 in got and got[0] == pytest.approx(n / 2, rel=0.01)
+
+
+def test_min_count_cut(spark, skewed):
+    got = {r["k"]: r["n"] for r in
+           heavy_hitters_sketch(skewed, "k", k=64, min_count=50_000).collect()}
+    assert set(got) == {0}
+
+
+def test_result_partition_independent(spark, skewed):
+    a = sorted(map(tuple, heavy_hitters_sketch(skewed, "k", k=64).collect()))
+    b = sorted(map(tuple, heavy_hitters_sketch(
+        skewed.repartition(17), "k", k=64
+    ).collect()))
+    assert a == b
+
+
+def test_string_keys(spark):
+    df = spark.range(10_000).select(
+        F.when(F.col("id") % 3 != 0, F.lit("hot"))
+        .otherwise(F.concat(F.lit("t"), F.col("id"))).alias("k")
+    )
+    got = {r["k"]: r["n"] for r in
+           heavy_hitters_sketch(df, "k", k=16).collect()}
+    assert got == {"hot": df.where(F.col("k") == "hot").count()}
+
+
+def test_candidate_exchange_is_bounded_and_plan_clean(spark, skewed):
+    from cosmap_spark.operators.report import plan_summary
+
+    out = heavy_hitters_sketch(skewed, "k", k=64)
+    s = plan_summary(out)
+    assert s["python_evals"] == 0
+    assert s["arrow_evals"] >= 1  # the MG summarizer
+    assert s["cartesian_products"] == 0 and s["nested_loop_joins"] == 0
+    assert s["broadcast_joins"] >= 1, "candidates must broadcast"
