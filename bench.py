@@ -26,7 +26,7 @@ throughput of a persisted index.
 
 ``scaling`` times the scale-sensitive queries on replicated-but-
 DECORRELATED copies of the sf0.1 documents/embeddings (per-replica
-token suffixes / vector jitter, so dedup pair structure stays
+token suffixes / cyclic vector rotation, so dedup pair structure stays
 replica-local and the workload per row matches the original — plain
 replication would instead make every document a 10-way exact dup and
 measure a different workload).  Slopes near 1.0 in the factor mean
@@ -77,10 +77,16 @@ def _build_scaled(spark, base_dir: str, out_dir: str, factor: int) -> None:
     """Materialize documents/embeddings at ``factor``× the base size,
     decorrelated per replica: every token gets a replica suffix (so no
     shingle/passage ever matches across replicas and per-replica dedup
-    structure equals the original's) and every embedding is jittered by
-    a replica-specific rotation mix (cosine to its source ≈ 0.995 — far
-    from the 0.99+ dup thresholds after the planted-twin offset ids,
-    and the distribution stays near-uniform)."""
+    structure equals the original's) and every embedding is CYCLICALLY
+    ROTATED by a replica-specific shift — on i.i.d. coordinates the
+    rotation is as good as a fresh draw (cosine to the source and to
+    every other replica ≈ 0, far below any dedup threshold; an additive
+    jitter would instead make every replica a 0.99+ near-dup of its
+    source and measure a dup-saturated workload).  Factor 1 is ALSO
+    materialized through this path (replica-0 transform only) so every
+    factor reads the same array<double> layout — comparing a float32
+    base against double-cast replicas would conflate data growth with a
+    2× element-width change."""
     import os
 
     from pyspark.sql import functions as F
@@ -93,12 +99,14 @@ def _build_scaled(spark, base_dir: str, out_dir: str, factor: int) -> None:
     doc_parts = []
     emb_parts = []
     for r in range(factor):
+        e = F.col("embedding")
         if r == 0:
             doc_parts.append(docs)
             emb_parts.append(
                 emb.select("vec_id", F.transform(
-                    "embedding", lambda x: x.cast("double")).alias("embedding"),
+                    e, lambda x: x.cast("double")).alias("embedding"),
                     *[c for c in emb.columns if c not in ("vec_id", "embedding")])
+                .select(*emb.columns)
             )
             continue
         suffixed = F.concat_ws(
@@ -115,17 +123,14 @@ def _build_scaled(spark, base_dir: str, out_dir: str, factor: int) -> None:
                 *[c for c in docs.columns if c not in ("doc_id", "text")],
             ).select(*docs.columns)
         )
-        e = F.col("embedding")
-        coef = 0.1 * r
-        jit = F.transform(
-            e,
-            lambda x, i: x.cast("double")
-            + F.lit(coef) * F.element_at(e, ((i + 7 * r) % 64) + 1).cast("double"),
+        shift = (7 * r) % 63 + 1  # 1..63, never the identity rotation
+        rotated = F.concat(
+            F.slice(e, shift + 1, 64 - shift), F.slice(e, 1, shift)
         )
         emb_parts.append(
             emb.select(
                 (F.col("vec_id") + r * 10_000_000).alias("vec_id"),
-                jit.alias("embedding"),
+                F.transform(rotated, lambda x: x.cast("double")).alias("embedding"),
                 *[c for c in emb.columns if c not in ("vec_id", "embedding")],
             ).select(*emb.columns)
         )
@@ -231,11 +236,11 @@ def main() -> None:
         scaling = {"base_sf": sf, "factors": SCALING_FACTORS, "queries": {}}
         per_q: dict[str, dict[str, float]] = {q: {} for q in SCALING_SET}
         for factor in SCALING_FACTORS:
-            if factor == 1:
-                fdir = sf_dir
-            else:
-                fdir = os.path.join(scale_root, f"{sf}x{factor}")
-                _build_scaled(spark, sf_dir, fdir, factor)
+            # factor 1 is materialized through the same builder so all
+            # factors read identical array<double> layout (see
+            # _build_scaled docstring)
+            fdir = os.path.join(scale_root, f"{sf}x{factor}")
+            _build_scaled(spark, sf_dir, fdir, factor)
             for q in SCALING_SET:
                 best = float("inf")
                 # min-of-2, like the headline: single-JVM GC pauses at

@@ -148,8 +148,9 @@ def dsir_sample(
         buckets=buckets, seed=seed, smoothing=smoothing,
     )
     u = _hash_uniform(F.col("id"), gumbel_seed, 0)
-    # clamp away u=0 (−log(−log 0) = −inf) — the half-bucket offset of
-    # _hash_uniform already excludes exact 0/1, this is belt-and-braces
+    # LOAD-BEARING clamp: _hash_uniform is pmod(h, B)/B and yields
+    # exactly 0.0 for ~1/B of ids, where −log(−log 0) = NaN — those ids
+    # would be deterministically mis-ranked in every draw
     g = -F.log(-F.log(F.greatest(u, F.lit(1e-18))))
     key = (F.col("log_w") / F.lit(float(temperature))) + g
     return (

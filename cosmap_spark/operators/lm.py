@@ -98,9 +98,9 @@ def doc_nll(
     uni, bi, totals = model
     toks = _doc_tokens(docs, text_col, id_col)
     stream = toks.select(
-        "id", F.posexplode(_adjacent_pairs(F.col("t"))).alias("pos", "p")
+        "id", F.explode(_adjacent_pairs(F.col("t"))).alias("p")
     ).select(
-        "id", "pos",
+        "id",
         F.split_part(F.col("p"), F.lit(" "), F.lit(1)).alias("w1"),
         F.split_part(F.col("p"), F.lit(" "), F.lit(2)).alias("w2"),
     )

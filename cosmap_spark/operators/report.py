@@ -214,6 +214,12 @@ def skew_report(
             "__c", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), accuracy
         ).alias("q"),
     ).collect()[0]
+    if stats["n_rows"] is None:  # empty input: report zeros, don't crash
+        return {
+            "n_rows": 0, "n_keys": 0, "max_count": 0,
+            "p50_count": 0.0, "p90_count": 0.0, "p99_count": 0.0,
+            "skew_ratio": 0.0, "suggested_salt": 1, "top": [],
+        }
     heavy = (
         counts.orderBy(F.col("__c").desc(), *key_cols)
         .limit(top_n)

@@ -545,6 +545,12 @@ def exact_k_per_group(
     layout independent, stable across runs, seed-swappable."""
     from pyspark.sql import Window
 
+    if "__rn" in df.columns:
+        raise ValueError(
+            "exact_k_per_group reserves the internal column name '__rn'; "
+            "rename the input column"
+        )
+
     h = F.xxhash64(*[F.col(c) for c in key_cols], F.lit(seed))
     w = Window.partitionBy(*group_cols).orderBy(h, *key_cols)
     return (

@@ -32,11 +32,15 @@ from pyspark.sql import functions as F
 
 def _mg_summarize(k: int):
     """mapInPandas factory: one Misra-Gries summary of size ``k`` per
-    partition, emitted once at partition end."""
+    partition, emitted once at partition end, carrying the partition's
+    total row count on its first row (``part_rows``; 0 on the rest) so
+    the caller's guarantee threshold costs no extra corpus scan."""
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict = {}
+        n_rows = 0
         for pdf in batches:
+            n_rows += len(pdf)
             for key, c in pdf["key"].value_counts().items():
                 c = int(c)
                 if key in counters:
@@ -54,7 +58,11 @@ def _mg_summarize(k: int):
                         counters[key] = c - dec
         if counters:
             yield pd.DataFrame(
-                {"key": list(counters), "mg_count": list(counters.values())}
+                {
+                    "key": list(counters),
+                    "mg_count": list(counters.values()),
+                    "part_rows": [n_rows] + [0] * (len(counters) - 1),
+                }
             )
 
     return summarize
@@ -75,23 +83,37 @@ def heavy_hitters_sketch(
     Use when ``groupBy(key)`` itself is the bottleneck (distinct keys ≫
     shuffle budget); below that scale ``q_heavy_hitters``'s exact plan
     is simpler and one pass.  The default threshold N/(k+1) is the MG
-    guarantee; pass ``min_count`` to cut higher."""
+    guarantee; pass ``min_count`` to cut higher.
+
+    NULL keys are EXCLUDED (count them with one ``isNull`` filter if
+    they matter): pandas ``value_counts`` drops them silently inside
+    the sketch, the verify equi-join would never match them, and — the
+    sharper hazard — Arrow→pandas widens an int64 key column CONTAINING
+    nulls to float64, which collapses distinct keys above 2⁵³.  N in
+    the guarantee threshold is the non-null row count, consistently on
+    both passes.
+
+    Exactly two corpus scans: the MG summary pass (whose tiny
+    O(partitions·k) output is localCheckpointed and reused for both the
+    candidate set and the row total) and the verify scan."""
     key_type = dict(df.dtypes)[key_col]
-    keyed = df.select(F.col(key_col).alias("key"))
-    cand = (
-        keyed.mapInPandas(_mg_summarize(k), f"key {key_type}, mg_count long")
-        .groupBy("key")
-        .agg(F.max("mg_count").alias("mg_count"))
-        .select("key")
+    keyed = df.select(F.col(key_col).alias("key")).where(
+        F.col("key").isNotNull()
     )
+    summaries = keyed.mapInPandas(
+        _mg_summarize(k), f"key {key_type}, mg_count long, part_rows long"
+    ).localCheckpoint(eager=False)
+    cand = summaries.select("key").distinct()
+    totals = summaries.agg(F.sum("part_rows").alias("n_rows"))
     exact = (
         keyed.join(F.broadcast(cand), "key")
         .groupBy("key")
         .agg(F.count("*").alias("n"))
     )
-    n_rows = keyed.count()
-    floor = n_rows // (k + 1) + 1
-    threshold = max(min_count or 0, floor)
-    return exact.where(F.col("n") >= threshold).select(
-        F.col("key").alias(key_col), "n"
+    floor = F.floor(F.col("n_rows") / (k + 1)) + F.lit(1)
+    threshold = F.greatest(F.lit(min_count or 0).cast("long"), floor)
+    return (
+        exact.crossJoin(F.broadcast(totals))
+        .where(F.col("n") >= threshold)
+        .select(F.col("key").alias(key_col), "n")
     )

@@ -215,3 +215,10 @@ def test_skew_report_uniform_key_needs_no_salt(spark):
     assert rep["n_keys"] == 100
     assert rep["suggested_salt"] == 1
     assert rep["skew_ratio"] <= 1.5
+
+
+def test_skew_report_empty_input(spark):
+    from cosmap_spark.operators.report import skew_report
+
+    rep = skew_report(spark.range(0).select(F.col("id").alias("k")), ["k"])
+    assert rep["n_rows"] == 0 and rep["top"] == [] and rep["suggested_salt"] == 1

@@ -393,3 +393,12 @@ def test_exact_k_per_group(spark):
         if r["lang"] == "en"
     }
     assert c != {x for x, l in a if l == "en"}
+
+
+def test_exact_k_per_group_rejects_reserved_name(spark):
+    import pytest
+    from cosmap_spark.operators.sampler import exact_k_per_group
+
+    df = spark.createDataFrame([(1, "a", 0)], "doc_id long, lang string, __rn long")
+    with pytest.raises(ValueError, match="__rn"):
+        exact_k_per_group(df, k=1, group_cols=["lang"], key_cols=["doc_id"])
