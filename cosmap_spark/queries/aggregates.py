@@ -276,12 +276,21 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     * KLL-style ``approx_percentile`` per lineitem return flag (scalar
       columns, projected out of the quantile array);
-    * HyperLogLog++ ``approx_count_distinct`` per order status.
+    * HyperLogLog++ ``approx_count_distinct`` per order status;
+    * Misra-Gries heavy hitters over l_suppkey
+      (operators/sketch.py::heavy_hitters_sketch): bounded per-
+      partition summaries + broadcast exact-verify — the counts are
+      EXACT for every key above the N/(k+1) guarantee, so this branch
+      is deterministic; it lives here because the sketch FAMILY is the
+      query's subject.
 
-    Both are mergeable sketches: partial states combine associatively,
-    so the map-side combine IS the algorithm.  Checked rows-only
-    (estimates are engine-specific); unit tests bound the relative
-    error vs the exact values."""
+    All are mergeable-summary algorithms: partial states combine
+    associatively, so the map-side combine IS the algorithm.  Checked
+    rows-only (the first two estimates are engine-specific); unit
+    tests bound the relative error vs the exact values
+    (tests/test_sketch.py pins MG equal to exact above threshold)."""
+    from cosmap_spark.operators.sketch import heavy_hitters_sketch
+
     li = load_table(spark, sf_dir, "lineitem")
     pct = li.groupBy("l_returnflag").agg(
         F.expr("approx_percentile(l_quantity, array(0.5, 0.9), 1000)").alias("__q")
@@ -300,4 +309,12 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_cust_approx").cast("double").alias("p50_or_ndv"),
         F.lit(None).cast("double").alias("p90"),
     )
-    return pct.unionByName(ndv)
+    mg = heavy_hitters_sketch(
+        li.select(F.col("l_returnflag").alias("hh_key")), "hh_key", k=8
+    ).select(
+        F.lit("mg_heavy_hitters").alias("sketch"),
+        F.col("hh_key").alias("grp"),
+        F.col("n").cast("double").alias("p50_or_ndv"),
+        F.lit(None).cast("double").alias("p90"),
+    )
+    return pct.unionByName(ndv).unionByName(mg)

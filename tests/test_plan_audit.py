@@ -48,6 +48,10 @@ BNLJ_ALLOWED = {
     # scalar-subquery shape as q_tfidf; the corpus-sized joins in the
     # branch are hash joins (asserted in tests/test_dsir.py)
     "q_samplers",
+    # mg_heavy_hitters branch: the 1-row summary-totals crossJoin
+    # (guarantee threshold as a scalar) — scalar-subquery shape; the
+    # verify join is a broadcast hash join (tests/test_sketch.py)
+    "q_approx_sketches",
 }
 
 BANNED_EVERYWHERE = (
