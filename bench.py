@@ -209,21 +209,35 @@ def main() -> None:
         timings[name] = dt
         total += dt
 
-    # --- q_knn_ann train/serve split (prebuilt-index reuse) ---------------
-    from cosmap_spark.operators.knn import ivf_build
-    from cosmap_spark.operators.pq import pq_train
+    # --- q_knn_ann train/serve split (persisted-index reuse) --------------
+    # train = every corpus-sized derivation a real deployment persists:
+    # IVF centroids + assignment, PQ codebooks + coded corpus, LSH
+    # corpus buckets (materialized via localCheckpoint, standing in for
+    # the stored index tables). serve = query-side probing + candidate
+    # scoring + re-rank only.
+    from cosmap_spark.operators.knn import ivf_build, lsh_build
+    from cosmap_spark.operators.pq import pq_encode, pq_train
     from cosmap_spark.queries.llm_ops import knn_ann_union
     from cosmap_spark.tables import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
     t0 = time.perf_counter()
-    index = ivf_build(emb, nlist=16, iters=1)
+    cents, assigned = ivf_build(emb, nlist=16, iters=1)
+    assigned = assigned.localCheckpoint(eager=True)
+    index = (cents, assigned)
     books = pq_train(emb, m=16, ksub=64, iters=1, dim=64)
+    coded = pq_encode(
+        assigned, books, id_col="nid", vec_col="nvec", keep=["cid"]
+    ).localCheckpoint(eager=True)
+    lsh_idx = lsh_build(emb, dim=64).localCheckpoint(eager=True)
     train_t = time.perf_counter() - t0
     serve_t = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
-        knn_ann_union(spark, sf_dir, index=index, codebooks=books).count()
+        knn_ann_union(
+            spark, sf_dir, index=index, codebooks=books,
+            lsh_index=lsh_idx, coded=coded,
+        ).count()
         serve_t = min(serve_t, time.perf_counter() - t0)
     split = {"train": round(train_t, 3), "serve": round(serve_t, 3)}
 

@@ -133,6 +133,26 @@ def _bucketize(
     )
 
 
+def lsh_build(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    tables: int = 4,
+    planes: int = 8,
+    seed: int = 13,
+) -> DataFrame:
+    """The corpus-side LSH index — ``(nid, nvec, tbl, bucket)`` — for
+    :func:`knn_lsh`'s ``prebuilt_buckets``: build once, persist, serve
+    many (the plane normals are seed-derived constants, so any session
+    can rebuild the query side consistently)."""
+    return _bucketize(
+        corpus, "n", id_col=id_col, vec_col=vec_col,
+        tables=tables, planes=planes, seed=seed, dim=dim,
+    )
+
+
 def knn_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -145,6 +165,7 @@ def knn_lsh(
     planes: int = 8,
     seed: int = 13,
     quantize: bool = False,
+    prebuilt_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH candidates, exact re-rank.
 
@@ -157,10 +178,18 @@ def knn_lsh(
     big side's shuffle bytes (the query side broadcasts and stays full
     precision).  Re-rank similarity then has O(1/254)-per-dim
     quantization error; recall vs brute force is unit-tested for both
-    modes."""
+    modes.
+
+    ``prebuilt_buckets`` accepts a :func:`lsh_build` result so the
+    corpus-side bucketing — the persisted LSH index; at scale a table
+    written ``partitionBy("tbl", pmod(bucket, P))`` — is computed once
+    and served many times; only the (tiny) query side re-bucketizes per
+    call.  Must have been built with the same tables/planes/seed/dim."""
     kw = dict(id_col=id_col, vec_col=vec_col, tables=tables, planes=planes,
               seed=seed, dim=dim)
-    cb = _bucketize(corpus, "n", **kw)
+    cb = prebuilt_buckets if prebuilt_buckets is not None else _bucketize(
+        corpus, "n", **kw
+    )
     if quantize:
         cb = cb.withColumn("nvec", quantize_int8(F.col("nvec")))
     qb = _bucketize(queries, "q", **kw)

@@ -332,6 +332,7 @@ def knn_ivfpq(
     seed: int = 41,
     prebuilt: tuple[list, DataFrame] | None = None,
     codebooks: Codebooks | None = None,
+    coded: DataFrame | None = None,
 ) -> DataFrame:
     """IVF coarse quantizer + PQ codes + ADC re-rank — the standard
     billion-scale ANN layout as a composition of this engine's parts:
@@ -348,11 +349,12 @@ def knn_ivfpq(
 
     Work per query ≈ (nprobe/nlist) · corpus · m table adds, memory per
     corpus vector ≈ m codes — both knobs independent of dim.
-    ``prebuilt`` takes an ``ivf_build`` result and ``codebooks`` a
-    ``pq_train`` result so BOTH training jobs are paid once and shared
-    across searches (the persisted-index pattern — at scale codes and
-    centroids live in tables, and a per-query retrain would be absurd;
-    see ``knn.knn_ivf``)."""
+    ``prebuilt`` takes an ``ivf_build`` result, ``codebooks`` a
+    ``pq_train`` result, and ``coded`` a prior ``pq_encode(assigned,
+    codebooks, keep=["cid"])`` so training AND corpus encoding are paid
+    once and shared across searches — the full persisted-index pattern:
+    at scale ``coded`` is the stored, cid-partitioned codes table, and
+    serving touches nothing corpus-sized but its pruned scan."""
     from cosmap_spark.operators.knn import _scored_centroids, ivf_build
 
     cents, assigned = prebuilt if prebuilt is not None else ivf_build(
@@ -360,13 +362,16 @@ def knn_ivfpq(
         id_col=id_col, vec_col=vec_col, seed=seed,
     )
     if codebooks is None:
+        if coded is not None:
+            raise ValueError("`coded` requires the matching `codebooks`")
         codebooks = pq_train(
             corpus, m=m, ksub=ksub, iters=train_iters,
             id_col=id_col, vec_col=vec_col, dim=dim, seed=seed,
         )
-    coded = pq_encode(
-        assigned, codebooks, id_col="nid", vec_col="nvec", keep=["cid"]
-    )
+    if coded is None:
+        coded = pq_encode(
+            assigned, codebooks, id_col="nid", vec_col="nvec", keep=["cid"]
+        )
     q0 = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
     probes = F.slice(
         F.reverse(F.array_sort(_scored_centroids(F.col("qvec"), cents))), 1, nprobe

@@ -328,18 +328,25 @@ def knn_ann_union(
     *,
     index=None,
     codebooks=None,
+    lsh_index=None,
+    coded=None,
 ) -> DataFrame:
-    """The q_knn_ann plan, with the trained artifacts injectable:
-    ``index`` an ``ivf_build`` result, ``codebooks`` a ``pq_train``
-    result.  The ledger entry trains both in-query (self-contained for
-    the gate); bench.py pre-trains them once and times this function
-    alone, so the reported serve number is the search cost a persisted
-    index delivers, separate from the train cost paid once."""
+    """The q_knn_ann plan, with the trained/derived artifacts
+    injectable: ``index`` an ``ivf_build`` result, ``codebooks`` a
+    ``pq_train`` result, ``lsh_index`` an ``lsh_build`` result,
+    ``coded`` a ``pq_encode`` result.  The ledger entry builds all four
+    in-query (self-contained for the gate); bench.py pre-builds them
+    once and times this function alone, so the reported serve number is
+    the search cost a fully persisted index delivers — query-side
+    bucketing/probing + candidate scoring + re-rank, nothing
+    corpus-sized recomputed."""
     from cosmap_spark.operators.knn import ivf_build
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
-    lsh = knn_lsh(emb, queries, k=5, dim=64).select(
+    lsh = knn_lsh(
+        emb, queries, k=5, dim=64, prebuilt_buckets=lsh_index
+    ).select(
         F.lit("lsh").alias("method"), "qid", "nid",
         F.col("sim").alias("score"), "rn",
     )
@@ -360,7 +367,7 @@ def knn_ann_union(
     # where nprobe/nlist of a few percent reaches the same recall.
     ivfpq = knn_ivfpq(
         emb, queries, k=5, nlist=16, nprobe=14, m=16, ksub=64, rerank=100,
-        prebuilt=index, codebooks=codebooks,
+        prebuilt=index, codebooks=codebooks, coded=coded,
     ).select(
         F.lit("ivfpq").alias("method"), "qid", "nid",
         (-F.col("dist")).alias("score"), "rn",

@@ -194,3 +194,45 @@ def test_adc_topk_deterministic_with_duplicate_vectors(spark, emb, books):
         ).collect()
     )
     assert a == b
+
+
+def test_persisted_artifacts_equal_self_built(spark, emb):
+    """The full persisted-index serve path (prebuilt IVF assignment +
+    codebooks + coded corpus + LSH buckets) must return EXACTLY what
+    the self-building path returns — persistence is a cost split, never
+    a semantics change."""
+    from cosmap_spark.operators.knn import ivf_build, lsh_build, knn_lsh
+    from cosmap_spark.operators.pq import pq_encode
+
+    queries = emb.where(F.col("vec_id") < 6)
+    cents, assigned = ivf_build(emb, nlist=8, iters=1)
+    assigned = assigned.localCheckpoint(eager=True)
+    books = pq_train(emb, m=8, ksub=16, iters=1)
+    coded = pq_encode(
+        assigned, books, id_col="nid", vec_col="nvec", keep=["cid"]
+    ).localCheckpoint(eager=True)
+
+    a = sorted(map(tuple, knn_ivfpq(
+        emb, queries, k=5, nlist=8, nprobe=6, m=8, ksub=16, rerank=20,
+        prebuilt=(cents, assigned), codebooks=books, coded=coded,
+    ).collect()))
+    b = sorted(map(tuple, knn_ivfpq(
+        emb, queries, k=5, nlist=8, nprobe=6, m=8, ksub=16, rerank=20,
+        prebuilt=(cents, assigned), codebooks=books,
+    ).collect()))
+    assert a == b
+
+    lsh_idx = lsh_build(emb).localCheckpoint(eager=True)
+    la = sorted(map(tuple, knn_lsh(
+        emb, queries, k=5, prebuilt_buckets=lsh_idx
+    ).collect()))
+    lb = sorted(map(tuple, knn_lsh(emb, queries, k=5).collect()))
+    assert la == lb
+
+
+def test_coded_without_codebooks_rejected(spark, emb, books):
+    from cosmap_spark.operators.pq import pq_encode
+
+    coded = pq_encode(emb, books)
+    with pytest.raises(ValueError, match="codebooks"):
+        knn_ivfpq(emb, emb.limit(2), k=2, coded=coded)
