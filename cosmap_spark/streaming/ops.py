@@ -341,3 +341,37 @@ def stateful_user_counter_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def dedup_stream(stream_docs: DataFrame, store_path: str, out_path: str,
+                 checkpoint: str, *, text_col: str = "text",
+                 id_col: str = "doc_id", threshold: float = 0.5):
+    """Streaming incremental near-dup detection — the landing-zone
+    dedup gate: each arriving micro-batch bands its MinHash signatures
+    against the PERSISTENT signature store
+    (operators/dedup.py::incremental_minhash_dedup — history is read as
+    signatures only, never re-shingled), writes the flagged pairs
+    epoch-keyed, and upserts the batch's signatures into the store.
+
+    Exactly-once story under foreachBatch's at-least-once contract:
+    a replayed epoch re-bands against a store that already holds its
+    signatures, but re-submitted ids are superseded inside
+    ``incremental_minhash_dedup`` (the retry discipline), so the same
+    pair set is produced and the ``epoch=<id>`` overwrite replaces the
+    previous attempt — pair table contents are exactly-once, and the
+    keyed signature upsert is idempotent."""
+    from cosmap_spark.operators.dedup import incremental_minhash_dedup
+
+    def run(batch_df: DataFrame, epoch_id: int) -> None:
+        pairs = incremental_minhash_dedup(
+            batch_df.sparkSession, batch_df, store_path,
+            text_col=text_col, id_col=id_col, threshold=threshold,
+        )
+        pairs.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch_id}")
+
+    return (
+        stream_docs.writeStream.foreachBatch(run)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -431,3 +431,58 @@ def test_events_stream_starts_on_empty_landing_dir(spark, tmp_path):
     sdf = events_stream(spark, str(d))
     assert sdf.isStreaming
     assert dict(sdf.dtypes)["ts"] == "timestamp"
+
+
+def test_dedup_stream_matches_batch_incremental(spark, tmp_path):
+    """Streaming landing-zone dedup: two arriving document files
+    processed through dedup_stream must flag exactly the pairs the
+    batch incremental_minhash_dedup finds on the same two batches
+    against a fresh store."""
+    from cosmap_spark.operators.dedup import incremental_minhash_dedup
+    from cosmap_spark.streaming.ops import dedup_stream
+
+    def docs(ids, texts):
+        return spark.createDataFrame(
+            list(zip(ids, texts)), "doc_id long, text string"
+        )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    b1 = docs([1, 2], [base, "totally different words here now one two"])
+    b2 = docs([3, 4], [base + " iota", "unrelated content again four five six"])
+
+    # batch reference on a fresh store
+    ref_store = str(tmp_path / "ref_store")
+    ref = set()
+    for b in (b1, b2):
+        for r in incremental_minhash_dedup(spark, b, ref_store).collect():
+            ref.add((r["id_a"], r["id_b"]))
+    assert (1, 3) in ref  # the planted near-dup across batches
+
+    # streaming: the same two batches as arriving files, one per trigger
+    land = tmp_path / "land"
+    land.mkdir()
+    store = str(tmp_path / "stream_store")
+    out = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+
+    b1.coalesce(1).write.mode("overwrite").parquet(str(land / "f1"))
+    q = dedup_stream(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(str(land / "*")),
+        store, out, ckpt,
+    )
+    q.awaitTermination(120)
+    b2.coalesce(1).write.mode("overwrite").parquet(str(land / "f2"))
+    q = dedup_stream(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(str(land / "*")),
+        store, out, ckpt,
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(out).select("id_a", "id_b").collect()
+    }
+    assert got == ref
