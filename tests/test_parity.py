@@ -56,6 +56,20 @@ def test_query_parity(name, spark, duck):
     s_rows, s_cols = _rows(spark_pd)
     d_rows, d_cols = _rows(duck_pd)
     assert s_cols == d_cols, f"{name}: column mismatch {s_cols} vs {d_cols}"
+    # STRICT dtype parity after the pandas round-trip: the driver's
+    # value hash distinguishes float64 4.0 from int64 4 even when _canon
+    # below would equate them (this is how round 2's q_passage_dedup
+    # HUGEINT bug passed locally while failing the gate).  Numeric
+    # kind must match exactly; object/bool/datetime compare by kind.
+    for c in s_cols:
+        sk, dk = spark_pd[c].dtype.kind, duck_pd[c].dtype.kind
+        # an all-null column arrives as object on one side sometimes
+        if spark_pd[c].isna().all() and duck_pd[c].isna().all():
+            continue
+        assert sk == dk, (
+            f"{name}.{c}: pandas dtype kind {sk!r} (spark) vs {dk!r} "
+            "(oracle) — the driver hash will mismatch; cast in the SQL"
+        )
     assert len(s_rows) == len(d_rows), (
         f"{name}: row count {len(s_rows)} vs oracle {len(d_rows)}"
     )
