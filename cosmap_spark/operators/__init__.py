@@ -21,6 +21,7 @@ from cosmap_spark.operators.dedup import (  # noqa: F401
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     passage_dedup,
+    substring_dedup,
     simhash_pairs,
 )
 from cosmap_spark.operators.multimodal import (  # noqa: F401
