@@ -560,7 +560,9 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PASSAGE_DEDUP_ORACLE = """
+_SUBSTR_L = 8
+
+_PASSAGE_DEDUP_ORACLE = f"""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
     ch AS (
       SELECT doc_id,
@@ -576,38 +578,117 @@ _PASSAGE_DEDUP_ORACLE = """
       SELECT doc_id, idx, chunk,
              row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
       FROM ch
+    ),
+    passage AS (
+      SELECT doc_id,
+             count(*) AS n_units,
+             CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_affected,
+             coalesce(array_to_string(
+               list(chunk ORDER BY idx) FILTER (WHERE rn = 1), ' '), '') AS text_clean
+      FROM r GROUP BY doc_id
+    ),
+    -- ExactSubstr branch: stride-1 windows over EMPTY-FILTERED tokens
+    st AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, unnest(range(len(toks) - {_SUBSTR_L} + 1)) AS pos
+      FROM st WHERE len(toks) >= {_SUBSTR_L}
+    ),
+    win AS (
+      SELECT w.doc_id, w.pos,
+             array_to_string(
+               list_slice(st.toks, w.pos + 1, w.pos + {_SUBSTR_L}), ' ') AS seq
+      FROM w JOIN st ON w.doc_id = st.doc_id
+    ),
+    rr AS (
+      SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY seq ORDER BY doc_id, pos) AS rn
+      FROM win
+    ),
+    losers AS (SELECT doc_id, pos AS s, pos + {_SUBSTR_L} AS e FROM rr WHERE rn > 1),
+    flag AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > coalesce(max(e) OVER (
+                  PARTITION BY doc_id ORDER BY s, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new_run
+      FROM losers
+    ),
+    runs AS (
+      SELECT doc_id, s, e,
+             sum(new_run) OVER (PARTITION BY doc_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      FROM flag
+    ),
+    merged AS (SELECT doc_id, min(s) AS s, max(e) AS e FROM runs GROUP BY doc_id, run),
+    spans AS (SELECT doc_id, list({{'s': s, 'e': e}}) AS sp FROM merged GROUP BY doc_id),
+    substr_kept AS (
+      SELECT st.doc_id,
+             CAST(len(st.toks) AS BIGINT) AS n_units,
+             list_filter(st.toks, (x, i) ->
+               len(list_filter(coalesce(spans.sp, []),
+                               rr2 -> i > rr2.s AND i <= rr2.e)) = 0) AS kt
+      FROM st LEFT JOIN spans ON st.doc_id = spans.doc_id
+    ),
+    substr AS (
+      SELECT doc_id, n_units,
+             CAST(n_units - len(kt) AS BIGINT) AS n_affected,
+             coalesce(array_to_string(kt, ' '), '') AS text_clean
+      FROM substr_kept
     )
-    SELECT doc_id,
-           count(*) AS n_chunks,
-           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-           coalesce(array_to_string(
-             list(chunk ORDER BY idx) FILTER (WHERE rn = 1), ' '), '') AS text_clean
-    FROM r GROUP BY doc_id
+    SELECT 'passage' AS mode, * FROM passage
+    UNION ALL
+    SELECT 'substring' AS mode, * FROM substr
 """
 
 
 @query("q_passage_dedup", oracle=_PASSAGE_DEDUP_ORACLE)
 def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-level duplicate-passage removal (operators/dedup.py:
-    passage_dedup) — the C4 "repeated three-sentence span" rule (Raffel
-    et al. 2020 §2.2) adapted to token streams: non-overlapping 8-token
-    passages, globally-first occurrence wins (ordered by (doc_id,
-    position)), documents reassembled from their surviving passages.
+    """Sub-document dedup, both published recipes as one tagged union —
+    the duplication mode document-level exact/minhash dedup cannot see
+    (boilerplate/quoted passages INSIDE otherwise-unique documents):
 
-    This is sub-document dedup — it strips boilerplate/quoted passages
-    INSIDE otherwise-unique documents, the duplication mode document-
-    level exact/minhash dedup cannot see.
+    * ``passage`` — C4's "repeated three-sentence span" rule (Raffel et
+      al. 2020 §2.2) over non-overlapping 8-token chunks
+      (operators/dedup.py::passage_dedup): ``n_units`` = chunks,
+      ``n_affected`` = chunks KEPT;
+    * ``substring`` — ExactSubstr (Lee et al. 2021 §4.1) over STRIDE-1
+      8-token windows (operators/dedup.py::substring_dedup): duplicated
+      spans caught at every alignment, overlapping loser windows merged
+      to maximal spans before cutting; ``n_units`` = tokens,
+      ``n_affected`` = tokens REMOVED.
 
-    Scale shape: winner election is groupBy(passage-md5).agg(min(struct))
-    — map-side partial combine collapses a billion-fold hot passage
-    before the exchange (a window over the passage would pin the hot key
-    to one unsplittable task); the join back is AQE-skew-splittable; the
-    final groupBy is per-document.  Shuffles carry 32-byte hashes, not
+    Both branches: globally-first occurrence wins (lexicographic
+    (doc_id, position)); exact DuckDB oracle recomputes each from raw
+    token streams (group on raw window strings — the engine's md5 is an
+    internal shuffle optimization, not part of the semantics).
+
+    Scale shape: winner election in both is a map-side-combined
+    ``groupBy(window-hash).agg(min(struct))`` — a billion-fold hot
+    passage collapses before the exchange; join-backs are
+    AQE-skew-splittable; span-merge is the gaps-and-islands window per
+    doc; final groupBys are per-document.  Shuffles carry hashes, not
     text."""
-    from cosmap_spark.operators.dedup import passage_dedup
+    from cosmap_spark.operators.dedup import passage_dedup, substring_dedup
 
     d = load_table(spark, sf_dir, "documents")
-    return passage_dedup(d, k=8)
+    p = passage_dedup(d, k=8).select(
+        F.lit("passage").alias("mode"),
+        "doc_id",
+        F.col("n_chunks").alias("n_units"),
+        F.col("n_kept").alias("n_affected"),
+        "text_clean",
+    )
+    s = substring_dedup(d, length=_SUBSTR_L).select(
+        F.lit("substring").alias("mode"),
+        "doc_id",
+        F.col("n_tokens").alias("n_units"),
+        F.col("n_removed").alias("n_affected"),
+        "text_clean",
+    )
+    return p.unionByName(s)
 
 
 _TFIDF_ORACLE = """
