@@ -91,7 +91,10 @@ def _build_scaled(spark, base_dir: str, out_dir: str, factor: int) -> None:
 
     from pyspark.sql import functions as F
 
-    done = os.path.join(out_dir, "_done")
+    # version the cache marker: a marker from an older builder (e.g. the
+    # round-3 additive-jitter data) must NOT satisfy this build, or the
+    # scaling section would silently compare incompatible datasets
+    done = os.path.join(out_dir, "_done_rot_v2")
     if os.path.exists(done):
         return
     docs = spark.read.parquet(os.path.join(base_dir, "documents.parquet"))

@@ -149,8 +149,9 @@ def dsir_sample(
     )
     u = _hash_uniform(F.col("id"), gumbel_seed, 0)
     # LOAD-BEARING clamp: _hash_uniform is pmod(h, B)/B and yields
-    # exactly 0.0 for ~1/B of ids, where −log(−log 0) = NaN — those ids
-    # would be deterministically mis-ranked in every draw
+    # exactly 0.0 for ~1/B of ids; Spark's ln(0) returns NULL, so an
+    # unclamped id would get a NULL gumbel_key, sort deterministically
+    # LAST under the desc ordering, and be excluded from every draw
     g = -F.log(-F.log(F.greatest(u, F.lit(1e-18))))
     key = (F.col("log_w") / F.lit(float(temperature))) + g
     return (

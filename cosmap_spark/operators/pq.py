@@ -361,6 +361,11 @@ def knn_ivfpq(
         corpus, nlist=nlist, iters=train_iters,
         id_col=id_col, vec_col=vec_col, seed=seed,
     )
+    if coded is not None and prebuilt is None:
+        # a coded table is clustered by SOME IVF assignment; probing it
+        # with a freshly-built (different) quantizer silently matches
+        # the wrong inverted lists — require the matching index
+        raise ValueError("`coded` requires the matching `prebuilt` index")
     if codebooks is None:
         if coded is not None:
             raise ValueError("`coded` requires the matching `codebooks`")

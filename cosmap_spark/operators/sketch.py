@@ -39,7 +39,9 @@ def _mg_summarize(k: int):
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict = {}
         n_rows = 0
+        saw_batch = False
         for pdf in batches:
+            saw_batch = True
             n_rows += len(pdf)
             for key, c in pdf["key"].value_counts().items():
                 c = int(c)
@@ -61,8 +63,17 @@ def _mg_summarize(k: int):
                 {
                     "key": list(counters),
                     "mg_count": list(counters.values()),
-                    "part_rows": [n_rows] + [0] * (len(counters) - 1),
+                    "part_rows": [0] * len(counters),
                 }
+            )
+        if saw_batch:
+            # the row total rides on a null-key SENTINEL row, emitted
+            # even when the counters cancelled to empty — otherwise
+            # that partition's rows vanish from N, the guarantee
+            # threshold understates, and the output becomes
+            # partition-layout dependent
+            yield pd.DataFrame(
+                {"key": [None], "mg_count": [0], "part_rows": [n_rows]}
             )
 
     return summarize
@@ -103,7 +114,7 @@ def heavy_hitters_sketch(
     summaries = keyed.mapInPandas(
         _mg_summarize(k), f"key {key_type}, mg_count long, part_rows long"
     ).localCheckpoint(eager=False)
-    cand = summaries.select("key").distinct()
+    cand = summaries.where(F.col("key").isNotNull()).select("key").distinct()
     totals = summaries.agg(F.sum("part_rows").alias("n_rows"))
     exact = (
         keyed.join(F.broadcast(cand), "key")

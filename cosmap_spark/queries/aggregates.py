@@ -277,11 +277,14 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     * KLL-style ``approx_percentile`` per lineitem return flag (scalar
       columns, projected out of the quantile array);
     * HyperLogLog++ ``approx_count_distinct`` per order status;
-    * Misra-Gries heavy hitters over l_suppkey
-      (operators/sketch.py::heavy_hitters_sketch): bounded per-
-      partition summaries + broadcast exact-verify — the counts are
-      EXACT for every key above the N/(k+1) guarantee, so this branch
-      is deterministic; it lives here because the sketch FAMILY is the
+    * Misra-Gries heavy hitters (operators/sketch.py::
+      heavy_hitters_sketch) over a deliberately SKEWED derived key —
+      ``-1`` for every first-line item (~¼ of rows: the heavy hitter),
+      ``l_suppkey`` otherwise (a ~100-key uniform tail, far above
+      ``k=8``, so the per-partition decrement path genuinely runs) —
+      bounded summaries + broadcast exact-verify; counts are EXACT for
+      every key above the N/(k+1) guarantee, so this branch is
+      deterministic.  It lives here because the sketch FAMILY is the
       query's subject.
 
     All are mergeable-summary algorithms: partial states combine
@@ -309,11 +312,14 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_cust_approx").cast("double").alias("p50_or_ndv"),
         F.lit(None).cast("double").alias("p90"),
     )
+    skewed_key = F.when(
+        F.col("l_linenumber") == 1, F.lit(-1).cast("long")
+    ).otherwise(F.col("l_suppkey"))
     mg = heavy_hitters_sketch(
-        li.select(F.col("l_returnflag").alias("hh_key")), "hh_key", k=8
+        li.select(skewed_key.alias("hh_key")), "hh_key", k=8
     ).select(
         F.lit("mg_heavy_hitters").alias("sketch"),
-        F.col("hh_key").alias("grp"),
+        F.col("hh_key").cast("string").alias("grp"),
         F.col("n").cast("double").alias("p50_or_ndv"),
         F.lit(None).cast("double").alias("p90"),
     )

@@ -230,9 +230,15 @@ def test_persisted_artifacts_equal_self_built(spark, emb):
     assert la == lb
 
 
-def test_coded_without_codebooks_rejected(spark, emb, books):
+def test_coded_without_matching_artifacts_rejected(spark, emb, books):
+    from cosmap_spark.operators.knn import ivf_build
     from cosmap_spark.operators.pq import pq_encode
 
     coded = pq_encode(emb, books)
-    with pytest.raises(ValueError, match="codebooks"):
+    # without the matching IVF index: probes would hit the wrong lists
+    with pytest.raises(ValueError, match="prebuilt"):
         knn_ivfpq(emb, emb.limit(2), k=2, coded=coded)
+    # with the index but without the matching codebooks: LUTs undefined
+    index = ivf_build(emb, nlist=8, iters=1)
+    with pytest.raises(ValueError, match="codebooks"):
+        knn_ivfpq(emb, emb.limit(2), k=2, nlist=8, prebuilt=index, coded=coded)

@@ -116,3 +116,38 @@ def test_lazy_until_action(spark, skewed):
     heavy_hitters_sketch(skewed, "k", k=64)  # no action
     after = len(tracker.getJobIdsForGroup(None) or [])
     assert after == before
+
+
+def test_mg_summary_emits_total_even_when_counters_cancel():
+    """A partition whose MG counters cancel to empty must still report
+    its row count via the null-key sentinel — otherwise N understates,
+    the guarantee threshold drops, and output becomes layout-dependent."""
+    import pandas as pd
+
+    from cosmap_spark.operators.sketch import _mg_summarize
+
+    # k=2, three distinct singletons: insert a, insert b, c triggers
+    # decrement-all by 1 which wipes both counters and c itself
+    frames = list(_mg_summarize(2)([pd.DataFrame({"key": ["a", "b", "c"]})]))
+    assert sum(int(f["part_rows"].sum()) for f in frames) == 3
+    non_sentinel = [
+        f for f in frames if not f["key"].isna().all()
+    ]
+    assert non_sentinel == []  # counters really did cancel
+
+
+def test_threshold_uses_full_row_count_across_layouts(spark):
+    """End-to-end: a key exactly AT the old understated threshold must
+    be excluded identically under layouts where some partitions'
+    counters cancel."""
+    # N=400, k=4 → guarantee floor 400//5+1 = 81: hot (100) must always
+    # surface; every tail singleton is far below
+    rows = [("hot",)] * 100 + [(f"t{i}",) for i in range(300)]
+    df = spark.createDataFrame(rows, "k string")
+    want = {("hot", 100)}
+    for parts in (1, 7, 36):
+        got = {
+            tuple(r) for r in
+            heavy_hitters_sketch(df.repartition(parts), "k", k=4).collect()
+        }
+        assert got == want, parts
