@@ -1,5 +1,8 @@
-"""Bounded-state frequency sketching — heavy hitters without shuffling
-the key universe.
+"""Bounded-state sketching: Misra-Gries heavy hitters without shuffling
+the key universe, and mergeable HLL sketch-column rollups
+(``distinct_rollup`` / ``merge_sketch_tables``) — the pre-aggregated
+distinct-count cube whose coarser levels and incremental updates merge
+persisted sketches instead of re-scanning the corpus.
 
 ``q_heavy_hitters`` (exact groupBy + HAVING) is the right plan while
 the DISTINCT-key table fits the shuffle; at URL/user/n-gram cardinality
@@ -77,6 +80,81 @@ def _mg_summarize(k: int):
             )
 
     return summarize
+
+
+def distinct_rollup(
+    df: DataFrame,
+    hierarchy: list[str],
+    col: str,
+    *,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Approximate ``COUNT(DISTINCT col)`` at EVERY prefix level of
+    ``hierarchy`` — e.g. ``[a, b]`` → levels ``(a, b)``, ``(a)``,
+    ``()`` — from ONE scan of the data: leaf-level Apache DataSketches
+    HLL sketches (``hll_sketch_agg``), rolled up by sketch UNION
+    (``hll_union_agg``) with no second look at the raw rows.
+
+    This is the pre-aggregated-cube pattern that makes distinct counts
+    tractable at 100 TB: the corpus-sized scan happens once and emits
+    O(|leaf groups|) sketch rows (~2^lg_k bytes each); every coarser
+    level is an aggregation over THOSE, so adding a rollup level costs
+    kilobytes, not a re-scan.  Because HLL union is exact over sketch
+    state (associative, commutative, idempotent), the rolled-up
+    estimate at a coarse level is bit-identical to sketching that level
+    directly — pinned in tests/test_sketch.py.  Contrast
+    ``approx_count_distinct``, whose estimate is never materialized as
+    a mergeable value: with GROUPING SETS it re-derives every level
+    inside one job, but the partial state cannot be persisted and
+    unioned with tomorrow's batch.  Sketch rows CAN — persist the leaf
+    table and incremental maintenance is ``hll_union_agg`` over
+    (yesterday ∪ today), see ``merge_sketch_tables``.
+
+    Returns ``[level, <hierarchy cols as string>, ndv]``, one row per
+    group per level; finer-than-level key columns are NULL, ``level``
+    is the comma-joined key list (``(all)`` for the grand total).
+    """
+    leaf = (
+        df.groupBy(*hierarchy)
+        .agg(F.hll_sketch_agg(F.col(col), F.lit(lg_k)).alias("__sk"))
+        .localCheckpoint(eager=False)
+    )
+    out = None
+    for depth in range(len(hierarchy), -1, -1):
+        keys = hierarchy[:depth]
+        lvl = leaf.groupBy(*keys).agg(
+            F.hll_union_agg("__sk").alias("__sk")
+        ) if depth < len(hierarchy) else leaf
+        row = lvl.select(
+            F.lit(",".join(keys) if keys else "(all)").alias("level"),
+            *[
+                (
+                    F.col(c).cast("string")
+                    if c in keys
+                    else F.lit(None).cast("string")
+                ).alias(c)
+                for c in hierarchy
+            ],
+            F.hll_sketch_estimate("__sk").alias("ndv"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def merge_sketch_tables(
+    old: DataFrame, new: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Incremental maintenance of a persisted HLL sketch table: union
+    yesterday's ``[*keys, __sk]`` rows with a fresh batch's and merge
+    per key — history is never re-scanned, only its sketches
+    (O(groups · 2^lg_k) bytes).  Both inputs must carry the same
+    ``lg_k`` (``hll_union_agg``'s default rejects mixed precisions
+    loudly rather than silently degrading)."""
+    return (
+        old.unionByName(new)
+        .groupBy(*keys)
+        .agg(F.hll_union_agg("__sk").alias("__sk"))
+    )
 
 
 def heavy_hitters_sketch(

@@ -285,14 +285,23 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
       bounded summaries + broadcast exact-verify; counts are EXACT for
       every key above the N/(k+1) guarantee, so this branch is
       deterministic.  It lives here because the sketch FAMILY is the
-      query's subject.
+      query's subject;
+    * HLL sketch-column rollup (operators/sketch.py::distinct_rollup)
+      — distinct orderkeys at (returnflag, linestatus), (returnflag)
+      and grand-total levels from ONE scan, coarser levels merged from
+      persisted leaf sketches by ``hll_union_agg`` (never a re-scan);
+      rolled-up estimates are bit-identical to direct sketching
+      (pinned in tests/test_sketch.py).
 
     All are mergeable-summary algorithms: partial states combine
     associatively, so the map-side combine IS the algorithm.  Checked
     rows-only (the first two estimates are engine-specific); unit
     tests bound the relative error vs the exact values
     (tests/test_sketch.py pins MG equal to exact above threshold)."""
-    from cosmap_spark.operators.sketch import heavy_hitters_sketch
+    from cosmap_spark.operators.sketch import (
+        distinct_rollup,
+        heavy_hitters_sketch,
+    )
 
     li = load_table(spark, sf_dir, "lineitem")
     pct = li.groupBy("l_returnflag").agg(
@@ -323,4 +332,17 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("double").alias("p50_or_ndv"),
         F.lit(None).cast("double").alias("p90"),
     )
-    return pct.unionByName(ndv).unionByName(mg)
+    hll = distinct_rollup(
+        li, ["l_returnflag", "l_linestatus"], "l_orderkey", lg_k=12
+    ).select(
+        F.lit("hll_rollup").alias("sketch"),
+        F.concat_ws(
+            "/",
+            F.col("level"),
+            F.coalesce(F.col("l_returnflag"), F.lit("*")),
+            F.coalesce(F.col("l_linestatus"), F.lit("*")),
+        ).alias("grp"),
+        F.col("ndv").cast("double").alias("p50_or_ndv"),
+        F.lit(None).cast("double").alias("p90"),
+    )
+    return pct.unionByName(ndv).unionByName(mg).unionByName(hll)

@@ -151,3 +151,91 @@ def test_threshold_uses_full_row_count_across_layouts(spark):
             heavy_hitters_sketch(df.repartition(parts), "k", k=4).collect()
         }
         assert got == want, parts
+
+
+# ---------------------------------------------------------------- HLL rollup
+
+
+@pytest.fixture(scope="module")
+def hier(spark):
+    """60k rows over a 3×4 (region, cls) hierarchy; uid distincts per
+    leaf differ by construction: leaf (r, c) holds uids from a block of
+    size 500·(c+1) — known exact NDVs at every level."""
+    return spark.range(60_000).select(
+        "id",
+        F.expr("CAST(id % 3 AS STRING)").alias("region"),
+        F.expr("CAST((id DIV 3) % 4 AS STRING)").alias("cls"),
+        # block offset separates (region, cls) uid ranges; modulus sets NDV
+        F.expr(
+            "(id % 3) * 1000000 + ((id DIV 3) % 4) * 100000"
+            " + id % (500 * (((id DIV 3) % 4) + 1))"
+        ).alias("uid"),
+    ).cache()
+
+
+def _rollup_map(df):
+    from cosmap_spark.operators.sketch import distinct_rollup
+
+    return {
+        (r["level"], r["region"], r["cls"]): r["ndv"]
+        for r in distinct_rollup(
+            df, ["region", "cls"], "uid", lg_k=12
+        ).collect()
+    }
+
+
+def test_hll_rollup_levels_and_accuracy(spark, hier):
+    got = _rollup_map(hier)
+    # 12 leaf + 3 region + 1 grand total rows, NULL keys only above level
+    assert len(got) == 16
+    assert {k[0] for k in got} == {"region,cls", "region", "(all)"}
+    assert all(k[2] is None for k in got if k[0] == "region")
+    exact_leaf = {
+        (r["region"], r["cls"]): r["n"]
+        for r in hier.groupBy("region", "cls")
+        .agg(F.countDistinct("uid").alias("n")).collect()
+    }
+    for (region, cls), n in exact_leaf.items():
+        est = got[("region,cls", region, cls)]
+        assert est == pytest.approx(n, rel=0.05), (region, cls)
+    exact_total = hier.select("uid").distinct().count()
+    assert got[("(all)", None, None)] == pytest.approx(exact_total, rel=0.05)
+
+
+def test_hll_rollup_union_identical_to_direct_sketch(spark, hier):
+    """HLL union is exact over sketch state: the rolled-up grand total
+    must equal sketching the raw column directly, bit for bit."""
+    got = _rollup_map(hier)
+    direct = hier.agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col("uid"), F.lit(12))
+        ).alias("ndv")
+    ).collect()[0]["ndv"]
+    assert got[("(all)", None, None)] == direct
+
+
+def test_merge_sketch_tables_incremental(spark, hier):
+    """Persisted-sketch-store maintenance: sketch two disjoint batches
+    separately, merge per key — estimates equal sketching the union."""
+    from cosmap_spark.operators.sketch import merge_sketch_tables
+
+    def leaf(df):
+        return df.groupBy("region").agg(
+            F.hll_sketch_agg(F.col("uid"), F.lit(12)).alias("__sk")
+        )
+
+    old, new = hier.where("id % 2 = 0"), hier.where("id % 2 = 1")
+    merged = merge_sketch_tables(leaf(old), leaf(new), ["region"])
+    got = {
+        r["region"]: r["ndv"]
+        for r in merged.select(
+            "region", F.hll_sketch_estimate("__sk").alias("ndv")
+        ).collect()
+    }
+    want = {
+        r["region"]: r["ndv"]
+        for r in leaf(hier).select(
+            "region", F.hll_sketch_estimate("__sk").alias("ndv")
+        ).collect()
+    }
+    assert got == want
