@@ -271,6 +271,44 @@ def decontaminate_stream(stream_docs: DataFrame, bench: DataFrame,
     )
 
 
+def knn_serve_stream(query_stream: DataFrame, index: DataFrame,
+                     path: str, checkpoint: str, *, k: int = 5,
+                     dim: int = 64, tables: int = 4, planes: int = 8,
+                     seed: int = 13):
+    """Streaming vector-search serve: micro-batches of query vectors
+    against a PREBUILT corpus LSH index (`lsh_build` result — at scale
+    a persisted table ``partitionBy("tbl", pmod(bucket, P))``, so each
+    probe prunes to its bucket partitions).  The online half of the
+    train-once/serve-many split `bench.py` measures for the batch path.
+
+    Each epoch re-bucketizes only the arriving queries (the plane
+    normals are seed-derived constants, so any session reproduces the
+    index's geometry — tables/planes/seed/dim must match the build) and
+    runs the batch :func:`~cosmap_spark.operators.knn.knn_lsh` against
+    the static index: broadcast candidate join + exact re-rank, nothing
+    corpus-sized recomputed.  A query's top-k depends only on (query,
+    index), never on other stream rows, so there is no watermark or
+    state store, and the union over epochs equals the batch answer on
+    the same query set (asserted in tests/test_streaming.py).  Results
+    land epoch-keyed like ``write_incremental`` — replayed epochs
+    overwrite themselves (exactly-once per epoch)."""
+    from cosmap_spark.operators.knn import knn_lsh
+
+    def run(batch_df: DataFrame, epoch_id: int) -> None:
+        topk = knn_lsh(
+            index, batch_df, k=k, dim=dim, tables=tables, planes=planes,
+            seed=seed, prebuilt_buckets=index,
+        )
+        topk.write.mode("overwrite").parquet(f"{path}/epoch={epoch_id}")
+
+    return (
+        query_stream.writeStream.foreachBatch(run)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def quality_gate(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
     """C4 line cleaning + Gopher document gate as ONE stateless
     transformation — the landing-zone quality filter.

@@ -486,3 +486,47 @@ def test_dedup_stream_matches_batch_incremental(spark, tmp_path):
         for r in spark.read.parquet(out).select("id_a", "id_b").collect()
     }
     assert got == ref
+
+
+def test_knn_serve_stream_matches_batch(spark, tmp_path):
+    """Stream/batch equivalence for the ANN serve path: query vectors
+    arriving file-by-file against a prebuilt LSH index produce exactly
+    the top-k sets the batch knn_lsh computes over the whole query set
+    with the same index."""
+    from cosmap_spark.operators.knn import knn_lsh, lsh_build
+    from cosmap_spark.streaming.ops import knn_serve_stream
+    from cosmap_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    corpus = emb.where(F.col("vec_id") >= 20)
+    queries = emb.where(F.col("vec_id") < 20)
+    index = lsh_build(corpus).localCheckpoint()  # the persisted index
+
+    land = tmp_path / "query_landing"
+    queries.where(F.col("vec_id") % 2 == 0).coalesce(1).write.parquet(
+        str(land), mode="append"
+    )
+    queries.where(F.col("vec_id") % 2 == 1).coalesce(1).write.parquet(
+        str(land), mode="append"
+    )
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    q = knn_serve_stream(
+        stream, index, str(tmp_path / "topk"), str(tmp_path / "topk_ckpt")
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["qid"], r["nid"], r["sim"], r["rn"])
+        for r in spark.read.parquet(str(tmp_path / "topk"))
+        .drop("epoch").collect()
+    }
+    want = {
+        (r["qid"], r["nid"], r["sim"], r["rn"])
+        for r in knn_lsh(corpus, queries, prebuilt_buckets=index).collect()
+    }
+    assert got == want and len(want) > 0
