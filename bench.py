@@ -94,11 +94,26 @@ def _build_scaled(spark, base_dir: str, out_dir: str, factor: int) -> None:
     # version the cache marker: a marker from an older builder (e.g. the
     # round-3 additive-jitter data) must NOT satisfy this build, or the
     # scaling section would silently compare incompatible datasets
-    done = os.path.join(out_dir, "_done_rot_v2")
+    done = os.path.join(out_dir, "_done_rot_v3")
     if os.path.exists(done):
         return
     docs = spark.read.parquet(os.path.join(base_dir, "documents.parquet"))
     emb = spark.read.parquet(os.path.join(base_dir, "embeddings.parquet"))
+    # events feed q_knn_ann's tsearch branch: replicate with shifted
+    # user/event ids (disjoint key spaces — windows never span
+    # replicas, so per-replica search work equals the original's); ts
+    # normalization via load_table so every factor lands MICROS
+    from cosmap_spark.tables import load_table
+
+    ev = load_table(spark, base_dir, "events")
+    ev_parts = [
+        ev if r == 0 else ev.select(
+            (F.col("event_id") + r * 100_000_000).alias("event_id"),
+            (F.col("user_id") + r * 1_000_000).alias("user_id"),
+            *[c for c in ev.columns if c not in ("event_id", "user_id")],
+        ).select(*ev.columns)
+        for r in range(factor)
+    ]
     doc_parts = []
     emb_parts = []
     for r in range(factor):
@@ -145,6 +160,10 @@ def _build_scaled(spark, base_dir: str, out_dir: str, factor: int) -> None:
         v = v.unionByName(p)
     d.write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
     v.write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
+    e = ev_parts[0]
+    for p in ev_parts[1:]:
+        e = e.unionByName(p)
+    e.write.mode("overwrite").parquet(os.path.join(out_dir, "events.parquet"))
     with open(done, "w") as f:
         f.write("ok")
 

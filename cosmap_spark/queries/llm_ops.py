@@ -315,10 +315,17 @@ def q_knn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
       exact refine (operators/pq.py): the billion-scale layout where
       the scan reads m smallint codes per vector, not the vector.
 
+    * ``tsearch`` — the TIME-SERIES member of the family: top-5
+      z-normalized subsequence matches to two fixed probe patterns
+      over the events value series (operators/tseries.py,
+      segment-with-halo decomposition; exact differential vs brute
+      force unit-tested).
+
     ``score`` is the branch's ranking score — exact cosine for
-    lsh/ivf, NEGATIVE exact L2 distance for ivfpq (refine metric);
-    monotone-decreasing in rank for every branch.  Recall for all
-    three is unit-tested against brute force."""
+    lsh/ivf, NEGATIVE exact L2 distance for ivfpq (refine metric),
+    negated z-distance for tsearch; monotone-decreasing in rank for
+    every branch.  Recall for the first three is unit-tested against
+    brute force."""
     return knn_ann_union(spark, sf_dir)
 
 
@@ -372,7 +379,53 @@ def knn_ann_union(
         F.lit("ivfpq").alias("method"), "qid", "nid",
         (-F.col("dist")).alias("score"), "rn",
     )
-    return lsh.unionByName(ivf).unionByName(ivfpq)
+    return (
+        lsh.unionByName(ivf).unionByName(ivfpq)
+        .unionByName(_tsearch_branch(spark, sf_dir))
+    )
+
+
+#: fixed z-shape probes for the ``tsearch`` branch: a spike and a ramp
+#: (after z-normalization these are scale/offset-free templates)
+TS_PATTERNS = (
+    (0, [0.0, 1.0, 3.0, 1.0, 0.0, -1.0, 0.0, 0.5]),
+    (1, [0.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0]),
+)
+
+
+def _tsearch_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The similarity-search family's TIME-SERIES member: top-5
+    z-normalized subsequence matches per probe pattern over the events
+    value series (operators/tseries.py — segment-with-halo Arrow
+    kernel, one key/order exchange, bounded O(groups·k) result
+    exchange).  ``nid`` encodes (user_id, window start) as
+    ``user_id·10⁶ + start``; ``score`` is the negated z-distance, so
+    the union's monotone-decreasing-in-rank contract holds."""
+    from cosmap_spark.operators.tseries import subsequence_search
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    parts = [
+        subsequence_search(
+            ev, pat, key_col="user_id", order_col="ts", val_col="value", k=5
+        ).select(
+            F.lit("tsearch").alias("method"),
+            F.lit(qid).cast("long").alias("qid"),
+            (F.col("user_id") * 1_000_000 + F.col("start")).alias("nid"),
+            (-F.round(F.col("dist"), 6)).alias("score"),
+        )
+        for qid, pat in TS_PATTERNS
+    ]
+    w = Window.partitionBy("method", "qid").orderBy(
+        F.col("score").desc(), F.col("nid").asc()
+    )
+    return (
+        parts[0].unionByName(parts[1])
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+    )
 
 
 _EMBED_DUP_ORACLE = f"""

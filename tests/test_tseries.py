@@ -1,0 +1,174 @@
+"""Subsequence search: exact differential vs a numpy brute force,
+segment-boundary (halo) coverage, partition-layout independence, flat
+window determinism, and the bounded-exchange plan shape."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from cosmap_spark.operators.tseries import _znorm, subsequence_search
+
+QUERY = [0.0, 1.0, 3.0, 1.0, 0.0]
+
+
+def _brute(pdf: pd.DataFrame, query, *, znorm=True, key="k", order="t", val="v"):
+    """All (key, start, dist) windows, 1-based starts, full precision."""
+    m = len(query)
+    q = np.asarray(query, dtype=np.float64)
+    qz = _znorm(q) if znorm else q
+    out = []
+    for kk, g in pdf.groupby(key):
+        vals = g.sort_values(order)[val].to_numpy(dtype=np.float64)
+        for s in range(len(vals) - m + 1):
+            w = vals[s : s + m]
+            z = _znorm(w) if znorm else w
+            out.append((kk, s + 1, float(np.sqrt(((z - qz) ** 2).sum()))))
+    return out
+
+
+def _topk(rows, k):
+    return sorted(rows, key=lambda r: (r[2], r[0], r[1]))[:k]
+
+
+@pytest.fixture(scope="module")
+def serial(spark):
+    """3 keys × ~120 points of a deterministic wiggly series, with a
+    planted near-copy of QUERY inside key 1."""
+    rng = np.random.default_rng(7)
+    rows = []
+    for kk in range(3):
+        vals = np.cumsum(rng.normal(0, 1, 120)) + 10 * kk
+        if kk == 1:
+            vals[40:45] = np.array(QUERY) * 2.5 + 7.0  # same z-shape
+        rows += [(kk, t, float(v)) for t, v in enumerate(vals)]
+    return spark.createDataFrame(rows, "k long, t long, v double").cache()
+
+
+def _collect(df):
+    return [(r["k"], r["start"], r["dist"]) for r in df.collect()]
+
+
+def test_matches_bruteforce_topk(spark, serial):
+    got = _collect(
+        subsequence_search(
+            serial, QUERY, key_col="k", order_col="t", val_col="v", k=7
+        )
+    )
+    want = _topk(_brute(serial.toPandas(), QUERY), 7)
+    assert [(g[0], g[1]) for g in got] == [(w[0], w[1]) for w in want]
+    np.testing.assert_allclose(
+        [g[2] for g in got], [w[2] for w in want], rtol=1e-9
+    )
+    # the planted z-shaped copy wins with distance ~0
+    assert got[0][0] == 1 and got[0][1] == 41 and got[0][2] < 1e-6
+
+
+def test_halo_covers_segment_boundaries(spark, serial):
+    """segment barely above m forces nearly every window to cross a
+    boundary; results must equal the unsegmented answer exactly."""
+    a = _collect(
+        subsequence_search(
+            serial, QUERY, key_col="k", order_col="t", val_col="v",
+            k=20, segment=6,
+        )
+    )
+    b = _collect(
+        subsequence_search(
+            serial, QUERY, key_col="k", order_col="t", val_col="v",
+            k=20, segment=4096,
+        )
+    )
+    assert a == b
+
+
+def test_partition_layout_independent(spark, serial):
+    base = _collect(
+        subsequence_search(
+            serial, QUERY, key_col="k", order_col="t", val_col="v", k=10
+        )
+    )
+    for parts in (1, 13):
+        got = _collect(
+            subsequence_search(
+                serial.repartition(parts), QUERY,
+                key_col="k", order_col="t", val_col="v", k=10,
+            )
+        )
+        assert got == base, parts
+
+
+def test_per_key_topk(spark, serial):
+    got = _collect(
+        subsequence_search(
+            serial, QUERY, key_col="k", order_col="t", val_col="v",
+            k=3, per_key=True,
+        )
+    )
+    assert len(got) == 9  # 3 per key
+    want = _brute(serial.toPandas(), QUERY)
+    for kk in range(3):
+        w = _topk([r for r in want if r[0] == kk], 3)
+        g = sorted(
+            [r for r in got if r[0] == kk], key=lambda r: (r[2], r[1])
+        )
+        assert [(x[0], x[1]) for x in g] == [(x[0], x[1]) for x in w]
+
+
+def test_plain_euclidean(spark, serial):
+    got = _collect(
+        subsequence_search(
+            serial, QUERY, key_col="k", order_col="t", val_col="v",
+            k=5, znorm=False,
+        )
+    )
+    want = _topk(_brute(serial.toPandas(), QUERY, znorm=False), 5)
+    assert [(g[0], g[1]) for g in got] == [(w[0], w[1]) for w in want]
+
+
+def test_flat_windows_deterministic(spark):
+    """σ≈0 windows z-normalize to the zero vector: distance is √m to
+    any z-normalized query, and results don't depend on layout."""
+    df = spark.createDataFrame(
+        [(0, t, 5.0) for t in range(20)], "k long, t long, v double"
+    )
+    got = _collect(
+        subsequence_search(df, QUERY, key_col="k", order_col="t",
+                           val_col="v", k=3)
+    )
+    assert [r[1] for r in got] == [1, 2, 3]
+    for r in got:
+        assert r[2] == pytest.approx(np.sqrt(len(QUERY)))
+
+
+def test_short_series_and_validation(spark):
+    df = spark.createDataFrame(
+        [(0, 0, 1.0), (0, 1, 2.0)], "k long, t long, v double"
+    )
+    assert (
+        subsequence_search(df, QUERY, key_col="k", order_col="t",
+                           val_col="v").count() == 0
+    )
+    with pytest.raises(ValueError):
+        subsequence_search(df, [1.0], key_col="k", order_col="t", val_col="v")
+    with pytest.raises(ValueError):
+        subsequence_search(df, QUERY, key_col="k", order_col="t",
+                           val_col="v", segment=3)
+
+
+def test_plan_bounded(spark, serial):
+    """One corpus exchange (the key/order sort), Arrow-only Python, and
+    a TakeOrderedAndProject global winner."""
+    from cosmap_spark.operators.report import plan_summary
+
+    df = subsequence_search(
+        serial, QUERY, key_col="k", order_col="t", val_col="v", k=5
+    )
+    s = plan_summary(df)
+    assert s["python_evals"] == 0
+    assert s["cartesian_products"] == 0 and s["nested_loop_joins"] == 0
+    assert s["arrow_evals"] >= 1  # the subsequence kernel
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
