@@ -1,9 +1,10 @@
 """Distributed time-series subsequence similarity search.
 
 Find the top-k length-``m`` windows of a keyed, ordered value series
-that are closest to a query pattern under (optionally z-normalized)
-Euclidean distance — the UCR-suite/MASS semantics, re-expressed for a
-partitioned engine.  The reference has no time-series surface at all
+that are closest to one or more query patterns under (optionally
+z-normalized) Euclidean distance — the UCR-suite/MASS semantics,
+re-expressed for a partitioned engine.  The reference has no
+time-series surface at all
 (`/root/reference/src/cosmap/analysis/analysis.py:19-33` — per-sample
 spatial work only); this operator exists for the engine's own
 time-series pillar (asof/resample/session already in the ledger) and
@@ -22,15 +23,26 @@ Scale shape, in order of cost:
    1 + (m-1)/L — <1% at the L=4096 default and m≤64 — versus the
    O(m)× blow-up a collect_list-over-window formulation would shuffle
    (every row repeated into m arrays).
-3. Arrow kernel per (key, segment): numpy sliding windows + one BLAS
-   matmul against the constant query — the engine's documented
+3. ONE Arrow kernel call per PARTITION, not per group: rows hash to
+   partitions by (key, segment) and sort within them, and a
+   ``mapInPandas`` kernel walks the partition's batches computing
+   every group's sliding windows with numpy — the engine's documented
    dense-linear-algebra exception to the stay-JVM rule
    (operators/knn.py:_bucketize discusses the measured trade).
-4. Bounded result exchange: each group emits only its k best rows
-   under the SAME total order (dist, key, start) the global winner
-   uses — the pq._topk_by_dist_nid discipline, so results are
-   partition-layout independent even on distance ties — and the global
-   top-k is a TakeOrderedAndProject over O(groups·k) rows.
+   Windows that would span a (key, segment) boundary are masked out
+   VECTORIZED — there is no Python loop over groups at all
+   (``groupBy().applyInPandas`` pays one Python invocation per
+   (key, segment): measured at 1,500 short series that was ~7× slower,
+   and key cardinality only grows with the corpus).  ALL patterns
+   score inside that one pass — the window matrix is built once and
+   every pattern scores against it vectorized, so P probes cost one
+   corpus pipeline, not P.
+4. Bounded result exchange: each partition emits only its k best rows
+   per pattern under the SAME total order (dist, key, start) the
+   global winner uses — a partial top-k over a partition of the window
+   set (the pq._topk_by_dist_nid discipline), so results are
+   partition-layout independent even on distance ties and the final
+   election reads O(partitions·k·P) rows.
 
 Z-normalization treats a flat window (σ≈0) as the all-zero z-vector
 (UCR convention), giving it the deterministic distance √m to any
@@ -54,9 +66,9 @@ def _znorm(v: np.ndarray) -> np.ndarray:
     return (v - v.mean()) / sd
 
 
-def subsequence_search(
+def subsequence_search_multi(
     series: DataFrame,
-    query: list[float],
+    patterns: list[list[float]],
     *,
     key_col: str = "user_id",
     order_col: str = "ts",
@@ -66,24 +78,28 @@ def subsequence_search(
     segment: int = 4096,
     per_key: bool = False,
 ) -> DataFrame:
-    """``[key_col, start, dist]`` — the ``k`` windows of length
-    ``len(query)`` (series rows ordered by ``order_col`` within
-    ``key_col``) nearest to ``query``; ``start`` is the window's
-    1-based position in its key's series, ``dist`` the (z-normalized
-    when ``znorm``) Euclidean distance.  ``per_key=True`` returns the
-    best ``k`` PER key instead of globally.
+    """``[qid, key_col, start, dist]`` — for EACH pattern (``qid`` =
+    its index in ``patterns``), the ``k`` nearest length-``m`` windows
+    of the per-key series ordered by ``order_col``; ``start`` is the
+    window's 1-based position in its key's series, ``dist`` the
+    (z-normalized when ``znorm``) Euclidean distance.  ``per_key=True``
+    returns the best ``k`` per (pattern, key) instead of per pattern.
 
-    ``order_col`` must totally order each key's rows (ties broken by
-    the column's own values would be nondeterministic); windows never
-    span keys.  Keys shorter than the query yield no windows.
+    All patterns must share one length (one halo width, one window
+    matrix); ``order_col`` must totally order each key's rows; windows
+    never span keys.  Keys shorter than the patterns yield no windows.
     """
-    m = len(query)
+    if not patterns:
+        raise ValueError("need at least one pattern")
+    m = len(patterns[0])
     if m < 2:
-        raise ValueError("query must have at least 2 points")
+        raise ValueError("patterns must have at least 2 points")
+    if any(len(p) != m for p in patterns):
+        raise ValueError("all patterns must share one length")
     if segment < m:
-        raise ValueError(f"segment ({segment}) must be >= len(query) ({m})")
-    q = np.asarray(query, dtype=np.float64)
-    qz = _znorm(q) if znorm else q
+        raise ValueError(f"segment ({segment}) must be >= pattern length ({m})")
+    q = np.asarray(patterns, dtype=np.float64)  # (P, m)
+    qz = np.stack([_znorm(p) for p in q]) if znorm else q
     key_type = series.schema[key_col].dataType.simpleString()
 
     w = Window.partitionBy(key_col).orderBy(order_col)
@@ -102,53 +118,130 @@ def subsequence_search(
         key_col, "__v", "__i", F.explode(segs).alias("__seg")
     )
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("__i")
-        vals = pdf["__v"].to_numpy(dtype=np.float64)
+    def kernel(batches):
+        # ONE call per partition, ZERO Python loops over groups: the
+        # partition's rows (already sorted by key/seg/pos) concatenate
+        # into one value array, sliding windows are built over the
+        # whole thing, and windows that would span a (key, segment)
+        # boundary are masked out vectorized — per-group work never
+        # drops out of numpy.  Partition memory is the partition's
+        # share of the (halo-inflated) series rows plus one n×m window
+        # copy, the same order the shuffle itself already pays.
+        parts = [p for p in batches if len(p)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        keys = pdf[key_col].to_numpy()
+        segs = pdf["__seg"].to_numpy(dtype=np.int64)
         idx = pdf["__i"].to_numpy(dtype=np.int64)
-        this_seg = int(pdf["__seg"].iloc[0])
+        vals = pdf["__v"].to_numpy(dtype=np.float64)
         if len(vals) < m:
-            return pd.DataFrame({"key": [], "start": [], "dist": []}).astype(
-                {"key": pdf[key_col].dtype, "start": np.int64, "dist": np.float64}
-            )
+            return
+        b = (keys[1:] != keys[:-1]) | (segs[1:] != segs[:-1])
+        gid = np.concatenate(([0], np.cumsum(b)))
         win = np.lib.stride_tricks.sliding_window_view(vals, m)
+        nw = len(win)
+        # a window is real iff it stays inside one (key, seg) run, and
+        # this partition OWNS it iff its start is not a halo copy
+        mask = (gid[:nw] == gid[m - 1 :]) & (idx[:nw] // segment == segs[:nw])
+        if not mask.any():
+            return
+        w = win[mask]
+        starts = idx[:nw][mask]
+        wkeys = keys[:nw][mask]
         if znorm:
-            mu = win.mean(axis=1, keepdims=True)
-            sd = win.std(axis=1, keepdims=True)
-            z = np.where(sd < _EPS, 0.0, (win - mu) / np.maximum(sd, _EPS))
+            mu = w.mean(axis=1, keepdims=True)
+            sd = w.std(axis=1, keepdims=True)
+            z = np.where(sd < _EPS, 0.0, (w - mu) / np.maximum(sd, _EPS))
         else:
-            z = win
-        dist = np.sqrt(np.maximum(((z - qz) ** 2).sum(axis=1), 0.0))
-        starts = idx[: len(win)]
-        # emit only windows this segment OWNS (halo rows are context)
-        mine = (starts // segment) == this_seg
-        starts, dist = starts[mine], dist[mine]
-        # bounded exchange: the group's k best under the GLOBAL total
-        # order (dist, start) — key is constant within the group, so
-        # this is the same order the final winner election uses
-        order = np.lexsort((starts, dist))[:k]
-        return pd.DataFrame(
+            z = w
+        q_out, k_out, s_out, d_out = [], [], [], []
+        for qid in range(len(qz)):
+            # direct (z − q)² per pattern, NOT the ‖z‖²−2z·q+‖q‖² Gram
+            # form: same windows → bit-identical distances regardless
+            # of how many patterns share the pass (the Gram matmul
+            # rounds differently per operand shape), and no
+            # cancellation error near dist≈0 — the region that decides
+            # winners
+            dq = np.sqrt(((z - qz[qid]) ** 2).sum(axis=1))
+            if per_key:
+                # k best per key: sort by (key, dist, start), rank
+                # within each key run, keep rank < k
+                order = np.lexsort((starts, dq, wkeys))
+                ks = wkeys[order]
+                run = np.concatenate(
+                    ([0], np.flatnonzero(ks[1:] != ks[:-1]) + 1)
+                )
+                rank = np.arange(len(ks)) - np.repeat(
+                    run, np.diff(np.concatenate((run, [len(ks)])))
+                )
+                sel = order[rank < k]
+            else:
+                # the partition's k best under the GLOBAL total order
+                # (dist, key, start) — a partial top-k over a PARTITION
+                # of the window set, so the global winners survive and
+                # the result exchange is O(partitions·k·P)
+                sel = np.lexsort((starts, wkeys, dq))[:k]
+            q_out.append(np.full(len(sel), qid, dtype=np.int64))
+            k_out.append(wkeys[sel])
+            s_out.append(starts[sel] + 1)  # 1-based
+            d_out.append(dq[sel])
+        yield pd.DataFrame(
             {
-                "key": pdf[key_col].iloc[0],
-                "start": starts[order] + 1,  # 1-based for the caller
-                "dist": dist[order],
+                "qid": np.concatenate(q_out),
+                "key": np.concatenate(k_out),
+                "start": np.concatenate(s_out),
+                "dist": np.concatenate(d_out),
             }
         )
 
-    cand = owned.groupBy(key_col, "__seg").applyInPandas(
-        kernel, f"key {key_type}, start long, dist double"
+    cand = (
+        owned.repartition(key_col, "__seg")
+        .sortWithinPartitions(key_col, "__seg", "__i")
+        .mapInPandas(kernel, f"qid long, key {key_type}, start long, dist double")
     )
-    if per_key:
-        rank_w = Window.partitionBy("key").orderBy(
-            F.col("dist").asc(), F.col("start").asc()
-        )
-        return (
+    total_order = [
+        F.col("dist").asc(), F.col("key").asc(), F.col("start").asc()
+    ]
+    if not per_key and len(qz) == 1:
+        # single pattern, global winners: TakeOrderedAndProject, never
+        # a one-partition window exchange
+        winners = cand.orderBy(*total_order).limit(k)
+    else:
+        rank_w = Window.partitionBy(
+            *(["qid", "key"] if per_key else ["qid"])
+        ).orderBy(*total_order)
+        winners = (
             cand.withColumn("__rn", F.row_number().over(rank_w))
             .where(F.col("__rn") <= k)
-            .select(F.col("key").alias(key_col), "start", "dist")
+            .drop("__rn")
         )
-    return (
-        cand.orderBy(F.col("dist").asc(), F.col("key").asc(), F.col("start").asc())
-        .limit(k)
-        .select(F.col("key").alias(key_col), "start", "dist")
-    )
+    return winners.select("qid", F.col("key").alias(key_col), "start", "dist")
+
+
+def subsequence_search(
+    series: DataFrame,
+    query: list[float],
+    *,
+    key_col: str = "user_id",
+    order_col: str = "ts",
+    val_col: str = "value",
+    k: int = 5,
+    znorm: bool = True,
+    segment: int = 4096,
+    per_key: bool = False,
+) -> DataFrame:
+    """``[key_col, start, dist]`` — single-pattern form of
+    :func:`subsequence_search_multi` (same semantics, ``qid`` column
+    dropped)."""
+    return subsequence_search_multi(
+        series,
+        [query],
+        key_col=key_col,
+        order_col=order_col,
+        val_col=val_col,
+        k=k,
+        znorm=znorm,
+        segment=segment,
+        per_key=per_key,
+    ).select(key_col, "start", "dist")

@@ -401,31 +401,26 @@ def _tsearch_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange).  ``nid`` encodes (user_id, window start) as
     ``user_id·10⁶ + start``; ``score`` is the negated z-distance, so
     the union's monotone-decreasing-in-rank contract holds."""
-    from cosmap_spark.operators.tseries import subsequence_search
+    from cosmap_spark.operators.tseries import subsequence_search_multi
 
     ev = load_table(spark, sf_dir, "events").where(
         F.col("user_id").isNotNull()
         & F.col("ts").isNotNull()
         & F.col("value").isNotNull()
     )
-    parts = [
-        subsequence_search(
-            ev, pat, key_col="user_id", order_col="ts", val_col="value", k=5
-        ).select(
-            F.lit("tsearch").alias("method"),
-            F.lit(qid).cast("long").alias("qid"),
-            (F.col("user_id") * 1_000_000 + F.col("start")).alias("nid"),
-            (-F.round(F.col("dist"), 6)).alias("score"),
-        )
-        for qid, pat in TS_PATTERNS
-    ]
+    hits = subsequence_search_multi(
+        ev, [pat for _, pat in TS_PATTERNS],
+        key_col="user_id", order_col="ts", val_col="value", k=5,
+    ).select(
+        F.lit("tsearch").alias("method"),
+        F.col("qid").cast("long").alias("qid"),
+        (F.col("user_id") * 1_000_000 + F.col("start")).alias("nid"),
+        (-F.round(F.col("dist"), 6)).alias("score"),
+    )
     w = Window.partitionBy("method", "qid").orderBy(
         F.col("score").desc(), F.col("nid").asc()
     )
-    return (
-        parts[0].unionByName(parts[1])
-        .withColumn("rn", F.row_number().over(w).cast("long"))
-    )
+    return hits.withColumn("rn", F.row_number().over(w).cast("long"))
 
 
 _EMBED_DUP_ORACLE = f"""

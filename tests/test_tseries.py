@@ -172,3 +172,56 @@ def test_plan_bounded(spark, serial):
     assert s["arrow_evals"] >= 1  # the subsequence kernel
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_multi_matches_single_per_pattern(spark, serial):
+    """One shared corpus pipeline over P patterns must return exactly
+    what P independent single-pattern searches return."""
+    from cosmap_spark.operators.tseries import subsequence_search_multi
+
+    ramp = [0.0, 1.0, 2.0, 3.0, 4.0]
+    multi = subsequence_search_multi(
+        serial, [QUERY, ramp], key_col="k", order_col="t", val_col="v", k=6
+    ).collect()
+    for qid, pat in ((0, QUERY), (1, ramp)):
+        got = [
+            (r["k"], r["start"], r["dist"]) for r in multi if r["qid"] == qid
+        ]
+        want = _collect(
+            subsequence_search(
+                serial, pat, key_col="k", order_col="t", val_col="v", k=6
+            )
+        )
+        assert got == want, qid
+
+
+def test_multi_length_validation(spark, serial):
+    from cosmap_spark.operators.tseries import subsequence_search_multi
+
+    with pytest.raises(ValueError):
+        subsequence_search_multi(
+            serial, [QUERY, [1.0, 2.0]], key_col="k", order_col="t",
+            val_col="v",
+        )
+    with pytest.raises(ValueError):
+        subsequence_search_multi(
+            serial, [], key_col="k", order_col="t", val_col="v"
+        )
+
+
+def test_string_keys(spark):
+    """np.lexsort over the key column must handle non-numeric keys."""
+    rows = [
+        (f"u{kk}", t, float(np.sin(t / 3.0) + kk)) for kk in range(4)
+        for t in range(30)
+    ]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    got = _collect(
+        subsequence_search(df, QUERY, key_col="k", order_col="t",
+                           val_col="v", k=6)
+    )
+    want = _topk(_brute(df.toPandas(), QUERY), 6)
+    assert [(g[0], g[1]) for g in got] == [(w[0], w[1]) for w in want]
+    per = subsequence_search(df, QUERY, key_col="k", order_col="t",
+                             val_col="v", k=2, per_key=True)
+    assert per.count() == 8
