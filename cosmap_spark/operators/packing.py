@@ -140,6 +140,74 @@ def pack_bins(
     ).where(F.col("bin_end") > F.col("bin_start"))
 
 
+def global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    *,
+    out_col: str = "__grn",
+    num_shards: int | None = None,
+) -> tuple[DataFrame, int]:
+    """1-based global ``row_number()`` in ascending lexicographic
+    ``order_cols`` order WITHOUT the one-task window
+    ``Window.orderBy(...)`` plans — the same two-pass shard discipline
+    as ``pack_offsets``: range-shard on the FIRST order column
+    (boundary ties all land in one shard, so shard order respects key
+    order), per-shard counts collected (O(shards) rows) into exclusive
+    offsets, intra-shard ``row_number`` keyed by shard.  Returns
+    ``(df + out_col, total_row_count)`` — the total rides along free
+    from the offsets pass, which is what global-fraction analytics
+    (ntile, percent-of-total) need next.
+
+    The first order column must be numeric (range boundaries come from
+    ``approxQuantile``); the full column list must be a total order for
+    a deterministic result."""
+    first = order_cols[0]
+    if num_shards is None:
+        num_shards = df.sparkSession.sparkContext.defaultParallelism
+    with_shard = df.withColumn(
+        "__shard", _shard_column(df, first, num_shards)
+    )
+    counts = with_shard.groupBy("__shard").count().collect()
+    cmap = {r["__shard"]: r["count"] for r in counts}
+    offsets, acc = {}, 0
+    for sid in sorted(cmap):
+        offsets[sid] = acc
+        acc += cmap[sid]
+    offset_df = df.sparkSession.createDataFrame(
+        [(int(s), int(o)) for s, o in offsets.items()],
+        "__shard INT, __soffset LONG",
+    )
+    w = Window.partitionBy("__shard").orderBy(*order_cols)
+    out = (
+        with_shard.join(F.broadcast(offset_df), "__shard")
+        .withColumn(
+            out_col,
+            (F.row_number().over(w) + F.col("__soffset")).cast("long"),
+        )
+        .drop("__shard", "__soffset")
+    )
+    return out, acc
+
+
+def ntile_from_rank(rn, n: int, k: int):
+    """Exact ``ntile(k)`` bucket from a 1-based global rank and the
+    total row count — SQL-standard semantics (the first ``n % k``
+    buckets get ``ceil(n/k)`` rows), verified against the DuckDB oracle
+    by q_window_ranks' hash.  Pure column arithmetic: pair with
+    :func:`global_rank` to get a global ntile with no one-task
+    window."""
+    ceil_sz = (n + k - 1) // k
+    flr = n // k
+    rem = n % k
+    cutoff = rem * ceil_sz
+    rn = rn.cast("long")
+    if flr == 0:
+        return (F.floor((rn - 1) / max(ceil_sz, 1)) + 1).cast("long")
+    return F.when(
+        rn <= cutoff, F.floor((rn - 1) / ceil_sz) + 1
+    ).otherwise(rem + F.floor((rn - cutoff - 1) / flr) + 1).cast("long")
+
+
 def row_index(
     df: DataFrame,
     *,

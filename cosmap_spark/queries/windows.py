@@ -41,22 +41,34 @@ def q_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ordered on the ROUNDED price with id tie-break — ulp-stable ranks).
     The rn filter keeps each customer's top-3 orders; the other
     analytics are computed over the FULL partition first, as in the
-    oracle's CTE."""
+    oracle's CTE.
+
+    The GLOBAL quartile deliberately avoids ``ntile(4).over(
+    Window.orderBy(...))`` — an unpartitioned window serializes the
+    whole table through ONE task (the exact hazard the plan audit
+    bans).  Instead the scale path: sharded-prefix-sum global rank
+    (operators/packing.py::global_rank — O(shards) driver rows, window
+    keyed by shard) + exact ntile arithmetic from (rank, n), which the
+    DuckDB ``ntile`` oracle hash-verifies row for row."""
+    from cosmap_spark.operators.packing import global_rank, ntile_from_rank
+
     o = load_table(spark, sf_dir, "orders")
+    ranked, n = global_rank(
+        o, ["o_totalprice", "o_orderkey"], out_col="__grn"
+    )
     w_rn = Window.partitionBy("o_custkey").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
     w_rk = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
-    w_nt = Window.orderBy("o_totalprice", "o_orderkey")
     w_pct = Window.partitionBy("o_orderstatus").orderBy(
         F.round("o_totalprice", 2), "o_orderkey"
     )
     return (
-        o.select(
+        ranked.select(
             "o_custkey", "o_orderkey", "o_totalprice",
             F.row_number().over(w_rn).alias("rn"),
             F.rank().over(w_rk).alias("rnk"),
-            F.ntile(4).over(w_nt).cast("long").alias("quartile"),
+            ntile_from_rank(F.col("__grn"), n, 4).alias("quartile"),
             F.round(F.percent_rank().over(w_pct), 6).alias("pct_rank"),
             F.round(F.cume_dist().over(w_pct), 6).alias("cume"),
         )

@@ -4,6 +4,7 @@ plan guarantee."""
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from cosmap_spark.functions.text import n_tokens
@@ -106,3 +107,60 @@ def test_row_index_dense_and_ordered(spark):
     got = row_index(docs, num_shards=7).collect()
     by_id = sorted((r["doc_id"], r["row_idx"]) for r in got)
     assert [idx for _, idx in by_id] == list(range(len(by_id)))
+
+
+def test_global_rank_matches_one_task_window(spark):
+    """Sharded global rank ≡ row_number over an unpartitioned window
+    (the plan we refuse to run), including ties on the first column."""
+    from cosmap_spark.operators.packing import global_rank
+
+    df = spark.range(5_000).select(
+        (F.col("id") % 97).cast("double").alias("price"),  # heavy ties
+        F.col("id").alias("oid"),
+    )
+    ranked, n = global_rank(df, ["price", "oid"], out_col="g")
+    assert n == 5_000
+    got = {r["oid"]: r["g"] for r in ranked.collect()}
+    w = Window.orderBy("price", "oid")
+    want = {
+        r["oid"]: r["rn"]
+        for r in df.select("oid", F.row_number().over(w).alias("rn")).collect()
+    }
+    assert got == want
+
+
+def test_global_rank_layout_independent(spark):
+    from cosmap_spark.operators.packing import global_rank
+
+    df = spark.range(2_000).select(
+        F.col("id").cast("double").alias("price"), F.col("id").alias("oid")
+    )
+    base, _ = global_rank(df, ["price", "oid"], out_col="g")
+    base_m = {r["oid"]: r["g"] for r in base.collect()}
+    for parts in (1, 17):
+        got, _ = global_rank(
+            df.repartition(parts), ["price", "oid"], out_col="g"
+        )
+        assert {r["oid"]: r["g"] for r in got.collect()} == base_m, parts
+
+
+def test_ntile_from_rank_matches_spark_ntile(spark):
+    """Exact SQL ntile semantics for divisible and ragged n/k."""
+    from cosmap_spark.operators.packing import ntile_from_rank
+
+    for n, k in ((10, 4), (12, 4), (7, 3), (5, 8), (1, 4)):
+        df = spark.range(1, n + 1).select(F.col("id").alias("rn"))
+        got = {
+            r["rn"]: r["b"]
+            for r in df.select(
+                "rn", ntile_from_rank(F.col("rn"), n, k).alias("b")
+            ).collect()
+        }
+        w = Window.orderBy("rn")
+        want = {
+            r["rn"]: r["b"]
+            for r in df.select(
+                "rn", F.ntile(k).over(w).cast("long").alias("b")
+            ).collect()
+        }
+        assert got == want, (n, k)

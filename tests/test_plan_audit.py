@@ -9,10 +9,16 @@ kill a 100 TB run but stay invisible at test scale:
 * ``BatchEvalPython`` — row-at-a-time (non-Arrow) Python UDF; the only
   sanctioned Python paths are Arrow-vectorized (``ArrowEvalPython``,
   ``FlatMapGroupsInPandas``, ``MapInPandas`` / ``PythonMapInArrow``);
-* ``Exchange SinglePartition`` — a global one-task shuffle (the
-  unpartitioned-window / global-sort hazard).  Final single-row
-  aggregates don't produce it under AQE at this scale; none of the
-  ledger plans need it.
+* single-partition exchanges — a global one-task shuffle (the
+  unpartitioned-window / global-sort hazard).  Checked in SIMPLE plan
+  mode (formatted mode prints the partitioning on a separate
+  ``Arguments:`` line, where a substring test never fires — the
+  round-3 audit hardening that caught q_window_ranks' global ntile
+  window).  One shape is legal: an exchange whose direct child is a
+  partial AGGREGATE, because map-side combine has already reduced the
+  stream to O(partitions · groups) rows — the standard scalar-subquery
+  / global-total pattern.  Anything else funnels corpus-sized data
+  through one task and fails.
 
 Queries whose SEMANTICS require a nested-loop broadcast of a
 constant-size side are allowlisted with the justification inline —
@@ -57,7 +63,6 @@ BNLJ_ALLOWED = {
 BANNED_EVERYWHERE = (
     "CartesianProduct",
     "BatchEvalPython",
-    "Exchange SinglePartition",
 )
 
 
@@ -67,12 +72,38 @@ def _formatted_plan(df) -> str:
     )
 
 
+def _simple_plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+
+
+def single_partition_violations(simple: str) -> list[str]:
+    """Single-partition exchanges whose child is NOT a partial
+    aggregate: these funnel un-reduced (corpus-sized) data through one
+    task.  In simple tree mode an exchange's only child is printed on
+    the immediately following line."""
+    lines = simple.splitlines()
+    bad = []
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        child = lines[i + 1] if i + 1 < len(lines) else ""
+        if "Aggregate" not in child:
+            bad.append(f"{line.strip()} -> {child.strip()}"[:160])
+    return bad
+
+
 @pytest.mark.parametrize("name", sorted(all_queries()))
 def test_ledger_plan_is_scale_safe(spark, name):
     df = all_queries()[name](spark, SF_DIR)
     plan = _formatted_plan(df)
     for banned in BANNED_EVERYWHERE:
         assert banned not in plan, f"{name}: {banned} in physical plan"
+    viol = single_partition_violations(_simple_plan(df))
+    assert not viol, (
+        f"{name}: un-reduced single-partition exchange(s): {viol}"
+    )
     if name not in BNLJ_ALLOWED:
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{name}: BroadcastNestedLoopJoin in physical plan — either fix "
