@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -151,30 +152,38 @@ def quantile_rollup(
     accuracy: int = 10_000,
 ) -> DataFrame:
     """Approximate quantiles of ``col`` at EVERY prefix level of
-    ``hierarchy`` from ONE scan — the quantile member of the
-    pre-aggregated-cube family (``distinct_rollup`` is the
+    ``hierarchy`` from ONE scan of the data — the quantile member of
+    the pre-aggregated-cube family (``distinct_rollup`` is the
     distinct-count member).
 
-    The leaf pass stores, per leaf group, a MERGEABLE summary: the
+    The leaf pass stores one MERGEABLE summary per leaf group: the
     non-null count plus a ``grid``-point equi-rank quantile grid
     (``approx_percentile`` at ranks i/(grid−1)) — an ECDF approximation
-    whose rank resolution is 1/(grid−1).  Every coarser level treats
-    each grid point as an atom of weight n/grid and computes weighted
-    quantiles over the atoms with a cumulative-weight window — pure
-    DataFrame ops over sketch-sized data (``groups × grid`` rows), the
-    raw column is never re-read.  Rank error at a rolled-up level is
-    bounded by the leaf resolution plus ``approx_percentile``'s own
-    accuracy: ~1.5/grid + 1/accuracy, ≈1.2% at the defaults — document
-    the trade when cutting ``grid`` for very wide cubes.
+    with rank resolution 1/(grid−1).  Every coarser level (down to the
+    grand total) treats each grid point as an atom of weight n/grid
+    and takes weighted quantiles over the atoms: the raw column is
+    never re-read, and a persisted leaf table rolls up tomorrow's new
+    groups by the same merge.  Atom tables are sketch-sized
+    (groups × grid rows), so the per-level aggregation is trivial at
+    any corpus scale.
 
-    Unlike HLL-union (bit-exact), grid merging is an approximation of
-    an approximation; the unit tests bound the end-to-end rank error
-    against exact percentiles.  Returns ``[level, <hierarchy cols as
-    string>, n, p_<prob>...]``; finer-than-level keys are NULL,
-    ``level`` is the comma-joined key list (``(all)`` for the grand
-    total)."""
+    Unlike HLL union (bit-exact), grid merging approximates an
+    approximation: end-to-end rank error at a rolled-up level is
+    bounded by leaf resolution + sketch accuracy ≈ 1.5/grid +
+    1/accuracy (~1.3% at the defaults); the unit tests bound it
+    against exact percentiles.  Per-level work: one sorted
+    collect_list per group over its atoms (the exchange carries
+    map-side partially-aggregated sketch rows), one Arrow cumsum over
+    each group's weight array, JVM ``filter``/``zip_with`` selection.
+
+    Returns ``[level, <hierarchy cols as string>, n, p<prob>...]``
+    (``p_`` name from the digits after "0.", e.g. 0.5 → ``p5``,
+    0.99 → ``p99``); finer-than-level keys are NULL, ``level`` is the
+    comma-joined key list (``(all)`` for the grand total)."""
     if grid < 2:
         raise ValueError("grid must be >= 2")
+    if not probs or any(not 0.0 < p < 1.0 for p in probs):
+        raise ValueError("probs must be within (0, 1)")
     ranks = ", ".join(str(i / (grid - 1)) for i in range(grid))
     leaf = (
         df.where(F.col(col).isNotNull())
@@ -188,97 +197,17 @@ def quantile_rollup(
         .localCheckpoint(eager=False)
     )
 
-    def _pcol(p: float) -> str:
-        return "p_" + str(p).replace(".", "_").rstrip("_0") if p != int(p) \
-            else f"p_{int(p)}"
+    @F.pandas_udf("array<double>")
+    def _cumsum(ws: pd.Series) -> pd.Series:
+        return ws.apply(
+            lambda a: np.cumsum(np.asarray(a, dtype=np.float64)).tolist()
+        )
 
-    out = None
-    for depth in range(len(hierarchy), -1, -1):
-        keys = hierarchy[:depth]
-        if depth == len(hierarchy):
-            lvl = leaf.select(
-                *keys,
-                F.col("__n").alias("n"),
-                *[
-                    F.element_at(
-                        "__g", int(round(p * (grid - 1))) + 1
-                    ).alias(_pcol(p))
-                    for p in probs
-                ],
-            )
-        else:
-            atoms = leaf.select(
-                *keys,
-                F.explode("__g").alias("__val"),
-                (F.col("__n") / grid).alias("__w"),
-            )
-            cum_w = (
-                Window.partitionBy(*[F.lit(1)] if not keys else keys)
-                .orderBy("__val")
-                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ) if keys else None
-            if keys:
-                cum = F.sum("__w").over(cum_w)
-                tot = F.sum("__w").over(Window.partitionBy(*keys))
-                ranked = atoms.select(
-                    *keys, "__val", cum.alias("__cum"), tot.alias("__tot")
-                )
-                lvl = ranked.groupBy(*keys).agg(
-                    F.round(F.max(F.col("__tot")) * grid / grid).cast(
-                        "long"
-                    ).alias("n"),
-                    *[
-                        F.min(
-                            F.when(
-                                F.col("__cum") >= p * F.col("__tot"),
-                                F.col("__val"),
-                            )
-                        ).alias(_pcol(p))
-                        for p in probs
-                    ],
-                )
-            else:
-                # grand total: aggregate the atoms into ONE sorted
-                # array (sketch-sized: leaves × grid values) and walk
-                # it with higher-order functions — no one-partition
-                # window exchange
-                agg = atoms.agg(
-                    F.sort_array(
-                        F.collect_list(F.struct("__val", "__w"))
-                    ).alias("__a"),
-                    F.sum("__w").alias("__tot"),
-                )
-                cums = F.expr(
-                    """
-                    transform(__a, a -> a.__val)
-                    """
-                )
-                # running cumulative weights via aggregate-with-state
-                lvl = agg.select(
-                    F.round("__tot").cast("long").alias("n"),
-                    F.col("__tot").alias("__t"),
-                    F.expr(
-                        "transform(__a, a -> a.__val)"
-                    ).alias("__vals"),
-                    F.expr(
-                        # prefix sums of weights, same order as __vals
-                        "reverse(aggregate(__a, "
-                        "cast(array() as array<double>), "
-                        "(acc, a) -> concat(array(coalesce(acc[0], "
-                        "cast(0.0 as double)) + a.__w), acc)))"
-                    ).alias("__cums"),
-                ).select(
-                    "n",
-                    *[
-                        F.expr(
-                            f"filter(zip_with(__vals, __cums, (v, c) -> "
-                            f"struct(v as v, c as c)), x -> x.c >= "
-                            f"{p} * __t)[0].v"
-                        ).alias(_pcol(p))
-                        for p in probs
-                    ],
-                )
-        row = lvl.select(
+    def _pcol(p: float) -> str:
+        return "p" + str(p)[2:]
+
+    def _tag(lvl: DataFrame, keys: list[str]) -> DataFrame:
+        return lvl.select(
             F.lit(",".join(keys) if keys else "(all)").alias("level"),
             *[
                 (
@@ -291,8 +220,60 @@ def quantile_rollup(
             "n",
             *[_pcol(p) for p in probs],
         )
-        out = row if out is None else out.unionByName(row)
+
+    out = _tag(
+        leaf.select(
+            *hierarchy,
+            F.col("__n").alias("n"),
+            *[
+                F.element_at("__g", int(round(p * (grid - 1))) + 1).alias(
+                    _pcol(p)
+                )
+                for p in probs
+            ],
+        ),
+        hierarchy,
+    )
+    for depth in range(len(hierarchy) - 1, -1, -1):
+        keys = hierarchy[:depth]
+        atoms = leaf.select(
+            *keys,
+            F.explode("__g").alias("__val"),
+            (F.col("__n") / grid).alias("__w"),
+        )
+        grp = atoms.groupBy(*keys).agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("__val").alias("v"),
+                                        F.col("__w").alias("w")))
+            ).alias("__a"),
+            F.sum("__w").alias("__tot"),
+        )
+        scanned = grp.select(
+            *keys,
+            "__tot",
+            F.expr("transform(__a, x -> x.v)").alias("__vals"),
+            _cumsum(F.expr("transform(__a, x -> x.w)")).alias("__cums"),
+        )
+        lvl = scanned.select(
+            *keys,
+            F.round("__tot").cast("long").alias("n"),
+            *[
+                F.element_at(
+                    F.filter(
+                        F.expr(
+                            "zip_with(__vals, __cums, "
+                            "(v, c) -> struct(v as v, c as c))"
+                        ),
+                        lambda x: x["c"] >= F.lit(p) * F.col("__tot"),
+                    ),
+                    1,
+                )["v"].alias(_pcol(p))
+                for p in probs
+            ],
+        )
+        out = out.unionByName(_tag(lvl, keys))
     return out
+
 
 
 def merge_sketch_tables(

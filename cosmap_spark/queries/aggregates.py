@@ -291,7 +291,11 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
       and grand-total levels from ONE scan, coarser levels merged from
       persisted leaf sketches by ``hll_union_agg`` (never a re-scan);
       rolled-up estimates are bit-identical to direct sketching
-      (pinned in tests/test_sketch.py).
+      (pinned in tests/test_sketch.py);
+    * quantile rollup (operators/sketch.py::quantile_rollup) — the
+      quantile member of the same cube family: leaf equi-rank grids
+      merged as weighted ECDF atoms per coarser level, rank error
+      bounded in tests/test_sketch.py.
 
     All are mergeable-summary algorithms: partial states combine
     associatively, so the map-side combine IS the algorithm.  Checked
@@ -301,6 +305,7 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cosmap_spark.operators.sketch import (
         distinct_rollup,
         heavy_hitters_sketch,
+        quantile_rollup,
     )
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -345,4 +350,21 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ndv").cast("double").alias("p50_or_ndv"),
         F.lit(None).cast("double").alias("p90"),
     )
-    return pct.unionByName(ndv).unionByName(mg).unionByName(hll)
+    qr = quantile_rollup(
+        li, ["l_returnflag", "l_linestatus"], "l_quantity",
+        probs=(0.5, 0.9), grid=128,
+    ).select(
+        F.lit("quantile_rollup").alias("sketch"),
+        F.concat_ws(
+            "/",
+            F.col("level"),
+            F.coalesce(F.col("l_returnflag"), F.lit("*")),
+            F.coalesce(F.col("l_linestatus"), F.lit("*")),
+        ).alias("grp"),
+        F.col("p5").cast("double").alias("p50_or_ndv"),
+        F.col("p9").cast("double").alias("p90"),
+    )
+    return (
+        pct.unionByName(ndv).unionByName(mg)
+        .unionByName(hll).unionByName(qr)
+    )

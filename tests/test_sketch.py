@@ -239,3 +239,88 @@ def test_merge_sketch_tables_incremental(spark, hier):
         ).collect()
     }
     assert got == want
+
+
+# ------------------------------------------------------------ quantile rollup
+
+
+@pytest.fixture(scope="module")
+def qdata(spark):
+    """60k rows, 3×4 hierarchy, group-shifted heavy-tailed values —
+    coarser-level quantiles differ materially from any single leaf's."""
+    return spark.range(60_000).select(
+        F.expr("CAST(id % 3 AS STRING)").alias("region"),
+        F.expr("CAST((id DIV 3) % 4 AS STRING)").alias("cls"),
+        F.expr(
+            "pow(pmod(hash(id), 10000) / 10000.0 + 0.001, 2) * 100"
+            " + (id % 3) * 37 + ((id DIV 3) % 4) * 11"
+        ).alias("v"),
+    ).cache()
+
+
+def _rank_of(df, keys_filter, value):
+    f = df
+    for c, val in keys_filter.items():
+        f = f.where(F.col(c) == val)
+    n = f.count()
+    below = f.where(F.col("v") <= value).count()
+    return below / n
+
+
+def test_quantile_rollup_rank_error_bounded(spark, qdata):
+    from cosmap_spark.operators.sketch import quantile_rollup
+
+    rows = quantile_rollup(
+        qdata, ["region", "cls"], "v", probs=(0.5, 0.9), grid=128
+    ).collect()
+    assert len(rows) == 16  # 12 leaves + 3 regions + 1 total
+    tol = 0.03  # 1.5/grid + sketch accuracy, with slack
+    for r in rows:
+        filt = {
+            c: r[c] for c in ("region", "cls") if r[c] is not None
+        }
+        for p, col in ((0.5, "p5"), (0.9, "p9")):
+            rank = _rank_of(qdata, filt, r[col])
+            assert abs(rank - p) <= tol, (r["level"], filt, p, rank)
+
+
+def test_quantile_rollup_counts_and_nulls(spark, qdata):
+    from cosmap_spark.operators.sketch import quantile_rollup
+
+    rows = quantile_rollup(qdata, ["region", "cls"], "v").collect()
+    total = [r for r in rows if r["level"] == "(all)"]
+    assert len(total) == 1 and total[0]["n"] == 60_000
+    assert total[0]["region"] is None and total[0]["cls"] is None
+    region_rows = [r for r in rows if r["level"] == "region"]
+    assert sorted(r["n"] for r in region_rows) == [20_000] * 3
+    assert all(r["cls"] is None for r in region_rows)
+
+
+def test_quantile_rollup_leaf_equals_direct_sketch(spark, qdata):
+    """Leaf-level output is exactly the approx_percentile grid point —
+    no merge error at depth 0."""
+    from cosmap_spark.operators.sketch import quantile_rollup
+
+    rows = quantile_rollup(
+        qdata, ["region", "cls"], "v", probs=(0.5,), grid=101
+    ).collect()
+    leaf = {
+        (r["region"], r["cls"]): r["p5"]
+        for r in rows if r["level"] == "region,cls"
+    }
+    direct = {
+        (r["region"], r["cls"]): r["d"]
+        for r in qdata.groupBy("region", "cls")
+        .agg(F.expr("approx_percentile(v, 0.5, 10000)").alias("d"))
+        .collect()
+    }
+    assert leaf == direct
+
+
+def test_quantile_rollup_validation(spark, qdata):
+    from cosmap_spark.operators.sketch import quantile_rollup
+
+    with pytest.raises(ValueError):
+        quantile_rollup(qdata, ["region"], "v", grid=1)
+    with pytest.raises(ValueError):
+        quantile_rollup(qdata, ["region"], "v", probs=(0.0,))
