@@ -19,7 +19,15 @@ lazy DataFrame transformations — not once per sample.  A node is either
   table in → table out" contract a reference transformation had.  The
   function may raise :class:`BadSampleError` to drop its sample
   (reference task.py:155-157) — the group is then omitted from the
-  output rather than failing the job.
+  output rather than failing the job; or
+* **SQL** (``"sql": "SELECT …"``) — no Python implementation at all:
+  the node's ``needed-data`` and ``dependencies`` are registered as
+  temp views under their kwarg aliases and ``needed-parameters``
+  bind as NAMED query parameters (``:param`` — Spark's parameterized
+  SQL, injection-safe literals, never string splicing).  The view
+  registration is resolved eagerly when ``spark.sql`` builds the
+  plan, so a later node reusing an alias cannot corrupt an earlier
+  node's captured plan.
 """
 
 from __future__ import annotations
@@ -70,7 +78,19 @@ def verify_block(block: dict, implementations: Any) -> None:
     CosmapAnalysis.verify_analysis, src/cosmap/analysis/analysis.py:93-126)."""
     topo_order(block)
     output_node(block)
-    for name in block:
+    for name, spec in block.items():
+        if "sql" in spec:
+            if spec.get("per-sample"):
+                raise DagValidationError(
+                    f"transformation {name!r} cannot be both 'sql' and "
+                    f"'per-sample' (a SQL node has no pandas function)"
+                )
+            if not isinstance(spec["sql"], str) or not spec["sql"].strip():
+                raise DagValidationError(
+                    f"transformation {name!r}: 'sql' must be a non-empty "
+                    f"query string"
+                )
+            continue
         _get_impl(implementations, name)
 
 
@@ -115,6 +135,25 @@ def compile_pipeline(
                     kwargs[p.rsplit(".", 1)[-1]] = resolve_parameter(parameters, p)
                 except DagValidationError:
                     pass  # soft-fail (reference utils.py:208-214)
+            if "sql" in spec:
+                dfs = {
+                    k: v for k, v in kwargs.items()
+                    if isinstance(v, DataFrame)
+                }
+                if not dfs:
+                    raise DagValidationError(
+                        f"sql transformation {name!r} consumes no DataFrame "
+                        f"— declare needed-data or dependencies to query"
+                    )
+                spark = next(iter(dfs.values())).sparkSession
+                for alias, v in dfs.items():
+                    v.createOrReplaceTempView(alias)
+                args = {
+                    k: v for k, v in kwargs.items()
+                    if not isinstance(v, DataFrame)
+                }
+                results[name] = spark.sql(spec["sql"], args=args or None)
+                continue
             fn = _get_impl(implementations, name)
             if spec.get("per-sample"):
                 kwargs_np = {k: v for k, v in kwargs.items() if not isinstance(v, DataFrame)}

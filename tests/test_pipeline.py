@@ -283,3 +283,84 @@ def test_setup_block_exports_parameters():
     }
     params = run_setup_block(block, impls, {"analysis_parameters": {"base": 10}})
     assert params["analysis_parameters"]["threshold"] == 21
+
+
+# --- SQL transformation nodes ---------------------------------------------
+
+
+def test_sql_node_with_views_params_and_deps(spark):
+    """A mixed DAG: native node -> SQL node consuming the dependency as
+    a temp view plus a named :threshold parameter, hash-equal to the
+    DataFrame formulation."""
+    block = {
+        "enrich": {
+            "needed-data": ["catalog"],
+            "is-output": False,
+        },
+        "summarize": {
+            "dependencies": {"enriched": "enrich"},
+            "needed-parameters": ["Thresholds.min_mag"],
+            "sql": (
+                "SELECT bucket, COUNT(*) AS n, "
+                "CAST(ROUND(AVG(mag), 6) AS DOUBLE) AS avg_mag "
+                "FROM enriched WHERE mag >= :min_mag "
+                "GROUP BY bucket ORDER BY bucket"
+            ),
+            "is-output": True,
+        },
+    }
+
+    def enrich(catalog):
+        return catalog.select(
+            (F.col("id") % 4).alias("bucket"),
+            (F.col("id") * 0.5).alias("mag"),
+        )
+
+    cat = spark.range(1_000)
+    run = compile_pipeline(
+        block, {"enrich": enrich},
+        parameters={"Thresholds": {"min_mag": 50.0}},
+    )
+    got = [(r["bucket"], r["n"], r["avg_mag"]) for r in run({"catalog": cat}).collect()]
+    want = [
+        (r["bucket"], r["n"], r["avg_mag"])
+        for r in enrich(cat).where(F.col("mag") >= 50.0)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"),
+             F.round(F.avg("mag"), 6).cast("double").alias("avg_mag"))
+        .orderBy("bucket").collect()
+    ]
+    assert got == want and len(got) == 4
+
+
+def test_sql_node_alias_reuse_does_not_corrupt_earlier_plan(spark):
+    """Two SQL nodes registering the SAME view alias: the first node's
+    captured plan must not change when the second rebinds the alias."""
+    block = {
+        "first": {"needed-data": ["t"], "sql": "SELECT COUNT(*) AS n FROM t",
+                  "is-output": False},
+        "second": {
+            "needed-data": ["u"],
+            "dependencies": {"t": "first"},
+            "sql": "SELECT (SELECT n FROM t) AS prev_n, COUNT(*) AS n FROM u",
+            "is-output": True,
+        },
+    }
+    run = compile_pipeline(block, {})
+    out = run({"t": spark.range(7), "u": spark.range(3)}).collect()
+    assert [(r["prev_n"], r["n"]) for r in out] == [(7, 3)]
+
+
+def test_sql_node_validation(spark):
+    with pytest.raises(DagValidationError):
+        compile_pipeline(
+            {"a": {"sql": "SELECT 1", "per-sample": True, "is-output": True}},
+            {},
+        )
+    with pytest.raises(DagValidationError):
+        compile_pipeline({"a": {"sql": "   ", "is-output": True}}, {})
+    run = compile_pipeline(
+        {"a": {"sql": "SELECT 1 AS x", "is-output": True}}, {}
+    )
+    with pytest.raises(DagValidationError):
+        run({})  # no DataFrame inputs to register
