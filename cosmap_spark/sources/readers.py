@@ -35,6 +35,10 @@ def read_catalog_source(
         df = spark.read.option("header", True).option("inferSchema", True).csv(path)
     elif fmt == "json":
         df = spark.read.json(path)
+    elif fmt == "orc":
+        df = spark.read.orc(path)
+    elif fmt == "text":
+        df = spark.read.text(path)
     else:
         raise ValueError(f"unsupported source format {fmt!r}")
     if columns:

@@ -266,3 +266,25 @@ def test_jsonl_ingest_quarantines_bad_lines(spark, tmp_path):
     assert got[1]["text"] == "hello world"
     assert got[2]["meta"]["url"] == "http://x"
     df.unpersist()
+
+
+def test_catalog_source_formats_roundtrip(spark, tmp_path):
+    """read_catalog_source's format dispatch: parquet/orc column-pruned
+    reads and text line reads all round-trip the written data."""
+    from cosmap_spark.sinks.writers import write_output
+    from cosmap_spark.sources.readers import read_catalog_source
+
+    df = spark.range(100).select(
+        "id", (F.col("id") * 2).alias("v"), F.lit("x").alias("tag")
+    )
+    for fmt in ("parquet", "orc"):
+        p = str(tmp_path / f"cat_{fmt}")
+        write_output(df, p, fmt=fmt)
+        back = read_catalog_source(spark, p, fmt=fmt, columns=["id", "v"])
+        assert back.columns == ["id", "v"]
+        assert back.count() == 100
+        assert back.agg(F.sum("v")).collect()[0][0] == 9900
+    tp = str(tmp_path / "cat_text")
+    df.select(F.concat_ws(",", "id", "v").alias("value")).write.text(tp)
+    lines = read_catalog_source(spark, tp, fmt="text")
+    assert lines.count() == 100 and lines.columns == ["value"]
