@@ -413,3 +413,61 @@ def dedup_stream(stream_docs: DataFrame, store_path: str, out_path: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def sketch_stream(stream_df: DataFrame, store_path: str, checkpoint: str,
+                  *, keys: list[str], col: str, lg_k: int = 12):
+    """Streaming maintenance of a persisted HLL sketch store — live
+    per-key distinct counts over an unbounded stream with BOUNDED
+    state: each micro-batch is sketched (``hll_sketch_agg``), merged
+    into the parquet store via
+    ``operators.sketch.merge_sketch_tables`` (history is touched as
+    O(groups · 2^lg_k) sketch bytes, never re-scanned), and the store
+    is atomically swapped.  Because HLL union is idempotent ONLY
+    across distinct items — not across replayed batches wholesale —
+    exactly-once is provided by an epoch ledger: a replayed epoch id
+    is detected and skipped, so at-least-once foreachBatch delivery
+    still yields exactly-once sketch state.
+
+    Read the live estimates any time with ``spark.read.parquet(store)``
+    + ``hll_sketch_estimate`` (or feed the store to
+    ``distinct_rollup``-style level merges).  Estimates sit within
+    sketch accuracy of the true distinct counts and replays leave the
+    store byte-stable (both asserted in tests/test_streaming.py);
+    merge ORDER may legitimately move a sketch between coupon-exact
+    and dense-register representations, so bit-equality with a
+    one-shot batch sketch is not promised — only the accuracy
+    bound is."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cosmap_spark.operators.sketch import merge_sketch_tables
+
+    def run(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ledger = os.path.join(store_path, "_epochs")
+        done_marker = os.path.join(ledger, f"epoch-{epoch_id}")
+        if os.path.exists(done_marker):
+            return  # replayed epoch: sketch state already includes it
+        batch = batch_df.groupBy(*keys).agg(
+            F.hll_sketch_agg(F.col(col), F.lit(lg_k)).alias("__sk")
+        )
+        store = os.path.join(store_path, "sketches")
+        if os.path.exists(store):
+            from cosmap_spark.sinks.writers import _swap_in
+
+            old = spark.read.parquet(store)
+            _swap_in(store, merge_sketch_tables(old, batch, keys))
+        else:
+            batch.write.mode("overwrite").parquet(store)
+        os.makedirs(ledger, exist_ok=True)
+        with open(done_marker, "w") as f:
+            f.write("ok")
+
+    return (
+        stream_df.writeStream.foreachBatch(run)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -530,3 +530,65 @@ def test_knn_serve_stream_matches_batch(spark, tmp_path):
         for r in knn_lsh(corpus, queries, prebuilt_buckets=index).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_sketch_stream_matches_batch(spark, tmp_path):
+    """Streaming HLL store maintenance: per-key estimates after two
+    micro-batches sit within sketch accuracy of the true distinct
+    counts (merge order may shift the sketch between coupon-exact and
+    dense-register mode, so bit-equality with a one-shot batch sketch
+    is NOT the contract), and replays leave the store untouched."""
+    from cosmap_spark.streaming.ops import sketch_stream
+
+    land = tmp_path / "ev_landing"
+    rows = spark.range(20_000).select(
+        (F.col("id") % 4).alias("grp"), (F.col("id") % 3_000).alias("uid")
+    )
+    rows.where(F.col("uid") % 2 == 0).coalesce(1).write.parquet(
+        str(land), mode="append"
+    )
+    rows.where(F.col("uid") % 2 == 1).coalesce(1).write.parquet(
+        str(land), mode="append"
+    )
+    stream = (
+        spark.readStream.schema("grp long, uid long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    store = tmp_path / "hll_store"
+    q = sketch_stream(
+        stream, str(store), str(tmp_path / "hll_ckpt"),
+        keys=["grp"], col="uid",
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r["grp"]: r["ndv"]
+        for r in spark.read.parquet(str(store / "sketches"))
+        .select("grp", F.hll_sketch_estimate("__sk").alias("ndv"))
+        .collect()
+    }
+    exact = {
+        r["grp"]: r["n"]
+        for r in rows.groupBy("grp")
+        .agg(F.countDistinct("uid").alias("n")).collect()
+    }
+    assert len(got) == 4
+    for g, n in exact.items():
+        assert got[g] == pytest.approx(n, rel=0.03), g
+    # epoch ledger makes replays no-ops: re-running the same batch
+    # directly through the store must not change the estimates
+    import cosmap_spark.streaming.ops as ops
+    q2 = sketch_stream(
+        (spark.readStream.schema("grp long, uid long")
+         .option("maxFilesPerTrigger", 1).parquet(str(land))),
+        str(store), str(tmp_path / "hll_ckpt2"), keys=["grp"], col="uid",
+    )
+    q2.awaitTermination(180)
+    got2 = {
+        r["grp"]: r["ndv"]
+        for r in spark.read.parquet(str(store / "sketches"))
+        .select("grp", F.hll_sketch_estimate("__sk").alias("ndv"))
+        .collect()
+    }
+    assert got2 == got
