@@ -229,11 +229,18 @@ def q_dedup_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
       hamming_pairs — is the one a real image corpus uses); all 500
       documents are pairwise-distinct at sf ≤ 0.1, so 40 exact-copy
       blobs are planted (``doc_id + 1_000_000``) to give the branch a
-      real pair set; score = Hamming distance.
+      real pair set; score = Hamming distance;
+    * ``edit`` — q-gram filtered edit-distance join (operators/
+      dedup.py::edit_distance_pairs, Gravano et al. VLDB'01 shape:
+      shared-gram candidates + length filter + thresholded JVM
+      levenshtein verify) over the documents' 48-char prefixes, with
+      40 planted one-substitution twins (``doc_id + 2_000_000``) —
+      the i.i.d. prefixes have no organic near-pairs; score = exact
+      edit distance.
 
     Rows-only check (signatures/centroids are hash-specific); recall vs
     the exact pairs is unit-tested (tests/test_dedup_knn.py,
-    tests/test_phash.py)."""
+    tests/test_phash.py, tests/test_editdist.py)."""
     docs = load_table(spark, sf_dir, "documents")
     mh = minhash_lsh_pairs(
         docs, k=3, num_hashes=32, bands=8, threshold=_NGRAM_THRESHOLD,
@@ -270,7 +277,27 @@ def q_dedup_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b",
         F.col("hamming").cast("double").alias("score"),
     )
-    return mh.unionByName(sh).unionByName(sem).unionByName(ph)
+    from cosmap_spark.operators.dedup import edit_distance_pairs
+
+    prefixes = docs.select(
+        "doc_id", F.substring("text", 1, 48).alias("prefix")
+    )
+    typo_twins = prefixes.where(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.lit("z"), F.substring("prefix", 2, 47)).alias("prefix"),
+    )
+    ed = edit_distance_pairs(
+        prefixes.unionByName(typo_twins),
+        text_col="prefix", max_dist=1, q=4, max_gram_df=100,
+    ).select(
+        F.lit("edit").alias("method"),
+        "id_a", "id_b",
+        F.col("dist").cast("double").alias("score"),
+    )
+    return (
+        mh.unionByName(sh).unionByName(sem)
+        .unionByName(ph).unionByName(ed)
+    )
 
 
 # --- Similarity search ----------------------------------------------------
