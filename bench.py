@@ -22,7 +22,10 @@ measurements, not double-counted).
 ``knn_ann_split`` separates q_knn_ann's one-time index training
 (ivf_build + pq_train) from the serving path (the union re-run against
 prebuilt artifacts) — the serve number is the decision-relevant
-throughput of a persisted index.
+throughput of a persisted index.  The tsearch branch is excluded from
+the split (tsearch=False): it has no trainable artifact, so including
+it would blur the persisted-index signal the split exists to isolate
+(its cost is visible in the headline q_knn_ann number).
 
 ``scaling`` times the scale-sensitive queries on replicated-but-
 DECORRELATED copies of the sf0.1 documents/embeddings (per-replica
@@ -258,7 +261,7 @@ def main() -> None:
         t0 = time.perf_counter()
         knn_ann_union(
             spark, sf_dir, index=index, codebooks=books,
-            lsh_index=lsh_idx, coded=coded,
+            lsh_index=lsh_idx, coded=coded, tsearch=False,
         ).count()
         serve_t = min(serve_t, time.perf_counter() - t0)
     split = {"train": round(train_t, 3), "serve": round(serve_t, 3)}

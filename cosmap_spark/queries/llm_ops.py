@@ -364,6 +364,7 @@ def knn_ann_union(
     codebooks=None,
     lsh_index=None,
     coded=None,
+    tsearch: bool = True,
 ) -> DataFrame:
     """The q_knn_ann plan, with the trained/derived artifacts
     injectable: ``index`` an ``ivf_build`` result, ``codebooks`` a
@@ -406,10 +407,13 @@ def knn_ann_union(
         F.lit("ivfpq").alias("method"), "qid", "nid",
         (-F.col("dist")).alias("score"), "rn",
     )
-    return (
-        lsh.unionByName(ivf).unionByName(ivfpq)
-        .unionByName(_tsearch_branch(spark, sf_dir))
-    )
+    out = lsh.unionByName(ivf).unionByName(ivfpq)
+    if tsearch:
+        # no trainable artifact: bench's train/serve split passes
+        # tsearch=False so the serve number isolates the
+        # persisted-ANN-index path this function exists to measure
+        out = out.unionByName(_tsearch_branch(spark, sf_dir))
+    return out
 
 
 #: fixed z-shape probes for the ``tsearch`` branch: a spike and a ramp
