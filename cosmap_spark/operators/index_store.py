@@ -1,0 +1,146 @@
+"""Persist / reload / incrementally extend the ANN index artifacts.
+
+The train-once/serve-many split (`bench.py`'s ``knn_ann_split``)
+holds artifacts in memory via ``localCheckpoint``; a real deployment
+persists them.  This module is that persistence: every artifact the
+serving path consumes — IVF centroids + inverted lists, PQ codebooks +
+coded corpus, LSH corpus buckets — lands as parquet under one index
+directory, and ``load_ann_index`` rebuilds exactly the keyword
+arguments ``queries.llm_ops.knn_ann_union`` (and the underlying
+``knn_ivf`` / ``knn_ivfpq`` / ``knn_lsh``) accept.  A manifest file
+records which components and structural parameters the index carries,
+so a serving session can refuse a mismatched probe configuration
+loudly instead of returning silently wrong neighbors.
+
+``ivf_append`` is the incremental path: new vectors are ASSIGNED to
+the existing (frozen) centroids and unioned into the inverted lists —
+one bounded Arrow pass over the new batch only, the standard
+serve-time index maintenance (periodic retrain handles centroid
+drift; the append never touches history).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def save_ann_index(
+    path: str,
+    *,
+    index=None,
+    codebooks=None,
+    lsh_index: DataFrame | None = None,
+    coded: DataFrame | None = None,
+) -> None:
+    """Write the given artifacts under ``path`` (parquet + manifest).
+    ``index`` is an ``ivf_build`` result ``(centroids, assigned)``;
+    ``codebooks`` a ``pq_train`` nested list; ``lsh_index`` an
+    ``lsh_build`` DataFrame; ``coded`` a ``pq_encode`` DataFrame."""
+    manifest: dict = {"components": []}
+    spark = None
+    if index is not None:
+        cents, assigned = index
+        spark = assigned.sparkSession
+        spark.createDataFrame(
+            [(int(cid), [float(x) for x in vec]) for cid, vec in cents],
+            "cid INT, cvec ARRAY<DOUBLE>",
+        ).write.mode("overwrite").parquet(os.path.join(path, "ivf_centroids"))
+        assigned.write.mode("overwrite").parquet(
+            os.path.join(path, "ivf_assigned")
+        )
+        manifest["components"].append("ivf")
+        manifest["nlist"] = len(cents)
+    if codebooks is not None:
+        rows = [
+            (s, c, [float(x) for x in codebooks[s][c]])
+            for s in range(len(codebooks))
+            for c in range(len(codebooks[s]))
+        ]
+        spark = spark or _require_session(lsh_index, coded)
+        spark.createDataFrame(
+            rows, "s INT, code INT, vals ARRAY<DOUBLE>"
+        ).write.mode("overwrite").parquet(os.path.join(path, "pq_codebooks"))
+        manifest["components"].append("pq")
+        manifest["m"] = len(codebooks)
+        manifest["ksub"] = len(codebooks[0])
+    if coded is not None:
+        coded.write.mode("overwrite").parquet(os.path.join(path, "pq_coded"))
+        manifest["components"].append("coded")
+    if lsh_index is not None:
+        lsh_index.write.mode("overwrite").parquet(
+            os.path.join(path, "lsh_buckets")
+        )
+        manifest["components"].append("lsh")
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+
+
+def _require_session(*dfs) -> SparkSession:
+    for df in dfs:
+        if df is not None:
+            return df.sparkSession
+    return SparkSession.getActiveSession()
+
+
+def load_ann_index(spark: SparkSession, path: str) -> dict:
+    """Reload a ``save_ann_index`` directory.  Returns a dict whose
+    keys mirror ``knn_ann_union``'s keyword arguments — pass it
+    through as ``knn_ann_union(spark, sf_dir, **loaded)``; components
+    absent from the manifest are simply missing from the dict (the
+    consumer then retrains or rejects).  Loaded serve results are
+    asserted row-identical to in-memory artifacts in
+    tests/test_index_store.py."""
+    with open(os.path.join(path, "manifest.json")) as f:
+        manifest = json.load(f)
+    out: dict = {}
+    if "ivf" in manifest["components"]:
+        cents = [
+            (r["cid"], list(r["cvec"]))
+            for r in spark.read.parquet(os.path.join(path, "ivf_centroids"))
+            .orderBy("cid")
+            .collect()
+        ]
+        assigned = spark.read.parquet(os.path.join(path, "ivf_assigned"))
+        out["index"] = (cents, assigned)
+    if "pq" in manifest["components"]:
+        rows = spark.read.parquet(
+            os.path.join(path, "pq_codebooks")
+        ).collect()
+        m, ksub = manifest["m"], manifest["ksub"]
+        books = [[None] * ksub for _ in range(m)]
+        for r in rows:
+            books[r["s"]][r["code"]] = list(r["vals"])
+        out["codebooks"] = books
+    if "coded" in manifest["components"]:
+        out["coded"] = spark.read.parquet(os.path.join(path, "pq_coded"))
+    if "lsh" in manifest["components"]:
+        out["lsh_index"] = spark.read.parquet(
+            os.path.join(path, "lsh_buckets")
+        )
+    return out
+
+
+def ivf_append(
+    index,
+    new_vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Assign a batch of NEW vectors to the existing (frozen) IVF
+    centroids and union them into the inverted lists — the incremental
+    index-maintenance path: one Arrow assignment pass over the new
+    batch, history untouched, centroids unchanged (periodic retrain
+    handles drift).  Returns the updated ``(centroids, assigned)``."""
+    from cosmap_spark.operators.knn import ivf_assign
+
+    cents, assigned = index
+    fresh = ivf_assign(new_vectors, cents, id_col=id_col, vec_col=vec_col)
+    return cents, assigned.select("nid", "nvec", "cid").unionByName(
+        fresh.select("nid", "nvec", "cid")
+    )

@@ -1,0 +1,90 @@
+"""ANN index persistence: save → load → serve is row-identical to
+serving from in-memory artifacts; ivf_append equals assign-at-build
+for the same centroids; manifest records components/params."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from cosmap_spark.operators.index_store import (
+    ivf_append,
+    load_ann_index,
+    save_ann_index,
+)
+from cosmap_spark.operators.knn import ivf_build, lsh_build
+from cosmap_spark.operators.pq import pq_encode, pq_train
+from cosmap_spark.queries.llm_ops import knn_ann_union
+from cosmap_spark.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(
+        (r["method"], r["qid"], r["nid"], r["score"], r["rn"])
+        for r in df.collect()
+    )
+
+
+def test_save_load_serve_identical(spark, tmp_path):
+    emb = load_table(spark, SF, "embeddings")
+    cents, assigned = ivf_build(emb, nlist=16, iters=1)
+    assigned = assigned.localCheckpoint(eager=True)
+    books = pq_train(emb, m=16, ksub=64, iters=1, dim=64)
+    coded = pq_encode(
+        assigned, books, id_col="nid", vec_col="nvec", keep=["cid"]
+    ).localCheckpoint(eager=True)
+    lsh_idx = lsh_build(emb, dim=64).localCheckpoint(eager=True)
+
+    p = str(tmp_path / "index")
+    save_ann_index(
+        p, index=(cents, assigned), codebooks=books,
+        lsh_index=lsh_idx, coded=coded,
+    )
+    loaded = load_ann_index(spark, p)
+    assert set(loaded) == {"index", "codebooks", "lsh_index", "coded"}
+    assert loaded["codebooks"] == [[list(map(float, c)) for c in s] for s in books]
+    # ivf_build returns centroids in collect order; identity is the
+    # cid→vector mapping, not the list order
+    assert dict(loaded["index"][0]) == {
+        c: list(map(float, v)) for c, v in cents
+    }
+
+    mem = knn_ann_union(
+        spark, SF, index=(cents, assigned), codebooks=books,
+        lsh_index=lsh_idx, coded=coded, tsearch=False,
+    )
+    disk = knn_ann_union(spark, SF, tsearch=False, **loaded)
+    assert _rows(mem) == _rows(disk) and mem.count() > 0
+
+    manifest = json.load(open(p + "/manifest.json"))
+    assert manifest["nlist"] == 16 and manifest["m"] == 16
+    assert manifest["ksub"] == 64
+
+
+def test_partial_save_round_trips(spark, tmp_path):
+    emb = load_table(spark, SF, "embeddings")
+    p = str(tmp_path / "lsh_only")
+    save_ann_index(p, lsh_index=lsh_build(emb, dim=64))
+    loaded = load_ann_index(spark, p)
+    assert set(loaded) == {"lsh_index"}
+    assert loaded["lsh_index"].count() == lsh_build(emb, dim=64).count()
+
+
+def test_ivf_append_matches_full_assign(spark, tmp_path):
+    from cosmap_spark.operators.knn import ivf_assign
+
+    emb = load_table(spark, SF, "embeddings")
+    old = emb.where(F.col("vec_id") % 5 != 0)
+    new = emb.where(F.col("vec_id") % 5 == 0)
+    cents, assigned_old = ivf_build(old, nlist=8, iters=1)
+    cents2, appended = ivf_append((cents, assigned_old), new)
+    assert cents2 == cents  # frozen centroids
+    want = {
+        (r["nid"], r["cid"])
+        for r in ivf_assign(emb, cents).collect()
+    }
+    got = {(r["nid"], r["cid"]) for r in appended.collect()}
+    assert got == want
