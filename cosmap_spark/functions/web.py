@@ -45,9 +45,11 @@ def canonical_url(url: Column) -> Column:
     scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     host = _host(url)
     path = F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit(""))
-    # strip ONE trailing slash; the bare root "/" collapses to no path
-    # so example.com and example.com/ share a key
-    path = F.regexp_replace(path, "/$", "")
+    # strip ALL trailing slashes (a single-slash strip is not
+    # idempotent on "//" paths — found by the hypothesis test); the
+    # bare root collapses to no path so example.com and example.com/
+    # share a key
+    path = F.regexp_replace(path, "/+$", "")
     query = F.coalesce(F.try_parse_url(url, F.lit("QUERY")), F.lit(""))
     kept = F.array_join(
         F.sort_array(

@@ -258,3 +258,106 @@ def test_unit_conversion_is_linear_and_dimension_checked(v, unit):
         if other != dim:
             with _pytest.raises(ValueError):
                 quantity_to({"value": v, "units": unit}, other)
+
+
+# --- subsequence search: z-norm affine invariance -------------------------
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-50, max_value=50,
+                  allow_nan=False, allow_infinity=False),
+        min_size=25, max_size=40,
+    ),
+    st.floats(min_value=0.1, max_value=20),
+    st.floats(min_value=-100, max_value=100),
+)
+@settings(max_examples=15, deadline=None)
+def test_znorm_subsequence_affine_invariant(spark, series, a, b):
+    """z-normalized matching is invariant under per-key affine maps
+    x → a·x + b (a > 0): same winning starts, same distances (to
+    float tolerance) — the property that makes z-norm the right
+    metric for sensors with different gains/offsets."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from cosmap_spark.operators.tseries import subsequence_search
+
+    q = [0.0, 1.0, 3.0, 1.0, 0.0]
+    df = spark.createDataFrame(
+        [(0, t, float(v)) for t, v in enumerate(series)],
+        "k long, t long, v double",
+    )
+    scaled = df.select("k", "t", (F.col("v") * a + b).alias("v"))
+    base = subsequence_search(
+        df, q, key_col="k", order_col="t", val_col="v", k=5
+    ).collect()
+    trans = subsequence_search(
+        scaled, q, key_col="k", order_col="t", val_col="v", k=5
+    ).collect()
+    assert [r["start"] for r in base] == [r["start"] for r in trans]
+    for x, y in zip(base, trans):
+        assert math.isclose(x["dist"], y["dist"], rel_tol=1e-6, abs_tol=1e-6)
+
+
+# --- canonical_url: idempotence -------------------------------------------
+
+
+_url_part = st.text(alphabet="abcXYZ019", min_size=1, max_size=6)
+
+
+@st.composite
+def random_url(draw):
+    scheme = draw(st.sampled_from(["http", "HTTP", "https"]))
+    host = ".".join(draw(st.lists(_url_part, min_size=1, max_size=3)))
+    path = "/".join(draw(st.lists(_url_part, max_size=3)))
+    params = draw(
+        st.lists(
+            st.sampled_from(
+                ["a=1", "b=2", "utm_source=x", "fbclid=9", "z=0"]
+            ),
+            max_size=4,
+        )
+    )
+    trail = draw(st.sampled_from(["", "/"]))
+    frag = draw(st.sampled_from(["", "#sec"]))
+    url = f"{scheme}://{host}/{path}{trail}"
+    if params:
+        url += "?" + "&".join(params)
+    return url + frag
+
+
+@given(st.lists(random_url(), min_size=1, max_size=8))
+@settings(max_examples=15, deadline=None)
+def test_canonical_url_idempotent(spark, urls):
+    from pyspark.sql import functions as F
+
+    from cosmap_spark.functions.web import canonical_url
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = df.select(canonical_url(F.col("url")).alias("c"))
+    twice = once.select(canonical_url(F.col("c")).alias("c"))
+    assert [r["c"] for r in once.collect()] == [
+        r["c"] for r in twice.collect()
+    ]
+
+
+# --- quantile rollup: order statistics are monotone in p ------------------
+
+
+@given(st.integers(min_value=0, max_value=2**31 - 1))
+@settings(max_examples=5, deadline=None)
+def test_quantile_rollup_monotone(spark, seed):
+    from pyspark.sql import functions as F
+
+    from cosmap_spark.operators.sketch import quantile_rollup
+
+    df = spark.range(4_000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.sin(F.col("id") * F.lit(float(seed % 97 + 1))).alias("v"),
+    )
+    rows = quantile_rollup(df, ["g"], "v", probs=(0.25, 0.5, 0.9)).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["p25"] <= r["p5"] <= r["p9"], r
