@@ -1,0 +1,107 @@
+"""Corpus snapshot diff — what changed between two versions of a
+keyed table (yesterday's crawl vs today's, pre- vs post-cleaning).
+
+One keyed full-outer join decides everything: ``added`` (key only in
+new), ``removed`` (key only in old), ``changed`` (both sides, content
+hash differs).  Content identity is a deterministic map-side hash of
+the compared columns (sorted by name, ``to_json`` of a struct — null
+vs absent field distinction preserved), so the join carries two
+32-byte hashes per row, never the payload columns.  ``unchanged``
+rows are EXCLUDED by default — at 100 TB the interesting output is
+the delta (typically ≪ 1% of keys), and materializing the unchanged
+99% would dwarf it.
+
+Duplicate keys on either side are rejected loudly (a diff keyed on a
+non-key silently degrades into a many-to-many join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _content_hash(df: DataFrame, id_col: str, cols: list[str]):
+    return F.md5(F.to_json(F.struct(*[F.col(c) for c in sorted(cols)])))
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    compare_cols: list[str] | None = None,
+    include_unchanged: bool = False,
+    check_unique: bool = True,
+) -> DataFrame:
+    """``[id_col, status]`` with status ∈ added / removed / changed
+    (+ unchanged when ``include_unchanged``).  ``compare_cols``
+    defaults to the non-key columns present on BOTH sides; columns
+    only one side has are ignored (schema evolution is not content
+    change — diff them explicitly if it matters).
+
+    ``check_unique`` (default on) fails fast if either side repeats a
+    key; pass ``False`` only when uniqueness is already enforced
+    upstream and the extra aggregation pass matters."""
+    shared = [
+        c for c in old.columns if c in set(new.columns) and c != id_col
+    ]
+    cols = compare_cols if compare_cols is not None else shared
+    if not cols:
+        raise ValueError("no columns to compare")
+    missing = [
+        c for c in cols if c not in old.columns or c not in new.columns
+    ]
+    if missing:
+        raise ValueError(f"compare_cols absent from a side: {missing}")
+
+    def keyed(df: DataFrame, tag: str) -> DataFrame:
+        k = df.select(
+            F.col(id_col).alias(f"__id_{tag}"),
+            _content_hash(df, id_col, cols).alias(f"__h_{tag}"),
+        )
+        if check_unique:
+            # loud duplicate detection without a second scan of the
+            # payload: count per key over the (id, hash) projection
+            from pyspark.sql import Window as W
+
+            k = k.withColumn(
+                "__n", F.count("*").over(W.partitionBy(f"__id_{tag}"))
+            )
+            k = k.withColumn(
+                f"__id_{tag}",
+                F.when(F.col("__n") == 1, F.col(f"__id_{tag}")).otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit(f"corpus_diff: duplicate {id_col} on "
+                                  f"{tag} side: "),
+                            F.col(f"__id_{tag}").cast("string"),
+                        )
+                    )
+                ),
+            ).drop("__n")
+        return k
+
+    o, n = keyed(old, "old"), keyed(new, "new")
+    joined = o.join(
+        n, o["__id_old"] == n["__id_new"], "full_outer"
+    )
+    status = (
+        F.when(F.col("__id_old").isNull(), F.lit("added"))
+        .when(F.col("__id_new").isNull(), F.lit("removed"))
+        .when(F.col("__h_old") != F.col("__h_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = joined.select(
+        F.coalesce(F.col("__id_new"), F.col("__id_old")).alias(id_col),
+        status.alias("status"),
+    )
+    if not include_unchanged:
+        out = out.where(F.col("status") != "unchanged")
+    return out
+
+
+def diff_summary(diff: DataFrame) -> DataFrame:
+    """``[status, n]`` counts — run on a ``corpus_diff`` result (pass
+    ``include_unchanged=True`` there if the unchanged count matters)."""
+    return diff.groupBy("status").agg(F.count("*").alias("n"))

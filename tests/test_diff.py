@@ -1,0 +1,107 @@
+"""Corpus diff: status correctness, column scoping, duplicate-key
+loudness, delta-only default, and the hash-only join shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cosmap_spark.operators.diff import corpus_diff, diff_summary
+
+
+@pytest.fixture(scope="module")
+def snapshots(spark):
+    old = spark.createDataFrame(
+        [(i, f"text {i}", "en") for i in range(100)],
+        "doc_id long, text string, lang string",
+    )
+    # drop 0-9, change 10-19's text, change 20-24's lang only, add 100-114
+    new = spark.createDataFrame(
+        [
+            (i, f"text {i} v2" if 10 <= i < 20 else f"text {i}",
+             "de" if 20 <= i < 25 else "en")
+            for i in range(10, 100)
+        ]
+        + [(i, f"new {i}", "en") for i in range(100, 115)],
+        "doc_id long, text string, lang string",
+    )
+    return old.cache(), new.cache()
+
+
+def test_statuses(spark, snapshots):
+    old, new = snapshots
+    got = {
+        r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()
+    }
+    assert all(got[i] == "removed" for i in range(10))
+    assert all(got[i] == "changed" for i in range(10, 25))
+    assert all(got[i] == "added" for i in range(100, 115))
+    assert 30 not in got  # unchanged excluded by default
+    assert len(got) == 40
+    summary = {
+        r["status"]: r["n"]
+        for r in diff_summary(
+            corpus_diff(old, new, include_unchanged=True)
+        ).collect()
+    }
+    assert summary == {
+        "removed": 10, "changed": 15, "added": 15, "unchanged": 75,
+    }
+
+
+def test_compare_cols_scoping(spark, snapshots):
+    old, new = snapshots
+    got = {
+        r["doc_id"]: r["status"]
+        for r in corpus_diff(old, new, compare_cols=["text"]).collect()
+    }
+    # lang-only changes (20-24) are invisible when only text is compared
+    assert all(got[i] == "changed" for i in range(10, 20))
+    assert all(i not in got for i in range(20, 25))
+
+
+def test_ignores_one_sided_columns(spark, snapshots):
+    old, new = snapshots
+    with_extra = new.withColumn("crawl_ts", F.lit("2026-08-14"))
+    got = {
+        r["doc_id"]: r["status"]
+        for r in corpus_diff(old, with_extra).collect()
+    }
+    assert all(i not in got for i in range(25, 100))  # still unchanged
+
+
+def test_duplicate_keys_raise(spark, snapshots):
+    old, new = snapshots
+    dup = new.unionByName(new.where(F.col("doc_id") == 50))
+    with pytest.raises(Exception, match="duplicate"):
+        corpus_diff(old, dup).collect()
+    # check_unique=False skips the guard (documented escape hatch)
+    corpus_diff(old, dup, check_unique=False).collect()
+
+
+def test_no_payload_in_join(spark, snapshots):
+    """The join carries (id, hash) only — no text/lang columns cross
+    the exchange — and never degrades to a nested loop."""
+    from cosmap_spark.operators.report import plan_summary
+
+    old, new = snapshots
+    df = corpus_diff(old, new)
+    s = plan_summary(df)
+    assert s["nested_loop_joins"] == 0 and s["cartesian_products"] == 0
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    import re
+
+    joins = [ln for ln in plan.splitlines() if "Join" in ln]
+    assert joins and all(
+        not re.search(r"\btext\b|\blang\b", ln) for ln in joins
+    )
+
+
+def test_validation(spark, snapshots):
+    old, new = snapshots
+    with pytest.raises(ValueError):
+        corpus_diff(old.select("doc_id"), new.select("doc_id"))
+    with pytest.raises(ValueError):
+        corpus_diff(old, new, compare_cols=["ghost"])
