@@ -202,6 +202,90 @@ def scrub_pii(text: Column) -> Column:
     return F.regexp_replace(scrubbed, r"\d{9,}", "<NUM>")
 
 
+def luhn_valid(digits: Column) -> Column:
+    """True iff the digit string passes the Luhn mod-10 checksum — the
+    precision filter that separates payment-card numbers from ordinary
+    long digit runs (ids, timestamps, phone numbers fail it 90% of the
+    time by construction).  Pure higher-order functions: reverse the
+    digits once, then one ``aggregate`` fold doubling every second
+    digit (−9 past 9).  NULL/empty/non-digit input → false."""
+    ds = F.split(F.reverse(digits), "")
+    total = F.aggregate(
+        F.zip_with(
+            ds,
+            F.sequence(F.lit(0), F.size(ds) - 1),
+            lambda d, i: F.when(
+                i % 2 == 0, d.cast("int")
+            ).otherwise(
+                F.when(d.cast("int") * 2 > 9, d.cast("int") * 2 - 9)
+                .otherwise(d.cast("int") * 2)
+            ),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        digits.isNotNull()
+        & digits.rlike("^[0-9]{12,19}$")
+        & (total % 10 == 0)
+    )
+
+
+def _luhn_ok(d: Column) -> Column:
+    """Luhn fold over a pure-digit string column (internal — callers
+    guarantee the rlike)."""
+    return (
+        F.aggregate(
+            F.zip_with(
+                F.split(F.reverse(d), ""),
+                F.sequence(F.lit(0), F.length(d) - 1),
+                lambda x, i: F.when(i % 2 == 0, x.cast("int")).otherwise(
+                    F.when(x.cast("int") * 2 > 9, x.cast("int") * 2 - 9)
+                    .otherwise(x.cast("int") * 2)
+                ),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        % 10
+        == 0
+    )
+
+
+def find_card_numbers(text: Column) -> Column:
+    """Array of Luhn-VALID card-shaped spans (13-19 digits, optional
+    space/dash group separators) AS THEY APPEAR in ``text`` —
+    candidates via one ``regexp_extract_all``, each verified by the
+    checksum on its separator-stripped form.  The two-stage shape
+    (cheap syntactic candidates → exact verify) is the same discipline
+    as the dedup joins, at expression scale."""
+    cands = F.regexp_extract_all(
+        text, F.lit(r"(?<![0-9])(?:\d[ -]?){12,18}\d(?![0-9])"), F.lit(0)
+    )
+    return F.filter(
+        cands,
+        lambda span: (
+            lambda d: d.rlike("^[0-9]{13,19}$") & _luhn_ok(d)
+        )(F.regexp_replace(span, "[ -]", "")),
+    )
+
+
+def scrub_pii_strict(text: Column) -> Column:
+    """:func:`scrub_pii` plus checksum-verified card redaction: every
+    Luhn-valid card-shaped span becomes ``<CARD>`` BEFORE the generic
+    passes run (so the email/digit-run rules don't half-eat it) —
+    replacement is a LITERAL ``replace`` per verified span, no regex
+    rebuild.  Kept separate from ``scrub_pii`` — which the
+    hash-checked ledger query uses — so that oracle contract stays
+    byte-stable."""
+    redacted = F.aggregate(
+        find_card_numbers(text),
+        text,
+        lambda acc, span: F.replace(acc, span, F.lit("<CARD>")),
+    )
+    return scrub_pii(redacted)
+
+
 def repetition_ratio(text: Column, k: int = 3) -> Column:
     """Fraction of k-gram occurrences belonging to the most frequent
     k-gram (Gopher-style repetition filter, Rae et al. 2021 §A1.1):

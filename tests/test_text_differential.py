@@ -191,3 +191,60 @@ def test_script_profile_differential(docs, docs_df):
         best = max(counts.values())
         want_dom = min(k for k, v in counts.items() if v == best)
         assert s["dominant_script"] == want_dom, (i, text[:60])
+
+
+# --- Luhn-verified card detection (functions/text.py) ---------------------
+
+
+def test_luhn_valid_against_reference(spark):
+    """Differential vs a pure-Python Luhn over random digit strings
+    (valid strings planted by checksum construction)."""
+    import numpy as np
+
+    from cosmap_spark.functions.text import luhn_valid
+
+    def py_luhn(d):
+        if not (d.isdigit() and 12 <= len(d) <= 19):
+            return False
+        tot = 0
+        for i, ch in enumerate(reversed(d)):
+            v = int(ch)
+            if i % 2 == 1:
+                v *= 2
+                if v > 9:
+                    v -= 9
+            tot += v
+        return tot % 10 == 0
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for _ in range(60):
+        body = "".join(str(x) for x in rng.integers(0, 10, 15))
+        # plant the valid variant: pick the check digit that closes it
+        for cd in range(10):
+            if py_luhn(body + str(cd)):
+                rows.append(body + str(cd))
+                break
+        rows.append(body + str(rng.integers(0, 10)))
+    rows += ["", "abc", "123", "4532015112830366"]
+    df = spark.createDataFrame([(r,) for r in rows], "d string")
+    got = {r["d"]: r["ok"] for r in df.select(
+        "d", luhn_valid(F.col("d")).alias("ok")).collect()}
+    for d in rows:
+        assert got[d] == py_luhn(d), d
+
+
+def test_scrub_pii_strict_redacts_only_valid_cards(spark):
+    from cosmap_spark.functions.text import scrub_pii_strict
+
+    df = spark.createDataFrame(
+        [
+            ("card 4532 0151 1283 0366 mail a@b.co run 1234567890123",),
+            ("invalid 4532-0151-1283-0367 only",),
+        ],
+        "text string",
+    )
+    got = [r["s"] for r in df.select(
+        scrub_pii_strict(F.col("text")).alias("s")).collect()]
+    assert got[0] == "card <CARD> mail <EMAIL> run <NUM>"
+    assert "<CARD>" not in got[1]  # checksum-invalid span untouched
