@@ -243,3 +243,122 @@ def skew_report(
             for r in heavy
         ],
     }
+
+
+def pair_metrics(
+    candidates: DataFrame,
+    truth: DataFrame,
+    *,
+    id_cols: tuple[str, str] = ("id_a", "id_b"),
+) -> DataFrame:
+    """One-row ``[n_candidates, n_truth, tp, fp, fn, precision,
+    recall, f1]`` for a pair-emitting operator against ground truth —
+    the tuning loop for every approximate dedup path (MinHash bands,
+    SimHash chunks, SemDeDup thresholds...).
+
+    Pairs on both sides are canonicalized to (min, max) id order and
+    deduplicated first, so callers may emit either orientation.  Cost:
+    two tiny aggregations + one equi-join on the pair key — both
+    inputs are PAIR sets (operator output), never the corpus."""
+    a, b = id_cols
+
+    def canon(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.least(F.col(a), F.col(b)).alias("u"),
+            F.greatest(F.col(a), F.col(b)).alias("v"),
+        ).distinct()
+
+    c, t = canon(candidates), canon(truth)
+    tp = c.join(t, ["u", "v"]).count()
+    n_c, n_t = c.count(), t.count()
+    fp, fn = n_c - tp, n_t - tp
+    prec = tp / n_c if n_c else 0.0
+    rec = tp / n_t if n_t else 0.0
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+    spark = candidates.sparkSession
+    return spark.createDataFrame(
+        [(n_c, n_t, tp, fp, fn, round(prec, 6), round(rec, 6),
+          round(f1, 6))],
+        "n_candidates LONG, n_truth LONG, tp LONG, fp LONG, fn LONG, "
+        "precision DOUBLE, recall DOUBLE, f1 DOUBLE",
+    )
+
+
+def threshold_sweep(
+    scored_pairs: DataFrame,
+    truth: DataFrame,
+    thresholds: list[float],
+    *,
+    score_col: str = "score",
+    id_cols: tuple[str, str] = ("id_a", "id_b"),
+    higher_is_better: bool = True,
+) -> DataFrame:
+    """Precision/recall/F1 at EVERY cut-off in ONE pass over the
+    scored pairs: each candidate is truth-flagged by one left join,
+    then every threshold is a pair of conditional sums inside a single
+    aggregate (the expectations-validator discipline — no per-
+    threshold re-scan).  Returns ``[threshold, kept, tp, precision,
+    recall, f1]`` ordered by threshold."""
+    if not thresholds:
+        raise ValueError("need at least one threshold")
+    a, b = id_cols
+    t = truth.select(
+        F.least(F.col(a), F.col(b)).alias("u"),
+        F.greatest(F.col(a), F.col(b)).alias("v"),
+    ).distinct()
+    n_truth = t.count()
+    flagged = (
+        scored_pairs.select(
+            F.least(F.col(a), F.col(b)).alias("u"),
+            F.greatest(F.col(a), F.col(b)).alias("v"),
+            F.col(score_col).alias("__s"),
+        )
+        .join(t.withColumn("__t", F.lit(True)), ["u", "v"], "left")
+        .withColumn("__t", F.coalesce(F.col("__t"), F.lit(False)))
+    )
+    keep = (
+        (lambda th: F.col("__s") >= th)
+        if higher_is_better
+        else (lambda th: F.col("__s") <= th)
+    )
+    agg = flagged.agg(
+        *[
+            x
+            for i, th in enumerate(thresholds)
+            for x in (
+                F.sum(keep(th).cast("long")).alias(f"__k_{i}"),
+                F.sum((keep(th) & F.col("__t")).cast("long")).alias(
+                    f"__tp_{i}"
+                ),
+            )
+        ]
+    )
+    per = F.array(
+        *[
+            F.struct(
+                F.lit(float(th)).alias("threshold"),
+                F.col(f"__k_{i}").alias("kept"),
+                F.col(f"__tp_{i}").alias("tp"),
+            )
+            for i, th in enumerate(thresholds)
+        ]
+    )
+    prec = F.when(
+        F.col("__r.kept") > 0, F.col("__r.tp") / F.col("__r.kept")
+    ).otherwise(0.0)
+    rec = (F.col("__r.tp") / F.lit(n_truth)) if n_truth else F.lit(0.0)
+    f1 = F.when(
+        (prec + rec) > 0, 2 * prec * rec / (prec + rec)
+    ).otherwise(0.0)
+    return (
+        agg.select(F.explode(per).alias("__r"))
+        .select(
+            F.col("__r.threshold").alias("threshold"),
+            F.col("__r.kept").alias("kept"),
+            F.col("__r.tp").alias("tp"),
+            F.round(prec, 6).alias("precision"),
+            F.round(rec, 6).alias("recall"),
+            F.round(f1, 6).alias("f1"),
+        )
+        .orderBy("threshold")
+    )

@@ -5,6 +5,7 @@ shingle candidate generation and the non-broadcast cone-search path."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from cosmap_spark.operators.skew import replicated_broadcast_join, salted_agg
@@ -154,3 +155,91 @@ def test_ngram_cap_stop_shingle_semantics(spark):
         for r in ngram_jaccard_pairs(docs, threshold=0.01).collect()
     }
     assert len(full) == 6  # every pair shares the hot prefix
+
+
+# --- pair metrics / threshold sweep (operators/report.py) -----------------
+
+
+def test_pair_metrics_counts(spark):
+    from cosmap_spark.operators.report import pair_metrics
+
+    cand = spark.createDataFrame(
+        [(1, 2), (3, 4), (6, 5), (7, 8)], "id_a long, id_b long"
+    )
+    truth = spark.createDataFrame(
+        [(2, 1), (5, 6), (9, 10)], "id_a long, id_b long"
+    )
+    r = pair_metrics(cand, truth).collect()[0]
+    assert (r["tp"], r["fp"], r["fn"]) == (2, 2, 1)
+    assert r["precision"] == 0.5 and r["recall"] == pytest.approx(2 / 3)
+    assert r["f1"] == pytest.approx(2 * 0.5 * (2 / 3) / (0.5 + 2 / 3), abs=1e-6)
+
+
+def test_pair_metrics_orientation_and_dupes(spark):
+    from cosmap_spark.operators.report import pair_metrics
+
+    cand = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 2)], "id_a long, id_b long"
+    )
+    truth = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    r = pair_metrics(cand, truth).collect()[0]
+    assert r["n_candidates"] == 1 and r["precision"] == 1.0
+
+
+def test_threshold_sweep_one_pass(spark):
+    from cosmap_spark.operators.report import threshold_sweep
+
+    scored = spark.createDataFrame(
+        [(1, 2, 0.9), (3, 4, 0.7), (5, 6, 0.5), (7, 8, 0.3)],
+        "id_a long, id_b long, score double",
+    )
+    truth = spark.createDataFrame(
+        [(1, 2), (5, 6)], "id_a long, id_b long"
+    )
+    rows = threshold_sweep(
+        scored, truth, [0.2, 0.6, 0.8]
+    ).collect()
+    by_t = {r["threshold"]: r for r in rows}
+    assert by_t[0.2]["kept"] == 4 and by_t[0.2]["recall"] == 1.0
+    assert by_t[0.6]["kept"] == 2 and by_t[0.6]["tp"] == 1
+    assert by_t[0.8]["kept"] == 1 and by_t[0.8]["precision"] == 1.0
+    # recall is non-increasing as the cut tightens
+    rs = [r["recall"] for r in rows]
+    assert rs == sorted(rs, reverse=True)
+    # distance-style scores: lower is better flips the direction
+    rows_lo = threshold_sweep(
+        scored, truth, [0.4], higher_is_better=False
+    ).collect()
+    assert rows_lo[0]["kept"] == 1 and rows_lo[0]["tp"] == 0
+
+
+def test_sweep_tunes_a_real_operator(spark):
+    """End-to-end: sweep SemDeDup thresholds against brute-force truth
+    on planted twins — the tuning loop this tool exists for."""
+    from cosmap_spark.functions.vectors import cosine_similarity
+    from cosmap_spark.operators.knn import semantic_dedup_pairs
+    from cosmap_spark.operators.report import threshold_sweep
+    from cosmap_spark.queries.llm_ops import _with_planted_twins
+    from cosmap_spark.tables import load_table
+
+    emb = _with_planted_twins(
+        load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    ).cache()
+    a, b = emb.alias("a"), emb.alias("b")
+    truth = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cosine_similarity(
+                F.col("a.embedding"), F.col("b.embedding")
+            ).alias("sim"),
+        )
+        .where(F.col("sim") >= 0.9)
+    )
+    pairs = semantic_dedup_pairs(emb, threshold=0.9, nlist=8).select(
+        "id_a", "id_b", F.col("sim").alias("score")
+    )
+    rows = threshold_sweep(pairs, truth, [0.9, 0.95, 0.99]).collect()
+    assert rows[0]["precision"] == 1.0  # exact-cosine verify: no FPs
+    assert rows[0]["recall"] > 0.5 and rows[0]["tp"] > 0
