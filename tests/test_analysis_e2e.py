@@ -122,3 +122,35 @@ def test_cli_install_list_locate(analysis_dir: Path, tmp_path: Path, monkeypatch
     finally:
         monkeypatch.delenv("COSMAP_SPARK_REGISTRY")
         importlib.reload(manage)
+
+
+def test_quickstart_sql_node_equivalent(spark, analysis_dir: Path):
+    """The quickstart's output node rewritten as a SQL transformation
+    (pipeline round-3 surface) produces exactly the Python-node rows —
+    a reference user can bring plain SQL instead of code."""
+    from cosmap_spark.tables import catalog_df
+
+    loaded = manage.load_analysis_files(analysis_dir)
+    sql_transforms = {
+        "compute_radius": {"needed-data": ["catalog"]},
+        "compute_result": {
+            "dependencies": {"with_radius": "compute_radius"},
+            "needed-parameters": ["analysis_parameters.min_radius"],
+            "sql": (
+                "SELECT sample_id, COUNT(*) AS n_objects, "
+                "ROUND(SUM(sep_arcsec), 4) AS total_arcsec "
+                "FROM with_radius WHERE sep_deg > :min_radius "
+                "GROUP BY sample_id"
+            ),
+            "is-output": True,
+        },
+    }
+    catalog = catalog_df(spark, "/root/testdata/sf0.001")
+    base = Analysis(
+        loaded["parameters"], loaded["transformations"],
+        loaded["implementations"],
+    ).build(spark, catalog).collect()
+    via_sql = Analysis(
+        loaded["parameters"], sql_transforms, loaded["implementations"]
+    ).build(spark, catalog).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, via_sql))
