@@ -326,10 +326,12 @@ def threshold_sweep(
             x
             for i, th in enumerate(thresholds)
             for x in (
-                F.sum(keep(th).cast("long")).alias(f"__k_{i}"),
-                F.sum((keep(th) & F.col("__t")).cast("long")).alias(
-                    f"__tp_{i}"
+                F.coalesce(F.sum(keep(th).cast("long")), F.lit(0)).alias(
+                    f"__k_{i}"
                 ),
+                F.coalesce(
+                    F.sum((keep(th) & F.col("__t")).cast("long")), F.lit(0)
+                ).alias(f"__tp_{i}"),
             )
         ]
     )

@@ -258,7 +258,10 @@ def quantile_rollup(
             *keys,
             F.round("__tot").cast("long").alias("n"),
             *[
-                F.element_at(
+                # try_element_at: an EMPTY input leaves zero atoms —
+                # the level row then carries NULL quantiles (n=0)
+                # instead of throwing
+                F.try_element_at(
                     F.filter(
                         F.expr(
                             "zip_with(__vals, __cums, "
@@ -266,7 +269,7 @@ def quantile_rollup(
                         ),
                         lambda x: x["c"] >= F.lit(p) * F.col("__tot"),
                     ),
-                    1,
+                    F.lit(1),
                 )["v"].alias(_pcol(p))
                 for p in probs
             ],

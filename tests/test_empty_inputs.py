@@ -1,0 +1,98 @@
+"""Empty-input behavior of the round-3 operators: every operator must
+return an empty (or well-defined) result with the declared schema —
+never raise — because at 100 TB a filter upstream routinely leaves a
+partition-empty table."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def empty_docs(spark):
+    return spark.createDataFrame([], "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def empty_series(spark):
+    return spark.createDataFrame([], "k long, t long, v double")
+
+
+def test_subsequence_search_empty(spark, empty_series):
+    from cosmap_spark.operators.tseries import subsequence_search
+
+    out = subsequence_search(
+        empty_series, [0.0, 1.0, 2.0], key_col="k", order_col="t",
+        val_col="v",
+    )
+    assert out.count() == 0
+    assert out.columns == ["k", "start", "dist"]
+
+
+def test_edit_distance_pairs_empty(spark, empty_docs):
+    from cosmap_spark.operators.dedup import edit_distance_pairs
+
+    out = edit_distance_pairs(empty_docs)
+    assert out.count() == 0 and out.columns == ["id_a", "id_b", "dist"]
+
+
+def test_rollups_empty(spark):
+    from cosmap_spark.operators.sketch import distinct_rollup, quantile_rollup
+
+    ids = spark.createDataFrame([], "g string, c string, uid long")
+    d = distinct_rollup(ids, ["g", "c"], "uid").collect()
+    assert all(r["ndv"] == 0 for r in d)
+    df = spark.createDataFrame([], "g string, c string, v double")
+    q = quantile_rollup(df, ["g", "c"], "v").collect()
+    for r in q:
+        assert r["n"] in (0, None)
+
+
+def test_corpus_diff_empty_sides(spark, empty_docs):
+    from cosmap_spark.operators.diff import corpus_diff
+
+    full = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, text string"
+    )
+    added = corpus_diff(empty_docs, full)
+    removed = corpus_diff(full, empty_docs)
+    assert {r["status"] for r in added.collect()} == {"added"}
+    assert {r["status"] for r in removed.collect()} == {"removed"}
+    assert corpus_diff(empty_docs, empty_docs).count() == 0
+
+
+def test_expectations_empty(spark, empty_docs):
+    from cosmap_spark.operators.expectations import validate
+
+    rows = validate(
+        empty_docs, [{"name": "r", "expr": "doc_id >= 0"}]
+    ).collect()
+    assert rows[0]["n_rows"] == 0 and rows[0]["passed"]
+
+
+def test_pair_metrics_empty(spark):
+    from cosmap_spark.operators.report import pair_metrics, threshold_sweep
+
+    e = spark.createDataFrame([], "id_a long, id_b long")
+    t = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    r = pair_metrics(e, t).collect()[0]
+    assert (r["precision"], r["recall"], r["f1"]) == (0.0, 0.0, 0.0)
+    es = spark.createDataFrame([], "id_a long, id_b long, score double")
+    sw = threshold_sweep(es, t, [0.5]).collect()[0]
+    assert sw["kept"] == 0 and sw["recall"] == 0.0
+
+
+def test_heavy_hitters_and_hll_empty(spark):
+    from cosmap_spark.operators.sketch import heavy_hitters_sketch
+
+    e = spark.createDataFrame([], "k long")
+    assert heavy_hitters_sketch(e, "k", k=8).count() == 0
+
+
+def test_global_rank_empty(spark):
+    from cosmap_spark.operators.packing import global_rank
+
+    e = spark.createDataFrame([], "price double, oid long")
+    ranked, n = global_rank(e, ["price", "oid"])
+    assert n == 0 and ranked.count() == 0
