@@ -202,35 +202,6 @@ def scrub_pii(text: Column) -> Column:
     return F.regexp_replace(scrubbed, r"\d{9,}", "<NUM>")
 
 
-def luhn_valid(digits: Column) -> Column:
-    """True iff the digit string passes the Luhn mod-10 checksum — the
-    precision filter that separates payment-card numbers from ordinary
-    long digit runs (ids, timestamps, phone numbers fail it 90% of the
-    time by construction).  Pure higher-order functions: reverse the
-    digits once, then one ``aggregate`` fold doubling every second
-    digit (−9 past 9).  NULL/empty/non-digit input → false."""
-    ds = F.split(F.reverse(digits), "")
-    total = F.aggregate(
-        F.zip_with(
-            ds,
-            F.sequence(F.lit(0), F.size(ds) - 1),
-            lambda d, i: F.when(
-                i % 2 == 0, d.cast("int")
-            ).otherwise(
-                F.when(d.cast("int") * 2 > 9, d.cast("int") * 2 - 9)
-                .otherwise(d.cast("int") * 2)
-            ),
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
-    return (
-        digits.isNotNull()
-        & digits.rlike("^[0-9]{12,19}$")
-        & (total % 10 == 0)
-    )
-
-
 def _luhn_ok(d: Column) -> Column:
     """Luhn fold over a pure-digit string column (internal — callers
     guarantee the rlike)."""
@@ -252,6 +223,21 @@ def _luhn_ok(d: Column) -> Column:
     )
 
 
+def luhn_valid(digits: Column) -> Column:
+    """True iff the digit string passes the Luhn mod-10 checksum — the
+    precision filter that separates payment-card numbers from ordinary
+    long digit runs (ids, timestamps, phone numbers fail it 90% of the
+    time by construction).  One shared ``aggregate`` fold
+    (:func:`_luhn_ok` — also the ``find_card_numbers`` verify path, so
+    the checksum lives in exactly one place).  NULL/empty/non-digit
+    input → false."""
+    return (
+        digits.isNotNull()
+        & digits.rlike("^[0-9]{12,19}$")
+        & _luhn_ok(digits)
+    )
+
+
 def find_card_numbers(text: Column) -> Column:
     """Array of Luhn-VALID card-shaped spans (13-19 digits, optional
     space/dash group separators) AS THEY APPEAR in ``text`` —
@@ -262,11 +248,23 @@ def find_card_numbers(text: Column) -> Column:
     cands = F.regexp_extract_all(
         text, F.lit(r"(?<![0-9])(?:\d[ -]?){12,18}\d(?![0-9])"), F.lit(0)
     )
-    return F.filter(
+    # bind the separator-stripped digit form ONCE per span via a
+    # struct projection — referencing regexp_replace(span, ...) from
+    # several places inside one lambda would re-run the regex each
+    # time (the repo-wide no-CSE-in-HOF-lambda rule)
+    with_digits = F.transform(
         cands,
-        lambda span: (
-            lambda d: d.rlike("^[0-9]{13,19}$") & _luhn_ok(d)
-        )(F.regexp_replace(span, "[ -]", "")),
+        lambda span: F.struct(
+            span.alias("span"),
+            F.regexp_replace(span, "[ -]", "").alias("d"),
+        ),
+    )
+    return F.transform(
+        F.filter(
+            with_digits,
+            lambda x: x["d"].rlike("^[0-9]{13,19}$") & _luhn_ok(x["d"]),
+        ),
+        lambda x: x["span"],
     )
 
 

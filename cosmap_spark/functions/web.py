@@ -34,16 +34,31 @@ def _host(url: Column) -> Column:
 
 
 def canonical_url(url: Column) -> Column:
-    """Canonical form: lowercase scheme+host, default ports stripped,
-    fragment dropped, tracking query params removed and the remainder
-    SORTED (param order never changes content), trailing slash
-    stripped from non-root paths; ``http``/``https`` distinction is
-    KEPT (they can serve different content).  NULL in → NULL out;
-    strings parse_url cannot parse yield a NULL host and fall back to
-    the trimmed original, so ill-formed rows still dedup on raw
-    equality instead of collapsing onto one NULL key."""
+    """Canonical form: lowercase scheme+host, DEFAULT ports stripped
+    (80 for http, 443 for https) while non-default ports are KEPT —
+    ``parse_url``'s HOST silently drops every port, which would
+    collapse different origins (example.com:8080 vs example.com) onto
+    one dedup key; fragment dropped, tracking query params removed and
+    the remainder SORTED (param order never changes content), trailing
+    slashes stripped; ``http``/``https`` distinction is KEPT (they can
+    serve different content).  NULL in → NULL out; strings parse_url
+    cannot parse yield a NULL host and fall back to the trimmed
+    original, so ill-formed rows still dedup on raw equality instead
+    of collapsing onto one NULL key."""
     scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     host = _host(url)
+    # the explicit port, from the authority (parse_url HOST drops it)
+    port = F.regexp_extract(
+        url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*:(\d+)(?:[/?#]|$)", 1
+    )
+    keep_port = (
+        (port != "")
+        & ~((scheme == "http") & (port == "80"))
+        & ~((scheme == "https") & (port == "443"))
+    )
+    hostport = F.when(
+        keep_port, F.concat(host, F.lit(":"), port)
+    ).otherwise(host)
     path = F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit(""))
     # strip ALL trailing slashes (a single-slash strip is not
     # idempotent on "//" paths — found by the hypothesis test); the
@@ -61,7 +76,7 @@ def canonical_url(url: Column) -> Column:
         "&",
     )
     canon = F.concat(
-        scheme, F.lit("://"), host, path,
+        scheme, F.lit("://"), hostport, path,
         F.when(kept != "", F.concat(F.lit("?"), kept)).otherwise(F.lit("")),
     )
     return F.when(host.isNull(), F.trim(url)).otherwise(canon)

@@ -73,9 +73,12 @@ def dsir_weights(
     ``[id, log_w, n_feats]`` (log_w rounded 6 dp for cross-run
     stability; documents with zero features get log_w = 0).
 
-    The two model totals are computed with ONE aggregation each and the
-    smoothed LLR per bucket lives in an O(buckets) broadcast table, so
-    the raw corpus pays exactly one scan + one (id)-keyed exchange.
+    The two model totals are derived from the O(buckets) count tables
+    (never a second look at the corpora) and the smoothed LLR per
+    bucket lives in an O(buckets) broadcast table, so the raw corpus
+    pays exactly two scans — one counting, one scoring (the honest
+    minimum: the LLR table must be complete before any document can be
+    scored) — plus one (id)-keyed exchange.
     """
     raw_feats = hashed_ngram_features(
         raw, text_col=text_col, id_col=id_col, buckets=buckets, seed=seed
@@ -87,8 +90,15 @@ def dsir_weights(
     # engine's standard scalar-subquery shape — 1-row broadcast)
     raw_counts = raw_feats.groupBy("bucket").agg(F.count("*").alias("rc"))
     tgt_counts = tgt_feats.groupBy("bucket").agg(F.count("*").alias("tc"))
-    raw_tot = raw_feats.agg(F.count("*").alias("rtot"))
-    tgt_tot = tgt_feats.agg(F.count("*").alias("ttot"))
+    # totals from the count tables — aggregating O(buckets) rows, NOT
+    # re-scanning the corpora (review finding: the agg-over-raw_feats
+    # form silently tripled the dominant scan)
+    raw_tot = raw_counts.agg(
+        F.coalesce(F.sum("rc"), F.lit(0)).alias("rtot")
+    )
+    tgt_tot = tgt_counts.agg(
+        F.coalesce(F.sum("tc"), F.lit(0)).alias("ttot")
+    )
     llr = (
         raw_counts.join(tgt_counts, "bucket", "full_outer")
         .crossJoin(F.broadcast(raw_tot))

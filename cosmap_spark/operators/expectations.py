@@ -42,7 +42,11 @@ def validate(df: DataFrame, rules: list[dict]) -> DataFrame:
     agg = df.agg(
         F.count(F.lit(1)).alias("__n"),
         *[
-            F.sum(_violation(r["expr"])).alias(f"__v_{i}")
+            # coalesce: SUM over zero rows is NULL, and an empty table
+            # must report 0 violations, not NULL (review finding)
+            F.coalesce(F.sum(_violation(r["expr"])), F.lit(0)).alias(
+                f"__v_{i}"
+            )
             for i, r in enumerate(rules)
         ],
     )

@@ -146,13 +146,30 @@ def compile_pipeline(
                         f"— declare needed-data or dependencies to query"
                     )
                 spark = next(iter(dfs.values())).sparkSession
+                # the SQL plan is captured eagerly by spark.sql, so the
+                # views are only needed DURING the call — save any
+                # same-named session temp views and restore (or drop)
+                # after, leaving the user's session exactly as found
+                # (review finding: bare aliases clobbered and leaked)
+                saved: dict[str, DataFrame | None] = {}
                 for alias, v in dfs.items():
+                    try:
+                        saved[alias] = spark.table(alias)
+                    except Exception:
+                        saved[alias] = None
                     v.createOrReplaceTempView(alias)
                 args = {
                     k: v for k, v in kwargs.items()
                     if not isinstance(v, DataFrame)
                 }
-                results[name] = spark.sql(spec["sql"], args=args or None)
+                try:
+                    results[name] = spark.sql(spec["sql"], args=args or None)
+                finally:
+                    for alias, prev in saved.items():
+                        if prev is not None:
+                            prev.createOrReplaceTempView(alias)
+                        else:
+                            spark.catalog.dropTempView(alias)
                 continue
             fn = _get_impl(implementations, name)
             if spec.get("per-sample"):

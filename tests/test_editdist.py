@@ -99,3 +99,16 @@ def test_plan_no_cartesian(spark, corpus):
     assert s["cartesian_products"] == 0
     assert s["nested_loop_joins"] == 0
     assert s["python_evals"] == 0 and s["arrow_evals"] == 0  # all JVM
+
+
+def test_blank_and_short_strings_emit_no_grams(spark):
+    """sequence(1,0) descends — short/blank strings must contribute NO
+    grams (an '' gram would hot-join every blank row pairwise)."""
+    rows = [(i, "") for i in range(50)] + [(100 + i, "ab") for i in range(50)]
+    rows += [(900, "hello world"), (901, "hello worlq")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in edit_distance_pairs(df, max_dist=1, max_gram_df=None).collect()
+    }
+    assert got == {(900, 901)}  # no blank/short pairs at all

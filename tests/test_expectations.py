@@ -107,3 +107,9 @@ def test_single_aggregation_job(spark, table):
         s["broadcast_joins"] + s["sortmerge_joins"]
         + s["shuffled_hash_joins"] + s["nested_loop_joins"] == 0
     )
+
+
+def test_empty_table_reports_zero_not_null(spark):
+    e = spark.createDataFrame([], "id long")
+    r = validate(e, [{"name": "x", "expr": "id >= 0"}]).collect()[0]
+    assert r["n_violations"] == 0 and r["n_rows"] == 0 and r["passed"]

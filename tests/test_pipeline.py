@@ -364,3 +364,20 @@ def test_sql_node_validation(spark):
     )
     with pytest.raises(DagValidationError):
         run({})  # no DataFrame inputs to register
+
+
+def test_sql_node_restores_session_views(spark):
+    """A SQL node must leave the session's temp views exactly as it
+    found them: same-named user views restored, DAG aliases dropped."""
+    spark.range(3).createOrReplaceTempView("t")
+    block = {
+        "first": {"needed-data": ["t"], "sql": "SELECT COUNT(*) AS n FROM t",
+                  "is-output": False},
+        "second": {"dependencies": {"u": "first"},
+                   "sql": "SELECT n FROM u", "is-output": True},
+    }
+    out = compile_pipeline(block, {})({"t": spark.range(7)}).collect()
+    assert out[0]["n"] == 7  # the DAG's own 't' was used inside
+    assert spark.table("t").count() == 3  # user's view restored
+    assert not spark.catalog.tableExists("u")  # DAG alias dropped
+    spark.catalog.dropTempView("t")

@@ -88,3 +88,19 @@ def test_url_dedup_recipe(spark):
         (r["canonical_id"], r["n_copies"]) for r in kept.collect()
     )
     assert got == [(1, 2), (3, 1)]
+
+
+def test_canonical_url_ports(spark):
+    """parse_url drops ports; the canonical form must keep NON-default
+    ports (different origins) while stripping scheme defaults."""
+    got = _canon(spark, [
+        "http://example.com:8080/a",
+        "http://example.com/a",
+        "http://example.com:80/a",
+        "https://example.com:443/b",
+        "https://example.com:8443/b",
+    ])
+    assert got[0] == "http://example.com:8080/a"
+    assert got[1] == got[2] == "http://example.com/a"
+    assert got[3] == "https://example.com/b"
+    assert got[4] == "https://example.com:8443/b"
