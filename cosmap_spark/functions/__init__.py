@@ -6,3 +6,12 @@ from cosmap_spark.functions.spherical import (  # noqa: F401
     ra_delta_deg,
     zone_of_dec,
 )
+from cosmap_spark.functions.web import (  # noqa: F401
+    canonical_url,
+    url_features,
+)
+from cosmap_spark.functions.text import (  # noqa: F401
+    find_card_numbers,
+    luhn_valid,
+    scrub_pii_strict,
+)

@@ -13,6 +13,7 @@ from cosmap_spark.operators.asof import (  # noqa: F401
 from cosmap_spark.operators.cone_search import cone_search  # noqa: F401
 from cosmap_spark.operators.dedup import (  # noqa: F401
     contamination_hits,
+    edit_distance_pairs,
     dedup_clusters,
     exact_dedup,
     hamming_pairs,
@@ -41,6 +42,9 @@ from cosmap_spark.operators.knn import (  # noqa: F401
     semantic_dedup_pairs,
 )
 from cosmap_spark.operators.packing import (  # noqa: F401
+    global_rank,
+    ntile_from_rank,
+    pack_bins,
     pack_offsets,
     row_index,
 )
@@ -52,8 +56,11 @@ from cosmap_spark.operators.pq import (  # noqa: F401
 )
 from cosmap_spark.operators.report import (  # noqa: F401
     corpus_report,
+    pair_metrics,
     plan_summary,
+    skew_report,
     table_profile,
+    threshold_sweep,
 )
 from cosmap_spark.operators.dsir import (  # noqa: F401
     dsir_sample,
@@ -70,7 +77,28 @@ from cosmap_spark.operators.robust import (  # noqa: F401
     winsorize,
 )
 from cosmap_spark.operators.sketch import (  # noqa: F401
+    distinct_rollup,
     heavy_hitters_sketch,
+    merge_sketch_tables,
+    quantile_rollup,
+)
+from cosmap_spark.operators.tseries import (  # noqa: F401
+    subsequence_search,
+    subsequence_search_multi,
+)
+from cosmap_spark.operators.index_store import (  # noqa: F401
+    ivf_append,
+    load_ann_index,
+    save_ann_index,
+)
+from cosmap_spark.operators.expectations import (  # noqa: F401
+    enforce,
+    quarantine,
+    validate,
+)
+from cosmap_spark.operators.diff import (  # noqa: F401
+    corpus_diff,
+    diff_summary,
 )
 from cosmap_spark.operators.vocab import (  # noqa: F401
     apply_bpe_merge,
