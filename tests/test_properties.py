@@ -296,9 +296,19 @@ def test_znorm_subsequence_affine_invariant(spark, series, a, b):
     trans = subsequence_search(
         scaled, q, key_col="k", order_col="t", val_col="v", k=5
     ).collect()
-    assert [r["start"] for r in base] == [r["start"] for r in trans]
+    # rank-by-rank distances agree to float tolerance ...
     for x, y in zip(base, trans):
         assert math.isclose(x["dist"], y["dist"], rel_tol=1e-6, abs_tol=1e-6)
+    # ... and any start-set disagreement must be a NEAR-TIE at the k-th
+    # boundary: mathematically-equal windows can swap under the float
+    # rounding the affine map perturbs (hypothesis found an all-zeros
+    # series whose tied windows flipped ranks 5/6)
+    bd = {r["start"]: r["dist"] for r in base}
+    td = {r["start"]: r["dist"] for r in trans}
+    kth = max(bd.values())
+    for s in set(bd) ^ set(td):
+        d = bd.get(s, td.get(s))
+        assert math.isclose(d, kth, rel_tol=1e-6, abs_tol=1e-6), (s, d, kth)
 
 
 # --- canonical_url: idempotence -------------------------------------------
