@@ -471,3 +471,58 @@ def sketch_stream(stream_df: DataFrame, store_path: str, checkpoint: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def vector_ingest_stream(vec_stream: DataFrame, index_path: str,
+                         checkpoint: str, *, id_col: str = "vec_id",
+                         vec_col: str = "embedding"):
+    """Online IVF index maintenance — the WRITE half of the streaming
+    vector story (`knn_serve_stream` is the read half): micro-batches
+    of new vectors are ASSIGNED to the persisted index's frozen
+    centroids (`index_store.ivf_append` semantics — one Arrow pass
+    over the batch, history untouched) and appended to the inverted
+    lists as an epoch-keyed parquet sub-directory, so a replayed epoch
+    overwrites itself (exactly-once per epoch) and readers reconstruct
+    the full lists as base ∪ appends.
+
+    Centroids never move here — periodic retrain (ivf_build on the
+    accumulated corpus) handles drift; that is the standard
+    serve-while-ingesting split.  ``load_appended_index`` reassembles
+    ``(centroids, assigned)`` for `knn_ann_union`/`knn_ivf`."""
+    from cosmap_spark.operators.index_store import load_ann_index
+    from cosmap_spark.operators.knn import ivf_assign
+
+    def run(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cents, _ = load_ann_index(spark, index_path)["index"]
+        fresh = ivf_assign(
+            batch_df, cents, id_col=id_col, vec_col=vec_col
+        )
+        fresh.select("nid", "nvec", "cid").write.mode("overwrite").parquet(
+            f"{index_path}/ivf_appends/epoch={epoch_id}"
+        )
+
+    return (
+        vec_stream.writeStream.foreachBatch(run)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def load_appended_index(spark: SparkSession, index_path: str):
+    """``(centroids, assigned)`` with streaming appends folded in —
+    feed to ``knn_ivf``/``knn_ann_union`` exactly like a fresh
+    ``ivf_build`` result."""
+    import os
+
+    from cosmap_spark.operators.index_store import load_ann_index
+
+    cents, assigned = load_ann_index(spark, index_path)["index"]
+    appends_dir = f"{index_path}/ivf_appends"
+    if os.path.exists(appends_dir):
+        appends = spark.read.parquet(appends_dir).select(
+            "nid", "nvec", "cid"
+        )
+        assigned = assigned.select("nid", "nvec", "cid").unionByName(appends)
+    return cents, assigned

@@ -592,3 +592,60 @@ def test_sketch_stream_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got2 == got
+
+
+def test_vector_ingest_stream_matches_batch_index(spark, tmp_path):
+    """Online IVF maintenance: after streaming two files of new
+    vectors into a persisted index, serving from the appended index
+    equals serving from a batch index built with ivf_append over the
+    same rows (frozen centroids, identical assignments)."""
+    from cosmap_spark.operators.index_store import (
+        ivf_append,
+        save_ann_index,
+    )
+    from cosmap_spark.operators.knn import ivf_build, knn_ivf
+    from cosmap_spark.streaming.ops import (
+        load_appended_index,
+        vector_ingest_stream,
+    )
+    from cosmap_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    old = emb.where(F.col("vec_id") % 4 != 0)
+    new = emb.where(F.col("vec_id") % 4 == 0)
+    cents, assigned = ivf_build(old, nlist=8, iters=1)
+    p = str(tmp_path / "vindex")
+    save_ann_index(p, index=(cents, assigned.localCheckpoint(eager=True)))
+
+    land = tmp_path / "vec_landing"
+    new.where(F.col("vec_id") % 8 == 0).coalesce(1).write.parquet(
+        str(land), mode="append"
+    )
+    new.where(F.col("vec_id") % 8 == 4).coalesce(1).write.parquet(
+        str(land), mode="append"
+    )
+    q = vector_ingest_stream(
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1).parquet(str(land)),
+        p, str(tmp_path / "vckpt"),
+    )
+    q.awaitTermination(180)
+
+    cents2, appended = load_appended_index(spark, p)
+    # loader orders centroids by cid; identity is the cid→vector map
+    assert dict(cents2) == {c: list(map(float, v)) for c, v in cents}
+    _, want_assigned = ivf_append((cents, assigned), new)
+    want = {(r["nid"], r["cid"]) for r in want_assigned.collect()}
+    got = {(r["nid"], r["cid"]) for r in appended.collect()}
+    assert got == want
+
+    queries = emb.where(F.col("vec_id") < 5)
+    serve_stream = knn_ivf(
+        emb, queries, k=5, nlist=8, nprobe=4, prebuilt=(cents2, appended)
+    ).collect()
+    serve_batch = knn_ivf(
+        emb, queries, k=5, nlist=8, nprobe=4,
+        prebuilt=ivf_append((cents, assigned), new),
+    ).collect()
+    key = lambda r: (r["qid"], r["rn"])  # noqa: E731
+    assert sorted(map(tuple, serve_stream)) == sorted(map(tuple, serve_batch))
