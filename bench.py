@@ -195,7 +195,7 @@ def main() -> None:
     # UDF path) — one-time environment costs, not per-query costs.
     warm_dir = "/root/testdata/sf0.001"
     for w in ("q_topk", "q_sample_agg", "q_udtf_grouped_map", "q_knn_cosine",
-              "q_dedup_ngram", "q_knn_ann"):
+              "q_dedup_ngram", "q_knn_ann", "q_passage_dedup"):
         queries[w](spark, warm_dir).count()
 
     # Machine calibration: a fixed synthetic workload (hash + shuffle
