@@ -131,3 +131,72 @@ def cone_search_bruteforce(catalog: DataFrame, samples: DataFrame,
         catalog.join(s, sep <= s["radius_deg"], "inner")
         .withColumn(sep_col, sep)
     )
+
+
+def crossmatch(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    radius_arcsec: float,
+    left_id: str = "object_id",
+    right_id: str = "object_id",
+    best_match: bool = True,
+    exclude_self: bool = False,
+    broadcast_left: bool = False,
+) -> DataFrame:
+    """Catalog×catalog positional crossmatch — the multi-survey
+    operation the reference's per-sample cone loop cannot express:
+    ``[left_id → l_id, right_id → r_id, sep_arcsec]`` for every right
+    row within ``radius_arcsec`` of a left row (``best_match=True``
+    keeps only each left row's nearest, ties broken by r_id).
+
+    Same Zones machinery as :func:`cone_search` but SYMMETRIC: both
+    sides are corpus-sized, so nothing broadcasts by default
+    (``broadcast_left=True`` opts in when the left survey is small)
+    and the join is a shuffled hash/sort-merge on (zone, sector) cells
+    SCALED TO THE MATCH RADIUS — at arcsec radii the 3° default zones
+    would put ~10⁶ rows of a 10⁹-row survey in one cell and the
+    candidate pairing inside it would be quadratic; radius-scaled
+    cells keep candidates per row at (survey density × cell area).
+    Exact haversine residual; RA wraparound and pole cells inherit
+    cone_search's handling.
+
+    Self-match (``left is right``): pass ``exclude_self=True`` to drop
+    the trivial l_id == r_id pairs (ids must then share one space)."""
+    radius_deg = radius_arcsec / 3600.0
+    # cells ~4 radii wide: each left row explodes to ≤ 2×2 cells while
+    # cell population stays density-bounded; floors keep the cell grid
+    # sane for huge radii (falls back to the cone_search defaults)
+    zone_h = min(max(4.0 * radius_deg, 1e-3), DEFAULT_ZONE_DEG)
+    # sector width must divide 360 reasonably; derive from zone height
+    n_sec = max(int(360.0 // max(zone_h, 1e-6)), 36)
+    sector_w = 360.0 / n_sec
+    l = left.select(
+        F.col(left_id).alias("l_id"), "ra", "dec",
+        F.lit(radius_deg).alias("radius_deg"),
+    )
+    r = right.select(F.col(right_id).alias("r_id"), "ra", "dec")
+    matched = cone_search(
+        r, l,
+        zone_height_deg=zone_h,
+        sector_width_deg=sector_w,
+        broadcast_samples=broadcast_left,
+        sep_col="__sep",
+    ).select(
+        "l_id", "r_id",
+        (F.col("__sep") * 3600.0).alias("sep_arcsec"),
+    )
+    if exclude_self:
+        matched = matched.where(F.col("l_id") != F.col("r_id"))
+    if best_match:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("l_id").orderBy(
+            F.col("sep_arcsec").asc(), F.col("r_id").asc()
+        )
+        matched = (
+            matched.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    return matched
