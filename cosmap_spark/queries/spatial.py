@@ -14,8 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cosmap_spark.functions.spherical import SEP_DEG_SQL
-from cosmap_spark.operators.cone_search import cone_search
+from cosmap_spark.functions.spherical import SEP_DEG_SQL, sep_deg_sql
+from cosmap_spark.operators.cone_search import cone_search, crossmatch
 from cosmap_spark.operators.sampler import (
     stratified_sample,
     uniform_box_samples,
@@ -123,21 +123,63 @@ def q_box_units(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- O5/O26: cone search --------------------------------------------------
 
 
+_XSEP = sep_deg_sql("l.ra", "l.dec", "r.ra", "r.dec")
+
 @query(
     "q_cone_search",
     oracle=with_fixture_ctes(f"""
-    SELECT s.sample_id, c.object_id, round({SEP_DEG_SQL}, 6) AS sep_deg
+    , twin AS (
+      SELECT object_id + 1000000 AS object_id, ra, dec + 5.0/3600.0 AS dec
+      FROM catalog
+    ), xm AS (
+      SELECT l.object_id AS id_l, r.object_id AS id_r,
+             {_XSEP} * 3600.0 AS sep_raw
+      FROM catalog l JOIN twin r ON {_XSEP} * 3600.0 <= 30.0
+    ), best AS (
+      SELECT id_l, id_r, sep_raw,
+             row_number() OVER (PARTITION BY id_l ORDER BY sep_raw, id_r) AS rn
+      FROM xm
+    )
+    SELECT 'cone' AS method, s.sample_id AS id_l, c.object_id AS id_r,
+           round({SEP_DEG_SQL}, 6) AS sep
     FROM samples s JOIN catalog c ON {SEP_DEG_SQL} <= s.radius_deg
+    UNION ALL
+    SELECT 'xmatch' AS method, id_l, id_r, round(sep_raw, 6) AS sep
+    FROM best WHERE rn = 1
     """),
 )
 def q_cone_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """THE core operator (reference O5, src/cosmap/dataset/__init__.py:20-27)
-    as a zone-bucketed broadcast hash join; oracle is the brute-force
-    theta-join — equal row sets prove the pruning is lossless."""
-    joined = cone_search(catalog_df(spark, sf_dir), samples_df(spark, sf_dir))
-    return joined.select(
-        "sample_id", "object_id", F.round("sep_deg", 6).alias("sep_deg")
+    """THE core spatial operators as a tagged union, both against
+    brute-force oracles (equal row sets prove the cell pruning is
+    lossless):
+
+    * ``cone`` — per-sample cone search (reference O5,
+      src/cosmap/dataset/__init__.py:20-27) as a zone-bucketed
+      broadcast hash join;
+    * ``xmatch`` — round 3: catalog×catalog positional crossmatch
+      (operators/cone_search.py::crossmatch — symmetric radius-scaled
+      Zones cell join, nearest match per left row) against a
+      deterministic 5-arcsec-displaced twin catalog the oracle
+      reconstructs with identical IEEE arithmetic."""
+    cat = catalog_df(spark, sf_dir)
+    cone = cone_search(cat, samples_df(spark, sf_dir)).select(
+        F.lit("cone").alias("method"),
+        F.col("sample_id").alias("id_l"),
+        F.col("object_id").alias("id_r"),
+        F.round("sep_deg", 6).alias("sep"),
     )
+    twin = cat.select(
+        (F.col("object_id") + 1_000_000).alias("object_id"),
+        "ra",
+        (F.col("dec") + F.lit(5.0) / F.lit(3600.0)).alias("dec"),
+    )
+    xm = crossmatch(cat, twin, radius_arcsec=30.0).select(
+        F.lit("xmatch").alias("method"),
+        F.col("l_id").alias("id_l"),
+        F.col("r_id").alias("id_r"),
+        F.round("sep_arcsec", 6).alias("sep"),
+    )
+    return cone.unionByName(xm)
 
 
 # --- O7-O12: samplers (rows-only: RNG output; properties unit-tested) -----
