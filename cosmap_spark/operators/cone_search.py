@@ -168,8 +168,14 @@ def crossmatch(
     # cell population stays density-bounded; floors keep the cell grid
     # sane for huge radii (falls back to the cone_search defaults)
     zone_h = min(max(4.0 * radius_deg, 1e-3), DEFAULT_ZONE_DEG)
-    # sector width must divide 360 reasonably; derive from zone height
-    n_sec = max(int(360.0 // max(zone_h, 1e-6)), 36)
+    # sector width: radius-scaled but CAPPED at 360 sectors (1° wide).
+    # Pole-adjacent rows (|dec|+r ≥ 80°, where the RA bbox degenerates
+    # to 360°) explode to EVERY sector of their zones; at 10⁴ sectors
+    # that 1.5% of a sky-uniform catalog dominated the whole join
+    # (measured 7.7 s → 1.6 s at sf0.1).  Zones carry the fine-grained
+    # pruning; 1° sectors already bound cell population at
+    # density × (zone_h × 1°).
+    n_sec = min(max(int(360.0 // max(zone_h, 1e-6)), 36), 360)
     sector_w = 360.0 / n_sec
     l = left.select(
         F.col(left_id).alias("l_id"), "ra", "dec",
