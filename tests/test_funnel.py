@@ -1,0 +1,125 @@
+"""Funnel analysis: differential vs a pandas reference of the same
+anchored semantics, horizon boundaries, stall behavior, real-events
+smoke, and plan shape (no event log ever collected per user)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from cosmap_spark.operators.funnel import funnel, funnel_summary
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _ts(minutes):
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+@pytest.fixture(scope="module")
+def log(spark):
+    rows = [
+        # u1 completes A->B->C in order
+        (1, "A", _ts(0)), (1, "B", _ts(5)), (1, "C", _ts(9)),
+        # u2 stalls after B
+        (2, "A", _ts(0)), (2, "B", _ts(50)),
+        # u3 has B before A (doesn't count), then completes
+        (3, "B", _ts(0)), (3, "A", _ts(10)), (3, "B", _ts(20)),
+        (3, "C", _ts(21)),
+        # u4 completes but only outside a 30-minute horizon
+        (4, "A", _ts(0)), (4, "B", _ts(10)), (4, "C", _ts(45)),
+        # u5 never does A
+        (5, "B", _ts(1)), (5, "C", _ts(2)),
+        # u6: anchored semantics — first A's horizon misses, a later A
+        # would have worked (documented fixed-anchor behavior)
+        (6, "A", _ts(0)), (6, "A", _ts(40)), (6, "B", _ts(45)),
+        (6, "C", _ts(50)),
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    ).cache()
+
+
+def _reference(pdf: pd.DataFrame, steps, horizon_min=None):
+    out = {}
+    for u, g in pdf.groupby("user_id"):
+        g = g.sort_values("ts")
+        firsts = g[g.event_type == steps[0]]
+        if firsts.empty:
+            continue
+        anchor = firsts.ts.iloc[0]
+        tss = [anchor]
+        for s in steps[1:]:
+            prev = tss[-1]
+            if prev is None:
+                tss.append(None)
+                continue
+            cand = g[(g.event_type == s) & (g.ts > prev)]
+            if horizon_min is not None:
+                cand = cand[
+                    cand.ts <= anchor + pd.Timedelta(minutes=horizon_min)
+                ]
+            tss.append(cand.ts.iloc[0] if len(cand) else None)
+        out[u] = tuple(t.to_pydatetime() if t is not None else None
+                       for t in tss)
+    return out
+
+
+@pytest.mark.parametrize("horizon_min", [None, 30])
+def test_matches_reference(spark, log, horizon_min):
+    steps = ["A", "B", "C"]
+    got = {
+        r["user_id"]: (r["ts_1"], r["ts_2"], r["ts_3"])
+        for r in funnel(
+            log, steps,
+            horizon=f"{horizon_min} minutes" if horizon_min else None,
+        ).collect()
+    }
+    want = _reference(log.toPandas(), steps, horizon_min)
+    assert got == want
+
+
+def test_counts_and_summary(spark, log):
+    per_user = funnel(log, ["A", "B", "C"], horizon="30 minutes")
+    rows = {r["user_id"]: r for r in per_user.collect()}
+    assert rows[1]["converted"] and rows[1]["steps_completed"] == 3
+    # u2's B lands at +50min — outside the 30-minute horizon
+    assert not rows[2]["converted"] and rows[2]["steps_completed"] == 1
+    assert rows[3]["converted"]  # pre-anchor B ignored, later B counts
+    assert rows[4]["steps_completed"] == 2  # C outside horizon
+    assert 5 not in rows  # never entered the funnel
+    assert rows[6]["steps_completed"] == 1  # fixed anchor: first A
+    s = {
+        r["step"]: (r["n_users"], r["conversion_from_start"])
+        for r in funnel_summary(per_user, 3).collect()
+    }
+    assert s[1][0] == 5 and s[1][1] == 1.0
+    assert s[2][0] == 3
+    assert s[3][0] == 2 and s[3][1] == pytest.approx(0.4)
+
+
+def test_real_events_smoke_and_plan(spark):
+    from cosmap_spark.operators.report import plan_summary
+    from cosmap_spark.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    steps = ["view", "click", "purchase"]
+    per_user = funnel(ev, steps, horizon="2 days")
+    n = per_user.count()
+    assert n > 0
+    s = plan_summary(per_user)
+    assert s["python_evals"] == 0 and s["arrow_evals"] == 0  # all JVM
+    assert s["cartesian_products"] == 0 and s["nested_loop_joins"] == 0
+    # per-user state is O(steps): no collect_list/sort of event logs
+    plan = per_user._sc._jvm.PythonSQLUtils.explainString(
+        per_user._jdf.queryExecution(), "simple"
+    )
+    assert "collect_list" not in plan
+
+
+def test_validation(spark, log):
+    with pytest.raises(ValueError):
+        funnel(log, ["A"])
