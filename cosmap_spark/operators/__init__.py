@@ -10,7 +10,10 @@ from cosmap_spark.operators.asof import (  # noqa: F401
     asof_join,
     asof_join_cogroup,
 )
-from cosmap_spark.operators.cone_search import cone_search  # noqa: F401
+from cosmap_spark.operators.cone_search import (  # noqa: F401
+    cone_search,
+    crossmatch,
+)
 from cosmap_spark.operators.dedup import (  # noqa: F401
     contamination_hits,
     edit_distance_pairs,
@@ -99,6 +102,10 @@ from cosmap_spark.operators.expectations import (  # noqa: F401
 from cosmap_spark.operators.diff import (  # noqa: F401
     corpus_diff,
     diff_summary,
+)
+from cosmap_spark.operators.funnel import (  # noqa: F401
+    funnel,
+    funnel_summary,
 )
 from cosmap_spark.operators.vocab import (  # noqa: F401
     apply_bpe_merge,
