@@ -48,16 +48,20 @@ def canonical_url(url: Column) -> Column:
     scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     host = _host(url)
     # the explicit port, from the authority (parse_url HOST drops it)
-    port = F.regexp_extract(
+    raw_port = F.regexp_extract(
         url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*:(\d+)(?:[/?#]|$)", 1
     )
+    # numeric comparison + numeric re-render: ':080' ≡ ':80' ≡ default
+    # (string comparison would keep leading-zero ports and split one
+    # origin across keys — review finding)
+    port_n = F.when(raw_port != "", raw_port.cast("int"))
     keep_port = (
-        (port != "")
-        & ~((scheme == "http") & (port == "80"))
-        & ~((scheme == "https") & (port == "443"))
+        port_n.isNotNull()
+        & ~((scheme == "http") & (port_n == 80))
+        & ~((scheme == "https") & (port_n == 443))
     )
     hostport = F.when(
-        keep_port, F.concat(host, F.lit(":"), port)
+        keep_port, F.concat(host, F.lit(":"), port_n.cast("string"))
     ).otherwise(host)
     path = F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit(""))
     # strip ALL trailing slashes (a single-slash strip is not

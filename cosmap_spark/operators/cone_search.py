@@ -175,7 +175,7 @@ def crossmatch(
     # (measured 7.7 s → 1.6 s at sf0.1).  Zones carry the fine-grained
     # pruning; 1° sectors already bound cell population at
     # density × (zone_h × 1°).
-    n_sec = min(max(int(360.0 // max(zone_h, 1e-6)), 36), 360)
+    n_sec = min(max(int(360.0 // zone_h), 36), 360)  # zone_h >= 1e-3
     sector_w = 360.0 / n_sec
     l = left.select(
         F.col(left_id).alias("l_id"), "ra", "dec",

@@ -2,22 +2,17 @@
 time horizon — the classic product-analytics sequence operator
 (A then B then C, each within ``horizon`` of the FIRST step).
 
-Scale shape: ONE exchange (groupBy user — the same shuffle any
-per-user analysis pays), each group reduced map-side to at most one
-timestamp PER STEP before the shuffle: the aggregate keeps, per user,
-the earliest valid timestamp of each step given the previous step's
-timestamp.  That greedy earliest-feasible choice is optimal for funnel
-completion (advancing a later step can only shrink the feasible set
-for the next), so no per-user event log is ever collected — state is
-O(steps), not O(events), the property that survives power users with
-10⁶ events.
-
-Implementation is a single ``min_by``-style conditional aggregation
-chain: step 1's earliest ts, then for each later step the earliest ts
-that is > the previous step's ts and ≤ step-1 ts + horizon.  Two-pass
-(one job per funnel step) keeps every pass a plain groupBy
-aggregation; steps are few (2-8) and each pass reuses the same
-shuffle partitioning, so AQE reuses the exchange.
+Scale shape: one step-filtered scan of events PLUS one user-keyed
+join+aggregate shuffle PER LATER STEP — honestly N−1 exchanges for an
+N-step funnel, not one (each step's filter is a distinct subplan, so
+nothing is exchange-reusable); steps are few (2-8) and every exchange
+carries at most one row per user per step.  The property that matters
+at scale is the STATE bound: each pass reduces map-side to at most
+one timestamp per user — the earliest candidate valid given the
+previous step's timestamp, which is optimal for a fixed anchor
+(advancing a later step can only shrink the next step's feasible set)
+— so no per-user event log is ever collected.  State is O(steps), not
+O(events), the property that survives power users with 10⁶ events.
 
 Returns one row per user that completed step 1, with per-step
 timestamps (NULL once the funnel stalls) and ``steps_completed`` /
@@ -97,8 +92,9 @@ def funnel(
 
 
 def funnel_summary(per_user: DataFrame, n_steps: int) -> DataFrame:
-    """``[step, n_users, conversion_from_start, drop_from_prev]`` from a
-    :func:`funnel` result — the dashboard table.  One aggregation."""
+    """``[step, n_users, conversion_from_start, retention_from_prev]``
+    from a :func:`funnel` result — the dashboard table (drop-off is
+    1 − retention_from_prev).  One aggregation."""
     agg = per_user.agg(
         *[
             F.coalesce(

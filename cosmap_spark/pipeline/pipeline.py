@@ -148,13 +148,23 @@ def compile_pipeline(
                 spark = next(iter(dfs.values())).sparkSession
                 # the SQL plan is captured eagerly by spark.sql, so the
                 # views are only needed DURING the call — save any
-                # same-named session temp views and restore (or drop)
-                # after, leaving the user's session exactly as found
-                # (review finding: bare aliases clobbered and leaked)
+                # same-named session TEMP VIEWS and restore (or drop)
+                # after, leaving the user's session exactly as found.
+                # Only temp views are captured: spark.table(alias) also
+                # resolves PERMANENT catalog tables, and "restoring"
+                # one would mint a shadowing temp view that leaks
+                # (review finding); a catalog table needs no restore —
+                # dropping our alias un-shadows it.
+                def _temp_view(name: str):
+                    for t in spark.catalog.listTables():
+                        if t.isTemporary and t.name == name.lower():
+                            return spark.table(name)
+                    return None
+
                 saved: dict[str, DataFrame | None] = {}
                 for alias, v in dfs.items():
                     try:
-                        saved[alias] = spark.table(alias)
+                        saved[alias] = _temp_view(alias)
                     except Exception:
                         saved[alias] = None
                     v.createOrReplaceTempView(alias)

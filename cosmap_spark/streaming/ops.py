@@ -489,12 +489,21 @@ def vector_ingest_stream(vec_stream: DataFrame, index_path: str,
     accumulated corpus) handles drift; that is the standard
     serve-while-ingesting split.  ``load_appended_index`` reassembles
     ``(centroids, assigned)`` for `knn_ann_union`/`knn_ivf`."""
+    from pyspark.sql import SparkSession as _SS
+
     from cosmap_spark.operators.index_store import load_ann_index
     from cosmap_spark.operators.knn import ivf_assign
 
+    # centroids are FROZEN by contract: load them ONCE at stream start
+    # and close over them — a per-batch reload would pay a manifest +
+    # collect per epoch and, worse, silently mix OLD-centroid epochs
+    # with NEW ones if a retrain rewrites the index mid-stream
+    # (review finding)
+    cents, _ = load_ann_index(
+        _SS.getActiveSession() or vec_stream.sparkSession, index_path
+    )["index"]
+
     def run(batch_df: DataFrame, epoch_id: int) -> None:
-        spark = batch_df.sparkSession
-        cents, _ = load_ann_index(spark, index_path)["index"]
         fresh = ivf_assign(
             batch_df, cents, id_col=id_col, vec_col=vec_col
         )

@@ -381,3 +381,27 @@ def test_sql_node_restores_session_views(spark):
     assert spark.table("t").count() == 3  # user's view restored
     assert not spark.catalog.tableExists("u")  # DAG alias dropped
     spark.catalog.dropTempView("t")
+
+
+def test_sql_node_does_not_shadow_catalog_table(spark, tmp_path):
+    """A needed-data alias matching a PERMANENT table must not leave a
+    shadowing temp view behind (review finding: spark.table also
+    resolves catalog tables, and 'restoring' one minted a leak)."""
+    spark.sql("DROP TABLE IF EXISTS perm_events")
+    spark.range(3).write.saveAsTable("perm_events")
+    try:
+        block = {
+            "s": {"needed-data": ["perm_events"],
+                  "sql": "SELECT COUNT(*) AS n FROM perm_events",
+                  "is-output": True},
+        }
+        out = compile_pipeline(block, {})({"perm_events": spark.range(9)})
+        assert out.collect()[0]["n"] == 9  # the DAG's own table won
+        # no temp view left; the permanent table resolves again
+        assert not any(
+            t.isTemporary and t.name == "perm_events"
+            for t in spark.catalog.listTables()
+        )
+        assert spark.table("perm_events").count() == 3
+    finally:
+        spark.sql("DROP TABLE IF EXISTS perm_events")

@@ -104,3 +104,14 @@ def test_canonical_url_ports(spark):
     assert got[1] == got[2] == "http://example.com/a"
     assert got[3] == "https://example.com/b"
     assert got[4] == "https://example.com:8443/b"
+
+
+def test_canonical_url_leading_zero_ports(spark):
+    got = _canon(spark, [
+        "http://example.com:080/a",
+        "http://example.com:80/a",
+        "http://example.com:08080/a",
+        "http://example.com:8080/a",
+    ])
+    assert got[0] == got[1] == "http://example.com/a"
+    assert got[2] == got[3] == "http://example.com:8080/a"
