@@ -218,15 +218,18 @@ def main() -> None:
 
     calibration = _calibrate()
 
-    # Two timed runs per query, report the min: the first run at the
+    # Three timed runs per query, report the min: the first run at the
     # target SF still pays one-time plan costs (AQE stats, codegen for
-    # this plan's shape, shuffle-file creation); the min is the
-    # steady-state per-query throughput a resident engine delivers.
+    # this plan's shape, shuffle-file creation) and single-JVM GC
+    # pauses add multi-second one-off noise (round-3 VERDICT finding
+    # #2: a min-of-2 headline read 2× its own steady state); the min
+    # is the steady-state per-query throughput a resident engine
+    # delivers.
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
@@ -274,17 +277,27 @@ def main() -> None:
         scale_root = os.path.join(tempfile.gettempdir(), "cosmap_scale")
         scaling = {"base_sf": sf, "factors": SCALING_FACTORS, "queries": {}}
         per_q: dict[str, dict[str, float]] = {q: {} for q in SCALING_SET}
+        # ALL factors are materialized BEFORE any timing: interleaving
+        # a multi-GB parquet write with the very next factor's timed
+        # runs was the round-3 ×4 anomaly (q_knn_ann 24.5 s at ×4 vs
+        # 7.7 s at ×10 — write-dirtied heap + cold page cache, not a
+        # plan flip; re-measured clean at 7.0 s).  A full GC between
+        # build and timing drains the write's garbage.
         for factor in SCALING_FACTORS:
             # factor 1 is materialized through the same builder so all
             # factors read identical array<double> layout (see
             # _build_scaled docstring)
+            _build_scaled(spark, sf_dir,
+                          os.path.join(scale_root, f"{sf}x{factor}"), factor)
+        spark._jvm.System.gc()
+        for factor in SCALING_FACTORS:
             fdir = os.path.join(scale_root, f"{sf}x{factor}")
-            _build_scaled(spark, sf_dir, fdir, factor)
             for q in SCALING_SET:
                 best = float("inf")
-                # min-of-2, like the headline: single-JVM GC pauses at
-                # the larger factors add multi-second one-off noise
-                for _ in range(2):
+                # min-of-3: single-JVM GC pauses at the larger factors
+                # add multi-second one-off noise, and the first run
+                # pays plan compile + cold file footers
+                for _ in range(3):
                     t0 = time.perf_counter()
                     queries[q](spark, fdir).count()
                     best = min(best, time.perf_counter() - t0)

@@ -113,5 +113,34 @@ def test_plan_gates(spark):
         "doc_id long, text string",
     )
     s = plan_summary(substring_dedup(df, length=L))
-    assert s["python_evals"] == 0 and s["arrow_evals"] == 0
+    # exactly the two rolling-hash lanes (dedup._rolling_hash_kernel),
+    # nothing row-at-a-time
+    assert s["python_evals"] == 0 and s["arrow_evals"] == 2
     assert s["cartesian_products"] == 0 and s["nested_loop_joins"] == 0
+
+
+def test_rolling_hash_kernel_matches_direct_polynomial(spark):
+    """The O(n) cumulative-ops form must equal the definition
+    H(s) = Σⱼ t[s+j]·Bʲ (mod 2⁶⁴) computed directly per window, across
+    variable-length docs in one batch (exercises the flattened-offsets
+    indexing and the doc-boundary mask)."""
+    import numpy as np
+    import pandas as pd
+
+    from cosmap_spark.operators.dedup import _ROLL_B1, _rolling_hash_kernel
+
+    rng = np.random.default_rng(3)
+    rows = [rng.integers(-(2**63), 2**63, size=m).astype(np.int64)
+            for m in (L, L + 1, L + 7, L, L + 3)]
+    roll = _rolling_hash_kernel(L, _ROLL_B1)
+    got = roll.func(pd.Series(rows))
+    B = np.uint64(_ROLL_B1)
+    bpow = np.empty(L, dtype=np.uint64)
+    bpow[0] = 1
+    for j in range(1, L):
+        bpow[j] = bpow[j - 1] * B
+    for arr, g in zip(rows, got):
+        t = arr.view(np.uint64)
+        want = [int(((t[s:s + L] * bpow).sum()))
+                for s in range(len(t) - L + 1)]
+        assert [int(np.uint64(x)) for x in np.asarray(g, dtype=np.int64).view(np.uint64)] == want
