@@ -286,8 +286,20 @@ def q_dedup_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 2000000).alias("doc_id"),
         F.concat(F.lit("z"), F.substring("prefix", 2, 47)).alias("prefix"),
     )
+    # SHORT twins (length 6 < q·(k+1) = 8): findable ONLY through the
+    # deletion-neighborhood short bucket — the gate exercises the gram
+    # path (48-char twins above) AND the short path on every run
+    short_base = docs.where(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.substring("text", 1, 6).alias("prefix"),
+    )
+    short_twins = docs.where(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 4000000).alias("doc_id"),
+        F.concat(F.lit("z"), F.substring("text", 2, 5)).alias("prefix"),
+    )
     ed = edit_distance_pairs(
-        prefixes.unionByName(typo_twins),
+        prefixes.unionByName(typo_twins)
+        .unionByName(short_base).unionByName(short_twins),
         text_col="prefix", max_dist=1, q=4, max_gram_df=100,
     ).select(
         F.lit("edit").alias("method"),

@@ -101,14 +101,42 @@ def test_plan_no_cartesian(spark, corpus):
     assert s["python_evals"] == 0 and s["arrow_evals"] == 0  # all JVM
 
 
-def test_blank_and_short_strings_emit_no_grams(spark):
+def test_blank_and_short_strings_route_through_short_bucket(spark):
     """sequence(1,0) descends — short/blank strings must contribute NO
-    grams (an '' gram would hot-join every blank row pairwise)."""
+    grams (an '' gram would hot-join every blank row pairwise); since
+    round 4 they go through the deletion-neighborhood short bucket
+    instead, which must find their TRUE pairs: identical blanks
+    (dist 0), identical 'ab's (dist 0), and no blank×'ab' pair
+    (dist 2 > 1)."""
     rows = [(i, "") for i in range(50)] + [(100 + i, "ab") for i in range(50)]
     rows += [(900, "hello world"), (901, "hello worlq")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {
-        (r["id_a"], r["id_b"])
+        (r["id_a"], r["id_b"], r["dist"])
         for r in edit_distance_pairs(df, max_dist=1, max_gram_df=None).collect()
     }
-    assert got == {(900, 901)}  # no blank/short pairs at all
+    want = {(900, 901, 1)}
+    want |= {(i, j, 0) for i in range(50) for j in range(i + 1, 50)}
+    want |= {(100 + i, 100 + j, 0) for i in range(50) for j in range(i + 1, 50)}
+    assert got == want
+
+
+def test_short_strings_match_bruteforce(spark):
+    """Lengths straddling the q·(k+1) guarantee — below it the gram
+    path is blind and the short bucket must carry completeness; the
+    union must equal brute force exactly at every k."""
+    import random
+
+    rng = random.Random(11)
+    alpha = "abcde"
+    rows = [
+        (i, "".join(rng.choice(alpha) for _ in range(rng.randint(0, 12))))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for k in (1, 2, 3):
+        got = {
+            (r["id_a"], r["id_b"], r["dist"])
+            for r in edit_distance_pairs(df, max_dist=k, max_gram_df=None).collect()
+        }
+        assert got == _brute(df, k), k
