@@ -31,11 +31,11 @@ collected and shipped in the scorer's closure, exactly the broadcast
 pattern of the exact path).  The LUT costs m·ksub doubles per query
 (8 KB at m=16/ksub=64), so the driver-collect serving shape holds to
 |Q| ~ 10⁵ (~1 GB closure).  For corpus-scale |Q| — joining two
-embedding corpora — build the LUT rows AS a DataFrame (posexplode the
-query against the in-plan codebook literal) and shuffle-join them to
-candidates on (cid, qid) instead; O(|Q|·m·ksub) exchange, linear in
-|Q|, never in corpus size.  See SCALE.md §Similarity search for the
-full switchover analysis.
+embedding corpora — ``knn_ivfpq(distributed_lut=True)`` never collects
+queries: LUT rows are computed in-plan per query row against the
+codebook literal and shuffle-joined to cid-pruned candidates on qid;
+O(|Q|·m·ksub) exchange, linear in |Q|, never in corpus size.  See
+SCALE.md §Similarity search for the switchover analysis.
 """
 
 from __future__ import annotations
@@ -183,6 +183,56 @@ def _adc_luts(
 _ADC_SCHEMA = "qid bigint, nid bigint, dist double"
 
 
+def _codebook_literal(books: np.ndarray):
+    """The (m, ksub, dsub) codebook as ONE parsed SQL literal —
+    array<array<array<double>>> — the same single-py4j-round-trip trick
+    as ``knn._centroid_array`` (thousands of nested F.lit Columns build
+    the identical tree thousands of py4j calls slower)."""
+    def vec(v):
+        return "array({})".format(
+            ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in v)
+        )
+
+    subs = ", ".join(
+        "array({})".format(", ".join(vec(c) for c in sub)) for sub in books
+    )
+    return F.expr(f"array({subs})")
+
+
+def _lut_expr(qvec, books: np.ndarray):
+    """In-plan ADC lookup table for one query row:
+    ``luts[s][c] = ||q_sub(s) − books[s][c]||²`` as a pure column
+    expression over the codebook literal — array<array<double>>
+    (m × ksub).  The distributed twin of :func:`_adc_luts`; same fold
+    order (sequential over dsub), so values agree with the driver path
+    to the last ulp."""
+    m, ksub, dsub = books.shape
+    return F.transform(
+        _codebook_literal(books),
+        lambda sub, s: F.transform(
+            sub,
+            lambda c: F.aggregate(
+                F.sequence(F.lit(1), F.lit(int(dsub))),
+                F.lit(0.0),
+                # (a−b)·(a−b), not pow(·, 2): libm pow is not
+                # guaranteed exact even for squares, and the driver
+                # twin computes diff*diff.  The doubled element_at is
+                # the usual no-CSE-in-lambdas cost — two O(1) array
+                # reads, cheaper than the bind-via-transform trick.
+                lambda acc, j: acc
+                + (
+                    F.element_at(qvec, (s * dsub + j).cast("int"))
+                    - F.element_at(c, j.cast("int"))
+                )
+                * (
+                    F.element_at(qvec, (s * dsub + j).cast("int"))
+                    - F.element_at(c, j.cast("int"))
+                ),
+            ),
+        ),
+    )
+
+
 def _topk_by_dist_nid(dists: np.ndarray, nids: np.ndarray, k: int) -> np.ndarray:
     """Indices of the k smallest under the TOTAL order (dist, nid).
 
@@ -244,16 +294,19 @@ def _rerank_exact(
     k: int,
     id_col: str,
     vec_col: str,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Exact-L2 re-rank of an ADC shortlist (the FAISS "refine" stage):
     raw vectors are fetched ONLY for the R·|Q| shortlist rows via a hash
-    join, queries broadcast; the quantization error that shuffles
-    close-neighbor ranks is removed where it matters."""
+    join, queries broadcast (``broadcast_queries=False`` on the
+    corpus-scale-|Q| path leaves the join strategy to AQE); the
+    quantization error that shuffles close-neighbor ranks is removed
+    where it matters."""
     vs = vectors.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"))
     qs = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
     exact = (
         shortlist.join(vs, "nid")
-        .join(F.broadcast(qs), "qid")
+        .join(F.broadcast(qs) if broadcast_queries else qs, "qid")
         .select(
             "qid", "nid",
             F.round(_exact_l2(F.col("qvec"), F.col("nvec")), 6).alias("dist"),
@@ -333,6 +386,7 @@ def knn_ivfpq(
     prebuilt: tuple[list, DataFrame] | None = None,
     codebooks: Codebooks | None = None,
     coded: DataFrame | None = None,
+    distributed_lut: bool = False,
 ) -> DataFrame:
     """IVF coarse quantizer + PQ codes + ADC re-rank — the standard
     billion-scale ANN layout as a composition of this engine's parts:
@@ -354,7 +408,23 @@ def knn_ivfpq(
     codebooks, keep=["cid"])`` so training AND corpus encoding are paid
     once and shared across searches — the full persisted-index pattern:
     at scale ``coded`` is the stored, cid-partitioned codes table, and
-    serving touches nothing corpus-sized but its pruned scan."""
+    serving touches nothing corpus-sized but its pruned scan.
+
+    ``distributed_lut=True`` is the corpus-scale-|Q| serving shape
+    (SCALE.md §Similarity search): the default path collects the query
+    set to the driver and ships per-query LUTs in the scorer's closure
+    (8 KB/query at m=16/ksub=64 — a ~10⁵-query ceiling); the
+    distributed path never collects queries — LUT rows are computed
+    IN-PLAN per query row against the in-plan codebook literal
+    (:func:`_lut_expr`), probes join candidates on ``cid`` and LUTs
+    join on ``qid``, both plain shuffle joins AQE is free to size
+    (O(|Q|·m·ksub) exchange, linear in |Q|, never corpus-sized).  The
+    trade: no per-batch partial top-k — every probed candidate row
+    reaches the per-qid window (sort-spill, skew handled by AQE), so
+    prefer the closure path while |Q| fits the driver.  Results are
+    identical (same fold order, both round the ADC sum to 6 dp):
+    tests/test_pq.py pins distributed ≡ driver at nprobe=nlist vs
+    ``pq_adc_topk`` and at nprobe<nlist vs the closure path."""
     from cosmap_spark.operators.knn import _scored_centroids, ivf_build
 
     cents, assigned = prebuilt if prebuilt is not None else ivf_build(
@@ -384,15 +454,53 @@ def knn_ivfpq(
     q = q0.select(
         "qid", F.explode(F.transform(probes, lambda s: -s["negcid"])).alias("cid")
     )
+    books = _as_array(codebooks)
+    n_short = max(k, rerank or 0)
+    if distributed_lut:
+        # queries never leave the cluster: probe rows shuffle-join the
+        # coded table on cid (NOT forced broadcast — |Q| may exceed the
+        # driver), LUT rows shuffle-join candidates on qid, and the ADC
+        # sum is a zip_with/aggregate over JVM columns
+        qcand = coded.join(q, "cid").select("nid", "codes", "qid")
+        luts = q0.select("qid", _lut_expr(F.col("qvec"), books).alias("__luts"))
+        scored = (
+            qcand.join(luts, "qid")
+            .where(F.col("nid") != F.col("qid"))
+            .select(
+                "qid", "nid",
+                F.round(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("__luts"), F.col("codes"),
+                            lambda l, c: F.element_at(l, (c + 1).cast("int")),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ),
+                    6,
+                ).alias("dist"),
+            )
+        )
+        w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("nid"))
+        shortlist = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= n_short)
+        )
+        if rerank is None:
+            return shortlist.select(
+                "qid", "nid", "dist", F.col("rn").cast("long").alias("rn")
+            ).where(F.col("rn") <= k)
+        return _rerank_exact(
+            shortlist.select("qid", "nid"), queries, corpus,
+            k=k, id_col=id_col, vec_col=vec_col, broadcast_queries=False,
+        )
     cand = coded.join(F.broadcast(q), "cid").select("nid", "codes", "qid")
 
-    books = _as_array(codebooks)
     qrows = queries.select(id_col, vec_col).collect()
     qids, luts = _adc_luts(qrows, books)
     qpos = {int(q): i for i, q in enumerate(qids)}
     m_ = luts.shape[1]
     s_idx = np.arange(m_)
-    n_short = max(k, rerank or 0)
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -242,3 +242,66 @@ def test_coded_without_matching_artifacts_rejected(spark, emb, books):
     index = ivf_build(emb, nlist=8, iters=1)
     with pytest.raises(ValueError, match="codebooks"):
         knn_ivfpq(emb, emb.limit(2), k=2, nlist=8, prebuilt=index, coded=coded)
+
+
+def test_distributed_lut_parity_with_driver_paths(spark, emb, books):
+    """distributed_lut=True must return EXACTLY the driver-closure
+    results: at nprobe=nlist the probed set is the whole corpus, so it
+    must also equal flat pq_adc_topk; at nprobe<nlist it must equal the
+    closure-path knn_ivfpq.  |Q|=10, both with and without rerank."""
+    from cosmap_spark.operators.knn import ivf_build
+
+    queries = emb.where(F.col("vec_id") < 10)
+    idx = ivf_build(emb, nlist=8, iters=1)
+    codes = pq_encode(idx[1], books, id_col="nid", vec_col="nvec", keep=["cid"])
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    # full probe == flat ADC scan
+    dist_full = knn_ivfpq(
+        emb, queries, k=5, nlist=8, nprobe=8, m=8, ksub=16,
+        prebuilt=idx, codebooks=books, coded=codes, distributed_lut=True,
+    )
+    flat = pq_adc_topk(
+        codes.select("nid", "codes"), queries, books, k=5,
+    )
+    assert rows(dist_full) == rows(flat)
+
+    # pruned probe == closure path, with rerank
+    for rerank in (None, 20):
+        a = knn_ivfpq(
+            emb, queries, k=5, nlist=8, nprobe=3, m=8, ksub=16, rerank=rerank,
+            prebuilt=idx, codebooks=books, coded=codes, distributed_lut=True,
+        )
+        b = knn_ivfpq(
+            emb, queries, k=5, nlist=8, nprobe=3, m=8, ksub=16, rerank=rerank,
+            prebuilt=idx, codebooks=books, coded=codes,
+        )
+        assert rows(a) == rows(b)
+
+
+def test_distributed_lut_plan_never_collects_queries(spark, emb, books):
+    """The corpus-scale-|Q| contract: building the distributed plan must
+    trigger ZERO Spark jobs (the driver path collects the query set),
+    and the plan must contain no Python at all — the scorer closure is
+    replaced by in-plan LUT rows."""
+    from cosmap_spark.operators.knn import ivf_build
+    from cosmap_spark.operators.report import plan_summary
+
+    queries = emb.where(F.col("vec_id") < 10)
+    idx = ivf_build(emb, nlist=8, iters=1)
+    codes = pq_encode(idx[1], books, id_col="nid", vec_col="nvec", keep=["cid"])
+    codes = codes.localCheckpoint(eager=True)  # freeze upstream Arrow encode
+
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    df = knn_ivfpq(
+        emb, queries, k=5, nlist=8, nprobe=3, m=8, ksub=16,
+        prebuilt=idx, codebooks=books, coded=codes, distributed_lut=True,
+    )
+    after = tracker.getJobIdsForGroup(None)
+    assert before == after, "plan construction must not run driver collects"
+    s = plan_summary(df)
+    assert s["python_evals"] == 0 and s["arrow_evals"] == 0
+    assert s["cartesian_products"] == 0 and s["nested_loop_joins"] == 0
