@@ -76,15 +76,28 @@ def save_ann_index(
         )
         manifest["components"].append("lsh")
     os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, "manifest.json"), "w") as f:
+    # manifest last AND atomically (tmp + rename): it is the marker
+    # that the parquet components are complete — a crash mid-save must
+    # leave either no manifest or the previous intact one, never a
+    # manifest describing half-written components
+    tmp = os.path.join(path, ".manifest.json.tmp")
+    with open(tmp, "w") as f:
         json.dump(manifest, f)
+    os.replace(tmp, os.path.join(path, "manifest.json"))
 
 
 def _require_session(*dfs) -> SparkSession:
     for df in dfs:
         if df is not None:
             return df.sparkSession
-    return SparkSession.getActiveSession()
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise ValueError(
+            "save_ann_index needs a SparkSession to write driver-side "
+            "artifacts (codebooks/centroids), but no DataFrame argument "
+            "was given and no session is active — create one first"
+        )
+    return spark
 
 
 def load_ann_index(spark: SparkSession, path: str) -> dict:

@@ -100,10 +100,14 @@ def distinct_rollup(
     tractable at 100 TB: the corpus-sized scan happens once and emits
     O(|leaf groups|) sketch rows (~2^lg_k bytes each); every coarser
     level is an aggregation over THOSE, so adding a rollup level costs
-    kilobytes, not a re-scan.  Because HLL union is exact over sketch
-    state (associative, commutative, idempotent), the rolled-up
-    estimate at a coarse level is bit-identical to sketching that level
-    directly — pinned in tests/test_sketch.py.  Contrast
+    kilobytes, not a re-scan.  HLL union is associative, commutative,
+    and idempotent over sketch state, so a rolled-up level carries the
+    SAME ACCURACY BOUND as sketching that level directly (~1.04/√2^lg_k
+    relative error) — but NOT bit-identical estimates: merge order
+    changes the sketch's internal representation (coupon list vs dense
+    promotion), the repo-wide HLL invariant (CLAUDE.md).  Promise
+    bounds, never equality — pinned as a tolerance check in
+    tests/test_sketch.py.  Contrast
     ``approx_count_distinct``, whose estimate is never materialized as
     a mergeable value: with GROUPING SETS it re-derives every level
     inside one job, but the partial state cannot be persisted and

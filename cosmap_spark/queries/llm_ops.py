@@ -451,13 +451,24 @@ def _tsearch_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("ts").isNotNull()
         & F.col("value").isNotNull()
     )
+    # nid packs (user_id, start) into one long: 2³² stride, with an
+    # in-plan guard — a series of ≥ 2³² events per user would silently
+    # alias into the next user's id space, so fail loudly instead
+    # (round-3 ADVICE: the old 10⁶ stride overflowed much earlier)
+    stride = 1 << 32
+    packed = F.when(
+        F.col("start") < stride, F.col("user_id") * stride + F.col("start")
+    ).otherwise(
+        F.raise_error(F.format_string(
+            "tsearch nid encoding overflow: start=%s >= 2^32", "start"))
+    )
     hits = subsequence_search_multi(
         ev, [pat for _, pat in TS_PATTERNS],
         key_col="user_id", order_col="ts", val_col="value", k=5,
     ).select(
         F.lit("tsearch").alias("method"),
         F.col("qid").cast("long").alias("qid"),
-        (F.col("user_id") * 1_000_000 + F.col("start")).alias("nid"),
+        packed.alias("nid"),
         (-F.round(F.col("dist"), 6)).alias("score"),
     )
     w = Window.partitionBy("method", "qid").orderBy(

@@ -437,7 +437,19 @@ def sketch_stream(stream_df: DataFrame, store_path: str, checkpoint: str,
     merge ORDER may legitimately move a sketch between coupon-exact
     and dense-register representations, so bit-equality with a
     one-shot batch sketch is not promised — only the accuracy
-    bound is."""
+    bound is.
+
+    Durability assumption: the epoch ledger and the store swap use
+    DRIVER-LOCAL ``os`` filesystem calls, so the exactly-once markers
+    survive driver restarts only when ``store_path`` lives on a
+    filesystem every prospective driver sees (single node, NFS, or a
+    fuse-mounted object store).  A driver restarted on a different
+    node without shared storage loses the ledger and re-merges
+    delivered epochs — harmless to the ESTIMATES (HLL union is
+    idempotent across distinct items) but it breaks the byte-stability
+    promise above.  A multi-node deployment should swap these calls
+    for the same Hadoop ``FileSystem`` abstraction the checkpoint
+    uses."""
     import os
 
     from pyspark.sql import functions as F

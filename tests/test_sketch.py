@@ -202,16 +202,19 @@ def test_hll_rollup_levels_and_accuracy(spark, hier):
     assert got[("(all)", None, None)] == pytest.approx(exact_total, rel=0.05)
 
 
-def test_hll_rollup_union_identical_to_direct_sketch(spark, hier):
-    """HLL union is exact over sketch state: the rolled-up grand total
-    must equal sketching the raw column directly, bit for bit."""
+def test_hll_rollup_union_tracks_direct_sketch(spark, hier):
+    """The rolled-up grand total must carry the same accuracy bound as
+    sketching the raw column directly — NOT bit-equality: estimates are
+    not bit-stable across merge orders (coupon vs dense representation,
+    the repo-wide HLL invariant), even though they coincide at this
+    fixture's cardinality.  Tolerance = 2× the lg_k=12 bound."""
     got = _rollup_map(hier)
     direct = hier.agg(
         F.hll_sketch_estimate(
             F.hll_sketch_agg(F.col("uid"), F.lit(12))
         ).alias("ndv")
     ).collect()[0]["ndv"]
-    assert got[("(all)", None, None)] == direct
+    assert got[("(all)", None, None)] == pytest.approx(direct, rel=2 * 1.04 / 2**6)
 
 
 def test_merge_sketch_tables_incremental(spark, hier):
