@@ -105,6 +105,7 @@ from cosmap_spark.operators.diff import (  # noqa: F401
 )
 from cosmap_spark.operators.funnel import (  # noqa: F401
     funnel,
+    funnel_sliding,
     funnel_summary,
 )
 from cosmap_spark.operators.vocab import (  # noqa: F401

@@ -43,10 +43,10 @@ def funnel(
     SEMANTICS: the funnel is ANCHORED at each user's FIRST step-1
     event (the fixed-anchor convention; given the anchor, picking the
     earliest feasible event per later step is optimal because it
-    maximizes remaining slack).  A sliding-anchor funnel — retrying
-    every step-1 occurrence, ClickHouse ``windowFunnel`` style — needs
-    per-user O(events) state; implement it with the tseries
-    partition-walk pattern if that semantic matters.
+    maximizes remaining slack).  For the sliding-anchor semantics —
+    retrying every step-1 occurrence, ClickHouse ``windowFunnel``
+    style — use :func:`funnel_sliding`, which keeps the same O(steps)
+    per-user state bound via a latest-anchor-per-level pass.
 
     Returns ``[user_col, ts_1..ts_N, steps_completed, converted]``."""
     if len(steps) < 2:
@@ -89,6 +89,129 @@ def funnel(
         F.col(f"ts_{len(steps)}").isNotNull().alias("converted"),
     )
     return out
+
+
+def funnel_sliding(
+    events: DataFrame,
+    steps: list[str],
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    horizon: str | None = None,
+) -> DataFrame:
+    """Sliding-anchor funnel (ClickHouse ``windowFunnel`` semantics):
+    per user, the MAXIMUM number of consecutive steps completed by ANY
+    chain — every step-1 occurrence is a candidate anchor, the whole
+    chain must fit within ``horizon`` of its OWN anchor, and chain
+    timestamps must strictly increase (same-timestamp events never
+    chain, matching :func:`funnel`'s strict ``>``).
+
+    Where :func:`funnel` fixes the anchor at the user's FIRST step-1
+    event, this variant retries later anchors — the semantics that
+    catches a user who stalled on an early attempt and converted on a
+    later one.
+
+    Algorithm — the O(steps)-state pass the fixed-anchor docstring
+    promised: events are repartitioned by user and sorted by (user,
+    ts); ONE kernel pass maintains, per level s, the LATEST anchor of
+    any chain reaching s (latest-anchor greed is exact: a later anchor
+    dominates — strictly more horizon slack — and is extendable by any
+    event that extends an earlier one).  A step-s event at time t
+    extends level s−1 iff the level-(s−1) cummax anchor over events at
+    strictly smaller ts satisfies ``t − anchor ≤ horizon``.  The level
+    loop is OUTSIDE the data (S vectorized passes over the partition,
+    pandas group-cummax + one strict-predecessor gather), so per-user
+    state is S anchors and no per-user event log ever materializes —
+    the partition-walk discipline of ``tseries``.  Differential vs an
+    exhaustive per-anchor pandas reference in tests/test_funnel.py.
+
+    Returns ``[user_col, anchor_ts, steps_completed, converted]`` —
+    one row per user with ≥ 1 step-1 event; ``anchor_ts`` is the
+    latest anchor among chains reaching the user's maximum level.
+
+    Scale shape: one shuffle (user repartition + in-partition sort),
+    kernel memory = the partition's columnar rows + S level arrays;
+    output is one row per user."""
+    import numpy as np
+    import pandas as pd
+
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    n_steps = len(steps)
+    step_rank = {s: i + 1 for i, s in enumerate(steps)}
+    horizon_us = (
+        int(pd.Timedelta(horizon) // pd.Timedelta("1us")) if horizon else None
+    )
+    utype = events.schema[user_col].dataType.simpleString()
+    ttype = events.schema[ts_col].dataType.simpleString()
+    schema = (
+        f"{user_col} {utype}, anchor_ts {ttype}, "
+        "steps_completed long, converted boolean"
+    )
+    ev = (
+        events.select(
+            F.col(user_col).alias("__u"),
+            F.col(type_col).alias("__t"),
+            F.col(ts_col).alias("__ts"),
+        )
+        .where(F.col("__t").isin(list(steps)) & F.col("__ts").isNotNull())
+        .repartition("__u")
+        .sortWithinPartitions("__u", "__ts")
+    )
+    NEG = np.int64(np.iinfo(np.int64).min)
+
+    def kernel(batches):
+        parts = [p for p in batches if len(p)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        u = pdf["__u"]
+        ts = pdf["__ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        lvl = pdf["__t"].map(step_rank).to_numpy(dtype=np.int64)
+        n = len(ts)
+        idx = np.arange(n, dtype=np.int64)
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = u.to_numpy()[1:] != u.to_numpy()[:-1]
+        new_run = new_user.copy()
+        new_run[1:] |= ts[1:] != ts[:-1]
+        user_first = np.maximum.accumulate(np.where(new_user, idx, 0))
+        run_first = np.maximum.accumulate(np.where(new_run, idx, 0))
+        # strict predecessor: last event of the SAME user at strictly
+        # smaller ts (−1 = none) — equal-ts events never chain
+        prev = run_first - 1
+        prev[run_first <= user_first] = -1
+        ug = pd.Series(np.cumsum(new_user))  # group label for cummax
+        best = np.where(lvl == 1, ts, NEG)
+        anchors = [None, pd.Series(best).groupby(ug).cummax().to_numpy()]
+        for s in range(2, n_steps + 1):
+            pa = np.where(prev >= 0, anchors[s - 1][np.maximum(prev, 0)], NEG)
+            ok = (lvl == s) & (pa != NEG)
+            if horizon_us is not None:
+                ok &= ts - pa <= horizon_us
+            a_s = np.where(ok, pa, NEG)
+            anchors.append(pd.Series(a_s).groupby(ug).cummax().to_numpy())
+        last = np.zeros(n, dtype=bool)
+        last[:-1] = new_user[1:]
+        last[-1] = True
+        per_user = [a[last] for a in anchors[1:]]  # (S, n_users)
+        reached = np.stack([a != NEG for a in per_user])  # (S, U)
+        completed = reached.sum(axis=0)  # consecutive by construction
+        keep = completed >= 1
+        if not keep.any():
+            return
+        comp = completed[keep]
+        best_anchor = np.stack(per_user)[comp - 1, np.flatnonzero(keep)]
+        yield pd.DataFrame(
+            {
+                user_col: u.to_numpy()[last][keep],
+                "anchor_ts": best_anchor.view("datetime64[us]"),
+                "steps_completed": comp.astype(np.int64),
+                "converted": comp == n_steps,
+            }
+        )
+
+    return ev.mapInPandas(kernel, schema)
 
 
 def funnel_summary(per_user: DataFrame, n_steps: int) -> DataFrame:

@@ -123,3 +123,109 @@ def test_real_events_smoke_and_plan(spark):
 def test_validation(spark, log):
     with pytest.raises(ValueError):
         funnel(log, ["A"])
+
+
+def _sliding_reference(pdf: pd.DataFrame, steps, horizon_min=None):
+    """Exhaustive sliding-anchor reference: for EVERY step-1 occurrence
+    run the greedy earliest-feasible chain (optimal for a fixed anchor)
+    with strict time ordering; per user report the max level and the
+    LATEST anchor among chains reaching it."""
+    out = {}
+    for u, g in pdf.groupby("user_id"):
+        g = g.sort_values("ts")
+        best_level, best_anchor = 0, None
+        for anchor in g[g.event_type == steps[0]].ts:
+            level, prev = 1, anchor
+            for s in steps[1:]:
+                cand = g[(g.event_type == s) & (g.ts > prev)]
+                if horizon_min is not None:
+                    cand = cand[
+                        cand.ts <= anchor + pd.Timedelta(minutes=horizon_min)
+                    ]
+                if cand.empty:
+                    break
+                prev = cand.ts.iloc[0]
+                level += 1
+            if level > best_level or (
+                level == best_level and anchor > best_anchor
+            ):
+                best_level, best_anchor = level, anchor
+        if best_level >= 1:
+            out[u] = (
+                best_anchor.to_pydatetime(), best_level,
+                best_level == len(steps),
+            )
+    return out
+
+
+@pytest.mark.parametrize("horizon_min", [None, 30])
+def test_sliding_matches_exhaustive_reference(spark, log, horizon_min):
+    from cosmap_spark.operators.funnel import funnel_sliding
+
+    steps = ["A", "B", "C"]
+    horizon = f"{horizon_min} minutes" if horizon_min else None
+    got = {
+        r["user_id"]: (r["anchor_ts"], r["steps_completed"], r["converted"])
+        for r in funnel_sliding(
+            _log_df(spark), steps, horizon=horizon,
+        ).collect()
+    }
+    want = _sliding_reference(_log_df(spark).toPandas(), steps, horizon_min)
+    assert got == want
+    # u6 is the case that separates the variants: the fixed anchor at
+    # t=0 misses the 30-min horizon, the sliding anchor at t=40 converts
+    if horizon_min == 30:
+        assert got[6][1] == 3 and got[6][2]
+
+
+def _log_df(spark):
+    return spark.createDataFrame(
+        [
+            (1, "A", _ts(0)), (1, "B", _ts(5)), (1, "C", _ts(9)),
+            (2, "A", _ts(0)), (2, "B", _ts(50)),
+            (3, "B", _ts(0)), (3, "A", _ts(10)), (3, "B", _ts(20)),
+            (3, "C", _ts(21)),
+            (4, "A", _ts(0)), (4, "B", _ts(10)), (4, "C", _ts(45)),
+            (5, "B", _ts(1)), (5, "C", _ts(2)),
+            (6, "A", _ts(0)), (6, "A", _ts(40)), (6, "B", _ts(45)),
+            (6, "C", _ts(50)),
+            # u7: same-timestamp events must NOT chain (strict >)
+            (7, "A", _ts(0)), (7, "B", _ts(0)), (7, "C", _ts(1)),
+            # u8: interleaved restarts — later anchor reaches deeper
+            (8, "A", _ts(0)), (8, "B", _ts(100)),
+            (8, "A", _ts(90)), (8, "C", _ts(101)),
+        ],
+        "user_id long, event_type string, ts timestamp",
+    )
+
+
+def test_sliding_randomized_differential(spark):
+    import random
+
+    from cosmap_spark.operators.funnel import funnel_sliding
+
+    rng = random.Random(23)
+    rows = []
+    for u in range(60):
+        for _ in range(rng.randint(0, 25)):
+            rows.append(
+                (u, rng.choice("ABCD"), _ts(rng.randint(0, 200)))
+            )
+    if not rows:
+        rows = [(0, "A", _ts(0))]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+    steps = ["A", "B", "C", "D"]
+    for horizon_min in (None, 40):
+        horizon = f"{horizon_min} minutes" if horizon_min else None
+        got = {
+            r["user_id"]: (r["anchor_ts"], r["steps_completed"], r["converted"])
+            for r in funnel_sliding(df, steps, horizon=horizon).collect()
+        }
+        want = _sliding_reference(df.toPandas(), steps, horizon_min)
+        assert got == want, horizon_min
+    # partition independence: same result at a hostile partitioning
+    got1 = sorted(map(tuple, funnel_sliding(df.repartition(13), steps).collect()))
+    got2 = sorted(map(tuple, funnel_sliding(df.coalesce(1), steps).collect()))
+    assert got1 == got2
