@@ -418,15 +418,32 @@ def ivf_build(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 29,
+    seeding: str = "hash",
 ) -> tuple[list[tuple[int, list[float]]], DataFrame]:
     """Train a coarse quantizer and build inverted lists.
 
-    Seeding is a deterministic hash-ordered sample (the ``nlist`` corpus
-    vectors with smallest ``xxhash64(id, seed)`` — reproducible on any
-    cluster, no RNG state), refined with ``iters`` Lloyd steps computed
-    as DataFrame aggregations (posexplode → per-(cid,pos) mean →
+    ``seeding="hash"`` (default) is a deterministic hash-ordered sample
+    (the ``nlist`` corpus vectors with smallest ``xxhash64(id, seed)``
+    — reproducible on any cluster, no RNG state); ``"kmeans||"`` is
+    the scalable k-means++ of Bahmani et al. (VLDB'12) — see
+    :func:`_kmeans_parallel_seed` — which spreads the seeds over the
+    data's angular structure, the remedy when hash seeding lands a
+    skewed cluster (a fat inverted list re-inflates SemDeDup's
+    quadratic term; diagnose with ``semantic_dedup_balance``).  Either
+    way the seeds are refined with ``iters`` Lloyd steps computed as
+    DataFrame aggregations (posexplode → per-(cid,pos) mean →
     re-assemble).  Returns ``(centroids, assigned)`` where ``assigned``
     is ``[nid, nvec, cid]``."""
+    if seeding == "kmeans||":
+        cents = _kmeans_parallel_seed(
+            corpus, nlist, id_col=id_col, vec_col=vec_col, seed=seed
+        )
+        for _ in range(iters):
+            assigned = ivf_assign(corpus, cents, id_col=id_col, vec_col=vec_col)
+            cents = _lloyd_refine(assigned)
+        return cents, ivf_assign(corpus, cents, id_col=id_col, vec_col=vec_col)
+    if seeding != "hash":
+        raise ValueError(f"unknown seeding {seeding!r} (hash | kmeans||)")
     w = Window.orderBy("h", "nid")
     cents_df = (
         corpus.select(
@@ -442,20 +459,126 @@ def ivf_build(
     cents = [(r["cid"], [float(x) for x in r["cvec"]]) for r in cents_df.collect()]
     for _ in range(iters):
         assigned = ivf_assign(corpus, cents, id_col=id_col, vec_col=vec_col)
-        refined = (
-            assigned.select("cid", F.posexplode(F.col("nvec")).alias("pos", "val"))
-            .groupBy("cid", "pos")
-            .agg(F.avg("val").alias("m"))
-            .groupBy("cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s["m"],
-                ).alias("cvec")
-            )
-        )
-        cents = [(r["cid"], [float(x) for x in r["cvec"]]) for r in refined.collect()]
+        cents = _lloyd_refine(assigned)
     return cents, ivf_assign(corpus, cents, id_col=id_col, vec_col=vec_col)
+
+
+def _lloyd_refine(assigned: DataFrame) -> list[tuple[int, list[float]]]:
+    """One Lloyd step as DataFrame aggregations: per-(cid, pos) mean →
+    re-assembled centroid vectors; empty cells keep no row (their
+    previous centroid simply drops out of the literal, standard
+    k-means cell death)."""
+    refined = (
+        assigned.select("cid", F.posexplode(F.col("nvec")).alias("pos", "val"))
+        .groupBy("cid", "pos")
+        .agg(F.avg("val").alias("m"))
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("cvec")
+        )
+    )
+    return [(r["cid"], [float(x) for x in r["cvec"]]) for r in refined.collect()]
+
+
+def _kmeans_parallel_seed(
+    corpus: DataFrame,
+    nlist: int,
+    *,
+    id_col: str,
+    vec_col: str,
+    seed: int,
+    rounds: int = 3,
+    oversample: float = 2.0,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic k-means|| seeding (Bahmani et al., VLDB'12) in the
+    angular metric the quantizer assigns by (potential = 1 − cosine to
+    the nearest current seed):
+
+    1. seed 0 = the hash-min corpus vector (reproducible, no RNG);
+    2. ``rounds`` passes: every vector joins the candidate set with
+       probability ``min(1, oversample·nlist·d²/Σd²)``, decided by a
+       per-(id, round) hash mapped to [0, 1) — expected ``O(nlist)``
+       candidates per round, each pass one agg job + one filtered
+       collect (the candidate literal ships in-plan via
+       ``_scored_centroids``, so d² is map-side);
+    3. candidates are weighted by the number of corpus vectors they
+       attract (one count job) and reduced to ``nlist`` seeds
+       DRIVER-SIDE by greedy weighted farthest-point (the kmeans++
+       step over O(rounds·oversample·nlist) rows — argmax of
+       weight·d², id tie-break, no RNG);
+    4. if the corpus yields fewer candidates than ``nlist``, hash-min
+       corpus rows pad the remainder (degenerate small inputs).
+
+    Driver traffic is O(rounds·oversample·nlist·dim) — never
+    corpus-sized."""
+    base = corpus.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("cvec"),
+        F.xxhash64(F.col(id_col), F.lit(seed)).alias("h"),
+    )
+    first = base.orderBy("h", "nid").limit(1).collect()
+    if not first:
+        raise ValueError("cannot seed a quantizer from an empty corpus")
+    cands: list[tuple[int, list[float]]] = [
+        (int(first[0]["nid"]), [float(x) for x in first[0]["cvec"]])
+    ]
+    target = oversample * nlist
+    for r in range(rounds):
+        scored = _scored_centroids(
+            F.col("cvec"), [(i, v) for i, (_, v) in enumerate(cands)]
+        )
+        d2 = 1.0 - F.array_max(scored)["sim"]
+        pot = base.select("nid", "cvec", d2.alias("__d2"))
+        total = pot.agg(F.sum("__d2")).collect()[0][0] or 0.0
+        if total <= 0:  # every vector already coincides with a seed
+            break
+        # per-(id, round) hash → uniform [0, 1): deterministic Bernoulli
+        u = (F.xxhash64("nid", F.lit(seed), F.lit(r)).cast("double")
+             / F.lit(float(2**63)) + F.lit(1.0)) / F.lit(2.0)
+        picked = pot.where(
+            u < F.col("__d2") * F.lit(target) / F.lit(float(total))
+        ).collect()
+        seen = {c[0] for c in cands}
+        cands.extend(
+            (int(p["nid"]), [float(x) for x in p["cvec"]])
+            for p in sorted((row for row in picked if row["nid"] not in seen),
+                            key=lambda row: row["nid"])
+        )
+    # weight candidates by attraction (how many vectors they'd own)
+    scored = _scored_centroids(
+        F.col("cvec"), [(i, v) for i, (_, v) in enumerate(cands)]
+    )
+    best = F.array_max(scored)
+    wrows = (
+        base.select((-best["negcid"]).alias("__c"))
+        .groupBy("__c").agg(F.count("*").alias("__w")).collect()
+    )
+    weights = np.zeros(len(cands), dtype=np.float64)
+    for row in wrows:
+        weights[int(row["__c"])] = float(row["__w"])
+    mat = np.stack([np.asarray(v, dtype=np.float64) for _, v in cands])
+    unit = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+    chosen = [int(np.argmax(weights))]
+    d2 = 1.0 - unit @ unit[chosen[0]]
+    while len(chosen) < min(nlist, len(cands)):
+        gain = weights * np.maximum(d2, 0.0)
+        gain[chosen] = -1.0
+        nxt = int(np.argmax(gain))  # first max = smallest index tie-break
+        chosen.append(nxt)
+        d2 = np.minimum(d2, 1.0 - unit @ unit[nxt])
+    if len(chosen) < nlist:  # degenerate: pad with hash-min corpus rows
+        seen_ids = {cands[i][0] for i in chosen}
+        pad = base.orderBy("h", "nid").limit(nlist + len(seen_ids)).collect()
+        extra = [
+            [float(x) for x in p["cvec"]] for p in pad
+            if int(p["nid"]) not in seen_ids
+        ]
+        vecs = [cands[i][1] for i in chosen] + extra
+    else:
+        vecs = [cands[i][1] for i in chosen]
+    return [(cid, v) for cid, v in enumerate(vecs[:nlist])]
 
 
 def knn_ivf(
@@ -525,6 +648,7 @@ def semantic_dedup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 29,
+    seeding: str = "hash",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     near-duplicate pairs found by clustering the embedding space with a
@@ -547,11 +671,17 @@ def semantic_dedup_pairs(
     cosine (precision 1.0 by construction); misses are exactly the
     cross-cluster pairs (recall unit-tested vs brute force).
 
+    The quadratic bound is only as good as the cluster BALANCE — a fat
+    cluster re-inflates it.  Diagnose with
+    :func:`semantic_dedup_balance` (skew_report over the assignment);
+    remedy with ``seeding="kmeans||"`` and/or more ``iters``.
+
     Returns ``[id_a, id_b, sim]`` with ``id_a < id_b``, sim rounded to
     6 dp for cross-engine/partitioning stability.
     """
     _, assigned = ivf_build(
-        corpus, nlist=nlist, iters=iters, id_col=id_col, vec_col=vec_col, seed=seed
+        corpus, nlist=nlist, iters=iters, id_col=id_col, vec_col=vec_col,
+        seed=seed, seeding=seeding,
     )
     a = assigned.select(
         "cid", F.col("nid").alias("id_a"), F.col("nvec").alias("va")
@@ -566,3 +696,31 @@ def semantic_dedup_pairs(
         .select("id_a", "id_b", sim.alias("sim"))
         .where(F.col("sim") >= threshold)
     )
+
+
+def semantic_dedup_balance(
+    corpus: DataFrame,
+    *,
+    nlist: int = 16,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 29,
+    seeding: str = "hash",
+    top_n: int = 10,
+) -> dict:
+    """Cluster-balance diagnostics for :func:`semantic_dedup_pairs`:
+    the same quantizer build, reported through
+    ``report.skew_report`` on ``cid``.  SemDeDup's within-cluster join
+    costs Σ nᵢ², so the numbers that matter are ``max_count`` (the
+    fattest inverted list) and ``skew_ratio`` (max/p50 — > a few means
+    one cluster dominates the quadratic term; retrain with
+    ``seeding="kmeans||"`` or more ``iters`` before running the pair
+    join).  Cost: one quantizer build + one groupBy, output O(top_n)."""
+    from cosmap_spark.operators.report import skew_report
+
+    _, assigned = ivf_build(
+        corpus, nlist=nlist, iters=iters, id_col=id_col, vec_col=vec_col,
+        seed=seed, seeding=seeding,
+    )
+    return skew_report(assigned, ["cid"], top_n=top_n)
