@@ -119,6 +119,18 @@ def read_hdf5_directory(
         for pdf in batches:
             for file_path in pdf["file_path"]:
                 out = read_one(file_path, dataset_key)
+                # explicit mismatch check: a file lacking declared
+                # columns must fail with the file NAMED, not a pandas
+                # KeyError buried in a task stack trace (extra columns
+                # are silently projected away — the declared schema is
+                # the contract, reference opencosmo.py:52-54)
+                missing = [c for c in field_names if c not in out.columns]
+                if missing:
+                    raise ValueError(
+                        f"HDF5 file {file_path} group {dataset_key!r} "
+                        f"lacks declared columns {missing}; has "
+                        f"{sorted(out.columns)}"
+                    )
                 yield out[field_names]
 
     return assignments.mapInPandas(ingest, schema=schema)

@@ -157,3 +157,96 @@ def test_map_in_arrow_zero_copy_path(media):
     rows = {r["media_id"]: r["byte_sum"] for r in out.collect()}
     # blob i = bytes(range(256)) * (8+i): sum = 32640 * (8+i)
     assert rows[0] == 32640 * 8 and rows[5] == 32640 * 13
+
+
+def test_hdf5_ingest_preserves_per_file_order_and_ownership(spark, tmp_path):
+    """Multi-file contract: every file is ingested exactly once, each
+    TASK owns whole files (never splits one), and within-file row order
+    survives into the owning partition — the properties a real h5py
+    reader relies on for deterministic downstream row_number/packing."""
+    import pandas as pd
+
+    from cosmap_spark.sources.readers import read_hdf5_directory
+
+    names = ["a.hdf5", "b.hdf5", "c.h5", "d.hdf5"]
+    for name in names:
+        (tmp_path / name).write_bytes(b"x")
+    base = {n: 1000 * i for i, n in enumerate(names)}
+
+    def fake_reader(file_path: str, dataset_key: str) -> pd.DataFrame:
+        b = base[file_path.rsplit("/", 1)[-1]]
+        return pd.DataFrame({"object_id": [b + i for i in range(20)]})
+
+    df = read_hdf5_directory(
+        spark, str(tmp_path), "object_id long", reader=fake_reader
+    )
+    from pyspark.sql import functions as F
+
+    rows = df.select(
+        F.spark_partition_id().alias("pid"), "object_id"
+    ).collect()
+    assert len(rows) == 80
+    by_pid: dict[int, list[int]] = {}
+    for r in rows:
+        by_pid.setdefault(r["pid"], []).append(r["object_id"])
+    for pid, ids in by_pid.items():
+        files = {i // 1000 for i in ids}
+        # whole files per task, and within each file the original order
+        for fidx in files:
+            infile = [i for i in ids if i // 1000 == fidx]
+            assert infile == sorted(infile)
+            assert len(infile) == 20, "a file must never split across tasks"
+
+
+def test_hdf5_ingest_schema_mismatch_names_the_file(spark, tmp_path):
+    """A file missing a declared column must fail loudly with the file
+    path and the missing column in the message — not a pandas KeyError
+    buried in a task stack."""
+    import pandas as pd
+    import pytest
+
+    from cosmap_spark.sources.readers import read_hdf5_directory
+
+    for name in ("good.hdf5", "bad.hdf5"):
+        (tmp_path / name).write_bytes(b"x")
+
+    def fake_reader(file_path: str, dataset_key: str) -> pd.DataFrame:
+        if file_path.endswith("bad.hdf5"):
+            return pd.DataFrame({"object_id": [1, 2]})  # no 'ra'
+        return pd.DataFrame({"object_id": [3, 4], "ra": [0.1, 0.2]})
+
+    df = read_hdf5_directory(
+        spark, str(tmp_path), "object_id long, ra double", reader=fake_reader
+    )
+    with pytest.raises(Exception, match=r"bad\.hdf5.*lacks declared columns.*ra"):
+        df.collect()
+
+
+def test_hdf5_ingest_projects_and_reorders_columns(spark, tmp_path):
+    """Column projection through mapInPandas: the reader's column ORDER
+    must not matter — the declared schema dictates order and pruning,
+    and values stay aligned to their names."""
+    import pandas as pd
+
+    from cosmap_spark.sources.readers import read_hdf5_directory
+
+    (tmp_path / "x.hdf5").write_bytes(b"x")
+
+    def fake_reader(file_path: str, dataset_key: str) -> pd.DataFrame:
+        # deliberately scrambled order + an undeclared column
+        return pd.DataFrame(
+            {
+                "dec": [-5.0, -6.0],
+                "junk": ["drop", "drop"],
+                "ra": [1.0, 2.0],
+                "object_id": [7, 8],
+            }
+        )
+
+    df = read_hdf5_directory(
+        spark, str(tmp_path), "object_id long, ra double, dec double",
+        reader=fake_reader,
+    )
+    assert df.columns == ["object_id", "ra", "dec"]
+    got = sorted(map(tuple, df.collect()))
+    assert got == [(7, 1.0, -5.0), (8, 2.0, -6.0)]
