@@ -229,3 +229,36 @@ def test_sliding_randomized_differential(spark):
     got1 = sorted(map(tuple, funnel_sliding(df.repartition(13), steps).collect()))
     got2 = sorted(map(tuple, funnel_sliding(df.coalesce(1), steps).collect()))
     assert got1 == got2
+
+
+def test_sliding_real_events_smoke_plan_and_edge_cases(spark):
+    from cosmap_spark.operators.funnel import funnel_sliding
+    from cosmap_spark.operators.report import plan_summary
+    from cosmap_spark.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    steps = ["view", "click", "purchase"]
+    out = funnel_sliding(ev, steps, horizon="2 days")
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(1 <= r["steps_completed"] <= 3 for r in rows)
+    # sliding can only do at least as well as the fixed anchor, per user
+    fixed = {
+        r["user_id"]: r["steps_completed"]
+        for r in funnel(ev, steps, horizon="2 days").collect()
+    }
+    for r in rows:
+        if r["user_id"] in fixed:
+            assert r["steps_completed"] >= fixed[r["user_id"]]
+    # fresh frame: an EXECUTED AQE plan's formatted explain lists the
+    # initial plan too, double-counting node headers
+    s = plan_summary(funnel_sliding(ev, steps, horizon="2 days"))
+    assert s["arrow_evals"] == 1 and s["python_evals"] == 0
+    assert s["exchanges"] == 1  # the single user repartition
+    # edge cases: empty input and no step-1 users yield empty frames
+    empty = ev.where(F.lit(False))
+    assert funnel_sliding(empty, steps).count() == 0
+    no_anchor = ev.where(F.col("event_type") != "view")
+    assert funnel_sliding(no_anchor, steps).count() == 0
+    with pytest.raises(ValueError):
+        funnel_sliding(ev, ["view"])
