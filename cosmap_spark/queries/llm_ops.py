@@ -399,7 +399,24 @@ def knn_ann_union(
     )
     # one trained coarse quantizer serves BOTH ivf and ivfpq — the
     # persisted-index pattern (train once, search many)
-    if index is None:
+    if index is None and codebooks is None and coded is None:
+        # the self-contained gate path trains BOTH artifacts; their
+        # driver-side collect jobs are independent, so overlap them on
+        # two submitter threads (Spark schedules concurrent jobs fine;
+        # results are deterministic — identical params/seeds to the
+        # sequential calls this replaces, pinned by the rows-only gate
+        # plus tests/test_pq.py determinism)
+        from concurrent.futures import ThreadPoolExecutor
+
+        from cosmap_spark.operators.pq import pq_train
+
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            fut = ex.submit(
+                pq_train, emb, m=16, ksub=64, iters=1, dim=64, seed=41
+            )
+            index = ivf_build(emb, nlist=16, iters=1)
+            codebooks = fut.result()
+    elif index is None:
         index = ivf_build(emb, nlist=16, iters=1)
     ivf = knn_ivf(emb, queries, k=5, nlist=16, nprobe=8, prebuilt=index).select(
         F.lit("ivf").alias("method"), "qid", "nid",

@@ -137,8 +137,9 @@ def test_rolling_hash_kernel_matches_direct_polynomial(spark):
     B = np.uint64(_ROLL_B1)
     bpow = np.empty(L, dtype=np.uint64)
     bpow[0] = 1
-    for j in range(1, L):
-        bpow[j] = bpow[j - 1] * B
+    with np.errstate(over="ignore"):  # wraparound mod 2^64 is the point
+        for j in range(1, L):
+            bpow[j] = bpow[j - 1] * B
     for arr, g in zip(rows, got):
         t = arr.view(np.uint64)
         want = [int(((t[s:s + L] * bpow).sum()))
