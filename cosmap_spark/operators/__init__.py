@@ -42,6 +42,7 @@ from cosmap_spark.operators.knn import (  # noqa: F401
     knn_ivf,
     knn_lsh,
     lsh_build,
+    semantic_contamination,
     semantic_dedup_balance,
     semantic_dedup_pairs,
 )

@@ -698,6 +698,67 @@ def semantic_dedup_pairs(
     )
 
 
+def semantic_contamination(
+    corpus: DataFrame,
+    bench: DataFrame,
+    *,
+    threshold: float = 0.9,
+    nlist: int = 16,
+    nprobe: int = 4,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 29,
+    prebuilt: tuple[list[tuple[int, list[float]]], DataFrame] | None = None,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination — the SEMANTIC
+    complement of ``dedup.contamination_hits`` (8-gram collisions):
+    flag every corpus document whose embedding is within cosine
+    ``threshold`` of any held-out benchmark embedding.  N-gram overlap
+    misses paraphrased test items; this catches them (the rephrased-
+    contamination setting of Yang et al. 2023, "Rethinking Benchmark
+    and Contamination", arXiv:2311.04850).
+
+    Shape: the IVF machinery pointed across two tables — the quantizer
+    trains on the CORPUS (``prebuilt`` accepts an ``ivf_build`` result
+    to reuse a persisted index); corpus vectors sit in their 1 nearest
+    list (map-side assign), while each BENCHMARK vector — the small
+    side — probes its ``nprobe`` nearest lists (exploded + broadcast),
+    exact cosine verifies inside the probed lists.  Corpus never
+    shuffles; work ≈ (nprobe/nlist)·corpus per benchmark item.
+    Precision is exact (every pair carries its verified cosine);
+    recall is the IVF co-location probability, raised by ``nprobe``
+    (differential-tested vs brute force).
+
+    Returns ``[corpus_id, bench_id, sim]`` — one row per contaminated
+    (corpus, benchmark) pair above threshold; aggregate per corpus_id
+    for a drop list."""
+    cents, assigned = prebuilt if prebuilt is not None else ivf_build(
+        corpus, nlist=nlist, iters=iters, id_col=id_col, vec_col=vec_col,
+        seed=seed,
+    )
+    b0 = bench.select(
+        F.col(id_col).alias("bench_id"), F.col(vec_col).alias("bvec")
+    )
+    probes = F.slice(
+        F.reverse(F.array_sort(_scored_centroids(F.col("bvec"), cents))),
+        1,
+        nprobe,
+    )
+    b = b0.select(
+        "bench_id", "bvec",
+        F.explode(F.transform(probes, lambda s: -s["negcid"])).alias("cid"),
+    )
+    sim = F.round(cosine_similarity(F.col("nvec"), F.col("bvec")), 6)
+    return (
+        assigned.join(F.broadcast(b), "cid")
+        .select(
+            F.col("nid").alias("corpus_id"), "bench_id", sim.alias("sim")
+        )
+        .where(F.col("sim") >= threshold)
+    )
+
+
 def semantic_dedup_balance(
     corpus: DataFrame,
     *,

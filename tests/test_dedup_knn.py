@@ -608,3 +608,59 @@ def test_semantic_dedup_kmeanspp_seeding_recall_and_balance(spark):
     # here and SemDeDup's quadratic term with it
     assert bal["max_count"] <= 6 * (n / 64), bal
     assert bal["skew_ratio"] <= 8, bal
+
+
+def test_semantic_contamination_recall_vs_bruteforce(spark):
+    """Embedding-space decontamination: planted paraphrase-like
+    benchmark twins (perturbed corpus vectors, cosine >= 0.9) must be
+    flagged; precision exact (every pair's cosine verified); recall vs
+    brute force >= 0.9 at nprobe=4/nlist=16."""
+    from cosmap_spark.functions.vectors import cosine_similarity
+    from cosmap_spark.operators.knn import semantic_contamination
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    # benchmark = 30 perturbed corpus vectors (the contamination) + 30
+    # rotated ones (decorrelated — must NOT be flagged)
+    contaminated = emb.where(F.col("vec_id") < 30).select(
+        (F.col("vec_id") + 50000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: (
+                x.cast("double") + F.cos(i.cast("double") * 5.0) * 0.05
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    clean = emb.where((F.col("vec_id") >= 30) & (F.col("vec_id") < 60)).select(
+        (F.col("vec_id") + 60000).alias("vec_id"),
+        F.concat(
+            F.slice("embedding", 33, 32), F.slice("embedding", 1, 32)
+        ).alias("embedding"),
+    )
+    bench = contaminated.unionByName(clean)
+    got = {
+        (r["corpus_id"], r["bench_id"])
+        for r in semantic_contamination(
+            emb, bench, threshold=0.9, nlist=16, nprobe=4
+        ).collect()
+    }
+    c = emb.select(F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("cv"))
+    b = bench.select(
+        F.col("vec_id").alias("bench_id"), F.col("embedding").alias("bv"))
+    brute = {
+        (r["corpus_id"], r["bench_id"])
+        for r in c.crossJoin(b)
+        .select(
+            "corpus_id", "bench_id",
+            F.round(cosine_similarity(F.col("cv"), F.col("bv")), 6).alias("sim"),
+        )
+        .where(F.col("sim") >= 0.9)
+        .collect()
+    }
+    assert len(brute) >= 30, "fixture must plant contamination"
+    assert got.issubset(brute), "precision must be exact"
+    recall = len(got & brute) / len(brute)
+    assert recall >= 0.9, f"semantic contamination recall {recall}"
+    # the decorrelated half must not be flagged
+    assert all(bid < 60000 for _, bid in got)
