@@ -171,37 +171,113 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs)
 
 
-_DECONTAM_ORACLE = """
+_DECONTAM_ORACLE = f"""
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     idx AS (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
             FROM toks WHERE len(t) >= 8),
     sh AS (SELECT DISTINCT doc_id,
                   list_aggregate(t[i:i+7], 'string_agg', ' ') AS shingle
            FROM idx),
-    bench AS (SELECT * FROM sh WHERE doc_id % 7 = 0),
-    corpus AS (SELECT * FROM sh WHERE doc_id % 7 <> 0)
-    SELECT c.doc_id, count(DISTINCT c.shingle) AS n_shingles,
-           count(DISTINCT b.doc_id) AS n_bench
-    FROM corpus c JOIN bench b ON c.shingle = b.shingle
-    GROUP BY c.doc_id
+    gbench AS (SELECT * FROM sh WHERE doc_id % 7 = 0),
+    gcorpus AS (SELECT * FROM sh WHERE doc_id % 7 <> 0),
+    ngram AS (
+      SELECT c.doc_id, count(DISTINCT b.doc_id) AS n_bench,
+             CAST(count(DISTINCT c.shingle) AS DOUBLE) AS score
+      FROM gcorpus c JOIN gbench b ON c.shingle = b.shingle
+      GROUP BY c.doc_id
+    ),
+    corpus AS (
+      SELECT vec_id, list_transform(range(1, 65),
+               i -> CAST(embedding[i] AS DOUBLE)) AS cv
+      FROM embeddings
+    ),
+    sbench AS (
+      SELECT vec_id + 50000 AS bench_id,
+             list_transform(range(1, 65),
+               i -> CAST(embedding[i] AS DOUBLE)
+                    + 0.2 * CAST(embedding[(i % 64) + 1] AS DOUBLE)
+             ) AS bv
+      FROM embeddings WHERE vec_id < 30
+    ),
+    spairs AS (
+      SELECT c.vec_id AS doc_id, b.bench_id,
+             round({cosine_sql('c.cv', 'b.bv')}, 6) AS sim
+      FROM corpus c CROSS JOIN sbench b
+    ),
+    sem AS (
+      SELECT doc_id, count(*) AS n_bench, max(sim) AS score
+      FROM spairs WHERE sim >= 0.9 GROUP BY doc_id
+    )
+    SELECT 'ngram' AS method, doc_id, n_bench, score FROM ngram
+    UNION ALL
+    SELECT 'semantic' AS method, doc_id, n_bench, score FROM sem
 """
 
 
 @query("q_decontam", oracle=_DECONTAM_ORACLE)
 def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination (operators/dedup.py:contamination_hits):
-    flag every training document that shares any 8-gram with the held-out
-    benchmark slice (``doc_id % 7 == 0`` stands in for the eval suite),
-    reporting distinct colliding 8-grams and distinct benchmarks hit —
-    the GPT-3/PaLM n-gram-collision recipe.  Scale shape: the benchmark
-    shingle set broadcasts; the corpus never shuffles.  Oracle recomputes
-    the overlap brute-force on raw gram strings."""
+    """Benchmark decontamination, BOTH published recipes as a tagged
+    union with exact oracles:
+
+    * ``ngram`` — operators/dedup.py:contamination_hits: flag every
+      training document sharing any 8-gram with the held-out benchmark
+      slice (``doc_id % 7 == 0`` stands in for the eval suite);
+      ``score`` = distinct colliding 8-grams, ``n_bench`` = distinct
+      benchmarks hit — the GPT-3/PaLM collision recipe.  The benchmark
+      shingle set broadcasts; the corpus never shuffles.
+    * ``semantic`` — operators/knn.py:semantic_contamination: flag
+      every corpus embedding within cosine 0.9 of a benchmark
+      embedding (the paraphrase-robust recipe n-gram collision
+      misses).  The benchmark here is 30 planted arithmetic
+      perturbations of corpus vectors (``vec_id + 50000``, e + 0.2·
+      neighbor — pure IEEE-double arithmetic reproducible verbatim in
+      the oracle, the ``_with_planted_twins`` discipline; the i.i.d.
+      test embeddings have no organic near-bench pairs).  The GATE
+      runs full probe (``nprobe = nlist``) so the IVF-pruned plan's
+      result is brute-force-equal and hash-checkable; pruned-nprobe
+      recall ≥ 0.9 is pinned separately in tests/test_dedup_knn.py.
+      ``score`` = max similarity, ``n_bench`` = pairs ≥ threshold.
+    """
     d = load_table(spark, sf_dir, "documents")
-    return contamination_hits(
+    ng = contamination_hits(
         d.where(F.col("doc_id") % 7 != 0),
         d.where(F.col("doc_id") % 7 == 0),
         k=8,
+    ).select(
+        F.lit("ngram").alias("method"),
+        "doc_id",
+        "n_bench",
+        F.col("n_shingles").cast("double").alias("score"),
     )
+    from cosmap_spark.operators.knn import semantic_contamination
+
+    emb = F.col("embedding")
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform(emb, lambda x: x.cast("double")).alias("embedding")
+    )
+    bench = e.where(F.col("vec_id") < 30).select(
+        (F.col("vec_id") + 50000).alias("vec_id"),
+        F.transform(
+            emb,
+            lambda x, i: x + F.lit(0.2) * F.element_at(emb, ((i + 1) % 64) + 1),
+        ).alias("embedding"),
+    )
+    # iters=0: full probe visits every list regardless of centroid
+    # quality, so Lloyd refinement would buy nothing and cost a
+    # driver job; the pruned-nprobe configuration (where quality DOES
+    # matter) is exercised in pytest
+    sem = (
+        semantic_contamination(
+            e, bench, threshold=0.9, nlist=16, nprobe=16, iters=0
+        )
+        .groupBy(F.col("corpus_id").alias("doc_id"))
+        .agg(
+            F.count("*").alias("n_bench"),
+            F.max("sim").alias("score"),
+        )
+        .select(F.lit("semantic").alias("method"), "doc_id", "n_bench", "score")
+    )
+    return ng.unionByName(sem)
 
 
 @query("q_dedup_approx")  # rows-only: hash-randomized candidates by design
