@@ -664,3 +664,26 @@ def test_semantic_contamination_recall_vs_bruteforce(spark):
     assert recall >= 0.9, f"semantic contamination recall {recall}"
     # the decorrelated half must not be flagged
     assert all(bid < 60000 for _, bid in got)
+
+
+def test_kmeanspp_seeding_degenerate_small_corpus(spark):
+    """kmeans|| must survive a corpus smaller than nlist (pad path) and
+    an all-identical corpus (zero potential short-circuit), keeping the
+    ivf_build contract: every vector assigned, cids in range."""
+    from cosmap_spark.operators.knn import ivf_build
+
+    rows = [(i, [float((i * 7 + j) % 5) for j in range(8)]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents, assigned = ivf_build(df, nlist=16, iters=1, seeding="kmeans||")
+    got = assigned.collect()
+    assert len(got) == 5
+    valid = {c for c, _ in cents}
+    assert all(r["cid"] in valid for r in got)
+
+    same = spark.createDataFrame(
+        [(i, [1.0] * 8) for i in range(10)], "vec_id long, embedding array<double>"
+    )
+    cents2, assigned2 = ivf_build(same, nlist=4, iters=1, seeding="kmeans||")
+    assert assigned2.count() == 10
+    with pytest.raises(ValueError, match="empty corpus"):
+        ivf_build(df.where(F.lit(False)), nlist=4, seeding="kmeans||")
