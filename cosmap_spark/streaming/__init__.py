@@ -13,6 +13,7 @@ cosmap_spark/queries/streaming_q.py (the oracle can't run streams).
 from cosmap_spark.streaming.ops import (  # noqa: F401
     enrich_with_dimension,
     events_stream,
+    funnel_stream,
     quality_gate,
     session_counts,
     sliding_counts,

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -149,6 +151,123 @@ def stateful_user_counter(events: DataFrame, *, timeout: str = "NoTimeout") -> D
             update,
             outputStructType=_COUNTER_OUT,
             stateStructType=_COUNTER_STATE,
+            outputMode="update",
+            timeoutConf=timeout,
+        )
+    )
+
+
+_FUNNEL_OUT = StructType([
+    StructField("user_id", LongType()),
+    StructField("anchor_ts", TimestampType()),
+    StructField("steps_completed", LongType()),
+    StructField("converted", BooleanType()),
+])
+_FUNNEL_STATE = StructType([
+    StructField("strict", ArrayType(LongType())),
+    StructField("cur", ArrayType(LongType())),
+    StructField("last_ts", LongType()),
+])
+
+
+def funnel_stream(
+    events: DataFrame,
+    steps: list[str],
+    *,
+    horizon: str | None = None,
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Streaming sliding-anchor funnel — the live counterpart of
+    ``operators.funnel.funnel_sliding`` (windowFunnel semantics) as an
+    ``applyInPandasWithState`` operator, per-user state O(steps) FOREVER
+    (never an event log): per level the state keeps two anchors — the
+    best among chains that completed STRICTLY before the current
+    timestamp (``strict``, what a same-ts event may extend: equal
+    timestamps never chain) and the best including the current-ts run
+    (``cur``) — plus the last seen ts.  Advancing time promotes cur →
+    strict; a step-s event extends ``strict[s-1]`` under the horizon
+    and updates ``cur[s]``.  This is exactly the batch kernel's
+    run-boundary cummax logic in streaming form: on per-user
+    ts-ordered input the emitted levels equal ``funnel_sliding`` on
+    the same prefix (differential-tested, incl. state carried across
+    micro-batches).
+
+    Ordering contract: rows are sorted by ts WITHIN each micro-batch;
+    a row arriving in a LATER batch with an earlier timestamp than
+    already-processed state is processed in arrival order (the
+    standard approximation every one-pass streaming funnel makes —
+    feed from an event-time-ordered source where exactness matters).
+
+    Emits (update mode) one row per user per micro-batch touching
+    them: current max level, conversion flag, and the latest anchor
+    reaching that level."""
+    import numpy as np
+    import pandas as pd
+
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    n_steps = len(steps)
+    rank = {s: i + 1 for i, s in enumerate(steps)}
+    horizon_us = (
+        int(pd.Timedelta(horizon) // pd.Timedelta("1us")) if horizon else None
+    )
+    NEG = -(2**63)
+
+    def update(key, pdfs, state):
+        if state.exists:
+            strict, cur, last_ts = (
+                list(state.get[0]), list(state.get[1]), state.get[2]
+            )
+        else:
+            strict, cur, last_ts = [NEG] * n_steps, [NEG] * n_steps, NEG
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        pdf = pdf[pdf["event_type"].isin(rank)]
+        if not len(pdf):
+            return
+        ts = pdf["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        lvl = pdf["event_type"].map(rank).to_numpy(dtype=np.int64)
+        order = np.argsort(ts, kind="stable")
+        for t, s in zip(ts[order].tolist(), lvl[order].tolist()):
+            if t != last_ts:
+                strict = cur.copy()
+                last_ts = t
+            if s == 1:
+                if t > cur[0]:
+                    cur[0] = t
+            else:
+                a = strict[s - 2]
+                if (
+                    a != NEG
+                    and (horizon_us is None or t - a <= horizon_us)
+                    and a > cur[s - 1]
+                ):
+                    cur[s - 1] = a
+        state.update((strict, cur, last_ts))
+        level = 0
+        for s in range(n_steps):
+            if cur[s] == NEG:
+                break
+            level = s + 1
+        if level == 0:
+            return
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "anchor_ts": [np.int64(cur[level - 1]).view("datetime64[us]")],
+                "steps_completed": [level],
+                "converted": [level == n_steps],
+            }
+        )
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_FUNNEL_OUT,
+            stateStructType=_FUNNEL_STATE,
             outputMode="update",
             timeoutConf=timeout,
         )

@@ -649,3 +649,91 @@ def test_vector_ingest_stream_matches_batch_index(spark, tmp_path):
     ).collect()
     key = lambda r: (r["qid"], r["rn"])  # noqa: E731
     assert sorted(map(tuple, serve_stream)) == sorted(map(tuple, serve_batch))
+
+
+def test_funnel_stream_matches_batch_sliding(spark, stream_dir, tmp_path):
+    """One availableNow pass over the real events must emit exactly the
+    batch funnel_sliding result (same steps/horizon) for every user."""
+    from cosmap_spark.operators.funnel import funnel_sliding
+    from cosmap_spark.streaming.ops import funnel_stream
+    from cosmap_spark.tables import load_table
+
+    steps = ["view", "click", "purchase"]
+    sdf = events_stream(spark, str(stream_dir))
+    _run_to_memory(
+        funnel_stream(sdf, steps, horizon="2 days"),
+        "funnel_stream_t", tmp_path, "update",
+    )
+    got = {
+        r["user_id"]: (r["anchor_ts"], r["steps_completed"], r["converted"])
+        for r in spark.table("funnel_stream_t").collect()
+    }
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    want = {
+        r["user_id"]: (r["anchor_ts"], r["steps_completed"], r["converted"])
+        for r in funnel_sliding(ev, steps, horizon="2 days").collect()
+    }
+    assert got == want
+
+
+def test_funnel_stream_state_carries_across_batches():
+    """The O(steps) state must resume mid-funnel: feed the update
+    function two ts-ordered chunks through a fake state handle and
+    check the second emission completes the funnel started in the
+    first (incl. the same-timestamp strictness at the batch seam)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from cosmap_spark.streaming.ops import funnel_stream
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self.exists, self._v = True, v
+
+    # reach into the operator for its update closure
+    captured = {}
+
+    class Capture:
+        def groupBy(self, *cols):
+            return self
+
+        def applyInPandasWithState(self, fn, **kw):
+            captured["fn"] = fn
+            return None
+
+    funnel_stream(Capture(), ["A", "B", "C"], horizon="1 hour")
+    update = captured["fn"]
+    t0 = dt.datetime(2024, 1, 1)
+
+    def pdf(rows):
+        return pd.DataFrame(
+            {
+                "user_id": [7] * len(rows),
+                "event_type": [r[0] for r in rows],
+                "ts": [t0 + dt.timedelta(minutes=r[1]) for r in rows],
+            }
+        )
+
+    st = FakeState()
+    out1 = list(update((7,), iter([pdf([("A", 0), ("B", 5)])]), st))
+    assert len(out1) == 1 and out1[0]["steps_completed"][0] == 2
+    # batch 2: C at the SAME ts as B from batch 1 must NOT chain
+    # (strict >), a later C must
+    out2 = list(update((7,), iter([pdf([("C", 5)])]), st))
+    assert out2[0]["steps_completed"][0] == 2
+    out3 = list(update((7,), iter([pdf([("C", 20)])]), st))
+    assert out3[0]["steps_completed"][0] == 3
+    assert bool(out3[0]["converted"][0])
+    # horizon: a fresh user whose C falls outside 1 hour of its anchor
+    st2 = FakeState()
+    out4 = list(update((8,), iter([pdf([("A", 0), ("B", 10), ("C", 90)])]), st2))
+    assert out4[0]["steps_completed"][0] == 2
