@@ -174,6 +174,9 @@ def funnel_stream(
     events: DataFrame,
     steps: list[str],
     *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
     horizon: str | None = None,
     timeout: str = "NoTimeout",
 ) -> DataFrame:
@@ -224,11 +227,11 @@ def funnel_stream(
         if not frames:
             return
         pdf = pd.concat(frames, ignore_index=True)
-        pdf = pdf[pdf["event_type"].isin(rank)]
+        pdf = pdf[pdf[type_col].isin(rank)]
         if not len(pdf):
             return
-        ts = pdf["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
-        lvl = pdf["event_type"].map(rank).to_numpy(dtype=np.int64)
+        ts = pdf[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        lvl = pdf[type_col].map(rank).to_numpy(dtype=np.int64)
         order = np.argsort(ts, kind="stable")
         for t, s in zip(ts[order].tolist(), lvl[order].tolist()):
             if t != last_ts:
@@ -263,7 +266,7 @@ def funnel_stream(
         )
 
     return (
-        events.groupBy("user_id")
+        events.groupBy(user_col)
         .applyInPandasWithState(
             update,
             outputStructType=_FUNNEL_OUT,
