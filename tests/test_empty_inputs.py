@@ -96,3 +96,18 @@ def test_global_rank_empty(spark):
     e = spark.createDataFrame([], "price double, oid long")
     ranked, n = global_rank(e, ["price", "oid"])
     assert n == 0 and ranked.count() == 0
+
+
+def test_semantic_contamination_empty_bench(spark):
+    """An empty benchmark must yield an empty result (not a crash in
+    probe generation), with the declared schema."""
+    from cosmap_spark.operators.knn import semantic_contamination
+    from cosmap_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    out = semantic_contamination(emb, emb.where(F.lit(False)), nlist=4)
+    assert out.columns == ["corpus_id", "bench_id", "sim"]
+    assert out.count() == 0
