@@ -290,8 +290,9 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
       — distinct orderkeys at (returnflag, linestatus), (returnflag)
       and grand-total levels from ONE scan, coarser levels merged from
       persisted leaf sketches by ``hll_union_agg`` (never a re-scan);
-      rolled-up estimates are bit-identical to direct sketching
-      (pinned in tests/test_sketch.py);
+      rolled-up estimates carry the same accuracy bound as direct
+      sketching — NOT bit-equality; merge order can flip coupon/dense
+      representations (pinned as a tolerance in tests/test_sketch.py);
     * quantile rollup (operators/sketch.py::quantile_rollup) — the
       quantile member of the same cube family: leaf equi-rank grids
       merged as weighted ECDF atoms per coarser level, rank error
