@@ -490,6 +490,16 @@ def knn_ann_union(
             fut = ex.submit(
                 pq_train, emb, m=16, ksub=64, iters=1, dim=64, seed=41
             )
+            # NOTE: the lazy `assigned` is deliberately NOT
+            # localCheckpoint'ed even though the ivf and ivfpq branches
+            # each evaluate it (map-side work has no exchange for AQE
+            # to reuse): measured, materializing it is a net LOSS
+            # (sf0.1 3.3 s → 4.9 s; worse at 10× — the eager job +
+            # ~100 MB of vector blocks cost more than the re-run
+            # matmul, and repeated invocations churn storage until the
+            # GC reclaims them).  bench.py's train/serve split, which
+            # reuses the artifacts MANY times, is where
+            # materialization pays.
             index = ivf_build(emb, nlist=16, iters=1)
             codebooks = fut.result()
     elif index is None:
