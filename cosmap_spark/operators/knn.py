@@ -133,6 +133,67 @@ def _bucketize(
     )
 
 
+def _bucketize_multiprobe(
+    df: DataFrame,
+    prefix: str,
+    *,
+    id_col: str,
+    vec_col: str,
+    tables: int,
+    planes: int,
+    seed: int,
+    dim: int,
+    probes: int,
+) -> DataFrame:
+    """Query-side multi-probe bucketing (Lv et al., VLDB'07): per
+    table, the base sign-pattern bucket PLUS ``probes`` perturbed
+    buckets, each flipping one of the lowest-|margin| hyperplane bits
+    — the bits most likely to differ for a true near neighbor.  Same
+    plane constants as :func:`_bucketize`, so the buckets join a
+    persisted ``lsh_build`` index unchanged; the corpus-side index
+    never grows (each extra TABLE costs a full corpus copy at scale;
+    an extra PROBE costs one more broadcast row per query)."""
+    mat = np.array(
+        [_plane_normal(t, p, seed, dim) for t in range(tables) for p in range(planes)]
+    ).T  # (dim, tables·planes)
+    bit_weights = 1 << np.arange(planes, dtype=np.int64)
+
+    @F.pandas_udf("array<struct<tbl:int,bucket:bigint>>")
+    def _probe_buckets(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        v = np.stack(vecs.to_numpy()).astype(np.float64)       # (n, dim)
+        margins = (v @ mat).reshape(len(v), tables, planes)    # (n, T, P)
+        signs = margins > 0
+        base = signs @ bit_weights                             # (n, T)
+        flip = np.argsort(np.abs(margins), axis=2)[:, :, :probes]
+        out = []
+        for i in range(len(v)):
+            rows = []
+            for t in range(tables):
+                rows.append({"tbl": t, "bucket": int(base[i, t])})
+                for j in range(flip.shape[2]):
+                    rows.append({
+                        "tbl": t,
+                        "bucket": int(base[i, t] ^ (1 << int(flip[i, t, j]))),
+                    })
+            out.append(rows)
+        return pd.Series(out)
+
+    return (
+        df.select(
+            F.col(id_col).alias(f"{prefix}id"),
+            F.col(vec_col).alias(f"{prefix}vec"),
+        )
+        .withColumn("__b", F.explode(_probe_buckets(F.col(f"{prefix}vec"))))
+        .select(
+            f"{prefix}id", f"{prefix}vec",
+            F.col("__b.tbl").alias("tbl"),
+            F.col("__b.bucket").alias("bucket"),
+        )
+    )
+
+
 def lsh_build(
     corpus: DataFrame,
     *,
@@ -166,11 +227,18 @@ def knn_lsh(
     seed: int = 13,
     quantize: bool = False,
     prebuilt_buckets: DataFrame | None = None,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH candidates, exact re-rank.
 
     Recall is probabilistic (more tables ⇒ higher recall); checked
     rows-only, with a recall unit test against ``knn_bruteforce``.
+    ``multiprobe=j`` additionally probes, per table, the ``j`` buckets
+    reached by flipping one of the query's lowest-|margin| hyperplane
+    bits (:func:`_bucketize_multiprobe`) — the scale-correct recall
+    knob: extra TABLES multiply the persisted index and the corpus
+    shuffle, extra PROBES only add broadcast query rows (recall gain
+    unit-tested monotone vs ``multiprobe=0``).
 
     ``quantize=True`` carries the CORPUS vectors through the candidate
     join/distinct as int8 structs (functions/vectors.py:quantize_int8)
@@ -192,7 +260,11 @@ def knn_lsh(
     )
     if quantize:
         cb = cb.withColumn("nvec", quantize_int8(F.col("nvec")))
-    qb = _bucketize(queries, "q", **kw)
+    qb = (
+        _bucketize_multiprobe(queries, "q", probes=multiprobe, **kw)
+        if multiprobe > 0
+        else _bucketize(queries, "q", **kw)
+    )
     cand = (
         cb.join(F.broadcast(qb), ["tbl", "bucket"])
         .where(F.col("nid") != F.col("qid"))
