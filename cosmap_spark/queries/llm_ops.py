@@ -468,7 +468,7 @@ def knn_ann_union(
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
     lsh = knn_lsh(
-        emb, queries, k=5, dim=64, prebuilt_buckets=lsh_index
+        emb, queries, k=5, dim=64, prebuilt_buckets=lsh_index, multiprobe=1
     ).select(
         F.lit("lsh").alias("method"), "qid", "nid",
         F.col("sim").alias("score"), "rn",
