@@ -109,6 +109,7 @@ from cosmap_spark.operators.funnel import (  # noqa: F401
     funnel,
     funnel_sliding,
     funnel_summary,
+    funnel_summary_levels,
 )
 from cosmap_spark.operators.vocab import (  # noqa: F401
     apply_bpe_merge,

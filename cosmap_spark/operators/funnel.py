@@ -214,6 +214,23 @@ def funnel_sliding(
     return ev.mapInPandas(kernel, schema)
 
 
+def funnel_summary_levels(per_user: DataFrame, n_steps: int) -> DataFrame:
+    """The :func:`funnel_summary` dashboard table from a LEVEL-shaped
+    result (:func:`funnel_sliding` / ``streaming.funnel_stream``
+    output: one ``steps_completed`` per user instead of per-step
+    timestamps): a user counts toward every step ≤ their level.  Same
+    output columns, one aggregation."""
+    agg = per_user.agg(
+        *[
+            F.coalesce(
+                F.sum((F.col("steps_completed") >= i).cast("long")), F.lit(0)
+            ).alias(f"__n_{i}")
+            for i in range(1, n_steps + 1)
+        ]
+    )
+    return _summary_from_counts(agg, n_steps)
+
+
 def funnel_summary(per_user: DataFrame, n_steps: int) -> DataFrame:
     """``[step, n_users, conversion_from_start, retention_from_prev]``
     from a :func:`funnel` result — the dashboard table (drop-off is
@@ -226,6 +243,12 @@ def funnel_summary(per_user: DataFrame, n_steps: int) -> DataFrame:
             for i in range(1, n_steps + 1)
         ]
     )
+    return _summary_from_counts(agg, n_steps)
+
+
+def _summary_from_counts(agg: DataFrame, n_steps: int) -> DataFrame:
+    """Shared tail of the two summaries: a 1-row ``__n_i`` count frame
+    → the per-step conversion/retention table."""
     rows = F.array(
         *[
             F.struct(

@@ -262,3 +262,22 @@ def test_sliding_real_events_smoke_plan_and_edge_cases(spark):
     assert funnel_sliding(no_anchor, steps).count() == 0
     with pytest.raises(ValueError):
         funnel_sliding(ev, ["view"])
+
+
+def test_summary_levels_matches_summary_on_fixed_funnel(spark, log):
+    """On the fixed funnel, converting its result to level shape and
+    summarizing via funnel_summary_levels must equal funnel_summary —
+    the adapter changes input shape, not semantics."""
+    from cosmap_spark.operators.funnel import funnel_summary_levels
+
+    steps = ["A", "B", "C"]
+    per_user = funnel(log, steps)
+    a = sorted(map(tuple, funnel_summary(per_user, 3).collect()))
+    lv = per_user.select("user_id", "steps_completed")
+    b = sorted(map(tuple, funnel_summary_levels(lv, 3).collect()))
+    assert a == b
+    # and it works on the sliding output directly
+    from cosmap_spark.operators.funnel import funnel_sliding
+
+    s = funnel_summary_levels(funnel_sliding(log, steps), 3).collect()
+    assert [r["step"] for r in sorted(s, key=lambda r: r["step"])] == [1, 2, 3]
