@@ -145,6 +145,13 @@ def funnel_sliding(
     )
     utype = events.schema[user_col].dataType.simpleString()
     ttype = events.schema[ts_col].dataType.simpleString()
+    if not ttype.startswith("timestamp"):
+        # the kernel round-trips anchors through datetime64[us]; an
+        # integral ts column would declare a bigint anchor the Arrow
+        # cast then rejects at task time — fail at build time instead
+        raise ValueError(
+            f"{ts_col!r} must be a timestamp column, got {ttype}"
+        )
     schema = (
         f"{user_col} {utype}, anchor_ts {ttype}, "
         "steps_completed long, converted boolean"
@@ -166,13 +173,13 @@ def funnel_sliding(
         if not parts:
             return
         pdf = pd.concat(parts, ignore_index=True)
-        u = pdf["__u"]
+        u = pdf["__u"].to_numpy()
         ts = pdf["__ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
         lvl = pdf["__t"].map(step_rank).to_numpy(dtype=np.int64)
         n = len(ts)
         idx = np.arange(n, dtype=np.int64)
         new_user = np.ones(n, dtype=bool)
-        new_user[1:] = u.to_numpy()[1:] != u.to_numpy()[:-1]
+        new_user[1:] = u[1:] != u[:-1]
         new_run = new_user.copy()
         new_run[1:] |= ts[1:] != ts[:-1]
         user_first = np.maximum.accumulate(np.where(new_user, idx, 0))
@@ -204,7 +211,7 @@ def funnel_sliding(
         best_anchor = np.stack(per_user)[comp - 1, np.flatnonzero(keep)]
         yield pd.DataFrame(
             {
-                user_col: u.to_numpy()[last][keep],
+                user_col: u[last][keep],
                 "anchor_ts": best_anchor.view("datetime64[us]"),
                 "steps_completed": comp.astype(np.int64),
                 "converted": comp == n_steps,

@@ -80,6 +80,20 @@ def _plane_normal(table: int, plane: int, seed: int, dim: int) -> list[float]:
     return out
 
 
+def _plane_matrix(tables: int, planes: int, seed: int, dim: int):
+    """The ONE definition of the LSH bucket-id contract shared by the
+    corpus bucketizer and the multi-probe query bucketizer: the (dim ×
+    tables·planes) plane-normal matrix and the per-table bit weights.
+    Bucket id = sign(margin > 0) bits packed little-endian per table —
+    any change here must change BOTH sides together or a query stops
+    finding its own index's buckets."""
+    mat = np.array(
+        [_plane_normal(t, p, seed, dim)
+         for t in range(tables) for p in range(planes)]
+    ).T
+    return mat, 1 << np.arange(planes, dtype=np.int64)
+
+
 def _bucketize(
     df: DataFrame,
     prefix: str,
@@ -105,10 +119,7 @@ def _bucketize(
     lambda steps per row, while the numpy form is a BLAS call over an
     Arrow batch.  The same trade drives the multimodal decode kernels
     (operators/multimodal.py)."""
-    mat = np.array(
-        [_plane_normal(t, p, seed, dim) for t in range(tables) for p in range(planes)]
-    ).T  # (dim, tables·planes)
-    bit_weights = 1 << np.arange(planes, dtype=np.int64)
+    mat, bit_weights = _plane_matrix(tables, planes, seed, dim)
 
     @F.pandas_udf("array<bigint>")
     def _buckets(vecs: pd.Series) -> pd.Series:
@@ -153,10 +164,7 @@ def _bucketize_multiprobe(
     persisted ``lsh_build`` index unchanged; the corpus-side index
     never grows (each extra TABLE costs a full corpus copy at scale;
     an extra PROBE costs one more broadcast row per query)."""
-    mat = np.array(
-        [_plane_normal(t, p, seed, dim) for t in range(tables) for p in range(planes)]
-    ).T  # (dim, tables·planes)
-    bit_weights = 1 << np.arange(planes, dtype=np.int64)
+    mat, bit_weights = _plane_matrix(tables, planes, seed, dim)
 
     @F.pandas_udf("array<struct<tbl:int,bucket:bigint>>")
     def _probe_buckets(vecs: pd.Series) -> pd.Series:
@@ -841,6 +849,7 @@ def semantic_dedup_balance(
     seed: int = 29,
     seeding: str = "hash",
     top_n: int = 10,
+    prebuilt: tuple[list, DataFrame] | None = None,
 ) -> dict:
     """Cluster-balance diagnostics for :func:`semantic_dedup_pairs`:
     the same quantizer build, reported through
@@ -849,10 +858,14 @@ def semantic_dedup_balance(
     fattest inverted list) and ``skew_ratio`` (max/p50 — > a few means
     one cluster dominates the quadratic term; retrain with
     ``seeding="kmeans||"`` or more ``iters`` before running the pair
-    join).  Cost: one quantizer build + one groupBy, output O(top_n)."""
+    join).  Pass ``prebuilt`` (an ``ivf_build`` result) to diagnose
+    THE assignment a pair join actually used rather than retraining —
+    retraining both doubles the cost and describes a different
+    clustering whenever parameters drift.  Cost: one groupBy (plus the
+    quantizer build when not prebuilt), output O(top_n)."""
     from cosmap_spark.operators.report import skew_report
 
-    _, assigned = ivf_build(
+    _, assigned = prebuilt if prebuilt is not None else ivf_build(
         corpus, nlist=nlist, iters=iters, id_col=id_col, vec_col=vec_col,
         seed=seed, seeding=seeding,
     )

@@ -176,7 +176,12 @@ def _adc_luts(
         qv = np.asarray(r[1], dtype=np.float64)
         for s in range(m):
             diff = codebooks[s] - qv[s * dsub:(s + 1) * dsub][None, :]
-            luts[qi, s] = (diff * diff).sum(axis=1)
+            # cumsum, NOT sum: np.sum switches to pairwise summation
+            # past 8 elements, which differs from a sequential fold by
+            # an ulp ~half the time — cumsum is sequential by
+            # definition, so these values match the distributed
+            # in-plan LUT (pq._lut_expr, an F.aggregate fold) exactly
+            luts[qi, s] = (diff * diff).cumsum(axis=1)[:, -1]
     return qids, luts
 
 
@@ -203,9 +208,10 @@ def _lut_expr(qvec, books: np.ndarray):
     """In-plan ADC lookup table for one query row:
     ``luts[s][c] = ||q_sub(s) − books[s][c]||²`` as a pure column
     expression over the codebook literal — array<array<double>>
-    (m × ksub).  The distributed twin of :func:`_adc_luts`; same fold
-    order (sequential over dsub), so values agree with the driver path
-    to the last ulp."""
+    (m × ksub).  The distributed twin of :func:`_adc_luts`; BOTH paths
+    use a strictly sequential fold (F.aggregate here, cumsum there —
+    numpy's plain .sum would silently switch to pairwise summation
+    past 8 terms and drift an ulp), so values agree exactly."""
     m, ksub, dsub = books.shape
     return F.transform(
         _codebook_literal(books),
@@ -261,7 +267,11 @@ def _adc_scorer(qids: np.ndarray, luts: np.ndarray, k: int):
             nids = pdf["nid"].to_numpy()
             out = []
             for qi, qid in enumerate(qids):
-                d = np.round(luts[qi][s_idx[None, :], codes].sum(axis=1), 6)
+                # cumsum = sequential fold, matching the distributed
+                # zip_with/aggregate path to the last ulp (see _adc_luts)
+                d = np.round(
+                    luts[qi][s_idx[None, :], codes].cumsum(axis=1)[:, -1], 6
+                )
                 mask = nids != qid  # exclude self
                 dm, nm = d[mask], nids[mask]
                 if not len(dm):
@@ -320,6 +330,39 @@ def _rerank_exact(
     )
 
 
+def _finish_shortlist(
+    scored: DataFrame,
+    queries: DataFrame,
+    vectors: DataFrame,
+    *,
+    k: int,
+    n_short: int,
+    rerank: int | None,
+    id_col: str,
+    vec_col: str,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Shared serving tail of every ADC path: the global (dist, nid)
+    window shortlist, then either the k-cut or the exact-L2 rerank.
+    One definition so the tie-break/typing contract the parity tests
+    pin cannot drift between the driver-closure and distributed-LUT
+    branches."""
+    w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("nid"))
+    shortlist = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= n_short)
+    )
+    if rerank is None:
+        return shortlist.select(
+            "qid", "nid", "dist", F.col("rn").cast("long").alias("rn")
+        ).where(F.col("rn") <= k)
+    return _rerank_exact(
+        shortlist.select("qid", "nid"), queries, vectors,
+        k=k, id_col=id_col, vec_col=vec_col,
+        broadcast_queries=broadcast_queries,
+    )
+
+
 def pq_adc_topk(
     codes_df: DataFrame,
     queries: DataFrame,
@@ -351,20 +394,11 @@ def pq_adc_topk(
     partial = codes_df.select("nid", "codes").mapInPandas(
         _adc_scorer(qids, luts, n_short), _ADC_SCHEMA
     )
-    w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("nid"))
-    shortlist = (
-        partial.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= n_short)
-    )
-    if rerank is None:
-        return shortlist.select(
-            "qid", "nid", "dist", F.col("rn").cast("long").alias("rn")
-        ).where(F.col("rn") <= k)
-    if vectors is None:
+    if rerank is not None and vectors is None:
         raise ValueError("rerank requires the raw `vectors` DataFrame")
-    return _rerank_exact(
-        shortlist.select("qid", "nid"), queries, vectors,
-        k=k, id_col=id_col, vec_col=vec_col,
+    return _finish_shortlist(
+        partial, queries, vectors, k=k, n_short=n_short, rerank=rerank,
+        id_col=id_col, vec_col=vec_col,
     )
 
 
@@ -422,9 +456,12 @@ def knn_ivfpq(
     trade: no per-batch partial top-k — every probed candidate row
     reaches the per-qid window (sort-spill, skew handled by AQE), so
     prefer the closure path while |Q| fits the driver.  Results are
-    identical (same fold order, both round the ADC sum to 6 dp):
-    tests/test_pq.py pins distributed ≡ driver at nprobe=nlist vs
-    ``pq_adc_topk`` and at nprobe<nlist vs the closure path."""
+    identical: both paths compute every sum as a strictly SEQUENTIAL
+    fold (F.aggregate in-plan; cumsum — not numpy's silently-pairwise
+    .sum — on the driver) and round to 6 dp, so agreement is by
+    construction, not by luck on one fixture; tests/test_pq.py pins
+    distributed ≡ driver at nprobe=nlist vs ``pq_adc_topk`` and at
+    nprobe<nlist vs the closure path."""
     from cosmap_spark.operators.knn import _scored_centroids, ivf_build
 
     cents, assigned = prebuilt if prebuilt is not None else ivf_build(
@@ -481,18 +518,9 @@ def knn_ivfpq(
                 ).alias("dist"),
             )
         )
-        w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("nid"))
-        shortlist = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") <= n_short)
-        )
-        if rerank is None:
-            return shortlist.select(
-                "qid", "nid", "dist", F.col("rn").cast("long").alias("rn")
-            ).where(F.col("rn") <= k)
-        return _rerank_exact(
-            shortlist.select("qid", "nid"), queries, corpus,
-            k=k, id_col=id_col, vec_col=vec_col, broadcast_queries=False,
+        return _finish_shortlist(
+            scored, queries, corpus, k=k, n_short=n_short, rerank=rerank,
+            id_col=id_col, vec_col=vec_col, broadcast_queries=False,
         )
     cand = coded.join(F.broadcast(q), "cid").select("nid", "codes", "qid")
 
@@ -508,7 +536,10 @@ def knn_ivfpq(
                 continue
             codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
             qi = np.array([qpos[q] for q in pdf["qid"]], dtype=np.int64)
-            d = np.round(luts[qi[:, None], s_idx[None, :], codes].sum(axis=1), 6)
+            d = np.round(
+                luts[qi[:, None], s_idx[None, :], codes].cumsum(axis=1)[:, -1],
+                6,
+            )
             keep = pdf["nid"].to_numpy() != pdf["qid"].to_numpy()
             scored_pdf = pd.DataFrame(
                 {"qid": pdf["qid"][keep], "nid": pdf["nid"][keep], "dist": d[keep]}
@@ -525,16 +556,7 @@ def knn_ivfpq(
             )
 
     scored = cand.mapInPandas(score, _ADC_SCHEMA)
-    w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("nid"))
-    shortlist = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= n_short)
-    )
-    if rerank is None:
-        return shortlist.select(
-            "qid", "nid", "dist", F.col("rn").cast("long").alias("rn")
-        ).where(F.col("rn") <= k)
-    return _rerank_exact(
-        shortlist.select("qid", "nid"), queries, corpus,
-        k=k, id_col=id_col, vec_col=vec_col,
+    return _finish_shortlist(
+        scored, queries, corpus, k=k, n_short=n_short, rerank=rerank,
+        id_col=id_col, vec_col=vec_col,
     )

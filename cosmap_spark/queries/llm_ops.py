@@ -545,7 +545,8 @@ def _tsearch_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     value series (operators/tseries.py — segment-with-halo Arrow
     kernel, one key/order exchange, bounded O(groups·k) result
     exchange).  ``nid`` encodes (user_id, window start) as
-    ``user_id·10⁶ + start``; ``score`` is the negated z-distance, so
+    ``user_id·2³² + start`` (guarded in-plan against ``start ≥ 2³²``);
+    ``score`` is the negated z-distance, so
     the union's monotone-decreasing-in-rank contract holds."""
     from cosmap_spark.operators.tseries import subsequence_search_multi
 

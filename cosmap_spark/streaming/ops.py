@@ -157,12 +157,6 @@ def stateful_user_counter(events: DataFrame, *, timeout: str = "NoTimeout") -> D
     )
 
 
-_FUNNEL_OUT = StructType([
-    StructField("user_id", LongType()),
-    StructField("anchor_ts", TimestampType()),
-    StructField("steps_completed", LongType()),
-    StructField("converted", BooleanType()),
-])
 _FUNNEL_STATE = StructType([
     StructField("strict", ArrayType(LongType())),
     StructField("cur", ArrayType(LongType())),
@@ -209,6 +203,19 @@ def funnel_stream(
 
     if len(steps) < 2:
         raise ValueError("a funnel needs at least 2 steps")
+    ttype = events.schema[ts_col].dataType.simpleString()
+    if not ttype.startswith("timestamp"):
+        raise ValueError(
+            f"{ts_col!r} must be a timestamp column, got {ttype}"
+        )
+    # output key column mirrors the input's name and type (the batch
+    # twin derives its schema the same way)
+    out_schema = StructType([
+        StructField(user_col, events.schema[user_col].dataType),
+        StructField("anchor_ts", TimestampType()),
+        StructField("steps_completed", LongType()),
+        StructField("converted", BooleanType()),
+    ])
     n_steps = len(steps)
     rank = {s: i + 1 for i, s in enumerate(steps)}
     horizon_us = (
@@ -227,7 +234,10 @@ def funnel_stream(
         if not frames:
             return
         pdf = pd.concat(frames, ignore_index=True)
-        pdf = pdf[pdf[type_col].isin(rank)]
+        # drop null ts as the batch twins do: a NaT converts to the
+        # int64-min sentinel and would promote/extend chains off an
+        # event with no valid time
+        pdf = pdf[pdf[type_col].isin(rank) & pdf[ts_col].notna()]
         if not len(pdf):
             return
         ts = pdf[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
@@ -258,7 +268,7 @@ def funnel_stream(
             return
         yield pd.DataFrame(
             {
-                "user_id": [key[0]],
+                user_col: [key[0]],
                 "anchor_ts": [np.int64(cur[level - 1]).view("datetime64[us]")],
                 "steps_completed": [level],
                 "converted": [level == n_steps],
@@ -269,7 +279,7 @@ def funnel_stream(
         events.groupBy(user_col)
         .applyInPandasWithState(
             update,
-            outputStructType=_FUNNEL_OUT,
+            outputStructType=out_schema,
             stateStructType=_FUNNEL_STATE,
             outputMode="update",
             timeoutConf=timeout,

@@ -703,6 +703,16 @@ def test_funnel_stream_state_carries_across_batches():
     captured = {}
 
     class Capture:
+        from pyspark.sql.types import (
+            LongType, StringType, StructField, StructType, TimestampType,
+        )
+
+        schema = StructType([
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("ts", TimestampType()),
+        ])
+
         def groupBy(self, *cols):
             return self
 
