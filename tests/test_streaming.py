@@ -747,3 +747,123 @@ def test_funnel_stream_state_carries_across_batches():
     st2 = FakeState()
     out4 = list(update((8,), iter([pdf([("A", 0), ("B", 10), ("C", 90)])]), st2))
     assert out4[0]["steps_completed"][0] == 2
+
+
+def test_funnel_stream_property_random_streams_and_splits():
+    """Hypothesis: for ANY ts-ordered event stream split at ANY batch
+    boundaries, the final funnel_stream emission equals the exhaustive
+    sliding-anchor reference on the whole stream — the cross-batch
+    strict/cur promotion and same-ts seam handling get hundreds of
+    adversarial cases (heavy timestamp ties by construction)."""
+    import datetime as dt
+
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cosmap_spark.streaming.ops import funnel_stream
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType, TimestampType,
+    )
+
+    captured = {}
+
+    class Capture:
+        schema = StructType([
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("ts", TimestampType()),
+        ])
+
+        def groupBy(self, *cols):
+            return self
+
+        def applyInPandasWithState(self, fn, **kw):
+            captured["fn"] = fn
+            return None
+
+    class FakeState:
+        def __init__(self):
+            self.exists, self._v = False, None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self.exists, self._v = True, v
+
+    T0 = dt.datetime(2024, 1, 1)
+
+    def reference(rows, steps, horizon_min):
+        best_level, best_anchor = 0, None
+        tss = [(T0 + dt.timedelta(minutes=m), s) for s, m in rows]
+        tss.sort(key=lambda x: x[0])
+        anchors = [t for t, s in tss if s == steps[0]]
+        for anchor in anchors:
+            level, prev = 1, anchor
+            for s in steps[1:]:
+                cand = [
+                    t for t, e in tss
+                    if e == s and t > prev and (
+                        horizon_min is None
+                        or t <= anchor + dt.timedelta(minutes=horizon_min)
+                    )
+                ]
+                if not cand:
+                    break
+                prev = min(cand)
+                level += 1
+            if level > best_level or (
+                level == best_level and anchor > best_anchor
+            ):
+                best_level, best_anchor = level, anchor
+        return (best_level, best_anchor) if best_level else None
+
+    @given(
+        rows=st.lists(
+            st.tuples(st.sampled_from("ABC"), st.integers(0, 12)),
+            max_size=16,
+        ),
+        n_cuts=st.integers(0, 3),
+        horizon_min=st.sampled_from([None, 5]),
+        data=st.data(),
+    )
+    @settings(max_examples=300, deadline=None)
+    def check(rows, n_cuts, horizon_min, data):
+        steps = ["A", "B", "C"]
+        horizon = f"{horizon_min} minutes" if horizon_min else None
+        funnel_stream(Capture(), steps, horizon=horizon)
+        update = captured["fn"]
+        ordered = sorted(rows, key=lambda r: r[1])
+        cuts = sorted(
+            data.draw(st.lists(st.integers(0, len(ordered)),
+                               min_size=n_cuts, max_size=n_cuts))
+        )
+        batches, prev = [], 0
+        for c in cuts + [len(ordered)]:
+            batches.append(ordered[prev:c])
+            prev = c
+        st_ = FakeState()
+        last = None
+        for b in batches:
+            if not b:
+                continue
+            pdf = pd.DataFrame({
+                "user_id": [1] * len(b),
+                "event_type": [s for s, _ in b],
+                "ts": [T0 + dt.timedelta(minutes=m) for _, m in b],
+            })
+            out = list(update((1,), iter([pdf]), st_))
+            if out:
+                last = out[0]
+        want = reference(rows, steps, horizon_min)
+        if want is None:
+            assert last is None
+        else:
+            assert last is not None
+            assert int(last["steps_completed"][0]) == want[0]
+            got_anchor = pd.Timestamp(last["anchor_ts"][0]).to_pydatetime()
+            assert got_anchor == want[1]
+
+    check()
