@@ -106,6 +106,7 @@ from cosmap_spark.operators.diff import (  # noqa: F401
     diff_summary,
 )
 from cosmap_spark.operators.funnel import (  # noqa: F401
+    cohort_retention,
     funnel,
     funnel_sliding,
     funnel_summary,

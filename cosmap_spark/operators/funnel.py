@@ -221,6 +221,70 @@ def funnel_sliding(
     return ev.mapInPandas(kernel, schema)
 
 
+def cohort_retention(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+    max_periods: int = 12,
+) -> DataFrame:
+    """Cohort retention matrix — the other classic product-analytics
+    sequence operator next to :func:`funnel`: users are cohorted by the
+    period of their FIRST event, and ``retention[cohort][n]`` is the
+    fraction of that cohort active ``n`` periods later.
+
+    ``period`` is any ``date_trunc`` unit (``week``/``month``/``day``);
+    period index n = whole periods between the truncated cohort start
+    and the truncated activity time, so n=0 is the cohort period
+    itself (retention 1.0 by construction — every cohort member is
+    active in it).  ``max_periods`` bounds the matrix width.
+
+    Scale shape: one min-aggregation per user (first activity), one
+    map-side join back (AQE decides broadcast vs shuffle on the
+    user-keyed cohort table), one distinct + count over (cohort, n) —
+    O(cohorts · periods) output, never a per-user matrix.  Returns
+    ``[cohort, period_n, n_active, retention]`` with ``retention``
+    rounded to 6 dp (fraction of the cohort's size)."""
+    if max_periods < 1:
+        raise ValueError("max_periods must be >= 1")
+    ev = events.select(
+        F.col(user_col).alias("__u"),
+        F.date_trunc(period, F.col(ts_col)).alias("__p"),
+    ).where(F.col("__p").isNotNull())
+    firsts = ev.groupBy("__u").agg(F.min("__p").alias("cohort"))
+    sizes = firsts.groupBy("cohort").agg(
+        F.count("*").alias("__cohort_size")
+    )
+    # whole-period distance via month/day arithmetic on TRUNCATED
+    # stamps: months_between is exact for month cohorts; day/week use
+    # day deltas (truncated stamps are aligned, so division is exact)
+    joined = ev.join(firsts, "__u")
+    if period == "month":
+        n = F.round(F.months_between("__p", "cohort")).cast("long")
+    else:
+        days = F.datediff(F.col("__p"), F.col("cohort"))
+        n = (days / (7 if period == "week" else 1)).cast("long")
+    active = (
+        joined.select("__u", "cohort", n.alias("period_n"))
+        .where(F.col("period_n") < max_periods)
+        .distinct()
+        .groupBy("cohort", "period_n")
+        .agg(F.count("*").alias("n_active"))
+    )
+    return (
+        active.join(sizes, "cohort")
+        .select(
+            "cohort",
+            "period_n",
+            "n_active",
+            F.round(
+                F.col("n_active") / F.col("__cohort_size"), 6
+            ).alias("retention"),
+        )
+    )
+
+
 def funnel_summary_levels(per_user: DataFrame, n_steps: int) -> DataFrame:
     """The :func:`funnel_summary` dashboard table from a LEVEL-shaped
     result (:func:`funnel_sliding` / ``streaming.funnel_stream``

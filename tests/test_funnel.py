@@ -281,3 +281,48 @@ def test_summary_levels_matches_summary_on_fixed_funnel(spark, log):
 
     s = funnel_summary_levels(funnel_sliding(log, steps), 3).collect()
     assert [r["step"] for r in sorted(s, key=lambda r: r["step"])] == [1, 2, 3]
+
+
+def test_cohort_retention_matches_duckdb(spark, duck):
+    """Differential vs DuckDB on the real events table, week and month
+    cohorts: identical (cohort, n, active, retention) matrices."""
+    from cosmap_spark.operators.funnel import cohort_retention
+    from cosmap_spark.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    ev.select("user_id", "ts").toPandas().to_parquet("/tmp/_coh_ev.parquet")
+    for period, div in (("week", 7), ("month", None)):
+        got = sorted(
+            (str(r["cohort"])[:10], r["period_n"], r["n_active"], r["retention"])
+            for r in cohort_retention(
+                ev, period=period, max_periods=6
+            ).collect()
+        )
+        if div:
+            nexpr = f"(date_diff('day', cohort, p) / {div})::BIGINT"
+        else:
+            nexpr = "(date_diff('month', cohort, p))::BIGINT"
+        want = sorted(
+            (str(r[0])[:10], r[1], r[2], float(r[3]))
+            for r in duck.execute(f"""
+                WITH ev AS (
+                  SELECT user_id, date_trunc('{period}', ts) AS p
+                  FROM '/tmp/_coh_ev.parquet' WHERE ts IS NOT NULL
+                ),
+                firsts AS (SELECT user_id, min(p) AS cohort FROM ev GROUP BY 1),
+                sizes AS (SELECT cohort, count(*) AS sz FROM firsts GROUP BY 1),
+                act AS (
+                  SELECT DISTINCT e.user_id, f.cohort, {nexpr} AS n
+                  FROM ev e JOIN firsts f USING (user_id)
+                  WHERE {nexpr} < 6
+                ),
+                agg AS (SELECT cohort, n, count(*) AS n_active
+                        FROM act GROUP BY 1, 2)
+                SELECT a.cohort, a.n, a.n_active,
+                       round(a.n_active / s.sz, 6)
+                FROM agg a JOIN sizes s USING (cohort)
+            """).fetchall()
+        )
+        assert got == want, period
+        # structural sanity: every cohort retains 100% at n=0
+        assert all(r[3] == 1.0 for r in got if r[1] == 0)
