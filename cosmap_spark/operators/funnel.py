@@ -93,7 +93,7 @@ def funnel(
 
 def funnel_sliding(
     events: DataFrame,
-    steps: list[str],
+    steps: list,
     *,
     user_col: str = "user_id",
     type_col: str = "event_type",
@@ -106,6 +106,14 @@ def funnel_sliding(
     chain must fit within ``horizon`` of its OWN anchor, and chain
     timestamps must strictly increase (same-timestamp events never
     chain, matching :func:`funnel`'s strict ``>``).
+
+    ``steps`` elements are event-type strings OR arbitrary boolean
+    ``Column`` predicates (windowFunnel's cond1..condN — e.g.
+    ``(F.col("event_type") == "purchase") & (F.col("value") > 100)``),
+    freely mixed.  One event may satisfy SEVERAL steps (including the
+    same type listed twice, e.g. view→click→view): it is exploded to
+    one row per matched level, and the strict-time rule already
+    prevents an event from chaining with itself.
 
     Where :func:`funnel` fixes the anchor at the user's FIRST step-1
     event, this variant retries later anchors — the semantics that
@@ -139,7 +147,6 @@ def funnel_sliding(
     if len(steps) < 2:
         raise ValueError("a funnel needs at least 2 steps")
     n_steps = len(steps)
-    step_rank = {s: i + 1 for i, s in enumerate(steps)}
     horizon_us = (
         int(pd.Timedelta(horizon) // pd.Timedelta("1us")) if horizon else None
     )
@@ -156,13 +163,26 @@ def funnel_sliding(
         f"{user_col} {utype}, anchor_ts {ttype}, "
         "steps_completed long, converted boolean"
     )
+    # matched-level explode: one row per (event, satisfied step) —
+    # string steps become type-equality predicates; an event matching
+    # no step produces no rows (the old isin filter, generalized)
+    conds = [
+        (F.col(type_col) == s) if isinstance(s, str) else s
+        for s in steps
+    ]
+    matched = F.filter(
+        F.array(*[
+            F.when(c, F.lit(i + 1)).cast("int") for i, c in enumerate(conds)
+        ]),
+        lambda x: x.isNotNull(),
+    )
     ev = (
-        events.select(
+        events.where(F.col(ts_col).isNotNull())
+        .select(
             F.col(user_col).alias("__u"),
-            F.col(type_col).alias("__t"),
             F.col(ts_col).alias("__ts"),
+            F.explode(matched).alias("__lvl"),
         )
-        .where(F.col("__t").isin(list(steps)) & F.col("__ts").isNotNull())
         .repartition("__u")
         .sortWithinPartitions("__u", "__ts")
     )
@@ -175,7 +195,7 @@ def funnel_sliding(
         pdf = pd.concat(parts, ignore_index=True)
         u = pdf["__u"].to_numpy()
         ts = pdf["__ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
-        lvl = pdf["__t"].map(step_rank).to_numpy(dtype=np.int64)
+        lvl = pdf["__lvl"].to_numpy(dtype=np.int64)
         n = len(ts)
         idx = np.arange(n, dtype=np.int64)
         new_user = np.ones(n, dtype=bool)

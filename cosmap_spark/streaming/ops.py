@@ -217,7 +217,11 @@ def funnel_stream(
         StructField("converted", BooleanType()),
     ])
     n_steps = len(steps)
-    rank = {s: i + 1 for i, s in enumerate(steps)}
+    # a type may appear at SEVERAL levels (view→click→view): keep them
+    # all — a plain type→rank dict would silently keep only the last
+    levels_by_type: dict[str, list[int]] = {}
+    for i, s in enumerate(steps):
+        levels_by_type.setdefault(s, []).append(i + 1)
     horizon_us = (
         int(pd.Timedelta(horizon) // pd.Timedelta("1us")) if horizon else None
     )
@@ -237,27 +241,28 @@ def funnel_stream(
         # drop null ts as the batch twins do: a NaT converts to the
         # int64-min sentinel and would promote/extend chains off an
         # event with no valid time
-        pdf = pdf[pdf[type_col].isin(rank) & pdf[ts_col].notna()]
+        pdf = pdf[pdf[type_col].isin(levels_by_type) & pdf[ts_col].notna()]
         if not len(pdf):
             return
         ts = pdf[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
-        lvl = pdf[type_col].map(rank).to_numpy(dtype=np.int64)
+        types = pdf[type_col].to_numpy()
         order = np.argsort(ts, kind="stable")
-        for t, s in zip(ts[order].tolist(), lvl[order].tolist()):
+        for t, ty in zip(ts[order].tolist(), types[order].tolist()):
             if t != last_ts:
                 strict = cur.copy()
                 last_ts = t
-            if s == 1:
-                if t > cur[0]:
-                    cur[0] = t
-            else:
-                a = strict[s - 2]
-                if (
-                    a != NEG
-                    and (horizon_us is None or t - a <= horizon_us)
-                    and a > cur[s - 1]
-                ):
-                    cur[s - 1] = a
+            for s in levels_by_type[ty]:
+                if s == 1:
+                    if t > cur[0]:
+                        cur[0] = t
+                else:
+                    a = strict[s - 2]
+                    if (
+                        a != NEG
+                        and (horizon_us is None or t - a <= horizon_us)
+                        and a > cur[s - 1]
+                    ):
+                        cur[s - 1] = a
         state.update((strict, cur, last_ts))
         level = 0
         for s in range(n_steps):

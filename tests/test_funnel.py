@@ -326,3 +326,62 @@ def test_cohort_retention_matches_duckdb(spark, duck):
         assert got == want, period
         # structural sanity: every cohort retains 100% at n=0
         assert all(r[3] == 1.0 for r in got if r[1] == 0)
+
+
+def test_sliding_predicate_steps_and_repeated_types(spark):
+    """windowFunnel cond1..condN generalization: Column predicates and
+    repeated step types, both checked against a per-anchor exhaustive
+    reference with callable steps."""
+    from cosmap_spark.operators.funnel import funnel_sliding
+
+    rows = [
+        # u1: view -> big purchase (>=100) -> view  (completes A,B,A)
+        (1, "view", 10.0, _ts(0)), (1, "purchase", 150.0, _ts(5)),
+        (1, "view", 0.0, _ts(9)),
+        # u2: purchase too small for the predicate step
+        (2, "view", 1.0, _ts(0)), (2, "purchase", 50.0, _ts(5)),
+        (2, "view", 1.0, _ts(9)),
+        # u3: right events, wrong order
+        (3, "purchase", 500.0, _ts(0)), (3, "view", 1.0, _ts(5)),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, value double, ts timestamp"
+    )
+    steps = [
+        "view",
+        (F.col("event_type") == "purchase") & (F.col("value") >= 100),
+        "view",
+    ]
+
+    def pred(i):
+        return [
+            lambda t, v: t == "view",
+            lambda t, v: t == "purchase" and v >= 100,
+            lambda t, v: t == "view",
+        ][i]
+
+    # exhaustive reference over callables
+    want = {}
+    pdf = df.toPandas()
+    for u, g in pdf.groupby("user_id"):
+        g = g.sort_values("ts")
+        best = 0
+        for _, a in g[g.apply(lambda r: pred(0)(r.event_type, r.value),
+                              axis=1)].iterrows():
+            level, prev = 1, a.ts
+            for i in range(1, 3):
+                cand = g[(g.ts > prev) & g.apply(
+                    lambda r: pred(i)(r.event_type, r.value), axis=1)]
+                if cand.empty:
+                    break
+                prev = cand.ts.iloc[0]
+                level += 1
+            best = max(best, level)
+        if best:
+            want[u] = best
+    got = {
+        r["user_id"]: r["steps_completed"]
+        for r in funnel_sliding(df, steps).collect()
+    }
+    assert got == want
+    assert got[1] == 3 and got[2] == 1 and got[3] == 1

@@ -867,3 +867,29 @@ def test_funnel_stream_property_random_streams_and_splits():
             assert got_anchor == want[1]
 
     check()
+
+
+def test_funnel_stream_repeated_step_types_match_batch(spark, stream_dir, tmp_path):
+    """view→click→view: a type at several levels must work in the
+    stream exactly as in funnel_sliding (a plain type→rank dict would
+    silently keep only the LAST level for 'view')."""
+    from cosmap_spark.operators.funnel import funnel_sliding
+    from cosmap_spark.streaming.ops import funnel_stream
+    from cosmap_spark.tables import load_table
+
+    steps = ["view", "click", "view"]
+    sdf = events_stream(spark, str(stream_dir))
+    _run_to_memory(
+        funnel_stream(sdf, steps), "funnel_stream_rep", tmp_path, "update",
+    )
+    got = {
+        r["user_id"]: (r["steps_completed"], r["converted"])
+        for r in spark.table("funnel_stream_rep").collect()
+    }
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    want = {
+        r["user_id"]: (r["steps_completed"], r["converted"])
+        for r in funnel_sliding(ev, steps).collect()
+    }
+    assert got == want
+    assert any(v[1] for v in want.values()), "fixture must convert someone"
