@@ -28,14 +28,16 @@ from pyspark.sql import functions as F
 
 def funnel(
     events: DataFrame,
-    steps: list[str],
+    steps: list,
     *,
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
     horizon: str | None = None,
 ) -> DataFrame:
-    """Per-user funnel completion over ``steps`` (ordered event types).
+    """Per-user funnel completion over ``steps`` — ordered event types
+    (strings) or arbitrary boolean ``Column`` predicates, freely mixed
+    (same step contract as :func:`funnel_sliding`).
 
     ``horizon`` (an INTERVAL string like ``'7 days'``) bounds the whole
     funnel relative to the step-1 timestamp; ``None`` = unbounded.
@@ -51,23 +53,24 @@ def funnel(
     Returns ``[user_col, ts_1..ts_N, steps_completed, converted]``."""
     if len(steps) < 2:
         raise ValueError("a funnel needs at least 2 steps")
-    ev = events.select(
-        F.col(user_col).alias("__u"),
-        F.col(type_col).alias("__t"),
-        F.col(ts_col).alias("__ts"),
-    ).where(F.col("__t").isin(list(steps)) & F.col("__ts").isNotNull())
+    conds = [
+        (F.col(type_col) == s) if isinstance(s, str) else s for s in steps
+    ]
+    base = events.where(F.col(ts_col).isNotNull())
+    frames = [
+        base.where(c).select(
+            F.col(user_col).alias("__u"), F.col(ts_col).alias("__ts")
+        )
+        for c in conds
+    ]
 
     # step 1: earliest occurrence per user
-    cur = ev.where(F.col("__t") == steps[0]).groupBy("__u").agg(
-        F.min("__ts").alias("ts_1")
-    )
+    cur = frames[0].groupBy("__u").agg(F.min("__ts").alias("ts_1"))
     deadline = (
         (F.col("ts_1") + F.expr(f"INTERVAL {horizon}")) if horizon else None
     )
-    for i, step in enumerate(steps[1:], start=2):
-        nxt = ev.where(F.col("__t") == step).select(
-            "__u", F.col("__ts").alias("__cand")
-        )
+    for i, nxt_frame in enumerate(frames[1:], start=2):
+        nxt = nxt_frame.select("__u", F.col("__ts").alias("__cand"))
         cond = F.col("__cand") > F.col(f"ts_{i - 1}")
         if deadline is not None:
             cond = cond & (F.col("__cand") <= deadline)

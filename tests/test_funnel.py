@@ -385,3 +385,25 @@ def test_sliding_predicate_steps_and_repeated_types(spark):
     }
     assert got == want
     assert got[1] == 3 and got[2] == 1 and got[3] == 1
+
+
+def test_fixed_funnel_predicate_steps(spark):
+    """The fixed-anchor funnel accepts the same predicate steps as the
+    sliding one; the value-thresholded middle step gates conversion."""
+    rows = [
+        (1, "view", 0.0, _ts(0)), (1, "purchase", 150.0, _ts(5)),
+        (1, "view", 0.0, _ts(9)),
+        (2, "view", 0.0, _ts(0)), (2, "purchase", 50.0, _ts(5)),
+        (2, "view", 0.0, _ts(9)),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, value double, ts timestamp"
+    )
+    steps = [
+        "view",
+        (F.col("event_type") == "purchase") & (F.col("value") >= 100),
+        "view",
+    ]
+    got = {r["user_id"]: (r["steps_completed"], r["converted"])
+           for r in funnel(df, steps).collect()}
+    assert got == {1: (3, True), 2: (1, False)}
