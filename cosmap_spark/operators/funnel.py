@@ -26,6 +26,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _step_conds(steps: list, type_col: str) -> list:
+    """The ONE definition of the step contract shared by funnel and
+    funnel_sliding: an event-type string becomes a type-equality
+    predicate, a boolean Column passes through."""
+    return [
+        (F.col(type_col) == s) if isinstance(s, str) else s for s in steps
+    ]
+
+
 def funnel(
     events: DataFrame,
     steps: list,
@@ -53,9 +62,7 @@ def funnel(
     Returns ``[user_col, ts_1..ts_N, steps_completed, converted]``."""
     if len(steps) < 2:
         raise ValueError("a funnel needs at least 2 steps")
-    conds = [
-        (F.col(type_col) == s) if isinstance(s, str) else s for s in steps
-    ]
+    conds = _step_conds(steps, type_col)
     base = events.where(F.col(ts_col).isNotNull())
     frames = [
         base.where(c).select(
@@ -169,10 +176,7 @@ def funnel_sliding(
     # matched-level explode: one row per (event, satisfied step) —
     # string steps become type-equality predicates; an event matching
     # no step produces no rows (the old isin filter, generalized)
-    conds = [
-        (F.col(type_col) == s) if isinstance(s, str) else s
-        for s in steps
-    ]
+    conds = _step_conds(steps, type_col)
     matched = F.filter(
         F.array(*[
             F.when(c, F.lit(i + 1)).cast("int") for i, c in enumerate(conds)
@@ -257,11 +261,16 @@ def cohort_retention(
     period of their FIRST event, and ``retention[cohort][n]`` is the
     fraction of that cohort active ``n`` periods later.
 
-    ``period`` is any ``date_trunc`` unit (``week``/``month``/``day``);
-    period index n = whole periods between the truncated cohort start
-    and the truncated activity time, so n=0 is the cohort period
-    itself (retention 1.0 by construction — every cohort member is
-    active in it).  ``max_periods`` bounds the matrix width.
+    ``period`` ∈ {``day``, ``week``, ``month``} — the units whose
+    whole-period distance the implementation computes correctly
+    (day-delta division for day/week, ``months_between`` for month);
+    anything else raises rather than silently mis-binning.  Period
+    index n = whole periods between the truncated cohort start and the
+    truncated activity time, so n=0 is the cohort period itself
+    (retention 1.0 by construction — every cohort member is active in
+    it; NULL users are excluded up front so the inner join back cannot
+    silently drop cohort mass).  ``max_periods`` bounds the matrix
+    width.
 
     Scale shape: one min-aggregation per user (first activity), one
     map-side join back (AQE decides broadcast vs shuffle on the
@@ -271,10 +280,16 @@ def cohort_retention(
     rounded to 6 dp (fraction of the cohort's size)."""
     if max_periods < 1:
         raise ValueError("max_periods must be >= 1")
+    if period not in ("day", "week", "month"):
+        raise ValueError(
+            f"period must be day/week/month, got {period!r} (other "
+            "date_trunc units would need their own whole-period "
+            "arithmetic)"
+        )
     ev = events.select(
         F.col(user_col).alias("__u"),
         F.date_trunc(period, F.col(ts_col)).alias("__p"),
-    ).where(F.col("__p").isNotNull())
+    ).where(F.col("__p").isNotNull() & F.col("__u").isNotNull())
     firsts = ev.groupBy("__u").agg(F.min("__p").alias("cohort"))
     sizes = firsts.groupBy("cohort").agg(
         F.count("*").alias("__cohort_size")

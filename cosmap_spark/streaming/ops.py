@@ -217,6 +217,15 @@ def funnel_stream(
         StructField("converted", BooleanType()),
     ])
     n_steps = len(steps)
+    if not all(isinstance(s, str) for s in steps):
+        # the batch twins accept Column predicates; this kernel matches
+        # types inside pandas and cannot evaluate a Column — fail with
+        # the limitation named instead of an unhashable-Column TypeError
+        raise ValueError(
+            "funnel_stream steps must be event-type strings; for "
+            "predicate steps, pre-compute a derived event_type column "
+            "on the stream or use the batch funnel_sliding"
+        )
     # a type may appear at SEVERAL levels (view→click→view): keep them
     # all — a plain type→rank dict would silently keep only the last
     levels_by_type: dict[str, list[int]] = {}

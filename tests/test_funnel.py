@@ -283,14 +283,15 @@ def test_summary_levels_matches_summary_on_fixed_funnel(spark, log):
     assert [r["step"] for r in sorted(s, key=lambda r: r["step"])] == [1, 2, 3]
 
 
-def test_cohort_retention_matches_duckdb(spark, duck):
+def test_cohort_retention_matches_duckdb(spark, duck, tmp_path):
     """Differential vs DuckDB on the real events table, week and month
     cohorts: identical (cohort, n, active, retention) matrices."""
     from cosmap_spark.operators.funnel import cohort_retention
     from cosmap_spark.tables import load_table
 
     ev = load_table(spark, "/root/testdata/sf0.001", "events")
-    ev.select("user_id", "ts").toPandas().to_parquet("/tmp/_coh_ev.parquet")
+    pq_path = str(tmp_path / "coh_ev.parquet")
+    ev.select("user_id", "ts").toPandas().to_parquet(pq_path)
     for period, div in (("week", 7), ("month", None)):
         got = sorted(
             (str(r["cohort"])[:10], r["period_n"], r["n_active"], r["retention"])
@@ -307,7 +308,7 @@ def test_cohort_retention_matches_duckdb(spark, duck):
             for r in duck.execute(f"""
                 WITH ev AS (
                   SELECT user_id, date_trunc('{period}', ts) AS p
-                  FROM '/tmp/_coh_ev.parquet' WHERE ts IS NOT NULL
+                  FROM '{pq_path}' WHERE ts IS NOT NULL
                 ),
                 firsts AS (SELECT user_id, min(p) AS cohort FROM ev GROUP BY 1),
                 sizes AS (SELECT cohort, count(*) AS sz FROM firsts GROUP BY 1),
@@ -407,3 +408,23 @@ def test_fixed_funnel_predicate_steps(spark):
     got = {r["user_id"]: (r["steps_completed"], r["converted"])
            for r in funnel(df, steps).collect()}
     assert got == {1: (3, True), 2: (1, False)}
+
+
+def test_cohort_retention_validation_and_null_users(spark):
+    """Unsupported period units raise (quarter would silently mis-bin);
+    NULL users never count toward cohort sizes (the inner join back
+    would drop their activity and break the n=0 retention=1.0
+    invariant)."""
+    from cosmap_spark.operators.funnel import cohort_retention
+
+    df = spark.createDataFrame(
+        [(1, _ts(0)), (1, _ts(60 * 24 * 7)), (None, _ts(0))],
+        "user_id long, ts timestamp",
+    )
+    with pytest.raises(ValueError, match="day/week/month"):
+        cohort_retention(df, period="quarter")
+    got = {
+        (r["period_n"]): (r["n_active"], r["retention"])
+        for r in cohort_retention(df, period="week").collect()
+    }
+    assert got == {0: (1, 1.0), 1: (1, 1.0)}  # the NULL user is ignored
