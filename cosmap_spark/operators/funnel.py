@@ -222,7 +222,10 @@ def funnel_sliding(
             pa = np.where(prev >= 0, anchors[s - 1][np.maximum(prev, 0)], NEG)
             ok = (lvl == s) & (pa != NEG)
             if horizon_us is not None:
-                ok &= ts - pa <= horizon_us
+                # the subtraction is masked to rows already feasible:
+                # ts - NEG on masked-out rows would wrap int64 (silent
+                # today, an error under np.errstate('raise'))
+                ok &= np.where(ok, ts - pa, 0) <= horizon_us
             a_s = np.where(ok, pa, NEG)
             anchors.append(pd.Series(a_s).groupby(ug).cummax().to_numpy())
         last = np.zeros(n, dtype=bool)

@@ -166,18 +166,18 @@ _FUNNEL_STATE = StructType([
 
 def funnel_stream(
     events: DataFrame,
-    steps: list[str],
+    steps: list,
     *,
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
     horizon: str | None = None,
-    timeout: str = "NoTimeout",
+    state_ttl: str | None = None,
 ) -> DataFrame:
     """Streaming sliding-anchor funnel — the live counterpart of
     ``operators.funnel.funnel_sliding`` (windowFunnel semantics) as an
-    ``applyInPandasWithState`` operator, per-user state O(steps) FOREVER
-    (never an event log): per level the state keeps two anchors — the
+    ``applyInPandasWithState`` operator, per-user state O(steps) (never
+    an event log): per level the state keeps two anchors — the
     best among chains that completed STRICTLY before the current
     timestamp (``strict``, what a same-ts event may extend: equal
     timestamps never chain) and the best including the current-ts run
@@ -188,6 +188,23 @@ def funnel_stream(
     ts-ordered input the emitted levels equal ``funnel_sliding`` on
     the same prefix (differential-tested, incl. state carried across
     micro-batches).
+
+    ``steps`` elements are event-type strings OR boolean ``Column``
+    predicates, freely mixed — the SAME step contract as both batch
+    twins (``operators.funnel._step_conds``): predicates are
+    pre-projected JVM-side to a matched-level column (one exploded row
+    per satisfied step, so an event may feed several levels — the
+    repeated-type case), and the stateful kernel stays pure int/ts.
+    Within-timestamp processing order is irrelevant (extensions read
+    only the pre-run ``strict`` anchors), so the explode is exact.
+
+    Per-user state lives FOREVER by default.  ``state_ttl`` (a duration
+    string like ``'30 days'``) arms a processing-time timeout instead:
+    a user idle longer than the TTL has their state REMOVED (the next
+    event restarts their funnel from scratch) — the eviction knob an
+    unbounded-key-space deployment needs.  Nothing is emitted at
+    eviction: the last emitted level for the user remains the final
+    word for that funnel attempt.
 
     Ordering contract: rows are sorted by ts WITHIN each micro-batch;
     a row arriving in a LATER batch with an earlier timestamp than
@@ -200,6 +217,8 @@ def funnel_stream(
     reaching that level."""
     import numpy as np
     import pandas as pd
+
+    from cosmap_spark.operators.funnel import _step_conds
 
     if len(steps) < 2:
         raise ValueError("a funnel needs at least 2 steps")
@@ -217,26 +236,37 @@ def funnel_stream(
         StructField("converted", BooleanType()),
     ])
     n_steps = len(steps)
-    if not all(isinstance(s, str) for s in steps):
-        # the batch twins accept Column predicates; this kernel matches
-        # types inside pandas and cannot evaluate a Column — fail with
-        # the limitation named instead of an unhashable-Column TypeError
-        raise ValueError(
-            "funnel_stream steps must be event-type strings; for "
-            "predicate steps, pre-compute a derived event_type column "
-            "on the stream or use the batch funnel_sliding"
-        )
-    # a type may appear at SEVERAL levels (view→click→view): keep them
-    # all — a plain type→rank dict would silently keep only the last
-    levels_by_type: dict[str, list[int]] = {}
-    for i, s in enumerate(steps):
-        levels_by_type.setdefault(s, []).append(i + 1)
+    # matched-level pre-projection (stateless, so legal upstream of the
+    # stateful operator): the batch twins' explode, keeping the kernel
+    # string-free — a Column predicate never reaches pandas
+    conds = _step_conds(steps, type_col)
+    matched = F.filter(
+        F.array(*[
+            F.when(c, F.lit(i + 1)).cast("int") for i, c in enumerate(conds)
+        ]),
+        lambda x: x.isNotNull(),
+    )
+    ev = events.where(F.col(ts_col).isNotNull()).select(
+        F.col(user_col),
+        F.col(ts_col),
+        F.explode(matched).alias("__lvl"),
+    )
     horizon_us = (
         int(pd.Timedelta(horizon) // pd.Timedelta("1us")) if horizon else None
+    )
+    ttl_ms = (
+        int(pd.Timedelta(state_ttl) // pd.Timedelta("1ms"))
+        if state_ttl else None
     )
     NEG = -(2**63)
 
     def update(key, pdfs, state):
+        if state.hasTimedOut:
+            # TTL expiry: drop the idle user's anchors entirely — their
+            # next event starts a fresh funnel.  No emission: eviction
+            # is cleanup, not a result.
+            state.remove()
+            return
         if state.exists:
             strict, cur, last_ts = (
                 list(state.get[0]), list(state.get[1]), state.get[2]
@@ -247,32 +277,33 @@ def funnel_stream(
         if not frames:
             return
         pdf = pd.concat(frames, ignore_index=True)
-        # drop null ts as the batch twins do: a NaT converts to the
-        # int64-min sentinel and would promote/extend chains off an
-        # event with no valid time
-        pdf = pdf[pdf[type_col].isin(levels_by_type) & pdf[ts_col].notna()]
+        # drop null ts as the batch twins do (also filtered JVM-side; a
+        # NaT converts to the int64-min sentinel and would
+        # promote/extend chains off an event with no valid time)
+        pdf = pdf[pdf[ts_col].notna()]
         if not len(pdf):
             return
         ts = pdf[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
-        types = pdf[type_col].to_numpy()
+        lvls = pdf["__lvl"].to_numpy(dtype=np.int64)
         order = np.argsort(ts, kind="stable")
-        for t, ty in zip(ts[order].tolist(), types[order].tolist()):
+        for t, s in zip(ts[order].tolist(), lvls[order].tolist()):
             if t != last_ts:
                 strict = cur.copy()
                 last_ts = t
-            for s in levels_by_type[ty]:
-                if s == 1:
-                    if t > cur[0]:
-                        cur[0] = t
-                else:
-                    a = strict[s - 2]
-                    if (
-                        a != NEG
-                        and (horizon_us is None or t - a <= horizon_us)
-                        and a > cur[s - 1]
-                    ):
-                        cur[s - 1] = a
+            if s == 1:
+                if t > cur[0]:
+                    cur[0] = t
+            else:
+                a = strict[s - 2]
+                if (
+                    a != NEG
+                    and (horizon_us is None or t - a <= horizon_us)
+                    and a > cur[s - 1]
+                ):
+                    cur[s - 1] = a
         state.update((strict, cur, last_ts))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         level = 0
         for s in range(n_steps):
             if cur[s] == NEG:
@@ -290,13 +321,15 @@ def funnel_stream(
         )
 
     return (
-        events.groupBy(user_col)
+        ev.groupBy(user_col)
         .applyInPandasWithState(
             update,
             outputStructType=out_schema,
             stateStructType=_FUNNEL_STATE,
             outputMode="update",
-            timeoutConf=timeout,
+            timeoutConf=(
+                "ProcessingTimeTimeout" if ttl_ms is not None else "NoTimeout"
+            ),
         )
     )
 

@@ -87,7 +87,15 @@ def main() -> None:
         q.awaitTermination(120)
         live = spark.table("live_funnel")
         batch = sliding.select("user_id", "steps_completed", "converted")
-        stream_side = live.select("user_id", "steps_completed", "converted")
+        # update-mode memory sink holds one row per user per touching
+        # micro-batch; keep each user's LAST emission (levels are
+        # monotone per user, so max level = final) rather than assume
+        # the availableNow run landed in exactly one batch
+        stream_side = (
+            live.groupBy("user_id")
+            .agg(F.max("steps_completed").alias("steps_completed"))
+            .withColumn("converted", F.col("steps_completed") == len(STEPS))
+        )
         diff = batch.exceptAll(stream_side).count() + stream_side.exceptAll(batch).count()
         print(f"== live stream vs batch sliding funnel: {diff} differing rows ==")
         assert diff == 0, "stream and batch funnels must agree"

@@ -676,6 +676,65 @@ def test_funnel_stream_matches_batch_sliding(spark, stream_dir, tmp_path):
     assert got == want
 
 
+class FakeState:
+    """Minimal GroupState stand-in for driving the update closure
+    directly (state carry, TTL eviction)."""
+
+    def __init__(self):
+        self.exists, self._v = False, None
+        self.hasTimedOut = False
+        self.removed = False
+        self.timeout_ms = None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self.exists, self._v = True, v
+
+    def remove(self):
+        self.exists, self._v, self.removed = False, None, True
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_ms = ms
+
+
+def _captured_update(funnel_stream, steps, **kw):
+    """Build funnel_stream against a fake events frame and return the
+    captured applyInPandasWithState update closure.  The fake absorbs
+    the operator's JVM-side pre-projection (where/select), so the
+    closure is fed kernel-shaped (__lvl, ts) frames by the tests."""
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType, TimestampType,
+    )
+
+    captured = {}
+
+    class Capture:
+        schema = StructType([
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("ts", TimestampType()),
+        ])
+
+        def where(self, *a, **k):
+            return self
+
+        def select(self, *a, **k):
+            return self
+
+        def groupBy(self, *cols):
+            return self
+
+        def applyInPandasWithState(self, fn, **k):
+            captured["fn"] = fn
+            return None
+
+    funnel_stream(Capture(), steps, **kw)
+    return captured["fn"]
+
+
 def test_funnel_stream_state_carries_across_batches():
     """The O(steps) state must resume mid-funnel: feed the update
     function two ts-ordered chunks through a fake state handle and
@@ -687,49 +746,17 @@ def test_funnel_stream_state_carries_across_batches():
 
     from cosmap_spark.streaming.ops import funnel_stream
 
-    class FakeState:
-        def __init__(self):
-            self.exists = False
-            self._v = None
-
-        @property
-        def get(self):
-            return self._v
-
-        def update(self, v):
-            self.exists, self._v = True, v
-
-    # reach into the operator for its update closure
-    captured = {}
-
-    class Capture:
-        from pyspark.sql.types import (
-            LongType, StringType, StructField, StructType, TimestampType,
-        )
-
-        schema = StructType([
-            StructField("user_id", LongType()),
-            StructField("event_type", StringType()),
-            StructField("ts", TimestampType()),
-        ])
-
-        def groupBy(self, *cols):
-            return self
-
-        def applyInPandasWithState(self, fn, **kw):
-            captured["fn"] = fn
-            return None
-
-    funnel_stream(Capture(), ["A", "B", "C"], horizon="1 hour")
-    update = captured["fn"]
+    update = _captured_update(funnel_stream, ["A", "B", "C"], horizon="1 hour")
     t0 = dt.datetime(2024, 1, 1)
 
     def pdf(rows):
+        # the operator pre-projects steps to a matched-level column
+        # JVM-side; the kernel sees (__lvl, ts) rows
         return pd.DataFrame(
             {
                 "user_id": [7] * len(rows),
-                "event_type": [r[0] for r in rows],
                 "ts": [t0 + dt.timedelta(minutes=r[1]) for r in rows],
+                "__lvl": ["ABC".index(r[0]) + 1 for r in rows],
             }
         )
 
@@ -762,36 +789,6 @@ def test_funnel_stream_property_random_streams_and_splits():
     from hypothesis import strategies as st
 
     from cosmap_spark.streaming.ops import funnel_stream
-    from pyspark.sql.types import (
-        LongType, StringType, StructField, StructType, TimestampType,
-    )
-
-    captured = {}
-
-    class Capture:
-        schema = StructType([
-            StructField("user_id", LongType()),
-            StructField("event_type", StringType()),
-            StructField("ts", TimestampType()),
-        ])
-
-        def groupBy(self, *cols):
-            return self
-
-        def applyInPandasWithState(self, fn, **kw):
-            captured["fn"] = fn
-            return None
-
-    class FakeState:
-        def __init__(self):
-            self.exists, self._v = False, None
-
-        @property
-        def get(self):
-            return self._v
-
-        def update(self, v):
-            self.exists, self._v = True, v
 
     T0 = dt.datetime(2024, 1, 1)
 
@@ -833,8 +830,7 @@ def test_funnel_stream_property_random_streams_and_splits():
     def check(rows, n_cuts, horizon_min, data):
         steps = ["A", "B", "C"]
         horizon = f"{horizon_min} minutes" if horizon_min else None
-        funnel_stream(Capture(), steps, horizon=horizon)
-        update = captured["fn"]
+        update = _captured_update(funnel_stream, steps, horizon=horizon)
         ordered = sorted(rows, key=lambda r: r[1])
         cuts = sorted(
             data.draw(st.lists(st.integers(0, len(ordered)),
@@ -851,8 +847,8 @@ def test_funnel_stream_property_random_streams_and_splits():
                 continue
             pdf = pd.DataFrame({
                 "user_id": [1] * len(b),
-                "event_type": [s for s, _ in b],
                 "ts": [T0 + dt.timedelta(minutes=m) for _, m in b],
+                "__lvl": ["ABC".index(s) + 1 for s, _ in b],
             })
             out = list(update((1,), iter([pdf]), st_))
             if out:
@@ -893,3 +889,82 @@ def test_funnel_stream_repeated_step_types_match_batch(spark, stream_dir, tmp_pa
     }
     assert got == want
     assert any(v[1] for v in want.values()), "fixture must convert someone"
+
+
+def test_funnel_stream_predicate_steps_match_batch(spark, stream_dir, tmp_path):
+    """windowFunnel cond1..condN on the LIVE path: Column predicates and
+    a repeated type, stream ≡ batch funnel_sliding on the same steps —
+    the round-4 stream/batch surface asymmetry, closed (predicates are
+    pre-projected to matched levels JVM-side, stateless, so they ride
+    ahead of the stateful kernel)."""
+    from cosmap_spark.operators.funnel import funnel_sliding
+    from cosmap_spark.streaming.ops import funnel_stream
+    from cosmap_spark.tables import load_table
+
+    steps = [
+        "view",
+        (F.col("event_type") == "click") & (F.col("value") >= 0),
+        F.col("event_type").isin("view", "purchase"),
+    ]
+    sdf = events_stream(spark, str(stream_dir))
+    _run_to_memory(
+        funnel_stream(sdf, steps, horizon="2 days"),
+        "funnel_stream_pred", tmp_path, "update",
+    )
+    got = {
+        r["user_id"]: (r["anchor_ts"], r["steps_completed"], r["converted"])
+        for r in spark.table("funnel_stream_pred").collect()
+    }
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    want = {
+        r["user_id"]: (r["anchor_ts"], r["steps_completed"], r["converted"])
+        for r in funnel_sliding(ev, steps, horizon="2 days").collect()
+    }
+    assert got == want
+    assert any(v[2] for v in want.values()), "fixture must convert someone"
+
+
+def test_funnel_stream_state_ttl_eviction():
+    """state_ttl arms a processing-time timeout: the kernel must arm
+    the duration after every update, evict (state.remove) on
+    hasTimedOut without emitting, and let the user restart from
+    scratch afterwards.  Without state_ttl no duration is ever armed
+    (state is honestly permanent — the round-4 advice: the API must
+    not imply eviction it doesn't perform)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from cosmap_spark.streaming.ops import funnel_stream
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def pdf(rows):
+        return pd.DataFrame(
+            {
+                "user_id": [3] * len(rows),
+                "ts": [t0 + dt.timedelta(minutes=m) for _, m in rows],
+                "__lvl": [lv for lv, _ in rows],
+            }
+        )
+
+    update = _captured_update(
+        funnel_stream, ["A", "B"], state_ttl="30 minutes"
+    )
+    st = FakeState()
+    out = list(update((3,), iter([pdf([(1, 0)])]), st))
+    assert len(out) == 1 and st.timeout_ms == 30 * 60 * 1000
+    # timeout fires: state dropped, nothing emitted
+    st.hasTimedOut = True
+    assert list(update((3,), iter([]), st)) == []
+    assert st.removed and not st.exists
+    # the user's next event starts a fresh funnel (level 2 alone: no row)
+    st.hasTimedOut = False
+    assert list(update((3,), iter([pdf([(2, 40)])]), st)) == []
+    out2 = list(update((3,), iter([pdf([(1, 50), (2, 55)])]), st))
+    assert out2[0]["steps_completed"][0] == 2
+    # no TTL → no duration armed, ever
+    update2 = _captured_update(funnel_stream, ["A", "B"])
+    st2 = FakeState()
+    list(update2((3,), iter([pdf([(1, 0)])]), st2))
+    assert st2.timeout_ms is None
