@@ -28,6 +28,83 @@ _STREAM_WINDOWS_ORACLE = """
              count(*) AS n, round(sum(value), 4) AS total
       FROM events CROSS JOIN (SELECT unnest([0, 600, 1200]) AS off) offs
       GROUP BY 1
+    ),
+    -- fixed-anchor funnel view -> click -> purchase, 2-day horizon:
+    -- anchor = each user's FIRST view; each later step takes the
+    -- earliest strictly-later event of its type within the horizon of
+    -- the ANCHOR (greedy-earliest is optimal for a fixed anchor)
+    f1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' AND ts IS NOT NULL GROUP BY 1
+    ),
+    f2 AS (
+      SELECT f1.user_id, f1.t1, min(e.ts) AS t2
+      FROM f1 LEFT JOIN events e
+        ON e.user_id = f1.user_id AND e.event_type = 'click'
+       AND e.ts > f1.t1 AND e.ts <= f1.t1 + INTERVAL 2 DAY
+      GROUP BY 1, 2
+    ),
+    f3 AS (
+      SELECT f2.user_id, f2.t1, f2.t2, min(e.ts) AS t3
+      FROM f2 LEFT JOIN events e
+        ON e.user_id = f2.user_id AND e.event_type = 'purchase'
+       AND e.ts > f2.t2 AND e.ts <= f2.t1 + INTERVAL 2 DAY
+      GROUP BY 1, 2, 3
+    ),
+    fsteps AS (
+      SELECT user_id, 1 AS step, t1 AS sts FROM f3
+      UNION ALL SELECT user_id, 2, t2 FROM f3 WHERE t2 IS NOT NULL
+      UNION ALL SELECT user_id, 3, t3 FROM f3 WHERE t3 IS NOT NULL
+    ),
+    fcounts AS (
+      SELECT count(t1) AS n1, count(t2) AS n2, count(t3) AS n3 FROM f3
+    ),
+    -- sliding-anchor funnel (windowFunnel): EVERY view is a candidate
+    -- anchor; per user keep the max chain level and the LATEST anchor
+    -- among chains reaching it
+    c2 AS (
+      SELECT a.user_id, a.ts AS anchor, min(e.ts) AS t2
+      FROM events a LEFT JOIN events e
+        ON e.user_id = a.user_id AND e.event_type = 'click'
+       AND e.ts > a.ts AND e.ts <= a.ts + INTERVAL 2 DAY
+      WHERE a.event_type = 'view' AND a.ts IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    c3 AS (
+      SELECT c2.user_id, c2.anchor, c2.t2, min(e.ts) AS t3
+      FROM c2 LEFT JOIN events e
+        ON e.user_id = c2.user_id AND e.event_type = 'purchase'
+       AND e.ts > c2.t2 AND e.ts <= c2.anchor + INTERVAL 2 DAY
+      GROUP BY 1, 2, 3
+    ),
+    lv AS (
+      SELECT user_id, anchor,
+             CASE WHEN t3 IS NOT NULL THEN 3
+                  WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS level
+      FROM c3
+    ),
+    wbest AS (SELECT user_id, max(level) AS steps FROM lv GROUP BY 1),
+    wf AS (
+      SELECT b.user_id, max(l.anchor) AS anchor, b.steps
+      FROM wbest b JOIN lv l
+        ON l.user_id = b.user_id AND l.level = b.steps
+      GROUP BY 1, 3
+    ),
+    -- weekly cohort retention over the same events
+    cev AS (
+      SELECT user_id, date_trunc('week', ts) AS p FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    cfirsts AS (SELECT user_id, min(p) AS cohort FROM cev GROUP BY 1),
+    csizes AS (SELECT cohort, count(*) AS sz FROM cfirsts GROUP BY 1),
+    cact AS (
+      SELECT DISTINCT e.user_id, f.cohort,
+             (date_diff('day', f.cohort, e.p) / 7)::BIGINT AS pn
+      FROM cev e JOIN cfirsts f USING (user_id)
+      WHERE (date_diff('day', f.cohort, e.p) / 7)::BIGINT < 8
+    ),
+    cagg AS (
+      SELECT cohort, pn, count(*) AS n_active FROM cact GROUP BY 1, 2
     )
     SELECT 'tumble' AS op,
            CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
@@ -40,14 +117,36 @@ _STREAM_WINDOWS_ORACLE = """
     FROM events
     WHERE ts >= (SELECT max(ts) - INTERVAL 5 DAY FROM events)
     GROUP BY 3
+    UNION ALL
+    SELECT 'funnel', CAST(floor(epoch(sts)) AS BIGINT),
+           CAST(user_id AS VARCHAR), step, NULL
+    FROM fsteps
+    UNION ALL
+    SELECT 'funnel_sum', s.step, NULL,
+           CASE s.step WHEN 1 THEN n1 WHEN 2 THEN n2 ELSE n3 END,
+           round(CASE WHEN n1 > 0 THEN
+                 CAST(CASE s.step WHEN 1 THEN n1 WHEN 2 THEN n2 ELSE n3 END
+                      AS DOUBLE) / n1 ELSE 0.0 END, 6)
+    FROM fcounts CROSS JOIN (SELECT unnest([1, 2, 3]) AS step) s
+    UNION ALL
+    SELECT 'wfunnel', CAST(floor(epoch(anchor)) AS BIGINT),
+           CAST(user_id AS VARCHAR), steps, NULL
+    FROM wf
+    UNION ALL
+    SELECT 'cohort', CAST(floor(epoch(a.cohort)) AS BIGINT),
+           CAST(a.pn AS VARCHAR), a.n_active,
+           round(CAST(a.n_active AS DOUBLE) / s.sz, 6)
+    FROM cagg a JOIN csizes s USING (cohort)
 """
 
 
 @query("q_stream_windows", oracle=_STREAM_WINDOWS_ORACLE)
 def q_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-window aggregation semantics as one tagged union (each
-    branch the batch twin of a Structured Streaming query; the real
-    readStream paths run in tests/test_streaming.py):
+    """Time-window + behavioral-sequence semantics over events as one
+    tagged union (window branches are batch twins of Structured
+    Streaming queries — the real readStream paths run in
+    tests/test_streaming.py; the behavioral branches put the round-4
+    funnel family under the hash-exact gate):
 
     * ``tumble`` — 10-minute tumbling windows per event type
       (``groupBy(window(ts, '10 minutes'), type)``);
@@ -57,8 +156,28 @@ def q_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     * ``late``   — watermark semantics: drop rows older than
       (max event time − 5 days) — what ``withWatermark('ts', '5 days')``
       retains at end-of-stream; the 1-row cutoff broadcasts (the
-      correct scalar-subquery shape, not a real cross join)."""
+      correct scalar-subquery shape, not a real cross join);
+    * ``funnel`` — operators/funnel.py::funnel: fixed-anchor
+      view→click→purchase within 2 days of each user's FIRST view;
+      one row per (user, completed step) carrying THAT step's
+      timestamp, so every per-step value is hash-checked;
+    * ``funnel_sum`` — funnel_summary over the same per-user result
+      (n_users + conversion_from_start per step);
+    * ``wfunnel`` — funnel_sliding (ClickHouse windowFunnel): every
+      view retried as an anchor; per user the max level and LATEST
+      anchor reaching it.  The oracle replays the greedy-earliest
+      chain per anchor (exact: earliest-feasible maximizes slack);
+    * ``cohort`` — cohort_retention, weekly cohorts, 8 periods:
+      (cohort epoch, period_n, n_active, retention)."""
+    from cosmap_spark.operators.funnel import (
+        cohort_retention,
+        funnel,
+        funnel_sliding,
+        funnel_summary,
+    )
+
     ev = load_table(spark, sf_dir, "events")
+    steps = ["view", "click", "purchase"]
 
     def shape(df: DataFrame, op: str, start, key, n_col, total) -> DataFrame:
         return df.select(
@@ -88,7 +207,37 @@ def q_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n")),
         "late", None, F.col("event_type"), F.col("n"), None,
     )
-    return tumble.unionByName(slide).unionByName(late)
+    fu = funnel(ev, steps, horizon="2 days")
+    fsteps = (
+        fu.select(
+            "user_id",
+            F.posexplode(F.array("ts_1", "ts_2", "ts_3")).alias("i", "__sts"),
+        )
+        .where(F.col("__sts").isNotNull())
+    )
+    funnel_rows = shape(
+        fsteps, "funnel", F.unix_timestamp("__sts"), F.col("user_id"),
+        F.col("i") + 1, None,
+    )
+    fsum = shape(
+        funnel_summary(fu, len(steps)), "funnel_sum", F.col("step"), None,
+        F.col("n_users"), F.col("conversion_from_start"),
+    )
+    wf = shape(
+        funnel_sliding(ev, steps, horizon="2 days"), "wfunnel",
+        F.unix_timestamp("anchor_ts"), F.col("user_id"),
+        F.col("steps_completed"), None,
+    )
+    coh = shape(
+        cohort_retention(ev, period="week", max_periods=8), "cohort",
+        F.unix_timestamp("cohort"), F.col("period_n"),
+        F.col("n_active"), F.col("retention"),
+    )
+    return (
+        tumble.unionByName(slide).unionByName(late)
+        .unionByName(funnel_rows).unionByName(fsum)
+        .unionByName(wf).unionByName(coh)
+    )
 
 
 @query(

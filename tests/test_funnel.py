@@ -410,6 +410,78 @@ def test_fixed_funnel_predicate_steps(spark):
     assert got == {1: (3, True), 2: (1, False)}
 
 
+def test_cohort_retention_month_boundary_property(spark):
+    """Hypothesis over adversarial timestamps — month ends (Jan 31,
+    Mar 31), leap-year Feb 29, first-of-month midnights: month-cohort
+    ``period_n`` must equal the pure calendar-month distance
+    (year*12+month deltas) for every (user, activity) pair, and the
+    n=0 retention-1.0 invariant must hold.  This pins the
+    ``round(months_between(...))`` arithmetic on truncated stamps
+    (funnel.py): both stamps are month-starts, so the fraction is 0 by
+    construction — the property would catch any regression to
+    un-truncated inputs (where Jan 31 → Feb 28 yields 0.9x months)."""
+    import datetime as dt
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cosmap_spark.operators.funnel import cohort_retention
+
+    # days offsets landing on month boundaries and leap-year edges
+    # around 2023-12-28..2024-04-02 plus a spread of ordinary days
+    base = dt.datetime(2023, 12, 28, 23, 59, 59)
+    ts_strategy = st.one_of(
+        st.integers(0, 96),                       # day offsets (hits Feb 29)
+        st.sampled_from([3, 4, 34, 35, 63, 64]),  # Dec 31/Jan 1, Jan 31/Feb 1
+    )
+
+    @given(
+        events=st.lists(
+            st.tuples(st.integers(0, 4), ts_strategy), min_size=1, max_size=24
+        )
+    )
+    @settings(max_examples=25, deadline=None)
+    def check(events):
+        rows = [
+            (u, base + dt.timedelta(days=d, hours=(u * 7) % 24))
+            for u, d in events
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        got = {
+            (str(r["cohort"])[:10], r["period_n"]): (r["n_active"], r["retention"])
+            for r in cohort_retention(df, period="month", max_periods=12).collect()
+        }
+        # pure-python reference on calendar months
+        def mkey(t):
+            return t.year * 12 + t.month
+
+        first = {}
+        for u, t in rows:
+            first[u] = min(first.get(u, t), t)
+        cohorts = {}
+        for u, t0 in first.items():
+            cohorts.setdefault(mkey(t0), set()).add(u)
+        active = {}
+        for u, t in rows:
+            n = mkey(t) - mkey(first[u])
+            if n < 12:
+                c = first[u].replace(day=1)
+                active.setdefault((f"{c:%Y-%m-%d}", n), set()).add(u)
+        want = {
+            k: (
+                len(us),
+                round(len(us) / len(cohorts[mkey(dt.datetime.strptime(k[0], "%Y-%m-%d"))]), 6),
+            )
+            for k, us in active.items()
+        }
+        assert got == want
+        for (c, n), (_, r) in got.items():
+            if n == 0:
+                assert r == 1.0
+
+    check()
+
+
 def test_cohort_retention_validation_and_null_users(spark):
     """Unsupported period units raise (quarter would silently mis-bin);
     NULL users never count toward cohort sizes (the inner join back
