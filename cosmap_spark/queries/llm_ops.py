@@ -452,15 +452,18 @@ def knn_ann_union(
     codebooks=None,
     lsh_index=None,
     coded=None,
+    residual: bool = False,
     tsearch: bool = True,
 ) -> DataFrame:
     """The q_knn_ann plan, with the trained/derived artifacts
     injectable: ``index`` an ``ivf_build`` result, ``codebooks`` a
     ``pq_train`` result, ``lsh_index`` an ``lsh_build`` result,
-    ``coded`` a ``pq_encode`` result.  The ledger entry builds all four
-    in-query (self-contained for the gate); bench.py pre-builds them
-    once and times this function alone, so the reported serve number is
-    the search cost a fully persisted index delivers — query-side
+    ``coded`` a ``pq_encode`` result; ``residual`` declares the PQ
+    artifacts use the residual layout (``load_ann_index`` surfaces it
+    from the manifest).  The ledger entry builds all four in-query
+    (self-contained for the gate); bench.py pre-builds them once and
+    times this function alone, so the reported serve number is the
+    search cost a fully persisted index delivers — query-side
     bucketing/probing + candidate scoring + re-rank, nothing
     corpus-sized recomputed."""
     from cosmap_spark.operators.knn import ivf_build
@@ -517,7 +520,7 @@ def knn_ann_union(
     # where nprobe/nlist of a few percent reaches the same recall.
     ivfpq = knn_ivfpq(
         emb, queries, k=5, nlist=16, nprobe=14, m=16, ksub=64, rerank=100,
-        prebuilt=index, codebooks=codebooks, coded=coded,
+        prebuilt=index, codebooks=codebooks, coded=coded, residual=residual,
     ).select(
         F.lit("ivfpq").alias("method"), "qid", "nid",
         (-F.col("dist")).alias("score"), "rn",

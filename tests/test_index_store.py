@@ -64,6 +64,43 @@ def test_save_load_serve_identical(spark, tmp_path):
     assert manifest["ksub"] == 64
 
 
+def test_residual_flag_round_trips_and_serves(spark, tmp_path):
+    """A residual-layout index must carry its flag in the manifest:
+    serving **loaded then routes knn_ivfpq(residual=True), and the
+    result is row-identical to serving the in-memory residual
+    artifacts (codes decoded under the wrong layout would differ)."""
+    from cosmap_spark.operators.pq import ivf_residuals
+
+    emb = load_table(spark, SF, "embeddings")
+    cents, assigned = ivf_build(emb, nlist=16, iters=1)
+    assigned = assigned.localCheckpoint(eager=True)
+    res = ivf_residuals(assigned, cents)
+    books = pq_train(res, m=16, ksub=64, iters=1, dim=64,
+                     id_col="nid", vec_col="rvec")
+    coded = pq_encode(
+        res, books, id_col="nid", vec_col="rvec", keep=["cid"]
+    ).localCheckpoint(eager=True)
+    lsh_idx = lsh_build(emb, dim=64).localCheckpoint(eager=True)
+
+    p = str(tmp_path / "res_index")
+    save_ann_index(
+        p, index=(cents, assigned), codebooks=books,
+        lsh_index=lsh_idx, coded=coded, residual=True,
+    )
+    loaded = load_ann_index(spark, p)
+    assert loaded["residual"] is True
+    mem = knn_ann_union(
+        spark, SF, index=(cents, assigned), codebooks=books,
+        lsh_index=lsh_idx, coded=coded, residual=True, tsearch=False,
+    )
+    disk = knn_ann_union(spark, SF, tsearch=False, **loaded)
+    assert _rows(mem) == _rows(disk) and mem.count() > 0
+    # a raw-layout save has no flag at all
+    p2 = str(tmp_path / "raw_index")
+    save_ann_index(p2, lsh_index=lsh_idx)
+    assert "residual" not in load_ann_index(spark, p2)
+
+
 def test_partial_save_round_trips(spark, tmp_path):
     emb = load_table(spark, SF, "embeddings")
     p = str(tmp_path / "lsh_only")
