@@ -252,6 +252,88 @@ def test_dedup_clusters_raises_when_not_converged(spark):
     assert set(out.values()) == {1}
 
 
+def test_dedup_clusters_twophase_same_fixpoint(spark):
+    """large-star/small-star must reach EXACTLY hash-to-min's fixpoint:
+    randomized graphs (mixed cliques, chains, stars, isolated pairs)
+    and both methods compared assignment-for-assignment; a 200-node
+    PATH graph — hash-to-min's O(diameter) worst case — must converge
+    in O(log n) rounds, asserted strictly below hash-to-min's count."""
+    import random
+
+    from cosmap_spark.operators.dedup import dedup_clusters
+
+    rng = random.Random(17)
+    edges = []
+    base = 0
+    for _ in range(6):
+        n = rng.randint(2, 12)
+        ids = [base + i for i in range(n)]
+        shape = rng.choice(["clique", "chain", "star", "random"])
+        if shape == "clique":
+            edges += [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
+        elif shape == "chain":
+            edges += list(zip(ids, ids[1:]))
+        elif shape == "star":
+            edges += [(ids[0], x) for x in ids[1:]]
+        else:
+            edges += [
+                (rng.choice(ids), rng.choice(ids)) for _ in range(n * 2)
+            ]
+        base += n + rng.randint(1, 5)
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    a = {r["id"]: r["cluster_id"]
+         for r in dedup_clusters(df, method="hashmin").collect()}
+    b = {r["id"]: r["cluster_id"]
+         for r in dedup_clusters(df, method="twophase").collect()}
+    # self-pairs (random shape may emit (x, x)) are dropped by both;
+    # compare the full assignment maps
+    assert a == b and len(a) > 0
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "id_a long, id_b long"
+    )
+    s_tp: dict = {}
+    tp = {r["id"]: r["cluster_id"] for r in dedup_clusters(
+        path, method="twophase", max_iterations=12, _stats=s_tp
+    ).collect()}
+    assert set(tp.values()) == {0} and len(tp) == 201
+    assert s_tp["rounds"] <= 10  # O(log n): ~8 for n=201
+    with pytest.raises(RuntimeError):
+        # hash-to-min cannot close a 200-path in 12 rounds
+        dedup_clusters(path, method="hashmin", max_iterations=12)
+    # round-count comparison on a 30-path (hashmin needs ~30 rounds —
+    # O(diameter) — vs twophase's ~6; running hashmin on the 200-path
+    # would just burn 200 shuffle rounds to show the same thing)
+    p30 = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    s_hm: dict = {}
+    s_tp30: dict = {}
+    hm = {r["id"]: r["cluster_id"] for r in dedup_clusters(
+        p30, method="hashmin", max_iterations=40, _stats=s_hm
+    ).collect()}
+    tp30 = {r["id"]: r["cluster_id"] for r in dedup_clusters(
+        p30, method="twophase", max_iterations=12, _stats=s_tp30
+    ).collect()}
+    assert hm == tp30
+    assert s_tp30["rounds"] < s_hm["rounds"]
+    with pytest.raises(ValueError, match="hashmin/twophase"):
+        dedup_clusters(path, method="bogus")
+
+
+def test_dedup_clusters_twophase_empty_and_real_pairs(spark):
+    from cosmap_spark.operators.dedup import dedup_clusters, ngram_jaccard_pairs
+    from cosmap_spark.tables import load_table
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup_clusters(empty, method="twophase").count() == 0
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5).localCheckpoint(eager=True)
+    a = sorted(map(tuple, dedup_clusters(pairs, method="hashmin").collect()))
+    b = sorted(map(tuple, dedup_clusters(pairs, method="twophase").collect()))
+    assert a == b
+
+
 def test_contamination_hits_planted(spark):
     from cosmap_spark.operators.dedup import contamination_hits
 
