@@ -142,6 +142,8 @@ def train_bpe(
     joiner: str = "_",
     min_count: int = 2,
     checkpoint_every: int = 8,
+    batch_merges: int = 1,
+    _stats: dict | None = None,
 ) -> list[tuple[str, str]]:
     """The full BPE training loop (Sennrich et al. 2016): repeatedly
     count adjacent-pair frequencies across the corpus, merge the argmax
@@ -149,31 +151,75 @@ def train_bpe(
     ``min_count``.  Returns the ORDERED merge list for
     :func:`bpe_encode`.
 
-    Per iteration the corpus-side work is exactly one
+    Per counting pass the corpus-side work is exactly one
     ``bpe_pair_counts`` job (explode + map-side-combined groupBy) plus
-    the lazy merge rewrite; only the single argmax row reaches the
-    driver.  ``apply_bpe_merge`` stacks one ``aggregate`` fold per rule
-    onto the plan, so lineage is truncated every ``checkpoint_every``
-    merges (``localCheckpoint`` — the same discipline as
+    the lazy merge rewrite; only the top rows reach the driver.
+    ``apply_bpe_merge`` stacks one ``aggregate`` fold per rule onto the
+    plan, so lineage is truncated every ``checkpoint_every`` merges
+    (``localCheckpoint`` — the same discipline as
     ``dedup.dedup_clusters``); without it 50 nested folds overwhelm the
     analyzer long before the data does.
 
+    ``batch_merges=B`` (> 1) accepts up to B merges per counting pass —
+    the standard trainer batching that cuts the driver-loop latency
+    ~B×: the pass's top-B candidates are scanned in count order and a
+    candidate is ACCEPTED iff its symbols are disjoint from every
+    symbol of the merges already accepted this pass (disjointness
+    guarantees its counted frequency is still exact after applying
+    them).  Interacting candidates are skipped, not merged on a stale
+    count — they are re-counted and reconsidered next pass.
+
+    Divergence policy (documented, deterministic): batched training
+    equals the sequential (B=1) merge list whenever, within each
+    batch, no pair NEWLY CREATED by an earlier accepted merge (such a
+    pair contains the merged token) outranks a later accepted one —
+    new pairs are only visible at the next pass's recount, so the
+    canonical Sennrich sequence could interleave one between two
+    batch members.  On fixtures without such interleavings the lists
+    are identical (pinned in tests/test_vocab.py); where they differ,
+    the batched list is still a valid greedy-BPE vocabulary (every
+    accepted merge was the top remaining pair under exact counts at
+    its acceptance), the tokenizer-quality regime all published
+    batched trainers accept.
+
     Cost model is the honest one from the paper: training makes
-    O(n_merges) passes over the corpus.  At 100 TB, train on a
-    deterministic sample (``sampler.exact_k_sample``) — vocabulary
-    statistics converge long before corpus scale — then ``bpe_encode``
-    the full corpus in ONE pass."""
+    O(n_merges / batch_merges) passes over the corpus.  At 100 TB,
+    train on a deterministic sample (``sampler.exact_k_sample``) —
+    vocabulary statistics converge long before corpus scale — then
+    ``bpe_encode`` the full corpus in ONE pass.  ``_stats``, when a
+    dict, receives ``{"passes": n}`` (measurement hook, not API)."""
+    if batch_merges < 1:
+        raise ValueError("batch_merges must be >= 1")
     merges: list[tuple[str, str]] = []
     cur = df.select(text_col)
-    for i in range(n_merges):
-        top = bpe_pair_counts(cur, text_col=text_col, top_n=1).collect()
-        if not top or top[0]["n"] < min_count:
+    passes = 0
+    next_ckpt = checkpoint_every
+    while len(merges) < n_merges:
+        want = min(batch_merges, n_merges - len(merges))
+        top = bpe_pair_counts(cur, text_col=text_col, top_n=want).collect()
+        passes += 1
+        accepted: list[tuple[str, str]] = []
+        used: set[str] = set()
+        for r in top:
+            if r["n"] < min_count:
+                break  # count-ordered: everything below is too rare
+            left, right = r["left"], r["right"]
+            if left in used or right in used:
+                continue  # interacts with an accepted merge: next pass
+            accepted.append((left, right))
+            used.update((left, right, left + joiner + right))
+        if not accepted:
             break
-        left, right = top[0]["left"], top[0]["right"]
-        merges.append((left, right))
-        cur = apply_bpe_merge(cur, left, right, text_col=text_col, joiner=joiner)
-        if (i + 1) % checkpoint_every == 0:
-            cur = cur.localCheckpoint(eager=False)
+        for left, right in accepted:
+            merges.append((left, right))
+            cur = apply_bpe_merge(
+                cur, left, right, text_col=text_col, joiner=joiner
+            )
+            if len(merges) >= next_ckpt:
+                cur = cur.localCheckpoint(eager=False)
+                next_ckpt += checkpoint_every
+    if _stats is not None:
+        _stats["passes"] = passes
     return merges
 
 

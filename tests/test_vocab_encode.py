@@ -33,6 +33,61 @@ def test_train_learns_the_hot_pair_first(spark):
     assert len(merges) == 3
 
 
+def test_batched_merges_identical_when_disjoint(spark):
+    """batch_merges=B must return the SEQUENTIAL merge list and
+    encoding on a fixture whose hot pairs are symbol-disjoint (the
+    declared identity regime), at ~B× fewer counting passes."""
+    rows = [
+        # four symbol-disjoint hot pairs with strictly ordered counts;
+        # unique separators keep every NEWLY-CREATED pair (sep, a_b)
+        # at count 1 — below min_count, so batching cannot diverge
+        (0, "a b k1 a b k2 a b k3 a b k4 a b"),
+        (1, "c d m1 c d m2 c d m3 c d"),
+        (2, "e f n1 e f n2 e f"),
+        (3, "g h p1 g h"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    s_seq: dict = {}
+    s_bat: dict = {}
+    seq = train_bpe(docs, n_merges=4, _stats=s_seq)
+    bat = train_bpe(docs, n_merges=4, batch_merges=4, _stats=s_bat)
+    assert seq == bat == [("a", "b"), ("c", "d"), ("e", "f"), ("g", "h")]
+    assert s_seq["passes"] == 4 and s_bat["passes"] == 1
+    a = sorted((r["doc_id"], tuple(r["bpe_tokens"]))
+               for r in bpe_encode(docs, seq).collect())
+    b = sorted((r["doc_id"], tuple(r["bpe_tokens"]))
+               for r in bpe_encode(docs, bat).collect())
+    assert a == b
+
+
+def test_batched_merges_skip_interacting_candidates(spark):
+    """Within one batch, a candidate sharing a symbol with an accepted
+    merge must be DEFERRED to the next pass (merging it on the stale
+    count would be wrong), and the final merge list still equals the
+    sequential one here — the deferred pair's count is unaffected by
+    the winner on this fixture, just re-counted before acceptance."""
+    rows = [
+        (0, "a b a b a b a b"),   # (a,b): 4, (b,a): 3
+        (1, "b c b c b c"),       # (b,c): 3 — shares b with (a,b)
+        (2, "x y x y"),           # (x,y): 2
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    s: dict = {}
+    bat = train_bpe(docs, n_merges=3, batch_merges=3, _stats=s)
+    seq = train_bpe(docs, n_merges=3)
+    # pass 1's top-3 is (a,b):4, (b,a):3, (b,c):3 — only (a,b) accepted
+    # (the rest share b); pass 2's recount surfaces (a_b,a_b):3 — the
+    # NEW pair the merge created — plus the deferred (b,c):3, both
+    # accepted (disjoint); identical to the sequential order here
+    assert bat == seq == [("a", "b"), ("a_b", "a_b"), ("b", "c")]
+    assert s["passes"] == 2
+    # validation
+    import pytest
+
+    with pytest.raises(ValueError, match="batch_merges"):
+        train_bpe(docs, batch_merges=0)
+
+
 def test_encode_matches_chained_rewrite(spark):
     """bpe_encode (one Arrow pass, full rule list) must equal the
     trainer's own representation: apply_bpe_merge chained per rule."""
