@@ -326,41 +326,121 @@ def cohort_retention(
     )
 
 
-def funnel_summary_levels(per_user: DataFrame, n_steps: int) -> DataFrame:
+def funnel_latency(
+    per_user: DataFrame,
+    n_steps: int,
+    *,
+    quantiles: tuple = (0.5, 0.9),
+) -> DataFrame:
+    """Time-to-convert distributions from a :func:`funnel` result — the
+    third classic behavioral readout next to conversion and retention:
+    for each transition into step s (2..N), over the users who reached
+    s, the latency in seconds from the PREVIOUS step and from the
+    step-1 ANCHOR: count, mean, and the requested quantiles.
+
+    Implementation is one explode + one groupBy over the per-user
+    frame (rows = users, already aggregated — never the event log);
+    quantiles use ``percentile_approx`` (a mergeable sketch: partials
+    combine map-side, exact while per-group n is below the default
+    accuracy, the right trade at 10⁹ users).  All JVM-side.
+
+    Returns ``[step, n_users, mean_from_prev, mean_from_start,
+    p<q>_from_prev..., p<q>_from_start...]`` with seconds rounded to
+    3 dp, one row per step with at least one completing user."""
+    if n_steps < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("step"),
+                (
+                    F.unix_micros(F.col(f"ts_{s}"))
+                    - F.unix_micros(F.col(f"ts_{s - 1}"))
+                ).alias("__d_prev"),
+                (
+                    F.unix_micros(F.col(f"ts_{s}"))
+                    - F.unix_micros(F.col("ts_1"))
+                ).alias("__d_start"),
+            )
+            for s in range(2, n_steps + 1)
+        ]
+    )
+    r = F.col("__r")
+    exploded = (
+        per_user.select(F.explode(rows).alias("__r"))
+        .select(
+            r["step"].alias("step"),
+            (r["__d_prev"] / 1e6).alias("__p"),
+            (r["__d_start"] / 1e6).alias("__s"),
+        )
+        .where(F.col("__p").isNotNull())  # user stalled before this step
+    )
+    aggs = [
+        F.count("*").alias("n_users"),
+        F.round(F.avg("__p"), 3).alias("mean_from_prev"),
+        F.round(F.avg("__s"), 3).alias("mean_from_start"),
+    ]
+    for q in quantiles:
+        tag = str(q).replace("0.", "p")
+        aggs.append(
+            F.round(F.percentile_approx("__p", float(q)), 3).alias(
+                f"{tag}_from_prev"
+            )
+        )
+        aggs.append(
+            F.round(F.percentile_approx("__s", float(q)), 3).alias(
+                f"{tag}_from_start"
+            )
+        )
+    return exploded.groupBy("step").agg(*aggs)
+
+
+def funnel_summary_levels(
+    per_user: DataFrame, n_steps: int, *, by: list[str] | None = None
+) -> DataFrame:
     """The :func:`funnel_summary` dashboard table from a LEVEL-shaped
     result (:func:`funnel_sliding` / ``streaming.funnel_stream``
     output: one ``steps_completed`` per user instead of per-step
     timestamps): a user counts toward every step ≤ their level.  Same
-    output columns, one aggregation."""
-    agg = per_user.agg(
-        *[
-            F.coalesce(
-                F.sum((F.col("steps_completed") >= i).cast("long")), F.lit(0)
-            ).alias(f"__n_{i}")
-            for i in range(1, n_steps + 1)
-        ]
-    )
-    return _summary_from_counts(agg, n_steps)
+    output columns, one aggregation.  ``by`` segments as in
+    :func:`funnel_summary`."""
+    counts = [
+        F.coalesce(
+            F.sum((F.col("steps_completed") >= i).cast("long")), F.lit(0)
+        ).alias(f"__n_{i}")
+        for i in range(1, n_steps + 1)
+    ]
+    agg = per_user.groupBy(*by).agg(*counts) if by else per_user.agg(*counts)
+    return _summary_from_counts(agg, n_steps, by=by)
 
 
-def funnel_summary(per_user: DataFrame, n_steps: int) -> DataFrame:
+def funnel_summary(
+    per_user: DataFrame, n_steps: int, *, by: list[str] | None = None
+) -> DataFrame:
     """``[step, n_users, conversion_from_start, retention_from_prev]``
     from a :func:`funnel` result — the dashboard table (drop-off is
-    1 − retention_from_prev).  One aggregation."""
-    agg = per_user.agg(
-        *[
-            F.coalesce(
-                F.sum(F.col(f"ts_{i}").isNotNull().cast("long")), F.lit(0)
-            ).alias(f"__n_{i}")
-            for i in range(1, n_steps + 1)
-        ]
-    )
-    return _summary_from_counts(agg, n_steps)
+    1 − retention_from_prev).  One aggregation.
+
+    ``by`` segments the table: a list of columns already present on
+    ``per_user`` (join user attributes on beforehand — e.g. signup
+    channel, country) produces one conversion table PER SEGMENT with
+    the segment columns leading.  Still one groupBy — O(segments ·
+    steps) output, never per-user."""
+    counts = [
+        F.coalesce(
+            F.sum(F.col(f"ts_{i}").isNotNull().cast("long")), F.lit(0)
+        ).alias(f"__n_{i}")
+        for i in range(1, n_steps + 1)
+    ]
+    agg = per_user.groupBy(*by).agg(*counts) if by else per_user.agg(*counts)
+    return _summary_from_counts(agg, n_steps, by=by)
 
 
-def _summary_from_counts(agg: DataFrame, n_steps: int) -> DataFrame:
-    """Shared tail of the two summaries: a 1-row ``__n_i`` count frame
-    → the per-step conversion/retention table."""
+def _summary_from_counts(
+    agg: DataFrame, n_steps: int, *, by: list[str] | None = None
+) -> DataFrame:
+    """Shared tail of the two summaries: a (1- or per-segment-row)
+    ``__n_i`` count frame → the per-step conversion/retention table."""
     rows = F.array(
         *[
             F.struct(
@@ -373,7 +453,8 @@ def _summary_from_counts(agg: DataFrame, n_steps: int) -> DataFrame:
         ]
     )
     r = F.col("__r")
-    return agg.select(F.explode(rows).alias("__r")).select(
+    return agg.select(*(by or []), F.explode(rows).alias("__r")).select(
+        *(by or []),
         r["step"].alias("step"),
         r["n_users"].alias("n_users"),
         F.round(

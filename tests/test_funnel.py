@@ -410,6 +410,84 @@ def test_fixed_funnel_predicate_steps(spark):
     assert got == {1: (3, True), 2: (1, False)}
 
 
+def test_funnel_summary_segmented(spark, log):
+    """``by`` yields one conversion table per segment, each equal to
+    running the unsegmented summary on that segment's slice alone."""
+    from cosmap_spark.operators.funnel import (
+        funnel,
+        funnel_summary,
+        funnel_summary_levels,
+    )
+
+    per_user = funnel(log, ["A", "B", "C"]).withColumn(
+        "segment", (F.col("user_id") % 2 == 0).cast("string")
+    )
+    seg = {
+        (r["segment"], r["step"]): (
+            r["n_users"], r["conversion_from_start"], r["retention_from_prev"]
+        )
+        for r in funnel_summary(per_user, 3, by=["segment"]).collect()
+    }
+    for val in ("true", "false"):
+        solo = {
+            r["step"]: (
+                r["n_users"], r["conversion_from_start"],
+                r["retention_from_prev"],
+            )
+            for r in funnel_summary(
+                per_user.where(F.col("segment") == val), 3
+            ).collect()
+        }
+        assert {s: v for (g, s), v in seg.items() if g == val} == solo
+    # level-shaped variant segments the same way
+    lv = per_user.select("segment", "user_id", "steps_completed")
+    a = sorted(map(tuple, funnel_summary_levels(lv, 3, by=["segment"]).collect()))
+    b = sorted(map(tuple, funnel_summary(per_user, 3, by=["segment"]).collect()))
+    assert a == b
+
+
+def test_funnel_latency_matches_pandas_reference(spark, log):
+    """Latency distributions vs a pandas reference on the fixture (n
+    below percentile_approx's accuracy ⇒ the sketch is exact: it
+    returns an actual element at the target rank), plus structure:
+    stalled users never contribute, step rows with no completions are
+    absent, and from_start ≥ from_prev."""
+    import numpy as np
+
+    from cosmap_spark.operators.funnel import funnel, funnel_latency
+
+    per_user = funnel(log, ["A", "B", "C"], horizon="30 minutes")
+    got = {
+        r["step"]: r.asDict()
+        for r in funnel_latency(per_user, 3, quantiles=(0.5,)).collect()
+    }
+    pdf = per_user.toPandas()
+    for s in (2, 3):
+        sub = pdf[pdf[f"ts_{s}"].notna()]
+        d_prev = (
+            sub[f"ts_{s}"] - sub[f"ts_{s - 1}"]
+        ).dt.total_seconds().to_numpy()
+        d_start = (sub[f"ts_{s}"] - sub["ts_1"]).dt.total_seconds().to_numpy()
+        if not len(sub):
+            assert s not in got
+            continue
+        g = got[s]
+        assert g["n_users"] == len(sub)
+        assert g["mean_from_prev"] == pytest.approx(d_prev.mean(), abs=1e-3)
+        assert g["mean_from_start"] == pytest.approx(d_start.mean(), abs=1e-3)
+        # percentile_approx at small n returns a real element with rank
+        # ceil(p·n) (1-indexed) — mirror that exactly
+        def pa(a, p):
+            a = np.sort(a)
+            return a[max(int(np.ceil(p * len(a))) - 1, 0)]
+
+        assert g["p5_from_prev"] == pytest.approx(pa(d_prev, 0.5), abs=1e-3)
+        assert g["p5_from_start"] == pytest.approx(pa(d_start, 0.5), abs=1e-3)
+        assert g["mean_from_start"] >= g["mean_from_prev"]
+    with pytest.raises(ValueError):
+        funnel_latency(per_user, 1)
+
+
 def test_cohort_retention_month_boundary_property(spark):
     """Hypothesis over adversarial timestamps — month ends (Jan 31,
     Mar 31), leap-year Feb 29, first-of-month midnights: month-cohort
