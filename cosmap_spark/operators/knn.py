@@ -813,22 +813,36 @@ def semantic_contamination(
     Returns ``[corpus_id, bench_id, sim]`` — one row per contaminated
     (corpus, benchmark) pair above threshold; aggregate per corpus_id
     for a drop list."""
-    cents, assigned = prebuilt if prebuilt is not None else ivf_build(
-        corpus, nlist=nlist, iters=iters, id_col=id_col, vec_col=vec_col,
-        seed=seed,
-    )
     b0 = bench.select(
         F.col(id_col).alias("bench_id"), F.col(vec_col).alias("bvec")
     )
-    probes = F.slice(
-        F.reverse(F.array_sort(_scored_centroids(F.col("bvec"), cents))),
-        1,
-        nprobe,
-    )
-    b = b0.select(
-        "bench_id", "bvec",
-        F.explode(F.transform(probes, lambda s: -s["negcid"])).alias("cid"),
-    )
+    if nprobe >= nlist and prebuilt is None:
+        # full probe ≡ brute force: every (bench, corpus) pair gets
+        # verified regardless of list assignment, so the quantizer
+        # (seeding scan + Arrow assignment pass) buys nothing — skip
+        # it.  A CONSTANT join key keeps the broadcast-hash-join shape
+        # (bench side broadcasts, corpus stays map-side, never a
+        # nested-loop/cartesian node), producing the identical pair
+        # set the probed plan would.
+        assigned = corpus.select(
+            F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"),
+            F.lit(0).alias("cid"),
+        )
+        b = b0.select("bench_id", "bvec", F.lit(0).alias("cid"))
+    else:
+        cents, assigned = prebuilt if prebuilt is not None else ivf_build(
+            corpus, nlist=nlist, iters=iters, id_col=id_col, vec_col=vec_col,
+            seed=seed,
+        )
+        probes = F.slice(
+            F.reverse(F.array_sort(_scored_centroids(F.col("bvec"), cents))),
+            1,
+            nprobe,
+        )
+        b = b0.select(
+            "bench_id", "bvec",
+            F.explode(F.transform(probes, lambda s: -s["negcid"])).alias("cid"),
+        )
     sim = F.round(cosine_similarity(F.col("nvec"), F.col("bvec")), 6)
     return (
         assigned.join(F.broadcast(b), "cid")

@@ -748,6 +748,53 @@ def test_semantic_contamination_recall_vs_bruteforce(spark):
     assert all(bid < 60000 for _, bid in got)
 
 
+def test_semantic_contamination_full_probe_fast_path(spark):
+    """nprobe >= nlist skips the quantizer (full probe is brute force
+    by definition): result EXACTLY equals the probed plan's, the plan
+    builds with zero driver jobs and zero Python (no seeding scan, no
+    Arrow assignment), and the pruned path keeps its broadcast HASH
+    join on cid (the BNLJ is confined to the full-probe shape)."""
+    from cosmap_spark.operators.knn import ivf_build, semantic_contamination
+    from cosmap_spark.operators.report import plan_summary
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    bench = emb.where(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 50000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x.cast("double") * 1.001).cast("float")
+        ).alias("embedding"),
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    fast = semantic_contamination(
+        emb, bench, threshold=0.9, nlist=16, nprobe=16
+    )
+    assert tracker.getJobIdsForGroup(None) == before, (
+        "full-probe plan construction must not run the seeding scan"
+    )
+    s = plan_summary(fast)
+    assert s["python_evals"] == 0 and s["arrow_evals"] == 0
+    # equivalence vs the quantized full-probe plan (prebuilt forces it)
+    idx = ivf_build(emb, nlist=16, iters=0)
+    probed = semantic_contamination(
+        emb, bench, threshold=0.9, nlist=16, nprobe=16, prebuilt=idx
+    )
+    assert sorted(map(tuple, fast.collect())) == sorted(
+        map(tuple, probed.collect())
+    )
+    # pruned path: hash join on cid, never nested-loop
+    pruned = semantic_contamination(
+        emb, bench, threshold=0.9, nlist=16, nprobe=4, prebuilt=idx
+    )
+    plan = pruned._sc._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_kmeanspp_seeding_degenerate_small_corpus(spark):
     """kmeans|| must survive a corpus smaller than nlist (pad path) and
     an all-identical corpus (zero potential short-circuit), keeping the

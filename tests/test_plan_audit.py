@@ -58,6 +58,14 @@ BNLJ_ALLOWED = {
     # (guarantee threshold as a scalar) — scalar-subquery shape; the
     # verify join is a broadcast hash join (tests/test_sketch.py)
     "q_approx_sketches",
+    # semantic branch at gate-mandated FULL probe (nprobe = nlist):
+    # brute force by definition, so the quantizer is skipped and the
+    # constant-size bench set (30 planted rows) broadcasts against the
+    # corpus — Catalyst folds the constant join key to a BNLJ, which
+    # is the correct physical plan for this shape; the pruned-nprobe
+    # path real deployments run plans broadcast HASH joins on cid
+    # (tests/test_dedup_knn.py)
+    "q_decontam",
 }
 
 BANNED_EVERYWHERE = (
