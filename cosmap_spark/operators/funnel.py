@@ -349,17 +349,18 @@ def funnel_latency(
     3 dp, one row per step with at least one completing user."""
     if n_steps < 2:
         raise ValueError("a funnel needs at least 2 steps")
+    # timestampdiff, not unix_micros: it accepts BOTH TimestampType and
+    # TimestampNTZType (parquet events normalize to NTZ via load_table;
+    # unix_micros rejects NTZ outright)
     rows = F.array(
         *[
             F.struct(
                 F.lit(s).alias("step"),
-                (
-                    F.unix_micros(F.col(f"ts_{s}"))
-                    - F.unix_micros(F.col(f"ts_{s - 1}"))
+                F.expr(
+                    f"timestampdiff(MICROSECOND, ts_{s - 1}, ts_{s})"
                 ).alias("__d_prev"),
-                (
-                    F.unix_micros(F.col(f"ts_{s}"))
-                    - F.unix_micros(F.col("ts_1"))
+                F.expr(
+                    f"timestampdiff(MICROSECOND, ts_1, ts_{s})"
                 ).alias("__d_start"),
             )
             for s in range(2, n_steps + 1)

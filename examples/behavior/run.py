@@ -30,7 +30,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
 from pyspark.sql import functions as F
 
-from cosmap_spark.operators.funnel import funnel, funnel_sliding, funnel_summary
+from cosmap_spark.operators.funnel import (
+    cohort_retention,
+    funnel,
+    funnel_latency,
+    funnel_sliding,
+    funnel_summary,
+)
 from cosmap_spark.session import get_spark
 from cosmap_spark.streaming.ops import events_stream, funnel_stream
 from cosmap_spark.tables import load_table
@@ -49,6 +55,24 @@ def main() -> None:
     fixed = funnel(ev, STEPS, horizon=HORIZON)
     print("== fixed-anchor conversion table ==")
     funnel_summary(fixed, len(STEPS)).show(truncate=False)
+
+    print("== time-to-convert per transition (seconds) ==")
+    funnel_latency(fixed, len(STEPS)).orderBy("step").show(truncate=False)
+
+    print("== conversion by segment (user_id parity stands in for a "
+          "real attribute) ==")
+    seg = fixed.withColumn(
+        "segment",
+        F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd"),
+    )
+    funnel_summary(seg, len(STEPS), by=["segment"]).orderBy(
+        "segment", "step"
+    ).show(truncate=False)
+
+    print("== weekly cohort retention ==")
+    cohort_retention(ev, period="week", max_periods=4).orderBy(
+        "cohort", "period_n"
+    ).show(truncate=False)
 
     sliding = funnel_sliding(ev, STEPS, horizon=HORIZON)
     print("== sliding-anchor level distribution ==")

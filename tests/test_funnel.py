@@ -488,6 +488,20 @@ def test_funnel_latency_matches_pandas_reference(spark, log):
         funnel_latency(per_user, 1)
 
 
+def test_funnel_latency_real_events_ntz(spark):
+    """Regression: parquet events normalize to TIMESTAMP_NTZ via
+    load_table, which unix_micros REJECTS — the latency arithmetic
+    must run on both timestamp flavors (timestampdiff does)."""
+    from cosmap_spark.operators.funnel import funnel, funnel_latency
+    from cosmap_spark.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    per_user = funnel(ev, ["view", "click", "purchase"], horizon="2 days")
+    rows = funnel_latency(per_user, 3).collect()
+    assert rows and all(r["mean_from_prev"] > 0 for r in rows)
+    assert all(r["mean_from_start"] >= r["mean_from_prev"] for r in rows)
+
+
 def test_cohort_retention_month_boundary_property(spark):
     """Hypothesis over adversarial timestamps — month ends (Jan 31,
     Mar 31), leap-year Feb 29, first-of-month midnights: month-cohort
