@@ -111,3 +111,56 @@ def test_semantic_contamination_empty_bench(spark):
     out = semantic_contamination(emb, emb.where(F.lit(False)), nlist=4)
     assert out.columns == ["corpus_id", "bench_id", "sim"]
     assert out.count() == 0
+
+
+def test_funnel_family_empty_events(spark):
+    """Empty events through the whole behavioral family: per-user
+    funnels, latency, summaries (0-count rows with 0.0 rates — the
+    coalesced-SUM contract), and cohort retention all return
+    well-defined frames, never raise."""
+    from cosmap_spark.operators.funnel import (
+        cohort_retention,
+        funnel,
+        funnel_latency,
+        funnel_summary,
+        funnel_summary_levels,
+    )
+
+    ev = spark.createDataFrame(
+        [], "user_id long, event_type string, ts timestamp"
+    )
+    per_user = funnel(ev, ["A", "B"])
+    assert per_user.count() == 0
+    assert funnel_latency(per_user, 2).count() == 0
+    s = funnel_summary(per_user, 2).collect()
+    assert [(r["step"], r["n_users"], r["conversion_from_start"])
+            for r in sorted(s, key=lambda r: r["step"])] == [
+        (1, 0, 0.0), (2, 0, 0.0)]
+    # segmented summary over an empty frame has no segments at all
+    seg = per_user.withColumn("g", F.lit("x"))
+    assert funnel_summary(seg, 2, by=["g"]).count() == 0
+    lv = spark.createDataFrame([], "user_id long, steps_completed long")
+    assert funnel_summary_levels(lv, 2).count() == 2  # 0-count rows
+    assert cohort_retention(ev).count() == 0
+
+
+def test_dedup_clusters_twophase_single_and_self_edges(spark):
+    from cosmap_spark.operators.dedup import dedup_clusters
+
+    # only self-pairs: no real edges, empty assignment
+    selfs = spark.createDataFrame([(3, 3), (7, 7)], "id_a long, id_b long")
+    assert dedup_clusters(selfs, method="twophase").count() == 0
+    # one real pair converges in one round
+    one = spark.createDataFrame([(9, 4)], "id_a long, id_b long")
+    out = {r["id"]: r["cluster_id"]
+           for r in dedup_clusters(one, method="twophase").collect()}
+    assert out == {4: 4, 9: 4}
+
+
+def test_train_bpe_batched_empty_corpus(spark):
+    from cosmap_spark.operators.vocab import train_bpe
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    s: dict = {}
+    assert train_bpe(empty, n_merges=4, batch_merges=4, _stats=s) == []
+    assert s["passes"] == 1
