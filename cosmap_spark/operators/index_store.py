@@ -167,3 +167,44 @@ def ivf_append(
     return cents, assigned.select("nid", "nvec", "cid").unionByName(
         fresh.select("nid", "nvec", "cid")
     )
+
+
+def pq_append(
+    index,
+    codebooks,
+    coded: DataFrame,
+    new_vectors: DataFrame,
+    *,
+    residual: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """:func:`ivf_append`'s counterpart for a PQ-coded corpus: assign
+    the new batch to the FROZEN centroids, encode it with the FROZEN
+    codebooks (residuals first when the index uses the residual
+    layout — pass the manifest's flag), and union into the coded
+    table.  One Arrow assignment + one Arrow encode over the NEW rows
+    only; history is never re-read or re-encoded, so the incremental
+    cost is O(batch), the same maintenance contract as
+    ``ivf_append``.  Returns ``((centroids, assigned), coded)`` both
+    updated; codes are bit-identical to a from-scratch encode under
+    the same artifacts (frozen quantizers are deterministic — pinned
+    in tests/test_index_store.py)."""
+    from cosmap_spark.operators.knn import ivf_assign
+    from cosmap_spark.operators.pq import ivf_residuals, pq_encode
+
+    cents, assigned = index
+    fresh = ivf_assign(new_vectors, cents, id_col=id_col, vec_col=vec_col)
+    if residual:
+        src, src_vec = ivf_residuals(fresh, cents), "rvec"
+    else:
+        src, src_vec = fresh, "nvec"
+    fresh_coded = pq_encode(
+        src, codebooks, id_col="nid", vec_col=src_vec, keep=["cid"]
+    )
+    appended = assigned.select("nid", "nvec", "cid").unionByName(
+        fresh.select("nid", "nvec", "cid")
+    )
+    return (cents, appended), coded.select("nid", "codes", "cid").unionByName(
+        fresh_coded.select("nid", "codes", "cid")
+    )

@@ -101,6 +101,61 @@ def test_residual_flag_round_trips_and_serves(spark, tmp_path):
     assert "residual" not in load_ann_index(spark, p2)
 
 
+def test_pq_append_matches_full_encode(spark, tmp_path):
+    """Appending a batch to a coded corpus (frozen centroids AND
+    codebooks) must produce code-identical rows to encoding the full
+    corpus from scratch with the same artifacts — in both layouts —
+    and serving from the appended index equals serving from the
+    rebuilt one."""
+    from cosmap_spark.operators.index_store import pq_append
+    from cosmap_spark.operators.knn import ivf_assign
+    from cosmap_spark.operators.pq import ivf_residuals, knn_ivfpq
+
+    emb = load_table(spark, SF, "embeddings")
+    old = emb.where(F.col("vec_id") % 4 != 0)
+    new = emb.where(F.col("vec_id") % 4 == 0)
+    for residual in (False, True):
+        cents, assigned = ivf_build(old, nlist=8, iters=1)
+        assigned = assigned.localCheckpoint(eager=True)
+        if residual:
+            src, vec = ivf_residuals(assigned, cents), "rvec"
+        else:
+            src, vec = assigned, "nvec"
+        books = pq_train(src, m=8, ksub=16, iters=1, id_col="nid", vec_col=vec)
+        coded = pq_encode(src, books, id_col="nid", vec_col=vec, keep=["cid"])
+        idx2, coded2 = pq_append(
+            (cents, assigned), books, coded, new, residual=residual
+        )
+        # from-scratch: assign + encode the FULL corpus with the same
+        # frozen artifacts
+        full = ivf_assign(emb, cents)
+        fsrc, fvec = (
+            (ivf_residuals(full, cents), "rvec") if residual else (full, "nvec")
+        )
+        want = sorted(
+            (r["nid"], r["cid"], tuple(r["codes"]))
+            for r in pq_encode(
+                fsrc, books, id_col="nid", vec_col=fvec, keep=["cid"]
+            ).collect()
+        )
+        got = sorted(
+            (r["nid"], r["cid"], tuple(r["codes"])) for r in coded2.collect()
+        )
+        assert got == want, f"residual={residual}"
+        # serve equivalence
+        queries = emb.where(F.col("vec_id") < 5)
+        a = sorted(map(tuple, knn_ivfpq(
+            emb, queries, k=5, nlist=8, nprobe=6, m=8, ksub=16,
+            prebuilt=idx2, codebooks=books, coded=coded2, residual=residual,
+        ).collect()))
+        b = sorted(map(tuple, knn_ivfpq(
+            emb, queries, k=5, nlist=8, nprobe=6, m=8, ksub=16,
+            prebuilt=(cents, full.localCheckpoint(eager=True)),
+            codebooks=books, residual=residual,
+        ).collect()))
+        assert a == b, f"residual={residual}"
+
+
 def test_partial_save_round_trips(spark, tmp_path):
     emb = load_table(spark, SF, "embeddings")
     p = str(tmp_path / "lsh_only")
