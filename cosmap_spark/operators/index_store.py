@@ -76,7 +76,13 @@ def save_ann_index(
         manifest["m"] = len(codebooks)
         manifest["ksub"] = len(codebooks[0])
     if coded is not None:
-        coded.write.mode("overwrite").parquet(os.path.join(path, "pq_coded"))
+        # partitionBy(cid): the inverted lists become DIRECTORIES, so a
+        # probe-pruned serve (knn_ivfpq(prune_scan=True)) skips whole
+        # lists at the file-listing level — the on-disk layout the
+        # SCALE.md §Similarity search story promises
+        coded.write.mode("overwrite").partitionBy("cid").parquet(
+            os.path.join(path, "pq_coded")
+        )
         manifest["components"].append("coded")
     if lsh_index is not None:
         lsh_index.write.mode("overwrite").parquet(
@@ -138,7 +144,10 @@ def load_ann_index(spark: SparkSession, path: str) -> dict:
             books[r["s"]][r["code"]] = list(r["vals"])
         out["codebooks"] = books
     if "coded" in manifest["components"]:
-        out["coded"] = spark.read.parquet(os.path.join(path, "pq_coded"))
+        coded = spark.read.parquet(os.path.join(path, "pq_coded"))
+        # the discovered partition column comes back as INT; the
+        # in-memory contract (and pq_append's unionByName) is LONG
+        out["coded"] = coded.withColumn("cid", F.col("cid").cast("long"))
     if "lsh" in manifest["components"]:
         out["lsh_index"] = spark.read.parquet(
             os.path.join(path, "lsh_buckets")

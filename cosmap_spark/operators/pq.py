@@ -507,6 +507,7 @@ def knn_ivfpq(
     coded: DataFrame | None = None,
     distributed_lut: bool = False,
     residual: bool = False,
+    prune_scan: bool = False,
 ) -> DataFrame:
     """IVF coarse quantizer + PQ codes + ADC re-rank — the standard
     billion-scale ANN layout as a composition of this engine's parts:
@@ -564,7 +565,22 @@ def knn_ivfpq(
     rule).  ``codebooks``/``coded`` passed in must have been built
     under the SAME ``residual`` flag (codes are meaningless across
     layouts; not mechanically checkable — the persistence layer
-    stores the flag)."""
+    stores the flag).
+
+    ``prune_scan=True`` (closure path only) collects the tiny probe
+    table (|Q|·nprobe (qid, cid) rows — ONE extra driver job, the
+    query set is driver-resident on this path anyway) and pushes the
+    probed cid set into the coded scan as a LITERAL ``isin`` filter:
+    on a ``partitionBy("cid")`` store (``save_ann_index``'s layout)
+    that becomes a static PartitionFilter — unprobed inverted lists
+    are skipped at the file-listing level, the on-disk pruning the
+    IVF layout exists for (asserted on the physical plan in
+    tests/test_index_store.py).  Spark's dynamic partition pruning
+    does not fire for a filterless broadcast probe table, so the
+    pruning is done statically; the distributed-LUT path (queries not
+    driver-resident) relies on min/max row-group skipping instead.
+    Correct by construction even if the filter were a superset: list
+    membership is re-checked by the equi-join."""
     from cosmap_spark.operators.knn import (
         _centroid_array,
         _scored_centroids,
@@ -662,6 +678,11 @@ def knn_ivfpq(
         )
 
     qrows = queries.select(id_col, vec_col).collect()
+    if prune_scan:
+        probed = sorted(
+            {r["cid"] for r in q.select("cid").distinct().collect()}
+        )
+        coded = coded.where(F.col("cid").isin(probed))
     if residual:
         qids, cidpos, luts = _adc_luts_by_list(qrows, books, cents)
         nl = len(cents)

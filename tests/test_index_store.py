@@ -156,6 +156,48 @@ def test_pq_append_matches_full_encode(spark, tmp_path):
         assert a == b, f"residual={residual}"
 
 
+def test_prune_scan_partition_filters_on_persisted_store(spark, tmp_path):
+    """The 100 TB serve story made mechanical: save_ann_index writes
+    the coded corpus partitionBy("cid"); knn_ivfpq(prune_scan=True)
+    pushes the probed cid set into the scan as a STATIC
+    PartitionFilter, so unprobed inverted lists are skipped at the
+    file-listing level.  Results must be identical with and without
+    pruning (membership is re-checked by the join)."""
+    from cosmap_spark.operators.pq import knn_ivfpq
+
+    emb = load_table(spark, SF, "embeddings")
+    cents, assigned = ivf_build(emb, nlist=8, iters=1)
+    assigned = assigned.localCheckpoint(eager=True)
+    books = pq_train(emb, m=8, ksub=16, iters=1)
+    coded = pq_encode(assigned, books, id_col="nid", vec_col="nvec",
+                      keep=["cid"])
+    p = str(tmp_path / "pruned_index")
+    save_ann_index(p, index=(cents, assigned), codebooks=books, coded=coded)
+    loaded = load_ann_index(spark, p)
+    queries = emb.where(F.col("vec_id") < 4)
+
+    pruned = knn_ivfpq(
+        emb, queries, k=5, nlist=8, nprobe=2, m=8, ksub=16,
+        prebuilt=loaded["index"], codebooks=loaded["codebooks"],
+        coded=loaded["coded"], prune_scan=True,
+    )
+    plain = knn_ivfpq(
+        emb, queries, k=5, nlist=8, nprobe=2, m=8, ksub=16,
+        prebuilt=loaded["index"], codebooks=loaded["codebooks"],
+        coded=loaded["coded"],
+    )
+    assert sorted(map(tuple, pruned.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    plan = pruned._sc._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted"
+    )
+    # the probed-cid literal must land in the scan's PartitionFilters
+    # (file-level pruning), not just a post-scan Filter
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any(("cid" in ln and " in " in ln.lower()) for ln in pf), pf
+
+
 def test_partial_save_round_trips(spark, tmp_path):
     emb = load_table(spark, SF, "embeddings")
     p = str(tmp_path / "lsh_only")
