@@ -679,20 +679,31 @@ def vector_ingest_stream(vec_stream: DataFrame, index_path: str,
     Centroids never move here — periodic retrain (ivf_build on the
     accumulated corpus) handles drift; that is the standard
     serve-while-ingesting split.  ``load_appended_index`` reassembles
-    ``(centroids, assigned)`` for `knn_ann_union`/`knn_ivf`."""
+    ``(centroids, assigned)`` for `knn_ann_union`/`knn_ivf`.
+
+    When the persisted index carries PQ artifacts (codebooks in the
+    manifest), each batch is ALSO encoded with the frozen codebooks —
+    residuals first if the manifest records the residual layout — and
+    written to epoch-keyed ``pq_coded_appends``, keeping the coded
+    corpus serveable while ingesting (``load_appended_coded`` folds
+    them in; the streaming twin of ``index_store.pq_append``)."""
     from pyspark.sql import SparkSession as _SS
 
     from cosmap_spark.operators.index_store import load_ann_index
     from cosmap_spark.operators.knn import ivf_assign
+    from cosmap_spark.operators.pq import ivf_residuals, pq_encode
 
-    # centroids are FROZEN by contract: load them ONCE at stream start
-    # and close over them — a per-batch reload would pay a manifest +
-    # collect per epoch and, worse, silently mix OLD-centroid epochs
-    # with NEW ones if a retrain rewrites the index mid-stream
-    # (review finding)
-    cents, _ = load_ann_index(
+    # centroids/codebooks are FROZEN by contract: load them ONCE at
+    # stream start and close over them — a per-batch reload would pay
+    # a manifest + collect per epoch and, worse, silently mix
+    # OLD-artifact epochs with NEW ones if a retrain rewrites the
+    # index mid-stream (review finding)
+    loaded = load_ann_index(
         _SS.getActiveSession() or vec_stream.sparkSession, index_path
-    )["index"]
+    )
+    cents, _ = loaded["index"]
+    books = loaded.get("codebooks")
+    residual = bool(loaded.get("residual"))
 
     def run(batch_df: DataFrame, epoch_id: int) -> None:
         fresh = ivf_assign(
@@ -701,6 +712,16 @@ def vector_ingest_stream(vec_stream: DataFrame, index_path: str,
         fresh.select("nid", "nvec", "cid").write.mode("overwrite").parquet(
             f"{index_path}/ivf_appends/epoch={epoch_id}"
         )
+        if books is not None:
+            src, vec = (
+                (ivf_residuals(fresh, cents), "rvec") if residual
+                else (fresh, "nvec")
+            )
+            pq_encode(
+                src, books, id_col="nid", vec_col=vec, keep=["cid"]
+            ).select("nid", "codes", "cid").write.mode("overwrite").parquet(
+                f"{index_path}/pq_coded_appends/epoch={epoch_id}"
+            )
 
     return (
         vec_stream.writeStream.foreachBatch(run)
@@ -726,3 +747,24 @@ def load_appended_index(spark: SparkSession, index_path: str):
         )
         assigned = assigned.select("nid", "nvec", "cid").unionByName(appends)
     return cents, assigned
+
+
+def load_appended_coded(spark: SparkSession, index_path: str):
+    """The PQ-coded corpus with streaming ``pq_coded_appends`` folded
+    in — pass as ``knn_ivfpq(coded=...)`` alongside
+    :func:`load_appended_index`'s result (and the manifest's
+    ``residual`` flag).  ``None`` when the index has no coded
+    component."""
+    import os
+
+    from cosmap_spark.operators.index_store import load_ann_index
+
+    coded = load_ann_index(spark, index_path).get("coded")
+    if coded is None:
+        return None
+    appends_dir = f"{index_path}/pq_coded_appends"
+    if os.path.exists(appends_dir):
+        coded = coded.select("nid", "codes", "cid").unionByName(
+            spark.read.parquet(appends_dir).select("nid", "codes", "cid")
+        )
+    return coded

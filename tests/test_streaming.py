@@ -651,6 +651,86 @@ def test_vector_ingest_stream_matches_batch_index(spark, tmp_path):
     assert sorted(map(tuple, serve_stream)) == sorted(map(tuple, serve_batch))
 
 
+def test_vector_ingest_maintains_pq_coded(spark, tmp_path):
+    """When the persisted index carries PQ artifacts, the ingest
+    stream must ALSO encode each batch with the frozen codebooks
+    (residual layout honored from the manifest): the folded coded
+    table equals batch pq_append over the same rows, and ivfpq serve
+    from the streamed index equals the batch-appended one."""
+    from cosmap_spark.operators.index_store import (
+        pq_append,
+        save_ann_index,
+    )
+    from cosmap_spark.operators.knn import ivf_build
+    from cosmap_spark.operators.pq import (
+        ivf_residuals,
+        knn_ivfpq,
+        pq_encode,
+        pq_train,
+    )
+    from cosmap_spark.streaming.ops import (
+        load_appended_coded,
+        load_appended_index,
+        vector_ingest_stream,
+    )
+    from cosmap_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    old = emb.where(F.col("vec_id") % 4 != 0)
+    new = emb.where(F.col("vec_id") % 4 == 0)
+    cents, assigned = ivf_build(old, nlist=8, iters=1)
+    assigned = assigned.localCheckpoint(eager=True)
+    res = ivf_residuals(assigned, cents)
+    books = pq_train(res, m=8, ksub=16, iters=1, id_col="nid", vec_col="rvec")
+    coded = pq_encode(
+        res, books, id_col="nid", vec_col="rvec", keep=["cid"]
+    ).localCheckpoint(eager=True)
+    p = str(tmp_path / "pq_vindex")
+    save_ann_index(
+        p, index=(cents, assigned), codebooks=books, coded=coded,
+        residual=True,
+    )
+
+    land = tmp_path / "pq_vec_landing"
+    new.where(F.col("vec_id") % 8 == 0).coalesce(1).write.parquet(
+        str(land), mode="append"
+    )
+    new.where(F.col("vec_id") % 8 == 4).coalesce(1).write.parquet(
+        str(land), mode="append"
+    )
+    q = vector_ingest_stream(
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1).parquet(str(land)),
+        p, str(tmp_path / "pq_vckpt"),
+    )
+    q.awaitTermination(180)
+
+    idx2, coded2 = pq_append(
+        (cents, assigned), books, coded, new, residual=True
+    )
+    got = sorted(
+        (r["nid"], r["cid"], tuple(r["codes"]))
+        for r in load_appended_coded(spark, p).collect()
+    )
+    want = sorted(
+        (r["nid"], r["cid"], tuple(r["codes"])) for r in coded2.collect()
+    )
+    assert got == want and len(got) == emb.count()
+
+    queries = emb.where(F.col("vec_id") < 5)
+    streamed_idx = load_appended_index(spark, p)
+    a = sorted(map(tuple, knn_ivfpq(
+        emb, queries, k=5, nlist=8, nprobe=4, m=8, ksub=16,
+        prebuilt=streamed_idx, codebooks=books,
+        coded=load_appended_coded(spark, p), residual=True,
+    ).collect()))
+    b = sorted(map(tuple, knn_ivfpq(
+        emb, queries, k=5, nlist=8, nprobe=4, m=8, ksub=16,
+        prebuilt=idx2, codebooks=books, coded=coded2, residual=True,
+    ).collect()))
+    assert a == b
+
+
 def test_funnel_stream_matches_batch_sliding(spark, stream_dir, tmp_path):
     """One availableNow pass over the real events must emit exactly the
     batch funnel_sliding result (same steps/horizon) for every user."""
