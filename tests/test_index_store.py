@@ -195,7 +195,10 @@ def test_prune_scan_partition_filters_on_persisted_store(spark, tmp_path):
     # the probed-cid literal must land in the scan's PartitionFilters
     # (file-level pruning), not just a post-scan Filter
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
-    assert pf and any(("cid" in ln and " in " in ln.lower()) for ln in pf), pf
+    assert pf and any(
+        "cid" in ln and ("inset" in ln.lower() or " in " in ln.lower())
+        for ln in pf
+    ), pf
 
 
 def test_partial_save_round_trips(spark, tmp_path):
