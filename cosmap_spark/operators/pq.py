@@ -628,6 +628,15 @@ def knn_ivfpq(
     )
     books = _as_array(codebooks)
     n_short = max(k, rerank or 0)
+    if prune_scan and distributed_lut:
+        # the probe table is NOT driver-resident on this path, so the
+        # static filter cannot be built — refuse rather than silently
+        # skip the pruning the caller asked for (rely on parquet
+        # min/max row-group skipping instead)
+        raise ValueError(
+            "prune_scan requires the closure path (distributed_lut=False): "
+            "the probed cid set is only driver-resident there"
+        )
     if distributed_lut:
         # queries never leave the cluster: each probe row computes its
         # LUT in-plan, then ONE cid join meets the coded corpus (AQE
