@@ -884,3 +884,47 @@ def semantic_dedup_balance(
         seed=seed, seeding=seeding,
     )
     return skew_report(assigned, ["cid"], top_n=top_n)
+
+
+def cluster_balanced_sample(
+    corpus: DataFrame,
+    *,
+    k_per_cluster: int,
+    nlist: int = 16,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 29,
+    sample_seed: int = 97,
+    seeding: str = "hash",
+    prebuilt: tuple[list[tuple[int, list[float]]], DataFrame] | None = None,
+) -> DataFrame:
+    """Cluster-balanced corpus selection: k-means coarse clusters over
+    the embedding column, then EXACTLY ``k_per_cluster`` uniform-
+    deterministic documents from each cluster — the topic-quota
+    recipe (cluster-then-sample, the selection step run alongside
+    SemDeDup in curation pipelines): a per-cluster quota stops
+    majority topics from dominating the curated subset, and sampling
+    AFTER clustering keeps rare-topic clusters represented at full
+    quota.
+
+    Pure composition of audited parts: ``ivf_build``/``ivf_assign``
+    (map-side Arrow assignment; ``prebuilt`` reuses a persisted
+    quantizer) + ``sampler.exact_k_per_group`` on ``cid`` (hash-ranked
+    window per cluster — Spark's rank-limit pushdown caps rows per map
+    partition before the exchange, so the shuffle carries
+    O(partitions · nlist · k), never the corpus).  Deterministic,
+    partition-layout independent, seed-swappable.
+
+    Returns ``(nid, nvec, cid)`` rows — min(k_per_cluster, |cluster|)
+    per cluster."""
+    from cosmap_spark.operators.sampler import exact_k_per_group
+
+    _, assigned = prebuilt if prebuilt is not None else ivf_build(
+        corpus, nlist=nlist, iters=iters, id_col=id_col, vec_col=vec_col,
+        seed=seed, seeding=seeding,
+    )
+    return exact_k_per_group(
+        assigned, k=k_per_cluster, group_cols=["cid"], key_cols=["nid"],
+        seed=sample_seed,
+    )

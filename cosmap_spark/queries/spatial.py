@@ -264,6 +264,15 @@ def q_samplers(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.col("lang") != "en").select("doc_id", "text"),
         k=50, buckets=2048,
     )
+    # cluster-balanced selection (round 5): k-means clusters over the
+    # embedding table + an exact per-cluster quota — the topic-balance
+    # recipe; quotas/determinism pinned in tests/test_dedup_knn.py
+    from cosmap_spark.operators.knn import cluster_balanced_sample
+
+    balanced = cluster_balanced_sample(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        k_per_cluster=10, nlist=8,
+    )
     return (
         _region_summary(sphere, "sphere")
         .unionByName(_region_summary(box, "box"))
@@ -273,6 +282,7 @@ def q_samplers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(table_summary(budget, "token_budget"))
         .unionByName(table_summary(fold0, "kfold_fold0"))
         .unionByName(table_summary(dsir, "dsir_importance"))
+        .unionByName(table_summary(balanced, "cluster_balanced"))
     )
 
 

@@ -795,6 +795,39 @@ def test_semantic_contamination_full_probe_fast_path(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_cluster_balanced_sample_quotas_and_determinism(spark):
+    """Cluster-balanced selection: ≤ k rows per cluster (exactly k
+    where the cluster is big enough), deterministic and partition-
+    layout independent, quantizer reusable via prebuilt, and the
+    selection is a subset of the assignment it claims to come from."""
+    from cosmap_spark.operators.knn import cluster_balanced_sample, ivf_build
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    idx = ivf_build(emb, nlist=8, iters=1)
+    sizes = {r["cid"]: r["n"] for r in idx[1].groupBy("cid")
+             .agg(F.count("*").alias("n")).collect()}
+    out = cluster_balanced_sample(emb, k_per_cluster=5, prebuilt=idx)
+    rows = out.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["cid"], set()).add(r["nid"])
+    assert set(per) == set(sizes)
+    for cid, got in per.items():
+        assert len(got) == min(5, sizes[cid]), cid
+    # deterministic across partitionings and repeated runs
+    again = cluster_balanced_sample(
+        emb.repartition(13), k_per_cluster=5, prebuilt=idx
+    )
+    assert sorted((r["cid"], r["nid"]) for r in rows) == sorted(
+        (r["cid"], r["nid"]) for r in again.collect()
+    )
+    # subset of the assignment
+    assigned_ids = {(r["cid"], r["nid"]) for r in idx[1].collect()}
+    assert all((r["cid"], r["nid"]) in assigned_ids for r in rows)
+
+
 def test_kmeanspp_seeding_degenerate_small_corpus(spark):
     """kmeans|| must survive a corpus smaller than nlist (pad path) and
     an all-identical corpus (zero potential short-circuit), keeping the
