@@ -22,7 +22,7 @@ conversion table dashboards want.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -323,6 +323,52 @@ def cohort_retention(
                 F.col("n_active") / F.col("__cohort_size"), 6
             ).alias("retention"),
         )
+    )
+
+
+def event_transitions(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-user next-event transition matrix — the flow-analysis
+    readout next to funnels and cohorts (what a sankey/path-analysis
+    dashboard draws): for every ordered pair of consecutive events of
+    one user, count (from_type → to_type) and the row-normalized
+    transition probability P(next = to | current = from).
+
+    ``tie_cols`` break same-timestamp ordering deterministically
+    (default ``["event_id"]`` when present — REQUIRED for a stable
+    cross-engine answer; without a total order, equal-ts neighbors
+    would pair up partition-dependently).
+
+    Scale shape: one user-keyed window (lead over (ts, ties)) + one
+    (from, to) groupBy + one from-keyed window for the normalizer —
+    output O(|types|²), never per-user.  Returns ``[from_type,
+    to_type, n, p]`` with ``p`` rounded to 6 dp."""
+    if tie_cols is None:
+        tie_cols = ["event_id"] if "event_id" in events.columns else []
+    ev = events.where(
+        F.col(ts_col).isNotNull() & F.col(user_col).isNotNull()
+        & F.col(type_col).isNotNull()
+    )
+    w = Window.partitionBy(user_col).orderBy(ts_col, *tie_cols)
+    pairs = (
+        ev.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    w_from = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type", "to_type", "n",
+        F.round(F.col("n") / F.sum("n").over(w_from), 6).alias("p"),
     )
 
 

@@ -137,6 +137,23 @@ _STREAM_WINDOWS_ORACLE = """
            CAST(a.pn AS VARCHAR), a.n_active,
            round(CAST(a.n_active AS DOUBLE) / s.sz, 6)
     FROM cagg a JOIN csizes s USING (cohort)
+    UNION ALL
+    SELECT 'trans', NULL, from_type || '>' || to_type, n,
+           round(CAST(n AS DOUBLE)
+                 / (sum(n) OVER (PARTITION BY from_type)), 6)
+    FROM (
+      SELECT from_type, to_type, count(*) AS n
+      FROM (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+               ) AS to_type
+        FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL
+          AND event_type IS NOT NULL
+      ) t WHERE to_type IS NOT NULL
+      GROUP BY 1, 2
+    ) tr
 """
 
 
@@ -168,9 +185,13 @@ def q_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
       anchor reaching it.  The oracle replays the greedy-earliest
       chain per anchor (exact: earliest-feasible maximizes slack);
     * ``cohort`` — cohort_retention, weekly cohorts, 8 periods:
-      (cohort epoch, period_n, n_active, retention)."""
+      (cohort epoch, period_n, n_active, retention);
+    * ``trans`` — event_transitions: the per-user next-event Markov
+      matrix (flow analysis), key = "from>to", n = pair count,
+      total = row-normalized transition probability."""
     from cosmap_spark.operators.funnel import (
         cohort_retention,
+        event_transitions,
         funnel,
         funnel_sliding,
         funnel_summary,
@@ -233,10 +254,14 @@ def q_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp("cohort"), F.col("period_n"),
         F.col("n_active"), F.col("retention"),
     )
+    trans = shape(
+        event_transitions(ev), "trans", None,
+        F.concat_ws(">", "from_type", "to_type"), F.col("n"), F.col("p"),
+    )
     return (
         tumble.unionByName(slide).unionByName(late)
         .unionByName(funnel_rows).unionByName(fsum)
-        .unionByName(wf).unionByName(coh)
+        .unionByName(wf).unionByName(coh).unionByName(trans)
     )
 
 

@@ -446,6 +446,60 @@ def test_funnel_summary_segmented(spark, log):
     assert a == b
 
 
+def test_event_transitions_matches_reference_and_ties(spark):
+    """Next-event transition matrix vs a pure-python reference,
+    including same-timestamp neighbors (tie_cols break the order
+    deterministically) and row-normalized probabilities."""
+    from cosmap_spark.operators.funnel import event_transitions
+
+    rows = [
+        (1, 1, "A", _ts(0)), (2, 1, "B", _ts(5)), (3, 1, "C", _ts(5)),
+        (4, 1, "A", _ts(9)),
+        (5, 2, "A", _ts(0)), (6, 2, "A", _ts(1)),
+        (7, 3, "B", _ts(0)),              # single event: no pair
+        (8, None, "A", _ts(0)),           # null user dropped
+        (9, 4, "A", None),                # null ts dropped
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    got = {
+        (r["from_type"], r["to_type"]): (r["n"], r["p"])
+        for r in event_transitions(df).collect()
+    }
+    # reference: per user sort by (ts, event_id), pair consecutive
+    import collections
+
+    seqs = collections.defaultdict(list)
+    for eid, u, t, ts in rows:
+        if u is None or ts is None:
+            continue
+        seqs[u].append((ts, eid, t))
+    counts = collections.Counter()
+    for u, evs in seqs.items():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            counts[(a, b)] += 1
+    totals = collections.Counter()
+    for (a, _), n in counts.items():
+        totals[a] += n
+    want = {k: (n, round(n / totals[k[0]], 6)) for k, n in counts.items()}
+    assert got == want
+    # the tie at _ts(5): B before C because event_id 2 < 3
+    assert ("B", "C") in got and ("C", "A") in got
+    # probabilities row-normalize to 1
+    by_from = collections.defaultdict(float)
+    for (a, _), (_, p) in got.items():
+        by_from[a] += p
+    assert all(abs(v - 1.0) < 1e-6 for v in by_from.values())
+    # partition independence
+    again = {
+        (r["from_type"], r["to_type"]): (r["n"], r["p"])
+        for r in event_transitions(df.repartition(7)).collect()
+    }
+    assert again == got
+
+
 def test_funnel_latency_matches_pandas_reference(spark, log):
     """Latency distributions vs a pandas reference on the fixture (n
     below percentile_approx's accuracy ⇒ the sketch is exact: it
