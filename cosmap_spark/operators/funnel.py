@@ -372,6 +372,51 @@ def event_transitions(
     )
 
 
+def event_paths(
+    events: DataFrame,
+    *,
+    k: int = 3,
+    top_n: int | None = 20,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """Top ``k``-step event paths — the path-analysis complement of
+    :func:`event_transitions` (which sees only pairs): every run of
+    ``k`` consecutive events of one user becomes a path string
+    ``"A>B>C"``, counted corpus-wide.
+
+    Implemented as ``k−1`` chained ``lead`` columns over ONE user-keyed
+    window (one sort serves all of them) — never a per-user event-log
+    collect; ``top_n`` cuts via orderBy+limit (TakeOrderedAndProject,
+    no global sort), ties broken on the path string.  Returns
+    ``[path, n]``."""
+    if k < 2:
+        raise ValueError("a path needs at least 2 steps")
+    if tie_cols is None:
+        tie_cols = ["event_id"] if "event_id" in events.columns else []
+    ev = events.where(
+        F.col(ts_col).isNotNull() & F.col(user_col).isNotNull()
+        & F.col(type_col).isNotNull()
+    )
+    w = Window.partitionBy(user_col).orderBy(ts_col, *tie_cols)
+    steps = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w) for i in range(1, k)
+    ]
+    paths = (
+        ev.select(F.concat_ws(">", *steps).alias("path"), steps[-1].alias("__last"))
+        # a run shorter than k has a NULL tail: concat_ws silently
+        # skips NULLs, so gate on the LAST lead instead
+        .where(F.col("__last").isNotNull())
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+    )
+    if top_n is not None:
+        paths = paths.orderBy(F.col("n").desc(), "path").limit(top_n)
+    return paths
+
+
 def funnel_latency(
     per_user: DataFrame,
     n_steps: int,

@@ -32,6 +32,8 @@ from pyspark.sql import functions as F
 
 from cosmap_spark.operators.funnel import (
     cohort_retention,
+    event_paths,
+    event_transitions,
     funnel,
     funnel_latency,
     funnel_sliding,
@@ -73,6 +75,11 @@ def main() -> None:
     cohort_retention(ev, period="week", max_periods=4).orderBy(
         "cohort", "period_n"
     ).show(truncate=False)
+
+    print("== top next-event transitions (flow analysis) ==")
+    event_transitions(ev).orderBy(F.col("n").desc()).show(8, truncate=False)
+    print("== top 3-step paths ==")
+    event_paths(ev, k=3, top_n=5).show(truncate=False)
 
     sliding = funnel_sliding(ev, STEPS, horizon=HORIZON)
     print("== sliding-anchor level distribution ==")

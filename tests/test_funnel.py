@@ -500,6 +500,36 @@ def test_event_transitions_matches_reference_and_ties(spark):
     assert again == got
 
 
+def test_event_paths_matches_reference(spark):
+    """k-step paths vs a pure-python reference: short runs excluded
+    (NULL-tail gate — concat_ws would silently emit truncated paths),
+    deterministic top-n, k validation."""
+    from cosmap_spark.operators.funnel import event_paths
+
+    rows = [
+        (1, 1, "A", _ts(0)), (2, 1, "B", _ts(1)), (3, 1, "C", _ts(2)),
+        (4, 1, "A", _ts(3)),
+        (5, 2, "A", _ts(0)), (6, 2, "B", _ts(1)), (7, 2, "C", _ts(2)),
+        (8, 3, "A", _ts(0)), (9, 3, "B", _ts(1)),   # run of 2: no 3-path
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    got = {(r["path"], r["n"]) for r in event_paths(df, k=3).collect()}
+    assert got == {("A>B>C", 2), ("B>C>A", 1)}
+    # k=2 equals the transition counts
+    from cosmap_spark.operators.funnel import event_transitions
+
+    p2 = {(r["path"], r["n"]) for r in event_paths(df, k=2, top_n=None).collect()}
+    t = {(f"{r['from_type']}>{r['to_type']}", r["n"])
+         for r in event_transitions(df).collect()}
+    assert p2 == t
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        event_paths(df, k=1)
+
+
 def test_funnel_latency_matches_pandas_reference(spark, log):
     """Latency distributions vs a pandas reference on the fixture (n
     below percentile_approx's accuracy ⇒ the sketch is exact: it
