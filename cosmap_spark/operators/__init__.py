@@ -38,6 +38,7 @@ from cosmap_spark.operators.intervals import (  # noqa: F401
     interval_overlap_join,
 )
 from cosmap_spark.operators.knn import (  # noqa: F401
+    cluster_balanced_sample,
     knn_bruteforce,
     knn_ivf,
     knn_lsh,
@@ -54,6 +55,7 @@ from cosmap_spark.operators.packing import (  # noqa: F401
     row_index,
 )
 from cosmap_spark.operators.pq import (  # noqa: F401
+    ivf_residuals,
     knn_ivfpq,
     pq_adc_topk,
     pq_encode,
@@ -94,6 +96,7 @@ from cosmap_spark.operators.tseries import (  # noqa: F401
 from cosmap_spark.operators.index_store import (  # noqa: F401
     ivf_append,
     load_ann_index,
+    pq_append,
     save_ann_index,
 )
 from cosmap_spark.operators.expectations import (  # noqa: F401
@@ -107,7 +110,10 @@ from cosmap_spark.operators.diff import (  # noqa: F401
 )
 from cosmap_spark.operators.funnel import (  # noqa: F401
     cohort_retention,
+    event_paths,
+    event_transitions,
     funnel,
+    funnel_latency,
     funnel_sliding,
     funnel_summary,
     funnel_summary_levels,
