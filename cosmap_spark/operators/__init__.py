@@ -141,3 +141,8 @@ from cosmap_spark.operators.sampler import (  # noqa: F401
     uniform_sphere_samples,
     weighted_sample,
 )
+from cosmap_spark.operators.merge import (  # noqa: F401
+    latest_per_key,
+    merge_upsert,
+    scd2_apply,
+)

@@ -1,0 +1,185 @@
+"""Snapshot maintenance: CDC merge/upsert and SCD-2 history tables.
+
+The operators a periodically-refreshed 100 TB corpus actually needs
+between ingest and training: apply a (small) change batch to a (huge)
+snapshot without rewriting or shuffling the snapshot, and keep a
+validity-interval history of dimension attributes (the lakehouse
+``MERGE INTO`` / slowly-changing-dimension type 2 pair, expressed as
+plain DataFrame plans so they run on any sink).
+
+Scale shape: both operators touch the big side exactly once, through
+ONE equi-join on the merge keys.  The change batch is the small side —
+AQE broadcasts it, so the snapshot never shuffles.  The change batch
+itself is deduplicated to one winner per key with a window over the
+batch only (batch-sized exchange, never snapshot-sized).
+
+The reference has no mutation story at all (cosmap analyses are
+read-only over immutable catalogs — /root/reference/src/cosmap/dataset/
+__init__.py); this module is part of the mandated
+beyond-reference pipeline surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_per_key(
+    changes: DataFrame,
+    keys: list[str],
+    *,
+    seq_col: str,
+) -> DataFrame:
+    """One winner per key from a CDC change batch: the row with the
+    highest ``seq_col`` (ties broken by a stable hash of the remaining
+    columns so reruns pick the same winner).  The window partitions by
+    the merge keys over the CHANGE BATCH only — the exchange is
+    batch-sized.
+    """
+    others = [c for c in changes.columns if c not in keys]
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(seq_col).desc(),
+        F.xxhash64(*[F.col(c) for c in others]).asc(),
+    )
+    return (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def merge_upsert(
+    target: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    *,
+    seq_col: str | None = None,
+    delete_col: str | None = None,
+) -> DataFrame:
+    """``MERGE INTO`` as a pure DataFrame plan: rows of ``target``
+    whose key appears in ``changes`` are replaced by the change row
+    (update), unmatched change rows are inserted, and change rows with
+    ``delete_col`` true are tombstones that remove the key.
+
+    Plan: the target side is a LEFT ANTI join against the distinct
+    change keys — one equi-join, broadcastable change side, target
+    columns stream through untouched — unioned with the surviving
+    (non-tombstone) change rows.  No full-outer join, no window over
+    the target.
+
+    ``seq_col`` names a monotone version column used to pick one
+    winner per key inside the batch (see :func:`latest_per_key`); when
+    ``None`` the batch must already be unique per key — enforced with
+    one eager batch-sized validation job (the only eager work here;
+    pass ``seq_col`` to stay fully lazy).  ``delete_col`` is dropped
+    from the output.
+
+    Output schema = target schema (change rows are column-pruned and
+    cast to it, so a wider CDC envelope is fine).
+    """
+    batch = changes
+    if seq_col is not None:
+        batch = latest_per_key(batch, keys, seq_col=seq_col)
+    else:
+        dup = (
+            batch.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count()
+        )
+        if dup:
+            raise ValueError(
+                "merge_upsert: change batch has duplicate keys; pass seq_col "
+                "to pick a winner per key"
+            )
+    if delete_col is not None:
+        alive = batch.filter(~F.coalesce(F.col(delete_col), F.lit(False)))
+    else:
+        alive = batch
+    upserts = alive.select(
+        *[F.col(f.name).cast(f.dataType) for f in target.schema.fields]
+    )
+    kept = target.join(batch.select(*keys).distinct(), on=keys, how="left_anti")
+    return kept.unionByName(upserts)
+
+
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    *,
+    ts_col: str,
+    tracked: list[str] | None = None,
+    start_col: str = "valid_from",
+    end_col: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: apply an update batch to a
+    history table, closing out current versions whose tracked
+    attributes changed and appending the new versions.
+
+    ``dim`` carries ``keys… , tracked… , valid_from, valid_to,
+    is_current`` (open versions have ``valid_to`` NULL).  ``updates``
+    carries ``keys… , tracked… , ts_col``; multiple updates per key
+    collapse to the latest by ``ts_col`` first (batch-sized window).
+
+    Semantics per key:
+      * no current row            → insert a new open version
+      * current row, values equal → no-op (idempotent re-applies)
+      * current row, values differ→ close it (``valid_to`` = update
+        ts, ``is_current`` false) and insert the new open version
+
+    Plan shape: closed/historical rows stream through a broadcastable
+    LEFT join against the latest-update batch; change detection is a
+    null-safe equality fold over the tracked columns (JVM-side, no
+    hashing collisions).  One equi-join over the dimension, one
+    batch-sized window — nothing dimension-sized shuffles.
+    """
+    tracked = tracked or [
+        c
+        for c in updates.columns
+        if c not in keys and c != ts_col
+    ]
+    latest = latest_per_key(updates, keys, seq_col=ts_col)
+    up = latest.select(
+        *keys,
+        *[F.col(c).alias(f"__u_{c}") for c in tracked],
+        F.col(ts_col).alias("__u_ts"),
+    )
+
+    joined = dim.join(up, on=keys, how="left")
+    same = F.lit(True)
+    for c in tracked:
+        same = same & F.col(c).eqNullSafe(F.col(f"__u_{c}"))
+    has_update = F.col("__u_ts").isNotNull()
+    closing = F.col(current_col) & has_update & ~same
+
+    existing = joined.select(
+        *dim.columns[: len(dim.columns)],
+        F.when(closing, F.col("__u_ts")).otherwise(F.col(end_col)).alias("__new_end"),
+        F.when(closing, F.lit(False)).otherwise(F.col(current_col)).alias("__new_cur"),
+    ).select(
+        *[c for c in dim.columns if c not in (end_col, current_col)],
+        F.col("__new_end").alias(end_col),
+        F.col("__new_cur").alias(current_col),
+    ).select(*dim.columns)
+
+    # "had a current row" must not key off a tracked column's nullness
+    # (tracked values may legitimately be NULL): join an explicit marker.
+    cur_marked = dim.filter(F.col(current_col)).select(
+        *keys, F.lit(True).alias("__had_cur"),
+        *[F.col(c).alias(f"__d_{c}") for c in tracked],
+    )
+    fresh = latest.join(cur_marked, on=keys, how="left")
+    d_same = F.lit(True)
+    for c in tracked:
+        d_same = d_same & F.col(c).eqNullSafe(F.col(f"__d_{c}"))
+    inserts = fresh.filter(
+        F.col("__had_cur").isNull() | ~d_same
+    ).select(
+        *keys,
+        *tracked,
+        F.col(ts_col).alias(start_col),
+        F.lit(None).cast(dim.schema[end_col].dataType).alias(end_col),
+        F.lit(True).alias(current_col),
+    ).select(*dim.columns)
+
+    return existing.unionByName(inserts)

@@ -1,0 +1,249 @@
+"""merge_upsert / scd2_apply: DuckDB differentials + plan shape.
+
+The oracle expresses MERGE semantics in plain SQL (anti-join + union,
+and the SCD-2 close/insert rules) so every behavioral claim in
+operators/merge.py is checked against an independent engine, plus a
+randomized differential and plan assertions that the snapshot side
+never shuffles (broadcast change batch)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from cosmap_spark.operators.merge import latest_per_key, merge_upsert, scd2_apply
+
+
+def _sorted_rows(df, cols):
+    return sorted([tuple(r[c] for c in cols) for r in df.collect()])
+
+
+@pytest.fixture()
+def snapshot(spark):
+    return spark.createDataFrame(
+        [(i, f"name{i}", i * 10) for i in range(1, 9)],
+        "id long, name string, score long",
+    )
+
+
+def test_merge_upsert_update_insert_delete(spark, snapshot):
+    changes = spark.createDataFrame(
+        [
+            (2, "name2b", 222, False),   # update
+            (5, "ignored", 0, True),     # delete
+            (20, "name20", 200, False),  # insert
+        ],
+        "id long, name string, score long, deleted boolean",
+    )
+    out = merge_upsert(snapshot, changes, ["id"], delete_col="deleted")
+    got = _sorted_rows(out, ["id", "name", "score"])
+
+    con = duckdb.connect()
+    con.register("t", snapshot.toPandas())
+    con.register("c", changes.toPandas())
+    want = sorted(
+        con.execute(
+            """
+            SELECT id, name, score FROM t WHERE id NOT IN (SELECT id FROM c)
+            UNION ALL
+            SELECT id, name, score FROM c WHERE NOT deleted
+            """
+        ).fetchall()
+    )
+    assert got == want
+    assert out.columns == snapshot.columns  # delete_col dropped
+
+
+def test_merge_upsert_seq_picks_latest(spark, snapshot):
+    changes = spark.createDataFrame(
+        [(3, "old", 1, 10), (3, "new", 2, 20), (4, "only", 9, 5)],
+        "id long, name string, score long, seq long",
+    )
+    out = merge_upsert(snapshot, changes, ["id"], seq_col="seq")
+    rows = {r["id"]: (r["name"], r["score"]) for r in out.collect()}
+    assert rows[3] == ("new", 2)
+    assert rows[4] == ("only", 9)
+    assert out.count() == snapshot.count()  # pure updates: cardinality kept
+
+
+def test_merge_upsert_duplicate_keys_raise(spark, snapshot):
+    changes = spark.createDataFrame(
+        [(3, "a", 1), (3, "b", 2)], "id long, name string, score long"
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        merge_upsert(snapshot, changes, ["id"])
+
+
+def test_merge_upsert_idempotent(spark, snapshot):
+    changes = spark.createDataFrame(
+        [(1, "x", 0), (30, "y", 3)], "id long, name string, score long"
+    )
+    once = merge_upsert(snapshot, changes, ["id"])
+    twice = merge_upsert(once, changes, ["id"])
+    assert _sorted_rows(once, once.columns) == _sorted_rows(twice, twice.columns)
+
+
+def test_merge_upsert_plan_broadcasts_changes(spark, snapshot):
+    """AQE must broadcast the (small) distinct change-key set at
+    runtime so the snapshot side reaches the anti-join without a
+    shuffle (local relations carry no stats, so this is a runtime
+    re-plan — assert the FINAL adaptive plan after execution)."""
+    changes = spark.createDataFrame(
+        [(1, "x", 0)], "id long, name string, score long"
+    )
+    out = merge_upsert(snapshot, changes, ["id"])
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_latest_per_key_deterministic_ties(spark):
+    rows = [(1, "a", 7), (1, "b", 7), (1, "c", 7)]
+    df = spark.createDataFrame(rows, "id long, v string, seq long")
+    winner = {r["v"] for r in latest_per_key(df, ["id"], seq_col="seq").collect()}
+    again = {r["v"] for r in latest_per_key(
+        df.repartition(5), ["id"], seq_col="seq").collect()}
+    assert winner == again and len(winner) == 1
+
+
+@pytest.fixture()
+def dim(spark):
+    # key 1: stable history (one closed + one open version)
+    # key 2: open version that the update batch changes
+    # key 3: open version the batch re-sends unchanged (no-op)
+    return spark.createDataFrame(
+        [
+            (1, "alice", "NY", 100, 200, False),
+            (1, "alice", "SF", 200, None, True),
+            (2, "bob", "LA", 150, None, True),
+            (3, "carol", "TX", 120, None, True),
+        ],
+        "id long, name string, city string, valid_from long, valid_to long, is_current boolean",
+    )
+
+
+def test_scd2_close_insert_noop(spark, dim):
+    updates = spark.createDataFrame(
+        [
+            (2, "bob", "SEA", 400),    # changed → close + insert
+            (3, "carol", "TX", 410),   # unchanged → no-op
+            (9, "dave", "DC", 420),    # brand new key → insert
+        ],
+        "id long, name string, city string, ts long",
+    )
+    out = scd2_apply(dim, updates, ["id"], ts_col="ts")
+    rows = _sorted_rows(out, ["id", "city", "valid_from", "valid_to", "is_current"])
+
+    con = duckdb.connect()
+    con.register("d", dim.toPandas())
+    con.register("u", updates.toPandas())
+    want = sorted(
+        con.execute(
+            """
+            WITH latest AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY id ORDER BY ts DESC) rn
+                FROM u) WHERE rn = 1),
+            existing AS (
+              SELECT d.id, d.city,
+                     d.valid_from,
+                     CASE WHEN d.is_current AND l.id IS NOT NULL
+                               AND (d.name IS DISTINCT FROM l.name
+                                    OR d.city IS DISTINCT FROM l.city)
+                          THEN l.ts ELSE d.valid_to END AS valid_to,
+                     CASE WHEN d.is_current AND l.id IS NOT NULL
+                               AND (d.name IS DISTINCT FROM l.name
+                                    OR d.city IS DISTINCT FROM l.city)
+                          THEN FALSE ELSE d.is_current END AS is_current
+              FROM d LEFT JOIN latest l USING (id)),
+            inserts AS (
+              SELECT l.id, l.city, l.ts AS valid_from,
+                     NULL::BIGINT AS valid_to, TRUE AS is_current
+              FROM latest l LEFT JOIN (SELECT * FROM d WHERE is_current) c USING (id)
+              WHERE c.id IS NULL
+                 OR (c.name IS DISTINCT FROM l.name
+                     OR c.city IS DISTINCT FROM l.city))
+            SELECT * FROM existing UNION ALL SELECT * FROM inserts
+            """
+        ).fetchall()
+    )
+    assert rows == want
+    # spot-check semantics directly
+    by_key = {}
+    for r in out.collect():
+        by_key.setdefault(r["id"], []).append(r)
+    assert len(by_key[2]) == 2
+    closed2 = [r for r in by_key[2] if not r["is_current"]][0]
+    assert closed2["valid_to"] == 400 and closed2["city"] == "LA"
+    open2 = [r for r in by_key[2] if r["is_current"]][0]
+    assert open2["city"] == "SEA" and open2["valid_from"] == 400
+    assert len(by_key[3]) == 1 and by_key[3][0]["is_current"]
+    assert len(by_key[9]) == 1 and by_key[9][0]["city"] == "DC"
+
+
+def test_scd2_idempotent_reapply(spark, dim):
+    updates = spark.createDataFrame(
+        [(2, "bob", "SEA", 400)], "id long, name string, city string, ts long"
+    )
+    once = scd2_apply(dim, updates, ["id"], ts_col="ts")
+    twice = scd2_apply(once, updates, ["id"], ts_col="ts")
+    assert _sorted_rows(once, once.columns) == _sorted_rows(twice, twice.columns)
+
+
+def test_scd2_null_tracked_values(spark):
+    """NULL attribute values must compare null-safely: NULL→NULL is a
+    no-op, NULL→value and value→NULL are changes."""
+    dim = spark.createDataFrame(
+        [(1, None, 10, None, True), (2, "x", 10, None, True)],
+        "id long, attr string, valid_from long, valid_to long, is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [(1, None, 50), (2, None, 60)], "id long, attr string, ts long"
+    )
+    out = scd2_apply(dim, updates, ["id"], ts_col="ts",
+                     tracked=["attr"]).collect()
+    k1 = [r for r in out if r["id"] == 1]
+    k2 = sorted([r for r in out if r["id"] == 2], key=lambda r: r["valid_from"])
+    assert len(k1) == 1 and k1[0]["is_current"]           # NULL == NULL: no-op
+    assert len(k2) == 2 and not k2[0]["is_current"] and k2[0]["valid_to"] == 60
+    assert k2[1]["attr"] is None and k2[1]["is_current"]  # value → NULL: change
+
+
+def test_merge_randomized_differential(spark):
+    """Random snapshot + random CDC batch vs the DuckDB anti-join+union
+    oracle, across several seeds and key overlap regimes."""
+    import random
+
+    for seed in (7, 8, 9):
+        rng = random.Random(seed)
+        snap = [(i, rng.randrange(1000)) for i in range(50)]
+        ch = [
+            (rng.randrange(80), rng.randrange(1000), rng.random() < 0.2, s)
+            for s in range(30)
+        ]
+        t = spark.createDataFrame(snap, "id long, v long")
+        c = spark.createDataFrame(ch, "id long, v long, deleted boolean, seq long")
+        got = _sorted_rows(
+            merge_upsert(t, c, ["id"], seq_col="seq", delete_col="deleted"),
+            ["id", "v"],
+        )
+        con = duckdb.connect()
+        con.register("t", t.toPandas())
+        con.register("c", c.toPandas())
+        want = sorted(
+            con.execute(
+                """
+                WITH latest AS (
+                  SELECT * FROM (
+                    SELECT *, row_number() OVER (
+                      PARTITION BY id ORDER BY seq DESC,
+                      hash(v, deleted) ASC) rn
+                    FROM c) WHERE rn = 1)
+                SELECT id, v FROM t WHERE id NOT IN (SELECT id FROM latest)
+                UNION ALL
+                SELECT id, v FROM latest WHERE NOT deleted
+                """
+            ).fetchall()
+        )
+        assert got == want, f"seed {seed}"
