@@ -146,3 +146,9 @@ from cosmap_spark.operators.merge import (  # noqa: F401
     merge_upsert,
     scd2_apply,
 )
+from cosmap_spark.operators.layout import (  # noqa: F401
+    layout_spans,
+    pruning_ratio,
+    write_zordered,
+    zorder_key,
+)
