@@ -90,6 +90,7 @@ from cosmap_spark.operators.sketch import (  # noqa: F401
     quantile_rollup,
 )
 from cosmap_spark.operators.tseries import (  # noqa: F401
+    grouped_trend,
     subsequence_search,
     subsequence_search_multi,
 )

@@ -245,3 +245,35 @@ def subsequence_search(
         segment=segment,
         per_key=per_key,
     ).select(key_col, "start", "dist")
+
+
+def grouped_trend(
+    df: DataFrame,
+    keys: list[str],
+    *,
+    x: str,
+    y: str,
+    extra: dict | None = None,
+) -> DataFrame:
+    """Per-group OLS trend of ``y`` against ``x`` in ONE partial-
+    aggregable pass: ``keys…, slope, intercept, r2, n_fit`` via the
+    SQL-standard ``regr_*`` aggregates (closed-form from co-moments —
+    map-side combine, O(1) state per group, never a per-group sort or
+    matrix).  Rows where either side is NULL are excluded (standard
+    ``regr_count`` semantics).  A constant ``x`` within a group yields
+    NULL slope/intercept (zero variance), matching every SQL engine.
+
+    ``extra`` merges additional ``{name: aggregate Column}`` into the
+    SAME groupBy so callers fitting trends alongside other per-group
+    stats pay one scan and one shuffle, not two (q_stats_suite does
+    exactly this under the driver gate).
+    """
+    aggs = [
+        F.regr_slope(y, x).alias("slope"),
+        F.regr_intercept(y, x).alias("intercept"),
+        F.regr_r2(y, x).alias("r2"),
+        F.regr_count(y, x).cast("long").alias("n_fit"),
+    ]
+    for name, col in (extra or {}).items():
+        aggs.append(col.alias(name))
+    return df.groupBy(*keys).agg(*aggs)

@@ -244,28 +244,58 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(stddev_samp(l_quantity), 4) AS sd_qty,
            round(var_samp(l_quantity), 2) AS var_qty,
            round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-           round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS trend_slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 2) AS trend_icept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS trend_r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_fit
     FROM lineitem GROUP BY l_returnflag
     """,
 )
 def q_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order statistics + second moments per group: exact interpolated
-    percentiles (Spark ``percentile`` ≡ DuckDB ``quantile_cont``: both
-    linear-interpolation on the sorted multiset), sample stddev/variance,
-    and correlation/covariance between quantity and price.  All moments
-    use one-pass co-moment accumulation in both engines; outputs are
-    rounded below the accumulation-order noise floor.  The sketch-based
-    scale path is q_approx_sketches."""
+    """Order statistics + second moments + OLS trend per group: exact
+    interpolated percentiles (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``: both linear-interpolation on the sorted
+    multiset), sample stddev/variance, correlation/covariance between
+    quantity and price, and the per-group least-squares fit of price
+    against quantity via operators/tseries.py::grouped_trend (the
+    ``regr_*`` closed-form co-moment aggregates; the moment columns
+    ride grouped_trend's ``extra`` hook so the whole suite stays ONE
+    scan + ONE shuffle).  All moments use one-pass co-moment
+    accumulation in both engines; outputs are rounded below the
+    accumulation-order noise floor.  The sketch-based scale path is
+    q_approx_sketches."""
+    from cosmap_spark.operators.tseries import grouped_trend
+
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
-        F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90_qty"),
-        F.round(F.min("l_quantity"), 6).alias("min_qty"),
-        F.round(F.max("l_quantity"), 6).alias("max_qty"),
-        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
-        F.round(F.var_samp("l_quantity"), 2).alias("var_qty"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+    out = grouped_trend(
+        li,
+        ["l_returnflag"],
+        x="l_quantity",
+        y="l_extendedprice",
+        extra={
+            "median_qty": F.round(F.expr("percentile(l_quantity, 0.5)"), 6),
+            "p90_qty": F.round(F.expr("percentile(l_quantity, 0.9)"), 6),
+            "min_qty": F.round(F.min("l_quantity"), 6),
+            "max_qty": F.round(F.max("l_quantity"), 6),
+            "sd_qty": F.round(F.stddev_samp("l_quantity"), 4),
+            "var_qty": F.round(F.var_samp("l_quantity"), 2),
+            "corr_qty_price": F.round(
+                F.corr("l_quantity", "l_extendedprice"), 6
+            ),
+            "covar_qty_price": F.round(
+                F.covar_samp("l_quantity", "l_extendedprice"), 2
+            ),
+        },
+    )
+    return out.select(
+        "l_returnflag",
+        "median_qty", "p90_qty", "min_qty", "max_qty",
+        "sd_qty", "var_qty", "corr_qty_price", "covar_qty_price",
+        F.round("slope", 4).alias("trend_slope"),
+        F.round("intercept", 2).alias("trend_icept"),
+        F.round("r2", 6).alias("trend_r2"),
+        F.col("n_fit"),
     )
 
 

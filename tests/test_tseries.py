@@ -225,3 +225,73 @@ def test_string_keys(spark):
     per = subsequence_search(df, QUERY, key_col="k", order_col="t",
                              val_col="v", k=2, per_key=True)
     assert per.count() == 8
+
+
+def test_grouped_trend_differential_and_edges(spark):
+    """DuckDB differential on random data with NULLs on both sides and
+    a constant-x group (NULL slope in every SQL engine)."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(11)
+    rows = []
+    for g in range(5):
+        for i in range(200):
+            x = None if rng.random() < 0.05 else rng.uniform(0, 10)
+            y = (
+                None
+                if rng.random() < 0.05
+                else (2.5 * (x or 0) + g + rng.gauss(0, 1))
+            )
+            rows.append((g, x, y))
+    rows += [(99, 7.0, float(v)) for v in range(10)]  # constant x
+    df = spark.createDataFrame(rows, "g long, x double, y double")
+
+    from cosmap_spark.operators.tseries import grouped_trend
+
+    got = {
+        r["g"]: (
+            None if r["slope"] is None else round(r["slope"], 6),
+            None if r["r2"] is None else round(r["r2"], 6),
+            r["n_fit"],
+        )
+        for r in grouped_trend(df, ["g"], x="x", y="y").collect()
+    }
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    want = {
+        g: (
+            None if s is None else round(s, 6),
+            None if r2 is None else round(r2, 6),
+            n,
+        )
+        for g, s, r2, n in con.execute(
+            "SELECT g, regr_slope(y, x), regr_r2(y, x), "
+            "CAST(regr_count(y, x) AS BIGINT) FROM t GROUP BY 1"
+        ).fetchall()
+    }
+    assert got == want
+    assert got[99][0] is None  # zero x-variance -> NULL slope
+
+
+def test_grouped_trend_plan_is_one_partial_agg(spark):
+    """One scan, partial+final HashAggregate, no Python, no extra
+    exchange beyond the group-key shuffle — also with extra moment
+    columns merged in."""
+    from pyspark.sql import functions as F
+
+    from cosmap_spark.operators.tseries import grouped_trend
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 7).alias("g"),
+        (F.col("id") % 13).cast("double").alias("x"),
+        (F.col("id") % 17).cast("double").alias("y"),
+    )
+    out = grouped_trend(
+        df, ["g"], x="x", y="y", extra={"mx": F.max("x")}
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    assert "mx" in out.columns and "slope" in out.columns
