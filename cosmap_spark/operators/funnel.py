@@ -275,9 +275,13 @@ def cohort_retention(
     silently drop cohort mass).  ``max_periods`` bounds the matrix
     width.
 
-    Scale shape: one min-aggregation per user (first activity), one
-    map-side join back (AQE decides broadcast vs shuffle on the
-    user-keyed cohort table), one distinct + count over (cohort, n) —
+    Scale shape: ONE user-keyed exchange total — events aggregate
+    straight to (first period, distinct-period set) per user
+    (``collect_set`` state is bounded by the user's distinct ACTIVE
+    periods, not events), the set explodes to (cohort, period_n) rows
+    that are distinct per user by construction (no separate
+    ``distinct`` pass, no join back over the events), and cohort sizes
+    reduce off the same per-user frame (AQE reuses its exchange).
     O(cohorts · periods) output, never a per-user matrix.  Returns
     ``[cohort, period_n, n_active, retention]`` with ``retention``
     rounded to 6 dp (fraction of the cohort's size)."""
@@ -293,23 +297,29 @@ def cohort_retention(
         F.col(user_col).alias("__u"),
         F.date_trunc(period, F.col(ts_col)).alias("__p"),
     ).where(F.col("__p").isNotNull() & F.col("__u").isNotNull())
-    firsts = ev.groupBy("__u").agg(F.min("__p").alias("cohort"))
-    sizes = firsts.groupBy("cohort").agg(
+    per_user = ev.groupBy("__u").agg(
+        F.min("__p").alias("cohort"),
+        F.collect_set("__p").alias("__ps"),
+    )
+    sizes = per_user.groupBy("cohort").agg(
         F.count("*").alias("__cohort_size")
     )
     # whole-period distance via month/day arithmetic on TRUNCATED
     # stamps: months_between is exact for month cohorts; day/week use
     # day deltas (truncated stamps are aligned, so division is exact)
-    joined = ev.join(firsts, "__u")
+    exploded = per_user.select(
+        "cohort", F.explode("__ps").alias("__p")
+    )
     if period == "month":
         n = F.round(F.months_between("__p", "cohort")).cast("long")
     else:
         days = F.datediff(F.col("__p"), F.col("cohort"))
         n = (days / (7 if period == "week" else 1)).cast("long")
     active = (
-        joined.select("__u", "cohort", n.alias("period_n"))
-        .where(F.col("period_n") < max_periods)
-        .distinct()
+        # one row per (user, active period) by set construction, so a
+        # plain count per (cohort, n) IS the distinct-user count
+        exploded.select("cohort", n.alias("period_n"))
+        .where(n < max_periods)
         .groupBy("cohort", "period_n")
         .agg(F.count("*").alias("n_active"))
     )
