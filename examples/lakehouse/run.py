@@ -1,0 +1,149 @@
+"""Runnable snapshot-maintenance + layout lifecycle — the round-5
+lakehouse surface end-to-end on the customer table:
+
+    python examples/lakehouse/run.py [sf_dir]
+
+1. **seed** — write the customer snapshot z-ordered on
+   (c_acctbal, c_nationkey) via `write_zordered`, and show the
+   file-skipping it buys with `layout_spans` + `pruning_ratio`
+   (vs the same data written unclustered);
+2. **CDC merge** — apply a change batch (updates + inserts + deletes,
+   late duplicates resolved by a sequence column) with `merge_upsert`
+   and verify the invariants (tombstoned keys gone, winners applied);
+3. **SCD-2 history** — maintain a validity-interval dimension of each
+   customer's market segment with `scd2_apply` across two update
+   batches, including a no-op re-send (idempotence);
+4. **re-layout** — z-order the merged snapshot again (the OPTIMIZE
+   step a periodic compactor would run).
+
+Everything distributed-side is the tested operator surface
+(tests/test_merge.py, tests/test_layout.py); this file only composes
+it."""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+from cosmap_spark.operators.layout import (  # noqa: E402
+    layout_spans,
+    pruning_ratio,
+    write_zordered,
+)
+from cosmap_spark.operators.merge import merge_upsert, scd2_apply  # noqa: E402
+from cosmap_spark.session import get_spark  # noqa: E402
+from cosmap_spark.tables import load_table  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark(
+        app_name="lakehouse-example",
+        master="local[8]",
+        extra_conf={"spark.sql.shuffle.partitions": "8",
+                    "spark.ui.enabled": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    cust = load_table(spark, sf_dir, "customer")
+    n0 = cust.count()
+    print(f"customer snapshot: {n0} rows")
+
+    with tempfile.TemporaryDirectory() as root:
+        # 1. seed: z-ordered vs unclustered layout -----------------------
+        zdir = os.path.join(root, "customer_z")
+        rdir = os.path.join(root, "customer_r")
+        cols = ["c_acctbal", "c_nationkey"]
+        write_zordered(cust, zdir, cols, bits=8, num_files=16)
+        cust.repartition(16).write.mode("overwrite").parquet(rdir)
+        box_lo = {"c_acctbal": 1000.0, "c_nationkey": 3}
+        box_hi = {"c_acctbal": 2000.0, "c_nationkey": 7}
+        rz = pruning_ratio(layout_spans(zdir, cols), cols, box_lo, box_hi)
+        rr = pruning_ratio(layout_spans(rdir, cols), cols, box_lo, box_hi)
+        print(f"box-predicate files opened: z-ordered {rz:.2%} "
+              f"vs unclustered {rr:.2%}")
+        assert rz < rr
+
+        # 2. CDC merge ----------------------------------------------------
+        snap = spark.read.parquet(zdir)
+        some = [r["c_custkey"] for r in snap.select("c_custkey").limit(4).collect()]
+        upd_key, del_key, dup_key = some[0], some[1], some[2]
+        new_key = 10_000_000
+        changes = spark.createDataFrame(
+            [
+                (upd_key, "UPDATED", 1, False),
+                (del_key, "ignored", 1, True),
+                (new_key, "BRAND-NEW", 1, False),
+                (dup_key, "stale", 1, False),
+                (dup_key, "winner", 2, False),
+            ],
+            "c_custkey long, c_name string, seq long, deleted boolean",
+        )
+        # widen the envelope to the snapshot schema (unset columns NULL)
+        for f in snap.schema.fields:
+            if f.name not in changes.columns:
+                changes = changes.withColumn(
+                    f.name, F.lit(None).cast(f.dataType)
+                )
+        merged = merge_upsert(
+            snap, changes, ["c_custkey"], seq_col="seq", delete_col="deleted"
+        )
+        got = {r["c_custkey"]: r["c_name"]
+               for r in merged.filter(
+                   F.col("c_custkey").isin(upd_key, del_key, dup_key, new_key)
+               ).collect()}
+        assert got[upd_key] == "UPDATED"
+        assert got[dup_key] == "winner"        # seq resolved the duplicate
+        assert got[new_key] == "BRAND-NEW"
+        assert del_key not in got              # tombstone applied
+        assert merged.count() == n0            # +1 insert −1 delete
+        print("merge_upsert: update/insert/delete/late-duplicate all applied")
+
+        # 3. SCD-2 history -------------------------------------------------
+        dim = snap.select(
+            "c_custkey", "c_mktsegment",
+            F.lit(0).cast("long").alias("valid_from"),
+            F.lit(None).cast("long").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+        seg_key = some[3]
+        batch1 = spark.createDataFrame(
+            [(seg_key, "MOVED-A", 100)],
+            "c_custkey long, c_mktsegment string, ts long",
+        )
+        batch2 = spark.createDataFrame(
+            [(seg_key, "MOVED-B", 200), (upd_key, "MOVED-B", 200)],
+            "c_custkey long, c_mktsegment string, ts long",
+        )
+        h1 = scd2_apply(dim, batch1, ["c_custkey"], ts_col="ts")
+        h1 = h1.localCheckpoint()  # cut lineage between batches
+        h2 = scd2_apply(h1, batch2, ["c_custkey"], ts_col="ts")
+        h2 = h2.localCheckpoint()
+        h3 = scd2_apply(h2, batch2, ["c_custkey"], ts_col="ts")  # re-send
+        hist = (
+            h3.filter(F.col("c_custkey") == seg_key)
+            .orderBy("valid_from")
+            .collect()
+        )
+        assert [r["c_mktsegment"] for r in hist][-2:] == ["MOVED-A", "MOVED-B"]
+        assert [r["valid_to"] for r in hist] == [100, 200, None]
+        assert h3.count() == h2.count()  # idempotent re-apply
+        print(f"scd2_apply: {len(hist)} versions for customer {seg_key}: "
+              + " -> ".join(r["c_mktsegment"] for r in hist))
+
+        # 4. re-layout ------------------------------------------------------
+        z2 = os.path.join(root, "customer_z2")
+        write_zordered(merged, z2, cols, bits=8, num_files=16)
+        assert spark.read.parquet(z2).count() == n0
+        print("re-layout after merge: OK")
+
+    spark.stop()
+    print("lakehouse example: all invariants hold")
+
+
+if __name__ == "__main__":
+    main()
