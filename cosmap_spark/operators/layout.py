@@ -155,3 +155,42 @@ def pruning_ratio(
                 break
         hit += ok
     return hit / len(spans)
+
+
+def compact_files(
+    spark,
+    path: str,
+    out_path: str,
+    *,
+    target_mb: int = 256,
+    zorder_cols: list[str] | None = None,
+    bits: int = 8,
+) -> dict:
+    """Small-file compaction: rewrite a parquet directory into files
+    near ``target_mb`` (the small-file problem — a 100 TB table
+    accreted by streaming/incremental writes degenerates into millions
+    of KB-files whose open/footer cost dominates every scan).
+
+    File count = ceil(on-disk bytes / target) from driver-side listing
+    (no data pass); the rewrite is one job — a plain ``repartition``
+    (round-robin, even sizes) or, with ``zorder_cols``, the z-order
+    range shuffle so compaction and clustering happen in the same
+    pass.  Returns ``{files_before, files_after, bytes}``.
+
+    Writes to ``out_path`` (swap-on-success is the caller's move — an
+    in-place overwrite that fails mid-write loses the table)."""
+    import glob
+    import os
+
+    files = glob.glob(os.path.join(path, "*.parquet"))
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total // (target_mb << 20)))
+    df = spark.read.parquet(path)
+    if zorder_cols:
+        write_zordered(df, out_path, zorder_cols, bits=bits,
+                       num_files=int(n_out))
+    else:
+        df.repartition(int(n_out)).write.mode("overwrite").parquet(out_path)
+    after = len(glob.glob(os.path.join(out_path, "*.parquet")))
+    return {"files_before": len(files), "files_after": after,
+            "bytes": int(total)}

@@ -137,3 +137,44 @@ def test_write_zordered_single_dim_still_prunes(spark):
         spans = layout_spans(f"{d}/z1", ["x"])
         r = pruning_ratio(spans, ["x"], {"x": 100}, {"x": 400})
         assert r <= 0.31
+
+
+def test_compact_files(spark):
+    """Many tiny files in, few near-target files out; zorder_cols
+    variant clusters during the same rewrite."""
+    from cosmap_spark.operators.layout import compact_files
+
+    df = spark.range(0, 30_000).select(
+        F.col("id").alias("x"),
+        (F.col("id") * 31 % 997).alias("y"),
+        # incompressible payload so the byte-based sizing yields
+        # several output files at target_mb=1
+        F.sha2(F.col("id").cast("string"), 512).alias("pad"),
+    )
+    with tempfile.TemporaryDirectory() as d:
+        src = f"{d}/src"
+        df.repartition(50).write.parquet(src)  # the small-file mess
+        rep = compact_files(spark, src, f"{d}/flat", target_mb=1)
+        assert rep["files_before"] == 50
+        assert 2 <= rep["files_after"] < 15
+        assert spark.read.parquet(f"{d}/flat").count() == 30_000
+
+        rep2 = compact_files(
+            spark, src, f"{d}/zed", target_mb=1, zorder_cols=["x", "y"]
+        )
+        assert 2 <= rep2["files_after"] < 15
+        # compaction + clustering in one pass: per-file bounding-box
+        # AREA shrinks vs the round-robin rewrite, whose every file
+        # spans ~the full domain in both dimensions (area is the
+        # file-count-robust metric: which dimension Morton splits
+        # first depends on how many files there are)
+        def avg_area(path):
+            spans = layout_spans(path, ["x", "y"])
+            return sum(
+                (s["x_max"] - s["x_min"]) / 30_000
+                * (s["y_max"] - s["y_min"]) / 997
+                for s in spans
+            ) / len(spans)
+
+        assert avg_area(f"{d}/flat") > 0.9
+        assert avg_area(f"{d}/zed") < 0.62 * avg_area(f"{d}/flat")
