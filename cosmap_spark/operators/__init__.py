@@ -148,7 +148,7 @@ from cosmap_spark.operators.merge import (  # noqa: F401
     scd2_apply,
 )
 from cosmap_spark.operators.layout import (  # noqa: F401
-    compact_files,
+    describe_layout,
     layout_spans,
     pruning_ratio,
     write_zordered,

@@ -11,14 +11,25 @@ prefix-free subset of the z-ordered columns skip most of the data —
 the lakehouse ``OPTIMIZE ... ZORDER BY`` layout, expressed as a plain
 repartition so it works on any parquet sink.
 
-Scale shape: one approxQuantile stats job (driver state = the
-``2^bits − 1`` boundary literals per column, independent of row
-count), one map-side rank+interleave projection (JVM higher-order
+Scale shape: one stats job (approxQuantile boundaries or min/max,
+driver state O(2^bits) per column, independent of row count), one
+map-side rank+interleave projection (JVM shift/mask + higher-order
 functions, no Python), one range shuffle into the target file count.
-Rank bucketing (not min-max scaling) keeps the interleave balanced
-under skew: each bucket holds ~equal row mass by construction.
 
-The reference has no layout story (its catalogs are fixed HDF5 —
+Two bucketing strategies, one interleave:
+
+* ``rank`` (default) — buckets are approxQuantile boundaries, so each
+  bucket holds ~equal row mass; skew cannot collapse the interleave.
+* ``range`` — buckets are uniform slices of a fixed [lo, hi) range
+  (given or computed by one min/max aggregate); cheapest stats pass,
+  exactly reproducible across independent writes of the same declared
+  range, but outliers clamp to the boundary cells and heavy skew
+  concentrates rows in few cells (the SCALE.md trade-off note).
+
+This module is the CANONICAL z-order/layout implementation;
+``sinks.writers.write_zordered`` / ``describe_layout`` delegate here
+(the sink layer adds path-level concerns only).  The reference has no
+layout story (its catalogs are fixed HDF5 —
 /root/reference/src/cosmap/dataset/opencosmo.py); this module is part
 of the beyond-reference pipeline surface.
 """
@@ -39,35 +50,75 @@ def _bucket_expr(col: str, boundaries: list[float]) -> "F.Column":
     return F.size(F.filter(arr, lambda b: b <= x)).cast("long")
 
 
+def _range_bucket_expr(col: str, lo: float, hi: float, bits: int) -> "F.Column":
+    """Uniform [lo, hi) quantization to ``bits`` with boundary clamp
+    (outliers land in the edge cells)."""
+    top = (1 << bits) - 1
+    span = float(hi - lo) or 1.0
+    return F.least(
+        F.lit(top).cast("long"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.floor(
+                (F.col(col).cast("double") - F.lit(float(lo))) / span * top
+            ).cast("long"),
+        ),
+    )
+
+
 def zorder_key(
     df: DataFrame,
     cols: list[str],
     *,
     bits: int = 8,
     out_col: str = "__z",
+    strategy: str = "rank",
+    ranges: dict | None = None,
     relative_error: float = 0.001,
 ) -> DataFrame:
-    """Append a Morton key interleaving the ``bits``-bit quantile
-    ranks of ``cols`` (``bits × len(cols)`` must fit a signed long, so
-    ≤ 63 total).
+    """Append a Morton key interleaving the ``bits``-bit bucket ids of
+    ``cols`` (``bits × len(cols)`` must fit a signed long, so ≤ 63
+    total); bit ``j`` of column ``k`` lands at position ``j*d + k``.
 
-    Runs ONE eager ``approxQuantile`` stats pass over all columns
-    (the only eager work; O(2^bits) driver state per column), then the
-    key is a pure map-side projection.  Duplicate quantile boundaries
-    (low-cardinality or constant columns) collapse, so such columns
-    simply contribute fewer effective bits instead of skewing the
-    interleave.
+    ``strategy='rank'`` buckets by approxQuantile boundaries (ONE
+    eager stats pass over all columns, O(2^bits) driver state each —
+    the only eager work); duplicate boundaries from low-cardinality or
+    constant columns collapse, so such columns contribute fewer
+    effective bits instead of skewing the interleave.
+    ``strategy='range'`` (or passing ``ranges={col: (lo, hi)}``)
+    quantizes uniformly against fixed ranges — min/max aggregate if
+    not given — with outliers clamped to the edge cells.  Either way
+    the key itself is a pure map-side projection.
     """
     if bits * len(cols) > 63:
         raise ValueError(f"bits*len(cols) = {bits * len(cols)} exceeds 63")
-    n_bnd = (1 << bits) - 1
-    probs = [(i + 1) / (1 << bits) for i in range(n_bnd)]
-    all_bnds = df.approxQuantile(cols, probs, relative_error)
+    if ranges is not None:
+        strategy = "range"
+    if strategy not in ("rank", "range"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     d = len(cols)
+    buckets: list = []
+    if strategy == "rank":
+        n_bnd = (1 << bits) - 1
+        probs = [(i + 1) / (1 << bits) for i in range(n_bnd)]
+        all_bnds = df.approxQuantile(cols, probs, relative_error)
+        for c, bnds in zip(cols, all_bnds):
+            uniq = sorted(set(bnds))
+            buckets.append(
+                _bucket_expr(c, uniq) if uniq else F.lit(0).cast("long")
+            )
+    else:
+        if ranges is None:
+            agg = df.agg(
+                *[F.min(c).alias(f"{c}_lo") for c in cols],
+                *[F.max(c).alias(f"{c}_hi") for c in cols],
+            ).collect()[0]
+            ranges = {c: (agg[f"{c}_lo"], agg[f"{c}_hi"]) for c in cols}
+        for c in cols:
+            lo, hi = ranges[c]
+            buckets.append(_range_bucket_expr(c, lo, hi, bits))
     z = F.lit(0).cast("long")
-    for k, (c, bnds) in enumerate(zip(cols, all_bnds)):
-        uniq = sorted(set(bnds))
-        bucket = _bucket_expr(c, uniq) if uniq else F.lit(0).cast("long")
+    for k, bucket in enumerate(buckets):
         for j in range(bits):
             bit = F.shiftright(bucket, j).bitwiseAND(F.lit(1).cast("long"))
             z = z.bitwiseOR(F.shiftleft(bit, j * d + k))
@@ -83,13 +134,17 @@ def write_zordered(
     num_files: int = 16,
     mode: str = "overwrite",
     fmt: str = "parquet",
+    strategy: str = "rank",
+    ranges: dict | None = None,
 ) -> None:
     """Write ``df`` z-ordered on ``cols``: range-partition the Morton
     key into ``num_files`` contiguous key ranges (one output file
     each), sort within each file so row groups cluster too, drop the
     key, write.  Size ``num_files`` so each file lands near the
-    cluster's target file size (128–1024 MB at real scale)."""
-    keyed = zorder_key(df, cols, bits=bits)
+    cluster's target file size (128–1024 MB at real scale);
+    ``strategy``/``ranges`` select the bucketing (see
+    :func:`zorder_key`)."""
+    keyed = zorder_key(df, cols, bits=bits, strategy=strategy, ranges=ranges)
     (
         keyed.repartitionByRange(num_files, "__z")
         .sortWithinPartitions("__z")
@@ -100,36 +155,60 @@ def write_zordered(
     )
 
 
-def layout_spans(path: str, cols: list[str]):
-    """Per-file min/max footer stats for ``cols`` of a parquet
-    directory — the observable the z-order exists to shrink.  Returns
-    ``[{file, <col>_min, <col>_max, ...}, ...]`` read driver-side via
-    pyarrow (footers only, O(files) work, no data scan) — the same
-    stats the Spark scan's file pruning consults."""
-    import glob
-    import os
+def describe_layout(path: str, columns: list[str]) -> list[dict]:
+    """Row-group-level min/max layout report for a parquet directory —
+    the ops tool behind clustering decisions: one dict per row group
+    with ``file``, ``n_rows``, and ``<col>_min`` / ``<col>_max`` per
+    requested column.  Reads FOOTERS only (pyarrow), never data pages,
+    so it is safe to point at a huge table from the driver.
+
+    Use it to answer "is this table worth re-clustering?": for a
+    predicate box, the fraction of row groups whose bounds intersect
+    it IS the scan fraction a filtered query will pay.  (Re-exported
+    as ``sinks.writers.describe_layout``; this is the one footer
+    reader in the engine.)"""
+    import glob as _glob
 
     import pyarrow.parquet as pq
 
     out = []
-    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+    for f in sorted(_glob.glob(f"{path}/*.parquet")):
         md = pq.ParquetFile(f).metadata
-        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
-        row: dict = {"file": os.path.basename(f)}
-        lo = {c: None for c in cols}
-        hi = {c: None for c in cols}
-        for rg in range(md.num_row_groups):
-            for c in cols:
-                st = md.row_group(rg).column(idx[c]).statistics
-                if st is None or not st.has_min_max:
-                    continue
-                lo[c] = st.min if lo[c] is None else min(lo[c], st.min)
-                hi[c] = st.max if hi[c] is None else max(hi[c], st.max)
-        for c in cols:
-            row[f"{c}_min"] = lo[c]
-            row[f"{c}_max"] = hi[c]
-        out.append(row)
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        idx = {c: names.index(c) for c in columns}
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            row = {"file": f.rsplit("/", 1)[-1], "n_rows": rg.num_rows}
+            for c, i in idx.items():
+                st = rg.column(i).statistics
+                ok = st is not None and st.has_min_max
+                row[f"{c}_min"] = st.min if ok else None
+                row[f"{c}_max"] = st.max if ok else None
+            out.append(row)
     return out
+
+
+def layout_spans(path: str, cols: list[str]):
+    """Per-FILE min/max spans for ``cols`` — :func:`describe_layout`'s
+    row groups folded to file granularity (the unit Spark's
+    file-listing prune works at).  Returns
+    ``[{file, <col>_min, <col>_max, ...}, ...]``."""
+    by_file: dict[str, dict] = {}
+    for rg in describe_layout(path, cols):
+        row = by_file.setdefault(
+            rg["file"],
+            {"file": rg["file"],
+             **{f"{c}_{e}": None for c in cols for e in ("min", "max")}},
+        )
+        for c in cols:
+            mn, mx = rg[f"{c}_min"], rg[f"{c}_max"]
+            if mn is not None:
+                cur = row[f"{c}_min"]
+                row[f"{c}_min"] = mn if cur is None else min(cur, mn)
+            if mx is not None:
+                cur = row[f"{c}_max"]
+                row[f"{c}_max"] = mx if cur is None else max(cur, mx)
+    return [by_file[f] for f in sorted(by_file)]
 
 
 def pruning_ratio(
@@ -157,40 +236,3 @@ def pruning_ratio(
     return hit / len(spans)
 
 
-def compact_files(
-    spark,
-    path: str,
-    out_path: str,
-    *,
-    target_mb: int = 256,
-    zorder_cols: list[str] | None = None,
-    bits: int = 8,
-) -> dict:
-    """Small-file compaction: rewrite a parquet directory into files
-    near ``target_mb`` (the small-file problem — a 100 TB table
-    accreted by streaming/incremental writes degenerates into millions
-    of KB-files whose open/footer cost dominates every scan).
-
-    File count = ceil(on-disk bytes / target) from driver-side listing
-    (no data pass); the rewrite is one job — a plain ``repartition``
-    (round-robin, even sizes) or, with ``zorder_cols``, the z-order
-    range shuffle so compaction and clustering happen in the same
-    pass.  Returns ``{files_before, files_after, bytes}``.
-
-    Writes to ``out_path`` (swap-on-success is the caller's move — an
-    in-place overwrite that fails mid-write loses the table)."""
-    import glob
-    import os
-
-    files = glob.glob(os.path.join(path, "*.parquet"))
-    total = sum(os.path.getsize(f) for f in files)
-    n_out = max(1, -(-total // (target_mb << 20)))
-    df = spark.read.parquet(path)
-    if zorder_cols:
-        write_zordered(df, out_path, zorder_cols, bits=bits,
-                       num_files=int(n_out))
-    else:
-        df.repartition(int(n_out)).write.mode("overwrite").parquet(out_path)
-    after = len(glob.glob(os.path.join(out_path, "*.parquet")))
-    return {"files_before": len(files), "files_after": after,
-            "bytes": int(total)}

@@ -13,6 +13,12 @@ AQE broadcasts it, so the snapshot never shuffles.  The change batch
 itself is deduplicated to one winner per key with a window over the
 batch only (batch-sized exchange, never snapshot-sized).
 
+Layering: this module is the pure PLAN algebra (DataFrame in,
+DataFrame out — composable, testable against SQL oracles);
+``sinks.writers.merge_upsert`` / ``merge_upsert_partitioned`` /
+``delete_keys`` wrap it with the path-level copy-on-write concerns
+(append fast path, backup-swap, partition-scoped rewrites).
+
 The reference has no mutation story at all (cosmap analyses are
 read-only over immutable catalogs — /root/reference/src/cosmap/dataset/
 __init__.py); this module is part of the mandated

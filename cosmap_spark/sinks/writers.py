@@ -48,7 +48,9 @@ def multi_output(outputs: dict[str, DataFrame], base_path: str,
 
 
 def compact_parquet(spark, src_path: str, dst_path: str,
-                    *, target_file_mb: int = 256) -> int:
+                    *, target_file_mb: int = 256,
+                    zorder_cols: list[str] | None = None,
+                    bits: int = 8) -> int:
     """Compact a small-files directory (e.g. a streaming sink's output)
     into ~``target_file_mb`` files: read, coalesce to the computed file
     count, rewrite.  Returns the output file count.
@@ -56,29 +58,24 @@ def compact_parquet(spark, src_path: str, dst_path: str,
     Small files are the classic landing-zone pathology at scale — a
     100 TB table written in 1 MB files means 10⁸ parquet footers per
     scan.  ``coalesce`` (not ``repartition``) avoids a shuffle: it only
-    merges read-splits.  Run per-partition-directory for partitioned
-    tables so partition pruning is preserved."""
+    merges read-splits.  With ``zorder_cols`` the rewrite instead goes
+    through :func:`cosmap_spark.operators.layout.write_zordered` —
+    compaction and clustering in the same (range-shuffled) pass, the
+    OPTIMIZE-with-ZORDER move.  Run per-partition-directory for
+    partitioned tables so partition pruning is preserved."""
     import math
+
+    from cosmap_spark.operators.layout import write_zordered as _wz
 
     df = spark.read.parquet(src_path)
     # Size from the scan's own statistics (file-source sizeInBytes).
     total_bytes = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
-    df.coalesce(n_files).write.mode("overwrite").parquet(dst_path)
+    if zorder_cols:
+        _wz(df, dst_path, zorder_cols, bits=bits, num_files=n_files)
+    else:
+        df.coalesce(n_files).write.mode("overwrite").parquet(dst_path)
     return n_files
-
-
-def _morton_code(cols: list, bits: int):
-    """Interleave the low ``bits`` of n quantized integer columns into
-    one long: bit j of column i lands at position ``j*n + i``.  Pure
-    shift/mask expressions — whole-stage codegen, no UDF."""
-    n = len(cols)
-    code = F.lit(0).cast("long")
-    for j in range(bits):
-        for i, c in enumerate(cols):
-            bit = F.shiftright(c, j).bitwiseAND(F.lit(1)).cast("long")
-            code = code.bitwiseOR(F.shiftleft(bit, j * n + i))
-    return code
 
 
 def write_zordered(
@@ -96,83 +93,37 @@ def write_zordered(
 
     Partition pruning handles ONE leading dimension; Z-ordering makes
     parquet min/max stats selective in EVERY interleaved dimension at
-    once: each file/row group covers a compact hyper-rectangle, so a
-    predicate box touches O(box volume) of the data instead of all of
-    it.  At 100 TB this is the difference between scanning every row
-    group footer-matched on ra and skipping all but the handful whose
-    (ra, dec) rectangle intersects the query box (the same reason
-    Delta/Iceberg OPTIMIZE ZORDER exists — re-expressed here as plain
-    DataFrame shifts + one range exchange).
+    once (the Delta/Iceberg OPTIMIZE ZORDER move).  Sink-layer wrapper
+    preserving this module's historical fixed-range signature; the
+    implementation (both bucketing strategies, the interleave, the
+    range shuffle) is canonical in
+    :mod:`cosmap_spark.operators.layout` — this wrapper keeps the
+    ``range`` strategy (given or min/max-derived [lo, hi) ranges,
+    outliers clamped) for reproducible layouts across independent
+    writes of the same declared range; use the operator directly for
+    the skew-robust quantile-rank strategy."""
+    from cosmap_spark.operators.layout import write_zordered as _wz
 
-    Layout job: quantize each column to ``bits`` against its [lo, hi)
-    range (given, or computed by one tiny min/max aggregate), interleave
-    into the Morton code, ``repartitionByRange`` on the code (range
-    exchange at full parallelism — no single-task sort) and sort within
-    partitions so row groups inside each file are compact too.
-    """
-    if bits * len(cols) > 63:
-        raise ValueError(
-            f"bits*len(cols) must fit a signed long: {bits}*{len(cols)} > 63"
-        )
-    if ranges is None:
-        agg = df.agg(
-            *[F.min(c).alias(f"{c}_lo") for c in cols],
-            *[F.max(c).alias(f"{c}_hi") for c in cols],
-        ).collect()[0]
-        ranges = {c: (agg[f"{c}_lo"], agg[f"{c}_hi"]) for c in cols}
-    top = (1 << bits) - 1
-    quantized = []
-    for c in cols:
-        lo, hi = ranges[c]
-        span = float(hi - lo) or 1.0
-        q = F.least(
-            F.lit(top),
-            F.greatest(
-                F.lit(0),
-                F.floor((F.col(c).cast("double") - F.lit(float(lo))) / span * top)
-                .cast("long"),
-            ),
-        )
-        quantized.append(q)
-    keyed = df.withColumn("__z", _morton_code(quantized, bits))
-    (
-        keyed.repartitionByRange(num_files, "__z")
-        .sortWithinPartitions("__z")
-        .drop("__z")
-        .write.mode(mode)
-        .parquet(path)
+    _wz(
+        df,
+        path,
+        cols,
+        bits=bits,
+        num_files=num_files,
+        mode=mode,
+        strategy="range",
+        ranges=ranges,
     )
 
 
 def describe_layout(path: str, columns: list[str]) -> list[dict]:
-    """Row-group-level min/max layout report for a parquet directory —
-    the ops tool behind clustering decisions: one dict per row group
-    with ``file``, ``n_rows``, and ``<col>_min`` / ``<col>_max`` per
-    requested column.  Reads FOOTERS only (pyarrow), never data pages,
-    so it is safe to point at a huge table from the driver.
+    """Row-group-level min/max layout report — delegates to the
+    canonical footer reader in
+    :func:`cosmap_spark.operators.layout.describe_layout` (see there;
+    kept here because layout reports are a sink-side ops concern)."""
+    from cosmap_spark.operators.layout import describe_layout as _dl
 
-    Use it to answer "is this table worth re-clustering?": for a
-    predicate box, the fraction of row groups whose bounds intersect it
-    IS the scan fraction a filtered query will pay (the quantity the
-    z-order test asserts on)."""
-    import glob as _glob
-
-    import pyarrow.parquet as pq
-
-    out = []
-    for f in sorted(_glob.glob(f"{path}/*.parquet")):
-        md = pq.ParquetFile(f).metadata
-        names = [md.schema.column(i).name for i in range(md.num_columns)]
-        idx = {c: names.index(c) for c in columns}
-        for g in range(md.num_row_groups):
-            rg = md.row_group(g)
-            row = {"file": f.rsplit("/", 1)[-1], "n_rows": rg.num_rows}
-            for c, i in idx.items():
-                st = rg.column(i).statistics
-                row[f"{c}_min"] = None if st is None else st.min
-                row[f"{c}_max"] = None if st is None else st.max
-            out.append(row)
-    return out
+    return _dl(path, columns)
 
 
 def merge_upsert(spark, path: str, updates: DataFrame, keys: list[str]) -> None:
@@ -180,9 +131,12 @@ def merge_upsert(spark, path: str, updates: DataFrame, keys: list[str]) -> None:
     (update-or-insert by key; updates win, unmatched existing rows
     survive) without a transactional table format.
 
-    Plan: existing LEFT ANTI updates-keys (drops rows being replaced)
-    UNION ALL updates — the update-key side broadcasts when small, so
-    the big existing table never shuffles.  When NO existing key is
+    Plan: built by the frame-level algebra in
+    :func:`cosmap_spark.operators.merge.merge_upsert` (existing LEFT
+    ANTI updates-keys UNION ALL updates — the update-key side
+    broadcasts when small, so the big existing table never shuffles;
+    duplicate update keys raise, per MERGE semantics — resolve them
+    with the operator's ``seq_col`` first).  When NO existing key is
     touched (pure inserts — e.g. each dedup batch appending fresh
     signature ids) the rewrite is skipped entirely and the new rows
     append as new files: O(batch), not O(table).
@@ -198,8 +152,8 @@ def merge_upsert(spark, path: str, updates: DataFrame, keys: list[str]) -> None:
     approximation.  At scale with a partitioned table, run
     per-partition so only touched partitions rewrite."""
     import os
-    import shutil
-    import uuid
+
+    from cosmap_spark.operators.merge import merge_upsert as _merge_plan
 
     if not os.path.exists(path):
         updates.write.mode("overwrite").parquet(path)
@@ -215,10 +169,7 @@ def merge_upsert(spark, path: str, updates: DataFrame, keys: list[str]) -> None:
     if existing.join(F.broadcast(upd_keys), keys, "left_semi").limit(1).count() == 0:
         updates.write.mode("append").parquet(path)
         return
-    merged = existing.join(F.broadcast(upd_keys), keys, "left_anti").unionByName(
-        updates
-    )
-    _swap_in(path, merged)
+    _swap_in(path, _merge_plan(existing, updates, keys))
 
 
 def merge_upsert_partitioned(

@@ -139,10 +139,13 @@ def test_write_zordered_single_dim_still_prunes(spark):
         assert r <= 0.31
 
 
-def test_compact_files(spark):
-    """Many tiny files in, few near-target files out; zorder_cols
-    variant clusters during the same rewrite."""
-    from cosmap_spark.operators.layout import compact_files
+def test_compact_parquet_zorder_variant(spark):
+    """Many tiny files in, few near-target files out; the zorder_cols
+    variant clusters during the same rewrite (sinks.compact_parquet
+    delegating to the canonical layout implementation)."""
+    import glob
+
+    from cosmap_spark.sinks.writers import compact_parquet
 
     df = spark.range(0, 30_000).select(
         F.col("id").alias("x"),
@@ -154,15 +157,16 @@ def test_compact_files(spark):
     with tempfile.TemporaryDirectory() as d:
         src = f"{d}/src"
         df.repartition(50).write.parquet(src)  # the small-file mess
-        rep = compact_files(spark, src, f"{d}/flat", target_mb=1)
-        assert rep["files_before"] == 50
-        assert 2 <= rep["files_after"] < 15
+        n = compact_parquet(spark, src, f"{d}/flat", target_file_mb=1)
+        assert 2 <= n < 15
+        assert len(glob.glob(f"{d}/flat/*.parquet")) <= n
         assert spark.read.parquet(f"{d}/flat").count() == 30_000
 
-        rep2 = compact_files(
-            spark, src, f"{d}/zed", target_mb=1, zorder_cols=["x", "y"]
+        n2 = compact_parquet(
+            spark, src, f"{d}/zed", target_file_mb=1,
+            zorder_cols=["x", "y"],
         )
-        assert 2 <= rep2["files_after"] < 15
+        assert 2 <= n2 < 15
         # compaction + clustering in one pass: per-file bounding-box
         # AREA shrinks vs the round-robin rewrite, whose every file
         # spans ~the full domain in both dimensions (area is the
