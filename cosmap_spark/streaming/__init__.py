@@ -21,6 +21,7 @@ from cosmap_spark.streaming.ops import (  # noqa: F401
     stateful_user_counter_tws,
     stream_stream_join,
     tumbling_counts,
+    upsert_stream,
     windowed_dedup,
     write_incremental,
 )
