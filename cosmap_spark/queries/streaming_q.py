@@ -83,6 +83,33 @@ _STREAM_WINDOWS_ORACLE = """
                   WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS level
       FROM c3
     ),
+    -- time-to-convert means over the same fixed-anchor funnel
+    lat AS (
+      SELECT 2 AS step, count(*) AS n_users,
+             round(avg(epoch(t2) - epoch(t1)), 3) AS mean_prev,
+             round(avg(epoch(t2) - epoch(t1)), 3) AS mean_start
+      FROM f3 WHERE t2 IS NOT NULL HAVING count(*) > 0
+      UNION ALL
+      SELECT 3, count(*),
+             round(avg(epoch(t3) - epoch(t2)), 3),
+             round(avg(epoch(t3) - epoch(t1)), 3)
+      FROM f3 WHERE t3 IS NOT NULL HAVING count(*) > 0
+    ),
+    -- top 3-step event paths (flow analysis)
+    pth AS (
+      SELECT concat_ws('>', event_type,
+                       lead(event_type, 1) OVER w,
+                       lead(event_type, 2) OVER w) AS path,
+             lead(event_type, 2) OVER w AS tail
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        AND event_type IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    topp AS (
+      SELECT path, count(*) AS n FROM pth WHERE tail IS NOT NULL
+      GROUP BY 1 ORDER BY n DESC, path LIMIT 20
+    ),
     wbest AS (SELECT user_id, max(level) AS steps FROM lv GROUP BY 1),
     wf AS (
       SELECT b.user_id, max(l.anchor) AS anchor, b.steps
@@ -138,6 +165,12 @@ _STREAM_WINDOWS_ORACLE = """
            round(CAST(a.n_active AS DOUBLE) / s.sz, 6)
     FROM cagg a JOIN csizes s USING (cohort)
     UNION ALL
+    SELECT 'latency', step, 'from_prev', n_users, mean_prev FROM lat
+    UNION ALL
+    SELECT 'latency', step, 'from_start', n_users, mean_start FROM lat
+    UNION ALL
+    SELECT 'paths', NULL, path, n, NULL FROM topp
+    UNION ALL
     SELECT 'trans', NULL, from_type || '>' || to_type, n,
            round(CAST(n AS DOUBLE)
                  / (sum(n) OVER (PARTITION BY from_type)), 6)
@@ -188,11 +221,20 @@ def q_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
       (cohort epoch, period_n, n_active, retention);
     * ``trans`` — event_transitions: the per-user next-event Markov
       matrix (flow analysis), key = "from>to", n = pair count,
-      total = row-normalized transition probability."""
+      total = row-normalized transition probability;
+    * ``latency`` — funnel_latency over the same per-user funnel:
+      per step, users completing it and the mean seconds from the
+      previous step / from the anchor (two rows per step; the
+      percentile_approx sketch columns stay pytest-side — sketches
+      are engine-specific);
+    * ``paths`` — event_paths: top-20 3-step paths, ties broken on
+      the path string in both engines."""
     from cosmap_spark.operators.funnel import (
         cohort_retention,
+        event_paths,
         event_transitions,
         funnel,
+        funnel_latency,
         funnel_sliding,
         funnel_summary,
     )
@@ -258,10 +300,24 @@ def q_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         event_transitions(ev), "trans", None,
         F.concat_ws(">", "from_type", "to_type"), F.col("n"), F.col("p"),
     )
+    lat = funnel_latency(fu, len(steps), quantiles=())
+    lat_prev = shape(
+        lat, "latency", F.col("step"), F.lit("from_prev"),
+        F.col("n_users"), F.col("mean_from_prev"),
+    )
+    lat_start = shape(
+        lat, "latency", F.col("step"), F.lit("from_start"),
+        F.col("n_users"), F.col("mean_from_start"),
+    )
+    pth = shape(
+        event_paths(ev, k=3, top_n=20), "paths", None, F.col("path"),
+        F.col("n"), None,
+    )
     return (
         tumble.unionByName(slide).unionByName(late)
         .unionByName(funnel_rows).unionByName(fsum)
         .unionByName(wf).unionByName(coh).unionByName(trans)
+        .unionByName(lat_prev).unionByName(lat_start).unionByName(pth)
     )
 
 
