@@ -91,9 +91,39 @@ def _funnel_sliding_bench(spark, sf_dir: str):
     return funnel_sliding(ev, ["view", "click", "purchase"], horizon="2 days")
 
 
+def _merge_upsert_bench(spark, sf_dir: str):
+    """Scaling workload for the CDC merge algebra: a FIXED 500-row
+    change batch (updates + inserts + tombstones) merged into the
+    growing documents snapshot.  The claim under test is the plan
+    shape — the snapshot side passes through one broadcastable anti
+    join and never shuffles — so cells should scale with the
+    snapshot SCAN (linear ceiling), never with batch × snapshot."""
+    from pyspark.sql import functions as F
+
+    from cosmap_spark.operators.merge import merge_upsert
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch = (
+        spark.range(0, 500)
+        .select(
+            (F.col("id") * 7).alias("doc_id"),
+            F.concat(F.lit("updated text "), F.col("id").cast("string"))
+            .alias("text"),
+            F.col("id").alias("seq"),
+            (F.col("id") % 10 == 0).alias("deleted"),
+        )
+    )
+    for f in docs.schema.fields:
+        if f.name not in batch.columns:
+            batch = batch.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return merge_upsert(docs, batch, ["doc_id"], seq_col="seq",
+                        delete_col="deleted")
+
+
 #: non-registry workloads timed in the scaling section (the registry
 #: is capped at 50; these are operators, not gate queries)
-EXTRA_SCALING = {"funnel_sliding": _funnel_sliding_bench}
+EXTRA_SCALING = {"funnel_sliding": _funnel_sliding_bench,
+                 "merge_upsert": _merge_upsert_bench}
 
 
 def _build_scaled(spark, base_dir: str, out_dir: str, factor: int) -> None:
