@@ -141,6 +141,37 @@ def main() -> None:
         assert spark.read.parquet(z2).count() == n0
         print("re-layout after merge: OK")
 
+        # 5. streaming CDC: the same merge, live ---------------------------
+        from cosmap_spark.streaming.ops import upsert_stream
+
+        land = os.path.join(root, "cdc_landing")
+        os.makedirs(land)
+        live = os.path.join(root, "live", "table")
+        ckpt = os.path.join(root, "cdc_ckpt")
+        cdc_schema = "c_custkey long, c_name string, seq long, deleted boolean"
+        spark.createDataFrame(
+            [(upd_key, "LIVE-1", 1, False), (new_key, "LIVE-NEW", 1, False)],
+            cdc_schema,
+        ).coalesce(1).write.parquet(os.path.join(land, "f1"))
+        upsert_stream(
+            spark.readStream.schema(cdc_schema)
+            .option("maxFilesPerTrigger", 1).parquet(os.path.join(land, "*")),
+            live, ckpt, ["c_custkey"], seq_col="seq", delete_col="deleted",
+        ).awaitTermination(120)
+        spark.createDataFrame(
+            [(upd_key, "LIVE-2", 2, False), (new_key, None, 2, True)],
+            cdc_schema,
+        ).coalesce(1).write.parquet(os.path.join(land, "f2"))
+        upsert_stream(
+            spark.readStream.schema(cdc_schema)
+            .option("maxFilesPerTrigger", 1).parquet(os.path.join(land, "*")),
+            live, ckpt, ["c_custkey"], seq_col="seq", delete_col="deleted",
+        ).awaitTermination(120)
+        live_rows = {r["c_custkey"]: r["c_name"]
+                     for r in spark.read.parquet(live).collect()}
+        assert live_rows == {upd_key: "LIVE-2"}  # updated; tombstone applied
+        print("upsert_stream: two CDC micro-batches applied live")
+
     spark.stop()
     print("lakehouse example: all invariants hold")
 
