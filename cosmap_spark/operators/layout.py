@@ -44,10 +44,17 @@ def _bucket_expr(col: str, boundaries: list[float]) -> "F.Column":
     """Quantile-rank bucket of ``col`` against sorted ``boundaries``:
     ``|{b : b <= x}|`` via a JVM higher-order filter — O(2^bits)
     comparisons per row, all codegen'd, no Python.  NULL compares to
-    nothing, so NULLs land in bucket 0 (the natural "first" cell)."""
+    nothing, so NULLs land in bucket 0 (the natural "first" cell).
+
+    The cast column is BOUND once via the single-element-array +
+    transform trick (the repo's lambda-CSE discipline: an outer-scope
+    expression referenced inside a higher-order-function lambda
+    re-evaluates per element)."""
     arr = F.array(*[F.lit(float(b)) for b in boundaries])
-    x = F.col(col).cast("double")
-    return F.size(F.filter(arr, lambda b: b <= x)).cast("long")
+    return F.transform(
+        F.array(F.col(col).cast("double")),
+        lambda x: F.size(F.filter(arr, lambda b: b <= x)).cast("long"),
+    )[0]
 
 
 def _range_bucket_expr(col: str, lo: float, hi: float, bits: int) -> "F.Column":
@@ -220,9 +227,11 @@ def pruning_ratio(
     """Fraction of files a box predicate ``lo[c] <= c <= hi[c]`` must
     open given ``layout_spans`` output — the file-skipping metric a
     layout is judged by (1.0 = no skipping, → 0 = most files
-    pruned)."""
+    pruned).  Empty ``spans`` raises: a missing/mistyped path must not
+    score as a perfectly-pruned layout."""
     if not spans:
-        return 0.0
+        raise ValueError("pruning_ratio: empty spans (wrong path, or the "
+                         "layout was never written)")
     hit = 0
     for row in spans:
         ok = True

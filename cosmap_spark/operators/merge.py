@@ -62,6 +62,8 @@ def merge_upsert(
     *,
     seq_col: str | None = None,
     delete_col: str | None = None,
+    assume_unique: bool = False,
+    broadcast_keys: bool = True,
 ) -> DataFrame:
     """``MERGE INTO`` as a pure DataFrame plan: rows of ``target``
     whose key appears in ``changes`` are replaced by the change row
@@ -78,8 +80,15 @@ def merge_upsert(
     winner per key inside the batch (see :func:`latest_per_key`); when
     ``None`` the batch must already be unique per key — enforced with
     one eager batch-sized validation job (the only eager work here;
-    pass ``seq_col`` to stay fully lazy).  ``delete_col`` is dropped
-    from the output.
+    pass ``seq_col`` to stay fully lazy, or ``assume_unique=True``
+    when uniqueness holds by construction and the batch lineage is
+    expensive to re-run).  ``delete_col`` is dropped from the output.
+
+    ``broadcast_keys`` (default) HINTS the distinct change-key set to
+    broadcast, guaranteeing the snapshot-side no-shuffle contract
+    regardless of size estimates; disable it only for a change batch
+    whose key set genuinely exceeds executor memory, accepting a
+    shuffled anti-join.
 
     Output schema = target schema (change rows are column-pruned and
     cast to it, so a wider CDC envelope is fine).
@@ -87,7 +96,7 @@ def merge_upsert(
     batch = changes
     if seq_col is not None:
         batch = latest_per_key(batch, keys, seq_col=seq_col)
-    else:
+    elif not assume_unique:
         dup = (
             batch.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count()
         )
@@ -103,7 +112,10 @@ def merge_upsert(
     upserts = alive.select(
         *[F.col(f.name).cast(f.dataType) for f in target.schema.fields]
     )
-    kept = target.join(batch.select(*keys).distinct(), on=keys, how="left_anti")
+    key_set = batch.select(*keys).distinct()
+    if broadcast_keys:
+        key_set = F.broadcast(key_set)
+    kept = target.join(key_set, on=keys, how="left_anti")
     return kept.unionByName(upserts)
 
 
@@ -132,6 +144,13 @@ def scd2_apply(
       * current row, values equal → no-op (idempotent re-applies)
       * current row, values differ→ close it (``valid_to`` = update
         ts, ``is_current`` false) and insert the new open version
+      * update OLDER than the current version's ``valid_from`` →
+        IGNORED (logged nowhere — it is dropped): applying it would
+        write an inverted interval (``valid_to < valid_from``) and a
+        "current" version that predates the one it supersedes.  SCD-2
+        is an in-order protocol; a feed that can deliver late updates
+        needs bitemporal handling upstream (sort/buffer by ``ts_col``
+        before applying).
 
     Plan shape: closed/historical rows stream through a broadcastable
     LEFT join against the latest-update batch; change detection is a
@@ -156,7 +175,10 @@ def scd2_apply(
     for c in tracked:
         same = same & F.col(c).eqNullSafe(F.col(f"__u_{c}"))
     has_update = F.col("__u_ts").isNotNull()
-    closing = F.col(current_col) & has_update & ~same
+    # late-arrival guard: an update older than the open version's start
+    # must not close it (inverted interval) — see docstring
+    in_order = F.col("__u_ts") >= F.col(start_col)
+    closing = F.col(current_col) & has_update & ~same & in_order
 
     existing = joined.select(
         *dim.columns[: len(dim.columns)],
@@ -172,6 +194,7 @@ def scd2_apply(
     # (tracked values may legitimately be NULL): join an explicit marker.
     cur_marked = dim.filter(F.col(current_col)).select(
         *keys, F.lit(True).alias("__had_cur"),
+        F.col(start_col).alias("__d_vf"),
         *[F.col(c).alias(f"__d_{c}") for c in tracked],
     )
     fresh = latest.join(cur_marked, on=keys, how="left")
@@ -179,7 +202,8 @@ def scd2_apply(
     for c in tracked:
         d_same = d_same & F.col(c).eqNullSafe(F.col(f"__d_{c}"))
     inserts = fresh.filter(
-        F.col("__had_cur").isNull() | ~d_same
+        F.col("__had_cur").isNull()
+        | (~d_same & (F.col(ts_col) >= F.col("__d_vf")))
     ).select(
         *keys,
         *tracked,

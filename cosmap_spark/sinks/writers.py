@@ -133,13 +133,14 @@ def merge_upsert(spark, path: str, updates: DataFrame, keys: list[str]) -> None:
 
     Plan: built by the frame-level algebra in
     :func:`cosmap_spark.operators.merge.merge_upsert` (existing LEFT
-    ANTI updates-keys UNION ALL updates — the update-key side
-    broadcasts when small, so the big existing table never shuffles;
-    duplicate update keys raise, per MERGE semantics — resolve them
-    with the operator's ``seq_col`` first).  When NO existing key is
-    touched (pure inserts — e.g. each dedup batch appending fresh
-    signature ids) the rewrite is skipped entirely and the new rows
-    append as new files: O(batch), not O(table).
+    ANTI updates-keys UNION ALL updates — the update-key side is
+    broadcast-hinted, so the big existing table never shuffles).
+    Updates are assumed key-unique (this sink's historical contract —
+    duplicates both survive the anti-join; resolve them upstream with
+    the operator's ``seq_col`` if the feed can repeat keys).  When NO
+    existing key is touched (pure inserts — e.g. each dedup batch
+    appending fresh signature ids) the rewrite is skipped entirely and
+    the new rows append as new files: O(batch), not O(table).
 
     Rewrites land fully in a temp directory BEFORE the live directory
     is swapped (read-before-delete), then swap by two renames.  The
@@ -169,7 +170,7 @@ def merge_upsert(spark, path: str, updates: DataFrame, keys: list[str]) -> None:
     if existing.join(F.broadcast(upd_keys), keys, "left_semi").limit(1).count() == 0:
         updates.write.mode("append").parquet(path)
         return
-    _swap_in(path, _merge_plan(existing, updates, keys))
+    _swap_in(path, _merge_plan(existing, updates, keys, assume_unique=True))
 
 
 def merge_upsert_partitioned(

@@ -784,16 +784,19 @@ def upsert_stream(changes: DataFrame, table_path: str, checkpoint: str,
     with an intact checkpoint only the IN-FLIGHT batch can replay,
     and re-applying that identical batch is a no-op by merge
     semantics (same winners, same tombstones ⇒ same table).  The
-    ``_upsert_epochs`` ledger (sketch_stream's discipline, same
-    driver-local-filesystem durability caveat) additionally skips the
-    redundant O(table) rewrite such a replay would pay — and guards
-    the one genuinely dangerous replay: a rebuilt checkpoint
-    re-delivering COMPLETED epochs, where re-applying an old batch is
-    NOT idempotent (it can resurrect a key a later batch deleted).
-    That guard keys on epoch ids restarting deterministically (same
-    files, same order); re-point the ledger with the table if the
-    source lineage changes.  Snapshot schema = change schema minus
-    ``seq_col`` / ``delete_col``, fixed by the first batch.
+    ``<table>.__upsert_epochs`` sibling ledger (sketch_stream's
+    discipline, same driver-local-filesystem durability caveat; named
+    after the table directory so concurrent streams under one parent
+    never share markers) additionally skips the redundant O(table)
+    rewrite such a replay would pay — and guards the one genuinely
+    dangerous replay: a rebuilt checkpoint re-delivering COMPLETED
+    epochs, where re-applying an old batch is NOT idempotent (it can
+    resurrect a key a later batch deleted).  That guard keys on epoch
+    ids restarting deterministically (same files, same order).  A
+    MISSING table invalidates the ledger (it is wiped and the stream
+    bootstraps cleanly) — markers can only describe a table that
+    still exists.  Snapshot schema = change schema minus ``seq_col``
+    / ``delete_col``, fixed by the first batch.
 
     At scale: each micro-batch costs one broadcastable anti-join over
     the snapshot plus the rewrite — the rewrite is the copy-on-write
@@ -801,37 +804,41 @@ def upsert_stream(changes: DataFrame, table_path: str, checkpoint: str,
     partitioned table and swaps per touched partition
     (``merge_upsert_partitioned``), or at a log-backed table format."""
     import os
+    import shutil
 
-    from cosmap_spark.operators.merge import latest_per_key
     from cosmap_spark.operators.merge import merge_upsert as _merge_plan
 
     drop_cols = [c for c in (seq_col, delete_col) if c is not None]
+    # the ledger is a SIBLING named after the table directory itself:
+    # two streams under one parent never share markers, and the ledger
+    # dies with the table name it describes
+    ledger = f"{table_path.rstrip('/')}.__upsert_epochs"
 
     def run(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        root = os.path.dirname(table_path.rstrip("/")) or "."
-        ledger = os.path.join(root, "_upsert_epochs")
         done_marker = os.path.join(ledger, f"epoch-{epoch_id}")
-        if os.path.exists(done_marker):
-            return  # replayed epoch: already merged
+        if os.path.exists(table_path):
+            if os.path.exists(done_marker):
+                return  # replayed epoch: already merged
+            existing = spark.read.parquet(table_path)
+        else:
+            # bootstrap — any surviving ledger is STALE (it can only
+            # describe a table that no longer exists, e.g. a wiped-and-
+            # rebuilt lineage); honoring it would silently drop every
+            # replayed batch and never re-create the table
+            if os.path.exists(ledger):
+                shutil.rmtree(ledger)
+            existing = spark.createDataFrame(
+                [], batch_df.drop(*drop_cols).schema
+            )
+        merged = _merge_plan(existing, batch_df, keys,
+                             seq_col=seq_col, delete_col=delete_col)
         if os.path.exists(table_path):
             from cosmap_spark.sinks.writers import _swap_in
 
-            existing = spark.read.parquet(table_path)
-            _swap_in(
-                table_path,
-                _merge_plan(existing, batch_df, keys,
-                            seq_col=seq_col, delete_col=delete_col),
-            )
+            _swap_in(table_path, merged)
         else:
-            first = batch_df
-            if seq_col is not None:
-                first = latest_per_key(first, keys, seq_col=seq_col)
-            if delete_col is not None:
-                first = first.filter(
-                    ~F.coalesce(F.col(delete_col), F.lit(False))
-                )
-            first.drop(*drop_cols).write.mode("overwrite").parquet(table_path)
+            merged.write.mode("overwrite").parquet(table_path)
         os.makedirs(ledger, exist_ok=True)
         with open(done_marker, "w") as f:
             f.write("ok")

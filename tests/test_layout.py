@@ -55,11 +55,23 @@ def test_zorder_nulls_and_constant_columns(spark):
         [(None, 1, 5), (3, 1, 5), (9, 1, 5)], "x long, c long, k long"
     )
     out = zorder_key(df, ["x", "c"], bits=4).collect()
-    z = {r["k"]: r["__z"] for r in out}
-    assert len(z) == 1 or len(set(r["__z"] for r in out)) <= 3
+    # the constant column's boundaries collapse, so it must contribute
+    # IDENTICAL bits to every row (x owns even positions, c odd ones)
+    c_bits = {
+        sum(((r["__z"] >> (2 * j + 1)) & 1) << j for j in range(4))
+        for r in out
+    }
+    assert len(c_bits) == 1
+    # x still separates the rows
+    assert len({r["__z"] for r in out}) == 3
     nulls = [r for r in out if r["x"] is None]
     others = [r["__z"] for r in out if r["x"] is not None]
     assert nulls[0]["__z"] <= min(others)  # NULL lands in the first cell
+
+
+def test_pruning_ratio_empty_spans_raises(spark):
+    with pytest.raises(ValueError, match="empty spans"):
+        pruning_ratio([], ["x"], {"x": 0}, {"x": 1})
 
 
 def test_zorder_bits_overflow_guard(spark):

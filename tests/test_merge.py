@@ -247,3 +247,55 @@ def test_merge_randomized_differential(spark):
             ).fetchall()
         )
         assert got == want, f"seed {seed}"
+
+
+def test_scd2_late_update_ignored(spark):
+    """An update whose ts predates the open version's valid_from must
+    be dropped, not written as an inverted interval."""
+    dim = spark.createDataFrame(
+        [(1, "new", 200, None, True), (1, "old", 100, 200, False)],
+        "id long, attr string, valid_from long, valid_to long, is_current boolean",
+    )
+    late = spark.createDataFrame(
+        [(1, "stale", 150)], "id long, attr string, ts long"
+    )
+    out = scd2_apply(dim, late, ["id"], ts_col="ts").collect()
+    assert len(out) == 2  # nothing inserted
+    cur = [r for r in out if r["is_current"]]
+    assert len(cur) == 1 and cur[0]["attr"] == "new"
+    assert cur[0]["valid_to"] is None  # not closed by the late row
+    # and every interval stays non-inverted
+    assert all(
+        r["valid_to"] is None or r["valid_to"] >= r["valid_from"] for r in out
+    )
+    # an in-order update with the same content still applies
+    ok = spark.createDataFrame(
+        [(1, "newer", 300)], "id long, attr string, ts long"
+    )
+    out2 = scd2_apply(dim, ok, ["id"], ts_col="ts").collect()
+    assert sum(r["is_current"] for r in out2) == 1
+    assert [r["attr"] for r in out2 if r["is_current"]] == ["newer"]
+
+
+def test_merge_upsert_assume_unique_skips_validation(spark, snapshot):
+    """assume_unique must not run the eager duplicate probe; with a
+    genuinely duplicated batch both rows survive (the documented sink
+    contract), instead of raising."""
+    changes = spark.createDataFrame(
+        [(3, "a", 1), (3, "b", 2)], "id long, name string, score long"
+    )
+    out = merge_upsert(snapshot, changes, ["id"], assume_unique=True)
+    assert out.filter("id = 3").count() == 2
+
+
+def test_merge_upsert_broadcast_hint_in_initial_plan(spark, snapshot):
+    """broadcast_keys must put the hint in the plan BEFORE execution
+    (local relations carry no stats, so without the hint the initial
+    plan is a sort-merge join — the 100 TB shuffle the contract
+    forbids)."""
+    changes = spark.createDataFrame(
+        [(1, "x", 0)], "id long, name string, score long"
+    )
+    plan = merge_upsert(snapshot, changes, ["id"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan

@@ -1110,3 +1110,48 @@ def test_upsert_stream_applies_cdc_batches(spark, tmp_path):
     run_stream()
     again = sorted((r["id"], r["v"]) for r in spark.read.parquet(table).collect())
     assert again == ref_rows
+
+
+def test_upsert_stream_ledgers_do_not_collide(spark, tmp_path):
+    """Two streams targeting sibling tables under one parent must not
+    share epoch markers (the ledger is named after the table), and a
+    wiped-and-rebuilt table must not be starved by its own stale
+    ledger."""
+    from cosmap_spark.streaming.ops import upsert_stream
+
+    schema = "id long, v string"
+    land_a = tmp_path / "la"
+    land_b = tmp_path / "lb"
+    land_a.mkdir(); land_b.mkdir()
+    parent = tmp_path / "tables"
+    ta, tb = str(parent / "a"), str(parent / "b")
+
+    def feed(land, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(land / f"f{len(rows)}"))
+
+    def run(land, table, ckpt):
+        upsert_stream(
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(str(land / "*")),
+            table, str(tmp_path / ckpt), ["id"],
+        ).awaitTermination(120)
+
+    feed(land_a, [(1, "a1")])
+    run(land_a, ta, "ck_a")
+    # stream B starts at epoch 0 too — with a shared parent-scoped
+    # ledger its first batch would be silently dropped
+    feed(land_b, [(1, "b1"), (2, "b2")])
+    run(land_b, tb, "ck_b")
+    assert spark.read.parquet(tb).count() == 2
+    assert {r["v"] for r in spark.read.parquet(ta).collect()} == {"a1"}
+
+    # rebuild: wipe table B + its checkpoint; the stale ledger must be
+    # invalidated so the table is re-created from the replayed feed
+    import shutil
+
+    shutil.rmtree(tb)
+    shutil.rmtree(str(tmp_path / "ck_b"))
+    run(land_b, tb, "ck_b")
+    assert spark.read.parquet(tb).count() == 2
