@@ -299,3 +299,64 @@ def test_merge_upsert_broadcast_hint_in_initial_plan(spark, snapshot):
     plan = merge_upsert(snapshot, changes, ["id"])._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_scd2_chain_invariants_property(spark):
+    """Hypothesis: applying random update batches in ts order keeps,
+    per key — at most one current row, the current row open
+    (valid_to NULL), every closed interval non-inverted, consecutive
+    versions chained (next valid_from == previous valid_to), and the
+    final current value equal to the last distinct update applied."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=4),   # key
+                st.sampled_from(["a", "b", "c", None]),  # value
+            ),
+            min_size=1,
+            max_size=7,
+        )
+    )
+    def check(updates):
+        dim = spark.createDataFrame(
+            [],
+            "id long, attr string, valid_from long, valid_to long, is_current boolean",
+        )
+        for i, batch in enumerate(updates):
+            k, v = batch
+            up = spark.createDataFrame(
+                [(k, v, (i + 1) * 100)], "id long, attr string, ts long"
+            )
+            dim = scd2_apply(dim, up, ["id"], ts_col="ts",
+                             tracked=["attr"]).localCheckpoint()
+        rows = dim.collect()
+        by_key: dict = {}
+        for r in rows:
+            by_key.setdefault(r["id"], []).append(r)
+        last_applied: dict = {}
+        for k, v in updates:
+            last_applied[k] = v
+        for k, vers in by_key.items():
+            cur = [r for r in vers if r["is_current"]]
+            assert len(cur) == 1
+            assert cur[0]["valid_to"] is None
+            closed = sorted(
+                (r for r in vers if not r["is_current"]),
+                key=lambda r: r["valid_from"],
+            )
+            for r in closed:
+                assert r["valid_to"] is not None
+                assert r["valid_to"] >= r["valid_from"]
+            chain = closed + cur
+            for prev, nxt in zip(chain, chain[1:]):
+                assert nxt["valid_from"] == prev["valid_to"]
+            assert cur[0]["attr"] == last_applied[k]
+        # keys never updated must not appear
+        assert set(by_key) <= set(last_applied)
+
+    check()
