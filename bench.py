@@ -74,7 +74,7 @@ HEADLINE = [
 #: documents/embeddings/events, the tables the builder replicates)
 SCALING_SET = [
     "q_dedup_ngram", "q_passage_dedup", "q_decontam", "q_knn_ann",
-    "funnel_sliding",
+    "funnel_sliding", "merge_upsert",
 ]
 SCALING_FACTORS = [1, 4, 10]
 

@@ -181,13 +181,9 @@ def scd2_apply(
     closing = F.col(current_col) & has_update & ~same & in_order
 
     existing = joined.select(
-        *dim.columns[: len(dim.columns)],
-        F.when(closing, F.col("__u_ts")).otherwise(F.col(end_col)).alias("__new_end"),
-        F.when(closing, F.lit(False)).otherwise(F.col(current_col)).alias("__new_cur"),
-    ).select(
         *[c for c in dim.columns if c not in (end_col, current_col)],
-        F.col("__new_end").alias(end_col),
-        F.col("__new_cur").alias(current_col),
+        F.when(closing, F.col("__u_ts")).otherwise(F.col(end_col)).alias(end_col),
+        F.when(closing, F.lit(False)).otherwise(F.col(current_col)).alias(current_col),
     ).select(*dim.columns)
 
     # "had a current row" must not key off a tracked column's nullness
