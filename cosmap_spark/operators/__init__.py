@@ -126,6 +126,10 @@ from cosmap_spark.operators.vocab import (  # noqa: F401
     token_vocab,
     train_bpe,
 )
+from cosmap_spark.operators.retrieval import (  # noqa: F401
+    bm25_search,
+    bm25_weight,
+)
 from cosmap_spark.operators.sampler import (  # noqa: F401
     deterministic_sample,
     epoch_shuffle,

@@ -40,6 +40,7 @@ from cosmap_spark.operators.dedup import (
 )
 from cosmap_spark.operators.knn import knn_bruteforce, knn_ivf, knn_lsh
 from cosmap_spark.operators.pq import knn_ivfpq
+from cosmap_spark.operators.retrieval import bm25_weight
 from cosmap_spark.operators.multimodal import attach_media_metadata
 from cosmap_spark.queries.registry import query
 from cosmap_spark.tables import load_table
@@ -915,7 +916,13 @@ _TFIDF_ORACLE = """
            round(
              sum(t.tf * -ln(CAST(d.ctf AS DOUBLE) / tot.n_tok))
                OVER (PARTITION BY t.doc_id)
-             / sum(t.tf) OVER (PARTITION BY t.doc_id), 4) AS lm_nll
+             / sum(t.tf) OVER (PARTITION BY t.doc_id), 4) AS lm_nll,
+           round(
+             ln((n.n_docs - d.df + 0.5) / (d.df + 0.5) + 1)
+             * (t.tf * 2.2)
+             / (t.tf + 1.2 * (1 - 0.75 + 0.75
+                * (sum(t.tf) OVER (PARTITION BY t.doc_id))
+                  / (CAST(tot.n_tok AS DOUBLE) / n.n_docs))), 6) AS bm25
     FROM tf t JOIN dfreq d USING (term) CROSS JOIN n CROSS JOIN tot
 """
 
@@ -933,7 +940,12 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
       log-likelihood under that unigram LM: high = improbable token mix
       (gibberish / OCR noise), low = stereotyped text.  The distributed
       analog of CCNet's "perplexity under a reference LM" filter, with
-      the corpus itself as the LM.
+      the corpus itself as the LM;
+    * ``bm25`` — the Okapi BM25 term weight (Robertson-style
+      ``ln((N−df+0.5)/(df+0.5)+1)`` idf, k1=1.2, b=0.75, document
+      length = Σtf over the doc window, avgdl = n_tok/N) — the
+      retrieval-grade weighting operators/retrieval.py::bm25_search
+      ranks with, hash-checked here at full (doc, term) granularity.
 
     Scale shape: explode to (doc, term), ONE groupBy for term
     frequencies, ONE groupBy (on the much smaller tf table) for per-term
@@ -970,6 +982,14 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.sum("tf").over(w),
                 4,
             ).alias("lm_nll"),
+            F.round(
+                bm25_weight(
+                    F.col("tf"), F.col("df"), F.col("n_docs"),
+                    F.sum("tf").over(w),
+                    F.col("n_tok").cast("double") / F.col("n_docs"),
+                ),
+                6,
+            ).alias("bm25"),
         )
     )
 
