@@ -110,6 +110,7 @@ from cosmap_spark.operators.diff import (  # noqa: F401
     diff_summary,
 )
 from cosmap_spark.operators.funnel import (  # noqa: F401
+    attribution,
     cohort_retention,
     event_paths,
     event_transitions,

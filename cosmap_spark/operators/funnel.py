@@ -568,3 +568,64 @@ def _summary_from_counts(
             .otherwise(0.0), 6,
         ).alias("retention_from_prev"),
     )
+
+
+def attribution(
+    events: DataFrame,
+    *,
+    conversion: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """Multi-touch conversion attribution — the revenue-assignment
+    member of the behavioral family: every ``conversion`` event is
+    credited to the user's FIRST and LAST preceding non-conversion
+    touch (the two classic single-touch models), ``'direct'`` when no
+    touch precedes it.  Returns ``[model, touch, n, share]`` with
+    ``share`` = n / conversions, rounded to 6 dp.
+
+    Scale shape: ONE user-keyed window pass computes both models
+    (``first``/``last`` with ``ignorenulls`` over the strictly-
+    preceding frame — per-row state is two values, never a buffered
+    event log), conversions explode to their two (model, touch)
+    credits, and one O(models·types) aggregation finishes.  The same
+    exchange every per-user sequence operator pays, nothing else."""
+    if tie_cols is None:
+        tie_cols = ["event_id"] if "event_id" in events.columns else []
+    ev = events.where(
+        F.col(ts_col).isNotNull() & F.col(user_col).isNotNull()
+        & F.col(type_col).isNotNull()
+    )
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, *tie_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col(type_col) != conversion, F.col(type_col))
+    credited = ev.select(
+        F.col(type_col).alias("__ty"),
+        F.coalesce(
+            F.first(touch, ignorenulls=True).over(w), F.lit("direct")
+        ).alias("__f"),
+        F.coalesce(
+            F.last(touch, ignorenulls=True).over(w), F.lit("direct")
+        ).alias("__l"),
+    ).where(F.col("__ty") == conversion)
+    credits = credited.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("first").alias("model"), F.col("__f").alias("touch")),
+                F.struct(F.lit("last").alias("model"), F.col("__l").alias("touch")),
+            )
+        ).alias("__c")
+    ).select("__c.model", "__c.touch")
+    counts = credits.groupBy("model", "touch").agg(F.count("*").alias("n"))
+    wm = Window.partitionBy("model")
+    return counts.select(
+        "model",
+        "touch",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wm), 6).alias("share"),
+    )

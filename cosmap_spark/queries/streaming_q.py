@@ -110,6 +110,36 @@ _STREAM_WINDOWS_ORACLE = """
       SELECT path, count(*) AS n FROM pth WHERE tail IS NOT NULL
       GROUP BY 1 ORDER BY n DESC, path LIMIT 20
     ),
+    -- first/last-touch attribution of purchases
+    att0 AS (
+      SELECT event_type,
+             first_value(CASE WHEN event_type <> 'purchase'
+                              THEN event_type END IGNORE NULLS)
+               OVER wp AS f,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER wp AS l
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        AND event_type IS NOT NULL
+      WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    attc AS (
+      SELECT model, touch, count(*) AS n FROM (
+        SELECT 'first' AS model, coalesce(f, 'direct') AS touch
+        FROM att0 WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT 'last', coalesce(l, 'direct')
+        FROM att0 WHERE event_type = 'purchase'
+      ) GROUP BY 1, 2
+    ),
+    att AS (
+      SELECT model, touch, n,
+             round(CAST(n AS DOUBLE)
+                   / sum(n) OVER (PARTITION BY model), 6) AS share
+      FROM attc
+    ),
     wbest AS (SELECT user_id, max(level) AS steps FROM lv GROUP BY 1),
     wf AS (
       SELECT b.user_id, max(l.anchor) AS anchor, b.steps
@@ -171,6 +201,8 @@ _STREAM_WINDOWS_ORACLE = """
     UNION ALL
     SELECT 'paths', NULL, path, n, NULL FROM topp
     UNION ALL
+    SELECT 'attr', NULL, model || '>' || touch, n, share FROM att
+    UNION ALL
     SELECT 'trans', NULL, from_type || '>' || to_type, n,
            round(CAST(n AS DOUBLE)
                  / (sum(n) OVER (PARTITION BY from_type)), 6)
@@ -228,8 +260,12 @@ def q_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
       percentile_approx sketch columns stay pytest-side — sketches
       are engine-specific);
     * ``paths`` — event_paths: top-20 3-step paths, ties broken on
-      the path string in both engines."""
+      the path string in both engines;
+    * ``attr`` — attribution: first/last-touch credit per purchase
+      (key = "model>touch", n = conversions, total = within-model
+      share)."""
     from cosmap_spark.operators.funnel import (
+        attribution,
         cohort_retention,
         event_paths,
         event_transitions,
@@ -313,11 +349,16 @@ def q_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         event_paths(ev, k=3, top_n=20), "paths", None, F.col("path"),
         F.col("n"), None,
     )
+    att = shape(
+        attribution(ev), "attr", None,
+        F.concat_ws(">", "model", "touch"), F.col("n"), F.col("share"),
+    )
     return (
         tumble.unionByName(slide).unionByName(late)
         .unionByName(funnel_rows).unionByName(fsum)
         .unionByName(wf).unionByName(coh).unionByName(trans)
         .unionByName(lat_prev).unionByName(lat_start).unionByName(pth)
+        .unionByName(att)
     )
 
 

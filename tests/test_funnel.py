@@ -676,3 +676,41 @@ def test_cohort_retention_validation_and_null_users(spark):
         for r in cohort_retention(df, period="week").collect()
     }
     assert got == {0: (1, 1.0), 1: (1, 1.0)}  # the NULL user is ignored
+
+
+def test_attribution_models(spark):
+    """Hand-built fixture: direct conversions, multi-conversion users
+    (each purchase credits its OWN preceding window), first/last
+    divergence, and within-model shares summing to 1."""
+    rows = [
+        # u1: view -> click -> purchase  (first=view, last=click)
+        (1, "view", 10, 1), (1, "click", 20, 2), (1, "purchase", 30, 3),
+        # u1 second purchase later, after another view:
+        # first=view(10), last=view(40)
+        (1, "view", 40, 4), (1, "purchase", 50, 5),
+        # u2: purchase with no touch -> direct/direct
+        (2, "purchase", 10, 6),
+        # u3: click only, no purchase -> contributes nothing
+        (3, "click", 10, 7),
+    ]
+    ev = spark.createDataFrame(
+        [(u, t, float(ts), e) for u, t, ts, e in rows],
+        "user_id long, event_type string, tsd double, event_id long",
+    ).select(
+        "user_id", "event_type",
+        F.col("tsd").cast("timestamp").alias("ts"), "event_id",
+    )
+    from cosmap_spark.operators.funnel import attribution
+
+    got = {
+        (r["model"], r["touch"]): (r["n"], r["share"])
+        for r in attribution(ev).collect()
+    }
+    # 3 purchases total: u1 x2, u2 x1
+    assert got[("first", "view")] == (2, 0.666667)
+    assert got[("first", "direct")] == (1, 0.333333)
+    assert got[("last", "click")] == (1, 0.333333)
+    assert got[("last", "view")] == (1, 0.333333)
+    assert got[("last", "direct")] == (1, 0.333333)
+    for model in ("first", "last"):
+        assert sum(n for (m, _), (n, _) in got.items() if m == model) == 3
