@@ -130,6 +130,8 @@ from cosmap_spark.operators.vocab import (  # noqa: F401
 from cosmap_spark.operators.retrieval import (  # noqa: F401
     bm25_search,
     bm25_weight,
+    retrieval_eval,
+    rrf_fuse,
 )
 from cosmap_spark.operators.sampler import (  # noqa: F401
     deterministic_sample,

@@ -135,3 +135,132 @@ def bm25_search(
             F.col("n_hit").cast("long").alias("n_hit"),
         )
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    *,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    score_cols: list[str] | None = None,
+    k: int = 60,
+    top_n: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N ranked lists —
+    the standard score-free hybrid-retrieval combiner (e.g.
+    :func:`bm25_search` ∪ ``knn.knn_*`` top-k): each list contributes
+    ``1/(k + rank)`` per (query, doc), summed; higher is better.
+
+    ``score_cols[i]`` names list i's descending-sort score column
+    (default: every list uses ``score``).  Ranks are computed per
+    query WITHIN each list by a keyed window (ties broken on id, so
+    fusion is deterministic), lists union, and one aggregation fuses —
+    every exchange is keyed by query, nothing global.  Returns
+    ``[query_col, id_col, rrf, n_lists]`` cut to ``top_n`` per query
+    (ties on id)."""
+    from pyspark.sql import Window
+
+    if not rankings:
+        raise ValueError("rrf_fuse: no rankings")
+    score_cols = score_cols or ["score"] * len(rankings)
+    parts = []
+    for df, sc in zip(rankings, score_cols):
+        w = Window.partitionBy(query_col).orderBy(
+            F.col(sc).desc(), F.col(id_col).asc()
+        )
+        parts.append(
+            df.select(
+                query_col,
+                id_col,
+                (F.lit(1.0) / (F.lit(k) + F.row_number().over(w)))
+                .alias("__contrib"),
+            )
+        )
+    both = parts[0]
+    for p in parts[1:]:
+        both = both.unionByName(p)
+    fused = both.groupBy(query_col, id_col).agg(
+        F.round(F.sum("__contrib"), 8).alias("rrf"),
+        F.count("*").cast("long").alias("n_lists"),
+    )
+    wq = Window.partitionBy(query_col).orderBy(
+        F.col("rrf").desc(), F.col(id_col).asc()
+    )
+    return (
+        fused.withColumn("__rn", F.row_number().over(wq))
+        .where(F.col("__rn") <= top_n)
+        .drop("__rn")
+    )
+
+
+def retrieval_eval(
+    results: DataFrame,
+    qrels: DataFrame,
+    *,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    k: int = 10,
+) -> DataFrame:
+    """Ranking-quality metrics per query against binary relevance
+    judgments (``qrels``: one row per relevant (query, doc)):
+    ``precision_at_k``, ``recall_at_k``, ``mrr`` (reciprocal rank of
+    the first relevant hit), and binary ``ndcg_at_k`` — the standard
+    eval harness for :func:`bm25_search` / ANN / :func:`rrf_fuse`
+    outputs.
+
+    One keyed window ranks each query's results (ties on id, matching
+    the searchers' cut order), a LEFT join marks relevance, one
+    aggregation computes the metrics, and the per-query relevant
+    totals come from a broadcastable qrels aggregation — everything
+    keyed by query.  Queries with no qrels row are dropped (undefined
+    recall); rounded to 6 dp."""
+    import math
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    ranked = results.withColumn("__rank", F.row_number().over(w)).where(
+        F.col("__rank") <= k
+    )
+    rel = qrels.select(query_col, id_col, F.lit(True).alias("__rel"))
+    marked = ranked.join(rel, [query_col, id_col], "left").select(
+        query_col,
+        "__rank",
+        F.coalesce("__rel", F.lit(False)).alias("__rel"),
+    )
+    totals = qrels.groupBy(query_col).agg(
+        F.count("*").alias("__n_rel")
+    )
+    # ideal DCG for n relevant docs cut at k: sum of 1/log2(i+1)
+    idcg = F.lit(0.0)
+    for i in range(1, k + 1):
+        idcg = idcg + F.when(
+            F.least(F.col("__n_rel"), F.lit(k)) >= i,
+            F.lit(1.0 / math.log2(i + 1)),
+        ).otherwise(F.lit(0.0))
+    per_q = (
+        marked.groupBy(query_col)
+        .agg(
+            F.sum(F.col("__rel").cast("int")).alias("__hits"),
+            F.min(F.when(F.col("__rel"), F.col("__rank"))).alias("__first"),
+            F.sum(
+                F.when(
+                    F.col("__rel"),
+                    F.lit(1.0) / F.log2(F.col("__rank") + 1),
+                ).otherwise(F.lit(0.0))
+            ).alias("__dcg"),
+        )
+        .join(F.broadcast(totals), query_col)
+    )
+    return per_q.select(
+        query_col,
+        F.round(F.col("__hits") / k, 6).alias("precision_at_k"),
+        F.round(F.col("__hits") / F.col("__n_rel"), 6).alias("recall_at_k"),
+        F.round(
+            F.coalesce(F.lit(1.0) / F.col("__first"), F.lit(0.0)), 6
+        ).alias("mrr"),
+        F.round(F.col("__dcg") / idcg, 6).alias("ndcg_at_k"),
+    )

@@ -116,3 +116,85 @@ def test_bm25_plan_shape(spark, corpus):
     # broadcast; only the 1-row stats frame may ride a BNLJ
     assert physical.count("BroadcastHashJoin") >= 3
     assert physical.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_rrf_fuse_reference(spark):
+    """Pure-python RRF reference; a doc in both lists outranks docs in
+    one despite lower single-list ranks."""
+    a = spark.createDataFrame(
+        [("q", 1, 10.0), ("q", 2, 9.0), ("q", 3, 8.0)],
+        "query_id string, doc_id long, score double",
+    )
+    b = spark.createDataFrame(
+        [("q", 3, 0.9), ("q", 4, 0.8), ("q", 5, 0.7)],
+        "query_id string, doc_id long, score double",
+    )
+    from cosmap_spark.operators.retrieval import rrf_fuse
+
+    got = {r["doc_id"]: (r["rrf"], r["n_lists"])
+           for r in rrf_fuse([a, b], k=60).collect()}
+    want = {
+        1: round(1 / 61, 8), 2: round(1 / 62, 8),
+        3: round(1 / 63 + 1 / 61, 8),
+        4: round(1 / 62, 8), 5: round(1 / 63, 8),
+    }
+    assert {d: v[0] for d, v in got.items()} == want
+    assert got[3][1] == 2 and got[1][1] == 1
+    # the consensus doc wins
+    top = max(got, key=lambda d: got[d][0])
+    assert top == 3
+
+
+def test_retrieval_eval_metrics(spark):
+    """Hand-checked metrics: q1 perfect@2, q2 first hit at rank 2,
+    q3 (no relevant retrieved) scores zero; a query absent from qrels
+    is dropped."""
+    res = spark.createDataFrame(
+        [
+            ("q1", 1, 3.0), ("q1", 2, 2.0),
+            ("q2", 7, 3.0), ("q2", 8, 2.0), ("q2", 9, 1.0),
+            ("q3", 5, 1.0),
+            ("qX", 6, 1.0),  # no qrels -> dropped
+        ],
+        "query_id string, doc_id long, score double",
+    )
+    qrels = spark.createDataFrame(
+        [("q1", 1), ("q1", 2), ("q2", 8), ("q2", 99), ("q3", 42)],
+        "query_id string, doc_id long",
+    )
+    from cosmap_spark.operators.retrieval import retrieval_eval
+
+    got = {r["query_id"]: r for r in
+           retrieval_eval(res, qrels, k=2).collect()}
+    assert set(got) == {"q1", "q2", "q3"}
+    import math
+
+    assert got["q1"]["precision_at_k"] == 1.0
+    assert got["q1"]["recall_at_k"] == 1.0
+    assert got["q1"]["mrr"] == 1.0
+    assert got["q1"]["ndcg_at_k"] == 1.0
+    assert got["q2"]["precision_at_k"] == 0.5
+    assert got["q2"]["recall_at_k"] == 0.5
+    assert got["q2"]["mrr"] == 0.5
+    # dcg = 1/log2(3); idcg for min(2 rel, k=2) = 1 + 1/log2(3)
+    want_ndcg = round((1 / math.log2(3)) / (1 + 1 / math.log2(3)), 6)
+    assert got["q2"]["ndcg_at_k"] == want_ndcg
+    assert got["q3"]["precision_at_k"] == 0.0
+    assert got["q3"]["mrr"] == 0.0
+    assert got["q3"]["ndcg_at_k"] == 0.0
+
+
+def test_bm25_rrf_improves_over_single_list(spark, corpus):
+    """End-to-end hybrid sanity: fusing BM25 with a 'vector' list that
+    agrees on the truly relevant doc ranks it first."""
+    _, df = corpus
+    from cosmap_spark.operators.retrieval import bm25_search, rrf_fuse
+
+    lex = bm25_search(df, {"q": "quick dog"}, top_n=5)
+    vec = spark.createDataFrame(
+        [("q", 2, 0.99), ("q", 3, 0.5)],
+        "query_id string, doc_id long, score double",
+    )
+    fused = rrf_fuse([lex, vec], top_n=3).collect()
+    assert fused[0]["doc_id"] == 2 or \
+        max(fused, key=lambda r: r["rrf"])["doc_id"] == 2
