@@ -153,6 +153,7 @@ from cosmap_spark.operators.merge import (  # noqa: F401
     latest_per_key,
     merge_upsert,
     scd2_apply,
+    snapshot_cdc,
 )
 from cosmap_spark.operators.layout import (  # noqa: F401
     describe_layout,

@@ -209,3 +209,75 @@ def scd2_apply(
     ).select(*dim.columns)
 
     return existing.unionByName(inserts)
+
+
+def snapshot_cdc(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    *,
+    delete_col: str = "deleted",
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """The inverse of :func:`merge_upsert`: the MINIMAL change batch
+    that turns snapshot ``old`` into snapshot ``new`` — upserts (keys
+    added or with changed content, carrying the NEW payload) plus
+    tombstones (keys removed; payload NULL, ``delete_col`` true).
+    Unchanged keys emit nothing, so at 100 TB the batch is
+    delta-sized, never snapshot-sized.
+
+    Round-trip law (pinned in tests/test_merge.py):
+    ``merge_upsert(old, snapshot_cdc(old, new, keys), keys,
+    delete_col=...) ≡ new``.
+
+    Change detection hashes ``compare_cols`` (default: the non-key
+    columns of ``new``) map-side — the diff join carries keys + two
+    hashes, never payloads (operators/diff.py::corpus_diff's
+    discipline; use that when you want statuses instead of an
+    applicable batch).  Plan: one keyed join of the two hash
+    projections + one join back to ``new`` for the upsert payloads +
+    one anti-join for tombstones — all equi-joins on the keys."""
+    cols = compare_cols or [c for c in new.columns if c not in keys]
+    if not cols:
+        raise ValueError("snapshot_cdc: no columns to compare")
+    missing = [c for c in cols if c not in old.columns]
+    if missing:
+        raise ValueError(
+            f"snapshot_cdc: compare_cols absent from old side: {missing}"
+        )
+
+    def hashed(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            *keys,
+            F.md5(
+                F.to_json(F.struct(*[F.col(c) for c in sorted(cols)]))
+            ).alias(f"__h_{tag}"),
+        )
+
+    old_h = hashed(old, "old")
+    new_h = hashed(new, "new")
+    touched = (
+        new_h.join(old_h, on=keys, how="left")
+        .where(
+            F.col("__h_old").isNull()
+            | (F.col("__h_old") != F.col("__h_new"))
+        )
+        .select(*keys)
+    )
+    upserts = new.join(touched, on=keys, how="left_semi").select(
+        *new.columns, F.lit(False).alias(delete_col)
+    )
+    tombstones = (
+        old_h.join(new_h.select(*keys), on=keys, how="left_anti")
+        .select(
+            *keys,
+            *[
+                F.lit(None).cast(new.schema[c].dataType).alias(c)
+                for c in new.columns
+                if c not in keys
+            ],
+            F.lit(True).alias(delete_col),
+        )
+        .select(*new.columns, delete_col)
+    )
+    return upserts.unionByName(tombstones)

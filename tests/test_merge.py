@@ -360,3 +360,58 @@ def test_scd2_chain_invariants_property(spark):
         assert set(by_key) <= set(last_applied)
 
     check()
+
+
+def test_snapshot_cdc_round_trip_and_minimality(spark):
+    """The inverse law: merge_upsert(old, snapshot_cdc(old, new)) must
+    reproduce `new` exactly, and the batch must be delta-sized
+    (unchanged keys emit nothing), across random snapshot pairs."""
+    import random
+
+    from cosmap_spark.operators.merge import snapshot_cdc
+
+    for seed in (3, 4):
+        rng = random.Random(seed)
+        old_rows = [(i, rng.randrange(5), f"v{rng.randrange(3)}")
+                    for i in range(40)]
+        # new: drop some keys, change some, add some
+        new_rows = [
+            (i, (v + 1) % 5 if rng.random() < 0.3 else v,
+             s if rng.random() < 0.7 else "vX")
+            for i, v, s in old_rows if rng.random() < 0.8
+        ] + [(100 + j, j, "fresh") for j in range(5)]
+        old = spark.createDataFrame(old_rows, "id long, v long, s string")
+        new = spark.createDataFrame(new_rows, "id long, v long, s string")
+
+        cdc = snapshot_cdc(old, new, ["id"])
+        applied = merge_upsert(old, cdc, ["id"], delete_col="deleted")
+        assert _sorted_rows(applied, ["id", "v", "s"]) == \
+            _sorted_rows(new, ["id", "v", "s"]), f"seed {seed}"
+
+        # minimality: batch keys = (changed ∪ added ∪ removed) only
+        old_m = {r[0]: r[1:] for r in old_rows}
+        new_m = {r[0]: r[1:] for r in new_rows}
+        want_keys = (
+            {k for k in new_m if k not in old_m}
+            | {k for k in old_m if k not in new_m}
+            | {k for k in new_m if k in old_m and new_m[k] != old_m[k]}
+        )
+        got = {(r["id"], r["deleted"]) for r in cdc.collect()}
+        assert {k for k, _ in got} == want_keys
+        assert {k for k, d in got if d} == \
+            {k for k in old_m if k not in new_m}
+
+
+def test_snapshot_cdc_compare_cols_validation(spark):
+    from cosmap_spark.operators.merge import snapshot_cdc
+
+    old = spark.createDataFrame([(1, "a")], "id long, v string")
+    new = spark.createDataFrame([(1, "a", 2)], "id long, v string, extra long")
+    with pytest.raises(ValueError, match="absent from old"):
+        snapshot_cdc(old, new, ["id"], compare_cols=["extra"])
+    # default compare_cols = new's non-keys, so 'extra' also trips it
+    with pytest.raises(ValueError, match="absent from old"):
+        snapshot_cdc(old, new, ["id"])
+    # restricting to the shared column works
+    out = snapshot_cdc(old, new, ["id"], compare_cols=["v"]).collect()
+    assert out == []  # v unchanged -> empty batch
