@@ -141,6 +141,17 @@ def main() -> None:
         assert spark.read.parquet(z2).count() == n0
         print("re-layout after merge: OK")
 
+        # 4b. reverse-engineer the CDC: diff the snapshots -----------------
+        from cosmap_spark.operators.merge import snapshot_cdc
+
+        cdc = snapshot_cdc(snap, merged, ["c_custkey"])
+        n_cdc = cdc.count()
+        assert n_cdc <= 4  # delta-sized: upd + dup-winner + insert + delete
+        replay = merge_upsert(snap, cdc, ["c_custkey"], delete_col="deleted")
+        assert replay.exceptAll(merged).count() == 0
+        assert merged.exceptAll(replay).count() == 0
+        print(f"snapshot_cdc: {n_cdc}-row delta replays the merge exactly")
+
         # 5. streaming CDC: the same merge, live ---------------------------
         from cosmap_spark.streaming.ops import upsert_stream
 

@@ -1,0 +1,154 @@
+"""Runnable hybrid-retrieval walkthrough — the round-5 retrieval
+stack end-to-end on the documents + embeddings tables:
+
+    python examples/retrieval/run.py [sf_dir]
+
+The test tables are i.i.d. draws over a tiny vocabulary (no document
+is lexically distinctive — the same reason the dedup gate queries
+plant deterministic twins), so the probes are PLANTED: three extra
+documents carrying unique rare terms, and three slightly-perturbed
+copies of real embeddings, unioned into the corpora.
+
+1. **lexical** — `bm25_search` for each rare term must rank its
+   planted document first (the idf property doing its job against
+   500 distractors that share every other token);
+2. **vector** — exact cosine top-k (`knn.knn_bruteforce`) queried by
+   the planted vectors (query ids offset so the operator's
+   self-exclusion keys differ) — self-retrieval at sim 1.0, rank 1;
+3. **hybrid** — `rrf_fuse` of the two lists: the planted id, ranked
+   first by both, dominates every fused ranking;
+4. **eval** — `retrieval_eval` against the planted qrels:
+   MRR = nDCG@10 = 1.0 for every query on all three systems.
+
+Everything distributed-side is the tested operator surface
+(tests/test_retrieval.py, tests/test_dedup_knn.py); this file only
+composes it."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+from cosmap_spark.operators.knn import knn_bruteforce  # noqa: E402
+from cosmap_spark.operators.retrieval import (  # noqa: E402
+    bm25_search,
+    retrieval_eval,
+    rrf_fuse,
+)
+from cosmap_spark.session import get_spark  # noqa: E402
+from cosmap_spark.tables import load_table  # noqa: E402
+
+PLANT_BASE = 900_000          # planted corpus ids
+OFFSET = 1_000_000_000        # query-id shift: self-exclusion never fires
+RARE = ["xylophone", "quasar", "bimetallic"]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(
+        app_name="retrieval-example",
+        master="local[8]",
+        extra_conf={"spark.sql.shuffle.partitions": "8",
+                    "spark.ui.enabled": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    # plant three lexically-distinctive docs and three near-copy vectors
+    filler = "the data table row query join"
+    planted_docs = spark.createDataFrame(
+        [(PLANT_BASE + i, f"{filler} {t} {filler}")
+         for i, t in enumerate(RARE)],
+        "doc_id long, text string",
+    )
+    corpus_docs = docs.select("doc_id", "text").unionByName(planted_docs)
+    base_vecs = emb.orderBy("vec_id").limit(3).collect()
+    # perturb hard enough that cosine-to-source rounds below 1.0 at the
+    # operator's 6 dp (a 1% nudge would tie with the original and lose
+    # the id tie-break); the planted vector still self-matches at 1.0
+    planted_emb = spark.createDataFrame(
+        [
+            (PLANT_BASE + i,
+             [v * (3.0 if j == 0 else 1.0)
+              for j, v in enumerate(r["embedding"])])
+            for i, r in enumerate(base_vecs)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    corpus_emb = emb.select("vec_id", "embedding").unionByName(planted_emb)
+
+    queries = {f"q{i}": t for i, t in enumerate(RARE)}
+    truth = {f"q{i}": PLANT_BASE + i for i in range(len(RARE))}
+    print(f"{len(queries)} planted probes over "
+          f"{corpus_docs.count()} documents")
+
+    # 1. lexical ---------------------------------------------------------
+    lex = bm25_search(corpus_docs, queries, top_n=10)
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    top_lex = {
+        r["query_id"]: r["doc_id"]
+        for r in lex.withColumn("rn", F.row_number().over(w1))
+        .where("rn = 1").collect()
+    }
+    assert top_lex == truth, (top_lex, truth)
+    print("bm25_search: every rare term ranks its planted doc first")
+
+    # 2. vector ----------------------------------------------------------
+    qvecs = planted_emb.select(
+        (F.col("vec_id") + OFFSET).alias("vec_id"), "embedding"
+    )
+    vec = knn_bruteforce(corpus_emb, qvecs, k=10).select(
+        F.concat(
+            F.lit("q"), (F.col("qid") - OFFSET - PLANT_BASE).cast("string")
+        ).alias("query_id"),
+        F.col("nid").alias("doc_id"),
+        F.col("sim").alias("score"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    top_vec = {
+        r["query_id"]: (r["doc_id"], r["score"])
+        for r in vec.withColumn("rn", F.row_number().over(w2))
+        .where("rn = 1").collect()
+    }
+    assert {q: d for q, (d, _) in top_vec.items()} == truth
+    assert all(s == 1.0 for _, s in top_vec.values())
+    print("knn_bruteforce: every planted vector self-retrieves at sim 1.0")
+
+    # 3. hybrid ----------------------------------------------------------
+    fused = rrf_fuse([lex, vec], top_n=5)
+    fused_rows = fused.collect()
+    for qid, did in truth.items():
+        rows = sorted(
+            [r for r in fused_rows if r["query_id"] == qid],
+            key=lambda r: -r["rrf"],
+        )
+        assert rows[0]["doc_id"] == did and rows[0]["n_lists"] == 2
+    print("rrf_fuse: the planted id tops every fused ranking")
+
+    # 4. eval ------------------------------------------------------------
+    qrels = spark.createDataFrame(
+        list(truth.items()), "query_id string, doc_id long"
+    )
+    for name, res, sc in (("bm25", lex, "score"), ("knn", vec, "score"),
+                          ("rrf", fused, "rrf")):
+        ev = retrieval_eval(res, qrels, score_col=sc, k=10).collect()
+        assert all(r["mrr"] == 1.0 and r["ndcg_at_k"] == 1.0 for r in ev)
+        print(f"retrieval_eval[{name}]: MRR = nDCG@10 = 1.0 "
+              f"for all {len(ev)} queries")
+
+    spark.stop()
+    print("retrieval example: all invariants hold")
+
+
+if __name__ == "__main__":
+    main()
