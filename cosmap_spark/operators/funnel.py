@@ -446,8 +446,9 @@ def funnel_latency(
     accuracy, the right trade at 10⁹ users).  All JVM-side.
 
     Returns ``[step, n_users, mean_from_prev, mean_from_start,
-    p<q>_from_prev..., p<q>_from_start...]`` with seconds rounded to
-    3 dp, one row per step with at least one completing user."""
+    p<NN>_from_prev..., p<NN>_from_start...]`` (``p50``/``p90``-style
+    tags) with seconds rounded to 3 dp, one row per step with at least
+    one completing user."""
     if n_steps < 2:
         raise ValueError("a funnel needs at least 2 steps")
     # timestampdiff, not unix_micros: it accepts BOTH TimestampType and
@@ -483,7 +484,9 @@ def funnel_latency(
         F.round(F.avg("__s"), 3).alias("mean_from_start"),
     ]
     for q in quantiles:
-        tag = str(q).replace("0.", "p")
+        # percentile tag: 0.5 -> p50, 0.9 -> p90 (str-mangling 0.5 to
+        # "p5" would read as the 5th percentile)
+        tag = f"p{int(round(q * 100)):02d}"
         aggs.append(
             F.round(F.percentile_approx("__p", float(q)), 3).alias(
                 f"{tag}_from_prev"

@@ -820,10 +820,12 @@ def semantic_contamination(
         # full probe ≡ brute force: every (bench, corpus) pair gets
         # verified regardless of list assignment, so the quantizer
         # (seeding scan + Arrow assignment pass) buys nothing — skip
-        # it.  A CONSTANT join key keeps the broadcast-hash-join shape
-        # (bench side broadcasts, corpus stays map-side, never a
-        # nested-loop/cartesian node), producing the identical pair
-        # set the probed plan would.
+        # it.  Catalyst constant-folds the constant join key into a
+        # BroadcastNestedLoopJoin — the correct physical plan for a
+        # constant-size broadcast side (bench rows broadcast, corpus
+        # stays map-side; allowlisted in tests/test_plan_audit.py's
+        # BNLJ_ALLOWED) — producing the identical pair set the probed
+        # plan would.
         assigned = corpus.select(
             F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"),
             F.lit(0).alias("cid"),

@@ -67,11 +67,15 @@ def bm25_search(
     terms the document contains; ties broken by id for a
     deterministic cut).
 
-    ``queries`` maps query ids to whitespace-tokenized query strings
-    (tokenization matches the corpus side's ``functions.text.tokens``;
-    duplicate terms in one query count once — the standard bag-of-
-    words-query BM25).  Scoring joins the corpus term table to a
-    BROADCAST literal of query terms, so adding queries adds
+    ``queries`` maps query ids to query strings tokenized by
+    single-space split with empty tokens dropped.  The corpus side
+    (``functions.text.tokens`` = ``split(text, ' ')``) keeps empty
+    tokens on repeated spaces; those can never match a query term, so
+    on single-spaced corpora the two tokenizations agree exactly —
+    queries containing tabs/newlines must be normalized by the caller.
+    Duplicate terms in one query count once (the standard
+    bag-of-words-query BM25).  Scoring joins the corpus term table to
+    a BROADCAST literal of query terms, so adding queries adds
     broadcast rows, never corpus work.
     """
     if not queries:
@@ -90,7 +94,7 @@ def bm25_search(
     qrows = [
         (qid, t)
         for qid, q in queries.items()
-        for t in sorted(set(q.split()))
+        for t in sorted({t for t in q.split(" ") if t})
     ]
     qterms = spark.createDataFrame(qrows, "query_id string, term string")
     # df over the QUERY vocabulary only: filter before the aggregation

@@ -791,11 +791,16 @@ def upsert_stream(changes: DataFrame, table_path: str, checkpoint: str,
     rewrite such a replay would pay — and guards the one genuinely
     dangerous replay: a rebuilt checkpoint re-delivering COMPLETED
     epochs, where re-applying an old batch is NOT idempotent (it can
-    resurrect a key a later batch deleted).  That guard keys on epoch
-    ids restarting deterministically (same files, same order).  A
-    MISSING table invalidates the ledger (it is wiped and the stream
-    bootstraps cleanly) — markers can only describe a table that
-    still exists.  Snapshot schema = change schema minus ``seq_col``
+    resurrect a key a later batch deleted).  Epoch ids alone cannot
+    distinguish that replay from NEW data landing under a reused epoch
+    id (a rebuilt checkpoint restarts at 0), so each marker records a
+    content fingerprint (row count + order-independent xxhash64 XOR
+    over the batch columns): a marker hit with a MATCHING fingerprint
+    skips the redundant rewrite; a MISMATCH raises instead of silently
+    dropping genuine data — wipe the ledger (or the checkpoint AND the
+    ledger together) to re-apply from a clean slate.  A MISSING table
+    invalidates the ledger (it is wiped and the stream bootstraps
+    cleanly) — markers can only describe a table that still exists.  Snapshot schema = change schema minus ``seq_col``
     / ``delete_col``, fixed by the first batch.
 
     At scale: each micro-batch costs one broadcastable anti-join over
@@ -814,12 +819,39 @@ def upsert_stream(changes: DataFrame, table_path: str, checkpoint: str,
     # dies with the table name it describes
     ledger = f"{table_path.rstrip('/')}.__upsert_epochs"
 
+    def fingerprint(batch_df: DataFrame) -> str:
+        # order-independent content fingerprint: row count + XOR of
+        # per-row xxhash64 over every column (XOR needs no overflow
+        # guard and ignores delivery order; identical batches — the
+        # only replay the marker may legitimately skip — always match)
+        row = batch_df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "bit_xor(xxhash64("
+                + ", ".join(f"`{c}`" for c in batch_df.columns)
+                + "))"
+            ).alias("x"),
+        ).first()
+        return f"{row['n']}:{row['x']}"
+
     def run(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         done_marker = os.path.join(ledger, f"epoch-{epoch_id}")
+        fp = fingerprint(batch_df)  # one batch-sized job
         if os.path.exists(table_path):
             if os.path.exists(done_marker):
-                return  # replayed epoch: already merged
+                with open(done_marker) as f:
+                    recorded = f.read().strip()
+                if recorded == fp:
+                    return  # replayed epoch: already merged
+                raise ValueError(
+                    f"upsert_stream: epoch {epoch_id} marker exists but "
+                    "the batch content differs from what was merged — a "
+                    "rebuilt checkpoint is re-delivering NEW data under "
+                    "a completed epoch id.  Refusing to silently drop "
+                    f"it; remove the ledger {ledger!r} together with "
+                    "the checkpoint to re-apply from a clean slate."
+                )
             existing = spark.read.parquet(table_path)
         else:
             # bootstrap — any surviving ledger is STALE (it can only
@@ -841,7 +873,7 @@ def upsert_stream(changes: DataFrame, table_path: str, checkpoint: str,
             merged.write.mode("overwrite").parquet(table_path)
         os.makedirs(ledger, exist_ok=True)
         with open(done_marker, "w") as f:
-            f.write("ok")
+            f.write(fp)
 
     return (
         changes.writeStream.foreachBatch(run)

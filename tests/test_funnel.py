@@ -565,8 +565,8 @@ def test_funnel_latency_matches_pandas_reference(spark, log):
             a = np.sort(a)
             return a[max(int(np.ceil(p * len(a))) - 1, 0)]
 
-        assert g["p5_from_prev"] == pytest.approx(pa(d_prev, 0.5), abs=1e-3)
-        assert g["p5_from_start"] == pytest.approx(pa(d_start, 0.5), abs=1e-3)
+        assert g["p50_from_prev"] == pytest.approx(pa(d_prev, 0.5), abs=1e-3)
+        assert g["p50_from_start"] == pytest.approx(pa(d_start, 0.5), abs=1e-3)
         assert g["mean_from_start"] >= g["mean_from_prev"]
     with pytest.raises(ValueError):
         funnel_latency(per_user, 1)
