@@ -152,11 +152,18 @@ def scd2_apply(
         needs bitemporal handling upstream (sort/buffer by ``ts_col``
         before applying).
 
-    Plan shape: closed/historical rows stream through a broadcastable
-    LEFT join against the latest-update batch; change detection is a
-    null-safe equality fold over the tracked columns (JVM-side, no
-    hashing collisions).  One equi-join over the dimension, one
-    batch-sized window — nothing dimension-sized shuffles.
+    Plan shape: closed/historical rows stream through ONE broadcast
+    LEFT join of the full-column dimension scan against the
+    latest-update batch; change detection is a null-safe equality fold
+    over the tracked columns (JVM-side, no hashing collisions).  New
+    OPEN versions for changed keys are derived from that same joined
+    frame (the closing row carries the update's values), so the only
+    other dimension touch is a second, KEY-COLUMN-PRUNED scan that
+    semi-joins the broadcast update keys to find which updates hit an
+    existing current row — its output is batch-sized and itself
+    broadcasts into the brand-new-key anti-join.  Two column-pruned
+    scans, zero dimension-sized shuffles, every join broadcast
+    (plan-asserted in tests/test_merge.py).
     """
     tracked = tracked or [
         c
@@ -170,7 +177,7 @@ def scd2_apply(
         F.col(ts_col).alias("__u_ts"),
     )
 
-    joined = dim.join(up, on=keys, how="left")
+    joined = dim.join(F.broadcast(up), on=keys, how="left")
     same = F.lit(True)
     for c in tracked:
         same = same & F.col(c).eqNullSafe(F.col(f"__u_{c}"))
@@ -186,29 +193,42 @@ def scd2_apply(
         F.when(closing, F.lit(False)).otherwise(F.col(current_col)).alias(current_col),
     ).select(*dim.columns)
 
-    # "had a current row" must not key off a tracked column's nullness
-    # (tracked values may legitimately be NULL): join an explicit marker.
-    cur_marked = dim.filter(F.col(current_col)).select(
-        *keys, F.lit(True).alias("__had_cur"),
-        F.col(start_col).alias("__d_vf"),
-        *[F.col(c).alias(f"__d_{c}") for c in tracked],
+    end_t = dim.schema[end_col].dataType
+
+    # new OPEN versions for keys whose current row just closed: the
+    # closing row already carries the update's values — no second
+    # full-column pass over the dimension
+    inserts_changed = joined.filter(closing).select(
+        *keys,
+        *[F.col(f"__u_{c}").alias(c) for c in tracked],
+        F.col("__u_ts").alias(start_col),
+        F.lit(None).cast(end_t).alias(end_col),
+        F.lit(True).alias(current_col),
+    ).select(*dim.columns)
+
+    # updates whose key has NO current row (brand-new, or every version
+    # closed): "has a current row" must not key off a tracked column's
+    # nullness (tracked values may legitimately be NULL), so compute
+    # the matched-key set explicitly — a key-pruned dimension scan
+    # semi-joined to the BROADCAST update keys (batch-sized output),
+    # which then broadcasts into the anti-join.  The dimension is never
+    # on the build/shuffled side of anything.
+    cur_matched = (
+        dim.filter(F.col(current_col))
+        .select(*keys)
+        .join(F.broadcast(latest.select(*keys)), on=keys, how="left_semi")
     )
-    fresh = latest.join(cur_marked, on=keys, how="left")
-    d_same = F.lit(True)
-    for c in tracked:
-        d_same = d_same & F.col(c).eqNullSafe(F.col(f"__d_{c}"))
-    inserts = fresh.filter(
-        F.col("__had_cur").isNull()
-        | (~d_same & (F.col(ts_col) >= F.col("__d_vf")))
+    inserts_new = latest.join(
+        F.broadcast(cur_matched), on=keys, how="left_anti"
     ).select(
         *keys,
         *tracked,
         F.col(ts_col).alias(start_col),
-        F.lit(None).cast(dim.schema[end_col].dataType).alias(end_col),
+        F.lit(None).cast(end_t).alias(end_col),
         F.lit(True).alias(current_col),
     ).select(*dim.columns)
 
-    return existing.unionByName(inserts)
+    return existing.unionByName(inserts_changed).unionByName(inserts_new)
 
 
 def snapshot_cdc(
@@ -231,10 +251,17 @@ def snapshot_cdc(
     delete_col=...) ≡ new``.
 
     Change detection hashes ``compare_cols`` (default: the non-key
-    columns of ``new``) map-side — the diff join carries keys + two
-    hashes, never payloads (operators/diff.py::corpus_diff's
-    discipline; use that when you want statuses instead of an
-    applicable batch).  Plan: one keyed join of the two hash
+    columns of ``new``) map-side via ``xxhash64`` over the column
+    values — the diff join carries keys + two hashes, never payloads
+    (operators/diff.py::corpus_diff's discipline; use that when you
+    want statuses instead of an applicable batch).  Supported-type
+    contract (pinned in tests/test_merge.py): atomics, arrays and
+    structs compare by Spark VALUE equality — ``NaN == NaN`` and
+    ``-0.0 == 0.0`` (no JSON-serialization false-diffs), NULL is a
+    value.  MAP-typed compare columns are REJECTED at build time
+    (Spark's own hash expressions refuse maps: same map, different
+    iteration order) — compare ``map_entries(sort_array(...))`` style
+    canonicalizations instead.  Plan: one keyed join of the two hash
     projections + one join back to ``new`` for the upsert payloads +
     one anti-join for tombstones — all equi-joins on the keys."""
     cols = compare_cols or [c for c in new.columns if c not in keys]
@@ -245,13 +272,29 @@ def snapshot_cdc(
         raise ValueError(
             f"snapshot_cdc: compare_cols absent from old side: {missing}"
         )
+    mappy = [
+        c for c in cols
+        if "map<" in new.schema[c].dataType.simpleString()
+    ]
+    if mappy:
+        raise ValueError(
+            "snapshot_cdc: map-typed compare columns have no canonical "
+            f"hash (nondeterministic key order): {mappy}; canonicalize "
+            "first, e.g. compare map_entries(...) sorted by key"
+        )
 
     def hashed(df: DataFrame, tag: str) -> DataFrame:
+        # Spark's hash expressions SKIP null inputs (seed unchanged), so
+        # ('a', NULL) and (NULL, 'a') would collide; interleaving a
+        # positional literal anchors every column slot (constant-folded
+        # into codegen, costs nothing)
+        anchored = [
+            x
+            for i, c in enumerate(sorted(cols))
+            for x in (F.lit(i), F.col(c))
+        ]
         return df.select(
-            *keys,
-            F.md5(
-                F.to_json(F.struct(*[F.col(c) for c in sorted(cols)]))
-            ).alias(f"__h_{tag}"),
+            *keys, F.xxhash64(*anchored).alias(f"__h_{tag}")
         )
 
     old_h = hashed(old, "old")

@@ -415,3 +415,91 @@ def test_snapshot_cdc_compare_cols_validation(spark):
     # restricting to the shared column works
     out = snapshot_cdc(old, new, ["id"], compare_cols=["v"]).collect()
     assert out == []  # v unchanged -> empty batch
+
+
+def test_scd2_plan_no_dim_shuffle(spark, dim):
+    """The round-6 restructure: every join in the scd2 plan is
+    broadcast (the dimension is never on a shuffled-join side), and
+    the only second pass over the dimension is key-column-pruned —
+    at 100 TB the history table streams through once with full
+    columns, once with just the keys."""
+    updates = spark.createDataFrame(
+        [(2, "bob", "SEA", 400), (9, "dave", "DC", 420)],
+        "id long, name string, city string, ts long",
+    )
+    out = scd2_apply(dim, updates, ["id"], ts_col="ts")
+    plan = out._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_scd2_all_closed_key_reactivates(spark):
+    """A key whose versions are ALL closed (no current row) gets a new
+    open version from an update — the inserts_new path after the
+    round-6 single-broadcast restructure."""
+    dim = spark.createDataFrame(
+        [(1, "old", 10, 20, False)],
+        "id long, attr string, valid_from long, valid_to long, is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [(1, "back", 30)], "id long, attr string, ts long"
+    )
+    out = scd2_apply(dim, updates, ["id"], ts_col="ts").collect()
+    assert len(out) == 2
+    opened = [r for r in out if r["is_current"]]
+    assert len(opened) == 1 and opened[0]["attr"] == "back"
+    assert opened[0]["valid_from"] == 30 and opened[0]["valid_to"] is None
+
+
+def test_snapshot_cdc_nan_and_negzero_payloads(spark):
+    """The hardened hash contract: NaN == NaN and -0.0 == 0.0 are
+    NO-ops (value equality, no JSON false-diffs); NaN → finite is a
+    change; a column-shifted NULL ((a,NULL) vs (NULL,a)) IS a change
+    (positional anchoring in the hash)."""
+    from cosmap_spark.operators.merge import snapshot_cdc
+
+    nan = float("nan")
+    old = spark.createDataFrame(
+        [(1, nan, "p"), (2, -0.0, "q"), (3, nan, "r"), (5, 1.5, "t")],
+        "id long, a double, b string",
+    )
+    new = spark.createDataFrame(
+        [(1, nan, "p"),      # NaN == NaN → unchanged
+         (2, 0.0, "q"),      # -0.0 == 0.0 → unchanged
+         (3, 1.0, "r"),      # NaN → 1.0 → changed
+         (5, 1.5, "t")],     # unchanged
+        "id long, a double, b string",
+    )
+    batch = snapshot_cdc(old, new, ["id"])
+    got = {r["id"]: r["deleted"] for r in batch.collect()}
+    assert got == {3: False}
+
+    # positional NULL shift must register as a change
+    o2 = spark.createDataFrame([(1, "a", None)], "id long, x string, y string")
+    n2 = spark.createDataFrame([(1, None, "a")], "id long, x string, y string")
+    assert snapshot_cdc(o2, n2, ["id"]).count() == 1
+
+    # round-trip law holds through NaN payloads
+    from cosmap_spark.operators.merge import merge_upsert
+
+    rt = merge_upsert(old, batch, ["id"], delete_col="deleted",
+                      assume_unique=True)
+    import math
+
+    want = {(r["id"], "nan" if r["a"] is not None and math.isnan(r["a"])
+             else r["a"], r["b"]) for r in new.collect()}
+    gotrt = {(r["id"], "nan" if r["a"] is not None and math.isnan(r["a"])
+              else r["a"], r["b"]) for r in rt.collect()}
+    assert gotrt == want
+
+
+def test_snapshot_cdc_rejects_map_compare_cols(spark):
+    from cosmap_spark.operators.merge import snapshot_cdc
+
+    df = spark.createDataFrame(
+        [(1, {"k": 1})], "id long, m map<string,int>"
+    )
+    with pytest.raises(ValueError, match="map"):
+        snapshot_cdc(df, df, ["id"])
