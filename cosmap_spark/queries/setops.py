@@ -18,6 +18,95 @@ from cosmap_spark.queries.registry import query
 from cosmap_spark.tables import load_table
 
 _SETOPS_ORACLE = """
+    WITH snap_old AS (
+      SELECT c_custkey AS k, c_name AS name, c_nationkey AS nk,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+      FROM customer
+    ),
+    snap_new AS (
+      SELECT k, name,
+             CASE WHEN k % 10 = 5 THEN CAST((nk + 1) % 25 AS INT) ELSE nk END AS nk,
+             CASE WHEN k % 10 = 5 THEN bal_c + 10000 ELSE bal_c END AS bal_c
+      FROM snap_old WHERE k % 10 <> 3
+      UNION ALL
+      SELECT k + 1000000, 'NEW#' || CAST(k AS VARCHAR), nk, bal_c + 1
+      FROM snap_old WHERE k % 10 = 7
+    ),
+    merge_changes AS (
+      SELECT k, name, nk, bal_c + 5000 AS bal_c, 1 AS seq, FALSE AS deleted
+      FROM snap_old WHERE k % 10 = 5
+      UNION ALL
+      SELECT k, name, CAST((nk + 1) % 25 AS INT), bal_c + 10000, 2, FALSE
+      FROM snap_old WHERE k % 10 = 5
+      UNION ALL
+      SELECT k, NULL, NULL, NULL, 1, TRUE FROM snap_old WHERE k % 10 = 3
+      UNION ALL
+      SELECT k + 1000000, 'NEW#' || CAST(k AS VARCHAR), nk, bal_c + 1, 1, FALSE
+      FROM snap_old WHERE k % 10 = 7
+    ),
+    merge_latest AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        FROM merge_changes) WHERE rn = 1
+    ),
+    merged AS (
+      SELECT o.k, o.name, o.nk, o.bal_c FROM snap_old o
+      WHERE o.k NOT IN (SELECT k FROM merge_changes)
+      UNION ALL
+      SELECT k, name, nk, bal_c FROM merge_latest WHERE NOT deleted
+    ),
+    cdc_batch AS (
+      SELECT n.k, n.name, n.nk, n.bal_c, FALSE AS deleted
+      FROM snap_new n LEFT JOIN snap_old o USING (k)
+      WHERE o.k IS NULL
+         OR o.name IS DISTINCT FROM n.name
+         OR o.nk IS DISTINCT FROM n.nk
+         OR o.bal_c IS DISTINCT FROM n.bal_c
+      UNION ALL
+      SELECT o.k, NULL, NULL, NULL, TRUE
+      FROM snap_old o LEFT JOIN snap_new n USING (k) WHERE n.k IS NULL
+    ),
+    scd_dim AS (
+      SELECT k, nk, bal_c, DATE '2020-01-01' AS vf FROM snap_old
+    ),
+    scd_upd AS (
+      SELECT k, CAST((nk + 2) % 25 AS INT) AS nk, bal_c + 111 AS bal_c,
+             DATE '2021-03-01' AS uts FROM snap_old WHERE k % 10 = 5
+      UNION ALL
+      SELECT k, CAST((nk + 1) % 25 AS INT), bal_c + 222, DATE '2021-06-01'
+      FROM snap_old WHERE k % 10 = 5
+      UNION ALL
+      SELECT k, nk, bal_c, DATE '2021-06-01' FROM snap_old WHERE k % 10 = 7
+      UNION ALL
+      SELECT k, CAST((nk + 3) % 25 AS INT), bal_c + 333, DATE '2019-06-01'
+      FROM snap_old WHERE k % 10 = 9
+      UNION ALL
+      SELECT k + 2000000, nk, bal_c, DATE '2021-06-01'
+      FROM snap_old WHERE k % 10 = 1
+    ),
+    scd_latest AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY k ORDER BY uts DESC) AS rn
+        FROM scd_upd) WHERE rn = 1
+    ),
+    scd_hist AS (
+      SELECT d.k, d.nk, d.bal_c, d.vf AS valid_from,
+             CASE WHEN u.k IS NOT NULL
+                       AND (u.nk <> d.nk OR u.bal_c <> d.bal_c)
+                       AND u.uts >= d.vf
+                  THEN u.uts END AS valid_to,
+             NOT (u.k IS NOT NULL
+                  AND (u.nk <> d.nk OR u.bal_c <> d.bal_c)
+                  AND u.uts >= d.vf) AS is_current
+      FROM scd_dim d LEFT JOIN scd_latest u USING (k)
+      UNION ALL
+      SELECT u.k, u.nk, u.bal_c, u.uts, NULL, TRUE
+      FROM scd_latest u JOIN scd_dim d USING (k)
+      WHERE (u.nk <> d.nk OR u.bal_c <> d.bal_c) AND u.uts >= d.vf
+      UNION ALL
+      SELECT u.k, u.nk, u.bal_c, u.uts, NULL, TRUE
+      FROM scd_latest u LEFT JOIN scd_dim d USING (k) WHERE d.k IS NULL
+    )
     SELECT 'union_all' AS op, c_nationkey AS k, 'customer' AS side FROM customer
     UNION ALL
     SELECT 'union_all', s_nationkey, 'supplier' FROM supplier
@@ -41,6 +130,27 @@ _SETOPS_ORACLE = """
     UNION ALL
     SELECT 'above_mean', c_custkey, NULL FROM customer
     WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+    UNION ALL
+    SELECT 'merge', k,
+           name || '|' || CAST(nk AS VARCHAR) || '|' || CAST(bal_c AS VARCHAR)
+    FROM merged
+    UNION ALL
+    SELECT 'cdc', k,
+           CASE WHEN deleted THEN 'D'
+                ELSE 'U|' || name || '|' || CAST(nk AS VARCHAR)
+                     || '|' || CAST(bal_c AS VARCHAR) END
+    FROM cdc_batch
+    UNION ALL
+    SELECT 'rt', k,
+           name || '|' || CAST(nk AS VARCHAR) || '|' || CAST(bal_c AS VARCHAR)
+    FROM snap_new
+    UNION ALL
+    SELECT 'scd2', k,
+           CAST(nk AS VARCHAR) || '|' || CAST(bal_c AS VARCHAR)
+           || '|' || CAST(valid_from AS VARCHAR)
+           || '|' || coalesce(CAST(valid_to AS VARCHAR), 'open')
+           || '|' || CAST(is_current AS VARCHAR)
+    FROM scd_hist
 """
 
 
@@ -63,6 +173,24 @@ def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     * ``above_mean``      — scalar subquery: customers above the global
       mean balance, the 1-row aggregate broadcast + filter — the same
       plan Catalyst builds for the SQL subquery.
+
+    Snapshot-maintenance branches (operators/merge.py — MERGE/SCD-2/CDC
+    are snapshot set algebra: one anti equi-join + union with a
+    batch-sized winner window, so they live in this union; fixtures
+    derive deterministically from customer, balances as integer cents):
+
+    * ``merge`` — ``merge_upsert`` applying a CDC envelope with
+      updates (including a stale seq-1 loser per key), tombstone
+      deletes, and inserts; side = the post-merge payload;
+    * ``cdc``   — ``snapshot_cdc(old, new)``: the minimal change
+      batch, upserts tagged ``U|payload``, tombstones ``D``;
+    * ``rt``    — the round-trip law under the hash gate:
+      ``merge_upsert(old, snapshot_cdc(old, new)) ≡ new`` (the oracle
+      side is ``new`` built directly);
+    * ``scd2``  — ``scd2_apply``: close-out + new open versions, a
+      stale-timestamp loser collapsed per key, a no-op update, a
+      LATE (pre-``valid_from``) update ignored, and brand-new keys
+      inserted; side = ``nk|bal|valid_from|valid_to|is_current``.
     """
     c = load_table(spark, sf_dir, "customer")
     s = load_table(spark, sf_dir, "supplier")
@@ -119,7 +247,124 @@ def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.crossJoin(F.broadcast(mean)).where(F.col("c_acctbal") > F.col("__mean")),
         "above_mean", F.col("c_custkey"), None,
     )
+
+    # --- snapshot-maintenance branches (operators/merge.py) ----------
+    # MERGE/SCD-2/CDC are set algebra over snapshots (anti-join + union
+    # with a batch-sized winner window), so they gate here.  Fixtures
+    # derive deterministically from the customer dimension — balances
+    # as integer cents so no float ever crosses the hash gate:
+    #   k%10==3 deleted, k%10==5 updated (with a stale seq-1 loser),
+    #   k%10==7 cloned to k+1000000 as inserts.
+    from cosmap_spark.operators.merge import merge_upsert, scd2_apply, snapshot_cdc
+
+    k = F.col("k")
+    old = c.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").cast("int").alias("nk"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+    )
+    upd5 = old.where(k % 10 == 5)
+    ins7 = old.where(k % 10 == 7).select(
+        (k + 1000000).alias("k"),
+        F.concat(F.lit("NEW#"), k.cast("string")).alias("name"),
+        "nk",
+        (F.col("bal_c") + 1).alias("bal_c"),
+    )
+    new = (
+        old.where(k % 10 != 3)
+        .select(
+            "k",
+            "name",
+            F.when(k % 10 == 5, ((F.col("nk") + 1) % 25).cast("int"))
+            .otherwise(F.col("nk")).alias("nk"),
+            F.when(k % 10 == 5, F.col("bal_c") + 10000)
+            .otherwise(F.col("bal_c")).alias("bal_c"),
+        )
+        .unionByName(ins7)
+    )
+
+    def env(df: DataFrame, seq: int, deleted: bool) -> DataFrame:
+        return df.select(
+            "k", "name", "nk", "bal_c",
+            F.lit(seq).alias("seq"), F.lit(deleted).alias("deleted"),
+        )
+
+    changes = (
+        env(upd5.select("k", "name", "nk",
+                        (F.col("bal_c") + 5000).alias("bal_c")), 1, False)
+        .unionByName(env(upd5.select(
+            "k", "name", ((F.col("nk") + 1) % 25).cast("int").alias("nk"),
+            (F.col("bal_c") + 10000).alias("bal_c")), 2, False))
+        .unionByName(env(old.where(k % 10 == 3).select(
+            "k", F.lit(None).cast("string").alias("name"),
+            F.lit(None).cast("int").alias("nk"),
+            F.lit(None).cast("long").alias("bal_c")), 1, True))
+        .unionByName(env(ins7, 1, False))
+    )
+    payload = F.concat_ws(
+        "|", F.col("name"), F.col("nk").cast("string"),
+        F.col("bal_c").cast("string"),
+    )
+    merge_b = tag(
+        merge_upsert(old, changes, ["k"], seq_col="seq", delete_col="deleted"),
+        "merge", k, payload,
+    )
+    cdc_frame = snapshot_cdc(old, new, ["k"])
+    cdc_b = tag(
+        cdc_frame, "cdc", k,
+        F.when(F.col("deleted"), F.lit("D")).otherwise(
+            F.concat_ws("|", F.lit("U"), F.col("name"),
+                        F.col("nk").cast("string"),
+                        F.col("bal_c").cast("string"))
+        ),
+    )
+    # round-trip law under the gate: merge_upsert(old, cdc(old,new)) ≡ new
+    rt_b = tag(
+        merge_upsert(old, cdc_frame, ["k"], delete_col="deleted",
+                     assume_unique=True),
+        "rt", k, payload,
+    )
+
+    dim = old.select(
+        "k", "nk", "bal_c",
+        F.to_date(F.lit("2020-01-01")).alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+
+    def upd(df: DataFrame, dnk: int, dbal: int, ts: str) -> DataFrame:
+        return df.select(
+            "k",
+            ((F.col("nk") + dnk) % 25).cast("int").alias("nk"),
+            (F.col("bal_c") + dbal).alias("bal_c"),
+            F.to_date(F.lit(ts)).alias("uts"),
+        )
+
+    scd_updates = (
+        upd(upd5, 2, 111, "2021-03-01")           # stale: seq loser
+        .unionByName(upd(upd5, 1, 222, "2021-06-01"))  # winner: close+insert
+        .unionByName(upd(old.where(k % 10 == 7), 0, 0, "2021-06-01"))  # no-op
+        .unionByName(upd(old.where(k % 10 == 9), 3, 333, "2019-06-01"))  # late: ignored
+        .unionByName(
+            upd(old.where(k % 10 == 1), 0, 0, "2021-06-01")
+            .withColumn("k", F.col("k") + 2000000)  # brand-new keys
+        )
+    )
+    scd2_b = tag(
+        scd2_apply(dim, scd_updates, ["k"], ts_col="uts",
+                   tracked=["nk", "bal_c"]),
+        "scd2", k,
+        F.concat_ws(
+            "|", F.col("nk").cast("string"), F.col("bal_c").cast("string"),
+            F.col("valid_from").cast("string"),
+            F.coalesce(F.col("valid_to").cast("string"), F.lit("open")),
+            F.col("is_current").cast("string"),
+        ),
+    )
+
     out = union_all
-    for branch in (union_distinct, intersect, except_, cross, not_in, above_mean):
+    for branch in (union_distinct, intersect, except_, cross, not_in,
+                   above_mean, merge_b, cdc_b, rt_b, scd2_b):
         out = out.unionByName(branch)
     return out
