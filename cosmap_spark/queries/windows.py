@@ -153,19 +153,141 @@ def q_window_lag_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_topk",
-    oracle="""
-    SELECT o_orderkey, o_custkey, o_totalprice
-    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
-    """,
-)
+_TOPK_ORACLE = """
+    WITH qdefs AS (
+      SELECT 'q' || CAST(doc_id AS VARCHAR) AS query_id,
+             string_split(text, ' ') AS t
+      FROM documents WHERE doc_id IN (1, 2, 3)
+    ),
+    qterms AS (
+      SELECT DISTINCT query_id, t[i] AS term
+      FROM qdefs, unnest(range(1, least(len(t), 5) + 1)) AS u(i)
+    ),
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    lens AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+    dfreq AS (
+      SELECT term, count(*) AS df FROM tf
+      WHERE term IN (SELECT term FROM qterms) GROUP BY 1
+    ),
+    hits AS (
+      SELECT q.query_id, t.doc_id, t.tf, d.df, l.dl, s.n_docs, s.avgdl,
+             ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1) AS idf
+      FROM tf t JOIN qterms q USING (term) JOIN dfreq d USING (term)
+      JOIN lens l ON l.doc_id = t.doc_id CROSS JOIN stats s
+    ),
+    bm25_scored AS (
+      SELECT query_id, doc_id,
+             round(sum(idf * (tf * 2.2)
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS score,
+             count(*) AS n_hit
+      FROM hits GROUP BY 1, 2
+    ),
+    bm25_top AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+        FROM bm25_scored) WHERE rn <= 10
+    ),
+    idf_scored AS (
+      SELECT query_id, doc_id, round(sum(idf), 6) AS score, count(*) AS n_hit
+      FROM hits GROUP BY 1, 2
+    ),
+    idf_top AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+        FROM idf_scored) WHERE rn <= 10
+    ),
+    rrf_parts AS (
+      SELECT query_id, doc_id, 1.0 / (60 + row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, doc_id)) AS contrib
+      FROM bm25_top
+      UNION ALL
+      SELECT query_id, doc_id, 1.0 / (60 + row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, doc_id))
+      FROM idf_top
+    ),
+    rrf_fused AS (
+      SELECT query_id, doc_id, round(sum(contrib), 8) AS rrf,
+             count(*) AS n_lists
+      FROM rrf_parts GROUP BY 1, 2
+    ),
+    rrf_top AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rn
+        FROM rrf_fused) WHERE rn <= 10
+    )
+    SELECT 'global' AS op, NULL AS query_id, k, score, n FROM (
+      SELECT o_orderkey AS k, round(o_totalprice, 2) AS score,
+             o_custkey AS n
+      FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10)
+    UNION ALL
+    SELECT 'bm25', query_id, doc_id, score, n_hit FROM bm25_top
+    UNION ALL
+    SELECT 'rrf', query_id, doc_id, rrf, n_lists FROM rrf_top
+"""
+
+
+@query("q_topk", oracle=_TOPK_ORACLE)
 def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global top-k: Spark plans TakeOrderedAndProject (per-partition heap
-    + driver merge — no full sort, no shuffle of non-winners)."""
-    return (
+    """The top-k family as one tagged union:
+
+    * ``global`` — global top-10 orders by price: Spark plans
+      TakeOrderedAndProject (per-partition heap + driver merge — no
+      full sort, no shuffle of non-winners);
+    * ``bm25``   — ``operators/retrieval.py::bm25_search`` top-10 per
+      query: three queries derived deterministically from the corpus
+      itself (first five tokens of docs 1-3 — collecting three rows is
+      bounded by construction), ties broken on doc_id; the oracle
+      replays tf/df/dl/avgdl and the Lucene-convention idf in SQL;
+    * ``rrf``    — ``rrf_fuse`` of two genuinely different rankings of
+      the same queries: the BM25 list and a coordination-style list
+      (``k1=0`` degenerates the BM25 weight to pure idf — sum of
+      matched-term idfs), fused at k=60.  Exercises the score-free
+      rank-combine path end-to-end under the hash gate.
+
+    Scale shape (bm25/rrf): one corpus-sized (doc, term) aggregation;
+    query-term tables broadcast; top-k cuts are query-keyed windows."""
+    from cosmap_spark.operators.retrieval import bm25_search, rrf_fuse
+
+    orders_top = (
         load_table(spark, sf_dir, "orders")
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(10)
-        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .select(
+            F.lit("global").alias("op"),
+            F.lit(None).cast("string").alias("query_id"),
+            F.col("o_orderkey").alias("k"),
+            F.round("o_totalprice", 2).alias("score"),
+            F.col("o_custkey").cast("long").alias("n"),
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    probe = {
+        f"q{r['doc_id']}": " ".join(r["text"].split(" ")[:5])
+        for r in docs.where(F.col("doc_id").isin(1, 2, 3))
+        .select("doc_id", "text").collect()
+    }
+    bm25 = bm25_search(docs, probe, top_n=10)
+    idf_list = bm25_search(docs, probe, top_n=10, k1=0.0)
+    fused = rrf_fuse([bm25, idf_list], k=60, top_n=10)
+
+    def shape(df: DataFrame, op: str, score, n) -> DataFrame:
+        return df.select(
+            F.lit(op).alias("op"),
+            F.col("query_id"),
+            F.col("doc_id").cast("long").alias("k"),
+            score.alias("score"),
+            n.cast("long").alias("n"),
+        )
+
+    return (
+        orders_top
+        .unionByName(shape(bm25, "bm25", F.col("score"), F.col("n_hit")))
+        .unionByName(shape(fused, "rrf", F.col("rrf"), F.col("n_lists")))
     )

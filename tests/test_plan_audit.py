@@ -66,6 +66,12 @@ BNLJ_ALLOWED = {
     # path real deployments run plans broadcast HASH joins on cid
     # (tests/test_dedup_knn.py)
     "q_decontam",
+    # bm25/rrf branches: the 1-row corpus stats (n_docs, avgdl)
+    # crossJoin(broadcast) onto the query-filtered term table — the
+    # scalar-subquery shape (retrieval.py::bm25_search); every
+    # corpus-sized join in the branch is a broadcast HASH join
+    # (tests/test_retrieval.py::test_bm25_plan_shape)
+    "q_topk",
 }
 
 BANNED_EVERYWHERE = (
