@@ -12,6 +12,10 @@ sf0.1) on local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
 workload (hash + shuffle agg over 20M generated rows): rounds run on
 sandboxes differing up to ~2× in speed, so cross-round query
 comparisons should be made on time/calibration ratios.
+``calibration_sections`` re-runs the same probe before the headline
+loop, before the knn split, and before EVERY scaling factor (round-5
+verdict ask: mid-run sandbox load was invisible in the artifact, so a
+slow cell could not be told apart from a slow machine).
 
 Each query is executed to completion (count() — forces full evaluation
 without driver-side materialization of rows) after a shared-session
@@ -266,7 +270,8 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return round(best, 3)
 
-    calibration = _calibrate()
+    sections: dict[str, float] = {}
+    calibration = sections["headline"] = _calibrate()
 
     # Three timed runs per query, report the min: the first run at the
     # target SF still pays one-time plan costs (AQE stats, codegen for
@@ -298,6 +303,7 @@ def main() -> None:
     from cosmap_spark.queries.llm_ops import knn_ann_union
     from cosmap_spark.tables import load_table
 
+    sections["knn_split"] = _calibrate()
     emb = load_table(spark, sf_dir, "embeddings")
     t0 = time.perf_counter()
     cents, assigned = ivf_build(emb, nlist=16, iters=1)
@@ -342,12 +348,20 @@ def main() -> None:
         spark._jvm.System.gc()
         for factor in SCALING_FACTORS:
             fdir = os.path.join(scale_root, f"{sf}x{factor}")
+            sections[f"scaling_x{factor}"] = _calibrate()
             for q in SCALING_SET:
                 fn = queries.get(q) or EXTRA_SCALING[q]
+                # one UNTIMED warm run first: the round-6 repro showed
+                # single-JVM steady state for the shuffle-heavy plans
+                # at x10 needs several executions (C2 compilation of
+                # this plan shape at this size — 7.1 s cold min-of-3
+                # vs 3.4 s in an identical back-to-back cycle, stable
+                # calibration throughout; SCALE.md "ngram x10"), so a
+                # bare min-of-3 measures warm-up, not throughput
+                fn(spark, fdir).count()
                 best = float("inf")
                 # min-of-3: single-JVM GC pauses at the larger factors
-                # add multi-second one-off noise, and the first run
-                # pays plan compile + cold file footers
+                # add multi-second one-off noise
                 for _ in range(3):
                     t0 = time.perf_counter()
                     fn(spark, fdir).count()
@@ -364,6 +378,7 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "machine_calibration_sec": calibration,
+        "calibration_sections": sections,
         "knn_ann_split": split,
     }
     if scaling is not None:

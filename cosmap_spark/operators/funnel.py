@@ -573,6 +573,10 @@ def _summary_from_counts(
     )
 
 
+#: credit models attribution() understands
+ATTRIBUTION_MODELS = ("first", "last", "linear", "position", "time_decay")
+
+
 def attribution(
     events: DataFrame,
     *,
@@ -581,54 +585,168 @@ def attribution(
     type_col: str = "event_type",
     ts_col: str = "ts",
     tie_cols: list[str] | None = None,
+    models: tuple[str, ...] = ("first", "last"),
+    halflife: str = "1 day",
 ) -> DataFrame:
-    """Multi-touch conversion attribution — the revenue-assignment
-    member of the behavioral family: every ``conversion`` event is
-    credited to the user's FIRST and LAST preceding non-conversion
-    touch (the two classic single-touch models), ``'direct'`` when no
-    touch precedes it.  Returns ``[model, touch, n, share]`` with
-    ``share`` = n / conversions, rounded to 6 dp.
+    """Conversion attribution — the revenue-assignment member of the
+    behavioral family.  Each ``conversion`` event's credit is split
+    over the user's PRECEDING non-conversion touches (strictly earlier
+    in ``(ts, tie_cols)`` row order; a touch after a user's last
+    conversion earns nothing) under the requested credit ``models``:
 
-    Scale shape: ONE user-keyed window pass computes both models
-    (``first``/``last`` with ``ignorenulls`` over the strictly-
-    preceding frame — per-row state is two values, never a buffered
-    event log), conversions explode to their two (model, touch)
-    credits, and one O(models·types) aggregation finishes.  The same
-    exchange every per-user sequence operator pays, nothing else."""
+    * ``first`` / ``last`` — the classic single-touch models: the
+      whole credit to the first / most recent preceding touch,
+      ``'direct'`` when none precedes;
+    * ``linear`` — 1/m to each of the conversion's m touches;
+    * ``position`` — U-shaped: 40% first, 40% last, the middle
+      touches share 20% (m=1 → 100%, m=2 → 50/50);
+    * ``time_decay`` — credit ∝ ``0.5^(Δt/halflife)`` (Δt = time to
+      conversion), normalized per conversion.
+
+    Path-model lookback windows are NON-OVERLAPPING: each conversion's
+    touch set is the touches since the user's previous conversion (the
+    standard per-conversion reset), whereas ``first`` looks back over
+    the user's entire history — the two conventions coincide for
+    single-conversion users.  Path models credit ``'direct'``
+    (weight 1) for a conversion with no preceding touch, mirroring
+    the single-touch convention.
+
+    Returns ``[model, touch, n, credit, share]`` — ``n`` = credited
+    (conversion, touch-event) rows, ``credit`` = summed weight
+    (rounded 4 dp; for single-touch models credit = n), ``share`` =
+    credit / model total (rounded 6 dp).
+
+    Scale shape: ONE user-keyed window pass serves every model.  The
+    single-touch pair rides running first/last with ``ignorenulls``
+    (per-row state two values); the path models stamp each row with
+    its conversions-remaining count — constant per-row state, the
+    running-sum trick, never a buffered event log — making (user,
+    conversion) the credit group key for three more KEYED windows
+    (group size = path length).  One O(models·types) aggregation
+    finishes.  No extra exchange beyond the user repartition every
+    per-user sequence operator pays: the (user, cid) windows are
+    sub-partitions of the user sort."""
+    bad = [m for m in models if m not in ATTRIBUTION_MODELS]
+    if bad or not models:
+        raise ValueError(
+            f"attribution: models must be a non-empty subset of "
+            f"{ATTRIBUTION_MODELS}, got {models}"
+        )
     if tie_cols is None:
         tie_cols = ["event_id"] if "event_id" in events.columns else []
     ev = events.where(
         F.col(ts_col).isNotNull() & F.col(user_col).isNotNull()
         & F.col(type_col).isNotNull()
     )
-    w = (
-        Window.partitionBy(user_col)
-        .orderBy(ts_col, *tie_cols)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    touch = F.when(F.col(type_col) != conversion, F.col(type_col))
-    credited = ev.select(
-        F.col(type_col).alias("__ty"),
-        F.coalesce(
-            F.first(touch, ignorenulls=True).over(w), F.lit("direct")
-        ).alias("__f"),
-        F.coalesce(
-            F.last(touch, ignorenulls=True).over(w), F.lit("direct")
-        ).alias("__l"),
-    ).where(F.col("__ty") == conversion)
-    credits = credited.select(
-        F.explode(
-            F.array(
-                F.struct(F.lit("first").alias("model"), F.col("__f").alias("touch")),
-                F.struct(F.lit("last").alias("model"), F.col("__l").alias("touch")),
+    parts = []
+    single = [m for m in models if m in ("first", "last")]
+    path = [m for m in models if m not in ("first", "last")]
+    if single:
+        w = (
+            Window.partitionBy(user_col)
+            .orderBy(ts_col, *tie_cols)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        touch = F.when(F.col(type_col) != conversion, F.col(type_col))
+        credited = ev.select(
+            F.col(type_col).alias("__ty"),
+            F.coalesce(
+                F.first(touch, ignorenulls=True).over(w), F.lit("direct")
+            ).alias("first"),
+            F.coalesce(
+                F.last(touch, ignorenulls=True).over(w), F.lit("direct")
+            ).alias("last"),
+        ).where(F.col("__ty") == conversion)
+        parts.append(
+            credited.select(
+                F.explode(
+                    F.array(*[
+                        F.struct(
+                            F.lit(m).alias("model"),
+                            F.col(m).alias("touch"),
+                        )
+                        for m in single
+                    ])
+                ).alias("__c")
+            ).select("__c.model", "__c.touch", F.lit(1.0).alias("__w"))
+        )
+    if path:
+        is_conv = F.col(type_col) == conversion
+        w_rem = (
+            Window.partitionBy(user_col)
+            .orderBy(ts_col, *tie_cols)
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        stamped = ev.select(
+            F.col(user_col).alias("__u"),
+            F.col(ts_col).alias("__ts"),
+            F.col(type_col).alias("__ty"),
+            *[F.col(c).alias(f"__t_{i}") for i, c in enumerate(tie_cols)],
+            is_conv.alias("__ic"),
+            F.sum(is_conv.cast("int")).over(w_rem).alias("__cid"),
+        ).where(F.col("__cid") >= 1)
+        ties = [F.col(f"__t_{i}") for i in range(len(tie_cols))]
+        wg = Window.partitionBy("__u", "__cid")
+        wgo = wg.orderBy("__ts", *ties)
+        grouped = stamped.select(
+            "*",
+            F.sum((~F.col("__ic")).cast("int")).over(wg).alias("__m"),
+            F.max(F.when(F.col("__ic"), F.col("__ts"))).over(wg).alias("__cts"),
+            F.row_number().over(wgo).alias("__pos"),
+        )
+        touches = grouped.where(~F.col("__ic"))
+        m = F.col("__m").cast("double")
+        pos = F.col("__pos")
+        import pandas as pd
+
+        halflife_us = float(pd.Timedelta(halflife) // pd.Timedelta("1us"))
+        decay_exp = (
+            F.expr("timestampdiff(MICROSECOND, __ts, __cts)").cast("double")
+            / F.lit(halflife_us)
+        )
+        raw_decay = F.pow(F.lit(0.5), decay_exp)
+        # normalize over TOUCHES only: the conversion row sits in the
+        # same (__u,__cid) group with decay 0.5^0 = 1 and would inflate
+        # the denominator so per-conversion weights no longer sum to 1
+        decay_total = F.sum(
+            F.when(~F.col("__ic"), raw_decay)
+        ).over(wg)
+        weight_of = {
+            "linear": F.lit(1.0) / m,
+            "position": F.when(F.col("__m") == 1, F.lit(1.0))
+            .when(F.col("__m") == 2, F.lit(0.5))
+            .when((pos == 1) | (pos == F.col("__m")), F.lit(0.4))
+            .otherwise(F.lit(0.2) / (m - 2)),
+            "time_decay": raw_decay / decay_total,
+        }
+        for mdl in path:
+            parts.append(
+                touches.select(
+                    F.lit(mdl).alias("model"),
+                    F.col("__ty").alias("touch"),
+                    weight_of[mdl].alias("__w"),
+                )
             )
-        ).alias("__c")
-    ).select("__c.model", "__c.touch")
-    counts = credits.groupBy("model", "touch").agg(F.count("*").alias("n"))
+            # conversions with no touch: full credit to 'direct'
+            parts.append(
+                grouped.where(F.col("__ic") & (F.col("__m") == 0)).select(
+                    F.lit(mdl).alias("model"),
+                    F.lit("direct").alias("touch"),
+                    F.lit(1.0).alias("__w"),
+                )
+            )
+    credits = parts[0]
+    for p in parts[1:]:
+        credits = credits.unionByName(p)
+    counts = credits.groupBy("model", "touch").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("__w"), 4).alias("credit"),
+    )
     wm = Window.partitionBy("model")
     return counts.select(
         "model",
         "touch",
         "n",
-        F.round(F.col("n") / F.sum("n").over(wm), 6).alias("share"),
+        "credit",
+        F.round(F.col("credit") / F.sum("credit").over(wm), 6).alias("share"),
     )

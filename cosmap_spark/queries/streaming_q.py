@@ -125,19 +125,72 @@ _STREAM_WINDOWS_ORACLE = """
       WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
     ),
+    atts AS (
+      SELECT 'first' AS model, coalesce(f, 'direct') AS touch, 1.0 AS w
+      FROM att0 WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT 'last', coalesce(l, 'direct'), 1.0
+      FROM att0 WHERE event_type = 'purchase'
+    ),
+    -- path models: non-overlapping lookback — each conversion groups
+    -- with the touches since the user's previous conversion (the
+    -- conversions-remaining stamp = the operator's running-sum trick)
+    atp0 AS (
+      SELECT user_id, ts, event_id, event_type,
+             (event_type = 'purchase') AS ic,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN CURRENT ROW
+                     AND UNBOUNDED FOLLOWING) AS cid
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        AND event_type IS NOT NULL
+    ),
+    atp1 AS (
+      SELECT *,
+             sum(CASE WHEN NOT ic THEN 1 ELSE 0 END) OVER wg AS m,
+             max(CASE WHEN ic THEN ts END) OVER wg AS cts,
+             row_number() OVER (PARTITION BY user_id, cid
+                                ORDER BY ts, event_id) AS pos
+      FROM atp0 WHERE cid >= 1
+      WINDOW wg AS (PARTITION BY user_id, cid)
+    ),
+    atp2 AS (
+      SELECT *, pow(0.5, date_diff('microsecond', ts, cts)
+                         / 86400000000.0) AS rd
+      FROM atp1
+    ),
+    atp3 AS (
+      SELECT *, sum(CASE WHEN NOT ic THEN rd END)
+                  OVER (PARTITION BY user_id, cid) AS rdz
+      FROM atp2
+    ),
+    attp AS (
+      SELECT 'linear' AS model, event_type AS touch, 1.0 / m AS w
+      FROM atp3 WHERE NOT ic
+      UNION ALL
+      SELECT 'position', event_type,
+             CASE WHEN m = 1 THEN 1.0 WHEN m = 2 THEN 0.5
+                  WHEN pos = 1 OR pos = m THEN 0.4
+                  ELSE 0.2 / (m - 2) END
+      FROM atp3 WHERE NOT ic
+      UNION ALL
+      SELECT 'time_decay', event_type, rd / rdz FROM atp3 WHERE NOT ic
+      UNION ALL
+      SELECT mdl, 'direct', 1.0
+      FROM atp3,
+           (SELECT unnest(['linear', 'position', 'time_decay']) AS mdl)
+      WHERE ic AND m = 0
+    ),
     attc AS (
-      SELECT model, touch, count(*) AS n FROM (
-        SELECT 'first' AS model, coalesce(f, 'direct') AS touch
-        FROM att0 WHERE event_type = 'purchase'
-        UNION ALL
-        SELECT 'last', coalesce(l, 'direct')
-        FROM att0 WHERE event_type = 'purchase'
-      ) GROUP BY 1, 2
+      SELECT model, touch, count(*) AS n, round(sum(w), 4) AS credit
+      FROM (SELECT * FROM atts UNION ALL SELECT * FROM attp)
+      GROUP BY 1, 2
     ),
     att AS (
       SELECT model, touch, n,
-             round(CAST(n AS DOUBLE)
-                   / sum(n) OVER (PARTITION BY model), 6) AS share
+             round(credit / sum(credit) OVER (PARTITION BY model), 6)
+               AS share
       FROM attc
     ),
     wbest AS (SELECT user_id, max(level) AS steps FROM lv GROUP BY 1),
@@ -261,9 +314,10 @@ def q_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
       are engine-specific);
     * ``paths`` — event_paths: top-20 3-step paths, ties broken on
       the path string in both engines;
-    * ``attr`` — attribution: first/last-touch credit per purchase
-      (key = "model>touch", n = conversions, total = within-model
-      share)."""
+    * ``attr`` — attribution under all five credit models
+      (first/last single-touch, linear / position / time-decay
+      multi-touch; key = "model>touch", n = credited rows, total =
+      within-model share of 4dp-rounded credit)."""
     from cosmap_spark.operators.funnel import (
         attribution,
         cohort_retention,
@@ -350,7 +404,11 @@ def q_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n"), None,
     )
     att = shape(
-        attribution(ev), "attr", None,
+        attribution(
+            ev,
+            models=("first", "last", "linear", "position", "time_decay"),
+        ),
+        "attr", None,
         F.concat_ws(">", "model", "touch"), F.col("n"), F.col("share"),
     )
     return (

@@ -714,3 +714,116 @@ def test_attribution_models(spark):
     assert got[("last", "direct")] == (1, 0.333333)
     for model in ("first", "last"):
         assert sum(n for (m, _), (n, _) in got.items() if m == model) == 3
+
+
+def _attr_reference(rows, models, halflife_s=86400.0):
+    """Pure-python multi-touch attribution (non-overlapping lookback:
+    each conversion credits touches since the user's previous
+    conversion; `first` alone looks over the whole history)."""
+    from collections import defaultdict
+
+    credit = defaultdict(float)
+    by_user = defaultdict(list)
+    for u, ty, ts, eid in rows:
+        by_user[u].append((ts, eid, ty))
+    for u, evs in by_user.items():
+        evs.sort()
+        group, history = [], []
+        for ts, eid, ty in evs:
+            if ty != "purchase":
+                group.append((ts, ty))
+                history.append((ts, ty))
+                continue
+            # conversion at ts: credit `group` (since prev conversion)
+            m = len(group)
+            if "first" in models:
+                credit[("first", history[0][1] if history else "direct")] += 1
+            if "last" in models:
+                credit[("last", history[-1][1] if history else "direct")] += 1
+            for model in models:
+                if model in ("first", "last"):
+                    continue
+                if m == 0:
+                    credit[(model, "direct")] += 1.0
+                elif model == "linear":
+                    for _, t in group:
+                        credit[(model, t)] += 1.0 / m
+                elif model == "position":
+                    for i, (_, t) in enumerate(group):
+                        if m == 1:
+                            w = 1.0
+                        elif m == 2:
+                            w = 0.5
+                        elif i in (0, m - 1):
+                            w = 0.4
+                        else:
+                            w = 0.2 / (m - 2)
+                        credit[(model, t)] += w
+                elif model == "time_decay":
+                    ws = [0.5 ** ((ts - t).total_seconds() / halflife_s)
+                          for t, _ in group]
+                    z = sum(ws)
+                    for w, (_, t) in zip(ws, group):
+                        credit[(model, t)] += w / z
+            group = []
+    # mirror the operator's contract: credit rounds to 4 dp FIRST and
+    # share derives from the rounded credits
+    rounded = {k: round(w, 4) for k, w in credit.items()}
+    totals = defaultdict(float)
+    for (model, _), w in rounded.items():
+        totals[model] += w
+    return {k: (w, round(w / totals[k[0]], 6)) for k, w in rounded.items()}
+
+
+def test_attribution_path_models_differential(spark):
+    """linear / position / time_decay vs the pure-python reference on
+    a fixture exercising every branch: m=0 (direct), m=1, m=2, m>=3
+    (U-shape middle split), multi-conversion reset, and per-conversion
+    weights summing to 1 (so each model's total credit = #conversions)."""
+    from cosmap_spark.operators.funnel import attribution
+
+    rows = [
+        # u1: 3 touches then purchase (m=3: U-shape middle branch),
+        # then 1 touch + purchase (m=1), then purchase (m=0 -> direct)
+        (1, "view", _ts(0), 1), (1, "click", _ts(30), 2),
+        (1, "email", _ts(60), 3), (1, "purchase", _ts(90), 4),
+        (1, "view", _ts(100), 5), (1, "purchase", _ts(200), 6),
+        (1, "purchase", _ts(201), 7),
+        # u2: m=2 (50/50 position), touches far apart for time_decay
+        (2, "click", _ts(0), 8), (2, "view", _ts(24 * 60), 9),
+        (2, "purchase", _ts(2 * 24 * 60), 10),
+        # u3: touches but never converts -> nothing
+        (3, "view", _ts(0), 11),
+        # u4: 4 touches incl. repeats (credit aggregates per type)
+        (4, "view", _ts(0), 12), (4, "view", _ts(10), 13),
+        (4, "click", _ts(20), 14), (4, "email", _ts(30), 15),
+        (4, "purchase", _ts(40), 16),
+    ]
+    models = ("first", "last", "linear", "position", "time_decay")
+    ev = spark.createDataFrame(
+        [(u, t, ts, e) for u, t, ts, e in rows],
+        "user_id long, event_type string, ts timestamp, event_id long",
+    )
+    got = {
+        (r["model"], r["touch"]): (r["credit"], r["share"])
+        for r in attribution(ev, models=models).collect()
+    }
+    want = _attr_reference(rows, models)
+    assert got == want
+    # per-model credit totals == #conversions (weights sum to 1 each)
+    for model in models:
+        total = sum(c for (m, _), (c, _) in got.items() if m == model)
+        assert total == pytest.approx(5.0, abs=1e-3), model
+
+
+def test_attribution_validation(spark):
+    from cosmap_spark.operators.funnel import attribution
+
+    ev = spark.createDataFrame(
+        [(1, "view", _ts(0), 1)],
+        "user_id long, event_type string, ts timestamp, event_id long",
+    )
+    with pytest.raises(ValueError, match="non-empty subset"):
+        attribution(ev, models=())
+    with pytest.raises(ValueError, match="non-empty subset"):
+        attribution(ev, models=("first", "u_shaped"))
