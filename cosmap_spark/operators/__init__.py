@@ -96,9 +96,12 @@ from cosmap_spark.operators.tseries import (  # noqa: F401
 )
 from cosmap_spark.operators.index_store import (  # noqa: F401
     ivf_append,
+    lex_append,
     load_ann_index,
+    load_lex_index,
     pq_append,
     save_ann_index,
+    save_lex_index,
 )
 from cosmap_spark.operators.expectations import (  # noqa: F401
     enforce,
@@ -130,6 +133,7 @@ from cosmap_spark.operators.vocab import (  # noqa: F401
 from cosmap_spark.operators.retrieval import (  # noqa: F401
     bm25_search,
     bm25_weight,
+    build_lex_index,
     retrieval_eval,
     rrf_fuse,
 )

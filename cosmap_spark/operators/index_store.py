@@ -217,3 +217,114 @@ def pq_append(
     return (cents, appended), coded.select("nid", "codes", "cid").unionByName(
         fresh_coded.select("nid", "codes", "cid")
     )
+
+
+# --- lexical (BM25) index persistence -------------------------------
+
+def save_lex_index(path: str, tf: DataFrame, lens: DataFrame) -> None:
+    """Persist a lexical index (``retrieval.build_lex_index`` result)
+    under ``path``: the (doc, term, tf) table lands REPARTITIONED AND
+    SORTED BY TERM so the serve-time ``term IN (query vocabulary)``
+    filter prunes at parquet row-group granularity (min/max stats —
+    the lexical twin of ``save_ann_index``'s partitionBy(cid) layout);
+    doc lengths land beside it, and the manifest records
+    ``n_docs``/``total_len`` so a serving session derives
+    ``avgdl = total_len / n_docs`` without scanning anything.
+
+    The corpus-stats scalars are computed here with one O(n_docs)
+    aggregation of ``lens`` — the only eager work; at 100 TB the tf
+    write is the cost, paid once instead of per query batch."""
+    tf.repartition(F.col("term")).sortWithinPartitions("term").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "lex_tf"))
+    lens.write.mode("overwrite").parquet(os.path.join(path, "lex_lens"))
+    row = lens.agg(
+        F.count("*").alias("n"), F.sum("dl").alias("t")
+    ).collect()[0]
+    manifest = {
+        "components": ["lex"],
+        "n_docs": int(row["n"] or 0),
+        "total_len": int(row["t"] or 0),
+    }
+    tmp = os.path.join(path, ".manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(path, "manifest.json"))
+
+
+def load_lex_index(spark: SparkSession, path: str) -> dict:
+    """Reload a ``save_lex_index`` directory as the ``prebuilt`` dict
+    ``retrieval.bm25_search`` accepts: ``tf``/``lens`` frames plus the
+    manifest's ``n_docs`` and the derived ``avgdl`` (``total_len /
+    n_docs`` — the exact division the inline ``avg("dl")`` performs on
+    integer lengths, so loaded serving is row-identical to in-memory,
+    pinned in tests/test_index_store.py)."""
+    with open(os.path.join(path, "manifest.json")) as f:
+        manifest = json.load(f)
+    if "lex" not in manifest["components"]:
+        raise ValueError(f"{path}: not a lexical index (see manifest)")
+    out = {
+        "tf": spark.read.parquet(os.path.join(path, "lex_tf")),
+        "lens": spark.read.parquet(os.path.join(path, "lex_lens")),
+        "n_docs": manifest["n_docs"],
+    }
+    if out["n_docs"]:
+        out["avgdl"] = manifest["total_len"] / out["n_docs"]
+    return out
+
+
+def lex_append(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Incrementally maintain a persisted lexical index: tokenize ONLY
+    the new batch and merge it in — history is never re-tokenized.
+
+    Maintenance rides ``sinks.writers.merge_upsert`` keyed on the doc
+    id: for the tf table that anti-join ∪ batch algebra is exactly
+    doc-level GROUP replacement (every surviving (doc, term) row of a
+    re-submitted doc is dropped, all of the batch doc's rows land —
+    multi-row "duplicates" per key are the intent here), and for the
+    lens table it is a plain one-row-per-doc upsert.  A batch of
+    entirely FRESH doc ids takes the writer's append fast path:
+    O(batch) new files, no history rewrite.  The manifest's corpus
+    stats are refreshed with one O(n_docs) aggregation of the merged
+    lens table (columnar, doc-count-sized — never the token table).
+
+    Appended-then-loaded serving is row-identical to an index rebuilt
+    from scratch on the merged corpus (pinned for both the fresh-ids
+    and the resubmitted-doc case in tests/test_index_store.py).
+
+    Layout note: appended/rewritten files are NOT term-sorted, so the
+    term-pruning layout ``save_lex_index`` establishes degrades by the
+    appended fraction; re-save (compact) periodically, exactly like
+    any sorted-layout table under append load."""
+    from cosmap_spark.operators.retrieval import build_lex_index
+    from cosmap_spark.sinks import writers
+
+    tf_new, lens_new = build_lex_index(
+        new_docs, id_col=id_col, text_col=text_col
+    )
+    writers.merge_upsert(
+        spark, os.path.join(path, "lex_tf"), tf_new, ["__d"]
+    )
+    writers.merge_upsert(
+        spark, os.path.join(path, "lex_lens"), lens_new, ["__d"]
+    )
+    lens = spark.read.parquet(os.path.join(path, "lex_lens"))
+    row = lens.agg(
+        F.count("*").alias("n"), F.sum("dl").alias("t")
+    ).collect()[0]
+    manifest = {
+        "components": ["lex"],
+        "n_docs": int(row["n"] or 0),
+        "total_len": int(row["t"] or 0),
+    }
+    tmp = os.path.join(path, ".manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(path, "manifest.json"))

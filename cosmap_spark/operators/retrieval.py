@@ -14,7 +14,12 @@ to the query vocabulary BEFORE any shuffle (query-vocabulary-sized,
 broadcasts); scoring is one broadcast join + one per-doc aggregation;
 top-k cuts with orderBy+limit (TakeOrderedAndProject) per query.
 Nothing corpus-sized shuffles except the one (doc, term) aggregation
-every lexical index pays.
+every lexical index pays — and that one is payable ONCE:
+``build_lex_index`` exposes the corpus-derived state,
+``operators.index_store.save_lex_index`` / ``load_lex_index`` /
+``lex_append`` persist and incrementally maintain it, and
+``bm25_search(prebuilt=...)`` serves from it without re-tokenizing
+history.
 
 The reference has no text surface at all; this module is part of the
 mandated beyond-reference pipeline surface.
@@ -52,8 +57,31 @@ def bm25_weight(
     )
 
 
-def bm25_search(
+def build_lex_index(
     docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """The corpus-derived state every BM25 serve consumes — the
+    lexical index: ``(tf, lens)`` with ``tf = [__d, term, tf]`` (term
+    frequencies per document) and ``lens = [__d, dl]`` (document
+    lengths in tokens).  Built by ONE tokenize + two map-side-combined
+    aggregations; :func:`bm25_search` builds it inline when no
+    ``prebuilt`` index is passed, and
+    ``operators.index_store.save_lex_index`` persists it so serving
+    sessions never re-tokenize the corpus."""
+    toks = docs.select(
+        F.col(id_col).alias("__d"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    tf = toks.groupBy("__d", "term").agg(F.count("*").alias("tf"))
+    lens = tf.groupBy("__d").agg(F.sum("tf").alias("dl"))
+    return tf, lens
+
+
+def bm25_search(
+    docs: DataFrame | None,
     queries: dict[str, str],
     *,
     id_col: str = "doc_id",
@@ -61,6 +89,7 @@ def bm25_search(
     k1: float = 1.2,
     b: float = 0.75,
     top_n: int = 10,
+    prebuilt: dict | None = None,
 ) -> DataFrame:
     """Top ``top_n`` documents per query by BM25 —
     ``[query_id, doc_id, score, n_hit]`` (``n_hit`` = how many query
@@ -77,19 +106,35 @@ def bm25_search(
     bag-of-words-query BM25).  Scoring joins the corpus term table to
     a BROADCAST literal of query terms, so adding queries adds
     broadcast rows, never corpus work.
+
+    ``prebuilt`` serves from a persisted lexical index instead of
+    re-tokenizing (``docs`` may then be ``None``): a dict with ``tf``
+    and ``lens`` frames shaped like :func:`build_lex_index`'s result,
+    plus optional precomputed ``n_docs``/``avgdl`` scalars (both
+    present → the corpus-stats job is skipped entirely — what
+    ``index_store.load_lex_index`` returns).  Serving from a loaded
+    index is row-identical to the inline path (pinned in
+    tests/test_index_store.py).
     """
     if not queries:
         raise ValueError("bm25_search: empty query set")
-    spark = docs.sparkSession
-    toks = docs.select(
-        F.col(id_col).alias("__d"),
-        F.explode(tokens(F.col(text_col))).alias("term"),
-    )
-    tf = toks.groupBy("__d", "term").agg(F.count("*").alias("tf"))
-    lens = tf.groupBy("__d").agg(F.sum("tf").alias("dl"))
-    stats = lens.agg(
-        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
-    )
+    if prebuilt is not None:
+        spark = prebuilt["tf"].sparkSession
+        tf, lens = prebuilt["tf"], prebuilt["lens"]
+    else:
+        if docs is None:
+            raise ValueError("bm25_search: need docs or prebuilt")
+        spark = docs.sparkSession
+        tf, lens = build_lex_index(docs, id_col=id_col, text_col=text_col)
+    if prebuilt is not None and "n_docs" in prebuilt and "avgdl" in prebuilt:
+        stats = spark.createDataFrame(
+            [(int(prebuilt["n_docs"]), float(prebuilt["avgdl"]))],
+            "n_docs LONG, avgdl DOUBLE",
+        )
+    else:
+        stats = lens.agg(
+            F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+        )
 
     qrows = [
         (qid, t)

@@ -235,3 +235,110 @@ def test_ivf_append_matches_full_assign(spark, tmp_path):
     }
     got = {(r["nid"], r["cid"]) for r in appended.collect()}
     assert got == want
+
+
+# --- lexical (BM25) index persistence -------------------------------
+
+def _bm25_rows(df):
+    return sorted(
+        (r["query_id"], r["doc_id"], r["score"], r["n_hit"])
+        for r in df.collect()
+    )
+
+
+QUERIES = {
+    "q1": "the quick fox",
+    "q2": "lazy dog jumps",
+    "q3": "missing vocabulary entirely",
+}
+
+
+def _corpus(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+_BASE = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick quick fox"),
+    (3, "lazy dog sleeps all day the dog"),
+    (4, "an unrelated document about spark plans"),
+    (5, "fox fox fox dog"),
+]
+
+
+def test_lex_save_load_serve_identical(spark, tmp_path):
+    from cosmap_spark.operators.index_store import (
+        load_lex_index, save_lex_index,
+    )
+    from cosmap_spark.operators.retrieval import bm25_search, build_lex_index
+
+    docs = _corpus(spark, _BASE)
+    p = str(tmp_path / "lex")
+    save_lex_index(p, *build_lex_index(docs))
+    loaded = load_lex_index(spark, p)
+    assert loaded["n_docs"] == 5
+    mem = bm25_search(docs, QUERIES, top_n=3)
+    disk = bm25_search(None, QUERIES, top_n=3, prebuilt=loaded)
+    assert _bm25_rows(mem) == _bm25_rows(disk) and mem.count() > 0
+
+
+def test_lex_append_fresh_ids_equals_rebuild(spark, tmp_path):
+    from cosmap_spark.operators.index_store import (
+        lex_append, load_lex_index, save_lex_index,
+    )
+    from cosmap_spark.operators.retrieval import bm25_search, build_lex_index
+
+    p = str(tmp_path / "lex")
+    save_lex_index(p, *build_lex_index(_corpus(spark, _BASE)))
+    batch = [(6, "fresh dog fox arrives"), (7, "the quick end")]
+    lex_append(spark, p, _corpus(spark, batch))
+    loaded = load_lex_index(spark, p)
+    rebuilt = bm25_search(_corpus(spark, _BASE + batch), QUERIES, top_n=4)
+    served = bm25_search(None, QUERIES, top_n=4, prebuilt=loaded)
+    assert _bm25_rows(served) == _bm25_rows(rebuilt)
+    import json as _json
+    import os as _os
+    man = _json.load(open(_os.path.join(p, "manifest.json")))
+    assert man["n_docs"] == 7
+    # total token count over the merged corpus
+    want = sum(len(t.split(" ")) for _, t in _BASE + batch)
+    assert man["total_len"] == want
+
+
+def test_lex_append_resubmitted_doc_equals_rebuild(spark, tmp_path):
+    """A re-submitted doc id REPLACES its old rows at doc granularity:
+    terms the old version had but the new one lacks must vanish from
+    the index (the group-replacement contract)."""
+    from cosmap_spark.operators.index_store import (
+        lex_append, load_lex_index, save_lex_index,
+    )
+    from cosmap_spark.operators.retrieval import bm25_search, build_lex_index
+
+    p = str(tmp_path / "lex")
+    save_lex_index(p, *build_lex_index(_corpus(spark, _BASE)))
+    # doc 5 loses every 'fox' and shrinks; doc 8 is new in the same batch
+    batch = [(5, "only dog now"), (8, "quick fox encore")]
+    lex_append(spark, p, _corpus(spark, batch))
+    loaded = load_lex_index(spark, p)
+    merged = [r for r in _BASE if r[0] != 5] + batch
+    rebuilt = bm25_search(_corpus(spark, merged), QUERIES, top_n=5)
+    served = bm25_search(None, QUERIES, top_n=5, prebuilt=loaded)
+    assert _bm25_rows(served) == _bm25_rows(rebuilt)
+    assert loaded["n_docs"] == 6
+    # the stale (5, 'fox') rows are gone from the tf table itself
+    assert (
+        loaded["tf"].where((F.col("__d") == 5) & (F.col("term") == "fox"))
+        .count() == 0
+    )
+
+
+def test_lex_load_rejects_non_lex_dir(spark, tmp_path):
+    from cosmap_spark.operators.index_store import load_lex_index
+
+    emb = load_table(spark, SF, "embeddings")
+    cents, assigned = ivf_build(emb, nlist=4, iters=1)
+    p = str(tmp_path / "ann")
+    save_ann_index(p, index=(cents, assigned))
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not a lexical index"):
+        load_lex_index(spark, p)
