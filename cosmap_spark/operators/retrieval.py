@@ -250,20 +250,34 @@ def retrieval_eval(
     id_col: str = "doc_id",
     score_col: str = "score",
     k: int = 10,
+    grade_col: str | None = None,
 ) -> DataFrame:
-    """Ranking-quality metrics per query against binary relevance
-    judgments (``qrels``: one row per relevant (query, doc)):
+    """Ranking-quality metrics per query against relevance judgments
+    (``qrels``: one row per relevant (query, doc)):
     ``precision_at_k``, ``recall_at_k``, ``mrr`` (reciprocal rank of
-    the first relevant hit), and binary ``ndcg_at_k`` — the standard
-    eval harness for :func:`bm25_search` / ANN / :func:`rrf_fuse`
-    outputs.
+    the first relevant hit), and ``ndcg_at_k`` — the standard eval
+    harness for :func:`bm25_search` / ANN / :func:`rrf_fuse` outputs.
+
+    ``grade_col`` switches nDCG to GRADED relevance: it names an
+    integer/double column in ``qrels`` and gains use the exponential
+    form ``(2^grade − 1) / log2(rank + 1)`` with the ideal DCG from
+    each query's grades sorted descending and cut at k (grade 1
+    everywhere reproduces the binary metric exactly).  The set-based
+    metrics (precision/recall/mrr) stay binary — a qrels row with
+    grade ≤ 0 counts as not relevant for them, contributes zero gain,
+    and is excluded from recall's denominator (graded qrels commonly
+    carry explicit grade-0 judgments); negative grades clamp to 0.  A
+    query whose judgments are ALL grade-0 surfaces NULL recall/ndcg
+    (undefined: nothing relevant exists).  Default ``None`` keeps the
+    historical binary nDCG.
 
     One keyed window ranks each query's results (ties on id, matching
     the searchers' cut order), a LEFT join marks relevance, one
-    aggregation computes the metrics, and the per-query relevant
-    totals come from a broadcastable qrels aggregation — everything
-    keyed by query.  Queries with no qrels row are dropped (undefined
-    recall); rounded to 6 dp."""
+    aggregation computes the metrics, and the per-query totals (count
+    and ideal DCG) come from a broadcastable qrels aggregation —
+    everything keyed by query; the graded ideal-DCG window is over
+    qrels only, never results.  Queries with no qrels row are dropped
+    (undefined recall); rounded to 6 dp."""
     import math
 
     from pyspark.sql import Window
@@ -274,22 +288,59 @@ def retrieval_eval(
     ranked = results.withColumn("__rank", F.row_number().over(w)).where(
         F.col("__rank") <= k
     )
-    rel = qrels.select(query_col, id_col, F.lit(True).alias("__rel"))
+    grade = (
+        F.col(grade_col).cast("double") if grade_col is not None
+        else F.lit(1.0)
+    )
+    rel = qrels.select(
+        query_col,
+        id_col,
+        (grade > 0).alias("__rel"),
+        # clamp at 0: a negative grade would yield NEGATIVE gain
+        # (2^g − 1 < 0) and corrupt both DCG and the ideal
+        F.greatest(grade, F.lit(0.0)).alias("__g"),
+    )
     marked = ranked.join(rel, [query_col, id_col], "left").select(
         query_col,
         "__rank",
         F.coalesce("__rel", F.lit(False)).alias("__rel"),
+        F.coalesce("__g", F.lit(0.0)).alias("__g"),
     )
-    totals = qrels.groupBy(query_col).agg(
-        F.count("*").alias("__n_rel")
-    )
-    # ideal DCG for n relevant docs cut at k: sum of 1/log2(i+1)
-    idcg = F.lit(0.0)
-    for i in range(1, k + 1):
-        idcg = idcg + F.when(
-            F.least(F.col("__n_rel"), F.lit(k)) >= i,
-            F.lit(1.0 / math.log2(i + 1)),
-        ).otherwise(F.lit(0.0))
+    gain = F.pow(F.lit(2.0), F.col("__g")) - F.lit(1.0)
+    if grade_col is None:
+        totals = qrels.groupBy(query_col).agg(
+            F.count("*").alias("__n_rel")
+        )
+        # ideal DCG for n relevant docs cut at k: sum of 1/log2(i+1)
+        idcg = F.lit(0.0)
+        for i in range(1, k + 1):
+            idcg = idcg + F.when(
+                F.least(F.col("__n_rel"), F.lit(k)) >= i,
+                F.lit(1.0 / math.log2(i + 1)),
+            ).otherwise(F.lit(0.0))
+    else:
+        # ideal DCG from the query's grades sorted DESC, cut at k —
+        # a qrels-sized keyed window, then one aggregation
+        wg = Window.partitionBy(query_col).orderBy(
+            F.col("__g").desc(), F.col(id_col).asc()
+        )
+        totals = (
+            rel.withColumn("__i", F.row_number().over(wg))
+            .groupBy(query_col)
+            .agg(
+                # recall's denominator counts RELEVANT judgments only:
+                # graded qrels commonly carry explicit grade-0 rows
+                F.sum(F.col("__rel").cast("int")).alias("__n_rel"),
+                F.sum(
+                    F.when(
+                        F.col("__i") <= k,
+                        (F.pow(F.lit(2.0), F.col("__g")) - F.lit(1.0))
+                        / F.log2(F.col("__i") + 1),
+                    ).otherwise(F.lit(0.0))
+                ).alias("__idcg"),
+            )
+        )
+        idcg = F.col("__idcg")
     per_q = (
         marked.groupBy(query_col)
         .agg(
@@ -298,7 +349,7 @@ def retrieval_eval(
             F.sum(
                 F.when(
                     F.col("__rel"),
-                    F.lit(1.0) / F.log2(F.col("__rank") + 1),
+                    gain / F.log2(F.col("__rank") + 1),
                 ).otherwise(F.lit(0.0))
             ).alias("__dcg"),
         )
@@ -307,9 +358,13 @@ def retrieval_eval(
     return per_q.select(
         query_col,
         F.round(F.col("__hits") / k, 6).alias("precision_at_k"),
-        F.round(F.col("__hits") / F.col("__n_rel"), 6).alias("recall_at_k"),
+        # try_divide: all-grade-0 queries have n_rel = idcg = 0 and
+        # surface NULL (ANSI division would throw)
+        F.round(
+            F.try_divide(F.col("__hits"), F.col("__n_rel")), 6
+        ).alias("recall_at_k"),
         F.round(
             F.coalesce(F.lit(1.0) / F.col("__first"), F.lit(0.0)), 6
         ).alias("mrr"),
-        F.round(F.col("__dcg") / idcg, 6).alias("ndcg_at_k"),
+        F.round(F.try_divide(F.col("__dcg"), idcg), 6).alias("ndcg_at_k"),
     )

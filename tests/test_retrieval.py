@@ -198,3 +198,84 @@ def test_bm25_rrf_improves_over_single_list(spark, corpus):
     fused = rrf_fuse([lex, vec], top_n=3).collect()
     assert fused[0]["doc_id"] == 2 or \
         max(fused, key=lambda r: r["rrf"])["doc_id"] == 2
+
+
+def _graded_eval_reference(res_rows, qrel_rows, k):
+    """Pure-python graded retrieval eval (exponential gain,
+    ideal from grades sorted desc cut at k; grade<=0 not relevant,
+    excluded from recall's denominator; negative grades clamp)."""
+    from collections import defaultdict
+
+    res_by_q, g_by_q = defaultdict(list), {}
+    for q, d, s in res_rows:
+        res_by_q[q].append((-s, d))
+    for q, d, g in qrel_rows:
+        g_by_q[(q, d)] = max(float(g), 0.0)
+    out = {}
+    for q in {q for q, _, _ in qrel_rows}:
+        if q not in res_by_q:
+            continue
+        ranked = [d for _, d in sorted(res_by_q[q])][:k]
+        grades = [g_by_q.get((q, d), 0.0) for d in ranked]
+        hits = sum(1 for g in grades if g > 0)
+        n_rel = sum(1 for (qq, _), g in g_by_q.items()
+                    if qq == q and g > 0)
+        first = next((i + 1 for i, g in enumerate(grades) if g > 0), None)
+        dcg = sum((2 ** g - 1) / math.log2(i + 2)
+                  for i, g in enumerate(grades))
+        ideal = sorted((g for (qq, _), g in g_by_q.items() if qq == q),
+                       reverse=True)[:k]
+        idcg = sum((2 ** g - 1) / math.log2(i + 2)
+                   for i, g in enumerate(ideal))
+        out[q] = (
+            round(hits / k, 6),
+            round(hits / n_rel, 6) if n_rel else None,
+            round(1.0 / first, 6) if first else 0.0,
+            round(dcg / idcg, 6) if idcg else None,
+        )
+    return out
+
+
+def test_retrieval_eval_graded_differential(spark):
+    """grade_col nDCG vs the pure-python reference: graded ordering
+    sensitivity (high grade at rank 2 vs low at rank 1), explicit
+    grade-0 judgments out of recall's denominator, negative-grade
+    clamp, all-zero-grades query surfacing NULLs, and grade=1
+    everywhere reproducing the binary metric."""
+    from cosmap_spark.operators.retrieval import retrieval_eval
+
+    res_rows = [
+        ("q1", 1, 3.0), ("q1", 2, 2.0), ("q1", 3, 1.0),
+        ("q2", 7, 3.0), ("q2", 8, 2.0),
+        ("q3", 5, 2.0), ("q3", 6, 1.0),
+    ]
+    qrel_rows = [
+        # q1: the BEST doc (grade 3) sits at rank 2 — graded ndcg < 1
+        ("q1", 1, 1), ("q1", 2, 3), ("q1", 3, 0),  # explicit zero
+        ("q2", 8, 2), ("q2", 99, -1),               # negative clamps
+        ("q3", 5, 0), ("q3", 6, 0),                 # all zero -> NULLs
+    ]
+    res = spark.createDataFrame(
+        res_rows, "query_id string, doc_id long, score double"
+    )
+    qrels = spark.createDataFrame(
+        qrel_rows, "query_id string, doc_id long, grade int"
+    )
+    got = {r["query_id"]: (
+        r["precision_at_k"], r["recall_at_k"], r["mrr"], r["ndcg_at_k"]
+    ) for r in retrieval_eval(res, qrels, k=2, grade_col="grade").collect()}
+    want = _graded_eval_reference(res_rows, qrel_rows, k=2)
+    assert got == want
+    assert got["q1"][3] < 1.0  # graded: best doc not first
+    assert got["q3"][1] is None and got["q3"][3] is None
+
+    # grade 1 everywhere == the binary path, metric for metric
+    ones = spark.createDataFrame(
+        [(q, d, 1) for q, d, g in qrel_rows],
+        "query_id string, doc_id long, grade int",
+    )
+    binary = {r["query_id"]: r["ndcg_at_k"] for r in
+              retrieval_eval(res, ones.drop("grade"), k=2).collect()}
+    graded = {r["query_id"]: r["ndcg_at_k"] for r in
+              retrieval_eval(res, ones, k=2, grade_col="grade").collect()}
+    assert binary == graded
