@@ -198,7 +198,9 @@ def classifier_auc(scores: DataFrame, labels: DataFrame) -> float:
         F.sum(F.when(F.col("y") == 1.0, 1.0).otherwise(0.0)).alias("npos"),
         F.count("*").cast("double").alias("n"),
     ).collect()[0]
-    npos, n = agg["npos"], agg["n"]
+    # SUM over zero rows is NULL: an empty score set must yield the
+    # same NaN as a single-class one, not a driver TypeError
+    npos, n = agg["npos"] or 0.0, agg["n"]
     nneg = n - npos
     if npos == 0 or nneg == 0:
         return float("nan")

@@ -275,7 +275,14 @@ def negative_pairs(
     idx = row_index(df.select(id_col), order_col=id_col)
     n = idx.count()
     if n < 2:
-        raise ValueError("need at least 2 rows to mine negatives")
+        # no partner exists — empty result with the declared schema
+        # (an upstream filter routinely leaves 0- or 1-row tables;
+        # crashing the pipeline helps no one)
+        return df.select(
+            F.col(id_col).alias("anchor_id"),
+            F.col(id_col).alias("negative_id"),
+            F.lit(0).cast("long").alias("neg_rank"),
+        ).where(F.lit(False))
     offs = F.array(*[
         (
             F.lit(1)
