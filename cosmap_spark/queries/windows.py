@@ -221,6 +221,45 @@ _TOPK_ORACLE = """
         SELECT *, row_number() OVER (
           PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rn
         FROM rrf_fused) WHERE rn <= 10
+    ),
+    -- graded retrieval_eval of the bm25 ranking: qrels = the idf
+    -- list's top 3 per query, grade = n_hit (matched-term count)
+    qrels AS (
+      SELECT query_id, doc_id, CAST(n_hit AS DOUBLE) AS grade
+      FROM idf_top WHERE rn <= 3
+    ),
+    ev_marked AS (
+      SELECT b.query_id, b.rn AS rank, coalesce(q.grade, 0) AS g
+      FROM bm25_top b LEFT JOIN qrels q USING (query_id, doc_id)
+    ),
+    ev_tot AS (
+      SELECT query_id,
+             sum(CASE WHEN grade > 0 THEN 1 ELSE 0 END) AS n_rel,
+             sum(CASE WHEN gi <= 10
+                 THEN (pow(2, greatest(grade, 0)) - 1) / log2(gi + 1)
+                 ELSE 0 END) AS idcg
+      FROM (SELECT query_id, grade,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY grade DESC, doc_id) AS gi
+            FROM qrels)
+      GROUP BY 1
+    ),
+    ev_perq AS (
+      SELECT query_id,
+             sum(CASE WHEN g > 0 THEN 1 ELSE 0 END) AS hits,
+             min(CASE WHEN g > 0 THEN rank END) AS first,
+             sum(CASE WHEN g > 0
+                 THEN (pow(2, g) - 1) / log2(rank + 1)
+                 ELSE 0 END) AS dcg
+      FROM ev_marked GROUP BY 1
+    ),
+    ev AS (
+      SELECT p.query_id,
+             round(hits / 10.0, 6) AS precision_at_k,
+             round(CAST(hits AS DOUBLE) / t.n_rel, 6) AS recall_at_k,
+             round(coalesce(1.0 / first, 0.0), 6) AS mrr,
+             round(dcg / t.idcg, 6) AS ndcg_at_k
+      FROM ev_perq p JOIN ev_tot t USING (query_id)
     )
     SELECT 'global' AS op, NULL AS query_id, k, score, n FROM (
       SELECT o_orderkey AS k, round(o_totalprice, 2) AS score,
@@ -230,6 +269,15 @@ _TOPK_ORACLE = """
     SELECT 'bm25', query_id, doc_id, score, n_hit FROM bm25_top
     UNION ALL
     SELECT 'rrf', query_id, doc_id, rrf, n_lists FROM rrf_top
+    UNION ALL
+    SELECT 'eval', query_id || '>precision', NULL, precision_at_k, NULL
+    FROM ev
+    UNION ALL
+    SELECT 'eval', query_id || '>recall', NULL, recall_at_k, NULL FROM ev
+    UNION ALL
+    SELECT 'eval', query_id || '>mrr', NULL, mrr, NULL FROM ev
+    UNION ALL
+    SELECT 'eval', query_id || '>ndcg', NULL, ndcg_at_k, NULL FROM ev
 """
 
 
@@ -249,11 +297,21 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       the same queries: the BM25 list and a coordination-style list
       (``k1=0`` degenerates the BM25 weight to pure idf — sum of
       matched-term idfs), fused at k=60.  Exercises the score-free
-      rank-combine path end-to-end under the hash gate.
+      rank-combine path end-to-end under the hash gate;
+    * ``eval``   — GRADED ``retrieval_eval`` of the bm25 ranking
+      against deterministic qrels (the idf list's top 3 per query,
+      grade = matched-term count — genuinely varied grades, so the
+      exponential-gain nDCG path is hash-checked, not just the binary
+      one).  One row per (query, metric), key = "query>metric".
 
     Scale shape (bm25/rrf): one corpus-sized (doc, term) aggregation;
-    query-term tables broadcast; top-k cuts are query-keyed windows."""
-    from cosmap_spark.operators.retrieval import bm25_search, rrf_fuse
+    query-term tables broadcast; top-k cuts are query-keyed windows;
+    eval is query-keyed windows over already-cut lists."""
+    from cosmap_spark.operators.retrieval import (
+        bm25_search,
+        retrieval_eval,
+        rrf_fuse,
+    )
 
     orders_top = (
         load_table(spark, sf_dir, "orders")
@@ -276,6 +334,43 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bm25 = bm25_search(docs, probe, top_n=10)
     idf_list = bm25_search(docs, probe, top_n=10, k1=0.0)
     fused = rrf_fuse([bm25, idf_list], k=60, top_n=10)
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    qrels = (
+        idf_list.withColumn("__rn", F.row_number().over(wq))
+        .where(F.col("__rn") <= 3)
+        .select(
+            "query_id", "doc_id",
+            F.col("n_hit").cast("double").alias("grade"),
+        )
+    )
+    ev = retrieval_eval(bm25, qrels, k=10, grade_col="grade")
+    metric_cols = [
+        ("precision", "precision_at_k"),
+        ("recall", "recall_at_k"),
+        ("mrr", "mrr"),
+        ("ndcg", "ndcg_at_k"),
+    ]
+    eval_rows = ev.select(
+        F.lit("eval").alias("op"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.concat(F.col("query_id"), F.lit(f">{tag}"))
+                    .alias("qid"),
+                    F.col(c).alias("v"),
+                )
+                for tag, c in metric_cols
+            ])
+        ).alias("m"),
+    ).select(
+        "op",
+        F.col("m.qid").alias("query_id"),
+        F.lit(None).cast("long").alias("k"),
+        F.col("m.v").alias("score"),
+        F.lit(None).cast("long").alias("n"),
+    )
 
     def shape(df: DataFrame, op: str, score, n) -> DataFrame:
         return df.select(
@@ -290,4 +385,5 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders_top
         .unionByName(shape(bm25, "bm25", F.col("score"), F.col("n_hit")))
         .unionByName(shape(fused, "rrf", F.col("rrf"), F.col("n_lists")))
+        .unionByName(eval_rows)
     )
