@@ -770,6 +770,82 @@ def load_appended_coded(spark: SparkSession, index_path: str):
     return coded
 
 
+def lex_ingest_stream(doc_stream: DataFrame, index_path: str,
+                      checkpoint: str, *, id_col: str = "doc_id",
+                      text_col: str = "text"):
+    """Online lexical-index maintenance — the BM25 twin of
+    :func:`vector_ingest_stream`: each micro-batch tokenizes ONLY its
+    own documents (``retrieval.build_lex_index`` over the batch —
+    history never re-tokenizes) and lands its (doc, term, tf) and
+    doc-length rows as epoch-keyed parquet sub-directories, so a
+    replayed epoch overwrites itself (exactly-once per epoch) and
+    readers reconstruct the index as base ∪ appends
+    (:func:`load_appended_lex`).
+
+    APPEND-ONLY contract, like the vector twin: resubmitted doc ids
+    are NOT replaced here (both versions would score — use the batch
+    path ``index_store.lex_append`` for group replacement); periodic
+    compaction = ``save_lex_index`` over the folded index, which also
+    restores the term-sorted pruning layout appends lack."""
+    from cosmap_spark.operators.retrieval import build_lex_index
+
+    def run(batch_df: DataFrame, epoch_id: int) -> None:
+        tf, lens = build_lex_index(
+            batch_df, id_col=id_col, text_col=text_col
+        )
+        tf.write.mode("overwrite").parquet(
+            f"{index_path}/lex_tf_appends/epoch={epoch_id}"
+        )
+        lens.write.mode("overwrite").parquet(
+            f"{index_path}/lex_lens_appends/epoch={epoch_id}"
+        )
+
+    return (
+        doc_stream.writeStream.foreachBatch(run)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def load_appended_lex(spark: SparkSession, index_path: str) -> dict:
+    """The ``prebuilt`` dict ``retrieval.bm25_search`` serves from,
+    with streaming appends folded in (base index optional — a stream
+    may start from nothing).  Corpus stats are RECOMPUTED from the
+    folded lens table (one doc-count-sized aggregation): the
+    manifest's stats are stale the moment appends exist."""
+    import os
+
+    from cosmap_spark.operators.index_store import load_lex_index
+
+    parts_tf, parts_lens = [], []
+    if os.path.exists(os.path.join(index_path, "manifest.json")):
+        base = load_lex_index(spark, index_path)
+        parts_tf.append(base["tf"])
+        parts_lens.append(base["lens"])
+    tf_dir = f"{index_path}/lex_tf_appends"
+    if os.path.exists(tf_dir):
+        parts_tf.append(
+            spark.read.parquet(tf_dir).select("__d", "term", "tf")
+        )
+        parts_lens.append(
+            spark.read.parquet(f"{index_path}/lex_lens_appends")
+            .select("__d", "dl")
+        )
+    if not parts_tf:
+        raise ValueError(f"{index_path}: no lexical index or appends")
+    tf, lens = parts_tf[0], parts_lens[0]
+    for t, l in zip(parts_tf[1:], parts_lens[1:]):
+        tf, lens = tf.unionByName(t), lens.unionByName(l)
+    row = lens.agg(
+        F.count("*").alias("n"), F.sum("dl").alias("t")
+    ).collect()[0]
+    out = {"tf": tf, "lens": lens, "n_docs": int(row["n"] or 0)}
+    if out["n_docs"]:
+        out["avgdl"] = int(row["t"]) / out["n_docs"]
+    return out
+
+
 def upsert_stream(changes: DataFrame, table_path: str, checkpoint: str,
                   keys: list[str], *, seq_col: str | None = None,
                   delete_col: str | None = None):

@@ -342,3 +342,34 @@ def test_lex_load_rejects_non_lex_dir(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="not a lexical index"):
         load_lex_index(spark, p)
+
+
+def test_lex_prebuilt_serve_pushes_query_vocab_to_scan(spark, tmp_path):
+    """The serve-time ``term IN (query vocabulary)`` filter must reach
+    the persisted tf table's parquet scan as a PushedFilter — that is
+    the mechanism the term-sorted save layout exists for (row-group
+    min/max pruning); a plan that filters post-scan would read the
+    whole index per query batch."""
+    from cosmap_spark.operators.index_store import (
+        load_lex_index, save_lex_index,
+    )
+    from cosmap_spark.operators.retrieval import bm25_search, build_lex_index
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} common word{i % 3}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    p = str(tmp_path / "lex")
+    save_lex_index(p, *build_lex_index(docs))
+    res = bm25_search(
+        None, {"q": "tok7 word1"}, prebuilt=load_lex_index(spark, p)
+    )
+    plan = res._jdf.queryExecution().toString()
+    # identify tf-table scans by their read columns (the Location
+    # string is metadata-truncated, so the path is unreliable)
+    tf_scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "term#" in ln
+    ]
+    assert tf_scans, "expected parquet scans of the persisted tf table"
+    assert all("In(term," in ln for ln in tf_scans), tf_scans

@@ -1199,3 +1199,51 @@ def test_upsert_stream_rejects_content_mismatch_replay(spark, tmp_path):
     # the table was not silently left stale-but-"complete": it still
     # holds exactly the merged epoch-0 data, nothing was dropped quietly
     assert spark.read.parquet(table).count() == 1
+
+
+def test_lex_ingest_stream_matches_batch_rebuild(spark, tmp_path):
+    """Online lexical maintenance: after streaming two files of new
+    documents into a persisted lexical index, BM25 serving from the
+    folded (base ∪ appends) index is row-identical to a from-scratch
+    search over the merged corpus; stats recompute over the folded
+    lens (the manifest's are stale once appends exist)."""
+    from cosmap_spark.operators.index_store import save_lex_index
+    from cosmap_spark.operators.retrieval import bm25_search, build_lex_index
+    from cosmap_spark.streaming.ops import (
+        lex_ingest_stream,
+        load_appended_lex,
+    )
+
+    base_rows = [(i, f"alpha tok{i} beta") for i in range(20)]
+    new_rows = [(100 + i, f"gamma tok{100 + i} alpha") for i in range(10)]
+    base = spark.createDataFrame(base_rows, "doc_id long, text string")
+    p = str(tmp_path / "lexidx")
+    save_lex_index(p, *build_lex_index(base))
+
+    land = tmp_path / "doc_landing"
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    new.where(F.col("doc_id") < 105).coalesce(1).write.parquet(
+        str(land), mode="append"
+    )
+    new.where(F.col("doc_id") >= 105).coalesce(1).write.parquet(
+        str(land), mode="append"
+    )
+    q = lex_ingest_stream(
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1).parquet(str(land)),
+        p, str(tmp_path / "lexckpt"),
+    )
+    q.awaitTermination(180)
+
+    loaded = load_appended_lex(spark, p)
+    assert loaded["n_docs"] == 30  # folded stats, not the stale manifest
+    queries = {"q1": "alpha gamma", "q2": "tok103 beta"}
+    served = bm25_search(None, queries, top_n=5, prebuilt=loaded)
+    merged = spark.createDataFrame(
+        base_rows + new_rows, "doc_id long, text string"
+    )
+    rebuilt = bm25_search(merged, queries, top_n=5)
+    key = lambda r: (r["query_id"], r["doc_id"])  # noqa: E731
+    assert sorted(map(tuple, served.collect()), key=lambda t: (t[0], t[1])) \
+        == sorted(map(tuple, rebuilt.collect()), key=lambda t: (t[0], t[1]))
+    assert served.count() > 0
