@@ -18,11 +18,20 @@ copies of real embeddings, unioned into the corpora.
 3. **hybrid** — `rrf_fuse` of the two lists: the planted id, ranked
    first by both, dominates every fused ranking;
 4. **eval** — `retrieval_eval` against the planted qrels:
-   MRR = nDCG@10 = 1.0 for every query on all three systems.
+   MRR = nDCG@10 = 1.0 for every query on all three systems;
+5. **persisted index** (round 6) — `save_lex_index` once,
+   `lex_append` a fresh batch (one of the planted docs arrives
+   late), then `bm25_search(prebuilt=load_lex_index(...))` —
+   row-identical to the inline search, with zero re-tokenization of
+   history;
+6. **graded eval** (round 6) — graded qrels (the planted doc grade 3,
+   a decoy sharing the filler tokens grade 1): exponential-gain
+   nDCG@10 stays 1.0 only while the system ranks the grade-3 doc
+   above the grade-1 decoy.
 
 Everything distributed-side is the tested operator surface
-(tests/test_retrieval.py, tests/test_dedup_knn.py); this file only
-composes it."""
+(tests/test_retrieval.py, tests/test_dedup_knn.py,
+tests/test_index_store.py); this file only composes it."""
 
 from __future__ import annotations
 
@@ -145,6 +154,53 @@ def main() -> None:
         assert all(r["mrr"] == 1.0 and r["ndcg_at_k"] == 1.0 for r in ev)
         print(f"retrieval_eval[{name}]: MRR = nDCG@10 = 1.0 "
               f"for all {len(ev)} queries")
+
+    # 5. persisted index (round 6) ----------------------------------------
+    import tempfile
+
+    from cosmap_spark.operators.index_store import (
+        lex_append,
+        load_lex_index,
+        save_lex_index,
+    )
+    from cosmap_spark.operators.retrieval import build_lex_index
+
+    idx = os.path.join(tempfile.mkdtemp(prefix="lexidx_"), "lex")
+    # the last planted doc "arrives late": index history first, append
+    late_id = PLANT_BASE + len(RARE) - 1
+    save_lex_index(
+        idx, *build_lex_index(corpus_docs.where(F.col("doc_id") != late_id))
+    )
+    lex_append(spark, idx, corpus_docs.where(F.col("doc_id") == late_id))
+    served = bm25_search(
+        None, queries, top_n=10, prebuilt=load_lex_index(spark, idx)
+    )
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, lex.collect())
+    )
+    print("persisted index: save + lex_append serves row-identical "
+          "to the inline search (history never re-tokenized)")
+
+    # 6. graded eval (round 6) --------------------------------------------
+    # decoy = any real doc the bm25 list retrieved below the planted
+    # doc (they all share the filler tokens); grade it 1 vs planted 3
+    second = {
+        r["query_id"]: r["doc_id"]
+        for r in lex.withColumn("rn", F.row_number().over(w1))
+        .where("rn = 2").collect()
+    }
+    graded_qrels = spark.createDataFrame(
+        [(q, d, 3) for q, d in truth.items()]
+        + [(q, d, 1) for q, d in second.items()],
+        "query_id string, doc_id long, grade int",
+    )
+    gev = retrieval_eval(
+        lex, graded_qrels, k=10, grade_col="grade"
+    ).collect()
+    assert all(r["ndcg_at_k"] == 1.0 for r in gev), gev
+    assert all(r["recall_at_k"] == 1.0 for r in gev)
+    print("graded eval: exponential-gain nDCG@10 = 1.0 with the "
+          "grade-3 planted doc ranked above its grade-1 decoy")
 
     spark.stop()
     print("retrieval example: all invariants hold")
