@@ -221,7 +221,9 @@ def pq_append(
 
 # --- lexical (BM25) index persistence -------------------------------
 
-def save_lex_index(path: str, tf: DataFrame, lens: DataFrame) -> None:
+def save_lex_index(
+    path: str, tf: DataFrame, lens: DataFrame | None = None
+) -> None:
     """Persist a lexical index (``retrieval.build_lex_index`` result)
     under ``path``: the (doc, term, tf) table lands REPARTITIONED AND
     SORTED BY TERM so the serve-time ``term IN (query vocabulary)``
@@ -231,16 +233,26 @@ def save_lex_index(path: str, tf: DataFrame, lens: DataFrame) -> None:
     ``n_docs``/``total_len`` so a serving session derives
     ``avgdl = total_len / n_docs`` without scanning anything.
 
-    The corpus-stats scalars are computed here with one O(n_docs)
-    aggregation of ``lens`` — the only eager work; at 100 TB the tf
-    write is the cost, paid once instead of per query batch."""
+    ``lens=None`` (recommended) derives the length table from the
+    WRITTEN tf parquet — the whole save then tokenizes the corpus
+    exactly ONCE; passing an explicit ``lens`` re-runs its lineage
+    (a second full tokenize for a ``build_lex_index`` frame).  The
+    corpus stats always aggregate the written lens parquet, never a
+    lineage."""
+    spark = tf.sparkSession
     tf.repartition(F.col("term")).sortWithinPartitions("term").write.mode(
         "overwrite"
     ).parquet(os.path.join(path, "lex_tf"))
+    if lens is None:
+        lens = (
+            spark.read.parquet(os.path.join(path, "lex_tf"))
+            .groupBy("__d")
+            .agg(F.sum("tf").alias("dl"))
+        )
     lens.write.mode("overwrite").parquet(os.path.join(path, "lex_lens"))
-    row = lens.agg(
-        F.count("*").alias("n"), F.sum("dl").alias("t")
-    ).collect()[0]
+    row = spark.read.parquet(
+        os.path.join(path, "lex_lens")
+    ).agg(F.count("*").alias("n"), F.sum("dl").alias("t")).collect()[0]
     manifest = {
         "components": ["lex"],
         "n_docs": int(row["n"] or 0),

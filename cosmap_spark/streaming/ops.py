@@ -790,13 +790,16 @@ def lex_ingest_stream(doc_stream: DataFrame, index_path: str,
     from cosmap_spark.operators.retrieval import build_lex_index
 
     def run(batch_df: DataFrame, epoch_id: int) -> None:
-        tf, lens = build_lex_index(
+        tf, _ = build_lex_index(
             batch_df, id_col=id_col, text_col=text_col
         )
-        tf.write.mode("overwrite").parquet(
-            f"{index_path}/lex_tf_appends/epoch={epoch_id}"
-        )
-        lens.write.mode("overwrite").parquet(
+        tf_dir = f"{index_path}/lex_tf_appends/epoch={epoch_id}"
+        tf.write.mode("overwrite").parquet(tf_dir)
+        # lengths from the WRITTEN tf, not the batch lineage: the
+        # second write would otherwise re-tokenize the batch files
+        batch_df.sparkSession.read.parquet(tf_dir).groupBy("__d").agg(
+            F.sum("tf").alias("dl")
+        ).write.mode("overwrite").parquet(
             f"{index_path}/lex_lens_appends/epoch={epoch_id}"
         )
 
