@@ -827,3 +827,50 @@ def test_attribution_validation(spark):
         attribution(ev, models=())
     with pytest.raises(ValueError, match="non-empty subset"):
         attribution(ev, models=("first", "u_shaped"))
+
+
+def test_attribution_credit_conservation_property(spark):
+    """Hypothesis over random event logs: for EVERY credit model,
+    total credit == the user base's conversion count (each conversion
+    distributes exactly weight 1) and within-model shares sum to 1 —
+    the conservation law that catches any weight-normalization
+    regression (e.g. the conversion row leaking into the time-decay
+    denominator) regardless of log shape: multi-conversion users,
+    direct conversions, touch-only users, duplicate touch types."""
+    import datetime as dt
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cosmap_spark.operators.funnel import ATTRIBUTION_MODELS, attribution
+
+    base = dt.datetime(2024, 1, 1)
+    event = st.tuples(
+        st.integers(0, 3),                      # user
+        st.sampled_from(["view", "click", "email", "purchase"]),
+        st.integers(0, 5000),                   # minutes offset
+    )
+
+    @given(events=st.lists(event, min_size=1, max_size=30))
+    @settings(max_examples=15, deadline=None)
+    def check(events):
+        rows = [
+            (u, t, base + dt.timedelta(minutes=m), i)
+            for i, (u, t, m) in enumerate(events)
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, event_type string, ts timestamp, "
+                  "event_id long",
+        )
+        n_conv = sum(1 for _, t, _, _ in rows if t == "purchase")
+        got = attribution(df, models=ATTRIBUTION_MODELS).collect()
+        if n_conv == 0:
+            assert got == []
+            return
+        for model in ATTRIBUTION_MODELS:
+            credit = sum(r["credit"] for r in got if r["model"] == model)
+            share = sum(r["share"] for r in got if r["model"] == model)
+            assert credit == pytest.approx(n_conv, abs=2e-3), model
+            assert share == pytest.approx(1.0, abs=1e-4), model
+
+    check()
