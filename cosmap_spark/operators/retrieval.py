@@ -125,7 +125,18 @@ def bm25_search(
         if docs is None:
             raise ValueError("bm25_search: need docs or prebuilt")
         spark = docs.sparkSession
-        tf, lens = build_lex_index(docs, id_col=id_col, text_col=text_col)
+        tf, _ = build_lex_index(docs, id_col=id_col, text_col=text_col)
+        # doc lengths MAP-SIDE (size of the token array — identical to
+        # sum(tf) over all terms), not from the tf aggregation: with
+        # lens decoupled, Catalyst pushes the query-vocabulary filter
+        # below tf's aggregate (term is a grouping key), so the
+        # corpus-sized (doc, term) shuffle shrinks to query-matching
+        # tokens only — the inline path stops paying the full lexical
+        # index build per call (that build belongs to save_lex_index)
+        lens = docs.select(
+            F.col(id_col).alias("__d"),
+            F.size(tokens(F.col(text_col))).cast("long").alias("dl"),
+        )
     if prebuilt is not None and "n_docs" in prebuilt and "avgdl" in prebuilt:
         stats = spark.createDataFrame(
             [(int(prebuilt["n_docs"]), float(prebuilt["avgdl"]))],

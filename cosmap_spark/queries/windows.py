@@ -331,6 +331,14 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in docs.where(F.col("doc_id").isin(1, 2, 3))
         .select("doc_id", "text").collect()
     }
+    # per-call searches, deliberately: sharing the lexical state
+    # across the bm25/idf/eval branches was measured SLOWER both as an
+    # eager localCheckpoint (build-time jobs cost more than the
+    # recompute — the knn-assigned lesson) and as lazy shared frames
+    # (per-branch column pruning differentiates the exchange subtrees,
+    # so AQE reuse never fires); the binding win was inside
+    # bm25_search itself — map-side doc lengths let the query-vocab
+    # filter push below the tf aggregate (4.6 s -> 3.8 s at sf0.1)
     bm25 = bm25_search(docs, probe, top_n=10)
     idf_list = bm25_search(docs, probe, top_n=10, k1=0.0)
     fused = rrf_fuse([bm25, idf_list], k=60, top_n=10)
