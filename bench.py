@@ -298,8 +298,15 @@ def main() -> None:
     # corpus buckets (materialized via localCheckpoint, standing in for
     # the stored index tables). serve = query-side probing + candidate
     # scoring + re-rank only.
+    from pyspark.sql import functions as F
+
     from cosmap_spark.operators.knn import ivf_build, lsh_build
-    from cosmap_spark.operators.pq import pq_encode, pq_train
+    from cosmap_spark.operators.pq import (
+        opq_train,
+        pq_encode,
+        pq_train,
+        rotate_vectors,
+    )
     from cosmap_spark.queries.llm_ops import knn_ann_union
     from cosmap_spark.tables import load_table
 
@@ -314,6 +321,16 @@ def main() -> None:
         assigned, books, id_col="nid", vec_col="nvec", keep=["cid"]
     ).localCheckpoint(eager=True)
     lsh_idx = lsh_build(emb, dim=64).localCheckpoint(eager=True)
+    # OPQ artifacts (the ledger's 4th embedding branch): rotation +
+    # codebooks off a hash-sample, coded rotated corpus materialized —
+    # same params as the self-contained gate path
+    opq_rot, opq_books = opq_train(
+        emb.where(F.pmod(F.xxhash64(F.col("vec_id"), F.lit(11)), F.lit(4)) == 0),
+        m=8, ksub=16, iters=2, pq_iters=1, dim=64, seed=41,
+    )
+    opq_coded = pq_encode(
+        rotate_vectors(emb, opq_rot), opq_books
+    ).localCheckpoint(eager=True)
     train_t = time.perf_counter() - t0
     serve_t = float("inf")
     for _ in range(2):
@@ -321,6 +338,7 @@ def main() -> None:
         knn_ann_union(
             spark, sf_dir, index=index, codebooks=books,
             lsh_index=lsh_idx, coded=coded, tsearch=False,
+            opq_rot=opq_rot, opq_books=opq_books, opq_coded=opq_coded,
         ).count()
         serve_t = min(serve_t, time.perf_counter() - t0)
     split = {"train": round(train_t, 3), "serve": round(serve_t, 3)}

@@ -36,6 +36,9 @@ def save_ann_index(
     lsh_index: DataFrame | None = None,
     coded: DataFrame | None = None,
     residual: bool = False,
+    opq=None,
+    opq_codebooks=None,
+    opq_coded: DataFrame | None = None,
 ) -> None:
     """Write the given artifacts under ``path`` (parquet + manifest).
     ``index`` is an ``ivf_build`` result ``(centroids, assigned)``;
@@ -45,7 +48,14 @@ def save_ann_index(
     v − centroid[cid] (``knn_ivfpq(residual=True)`` layout) — codes
     are meaningless under the wrong layout, so the flag travels in
     the manifest and ``load_ann_index`` surfaces it for the serving
-    call to pass through."""
+    call to pass through.
+
+    ``opq``/``opq_codebooks``/``opq_coded`` persist the OPQ family
+    (``pq.opq_train``'s rotation + codebooks and the coded ROTATED
+    corpus): the rotation is O(d²) driver state like the codebooks,
+    and codes produced under a rotation are meaningless without it —
+    storing them together is what makes a loaded OPQ serve
+    row-identical to the in-memory one."""
     manifest: dict = {"components": []}
     if residual:
         manifest["residual"] = True
@@ -89,6 +99,35 @@ def save_ann_index(
             os.path.join(path, "lsh_buckets")
         )
         manifest["components"].append("lsh")
+    if opq is not None:
+        spark = spark or _require_session(lsh_index, coded, opq_coded)
+        spark.createDataFrame(
+            [(i, [float(x) for x in row]) for i, row in enumerate(opq)],
+            "i INT, row ARRAY<DOUBLE>",
+        ).write.mode("overwrite").parquet(os.path.join(path, "opq_rotation"))
+        manifest["components"].append("opq")
+        manifest["opq_dim"] = len(opq)
+    if opq_codebooks is not None:
+        rows = [
+            (s, c, [float(x) for x in opq_codebooks[s][c]])
+            for s in range(len(opq_codebooks))
+            for c in range(len(opq_codebooks[s]))
+        ]
+        spark = spark or _require_session(lsh_index, coded, opq_coded)
+        spark.createDataFrame(
+            rows, "s INT, code INT, vals ARRAY<DOUBLE>"
+        ).write.mode("overwrite").parquet(
+            os.path.join(path, "opq_codebooks")
+        )
+        manifest["components"].append("opq_pq")
+        manifest["opq_m"] = len(opq_codebooks)
+        manifest["opq_ksub"] = len(opq_codebooks[0])
+    if opq_coded is not None:
+        # flat OPQ-PQ has no inverted lists to prune — plain layout
+        opq_coded.write.mode("overwrite").parquet(
+            os.path.join(path, "opq_coded")
+        )
+        manifest["components"].append("opq_coded")
     os.makedirs(path, exist_ok=True)
     # manifest last AND atomically (tmp + rename): it is the marker
     # that the parquet components are complete — a crash mid-save must
@@ -151,6 +190,24 @@ def load_ann_index(spark: SparkSession, path: str) -> dict:
     if "lsh" in manifest["components"]:
         out["lsh_index"] = spark.read.parquet(
             os.path.join(path, "lsh_buckets")
+        )
+    if "opq" in manifest["components"]:
+        rows = spark.read.parquet(
+            os.path.join(path, "opq_rotation")
+        ).orderBy("i").collect()
+        out["opq_rot"] = [list(r["row"]) for r in rows]
+    if "opq_pq" in manifest["components"]:
+        rows = spark.read.parquet(
+            os.path.join(path, "opq_codebooks")
+        ).collect()
+        m, ksub = manifest["opq_m"], manifest["opq_ksub"]
+        books = [[None] * ksub for _ in range(m)]
+        for r in rows:
+            books[r["s"]][r["code"]] = list(r["vals"])
+        out["opq_books"] = books
+    if "opq_coded" in manifest["components"]:
+        out["opq_coded"] = spark.read.parquet(
+            os.path.join(path, "opq_coded")
         )
     if manifest.get("residual"):
         out["residual"] = True

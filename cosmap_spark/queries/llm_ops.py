@@ -431,6 +431,12 @@ def q_knn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
       exact refine (operators/pq.py): the billion-scale layout where
       the scan reads m smallint codes per vector, not the vector.
 
+    * ``opq`` — flat OPQ-PQ (operators/pq.py::opq_train, Ge et al.
+      CVPR 2013): a learned orthogonal rotation decorrelates the
+      subspaces before product quantization — trained on a
+      deterministic hash-sample, applied map-side, searched by the
+      same ADC + exact-refine tail;
+
     * ``tsearch`` — the TIME-SERIES member of the family: top-5
       z-normalized subsequence matches to two fixed probe patterns
       over the events value series (operators/tseries.py,
@@ -438,10 +444,10 @@ def q_knn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
       force unit-tested).
 
     ``score`` is the branch's ranking score — exact cosine for
-    lsh/ivf, NEGATIVE exact L2 distance for ivfpq (refine metric),
-    negated z-distance for tsearch; monotone-decreasing in rank for
-    every branch.  Recall for the first three is unit-tested against
-    brute force."""
+    lsh/ivf, NEGATIVE exact L2 distance for ivfpq/opq (refine
+    metric), negated z-distance for tsearch; monotone-decreasing in
+    rank for every branch.  Recall is unit-tested against brute
+    force for every embedding branch."""
     return knn_ann_union(spark, sf_dir)
 
 
@@ -455,6 +461,9 @@ def knn_ann_union(
     coded=None,
     residual: bool = False,
     tsearch: bool = True,
+    opq_rot=None,
+    opq_books=None,
+    opq_coded=None,
 ) -> DataFrame:
     """The q_knn_ann plan, with the trained/derived artifacts
     injectable: ``index`` an ``ivf_build`` result, ``codebooks`` a
@@ -488,12 +497,28 @@ def knn_ann_union(
         # plus tests/test_pq.py determinism)
         from concurrent.futures import ThreadPoolExecutor
 
-        from cosmap_spark.operators.pq import pq_train
+        from cosmap_spark.operators.pq import opq_train, pq_train
 
-        with ThreadPoolExecutor(max_workers=1) as ex:
+        with ThreadPoolExecutor(max_workers=2) as ex:
             fut = ex.submit(
                 pq_train, emb, m=16, ksub=64, iters=1, dim=64, seed=41
             )
+            if opq_rot is None or opq_books is None:
+                # OPQ trains on a deterministic hash-sample (~25% —
+                # the standard FAISS practice: the rotation/codebook
+                # statistics converge on a sample; encode/search still
+                # cover the full corpus), overlapped with the other
+                # artifact builds
+                opq_fut = ex.submit(
+                    opq_train,
+                    emb.where(
+                        F.pmod(F.xxhash64(F.col("vec_id"), F.lit(11)), F.lit(4))
+                        == 0
+                    ),
+                    m=8, ksub=16, iters=2, pq_iters=1, dim=64, seed=41,
+                )
+            else:
+                opq_fut = None
             # NOTE: the lazy `assigned` is deliberately NOT
             # localCheckpoint'ed even though the ivf and ivfpq branches
             # each evaluate it (map-side work has no exchange for AQE
@@ -506,6 +531,8 @@ def knn_ann_union(
             # materialization pays.
             index = ivf_build(emb, nlist=16, iters=1)
             codebooks = fut.result()
+            if opq_fut is not None:
+                opq_rot, opq_books = opq_fut.result()
     elif index is None:
         index = ivf_build(emb, nlist=16, iters=1)
     ivf = knn_ivf(emb, queries, k=5, nlist=16, nprobe=8, prebuilt=index).select(
@@ -526,7 +553,36 @@ def knn_ann_union(
         F.lit("ivfpq").alias("method"), "qid", "nid",
         (-F.col("dist")).alias("score"), "rn",
     )
-    out = lsh.unionByName(ivf).unionByName(ivfpq)
+    # opq — FLAT OPQ-PQ (rotation + codes + ADC + exact refine, no
+    # coarse quantizer: FAISS's "OPQ8,PQ8" factory string): the learned
+    # orthogonal rotation decorrelates subspaces before coding.  The
+    # rotation/codebooks are injectable like every other artifact;
+    # self-trained on a hash-sample above otherwise.
+    from cosmap_spark.operators.pq import (
+        opq_train,
+        pq_adc_topk,
+        pq_encode,
+        rotate_vectors,
+    )
+
+    if opq_rot is None or opq_books is None:
+        opq_rot, opq_books = opq_train(
+            emb.where(
+                F.pmod(F.xxhash64(F.col("vec_id"), F.lit(11)), F.lit(4)) == 0
+            ),
+            m=8, ksub=16, iters=2, pq_iters=1, dim=64, seed=41,
+        )
+    rot_emb = rotate_vectors(emb, opq_rot)
+    rot_q = rotate_vectors(queries, opq_rot)
+    if opq_coded is None:
+        opq_coded = pq_encode(rot_emb, opq_books)
+    opq = pq_adc_topk(
+        opq_coded, rot_q, opq_books, k=5, rerank=100, vectors=rot_emb,
+    ).select(
+        F.lit("opq").alias("method"), "qid", "nid",
+        (-F.col("dist")).alias("score"), "rn",
+    )
+    out = lsh.unionByName(ivf).unionByName(ivfpq).unionByName(opq)
     if tsearch:
         # no trainable artifact: bench's train/serve split passes
         # tsearch=False so the serve number isolates the

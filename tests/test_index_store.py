@@ -28,6 +28,22 @@ def _rows(df):
     )
 
 
+def _opq_artifacts(spark, emb):
+    """Prebuilt OPQ rotation/codebooks/coded table at the gate's
+    parameters — shared by the parity tests so the ivf/pq assertions
+    don't pay (or depend on) an OPQ retrain per call."""
+    from cosmap_spark.operators.pq import opq_train, pq_encode, rotate_vectors
+
+    rot, books = opq_train(
+        emb.where(F.pmod(F.xxhash64(F.col("vec_id"), F.lit(11)), F.lit(4)) == 0),
+        m=8, ksub=16, iters=2, pq_iters=1, dim=64, seed=41,
+    )
+    coded = pq_encode(
+        rotate_vectors(emb, rot), books
+    ).localCheckpoint(eager=True)
+    return {"opq_rot": rot, "opq_books": books, "opq_coded": coded}
+
+
 def test_save_load_serve_identical(spark, tmp_path):
     emb = load_table(spark, SF, "embeddings")
     cents, assigned = ivf_build(emb, nlist=16, iters=1)
@@ -52,11 +68,15 @@ def test_save_load_serve_identical(spark, tmp_path):
         c: list(map(float, v)) for c, v in cents
     }
 
+    # prebuilt OPQ artifacts passed to BOTH sides: this test pins the
+    # ivf/pq/lsh persistence parity; the OPQ save/load roundtrip has
+    # its own test below
+    opq_art = _opq_artifacts(spark, emb)
     mem = knn_ann_union(
         spark, SF, index=(cents, assigned), codebooks=books,
-        lsh_index=lsh_idx, coded=coded, tsearch=False,
+        lsh_index=lsh_idx, coded=coded, tsearch=False, **opq_art,
     )
-    disk = knn_ann_union(spark, SF, tsearch=False, **loaded)
+    disk = knn_ann_union(spark, SF, tsearch=False, **loaded, **opq_art)
     assert _rows(mem) == _rows(disk) and mem.count() > 0
 
     manifest = json.load(open(p + "/manifest.json"))
@@ -89,11 +109,13 @@ def test_residual_flag_round_trips_and_serves(spark, tmp_path):
     )
     loaded = load_ann_index(spark, p)
     assert loaded["residual"] is True
+    opq_art = _opq_artifacts(spark, emb)
     mem = knn_ann_union(
         spark, SF, index=(cents, assigned), codebooks=books,
         lsh_index=lsh_idx, coded=coded, residual=True, tsearch=False,
+        **opq_art,
     )
-    disk = knn_ann_union(spark, SF, tsearch=False, **loaded)
+    disk = knn_ann_union(spark, SF, tsearch=False, **loaded, **opq_art)
     assert _rows(mem) == _rows(disk) and mem.count() > 0
     # a raw-layout save has no flag at all
     p2 = str(tmp_path / "raw_index")
@@ -373,3 +395,32 @@ def test_lex_prebuilt_serve_pushes_query_vocab_to_scan(spark, tmp_path):
     ]
     assert tf_scans, "expected parquet scans of the persisted tf table"
     assert all("In(term," in ln for ln in tf_scans), tf_scans
+
+
+def test_opq_save_load_serve_identical(spark, tmp_path):
+    """The OPQ family rides the same persistence contract as every
+    other artifact: save rotation + codebooks + coded rotated corpus,
+    load, serve — row-identical to serving the in-memory artifacts
+    (codes under a different rotation would silently differ)."""
+    emb = load_table(spark, SF, "embeddings")
+    art = _opq_artifacts(spark, emb)
+    p = str(tmp_path / "opq_index")
+    save_ann_index(
+        p, opq=art["opq_rot"], opq_codebooks=art["opq_books"],
+        opq_coded=art["opq_coded"],
+    )
+    loaded = load_ann_index(spark, p)
+    assert set(loaded) == {"opq_rot", "opq_books", "opq_coded"}
+    assert loaded["opq_books"] == [
+        [list(map(float, c)) for c in s] for s in art["opq_books"]
+    ]
+    mem = knn_ann_union(spark, SF, tsearch=False, **art)
+    disk = knn_ann_union(spark, SF, tsearch=False, **loaded)
+    assert (
+        [r for r in _rows(mem) if r[0] == "opq"]
+        == [r for r in _rows(disk) if r[0] == "opq"]
+    )
+    assert mem.where(F.col("method") == "opq").count() > 0
+    manifest = json.load(open(p + "/manifest.json"))
+    assert manifest["opq_m"] == 8 and manifest["opq_ksub"] == 16
+    assert manifest["opq_dim"] == 64
