@@ -326,7 +326,16 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     * quantile rollup (operators/sketch.py::quantile_rollup) — the
       quantile member of the same cube family: leaf equi-rank grids
       merged as weighted ECDF atoms per coarser level, rank error
-      bounded in tests/test_sketch.py.
+      bounded in tests/test_sketch.py;
+    * KMV rollup (operators/sketch.py::kmv_rollup) — the
+      k-minimum-values twin of the HLL cube: bounded per-partition
+      partials, JVM-side merge, and — unlike HLL — merge-order
+      BIT-STABLE estimates (asserted equal, not within tolerance, in
+      tests/test_sketch.py);
+    * KMV segment overlap (operators/sketch.py::segment_overlap) —
+      the set-algebra payoff HLL lacks: pairwise Jaccard +
+      intersection-NDV estimates between return-flag segments over
+      the orderkey universe, one corpus scan + a sketch self-join.
 
     All are mergeable-summary algorithms: partial states combine
     associatively, so the map-side combine IS the algorithm.  Checked
@@ -336,7 +345,9 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cosmap_spark.operators.sketch import (
         distinct_rollup,
         heavy_hitters_sketch,
+        kmv_rollup,
         quantile_rollup,
+        segment_overlap,
     )
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -395,7 +406,27 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p5").cast("double").alias("p50_or_ndv"),
         F.col("p9").cast("double").alias("p90"),
     )
+    kmv = kmv_rollup(
+        li, ["l_returnflag", "l_linestatus"], "l_orderkey", k=256
+    ).select(
+        F.lit("kmv_rollup").alias("sketch"),
+        F.concat_ws(
+            "/",
+            F.col("level"),
+            F.coalesce(F.col("l_returnflag"), F.lit("*")),
+            F.coalesce(F.col("l_linestatus"), F.lit("*")),
+        ).alias("grp"),
+        F.col("ndv").cast("double").alias("p50_or_ndv"),
+        F.lit(None).cast("double").alias("p90"),
+    )
+    ov = segment_overlap(li, "l_returnflag", "l_orderkey", k=256).select(
+        F.lit("kmv_overlap").alias("sketch"),
+        F.concat_ws("<", "seg_a", "seg_b").alias("grp"),
+        F.col("ndv_inter").cast("double").alias("p50_or_ndv"),
+        F.col("jaccard").cast("double").alias("p90"),
+    )
     return (
         pct.unionByName(ndv).unionByName(mg)
         .unionByName(hll).unionByName(qr)
+        .unionByName(kmv).unionByName(ov)
     )

@@ -327,3 +327,102 @@ def test_quantile_rollup_validation(spark, qdata):
         quantile_rollup(qdata, ["region"], "v", grid=1)
     with pytest.raises(ValueError):
         quantile_rollup(qdata, ["region"], "v", probs=(0.0,))
+
+
+# ------------------------------------------------------------- KMV
+
+
+@pytest.fixture(scope="module")
+def kmv_data(spark):
+    """3000 ids in segment A, 3000 in B, overlapping on [1500, 3000):
+    |A∩B| = 1500, |A∪B| = 4500, Jaccard = 1/3 — exactly."""
+    a = spark.range(0, 3000).select(
+        F.lit("A").alias("seg"), F.col("id").alias("uid")
+    )
+    b = spark.range(1500, 4500).select(
+        F.lit("B").alias("seg"), F.col("id").alias("uid")
+    )
+    # duplicate every row once: DISTINCT semantics must dedup
+    u = a.unionByName(b)
+    return u.unionByName(u).cache()
+
+
+def test_kmv_ndv_accuracy_and_exact_when_unsaturated(spark, kmv_data):
+    from cosmap_spark.operators.sketch import kmv_rollup
+
+    out = {
+        (r["level"], r["seg"]): r["ndv"]
+        for r in kmv_rollup(kmv_data, ["seg"], "uid", k=256).collect()
+    }
+    # saturated: 1/sqrt(k-2) ~ 6.3% std; assert 4 sigma
+    for key, exact in [(("seg", "A"), 3000.0), (("seg", "B"), 3000.0),
+                       (("(all)", None), 4500.0)]:
+        assert abs(out[key] - exact) / exact < 0.25, (key, out[key])
+    # unsaturated: fewer distincts than k -> EXACT count
+    small = kmv_data.where(F.col("uid") < 100)
+    got = kmv_rollup(small, ["seg"], "uid", k=256).collect()
+    assert {(r["level"], r["seg"]): r["ndv"] for r in got}[("seg", "A")] == 100.0
+
+
+def test_kmv_bit_stable_across_layouts_and_merge_orders(spark, kmv_data):
+    """The KMV differentiator vs HLL (whose merged representation is
+    order-dependent — the repo-wide invariant): the k minima of a set
+    do not depend on partitioning or merge order, so estimates are
+    asserted EQUAL, not within tolerance."""
+    from cosmap_spark.operators.sketch import kmv_rollup
+
+    base = sorted(map(tuple, kmv_rollup(
+        kmv_data.repartition(1), ["seg"], "uid", k=64
+    ).collect()))
+    for nparts in (3, 17):
+        again = sorted(map(tuple, kmv_rollup(
+            kmv_data.repartition(nparts, "uid"), ["seg"], "uid", k=64
+        ).collect()))
+        assert again == base, nparts
+
+
+def test_kmv_rollup_level_equals_direct_sketch(spark, kmv_data):
+    """A rolled-up (all) level must BIT-EQUAL a direct one-level
+    sketch of the same data — merge closure, exactly."""
+    from cosmap_spark.operators.sketch import kmv_rollup
+
+    rolled = {
+        (r["level"], r["seg"]): r["ndv"]
+        for r in kmv_rollup(kmv_data, ["seg"], "uid", k=128).collect()
+    }
+    flat = kmv_rollup(
+        kmv_data.select(F.lit(1).alias("one"), "uid"), ["one"], "uid", k=128
+    ).collect()
+    direct = {r["level"]: r["ndv"] for r in flat}["one"]
+    assert rolled[("(all)", None)] == direct
+
+
+def test_kmv_jaccard_and_segment_overlap(spark, kmv_data):
+    from cosmap_spark.operators.sketch import segment_overlap
+
+    rows = segment_overlap(kmv_data, "seg", "uid", k=256).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["seg_a"], r["seg_b"]) == ("A", "B")
+    # true Jaccard 1/3; indicator std ~ sqrt(p(1-p)/k) ~ 0.03
+    assert abs(r["jaccard"] - 1 / 3) < 0.12, r
+    assert abs(r["ndv_union"] - 4500) / 4500 < 0.25, r
+    assert abs(r["ndv_inter"] - 1500) / 1500 < 0.40, r
+    assert abs(r["ndv_a"] - 3000) / 3000 < 0.25, r
+
+
+def test_kmv_null_values_excluded(spark):
+    from cosmap_spark.operators.sketch import kmv_rollup
+
+    df = spark.createDataFrame(
+        [("A", 1), ("A", None), ("A", 2), ("B", None)],
+        "seg string, uid int",
+    )
+    out = {
+        (r["level"], r["seg"]): r["ndv"]
+        for r in kmv_rollup(df, ["seg"], "uid", k=16).collect()
+    }
+    assert out[("seg", "A")] == 2.0
+    # B contributed only NULLs: no leaf row (COUNT DISTINCT = 0)
+    assert ("seg", "B") not in out
+    assert out[("(all)", None)] == 2.0
