@@ -877,3 +877,29 @@ def test_sweep_covers_every_export(spark):
     stale = accounted - exported
     assert not missing, f"unaccounted operators: {sorted(missing)}"
     assert not stale, f"stale sweep entries: {sorted(stale)}"
+
+
+def test_kmv_rollup_and_overlap_empty(spark):
+    from cosmap_spark.operators.sketch import kmv_rollup, segment_overlap
+
+    df = spark.createDataFrame([], "seg string, uid long")
+    out = kmv_rollup(df, ["seg"], "uid", k=16)
+    # an empty corpus has no leaf groups; only the grand-total level
+    # row could exist, and with zero leaves even that aggregates to
+    # an empty sketch — size 0 estimate or no row, never a raise
+    rows = out.collect()
+    assert all(r["ndv"] in (0.0, None) for r in rows)
+    assert segment_overlap(df, "seg", "uid", k=16).count() == 0
+
+
+def test_opq_train_empty_raises_cleanly(spark):
+    from cosmap_spark.operators.pq import opq_train, rotate_vectors
+
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError):
+        # seeding needs ksub rows; the error message says so instead
+        # of an opaque numpy shape failure downstream
+        opq_train(df, m=8, ksub=16, iters=1, dim=64)
+    assert rotate_vectors(
+        df, [[1.0 if i == j else 0.0 for j in range(64)] for i in range(64)]
+    ).count() == 0
