@@ -402,6 +402,49 @@ def kmv_jaccard(a, b, *, k: int):
     )
 
 
+def kmv_leaf(
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    *,
+    k: int = 256,
+) -> DataFrame:
+    """The per-key KMV sketch table ``[*keys, __sk array<bigint>]`` —
+    one corpus scan: JVM-side hash, bounded per-partition partials
+    (:func:`_kmv_partials`), one merge aggregation.  NULL values are
+    excluded (COUNT DISTINCT semantics); keys that contributed only
+    NULLs have no row.  Shared by :func:`kmv_rollup`,
+    :func:`segment_overlap`, and the streaming store
+    (``streaming.ops.sketch_stream(kind="kmv")``)."""
+    key_types = dict(df.dtypes)
+    hashed = df.where(F.col(col).isNotNull()).select(
+        *keys, F.xxhash64(F.col(col)).alias("__h")
+    )
+    schema = ", ".join(
+        [f"{c} {key_types[c]}" for c in keys] + ["__sk array<bigint>"]
+    )
+    partials = hashed.mapInPandas(_kmv_partials(keys, k), schema)
+    return partials.groupBy(*keys).agg(kmv_merge("__sk", k=k).alias("__sk"))
+
+
+def merge_kmv_tables(
+    old: DataFrame, new: DataFrame, keys: list[str], *, k: int
+) -> DataFrame:
+    """Incremental maintenance of a persisted KMV sketch table —
+    ``merge_sketch_tables``'s KMV twin, with a STRONGER contract:
+    because the k minima of a set are visit-order independent, the
+    merged table is BIT-IDENTICAL to a one-shot build over the
+    concatenated data, and re-merging an already-merged batch is a
+    no-op (full wholesale idempotence, not just estimate-level).  Both
+    inputs must have been built with the same ``k`` (a sketch built
+    with smaller k would silently cap the merged sketch)."""
+    return (
+        old.unionByName(new)
+        .groupBy(*keys)
+        .agg(kmv_merge("__sk", k=k).alias("__sk"))
+    )
+
+
 def kmv_rollup(
     df: DataFrame,
     hierarchy: list[str],
@@ -427,19 +470,7 @@ def kmv_rollup(
     NULL values are excluded (COUNT DISTINCT semantics).  Returns
     ``[level, <hierarchy cols as string>, ndv]`` like
     ``distinct_rollup``."""
-    key_types = dict(df.dtypes)
-    hashed = df.where(F.col(col).isNotNull()).select(
-        *hierarchy, F.xxhash64(F.col(col)).alias("__h")
-    )
-    schema = ", ".join(
-        [f"{c} {key_types[c]}" for c in hierarchy] + ["__sk array<bigint>"]
-    )
-    partials = hashed.mapInPandas(_kmv_partials(hierarchy, k), schema)
-    leaf = (
-        partials.groupBy(*hierarchy)
-        .agg(kmv_merge("__sk", k=k).alias("__sk"))
-        .localCheckpoint(eager=False)
-    )
+    leaf = kmv_leaf(df, hierarchy, col, k=k).localCheckpoint(eager=False)
     out = None
     for depth in range(len(hierarchy), -1, -1):
         keys = hierarchy[:depth]
@@ -480,16 +511,8 @@ def segment_overlap(
     NULL segment keys are excluded (they would silently vanish in the
     pandas groupby, making results layout-dependent — the
     ``heavy_hitters_sketch`` NULL discipline)."""
-    hashed = df.where(
-        F.col(col).isNotNull() & F.col(seg_col).isNotNull()
-    ).select(seg_col, F.xxhash64(F.col(col)).alias("__h"))
-    key_type = dict(df.dtypes)[seg_col]
-    partials = hashed.mapInPandas(
-        _kmv_partials([seg_col], k),
-        f"{seg_col} {key_type}, __sk array<bigint>",
-    )
-    leaf = partials.groupBy(seg_col).agg(
-        kmv_merge("__sk", k=k).alias("__sk")
+    leaf = kmv_leaf(
+        df.where(F.col(seg_col).isNotNull()), [seg_col], col, k=k
     )
     a = leaf.select(
         F.col(seg_col).alias("seg_a"), F.col("__sk").alias("__ska")

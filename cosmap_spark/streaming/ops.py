@@ -595,7 +595,8 @@ def dedup_stream(stream_docs: DataFrame, store_path: str, out_path: str,
 
 
 def sketch_stream(stream_df: DataFrame, store_path: str, checkpoint: str,
-                  *, keys: list[str], col: str, lg_k: int = 12):
+                  *, keys: list[str], col: str, lg_k: int = 12,
+                  kind: str = "hll", k: int = 256):
     """Streaming maintenance of a persisted HLL sketch store — live
     per-key distinct counts over an unbounded stream with BOUNDED
     state: each micro-batch is sketched (``hll_sketch_agg``), merged
@@ -628,12 +629,49 @@ def sketch_stream(stream_df: DataFrame, store_path: str, checkpoint: str,
     idempotent across distinct items) but it breaks the byte-stability
     promise above.  A multi-node deployment should swap these calls
     for the same Hadoop ``FileSystem`` abstraction the checkpoint
-    uses."""
+    uses.
+
+    ``kind="kmv"`` maintains a KMV store instead
+    (``operators.sketch.kmv_leaf`` / ``merge_kmv_tables``, sketch
+    size ``k``): same ledger and swap mechanics, but with a STRONGER
+    replay contract — KMV merge is wholesale-idempotent and
+    merge-order bit-stable, so even a ledger lost to an unshared
+    driver filesystem leaves the store BIT-identical to a one-shot
+    batch build (asserted in tests/test_streaming.py); the ledger is
+    then purely a skip-work optimization.  The sketch ``k`` is
+    recorded in the store (``_kmv_k``) and a mismatched resume is
+    rejected loudly (merging under a smaller k would silently cap
+    history)."""
     import os
 
     from pyspark.sql import functions as F
 
-    from cosmap_spark.operators.sketch import merge_sketch_tables
+    from cosmap_spark.operators.sketch import (
+        kmv_leaf,
+        merge_kmv_tables,
+        merge_sketch_tables,
+    )
+
+    if kind not in ("hll", "kmv"):
+        raise ValueError(f"kind must be 'hll' or 'kmv'; got {kind!r}")
+
+    def check_k() -> None:
+        kfile = os.path.join(store_path, "_kmv_k")
+        if os.path.exists(kfile):
+            with open(kfile) as f:
+                stored_k = int(f.read().strip())
+            if stored_k != k:
+                raise ValueError(
+                    f"store at {store_path} was built with k="
+                    f"{stored_k}, resume requested k={k}"
+                )
+
+    if kind == "kmv":
+        # validate SYNCHRONOUSLY against an existing store — a
+        # mismatched k must refuse before any epoch runs (the ledger
+        # short-circuits replayed epochs, so an in-run-only check
+        # would silently skip straight past the refusal)
+        check_k()
 
     def run(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -641,18 +679,30 @@ def sketch_stream(stream_df: DataFrame, store_path: str, checkpoint: str,
         done_marker = os.path.join(ledger, f"epoch-{epoch_id}")
         if os.path.exists(done_marker):
             return  # replayed epoch: sketch state already includes it
-        batch = batch_df.groupBy(*keys).agg(
-            F.hll_sketch_agg(F.col(col), F.lit(lg_k)).alias("__sk")
-        )
+        if kind == "kmv":
+            check_k()  # a store created after setup still gets checked
+            batch = kmv_leaf(batch_df, keys, col, k=k)
+        else:
+            batch = batch_df.groupBy(*keys).agg(
+                F.hll_sketch_agg(F.col(col), F.lit(lg_k)).alias("__sk")
+            )
         store = os.path.join(store_path, "sketches")
         if os.path.exists(store):
             from cosmap_spark.sinks.writers import _swap_in
 
             old = spark.read.parquet(store)
-            _swap_in(store, merge_sketch_tables(old, batch, keys))
+            merged = (
+                merge_kmv_tables(old, batch, keys, k=k)
+                if kind == "kmv"
+                else merge_sketch_tables(old, batch, keys)
+            )
+            _swap_in(store, merged)
         else:
             batch.write.mode("overwrite").parquet(store)
         os.makedirs(ledger, exist_ok=True)
+        if kind == "kmv":
+            with open(os.path.join(store_path, "_kmv_k"), "w") as f:
+                f.write(str(k))
         with open(done_marker, "w") as f:
             f.write("ok")
 

@@ -1247,3 +1247,78 @@ def test_lex_ingest_stream_matches_batch_rebuild(spark, tmp_path):
     assert sorted(map(tuple, served.collect()), key=lambda t: (t[0], t[1])) \
         == sorted(map(tuple, rebuilt.collect()), key=lambda t: (t[0], t[1]))
     assert served.count() > 0
+
+
+def test_sketch_stream_kmv_bit_stable(spark, tmp_path):
+    """KMV mode's stronger contract: after two micro-batches the store
+    sketches are BIT-identical to a one-shot batch build over all the
+    data (merge-order stability), a re-merge WITHOUT the epoch ledger
+    leaves them bit-identical (wholesale idempotence), and a resume
+    with a mismatched k is rejected loudly."""
+    import pytest as _pytest
+
+    from cosmap_spark.operators.sketch import kmv_leaf, merge_kmv_tables
+    from cosmap_spark.streaming.ops import sketch_stream
+
+    land = tmp_path / "kmv_landing"
+    rows = spark.range(12_000).select(
+        (F.col("id") % 3).alias("grp"), (F.col("id") % 2_000).alias("uid")
+    )
+    rows.where(F.col("uid") % 2 == 0).coalesce(1).write.parquet(
+        str(land), mode="append"
+    )
+    rows.where(F.col("uid") % 2 == 1).coalesce(1).write.parquet(
+        str(land), mode="append"
+    )
+    stream = (
+        spark.readStream.schema("grp long, uid long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land))
+    )
+    store = tmp_path / "kmv_store"
+    q = sketch_stream(
+        stream, str(store), str(tmp_path / "kmv_ckpt"),
+        keys=["grp"], col="uid", kind="kmv", k=64,
+    )
+    q.awaitTermination(180)
+
+    def snap():
+        return sorted(
+            (r["grp"], tuple(r["__sk"]))
+            for r in spark.read.parquet(str(store / "sketches")).collect()
+        )
+
+    got = snap()
+    oneshot = sorted(
+        (r["grp"], tuple(r["__sk"]))
+        for r in kmv_leaf(rows, ["grp"], "uid", k=64).collect()
+    )
+    assert got == oneshot  # bit-equal, not approx — the KMV contract
+    # wholesale re-merge of an arbitrary already-seen batch, ledger
+    # bypassed on purpose: the store must not move by a single bit
+    from cosmap_spark.sinks.writers import _swap_in
+
+    old = spark.read.parquet(str(store / "sketches"))
+    replay = kmv_leaf(
+        rows.where(F.col("uid") % 2 == 0), ["grp"], "uid", k=64
+    )
+    _swap_in(
+        str(store / "sketches"),
+        merge_kmv_tables(old, replay, ["grp"], k=64),
+    )
+    assert snap() == got
+    # mismatched k on resume is refused (the error surfaces either as
+    # an awaitTermination raise or via query.exception())
+    with _pytest.raises(ValueError):
+        sketch_stream(
+            rows, "unused", "unused", keys=["grp"], col="uid",
+            kind="nope",
+        )
+    with _pytest.raises(ValueError, match="k=64"):
+        sketch_stream(
+            (spark.readStream.schema("grp long, uid long")
+             .option("maxFilesPerTrigger", 1).parquet(str(land))),
+            str(store), str(tmp_path / "kmv_ckpt3"),
+            keys=["grp"], col="uid", kind="kmv", k=32,
+        )
+    assert snap() == got  # the refused resume left the store untouched
