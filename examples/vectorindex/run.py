@@ -16,7 +16,10 @@ end-to-end on the embeddings table:
 4. **append** — `pq_append` encodes a new batch with the FROZEN
    artifacts (O(batch) incremental cost, history never re-read) and
    serving continues over base ∪ appends;
-5. **recall check** — top-5 agreement vs exact brute force.
+5. **recall check** — top-5 agreement vs exact brute force;
+6. **OPQ** — learn the orthogonal pre-rotation on a hash-sample
+   (`opq_train`, monotone objective printed), persist it beside its
+   codebooks, and serve flat OPQ-PQ from the loaded artifacts.
 
 Everything distributed-side is the tested operator surface; this file
 only composes it.
@@ -115,6 +118,37 @@ def main() -> None:
         recall = len(got & want) / max(len(want), 1)
         print(f"== recall@5 vs brute force after append: {recall:.2f} ==")
         assert recall >= 0.5, "persisted+appended index recall degraded"
+
+        # 6. OPQ (round 6): learn an orthogonal rotation on a
+        # deterministic hash-sample (the FAISS OPQ pre-transform),
+        # persist it beside the codebooks, and serve the rotated
+        # pipeline — L2 is rotation-invariant, so recall is directly
+        # comparable with the exact brute force above
+        from cosmap_spark.operators.pq import opq_train, rotate_vectors
+
+        rot, obooks, errs = opq_train(
+            emb.where(F.pmod(F.xxhash64("vec_id", F.lit(11)), F.lit(4)) == 0),
+            m=8, ksub=16, iters=2, pq_iters=1, dim=64, return_stats=True,
+        )
+        print(f"== OPQ objective per iteration (monotone): "
+              f"{[round(e, 4) for e in errs]} ==")
+        opq_coded = pq_encode(rotate_vectors(emb, rot), obooks)
+        opath = os.path.join(tmp, "opq_index")
+        save_ann_index(opath, opq=rot, opq_codebooks=obooks,
+                       opq_coded=opq_coded)
+        oload = load_ann_index(spark, opath)
+        from cosmap_spark.operators.pq import pq_adc_topk
+
+        oserved = pq_adc_topk(
+            oload["opq_coded"],
+            rotate_vectors(queries, oload["opq_rot"]),
+            oload["opq_books"], k=5, rerank=100,
+            vectors=rotate_vectors(emb, oload["opq_rot"]),
+        )
+        ogot = {(r["qid"], r["nid"]) for r in oserved.collect()}
+        orecall = len(ogot & want) / max(len(want), 1)
+        print(f"== OPQ-PQ recall@5 from the persisted rotation: "
+              f"{orecall:.2f} ==")
 
     spark.stop()
 
