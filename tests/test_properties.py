@@ -371,3 +371,54 @@ def test_quantile_rollup_monotone(spark, seed):
     assert len(rows) == 4
     for r in rows:
         assert r["p25"] <= r["p5"] <= r["p9"], r
+
+
+# --- KMV: merge closure is exact, estimates exact when unsaturated --------
+
+
+@given(st.integers(min_value=0, max_value=2**31 - 1))
+@settings(max_examples=5, deadline=None)
+def test_kmv_merge_closure_bit_exact(spark, seed):
+    """sketch(A) ⊕ sketch(B) must BIT-EQUAL sketch(A ∪ B) for any
+    random split — the closure property every incremental-maintenance
+    claim (merge_kmv_tables, sketch_stream kind=kmv) rests on — and a
+    sketch holding fewer than k values must estimate exactly."""
+    from pyspark.sql import functions as F
+
+    from cosmap_spark.operators.sketch import (
+        kmv_estimate,
+        kmv_leaf,
+        merge_kmv_tables,
+    )
+
+    df = spark.range(3_000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        # seed-dependent value universe with collisions
+        F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(700)).alias("v"),
+    )
+    a = df.where(F.pmod(F.xxhash64("id", F.lit(seed + 1)), F.lit(2)) == 0)
+    b = df.where(F.pmod(F.xxhash64("id", F.lit(seed + 1)), F.lit(2)) == 1)
+    whole = sorted(
+        (r["g"], tuple(r["__sk"]))
+        for r in kmv_leaf(df, ["g"], "v", k=64).collect()
+    )
+    merged = sorted(
+        (r["g"], tuple(r["__sk"]))
+        for r in merge_kmv_tables(
+            kmv_leaf(a, ["g"], "v", k=64),
+            kmv_leaf(b, ["g"], "v", k=64),
+            ["g"], k=64,
+        ).collect()
+    )
+    assert merged == whole
+    # unsaturated sketches are exact: k=1024 > 700 possible values
+    est = {
+        r["g"]: r["e"]
+        for r in kmv_leaf(df, ["g"], "v", k=1024)
+        .select("g", kmv_estimate("__sk", k=1024).alias("e")).collect()
+    }
+    exact = {
+        r["g"]: r["n"]
+        for r in df.groupBy("g").agg(F.countDistinct("v").alias("n")).collect()
+    }
+    assert est == {g: float(n) for g, n in exact.items()}
