@@ -80,6 +80,156 @@ def build_lex_index(
     return tf, lens
 
 
+def bm25_scored(
+    docs: DataFrame | None,
+    queries: dict[str, str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    variants: dict[str, tuple[float, float]] | None = None,
+    prebuilt: dict | None = None,
+    broadcast_lens: bool = True,
+) -> DataFrame:
+    """The UNCUT per-(query, doc) BM25 score table, optionally under
+    SEVERAL (k1, b) parameterizations from ONE corpus pass —
+    ``[query_id, __d, n_hit, score_<name>...]``.
+
+    ``variants`` maps a name to ``(k1, b)`` (default
+    ``{"score": (1.2, 0.75)}``).  All variant sums share one
+    aggregation: the corpus term table is tokenized, vocabulary-
+    filtered, and shuffled exactly once however many scorings are
+    requested — the reason q_topk's bm25 + pure-idf rankings cost one
+    corpus pass, not two (see :func:`bm25_search` for the single-
+    variant serving contract and tokenization notes).
+
+    The inline (non-``prebuilt``) path carries the document length
+    through the token explode itself, so NOTHING doc-count-sized is
+    joined or broadcast at any corpus scale.  ``broadcast_lens``
+    applies to the ``prebuilt`` path only, where dl comes from the
+    persisted doc-length table: ``True`` (default) broadcasts it —
+    the serving shape while lens fits the broadcast budget (16
+    bytes/doc → ~10⁸ docs against a 2 GB limit); past that pass
+    ``False`` and the join shuffles on doc id instead (AQE balances
+    it) — the same escape hatch as
+    ``_rerank_exact(broadcast_queries=)``."""
+    if not queries:
+        raise ValueError("bm25_search: empty query set")
+    variants = variants or {"score": (1.2, 0.75)}
+    if prebuilt is not None:
+        spark = prebuilt["tf"].sparkSession
+        tf, lens = prebuilt["tf"], prebuilt["lens"]
+    else:
+        if docs is None:
+            raise ValueError("bm25_search: need docs or prebuilt")
+        spark = docs.sparkSession
+        # ONE tokenizing scan builds the term table WITH the document
+        # length carried alongside (size of the same token array —
+        # projection-level repeats are subexpression-eliminated, so
+        # the text splits once per row): the (doc, term) aggregation
+        # keeps dl as max() of a per-doc constant, the query-vocab
+        # filter still pushes below the aggregate (term is a grouping
+        # key), and the separate doc-length scan AND its corpus-sized
+        # broadcast join disappear from the inline path entirely — at
+        # any corpus scale nothing doc-count-sized is broadcast here
+        toks = docs.select(
+            F.col(id_col).alias("__d"),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+            F.size(tokens(F.col(text_col))).cast("long").alias("__dl"),
+        )
+        tf = toks.groupBy("__d", "term").agg(
+            F.count("*").alias("tf"), F.max("__dl").alias("__dl")
+        )
+        lens = None  # dl rides the tf rows; only stats still scans
+    if prebuilt is not None and "n_docs" in prebuilt and "avgdl" in prebuilt:
+        stats = spark.createDataFrame(
+            [(int(prebuilt["n_docs"]), float(prebuilt["avgdl"]))],
+            "n_docs LONG, avgdl DOUBLE",
+        )
+    elif lens is not None:
+        stats = lens.agg(
+            F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+        )
+    else:
+        stats = docs.select(
+            F.size(tokens(F.col(text_col))).cast("long").alias("dl")
+        ).agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+
+    qrows = [
+        (qid, t)
+        for qid, q in queries.items()
+        for t in sorted({t for t in q.split(" ") if t})
+    ]
+    qterms = spark.createDataFrame(qrows, "query_id string, term string")
+    # df over the QUERY vocabulary only: filter before the aggregation
+    qvocab = sorted({t for _, t in qrows})
+    dfreq = (
+        tf.where(F.col("term").isin(qvocab))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    scored_src = (
+        tf.where(F.col("term").isin(qvocab))
+        .join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq), "term")
+    )
+    if lens is not None:
+        # prebuilt path: dl comes from the persisted doc-length table;
+        # broadcast while it fits the budget (16 bytes/doc → ~10⁸ docs
+        # against a 2 GB limit), else shuffle-join on doc id
+        lens_side = lens.withColumnRenamed("dl", "__dl")
+        scored_src = scored_src.join(
+            F.broadcast(lens_side) if broadcast_lens else lens_side, "__d"
+        )
+    return (
+        scored_src
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "__d")
+        .agg(
+            *[
+                F.round(
+                    F.sum(
+                        bm25_weight(
+                            F.col("tf"), F.col("df"), F.col("n_docs"),
+                            F.col("__dl"), F.col("avgdl"), k1=k1, b=b,
+                        )
+                    ),
+                    6,
+                ).alias(name)
+                for name, (k1, b) in variants.items()
+            ],
+            F.count("*").alias("n_hit"),
+        )
+    )
+
+
+def topk_cut(
+    scored: DataFrame,
+    *,
+    score_col: str = "score",
+    id_col: str = "doc_id",
+    top_n: int = 10,
+) -> DataFrame:
+    """Cut a :func:`bm25_scored` table to the top ``top_n`` per query
+    under one variant — ``[query_id, doc_id, score, n_hit]``, ties
+    broken on doc id (the deterministic contract every oracle
+    replays)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col(score_col).desc(), F.col("__d").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= top_n)
+        .select(
+            "query_id",
+            F.col("__d").alias(id_col),
+            F.col(score_col).alias("score"),
+            F.col("n_hit").cast("long").alias("n_hit"),
+        )
+    )
+
+
 def bm25_search(
     docs: DataFrame | None,
     queries: dict[str, str],
@@ -90,11 +240,13 @@ def bm25_search(
     b: float = 0.75,
     top_n: int = 10,
     prebuilt: dict | None = None,
+    broadcast_lens: bool = True,
 ) -> DataFrame:
     """Top ``top_n`` documents per query by BM25 —
     ``[query_id, doc_id, score, n_hit]`` (``n_hit`` = how many query
     terms the document contains; ties broken by id for a
-    deterministic cut).
+    deterministic cut).  Composed as :func:`bm25_scored` (one corpus
+    pass) + :func:`topk_cut` (query-keyed window).
 
     ``queries`` maps query ids to query strings tokenized by
     single-space split with empty tokens dropped.  The corpus side
@@ -116,85 +268,12 @@ def bm25_search(
     index is row-identical to the inline path (pinned in
     tests/test_index_store.py).
     """
-    if not queries:
-        raise ValueError("bm25_search: empty query set")
-    if prebuilt is not None:
-        spark = prebuilt["tf"].sparkSession
-        tf, lens = prebuilt["tf"], prebuilt["lens"]
-    else:
-        if docs is None:
-            raise ValueError("bm25_search: need docs or prebuilt")
-        spark = docs.sparkSession
-        tf, _ = build_lex_index(docs, id_col=id_col, text_col=text_col)
-        # doc lengths MAP-SIDE (size of the token array — identical to
-        # sum(tf) over all terms), not from the tf aggregation: with
-        # lens decoupled, Catalyst pushes the query-vocabulary filter
-        # below tf's aggregate (term is a grouping key), so the
-        # corpus-sized (doc, term) shuffle shrinks to query-matching
-        # tokens only — the inline path stops paying the full lexical
-        # index build per call (that build belongs to save_lex_index)
-        lens = docs.select(
-            F.col(id_col).alias("__d"),
-            F.size(tokens(F.col(text_col))).cast("long").alias("dl"),
-        )
-    if prebuilt is not None and "n_docs" in prebuilt and "avgdl" in prebuilt:
-        stats = spark.createDataFrame(
-            [(int(prebuilt["n_docs"]), float(prebuilt["avgdl"]))],
-            "n_docs LONG, avgdl DOUBLE",
-        )
-    else:
-        stats = lens.agg(
-            F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
-        )
-
-    qrows = [
-        (qid, t)
-        for qid, q in queries.items()
-        for t in sorted({t for t in q.split(" ") if t})
-    ]
-    qterms = spark.createDataFrame(qrows, "query_id string, term string")
-    # df over the QUERY vocabulary only: filter before the aggregation
-    qvocab = sorted({t for _, t in qrows})
-    dfreq = (
-        tf.where(F.col("term").isin(qvocab))
-        .groupBy("term")
-        .agg(F.count("*").alias("df"))
+    scored = bm25_scored(
+        docs, queries, id_col=id_col, text_col=text_col,
+        variants={"score": (k1, b)}, prebuilt=prebuilt,
+        broadcast_lens=broadcast_lens,
     )
-    scored = (
-        tf.where(F.col("term").isin(qvocab))
-        .join(F.broadcast(qterms), "term")
-        .join(F.broadcast(dfreq), "term")
-        .join(F.broadcast(lens.withColumnRenamed("dl", "__dl")), "__d")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("query_id", "__d")
-        .agg(
-            F.round(
-                F.sum(
-                    bm25_weight(
-                        F.col("tf"), F.col("df"), F.col("n_docs"),
-                        F.col("__dl"), F.col("avgdl"), k1=k1, b=b,
-                    )
-                ),
-                6,
-            ).alias("score"),
-            F.count("*").alias("n_hit"),
-        )
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("__d").asc()
-    )
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= top_n)
-        .select(
-            "query_id",
-            F.col("__d").alias(id_col),
-            "score",
-            F.col("n_hit").cast("long").alias("n_hit"),
-        )
-    )
+    return topk_cut(scored, score_col="score", id_col=id_col, top_n=top_n)
 
 
 def rrf_fuse(

@@ -308,9 +308,10 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query-term tables broadcast; top-k cuts are query-keyed windows;
     eval is query-keyed windows over already-cut lists."""
     from cosmap_spark.operators.retrieval import (
-        bm25_search,
+        bm25_scored,
         retrieval_eval,
         rrf_fuse,
+        topk_cut,
     )
 
     orders_top = (
@@ -331,16 +332,25 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in docs.where(F.col("doc_id").isin(1, 2, 3))
         .select("doc_id", "text").collect()
     }
-    # per-call searches, deliberately: sharing the lexical state
-    # across the bm25/idf/eval branches was measured SLOWER both as an
-    # eager localCheckpoint (build-time jobs cost more than the
-    # recompute — the knn-assigned lesson) and as lazy shared frames
-    # (per-branch column pruning differentiates the exchange subtrees,
-    # so AQE reuse never fires); the binding win was inside
-    # bm25_search itself — map-side doc lengths let the query-vocab
-    # filter push below the tf aggregate (4.6 s -> 3.8 s at sf0.1)
-    bm25 = bm25_search(docs, probe, top_n=10)
-    idf_list = bm25_search(docs, probe, top_n=10, k1=0.0)
+    # ONE corpus pass for BOTH rankings (round 6): the bm25 and
+    # pure-idf (k1=0) sums ride the same vocabulary-filtered (doc,
+    # term) aggregation as two agg columns, and the RESULT — a tiny
+    # (query, matching-doc) table — is eagerly checkpointed so the
+    # five consumers (bm25 output, idf output via qrels, rrf ×2,
+    # eval) cut from ~10² cached rows instead of re-running the
+    # corpus tokenize per union branch.  Earlier sharing attempts
+    # failed because they materialized CORPUS-sized state (the
+    # knn-assigned lesson) or relied on AQE exchange reuse that
+    # column pruning defeats; checkpointing the post-aggregation
+    # query-sized frame is the shape that pays (measured: q_topk
+    # 3.94 s -> 2.86 s min-of-5 at sf0.1; the remainder is the one
+    # tf-aggregate pass + the corpus-stats scan + the probe collect).
+    scored = bm25_scored(
+        docs, probe,
+        variants={"s_bm25": (1.2, 0.75), "s_idf": (0.0, 0.75)},
+    ).localCheckpoint(eager=True)
+    bm25 = topk_cut(scored, score_col="s_bm25", top_n=10)
+    idf_list = topk_cut(scored, score_col="s_idf", top_n=10)
     fused = rrf_fuse([bm25, idf_list], k=60, top_n=10)
     wq = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id")

@@ -112,9 +112,10 @@ def test_bm25_plan_shape(spark, corpus):
     physical = out._jdf.queryExecution().executedPlan().toString() \
         .split("== Initial Plan ==")[0]
     assert "CartesianProduct" not in physical
-    # the equi-joined query-side tables (qterms, dfreq, lens) hash-
-    # broadcast; only the 1-row stats frame may ride a BNLJ
-    assert physical.count("BroadcastHashJoin") >= 3
+    # the equi-joined query-side tables (qterms, dfreq) hash-broadcast;
+    # dl rides the tf rows (round 6: no doc-length join at all on the
+    # inline path); only the 1-row stats frame may ride a BNLJ
+    assert physical.count("BroadcastHashJoin") >= 2
     assert physical.count("BroadcastNestedLoopJoin") <= 1
 
 
@@ -279,3 +280,38 @@ def test_retrieval_eval_graded_differential(spark):
     graded = {r["query_id"]: r["ndcg_at_k"] for r in
               retrieval_eval(res, ones, k=2, grade_col="grade").collect()}
     assert binary == graded
+
+
+def test_bm25_scored_variants_one_pass_and_lens_knob(spark, corpus):
+    """bm25_scored with several (k1, b) variants must equal per-variant
+    bm25_search results exactly (the one-corpus-pass restructure is an
+    algebraic no-op), and broadcast_lens=False — the corpus-scale shape
+    where the doc-length table outgrows the broadcast budget — must be
+    row-identical to the broadcast default."""
+    from cosmap_spark.operators.retrieval import bm25_scored, topk_cut
+
+    docs, df = corpus
+    queries = {"q1": "quick fox", "q2": "dog the"}
+    scored = bm25_scored(
+        df, queries, variants={"s_a": (1.2, 0.75), "s_b": (0.0, 0.75)}
+    )
+
+    def rows(frame):
+        return sorted(map(tuple, frame.collect()))
+
+    for name, k1 in (("s_a", 1.2), ("s_b", 0.0)):
+        assert rows(topk_cut(scored, score_col=name, top_n=10)) == rows(
+            bm25_search(df, queries, top_n=10, k1=k1)
+        ), name
+    # the lens knob lives on the PREBUILT path (inline carries dl
+    # through the explode): shuffle-join and broadcast-join must be
+    # row-identical, and both must equal the inline path
+    from cosmap_spark.operators.retrieval import build_lex_index
+
+    tf, lens = build_lex_index(df)
+    pre = {"tf": tf, "lens": lens}
+    want = rows(bm25_search(df, queries))
+    assert rows(bm25_search(None, queries, prebuilt=pre)) == want
+    assert rows(
+        bm25_search(None, queries, prebuilt=pre, broadcast_lens=False)
+    ) == want
