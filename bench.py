@@ -302,7 +302,7 @@ def main() -> None:
 
     from cosmap_spark.operators.knn import ivf_build, lsh_build
     from cosmap_spark.operators.pq import (
-        opq_train,
+        opq_train_gate,
         pq_encode,
         pq_train,
         rotate_vectors,
@@ -324,10 +324,7 @@ def main() -> None:
     # OPQ artifacts (the ledger's 4th embedding branch): rotation +
     # codebooks off a hash-sample, coded rotated corpus materialized —
     # same params as the self-contained gate path
-    opq_rot, opq_books = opq_train(
-        emb.where(F.pmod(F.xxhash64(F.col("vec_id"), F.lit(11)), F.lit(4)) == 0),
-        m=8, ksub=16, iters=2, pq_iters=1, dim=64, seed=41,
-    )
+    opq_rot, opq_books = opq_train_gate(emb)
     opq_coded = pq_encode(
         rotate_vectors(emb, opq_rot), opq_books
     ).localCheckpoint(eager=True)

@@ -601,7 +601,11 @@ def attribution(
     * ``position`` — U-shaped: 40% first, 40% last, the middle
       touches share 20% (m=1 → 100%, m=2 → 50/50);
     * ``time_decay`` — credit ∝ ``0.5^(Δt/halflife)`` (Δt = time to
-      conversion), normalized per conversion.
+      conversion), normalized per conversion; computed with the
+      exponent anchored at the newest touch (mathematically
+      identical — the anchor cancels — but immune to the all-decays-
+      underflow 0/0 a conversion-anchored form hits when every touch
+      is ≫ halflife old).
 
     Path-model lookback windows are NON-OVERLAPPING: each conversion's
     touch set is the touches since the user's previous conversion (the
@@ -692,6 +696,8 @@ def attribution(
             "*",
             F.sum((~F.col("__ic")).cast("int")).over(wg).alias("__m"),
             F.max(F.when(F.col("__ic"), F.col("__ts"))).over(wg).alias("__cts"),
+            F.max(F.when(~F.col("__ic"), F.col("__ts"))).over(wg)
+            .alias("__mts"),
             F.row_number().over(wgo).alias("__pos"),
         )
         touches = grouped.where(~F.col("__ic"))
@@ -700,8 +706,16 @@ def attribution(
         import pandas as pd
 
         halflife_us = float(pd.Timedelta(halflife) // pd.Timedelta("1us"))
+        # exponent anchored at the NEWEST TOUCH in the group, not the
+        # conversion: normalized weights are shift-invariant (the
+        # anchor factors out of numerator and denominator), and the
+        # anchor touch contributes 0.5^0 = 1 so the denominator is
+        # always >= 1 — anchoring at the conversion instead lets a
+        # group whose touches ALL predate it by >> halflife underflow
+        # every decay to 0.0 and 0/0-crash under ANSI (a ~1100-
+        # halflife-old touch is pow(0.5, 1100) = exact 0.0)
         decay_exp = (
-            F.expr("timestampdiff(MICROSECOND, __ts, __cts)").cast("double")
+            F.expr("timestampdiff(MICROSECOND, __ts, __mts)").cast("double")
             / F.lit(halflife_us)
         )
         raw_decay = F.pow(F.lit(0.5), decay_exp)

@@ -278,6 +278,25 @@ def pq_append(
 
 # --- lexical (BM25) index persistence -------------------------------
 
+def _write_lex_manifest(path: str, lens: DataFrame) -> None:
+    """Aggregate the doc-count-sized lens table into the lexical
+    manifest stats and write it atomically (tmp + rename) — shared by
+    ``save_lex_index`` and ``lex_append`` so the manifest contract has
+    exactly one writer."""
+    row = lens.agg(
+        F.count("*").alias("n"), F.sum("dl").alias("t")
+    ).collect()[0]
+    manifest = {
+        "components": ["lex"],
+        "n_docs": int(row["n"] or 0),
+        "total_len": int(row["t"] or 0),
+    }
+    tmp = os.path.join(path, ".manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(path, "manifest.json"))
+
+
 def save_lex_index(
     path: str, tf: DataFrame, lens: DataFrame | None = None
 ) -> None:
@@ -307,18 +326,9 @@ def save_lex_index(
             .agg(F.sum("tf").alias("dl"))
         )
     lens.write.mode("overwrite").parquet(os.path.join(path, "lex_lens"))
-    row = spark.read.parquet(
-        os.path.join(path, "lex_lens")
-    ).agg(F.count("*").alias("n"), F.sum("dl").alias("t")).collect()[0]
-    manifest = {
-        "components": ["lex"],
-        "n_docs": int(row["n"] or 0),
-        "total_len": int(row["t"] or 0),
-    }
-    tmp = os.path.join(path, ".manifest.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, os.path.join(path, "manifest.json"))
+    _write_lex_manifest(
+        path, spark.read.parquet(os.path.join(path, "lex_lens"))
+    )
 
 
 def load_lex_index(spark: SparkSession, path: str) -> dict:
@@ -384,16 +394,6 @@ def lex_append(
     writers.merge_upsert(
         spark, os.path.join(path, "lex_lens"), lens_new, ["__d"]
     )
-    lens = spark.read.parquet(os.path.join(path, "lex_lens"))
-    row = lens.agg(
-        F.count("*").alias("n"), F.sum("dl").alias("t")
-    ).collect()[0]
-    manifest = {
-        "components": ["lex"],
-        "n_docs": int(row["n"] or 0),
-        "total_len": int(row["t"] or 0),
-    }
-    tmp = os.path.join(path, ".manifest.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, os.path.join(path, "manifest.json"))
+    _write_lex_manifest(
+        path, spark.read.parquet(os.path.join(path, "lex_lens"))
+    )

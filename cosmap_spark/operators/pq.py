@@ -370,6 +370,26 @@ def opq_train(
     return R.tolist(), books.tolist()
 
 
+#: the ledger's OPQ configuration — ONE source of truth shared by the
+#: q_knn_ann opq branch, bench.py's train/serve split, the persistence
+#: tests, and the vectorindex example (they must train IDENTICAL
+#: artifacts for "same params as the gate" claims to stay true)
+GATE_OPQ_PARAMS = {
+    "m": 8, "ksub": 16, "iters": 2, "pq_iters": 1, "dim": 64, "seed": 41,
+}
+
+
+def opq_train_gate(corpus: DataFrame, *, id_col: str = "vec_id"):
+    """``opq_train`` at the gate parameters over the deterministic
+    ~25% hash-sample (``xxhash64(id, 11) % 4 == 0`` — the FAISS
+    train-on-a-sample practice; the d×d Procrustes statistics converge
+    long before the corpus does).  Returns ``(R, codebooks)``."""
+    sample = corpus.where(
+        F.pmod(F.xxhash64(F.col(id_col), F.lit(11)), F.lit(4)) == 0
+    )
+    return opq_train(sample, id_col=id_col, **GATE_OPQ_PARAMS)
+
+
 def _adc_luts(
     qrows: list, codebooks: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:

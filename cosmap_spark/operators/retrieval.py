@@ -150,7 +150,11 @@ def bm25_scored(
             F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
         )
     else:
-        stats = docs.select(
+        # NULL-text docs are excluded: they have no token rows, so the
+        # tf/lens (prebuilt) path never counts them — counting them
+        # here would skew n_docs/idf and break the documented
+        # inline ≡ prebuilt row-identity
+        stats = docs.where(F.col(text_col).isNotNull()).select(
             F.size(tokens(F.col(text_col))).cast("long").alias("dl")
         ).agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
 

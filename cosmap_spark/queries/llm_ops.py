@@ -497,26 +497,19 @@ def knn_ann_union(
         # plus tests/test_pq.py determinism)
         from concurrent.futures import ThreadPoolExecutor
 
-        from cosmap_spark.operators.pq import opq_train, pq_train
+        from cosmap_spark.operators.pq import opq_train_gate, pq_train
 
         with ThreadPoolExecutor(max_workers=2) as ex:
             fut = ex.submit(
                 pq_train, emb, m=16, ksub=64, iters=1, dim=64, seed=41
             )
             if opq_rot is None or opq_books is None:
-                # OPQ trains on a deterministic hash-sample (~25% —
-                # the standard FAISS practice: the rotation/codebook
-                # statistics converge on a sample; encode/search still
-                # cover the full corpus), overlapped with the other
-                # artifact builds
-                opq_fut = ex.submit(
-                    opq_train,
-                    emb.where(
-                        F.pmod(F.xxhash64(F.col("vec_id"), F.lit(11)), F.lit(4))
-                        == 0
-                    ),
-                    m=8, ksub=16, iters=2, pq_iters=1, dim=64, seed=41,
-                )
+                # OPQ trains on a deterministic hash-sample (the
+                # standard FAISS practice; encode/search still cover
+                # the full corpus), overlapped with the other
+                # artifact builds — pq.opq_train_gate is the single
+                # source of the gate parameters
+                opq_fut = ex.submit(opq_train_gate, emb)
             else:
                 opq_fut = None
             # NOTE: the lazy `assigned` is deliberately NOT
@@ -559,19 +552,14 @@ def knn_ann_union(
     # rotation/codebooks are injectable like every other artifact;
     # self-trained on a hash-sample above otherwise.
     from cosmap_spark.operators.pq import (
-        opq_train,
+        opq_train_gate,
         pq_adc_topk,
         pq_encode,
         rotate_vectors,
     )
 
     if opq_rot is None or opq_books is None:
-        opq_rot, opq_books = opq_train(
-            emb.where(
-                F.pmod(F.xxhash64(F.col("vec_id"), F.lit(11)), F.lit(4)) == 0
-            ),
-            m=8, ksub=16, iters=2, pq_iters=1, dim=64, seed=41,
-        )
+        opq_rot, opq_books = opq_train_gate(emb)
     rot_emb = rotate_vectors(emb, opq_rot)
     rot_q = rotate_vectors(queries, opq_rot)
     if opq_coded is None:

@@ -150,13 +150,16 @@ _STREAM_WINDOWS_ORACLE = """
       SELECT *,
              sum(CASE WHEN NOT ic THEN 1 ELSE 0 END) OVER wg AS m,
              max(CASE WHEN ic THEN ts END) OVER wg AS cts,
+             max(CASE WHEN NOT ic THEN ts END) OVER wg AS mts,
              row_number() OVER (PARTITION BY user_id, cid
                                 ORDER BY ts, event_id) AS pos
       FROM atp0 WHERE cid >= 1
       WINDOW wg AS (PARTITION BY user_id, cid)
     ),
+    -- decay anchored at the newest TOUCH (mts), matching the
+    -- operator: shift-invariant weights, denominator always >= 1
     atp2 AS (
-      SELECT *, pow(0.5, date_diff('microsecond', ts, cts)
+      SELECT *, pow(0.5, date_diff('microsecond', ts, mts)
                          / 86400000000.0) AS rd
       FROM atp1
     ),

@@ -899,6 +899,35 @@ def load_appended_lex(spark: SparkSession, index_path: str) -> dict:
     return out
 
 
+def _batch_fingerprint(batch_df: DataFrame) -> str:
+    """Order-independent content fingerprint of a micro-batch: row
+    count + XOR + SUM of per-row xxhash64 over every column.  Two
+    hardening details (both bugs a plain xor-of-xxhash64(cols)
+    fingerprint has):
+
+    * positional literal anchors interleave the column slots — Spark's
+      hash expressions SKIP null inputs, so ``('a', NULL)`` and
+      ``(NULL, 'a')`` would otherwise produce the SAME row hash (the
+      merge.py snapshot_cdc discipline);
+    * the wrap-around SUM component catches even-multiplicity
+      differences XOR cancels (``[A, A, C]`` vs ``[B, B, C]``
+      xor-collide at equal counts; their sums differ)."""
+    anchored = ", ".join(
+        f"{i}, `{c}`" for i, c in enumerate(batch_df.columns)
+    )
+    row = batch_df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"bit_xor(xxhash64({anchored}))").alias("x"),
+        # summed as decimal (sum widens to decimal(30,0) — room for
+        # ~10^11 rows before overflow) and reduced mod 2^64
+        # driver-side, since a LONG sum would ANSI-throw on wrap
+        F.sum(F.expr(f"cast(xxhash64({anchored}) as decimal(20, 0))"))
+        .alias("s"),
+    ).first()
+    s = None if row["s"] is None else int(row["s"]) % (1 << 64)
+    return f"{row['n']}:{row['x']}:{s}"
+
+
 def upsert_stream(changes: DataFrame, table_path: str, checkpoint: str,
                   keys: list[str], *, seq_col: str | None = None,
                   delete_col: str | None = None):
@@ -923,8 +952,10 @@ def upsert_stream(changes: DataFrame, table_path: str, checkpoint: str,
     resurrect a key a later batch deleted).  Epoch ids alone cannot
     distinguish that replay from NEW data landing under a reused epoch
     id (a rebuilt checkpoint restarts at 0), so each marker records a
-    content fingerprint (row count + order-independent xxhash64 XOR
-    over the batch columns): a marker hit with a MATCHING fingerprint
+    content fingerprint (row count + order-independent XOR and SUM of
+    positionally-anchored per-row xxhash64 — anchors because Spark's
+    hash skips null slots, the sum because XOR cancels even-repeated
+    rows): a marker hit with a MATCHING fingerprint
     skips the redundant rewrite; a MISMATCH raises instead of silently
     dropping genuine data — wipe the ledger (or the checkpoint AND the
     ledger together) to re-apply from a clean slate.  A MISSING table
@@ -948,20 +979,7 @@ def upsert_stream(changes: DataFrame, table_path: str, checkpoint: str,
     # dies with the table name it describes
     ledger = f"{table_path.rstrip('/')}.__upsert_epochs"
 
-    def fingerprint(batch_df: DataFrame) -> str:
-        # order-independent content fingerprint: row count + XOR of
-        # per-row xxhash64 over every column (XOR needs no overflow
-        # guard and ignores delivery order; identical batches — the
-        # only replay the marker may legitimately skip — always match)
-        row = batch_df.select(
-            F.count(F.lit(1)).alias("n"),
-            F.expr(
-                "bit_xor(xxhash64("
-                + ", ".join(f"`{c}`" for c in batch_df.columns)
-                + "))"
-            ).alias("x"),
-        ).first()
-        return f"{row['n']}:{row['x']}"
+    fingerprint = _batch_fingerprint
 
     def run(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession

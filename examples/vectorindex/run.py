@@ -124,11 +124,13 @@ def main() -> None:
         # persist it beside the codebooks, and serve the rotated
         # pipeline — L2 is rotation-invariant, so recall is directly
         # comparable with the exact brute force above
-        from cosmap_spark.operators.pq import opq_train, rotate_vectors
+        from cosmap_spark.operators.pq import (
+            GATE_OPQ_PARAMS, opq_train, rotate_vectors,
+        )
 
         rot, obooks, errs = opq_train(
             emb.where(F.pmod(F.xxhash64("vec_id", F.lit(11)), F.lit(4)) == 0),
-            m=8, ksub=16, iters=2, pq_iters=1, dim=64, return_stats=True,
+            return_stats=True, **GATE_OPQ_PARAMS,
         )
         print(f"== OPQ objective per iteration (monotone): "
               f"{[round(e, 4) for e in errs]} ==")

@@ -874,3 +874,39 @@ def test_attribution_credit_conservation_property(spark):
             assert share == pytest.approx(1.0, abs=1e-4), model
 
     check()
+
+
+def test_time_decay_survives_ancient_touches(spark):
+    """Regression (round-6 review): with every touch >> halflife older
+    than the conversion, a conversion-anchored decay underflows every
+    weight to exact 0.0 and 0/0-crashes under ANSI.  The newest-touch-
+    anchored form must return full credit to the (single) touch — and
+    split sensibly when an ancient touch accompanies a recent one."""
+    import datetime as dt
+
+    from cosmap_spark.operators.funnel import attribution
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            # u1: ONE touch 1200 days before conversion (underflow case)
+            (1, "ad", t0 - dt.timedelta(days=1200)),
+            (1, "purchase", t0),
+            # u2: ancient + recent touch — recent takes ~all credit
+            (2, "ad", t0 - dt.timedelta(days=1200)),
+            (2, "email", t0 - dt.timedelta(hours=1)),
+            (2, "purchase", t0),
+        ],
+        "user_id long, event_type string, ts timestamp",
+    )
+    out = {
+        (r["model"], r["touch"]): r["credit"]
+        for r in attribution(
+            ev, conversion="purchase", models=("time_decay",),
+            halflife="1 day",
+        ).collect()
+    }
+    # u1's lone ancient touch gets its conversion's full credit
+    # (weight 1 of 1); u2's credit concentrates on the recent email
+    assert out[("time_decay", "ad")] == pytest.approx(1.0, abs=1e-6)
+    assert out[("time_decay", "email")] == pytest.approx(1.0, abs=1e-3)

@@ -32,12 +32,11 @@ def _opq_artifacts(spark, emb):
     """Prebuilt OPQ rotation/codebooks/coded table at the gate's
     parameters — shared by the parity tests so the ivf/pq assertions
     don't pay (or depend on) an OPQ retrain per call."""
-    from cosmap_spark.operators.pq import opq_train, pq_encode, rotate_vectors
-
-    rot, books = opq_train(
-        emb.where(F.pmod(F.xxhash64(F.col("vec_id"), F.lit(11)), F.lit(4)) == 0),
-        m=8, ksub=16, iters=2, pq_iters=1, dim=64, seed=41,
+    from cosmap_spark.operators.pq import (
+        opq_train_gate, pq_encode, rotate_vectors,
     )
+
+    rot, books = opq_train_gate(emb)
     coded = pq_encode(
         rotate_vectors(emb, rot), books
     ).localCheckpoint(eager=True)

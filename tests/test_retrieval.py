@@ -315,3 +315,23 @@ def test_bm25_scored_variants_one_pass_and_lens_knob(spark, corpus):
     assert rows(
         bm25_search(None, queries, prebuilt=pre, broadcast_lens=False)
     ) == want
+
+
+def test_bm25_null_text_docs_excluded_consistently(spark):
+    """Regression (round-6 review): the inline corpus-stats scan must
+    exclude NULL-text docs from n_docs exactly as the tf/lens paths do
+    (they have no token rows), or inline and prebuilt scores diverge."""
+    from cosmap_spark.operators.retrieval import build_lex_index
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, None), (3, "b c")], "doc_id long, text string"
+    )
+    queries = {"q": "a b"}
+
+    def rows(frame):
+        return sorted(map(tuple, frame.collect()))
+
+    tf, lens = build_lex_index(df)
+    want = rows(bm25_search(None, queries, prebuilt={"tf": tf, "lens": lens}))
+    assert rows(bm25_search(df, queries)) == want
+    assert want  # doc 1 and 3 both match

@@ -1322,3 +1322,23 @@ def test_sketch_stream_kmv_bit_stable(spark, tmp_path):
             keys=["grp"], col="uid", kind="kmv", k=32,
         )
     assert snap() == got  # the refused resume left the store untouched
+
+
+def test_batch_fingerprint_null_slots_and_multiplicity(spark):
+    """Regression (round-6 review): the upsert_stream replay-guard
+    fingerprint must distinguish ('a', NULL) from (NULL, 'a') — Spark's
+    hash skips null slots — and equal-count batches that differ only in
+    even-repeated rows (XOR alone cancels them); order must NOT matter."""
+    from cosmap_spark.streaming.ops import _batch_fingerprint
+
+    def fp(rows):
+        return _batch_fingerprint(
+            spark.createDataFrame(rows, "a string, b string")
+        )
+
+    assert fp([("a", None)]) != fp([(None, "a")])
+    assert fp([("a", "x"), ("a", "x"), ("c", "y")]) != \
+        fp([("b", "x"), ("b", "x"), ("c", "y")])
+    # order-independence (the property the guard relies on for
+    # legitimately replayed identical batches)
+    assert fp([("a", "x"), ("c", "y")]) == fp([("c", "y"), ("a", "x")])
