@@ -78,7 +78,7 @@ HEADLINE = [
 #: documents/embeddings/events, the tables the builder replicates)
 SCALING_SET = [
     "q_dedup_ngram", "q_passage_dedup", "q_decontam", "q_knn_ann",
-    "funnel_sliding", "merge_upsert",
+    "funnel_sliding", "merge_upsert", "bm25_scored", "kmv_overlap",
 ]
 SCALING_FACTORS = [1, 4, 10]
 
@@ -124,10 +124,54 @@ def _merge_upsert_bench(spark, sf_dir: str):
                         delete_col="deleted")
 
 
+def _bm25_scored_bench(spark, sf_dir: str):
+    """Scaling workload for the lexical-retrieval corpus pass (round
+    6): fixed 3-query probe set over the growing documents table —
+    the one tokenize + vocabulary-filtered (doc, term) aggregation
+    every inline search pays.  Probe terms come from replica-0 docs,
+    so matches stay replica-local (the builder suffixes tokens per
+    replica) and query-side work is CONSTANT; cells should scale with
+    the corpus scan alone (linear ceiling)."""
+    from pyspark.sql import functions as F
+
+    from cosmap_spark.operators.retrieval import bm25_scored
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    probe = {
+        f"q{r['doc_id']}": " ".join(r["text"].split(" ")[:5])
+        for r in docs.where(F.col("doc_id").isin(1, 2, 3))
+        .select("doc_id", "text").collect()
+    }
+    return bm25_scored(
+        docs, probe, variants={"s_bm25": (1.2, 0.75), "s_idf": (0.0, 0.75)}
+    )
+
+
+def _kmv_overlap_bench(spark, sf_dir: str):
+    """Scaling workload for the KMV sketch family (round 6): pairwise
+    distinct-value overlap between 4 derived segments of the growing
+    documents table.  One corpus scan feeding bounded per-partition
+    partials (O(segments·k) int64s each) + a 6-pair sketch self-join
+    — post-scan work is CONSTANT, so cells should track the scan."""
+    from pyspark.sql import functions as F
+
+    from cosmap_spark.operators.sketch import segment_overlap
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return segment_overlap(
+        docs.select(
+            F.pmod(F.col("doc_id"), F.lit(4)).alias("seg"), "doc_id"
+        ),
+        "seg", "doc_id", k=256,
+    )
+
+
 #: non-registry workloads timed in the scaling section (the registry
 #: is capped at 50; these are operators, not gate queries)
 EXTRA_SCALING = {"funnel_sliding": _funnel_sliding_bench,
-                 "merge_upsert": _merge_upsert_bench}
+                 "merge_upsert": _merge_upsert_bench,
+                 "bm25_scored": _bm25_scored_bench,
+                 "kmv_overlap": _kmv_overlap_bench}
 
 
 def _build_scaled(spark, base_dir: str, out_dir: str, factor: int) -> None:

@@ -6,8 +6,10 @@ tests/test_curation_e2e.py as a script:
 Stages: exact dedup -> near-dup cluster drop -> benchmark
 decontamination -> quality gate -> temperature mixture -> epoch-0
 shuffle -> sequence packing -> idempotent keyed upsert, then a
-per-language data card of the curated corpus.  Everything stays one
-lazy DataFrame plan until the final writes.
+per-language data card of the curated corpus and a KMV cross-shard
+overlap audit (pairwise Jaccard between language shards' document
+fingerprints, one scan).  Everything stays one lazy DataFrame plan
+until the final writes.
 """
 
 from __future__ import annotations
@@ -84,6 +86,19 @@ def main() -> None:
     print(f"curated: {spark.read.parquet(f'{out}/curated').count()} docs -> {out}")
     print("data card:")
     corpus_report(docs).orderBy("lang").show(truncate=False)
+
+    # cross-shard overlap audit (round 6): how many token-fingerprint
+    # values do the language shards share?  KMV sketches answer
+    # pairwise Jaccard + intersection-NDV from ONE scan — the check
+    # that catches a shard accidentally duplicating another's docs
+    from cosmap_spark.functions.text import fingerprint
+    from cosmap_spark.operators.sketch import segment_overlap
+
+    print("shard overlap (KMV, k=256):")
+    segment_overlap(
+        docs.select("lang", fingerprint(F.col("text")).alias("fp")),
+        "lang", "fp", k=256,
+    ).orderBy("seg_a", "seg_b").show(truncate=False)
 
 
 if __name__ == "__main__":
