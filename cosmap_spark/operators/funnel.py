@@ -695,7 +695,6 @@ def attribution(
         grouped = stamped.select(
             "*",
             F.sum((~F.col("__ic")).cast("int")).over(wg).alias("__m"),
-            F.max(F.when(F.col("__ic"), F.col("__ts"))).over(wg).alias("__cts"),
             F.max(F.when(~F.col("__ic"), F.col("__ts"))).over(wg)
             .alias("__mts"),
             F.row_number().over(wgo).alias("__pos"),

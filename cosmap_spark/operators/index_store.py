@@ -377,6 +377,9 @@ def lex_append(
     Appended-then-loaded serving is row-identical to an index rebuilt
     from scratch on the merged corpus (pinned for both the fresh-ids
     and the resubmitted-doc case in tests/test_index_store.py).
+    A batch doc with NULL text is a RETRACTION — its lexical rows are
+    deleted (a rebuild over the merged corpus drops it the same way,
+    since tokenization emits nothing for NULL text).
 
     Layout note: appended/rewritten files are NOT term-sorted, so the
     term-pruning layout ``save_lex_index`` establishes degrades by the
@@ -393,6 +396,19 @@ def lex_append(
     )
     writers.merge_upsert(
         spark, os.path.join(path, "lex_lens"), lens_new, ["__d"]
+    )
+    # a batch doc with NULL text is a RETRACTION: build_lex_index
+    # emits zero rows for it, so the merge above never replaces its
+    # group and the stale tokens would serve forever — delete them
+    # explicitly (delete_keys is a no-op when the ids are absent)
+    null_ids = new_docs.where(F.col(text_col).isNull()).select(
+        F.col(id_col).alias("__d")
+    ).distinct()
+    writers.delete_keys(
+        spark, os.path.join(path, "lex_tf"), null_ids, ["__d"]
+    )
+    writers.delete_keys(
+        spark, os.path.join(path, "lex_lens"), null_ids, ["__d"]
     )
     _write_lex_manifest(
         path, spark.read.parquet(os.path.join(path, "lex_lens"))

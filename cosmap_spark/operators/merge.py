@@ -285,13 +285,21 @@ def snapshot_cdc(
 
     def hashed(df: DataFrame, tag: str) -> DataFrame:
         # Spark's hash expressions SKIP null inputs (seed unchanged), so
-        # ('a', NULL) and (NULL, 'a') would collide; interleaving a
-        # positional literal anchors every column slot (constant-folded
-        # into codegen, costs nothing)
+        # ('a', NULL) and (NULL, 'a') would collide; each slot therefore
+        # contributes (position, isnull flag, value) — the position
+        # anchors the slot and the EXPLICIT null flag disambiguates the
+        # stream even when a value numerically equals the next slot's
+        # anchor (with anchors alone, INT (1, NULL) and (NULL, 1) both
+        # hash the stream [0, 1, 1]).  Flags make the token stream's
+        # parse deterministic, hence injective on the value tuple.
         anchored = [
             x
             for i, c in enumerate(sorted(cols))
-            for x in (F.lit(i), F.col(c))
+            for x in (
+                F.lit(i),
+                F.isnull(F.col(c)).cast("int"),
+                F.col(c),
+            )
         ]
         return df.select(
             *keys, F.xxhash64(*anchored).alias(f"__h_{tag}")

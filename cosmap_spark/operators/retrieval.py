@@ -70,7 +70,8 @@ def build_lex_index(
     aggregations; :func:`bm25_search` builds it inline when no
     ``prebuilt`` index is passed, and
     ``operators.index_store.save_lex_index`` persists it so serving
-    sessions never re-tokenize the corpus."""
+    sessions never re-tokenize the corpus.  Doc ids must be unique
+    (see :func:`bm25_scored`)."""
     toks = docs.select(
         F.col(id_col).alias("__d"),
         F.explode(tokens(F.col(text_col))).alias("term"),
@@ -93,6 +94,12 @@ def bm25_scored(
     """The UNCUT per-(query, doc) BM25 score table, optionally under
     SEVERAL (k1, b) parameterizations from ONE corpus pass —
     ``[query_id, __d, n_hit, score_<name>...]``.
+
+    Doc ids must be UNIQUE (dedup upstream — ``exact_dedup`` or a
+    ``dropDuplicates`` on the id): a duplicated id makes the document
+    length ill-defined, and the inline path (max of the per-row token
+    counts) and a ``build_lex_index`` store (sum of tf across rows)
+    would resolve it differently.
 
     ``variants`` maps a name to ``(k1, b)`` (default
     ``{"score": (1.2, 0.75)}``).  All variant sums share one

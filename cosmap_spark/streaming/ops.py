@@ -832,11 +832,13 @@ def lex_ingest_stream(doc_stream: DataFrame, index_path: str,
     readers reconstruct the index as base ∪ appends
     (:func:`load_appended_lex`).
 
-    APPEND-ONLY contract, like the vector twin: resubmitted doc ids
-    are NOT replaced here (both versions would score — use the batch
-    path ``index_store.lex_append`` for group replacement); periodic
-    compaction = ``save_lex_index`` over the folded index, which also
-    restores the term-sorted pruning layout appends lack."""
+    APPEND-ONLY contract on disk, like the vector twin: resubmitted
+    doc ids land as a NEW epoch without touching history, and
+    :func:`load_appended_lex` resolves them LAST-WRITER-WINS at read
+    time (the batch path ``index_store.lex_append`` instead rewrites
+    in place); periodic compaction = ``save_lex_index`` over the
+    folded index, which also restores the term-sorted pruning layout
+    appends lack."""
     from cosmap_spark.operators.retrieval import build_lex_index
 
     def run(batch_df: DataFrame, epoch_id: int) -> None:
@@ -866,7 +868,17 @@ def load_appended_lex(spark: SparkSession, index_path: str) -> dict:
     with streaming appends folded in (base index optional — a stream
     may start from nothing).  Corpus stats are RECOMPUTED from the
     folded lens table (one doc-count-sized aggregation): the
-    manifest's stats are stale the moment appends exist."""
+    manifest's stats are stale the moment appends exist.
+
+    A doc id appearing in SEVERAL epochs (a resubmission under the
+    append-only ingest) is resolved LAST-WRITER-WINS at read time:
+    the highest epoch's rows serve, earlier versions are filtered out
+    (base counts as epoch −1).  A naive union would instead join each
+    tf row of the doc against EVERY lens version — multiplying its
+    BM25 terms and double-counting it in n_docs.  The winner filter
+    is one doc-count-sized aggregation + a semi-join on (__d, epoch);
+    on-disk state stays append-only (compaction = ``save_lex_index``
+    over this fold)."""
     import os
 
     from cosmap_spark.operators.index_store import load_lex_index
@@ -874,22 +886,34 @@ def load_appended_lex(spark: SparkSession, index_path: str) -> dict:
     parts_tf, parts_lens = [], []
     if os.path.exists(os.path.join(index_path, "manifest.json")):
         base = load_lex_index(spark, index_path)
-        parts_tf.append(base["tf"])
-        parts_lens.append(base["lens"])
+        parts_tf.append(
+            base["tf"].select("__d", "term", "tf")
+            .withColumn("__ep", F.lit(-1).cast("long"))
+        )
+        parts_lens.append(
+            base["lens"].select("__d", "dl")
+            .withColumn("__ep", F.lit(-1).cast("long"))
+        )
     tf_dir = f"{index_path}/lex_tf_appends"
     if os.path.exists(tf_dir):
         parts_tf.append(
-            spark.read.parquet(tf_dir).select("__d", "term", "tf")
+            spark.read.parquet(tf_dir)
+            .select("__d", "term", "tf", F.col("epoch").cast("long").alias("__ep"))
         )
         parts_lens.append(
             spark.read.parquet(f"{index_path}/lex_lens_appends")
-            .select("__d", "dl")
+            .select("__d", "dl", F.col("epoch").cast("long").alias("__ep"))
         )
     if not parts_tf:
         raise ValueError(f"{index_path}: no lexical index or appends")
     tf, lens = parts_tf[0], parts_lens[0]
     for t, l in zip(parts_tf[1:], parts_lens[1:]):
         tf, lens = tf.unionByName(t), lens.unionByName(l)
+    winners = lens.groupBy("__d").agg(F.max("__ep").alias("__ep"))
+    lens = lens.join(winners, ["__d", "__ep"], "left_semi").select("__d", "dl")
+    tf = tf.join(winners, ["__d", "__ep"], "left_semi").select(
+        "__d", "term", "tf"
+    )
     row = lens.agg(
         F.count("*").alias("n"), F.sum("dl").alias("t")
     ).collect()[0]
@@ -905,15 +929,20 @@ def _batch_fingerprint(batch_df: DataFrame) -> str:
     hardening details (both bugs a plain xor-of-xxhash64(cols)
     fingerprint has):
 
-    * positional literal anchors interleave the column slots — Spark's
-      hash expressions SKIP null inputs, so ``('a', NULL)`` and
-      ``(NULL, 'a')`` would otherwise produce the SAME row hash (the
-      merge.py snapshot_cdc discipline);
+    * every column slot contributes (position, isnull flag, value) —
+      Spark's hash expressions SKIP null inputs, so ``('a', NULL)``
+      and ``(NULL, 'a')`` would otherwise produce the SAME row hash,
+      and a bare positional anchor is still ambiguous when a VALUE
+      numerically equals the next slot's anchor (INT ``(1, NULL)`` vs
+      ``(NULL, 1)`` both hash ``[0, 1, 1]``) — the explicit flag makes
+      the token stream's parse deterministic (the merge.py
+      snapshot_cdc discipline);
     * the wrap-around SUM component catches even-multiplicity
       differences XOR cancels (``[A, A, C]`` vs ``[B, B, C]``
       xor-collide at equal counts; their sums differ)."""
     anchored = ", ".join(
-        f"{i}, `{c}`" for i, c in enumerate(batch_df.columns)
+        f"{i}, cast(`{c}` is null as int), `{c}`"
+        for i, c in enumerate(batch_df.columns)
     )
     row = batch_df.select(
         F.count(F.lit(1)).alias("n"),

@@ -423,3 +423,29 @@ def test_opq_save_load_serve_identical(spark, tmp_path):
     manifest = json.load(open(p + "/manifest.json"))
     assert manifest["opq_m"] == 8 and manifest["opq_ksub"] == 16
     assert manifest["opq_dim"] == 64
+
+
+def test_lex_append_null_text_retracts_doc(spark, tmp_path):
+    """Regression (round-6 review #4): resubmitting a doc with NULL
+    text must RETRACT it — tokenization emits nothing, so without the
+    explicit delete its stale tokens would serve forever."""
+    from cosmap_spark.operators.index_store import (
+        lex_append,
+        load_lex_index,
+        save_lex_index,
+    )
+    from cosmap_spark.operators.retrieval import bm25_search, build_lex_index
+
+    base = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha gamma")], "doc_id long, text string"
+    )
+    p = str(tmp_path / "lex_retract")
+    save_lex_index(p, *build_lex_index(base))
+    lex_append(
+        spark, p,
+        spark.createDataFrame([(1, None)], "doc_id long, text string"),
+    )
+    loaded = load_lex_index(spark, p)
+    assert loaded["n_docs"] == 1
+    got = bm25_search(None, {"q": "beta alpha"}, prebuilt=loaded).collect()
+    assert {r["doc_id"] for r in got} == {2}

@@ -503,3 +503,27 @@ def test_snapshot_cdc_rejects_map_compare_cols(spark):
     )
     with pytest.raises(ValueError, match="map"):
         snapshot_cdc(df, df, ["id"])
+
+
+def test_snapshot_cdc_null_shifted_int_payloads(spark):
+    """Regression (round-6 review #2): with bare positional anchors,
+    INT (1, NULL) and (NULL, 1) hash the identical token stream
+    [0, 1, 1] (the value collides with the next slot's anchor), so the
+    change was silently dropped.  The explicit isnull flag per slot
+    must detect it."""
+    from cosmap_spark.operators.merge import merge_upsert, snapshot_cdc
+
+    old = spark.createDataFrame(
+        [(10, 1, None), (20, 5, 6)], "k long, a int, b int"
+    )
+    new = spark.createDataFrame(
+        [(10, None, 1), (20, 5, 6)], "k long, a int, b int"
+    )
+    cdc = snapshot_cdc(old, new, ["k"])
+    ups = cdc.collect()
+    assert len(ups) == 1 and ups[0]["k"] == 10, ups
+    # round-trip law holds on exactly this input class
+    merged = merge_upsert(old, cdc, ["k"], delete_col="deleted")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, new.collect())
+    )

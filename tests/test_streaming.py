@@ -1342,3 +1342,74 @@ def test_batch_fingerprint_null_slots_and_multiplicity(spark):
     # order-independence (the property the guard relies on for
     # legitimately replayed identical batches)
     assert fp([("a", "x"), ("c", "y")]) == fp([("c", "y"), ("a", "x")])
+
+
+def test_batch_fingerprint_value_vs_anchor_ambiguity(spark):
+    """Regression (round-6 review #2): INT (1, NULL) vs (NULL, 1) — a
+    value that equals the next slot's positional anchor — must not
+    fingerprint-collide (bare anchors hash both as [0, 1, 1])."""
+    from cosmap_spark.streaming.ops import _batch_fingerprint
+
+    def fp(rows):
+        return _batch_fingerprint(
+            spark.createDataFrame(rows, "a int, b int")
+        )
+
+    assert fp([(1, None)]) != fp([(None, 1)])
+
+
+def test_lex_ingest_resubmitted_doc_last_writer_wins(spark, tmp_path):
+    """Regression (round-6 review #3): a doc id resubmitted in a later
+    epoch must serve its LATEST version only — a naive base ∪ appends
+    union multiplies the doc's tf rows by every lens version (score
+    corruption), it does not 'score both versions'."""
+    from cosmap_spark.operators.index_store import save_lex_index
+    from cosmap_spark.operators.retrieval import bm25_search, build_lex_index
+    from cosmap_spark.streaming.ops import (
+        lex_ingest_stream,
+        load_appended_lex,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha gamma")], "doc_id long, text string"
+    )
+    p = str(tmp_path / "lexidx2")
+    save_lex_index(p, *build_lex_index(base))
+    land = tmp_path / "doc_landing2"
+    # epoch 0: fresh doc 3; epoch 1: RESUBMITTED doc 1 (new text)
+    spark.createDataFrame(
+        [(3, "delta alpha")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(land), mode="append")
+    spark.createDataFrame(
+        [(1, "epsilon zeta")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(land), mode="append")
+    q = lex_ingest_stream(
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1).parquet(str(land)),
+        p, str(tmp_path / "lexckpt2"),
+    )
+    q.awaitTermination(180)
+    loaded = load_appended_lex(spark, p)
+    assert loaded["n_docs"] == 3  # doc 1 counted ONCE
+    # file-source epoch order is deterministic here (one file per
+    # trigger, lexicographic listing), but the assertion that matters
+    # is version EXCLUSIVITY: exactly one version of doc 1 serves —
+    # 'alpha' matching doc 1 and 'epsilon' matching doc 1 are mutually
+    # exclusive outcomes
+    served_old = bm25_search(None, {"q": "beta"}, prebuilt=loaded).collect()
+    served_new = bm25_search(None, {"q": "epsilon"}, prebuilt=loaded).collect()
+    assert {r["doc_id"] for r in served_old} | {
+        r["doc_id"] for r in served_new
+    } <= {1}
+    assert (len(served_old) > 0) != (len(served_new) > 0)
+    # the winning version scores like a from-scratch rebuild on the
+    # corresponding merged corpus
+    winner_text = "epsilon zeta" if served_new else "alpha beta"
+    merged = spark.createDataFrame(
+        [(1, winner_text), (2, "alpha gamma"), (3, "delta alpha")],
+        "doc_id long, text string",
+    )
+    for qs in ({"q": "alpha"}, {"q": "epsilon zeta"}):
+        got = sorted(map(tuple, bm25_search(None, qs, prebuilt=loaded).collect()))
+        want = sorted(map(tuple, bm25_search(merged, qs).collect()))
+        assert got == want, qs
