@@ -66,12 +66,11 @@ BNLJ_ALLOWED = {
     # path real deployments run plans broadcast HASH joins on cid
     # (tests/test_dedup_knn.py)
     "q_decontam",
-    # bm25/rrf branches: the 1-row corpus stats (n_docs, avgdl)
-    # crossJoin(broadcast) onto the query-filtered term table — the
-    # scalar-subquery shape (retrieval.py::bm25_search); every
-    # corpus-sized join in the branch is a broadcast HASH join
-    # (tests/test_retrieval.py::test_bm25_plan_shape)
-    "q_topk",
+    # q_topk dropped round 6: the retrieval branches now cut from an
+    # eagerly-checkpointed scored table, so the 1-row-stats BNLJ lives
+    # inside the checkpoint job, not the audited serving plan (the
+    # standalone bm25_search shape keeps its ≤1-BNLJ budget pinned in
+    # tests/test_retrieval.py::test_bm25_plan_shape)
 }
 
 BANNED_EVERYWHERE = (
