@@ -303,6 +303,72 @@ def merge_sketch_tables(
     )
 
 
+def mg_summary(
+    df: DataFrame, key_col: str, *, k: int
+) -> tuple[DataFrame, int]:
+    """ONE Misra-Gries summary of ``df[key_col]``: a ≤k-row table
+    ``[key, mg_count]`` plus the true (non-null) row count —
+    per-partition bounded summaries (:func:`_mg_summarize`) combined
+    by the MG merge (sum counters, then subtract the (k+1)-th largest
+    and drop ≤0 — Agarwal et al. 2012, "Mergeable Summaries": the
+    merged summary keeps the undercount bound ≤ N/(k+1) of a direct
+    build over the union).  Counts are LOWER BOUNDS; any key with
+    true frequency > N/(k+1) is guaranteed present.  One corpus scan;
+    the localCheckpoint pins its tiny output so the condense probe and
+    downstream consumers never re-scan.  NULL keys are excluded (the
+    ``heavy_hitters_sketch`` discipline)."""
+    key_type = dict(df.dtypes)[key_col]
+    keyed = df.select(F.col(key_col).alias("key")).where(
+        F.col("key").isNotNull()
+    )
+    parts = keyed.mapInPandas(
+        _mg_summarize(k), f"key {key_type}, mg_count long, part_rows long"
+    ).localCheckpoint(eager=True)
+    summed = (
+        parts.where(F.col("key").isNotNull())
+        .groupBy("key")
+        .agg(F.sum("mg_count").alias("mg_count"))
+    )
+    n = parts.agg(F.sum("part_rows").alias("n")).collect()[0]["n"] or 0
+    return _mg_condense(summed, k=k), int(n)
+
+
+def _mg_condense(df: DataFrame, *, k: int) -> DataFrame:
+    """Reduce a ``[key, mg_count]`` table to ≤ k rows by the MG merge
+    decrement: subtract the (k+1)-th largest count from every counter
+    and drop the non-positive — the exact generalization of the
+    streaming decrement step.  Input is summary-sized by construction
+    (≤ partitions·k or ≤ 2k rows), so the (k+1)-th-largest probe is a
+    bounded TakeOrdered collect, never corpus work."""
+    top = df.orderBy(F.col("mg_count").desc(), F.col("key")).limit(
+        k + 1
+    ).collect()
+    if len(top) <= k:
+        return df
+    dec = int(top[-1]["mg_count"])
+    return df.select(
+        "key", (F.col("mg_count") - F.lit(dec)).alias("mg_count")
+    ).where(F.col("mg_count") > 0)
+
+
+def merge_mg_tables(
+    old: DataFrame, new: DataFrame, *, k: int
+) -> DataFrame:
+    """Merge two ≤k-row MG counter tables ``[key, mg_count]`` (sum,
+    then condense) — ``merge_sketch_tables``' heavy-hitter twin.  The
+    merged undercount bound is the SUM of the inputs' bounds
+    (≤ (N₁+N₂)/(k+1) total), so a persisted counter store absorbs
+    batches forever at k·(key + 8 B) state.  NOT replay-idempotent
+    (re-merging the same batch double-counts) — the streaming store
+    guards replays with its epoch ledger, exactly like HLL."""
+    summed = (
+        old.unionByName(new)
+        .groupBy("key")
+        .agg(F.sum("mg_count").alias("mg_count"))
+    )
+    return _mg_condense(summed, k=k)
+
+
 # --- KMV (k-minimum values) distinct sketches with set algebra --------
 
 _U64 = 18446744073709551616.0  # 2^64

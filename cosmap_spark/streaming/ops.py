@@ -714,6 +714,85 @@ def sketch_stream(stream_df: DataFrame, store_path: str, checkpoint: str,
     )
 
 
+def heavy_hitters_stream(stream_df: DataFrame, store_path: str,
+                         checkpoint: str, *, key_col: str, k: int = 64):
+    """Streaming maintenance of a persisted Misra-Gries counter store
+    — live heavy-hitter candidates over an unbounded stream with
+    k·(key + 8 B) state: each micro-batch is summarized
+    (``operators.sketch.mg_summary``, one bounded-state scan of the
+    batch) and merged into the ≤k-row store
+    (``merge_mg_tables`` — Agarwal et al. mergeable summaries, the
+    undercount bound accumulating as Σ Nᵢ/(k+1)).  The store records
+    the running total N in ``_mg_meta.json`` so readers can state the
+    guarantee: any key whose TRUE total frequency exceeds N/(k+1) is
+    present, with ``mg_count`` a lower bound undercounting by at most
+    N/(k+1).
+
+    MG merge is NOT replay-idempotent (re-merging a batch double-
+    counts), so exactly-once rides the same epoch ledger as the
+    HLL/KMV stores; a mismatched ``k`` on resume is refused
+    synchronously (merging under a different k silently changes the
+    guarantee).  Exact counts for the surviving candidates, when
+    needed, are one broadcast-verify scan over the archived corpus —
+    the batch ``heavy_hitters_sketch`` second pass, by design not
+    possible from a stream alone."""
+    import json as _json
+    import os
+
+    from cosmap_spark.operators.sketch import merge_mg_tables, mg_summary
+
+    meta_path = os.path.join(store_path, "_mg_meta.json")
+
+    def read_meta() -> dict:
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                return _json.load(f)
+        return {"k": k, "n": 0}
+
+    meta0 = read_meta()
+    if meta0["k"] != k:
+        raise ValueError(
+            f"store at {store_path} was built with k={meta0['k']}, "
+            f"resume requested k={k}"
+        )
+
+    def run(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ledger = os.path.join(store_path, "_epochs")
+        done_marker = os.path.join(ledger, f"epoch-{epoch_id}")
+        if os.path.exists(done_marker):
+            return  # replayed epoch: counters already include it
+        meta = read_meta()
+        if meta["k"] != k:
+            raise ValueError(
+                f"store at {store_path} was built with k={meta['k']}, "
+                f"resume requested k={k}"
+            )
+        batch, n_batch = mg_summary(batch_df, key_col, k=k)
+        store = os.path.join(store_path, "counters")
+        if os.path.exists(store):
+            from cosmap_spark.sinks.writers import _swap_in
+
+            old = spark.read.parquet(store)
+            _swap_in(store, merge_mg_tables(old, batch, k=k))
+        else:
+            batch.write.mode("overwrite").parquet(store)
+        os.makedirs(ledger, exist_ok=True)
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump({"k": k, "n": meta["n"] + n_batch}, f)
+        os.replace(tmp, meta_path)
+        with open(done_marker, "w") as f:
+            f.write("ok")
+
+    return (
+        stream_df.writeStream.foreachBatch(run)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def vector_ingest_stream(vec_stream: DataFrame, index_path: str,
                          checkpoint: str, *, id_col: str = "vec_id",
                          vec_col: str = "embedding"):

@@ -426,3 +426,31 @@ def test_kmv_null_values_excluded(spark):
     # B contributed only NULLs: no leaf row (COUNT DISTINCT = 0)
     assert ("seg", "B") not in out
     assert out[("(all)", None)] == 2.0
+
+
+# -------------------------------------------------- mergeable MG
+
+
+def test_mg_summary_merge_bound(spark):
+    """merge_mg_tables(summary(A), summary(B)) keeps the mergeable-
+    summaries guarantee over A ∪ B: the heavy key survives with
+    true − N/(k+1) ≤ mg_count ≤ true, and the merged table stays ≤ k
+    rows.  NULL keys are excluded from N and the counters."""
+    from cosmap_spark.operators.sketch import merge_mg_tables, mg_summary
+
+    rows = spark.range(9_000).select(
+        F.when(F.col("id") % 3 == 0, F.lit(-1))
+        .when(F.col("id") % 97 == 0, F.lit(None))
+        .otherwise(F.col("id") % 150).alias("k")
+    )
+    a = rows.where(F.col("id") % 2 == 0)
+    b = rows.where(F.col("id") % 2 == 1)
+    sa, na = mg_summary(a, "k", k=16)
+    sb, nb = mg_summary(b, "k", k=16)
+    merged = merge_mg_tables(sa, sb, k=16).collect()
+    n = na + nb
+    assert n == rows.where(F.col("k").isNotNull()).count()
+    got = {r["key"]: r["mg_count"] for r in merged}
+    assert len(got) <= 16 and None not in got
+    heavy_true = rows.where(F.col("k") == -1).count()
+    assert heavy_true - n / 17 <= got[-1] <= heavy_true

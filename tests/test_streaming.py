@@ -1413,3 +1413,67 @@ def test_lex_ingest_resubmitted_doc_last_writer_wins(spark, tmp_path):
         got = sorted(map(tuple, bm25_search(None, qs, prebuilt=loaded).collect()))
         want = sorted(map(tuple, bm25_search(merged, qs).collect()))
         assert got == want, qs
+
+
+def test_heavy_hitters_stream_guarantee_and_replay(spark, tmp_path):
+    """Streaming MG store: after two micro-batches the heavy key is
+    present with its count bracketed by the mergeable-summaries bound
+    (true − N/(k+1) ≤ mg_count ≤ true), the running N is recorded,
+    replays are ledger-skipped byte-stably (MG merge is NOT
+    replay-idempotent, so the ledger carries exactly-once), and a
+    mismatched k resume is refused synchronously."""
+    import json
+
+    from cosmap_spark.streaming.ops import heavy_hitters_stream
+
+    land = tmp_path / "hh_landing"
+    # ~1/3 of rows are key -1 (the heavy hitter); tail uniform over 200
+    rows = spark.range(12_000).select(
+        F.when(F.col("id") % 3 == 0, F.lit(-1))
+        .otherwise(F.col("id") % 200).alias("k")
+    )
+    rows.where(F.col("id") % 2 == 0).coalesce(1).write.parquet(
+        str(land), mode="append"
+    )
+    rows.where(F.col("id") % 2 == 1).coalesce(1).write.parquet(
+        str(land), mode="append"
+    )
+    store = tmp_path / "hh_store"
+    q = heavy_hitters_stream(
+        (spark.readStream.schema("k long")
+         .option("maxFilesPerTrigger", 1).parquet(str(land))),
+        str(store), str(tmp_path / "hh_ckpt"), key_col="k", k=16,
+    )
+    q.awaitTermination(180)
+
+    def snap():
+        return sorted(
+            (r["key"], r["mg_count"])
+            for r in spark.read.parquet(str(store / "counters")).collect()
+        )
+
+    got = dict(snap())
+    meta = json.load(open(store / "_mg_meta.json"))
+    n_true = 12_000
+    heavy_true = rows.where(F.col("k") == -1).count()
+    assert meta == {"k": 16, "n": n_true}
+    assert len(got) <= 16
+    assert -1 in got, got
+    assert heavy_true - n_true / 17 <= got[-1] <= heavy_true, got[-1]
+    # replay through a FRESH checkpoint: every epoch is ledger-skipped,
+    # counters must not move a byte
+    before = snap()
+    q2 = heavy_hitters_stream(
+        (spark.readStream.schema("k long")
+         .option("maxFilesPerTrigger", 1).parquet(str(land))),
+        str(store), str(tmp_path / "hh_ckpt2"), key_col="k", k=16,
+    )
+    q2.awaitTermination(180)
+    assert snap() == before
+    assert json.load(open(store / "_mg_meta.json"))["n"] == n_true
+    with pytest.raises(ValueError, match="k=16"):
+        heavy_hitters_stream(
+            (spark.readStream.schema("k long")
+             .option("maxFilesPerTrigger", 1).parquet(str(land))),
+            str(store), str(tmp_path / "hh_ckpt3"), key_col="k", k=8,
+        )
