@@ -57,9 +57,11 @@ from cosmap_spark.operators.packing import (  # noqa: F401
 from cosmap_spark.operators.pq import (  # noqa: F401
     ivf_residuals,
     knn_ivfpq,
+    opq_train,
     pq_adc_topk,
     pq_encode,
     pq_train,
+    rotate_vectors,
 )
 from cosmap_spark.operators.report import (  # noqa: F401
     corpus_report,
@@ -86,8 +88,17 @@ from cosmap_spark.operators.robust import (  # noqa: F401
 from cosmap_spark.operators.sketch import (  # noqa: F401
     distinct_rollup,
     heavy_hitters_sketch,
+    kmv_estimate,
+    kmv_jaccard,
+    kmv_leaf,
+    kmv_rollup,
+    merge_kmv_tables,
+    kmv_union,
+    merge_mg_tables,
     merge_sketch_tables,
+    mg_summary,
     quantile_rollup,
+    segment_overlap,
 )
 from cosmap_spark.operators.tseries import (  # noqa: F401
     grouped_trend,
@@ -131,11 +142,13 @@ from cosmap_spark.operators.vocab import (  # noqa: F401
     train_bpe,
 )
 from cosmap_spark.operators.retrieval import (  # noqa: F401
+    bm25_scored,
     bm25_search,
     bm25_weight,
     build_lex_index,
     retrieval_eval,
     rrf_fuse,
+    topk_cut,
 )
 from cosmap_spark.operators.sampler import (  # noqa: F401
     deterministic_sample,

@@ -727,6 +727,33 @@ def _spec_zorder(spark, tmpdir):
 # specs that need tmp_path get it injected by the test body
 _TMPDIR_SPECS = {"incremental_minhash_dedup", "write_zordered"}
 
+def _spec_bm25_scored(spark):
+    from cosmap_spark.operators.retrieval import bm25_scored, topk_cut
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = bm25_scored(empty, {"q": "alpha"}, variants={"s": (1.2, 0.75)})
+    assert out.count() == 0
+    assert topk_cut(out, score_col="s").count() == 0
+
+
+def _spec_kmv_leaf_merge(spark):
+    from cosmap_spark.operators.sketch import kmv_leaf, merge_kmv_tables
+
+    e = spark.createDataFrame([], "g string, v long")
+    leaf = kmv_leaf(e, ["g"], "v", k=8)
+    assert leaf.count() == 0
+    assert merge_kmv_tables(leaf, leaf, ["g"], k=8).count() == 0
+
+
+def _spec_mg_summary_merge(spark):
+    from cosmap_spark.operators.sketch import merge_mg_tables, mg_summary
+
+    e = spark.createDataFrame([], "k long")
+    s, n = mg_summary(e, "k", k=4)
+    assert n == 0 and s.count() == 0
+    assert merge_mg_tables(s, s, k=4).count() == 0
+
+
 SWEEP = {
     "apply_bpe_merge": _spec_apply_bpe_merge,
     "asof_join": _spec_asof_join,
@@ -815,6 +842,12 @@ SWEEP = {
     "weighted_sample": _spec_weighted_sample,
     "write_zordered": _spec_zorder,
     "zorder_key": _spec_zorder,
+    "bm25_scored": _spec_bm25_scored,
+    "topk_cut": _spec_bm25_scored,
+    "kmv_leaf": _spec_kmv_leaf_merge,
+    "merge_kmv_tables": _spec_kmv_leaf_merge,
+    "mg_summary": _spec_mg_summary_merge,
+    "merge_mg_tables": _spec_mg_summary_merge,
 }
 
 # covered by the targeted tests earlier in this file
@@ -824,13 +857,18 @@ COVERED_ABOVE = {
     "threshold_sweep", "heavy_hitters_sketch", "global_rank",
     "semantic_contamination", "funnel", "funnel_latency",
     "funnel_summary", "funnel_summary_levels", "cohort_retention",
-    "train_bpe",
+    "train_bpe", "kmv_rollup", "segment_overlap", "opq_train",
+    "rotate_vectors",
 }
 
 # documented exclusions: name -> why no empty-input spec applies
 EXCLUDED = {
     "bm25_weight": "column expression, not a frame operator; exercised "
                    "per-(doc,term) by q_tfidf's hash-checked bm25 column",
+    "kmv_estimate": "column expression over sketch arrays "
+                    "(tests/test_sketch.py)",
+    "kmv_jaccard": "same (sketch-array column expression)",
+    "kmv_union": "same",
     "ntile_from_rank": "column expression over global_rank output",
     "pruning_ratio": "pure-python arithmetic over describe_layout rows",
     "describe_layout": "filesystem diagnostic over written files; "
