@@ -85,6 +85,11 @@ from cosmap_spark.operators.robust import (  # noqa: F401
     robust_outliers,
     winsorize,
 )
+from cosmap_spark.operators.skew import (  # noqa: F401
+    grouped_topk,
+    replicated_broadcast_join,
+    salted_agg,
+)
 from cosmap_spark.operators.sketch import (  # noqa: F401
     distinct_rollup,
     heavy_hitters_sketch,

@@ -13,13 +13,18 @@ explicit tools cover the two cases AQE cannot:
   join with hot keys.  We replicate the small side n_salts× and salt the
   big side, so one hot key spreads over n_salts reducers.
 
-Used implicitly nowhere — the engine's default plans avoid these
-shuffles — but exposed for user pipelines over zipfian data.
+* ``grouped_topk`` — top-k per key with a BOUNDED exchange: an Arrow
+  per-batch local top-k (under a caller-supplied TOTAL order) prunes
+  each partition to ≤ groups·k candidates before the keyed window —
+  the reusable form of the ADC scorer's partial-top-k discipline.
+
+Exposed for user pipelines over zipfian data; the engine's own ledger
+plans avoid these shuffles by construction.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -101,3 +106,74 @@ def replicated_broadcast_join(
     )
     out = big_s.join(F.broadcast(small_s), [on, "__salt"], how)
     return out.drop("__salt")
+
+
+def grouped_topk(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    *,
+    k: int,
+    ascending: bool = False,
+    tie_cols: list[str],
+    rn_col: str = "rn",
+) -> DataFrame:
+    """Top-``k`` rows per key group with a BOUNDED exchange — the
+    reusable form of the engine's partial-top-k discipline (the ADC
+    scorer / ``pq._local_topk`` pattern): an Arrow per-batch local
+    top-k prunes each partition to ≤ groups·k candidate rows BEFORE
+    the keyed window ranks globally, so the shuffle carries
+    O(partitions·groups·k) rows instead of every row.  A plain
+    ``row_number() ≤ k`` window shuffles the entire table; at 100 TB
+    with k=10 that is the difference between a bounded exchange and
+    the full corpus.
+
+    ``tie_cols`` is REQUIRED and must make (order_col, *tie_cols) a
+    TOTAL order (e.g. a unique id): a local top-k under a partial
+    order keeps an arbitrary member of each boundary tie, and the
+    global window cannot recover a candidate a batch already dropped —
+    results would become partition-layout dependent (the repo-wide
+    local-top-k rule).  Ties always rank ascending.
+
+    NULL discipline: a NULL ``order_col`` sorts FIRST when ascending
+    and LAST when descending in BOTH the local prune and the global
+    window (Spark's default null ordering, mirrored via pandas
+    ``na_position``), so the prune never drops a row the window would
+    keep.  NULL keys form their own group (``dropna=False``) — but
+    note the Arrow widening caveat: an int64 key column CONTAINING
+    nulls arrives in pandas as float64, which collapses distinct keys
+    above 2⁵³ (the ``heavy_hitters_sketch`` hazard; cast such keys to
+    string first).  Returns the input columns plus ``rn_col``."""
+    if not tie_cols:
+        raise ValueError(
+            "grouped_topk needs tie_cols making (order_col, *tie_cols) a "
+            "total order — without it the local prune is partition-layout "
+            "dependent on ties; pass a unique id column"
+        )
+    sort_cols = [order_col, *tie_cols]
+    sort_asc = [ascending] + [True] * len(tie_cols)
+    na_pos = "first" if ascending else "last"
+
+    def prune(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield (
+                pdf.sort_values(sort_cols, ascending=sort_asc,
+                                na_position=na_pos)
+                .groupby(keys, sort=False, dropna=False)
+                .head(k)
+            )
+
+    pruned = df.mapInPandas(prune, df.schema)
+    order = (
+        F.col(order_col).asc_nulls_first()
+        if ascending
+        else F.col(order_col).desc_nulls_last()
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        order, *[F.col(c).asc() for c in tie_cols]
+    )
+    return pruned.withColumn(rn_col, F.row_number().over(w)).where(
+        F.col(rn_col) <= k
+    )

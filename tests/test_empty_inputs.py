@@ -727,6 +727,15 @@ def _spec_zorder(spark, tmpdir):
 # specs that need tmp_path get it injected by the test body
 _TMPDIR_SPECS = {"incremental_minhash_dedup", "write_zordered"}
 
+def _spec_grouped_topk(spark):
+    from cosmap_spark.operators.skew import grouped_topk
+
+    e = spark.createDataFrame([], "g string, score double, uid long")
+    out = grouped_topk(e, ["g"], "score", k=3, tie_cols=["uid"])
+    assert out.count() == 0
+    assert out.columns == ["g", "score", "uid", "rn"]
+
+
 def _spec_bm25_scored(spark):
     from cosmap_spark.operators.retrieval import bm25_scored, topk_cut
 
@@ -848,6 +857,7 @@ SWEEP = {
     "merge_kmv_tables": _spec_kmv_leaf_merge,
     "mg_summary": _spec_mg_summary_merge,
     "merge_mg_tables": _spec_mg_summary_merge,
+    "grouped_topk": _spec_grouped_topk,
 }
 
 # covered by the targeted tests earlier in this file
@@ -869,6 +879,12 @@ EXCLUDED = {
                     "(tests/test_sketch.py)",
     "kmv_jaccard": "same (sketch-array column expression)",
     "kmv_union": "same",
+    "salted_agg": "combine-expression signature; correctness (incl. the "
+                  "gate's hash-identity to plain groupBy) in "
+                  "tests/test_skew.py — an empty input yields an empty "
+                  "aggregate by construction",
+    "replicated_broadcast_join": "join-shape operator; semantics incl. "
+                                 "rejected join types in tests/test_skew.py",
     "ntile_from_rank": "column expression over global_rank output",
     "pruning_ratio": "pure-python arithmetic over describe_layout rows",
     "describe_layout": "filesystem diagnostic over written files; "

@@ -243,3 +243,50 @@ def test_sweep_tunes_a_real_operator(spark):
     rows = threshold_sweep(pairs, truth, [0.9, 0.95, 0.99]).collect()
     assert rows[0]["precision"] == 1.0  # exact-cosine verify: no FPs
     assert rows[0]["recall"] > 0.5 and rows[0]["tp"] > 0
+
+
+def test_grouped_topk_matches_window_and_bounds_exchange(spark):
+    """grouped_topk equals the plain keyed-window top-k exactly —
+    duplicate order values (ties) and NULL order values included,
+    across partition layouts — and the window's input is PRUNED to
+    candidate rows, never the full table."""
+    from cosmap_spark.operators.skew import grouped_topk
+
+    rows = spark.range(6_000).select(
+        (F.col("id") % 7).alias("g"),
+        # heavy ties: only 10 distinct scores; some NULLs
+        F.when(F.col("id") % 41 == 0, None)
+        .otherwise((F.col("id") % 10).cast("double")).alias("score"),
+        F.col("id").alias("uid"),
+    )
+
+    from pyspark.sql import Window
+
+    def plain(df, asc):
+        order = (F.col("score").asc_nulls_first() if asc
+                 else F.col("score").desc_nulls_last())
+        w = Window.partitionBy("g").orderBy(order, F.col("uid").asc())
+        return df.withColumn("rn", F.row_number().over(w)).where(
+            F.col("rn") <= 5
+        )
+
+    for asc in (False, True):
+        want = sorted(map(tuple, plain(rows, asc).collect()))
+        for nparts in (1, 13):
+            got = sorted(map(tuple, grouped_topk(
+                rows.repartition(nparts), ["g"], "score",
+                k=5, ascending=asc, tie_cols=["uid"],
+            ).collect()))
+            assert got == want, (asc, nparts)
+    out = grouped_topk(
+        rows.repartition(13), ["g"], "score", k=5, tie_cols=["uid"]
+    )
+    assert out.count() == 7 * 5
+    # the plan prunes BEFORE the window: an ArrowEvalPython/ MapInPandas
+    # node sits below the window sort, so the exchange carries candidate
+    # rows (≤ partitions·groups·k), never the full table
+    plan = out._jdf.queryExecution().executedPlan().toString()         .split("== Initial Plan ==")[0]
+    assert "MapInPandas" in plan and "Window" in plan
+    assert plan.index("Window") < plan.index("MapInPandas")  # Window ABOVE
+    with pytest.raises(ValueError, match="tie_cols"):
+        grouped_topk(rows, ["g"], "score", k=5, tie_cols=[])
