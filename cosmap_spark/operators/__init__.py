@@ -106,6 +106,8 @@ from cosmap_spark.operators.sketch import (  # noqa: F401
     segment_overlap,
 )
 from cosmap_spark.operators.tseries import (  # noqa: F401
+    changepoints_binseg,
+    grouped_changepoint,
     grouped_trend,
     subsequence_search,
     subsequence_search_multi,

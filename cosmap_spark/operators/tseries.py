@@ -277,3 +277,266 @@ def grouped_trend(
     for name, col in (extra or {}).items():
         aggs.append(col.alias(name))
     return df.groupBy(*keys).agg(*aggs)
+
+
+def _cp_candidates(
+    rows: DataFrame,
+    part_cols: list[str],
+    order_cols: list[str],
+    *,
+    min_seg: int,
+) -> DataFrame:
+    """Per-(partition, position) mean-shift statistic — the shared core
+    of :func:`grouped_changepoint` and :func:`changepoints_binseg`.
+
+    ``rows`` must carry ``__q`` (the integer-quantized value).  Appends
+    ``__i`` (1-based local position), ``__n`` (partition length) and
+    ``__sq`` — the CUSUM/AMOC mean-shift statistic at a split AFTER
+    position i, in quantized units²::
+
+        Q(i) = i·(n−i)/n · (mean(x₁..i) − mean(xᵢ₊₁..n))²
+
+    (the reduction in within-segment SSE a split at i buys — the
+    classic at-most-one-changepoint score).  Every input to Q is an
+    EXACT integer (running sums of ``__q``), so the double arithmetic
+    is bit-deterministic across engines and across partition layouts —
+    the argmax over i needs no tolerance.  Splits leaving either side
+    shorter than ``min_seg`` are excluded.
+
+    One exchange: the ordered prefix-sum window, the unordered
+    whole-partition aggregates, and every downstream rank in the
+    callers all share the same ``part_cols`` hash partitioning."""
+    wo = Window.partitionBy(*part_cols).orderBy(*order_cols)
+    wcum = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy(*part_cols)
+    c = F.sum("__q").over(wcum)
+    i = F.row_number().over(wo)
+    t = F.sum("__q").over(wall)
+    n = F.count(F.lit(1)).over(wall)
+    with_sums = rows.select(
+        "*", c.alias("__c"), i.alias("__i"), t.alias("__t"), n.alias("__n")
+    )
+    d = (
+        F.col("__c").cast("double") / F.col("__i")
+        - (F.col("__t") - F.col("__c")).cast("double")
+        / (F.col("__n") - F.col("__i"))
+    )
+    w = (F.col("__i") * (F.col("__n") - F.col("__i"))).cast("double") / F.col(
+        "__n"
+    )
+    return with_sums.where(
+        (F.col("__i") >= min_seg) & (F.col("__n") - F.col("__i") >= min_seg)
+    ).withColumn("__sq", w * d * d)
+
+
+def grouped_changepoint(
+    df: DataFrame,
+    keys: list[str],
+    *,
+    order_cols: list[str],
+    val_col: str,
+    min_len: int = 8,
+    min_seg: int = 1,
+    quantize_dp: int = 6,
+) -> DataFrame:
+    """Per-group single changepoint (AMOC) in the mean of ``val_col``
+    over the series ordered by ``order_cols``: the split position
+    maximizing the CUSUM mean-shift statistic
+
+    ``Q(i) = i·(n−i)/n · (mean_left − mean_right)²``
+
+    — equivalently the one-changepoint least-squares fit, the score
+    both AMOC and every binary-segmentation round rank by.  Returns one
+    row per group with ``n ≥ min_len``: ``keys…, order_cols…`` (of the
+    LAST row of the left segment — the boundary row), ``n`` (series
+    length), ``cp_pos`` (1-based left-segment size), ``stat`` (Q in
+    original units², the SSE reduction the split buys), ``mean_left``,
+    ``mean_right``.  Ties in Q break on the earliest split.
+
+    Determinism contract: values are quantized to ``quantize_dp``
+    decimals and prefix-summed as EXACT integers, so every Q is the
+    same IEEE double on any engine and any partition layout and the
+    argmax needs no tolerance — the discipline that lets the ledger
+    hash-match a DuckDB replay of this operator (q_stream_windows
+    ``chgpt`` branch).  Means are computed from the quantized sums.
+
+    Scale shape: ONE exchange on ``keys`` — the prefix-sum window, the
+    length/total aggregates, and the final rank all reuse the same
+    keyed partitioning; per-group state is O(1) per row, never a
+    collected series.  Rows with NULL in any key/order/value column
+    are dropped (they cannot be ordered or summed).
+
+    The reference has no time-series surface (see module docstring);
+    this is the engine's own tseries pillar — the offline twin of a
+    monitoring system's level-shift detector."""
+    if min_len < max(2, 2 * min_seg):
+        raise ValueError(
+            f"min_len ({min_len}) must be >= max(2, 2*min_seg)"
+        )
+    scale = float(10 ** quantize_dp)
+    notnull = F.lit(True)
+    for c in [*keys, *order_cols, val_col]:
+        notnull = notnull & F.col(c).isNotNull()
+    rows = df.where(notnull).select(
+        *keys, *order_cols,
+        F.round(F.col(val_col).cast("double") * F.lit(scale))
+        .cast("long").alias("__q"),
+    )
+    cand = _cp_candidates(rows, keys, order_cols, min_seg=max(1, min_seg))
+    best = Window.partitionBy(*keys).orderBy(
+        F.col("__sq").desc(), F.col("__i").asc()
+    )
+    return (
+        cand.where(F.col("__n") >= min_len)
+        .withColumn("__rn", F.row_number().over(best))
+        .where(F.col("__rn") == 1)
+        .select(
+            *keys, *order_cols,
+            F.col("__n").cast("long").alias("n"),
+            F.col("__i").cast("long").alias("cp_pos"),
+            (F.col("__sq") / F.lit(scale * scale)).alias("stat"),
+            (F.col("__c").cast("double") / F.col("__i") / F.lit(scale))
+            .alias("mean_left"),
+            (
+                (F.col("__t") - F.col("__c")).cast("double")
+                / (F.col("__n") - F.col("__i")) / F.lit(scale)
+            ).alias("mean_right"),
+        )
+    )
+
+
+def changepoints_binseg(
+    df: DataFrame,
+    keys: list[str],
+    *,
+    order_cols: list[str],
+    val_col: str,
+    max_changepoints: int = 3,
+    min_seg: int = 4,
+    min_gain: float = 0.0,
+    quantize_dp: int = 6,
+) -> DataFrame:
+    """Multiple changepoints per group by budgeted PARALLEL binary
+    segmentation: each round, every current segment proposes its best
+    admissible split (both sides ≥ ``min_seg``, SSE reduction >
+    ``min_gain`` in original units²); per group, proposals are ranked
+    (stat desc, position asc) and accepted up to the remaining
+    ``max_changepoints`` budget; accepted splits partition their
+    segment and the next round recurses — classic binary segmentation
+    with all segments advanced per round instead of one (same greedy
+    scores; the acceptance order is pinned by the rank, so the result
+    is layout-independent and mirrored exactly by the pure-python
+    reference in tests/test_tseries.py).
+
+    Returns accepted splits: ``keys…, order_cols…`` (boundary row),
+    ``cp_pos`` (1-based GLOBAL position in the group's series — stable
+    across rounds), ``stat`` (units²), ``iter`` (0-based round).  At
+    most ``max_changepoints`` rows per group.
+
+    Scale shape (the ``dedup_clusters`` iterative discipline): per
+    round ONE keyed-window pass over the corpus computes all local
+    prefix sums — partitioned on ``keys`` so every round reuses one
+    exchange shape — plus a groups-sized broadcast join of the
+    accepted splits to renumber segments; the per-row frame is
+    ``localCheckpoint``-ed each round to truncate the otherwise
+    linearly-growing lineage (measured to pay exactly in this re-run-
+    per-iteration shape, CLAUDE.md).  Rounds ≤ ``max_changepoints``;
+    driver state is one empty/non-empty flag per round, never rows."""
+    if max_changepoints < 1:
+        raise ValueError("max_changepoints must be >= 1")
+    if min_seg < 1:
+        raise ValueError("min_seg must be >= 1")
+    scale = float(10 ** quantize_dp)
+    min_gain_q = float(min_gain) * scale * scale
+    notnull = F.lit(True)
+    for c in [*keys, *order_cols, val_col]:
+        notnull = notnull & F.col(c).isNotNull()
+    wo = Window.partitionBy(*keys).orderBy(*order_cols)
+    rows = df.where(notnull).select(
+        *keys, *order_cols,
+        F.round(F.col(val_col).cast("double") * F.lit(scale))
+        .cast("long").alias("__q"),
+    ).withColumn("__pos", F.row_number().over(wo)).withColumn(
+        "__seg", F.lit(0).cast("long")
+    ).localCheckpoint()
+
+    accepted_rounds: list[DataFrame] = []
+    spent = None  # per-key accepted count so far (tiny DataFrame)
+    for it in range(max_changepoints):
+        cand = _cp_candidates(
+            rows, [*keys, "__seg"], ["__pos"], min_seg=min_seg
+        )
+        per_seg = Window.partitionBy(*keys, "__seg").orderBy(
+            F.col("__sq").desc(), F.col("__pos").asc()
+        )
+        props = (
+            cand.where(F.col("__sq") > F.lit(min_gain_q))
+            .withColumn("__rn", F.row_number().over(per_seg))
+            .where(F.col("__rn") == 1)
+            .select(
+                *keys, *order_cols, "__seg", "__pos", "__sq",
+            )
+        )
+        per_key = Window.partitionBy(*keys).orderBy(
+            F.col("__sq").desc(), F.col("__pos").asc()
+        )
+        ranked = props.withColumn("__kr", F.row_number().over(per_key))
+        if spent is not None:
+            ranked = ranked.join(
+                spent.withColumnRenamed("__cnt", "__spent"),
+                list(keys), "left",
+            ).where(
+                F.col("__kr")
+                <= F.lit(max_changepoints) - F.coalesce("__spent", F.lit(0))
+            ).drop("__spent")
+        else:
+            ranked = ranked.where(F.col("__kr") <= max_changepoints)
+        # groups-sized — checkpoint so the acceptance set is computed
+        # once, not re-derived by the emptiness probe, the segment
+        # renumber join, AND the final union
+        acc = ranked.drop("__kr").localCheckpoint()
+        if acc.isEmpty():
+            break
+        accepted_rounds.append(
+            acc.select(
+                *keys, *order_cols,
+                F.col("__pos").cast("long").alias("cp_pos"),
+                (F.col("__sq") / F.lit(scale * scale)).alias("stat"),
+                F.lit(it).cast("int").alias("iter"),
+            )
+        )
+        counts = acc.groupBy(*keys).agg(
+            F.count(F.lit(1)).cast("long").alias("__cnt")
+        )
+        spent = (
+            counts if spent is None
+            else spent.unionByName(counts).groupBy(*keys).agg(
+                F.sum("__cnt").cast("long").alias("__cnt")
+            )
+        ).localCheckpoint()
+        splits = acc.select(
+            *keys, "__seg", F.col("__pos").alias("__cp")
+        )
+        rows = (
+            rows.join(F.broadcast(splits), [*keys, "__seg"], "left")
+            .withColumn(
+                "__seg",
+                F.when(F.col("__cp").isNull(), F.col("__seg"))
+                .when(F.col("__pos") <= F.col("__cp"),
+                      F.col("__seg") * 2)
+                .otherwise(F.col("__seg") * 2 + 1),
+            )
+            .drop("__cp")
+            .localCheckpoint()
+        )
+    if not accepted_rounds:
+        return rows.drop("__q", "__pos", "__seg").where(F.lit(False)).select(
+            "*",
+            F.lit(None).cast("long").alias("cp_pos"),
+            F.lit(None).cast("double").alias("stat"),
+            F.lit(None).cast("int").alias("iter"),
+        )
+    out = accepted_rounds[0]
+    for a in accepted_rounds[1:]:
+        out = out.unionByName(a)
+    return out

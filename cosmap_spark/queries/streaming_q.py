@@ -218,6 +218,41 @@ _STREAM_WINDOWS_ORACLE = """
     ),
     cagg AS (
       SELECT cohort, pn, count(*) AS n_active FROM cact GROUP BY 1, 2
+    ),
+    -- per-user AMOC changepoint in the mean of value: exact-integer
+    -- prefix sums (6-dp quantization) make every CUSUM statistic the
+    -- same IEEE double in both engines, so the argmax is hash-exact
+    cpq AS (
+      SELECT user_id, ts, event_id,
+             CAST(round(value * 1000000.0) AS BIGINT) AS q
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+    ),
+    cpc AS (
+      SELECT user_id, ts,
+             sum(q) OVER wc AS c,
+             row_number() OVER wo AS i,
+             sum(q) OVER wk AS t,
+             count(*) OVER wk AS n
+      FROM cpq
+      WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id),
+             wc AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wk AS (PARTITION BY user_id)
+    ),
+    cps AS (
+      SELECT user_id, ts, i, n,
+             (CAST(i * (n - i) AS DOUBLE) / n)
+               * (CAST(c AS DOUBLE) / i - CAST(t - c AS DOUBLE) / (n - i))
+               * (CAST(c AS DOUBLE) / i - CAST(t - c AS DOUBLE) / (n - i))
+               AS sq
+      FROM cpc WHERE i < n AND n >= 8
+    ),
+    cpbest AS (
+      SELECT user_id, ts, i, sq,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY sq DESC, i) AS rn
+      FROM cps
     )
     SELECT 'tumble' AS op,
            CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
@@ -258,6 +293,10 @@ _STREAM_WINDOWS_ORACLE = """
     SELECT 'paths', NULL, path, n, NULL FROM topp
     UNION ALL
     SELECT 'attr', NULL, model || '>' || touch, n, share FROM att
+    UNION ALL
+    SELECT 'chgpt', CAST(floor(epoch(ts)) AS BIGINT),
+           CAST(user_id AS VARCHAR), i, round(sq / 1000000000000.0, 4)
+    FROM cpbest WHERE rn = 1
     UNION ALL
     SELECT 'trans', NULL, from_type || '>' || to_type, n,
            round(CAST(n AS DOUBLE)
@@ -320,7 +359,14 @@ def q_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     * ``attr`` — attribution under all five credit models
       (first/last single-touch, linear / position / time-decay
       multi-touch; key = "model>touch", n = credited rows, total =
-      within-model share of 4dp-rounded credit)."""
+      within-model share of 4dp-rounded credit);
+    * ``chgpt`` — operators/tseries.py::grouped_changepoint: per-user
+      AMOC changepoint in the mean of ``value`` (CUSUM mean-shift
+      statistic over exact-integer quantized prefix sums, so the
+      argmax is bit-deterministic and hash-exact vs the DuckDB
+      replay); window_start = the boundary row's epoch second, n =
+      the 1-based left-segment size, total = the 4dp SSE-reduction
+      statistic."""
     from cosmap_spark.operators.funnel import (
         attribution,
         cohort_retention,
@@ -414,12 +460,22 @@ def q_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "attr", None,
         F.concat_ws(">", "model", "touch"), F.col("n"), F.col("share"),
     )
+    from cosmap_spark.operators.tseries import grouped_changepoint
+
+    chg = shape(
+        grouped_changepoint(
+            ev, ["user_id"], order_cols=["ts", "event_id"],
+            val_col="value", min_len=8,
+        ),
+        "chgpt", F.unix_timestamp("ts"), F.col("user_id"),
+        F.col("cp_pos"), F.round(F.col("stat"), 4),
+    )
     return (
         tumble.unionByName(slide).unionByName(late)
         .unionByName(funnel_rows).unionByName(fsum)
         .unionByName(wf).unionByName(coh).unionByName(trans)
         .unionByName(lat_prev).unionByName(lat_start).unionByName(pth)
-        .unionByName(att)
+        .unionByName(att).unionByName(chg)
     )
 
 

@@ -436,6 +436,33 @@ def _spec_grouped_trend(spark):
     assert row["slope"] is None  # undefined slope from one point
 
 
+def _spec_grouped_changepoint(spark):
+    import cosmap_spark.operators as O
+    e = _e(spark, "k long, t long, v double")
+    assert O.grouped_changepoint(
+        e, ["k"], order_cols=["t"], val_col="v"
+    ).count() == 0
+    # all-NULL keys / single row: nothing reaches min_len
+    rows = spark.createDataFrame(
+        [(None, 0, 1.0), (1, 1, 2.0)], "k long, t long, v double"
+    )
+    assert O.grouped_changepoint(
+        rows, ["k"], order_cols=["t"], val_col="v"
+    ).count() == 0
+
+
+def _spec_changepoints_binseg(spark):
+    import cosmap_spark.operators as O
+    e = _e(spark, "k long, t long, v double")
+    out = O.changepoints_binseg(e, ["k"], order_cols=["t"], val_col="v")
+    assert out.count() == 0
+    assert {"cp_pos", "stat", "iter"} <= set(out.columns)
+    one = spark.createDataFrame([(1, 0, 1.0)], "k long, t long, v double")
+    assert O.changepoints_binseg(
+        one, ["k"], order_cols=["t"], val_col="v"
+    ).count() == 0
+
+
 def _spec_hamming_pairs(spark):
     import cosmap_spark.operators as O
     assert O.hamming_pairs(_e(spark, "id long, simhash long")).count() == 0
@@ -800,6 +827,8 @@ SWEEP = {
     "funnel_sliding": _spec_funnel_sliding,
     "group_kfold_assign": _spec_group_kfold,
     "kfold_assign": _spec_group_kfold,
+    "grouped_changepoint": _spec_grouped_changepoint,
+    "changepoints_binseg": _spec_changepoints_binseg,
     "grouped_trend": _spec_grouped_trend,
     "hamming_pairs": _spec_hamming_pairs,
     "hashed_features": _spec_hashed_features,

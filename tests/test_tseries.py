@@ -295,3 +295,208 @@ def test_grouped_trend_plan_is_one_partial_agg(spark):
     assert plan.count("Exchange") == 1
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
     assert "mx" in out.columns and "slope" in out.columns
+
+
+# ---------------------------------------------------------------------------
+# changepoint detection (grouped_changepoint / changepoints_binseg)
+# ---------------------------------------------------------------------------
+
+_CP_SCALE = 1_000_000.0
+
+
+def _quant(vals):
+    """HALF_UP quantization to 6 dp in exact ints — the operator's
+    F.round(v*1e6).cast('long') (python round() is half-EVEN, so spell
+    half-up explicitly)."""
+    out = []
+    for v in vals:
+        x = float(v) * _CP_SCALE
+        out.append(int(np.sign(x) * np.floor(np.abs(x) + 0.5)))
+    return out
+
+
+def _amoc_best(vals, min_seg=1):
+    """(best_left_size, best_stat_quantized, n) via the same IEEE ops as
+    the operator: exact-integer prefix sums, w*d*d, ties -> earliest."""
+    q = _quant(vals)
+    n = len(q)
+    t = sum(q)
+    best = None
+    c = 0
+    for i in range(1, n):
+        c += q[i - 1]
+        if i < min_seg or n - i < min_seg:
+            continue
+        d = c / i - (t - c) / (n - i)
+        w = (i * (n - i)) / n
+        sq = w * d * d
+        if best is None or (-sq, i) < (-best[1], best[0]):
+            best = (i, sq)
+    return (best[0], best[1], n) if best else None
+
+
+def _cp_frame(spark, series: dict):
+    rows = [
+        (k, i, float(v))
+        for k, vals in series.items()
+        for i, v in enumerate(vals)
+    ]
+    return spark.createDataFrame(rows, "k long, t long, v double")
+
+
+def test_grouped_changepoint_matches_reference(spark):
+    from cosmap_spark.operators.tseries import grouped_changepoint
+
+    rng = np.random.default_rng(11)
+    series = {
+        0: np.concatenate([rng.normal(0, 1, 30), rng.normal(3, 1, 25)]),
+        1: rng.normal(5, 2, 40),                      # no real shift
+        2: np.concatenate([rng.normal(-2, 0.5, 9), rng.normal(4, 0.5, 50)]),
+        3: rng.normal(0, 1, 7),                       # below min_len
+        4: np.full(20, 2.5),                          # constant: all-tie
+    }
+    got = {
+        r["k"]: r
+        for r in grouped_changepoint(
+            _cp_frame(spark, series), ["k"],
+            order_cols=["t"], val_col="v", min_len=8,
+        ).collect()
+    }
+    assert 3 not in got  # shorter than min_len
+    for k in (0, 1, 2, 4):
+        i, sq, n = _amoc_best(series[k])
+        r = got[k]
+        assert r["cp_pos"] == i and r["n"] == n, (k, r, i)
+        assert r["stat"] == sq / (_CP_SCALE * _CP_SCALE)
+        q = _quant(series[k])
+        assert r["mean_left"] == sum(q[:i]) / i / _CP_SCALE
+        assert r["t"] == i - 1  # boundary row = last row of left segment
+    # planted shifts land exactly on the seam; constant ties -> earliest
+    assert got[0]["cp_pos"] == 30 and got[2]["cp_pos"] == 9
+    assert got[4]["cp_pos"] == 1 and got[4]["stat"] == 0.0
+
+
+def test_grouped_changepoint_layout_independent(spark):
+    from cosmap_spark.operators.tseries import grouped_changepoint
+
+    rng = np.random.default_rng(5)
+    series = {
+        k: np.concatenate(
+            [rng.normal(0, 1, 10 + k), rng.normal(0.3 * k, 1, 20)]
+        )
+        for k in range(6)
+    }
+    df = _cp_frame(spark, series)
+    a = grouped_changepoint(
+        df.repartition(13), ["k"], order_cols=["t"], val_col="v"
+    ).collect()
+    b = grouped_changepoint(
+        df.repartition(2, "t"), ["k"], order_cols=["t"], val_col="v"
+    ).collect()
+    key = lambda r: r["k"]
+    assert sorted(map(tuple, a), key=lambda x: x[0]) == sorted(
+        map(tuple, b), key=lambda x: x[0]
+    )
+
+
+def test_grouped_changepoint_null_and_plan(spark):
+    """NULL key/order/value rows drop; ONE shuffle exchange serves the
+    prefix-sum window, the partition aggregates, and the rank."""
+    from cosmap_spark.operators.tseries import grouped_changepoint
+
+    rows = [(1, 0, 1.0), (1, 1, None), (None, 2, 3.0), (1, None, 4.0)] + [
+        (1, int(i), float(i >= 6)) for i in range(2, 12)
+    ]
+    df = spark.createDataFrame(rows, "k long, t long, v double")
+    out = grouped_changepoint(
+        df, ["k"], order_cols=["t"], val_col="v", min_len=8
+    )
+    got = out.collect()
+    assert len(got) == 1 and got[0]["n"] == 11  # the 3 null rows dropped
+    plan = out._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert plan.count("Exchange") - plan.count("ReusedExchange") <= 1
+    assert "BatchEvalPython" not in plan
+
+
+def _binseg_ref(vals, *, max_cp=3, min_seg=4, min_gain=0.0):
+    """The operator's budgeted parallel binseg, exactly: per round every
+    segment proposes its best admissible split; per key accept up to
+    the remaining budget by (stat desc, global pos asc)."""
+    segs = [(1, len(vals))]  # inclusive 1-based global ranges
+    out, budget = [], max_cp
+    for it in range(max_cp):
+        props = []
+        for lo, hi in segs:
+            r = _amoc_best(vals[lo - 1:hi], min_seg=min_seg)
+            if r and r[1] > min_gain * _CP_SCALE * _CP_SCALE:
+                props.append((-r[1], lo - 1 + r[0]))
+        props.sort()
+        acc = props[:budget]
+        if not acc:
+            break
+        out += [
+            (gpos, -nsq / (_CP_SCALE * _CP_SCALE), it) for nsq, gpos in acc
+        ]
+        cut = {gpos for _, gpos in acc}
+        nsegs = []
+        for lo, hi in segs:
+            mid = [g for g in cut if lo <= g < hi]
+            if mid:
+                nsegs += [(lo, mid[0]), (mid[0] + 1, hi)]
+            else:
+                nsegs.append((lo, hi))
+        segs, budget = nsegs, budget - len(acc)
+        if budget <= 0:
+            break
+    return out
+
+
+def test_changepoints_binseg_matches_reference(spark):
+    from cosmap_spark.operators.tseries import changepoints_binseg
+
+    rng = np.random.default_rng(23)
+    series = {
+        0: np.concatenate(
+            [rng.normal(0, 1, 20), rng.normal(5, 1, 20), rng.normal(-3, 1, 20)]
+        ),
+        1: rng.normal(1, 1, 30),
+        2: np.concatenate([rng.normal(0, 0.3, 12), rng.normal(2, 0.3, 12)]),
+        3: np.full(25, 1.0),  # constant: zero gain, no splits
+    }
+    got = {}
+    for r in changepoints_binseg(
+        _cp_frame(spark, series), ["k"],
+        order_cols=["t"], val_col="v", max_changepoints=3, min_seg=4,
+    ).collect():
+        got.setdefault(r["k"], []).append((r["cp_pos"], r["stat"], r["iter"]))
+    for k, vals in series.items():
+        want = _binseg_ref(vals, max_cp=3, min_seg=4)
+        assert sorted(got.get(k, [])) == sorted(want), (k, got.get(k), want)
+    # the two planted seams of key 0 are both found
+    assert {p for p, _, _ in got[0]} >= {20, 40}
+    assert 3 not in got
+
+
+def test_changepoints_binseg_budget_and_gain(spark):
+    from cosmap_spark.operators.tseries import changepoints_binseg
+
+    rng = np.random.default_rng(3)
+    vals = np.concatenate(
+        [rng.normal(0, 1, 15), rng.normal(6, 1, 15), rng.normal(12, 1, 15)]
+    )
+    df = _cp_frame(spark, {0: vals})
+    one = changepoints_binseg(
+        df, ["k"], order_cols=["t"], val_col="v", max_changepoints=1
+    ).collect()
+    assert len(one) == 1
+    assert sorted(
+        (r["cp_pos"], r["stat"], r["iter"]) for r in one
+    ) == sorted(_binseg_ref(vals, max_cp=1))
+    # a sky-high gain threshold suppresses everything
+    none = changepoints_binseg(
+        df, ["k"], order_cols=["t"], val_col="v", min_gain=1e9
+    )
+    assert none.count() == 0
+    assert {"cp_pos", "stat", "iter"} <= set(none.columns)
