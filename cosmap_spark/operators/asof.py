@@ -37,6 +37,7 @@ def asof_join(
     allow_exact: bool = False,
     right_cols: list[str] | None = None,
     prefix: str = "asof_",
+    allow_unkeyed: bool = False,
 ) -> DataFrame:
     """Left rows + ``prefix``-renamed columns of the matched right row
     (null when no right row qualifies).
@@ -45,9 +46,22 @@ def asof_join(
     ``right.on < left.on`` (``<=`` when ``allow_exact``);
     ``'forward'``: the FIRST right row with ``right.on > left.on``
     (``>=`` when ``allow_exact``).  Ties among equal right ``on``
-    values break on the first payload column for determinism."""
+    values break on the first payload column for determinism.
+
+    ``by=None`` sorts and fills BOTH TABLES IN ONE PARTITION (an
+    unkeyed window has nowhere to parallelize — the exact
+    single-partition shape the repo's plan audit forbids in ledger
+    queries), so it must be opted into with ``allow_unkeyed=True`` —
+    legitimate only when both sides are known-small (e.g. aligning two
+    reference series); at corpus scale always pass ``by``."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward; got {direction!r}")
+    if not by and not allow_unkeyed:
+        raise ValueError(
+            "asof_join with by=None serializes both tables through ONE "
+            "window partition; pass by=[...] (the scale path) or opt in "
+            "with allow_unkeyed=True for known-small inputs"
+        )
     reserved = {"__tag", "__payload", "__is_left", "__m"}
     clash = reserved & (set(left.columns) | set(right.columns))
     if clash:
@@ -160,7 +174,15 @@ def asof_join_cogroup(
             allow_exact_matches=allow_exact,
             suffixes=("", "__r"),
         )
-        return out.rename(columns={c: f"{prefix}{c}" for c in payload_cols})
+        # a payload column sharing its name with a LEFT column comes
+        # back suffixed "__r" (the un-suffixed copy is the left's) — a
+        # blanket rename would grab the left column instead, so pick
+        # the right-side source per column explicitly
+        res = out[list(lpdf.columns)].copy()
+        for c in payload_cols:
+            src = f"{c}__r" if f"{c}__r" in out.columns else c
+            res[f"{prefix}{c}"] = out[src]
+        return res
 
     return (
         left.groupBy(*by)

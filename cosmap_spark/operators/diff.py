@@ -3,13 +3,18 @@ keyed table (yesterday's crawl vs today's, pre- vs post-cleaning).
 
 One keyed full-outer join decides everything: ``added`` (key only in
 new), ``removed`` (key only in old), ``changed`` (both sides, content
-hash differs).  Content identity is a deterministic map-side hash of
-the compared columns (sorted by name, ``to_json`` of a struct — null
-vs absent field distinction preserved), so the join carries two
-32-byte hashes per row, never the payload columns.  ``unchanged``
-rows are EXCLUDED by default — at 100 TB the interesting output is
-the delta (typically ≪ 1% of keys), and materializing the unchanged
-99% would dwarf it.
+hash differs).  Content identity is a deterministic map-side
+``xxhash64`` over the compared columns (sorted by name, each slot
+contributing (position, isnull flag, value) — the injective token
+stream of ``merge.py::snapshot_cdc``, comparing by Spark VALUE
+equality: ``NaN == NaN``, ``-0.0 == 0.0``, NULL a real value), so the
+join carries keys + two 8-byte hashes per row, never the payload
+columns.  MAP-typed compare columns are rejected (no canonical hash —
+nondeterministic key order; canonicalize with sorted
+``map_entries(...)`` first), the same contract as ``snapshot_cdc``.
+``unchanged`` rows are EXCLUDED by default — at 100 TB the
+interesting output is the delta (typically ≪ 1% of keys), and
+materializing the unchanged 99% would dwarf it.
 
 Duplicate keys on either side are rejected loudly (a diff keyed on a
 non-key silently degrades into a many-to-many join).
@@ -21,8 +26,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _content_hash(df: DataFrame, id_col: str, cols: list[str]):
-    return F.md5(F.to_json(F.struct(*[F.col(c) for c in sorted(cols)])))
+def _content_hash(cols: list[str]):
+    # per-slot (position, isnull flag, value): Spark hash functions
+    # SKIP null arguments, so flags keep the stream injective — see
+    # merge.py::snapshot_cdc's hashed() for the full argument
+    return F.xxhash64(
+        *[
+            x
+            for i, c in enumerate(sorted(cols))
+            for x in (F.lit(i), F.isnull(F.col(c)).cast("int"), F.col(c))
+        ]
+    )
 
 
 def corpus_diff(
@@ -54,11 +68,22 @@ def corpus_diff(
     ]
     if missing:
         raise ValueError(f"compare_cols absent from a side: {missing}")
+    mappy = [
+        c for c in cols
+        if "map<" in new.schema[c].dataType.simpleString()
+        or "map<" in old.schema[c].dataType.simpleString()
+    ]
+    if mappy:
+        raise ValueError(
+            "corpus_diff: map-typed compare columns have no canonical "
+            f"hash (nondeterministic key order): {mappy}; canonicalize "
+            "first, e.g. compare map_entries(...) sorted by key"
+        )
 
     def keyed(df: DataFrame, tag: str) -> DataFrame:
         k = df.select(
             F.col(id_col).alias(f"__id_{tag}"),
-            _content_hash(df, id_col, cols).alias(f"__h_{tag}"),
+            _content_hash(cols).alias(f"__h_{tag}"),
         )
         if check_unique:
             # loud duplicate detection without a second scan of the

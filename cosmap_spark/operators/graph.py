@@ -123,7 +123,8 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        if (it + 1) % checkpoint_every == 0 or it == max_iterations - 1:
+        checkpointed = (it + 1) % checkpoint_every == 0 or it == max_iterations - 1
+        if checkpointed:
             new_ranks = new_ranks.localCheckpoint()
         delta = (
             new_ranks.withColumnRenamed("rank", "new_rank")
@@ -133,6 +134,11 @@ def pagerank(
         )
         ranks = new_ranks
         if delta < tol:
+            if not checkpointed:
+                # the early-convergence exit must not hand back a frame
+                # whose lineage replays up to checkpoint_every iterations
+                # of joins over the edge cache unpersisted just below
+                ranks = ranks.localCheckpoint()
             break
     ew.unpersist()
     return ranks.select("node", F.round("rank", 9).alias("rank"))

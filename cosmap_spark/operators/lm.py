@@ -71,8 +71,23 @@ def bigram_model(
             "c",
         )
     )
+    # SUM over zero rows is NULL (CLAUDE.md): coalesce, and refuse a
+    # tokenless reference IN-PLAN — otherwise a NULL n_tokens turns
+    # every downstream nll NULL and perplexity_filter's keep-null
+    # branch silently passes EVERY document (a no-op filter is worse
+    # than a loud one)
     totals = uni.agg(
-        F.sum("c").alias("n_tokens"), F.count("*").alias("vocab")
+        F.coalesce(F.sum("c"), F.lit(0)).alias("n_tokens"),
+        F.count("*").alias("vocab"),
+    ).select(
+        "n_tokens",
+        F.when(F.col("vocab") > 0, F.col("vocab")).otherwise(
+            F.raise_error(F.lit(
+                "bigram_model: reference corpus has no tokens — an LM "
+                "over an empty reference scores nothing; fix the "
+                "reference or skip the perplexity filter"
+            ))
+        ).alias("vocab"),
     )
     return uni, bi, totals
 

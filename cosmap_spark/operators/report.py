@@ -297,7 +297,11 @@ def threshold_sweep(
     scored pairs: each candidate is truth-flagged by one left join,
     then every threshold is a pair of conditional sums inside a single
     aggregate (the expectations-validator discipline — no per-
-    threshold re-scan).  Returns ``[threshold, kept, tp, precision,
+    threshold re-scan).  Candidates are canonicalized to (min, max)
+    orientation and DEDUPLICATED to one row per pair first — keeping
+    the best score (max, or min when ``higher_is_better=False``) — so
+    a pair emitted in both orientations counts once, same contract as
+    :func:`pair_metrics`.  Returns ``[threshold, kept, tp, precision,
     recall, f1]`` ordered by threshold."""
     if not thresholds:
         raise ValueError("need at least one threshold")
@@ -307,12 +311,15 @@ def threshold_sweep(
         F.greatest(F.col(a), F.col(b)).alias("v"),
     ).distinct()
     n_truth = t.count()
+    best = F.max("__s") if higher_is_better else F.min("__s")
     flagged = (
         scored_pairs.select(
             F.least(F.col(a), F.col(b)).alias("u"),
             F.greatest(F.col(a), F.col(b)).alias("v"),
             F.col(score_col).alias("__s"),
         )
+        .groupBy("u", "v")
+        .agg(best.alias("__s"))
         .join(t.withColumn("__t", F.lit(True)), ["u", "v"], "left")
         .withColumn("__t", F.coalesce(F.col("__t"), F.lit(False)))
     )

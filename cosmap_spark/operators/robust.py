@@ -75,24 +75,33 @@ def robust_outliers(
     driver-sized build side at scale.  The ungrouped path stays an
     explicit broadcast: it is a single-row table by construction.
     Appends ``<col>_z`` (rounded 6 dp) and ``<col>_outlier``; MAD = 0
-    (constant column) flags nothing."""
+    (constant column) flags nothing.  Group keys join back NULL-safely
+    (``<=>`` is still an equi-join to Catalyst): rows in a NULL group
+    are a real group of the data, not silently dropped — the same
+    contract as ``corpus_report`` and ``stratified_sample``."""
     keys = group_by or []
+
+    def _join_back(left: DataFrame, agg: DataFrame) -> DataFrame:
+        if not keys:
+            return left.join(F.broadcast(agg))
+        ren = agg
+        for c in keys:
+            ren = ren.withColumnRenamed(c, f"__g_{c}")
+        cond = F.lit(True)
+        for c in keys:
+            cond = cond & F.col(c).eqNullSafe(F.col(f"__g_{c}"))
+        return left.join(ren, cond).drop(*[f"__g_{c}" for c in keys])
+
     med_agg = df.groupBy(*keys).agg(
         F.percentile_approx(col, F.lit(0.5), accuracy).alias("__med")
     )
-    with_med = (
-        df.join(med_agg, keys) if keys else df.join(F.broadcast(med_agg))
-    )
+    with_med = _join_back(df, med_agg)
     mad_agg = with_med.groupBy(*keys).agg(
         F.percentile_approx(
             F.abs(F.col(col) - F.col("__med")), F.lit(0.5), accuracy
         ).alias("__mad")
     )
-    full = (
-        with_med.join(mad_agg, keys)
-        if keys
-        else with_med.join(F.broadcast(mad_agg))
-    )
+    full = _join_back(with_med, mad_agg)
     z = F.round(
         F.lit(0.6745) * (F.col(col) - F.col("__med")) / F.col("__mad"), 6
     )

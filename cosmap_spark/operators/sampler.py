@@ -29,12 +29,29 @@ def _hash_uniform(id_col: Column, seed: int, stream: int) -> Column:
     return F.pmod(h, F.lit(_HASH_BUCKETS)).cast("double") / F.lit(float(_HASH_BUCKETS))
 
 
+def _key_hash(key_cols: list[str], *extra: Column) -> Column:
+    """``xxhash64`` of a composite row key with per-slot (position,
+    isnull flag, value) anchoring — Spark's hash functions SKIP null
+    argument slots, so a bare ``xxhash64(a, b)`` collides ('x', NULL)
+    with (NULL, 'x') and their sampling fates would be perfectly
+    correlated for every seed (the CLAUDE.md row-hash rule;
+    merge.py::snapshot_cdc's ``hashed()`` is the same token stream).
+    ``extra`` appends never-null literals (seed/stream/epoch)
+    unanchored."""
+    anchored = [
+        x
+        for i, c in enumerate(key_cols)
+        for x in (F.lit(i), F.isnull(F.col(c)).cast("int"), F.col(c))
+    ]
+    return F.xxhash64(*anchored, *extra)
+
+
 def _key_uniform(key_cols: list[str], seed: int, stream: int) -> Column:
     """U[0,1) from a composite row key — the shared hash-threshold core
     of deterministic/stratified/weighted sampling (one place to change
     key normalization; distinct ``stream`` per sampler keeps their
     decisions independent)."""
-    return _hash_uniform(F.xxhash64(*[F.col(c) for c in key_cols]), seed, stream)
+    return _hash_uniform(_key_hash(key_cols), seed, stream)
 
 
 def uniform_sphere_samples(
@@ -64,6 +81,15 @@ def uniform_sphere_samples(
         dec_lo, dec_hi = dec_lo + radius_deg, dec_hi - radius_deg
         if ra_bounds == (0.0, 360.0):  # full circle: no RA margin needed
             ra_lo, ra_hi = 0.0, 360.0
+        if ra_lo >= ra_hi or dec_lo >= dec_hi:
+            # inverted bounds would still "work" (lo + u·(hi−lo) walks
+            # backwards INSIDE the patch) — but the documented whole-
+            # cones-inside guarantee is silently broken, so refuse like
+            # the box sampler does
+            raise ValueError(
+                f"cone radius {radius_deg}° does not fit the patch "
+                f"ra={ra_bounds} dec={dec_bounds} after frame shrinking"
+            )
     import math
 
     sin_lo, sin_hi = math.sin(math.radians(dec_lo)), math.sin(math.radians(dec_hi))
@@ -268,8 +294,12 @@ def negative_pairs(
     mod n`` (offset ≥ 1 ⇒ never itself), and one equi-join maps
     positions back to ids.  ``exclude_pairs`` (id_a, id_b — e.g. a
     near-dup pair set) drops known FALSE negatives via a left-anti
-    join.  Output: ``(anchor_id, negative_id, neg_rank)``; after
-    exclusions an anchor may carry fewer than k rows."""
+    join.  Output: ``(anchor_id, negative_id, neg_rank)``.  The k
+    draws are independent, so two can COLLIDE (guaranteed when
+    ``k > n−1``): colliding positions are collapsed map-side
+    (``array_distinct`` before the explode — ``neg_rank`` then ranks
+    the distinct draws), so a pair never repeats; after collapsing
+    and exclusions an anchor may carry fewer than k rows."""
     from cosmap_spark.operators.packing import row_index
 
     idx = row_index(df.select(id_col), order_col=id_col)
@@ -296,8 +326,10 @@ def negative_pairs(
     anchors = idx.select(
         F.col(id_col).alias("anchor_id"),
         F.posexplode(
-            F.transform(
-                offs, lambda o: F.pmod(F.col("row_idx") + o, F.lit(n))
+            F.array_distinct(
+                F.transform(
+                    offs, lambda o: F.pmod(F.col("row_idx") + o, F.lit(n))
+                )
             )
         ).alias("neg_rank", "__pidx"),
     )
@@ -412,7 +444,7 @@ def epoch_shuffle(
     would UNDO the permutation if pointed at the original id; pass
     ``key_col_out`` to keep the permutation key as a column and hand it
     to them as the order column instead."""
-    h = F.xxhash64(*[F.col(c) for c in key_cols], F.lit(seed), F.lit(int(epoch)))
+    h = _key_hash(key_cols, F.lit(seed), F.lit(int(epoch)))
     key = key_col_out or "__shuffle_key"
     keyed = df.withColumn(key, h)
     n = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
@@ -442,7 +474,7 @@ def kfold_assign(
     any job recomputes membership from the key."""
     if k < 2:
         raise ValueError(f"need k >= 2 folds; got {k}")
-    h = F.xxhash64(*[F.col(c) for c in key_cols], F.lit(seed), F.lit(71))
+    h = _key_hash(key_cols, F.lit(seed), F.lit(71))
     return df.withColumn(fold_col, F.pmod(h, F.lit(k)).cast("int"))
 
 
@@ -464,7 +496,7 @@ def group_kfold_assign(
     no shuffle, no group table materialized."""
     if k < 2:
         raise ValueError(f"need k >= 2 folds; got {k}")
-    h = F.xxhash64(F.col(group_col), F.lit(seed), F.lit(73))
+    h = _key_hash([group_col], F.lit(seed), F.lit(73))
     return df.withColumn(fold_col, F.pmod(h, F.lit(k)).cast("int"))
 
 
@@ -486,7 +518,7 @@ def exact_k_sample(
     carving, fixed-size debugging slices.  Same hash-threshold family:
     partition-layout independent, stable across runs/clusters, and a
     different seed draws an (almost) independent sample."""
-    h = F.xxhash64(*[F.col(c) for c in key_cols], F.lit(seed))
+    h = _key_hash(key_cols, F.lit(seed))
     return (
         df.withColumn("__h", h)
         .orderBy("__h", *key_cols)
@@ -558,7 +590,7 @@ def exact_k_per_group(
             "rename the input column"
         )
 
-    h = F.xxhash64(*[F.col(c) for c in key_cols], F.lit(seed))
+    h = _key_hash(key_cols, F.lit(seed))
     w = Window.partitionBy(*group_cols).orderBy(h, *key_cols)
     return (
         df.withColumn("__rn", F.row_number().over(w))

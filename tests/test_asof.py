@@ -68,17 +68,17 @@ def test_asof_ungrouped(spark):
     )
     back_strict = {
         r["t"]: r["asof_v"]
-        for r in asof_join(left, right, on="t").collect()
+        for r in asof_join(left, right, on="t", allow_unkeyed=True).collect()
     }
     assert back_strict == {5: "x", 10: "x", 15: "z"}
     back_exact = {
         r["t"]: r["asof_v"]
-        for r in asof_join(left, right, on="t", allow_exact=True).collect()
+        for r in asof_join(left, right, on="t", allow_exact=True, allow_unkeyed=True).collect()
     }
     assert back_exact == {5: "x", 10: "y", 15: "z"}
     fwd = {
         r["t"]: r["asof_v"]
-        for r in asof_join(left, right, on="t", direction="forward").collect()
+        for r in asof_join(left, right, on="t", direction="forward", allow_unkeyed=True).collect()
     }
     assert fwd == {5: "y", 10: "z", 15: None}
 
@@ -129,3 +129,38 @@ def test_asof_rejects_reserved_internal_names(spark):
     right = spark.createDataFrame([(1, 5, 1.0)], "k long, t long, rv double")
     with pytest.raises(ValueError, match="reserves internal column names"):
         asof_join(left, right, on="t", by=["k"])
+
+
+def test_asof_unkeyed_requires_optin(spark):
+    """by=None is the single-partition shape — refused unless the
+    caller opts in for known-small inputs."""
+    left = spark.createDataFrame([(5,)], "t long")
+    right = spark.createDataFrame([(3, "x")], "t long, v string")
+    with pytest.raises(ValueError, match="allow_unkeyed"):
+        asof_join(left, right, on="t")
+
+
+def test_cogroup_twin_shared_payload_name(spark):
+    """A right payload column named like a LEFT column must come back
+    as the RIGHT side's values (merge_asof suffixes the right copy; a
+    blanket rename used to grab the left column instead)."""
+    from cosmap_spark.operators.asof import asof_join_cogroup
+
+    left = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 20, 200.0)], "k long, t long, val double"
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 1.5), (1, 15, 2.5)], "k long, t long, val double"
+    )
+    kw = dict(on="t", by=["k"])
+    got = {
+        r["t"]: (r["val"], r["asof_val"])
+        for r in asof_join_cogroup(left, right, **kw).collect()
+    }
+    assert got == {10: (100.0, 1.5), 20: (200.0, 2.5)}
+    # and it still agrees with the distributed window path
+    win = {
+        r["t"]: (r["val"], r["asof_val"])
+        for r in asof_join(left, right, **kw).collect()
+    }
+    assert win == got

@@ -105,3 +105,36 @@ def test_validation(spark, snapshots):
         corpus_diff(old.select("doc_id"), new.select("doc_id"))
     with pytest.raises(ValueError):
         corpus_diff(old, new, compare_cols=["ghost"])
+
+
+def test_map_compare_cols_rejected(spark):
+    """Map-typed compare columns have no canonical hash — refused
+    loudly, the snapshot_cdc contract."""
+    import pytest
+
+    from cosmap_spark.operators.diff import corpus_diff
+
+    df = spark.createDataFrame(
+        [(1, {"a": "x"})], "doc_id long, m map<string,string>"
+    )
+    with pytest.raises(ValueError, match="map-typed"):
+        corpus_diff(df, df)
+
+
+def test_value_equality_nan_and_null(spark):
+    """The content hash compares by Spark VALUE equality: NaN == NaN
+    (a JSON-serialized hash would also have false-diffed on key order),
+    and NULL is a value distinct from 0/''."""
+    from cosmap_spark.operators.diff import corpus_diff
+
+    nan = float("nan")
+    old = spark.createDataFrame(
+        [(1, nan, "t"), (2, 1.0, None), (3, 2.0, "u")],
+        "doc_id long, x double, s string",
+    )
+    new = spark.createDataFrame(
+        [(1, nan, "t"), (2, 1.0, ""), (3, 2.0, "u")],
+        "doc_id long, x double, s string",
+    )
+    got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert got == {2: "changed"}  # NULL -> '' is a change; NaN row is not

@@ -79,3 +79,20 @@ def test_degrees(spark, edges_df):
 def test_empty_graph(spark):
     empty = spark.createDataFrame([], "src long, dst long")
     assert pagerank(empty).count() == 0
+
+
+def test_pagerank_early_convergence_truncates_lineage(spark):
+    """Converging before a scheduled checkpoint must still hand back a
+    checkpointed frame: the returned plan may not replay rank-iteration
+    joins over the (now unpersisted) edge cache."""
+    from cosmap_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1)], "src long, dst long"
+    )
+    # tol=inf converges on the first delta check, far from the
+    # checkpoint_every=5 boundary
+    out = pagerank(edges, tol=float("inf"), checkpoint_every=5)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan, plan
+    assert abs(sum(r["rank"] for r in out.collect()) - 1.0) < 1e-9

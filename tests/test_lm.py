@@ -105,3 +105,22 @@ def test_plan_gates(spark, ref):
     assert s["cartesian_products"] == 0
     # the 1-row totals crossJoin is the only nested-loop (scalar shape)
     assert s["nested_loop_joins"] <= 1
+
+
+def test_empty_reference_raises_loudly(spark, ref):
+    """A tokenless reference must fail the first action, not silently
+    turn perplexity_filter into a keep-everything no-op (the
+    SUM-over-zero-rows NULL trap)."""
+    import pytest
+
+    from cosmap_spark.operators.lm import perplexity_filter
+
+    docs = spark.createDataFrame(
+        [(1, "some document text here")], "doc_id long, text string"
+    )
+    empty_ref = spark.createDataFrame([], "doc_id long, text string")
+    with pytest.raises(Exception, match="reference corpus has no tokens"):
+        perplexity_filter(docs, empty_ref, max_avg_nll=2.0).collect()
+    tokenless = spark.createDataFrame([(9, "")], "doc_id long, text string")
+    with pytest.raises(Exception, match="reference corpus has no tokens"):
+        perplexity_filter(docs, tokenless, max_avg_nll=2.0).collect()

@@ -82,3 +82,19 @@ def test_no_python_no_cartesian_in_plan(skewed):
     )
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_grouped_null_key_rows_survive(spark):
+    """A NULL group key is a real group: its rows must come back with
+    their own median/MAD parameters, not vanish in the join-back (the
+    corpus_report / stratified_sample null-safety contract)."""
+    from cosmap_spark.operators.robust import robust_outliers
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 100.0)] + [
+        (None, 10.0), (None, 11.0), (None, 12.0), (None, 500.0)
+    ]
+    df = spark.createDataFrame(rows, "g string, x double")
+    out = robust_outliers(df, "x", group_by=["g"], threshold=3.0)
+    assert out.count() == 8  # nothing dropped
+    nulls = {r["x"]: r["x_outlier"] for r in out.where("g IS NULL").collect()}
+    assert nulls[500.0] is True and nulls[10.0] is False

@@ -332,13 +332,22 @@ def test_negative_pairs_uniform_never_self_excludable(spark):
 
     docs = spark.range(500).select(F.col("id").alias("doc_id"))
     pairs = negative_pairs(docs, k=4, seed=11).collect()
-    assert len(pairs) == 2000
+    # colliding draws collapse (birthday effect): at most k per anchor,
+    # expected ~3 collisions over 500x4 draws at n=500
+    assert 1990 <= len(pairs) <= 2000
+    assert len({(r["anchor_id"], r["negative_id"]) for r in pairs}) == len(
+        pairs
+    )
     by_anchor = {}
     for r in pairs:
         assert r["negative_id"] != r["anchor_id"], "self-negative"
         by_anchor.setdefault(r["anchor_id"], set()).add(r["neg_rank"])
     assert set(by_anchor) == set(range(500))
-    assert all(ranks == {0, 1, 2, 3} for ranks in by_anchor.values())
+    # ranks stay contiguous from 0 after collapsing
+    assert all(
+        ranks == set(range(len(ranks))) and 1 <= len(ranks) <= 4
+        for ranks in by_anchor.values()
+    )
     # negatives cover the corpus roughly uniformly (no hot partner)
     from collections import Counter
 
@@ -402,3 +411,44 @@ def test_exact_k_per_group_rejects_reserved_name(spark):
     df = spark.createDataFrame([(1, "a", 0)], "doc_id long, lang string, __rn long")
     with pytest.raises(ValueError, match="__rn"):
         exact_k_per_group(df, k=1, group_cols=["lang"], key_cols=["doc_id"])
+
+
+def test_key_hash_null_slot_disambiguation(spark):
+    """('x', NULL) and (NULL, 'x') must hash differently — bare
+    xxhash64 skips NULL slots so their sampling fates were perfectly
+    correlated for every seed (CLAUDE.md row-hash rule)."""
+    from cosmap_spark.operators.sampler import _key_hash
+
+    df = spark.createDataFrame(
+        [("x", None), (None, "x")], "a string, b string"
+    )
+    h = [r[0] for r in df.select(_key_hash(["a", "b"])).collect()]
+    assert h[0] != h[1]
+
+
+def test_sphere_sampler_rejects_oversized_radius(spark):
+    import pytest
+
+    from cosmap_spark.operators.sampler import uniform_sphere_samples
+
+    with pytest.raises(ValueError, match="does not fit the patch"):
+        uniform_sphere_samples(
+            spark, 5, radius_deg=10.0, dec_bounds=(-5.0, 5.0),
+            ra_bounds=(0.0, 40.0),
+        )
+
+
+def test_negative_pairs_never_duplicates(spark):
+    """Colliding offset draws (guaranteed at k > n-1) collapse: no
+    (anchor, negative) pair may repeat under different ranks."""
+    from cosmap_spark.operators.sampler import negative_pairs
+
+    df = spark.createDataFrame([(i,) for i in range(3)], "doc_id long")
+    out = negative_pairs(df, k=4).collect()
+    pairs = [(r["anchor_id"], r["negative_id"]) for r in out]
+    assert len(pairs) == len(set(pairs))
+    assert all(a != n for a, n in pairs)
+    # every anchor keeps at most n-1 = 2 distinct negatives
+    from collections import Counter
+
+    assert max(Counter(a for a, _ in pairs).values()) <= 2
