@@ -98,8 +98,12 @@ def strip_markup(text: Column) -> Column:
     no_tags = F.regexp_replace(no_blocks, r"(?s)<[^>]+>", " ")
     decoded = no_tags
     for ent, ch in (
-        ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+        # &amp; decodes LAST (the standard order): decoding it first
+        # would turn the escaped display form &amp;lt; into &lt; and
+        # then into a literal '<' the source never contained
+        ("&lt;", "<"), ("&gt;", ">"),
         ("&quot;", '"'), ("&#39;", "'"), ("&nbsp;", " "),
+        ("&amp;", "&"),
     ):
         decoded = F.replace(decoded, F.lit(ent), F.lit(ch))
     one_space = F.regexp_replace(decoded, r"[^\S\n]+", " ")

@@ -128,12 +128,17 @@ def train_quality_classifier(
     w = [0.0] * dim
     b = 0.0
     for _ in range(iters):
-        err, grad = _iteration_frames(feats, labels, w, b)
-        grad_rows = grad.collect()
-        b_grad = err.agg(F.sum("e")).collect()[0][0] / n
-        for r in grad_rows:
+        _, grad = _iteration_frames(feats, labels, w, b)
+        # ONE job per iteration: the bias gradient rides the same
+        # collect as fid = -1 (two actions re-ran the corpus-sized
+        # scored lineage twice — cross-job exchange reuse doesn't exist)
+        b_grad = 0.0
+        for r in grad.collect():
             i = int(r["fid"])
-            w[i] -= lr * (r["g"] / n + l2 * w[i])
+            if i == -1:
+                b_grad = r["g"] / n
+            else:
+                w[i] -= lr * (r["g"] / n + l2 * w[i])
         b -= lr * b_grad
     return w, b
 
@@ -148,7 +153,11 @@ def _iteration_frames(
     of EVERY data pass the trainer makes (tests/test_plan_summary.py):
     the O(dim) weight table broadcasts, both aggregations are
     map-side-combined groupBys, and no Python ever touches the
-    corpus-sized feature table."""
+    corpus-sized feature table.  The bias gradient rides the gradient
+    frame as the ``fid = -1`` row, so one action evaluates the whole
+    iteration — the duplicated ``scored`` subtree inside one job is an
+    identical exchange AQE reuses, where two separate actions re-ran
+    it."""
     w_df = F.broadcast(
         feats.sparkSession.createDataFrame(
             [(i, float(wi)) for i, wi in enumerate(w)], "fid long, w double"
@@ -174,25 +183,32 @@ def _iteration_frames(
         feats.join(err, "id")
         .groupBy("fid")
         .agg(F.sum(F.col("c") * F.col("e")).alias("g"))
+        .unionByName(
+            err.agg(
+                F.coalesce(F.sum("e"), F.lit(0.0)).alias("g")
+            ).select(F.lit(-1).cast("long").alias("fid"), "g")
+        )
     )
     return err, grad
 
 
 def classifier_auc(scores: DataFrame, labels: DataFrame) -> float:
     """Rank-based AUC (Mann-Whitney) computed distributed: the global
-    score rank comes from the sharded prefix-sum ``row_index`` (never a
-    one-task ``Window.orderBy`` — the serialization hazard every global
-    rank here avoids), then one aggregation; the driver sees three
-    numbers.  Tied scores get arbitrary-but-consistent distinct ranks
-    (the tie correction is negligible for continuous scores)."""
-    from cosmap_spark.operators.packing import row_index
+    score rank comes from the sharded prefix-sum ``global_rank`` (never
+    a one-task ``Window.orderBy`` — the serialization hazard every
+    global rank here avoids), then one aggregation; the driver sees
+    three numbers.  Tied scores rank by ``(score, id)`` — a TOTAL
+    order, so the result is deterministic across runs and partition
+    layouts even when scores saturate/repeat (ranking by score alone
+    left tie order to row arrival).  The tie treatment is
+    arbitrary-but-consistent distinct ranks; the mid-rank tie
+    correction is negligible for continuous scores."""
+    from cosmap_spark.operators.packing import global_rank
 
     joined = scores.join(labels, "id").select(
-        "score", F.col("y").cast("double").alias("y")
+        "id", "score", F.col("y").cast("double").alias("y")
     )
-    ranked = row_index(joined, order_col="score").withColumn(
-        "r", F.col("row_idx") + 1
-    )
+    ranked, _ = global_rank(joined, ["score", "id"], out_col="r")
     agg = ranked.agg(
         F.sum(F.when(F.col("y") == 1.0, F.col("r"))).alias("rpos"),
         F.sum(F.when(F.col("y") == 1.0, 1.0).otherwise(0.0)).alias("npos"),

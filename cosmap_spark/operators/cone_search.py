@@ -63,8 +63,17 @@ def cone_search(
     ``ra, dec, radius_deg``.  All other columns pass through (sample
     coordinates surface as ``s_ra, s_dec``).  When ``sep_col`` is set,
     the output carries the exact separation under that name.
+
+    ``sector_width_deg`` is rounded to the nearest width that tiles
+    the circle with an INTEGER sector count: the wrap arithmetic
+    (``pmod`` of the cone's sector span) assumes ``n_sectors · width
+    == 360`` exactly — with a non-divisor width the last partial
+    sector would be reachable from the catalog side (``floor(ra/w)``)
+    but never from a sample's wrapped span, silently dropping in-cone
+    rows near ra = 360.
     """
-    n_sectors = int(round(360.0 / sector_width_deg))
+    n_sectors = max(1, int(round(360.0 / sector_width_deg)))
+    w = 360.0 / n_sectors  # exact tiling (see docstring)
 
     s = samples
     for c in ("ra", "dec"):
@@ -72,10 +81,10 @@ def cone_search(
     dra = ra_delta_deg(F.col("__s_dec"), F.col("radius_deg"))
     # sectors the cone's RA span touches, wrapped onto [0, n_sectors);
     # a span ≥ 360° (pole-adjacent cone) covers every sector
-    lo = F.floor((F.col("__s_ra") - dra) / F.lit(sector_width_deg)).cast("long")
+    lo = F.floor((F.col("__s_ra") - dra) / F.lit(w)).cast("long")
     hi = F.least(
         lo + F.lit(n_sectors - 1),
-        F.floor((F.col("__s_ra") + dra) / F.lit(sector_width_deg)).cast("long"),
+        F.floor((F.col("__s_ra") + dra) / F.lit(w)).cast("long"),
     )
     sectors = F.array_distinct(
         F.transform(F.sequence(lo, hi), lambda x: F.pmod(x, F.lit(n_sectors)))
@@ -98,7 +107,11 @@ def cone_search(
 
     cat = catalog.withColumn(
         "__zone", zone_of_dec(F.col("dec"), zone_height_deg)
-    ).withColumn("__sector", _sector_of_ra(F.col("ra"), sector_width_deg))
+    ).withColumn(
+        # pmod guards the ra = 360.0 float edge (floor would emit
+        # n_sectors, unreachable from any sample span)
+        "__sector", F.pmod(_sector_of_ra(F.col("ra"), w), F.lit(n_sectors))
+    )
 
     sep = angular_sep_deg(F.col("__s_ra"), F.col("__s_dec"), cat["ra"], cat["dec"])
     cond = (

@@ -481,7 +481,14 @@ def kmv_leaf(
     excluded (COUNT DISTINCT semantics); keys that contributed only
     NULLs have no row.  Shared by :func:`kmv_rollup`,
     :func:`segment_overlap`, and the streaming store
-    (``streaming.ops.sketch_stream(kind="kmv")``)."""
+    (``streaming.ops.sketch_stream(kind="kmv")``).
+
+    Key columns pass through the Arrow kernel: an int64 KEY column
+    CONTAINING nulls arrives in pandas as float64, which collapses
+    distinct keys above 2⁵³ and silently merges their sketches (the
+    ``heavy_hitters_sketch`` / ``grouped_topk`` hazard — the sketched
+    VALUE is immune, it is hashed JVM-side).  Cast such key columns to
+    string first."""
     key_types = dict(df.dtypes)
     hashed = df.where(F.col(col).isNotNull()).select(
         *keys, F.xxhash64(F.col(col)).alias("__h")

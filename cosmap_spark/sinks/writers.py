@@ -156,6 +156,7 @@ def merge_upsert(spark, path: str, updates: DataFrame, keys: list[str]) -> None:
 
     from cosmap_spark.operators.merge import merge_upsert as _merge_plan
 
+    _refuse_interrupted_swap(path)
     if not os.path.exists(path):
         updates.write.mode("overwrite").parquet(path)
         return
@@ -191,8 +192,18 @@ def merge_upsert_partitioned(
     (tiny); each touched ``<col>=<value>`` directory then runs the flat
     ``merge_upsert`` (with its append fast path and backup-swap) on its
     own slice of the updates.  New partition values create fresh
-    directories."""
+    directories.
+
+    Directory names must match what Spark's own ``partitionBy`` wrote,
+    or the upsert lands in a bogus sibling directory and the key exists
+    twice on the next full read: NULL maps to Spark's
+    ``__HIVE_DEFAULT_PARTITION__`` sentinel, booleans to ``true`` /
+    ``false``, and values whose rendering contains characters Spark
+    would %-escape in the path (``/ : = #`` …) are REFUSED — sanitize
+    the partition value upstream rather than trusting two escaping
+    implementations to agree."""
     import os
+    import re
 
     if not os.path.exists(path):
         updates.write.mode("overwrite").partitionBy(partition_col).parquet(path)
@@ -203,11 +214,45 @@ def merge_upsert_partitioned(
         ).distinct().collect()
     ]
     for value in touched:
-        part_dir = os.path.join(path, f"{partition_col}={value}")
+        if value is None:
+            rendered = "__HIVE_DEFAULT_PARTITION__"
+        elif isinstance(value, bool):
+            rendered = "true" if value else "false"
+        else:
+            rendered = str(value)
+            if not re.fullmatch(r"[A-Za-z0-9_.+\- ]+", rendered):
+                raise ValueError(
+                    f"merge_upsert_partitioned: partition value "
+                    f"{value!r} renders as {rendered!r}, which Spark "
+                    "would %-escape in the directory name; sanitize "
+                    "the partition column upstream (only [A-Za-z0-9_."
+                    "+- ] values are accepted verbatim)"
+                )
+        part_dir = os.path.join(path, f"{partition_col}={rendered}")
         slice_df = updates.where(
             F.col(partition_col).eqNullSafe(F.lit(value))
         ).drop(partition_col)
         merge_upsert(spark, part_dir, slice_df, keys)
+
+
+def _refuse_interrupted_swap(path: str) -> None:
+    """A crash between ``_swap_in``'s two renames leaves the live path
+    MISSING and the whole table under the backup name.  The next merge
+    must not fall into the it's-a-new-table branch (it would rewrite
+    the table as just the update batch, and a later successful swap
+    would delete the backup holding the only full copy) — refuse and
+    tell the operator how to restore."""
+    import os
+
+    backup = f"{path}.__merge_backup"
+    if os.path.exists(backup) and not os.path.exists(path):
+        raise RuntimeError(
+            f"interrupted merge swap: {path!r} is missing but the "
+            f"backup {backup!r} exists (a crash hit the rename "
+            f"window).  Restore with os.rename({backup!r}, {path!r}) "
+            "and re-run — initializing from the update batch would "
+            "silently drop every prior row"
+        )
 
 
 def _swap_in(path: str, replacement: DataFrame) -> None:
@@ -221,7 +266,10 @@ def _swap_in(path: str, replacement: DataFrame) -> None:
     tmp = f"{path}.__merge_tmp_{uuid.uuid4().hex}"
     replacement.write.mode("overwrite").parquet(tmp)
     backup = f"{path}.__merge_backup"
-    if os.path.exists(backup):  # leftover from an interrupted merge
+    if os.path.exists(backup):
+        # the live path exists (callers checked _refuse_interrupted_swap)
+        # so the previous swap COMPLETED and only its cleanup was lost —
+        # the backup is stale and safe to clear
         shutil.rmtree(backup)
     os.rename(path, backup)
     try:
@@ -243,6 +291,7 @@ def delete_keys(spark, path: str, keys_df: DataFrame, key_cols: list[str]) -> in
     deletion end-to-end."""
     import os
 
+    _refuse_interrupted_swap(path)
     if not os.path.exists(path):
         return 0
     existing = spark.read.parquet(path)

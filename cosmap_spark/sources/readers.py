@@ -153,11 +153,43 @@ def ingest_catalog(
     executors never touch sky regions far from any sample.  At 100 TB
     this turns full-catalog scans into reads of the touched declination
     bands only.
+
+    ``files_per_zone > 1`` splits each zone across up to that many
+    write tasks/files (repartition on (zone, dec-range slice) — two
+    slices can still hash to one task — dec-sliced so
+    every file still covers a NARROW dec band and row-group min/max
+    pruning keeps its selectivity): the knob for surveys whose zones
+    outgrow a single write task — one 100 GB zone must not serialize
+    through one task or land as one unsplittable file.
     """
+    if files_per_zone < 1:
+        raise ValueError(f"files_per_zone must be >= 1; got {files_per_zone}")
+    zoned = catalog.withColumn(
+        "zone", zone_of_dec(F.col("dec"), zone_height_deg)
+    )
+    if files_per_zone == 1:
+        rep = zoned.repartition(F.col("zone"))
+    else:
+        # slice each zone by dec position inside it, not by hash: the
+        # sort below is per-partition, so hash-sliced files would each
+        # span the whole zone's dec range and min/max pruning degrades.
+        # The partition count is EXPLICIT (zones × fan-out, one tiny
+        # distinct-count job) — with only hash columns AQE is free to
+        # coalesce small shuffles back into few tasks, silently undoing
+        # the requested fan-out.
+        frac = (F.col("dec") / F.lit(zone_height_deg)) - F.floor(
+            F.col("dec") / F.lit(zone_height_deg)
+        )
+        slice_col = F.least(
+            F.floor(frac * files_per_zone).cast("int"),
+            F.lit(files_per_zone - 1),
+        )
+        n_zones = zoned.select("zone").distinct().count()
+        rep = zoned.repartition(
+            max(1, n_zones) * files_per_zone, F.col("zone"), slice_col
+        )
     (
-        catalog.withColumn("zone", zone_of_dec(F.col("dec"), zone_height_deg))
-        .repartition(F.col("zone"))
-        .sortWithinPartitions("zone", "dec")
+        rep.sortWithinPartitions("zone", "dec")
         .write.mode("overwrite")
         .partitionBy("zone")
         .parquet(path)

@@ -288,3 +288,103 @@ def test_catalog_source_formats_roundtrip(spark, tmp_path):
     df.select(F.concat_ws(",", "id", "v").alias("value")).write.text(tp)
     lines = read_catalog_source(spark, tp, fmt="text")
     assert lines.count() == 100 and lines.columns == ["value"]
+
+
+def test_merge_upsert_refuses_interrupted_swap(spark, tmp_path):
+    """A crash between _swap_in's renames leaves only the backup; the
+    next merge must refuse (reinitializing from the update batch would
+    silently drop the table, then delete the backup)."""
+    import os
+
+    import pytest
+
+    from cosmap_spark.sinks.writers import merge_upsert
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    merge_upsert(spark, path, df, ["k"])
+    # simulate the crash window: live dir renamed away, tmp never moved
+    os.rename(path, f"{path}.__merge_backup")
+    upd = spark.createDataFrame([(3, "c")], "k long, v string")
+    with pytest.raises(RuntimeError, match="interrupted merge swap"):
+        merge_upsert(spark, path, upd, ["k"])
+    # operator restores the backup as instructed -> merge proceeds
+    os.rename(f"{path}.__merge_backup", path)
+    merge_upsert(spark, path, upd, ["k"])
+    assert sorted(
+        (r["k"], r["v"]) for r in spark.read.parquet(path).collect()
+    ) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_merge_upsert_partitioned_null_and_unsafe_values(spark, tmp_path):
+    """NULL partition values must land in Spark's
+    __HIVE_DEFAULT_PARTITION__ directory (not a bogus 'col=None'
+    sibling), and values Spark would %-escape are refused."""
+    import pytest
+
+    from cosmap_spark.sinks.writers import merge_upsert_partitioned
+
+    path = str(tmp_path / "p")
+    base = spark.createDataFrame(
+        [(1, "x", "d1"), (2, "y", None)], "k long, v string, p string"
+    )
+    base.write.mode("overwrite").partitionBy("p").parquet(path)
+    upd = spark.createDataFrame([(2, "y2", None)], "k long, v string, p string")
+    merge_upsert_partitioned(spark, path, upd, ["k"], partition_col="p")
+    got = sorted(
+        (r["k"], r["v"], r["p"]) for r in spark.read.parquet(path).collect()
+    )
+    assert got == [(1, "x", "d1"), (2, "y2", None)]
+    bad = spark.createDataFrame(
+        [(3, "z", "a/b")], "k long, v string, p string"
+    )
+    with pytest.raises(ValueError, match="escape"):
+        merge_upsert_partitioned(spark, path, bad, ["k"], partition_col="p")
+
+
+def test_strip_markup_amp_decodes_last(spark):
+    """The escaped display form &amp;lt; must decode to the literal
+    text '&lt;', never double-decode into '<'."""
+    from cosmap_spark.functions.text import strip_markup
+
+    df = spark.createDataFrame(
+        [("doc shows &amp;lt;b&amp;gt; and 1 &amp; 2 and a &lt;tag&gt;",)],
+        "text string",
+    )
+    got = df.select(strip_markup(F.col("text")).alias("t")).collect()[0]["t"]
+    assert got == "doc shows &lt;b&gt; and 1 & 2 and a <tag>"
+
+
+def test_ingest_catalog_files_per_zone(spark, tmp_path):
+    """files_per_zone must actually fan out each zone's write (it was
+    silently ignored), with dec-sliced files so min/max pruning keeps
+    narrow dec ranges per file."""
+    import glob
+
+    from cosmap_spark.sources.readers import ingest_catalog
+
+    cat = spark.createDataFrame(
+        [(i, float(i % 360), -10.0 + (i % 2000) * 0.01, 20.0)
+         for i in range(4000)],
+        "object_id long, ra double, dec double, mag_r double",
+    )
+    one = str(tmp_path / "one")
+    many = str(tmp_path / "many")
+    ingest_catalog(cat, one, files_per_zone=1)
+    ingest_catalog(cat, many, files_per_zone=4)
+    def files_in(base):
+        return {
+            d: len(glob.glob(f"{base}/{d}/*.parquet"))
+            for d in os.listdir(base) if d.startswith("zone=")
+        }
+    import os
+
+    f1, f4 = files_in(one), files_in(many)
+    assert set(f1) == set(f4)
+    assert all(n == 1 for n in f1.values())
+    assert any(n > 1 for n in f4.values())
+    assert all(n <= 4 for n in f4.values())
+    # same rows either way
+    a = sorted(r["object_id"] for r in spark.read.parquet(one).collect())
+    b = sorted(r["object_id"] for r in spark.read.parquet(many).collect())
+    assert a == b

@@ -290,3 +290,23 @@ def test_grouped_topk_matches_window_and_bounds_exchange(spark):
     assert plan.index("Window") < plan.index("MapInPandas")  # Window ABOVE
     with pytest.raises(ValueError, match="tie_cols"):
         grouped_topk(rows, ["g"], "score", k=5, tie_cols=[])
+
+
+def test_grouped_topk_null_tie_descending_layout_independent(spark):
+    """Descending order with NULLs in the TIE column: the local prune
+    must keep the row the global window ranks first (tie cols sort
+    asc_nulls_first regardless of the order col's direction)."""
+    from cosmap_spark.operators.skew import grouped_topk
+
+    rows = [(1, 5.0, None), (1, 5.0, 1), (1, 3.0, 2), (2, 7.0, 3)]
+    df = spark.createDataFrame(rows, "g long, x double, tid int")
+    want = [(1, 5.0, None), (2, 7.0, 3)]
+    for layout in (df.repartition(4), df.repartition(1), df.repartition(2, "tid")):
+        got = sorted(
+            ((r["g"], r["x"], r["tid"])
+             for r in grouped_topk(
+                 layout, ["g"], "x", k=1, ascending=False, tie_cols=["tid"]
+             ).collect()),
+            key=lambda t: t[0],
+        )
+        assert got == want, got

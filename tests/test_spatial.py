@@ -285,3 +285,24 @@ def test_crossmatch_plan_symmetric(spark):
         s["broadcast_joins"] + s["sortmerge_joins"]
         + s["shuffled_hash_joins"] >= 1
     )
+
+
+def test_non_divisor_sector_width_equals_bruteforce(spark):
+    """sector_width_deg that doesn't divide 360 (7 deg -> 51.4 sectors)
+    used to leave the last partial sector reachable only from the
+    catalog side: rows near ra=360 silently missed every sample.  The
+    width now rounds to an exact tiling; equality with brute force must
+    hold with matches planted in the wrap sector."""
+    cat = spark.createDataFrame(
+        [(i, 355.0 + i * 0.5, 0.0, 20.0) for i in range(10)]
+        + [(100 + i, float(i), 0.0, 20.0) for i in range(8)],
+        "object_id long, ra double, dec double, mag_r double",
+    )
+    smp = spark.createDataFrame(
+        [(0, 358.0, 0.0, 2.0), (1, 1.0, 0.5, 2.5)],
+        "sample_id long, ra double, dec double, radius_deg double",
+    )
+    for w in (7.0, 11.0, 360.0 / 51.0):
+        got = _pairs(cone_search(cat, smp, sector_width_deg=w))
+        want = _pairs(cone_search_bruteforce(cat, smp))
+        assert got == want, f"width={w}"
