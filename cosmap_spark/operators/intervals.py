@@ -99,6 +99,19 @@ def interval_overlap_join(
     self_join = right is None
     rhs_src = left if self_join else right
 
+    def cell(df: DataFrame, name: str):
+        # integral endpoints use EXACT integer floor division: the
+        # double division `floor(col / grid)` rounds endpoints past 2⁵³
+        # (nanosecond epochs ≈ 1.7e18 lose ~2⁷ ns), so a boundary
+        # interval can land in the wrong cell and a genuinely
+        # overlapping pair whose only shared cell is that boundary is
+        # silently missing.  pmod is non-negative, so subtracting it
+        # gives the floor multiple and `div` stays in long arithmetic.
+        if dict(df.dtypes)[name] in ("tinyint", "smallint", "int", "bigint"):
+            c = f"`{name}`"
+            return F.expr(f"({c} - pmod({c}, {grid})) div {grid}").cast("long")
+        return F.floor(F.col(name) / grid).cast("long")
+
     def spanned(df: DataFrame, p: str) -> DataFrame:
         return df.select(
             *[F.col(k).alias(f"__{p}_{k}") for k in keys],
@@ -106,10 +119,7 @@ def interval_overlap_join(
             F.col(start_col).alias(f"start_{p}"),
             F.col(end_col).alias(f"end_{p}"),
             F.explode(
-                F.sequence(
-                    F.floor(F.col(start_col) / grid).cast("long"),
-                    F.floor(F.col(end_col) / grid).cast("long"),
-                )
+                F.sequence(cell(df, start_col), cell(df, end_col))
             ).alias(f"__cell_{p}"),
         )
 

@@ -216,10 +216,17 @@ def compile_pipeline(
 
 def _badsample_guard(fn: Callable, kwargs: dict, schema: str) -> Callable:
     """Wrap a per-sample pandas fn: BadSampleError ⇒ empty frame (sample
-    dropped), matching reference task.py:155-157 semantics."""
-    import pandas as pd
+    dropped), matching reference task.py:155-157 semantics.
 
-    cols = [c.strip().split()[0] for c in schema.split(",")]
+    Column names come from Spark's own DDL parser — a naive
+    ``schema.split(",")`` would shred comma-bearing types
+    (``decimal(10,2)``, ``struct<...>``) into bogus columns, and the
+    guard's empty frame would then fail Arrow conversion at task time:
+    the exact case the guard exists to absorb would crash the job."""
+    import pandas as pd
+    from pyspark.sql.types import _parse_datatype_string
+
+    cols = _parse_datatype_string(schema).fieldNames()
 
     def guarded(pdf: pd.DataFrame) -> pd.DataFrame:
         try:

@@ -51,9 +51,14 @@ def get_spark(app_name: str = "cosmap_spark", master: str | None = None,
               extra_conf: dict[str, str] | None = None) -> SparkSession:
     """Build (or fetch) a SparkSession with the engine's defaults.
 
-    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (the driver's test
-    harness shape); on a real cluster pass ``None`` after setting master
-    in spark-submit and this factory only applies SQL-level conf.
+    ``master=None`` (the default) resolves to
+    ``local[$SPARK_GRAFT_CPUS]`` — the driver's test-harness shape.  On
+    a real cluster pass ``master=""`` (empty string): the builder then
+    never sets a master, spark-submit's ``--master`` wins, and this
+    factory only applies SQL-level conf.  (``None`` deliberately does
+    NOT defer: a laptop user calling ``get_spark()`` with no
+    spark-submit in sight should get a working local session, not a
+    missing-master error.)
     """
     builder = SparkSession.builder.appName(app_name)
     if master is None:

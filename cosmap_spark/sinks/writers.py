@@ -255,16 +255,30 @@ def _refuse_interrupted_swap(path: str) -> None:
         )
 
 
-def _swap_in(path: str, replacement: DataFrame) -> None:
+def _swap_in(
+    path: str,
+    replacement: DataFrame,
+    *,
+    extra_files: dict[str, str] | None = None,
+) -> None:
     """Write ``replacement`` fully to a temp directory, then swap it in
     via the backup-rename dance shared by merge_upsert/delete_keys (see
-    merge_upsert's docstring for the atomicity caveats)."""
+    merge_upsert's docstring for the atomicity caveats).
+
+    ``extra_files`` (name → text content) land INSIDE the temp
+    directory before the swap, so sidecar metadata and data replace
+    together or not at all — the streaming Misra-Gries store rides its
+    epoch stamp on this (underscore-prefixed names are invisible to
+    Spark's parquet reader)."""
     import os
     import shutil
     import uuid
 
     tmp = f"{path}.__merge_tmp_{uuid.uuid4().hex}"
     replacement.write.mode("overwrite").parquet(tmp)
+    for name, content in (extra_files or {}).items():
+        with open(os.path.join(tmp, name), "w") as f:
+            f.write(content)
     backup = f"{path}.__merge_backup"
     if os.path.exists(backup):
         # the live path exists (callers checked _refuse_interrupted_swap)

@@ -687,9 +687,17 @@ def sketch_stream(stream_df: DataFrame, store_path: str, checkpoint: str,
                 F.hll_sketch_agg(F.col(col), F.lit(lg_k)).alias("__sk")
             )
         store = os.path.join(store_path, "sketches")
-        if os.path.exists(store):
-            from cosmap_spark.sinks.writers import _swap_in
+        from cosmap_spark.sinks.writers import (
+            _refuse_interrupted_swap,
+            _swap_in,
+        )
 
+        # a crash inside a previous epoch's swap leaves only the backup
+        # — falling into the bootstrap branch would overwrite the store
+        # with ONE batch's sketches while the ledger still marks old
+        # epochs done (their data unrecoverable)
+        _refuse_interrupted_swap(store)
+        if os.path.exists(store):
             old = spark.read.parquet(store)
             merged = (
                 merge_kmv_tables(old, batch, keys, k=k)
@@ -730,23 +738,37 @@ def heavy_hitters_stream(stream_df: DataFrame, store_path: str,
 
     MG merge is NOT replay-idempotent (re-merging a batch double-
     counts), so exactly-once rides the same epoch ledger as the
-    HLL/KMV stores; a mismatched ``k`` on resume is refused
-    synchronously (merging under a different k silently changes the
-    guarantee).  Exact counts for the surviving candidates, when
-    needed, are one broadcast-verify scan over the archived corpus —
-    the batch ``heavy_hitters_sketch`` second pass, by design not
-    possible from a stream alone."""
+    HLL/KMV stores — hardened here because a double-count is silent
+    data corruption, not just wasted work: the meta sidecar (running
+    N, k, and the LAST MERGED EPOCH) is written INSIDE the counters
+    directory by the same atomic swap that replaces the counters, so
+    a crash between the swap and the done-marker is detected on
+    replay (``last_epoch`` already equals the epoch id ⇒ skip the
+    merge, restore the marker) instead of double-merging.  A
+    mismatched ``k`` on resume is refused synchronously (merging
+    under a different k silently changes the guarantee).  Exact
+    counts for the surviving candidates, when needed, are one
+    broadcast-verify scan over the archived corpus — the batch
+    ``heavy_hitters_sketch`` second pass, by design not possible from
+    a stream alone."""
     import json as _json
     import os
+    import uuid as _uuid
 
     from cosmap_spark.operators.sketch import merge_mg_tables, mg_summary
 
-    meta_path = os.path.join(store_path, "_mg_meta.json")
+    store = os.path.join(store_path, "counters")
+    # meta lives INSIDE the counters dir so the swap replaces both
+    # atomically; the legacy location (store_path root) is read as a
+    # fallback for stores written before the hardening
+    meta_name = "_mg_meta.json"
+    legacy_meta = os.path.join(store_path, meta_name)
 
     def read_meta() -> dict:
-        if os.path.exists(meta_path):
-            with open(meta_path) as f:
-                return _json.load(f)
+        for p in (os.path.join(store, meta_name), legacy_meta):
+            if os.path.exists(p):
+                with open(p) as f:
+                    return _json.load(f)
         return {"k": k, "n": 0}
 
     meta0 = read_meta()
@@ -762,26 +784,45 @@ def heavy_hitters_stream(stream_df: DataFrame, store_path: str,
         done_marker = os.path.join(ledger, f"epoch-{epoch_id}")
         if os.path.exists(done_marker):
             return  # replayed epoch: counters already include it
+        from cosmap_spark.sinks.writers import (
+            _refuse_interrupted_swap,
+            _swap_in,
+        )
+
+        _refuse_interrupted_swap(store)
         meta = read_meta()
         if meta["k"] != k:
             raise ValueError(
                 f"store at {store_path} was built with k={meta['k']}, "
                 f"resume requested k={k}"
             )
-        batch, n_batch = mg_summary(batch_df, key_col, k=k)
-        store = os.path.join(store_path, "counters")
-        if os.path.exists(store):
-            from cosmap_spark.sinks.writers import _swap_in
-
-            old = spark.read.parquet(store)
-            _swap_in(store, merge_mg_tables(old, batch, k=k))
-        else:
-            batch.write.mode("overwrite").parquet(store)
         os.makedirs(ledger, exist_ok=True)
-        tmp = meta_path + ".tmp"
-        with open(tmp, "w") as f:
-            _json.dump({"k": k, "n": meta["n"] + n_batch}, f)
-        os.replace(tmp, meta_path)
+        if meta.get("last_epoch") == epoch_id:
+            # crash landed between the store swap and the marker: the
+            # counters already contain this epoch (the stamp swapped in
+            # with them) — re-merging would double-count, so only the
+            # marker is restored
+            with open(done_marker, "w") as f:
+                f.write("ok")
+            return
+        batch, n_batch = mg_summary(batch_df, key_col, k=k)
+        new_meta = _json.dumps(
+            {"k": k, "n": meta["n"] + n_batch, "last_epoch": epoch_id}
+        )
+        if os.path.exists(store):
+            old = spark.read.parquet(store)
+            _swap_in(
+                store, merge_mg_tables(old, batch, k=k),
+                extra_files={meta_name: new_meta},
+            )
+        else:
+            # bootstrap with the same data+meta atomicity: write to a
+            # temp dir, drop the meta inside, single rename into place
+            tmp = f"{store}.__init_tmp_{_uuid.uuid4().hex}"
+            batch.write.mode("overwrite").parquet(tmp)
+            with open(os.path.join(tmp, meta_name), "w") as f:
+                f.write(new_meta)
+            os.rename(tmp, store)
         with open(done_marker, "w") as f:
             f.write("ok")
 
@@ -1090,8 +1131,15 @@ def upsert_stream(changes: DataFrame, table_path: str, checkpoint: str,
     fingerprint = _batch_fingerprint
 
     def run(batch_df: DataFrame, epoch_id: int) -> None:
+        from cosmap_spark.sinks.writers import _refuse_interrupted_swap
+
         spark = batch_df.sparkSession
         done_marker = os.path.join(ledger, f"epoch-{epoch_id}")
+        # a crash inside a previous epoch's swap leaves the table
+        # missing with only the backup: the bootstrap branch below
+        # would wipe the ledger and rebuild the table from ONE batch —
+        # refuse until the operator restores the backup
+        _refuse_interrupted_swap(table_path)
         fp = fingerprint(batch_df)  # one batch-sized job
         if os.path.exists(table_path):
             if os.path.exists(done_marker):

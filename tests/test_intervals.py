@@ -132,3 +132,36 @@ def test_interval_overlap_join_duplicate_ids_keep_distinct_intervals(spark):
     # id 1's FIRST interval overlaps id 2, and id 1's SECOND interval
     # also overlaps id 2 — both pairs must survive
     assert got == {(1, 2, 0, 50), (1, 2, 200, 50)}
+
+
+def test_overlap_join_huge_endpoints_exact_cells(spark):
+    """Nanosecond-epoch endpoints (~1.7e18, far past 2^53): grid cells
+    must come from exact integer arithmetic — the double-division path
+    mis-bucketed boundary intervals (doubles are spaced 256 apart up
+    there) and silently dropped overlapping pairs."""
+    import random
+
+    from cosmap_spark.operators.intervals import interval_overlap_join
+
+    rng = random.Random(7)
+    n0 = 1_700_000_000_000_000_000
+    rows = []
+    for i in range(120):
+        s = n0 + rng.randrange(0, 4_000)
+        e = s + rng.randrange(0, 300)
+        rows.append((i, s, e))
+    df = spark.createDataFrame(rows, "id long, start long, end long")
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in interval_overlap_join(df, grid=97).collect()
+    )
+    want = sorted(
+        (a[0], b[0])
+        for i, a in enumerate(rows)
+        for b in rows[i + 1:]
+        if a[1] <= b[2] and b[1] <= a[2]
+    )
+    want = sorted(
+        (min(x, y), max(x, y)) for x, y in want
+    )
+    assert got == want

@@ -405,3 +405,22 @@ def test_sql_node_does_not_shadow_catalog_table(spark, tmp_path):
         assert spark.table("perm_events").count() == 3
     finally:
         spark.sql("DROP TABLE IF EXISTS perm_events")
+
+
+def test_badsample_guard_comma_bearing_schema():
+    """decimal(10,2)/struct<...> schemas must parse into real column
+    names — a naive split(',') shredded them and the guard's empty
+    frame crashed Arrow conversion for the exact case it absorbs."""
+    from cosmap_spark.pipeline.pipeline import BadSampleError, _badsample_guard
+
+    def boom(pdf):
+        raise BadSampleError("bad")
+
+    guarded = _badsample_guard(
+        boom, {}, "sample_id long, amount decimal(10,2), s struct<a:int,b:string>"
+    )
+    import pandas as pd
+
+    out = guarded(pd.DataFrame({"x": [1]}))
+    assert list(out.columns) == ["sample_id", "amount", "s"]
+    assert len(out) == 0

@@ -1453,10 +1453,12 @@ def test_heavy_hitters_stream_guarantee_and_replay(spark, tmp_path):
         )
 
     got = dict(snap())
-    meta = json.load(open(store / "_mg_meta.json"))
+    # meta rides INSIDE the counters dir (same atomic swap as the data)
+    meta = json.load(open(store / "counters" / "_mg_meta.json"))
     n_true = 12_000
     heavy_true = rows.where(F.col("k") == -1).count()
-    assert meta == {"k": 16, "n": n_true}
+    assert meta["k"] == 16 and meta["n"] == n_true
+    assert "last_epoch" in meta
     assert len(got) <= 16
     assert -1 in got, got
     assert heavy_true - n_true / 17 <= got[-1] <= heavy_true, got[-1]
@@ -1470,10 +1472,119 @@ def test_heavy_hitters_stream_guarantee_and_replay(spark, tmp_path):
     )
     q2.awaitTermination(180)
     assert snap() == before
-    assert json.load(open(store / "_mg_meta.json"))["n"] == n_true
+    assert json.load(
+        open(store / "counters" / "_mg_meta.json")
+    )["n"] == n_true
     with pytest.raises(ValueError, match="k=16"):
         heavy_hitters_stream(
             (spark.readStream.schema("k long")
              .option("maxFilesPerTrigger", 1).parquet(str(land))),
             str(store), str(tmp_path / "hh_ckpt3"), key_col="k", k=8,
         )
+
+
+def test_heavy_hitters_crash_between_swap_and_marker(spark, tmp_path):
+    """If a crash lands after the counters swap but before the epoch
+    marker, the replay must NOT re-merge (MG double-counts): the epoch
+    stamp swapped in with the counters detects it."""
+    import json
+
+    from cosmap_spark.streaming.ops import heavy_hitters_stream
+
+    land = tmp_path / "l"
+    spark.range(1000).select((F.col("id") % 7).alias("k")).coalesce(
+        1
+    ).write.parquet(str(land))
+    store = tmp_path / "s"
+    q = heavy_hitters_stream(
+        spark.readStream.schema("k long").parquet(str(land)),
+        str(store), str(tmp_path / "c1"), key_col="k", k=16,
+    )
+    q.awaitTermination(120)
+    counters = sorted(
+        (r["key"], r["mg_count"])
+        for r in spark.read.parquet(str(store / "counters")).collect()
+    )
+    meta = json.load(open(store / "counters" / "_mg_meta.json"))
+    # simulate the crash window: delete the done marker only
+    import os
+
+    ledger = store / "_epochs"
+    markers = os.listdir(ledger)
+    assert markers
+    for m in markers:
+        os.remove(ledger / m)
+    # replay the same batch through a fresh checkpoint
+    q2 = heavy_hitters_stream(
+        spark.readStream.schema("k long").parquet(str(land)),
+        str(store), str(tmp_path / "c2"), key_col="k", k=16,
+    )
+    q2.awaitTermination(120)
+    after = sorted(
+        (r["key"], r["mg_count"])
+        for r in spark.read.parquet(str(store / "counters")).collect()
+    )
+    assert after == counters  # not double-merged
+    assert json.load(
+        open(store / "counters" / "_mg_meta.json")
+    ) == meta
+    assert os.listdir(ledger)  # marker restored
+
+
+def test_streaming_stores_refuse_interrupted_swap(spark, tmp_path):
+    """All three streaming stores must refuse to bootstrap over a
+    crashed swap (live dir missing, backup present) instead of
+    reinitializing from one batch."""
+    import os
+
+    from cosmap_spark.streaming.ops import (
+        heavy_hitters_stream,
+        sketch_stream,
+        upsert_stream,
+    )
+
+    land = tmp_path / "land"
+    spark.range(100).select(
+        (F.col("id") % 5).alias("g"),
+        F.col("id").alias("v"),
+    ).coalesce(1).write.parquet(str(land))
+
+    # --- sketch store
+    sp = tmp_path / "sk"
+    q = sketch_stream(
+        spark.readStream.schema("g long, v long").parquet(str(land)),
+        str(sp), str(tmp_path / "skc"), keys=["g"], col="v", kind="kmv",
+    )
+    q.awaitTermination(120)
+    os.rename(sp / "sketches", f"{sp}/sketches.__merge_backup")
+    # the crash happened DURING the swap, so its epoch marker was
+    # never written — model that by clearing the ledger
+    for m in os.listdir(sp / "_epochs"):
+        os.remove(sp / "_epochs" / m)
+    q = sketch_stream(
+        spark.readStream.schema("g long, v long").parquet(str(land)),
+        str(sp), str(tmp_path / "skc2"), keys=["g"], col="v", kind="kmv",
+    )
+    with pytest.raises(Exception, match="interrupted merge swap"):
+        q.awaitTermination(120)
+        raise RuntimeError(q.exception() or "stream finished cleanly")
+
+    # --- upsert table (key-unique batch: merge_upsert's contract)
+    land2 = tmp_path / "land2"
+    spark.range(50).select(
+        F.col("id").alias("g"), (F.col("id") * 2).alias("v")
+    ).coalesce(1).write.parquet(str(land2))
+    tp = tmp_path / "tbl"
+    q = upsert_stream(
+        spark.readStream.schema("g long, v long").parquet(str(land2)),
+        str(tp), str(tmp_path / "upc"), keys=["g"],
+    )
+    q.awaitTermination(120)
+    os.rename(tp, f"{tp}.__merge_backup")
+    q = upsert_stream(
+        spark.readStream.schema("g long, v long").parquet(str(land2)),
+        str(tp), str(tmp_path / "upc2"), keys=["g"],
+    )
+    with pytest.raises(Exception, match="interrupted merge swap"):
+        q.awaitTermination(120)
+        raise RuntimeError(q.exception() or "stream finished cleanly")
