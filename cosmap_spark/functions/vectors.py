@@ -24,8 +24,17 @@ def norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    """dot/(‖a‖·‖b‖); null-safe only for non-zero vectors."""
-    return dot(a, b) / (norm(a) * norm(b))
+    """dot/(‖a‖·‖b‖); NULL when either vector has zero norm.
+
+    The guard matters: 0/0 is NaN, and Spark both SORTS NaN above
+    every number and evaluates ``NaN >= t`` as true — one failed-
+    embedding all-zero row would otherwise become every query's
+    rank-1 neighbor and a guaranteed false positive behind every
+    similarity threshold.  NULL instead ranks LAST under ``desc()``
+    (Spark's desc is nulls-last) and fails every ``>=`` filter.
+    Mirrored by :func:`cosine_sql`."""
+    den = norm(a) * norm(b)
+    return F.when(den > 0, dot(a, b) / den)
 
 
 def quantize_int8(v: Column) -> Column:
@@ -61,8 +70,9 @@ def dot_sql(a: str, b: str) -> str:
 
 
 def cosine_sql(a: str, b: str) -> str:
-    """DuckDB twin of :func:`cosine_similarity`."""
+    """DuckDB twin of :func:`cosine_similarity` (incl. the zero-norm
+    NULL guard)."""
+    den = f"(sqrt({dot_sql(a, a)}) * sqrt({dot_sql(b, b)}))"
     return (
-        f"({dot_sql(a, b)}) / "
-        f"(sqrt({dot_sql(a, a)}) * sqrt({dot_sql(b, b)}))"
+        f"CASE WHEN {den} > 0 THEN ({dot_sql(a, b)}) / {den} END"
     )

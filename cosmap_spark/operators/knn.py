@@ -49,8 +49,12 @@ def knn_bruteforce(
         F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"),
         norm(F.col(vec_col)).alias("nnorm"),
     )
+    # zero-norm guard (cosine_similarity's contract): 0/0 is NaN, and
+    # Spark sorts NaN ABOVE every number — one failed-embedding row
+    # would be every query's rank-1 neighbor; NULL ranks last instead
+    den = F.col("qnorm") * F.col("nnorm")
     sim = F.round(
-        dot(F.col("qvec"), F.col("nvec")) / (F.col("qnorm") * F.col("nnorm")), 6
+        F.when(den > 0, dot(F.col("qvec"), F.col("nvec")) / den), 6
     )
     pairs = (
         c.crossJoin(F.broadcast(q))
@@ -301,6 +305,7 @@ def hard_negative_pairs(
     tables: int = 4,
     planes: int = 8,
     seed: int = 13,
+    overfetch: int = 8,
 ) -> DataFrame:
     """Semi-hard contrastive negatives: each vector's top-k most-similar
     NON-duplicate neighbors — the pairs that actually move an embedding
@@ -311,9 +316,18 @@ def hard_negative_pairs(
     k-NN over the corpus against itself (never all-pairs), then an
     anti-join against ``dup_pairs`` (normalized id order) so known
     near-duplicates — FALSE negatives — are excluded before ranks are
-    taken.  Output ``(anchor_id, negative_id, sim, neg_rank)``."""
+    taken.  Output ``(anchor_id, negative_id, sim, neg_rank)``.
+
+    ``overfetch`` is the headroom for dup removal: the ANN fetches
+    ``k + overfetch`` neighbors per anchor BEFORE the anti-join, so an
+    anchor inside a dup cluster of up to ``overfetch`` members still
+    fills all k ranks.  Anchors in denser dup clusters under-fill
+    (fewer than k rows — exactly the duplicate-ridden regions where
+    hard negatives matter most): size ``overfetch`` at or above the
+    dup-cluster tail, e.g. the max cluster size reported by
+    ``dedup_clusters``."""
     ann = knn_lsh(
-        corpus, corpus, k=k + 8, id_col=id_col, vec_col=vec_col,
+        corpus, corpus, k=k + overfetch, id_col=id_col, vec_col=vec_col,
         dim=dim, tables=tables, planes=planes, seed=seed,
     ).select(
         F.col("qid").alias("anchor_id"),

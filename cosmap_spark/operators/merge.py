@@ -42,11 +42,22 @@ def latest_per_key(
     columns so reruns pick the same winner).  The window partitions by
     the merge keys over the CHANGE BATCH only — the exchange is
     batch-sized.
+
+    The tie-break hash anchors every slot as (position, isnull flag,
+    value) — Spark's hash functions SKIP null argument slots, so a
+    bare ``xxhash64(*others)`` would collide payloads ('x', NULL) and
+    (NULL, 'x') and leave the winner to partition arrival order (the
+    CLAUDE.md row-hash rule; same token stream as ``snapshot_cdc``).
     """
     others = [c for c in changes.columns if c not in keys]
+    anchored = [
+        x
+        for i, c in enumerate(others)
+        for x in (F.lit(i), F.isnull(F.col(c)).cast("int"), F.col(c))
+    ]
     w = Window.partitionBy(*keys).orderBy(
         F.col(seq_col).desc(),
-        F.xxhash64(*[F.col(c) for c in others]).asc(),
+        F.xxhash64(*anchored).asc(),
     )
     return (
         changes.withColumn("__rn", F.row_number().over(w))
@@ -165,11 +176,21 @@ def scd2_apply(
     scans, zero dimension-sized shuffles, every join broadcast
     (plan-asserted in tests/test_merge.py).
     """
-    tracked = tracked or [
-        c
-        for c in updates.columns
-        if c not in keys and c != ts_col
-    ]
+    if tracked is not None and not tracked:
+        # an explicit empty list must not silently become the
+        # track-everything default (the falsy-`or` bug class) — and a
+        # genuine touch-only run is structurally unsupported here: with
+        # zero tracked attributes no version can close, and untracked
+        # payload columns have no defined value on inserted versions
+        raise ValueError(
+            "scd2_apply: tracked=[] — with no tracked attributes no "
+            "version can ever close; pass None to track every non-key "
+            "update column, or name the attributes explicitly"
+        )
+    if tracked is None:
+        tracked = [
+            c for c in updates.columns if c not in keys and c != ts_col
+        ]
     latest = latest_per_key(updates, keys, seq_col=ts_col)
     up = latest.select(
         *keys,

@@ -312,7 +312,13 @@ def rrf_fuse(
 
     if not rankings:
         raise ValueError("rrf_fuse: no rankings")
-    score_cols = score_cols or ["score"] * len(rankings)
+    if score_cols is None:
+        score_cols = ["score"] * len(rankings)
+    if len(score_cols) != len(rankings):
+        raise ValueError(
+            f"rrf_fuse: {len(score_cols)} score_cols for "
+            f"{len(rankings)} rankings"
+        )
     parts = []
     for df, sc in zip(rankings, score_cols):
         w = Window.partitionBy(query_col).orderBy(

@@ -274,10 +274,15 @@ def bpe_encode(
     def _enc(texts):
         import pandas as pd
 
+        # keep empty tokens: tokens() (the trainer's stream) is a
+        # single-space split that PRESERVES empties on repeated
+        # spaces — filtering them here would let the encoder merge
+        # across multi-space gaps the trainer never counted, breaking
+        # the asserted chained-rewrite parity on any multi-spaced text
         return pd.Series(
             [
                 _bpe_encode_tokens(
-                    [t for t in (s.split(" ") if s else []) if t != ""], m, joiner
+                    s.split(" ") if s else [], m, joiner
                 )
                 for s in texts
             ]

@@ -156,6 +156,7 @@ def merge_upsert(spark, path: str, updates: DataFrame, keys: list[str]) -> None:
 
     from cosmap_spark.operators.merge import merge_upsert as _merge_plan
 
+    _require_local(path, "merge_upsert")
     _refuse_interrupted_swap(path)
     if not os.path.exists(path):
         updates.write.mode("overwrite").parquet(path)
@@ -205,6 +206,7 @@ def merge_upsert_partitioned(
     import os
     import re
 
+    _require_local(path, "merge_upsert_partitioned")
     if not os.path.exists(path):
         updates.write.mode("overwrite").partitionBy(partition_col).parquet(path)
         return
@@ -233,6 +235,26 @@ def merge_upsert_partitioned(
             F.col(partition_col).eqNullSafe(F.lit(value))
         ).drop(partition_col)
         merge_upsert(spark, part_dir, slice_df, keys)
+
+
+def _require_local(path: str, op: str) -> None:
+    """The swap/ledger machinery here is built on ``os.rename`` /
+    ``os.path`` — driver-local filesystem semantics.  A remote URI
+    (``s3a://``, ``hdfs://``…) would not fail loudly: ``os.path.exists``
+    is simply always False there, so an EXISTING store would be treated
+    as absent and silently reinitialized from one batch — permanent
+    data/history loss with no error.  Refuse up front; object stores
+    want a log-backed table format (Delta/Iceberg), not rename dances."""
+    from urllib.parse import urlparse
+
+    scheme = urlparse(path).scheme
+    # len > 1 excludes Windows drive letters ("C:\...")
+    if scheme and scheme != "file" and len(scheme) > 1:
+        raise ValueError(
+            f"{op} maintains its store with local-filesystem renames; "
+            f"got {path!r} ({scheme}://).  Use a local path, or a "
+            "log-backed table format for object stores"
+        )
 
 
 def _refuse_interrupted_swap(path: str) -> None:
@@ -305,6 +327,7 @@ def delete_keys(spark, path: str, keys_df: DataFrame, key_cols: list[str]) -> in
     deletion end-to-end."""
     import os
 
+    _require_local(path, "delete_keys")
     _refuse_interrupted_swap(path)
     if not os.path.exists(path):
         return 0

@@ -654,6 +654,9 @@ def sketch_stream(stream_df: DataFrame, store_path: str, checkpoint: str,
 
     if kind not in ("hll", "kmv"):
         raise ValueError(f"kind must be 'hll' or 'kmv'; got {kind!r}")
+    from cosmap_spark.sinks.writers import _require_local
+
+    _require_local(store_path, "sketch_stream")
 
     def check_k() -> None:
         kfile = os.path.join(store_path, "_kmv_k")
@@ -757,6 +760,9 @@ def heavy_hitters_stream(stream_df: DataFrame, store_path: str,
 
     from cosmap_spark.operators.sketch import merge_mg_tables, mg_summary
 
+    from cosmap_spark.sinks.writers import _require_local
+
+    _require_local(store_path, "heavy_hitters_stream")
     store = os.path.join(store_path, "counters")
     # meta lives INSIDE the counters dir so the swap replaces both
     # atomically; the legacy location (store_path root) is read as a
@@ -1122,6 +1128,9 @@ def upsert_stream(changes: DataFrame, table_path: str, checkpoint: str,
 
     from cosmap_spark.operators.merge import merge_upsert as _merge_plan
 
+    from cosmap_spark.sinks.writers import _require_local
+
+    _require_local(table_path, "upsert_stream")
     drop_cols = [c for c in (seq_col, delete_col) if c is not None]
     # the ledger is a SIBLING named after the table directory itself:
     # two streams under one parent never share markers, and the ledger

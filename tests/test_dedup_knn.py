@@ -880,3 +880,53 @@ def test_knn_lsh_multiprobe_improves_recall(spark):
     b = sorted(map(tuple, knn_lsh(emb, q, k=5, dim=64, tables=8, planes=4,
                                   multiprobe=2).collect()))
     assert a == b
+
+
+def test_minhash_bands_divisibility_guard(spark):
+    from cosmap_spark.operators.dedup import minhash_lsh_pairs
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="divisible by bands"):
+        minhash_lsh_pairs(df, num_hashes=32, bands=5)
+
+
+def test_hamming_pairs_single_chunk_exact_match(spark):
+    """n_chunks=1 with max_hamming=0 (exact fingerprint match) is a
+    legal call — the 64-bit mask used to overflow LongType."""
+    from cosmap_spark.operators.dedup import hamming_pairs
+
+    fps = spark.createDataFrame(
+        [(1, 42), (2, 42), (3, -7), (4, -7), (5, 99)],
+        "id long, simhash long",
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in hamming_pairs(fps, max_hamming=0, n_chunks=1).collect()
+    )
+    assert got == [(1, 2), (3, 4)]
+
+
+def test_zero_norm_embedding_never_top_neighbor(spark):
+    """A failed-embedding all-zero vector yields NaN cosine, which
+    Spark sorts above every number — it must NOT be anyone's rank-1
+    neighbor (NULL-sim guard)."""
+    import numpy as np
+
+    from cosmap_spark.operators.knn import knn_bruteforce
+
+    rng = np.random.default_rng(5)
+    rows = [(int(i), [float(x) for x in rng.normal(0, 1, 8)])
+            for i in range(20)]
+    rows.append((99, [0.0] * 8))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = knn_bruteforce(df, df.where("vec_id < 3"), k=5).collect()
+    assert all(r["nid"] != 99 for r in out)
+    assert all(r["sim"] is not None for r in out)
+
+
+def test_incremental_dedup_refuses_remote_store(spark):
+    from cosmap_spark.operators.dedup import incremental_minhash_dedup
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="local-filesystem"):
+        incremental_minhash_dedup(spark, df, "s3a://bucket/sigs")

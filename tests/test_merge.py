@@ -527,3 +527,44 @@ def test_snapshot_cdc_null_shifted_int_payloads(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, new.collect())
     )
+
+
+def test_latest_per_key_null_slot_tie_break(spark):
+    """Seq-tied rows with payloads ('x', NULL) and (NULL, 'x') used to
+    hash identically (bare xxhash64 skips null slots) leaving the CDC
+    winner to partition arrival order; the anchored hash makes reruns
+    and layouts pick one deterministic winner."""
+    from cosmap_spark.operators.merge import latest_per_key
+
+    rows = [(1, 5, "x", None), (1, 5, None, "x")]
+    df = spark.createDataFrame(rows, "k long, seq long, a string, b string")
+    winners = set()
+    for layout in (df.repartition(1), df.repartition(4), df.coalesce(1)):
+        got = latest_per_key(layout, ["k"], seq_col="seq").collect()
+        assert len(got) == 1
+        winners.add((got[0]["a"], got[0]["b"]))
+    assert len(winners) == 1, winners
+
+
+def test_scd2_tracked_empty_list_refused(spark):
+    """An explicit tracked=[] must not silently become the
+    track-everything default (the falsy-`or` bug class) — it is
+    refused loudly because a zero-attribute SCD-2 is structurally
+    meaningless here."""
+    import datetime as dt
+
+    import pytest
+
+    from cosmap_spark.operators.merge import scd2_apply
+
+    t0 = dt.datetime(2024, 1, 1)
+    dim = spark.createDataFrame(
+        [(1, "old", t0, None, True)],
+        "k long, v string, valid_from timestamp, valid_to timestamp, "
+        "is_current boolean",
+    )
+    upd = spark.createDataFrame(
+        [(1, "new", dt.datetime(2024, 2, 1))], "k long, v string, ts timestamp"
+    )
+    with pytest.raises(ValueError, match="tracked"):
+        scd2_apply(dim, upd, ["k"], tracked=[], ts_col="ts")

@@ -130,3 +130,29 @@ def test_encode_plan_is_one_arrow_pass(spark):
     assert s["arrow_evals"] == 1
     assert s["exchanges"] == 0
     assert s["cartesian_products"] == 0 and s["nested_loop_joins"] == 0
+
+
+def test_encoder_trainer_parity_multi_space(spark):
+    """Repeated/leading/trailing spaces: tokens() keeps empty tokens,
+    so the one-pass encoder must too — filtering them let it merge
+    across gaps the trainer never counted."""
+    from cosmap_spark.operators.vocab import apply_bpe_merge, bpe_encode
+
+    df = spark.createDataFrame(
+        [(1, "a  b"), (2, " a b"), (3, "a b  a b"), (4, "")],
+        "doc_id long, text string",
+    )
+    merges = [("a", "b")]
+    chained = apply_bpe_merge(df, "a", "b")
+    got = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_encode(df, merges).collect()
+    }
+    want = {
+        r["doc_id"]: [t for t in r["text"].split(" ")] if r["text"] else []
+        for r in chained.collect()
+    }
+    assert got == want, (got, want)
+    # the double-space doc stays unmerged in both implementations
+    assert got[1] == ["a", "", "b"]
+    assert got[3] == ["a_b", "", "a_b"]
