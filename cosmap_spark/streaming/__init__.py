@@ -11,6 +11,7 @@ cosmap_spark/queries/streaming_q.py (the oracle can't run streams).
 """
 
 from cosmap_spark.streaming.ops import (  # noqa: F401
+    changepoint_stream,
     enrich_with_dimension,
     events_stream,
     funnel_stream,

@@ -334,6 +334,162 @@ def funnel_stream(
     )
 
 
+_CUSUM_STATE = StructType([
+    StructField("n", LongType()),
+    StructField("mean", DoubleType()),
+    StructField("m2", DoubleType()),
+    StructField("mu0", DoubleType()),
+    StructField("sigma0", DoubleType()),
+    StructField("spos", DoubleType()),
+    StructField("sneg", DoubleType()),
+])
+
+
+def changepoint_stream(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    warmup: int = 20,
+    drift: float = 0.5,
+    threshold: float = 5.0,
+    min_sigma: float = 1e-9,
+    state_ttl: str | None = None,
+) -> DataFrame:
+    """Online per-key level-shift detection — the STREAMING member of
+    the changepoint family (``operators.tseries.grouped_changepoint``
+    is the offline AMOC twin): Page's two-sided CUSUM with O(1) state
+    per key, the live monitoring shape (metric drift, sensor shifts,
+    data-feed regime changes).
+
+    Per key: the first ``warmup`` observations learn a baseline
+    (Welford mean/variance — numerically stable one-pass); the
+    baseline then FREEZES as (μ₀, σ₀) and every later value updates
+
+        s⁺ = max(0, s⁺ + (x − μ₀ − drift·σ₀))
+        s⁻ = max(0, s⁻ + (μ₀ − drift·σ₀ − x))
+
+    (``drift`` in σ units is the classic allowance k — shifts smaller
+    than k·σ₀ accumulate nothing).  When either side exceeds
+    ``threshold·σ₀`` an alarm row is emitted —
+    ``[key, ts, direction ('up'|'down'), stat (the tripped CUSUM in
+    σ₀ units), baseline, sigma, n_seen]`` — and the key's state resets
+    entirely, so the detector re-learns the post-shift level and can
+    alarm again on the next shift (self-rebaselining).  A constant
+    warmup window clamps σ₀ to ``min_sigma`` (any later deviation
+    alarms immediately — the desired behavior for a frozen series
+    that starts moving).
+
+    State is 7 scalars per key — never a window of values; ``state_ttl``
+    evicts idle keys via a processing-time timeout exactly like
+    ``funnel_stream``.  Ordering contract: rows sort by ``ts``
+    (stable) WITHIN each micro-batch; late cross-batch rows process in
+    arrival order, the standard one-pass streaming approximation.
+    Differential-tested against a pure-python online CUSUM reference,
+    including state carried across micro-batches
+    (tests/test_streaming.py)."""
+    import numpy as np
+    import pandas as pd
+
+    if warmup < 2:
+        raise ValueError(f"warmup must be >= 2 (variance needs it); got {warmup}")
+    if threshold <= 0 or drift < 0:
+        raise ValueError("threshold must be > 0 and drift >= 0")
+    ttype = events.schema[ts_col].dataType.simpleString()
+    if not ttype.startswith("timestamp"):
+        raise ValueError(f"{ts_col!r} must be a timestamp column, got {ttype}")
+    out_schema = StructType([
+        StructField(key_col, events.schema[key_col].dataType),
+        StructField("ts", TimestampType()),
+        StructField("direction", StringType()),
+        StructField("stat", DoubleType()),
+        StructField("baseline", DoubleType()),
+        StructField("sigma", DoubleType()),
+        StructField("n_seen", LongType()),
+    ])
+    ev = events.where(
+        F.col(ts_col).isNotNull()
+        & F.col(key_col).isNotNull()
+        & F.col(val_col).isNotNull()
+    ).select(F.col(key_col), F.col(ts_col).alias("__ts"),
+             F.col(val_col).cast("double").alias("__v"))
+    ttl_ms = (
+        int(pd.Timedelta(state_ttl) // pd.Timedelta("1ms"))
+        if state_ttl else None
+    )
+
+    def update(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            n, mean, m2, mu0, sigma0, spos, sneg = state.get
+        else:
+            n, mean, m2, mu0, sigma0, spos, sneg = 0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        pdf = pdf[pdf["__ts"].notna() & pdf["__v"].notna()]
+        if not len(pdf):
+            return
+        ts = pdf["__ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        vals = pdf["__v"].to_numpy(dtype=np.float64)
+        order = np.argsort(ts, kind="stable")
+        alarms: list[tuple] = []
+        for t, x in zip(ts[order].tolist(), vals[order].tolist()):
+            n += 1
+            if n <= warmup:
+                d = x - mean
+                mean += d / n
+                m2 += d * (x - mean)
+                if n == warmup:
+                    mu0 = mean
+                    sigma0 = max((m2 / (warmup - 1)) ** 0.5, min_sigma)
+                continue
+            spos = max(0.0, spos + (x - mu0 - drift * sigma0))
+            sneg = max(0.0, sneg + (mu0 - drift * sigma0 - x))
+            hit = None
+            if spos > threshold * sigma0:
+                hit = ("up", spos / sigma0)
+            elif sneg > threshold * sigma0:
+                hit = ("down", sneg / sigma0)
+            if hit is not None:
+                alarms.append((t, hit[0], hit[1], mu0, sigma0, n))
+                # full reset: re-learn the post-shift baseline
+                n, mean, m2 = 0, 0.0, 0.0
+                mu0, sigma0, spos, sneg = 0.0, 0.0, 0.0, 0.0
+        state.update((n, mean, m2, mu0, sigma0, spos, sneg))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        if alarms:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(alarms),
+                    "ts": [np.int64(a[0]).view("datetime64[us]") for a in alarms],
+                    "direction": [a[1] for a in alarms],
+                    "stat": [a[2] for a in alarms],
+                    "baseline": [a[3] for a in alarms],
+                    "sigma": [a[4] for a in alarms],
+                    "n_seen": [a[5] for a in alarms],
+                }
+            )
+
+    return (
+        ev.groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=_CUSUM_STATE,
+            outputMode="update",
+            timeoutConf=(
+                "ProcessingTimeTimeout" if ttl_ms is not None else "NoTimeout"
+            ),
+        )
+    )
+
+
 def enrich_with_dimension(events: DataFrame, dim: DataFrame,
                           *, on: str = "user_id", how: str = "left") -> DataFrame:
     """Stream-static enrichment join: each micro-batch joins against the

@@ -1588,3 +1588,113 @@ def test_streaming_stores_refuse_interrupted_swap(spark, tmp_path):
     with pytest.raises(Exception, match="interrupted merge swap"):
         q.awaitTermination(120)
         raise RuntimeError(q.exception() or "stream finished cleanly")
+
+
+def _cusum_ref(series, *, warmup=20, drift=0.5, threshold=5.0,
+               min_sigma=1e-9):
+    """Pure-python online CUSUM mirroring changepoint_stream's kernel
+    bit-for-bit (same float ops, same reset semantics)."""
+    n, mean, m2 = 0, 0.0, 0.0
+    mu0 = sigma0 = spos = sneg = 0.0
+    alarms = []
+    for t, x in series:
+        n += 1
+        if n <= warmup:
+            d = x - mean
+            mean += d / n
+            m2 += d * (x - mean)
+            if n == warmup:
+                mu0 = mean
+                sigma0 = max((m2 / (warmup - 1)) ** 0.5, min_sigma)
+            continue
+        spos = max(0.0, spos + (x - mu0 - drift * sigma0))
+        sneg = max(0.0, sneg + (mu0 - drift * sigma0 - x))
+        hit = None
+        if spos > threshold * sigma0:
+            hit = ("up", spos / sigma0)
+        elif sneg > threshold * sigma0:
+            hit = ("down", sneg / sigma0)
+        if hit:
+            alarms.append((t, hit[0], hit[1], mu0, sigma0, n))
+            n, mean, m2 = 0, 0.0, 0.0
+            mu0 = sigma0 = spos = sneg = 0.0
+    return alarms
+
+
+def test_changepoint_stream_matches_reference_across_batches(
+    spark, tmp_path
+):
+    """Two micro-batches (file-per-trigger) must emit exactly the
+    reference's alarms over the concatenated series — state (baseline,
+    CUSUM accumulators, post-alarm resets) carries across batches."""
+    import datetime as dt
+
+    import numpy as np
+
+    from cosmap_spark.streaming.ops import changepoint_stream
+
+    rng = np.random.default_rng(3)
+    t0 = dt.datetime(2024, 1, 1)
+    series = {}
+    # key 0: upshift at 40; key 1: noise only; key 2: downshift at 55
+    vals0 = np.concatenate([rng.normal(10, 1, 40), rng.normal(16, 1, 40)])
+    vals1 = rng.normal(5, 1, 80)
+    vals2 = np.concatenate([rng.normal(0, 1, 55), rng.normal(-8, 1, 25)])
+    for k, vals in ((0, vals0), (1, vals1), (2, vals2)):
+        series[k] = [
+            (t0 + dt.timedelta(minutes=i), float(v))
+            for i, v in enumerate(vals)
+        ]
+    land = tmp_path / "cp_land"
+    rows = [
+        (int(k), i, t, float(v))
+        for k, sv in series.items()
+        for i, (t, v) in enumerate(sv)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, i long, ts timestamp, value double"
+    )
+    df.where("i < 45").coalesce(1).write.parquet(str(land), mode="append")
+    df.where("i >= 45").coalesce(1).write.parquet(str(land), mode="append")
+    sdf = (
+        spark.readStream.schema("user_id long, i long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1).parquet(str(land))
+    )
+    _run_to_memory(
+        changepoint_stream(sdf, warmup=20, drift=0.5, threshold=5.0),
+        "chgpt_stream_t", tmp_path, "update",
+    )
+    got = sorted(
+        (r["user_id"], r["ts"], r["direction"], round(r["stat"], 9),
+         round(r["baseline"], 9), r["n_seen"])
+        for r in spark.table("chgpt_stream_t").collect()
+    )
+    want = sorted(
+        (k, t, d, round(s, 9), round(b, 9), n)
+        for k, sv in series.items()
+        for (t, d, s, b, _sig, n) in _cusum_ref(sv)
+    )
+    assert got == want
+    by_key = {}
+    for k, _, d, *_ in got:
+        by_key.setdefault(k, []).append(d)
+    assert by_key.get(0, [])[:1] == ["up"]
+    assert 1 not in by_key           # pure noise never alarms at h=5
+    assert by_key.get(2, [])[:1] == ["down"]
+
+
+def test_changepoint_stream_validation(spark, tmp_path):
+    from cosmap_spark.streaming.ops import changepoint_stream
+
+    land = tmp_path / "cp_v"
+    spark.createDataFrame(
+        [], "user_id long, ts timestamp, value double"
+    ).write.parquet(str(land))
+    sdf = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .parquet(str(land))
+    )
+    with pytest.raises(ValueError, match="warmup"):
+        changepoint_stream(sdf, warmup=1)
+    with pytest.raises(ValueError, match="threshold"):
+        changepoint_stream(sdf, threshold=0.0)
