@@ -378,14 +378,38 @@ GATE_OPQ_PARAMS = {
     "m": 8, "ksub": 16, "iters": 2, "pq_iters": 1, "dim": 64, "seed": 41,
 }
 
+#: fixed-size training sample for the gate artifacts: 256 points per
+#: codebook centroid (ksub=16 → 4096), the published FAISS guidance
+GATE_OPQ_TRAIN_N = 256 * GATE_OPQ_PARAMS["ksub"]
+
 
 def opq_train_gate(corpus: DataFrame, *, id_col: str = "vec_id"):
-    """``opq_train`` at the gate parameters over the deterministic
-    ~25% hash-sample (``xxhash64(id, 11) % 4 == 0`` — the FAISS
-    train-on-a-sample practice; the d×d Procrustes statistics converge
-    long before the corpus does).  Returns ``(R, codebooks)``."""
-    sample = corpus.where(
-        F.pmod(F.xxhash64(F.col(id_col), F.lit(11)), F.lit(4)) == 0
+    """``opq_train`` at the gate parameters over a deterministic
+    FIXED-SIZE hash-sample: the ``GATE_OPQ_TRAIN_N`` corpus vectors
+    with smallest ``xxhash64(id, 11)`` (layout-independent;
+    TakeOrderedAndProject — per-partition heaps, never a global sort).
+
+    Fixed-size, not a fraction, deliberately: codebook/rotation
+    quality saturates at a few hundred points per centroid (the FAISS
+    train-on-a-sample guidance — 256·ksub here), so a percentage
+    sample would only make TRAINING scale linearly with the corpus
+    while improving nothing — the exact slope a 100 TB build cannot
+    afford.  Corpora smaller than the budget train on everything.
+    Returns ``(R, codebooks)``."""
+    sample = (
+        corpus.withColumn("__h", F.xxhash64(F.col(id_col), F.lit(11)))
+        .orderBy("__h", id_col)
+        .limit(GATE_OPQ_TRAIN_N)
+        .drop("__h")
+        # materialize ONCE and respread: a bare limit plan would (a)
+        # re-run the corpus TakeOrdered on every one of training's
+        # ~2·iters data passes and (b) execute them all on the single
+        # partition a global limit collapses to — measured 12.6 s vs
+        # 1.1 s at the ×10 scaling factor.  The checkpointed frame is
+        # sample-sized (4096 rows), the textbook case where the
+        # measured-materialization rule says YES.
+        .repartition(8)
+        .localCheckpoint()
     )
     return opq_train(sample, id_col=id_col, **GATE_OPQ_PARAMS)
 
