@@ -135,10 +135,14 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("event_id"), F.col("user_id").alias("u1"),
             F.col("ts").alias("ts1"),
+            # F.floor (toward -inf), matching e2's bucketing exactly:
+            # cast("long") truncates toward zero, which diverges from
+            # floor for pre-1970 epochs — the candidate buckets would
+            # miss the probe side's and silently drop pairs
             F.explode(
                 F.array(
-                    (F.unix_timestamp("ts") / day).cast("long"),
-                    (F.unix_timestamp("ts") / day).cast("long") + 1,
+                    F.floor(F.unix_timestamp("ts") / day),
+                    F.floor(F.unix_timestamp("ts") / day) + 1,
                 )
             ).alias("bucket"),
         )

@@ -606,13 +606,23 @@ def _tsearch_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nid packs (user_id, start) into one long: 2³² stride, with an
     # in-plan guard — a series of ≥ 2³² events per user would silently
     # alias into the next user's id space, so fail loudly instead
-    # (round-3 ADVICE: the old 10⁶ stride overflowed much earlier)
+    # (round-3 ADVICE: the old 10⁶ stride overflowed much earlier).
+    # user_id is guarded too: |user_id| ≥ 2³¹ would overflow the
+    # multiplication ITSELF (an opaque ANSI ARITHMETIC_OVERFLOW — or a
+    # silent wrap if ANSI were ever off — before the message below
+    # could explain the encoding limit)
     stride = 1 << 32
+    fits = (
+        (F.col("start") < stride)
+        & (F.col("user_id") >= -(1 << 31))
+        & (F.col("user_id") < (1 << 31))
+    )
     packed = F.when(
-        F.col("start") < stride, F.col("user_id") * stride + F.col("start")
+        fits, F.col("user_id") * stride + F.col("start")
     ).otherwise(
         F.raise_error(F.format_string(
-            "tsearch nid encoding overflow: start=%s >= 2^32", "start"))
+            "tsearch nid encoding overflow: start=%s (max 2^32) "
+            "user_id=%s (max ±2^31)", "start", "user_id"))
     )
     hits = subsequence_search_multi(
         ev, [pat for _, pat in TS_PATTERNS],

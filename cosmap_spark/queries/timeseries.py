@@ -28,7 +28,12 @@ _STEP = 21_600  # 6-hour buckets over the 30-day corpus
 _RESAMPLE_ORACLE = f"""
     WITH agg AS (
       SELECT user_id, CAST(floor(epoch(ts) / {_STEP}) * {_STEP} AS BIGINT) AS bucket,
-             CAST(round(avg(value) * 1000000) AS BIGINT) AS vi
+             -- mean quantized at 4 dp (the repo's aggregate-rounding
+             -- band: a 6-dp quantization of an ORDER-DEPENDENT avg
+             -- leaves a last-ulp knife edge where the two engines'
+             -- summation orders disagree), then scaled to micro-units
+             -- for the exact integer interpolation
+             CAST(round(avg(value) * 10000) AS BIGINT) * 100 AS vi
       FROM events GROUP BY 1, 2
     ),
     bounds AS (
@@ -90,7 +95,8 @@ def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     bucket = ((F.unix_timestamp("ts") / _STEP).cast("long") * _STEP).alias("bucket")
     agg = ev.groupBy("user_id", bucket).agg(
-        F.round(F.avg("value") * 1_000_000).cast("long").alias("vi")
+        # 4-dp quantization then micro-unit scaling (see oracle comment)
+        (F.round(F.avg("value") * 10_000).cast("long") * 100).alias("vi")
     )
     bounds = ev.groupBy("user_id").agg(
         ((F.unix_timestamp(F.min("ts")) / _STEP).cast("long") * _STEP).alias("b0"),

@@ -38,11 +38,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     declared queries compare at second granularity or coarser.
     """
     if name == "events":
+        conf_err = None
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        except Exception:
-            pass
-        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        except Exception as e:  # locked-down conf — remember, don't mask
+            conf_err = e
+        try:
+            df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        except Exception as e:
+            if conf_err is not None:
+                # without the legacy conf Spark refuses TIMESTAMP(NANOS)
+                # with an opaque "Illegal Parquet type" — say WHY the
+                # conf it needed could not be applied
+                raise RuntimeError(
+                    "load_table('events'): reading failed AND the "
+                    "required spark.sql.legacy.parquet.nanosAsLong=true "
+                    f"conf could not be set on this session ({conf_err!r})"
+                    " — set it at session build time"
+                ) from e
+            raise
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         return df
