@@ -153,6 +153,8 @@ from cosmap_spark.operators.retrieval import (  # noqa: F401
     bm25_search,
     bm25_weight,
     build_lex_index,
+    maxsim_rerank,
+    maxsim_topk,
     retrieval_eval,
     rrf_fuse,
     topk_cut,

@@ -27,7 +27,7 @@ mandated beyond-reference pipeline surface.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from cosmap_spark.functions.text import tokens
@@ -475,3 +475,226 @@ def retrieval_eval(
         ).alias("mrr"),
         F.round(F.try_divide(F.col("__dcg"), idcg), 6).alias("ndcg_at_k"),
     )
+
+
+# --- Late-interaction (multi-vector) retrieval ----------------------------
+
+_MAXSIM_SCHEMA = "qid bigint, doc_id bigint, score double"
+
+
+def _norm_rows(m):
+    """Row-normalize; zero-norm rows become zero vectors (they then
+    contribute 0 similarity instead of NaN — the engine-wide zero-norm
+    discipline, see functions.vectors.cosine_similarity)."""
+    import numpy as np
+
+    n = np.sqrt((m * m).sum(axis=1, keepdims=True))
+    return np.where(n > 0, m / np.where(n > 0, n, 1.0), 0.0)
+
+
+def _seq_dot(a, b):
+    """a @ b.T with STRICTLY SEQUENTIAL per-cell summation:
+    ``cumsum(...)[..., -1]`` instead of BLAS — bit-identical results
+    for a (doc, query) pair regardless of how rows are batched, which
+    is what makes the per-batch local top-k partition-layout
+    independent (numpy's matmul/sum change association with matrix
+    shape; the pq._adc_luts rule)."""
+    import numpy as np
+
+    return np.cumsum(a[:, None, :] * b[None, :, :], axis=-1)[..., -1]
+
+
+def maxsim_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    id_col: str = "doc_id",
+    vecs_col: str = "tvecs",
+    qid_col: str = "qid",
+    qvecs_col: str = "tvecs",
+    normalize: bool = True,
+    batch_k: int | None = None,
+) -> DataFrame:
+    """ColBERT-style late-interaction retrieval: per query, the top-k
+    documents under the MaxSim score
+
+        score(q, d) = Σ_{i ∈ q tokens} max_{j ∈ d tokens} ⟨qᵢ, dⱼ⟩
+
+    over MULTI-VECTOR representations (Khattab & Zaharia, SIGIR 2020)
+    — ``docs``/``queries`` carry one row per item with
+    ``array<array<double>>`` token embeddings, the same opaque-column
+    plumbing as the multimodal operators.
+
+    Scale shape (the ADC-scorer discipline): the query token matrix is
+    driver-resident and ships ONCE in the kernel closure (queries are
+    query-sized by contract — the closure path's standing assumption);
+    the corpus streams through ONE ``mapInPandas`` pass that scores
+    every batch fully vectorized and emits only a per-batch LOCAL
+    top-``batch_k`` per query under the TOTAL order (−score, doc_id) —
+    so the only exchange is O(partitions·|Q|·k) rows into the final
+    per-query rank window, never corpus-sized.  Dot products use
+    strictly sequential summation (:func:`_seq_dot`), so a pair's
+    score is bit-identical under any partition layout and the local
+    prune can never disagree with the global window (the repo's
+    local-top-k rule).
+
+    ``normalize=True`` row-normalizes both sides (cosine MaxSim);
+    zero-norm tokens contribute 0.  Documents with no tokens are never
+    retrieved (MaxSim over an empty set is undefined); NULL token
+    arrays are skipped.  At 100 TB run the ANN stage first and
+    re-rank its shortlist with :func:`maxsim_rerank` — this function
+    is the exact full-corpus scorer (small corpora, oracles,
+    recall measurement)."""
+    import numpy as np
+    import pandas as pd
+
+    n_short = batch_k or k
+    qrows = queries.select(qid_col, qvecs_col).collect()
+    if not qrows:
+        raise ValueError("maxsim_topk: empty query set")
+    qids = [int(r[qid_col]) for r in qrows]
+    qmats = []
+    for r in qrows:
+        toks = r[qvecs_col] or []
+        if not toks:
+            raise ValueError(f"maxsim_topk: query {r[qid_col]} has no tokens")
+        qmats.append(np.asarray(toks, dtype=np.float64))
+    dim = qmats[0].shape[1]
+    if any(m.shape[1] != dim for m in qmats):
+        raise ValueError("maxsim_topk: query token dims differ")
+    qmat = np.concatenate(qmats, axis=0)
+    if normalize:
+        qmat = _norm_rows(qmat)
+    # column group boundaries per query for the reduceat sum
+    qstarts = np.cumsum([0] + [m.shape[0] for m in qmats])[:-1]
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            toks = pdf[vecs_col].tolist()
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            keep = [
+                i for i, t in enumerate(toks) if t is not None and len(t)
+            ]
+            if not keep:
+                continue
+            # Arrow hands array<array<double>> cells over as object
+            # arrays of ndarrays — stack element-wise, asarray chokes
+            mats = [
+                np.stack([np.asarray(t, dtype=np.float64) for t in toks[i]])
+                for i in keep
+            ]
+            if any(m.shape[1] != dim for m in mats):
+                raise ValueError(
+                    f"maxsim_topk: doc token dim != query dim {dim}"
+                )
+            dmat = np.concatenate(mats, axis=0)
+            if normalize:
+                dmat = _norm_rows(dmat)
+            sims = _seq_dot(dmat, qmat)            # (Σt_d, T_all)
+            dstarts = np.cumsum([0] + [m.shape[0] for m in mats])[:-1]
+            per_doc = np.maximum.reduceat(sims, dstarts, axis=0)
+            scores = np.add.reduceat(per_doc, qstarts, axis=1)
+            kept_ids = ids[keep]
+            out_q, out_d, out_s = [], [], []
+            top = min(n_short, scores.shape[0])
+            for qi, q in enumerate(qids):
+                col = scores[:, qi]
+                order = np.lexsort((kept_ids, -col))[:top]
+                out_q.extend([q] * len(order))
+                out_d.extend(kept_ids[order].tolist())
+                out_s.extend(col[order].tolist())
+            yield pd.DataFrame(
+                {"qid": out_q, "doc_id": out_d, "score": out_s}
+            )
+
+    partial = docs.select(id_col, vecs_col).mapInPandas(
+        kernel, _MAXSIM_SCHEMA
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        partial.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= k)
+        .select("qid", "doc_id", F.round("score", 6).alias("score"), "rn")
+    )
+
+
+def maxsim_rerank(
+    shortlist: DataFrame,
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    vecs_col: str = "tvecs",
+    qid_col: str = "qid",
+    qvecs_col: str = "tvecs",
+    normalize: bool = True,
+) -> DataFrame:
+    """MaxSim-score an ANN SHORTLIST — the 100 TB serving shape for
+    late interaction: a cheap first stage (e.g. ``knn.knn_lsh`` /
+    ``pq.knn_ivfpq`` over pooled single vectors) nominates
+    ``(qid, doc_id)`` candidates, and only THOSE documents' token
+    matrices are scored (one equi-join on ``doc_id`` prunes the token
+    corpus; the scored frame is shortlist-sized — |Q|·k rows — never
+    corpus-sized).  Returns ``[qid, doc_id, score, rn]`` re-ranked by
+    exact MaxSim with the same zero-norm/sequential-sum contract as
+    :func:`maxsim_topk` (equality on the overlap pinned in
+    tests/test_retrieval.py)."""
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(qid_col, qvecs_col).collect()
+    qmap = {}
+    for r in qrows:
+        toks = r[qvecs_col] or []
+        if not toks:
+            raise ValueError(f"maxsim_rerank: query {r[qid_col]} has no tokens")
+        m = np.asarray(toks, dtype=np.float64)
+        qmap[int(r[qid_col])] = _norm_rows(m) if normalize else m
+
+    cand = shortlist.select(
+        F.col(qid_col).alias("qid"), F.col(id_col).alias("doc_id")
+    ).join(
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.col(vecs_col).alias("__tv")
+        ),
+        "doc_id",
+    )
+
+    def kernel(batches):
+        # shortlist-sized input: a python loop over rows is bounded by
+        # |Q|·k, the documented imperative exception (per-row matrices
+        # are tokens×dim — tiny)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_q, out_d, out_s = [], [], []
+            for q, d, tv in zip(pdf["qid"], pdf["doc_id"], pdf["__tv"]):
+                qm = qmap.get(int(q))
+                if qm is None or tv is None or not len(tv):
+                    continue
+                dm = np.stack(
+                    [np.asarray(t, dtype=np.float64) for t in tv]
+                )
+                if normalize:
+                    dm = _norm_rows(dm)
+                sims = _seq_dot(dm, qm)
+                out_q.append(int(q))
+                out_d.append(int(d))
+                out_s.append(float(sims.max(axis=0).sum()))
+            if out_q:
+                yield pd.DataFrame(
+                    {"qid": out_q, "doc_id": out_d, "score": out_s}
+                )
+
+    scored = cand.mapInPandas(kernel, _MAXSIM_SCHEMA)
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return scored.withColumn(
+        "rn", F.row_number().over(w).cast("long")
+    ).select("qid", "doc_id", F.round("score", 6).alias("score"), "rn")

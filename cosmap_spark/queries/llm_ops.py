@@ -437,6 +437,14 @@ def q_knn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
       deterministic hash-sample, applied map-side, searched by the
       same ADC + exact-refine tail;
 
+    * ``colbert`` — LATE-INTERACTION retrieval
+      (operators/retrieval.py::maxsim_topk, Khattab & Zaharia 2020):
+      the 64-dim embeddings reshaped into 4 × 16-dim token matrices
+      (a deterministic multi-vector view of the same data), ranked by
+      cosine MaxSim — queries ship in the kernel closure, the corpus
+      streams through one Arrow pass with a per-batch local top-k
+      under a total order;
+
     * ``tsearch`` — the TIME-SERIES member of the family: top-5
       z-normalized subsequence matches to two fixed probe patterns
       over the events value series (operators/tseries.py,
@@ -445,9 +453,9 @@ def q_knn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ``score`` is the branch's ranking score — exact cosine for
     lsh/ivf, NEGATIVE exact L2 distance for ivfpq/opq (refine
-    metric), negated z-distance for tsearch; monotone-decreasing in
-    rank for every branch.  Recall is unit-tested against brute
-    force for every embedding branch."""
+    metric), MaxSim for colbert, negated z-distance for tsearch;
+    monotone-decreasing in rank for every branch.  Recall is
+    unit-tested against brute force for every embedding branch."""
     return knn_ann_union(spark, sf_dir)
 
 
@@ -570,7 +578,35 @@ def knn_ann_union(
         F.lit("opq").alias("method"), "qid", "nid",
         (-F.col("dist")).alias("score"), "rn",
     )
-    out = lsh.unionByName(ivf).unionByName(ivfpq).unionByName(opq)
+    # colbert — late-interaction MaxSim over a multi-vector VIEW of the
+    # same embeddings: 64 dims reshaped to 4 tokens × 16 dims (slice is
+    # 1-based).  No trainable artifact — the corpus pass IS the serve.
+    from cosmap_spark.operators.retrieval import maxsim_topk
+
+    tvecs = F.transform(
+        F.sequence(F.lit(0), F.lit(3)),
+        lambda i: F.slice("embedding", i * 16 + 1, 16),
+    ).alias("tvecs")
+    colbert = maxsim_topk(
+        emb.select(F.col("vec_id").alias("doc_id"), tvecs),
+        emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("qid"), tvecs
+        ),
+        k=6,  # 6 because self-match ranks first; drop it below for 5
+    ).where(F.col("qid") != F.col("doc_id")).select(
+        F.lit("colbert").alias("method"), "qid",
+        F.col("doc_id").alias("nid"), F.col("score"),
+        # re-rank after the self-row drop so rn stays 1..5 contiguous
+        F.row_number().over(
+            Window.partitionBy("qid").orderBy(
+                F.col("score").desc(), F.col("doc_id").asc()
+            )
+        ).cast("long").alias("rn"),
+    ).where(F.col("rn") <= 5)
+    out = (
+        lsh.unionByName(ivf).unionByName(ivfpq).unionByName(opq)
+        .unionByName(colbert)
+    )
     if tsearch:
         # no trainable artifact: bench's train/serve split passes
         # tsearch=False so the serve number isolates the

@@ -436,6 +436,21 @@ def _spec_grouped_trend(spark):
     assert row["slope"] is None  # undefined slope from one point
 
 
+def _spec_maxsim(spark):
+    import cosmap_spark.operators as O
+    qdf = spark.createDataFrame(
+        [(0, [[1.0, 0.0]])], "qid long, tvecs array<array<double>>"
+    )
+    e = _e(spark, "doc_id long, tvecs array<array<double>>")
+    assert O.maxsim_topk(e, qdf, k=3).count() == 0
+    short = _e(spark, "qid long, doc_id long")
+    assert O.maxsim_rerank(short, e, qdf).count() == 0
+    # empty QUERY set raises by design (nothing to score against)
+    import pytest
+    with pytest.raises(ValueError, match="empty query"):
+        O.maxsim_topk(e, _e(spark, "qid long, tvecs array<array<double>>"))
+
+
 def _spec_grouped_changepoint(spark):
     import cosmap_spark.operators as O
     e = _e(spark, "k long, t long, v double")
@@ -827,6 +842,8 @@ SWEEP = {
     "funnel_sliding": _spec_funnel_sliding,
     "group_kfold_assign": _spec_group_kfold,
     "kfold_assign": _spec_group_kfold,
+    "maxsim_topk": _spec_maxsim,
+    "maxsim_rerank": _spec_maxsim,
     "grouped_changepoint": _spec_grouped_changepoint,
     "changepoints_binseg": _spec_changepoints_binseg,
     "grouped_trend": _spec_grouped_trend,

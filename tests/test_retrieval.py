@@ -335,3 +335,113 @@ def test_bm25_null_text_docs_excluded_consistently(spark):
     want = rows(bm25_search(None, queries, prebuilt={"tf": tf, "lens": lens}))
     assert rows(bm25_search(df, queries)) == want
     assert want  # doc 1 and 3 both match
+
+
+# --- late interaction (MaxSim) --------------------------------------------
+
+
+def _maxsim_ref(doc_toks, q_toks, normalize=True):
+    """Pure-python MaxSim with the operator's exact float contract:
+    row-normalize with the zero-norm→zero rule, sequential per-cell
+    dot sums (cumsum), max over doc tokens, sum over query tokens."""
+    import numpy as np
+
+    def norm(m):
+        n = np.sqrt((m * m).sum(axis=1, keepdims=True))
+        return np.where(n > 0, m / np.where(n > 0, n, 1.0), 0.0)
+
+    d = np.asarray(doc_toks, dtype=np.float64)
+    q = np.asarray(q_toks, dtype=np.float64)
+    if normalize:
+        d, q = norm(d), norm(q)
+    sims = np.cumsum(d[:, None, :] * q[None, :, :], axis=-1)[..., -1]
+    return float(sims.max(axis=0).sum())
+
+
+def _token_frame(spark, items, name="doc_id"):
+    return spark.createDataFrame(
+        [(int(i), [[float(x) for x in t] for t in toks])
+         for i, toks in items],
+        f"{name} long, tvecs array<array<double>>",
+    )
+
+
+def test_maxsim_matches_reference_and_layouts(spark):
+    import numpy as np
+
+    from cosmap_spark.operators.retrieval import maxsim_topk
+
+    rng = np.random.default_rng(17)
+    docs = [(i, rng.normal(0, 1, (4, 8)).tolist()) for i in range(60)]
+    queries = [(0, rng.normal(0, 1, (3, 8)).tolist()),
+               (1, rng.normal(0, 1, (5, 8)).tolist())]
+    ddf = _token_frame(spark, docs)
+    qdf = _token_frame(spark, queries, name="qid")
+    want = {}
+    for qid, qt in queries:
+        scored = sorted(
+            ((-_maxsim_ref(dt, qt), i) for i, dt in docs)
+        )[:7]
+        want[qid] = [(i, round(-s, 6)) for s, i in scored]
+    for layout in (ddf.repartition(8), ddf.repartition(1), ddf.repartition(3, "doc_id")):
+        got = {}
+        for r in maxsim_topk(layout, qdf, k=7).collect():
+            got.setdefault(r["qid"], []).append(
+                (r["doc_id"], r["score"], r["rn"])
+            )
+        for qid in want:
+            ranked = sorted(got[qid], key=lambda t: t[2])
+            assert [(d, s) for d, s, _ in ranked] == want[qid], qid
+
+
+def test_maxsim_rerank_agrees_on_shortlist(spark):
+    import numpy as np
+
+    from cosmap_spark.operators.retrieval import maxsim_rerank, maxsim_topk
+
+    rng = np.random.default_rng(23)
+    docs = [(i, rng.normal(0, 1, (4, 8)).tolist()) for i in range(40)]
+    queries = [(7, rng.normal(0, 1, (3, 8)).tolist())]
+    ddf = _token_frame(spark, docs)
+    qdf = _token_frame(spark, queries, name="qid")
+    full = {
+        (r["qid"], r["doc_id"]): r["score"]
+        for r in maxsim_topk(ddf, qdf, k=40).collect()
+    }
+    short = spark.createDataFrame(
+        [(7, d) for d in (3, 11, 25, 39)], "qid long, doc_id long"
+    )
+    rer = maxsim_rerank(short, ddf, qdf).collect()
+    assert len(rer) == 4
+    for r in rer:
+        assert r["score"] == full[(r["qid"], r["doc_id"])]
+    # rn is the shortlist-internal rank, ties on doc_id
+    assert [r["doc_id"] for r in sorted(rer, key=lambda r: r["rn"])] == [
+        d for d, _ in sorted(
+            ((d, -full[(7, d)]) for d in (3, 11, 25, 39)),
+            key=lambda t: (t[1], t[0]),
+        )
+    ]
+
+
+def test_maxsim_degenerate_tokens(spark):
+    """Zero-norm tokens contribute 0 (never NaN); token-less docs are
+    never retrieved; dim mismatches raise."""
+    import pytest
+
+    from cosmap_spark.operators.retrieval import maxsim_topk
+
+    docs = [
+        (1, [[1.0, 0.0], [0.0, 0.0]]),   # one live + one zero token
+        (2, []),                          # no tokens: never retrieved
+        (3, [[0.0, 0.0]]),                # all-zero: score 0, retrievable
+    ]
+    ddf = _token_frame(spark, docs)
+    qdf = _token_frame(spark, [(0, [[1.0, 0.0], [0.0, 0.0]])], name="qid")
+    got = {r["doc_id"]: r["score"] for r in maxsim_topk(ddf, qdf, k=5).collect()}
+    assert set(got) == {1, 3}
+    assert got[1] == 1.0  # live token matches; zero query token adds 0
+    assert got[3] == 0.0
+    bad = _token_frame(spark, [(9, [[1.0, 2.0, 3.0]])])
+    with pytest.raises(Exception, match="dim"):
+        maxsim_topk(bad, qdf, k=2).collect()
