@@ -59,15 +59,26 @@ def _bucket_expr(col: str, boundaries: list[float]) -> "F.Column":
 
 def _range_bucket_expr(col: str, lo: float, hi: float, bits: int) -> "F.Column":
     """Uniform [lo, hi) quantization to ``bits`` with boundary clamp
-    (outliers land in the edge cells)."""
-    top = (1 << bits) - 1
+    (outliers land in the edge cells).
+
+    The scale factor is ``2^bits`` (then clamped), the standard
+    equal-width formula: scaling by ``2^bits − 1`` would make the top
+    cell reachable only by ``x == hi`` exactly, wasting one of the
+    column's code points and degenerating that cell's mass.  An
+    all-NULL column (NULL min/max) contributes constant bucket 0 —
+    the same graceful degradation as the rank strategy's empty
+    boundary list."""
+    if lo is None or hi is None:
+        return F.lit(0).cast("long")
+    n_cells = 1 << bits
     span = float(hi - lo) or 1.0
     return F.least(
-        F.lit(top).cast("long"),
+        F.lit(n_cells - 1).cast("long"),
         F.greatest(
             F.lit(0).cast("long"),
             F.floor(
-                (F.col(col).cast("double") - F.lit(float(lo))) / span * top
+                (F.col(col).cast("double") - F.lit(float(lo)))
+                / span * n_cells
             ).cast("long"),
         ),
     )
@@ -122,6 +133,11 @@ def zorder_key(
             ).collect()[0]
             ranges = {c: (agg[f"{c}_lo"], agg[f"{c}_hi"]) for c in cols}
         for c in cols:
+            if c not in ranges:
+                raise ValueError(
+                    f"zorder_key: ranges has no entry for column {c!r} "
+                    f"(got {sorted(ranges)})"
+                )
             lo, hi = ranges[c]
             buckets.append(_range_bucket_expr(c, lo, hi, bits))
     z = F.lit(0).cast("long")

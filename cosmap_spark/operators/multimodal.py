@@ -57,14 +57,23 @@ def decode_images(df: DataFrame, *, blob_col: str = "blob",
     """
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # NULL blobs (a failed fetch upstream) keep their row with NULL
+        # dims instead of a TypeError that fails the whole job — the
+        # image_phash guard, applied family-wide
         for pdf in batches:
-            dims = [_fake_decode_image(b) for b in pdf[blob_col]]
+            dims = [
+                _fake_decode_image(b) if b is not None else (None, None)
+                for b in pdf[blob_col]
+            ]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].values,
                     "width": [d[0] for d in dims],
                     "height": [d[1] for d in dims],
-                    "n_bytes": [len(b) for b in pdf[blob_col]],
+                    "n_bytes": [
+                        len(b) if b is not None else None
+                        for b in pdf[blob_col]
+                    ],
                 }
             )
 
@@ -89,6 +98,9 @@ def extract_features(df: DataFrame, *, blob_col: str = "blob",
         for pdf in batches:
             feats = []
             for blob in pdf[blob_col]:
+                if blob is None:  # failed fetch: NULL feature, keep row
+                    feats.append(None)
+                    continue
                 arr = np.frombuffer(bytes(blob), dtype=np.uint8)
                 hist = np.bincount(arr % dim, minlength=dim).astype("float32")
                 n = float(np.linalg.norm(hist)) or 1.0
@@ -111,6 +123,8 @@ def sample_frames(df: DataFrame, *, blob_col: str = "blob",
         for pdf in batches:
             ids, idxs, blobs = [], [], []
             for mid, blob in zip(pdf[id_col], pdf[blob_col]):
+                if blob is None:  # failed fetch: no frames to sample
+                    continue
                 blob = bytes(blob)
                 n_frames = max(1, len(blob) // 1024)
                 for i in range(0, n_frames, every_n):
@@ -145,6 +159,9 @@ def resize_images(df: DataFrame, *, blob_col: str = "blob",
         for pdf in batches:
             blobs = []
             for blob in pdf[blob_col]:
+                if blob is None:  # failed fetch: NULL stays NULL
+                    blobs.append(None)
+                    continue
                 blob = bytes(blob)
                 if len(blob) >= out_len:
                     blobs.append(blob[:out_len])

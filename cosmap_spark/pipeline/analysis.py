@@ -56,7 +56,13 @@ def run_setup_block(
         fn = _get_impl(implementations, name)
         kwargs: dict[str, Any] = {}
         for alias, dep in (spec.get("dependencies", {}) or {}).items():
-            kwargs[alias] = results[dep]
+            # list-valued dependency = the alias receives a LIST of
+            # results, the same shape dag._dep_names and pipeline.py
+            # accept — a dict lookup on the raw list would TypeError
+            if isinstance(dep, (list, tuple)):
+                kwargs[alias] = [results[d] for d in dep]
+            else:
+                kwargs[alias] = results[dep]
         for p in spec.get("needed-parameters", []) or []:
             kwargs[p.rsplit(".", 1)[-1]] = resolve_parameter(parameters, p)
         results[name] = fn(**kwargs)
@@ -115,14 +121,26 @@ class Analysis:
             "generate_samples", spark, sp, default=_default_sampler
         )
         cols = self.config.dataset_parameters.columns
-        if cols:  # O3: source projection → parquet column pruning
+        has_cone_plugin = plugins._HOOKS.get("cone_strategy") is not None
+        if cols and not has_cone_plugin:
+            # O3: source projection → parquet column pruning.  Skipped
+            # when a cone_strategy PLUGIN is registered: the plugin may
+            # join on columns outside the declared projection (a
+            # prebuilt spatial-index column is the advertised case) and
+            # pruning first would strip them with an opaque
+            # UNRESOLVED_COLUMN; the declared projection is applied to
+            # the JOINED frame below instead, and Catalyst still pushes
+            # the post-join pruning into the scan for the plugin's
+            # actually-unused columns.
             needed = {"ra", "dec", *cols}
             catalog = catalog.select(*[c for c in catalog.columns if c in needed])
-        from cosmap_spark.pipeline import plugins
-
         joined = plugins.call(
             "cone_strategy", catalog, samples, default=cone_search
         )
+        if cols and has_cone_plugin:
+            needed = {"ra", "dec", *cols}
+            drop = [c for c in catalog.columns if c not in needed]
+            joined = joined.drop(*[c for c in drop if c in joined.columns])
         run = compile_pipeline(
             self.transformations, self.implementations, parameters=params
         )

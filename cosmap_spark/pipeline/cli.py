@@ -42,7 +42,6 @@ def main(argv: list[str] | None = None) -> int:
     sub.add_parser("datasets", help="list registered datasets")
 
     args = p.parse_args(argv)
-    from cosmap_spark.pipeline import manage
     from cosmap_spark.pipeline.errors import CosmapSparkError
 
     try:

@@ -25,21 +25,28 @@ from cosmap_spark.pipeline.errors import CosmapSparkError
 #: files an analysis directory must provide (reference files.json)
 REQUIRED_FILES = ("transformations.json", "parameters.json", "transformations.py")
 
-_DEFAULT_REGISTRY = Path(
-    os.environ.get(
-        "COSMAP_SPARK_REGISTRY",
-        str(Path.home() / ".cosmap_spark" / "known_analyses.json"),
+def _default_registry() -> Path:
+    """Resolve the registry path AT CALL TIME: a module-import-time read
+    of COSMAP_SPARK_REGISTRY would freeze into every default argument,
+    so a test (or wrapper) setting the env var after import would
+    silently write to the user's real ~/.cosmap_spark registry."""
+    return Path(
+        os.environ.get(
+            "COSMAP_SPARK_REGISTRY",
+            str(Path.home() / ".cosmap_spark" / "known_analyses.json"),
+        )
     )
-)
 
 
-def _read_registry(path: Path = _DEFAULT_REGISTRY) -> dict[str, str]:
+def _read_registry(path: Path | None = None) -> dict[str, str]:
+    path = path or _default_registry()
     if path.exists():
         return json.loads(path.read_text())
     return {}
 
 
-def _write_registry(reg: dict[str, str], path: Path = _DEFAULT_REGISTRY) -> None:
+def _write_registry(reg: dict[str, str], path: Path | None = None) -> None:
+    path = path or _default_registry()
     path.parent.mkdir(parents=True, exist_ok=True)
     path.write_text(json.dumps(reg, indent=2, sort_keys=True))
 
@@ -60,7 +67,7 @@ def analysis_name(directory: Path) -> str:
     return params.get("name", directory.name)
 
 
-def install_analysis(directory: str | Path, *, registry: Path = _DEFAULT_REGISTRY) -> str:
+def install_analysis(directory: str | Path, *, registry: Path | None = None) -> str:
     directory = Path(directory).resolve()
     verify_analysis_directory(directory)
     name = analysis_name(directory)
@@ -72,7 +79,7 @@ def install_analysis(directory: str | Path, *, registry: Path = _DEFAULT_REGISTR
     return name
 
 
-def uninstall_analysis(name: str, *, registry: Path = _DEFAULT_REGISTRY) -> None:
+def uninstall_analysis(name: str, *, registry: Path | None = None) -> None:
     reg = _read_registry(registry)
     if name not in reg:
         raise CosmapSparkError(f"analysis {name!r} is not installed")
@@ -80,11 +87,11 @@ def uninstall_analysis(name: str, *, registry: Path = _DEFAULT_REGISTRY) -> None
     _write_registry(reg, registry)
 
 
-def list_analyses(*, registry: Path = _DEFAULT_REGISTRY) -> dict[str, str]:
+def list_analyses(*, registry: Path | None = None) -> dict[str, str]:
     return _read_registry(registry)
 
 
-def locate_analysis(name: str, *, registry: Path = _DEFAULT_REGISTRY) -> Path:
+def locate_analysis(name: str, *, registry: Path | None = None) -> Path:
     reg = _read_registry(registry)
     if name not in reg:
         raise CosmapSparkError(f"analysis {name!r} is not installed")
@@ -141,7 +148,15 @@ def combine_transformations(base: dict, overlay: dict) -> dict:
 
 def combine_with_mod(base: dict[str, Any], mod: dict[str, Any]) -> dict[str, Any]:
     """Overlay a loaded variant onto a loaded base analysis (reference
-    combine_with_mod, manage.py:206-243)."""
+    combine_with_mod, manage.py:206-243).
+
+    EVERY loaded section overlays: transformations (node-whole),
+    parameters (deep merge), implementations (variant-first chain),
+    setup (node-whole, like transformations — a variant's setup.json
+    must actually take effect), and plugins_file (variant's plugins
+    replace the base's — cli registers whichever survives here).
+    Silently keeping the base's setup/plugins while claiming the
+    variant was applied would run the WRONG pre-pass with no error."""
     out = dict(base)
     if "transformations" in mod:
         out["transformations"] = combine_transformations(
@@ -153,6 +168,12 @@ def combine_with_mod(base: dict[str, Any], mod: dict[str, Any]) -> dict[str, Any
         out["implementations"] = _chain_impls(
             base.get("implementations"), mod["implementations"]
         )
+    if "setup" in mod:
+        out["setup"] = combine_transformations(
+            base.get("setup", {}) or {}, mod["setup"] or {}
+        )
+    if mod.get("plugins_file"):
+        out["plugins_file"] = mod["plugins_file"]
     return out
 
 

@@ -109,7 +109,8 @@ def load_plugin_registry(path: str, *, replace: bool = False) -> list[str]:
     (the reference's plugins.json shape) and register each entry."""
     import json
 
-    spec = json.loads(open(path).read())
+    with open(path) as fh:
+        spec = json.load(fh)
     loaded: list[str] = []
     for hook, target in spec.items():
         if hook not in KNOWN_HOOKS:

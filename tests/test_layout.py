@@ -194,3 +194,34 @@ def test_compact_parquet_zorder_variant(spark):
 
         assert avg_area(f"{d}/flat") > 0.9
         assert avg_area(f"{d}/zed") < 0.62 * avg_area(f"{d}/flat")
+
+
+def test_range_strategy_null_column_and_missing_range(spark):
+    """All-NULL columns bucket to 0 like the rank strategy's empty
+    boundaries (the min/max agg used to TypeError); a ranges dict
+    missing a listed column names it loudly."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(i, None) for i in range(10)], "x long, y double"
+    )
+    out = zorder_key(df, ["x", "y"], bits=4, strategy="range").collect()
+    assert len(out) == 10  # no crash; y contributes constant bits
+    with pytest.raises(ValueError, match="no entry for column"):
+        zorder_key(df, ["x", "y"], bits=4, ranges={"x": (0.0, 10.0)})
+
+
+def test_range_strategy_top_cell_reachable(spark):
+    """2^bits scaling: interior values near hi must reach the TOP cell
+    (the 2^bits-1 scaling made it reachable only by x == hi)."""
+    df = spark.createDataFrame([(float(i),) for i in range(16)], "x double")
+    out = {
+        r["x"]: r["__z"]
+        for r in zorder_key(
+            df, ["x"], bits=2, ranges={"x": (0.0, 16.0)}
+        ).collect()
+    }
+    # 4 cells over [0,16): 0-3 -> 0, 4-7 -> 1, 8-11 -> 2, 12-15 -> 3
+    assert {v: out[v] for v in (0.0, 4.0, 8.0, 12.0, 15.0)} == {
+        0.0: 0, 4.0: 1, 8.0: 2, 12.0: 3, 15.0: 3
+    }

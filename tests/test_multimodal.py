@@ -250,3 +250,29 @@ def test_hdf5_ingest_projects_and_reorders_columns(spark, tmp_path):
     assert df.columns == ["object_id", "ra", "dec"]
     got = sorted(map(tuple, df.collect()))
     assert got == [(7, 1.0, -5.0), (8, 2.0, -6.0)]
+
+
+def test_null_blob_rows_survive_every_kernel(spark):
+    """A NULL blob (failed fetch upstream) must not kill the job: dims/
+    features go NULL, frame sampling skips, resize passes NULL through
+    — the image_phash guard applied family-wide."""
+    from cosmap_spark.operators.multimodal import (
+        decode_images,
+        extract_features,
+        resize_images,
+        sample_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"x" * 3000)), (2, None)],
+        "media_id long, blob binary",
+    )
+    d = {r["media_id"]: (r["width"], r["n_bytes"])
+         for r in decode_images(df).collect()}
+    assert d[2] == (None, None) and d[1][1] == 3000
+    f = {r["media_id"]: r["feature"] for r in extract_features(df).collect()}
+    assert f[2] is None and len(f[1]) == 16
+    frames = sample_frames(df).collect()
+    assert {r["media_id"] for r in frames} == {1}
+    rz = {r["media_id"]: r["blob"] for r in resize_images(df).collect()}
+    assert rz[2] is None and len(rz[1]) == 32 * 32

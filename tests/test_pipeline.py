@@ -424,3 +424,73 @@ def test_badsample_guard_comma_bearing_schema():
     out = guarded(pd.DataFrame({"x": [1]}))
     assert list(out.columns) == ["sample_id", "amount", "s"]
     assert len(out) == 0
+
+
+def test_variant_setup_and_plugins_overlay():
+    """A variant's setup block and plugins file must take effect —
+    combine_with_mod silently kept the base's."""
+    from cosmap_spark.pipeline.manage import combine_with_mod
+
+    base = {
+        "transformations": {"t": {}},
+        "parameters": {"a": 1},
+        "setup": {"s": {"needed-parameters": ["a"]}},
+        "plugins_file": "/base/plugins.py",
+    }
+    mod = {
+        "setup": {"s2": {"needed-parameters": ["a"]}},
+        "plugins_file": "/variant/plugins.py",
+    }
+    out = combine_with_mod(base, mod)
+    assert set(out["setup"]) == {"s", "s2"}  # node-whole overlay
+    assert out["plugins_file"] == "/variant/plugins.py"
+    # a variant WITHOUT those sections keeps the base's
+    out2 = combine_with_mod(base, {"parameters": {"a": 2}})
+    assert out2["setup"] == base["setup"]
+    assert out2["plugins_file"] == "/base/plugins.py"
+
+
+def test_setup_block_list_dependencies():
+    """List-valued dependencies (the DAG-validated shape) must deliver
+    a LIST of results, not crash on an unhashable key."""
+    from cosmap_spark.pipeline.analysis import run_setup_block
+
+    class Impl:
+        @staticmethod
+        def a():
+            return 2
+
+        @staticmethod
+        def b():
+            return 3
+
+        @staticmethod
+        def s(xs):
+            return sum(xs)
+
+    block = {
+        "a": {"output": False},
+        "b": {"output": False},
+        "s": {"dependencies": {"xs": ["a", "b"]}},
+    }
+    params = run_setup_block(block, Impl, {"analysis_parameters": {}})
+    assert params["analysis_parameters"]["s"] == 5
+
+
+def test_registry_env_var_read_at_call_time(tmp_path, monkeypatch):
+    """COSMAP_SPARK_REGISTRY set AFTER import must be honored — an
+    import-time default silently wrote to the user's real registry."""
+    import json
+
+    from cosmap_spark.pipeline import manage
+
+    monkeypatch.setenv("COSMAP_SPARK_REGISTRY", str(tmp_path / "reg.json"))
+    d = tmp_path / "an"
+    d.mkdir()
+    (d / "transformations.json").write_text("{}")
+    (d / "parameters.json").write_text(json.dumps({"name": "envtest"}))
+    (d / "transformations.py").write_text("class Main: pass\n")
+    manage.install_analysis(d)
+    assert (tmp_path / "reg.json").exists()
+    assert manage.list_analyses() == {"envtest": str(d)}
+    manage.uninstall_analysis("envtest")
