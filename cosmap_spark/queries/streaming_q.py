@@ -27,6 +27,7 @@ _STREAM_WINDOWS_ORACLE = """
       SELECT CAST(floor(epoch(ts) / 600) * 600 - off AS BIGINT) AS window_start,
              count(*) AS n, round(sum(value), 4) AS total
       FROM events CROSS JOIN (SELECT unnest([0, 600, 1200]) AS off) offs
+      WHERE ts IS NOT NULL  -- Spark's window() silently drops null ts
       GROUP BY 1
     ),
     -- fixed-anchor funnel view -> click -> purchase, 2-day horizon:
@@ -227,6 +228,7 @@ _STREAM_WINDOWS_ORACLE = """
              CAST(round(value * 1000000.0) AS BIGINT) AS q
       FROM events
       WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+        AND event_id IS NOT NULL  -- an order col: the operator drops it too
     ),
     cpc AS (
       SELECT user_id, ts,
@@ -257,7 +259,7 @@ _STREAM_WINDOWS_ORACLE = """
     SELECT 'tumble' AS op,
            CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
            event_type AS key, count(*) AS n, round(sum(value), 4) AS total
-    FROM events GROUP BY 2, 3
+    FROM events WHERE ts IS NOT NULL GROUP BY 2, 3
     UNION ALL
     SELECT 'slide', window_start, NULL, n, total FROM slide
     UNION ALL
@@ -483,16 +485,19 @@ def q_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_session_window",
     oracle="""
     WITH flagged AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
                     OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_s
       FROM events
+      WHERE ts IS NOT NULL  -- session_window drops null ts
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sess AS (
       SELECT user_id, ts,
-             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             -- same (ts, event_id) total order as the flagging window:
+             -- ts alone leaves same-ts session assignment to sort luck
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING) AS sid
       FROM flagged
     )

@@ -101,7 +101,13 @@ def q_udtf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         m = pdf["l_extendedprice"].mean()
         s = pdf["l_extendedprice"].std(ddof=1)
         out = pdf[["l_orderkey", "l_linenumber", "l_suppkey"]].copy()
-        out["zscore"] = (pdf["l_extendedprice"] - m) / s
+        # singleton / zero-variance groups: pandas yields NaN (0/NaN or
+        # 0/0) where the oracle's stddev_samp is NULL — surface NULL so
+        # the twin stays exact on any group-size distribution
+        if pd.isna(s) or s <= 0:
+            out["zscore"] = None
+        else:
+            out["zscore"] = (pdf["l_extendedprice"] - m) / s
         return out
 
     li = load_table(spark, sf_dir, "lineitem")

@@ -57,7 +57,14 @@ def register_dataset(
 
     ``schema`` is required for (and only meaningful to) ``fmt="hdf5"``,
     whose ingest needs a declared schema (readers.read_hdf5_directory).
-    Duplicate names are rejected, mirroring the analysis registry."""
+    Duplicate names are rejected, mirroring the analysis registry.
+    ``fmt`` is validated HERE: a typo'd format would otherwise persist
+    into the registry and only surface days later at first open."""
+    supported = ("parquet", "csv", "json", "orc", "text", "hdf5")
+    if fmt not in supported:
+        raise CosmapSparkError(
+            f"unsupported dataset format {fmt!r}; supported: {supported}"
+        )
     if fmt == "hdf5" and not schema:
         raise CosmapSparkError("hdf5 datasets must declare a schema at registration")
     registry = registry or _DEFAULT_REGISTRY
@@ -103,12 +110,23 @@ def open_dataset(
     """Open a dataset by registered NAME, falling back to treating the
     argument as a parquet path (so existing path-based callers keep
     working).  The registered column projection applies first; a caller
-    projection narrows it further (both reach the scan as ReadSchema
-    pruning)."""
+    projection NARROWS it (both reach the scan as ReadSchema pruning).
+    A caller column outside the registered projection is refused — the
+    registration may exist precisely to hide columns (PII, unstable
+    fields), and silently widening past it would defeat that."""
     reg = _read(registry or _DEFAULT_REGISTRY)
     if name_or_path in reg:
         entry = reg[name_or_path]
-        cols = columns or entry.get("columns")
+        registered = entry.get("columns")
+        if columns and registered:
+            outside = [c for c in columns if c not in registered]
+            if outside:
+                raise CosmapSparkError(
+                    f"dataset {name_or_path!r} registers columns "
+                    f"{registered}; requested columns {outside} are "
+                    "outside that projection"
+                )
+        cols = columns or registered
         if entry["format"] == "hdf5":
             df = read_hdf5_directory(spark, entry["path"], entry["schema"])
             return df.select(*cols) if cols else df

@@ -74,3 +74,37 @@ def test_cli_dataset_commands(registry, monkeypatch, capsys):
     assert "survey" in out and "parquet" in out
     assert cli.main(["unregister-dataset", "survey"]) == 0
     assert datasets.list_datasets(registry=registry) == {}
+
+
+def test_register_dataset_validates_format(tmp_path):
+    import pytest
+
+    from cosmap_spark.pipeline.errors import CosmapSparkError
+    from cosmap_spark.sources.datasets import register_dataset
+
+    with pytest.raises(CosmapSparkError, match="unsupported dataset format"):
+        register_dataset(
+            "typo", tmp_path, fmt="parqet", registry=tmp_path / "reg.json"
+        )
+
+
+def test_open_dataset_projection_narrows_not_widens(spark, tmp_path):
+    """A caller column outside the registered projection is refused —
+    the registration may exist to HIDE columns."""
+    import pytest
+
+    from cosmap_spark.pipeline.errors import CosmapSparkError
+    from cosmap_spark.sources.datasets import open_dataset, register_dataset
+
+    p = tmp_path / "t"
+    spark.createDataFrame(
+        [(1, 2.0, "secret")], "a long, b double, pii string"
+    ).write.parquet(str(p))
+    reg = tmp_path / "reg.json"
+    register_dataset("vis", p, columns=["a", "b"], registry=reg)
+    assert open_dataset(spark, "vis", registry=reg).columns == ["a", "b"]
+    assert open_dataset(
+        spark, "vis", columns=["a"], registry=reg
+    ).columns == ["a"]
+    with pytest.raises(CosmapSparkError, match="outside that projection"):
+        open_dataset(spark, "vis", columns=["a", "pii"], registry=reg)
