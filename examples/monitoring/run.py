@@ -1,0 +1,123 @@
+"""Runnable level-shift-monitoring walkthrough — the changepoint family
+composed end-to-end on the events table:
+
+    python examples/monitoring/run.py [sf_dir]
+
+1. **offline AMOC** (operators/tseries.py::grouped_changepoint): the
+   single best mean-shift per user series, CUSUM statistic over
+   exact-integer prefix sums (one keyed-window pass — the statistic is
+   bit-deterministic on any layout, which is how the same computation
+   sits under the hash-exact driver gate as q_stream_windows' chgpt
+   branch);
+2. **multiple changepoints** (changepoints_binseg): budgeted parallel
+   binary segmentation — every current segment proposes its best
+   admissible split per round, acceptance ranked per key up to the
+   budget; one keyed-window pass + a groups-sized broadcast per round;
+3. **live detection** (streaming/ops.py::changepoint_stream): Page's
+   two-sided CUSUM per key over a file stream (availableNow) — 7
+   scalars of state per key (Welford warmup baseline, frozen (μ₀, σ₀),
+   s⁺/s⁻), alarm rows with direction + statistic, full
+   self-rebaselining after each alarm;
+4. **planted-shift check**: a synthetic series with two known level
+   shifts routed through all three detectors — offline finds the
+   seams, streaming alarms shortly after each (detection delay is the
+   CUSUM trade: smaller threshold = earlier alarms, more false ones).
+
+Every stage is one lazy plan; no per-key series ever reaches the
+driver.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+from pyspark.sql import functions as F
+
+from cosmap_spark.operators.tseries import (
+    changepoints_binseg,
+    grouped_changepoint,
+)
+from cosmap_spark.session import get_spark
+from cosmap_spark.streaming.ops import changepoint_stream
+from cosmap_spark.tables import load_table
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("monitoring-example")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    ev = load_table(spark, sf_dir, "events")
+
+    print("== 1. offline AMOC: best mean-shift per user value series ==")
+    amoc = grouped_changepoint(
+        ev, ["user_id"], order_cols=["ts", "event_id"],
+        val_col="value", min_len=8,
+    )
+    amoc.orderBy(F.col("stat").desc()).select(
+        "user_id", "cp_pos", "n",
+        F.round("stat", 2).alias("stat"),
+        F.round("mean_left", 3).alias("mean_left"),
+        F.round("mean_right", 3).alias("mean_right"),
+    ).show(5)
+
+    print("== 2. binseg: up to 3 changepoints for the sharpest user ==")
+    top_user = amoc.orderBy(F.col("stat").desc()).first()["user_id"]
+    bs = changepoints_binseg(
+        ev.where(F.col("user_id") == top_user),
+        ["user_id"], order_cols=["ts", "event_id"], val_col="value",
+        max_changepoints=3, min_seg=4,
+    )
+    bs.orderBy("cp_pos").select(
+        "user_id", "cp_pos", F.round("stat", 2).alias("stat"), "iter"
+    ).show()
+
+    print("== 3+4. planted shifts through offline AND streaming ==")
+    t0 = dt.datetime(2024, 1, 1)
+    vals = [10.0] * 40 + [16.0] * 40 + [4.0] * 40
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (1, i, t0 + dt.timedelta(minutes=i), float(v + rng.normal(0, 0.5)))
+        for i, v in enumerate(vals)
+    ]
+    series = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    off = changepoints_binseg(
+        series, ["user_id"], order_cols=["ts", "event_id"],
+        val_col="value", max_changepoints=2, min_seg=5,
+    ).orderBy("cp_pos").collect()
+    print("offline binseg seams (true: 40, 80):",
+          [r["cp_pos"] for r in off])
+
+    with tempfile.TemporaryDirectory() as tmp:
+        land = os.path.join(tmp, "land")
+        series.coalesce(1).write.parquet(land)
+        q = changepoint_stream(
+            spark.readStream.schema(
+                "user_id long, event_id long, ts timestamp, value double"
+            ).parquet(land),
+            warmup=20, drift=0.5, threshold=5.0,
+        )
+        (q.writeStream.format("memory")
+         .queryName("cusum_alarms")
+         .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+         .outputMode("update")  # stateful update-mode operator
+         .trigger(availableNow=True)
+         .start()
+         .awaitTermination(120))
+        alarms = spark.table("cusum_alarms").orderBy("ts").collect()
+        print("streaming CUSUM alarms (direction, n_seen at alarm):",
+              [(r["direction"], r["n_seen"]) for r in alarms])
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -500,3 +500,46 @@ def test_changepoints_binseg_budget_and_gain(spark):
     )
     assert none.count() == 0
     assert {"cp_pos", "stat", "iter"} <= set(none.columns)
+
+
+def test_changepoint_hypothesis_differential(spark):
+    """Hypothesis over adversarial series shapes — constants, single
+    spikes, alternating values, tiny magnitudes, planted shifts — the
+    operator must equal the pure-python reference BIT-EXACTLY (the
+    integer-quantization determinism contract), for AMOC and binseg."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cosmap_spark.operators.tseries import (
+        changepoints_binseg,
+        grouped_changepoint,
+    )
+
+    vals = st.one_of(
+        st.floats(-100, 100, allow_nan=False, width=32),
+        st.sampled_from([0.0, 1.0, -1.0, 0.5, 1e-4, 37.25]),
+    )
+    series_strategy = st.lists(vals, min_size=8, max_size=40)
+
+    @given(series=series_strategy, max_cp=st.integers(1, 3))
+    @settings(max_examples=12, deadline=None)
+    def check(series, max_cp):
+        df = _cp_frame(spark, {0: series})
+        got = grouped_changepoint(
+            df, ["k"], order_cols=["t"], val_col="v", min_len=8
+        ).collect()
+        i, sq, n = _amoc_best(series)
+        assert len(got) == 1
+        assert (got[0]["cp_pos"], got[0]["n"]) == (i, n)
+        assert got[0]["stat"] == sq / (_CP_SCALE * _CP_SCALE)
+        bs = sorted(
+            (r["cp_pos"], r["stat"], r["iter"])
+            for r in changepoints_binseg(
+                df, ["k"], order_cols=["t"], val_col="v",
+                max_changepoints=max_cp, min_seg=2,
+            ).collect()
+        )
+        want = sorted(_binseg_ref(series, max_cp=max_cp, min_seg=2))
+        assert bs == want, (series, max_cp)
+
+    check()
