@@ -521,7 +521,13 @@ def changepoints_binseg(
             rows.join(F.broadcast(splits), [*keys, "__seg"], "left")
             .withColumn(
                 "__seg",
-                F.when(F.col("__cp").isNull(), F.col("__seg"))
+                # EVERY segment moves into the doubled id space each
+                # round — an unsplit segment keeping its old id could
+                # collide with a split sibling's child (old seg 1 vs
+                # child 0·2+1), silently merging two segments and
+                # re-proposing an already-accepted boundary (found by
+                # the hypothesis differential)
+                F.when(F.col("__cp").isNull(), F.col("__seg") * 2)
                 .when(F.col("__pos") <= F.col("__cp"),
                       F.col("__seg") * 2)
                 .otherwise(F.col("__seg") * 2 + 1),
