@@ -224,8 +224,6 @@ def topk_cut(
     under one variant — ``[query_id, doc_id, score, n_hit]``, ties
     broken on doc id (the deterministic contract every oracle
     replays)."""
-    from pyspark.sql import Window
-
     w = Window.partitionBy("query_id").orderBy(
         F.col(score_col).desc(), F.col("__d").asc()
     )
@@ -308,8 +306,6 @@ def rrf_fuse(
     every exchange is keyed by query, nothing global.  Returns
     ``[query_col, id_col, rrf, n_lists]`` cut to ``top_n`` per query
     (ties on id)."""
-    from pyspark.sql import Window
-
     if not rankings:
         raise ValueError("rrf_fuse: no rankings")
     if score_cols is None:
@@ -386,8 +382,6 @@ def retrieval_eval(
     qrels only, never results.  Queries with no qrels row are dropped
     (undefined recall); rounded to 6 dp."""
     import math
-
-    from pyspark.sql import Window
 
     w = Window.partitionBy(query_col).orderBy(
         F.col(score_col).desc(), F.col(id_col).asc()
@@ -545,11 +539,16 @@ def maxsim_topk(
     arrays are skipped.  At 100 TB run the ANN stage first and
     re-rank its shortlist with :func:`maxsim_rerank` — this function
     is the exact full-corpus scorer (small corpora, oracles,
-    recall measurement)."""
+    recall measurement).  ``batch_k`` widens the per-batch local
+    top-k (never narrows: values below ``k`` would drop global
+    winners, so it clamps to ``k``)."""
     import numpy as np
     import pandas as pd
 
-    n_short = batch_k or k
+    # batch_k is a WIDEN-ONLY knob (more local candidates per batch =
+    # more tie headroom); below k it would prune global winners and
+    # make results layout-dependent, so it clamps
+    n_short = max(k, batch_k) if batch_k else k
     qrows = queries.select(qid_col, qvecs_col).collect()
     if not qrows:
         raise ValueError("maxsim_topk: empty query set")
@@ -683,9 +682,16 @@ def maxsim_rerank(
                 if normalize:
                     dm = _norm_rows(dm)
                 sims = _seq_dot(dm, qm)
+                # SEQUENTIAL sum over query tokens (cumsum), exactly
+                # like maxsim_topk's np.add.reduceat: numpy .sum()
+                # switches to pairwise past 8 elements and the two
+                # paths' scores would drift by ulps on real (>8-token)
+                # queries, breaking the pinned full-scan ≡ rerank
+                # equality (CLAUDE.md sequential-sum rule)
+                mx = sims.max(axis=0)
                 out_q.append(int(q))
                 out_d.append(int(d))
-                out_s.append(float(sims.max(axis=0).sum()))
+                out_s.append(float(np.cumsum(mx)[-1]))
             if out_q:
                 yield pd.DataFrame(
                     {"qid": out_q, "doc_id": out_d, "score": out_s}

@@ -71,7 +71,7 @@ def subsequence_search_multi(
     patterns: list[list[float]],
     *,
     key_col: str = "user_id",
-    order_col: str = "ts",
+    order_col: str | list[str] = "ts",
     val_col: str = "value",
     k: int = 5,
     znorm: bool = True,
@@ -86,8 +86,13 @@ def subsequence_search_multi(
     returns the best ``k`` per (pattern, key) instead of per pattern.
 
     All patterns must share one length (one halo width, one window
-    matrix); ``order_col`` must totally order each key's rows; windows
-    never span keys.  Keys shorter than the patterns yield no windows.
+    matrix); ``order_col`` (a column name or a LIST of names) must
+    totally order each key's rows — pass the tie-break columns
+    explicitly (e.g. ``["ts", "event_id"]``) when the primary order
+    can repeat, or window positions (and distances) become
+    partition-layout dependent on the ties, the repo-wide total-order
+    rule.  Windows never span keys.  Keys shorter than the patterns
+    yield no windows.
     """
     if not patterns:
         raise ValueError("need at least one pattern")
@@ -102,7 +107,8 @@ def subsequence_search_multi(
     qz = np.stack([_znorm(p) for p in q]) if znorm else q
     key_type = series.schema[key_col].dataType.simpleString()
 
-    w = Window.partitionBy(key_col).orderBy(order_col)
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
     pos = series.select(
         key_col,
         F.col(val_col).cast("double").alias("__v"),
@@ -224,7 +230,7 @@ def subsequence_search(
     query: list[float],
     *,
     key_col: str = "user_id",
-    order_col: str = "ts",
+    order_col: str | list[str] = "ts",
     val_col: str = "value",
     k: int = 5,
     znorm: bool = True,
@@ -505,6 +511,11 @@ def changepoints_binseg(
                 F.lit(it).cast("int").alias("iter"),
             )
         )
+        if it == max_changepoints - 1:
+            # the spent table and the segment renumber (an eager
+            # corpus-sized localCheckpoint) only feed the NEXT round —
+            # skip a whole wasted pass when this was the last one
+            break
         counts = acc.groupBy(*keys).agg(
             F.count(F.lit(1)).cast("long").alias("__cnt")
         )

@@ -662,7 +662,7 @@ def _tsearch_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hits = subsequence_search_multi(
         ev, [pat for _, pat in TS_PATTERNS],
-        key_col="user_id", order_col="ts", val_col="value", k=5,
+        key_col="user_id", order_col=["ts", "event_id"], val_col="value", k=5,
     ).select(
         F.lit("tsearch").alias("method"),
         F.col("qid").cast("long").alias("qid"),

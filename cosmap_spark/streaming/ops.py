@@ -815,15 +815,23 @@ def sketch_stream(stream_df: DataFrame, store_path: str, checkpoint: str,
     _require_local(store_path, "sketch_stream")
 
     def check_k() -> None:
-        kfile = os.path.join(store_path, "_kmv_k")
-        if os.path.exists(kfile):
-            with open(kfile) as f:
-                stored_k = int(f.read().strip())
-            if stored_k != k:
-                raise ValueError(
-                    f"store at {store_path} was built with k="
-                    f"{stored_k}, resume requested k={k}"
-                )
+        # the k sidecar lives INSIDE the sketches dir (written by the
+        # same atomic swap/rename as the data, so a store can never
+        # exist without its k — the heavy_hitters meta discipline);
+        # the store_path root is the pre-hardening legacy location
+        for kfile in (
+            os.path.join(store_path, "sketches", "_kmv_k"),
+            os.path.join(store_path, "_kmv_k"),
+        ):
+            if os.path.exists(kfile):
+                with open(kfile) as f:
+                    stored_k = int(f.read().strip())
+                if stored_k != k:
+                    raise ValueError(
+                        f"store at {store_path} was built with k="
+                        f"{stored_k}, resume requested k={k}"
+                    )
+                return
 
     if kind == "kmv":
         # validate SYNCHRONOUSLY against an existing store — a
@@ -856,6 +864,7 @@ def sketch_stream(stream_df: DataFrame, store_path: str, checkpoint: str,
         # with ONE batch's sketches while the ledger still marks old
         # epochs done (their data unrecoverable)
         _refuse_interrupted_swap(store)
+        extra = {"_kmv_k": str(k)} if kind == "kmv" else None
         if os.path.exists(store):
             old = spark.read.parquet(store)
             merged = (
@@ -863,13 +872,22 @@ def sketch_stream(stream_df: DataFrame, store_path: str, checkpoint: str,
                 if kind == "kmv"
                 else merge_sketch_tables(old, batch, keys)
             )
-            _swap_in(store, merged)
+            _swap_in(store, merged, extra_files=extra)
         else:
-            batch.write.mode("overwrite").parquet(store)
+            # bootstrap with the same data+sidecar atomicity as the
+            # swap path: a k file written AFTER the store (the old
+            # shape) left a crash window where a store existed with no
+            # recorded k, so a mismatched-k resume passed check_k and
+            # silently capped history
+            import uuid as _uuid
+
+            tmp = f"{store}.__init_tmp_{_uuid.uuid4().hex}"
+            batch.write.mode("overwrite").parquet(tmp)
+            for name, content in (extra or {}).items():
+                with open(os.path.join(tmp, name), "w") as f:
+                    f.write(content)
+            os.rename(tmp, store)
         os.makedirs(ledger, exist_ok=True)
-        if kind == "kmv":
-            with open(os.path.join(store_path, "_kmv_k"), "w") as f:
-                f.write(str(k))
         with open(done_marker, "w") as f:
             f.write("ok")
 

@@ -59,15 +59,18 @@ def main() -> None:
         ev, ["user_id"], order_cols=["ts", "event_id"],
         val_col="value", min_len=8,
     )
-    amoc.orderBy(F.col("stat").desc()).select(
-        "user_id", "cp_pos", "n",
-        F.round("stat", 2).alias("stat"),
-        F.round("mean_left", 3).alias("mean_left"),
-        F.round("mean_right", 3).alias("mean_right"),
-    ).show(5)
+    top5 = amoc.orderBy(F.col("stat").desc()).limit(5).collect()
+    if not top5:
+        print(f"no user series reaches min_len in {sf_dir}; nothing to show")
+        spark.stop()
+        return
+    for r in top5:
+        print(f"  user {r['user_id']}: cp_pos={r['cp_pos']} n={r['n']} "
+              f"stat={r['stat']:.2f} "
+              f"means {r['mean_left']:.3f} -> {r['mean_right']:.3f}")
 
     print("== 2. binseg: up to 3 changepoints for the sharpest user ==")
-    top_user = amoc.orderBy(F.col("stat").desc()).first()["user_id"]
+    top_user = top5[0]["user_id"]
     bs = changepoints_binseg(
         ev.where(F.col("user_id") == top_user),
         ["user_id"], order_cols=["ts", "event_id"], val_col="value",

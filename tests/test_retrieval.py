@@ -355,7 +355,9 @@ def _maxsim_ref(doc_toks, q_toks, normalize=True):
     if normalize:
         d, q = norm(d), norm(q)
     sims = np.cumsum(d[:, None, :] * q[None, :, :], axis=-1)[..., -1]
-    return float(sims.max(axis=0).sum())
+    # sequential sum over query tokens too (numpy .sum goes pairwise
+    # past 8 elements — the operator contract is cumsum everywhere)
+    return float(np.cumsum(sims.max(axis=0))[-1])
 
 
 def _token_frame(spark, items, name="doc_id"):
@@ -445,3 +447,53 @@ def test_maxsim_degenerate_tokens(spark):
     bad = _token_frame(spark, [(9, [[1.0, 2.0, 3.0]])])
     with pytest.raises(Exception, match="dim"):
         maxsim_topk(bad, qdf, k=2).collect()
+
+
+def test_maxsim_rerank_long_query_bit_equality(spark):
+    """>8 query tokens: numpy .sum() switches to pairwise summation
+    there, which made rerank scores drift by ulps from the full-scan
+    reduceat path — both must stay bit-identical (sequential-sum
+    contract)."""
+    import numpy as np
+
+    from cosmap_spark.operators.retrieval import maxsim_rerank, maxsim_topk
+
+    rng = np.random.default_rng(41)
+    docs = [(i, rng.normal(0, 1, (6, 8)).tolist()) for i in range(30)]
+    queries = [(1, rng.normal(0, 1, (32, 8)).tolist())]  # 32 tokens
+    ddf = _token_frame(spark, docs)
+    qdf = _token_frame(spark, queries, name="qid")
+    full = {
+        (r["qid"], r["doc_id"]): r["score"]
+        for r in maxsim_topk(ddf, qdf, k=30).collect()
+    }
+    short = spark.createDataFrame(
+        [(1, d) for d, _ in docs], "qid long, doc_id long"
+    )
+    rer = maxsim_rerank(short, ddf, qdf).collect()
+    assert len(rer) == 30
+    for r in rer:
+        assert r["score"] == full[(r["qid"], r["doc_id"])], r["doc_id"]
+    # the pure-python reference agrees too
+    for i, dt in docs[:5]:
+        assert round(_maxsim_ref(dt, queries[0][1]), 6) == full[(1, i)]
+
+
+def test_maxsim_batch_k_clamps_to_k(spark):
+    """batch_k below k must not prune global winners (clamped)."""
+    import numpy as np
+
+    from cosmap_spark.operators.retrieval import maxsim_topk
+
+    rng = np.random.default_rng(9)
+    docs = [(i, rng.normal(0, 1, (3, 6)).tolist()) for i in range(25)]
+    queries = [(0, rng.normal(0, 1, (2, 6)).tolist())]
+    ddf = _token_frame(spark, docs)
+    qdf = _token_frame(spark, queries, name="qid")
+    base = [(r["doc_id"], r["score"])
+            for r in maxsim_topk(ddf.repartition(6), qdf, k=10)
+            .orderBy("rn").collect()]
+    clamped = [(r["doc_id"], r["score"])
+               for r in maxsim_topk(ddf.repartition(6), qdf, k=10, batch_k=2)
+               .orderBy("rn").collect()]
+    assert clamped == base

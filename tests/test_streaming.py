@@ -1305,6 +1305,9 @@ def test_sketch_stream_kmv_bit_stable(spark, tmp_path):
     _swap_in(
         str(store / "sketches"),
         merge_kmv_tables(old, replay, ["grp"], k=64),
+        # the k sidecar rides INSIDE the store dir (atomic with the
+        # data) — a manual swap must carry it like the operator does
+        extra_files={"_kmv_k": "64"},
     )
     assert snap() == got
     # mismatched k on resume is refused (the error surfaces either as
