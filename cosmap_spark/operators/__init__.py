@@ -129,6 +129,7 @@ from cosmap_spark.operators.expectations import (  # noqa: F401
 from cosmap_spark.operators.diff import (  # noqa: F401
     corpus_diff,
     diff_summary,
+    snapshot_drift,
 )
 from cosmap_spark.operators.funnel import (  # noqa: F401
     attribution,

@@ -130,3 +130,120 @@ def diff_summary(diff: DataFrame) -> DataFrame:
     """``[status, n]`` counts — run on a ``corpus_diff`` result (pass
     ``include_unchanged=True`` there if the unchanged count matters)."""
     return diff.groupBy("status").agg(F.count("*").alias("n"))
+
+
+def snapshot_drift(
+    old: DataFrame,
+    new: DataFrame,
+    cols: list[str],
+    *,
+    bins: int = 10,
+    relative_error: float | None = None,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Distribution drift between two corpus snapshots — the
+    Population Stability Index, the standard monitoring statistic for
+    "did this feature's distribution move between yesterday's corpus
+    and today's" (quality scores, lengths, balances…).
+
+    Per column: equi-depth bin boundaries come from the OLD snapshot's
+    quantiles (``bins − 1`` inner edges), both snapshots are binned by
+    "count of boundaries strictly below x" (values equal to an edge
+    land in the LOWER bin — ``equi_depth_bin``'s convention), and each
+    bin contributes
+
+        psi_term = (p_new' − p_old') · ln(p_new' / p_old')
+
+    with ``p' = max(share, eps)`` (the standard clamp — an empty bin
+    would otherwise divide/log zero).  Σ psi_term per column is the
+    PSI; the usual reading is < 0.1 stable, 0.1–0.25 drifting, > 0.25
+    shifted.  Returns one row per (column, bin):
+    ``[column, bin, n_old, n_new, p_old, p_new, psi_term]`` with every
+    bin present (zero counts included) — ``groupBy("column").
+    agg(sum("psi_term"))`` for the per-column verdict.
+
+    ``relative_error=None`` (default) computes EXACT quantile
+    boundaries (one ``percentile`` aggregation per column — the
+    hash-exact gate shape, q_setops' ``drift`` branch); pass a value
+    (e.g. 0.001) for the ``percentile_approx`` sketch path at 100 TB,
+    where an exact percentile would sort the column.  Binning itself
+    is map-side against the O(bins) literal boundaries; the only other
+    work is two count aggregations per column."""
+    if bins < 2:
+        raise ValueError(f"need bins >= 2; got {bins}")
+    spark = old.sparkSession
+    probs = [i / bins for i in range(1, bins)]
+    outs: list[DataFrame] = []
+    for c in cols:
+        if relative_error is None:
+            bexpr = F.expr(
+                f"percentile(`{c}`, array({', '.join(map(str, probs))}))"
+            )
+        else:
+            bexpr = F.percentile_approx(
+                c, F.array(*[F.lit(p) for p in probs]),
+                int(1.0 / relative_error),
+            )
+        raw_bnds = old.agg(bexpr).collect()[0][0]
+        if raw_bnds is None:
+            # percentile over zero non-null rows is NULL — same
+            # contract as the count guard below, caught earlier
+            raise ValueError(
+                f"snapshot_drift: column {c!r} has no non-null rows on "
+                "the old side — no distribution to compare"
+            )
+        bnds = [float(x) for x in raw_bnds]
+        arr = F.array(*[F.lit(b) for b in bnds])
+
+        def bin_of(col: str):
+            # bind the cast value ONCE (no CSE inside lambda bodies)
+            return F.transform(
+                F.array(F.col(col).cast("double")),
+                lambda x: F.size(F.filter(arr, lambda b: b < x)),
+            )[0].cast("long")
+
+        na = old.where(F.col(c).isNotNull()).groupBy(
+            bin_of(c).alias("bin")
+        ).agg(F.count(F.lit(1)).alias("n_old"))
+        nb = new.where(F.col(c).isNotNull()).groupBy(
+            bin_of(c).alias("bin")
+        ).agg(F.count(F.lit(1)).alias("n_new"))
+        # totals as two driver scalars (cheap count jobs): an unkeyed
+        # totals window over the bins frame would be the one
+        # single-partition exchange shape the plan audit forbids, and
+        # a broadcast cross join of a 1-row frame plans a BNLJ — both
+        # avoidable since the totals are genuinely scalar here
+        ta_v = old.where(F.col(c).isNotNull()).count()
+        tb_v = new.where(F.col(c).isNotNull()).count()
+        if ta_v == 0 or tb_v == 0:
+            raise ValueError(
+                f"snapshot_drift: column {c!r} has no non-null rows on "
+                f"{'the old' if ta_v == 0 else 'the new'} side — no "
+                "distribution to compare"
+            )
+        grid = spark.range(bins).select(F.col("id").alias("bin"))
+        j = (
+            grid.join(na, "bin", "left").join(nb, "bin", "left")
+            .select(
+                "bin",
+                F.coalesce("n_old", F.lit(0)).alias("n_old"),
+                F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            )
+        )
+        pa = F.col("n_old").cast("double") / F.lit(float(ta_v))
+        pb = F.col("n_new").cast("double") / F.lit(float(tb_v))
+        pac = F.greatest(pa, F.lit(float(eps)))
+        pbc = F.greatest(pb, F.lit(float(eps)))
+        outs.append(
+            j.select(
+                F.lit(c).alias("column"),
+                "bin", "n_old", "n_new",
+                F.round(pa, 6).alias("p_old"),
+                F.round(pb, 6).alias("p_new"),
+                ((pbc - pac) * F.log(pbc / pac)).alias("psi_term"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

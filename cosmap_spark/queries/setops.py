@@ -66,6 +66,34 @@ _SETOPS_ORACLE = """
       SELECT o.k, NULL, NULL, NULL, TRUE
       FROM snap_old o LEFT JOIN snap_new n USING (k) WHERE n.k IS NULL
     ),
+    -- PSI drift between the two snapshots over bal_c: exact decile
+    -- boundaries from the OLD side; values equal to an edge land in
+    -- the LOWER bin (strictly-less filter); shares clamp at 1e-6 and
+    -- the psi term surfaces as exact integer micro-units
+    drift_bnds AS (
+      SELECT quantile_cont(bal_c, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                   0.6, 0.7, 0.8, 0.9]) AS bnds
+      FROM snap_old
+    ),
+    drift_old AS (
+      SELECT len(list_filter(b.bnds, e -> e < s.bal_c)) AS bin,
+             count(*) AS n
+      FROM snap_old s CROSS JOIN drift_bnds b GROUP BY 1
+    ),
+    drift_new AS (
+      SELECT len(list_filter(b.bnds, e -> e < s.bal_c)) AS bin,
+             count(*) AS n
+      FROM snap_new s CROSS JOIN drift_bnds b GROUP BY 1
+    ),
+    drift AS (
+      SELECT g.bin,
+             coalesce(o.n, 0) AS n_old, coalesce(nn.n, 0) AS n_new,
+             (SELECT count(*) FROM snap_old) AS ta,
+             (SELECT count(*) FROM snap_new) AS tb
+      FROM (SELECT unnest(range(10)) AS bin) g
+      LEFT JOIN drift_old o USING (bin)
+      LEFT JOIN drift_new nn USING (bin)
+    ),
     scd_dim AS (
       SELECT k, nk, bal_c, DATE '2020-01-01' AS vf FROM snap_old
     ),
@@ -145,6 +173,16 @@ _SETOPS_ORACLE = """
            name || '|' || CAST(nk AS VARCHAR) || '|' || CAST(bal_c AS VARCHAR)
     FROM snap_new
     UNION ALL
+    SELECT 'drift', bin,
+           CAST(n_old AS VARCHAR) || '|' || CAST(n_new AS VARCHAR) || '|'
+           || CAST(CAST(round(
+                (greatest(CAST(n_new AS DOUBLE) / tb, 0.000001)
+                 - greatest(CAST(n_old AS DOUBLE) / ta, 0.000001))
+                * ln(greatest(CAST(n_new AS DOUBLE) / tb, 0.000001)
+                     / greatest(CAST(n_old AS DOUBLE) / ta, 0.000001))
+                * 1000000) AS BIGINT) AS VARCHAR)
+    FROM drift
+    UNION ALL
     SELECT 'scd2', k,
            CAST(nk AS VARCHAR) || '|' || CAST(bal_c AS VARCHAR)
            || '|' || CAST(valid_from AS VARCHAR)
@@ -190,7 +228,12 @@ def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     * ``scd2``  — ``scd2_apply``: close-out + new open versions, a
       stale-timestamp loser collapsed per key, a no-op update, a
       LATE (pre-``valid_from``) update ignored, and brand-new keys
-      inserted; side = ``nk|bal|valid_from|valid_to|is_current``.
+      inserted; side = ``nk|bal|valid_from|valid_to|is_current``;
+    * ``drift`` — ``operators/diff.py::snapshot_drift``: PSI
+      distribution drift of ``bal_c`` between the same two snapshots
+      (exact decile boundaries from old, per-bin counts, psi term as
+      exact integer micro-units); k = bin, side = ``n_old|n_new|
+      psi_micro``.
     """
     c = load_table(spark, sf_dir, "customer")
     s = load_table(spark, sf_dir, "supplier")
@@ -363,8 +406,27 @@ def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
+    # PSI drift between the same two snapshots (operators/diff.py::
+    # snapshot_drift): exact decile boundaries from old, counts per
+    # bin, psi term in exact integer micro-units so the float crosses
+    # the hash gate as a rounded integer
+    from cosmap_spark.operators.diff import snapshot_drift
+
+    drift_b = tag(
+        snapshot_drift(
+            old.select("k", "bal_c"), new.select("k", "bal_c"),
+            ["bal_c"], bins=10,
+        ),
+        "drift", F.col("bin"),
+        F.concat_ws(
+            "|",
+            F.col("n_old").cast("string"), F.col("n_new").cast("string"),
+            F.round(F.col("psi_term") * 1000000).cast("long").cast("string"),
+        ),
+    )
+
     out = union_all
     for branch in (union_distinct, intersect, except_, cross, not_in,
-                   above_mean, merge_b, cdc_b, rt_b, scd2_b):
+                   above_mean, merge_b, cdc_b, rt_b, scd2_b, drift_b):
         out = out.unionByName(branch)
     return out

@@ -138,3 +138,72 @@ def test_value_equality_nan_and_null(spark):
     )
     got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
     assert got == {2: "changed"}  # NULL -> '' is a change; NaN row is not
+
+
+def test_snapshot_drift_matches_python_psi(spark):
+    """PSI over exact decile boundaries: the operator must equal a
+    pure-python reference bin-for-bin, every bin present, and the
+    self-drift must be exactly zero."""
+    import math
+
+    import numpy as np
+
+    from cosmap_spark.operators.diff import snapshot_drift
+
+    rng = np.random.default_rng(12)
+    a = [float(v) for v in rng.normal(0, 1, 400)]
+    b = [float(v) for v in rng.normal(0.7, 1.2, 300)]
+    old = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(a)], "k long, x double"
+    )
+    new = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(b)], "k long, x double"
+    )
+    got = {
+        r["bin"]: (r["n_old"], r["n_new"], r["psi_term"])
+        for r in snapshot_drift(old, new, ["x"]).collect()
+    }
+    # python reference: numpy linear-interpolated percentiles match
+    # Spark's exact percentile definition
+    bnds = np.percentile(np.array(a), [10 * i for i in range(1, 10)],
+                         method="linear")
+    def binv(x):
+        return int(sum(1 for e in bnds if e < x))
+    na, nb = [0] * 10, [0] * 10
+    for v in a:
+        na[binv(v)] += 1
+    for v in b:
+        nb[binv(v)] += 1
+    eps = 1e-6
+    assert set(got) == set(range(10))
+    for i in range(10):
+        pa, pb = max(na[i] / 400, eps), max(nb[i] / 300, eps)
+        want = (pb - pa) * math.log(pb / pa)
+        assert got[i][0] == na[i] and got[i][1] == nb[i], i
+        assert abs(got[i][2] - want) < 1e-12, i
+    # equal deciles on the old side by construction
+    assert all(got[i][0] == 40 for i in range(10))
+    # self-drift is exactly zero (identical shares, ln(1) == 0)
+    self_psi = sum(
+        r["psi_term"]
+        for r in snapshot_drift(old, old, ["x"]).collect()
+    )
+    assert self_psi == 0.0
+
+
+def test_snapshot_drift_validation_and_multicolumn(spark):
+    import pytest
+
+    from cosmap_spark.operators.diff import snapshot_drift
+
+    old = spark.createDataFrame(
+        [(1, 1.0, 5.0), (2, 2.0, 6.0), (3, 3.0, 7.0)],
+        "k long, x double, y double",
+    )
+    out = snapshot_drift(old, old, ["x", "y"], bins=2)
+    assert sorted(set(r["column"] for r in out.collect())) == ["x", "y"]
+    with pytest.raises(ValueError, match="bins"):
+        snapshot_drift(old, old, ["x"], bins=1)
+    empty = spark.createDataFrame([], "k long, x double, y double")
+    with pytest.raises(ValueError, match="no non-null rows"):
+        snapshot_drift(old, empty, ["x"])

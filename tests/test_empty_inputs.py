@@ -436,6 +436,18 @@ def _spec_grouped_trend(spark):
     assert row["slope"] is None  # undefined slope from one point
 
 
+def _spec_snapshot_drift(spark):
+    import pytest
+
+    import cosmap_spark.operators as O
+    # an empty side raises by design: no distribution to compare
+    full = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, x double")
+    with pytest.raises(ValueError, match="no non-null rows"):
+        O.snapshot_drift(_e(spark, "k long, x double"), full, ["x"])
+    with pytest.raises(ValueError, match="no non-null rows"):
+        O.snapshot_drift(full, _e(spark, "k long, x double"), ["x"])
+
+
 def _spec_maxsim(spark):
     import cosmap_spark.operators as O
     qdf = spark.createDataFrame(
@@ -842,6 +854,7 @@ SWEEP = {
     "funnel_sliding": _spec_funnel_sliding,
     "group_kfold_assign": _spec_group_kfold,
     "kfold_assign": _spec_group_kfold,
+    "snapshot_drift": _spec_snapshot_drift,
     "maxsim_topk": _spec_maxsim,
     "maxsim_rerank": _spec_maxsim,
     "grouped_changepoint": _spec_grouped_changepoint,
