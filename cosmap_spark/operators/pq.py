@@ -383,7 +383,10 @@ GATE_OPQ_PARAMS = {
 GATE_OPQ_TRAIN_N = 256 * GATE_OPQ_PARAMS["ksub"]
 
 
-def opq_train_gate(corpus: DataFrame, *, id_col: str = "vec_id"):
+def opq_train_gate(
+    corpus: DataFrame, *, id_col: str = "vec_id",
+    return_stats: bool = False,
+):
     """``opq_train`` at the gate parameters over a deterministic
     FIXED-SIZE hash-sample: the ``GATE_OPQ_TRAIN_N`` corpus vectors
     with smallest ``xxhash64(id, 11)`` (layout-independent;
@@ -411,7 +414,10 @@ def opq_train_gate(corpus: DataFrame, *, id_col: str = "vec_id"):
         .repartition(8)
         .localCheckpoint()
     )
-    return opq_train(sample, id_col=id_col, **GATE_OPQ_PARAMS)
+    return opq_train(
+        sample, id_col=id_col, return_stats=return_stats,
+        **GATE_OPQ_PARAMS,
+    )
 
 
 def _adc_luts(

@@ -104,9 +104,14 @@ def main() -> None:
         import shutil
 
         stream_dir = os.path.join(tmp, "stream")
-        os.makedirs(stream_dir)
-        shutil.copy(os.path.join(sf_dir, "events.parquet"),
-                    os.path.join(stream_dir, "part-000.parquet"))
+        src = os.path.join(sf_dir, "events.parquet")
+        if os.path.isdir(src):
+            # Spark-written layout (e.g. bench.py's scaled replicas):
+            # a directory of part files
+            shutil.copytree(src, stream_dir)
+        else:
+            os.makedirs(stream_dir)
+            shutil.copy(src, os.path.join(stream_dir, "part-000.parquet"))
         sdf = events_stream(spark, stream_dir)
         q = (
             funnel_stream(sdf, STEPS, horizon=HORIZON)

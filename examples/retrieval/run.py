@@ -92,13 +92,26 @@ def main() -> None:
     )
     corpus_emb = emb.select("vec_id", "embedding").unionByName(planted_emb)
 
-    queries = {f"q{i}": t for i, t in enumerate(RARE)}
+    # each query carries two REAL corpus tokens alongside the rare
+    # term, so the bm25 lists contain genuine distractors — a
+    # rare-term-only query retrieves exactly the planted doc (nothing
+    # else contains it) and every ranking assertion below would be
+    # vacuously true with a single candidate
+    real_toks = docs.orderBy("doc_id").first()["text"].split(" ")[:2]
+    queries = {
+        f"q{i}": f"{t} {real_toks[0]} {real_toks[1]}"
+        for i, t in enumerate(RARE)
+    }
     truth = {f"q{i}": PLANT_BASE + i for i in range(len(RARE))}
     print(f"{len(queries)} planted probes over "
           f"{corpus_docs.count()} documents")
 
     # 1. lexical ---------------------------------------------------------
     lex = bm25_search(corpus_docs, queries, top_n=10)
+    sizes = {r["query_id"]: r["n"] for r in lex.groupBy("query_id")
+             .agg(F.count("*").alias("n")).collect()}
+    assert all(n > 1 for n in sizes.values()), (
+        "queries must retrieve real distractors", sizes)
     w1 = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id")
     )
@@ -165,11 +178,16 @@ def main() -> None:
     )
     from cosmap_spark.operators.retrieval import build_lex_index
 
-    idx = os.path.join(tempfile.mkdtemp(prefix="lexidx_"), "lex")
-    # the last planted doc "arrives late": index history first, append
+    scratch = tempfile.TemporaryDirectory(prefix="lexidx_")
+    idx = os.path.join(scratch.name, "lex")
+    # the last planted doc "arrives late": index history first, append.
+    # lens=None on purpose: save_lex_index derives lengths from the
+    # WRITTEN tf parquet, so the history corpus tokenizes exactly ONCE
+    # (passing build_lex_index's lens frame would re-run a second full
+    # tokenize during the save — its docstring's warning)
     late_id = PLANT_BASE + len(RARE) - 1
     save_lex_index(
-        idx, *build_lex_index(corpus_docs.where(F.col("doc_id") != late_id))
+        idx, build_lex_index(corpus_docs.where(F.col("doc_id") != late_id))[0]
     )
     lex_append(spark, idx, corpus_docs.where(F.col("doc_id") == late_id))
     served = bm25_search(
@@ -197,6 +215,8 @@ def main() -> None:
     gev = retrieval_eval(
         lex, graded_qrels, k=10, grade_col="grade"
     ).collect()
+    assert all(len(second) == len(truth) for _ in [0]), (
+        "every query needs a real rank-2 decoy", second)
     assert all(r["ndcg_at_k"] == 1.0 for r in gev), gev
     assert all(r["recall_at_k"] == 1.0 for r in gev)
     print("graded eval: exponential-gain nDCG@10 = 1.0 with the "

@@ -124,14 +124,12 @@ def main() -> None:
         # persist it beside the codebooks, and serve the rotated
         # pipeline — L2 is rotation-invariant, so recall is directly
         # comparable with the exact brute force above
-        from cosmap_spark.operators.pq import (
-            GATE_OPQ_PARAMS, opq_train, rotate_vectors,
-        )
+        from cosmap_spark.operators.pq import opq_train_gate, rotate_vectors
 
-        rot, obooks, errs = opq_train(
-            emb.where(F.pmod(F.xxhash64("vec_id", F.lit(11)), F.lit(4)) == 0),
-            return_stats=True, **GATE_OPQ_PARAMS,
-        )
+        # opq_train_gate is the SINGLE source of the gate sample +
+        # params (CLAUDE.md: never re-type them at a call site) — the
+        # example must train IDENTICAL artifacts to the gate/bench
+        rot, obooks, errs = opq_train_gate(emb, return_stats=True)
         print(f"== OPQ objective per iteration (monotone): "
               f"{[round(e, 4) for e in errs]} ==")
         opq_coded = pq_encode(rotate_vectors(emb, rot), obooks)

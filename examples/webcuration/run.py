@@ -90,12 +90,16 @@ def main() -> None:
         F.col("rank").alias("source_rank"),
     )
     result.write.mode("overwrite").parquet(f"{out}/web_curated")
+    # read the WRITTEN table back for the count/profile: each of those
+    # is an action, and re-running the lazy pipeline (strip + C4 +
+    # PageRank + joins) twice more would triple the run for no reason
+    written = spark.read.parquet(f"{out}/web_curated")
     profile = table_profile(
-        result.select("doc_id", "lang", "source", "text", "source_rank")
+        written.select("doc_id", "lang", "source", "text", "source_rank")
     )
     print(json.dumps({
         "n_in": docs.count(),
-        "n_out": result.count(),
+        "n_out": written.count(),
         "out": f"{out}/web_curated",
         "profile_n_rows": profile["n_rows"],
         "null_ranks": profile["columns"]["source_rank"]["nulls"],
