@@ -127,6 +127,7 @@ from cosmap_spark.operators.expectations import (  # noqa: F401
     validate,
 )
 from cosmap_spark.operators.diff import (  # noqa: F401
+    category_drift,
     corpus_diff,
     diff_summary,
     snapshot_drift,

@@ -132,6 +132,25 @@ def diff_summary(diff: DataFrame) -> DataFrame:
     return diff.groupBy("status").agg(F.count("*").alias("n"))
 
 
+_NUMERIC_BASES = {
+    "tinyint", "smallint", "int", "bigint", "float", "double", "decimal",
+}
+
+
+def _psi_terms(pa, pb, eps: float):
+    """Shared PSI arithmetic: clamped shares → (p_old, p_new,
+    psi_term) select expressions.  ``pa``/``pb`` must be double
+    columns built from exact integer counts and totals so the result
+    is bit-deterministic across engines (the hash-gate discipline)."""
+    pac = F.greatest(pa, F.lit(float(eps)))
+    pbc = F.greatest(pb, F.lit(float(eps)))
+    return (
+        F.round(pa, 6).alias("p_old"),
+        F.round(pb, 6).alias("p_new"),
+        ((pbc - pac) * F.log(pbc / pac)).alias("psi_term"),
+    )
+
+
 def snapshot_drift(
     old: DataFrame,
     new: DataFrame,
@@ -144,7 +163,9 @@ def snapshot_drift(
     """Distribution drift between two corpus snapshots — the
     Population Stability Index, the standard monitoring statistic for
     "did this feature's distribution move between yesterday's corpus
-    and today's" (quality scores, lengths, balances…).
+    and today's" (quality scores, lengths, balances…).  Numeric
+    columns only — for string/boolean features use
+    :func:`category_drift` (same PSI, category bins).
 
     Per column: equi-depth bin boundaries come from the OLD snapshot's
     quantiles (``bins − 1`` inner edges), both snapshots are binned by
@@ -162,18 +183,38 @@ def snapshot_drift(
     bin present (zero counts included) — ``groupBy("column").
     agg(sum("psi_term"))`` for the per-column verdict.
 
+    FIXED job count regardless of column count (the ``table_profile``
+    one-pass discipline, report.py): ONE old-side aggregation carrying
+    every column's quantile boundaries AND non-null count as sibling
+    agg columns, ONE new-side count aggregation, then a single lazy
+    binning pass — both snapshots stacked to (side, column, value)
+    map-side, binned against literal boundaries, and counted by one
+    ``groupBy(column, bin)``.  A 20-feature monitor at 100 TB pays 2
+    scans of old + 1 of new, not ~5 serialized jobs per column.
+
     ``relative_error=None`` (default) computes EXACT quantile
-    boundaries (one ``percentile`` aggregation per column — the
-    hash-exact gate shape, q_setops' ``drift`` branch); pass a value
-    (e.g. 0.001) for the ``percentile_approx`` sketch path at 100 TB,
-    where an exact percentile would sort the column.  Binning itself
-    is map-side against the O(bins) literal boundaries; the only other
-    work is two count aggregations per column."""
+    boundaries (the hash-exact gate shape, q_setops' ``drift``
+    branch); pass a value (e.g. 0.001) for the ``percentile_approx``
+    sketch path at 100 TB, where an exact percentile would sort each
+    column."""
     if bins < 2:
         raise ValueError(f"need bins >= 2; got {bins}")
+    if not cols:
+        raise ValueError("snapshot_drift: no columns given")
+    for df, side in ((old, "old"), (new, "new")):
+        for c in cols:
+            base = df.schema[c].dataType.simpleString().split("(")[0]
+            if base not in _NUMERIC_BASES:
+                raise ValueError(
+                    f"snapshot_drift: column {c!r} on the {side} side is "
+                    f"{base}, not numeric — for categorical features use "
+                    "category_drift (same PSI over category bins)"
+                )
     spark = old.sparkSession
     probs = [i / bins for i in range(1, bins)]
-    outs: list[DataFrame] = []
+
+    # job 1 — old side, ONE agg for all columns: boundaries + counts
+    old_aggs = []
     for c in cols:
         if relative_error is None:
             bexpr = F.expr(
@@ -184,66 +225,208 @@ def snapshot_drift(
                 c, F.array(*[F.lit(p) for p in probs]),
                 int(1.0 / relative_error),
             )
-        raw_bnds = old.agg(bexpr).collect()[0][0]
-        if raw_bnds is None:
-            # percentile over zero non-null rows is NULL — same
-            # contract as the count guard below, caught earlier
-            raise ValueError(
-                f"snapshot_drift: column {c!r} has no non-null rows on "
-                "the old side — no distribution to compare"
-            )
-        bnds = [float(x) for x in raw_bnds]
-        arr = F.array(*[F.lit(b) for b in bnds])
-
-        def bin_of(col: str):
-            # bind the cast value ONCE (no CSE inside lambda bodies)
-            return F.transform(
-                F.array(F.col(col).cast("double")),
-                lambda x: F.size(F.filter(arr, lambda b: b < x)),
-            )[0].cast("long")
-
-        na = old.where(F.col(c).isNotNull()).groupBy(
-            bin_of(c).alias("bin")
-        ).agg(F.count(F.lit(1)).alias("n_old"))
-        nb = new.where(F.col(c).isNotNull()).groupBy(
-            bin_of(c).alias("bin")
-        ).agg(F.count(F.lit(1)).alias("n_new"))
-        # totals as two driver scalars (cheap count jobs): an unkeyed
-        # totals window over the bins frame would be the one
-        # single-partition exchange shape the plan audit forbids, and
-        # a broadcast cross join of a 1-row frame plans a BNLJ — both
-        # avoidable since the totals are genuinely scalar here
-        ta_v = old.where(F.col(c).isNotNull()).count()
-        tb_v = new.where(F.col(c).isNotNull()).count()
+        old_aggs.append(bexpr.alias(f"__b__{c}"))
+        old_aggs.append(F.count(F.col(c)).alias(f"__n__{c}"))
+    old_row = old.agg(*old_aggs).collect()[0].asDict()
+    # job 2 — new side, ONE agg: non-null counts per column
+    new_row = new.agg(
+        *[F.count(F.col(c)).alias(f"__n__{c}") for c in cols]
+    ).collect()[0].asDict()
+    bounds: dict[str, list[float]] = {}
+    totals: dict[str, tuple[int, int]] = {}
+    for c in cols:
+        ta_v, tb_v = old_row[f"__n__{c}"], new_row[f"__n__{c}"]
         if ta_v == 0 or tb_v == 0:
             raise ValueError(
                 f"snapshot_drift: column {c!r} has no non-null rows on "
                 f"{'the old' if ta_v == 0 else 'the new'} side — no "
                 "distribution to compare"
             )
-        grid = spark.range(bins).select(F.col("id").alias("bin"))
-        j = (
-            grid.join(na, "bin", "left").join(nb, "bin", "left")
-            .select(
-                "bin",
-                F.coalesce("n_old", F.lit(0)).alias("n_old"),
-                F.coalesce("n_new", F.lit(0)).alias("n_new"),
-            )
-        )
-        pa = F.col("n_old").cast("double") / F.lit(float(ta_v))
-        pb = F.col("n_new").cast("double") / F.lit(float(tb_v))
-        pac = F.greatest(pa, F.lit(float(eps)))
-        pbc = F.greatest(pb, F.lit(float(eps)))
-        outs.append(
-            j.select(
+        bounds[c] = [float(x) for x in old_row[f"__b__{c}"]]
+        totals[c] = (ta_v, tb_v)
+
+    # lazy binning pass: stack every column to (side, column, value)
+    # map-side, bin against the literal boundaries (a when-chain
+    # selecting the column's array — evaluated once per row, outside
+    # any lambda), count both sides in ONE groupBy
+    def stacked(df: DataFrame, side: str) -> DataFrame:
+        structs = [
+            F.struct(
                 F.lit(c).alias("column"),
-                "bin", "n_old", "n_new",
-                F.round(pa, 6).alias("p_old"),
-                F.round(pb, 6).alias("p_new"),
-                ((pbc - pac) * F.log(pbc / pac)).alias("psi_term"),
+                F.col(c).cast("double").alias("value"),
             )
+            for c in cols
+        ]
+        return df.select(F.explode(F.array(*structs)).alias("s")).select(
+            F.lit(side).alias("side"),
+            F.col("s.column").alias("column"),
+            F.col("s.value").alias("value"),
+        ).where(F.col("value").isNotNull())
+
+    barr = F.when(
+        F.col("column") == cols[0],
+        F.array(*[F.lit(b) for b in bounds[cols[0]]]),
+    )
+    for c in cols[1:]:
+        barr = barr.when(
+            F.col("column") == c, F.array(*[F.lit(b) for b in bounds[c]])
         )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+    both = stacked(old, "o").unionByName(stacked(new, "n"))
+    counts = (
+        both.select(
+            "side", "column",
+            F.size(
+                F.filter(barr, lambda b: b < F.col("value"))
+            ).cast("long").alias("bin"),
+        )
+        .groupBy("column", "bin")
+        .agg(
+            F.sum(F.when(F.col("side") == "o", 1).otherwise(0))
+            .cast("long").alias("n_old"),
+            F.sum(F.when(F.col("side") == "n", 1).otherwise(0))
+            .cast("long").alias("n_new"),
+        )
+    )
+    # every (column, bin) cell present, zero counts included: a tiny
+    # literal grid left-joins the (≤ cols·bins row) aggregate —
+    # broadcast, no corpus-side work
+    grid = spark.createDataFrame(
+        [(c,) for c in cols], "column string"
+    ).select(
+        "column",
+        F.explode(F.sequence(F.lit(0), F.lit(bins - 1))).alias("__b"),
+    ).select("column", F.col("__b").cast("long").alias("bin"))
+    j = grid.join(F.broadcast(counts), ["column", "bin"], "left").select(
+        "column", "bin",
+        F.coalesce("n_old", F.lit(0).cast("long")).alias("n_old"),
+        F.coalesce("n_new", F.lit(0).cast("long")).alias("n_new"),
+    )
+    ta = F.when(F.col("column") == cols[0], F.lit(float(totals[cols[0]][0])))
+    tb = F.when(F.col("column") == cols[0], F.lit(float(totals[cols[0]][1])))
+    for c in cols[1:]:
+        ta = ta.when(F.col("column") == c, F.lit(float(totals[c][0])))
+        tb = tb.when(F.col("column") == c, F.lit(float(totals[c][1])))
+    pa = F.col("n_old").cast("double") / ta
+    pb = F.col("n_new").cast("double") / tb
+    return j.select(
+        "column", "bin", "n_old", "n_new", *_psi_terms(pa, pb, eps)
+    )
+
+
+def category_drift(
+    old: DataFrame,
+    new: DataFrame,
+    cols: list[str],
+    *,
+    top_n: int = 20,
+    eps: float = 1e-6,
+    other_label: str = "(other)",
+    null_label: str = "(null)",
+) -> DataFrame:
+    """PSI drift for CATEGORICAL columns (language, source domain,
+    license, script…) — the same clamped psi terms as
+    :func:`snapshot_drift`, with bins = categories instead of
+    quantile intervals.
+
+    Per column: values cast to string (NULL → ``null_label`` — a null
+    share moving IS drift), the ``top_n`` categories by OLD-side count
+    (ties broken by category ascending — deterministic) keep their
+    identity, everything else — including categories seen only in the
+    new snapshot — folds into ``other_label`` (a brand-new category
+    surfaces as OTHER's n_old≈0 / n_new≫0 psi spike).  Returns one row
+    per (column, category):
+    ``[column, category, n_old, n_new, p_old, p_new, psi_term]``;
+    every selected category appears even with a zero count on one
+    side; OTHER appears only when something folded into it.  Totals
+    count ALL rows (nulls are a category), so shares sum to 1 per
+    (column, side).
+
+    Plan shape (one corpus-wide pass TOTAL, zero driver jobs at
+    construction): both snapshots stack map-side to (side, column,
+    category), ONE ``groupBy(column, category)`` with map-side combine
+    produces the O(vocabulary) counts frame; selection (a keyed
+    row_number window), OTHER folding (a second tiny groupBy), and
+    per-column totals (keyed window sums) all run on that aggregate.
+    For genuinely unbounded vocabularies where even the counts frame
+    is too big, pre-select candidates with the Misra-Gries heavy
+    hitters (``sketch.misra_gries``) and filter before calling."""
+    from pyspark.sql import Window as W
+
+    if top_n < 1:
+        raise ValueError(f"need top_n >= 1; got {top_n}")
+    if not cols:
+        raise ValueError("category_drift: no columns given")
+    if other_label == null_label:
+        raise ValueError("other_label and null_label must differ")
+    for df, side in ((old, "old"), (new, "new")):
+        for c in cols:
+            base = df.schema[c].dataType.simpleString().split("(")[0]
+            if base.startswith(("array", "map", "struct")):
+                raise ValueError(
+                    f"category_drift: column {c!r} on the {side} side "
+                    f"is {base} — categories must be scalar"
+                )
+
+    def stacked(df: DataFrame, side: str) -> DataFrame:
+        structs = [
+            F.struct(
+                F.lit(c).alias("column"),
+                F.coalesce(
+                    F.col(c).cast("string"), F.lit(null_label)
+                ).alias("category"),
+            )
+            for c in cols
+        ]
+        return df.select(F.explode(F.array(*structs)).alias("s")).select(
+            F.lit(side).alias("side"),
+            F.col("s.column").alias("column"),
+            F.col("s.category").alias("category"),
+        )
+
+    counts = (
+        stacked(old, "o").unionByName(stacked(new, "n"))
+        .groupBy("column", "category")
+        .agg(
+            F.sum(F.when(F.col("side") == "o", 1).otherwise(0))
+            .cast("long").alias("n_old"),
+            F.sum(F.when(F.col("side") == "n", 1).otherwise(0))
+            .cast("long").alias("n_new"),
+        )
+    )
+    # selection on the vocabulary-sized aggregate: rank OLD-present
+    # categories per column, keep identity for rank <= top_n
+    rn = F.row_number().over(
+        W.partitionBy("column").orderBy(
+            F.col("n_old").desc(), F.col("category").asc()
+        )
+    )
+    folded = (
+        counts.withColumn(
+            "__rn", F.when(F.col("n_old") > 0, rn).otherwise(F.lit(None))
+        )
+        .select(
+            "column",
+            F.when(F.col("__rn") <= top_n, F.col("category"))
+            .otherwise(F.lit(other_label)).alias("category"),
+            "n_old", "n_new",
+        )
+        .groupBy("column", "category")
+        .agg(
+            F.sum("n_old").cast("long").alias("n_old"),
+            F.sum("n_new").cast("long").alias("n_new"),
+        )
+    )
+    w = W.partitionBy("column")
+    ta = F.sum("n_old").over(w)
+    tb = F.sum("n_new").over(w)
+    err = F.raise_error(
+        F.concat(
+            F.lit("category_drift: column "), F.col("column"),
+            F.lit(" has no rows on one side — no distribution to compare"),
+        )
+    ).cast("double")
+    pa = F.col("n_old").cast("double") / F.when(ta > 0, ta.cast("double")).otherwise(err)
+    pb = F.col("n_new").cast("double") / F.when(tb > 0, tb.cast("double")).otherwise(err)
+    return folded.select(
+        "column", "category", "n_old", "n_new", *_psi_terms(pa, pb, eps)
+    )

@@ -94,6 +94,52 @@ _SETOPS_ORACLE = """
       LEFT JOIN drift_old o USING (bin)
       LEFT JOIN drift_new nn USING (bin)
     ),
+    -- categorical PSI drift: categories derived from c_mktsegment x
+    -- (k % 7) with k%10==3 rows NULL-categorized on the old side,
+    -- k%10==5 rows shifted and a new-only 'brandnew' category on the
+    -- new side; selection = top-20 old-present categories by
+    -- (count DESC, category ASC), the rest fold into '(other)'
+    catd_old AS (
+      SELECT CASE WHEN c_custkey % 10 = 3 THEN NULL
+                  ELSE c_mktsegment || '#' || CAST(c_custkey % 7 AS VARCHAR)
+             END AS cat
+      FROM customer
+    ),
+    catd_new AS (
+      SELECT CASE WHEN c_custkey % 10 = 5
+                  THEN c_mktsegment || '#' || CAST((c_custkey + 1) % 7 AS VARCHAR)
+                  ELSE c_mktsegment || '#' || CAST(c_custkey % 7 AS VARCHAR)
+             END AS cat
+      FROM customer WHERE c_custkey % 10 <> 3
+      UNION ALL
+      SELECT 'brandnew' FROM customer WHERE c_custkey % 10 = 7
+    ),
+    catd_counts AS (
+      SELECT coalesce(cat, '(null)') AS category,
+             sum(CASE WHEN side = 'o' THEN 1 ELSE 0 END) AS n_old,
+             sum(CASE WHEN side = 'n' THEN 1 ELSE 0 END) AS n_new
+      FROM (SELECT 'o' AS side, cat FROM catd_old
+            UNION ALL SELECT 'n' AS side, cat FROM catd_new)
+      GROUP BY 1
+    ),
+    catd_sel AS (
+      SELECT category,
+             row_number() OVER (ORDER BY n_old DESC, category ASC) AS rn
+      FROM catd_counts WHERE n_old > 0
+    ),
+    catd AS (
+      SELECT CASE WHEN s.rn <= 20 THEN c.category
+                  ELSE '(other)' END AS category,
+             sum(c.n_old) AS n_old, sum(c.n_new) AS n_new
+      FROM catd_counts c LEFT JOIN catd_sel s USING (category)
+      GROUP BY 1
+    ),
+    catd_tot AS (
+      SELECT category, n_old, n_new,
+             (SELECT sum(n_old) FROM catd) AS ta,
+             (SELECT sum(n_new) FROM catd) AS tb
+      FROM catd
+    ),
     scd_dim AS (
       SELECT k, nk, bal_c, DATE '2020-01-01' AS vf FROM snap_old
     ),
@@ -183,6 +229,17 @@ _SETOPS_ORACLE = """
                 * 1000000) AS BIGINT) AS VARCHAR)
     FROM drift
     UNION ALL
+    SELECT 'drift_cat', NULL,
+           category || '|' || CAST(n_old AS VARCHAR) || '|'
+           || CAST(n_new AS VARCHAR) || '|'
+           || CAST(CAST(round(
+                (greatest(CAST(n_new AS DOUBLE) / tb, 0.000001)
+                 - greatest(CAST(n_old AS DOUBLE) / ta, 0.000001))
+                * ln(greatest(CAST(n_new AS DOUBLE) / tb, 0.000001)
+                     / greatest(CAST(n_old AS DOUBLE) / ta, 0.000001))
+                * 1000000) AS BIGINT) AS VARCHAR)
+    FROM catd_tot
+    UNION ALL
     SELECT 'scd2', k,
            CAST(nk AS VARCHAR) || '|' || CAST(bal_c AS VARCHAR)
            || '|' || CAST(valid_from AS VARCHAR)
@@ -233,7 +290,13 @@ def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
       distribution drift of ``bal_c`` between the same two snapshots
       (exact decile boundaries from old, per-bin counts, psi term as
       exact integer micro-units); k = bin, side = ``n_old|n_new|
-      psi_micro``.
+      psi_micro``;
+    * ``drift_cat`` — ``operators/diff.py::category_drift``: the same
+      PSI over CATEGORY bins for a derived string feature
+      (c_mktsegment x k%7): top-20 old-side categories keep identity,
+      NULL is the ``(null)`` category, everything else — including a
+      new-only category — folds into ``(other)``; k = NULL, side =
+      ``category|n_old|n_new|psi_micro``.
     """
     c = load_table(spark, sf_dir, "customer")
     s = load_table(spark, sf_dir, "supplier")
@@ -425,8 +488,43 @@ def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
+    # categorical PSI (operators/diff.py::category_drift): categories
+    # from c_mktsegment x (k % 7), k%10==3 NULL-categorized on the old
+    # side, k%10==5 shifted + a new-only 'brandnew' category on the new
+    # side — exercises top-20 selection, OTHER folding, the null label,
+    # and a brand-new category surfacing as OTHER drift
+    from cosmap_spark.operators.diff import category_drift
+
+    ck = F.col("c_custkey")
+    base_cat = F.when(ck % 10 == 3, F.lit(None).cast("string")).otherwise(
+        F.concat(F.col("c_mktsegment"), F.lit("#"), (ck % 7).cast("string"))
+    )
+    shifted_cat = F.concat(
+        F.col("c_mktsegment"), F.lit("#"), ((ck + 1) % 7).cast("string")
+    )
+    cat_old = c.select(base_cat.alias("cat"))
+    cat_new = (
+        c.where(ck % 10 != 3)
+        .select(F.when(ck % 10 == 5, shifted_cat).otherwise(base_cat)
+                .alias("cat"))
+        .unionByName(
+            c.where(ck % 10 == 7).select(F.lit("brandnew").alias("cat"))
+        )
+    )
+    drift_cat_b = tag(
+        category_drift(cat_old, cat_new, ["cat"], top_n=20),
+        "drift_cat", None,
+        F.concat_ws(
+            "|",
+            F.col("category"),
+            F.col("n_old").cast("string"), F.col("n_new").cast("string"),
+            F.round(F.col("psi_term") * 1000000).cast("long").cast("string"),
+        ),
+    )
+
     out = union_all
     for branch in (union_distinct, intersect, except_, cross, not_in,
-                   above_mean, merge_b, cdc_b, rt_b, scd2_b, drift_b):
+                   above_mean, merge_b, cdc_b, rt_b, scd2_b, drift_b,
+                   drift_cat_b):
         out = out.unionByName(branch)
     return out

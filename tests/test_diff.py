@@ -207,3 +207,134 @@ def test_snapshot_drift_validation_and_multicolumn(spark):
     empty = spark.createDataFrame([], "k long, x double, y double")
     with pytest.raises(ValueError, match="no non-null rows"):
         snapshot_drift(old, empty, ["x"])
+
+
+def test_snapshot_drift_fixed_job_count(spark):
+    """The restructure contract: driver-side job count at construction
+    is CONSTANT in the number of columns (one old-side agg + one
+    new-side agg), never per-column — a 20-feature monitor at 100 TB
+    must not pay 20 serialized scans."""
+    rows = [(i, float(i), float(i * 2), float(i % 7), float(i % 3))
+            for i in range(200)]
+    schema = "k long, a double, b double, c double, d double"
+    old = spark.createDataFrame(rows, schema).localCheckpoint()
+    new = spark.createDataFrame(rows[50:], schema).localCheckpoint()
+    from cosmap_spark.operators.diff import snapshot_drift
+
+    tracker = spark.sparkContext.statusTracker()
+
+    def jobs(cols):
+        before = len(tracker.getJobIdsForGroup(None))
+        snapshot_drift(old, new, cols, bins=4)
+        return len(tracker.getJobIdsForGroup(None)) - before
+
+    j1 = jobs(["a"])
+    j4 = jobs(["a", "b", "c", "d"])
+    assert j1 == j4, f"construction jobs grew with columns: {j1} -> {j4}"
+
+
+def test_snapshot_drift_rejects_non_numeric(spark):
+    from cosmap_spark.operators.diff import snapshot_drift
+
+    df = spark.createDataFrame([(1, "en")], "k long, lang string")
+    with pytest.raises(ValueError, match="category_drift"):
+        snapshot_drift(df, df, ["lang"])
+
+
+def test_category_drift_matches_python_psi(spark):
+    """Category PSI vs a pure-python reference: top-N selection by
+    old-side count with (count desc, category asc) ties, OTHER
+    folding, NULL as a category, new-only categories into OTHER."""
+    import math
+    from collections import Counter
+
+    from cosmap_spark.operators.diff import category_drift
+
+    cats_old = (["en"] * 40 + ["de"] * 25 + ["fr"] * 25 + ["es"] * 5
+                + ["pt"] * 3 + [None] * 2)
+    cats_new = (["en"] * 30 + ["de"] * 30 + ["zh"] * 20 + ["fr"] * 10
+                + [None] * 10)
+    old = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(cats_old)], "k long, lang string"
+    )
+    new = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(cats_new)], "k long, lang string"
+    )
+    top_n, eps = 3, 1e-6
+    got = {
+        r["category"]: (r["n_old"], r["n_new"], r["psi_term"])
+        for r in category_drift(old, new, ["lang"], top_n=top_n).collect()
+    }
+    # python reference
+    label = lambda v: "(null)" if v is None else v  # noqa: E731
+    co = Counter(label(v) for v in cats_old)
+    cn = Counter(label(v) for v in cats_new)
+    sel = sorted(co, key=lambda c: (-co[c], c))[:top_n]
+    fo, fn = Counter(), Counter()
+    for cat in set(co) | set(cn):
+        tgt = cat if cat in sel else "(other)"
+        fo[tgt] += co.get(cat, 0)
+        fn[tgt] += cn.get(cat, 0)
+    ta, tb = sum(fo.values()), sum(fn.values())
+    assert set(got) == set(fo)
+    for cat in fo:
+        pa, pb = max(fo[cat] / ta, eps), max(fn[cat] / tb, eps)
+        want = (pb - pa) * math.log(pb / pa)
+        assert got[cat][0] == fo[cat] and got[cat][1] == fn[cat], cat
+        assert abs(got[cat][2] - want) < 1e-12, cat
+    # zh (new-only) and es/pt/(null) (below top-3) folded into OTHER
+    assert "(other)" in got and "zh" not in got and "es" not in got
+    assert "(null)" not in got
+    # with a wide top_n, NULL is a first-class category and drifted;
+    # OTHER then carries only the new-only zh
+    wide = {
+        r["category"]: (r["n_old"], r["n_new"])
+        for r in category_drift(old, new, ["lang"], top_n=6).collect()
+    }
+    assert wide["(null)"] == (2, 10)
+    assert wide["(other)"] == (0, 20)  # zh only
+    # self-drift exactly zero
+    self_psi = sum(
+        r["psi_term"]
+        for r in category_drift(old, old, ["lang"], top_n=top_n).collect()
+    )
+    assert self_psi == 0.0
+
+
+def test_category_drift_lazy_and_multicolumn(spark):
+    """Construction runs ZERO driver jobs (no boundaries to collect),
+    and multi-column stacking keys every row by its column."""
+    from cosmap_spark.operators.diff import category_drift
+
+    df = spark.createDataFrame(
+        [(1, "en", True), (2, "de", False), (3, None, True)],
+        "k long, lang string, flag boolean",
+    ).localCheckpoint()
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None))
+    out = category_drift(df, df, ["lang", "flag"], top_n=5)
+    assert len(tracker.getJobIdsForGroup(None)) == before, (
+        "category_drift construction must not run driver jobs"
+    )
+    rows = out.collect()
+    assert sorted(set(r["column"] for r in rows)) == ["flag", "lang"]
+    flags = {r["category"] for r in rows if r["column"] == "flag"}
+    assert flags == {"true", "false"}
+    with pytest.raises(ValueError, match="top_n"):
+        category_drift(df, df, ["lang"], top_n=0)
+    arr = spark.createDataFrame([(1, [1, 2])], "k long, v array<int>")
+    with pytest.raises(ValueError, match="scalar"):
+        category_drift(arr, arr, ["v"])
+
+
+def test_category_drift_empty_side_raises_on_collect(spark):
+    import pyspark
+
+    from cosmap_spark.operators.diff import category_drift
+
+    full = spark.createDataFrame([(1, "en")], "k long, lang string")
+    empty = spark.createDataFrame([], "k long, lang string")
+    out = category_drift(full, empty, ["lang"])
+    with pytest.raises(pyspark.errors.exceptions.base.PySparkException,
+                       match="no distribution"):
+        out.collect()

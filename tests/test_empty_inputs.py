@@ -436,6 +436,19 @@ def _spec_grouped_trend(spark):
     assert row["slope"] is None  # undefined slope from one point
 
 
+def _spec_category_drift(spark):
+    import pyspark
+
+    import cosmap_spark.operators as O
+    # lazy by design: an empty side surfaces at collect time as a
+    # raise_error in the share expression (no distribution to compare)
+    full = spark.createDataFrame([(1, "en")], "k long, lang string")
+    out = O.category_drift(_e(spark, "k long, lang string"), full, ["lang"])
+    with pytest.raises(pyspark.errors.exceptions.base.PySparkException,
+                       match="no distribution"):
+        out.collect()
+
+
 def _spec_snapshot_drift(spark):
     import pytest
 
@@ -854,6 +867,7 @@ SWEEP = {
     "funnel_sliding": _spec_funnel_sliding,
     "group_kfold_assign": _spec_group_kfold,
     "kfold_assign": _spec_group_kfold,
+    "category_drift": _spec_category_drift,
     "snapshot_drift": _spec_snapshot_drift,
     "maxsim_topk": _spec_maxsim,
     "maxsim_rerank": _spec_maxsim,
