@@ -572,6 +572,7 @@ def segment_overlap(
     col: str,
     *,
     k: int = 256,
+    max_segments: int = 1024,
 ) -> DataFrame:
     """Pairwise distinct-value overlap between segments — for each
     unordered segment pair: Jaccard, NDV of each side, of the union,
@@ -581,12 +582,32 @@ def segment_overlap(
     shards A and B share?") answered in O(segments²·k) post-scan work
     — segments are few by construction; the corpus is touched once.
 
+    The pair join is deliberately a theta join (``seg_a < seg_b`` →
+    broadcast nested loop), which is only safe while the segment
+    count stays small — so the ENFORCED contract is ``max_segments``
+    (default 1024 ≈ ½M pairs): the sketch leaf the operator already
+    aggregates is counted (a segments-sized job on the checkpointed
+    leaf, not a second corpus scan) and a higher cardinality refuses
+    loudly instead of silently planning an O(segments²) nested loop —
+    the ``writers._require_local`` discipline.  For genuinely large
+    segment universes, pre-bucket pairs (LSH bands over the sketches)
+    or roll up the segment key before calling.
+
     NULL segment keys are excluded (they would silently vanish in the
     pandas groupby, making results layout-dependent — the
     ``heavy_hitters_sketch`` NULL discipline)."""
     leaf = kmv_leaf(
         df.where(F.col(seg_col).isNotNull()), [seg_col], col, k=k
-    )
+    ).localCheckpoint(eager=False)
+    n_seg = leaf.count()
+    if n_seg > max_segments:
+        raise ValueError(
+            f"segment_overlap: {n_seg} segments exceed "
+            f"max_segments={max_segments} — the all-pairs theta join "
+            f"would build {n_seg * (n_seg - 1) // 2} pairs as a "
+            "nested loop; roll up the segment key, pre-bucket pairs, "
+            "or raise max_segments deliberately"
+        )
     a = leaf.select(
         F.col(seg_col).alias("seg_a"), F.col("__sk").alias("__ska")
     )

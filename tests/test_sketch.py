@@ -411,6 +411,27 @@ def test_kmv_jaccard_and_segment_overlap(spark, kmv_data):
     assert abs(r["ndv_a"] - 3000) / 3000 < 0.25, r
 
 
+def test_segment_overlap_refuses_quadratic_blowup(spark):
+    """The all-pairs theta join is contract-bounded: a segment
+    cardinality above max_segments refuses loudly instead of silently
+    planning an O(segments²) nested loop — and the guard's count runs
+    on the checkpointed sketch leaf, so results under the bound are
+    unchanged."""
+    import pytest
+
+    from cosmap_spark.operators.sketch import segment_overlap
+
+    df = spark.createDataFrame(
+        [(f"s{i:03d}", j) for i in range(40) for j in range(3)],
+        "seg string, uid long",
+    )
+    with pytest.raises(ValueError, match="max_segments"):
+        segment_overlap(df, "seg", "uid", k=16, max_segments=10)
+    # explicit opt-in past the default still works
+    out = segment_overlap(df, "seg", "uid", k=16, max_segments=40)
+    assert out.count() == 40 * 39 // 2
+
+
 def test_kmv_null_values_excluded(spark):
     from cosmap_spark.operators.sketch import kmv_rollup
 
