@@ -255,6 +255,58 @@ _STREAM_WINDOWS_ORACLE = """
              row_number() OVER (PARTITION BY user_id
                                 ORDER BY sq DESC, i) AS rn
       FROM cps
+    ),
+    -- budgeted parallel binary segmentation, budget=2, min_seg=4,
+    -- unrolled round-by-round over the SAME exact-integer prefix sums:
+    -- round 0 = best admissible split of the whole series (sq > 0);
+    -- round 1 = each child segment proposes its best (segment-local
+    -- weights/means from the global prefix sums), per-user acceptance
+    -- ranked (sq DESC, pos ASC) up to the remaining budget of 1
+    bs0 AS (
+      SELECT user_id, ts, i, n, c, t,
+             (CAST(i * (n - i) AS DOUBLE) / n)
+               * (CAST(c AS DOUBLE) / i - CAST(t - c AS DOUBLE) / (n - i))
+               * (CAST(c AS DOUBLE) / i - CAST(t - c AS DOUBLE) / (n - i))
+               AS sq
+      FROM cpc WHERE i >= 4 AND n - i >= 4
+    ),
+    bs0w AS (
+      SELECT user_id, ts, p, sq, cp_c FROM (
+        SELECT user_id, ts, i AS p, sq, c AS cp_c,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY sq DESC, i ASC) AS rn
+        FROM bs0 WHERE sq > 0) WHERE rn = 1
+    ),
+    bs1cand AS (
+      SELECT r.user_id, r.ts, r.i AS gpos, 0 AS seg,
+             (CAST(r.i * (w.p - r.i) AS DOUBLE) / w.p)
+               * (CAST(r.c AS DOUBLE) / r.i
+                  - CAST(w.cp_c - r.c AS DOUBLE) / (w.p - r.i))
+               * (CAST(r.c AS DOUBLE) / r.i
+                  - CAST(w.cp_c - r.c AS DOUBLE) / (w.p - r.i)) AS sq
+      FROM cpc r JOIN bs0w w USING (user_id)
+      WHERE r.i >= 4 AND w.p - r.i >= 4
+      UNION ALL
+      SELECT r.user_id, r.ts, r.i, 1,
+             (CAST((r.i - w.p) * (r.n - r.i) AS DOUBLE) / (r.n - w.p))
+               * (CAST(r.c - w.cp_c AS DOUBLE) / (r.i - w.p)
+                  - CAST(r.t - r.c AS DOUBLE) / (r.n - r.i))
+               * (CAST(r.c - w.cp_c AS DOUBLE) / (r.i - w.p)
+                  - CAST(r.t - r.c AS DOUBLE) / (r.n - r.i))
+      FROM cpc r JOIN bs0w w USING (user_id)
+      WHERE r.i - w.p >= 4 AND r.n - r.i >= 4
+    ),
+    bs1seg AS (
+      SELECT user_id, ts, gpos, sq FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, seg
+                                     ORDER BY sq DESC, gpos ASC) AS rn
+        FROM bs1cand WHERE sq > 0) WHERE rn = 1
+    ),
+    bs1w AS (
+      SELECT user_id, ts, gpos, sq FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY sq DESC, gpos ASC) AS kr
+        FROM bs1seg) WHERE kr = 1
     )
     SELECT 'tumble' AS op,
            CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
@@ -299,6 +351,16 @@ _STREAM_WINDOWS_ORACLE = """
     SELECT 'chgpt', CAST(floor(epoch(ts)) AS BIGINT),
            CAST(user_id AS VARCHAR), i, round(sq / 1000000000000.0, 4)
     FROM cpbest WHERE rn = 1
+    UNION ALL
+    SELECT 'chgpt2', CAST(floor(epoch(ts)) AS BIGINT),
+           CAST(user_id AS VARCHAR) || '#0', p,
+           round(sq / 1000000000000.0, 4)
+    FROM bs0w
+    UNION ALL
+    SELECT 'chgpt2', CAST(floor(epoch(ts)) AS BIGINT),
+           CAST(user_id AS VARCHAR) || '#1', gpos,
+           round(sq / 1000000000000.0, 4)
+    FROM bs1w
     UNION ALL
     SELECT 'trans', NULL, from_type || '>' || to_type, n,
            round(CAST(n AS DOUBLE)
@@ -368,7 +430,13 @@ def q_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
       argmax is bit-deterministic and hash-exact vs the DuckDB
       replay); window_start = the boundary row's epoch second, n =
       the 1-based left-segment size, total = the 4dp SSE-reduction
-      statistic."""
+      statistic;
+    * ``chgpt2`` — operators/tseries.py::changepoints_binseg:
+      budgeted parallel binary segmentation (budget=2, min_seg=4) on
+      the same per-user series; the oracle unrolls the two rounds
+      over the same exact-integer prefix sums and mirrors the
+      (stat DESC, pos ASC) per-round acceptance; key =
+      ``user_id#iter``, n = the 1-based GLOBAL split position."""
     from cosmap_spark.operators.funnel import (
         attribution,
         cohort_retention,
@@ -462,7 +530,10 @@ def q_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "attr", None,
         F.concat_ws(">", "model", "touch"), F.col("n"), F.col("share"),
     )
-    from cosmap_spark.operators.tseries import grouped_changepoint
+    from cosmap_spark.operators.tseries import (
+        changepoints_binseg,
+        grouped_changepoint,
+    )
 
     chg = shape(
         grouped_changepoint(
@@ -472,12 +543,22 @@ def q_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chgpt", F.unix_timestamp("ts"), F.col("user_id"),
         F.col("cp_pos"), F.round(F.col("stat"), 4),
     )
+    chg2 = shape(
+        changepoints_binseg(
+            ev, ["user_id"], order_cols=["ts", "event_id"],
+            val_col="value", max_changepoints=2, min_seg=4,
+        ),
+        "chgpt2", F.unix_timestamp("ts"),
+        F.concat_ws("#", F.col("user_id").cast("string"),
+                    F.col("iter").cast("string")),
+        F.col("cp_pos"), F.round(F.col("stat"), 4),
+    )
     return (
         tumble.unionByName(slide).unionByName(late)
         .unionByName(funnel_rows).unionByName(fsum)
         .unionByName(wf).unionByName(coh).unionByName(trans)
         .unionByName(lat_prev).unionByName(lat_start).unionByName(pth)
-        .unionByName(att).unionByName(chg)
+        .unionByName(att).unionByName(chg).unionByName(chg2)
     )
 
 
