@@ -157,6 +157,8 @@ from cosmap_spark.operators.retrieval import (  # noqa: F401
     build_lex_index,
     maxsim_rerank,
     maxsim_topk,
+    phrase_match,
+    phrase_search,
     retrieval_eval,
     rrf_fuse,
     topk_cut,

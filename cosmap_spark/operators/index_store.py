@@ -278,7 +278,9 @@ def pq_append(
 
 # --- lexical (BM25) index persistence -------------------------------
 
-def _write_lex_manifest(path: str, lens: DataFrame) -> None:
+def _write_lex_manifest(
+    path: str, lens: DataFrame, *, positional: bool
+) -> None:
     """Aggregate the doc-count-sized lens table into the lexical
     manifest stats and write it atomically (tmp + rename) — shared by
     ``save_lex_index`` and ``lex_append`` so the manifest contract has
@@ -290,6 +292,7 @@ def _write_lex_manifest(path: str, lens: DataFrame) -> None:
         "components": ["lex"],
         "n_docs": int(row["n"] or 0),
         "total_len": int(row["t"] or 0),
+        "positional": bool(positional),
     }
     tmp = os.path.join(path, ".manifest.json.tmp")
     with open(tmp, "w") as f:
@@ -314,7 +317,13 @@ def save_lex_index(
     exactly ONCE; passing an explicit ``lens`` re-runs its lineage
     (a second full tokenize for a ``build_lex_index`` frame).  The
     corpus stats always aggregate the written lens parquet, never a
-    lineage."""
+    lineage.
+
+    A POSITIONAL tf (``build_lex_index(positions=True)`` — carries
+    ``pos array<int>``) persists as-is; the manifest records
+    ``positional`` so ``load_lex_index`` can assert phrase-query
+    capability and ``lex_append`` builds batches with the matching
+    schema."""
     spark = tf.sparkSession
     tf.repartition(F.col("term")).sortWithinPartitions("term").write.mode(
         "overwrite"
@@ -327,7 +336,8 @@ def save_lex_index(
         )
     lens.write.mode("overwrite").parquet(os.path.join(path, "lex_lens"))
     _write_lex_manifest(
-        path, spark.read.parquet(os.path.join(path, "lex_lens"))
+        path, spark.read.parquet(os.path.join(path, "lex_lens")),
+        positional="pos" in tf.columns,
     )
 
 
@@ -346,6 +356,7 @@ def load_lex_index(spark: SparkSession, path: str) -> dict:
         "tf": spark.read.parquet(os.path.join(path, "lex_tf")),
         "lens": spark.read.parquet(os.path.join(path, "lex_lens")),
         "n_docs": manifest["n_docs"],
+        "positional": bool(manifest.get("positional", False)),
     }
     if out["n_docs"]:
         out["avgdl"] = manifest["total_len"] / out["n_docs"]
@@ -388,8 +399,13 @@ def lex_append(
     from cosmap_spark.operators.retrieval import build_lex_index
     from cosmap_spark.sinks import writers
 
+    # the batch must match the stored schema: a positional store
+    # (manifest flag) gets positional batches, a bag-of-words store
+    # plain ones — mixing would fail the path-level merge's unionByName
+    with open(os.path.join(path, "manifest.json")) as f:
+        positional = bool(json.load(f).get("positional", False))
     tf_new, lens_new = build_lex_index(
-        new_docs, id_col=id_col, text_col=text_col
+        new_docs, id_col=id_col, text_col=text_col, positions=positional
     )
     writers.merge_upsert(
         spark, os.path.join(path, "lex_tf"), tf_new, ["__d"]
@@ -411,5 +427,6 @@ def lex_append(
         spark, os.path.join(path, "lex_lens"), null_ids, ["__d"]
     )
     _write_lex_manifest(
-        path, spark.read.parquet(os.path.join(path, "lex_lens"))
+        path, spark.read.parquet(os.path.join(path, "lex_lens")),
+        positional=positional,
     )

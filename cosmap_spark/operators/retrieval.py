@@ -62,6 +62,7 @@ def build_lex_index(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    positions: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """The corpus-derived state every BM25 serve consumes — the
     lexical index: ``(tf, lens)`` with ``tf = [__d, term, tf]`` (term
@@ -71,12 +72,31 @@ def build_lex_index(
     ``prebuilt`` index is passed, and
     ``operators.index_store.save_lex_index`` persists it so serving
     sessions never re-tokenize the corpus.  Doc ids must be unique
-    (see :func:`bm25_scored`)."""
-    toks = docs.select(
-        F.col(id_col).alias("__d"),
-        F.explode(tokens(F.col(text_col))).alias("term"),
-    )
-    tf = toks.groupBy("__d", "term").agg(F.count("*").alias("tf"))
+    (see :func:`bm25_scored`).
+
+    ``positions=True`` makes the index POSITIONAL: tf gains
+    ``pos array<int>`` — the sorted 0-based token offsets of the term
+    in the document (``sort_array(collect_list(...))`` — collect_list
+    order is partition-dependent, the sort pins it).  Positions cost
+    one int per token (≈ the token table itself) and buy exact
+    quoted-phrase / proximity verification (:func:`phrase_match`)
+    without re-reading any text.  BM25 scoring ignores the column, so
+    a positional index serves everything a bag-of-words one does."""
+    if positions:
+        toks = docs.select(
+            F.col(id_col).alias("__d"),
+            F.posexplode(tokens(F.col(text_col))).alias("__p", "term"),
+        )
+        tf = toks.groupBy("__d", "term").agg(
+            F.count("*").alias("tf"),
+            F.sort_array(F.collect_list("__p")).alias("pos"),
+        )
+    else:
+        toks = docs.select(
+            F.col(id_col).alias("__d"),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+        tf = toks.groupBy("__d", "term").agg(F.count("*").alias("tf"))
     lens = tf.groupBy("__d").agg(F.sum("tf").alias("dl"))
     return tf, lens
 
@@ -283,6 +303,119 @@ def bm25_search(
         broadcast_lens=broadcast_lens,
     )
     return topk_cut(scored, score_col="score", id_col=id_col, top_n=top_n)
+
+
+def phrase_match(
+    tf: DataFrame,
+    phrase: str,
+    *,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Docs containing the EXACT phrase (adjacent tokens, in order) —
+    ``[__d]`` — verified from a POSITIONAL index
+    (``build_lex_index(positions=True)``), never by re-reading text.
+
+    The inverted-index phrase algorithm: filter the tf table to the
+    phrase's vocabulary (the filter pushes to ``save_lex_index``'s
+    term-sorted parquet layout — row-group pruning, not a corpus
+    scan), group per doc, require every distinct term present, then
+    intersect shifted position lists — a doc matches iff
+    ``pos(t₀) ∩ (pos(t₁)−1) ∩ … ∩ (pos(tₙ)−n)`` is non-empty
+    (``array_intersect`` is hash-based, O(|pos| sums), evaluated on
+    doc-length-bounded arrays).  A one-term phrase degenerates to
+    containment.
+
+    ``candidates`` (optional, query-sized ``[__d]``) broadcast-joins
+    BEFORE the per-doc aggregation — the post-BM25 verify shape: only
+    shortlisted docs ever group, so quoted-phrase filtering of a
+    ranked page costs O(candidates), not O(df of the commonest
+    term)."""
+    terms = [t for t in phrase.split(" ") if t]
+    if not terms:
+        raise ValueError("phrase_match: empty phrase")
+    if "pos" not in tf.columns:
+        raise ValueError(
+            "phrase_match: tf has no 'pos' column — build the index "
+            "with build_lex_index(positions=True)"
+        )
+    hits = tf.where(
+        F.col("term").isin(sorted(set(terms)))
+    ).select("__d", "term", "pos")
+    if candidates is not None:
+        hits = hits.join(
+            F.broadcast(candidates.select("__d").distinct()), "__d"
+        )
+    perdoc = hits.groupBy("__d").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("term", "pos"))
+        ).alias("__m"),
+        F.count("*").alias("__nt"),
+    ).where(F.col("__nt") == len(set(terms)))
+    acc = F.element_at(F.col("__m"), F.lit(terms[0]))
+    for i, t in enumerate(terms[1:], 1):
+        off = F.lit(i)
+        acc = F.array_intersect(
+            acc,
+            F.transform(
+                F.element_at(F.col("__m"), F.lit(t)), lambda x: x - off
+            ),
+        )
+    return perdoc.where(F.size(acc) > 0).select("__d")
+
+
+def phrase_search(
+    docs: DataFrame | None,
+    queries: dict[str, str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 10,
+    prebuilt: dict | None = None,
+    broadcast_lens: bool = True,
+) -> DataFrame:
+    """Quoted-phrase retrieval: top ``top_n`` docs per query that
+    contain the query as an EXACT phrase, ranked by BM25 over the
+    phrase's terms — ``[query_id, doc_id, score, n_hit]``.  The
+    retrieval user's ``"foo bar"`` query: recall is exact (every
+    phrase-containing doc is eligible — no candidate-pool recall
+    loss), ranking is the standard lexical score.
+
+    One corpus-stats/scoring pass shared across all queries
+    (:func:`bm25_scored`), plus one vocabulary-pruned scan of the
+    positional tf table per query for :func:`phrase_match`; the match
+    sets equi-join the score table on (query, doc).  ``prebuilt``
+    must be a POSITIONAL index (``load_lex_index`` of a
+    ``save_lex_index(positions=True)`` store); without it the corpus
+    is indexed inline with positions."""
+    if not queries:
+        raise ValueError("phrase_search: empty query set")
+    if prebuilt is None:
+        if docs is None:
+            raise ValueError("phrase_search: need docs or prebuilt")
+        tf, lens = build_lex_index(
+            docs, id_col=id_col, text_col=text_col, positions=True
+        )
+        prebuilt = {"tf": tf, "lens": lens}
+    tf = prebuilt["tf"]
+    if "pos" not in tf.columns:
+        raise ValueError(
+            "phrase_search: prebuilt index is not positional — save "
+            "with save_lex_index(..., positions=True)"
+        )
+    scored = bm25_scored(
+        None, queries, variants={"score": (k1, b)}, prebuilt=prebuilt,
+        broadcast_lens=broadcast_lens,
+    )
+    matches = None
+    for qid, phrase in sorted(queries.items()):
+        m = phrase_match(tf, phrase).select(
+            F.lit(qid).alias("query_id"), "__d"
+        )
+        matches = m if matches is None else matches.unionByName(m)
+    filtered = scored.join(matches, ["query_id", "__d"])
+    return topk_cut(filtered, score_col="score", id_col=id_col, top_n=top_n)
 
 
 def rrf_fuse(

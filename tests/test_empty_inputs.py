@@ -260,6 +260,17 @@ def _spec_bm25_search(spark):
     assert O.bm25_search(_e(spark, _DOCS), {"q": "a b"}).count() == 0
 
 
+def _spec_phrase_match(spark):
+    import cosmap_spark.operators as O
+    tf, _ = O.build_lex_index(_e(spark, _DOCS), positions=True)
+    assert O.phrase_match(tf, "a b").count() == 0
+
+
+def _spec_phrase_search(spark):
+    import cosmap_spark.operators as O
+    assert O.phrase_search(_e(spark, _DOCS), {"q": "a b"}).count() == 0
+
+
 def _spec_build_lex_index(spark):
     import cosmap_spark.operators as O
     tf, lens = O.build_lex_index(_e(spark, _DOCS))
@@ -839,6 +850,8 @@ SWEEP = {
     "doc_nll": _spec_bigram_model_and_nll,
     "perplexity_filter": _spec_perplexity_filter,
     "bm25_search": _spec_bm25_search,
+    "phrase_match": _spec_phrase_match,
+    "phrase_search": _spec_phrase_search,
     "build_lex_index": _spec_build_lex_index,
     "bpe_encode": _spec_bpe_encode,
     "bpe_pair_counts": _spec_bpe_pair_counts,

@@ -449,3 +449,52 @@ def test_lex_append_null_text_retracts_doc(spark, tmp_path):
     assert loaded["n_docs"] == 1
     got = bm25_search(None, {"q": "beta alpha"}, prebuilt=loaded).collect()
     assert {r["doc_id"] for r in got} == {2}
+
+
+def test_lex_positional_save_load_append_phrase_identity(spark, tmp_path):
+    """Positional index round trip: phrase results from a LOADED store
+    equal the in-memory path; lex_append reads the manifest flag and
+    maintains the pos column; a bag-of-words store refuses phrase
+    serving loudly."""
+    import pytest
+
+    from cosmap_spark.operators.index_store import (
+        lex_append, load_lex_index, save_lex_index,
+    )
+    from cosmap_spark.operators.retrieval import (
+        build_lex_index, phrase_search,
+    )
+
+    docs = _corpus(spark, _BASE)
+    p = str(tmp_path / "plex")
+    save_lex_index(p, *build_lex_index(docs, positions=True))
+    loaded = load_lex_index(spark, p)
+    assert loaded["positional"] is True and "pos" in loaded["tf"].columns
+
+    queries = {"q1": "quick fox", "q2": "lazy dog"}
+    mem = phrase_search(docs, queries, top_n=5)
+    disk = phrase_search(None, queries, top_n=5, prebuilt=loaded)
+    key = lambda df: sorted(  # noqa: E731
+        (r["query_id"], r["doc_id"], r["score"]) for r in df.collect()
+    )
+    assert key(mem) == key(disk) and mem.count() > 0
+
+    # append keeps positions: doc 6 adds a new 'quick fox' phrase hit
+    batch = [(6, "a very quick fox indeed")]
+    lex_append(spark, p, _corpus(spark, batch))
+    loaded2 = load_lex_index(spark, p)
+    assert loaded2["positional"] is True
+    rebuilt = phrase_search(
+        _corpus(spark, _BASE + batch), queries, top_n=5
+    )
+    served = phrase_search(None, queries, top_n=5, prebuilt=loaded2)
+    assert key(served) == key(rebuilt)
+    assert any(r["doc_id"] == 6 for r in served.collect())
+
+    # a plain store declares positional=False and refuses phrases
+    p2 = str(tmp_path / "bow")
+    save_lex_index(p2, *build_lex_index(docs))
+    bow = load_lex_index(spark, p2)
+    assert bow["positional"] is False
+    with pytest.raises(ValueError, match="positional"):
+        phrase_search(None, queries, top_n=5, prebuilt=bow)

@@ -497,3 +497,80 @@ def test_maxsim_batch_k_clamps_to_k(spark):
                for r in maxsim_topk(ddf.repartition(6), qdf, k=10, batch_k=2)
                .orderBy("rn").collect()]
     assert clamped == base
+
+
+def _py_phrase_docs(corpus: dict, phrase: str) -> set:
+    """Reference: docs whose single-space token stream contains the
+    phrase's tokens adjacently, in order."""
+    terms = [t for t in phrase.split(" ") if t]
+    out = set()
+    for d, text in corpus.items():
+        toks = text.split(" ")
+        for i in range(len(toks) - len(terms) + 1):
+            if toks[i:i + len(terms)] == terms:
+                out.add(d)
+                break
+    return out
+
+
+def test_phrase_match_differential(spark):
+    """phrase_match vs the python sliding-window reference over every
+    phrase shape: multi-term, repeated-term, single-term, cross-doc
+    absent, and bag-present-but-not-adjacent."""
+    from cosmap_spark.operators.retrieval import build_lex_index, phrase_match
+
+    corpus = {
+        1: "the cat sat on the mat",
+        2: "the mat sat on the cat",
+        3: "cat the sat mat on the",
+        4: "the cat the cat the cat",
+        5: "a cat sat quietly",
+        6: "sat the cat sat on on the mat",
+    }
+    df = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    tf, _ = build_lex_index(df, positions=True)
+    tf = tf.localCheckpoint()  # reuse across the phrase sweep
+    for phrase in ["the cat sat", "cat sat", "the cat the cat",
+                   "mat", "on the mat", "sat sat", "cat mat"]:
+        got = {r["__d"] for r in phrase_match(tf, phrase).collect()}
+        assert got == _py_phrase_docs(corpus, phrase), phrase
+    # candidates narrow the verify without changing membership
+    cand = spark.createDataFrame([(1,), (3,)], "__d long")
+    got = {
+        r["__d"]
+        for r in phrase_match(tf, "the cat sat", candidates=cand).collect()
+    }
+    assert got == {1} == _py_phrase_docs(corpus, "the cat sat") & {1, 3}
+    import pytest
+
+    with pytest.raises(ValueError, match="empty phrase"):
+        phrase_match(tf, "  ")
+    plain_tf, _ = build_lex_index(df)
+    with pytest.raises(ValueError, match="pos"):
+        phrase_match(plain_tf, "cat")
+
+
+def test_phrase_search_exact_recall_and_ranking(spark):
+    """phrase_search returns ONLY phrase-containing docs, ranked by
+    BM25 over the phrase terms — verified against _py_bm25 restricted
+    to the python phrase-match set."""
+    from cosmap_spark.operators.retrieval import phrase_search
+
+    corpus = {
+        1: "quick fox runs",
+        2: "fox quick runs",
+        3: "the quick fox quick fox den",
+        4: "quick quick fox fox",
+        5: "nothing relevant here",
+    }
+    df = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    queries = {"p1": "quick fox", "p2": "fox quick runs"}
+    got = {}
+    for r in phrase_search(df, queries, top_n=10).collect():
+        got.setdefault(r["query_id"], {})[r["doc_id"]] = r["score"]
+    for qid, phrase in queries.items():
+        want_docs = _py_phrase_docs(corpus, phrase)
+        ref = _py_bm25(corpus, " ".join(sorted(set(phrase.split()))))
+        assert set(got.get(qid, {})) == want_docs, qid
+        for d in want_docs:
+            assert abs(got[qid][d] - ref[d][0]) < 1e-9, (qid, d)
