@@ -606,9 +606,6 @@ def retrieval_eval(
 
 # --- Late-interaction (multi-vector) retrieval ----------------------------
 
-_MAXSIM_SCHEMA = "qid bigint, doc_id bigint, score double"
-
-
 def _norm_rows(m):
     """Row-normalize; zero-norm rows become zero vectors (they then
     contribute 0 similarity instead of NaN — the engine-wide zero-norm
@@ -631,6 +628,31 @@ def _seq_dot(a, b):
     return np.cumsum(a[:, None, :] * b[None, :, :], axis=-1)[..., -1]
 
 
+def _maxsim_schema(docs, id_col, queries, qid_col) -> str:
+    """Output schema carrying the NATIVE id types of both sides —
+    string doc ids (web corpora) and int ids flow through unchanged;
+    the total order (−score, id) is well-defined for both (python /
+    numpy / pandas / Spark all order strings by Unicode code point =
+    UTF-8 byte order, so local and global top-k agree)."""
+    did = docs.schema[id_col].dataType.simpleString()
+    qid = queries.schema[qid_col].dataType.simpleString()
+    for name, t in (("doc", did), ("query", qid)):
+        if t.startswith(("array", "map", "struct")):
+            raise ValueError(f"maxsim: {name} id must be scalar, got {t}")
+    return f"qid {qid}, doc_id {did}, score double"
+
+
+def _topk_by_score_id(pdf, n: int):
+    """Local top-n under the (−score, doc_id) TOTAL order — one pandas
+    sort shared by every maxsim partial so the local prune can never
+    disagree with the global window (the pq._topk_by_dist_nid rule);
+    works for int AND string ids (lexsort would choke on object
+    dtype)."""
+    return pdf.sort_values(
+        ["score", "doc_id"], ascending=[False, True], kind="stable"
+    ).head(n)
+
+
 def maxsim_topk(
     docs: DataFrame,
     queries: DataFrame,
@@ -642,6 +664,7 @@ def maxsim_topk(
     qvecs_col: str = "tvecs",
     normalize: bool = True,
     batch_k: int | None = None,
+    distributed_queries: bool = False,
 ) -> DataFrame:
     """ColBERT-style late-interaction retrieval: per query, the top-k
     documents under the MaxSim score
@@ -674,7 +697,22 @@ def maxsim_topk(
     is the exact full-corpus scorer (small corpora, oracles,
     recall measurement).  ``batch_k`` widens the per-batch local
     top-k (never narrows: values below ``k`` would drop global
-    winners, so it clamps to ``k``)."""
+    winners, so it clamps to ``k``).
+
+    ``distributed_queries=True`` is the |Q|-scale twin (the
+    ``knn_ivfpq(distributed_lut=True)`` pattern): the query table
+    never touches the driver — it broadcast-joins the doc stream and
+    a per-(doc, query) Arrow kernel scores each pair, with the same
+    per-batch local top-k bounding the exchange.  ZERO driver jobs at
+    construction (pinned in tests); results equal the closure path
+    bit-for-bit (every (doc, query) cell is an independent sequential
+    dot, so batching cannot reassociate it).  The trade: each doc's
+    token payload is replicated per query by the join — exact
+    full-corpus scoring against a LARGE query set is a block matmul
+    however expressed; past broadcast scale run the ANN stage first
+    and use ``maxsim_rerank(distributed_queries=True)``, whose joins
+    are all equi-joins.  Ids (doc and query) may be any scalar type —
+    string ids flow through natively."""
     import numpy as np
     import pandas as pd
 
@@ -682,69 +720,154 @@ def maxsim_topk(
     # more tie headroom); below k it would prune global winners and
     # make results layout-dependent, so it clamps
     n_short = max(k, batch_k) if batch_k else k
-    qrows = queries.select(qid_col, qvecs_col).collect()
-    if not qrows:
-        raise ValueError("maxsim_topk: empty query set")
-    qids = [int(r[qid_col]) for r in qrows]
-    qmats = []
-    for r in qrows:
-        toks = r[qvecs_col] or []
-        if not toks:
-            raise ValueError(f"maxsim_topk: query {r[qid_col]} has no tokens")
-        qmats.append(np.asarray(toks, dtype=np.float64))
-    dim = qmats[0].shape[1]
-    if any(m.shape[1] != dim for m in qmats):
-        raise ValueError("maxsim_topk: query token dims differ")
-    qmat = np.concatenate(qmats, axis=0)
-    if normalize:
-        qmat = _norm_rows(qmat)
-    # column group boundaries per query for the reduceat sum
-    qstarts = np.cumsum([0] + [m.shape[0] for m in qmats])[:-1]
+    out_schema = _maxsim_schema(docs, id_col, queries, qid_col)
 
-    def kernel(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            toks = pdf[vecs_col].tolist()
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
-            keep = [
-                i for i, t in enumerate(toks) if t is not None and len(t)
-            ]
-            if not keep:
-                continue
-            # Arrow hands array<array<double>> cells over as object
-            # arrays of ndarrays — stack element-wise, asarray chokes
-            mats = [
-                np.stack([np.asarray(t, dtype=np.float64) for t in toks[i]])
-                for i in keep
-            ]
-            if any(m.shape[1] != dim for m in mats):
-                raise ValueError(
-                    f"maxsim_topk: doc token dim != query dim {dim}"
+    if distributed_queries:
+        paired = docs.select(
+            F.col(id_col).alias("__did"), F.col(vecs_col).alias("__dv")
+        ).crossJoin(
+            F.broadcast(
+                queries.select(
+                    F.col(qid_col).alias("__qid"),
+                    F.col(qvecs_col).alias("__qv"),
                 )
-            dmat = np.concatenate(mats, axis=0)
-            if normalize:
-                dmat = _norm_rows(dmat)
-            sims = _seq_dot(dmat, qmat)            # (Σt_d, T_all)
-            dstarts = np.cumsum([0] + [m.shape[0] for m in mats])[:-1]
-            per_doc = np.maximum.reduceat(sims, dstarts, axis=0)
-            scores = np.add.reduceat(per_doc, qstarts, axis=1)
-            kept_ids = ids[keep]
-            out_q, out_d, out_s = [], [], []
-            top = min(n_short, scores.shape[0])
-            for qi, q in enumerate(qids):
-                col = scores[:, qi]
-                order = np.lexsort((kept_ids, -col))[:top]
-                out_q.extend([q] * len(order))
-                out_d.extend(kept_ids[order].tolist())
-                out_s.extend(col[order].tolist())
-            yield pd.DataFrame(
-                {"qid": out_q, "doc_id": out_d, "score": out_s}
             )
+        )
 
-    partial = docs.select(id_col, vecs_col).mapInPandas(
-        kernel, _MAXSIM_SCHEMA
-    )
+        def dkernel(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                outs = []
+                for qkey, grp in pdf.groupby("__qid", sort=False):
+                    qtoks = grp["__qv"].iloc[0]
+                    if qtoks is None or not len(qtoks):
+                        raise ValueError(
+                            f"maxsim_topk: query {qkey} has no tokens"
+                        )
+                    qm = np.stack(
+                        [np.asarray(t, dtype=np.float64) for t in qtoks]
+                    )
+                    if normalize:
+                        qm = _norm_rows(qm)
+                    toks = grp["__dv"].tolist()
+                    ids = grp["__did"].to_numpy()
+                    keep = [
+                        i for i, t in enumerate(toks)
+                        if t is not None and len(t)
+                    ]
+                    if not keep:
+                        continue
+                    mats = [
+                        np.stack(
+                            [np.asarray(t, dtype=np.float64)
+                             for t in toks[i]]
+                        )
+                        for i in keep
+                    ]
+                    if any(m.shape[1] != qm.shape[1] for m in mats):
+                        raise ValueError(
+                            "maxsim_topk: doc token dim != query dim "
+                            f"{qm.shape[1]}"
+                        )
+                    dmat = np.concatenate(mats, axis=0)
+                    if normalize:
+                        dmat = _norm_rows(dmat)
+                    sims = _seq_dot(dmat, qm)          # (Σt_d, t_q)
+                    dstarts = np.cumsum(
+                        [0] + [m.shape[0] for m in mats]
+                    )[:-1]
+                    per_doc = np.maximum.reduceat(sims, dstarts, axis=0)
+                    # sequential over query tokens — the rerank-kernel
+                    # cumsum form, pinned bit-equal to the closure
+                    # path's add.reduceat by the full-scan ≡ rerank
+                    # equality tests
+                    scores = np.cumsum(per_doc, axis=1)[:, -1]
+                    outs.append(
+                        _topk_by_score_id(
+                            pd.DataFrame({
+                                "qid": [qkey] * len(keep),
+                                "doc_id": ids[keep],
+                                "score": scores,
+                            }),
+                            min(n_short, len(keep)),
+                        )
+                    )
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        partial = paired.mapInPandas(dkernel, out_schema)
+    else:
+        qrows = queries.select(qid_col, qvecs_col).collect()
+        if not qrows:
+            raise ValueError("maxsim_topk: empty query set")
+        qids = [r[qid_col] for r in qrows]
+        qmats = []
+        for r in qrows:
+            toks = r[qvecs_col] or []
+            if not toks:
+                raise ValueError(
+                    f"maxsim_topk: query {r[qid_col]} has no tokens"
+                )
+            qmats.append(np.asarray(toks, dtype=np.float64))
+        dim = qmats[0].shape[1]
+        if any(m.shape[1] != dim for m in qmats):
+            raise ValueError("maxsim_topk: query token dims differ")
+        qmat = np.concatenate(qmats, axis=0)
+        if normalize:
+            qmat = _norm_rows(qmat)
+        # column group boundaries per query for the reduceat sum
+        qstarts = np.cumsum([0] + [m.shape[0] for m in qmats])[:-1]
+
+        def kernel(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                toks = pdf[vecs_col].tolist()
+                ids = pdf[id_col].to_numpy()
+                keep = [
+                    i for i, t in enumerate(toks) if t is not None and len(t)
+                ]
+                if not keep:
+                    continue
+                # Arrow hands array<array<double>> cells over as object
+                # arrays of ndarrays — stack element-wise, asarray chokes
+                mats = [
+                    np.stack(
+                        [np.asarray(t, dtype=np.float64) for t in toks[i]]
+                    )
+                    for i in keep
+                ]
+                if any(m.shape[1] != dim for m in mats):
+                    raise ValueError(
+                        f"maxsim_topk: doc token dim != query dim {dim}"
+                    )
+                dmat = np.concatenate(mats, axis=0)
+                if normalize:
+                    dmat = _norm_rows(dmat)
+                sims = _seq_dot(dmat, qmat)            # (Σt_d, T_all)
+                dstarts = np.cumsum([0] + [m.shape[0] for m in mats])[:-1]
+                per_doc = np.maximum.reduceat(sims, dstarts, axis=0)
+                scores = np.add.reduceat(per_doc, qstarts, axis=1)
+                kept_ids = ids[keep]
+                outs = []
+                top = min(n_short, scores.shape[0])
+                for qi, q in enumerate(qids):
+                    outs.append(
+                        _topk_by_score_id(
+                            pd.DataFrame({
+                                "qid": [q] * len(kept_ids),
+                                "doc_id": kept_ids,
+                                "score": scores[:, qi],
+                            }),
+                            top,
+                        )
+                    )
+                yield pd.concat(outs, ignore_index=True)
+
+        partial = docs.select(id_col, vecs_col).mapInPandas(
+            kernel, out_schema
+        )
     w = Window.partitionBy("qid").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )
@@ -765,6 +888,7 @@ def maxsim_rerank(
     qid_col: str = "qid",
     qvecs_col: str = "tvecs",
     normalize: bool = True,
+    distributed_queries: bool = False,
 ) -> DataFrame:
     """MaxSim-score an ANN SHORTLIST — the 100 TB serving shape for
     late interaction: a cheap first stage (e.g. ``knn.knn_lsh`` /
@@ -775,19 +899,20 @@ def maxsim_rerank(
     corpus-sized).  Returns ``[qid, doc_id, score, rn]`` re-ranked by
     exact MaxSim with the same zero-norm/sequential-sum contract as
     :func:`maxsim_topk` (equality on the overlap pinned in
-    tests/test_retrieval.py)."""
+    tests/test_retrieval.py).
+
+    ``distributed_queries=True`` removes the driver-side query
+    collect: the query token table joins the candidate frame by a
+    second EQUI-join on qid, so BOTH data paths distribute and |Q|
+    is unbounded — the genuinely-scalable late-interaction serve
+    (shortlist equi-join on doc_id × query equi-join on qid; zero
+    driver jobs at construction, pinned in tests).  Ids (doc and
+    query) may be any scalar type — string ids flow through
+    natively on both paths."""
     import numpy as np
     import pandas as pd
 
-    qrows = queries.select(qid_col, qvecs_col).collect()
-    qmap = {}
-    for r in qrows:
-        toks = r[qvecs_col] or []
-        if not toks:
-            raise ValueError(f"maxsim_rerank: query {r[qid_col]} has no tokens")
-        m = np.asarray(toks, dtype=np.float64)
-        qmap[int(r[qid_col])] = _norm_rows(m) if normalize else m
-
+    out_schema = _maxsim_schema(docs, id_col, queries, qid_col)
     cand = shortlist.select(
         F.col(qid_col).alias("qid"), F.col(id_col).alias("doc_id")
     ).join(
@@ -797,40 +922,89 @@ def maxsim_rerank(
         "doc_id",
     )
 
-    def kernel(batches):
-        # shortlist-sized input: a python loop over rows is bounded by
-        # |Q|·k, the documented imperative exception (per-row matrices
-        # are tokens×dim — tiny)
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            out_q, out_d, out_s = [], [], []
-            for q, d, tv in zip(pdf["qid"], pdf["doc_id"], pdf["__tv"]):
-                qm = qmap.get(int(q))
-                if qm is None or tv is None or not len(tv):
-                    continue
-                dm = np.stack(
-                    [np.asarray(t, dtype=np.float64) for t in tv]
-                )
-                if normalize:
-                    dm = _norm_rows(dm)
-                sims = _seq_dot(dm, qm)
-                # SEQUENTIAL sum over query tokens (cumsum), exactly
-                # like maxsim_topk's np.add.reduceat: numpy .sum()
-                # switches to pairwise past 8 elements and the two
-                # paths' scores would drift by ulps on real (>8-token)
-                # queries, breaking the pinned full-scan ≡ rerank
-                # equality (CLAUDE.md sequential-sum rule)
-                mx = sims.max(axis=0)
-                out_q.append(int(q))
-                out_d.append(int(d))
-                out_s.append(float(np.cumsum(mx)[-1]))
-            if out_q:
-                yield pd.DataFrame(
-                    {"qid": out_q, "doc_id": out_d, "score": out_s}
-                )
+    def score_one(qm, tv):
+        dm = np.stack([np.asarray(t, dtype=np.float64) for t in tv])
+        if normalize:
+            dm = _norm_rows(dm)
+        sims = _seq_dot(dm, qm)
+        # SEQUENTIAL sum over query tokens (cumsum), exactly
+        # like maxsim_topk's np.add.reduceat: numpy .sum()
+        # switches to pairwise past 8 elements and the two
+        # paths' scores would drift by ulps on real (>8-token)
+        # queries, breaking the pinned full-scan ≡ rerank
+        # equality (CLAUDE.md sequential-sum rule)
+        mx = sims.max(axis=0)
+        return float(np.cumsum(mx)[-1])
 
-    scored = cand.mapInPandas(kernel, _MAXSIM_SCHEMA)
+    if distributed_queries:
+        cand = cand.join(
+            queries.select(
+                F.col(qid_col).alias("qid"),
+                F.col(qvecs_col).alias("__qv"),
+            ),
+            "qid",
+        )
+
+        def kernel(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                out_q, out_d, out_s = [], [], []
+                for q, d, tv, qv in zip(
+                    pdf["qid"], pdf["doc_id"], pdf["__tv"], pdf["__qv"]
+                ):
+                    if qv is None or not len(qv):
+                        raise ValueError(
+                            f"maxsim_rerank: query {q} has no tokens"
+                        )
+                    if tv is None or not len(tv):
+                        continue
+                    qm = np.stack(
+                        [np.asarray(t, dtype=np.float64) for t in qv]
+                    )
+                    if normalize:
+                        qm = _norm_rows(qm)
+                    out_q.append(q)
+                    out_d.append(d)
+                    out_s.append(score_one(qm, tv))
+                if out_q:
+                    yield pd.DataFrame(
+                        {"qid": out_q, "doc_id": out_d, "score": out_s}
+                    )
+
+    else:
+        qrows = queries.select(qid_col, qvecs_col).collect()
+        qmap = {}
+        for r in qrows:
+            toks = r[qvecs_col] or []
+            if not toks:
+                raise ValueError(
+                    f"maxsim_rerank: query {r[qid_col]} has no tokens"
+                )
+            m = np.asarray(toks, dtype=np.float64)
+            qmap[r[qid_col]] = _norm_rows(m) if normalize else m
+
+        def kernel(batches):
+            # shortlist-sized input: a python loop over rows is bounded
+            # by |Q|·k, the documented imperative exception (per-row
+            # matrices are tokens×dim — tiny)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                out_q, out_d, out_s = [], [], []
+                for q, d, tv in zip(pdf["qid"], pdf["doc_id"], pdf["__tv"]):
+                    qm = qmap.get(q)
+                    if qm is None or tv is None or not len(tv):
+                        continue
+                    out_q.append(q)
+                    out_d.append(d)
+                    out_s.append(score_one(qm, tv))
+                if out_q:
+                    yield pd.DataFrame(
+                        {"qid": out_q, "doc_id": out_d, "score": out_s}
+                    )
+
+    scored = cand.mapInPandas(kernel, out_schema)
     w = Window.partitionBy("qid").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )

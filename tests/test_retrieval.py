@@ -574,3 +574,91 @@ def test_phrase_search_exact_recall_and_ranking(spark):
         assert set(got.get(qid, {})) == want_docs, qid
         for d in want_docs:
             assert abs(got[qid][d] - ref[d][0]) < 1e-9, (qid, d)
+
+
+def test_maxsim_distributed_queries_equals_closure(spark):
+    """distributed_queries=True must equal the closure path EXACTLY
+    (scores to the emitted 6dp, ranks identical) on both maxsim_topk
+    and maxsim_rerank, across partition layouts — and construct with
+    ZERO driver jobs (the knn_ivfpq(distributed_lut=True) plan gate)."""
+    import numpy as np
+
+    from cosmap_spark.operators.retrieval import maxsim_rerank, maxsim_topk
+
+    rng = np.random.default_rng(23)
+    docs = [(i, rng.normal(0, 1, (4, 8)).tolist()) for i in range(50)]
+    queries = [(0, rng.normal(0, 1, (3, 8)).tolist()),
+               (1, rng.normal(0, 1, (11, 8)).tolist())]  # >8 tokens
+    ddf = _token_frame(spark, docs).localCheckpoint()
+    qdf = _token_frame(spark, queries, name="qid").localCheckpoint()
+
+    def rows(df):
+        return sorted(
+            (r["qid"], r["doc_id"], r["score"], r["rn"])
+            for r in df.collect()
+        )
+
+    # the shortlist comes from the closure path (collects queries), so
+    # freeze it BEFORE the zero-jobs window
+    short = maxsim_topk(ddf, qdf, k=20).select(
+        "qid", "doc_id"
+    ).localCheckpoint()
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None))
+    dist = maxsim_topk(
+        ddf.repartition(5), qdf, k=7, distributed_queries=True
+    )
+    dist_rr = maxsim_rerank(short, ddf, qdf, distributed_queries=True)
+    assert len(tracker.getJobIdsForGroup(None)) == before, (
+        "distributed maxsim construction must not run driver jobs"
+    )
+    # the closure twins (these DO collect queries)
+    clos = maxsim_topk(ddf.repartition(2), qdf, k=7)
+    clos_rr = maxsim_rerank(short, ddf, qdf)
+    assert rows(dist) == rows(clos)
+    assert rows(dist_rr) == rows(clos_rr)
+
+
+def test_maxsim_string_ids(spark):
+    """String doc AND query ids flow through both paths natively —
+    the web-corpus shape the int-cast used to reject — with the same
+    (−score, id) tie order as the reference."""
+    import numpy as np
+
+    from cosmap_spark.operators.retrieval import maxsim_rerank, maxsim_topk
+
+    rng = np.random.default_rng(5)
+    docs = [(f"url/{i:02d}", rng.normal(0, 1, (3, 6)).tolist())
+            for i in range(20)]
+    # two identical docs to exercise the string tie-break
+    docs.append(("url/aa", docs[0][1]))
+    queries = [("qA", rng.normal(0, 1, (2, 6)).tolist())]
+    ddf = spark.createDataFrame(docs, "doc_id string, tvecs array<array<double>>")
+    qdf = spark.createDataFrame(queries, "qid string, tvecs array<array<double>>")
+    want = sorted(
+        ((-_maxsim_ref(dt, queries[0][1]), d) for d, dt in docs)
+    )[:5]
+    got = sorted(
+        maxsim_topk(ddf, qdf, k=5).collect(), key=lambda r: r["rn"]
+    )
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (d, round(-s, 6)) for s, d in want
+    ]
+    assert all(r["qid"] == "qA" for r in got)
+    # distributed twins agree on string ids too
+    got_d = sorted(
+        maxsim_topk(ddf, qdf, k=5, distributed_queries=True).collect(),
+        key=lambda r: r["rn"],
+    )
+    assert [(r["doc_id"], r["score"]) for r in got_d] == [
+        (d, round(-s, 6)) for s, d in want
+    ]
+    short = spark.createDataFrame(
+        [("qA", d) for d, _ in docs[:8]], "qid string, doc_id string"
+    )
+    rr = maxsim_rerank(short, ddf, qdf)
+    rr_d = maxsim_rerank(short, ddf, qdf, distributed_queries=True)
+    key = lambda df: sorted(  # noqa: E731
+        (r["qid"], r["doc_id"], r["score"], r["rn"]) for r in df.collect()
+    )
+    assert key(rr) == key(rr_d) and rr.count() == 8
