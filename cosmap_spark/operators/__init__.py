@@ -130,6 +130,8 @@ from cosmap_spark.operators.diff import (  # noqa: F401
     category_drift,
     corpus_diff,
     diff_summary,
+    drift_bin_counts,
+    drift_reference,
     snapshot_drift,
 )
 from cosmap_spark.operators.funnel import (  # noqa: F401

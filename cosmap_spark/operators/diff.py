@@ -137,6 +137,117 @@ _NUMERIC_BASES = {
 }
 
 
+def _stack_numeric(df: DataFrame, cols: list[str], side: str) -> DataFrame:
+    """Stack numeric columns to (side, column, value double) map-side —
+    the fixed-pass drift layout; NULL values dropped (no bin)."""
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(c).cast("double").alias("value"),
+        )
+        for c in cols
+    ]
+    return df.select(F.explode(F.array(*structs)).alias("s")).select(
+        F.lit(side).alias("side"),
+        F.col("s.column").alias("column"),
+        F.col("s.value").alias("value"),
+    ).where(F.col("value").isNotNull())
+
+
+def _bin_chain(cols: list[str], bounds: dict[str, list[float]]):
+    """When-chain mapping the stacked ``column`` to its literal
+    boundary array — evaluated once per row, outside any lambda."""
+    barr = F.when(
+        F.col("column") == cols[0],
+        F.array(*[F.lit(b) for b in bounds[cols[0]]]),
+    )
+    for c in cols[1:]:
+        barr = barr.when(
+            F.col("column") == c, F.array(*[F.lit(b) for b in bounds[c]])
+        )
+    return barr
+
+
+def _lit_chain(cols: list[str], values: dict[str, float]):
+    """When-chain mapping ``column`` to a double literal per column."""
+    out = F.when(F.col("column") == cols[0], F.lit(float(values[cols[0]])))
+    for c in cols[1:]:
+        out = out.when(F.col("column") == c, F.lit(float(values[c])))
+    return out
+
+
+def drift_bin_counts(
+    df: DataFrame, cols: list[str], bounds: dict[str, list[float]]
+) -> DataFrame:
+    """One-sided equi-depth binning against FROZEN boundaries —
+    ``[column, bin, n]``, only non-empty bins (map-side stack + one
+    groupBy).  The per-batch kernel of the streaming drift monitor
+    (``streaming.ops.drift_stream``): counts are exact integers, so
+    accumulating them across micro-batches and re-deriving PSI gives
+    BIT-identical results to :func:`snapshot_drift` over the
+    concatenated data (the stream ≡ batch differential)."""
+    missing = [c for c in cols if c not in bounds]
+    if missing:
+        raise ValueError(f"drift_bin_counts: no boundaries for {missing}")
+    return (
+        _stack_numeric(df, cols, "x")
+        .select(
+            "column",
+            F.size(
+                F.filter(_bin_chain(cols, bounds), lambda b: b < F.col("value"))
+            ).cast("long").alias("bin"),
+        )
+        .groupBy("column", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def drift_reference(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    bins: int = 10,
+    relative_error: float | None = None,
+) -> tuple[dict[str, list[float]], DataFrame]:
+    """Freeze a drift REFERENCE from a snapshot: per-column equi-depth
+    boundaries (one aggregation for ALL columns — exact ``percentile``
+    by default, the ``percentile_approx`` sketch with
+    ``relative_error`` at scale) plus the snapshot's own bin counts
+    (:func:`drift_bin_counts` against those boundaries).  Returns
+    ``(bounds, counts)``; raises if any column has no non-null rows
+    (no distribution to freeze).  This is the setup half of the
+    streaming drift monitor; :func:`snapshot_drift` fuses the same
+    steps with the new-side counts for the one-shot batch compare."""
+    if bins < 2:
+        raise ValueError(f"need bins >= 2; got {bins}")
+    if not cols:
+        raise ValueError("drift_reference: no columns given")
+    probs = [i / bins for i in range(1, bins)]
+    aggs = []
+    for c in cols:
+        if relative_error is None:
+            bexpr = F.expr(
+                f"percentile(`{c}`, array({', '.join(map(str, probs))}))"
+            )
+        else:
+            bexpr = F.percentile_approx(
+                c, F.array(*[F.lit(p) for p in probs]),
+                int(1.0 / relative_error),
+            )
+        aggs.append(bexpr.alias(f"__b__{c}"))
+        aggs.append(F.count(F.col(c)).alias(f"__n__{c}"))
+    row = df.agg(*aggs).collect()[0].asDict()
+    bounds: dict[str, list[float]] = {}
+    for c in cols:
+        if row[f"__n__{c}"] == 0:
+            raise ValueError(
+                f"drift_reference: column {c!r} has no non-null rows — "
+                "no distribution to freeze"
+            )
+        bounds[c] = [float(x) for x in row[f"__b__{c}"]]
+    return bounds, drift_bin_counts(df, cols, bounds)
+
+
 def _psi_terms(pa, pb, eps: float):
     """Shared PSI arithmetic: clamped shares → (p_old, p_new,
     psi_term) select expressions.  ``pa``/``pb`` must be double
@@ -249,34 +360,16 @@ def snapshot_drift(
     # map-side, bin against the literal boundaries (a when-chain
     # selecting the column's array — evaluated once per row, outside
     # any lambda), count both sides in ONE groupBy
-    def stacked(df: DataFrame, side: str) -> DataFrame:
-        structs = [
-            F.struct(
-                F.lit(c).alias("column"),
-                F.col(c).cast("double").alias("value"),
-            )
-            for c in cols
-        ]
-        return df.select(F.explode(F.array(*structs)).alias("s")).select(
-            F.lit(side).alias("side"),
-            F.col("s.column").alias("column"),
-            F.col("s.value").alias("value"),
-        ).where(F.col("value").isNotNull())
-
-    barr = F.when(
-        F.col("column") == cols[0],
-        F.array(*[F.lit(b) for b in bounds[cols[0]]]),
+    both = _stack_numeric(old, cols, "o").unionByName(
+        _stack_numeric(new, cols, "n")
     )
-    for c in cols[1:]:
-        barr = barr.when(
-            F.col("column") == c, F.array(*[F.lit(b) for b in bounds[c]])
-        )
-    both = stacked(old, "o").unionByName(stacked(new, "n"))
     counts = (
         both.select(
             "side", "column",
             F.size(
-                F.filter(barr, lambda b: b < F.col("value"))
+                F.filter(
+                    _bin_chain(cols, bounds), lambda b: b < F.col("value")
+                )
             ).cast("long").alias("bin"),
         )
         .groupBy("column", "bin")
@@ -301,11 +394,8 @@ def snapshot_drift(
         F.coalesce("n_old", F.lit(0).cast("long")).alias("n_old"),
         F.coalesce("n_new", F.lit(0).cast("long")).alias("n_new"),
     )
-    ta = F.when(F.col("column") == cols[0], F.lit(float(totals[cols[0]][0])))
-    tb = F.when(F.col("column") == cols[0], F.lit(float(totals[cols[0]][1])))
-    for c in cols[1:]:
-        ta = ta.when(F.col("column") == c, F.lit(float(totals[c][0])))
-        tb = tb.when(F.col("column") == c, F.lit(float(totals[c][1])))
+    ta = _lit_chain(cols, {c: totals[c][0] for c in cols})
+    tb = _lit_chain(cols, {c: totals[c][1] for c in cols})
     pa = F.col("n_old").cast("double") / ta
     pb = F.col("n_new").cast("double") / tb
     return j.select(

@@ -12,6 +12,9 @@ cosmap_spark/queries/streaming_q.py (the oracle can't run streams).
 
 from cosmap_spark.streaming.ops import (  # noqa: F401
     changepoint_stream,
+    drift_alarms,
+    drift_state,
+    drift_stream,
     enrich_with_dimension,
     events_stream,
     funnel_stream,

@@ -899,6 +899,195 @@ def sketch_stream(stream_df: DataFrame, store_path: str, checkpoint: str,
     )
 
 
+def drift_stream(stream_df: DataFrame, store_path: str, checkpoint: str,
+                 *, cols: list[str], reference: DataFrame | None = None,
+                 bins: int = 10,
+                 relative_error: float | None = None):
+    """The LIVE member of the drift family (batch twins:
+    ``operators.diff.snapshot_drift`` / ``category_drift``;
+    changepoints: ``changepoint_stream``): maintain per-(column, bin)
+    counts of an unbounded stream against a FROZEN reference
+    distribution, so PSI is readable any time without scanning
+    history.
+
+    First start freezes the reference: ``drift_reference`` computes
+    per-column equi-depth boundaries + the reference's own bin counts
+    from ``reference`` (pass ``relative_error`` for the sketch
+    quantiles at scale) and persists them under ``store_path/ref``
+    with the boundaries in a ``_drift_meta`` sidecar INSIDE the dir
+    (same atomic write as the data — the sketch_stream k-sidecar
+    discipline).  Subsequent starts REUSE the stored reference — that
+    is what frozen means — and ``reference`` may be ``None``;
+    passing different ``cols``/``bins`` than the store records
+    refuses loudly.
+
+    Each micro-batch is binned against the frozen boundaries
+    (``operators.diff.drift_bin_counts`` — map-side stack + one tiny
+    groupBy) and merged into ``store_path/counts`` by integer
+    addition over O(cols·bins) rows — history is never re-scanned.
+    Exactly-once via the epoch ledger (replayed epochs skip), and
+    because the merge is plain integer addition over exact counts,
+    the monitor state is BIT-identical to a one-shot batch over the
+    concatenated stream: ``drift_state(spark, store)`` ≡
+    ``snapshot_drift(reference, all_data, cols)`` row-for-row,
+    including the psi doubles (asserted in tests/test_streaming.py).
+
+    Read with :func:`drift_state` (the snapshot_drift-shaped table)
+    or :func:`drift_alarms` (per-column PSI vs a threshold).  Same
+    driver-local-filesystem durability contract as ``sketch_stream``.
+    """
+    import json as _json
+    import os
+
+    from cosmap_spark.operators.diff import drift_bin_counts, drift_reference
+    from cosmap_spark.sinks.writers import (
+        _refuse_interrupted_swap,
+        _require_local,
+        _swap_in,
+    )
+
+    _require_local(store_path, "drift_stream")
+    ref_dir = os.path.join(store_path, "ref")
+    meta_file = os.path.join(ref_dir, "_drift_meta")
+    if os.path.exists(ref_dir):
+        with open(meta_file) as f:
+            meta = _json.load(f)
+        if meta["cols"] != list(cols) or meta["bins"] != bins:
+            raise ValueError(
+                f"drift_stream: store at {store_path} was frozen with "
+                f"cols={meta['cols']}, bins={meta['bins']}; resume "
+                f"requested cols={list(cols)}, bins={bins}"
+            )
+        bounds = {c: [float(x) for x in meta["bounds"][c]] for c in cols}
+    else:
+        if reference is None:
+            raise ValueError(
+                "drift_stream: no frozen reference at "
+                f"{store_path} — pass reference= on first start"
+            )
+        bounds, ref_counts = drift_reference(
+            reference, cols, bins=bins, relative_error=relative_error
+        )
+        import uuid as _uuid
+
+        tmp = f"{ref_dir}.__init_tmp_{_uuid.uuid4().hex}"
+        ref_counts.write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, "_drift_meta"), "w") as f:
+            _json.dump(
+                {"cols": list(cols), "bins": bins, "bounds": bounds}, f
+            )
+        os.makedirs(store_path, exist_ok=True)
+        os.rename(tmp, ref_dir)
+
+    def run(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ledger = os.path.join(store_path, "_epochs")
+        done_marker = os.path.join(ledger, f"epoch-{epoch_id}")
+        if os.path.exists(done_marker):
+            return  # replayed epoch: counts already include it
+        batch = drift_bin_counts(batch_df, cols, bounds)
+        counts_dir = os.path.join(store_path, "counts")
+        _refuse_interrupted_swap(counts_dir)
+        if os.path.exists(counts_dir):
+            old = spark.read.parquet(counts_dir)
+            merged = (
+                old.unionByName(batch)
+                .groupBy("column", "bin")
+                .agg(F.sum("n").cast("long").alias("n"))
+            )
+            _swap_in(counts_dir, merged)
+        else:
+            import uuid as _uuid
+
+            tmp = f"{counts_dir}.__init_tmp_{_uuid.uuid4().hex}"
+            batch.write.mode("overwrite").parquet(tmp)
+            os.rename(tmp, counts_dir)
+        os.makedirs(ledger, exist_ok=True)
+        with open(done_marker, "w") as f:
+            f.write("ok")
+
+    return (
+        stream_df.writeStream.foreachBatch(run)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def drift_state(spark: SparkSession, store_path: str) -> DataFrame:
+    """The live PSI table of a :func:`drift_stream` store — EXACTLY
+    ``snapshot_drift``'s shape and floats:
+    ``[column, bin, n_old, n_new, p_old, p_new, psi_term]`` with
+    n_old = the frozen reference's bin counts and n_new = everything
+    streamed so far (every bin present, zero counts included).  The
+    store is O(cols·bins), so this reads and assembles driver-side;
+    a column whose streamed rows are all NULL so far raises the same
+    no-distribution error as the batch operator."""
+    import json as _json
+    import os
+
+    from cosmap_spark.operators.diff import _lit_chain, _psi_terms
+
+    with open(os.path.join(store_path, "ref", "_drift_meta")) as f:
+        meta = _json.load(f)
+    cols, bins = meta["cols"], meta["bins"]
+    ref = {
+        (r["column"], r["bin"]): r["n"]
+        for r in spark.read.parquet(
+            os.path.join(store_path, "ref")
+        ).collect()
+    }
+    counts_dir = os.path.join(store_path, "counts")
+    new = (
+        {
+            (r["column"], r["bin"]): r["n"]
+            for r in spark.read.parquet(counts_dir).collect()
+        }
+        if os.path.exists(counts_dir)
+        else {}
+    )
+    totals_a = {c: sum(v for (cc, _), v in ref.items() if cc == c)
+                for c in cols}
+    totals_b = {c: sum(v for (cc, _), v in new.items() if cc == c)
+                for c in cols}
+    for c in cols:
+        if totals_b[c] == 0:
+            raise ValueError(
+                f"drift_state: column {c!r} has no non-null rows on "
+                "the new side — no distribution to compare"
+            )
+    rows = [
+        (c, b, int(ref.get((c, b), 0)), int(new.get((c, b), 0)))
+        for c in cols
+        for b in range(bins)
+    ]
+    j = spark.createDataFrame(
+        rows, "column string, bin long, n_old long, n_new long"
+    )
+    pa = F.col("n_old").cast("double") / _lit_chain(cols, totals_a)
+    pb = F.col("n_new").cast("double") / _lit_chain(cols, totals_b)
+    return j.select(
+        "column", "bin", "n_old", "n_new", *_psi_terms(pa, pb, 1e-6)
+    )
+
+
+def drift_alarms(
+    spark: SparkSession, store_path: str, *, threshold: float = 0.25
+) -> DataFrame:
+    """Per-column PSI verdicts of a :func:`drift_stream` store —
+    ``[column, psi, alarmed]`` (alarmed = psi > threshold; the usual
+    reading: < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted)."""
+    return (
+        drift_state(spark, store_path)
+        .groupBy("column")
+        .agg(F.round(F.sum("psi_term"), 6).alias("psi"))
+        .select(
+            "column", "psi",
+            (F.col("psi") > F.lit(float(threshold))).alias("alarmed"),
+        )
+    )
+
+
 def heavy_hitters_stream(stream_df: DataFrame, store_path: str,
                          checkpoint: str, *, key_col: str, k: int = 64):
     """Streaming maintenance of a persisted Misra-Gries counter store

@@ -460,6 +460,20 @@ def _spec_category_drift(spark):
         out.collect()
 
 
+def _spec_drift_reference(spark):
+    import cosmap_spark.operators as O
+    # empty reference raises by design (no distribution to freeze);
+    # binning an EMPTY batch against frozen bounds is fine (0 rows)
+    full = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, x double")
+    with pytest.raises(ValueError, match="no non-null rows"):
+        O.drift_reference(_e(spark, "k long, x double"), ["x"])
+    bounds, counts = O.drift_reference(full, ["x"], bins=2)
+    assert counts.count() > 0
+    assert O.drift_bin_counts(
+        _e(spark, "k long, x double"), ["x"], bounds
+    ).count() == 0
+
+
 def _spec_snapshot_drift(spark):
     import pytest
 
@@ -881,6 +895,8 @@ SWEEP = {
     "group_kfold_assign": _spec_group_kfold,
     "kfold_assign": _spec_group_kfold,
     "category_drift": _spec_category_drift,
+    "drift_bin_counts": _spec_drift_reference,
+    "drift_reference": _spec_drift_reference,
     "snapshot_drift": _spec_snapshot_drift,
     "maxsim_topk": _spec_maxsim,
     "maxsim_rerank": _spec_maxsim,
