@@ -482,14 +482,14 @@ def _local_topk(n_short: int):
     (the round-4 verdict's largest-exchange finding).  Top-k under a
     total order is associative, so local-then-global is exact."""
 
+    from cosmap_spark.operators.topk import topk_pandas
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
                 continue
-            yield (
-                pdf.sort_values(["qid", "dist", "nid"])
-                .groupby("qid", sort=False)
-                .head(n_short)
+            yield topk_pandas(
+                pdf, ["qid"], [("dist", True), ("nid", True)], n_short
             )
 
     return fn
@@ -555,9 +555,11 @@ def _topk_by_dist_nid(dists: np.ndarray, nids: np.ndarray, k: int) -> np.ndarray
     the global (dist, nid) window cannot recover a candidate a batch
     already dropped — making results partition-layout dependent.
     Top-k under a total order is associative, so lexsort-based local
-    top-k is exactly safe."""
-    order = np.lexsort((nids, dists))
-    return order[:k]
+    top-k is exactly safe.  Contract and kernel live in
+    ``operators.topk`` (the engine's one local-top-k)."""
+    from cosmap_spark.operators.topk import topk_indices
+
+    return topk_indices((dists, nids), k)
 
 
 def _adc_scorer(qids: np.ndarray, luts: np.ndarray, k: int):

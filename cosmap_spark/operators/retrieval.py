@@ -643,14 +643,13 @@ def _maxsim_schema(docs, id_col, queries, qid_col) -> str:
 
 
 def _topk_by_score_id(pdf, n: int):
-    """Local top-n under the (−score, doc_id) TOTAL order — one pandas
-    sort shared by every maxsim partial so the local prune can never
-    disagree with the global window (the pq._topk_by_dist_nid rule);
-    works for int AND string ids (lexsort would choke on object
-    dtype)."""
-    return pdf.sort_values(
-        ["score", "doc_id"], ascending=[False, True], kind="stable"
-    ).head(n)
+    """Local top-n under the (−score, doc_id) TOTAL order — the shared
+    ``operators.topk`` kernel, so the local prune can never disagree
+    with the global window; works for int AND string ids (lexsort
+    would choke on object dtype)."""
+    from cosmap_spark.operators.topk import topk_pandas
+
+    return topk_pandas(pdf, [], [("score", False), ("doc_id", True)], n)
 
 
 def maxsim_topk(

@@ -150,27 +150,23 @@ def grouped_topk(
             "total order — without it the local prune is partition-layout "
             "dependent on ties; pass a unique id column"
         )
-    na_pos = "first" if ascending else "last"
+    from cosmap_spark.operators.topk import topk_pandas
+
+    order = [(order_col, ascending)] + [(t, True) for t in tie_cols]
 
     def prune(batches):
-        # two stable sorts, least-significant key first: pandas'
-        # na_position is one value for ALL sort columns, but the window
-        # orders tie_cols asc_nulls_FIRST while a descending order_col
-        # is desc_nulls_LAST — a single sort_values call cannot express
+        # successive stable sorts least-significant key first (the
+        # shared topk_pandas kernel): pandas' na_position is one value
+        # for ALL sort columns, but the window orders tie_cols
+        # asc_nulls_FIRST while a descending order_col is
+        # desc_nulls_LAST — a single sort_values call cannot express
         # that mix, and using the order col's na_position for the tie
         # columns made the prune drop NULL-tie rows the window ranks
         # first (partition-layout-dependent results on such ties)
         for pdf in batches:
             if not len(pdf):
                 continue
-            s = pdf.sort_values(
-                tie_cols, ascending=True, na_position="first", kind="stable"
-            )
-            s = s.sort_values(
-                order_col, ascending=ascending, na_position=na_pos,
-                kind="stable",
-            )
-            yield s.groupby(keys, sort=False, dropna=False).head(k)
+            yield topk_pandas(pdf, keys, order, k)
 
     pruned = df.mapInPandas(prune, df.schema)
     order = (

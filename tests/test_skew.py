@@ -310,3 +310,40 @@ def test_grouped_topk_null_tie_descending_layout_independent(spark):
             key=lambda t: t[0],
         )
         assert got == want, got
+
+
+def test_shared_topk_kernel_contract():
+    """operators.topk — the one local-top-k: NULL placement mirrors
+    Spark's window defaults per column (asc→first, desc→last), string
+    ids order by code point, and the numpy fast path agrees with the
+    pandas form on numeric all-ascending orders."""
+    import numpy as np
+    import pandas as pd
+
+    from cosmap_spark.operators.topk import topk_indices, topk_pandas
+
+    pdf = pd.DataFrame({
+        "g": [1, 1, 1, 1, 2, 2],
+        "s": [5.0, None, 5.0, 1.0, 2.0, None],
+        "t": ["b", "a", "a", "c", "x", "y"],
+    })
+    # desc score (nulls last), tie asc: group 1 keeps the two 5.0s,
+    # tied rows resolved by t asc ("a" before "b"); NULL s never beats
+    # a real score
+    out = topk_pandas(pdf, ["g"], [("s", False), ("t", True)], 2)
+    got = [(r.g, r.s, r.t) for r in out.itertuples()]
+    assert (1, 5.0, "a") in got and (1, 5.0, "b") in got
+    assert (2, 2.0, "x") in got
+    assert all(not (g == 1 and pd.isna(s)) for g, s, _ in got)
+    # asc with nulls-first: the NULL row wins ascending order
+    out2 = topk_pandas(pdf, ["g"], [("s", True), ("t", True)], 1)
+    assert [(r.g, r.t) for r in out2.itertuples() if r.g == 1] == [(1, "a")]
+    # ungrouped + numpy twin
+    d = np.array([3.0, 1.0, 1.0, 2.0])
+    i = np.array([9, 7, 4, 1])
+    idx = topk_indices((d, i), 2)
+    assert list(idx) == [2, 1]  # dist 1.0 tie -> smaller id first
+    flat = topk_pandas(
+        pd.DataFrame({"d": d, "i": i}), [], [("d", True), ("i", True)], 2
+    )
+    assert [(r.d, r.i) for r in flat.itertuples()] == [(1.0, 4), (1.0, 7)]
