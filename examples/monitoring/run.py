@@ -21,10 +21,19 @@ composed end-to-end on the events table:
 4. **planted-shift check**: a synthetic series with two known level
    shifts routed through all three detectors — offline finds the
    seams, streaming alarms shortly after each (detection delay is the
-   CUSUM trade: smaller threshold = earlier alarms, more false ones).
+   CUSUM trade: smaller threshold = earlier alarms, more false ones);
+5. **distribution drift** (operators/diff.py + streaming drift
+   monitor): PSI between yesterday's and today's corpus — numeric
+   (snapshot_drift, equi-depth bins frozen from the old side) and
+   categorical (category_drift, top-N + OTHER category bins) — then
+   the LIVE twin: drift_stream freezes the reference once and
+   maintains O(cols·bins) counts per micro-batch; drift_alarms reads
+   per-column PSI any time without scanning history.
 
-Every stage is one lazy plan; no per-key series ever reaches the
-driver.
+Changepoints answer "did this KEY's series shift level"; drift answers
+"did the whole FEATURE's distribution move" — together they are the
+monitoring pillar.  Every stage is one lazy plan; no per-key series
+ever reaches the driver.
 """
 
 from __future__ import annotations
@@ -119,6 +128,41 @@ def main() -> None:
         alarms = spark.table("cusum_alarms").orderBy("ts").collect()
         print("streaming CUSUM alarms (direction, n_seen at alarm):",
               [(r["direction"], r["n_seen"]) for r in alarms])
+
+    print("== 5. distribution drift: snapshot PSI + live monitor ==")
+    from cosmap_spark.operators.diff import category_drift, snapshot_drift
+    from cosmap_spark.streaming.ops import drift_alarms, drift_stream
+
+    # two "corpus snapshots" derived from events: values shift, the
+    # event-type mix rotates
+    old_snap = ev.select("value", "event_type")
+    new_snap = ev.select(
+        (F.col("value") * 1.3 + 2.0).alias("value"),
+        F.when(F.col("user_id") % 5 == 0, F.lit("checkout"))
+        .otherwise(F.col("event_type")).alias("event_type"),
+    )
+    num = snapshot_drift(old_snap, new_snap, ["value"], bins=10)
+    psi_v = num.agg(F.round(F.sum("psi_term"), 4)).collect()[0][0]
+    cat = category_drift(old_snap, new_snap, ["event_type"], top_n=10)
+    psi_c = cat.agg(F.round(F.sum("psi_term"), 4)).collect()[0][0]
+    print(f"  value PSI = {psi_v} | event_type PSI = {psi_c} "
+          "(<0.1 stable, >0.25 shifted)")
+
+    with tempfile.TemporaryDirectory() as tmp:
+        land = os.path.join(tmp, "drift_land")
+        new_snap.select("value").coalesce(2).write.parquet(land)
+        q = drift_stream(
+            (spark.readStream.schema("value double")
+             .option("maxFilesPerTrigger", 1).parquet(land)),
+            os.path.join(tmp, "drift_store"), os.path.join(tmp, "dck"),
+            cols=["value"], reference=old_snap.select("value"),
+        )
+        q.awaitTermination(120)
+        for r in drift_alarms(
+            spark, os.path.join(tmp, "drift_store"), threshold=0.25
+        ).collect():
+            print(f"  live monitor: column={r['column']} psi={r['psi']} "
+                  f"alarmed={r['alarmed']}")
     spark.stop()
 
 
