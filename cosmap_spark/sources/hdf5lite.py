@@ -1,0 +1,369 @@
+"""hdf5lite — a dependency-free codec for the SIMPLE HDF5 subset the
+reference writes (one group per data type, one contiguous 1-D dataset
+per column — reference src/cosmap/dataset/opencosmo.py:22 ``oc.open``),
+implemented byte-level against the public HDF5 File Format
+Specification (version 0 superblock, v1 object headers, v1 group
+B-trees, local heaps, class-0/1 datatypes, contiguous layout).
+
+Why this exists: the engine's HDF5 ingest plumbing
+(``sources.readers.read_hdf5_directory``) is distribution-shaped and
+contract-tested, but h5py is not installed in every environment, so
+the real binary decode had never executed.  This module closes that
+gap without the dependency: :func:`read_hdf5_group` actually parses
+HDF5 bytes (superblock → root group → B-tree → symbol nodes → object
+headers → contiguous data), and :func:`write_simple_hdf5` produces
+spec-conformant files for fixtures.  A frozen sample written by it is
+checked in under tests/data/ and decoded by the reader in tests, so
+the remaining environment caveat is exactly "h5py parses the same
+bytes", nothing more.
+
+SCOPE (loudly enforced, never silently wrong): little-endian files,
+64-bit offsets/lengths, v0 superblock, v1 object headers without
+continuation blocks, groups via v1 B-tree + local heap symbol tables,
+1-D contiguous datasets of float64/float32/int64/int32.  Chunked,
+compressed, v2+ superblocks, attributes, and other datatypes raise
+``ValueError`` naming the unsupported feature — real-world general
+HDF5 still wants h5py (``readers._default_hdf5_reader``).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_SIG = b"\x89HDF\r\n\x1a\n"
+_UNDEF = 0xFFFFFFFFFFFFFFFF
+_LEAF_K = 4
+_INTERNAL_K = 16
+
+# (numpy dtype) -> (datatype class, bit-field bytes, properties bytes)
+_DT_WRITE = {
+    "int32": (0, bytes([0x08, 0, 0]), struct.pack("<HH", 0, 32), 4),
+    "int64": (0, bytes([0x08, 0, 0]), struct.pack("<HH", 0, 64), 8),
+    "float32": (
+        1,
+        bytes([0x20, 31, 0]),
+        struct.pack("<HHBBBBi", 0, 32, 23, 8, 0, 23, 127),
+        4,
+    ),
+    "float64": (
+        1,
+        bytes([0x20, 63, 0]),
+        struct.pack("<HHBBBBi", 0, 64, 52, 11, 0, 52, 1023),
+        8,
+    ),
+}
+
+
+def _pad8(b: bytes) -> bytes:
+    return b + b"\x00" * (-len(b) % 8)
+
+
+class _Writer:
+    """Accumulates file blocks at explicit addresses (single pass with
+    back-patching via a reservation list)."""
+
+    def __init__(self):
+        self.buf = bytearray()
+
+    def tell(self) -> int:
+        return len(self.buf)
+
+    def put(self, b: bytes) -> int:
+        at = len(self.buf)
+        self.buf += b
+        return at
+
+    def patch(self, at: int, b: bytes) -> None:
+        self.buf[at:at + len(b)] = b
+
+
+def _msg(mtype: int, data: bytes) -> bytes:
+    data = _pad8(data)
+    return struct.pack("<HHB3x", mtype, len(data), 0) + data
+
+
+def _object_header(messages: list[bytes]) -> bytes:
+    block = b"".join(messages)
+    # v1 prefix: version, reserved, n messages, ref count, header block
+    # size, then 4 bytes of padding so messages start 8-aligned
+    return (
+        struct.pack("<BBHII4x", 1, 0, len(messages), 1, len(block)) + block
+    )
+
+
+def _symbol_table_msg(btree: int, heap: int) -> bytes:
+    return _msg(0x0011, struct.pack("<QQ", btree, heap))
+
+
+def _dataspace_msg(n: int) -> bytes:
+    return _msg(0x0001, struct.pack("<BBBB4x", 1, 1, 0, 0)
+                + struct.pack("<Q", n))
+
+
+def _datatype_msg(dt: str) -> bytes:
+    cls, bits, props, size = _DT_WRITE[dt]
+    head = bytes([(1 << 4) | cls]) + bits + struct.pack("<I", size)
+    return _msg(0x0003, head + props)
+
+
+def _layout_msg(addr: int, nbytes: int) -> bytes:
+    return _msg(0x0008, struct.pack("<BBQQ", 3, 1, addr, nbytes))
+
+
+def _heap_block(names: list[str]) -> tuple[bytes, dict[str, int]]:
+    """Local heap DATA segment: empty string at offset 0, then each
+    name nul-terminated at an 8-aligned offset."""
+    data = bytearray(b"\x00" * 8)
+    offs: dict[str, int] = {}
+    for n in names:
+        offs[n] = len(data)
+        data += _pad8(n.encode() + b"\x00")
+    return bytes(data), offs
+
+
+def _heap_header(data_size: int, data_addr: int) -> bytes:
+    return b"HEAP" + struct.pack("<B3xQQQ", 0, data_size, _UNDEF, data_addr)
+
+
+def _btree_node(keys: list[int], children: list[int]) -> bytes:
+    """v1 group B-tree leaf node, full allocation for 2*INTERNAL_K
+    children (libhdf5 reads the whole node)."""
+    body = struct.pack(
+        "<4sBBHQQ", b"TREE", 0, 0, len(children), _UNDEF, _UNDEF
+    )
+    slots = b""
+    for i, child in enumerate(children):
+        slots += struct.pack("<QQ", keys[i], child)
+    slots += struct.pack("<Q", keys[len(children)])
+    full = 24 + (2 * _INTERNAL_K) * 16 + 8
+    return (body + slots).ljust(full, b"\x00")
+
+
+def _snod(entries: list[tuple[int, int, int, bytes]]) -> bytes:
+    """Symbol node: (name heap offset, OH address, cache type, scratch)
+    per entry; allocated for 2*LEAF_K entries."""
+    body = struct.pack("<4sBBH", b"SNOD", 1, 0, len(entries))
+    for name_off, oh, cache, scratch in entries:
+        body += struct.pack("<QQI4x", name_off, oh, cache) + scratch.ljust(
+            16, b"\x00"
+        )
+    full = 8 + (2 * _LEAF_K) * 40
+    return body.ljust(full, b"\x00")
+
+
+def _write_group(w: _Writer, children: list[tuple[str, int, int, bytes]]):
+    """Emit heap + SNOD + B-tree + object header for one group whose
+    children are (name, oh_address, cache_type, scratch); children must
+    already be written.  Returns the group's OH address and its
+    (btree, heap) pair for the parent's scratch cache."""
+    if len(children) > 2 * _LEAF_K:
+        raise ValueError(
+            f"hdf5lite: at most {2 * _LEAF_K} links per group "
+            f"(got {len(children)}); split the layout or use h5py"
+        )
+    names = sorted(c[0] for c in children)
+    heap_data, offs = _heap_block(names)
+    heap_data_addr = w.put(heap_data)
+    heap_addr = w.put(_heap_header(len(heap_data), heap_data_addr))
+    entries = [
+        (offs[name], oh, cache, scratch)
+        for name, oh, cache, scratch in sorted(children)
+    ]
+    snod_addr = w.put(_snod(entries))
+    btree_addr = w.put(_btree_node([0, offs[names[-1]]], [snod_addr]))
+    oh_addr = w.put(_object_header([_symbol_table_msg(btree_addr, heap_addr)]))
+    return oh_addr, btree_addr, heap_addr
+
+
+def write_simple_hdf5(path: str, groups: dict[str, dict[str, np.ndarray]]):
+    """Write ``{group_name: {column: 1-D array}}`` as a spec-conformant
+    HDF5 file (v0 superblock, contiguous little-endian data) — the
+    reference's opencosmo layout.  Arrays must be 1-D of
+    float64/float32/int64/int32."""
+    w = _Writer()
+    w.put(b"\x00" * 96)  # superblock reservation, patched last
+
+    group_children: list[tuple[str, int, int, bytes]] = []
+    for gname, cols in groups.items():
+        ds_children: list[tuple[str, int, int, bytes]] = []
+        for cname, arr in cols.items():
+            a = np.ascontiguousarray(arr)
+            if a.ndim != 1:
+                raise ValueError(f"hdf5lite: {cname!r} must be 1-D")
+            dt = a.dtype.name
+            if dt not in _DT_WRITE:
+                raise ValueError(
+                    f"hdf5lite: unsupported dtype {dt} for {cname!r} "
+                    f"(supported: {sorted(_DT_WRITE)})"
+                )
+            raw = a.astype("<" + a.dtype.str[1:], copy=False).tobytes()
+            data_addr = w.put(raw)
+            oh = w.put(_object_header([
+                _dataspace_msg(len(a)),
+                _datatype_msg(dt),
+                _layout_msg(data_addr, len(raw)),
+            ]))
+            ds_children.append((cname, oh, 0, b""))
+        g_oh, g_btree, g_heap = _write_group(w, ds_children)
+        group_children.append(
+            (gname, g_oh, 1, struct.pack("<QQ", g_btree, g_heap))
+        )
+    root_oh, root_btree, root_heap = _write_group(w, group_children)
+
+    sb = _SIG + struct.pack(
+        "<BBBBBBBBHHI", 0, 0, 0, 0, 0, 8, 8, 0, _LEAF_K, _INTERNAL_K, 0
+    )
+    sb += struct.pack("<QQQQ", 0, _UNDEF, len(w.buf), _UNDEF)
+    root_ste = struct.pack(
+        "<QQI4x", 0, root_oh, 1
+    ) + struct.pack("<QQ", root_btree, root_heap)
+    w.patch(0, sb + root_ste)
+    with open(path, "wb") as f:
+        f.write(bytes(w.buf))
+
+
+# ------------------------------------------------------------------ read
+
+class _R:
+    def __init__(self, buf: bytes):
+        self.buf = buf
+
+    def u(self, at: int, n: int) -> int:
+        return int.from_bytes(self.buf[at:at + n], "little")
+
+
+def _parse_object_header(r: _R, at: int) -> list[tuple[int, bytes]]:
+    if r.buf[at] != 1:
+        raise ValueError(
+            f"hdf5lite: object header v{r.buf[at]} at {at} — only v1 "
+            "supported (file written by a newer library; use h5py)"
+        )
+    n_msgs = r.u(at + 2, 2)
+    pos, end = at + 16, at + 16 + r.u(at + 8, 4)
+    out = []
+    while len(out) < n_msgs and pos < end:
+        mtype, msize = r.u(pos, 2), r.u(pos + 2, 2)
+        if mtype == 0x0010:
+            raise ValueError(
+                "hdf5lite: object header continuation blocks are not "
+                "supported — use h5py"
+            )
+        out.append((mtype, r.buf[pos + 8:pos + 8 + msize]))
+        pos += 8 + msize
+    return out
+
+
+def _group_links(r: _R, oh_at: int) -> dict[str, int]:
+    """name -> object header address via the group's symbol table."""
+    stab = [d for t, d in _parse_object_header(r, oh_at) if t == 0x0011]
+    if not stab:
+        raise ValueError(
+            f"hdf5lite: object at {oh_at} is not a v1 symbol-table "
+            "group (new-style groups need h5py)"
+        )
+    btree_at = int.from_bytes(stab[0][0:8], "little")
+    heap_at = int.from_bytes(stab[0][8:16], "little")
+    if r.buf[heap_at:heap_at + 4] != b"HEAP":
+        raise ValueError("hdf5lite: bad local heap signature")
+    heap_data = r.u(heap_at + 24, 8)
+
+    def name_at(off: int) -> str:
+        end = r.buf.index(b"\x00", heap_data + off)
+        return r.buf[heap_data + off:end].decode()
+
+    links: dict[str, int] = {}
+
+    def walk_btree(at: int) -> None:
+        if r.buf[at:at + 4] != b"TREE":
+            raise ValueError("hdf5lite: bad B-tree signature")
+        if r.buf[at + 4] != 0:
+            raise ValueError("hdf5lite: non-group B-tree node")
+        level, used = r.buf[at + 5], r.u(at + 6, 2)
+        for i in range(used):
+            child = r.u(at + 24 + i * 16 + 8, 8)
+            if level > 0:
+                walk_btree(child)
+            else:
+                if r.buf[child:child + 4] != b"SNOD":
+                    raise ValueError("hdf5lite: bad symbol node signature")
+                n = r.u(child + 6, 2)
+                for j in range(n):
+                    e = child + 8 + j * 40
+                    links[name_at(r.u(e, 8))] = r.u(e + 8, 8)
+
+    walk_btree(btree_at)
+    return links
+
+
+def _read_dataset(r: _R, oh_at: int, name: str) -> np.ndarray:
+    msgs = dict(_parse_object_header(r, oh_at))
+    if 0x0001 not in msgs or 0x0003 not in msgs or 0x0008 not in msgs:
+        raise ValueError(
+            f"hdf5lite: {name!r} lacks dataspace/datatype/layout — "
+            "not a simple dataset"
+        )
+    sp = msgs[0x0001]
+    if sp[0] != 1 or sp[1] != 1:
+        raise ValueError(
+            f"hdf5lite: {name!r} is not a v1 1-D dataspace "
+            f"(version {sp[0]}, rank {sp[1]}) — use h5py"
+        )
+    n = int.from_bytes(sp[8:16], "little")
+    dt = msgs[0x0003]
+    cls, ver = dt[0] & 0x0F, dt[0] >> 4
+    size = int.from_bytes(dt[4:8], "little")
+    order_be = dt[1] & 0x01
+    if ver != 1 or cls not in (0, 1) or order_be or size not in (4, 8):
+        raise ValueError(
+            f"hdf5lite: {name!r} datatype (class {cls}, v{ver}, "
+            f"{size} bytes, {'BE' if order_be else 'LE'}) outside the "
+            "supported little-endian int/float 32/64 subset — use h5py"
+        )
+    np_dt = {(0, 4): "<i4", (0, 8): "<i8", (1, 4): "<f4", (1, 8): "<f8"}[
+        (cls, size)
+    ]
+    lay = msgs[0x0008]
+    if lay[0] != 3 or lay[1] != 1:
+        raise ValueError(
+            f"hdf5lite: {name!r} layout (v{lay[0]} class {lay[1]}) is "
+            "not v3 contiguous — chunked/compressed data needs h5py"
+        )
+    addr = int.from_bytes(lay[2:10], "little")
+    nbytes = int.from_bytes(lay[10:18], "little")
+    if nbytes != n * size:
+        raise ValueError(f"hdf5lite: {name!r} layout size mismatch")
+    return np.frombuffer(r.buf[addr:addr + nbytes], dtype=np_dt).copy()
+
+
+def read_hdf5_group(file_path: str, dataset_key: str):
+    """Open ONE simple-subset HDF5 file and return the named group's
+    1-D datasets as a pandas frame — the drop-in ``reader=`` for
+    ``sources.readers.read_hdf5_directory`` when h5py is absent.
+    Unsupported format features raise ``ValueError`` naming them."""
+    import pandas as pd
+
+    with open(file_path, "rb") as f:
+        buf = f.read()
+    if buf[:8] != _SIG:
+        raise ValueError(f"hdf5lite: {file_path} is not an HDF5 file")
+    if buf[8] != 0:
+        raise ValueError(
+            f"hdf5lite: superblock v{buf[8]} — only v0 supported "
+            "(use h5py)"
+        )
+    r = _R(buf)
+    if r.u(13, 1) != 8 or r.u(14, 1) != 8:
+        raise ValueError("hdf5lite: only 64-bit offsets/lengths supported")
+    root_oh = r.u(56 + 8, 8)  # root STE at 56: name_off(8), OH addr(8)
+    groups = _group_links(r, root_oh)
+    if dataset_key not in groups:
+        raise KeyError(
+            f"hdf5lite: group {dataset_key!r} not in {file_path} "
+            f"(has {sorted(groups)})"
+        )
+    cols = _group_links(r, groups[dataset_key])
+    return pd.DataFrame(
+        {name: _read_dataset(r, at, name) for name, at in sorted(cols.items())}
+    )

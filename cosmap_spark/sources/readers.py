@@ -59,22 +59,26 @@ def identify_hdf5_files(path: str | Path) -> list[Path]:
 
 
 def _default_hdf5_reader(file_path: str, dataset_key: str):
-    """Open ONE HDF5 file and return the named group as a pandas frame.
+    """Open ONE HDF5 file and return the named group as a pandas frame
+    (reference layout: one group per data type, one 1-D dataset per
+    column — src/cosmap/dataset/opencosmo.py:22 ``oc.open``).
 
-    This is the only function in the engine that touches h5py (reference
-    layout: one group per data type, one 1-D dataset per column —
-    src/cosmap/dataset/opencosmo.py:22 ``oc.open``).  It is injectable
-    via ``read_hdf5_directory(reader=...)`` so the ingest plumbing is
-    testable (and swappable for other layouts) without h5py installed.
-    """
+    Prefers h5py (full-format coverage) and falls back to the engine's
+    own ``sources.hdf5lite`` codec — a dependency-free byte-level
+    parser of the simple subset the reference writes (v0 superblock,
+    v1 headers, contiguous LE int/float 1-D datasets) — so simple
+    files ingest end-to-end even where h5py is not installed; files
+    beyond the subset raise a ``ValueError`` NAMING the unsupported
+    feature.  Injectable via ``read_hdf5_directory(reader=...)`` for
+    other in-file layouts."""
+    import pandas as pd
+
     try:
         import h5py
-    except ImportError as exc:  # pragma: no cover - environment-dependent
-        raise NotImplementedError(
-            "HDF5 ingest requires h5py on the executors; install h5py or "
-            "pass a custom reader= callable"
-        ) from exc
-    import pandas as pd
+    except ImportError:
+        from cosmap_spark.sources.hdf5lite import read_hdf5_group
+
+        return read_hdf5_group(file_path, dataset_key)
 
     with h5py.File(file_path, "r") as f:  # pragma: no cover - needs h5py
         grp = f[dataset_key]

@@ -1,0 +1,115 @@
+"""sources/hdf5lite — the dependency-free codec for the reference's
+simple HDF5 layout: reader contract pinned against a CHECKED-IN binary
+sample (tests/data/sample_catalog.hdf5), writer→reader round-trip,
+loud refusal outside the subset, and the full O2 ingest path
+(read_hdf5_directory with the DEFAULT reader, which falls back to
+hdf5lite where h5py is absent — so the binary decode genuinely
+executes end-to-end in this environment)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from cosmap_spark.sources.hdf5lite import read_hdf5_group, write_simple_hdf5
+
+SAMPLE = os.path.join(os.path.dirname(__file__), "data", "sample_catalog.hdf5")
+
+
+def test_reader_decodes_frozen_sample():
+    """The committed binary sample decodes to exactly these values and
+    dtypes — the reader contract against STORED bytes, not a live
+    round trip (catches reader drift independently of the writer)."""
+    df = read_hdf5_group(SAMPLE, "catalog")
+    assert list(df.columns) == ["dec", "halo_id", "mass", "n_sub", "ra"]
+    assert df["ra"].tolist() == [10.5, 20.25, 30.125, 359.9375]
+    assert df["dec"].tolist() == [-45.5, 0.0, 45.25, 89.0625]
+    assert df["halo_id"].tolist() == [101, 202, 303, 404]
+    assert df["n_sub"].tolist() == [3, 1, 4, 1]
+    assert df["mass"].tolist() == [1.5, 2.5, 3.5, 4.5]
+    assert [str(t) for t in df.dtypes] == [
+        "float64", "int64", "float32", "int32", "float64",
+    ]
+    meta = read_hdf5_group(SAMPLE, "meta")
+    assert meta["version"].tolist() == [7]
+    with pytest.raises(KeyError, match="nope"):
+        read_hdf5_group(SAMPLE, "nope")
+
+
+def test_write_read_round_trip(tmp_path):
+    rng = np.random.default_rng(9)
+    cols = {
+        "x": rng.normal(0, 1, 257),
+        "y": rng.integers(-(2**62), 2**62, 257),
+        "z": rng.normal(0, 1, 257).astype(np.float32),
+        "w": rng.integers(-(2**30), 2**30, 257).astype(np.int32),
+    }
+    p = str(tmp_path / "rt.hdf5")
+    write_simple_hdf5(p, {"catalog": {k: np.asarray(v) for k, v in cols.items()}})
+    df = read_hdf5_group(p, "catalog")
+    for k, v in cols.items():
+        assert df[k].to_numpy().tolist() == np.asarray(v).tolist(), k
+        assert df[k].dtype == np.asarray(v).dtype, k
+
+
+def test_refusals_name_the_feature(tmp_path):
+    p = str(tmp_path / "bad.hdf5")
+    with pytest.raises(ValueError, match="1-D"):
+        write_simple_hdf5(p, {"g": {"m": np.zeros((2, 2))}})
+    with pytest.raises(ValueError, match="unsupported dtype"):
+        write_simple_hdf5(p, {"g": {"s": np.array(["a"], dtype=object)}})
+    with pytest.raises(ValueError, match="at most"):
+        write_simple_hdf5(
+            p, {"g": {f"c{i}": np.zeros(1) for i in range(9)}}
+        )
+    noth5 = str(tmp_path / "not.hdf5")
+    with open(noth5, "wb") as f:
+        f.write(b"PAR1 definitely not hdf5")
+    with pytest.raises(ValueError, match="not an HDF5 file"):
+        read_hdf5_group(noth5, "g")
+    # a v2 superblock is refused by version, pointing at h5py
+    v2 = str(tmp_path / "v2.hdf5")
+    with open(SAMPLE, "rb") as f:
+        raw = bytearray(f.read())
+    raw[8] = 2
+    with open(v2, "wb") as f:
+        f.write(raw)
+    with pytest.raises(ValueError, match="superblock v2"):
+        read_hdf5_group(v2, "catalog")
+
+
+def test_read_hdf5_directory_default_reader_end_to_end(spark, tmp_path):
+    """The O2 ingest path with NO injected reader: two files under a
+    directory, executor-side decode via the h5py-or-hdf5lite default,
+    declared schema projected and ordered."""
+    from cosmap_spark.sources.readers import read_hdf5_directory
+
+    for i, ids in enumerate(([1, 2, 3], [10, 20])):
+        write_simple_hdf5(
+            str(tmp_path / f"part{i}.hdf5"),
+            {"catalog": {
+                "halo_id": np.array(ids, dtype=np.int64),
+                "ra": np.array([v / 2 for v in ids], dtype=np.float64),
+                "extra": np.array(ids, dtype=np.int32),  # projected away
+            }},
+        )
+    df = read_hdf5_directory(
+        spark, str(tmp_path), "halo_id long, ra double",
+        dataset_key="catalog",
+    )
+    got = sorted((r["halo_id"], r["ra"]) for r in df.collect())
+    assert got == [(1, 0.5), (2, 1.0), (3, 1.5), (10, 5.0), (20, 10.0)]
+    assert df.columns == ["halo_id", "ra"]
+    # a file lacking a declared column names the file in the error
+    write_simple_hdf5(
+        str(tmp_path / "part9.hdf5"),
+        {"catalog": {"halo_id": np.array([7], dtype=np.int64)}},
+    )
+    bad = read_hdf5_directory(
+        spark, str(tmp_path), "halo_id long, ra double",
+        dataset_key="catalog",
+    )
+    with pytest.raises(Exception, match="part9.hdf5"):
+        bad.collect()

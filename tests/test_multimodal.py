@@ -77,18 +77,29 @@ def test_hdf5_reader_stub_lists_files(tmp_path):
         identify_hdf5_files(tmp_path / "empty_nope")
 
 
-def test_hdf5_default_reader_gated_on_h5py(tmp_path):
-    """Only the one h5py-touching function is environment-gated; it
-    raises a clear NotImplementedError when h5py is absent."""
+def test_hdf5_default_reader_without_h5py(tmp_path):
+    """Without h5py the default reader is NOT a stub anymore: it
+    decodes the simple reference layout via sources/hdf5lite (real
+    byte-level parse — see tests/test_hdf5lite.py for the full
+    contract), and unsupported files fail with the feature NAMED."""
+    import numpy as np
+
+    from cosmap_spark.sources.hdf5lite import write_simple_hdf5
     from cosmap_spark.sources.readers import _default_hdf5_reader
 
     try:
         import h5py  # noqa: F401
-        pytest.skip("h5py installed; gate not reachable")
+        pytest.skip("h5py installed; fallback not reachable")
     except ImportError:
         pass
-    with pytest.raises(NotImplementedError, match="h5py"):
-        _default_hdf5_reader(str(tmp_path / "a.hdf5"), "catalog")
+    p = str(tmp_path / "a.hdf5")
+    write_simple_hdf5(p, {"catalog": {"x": np.array([1.0, 2.0])}})
+    assert _default_hdf5_reader(p, "catalog")["x"].tolist() == [1.0, 2.0]
+    bad = str(tmp_path / "bad.hdf5")
+    with open(bad, "wb") as f:
+        f.write(b"not an hdf5 file at all........")
+    with pytest.raises(ValueError, match="not an HDF5 file"):
+        _default_hdf5_reader(bad, "catalog")
 
 
 def test_hdf5_ingest_with_injected_reader(spark, tmp_path):
