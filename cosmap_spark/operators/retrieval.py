@@ -144,7 +144,19 @@ def bm25_scored(
     variants = variants or {"score": (1.2, 0.75)}
     if prebuilt is not None:
         spark = prebuilt["tf"].sparkSession
-        tf, lens = prebuilt["tf"], prebuilt["lens"]
+        tf, lens = prebuilt["tf"], prebuilt.get("lens")
+        if lens is None and "__dl" not in tf.columns:
+            raise ValueError(
+                "bm25_search: prebuilt without lens needs tf carrying "
+                "__dl (the inline-shaped term table)"
+            )
+        if lens is None and not (
+            "n_docs" in prebuilt and "avgdl" in prebuilt
+        ) and docs is None:
+            raise ValueError(
+                "bm25_search: prebuilt without lens or n_docs/avgdl "
+                "needs docs for the corpus stats"
+            )
     else:
         if docs is None:
             raise ValueError("bm25_search: need docs or prebuilt")
@@ -382,32 +394,57 @@ def phrase_search(
     phrase-containing doc is eligible — no candidate-pool recall
     loss), ranking is the standard lexical score.
 
-    One corpus-stats/scoring pass shared across all queries
-    (:func:`bm25_scored`), plus one vocabulary-pruned scan of the
-    positional tf table per query for :func:`phrase_match`; the match
+    Cost shape: the inline path pays exactly the inline BM25 bill —
+    ONE tokenizing corpus pass building a positional term table
+    ALREADY filtered to the union of all phrases' vocabularies (the
+    filter sits below the aggregation — term is a grouping key — so
+    only vocabulary rows shuffle), plus the corpus-stats scan; that
+    df-bounded frame is lazily ``localCheckpoint``-ed and serves BOTH
+    the scoring aggregation and every per-query :func:`phrase_match`
+    (which would otherwise each re-tokenize the corpus).  The match
     sets equi-join the score table on (query, doc).  ``prebuilt``
     must be a POSITIONAL index (``load_lex_index`` of a
-    ``save_lex_index(positions=True)`` store); without it the corpus
-    is indexed inline with positions."""
+    ``save_lex_index(positions=True)`` store), served as-is — the
+    persisted layout already prunes by term."""
     if not queries:
         raise ValueError("phrase_search: empty query set")
     if prebuilt is None:
         if docs is None:
             raise ValueError("phrase_search: need docs or prebuilt")
-        tf, lens = build_lex_index(
-            docs, id_col=id_col, text_col=text_col, positions=True
+        vocab = sorted({
+            t for q in queries.values() for t in q.split(" ") if t
+        })
+        toks = docs.select(
+            F.col(id_col).alias("__d"),
+            F.posexplode(tokens(F.col(text_col))).alias("__p", "term"),
+            F.size(tokens(F.col(text_col))).cast("long").alias("__dl"),
         )
-        prebuilt = {"tf": tf, "lens": lens}
+        vtf = (
+            toks.where(F.col("term").isin(vocab))
+            .groupBy("__d", "term")
+            .agg(
+                F.count("*").alias("tf"),
+                F.max("__dl").alias("__dl"),
+                F.sort_array(F.collect_list("__p")).alias("pos"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        prebuilt = {"tf": vtf}
+        scored = bm25_scored(
+            docs, queries, id_col=id_col, text_col=text_col,
+            variants={"score": (k1, b)}, prebuilt=prebuilt,
+        )
+    else:
+        scored = bm25_scored(
+            None, queries, variants={"score": (k1, b)}, prebuilt=prebuilt,
+            broadcast_lens=broadcast_lens,
+        )
     tf = prebuilt["tf"]
     if "pos" not in tf.columns:
         raise ValueError(
             "phrase_search: prebuilt index is not positional — save "
             "with save_lex_index(..., positions=True)"
         )
-    scored = bm25_scored(
-        None, queries, variants={"score": (k1, b)}, prebuilt=prebuilt,
-        broadcast_lens=broadcast_lens,
-    )
     matches = None
     for qid, phrase in sorted(queries.items()):
         m = phrase_match(tf, phrase).select(

@@ -222,6 +222,60 @@ _TOPK_ORACLE = """
           PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rn
         FROM rrf_fused) WHERE rn <= 10
     ),
+    -- quoted-phrase retrieval (operators/retrieval.py::phrase_search):
+    -- phrase = tokens 2..4 of each probe doc; eligibility = EXACT
+    -- adjacency via the positional token table (a 3-way self-join on
+    -- (doc, pos) mirroring the index's shifted-position intersection);
+    -- ranking = BM25 over the phrase's distinct terms
+    pdefs AS (
+      SELECT query_id, t[2] AS p0, t[3] AS p1, t[4] AS p2 FROM qdefs
+    ),
+    phterms AS (
+      SELECT DISTINCT query_id, term FROM (
+        SELECT query_id, p0 AS term FROM pdefs
+        UNION ALL SELECT query_id, p1 FROM pdefs
+        UNION ALL SELECT query_id, p2 FROM pdefs)
+    ),
+    phdf AS (
+      SELECT term, count(*) AS df FROM tf
+      WHERE term IN (SELECT term FROM phterms) GROUP BY 1
+    ),
+    phhits AS (
+      SELECT q.query_id, t.doc_id, t.tf, l.dl, s.n_docs, s.avgdl,
+             ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1) AS idf
+      FROM tf t JOIN phterms q USING (term) JOIN phdf d USING (term)
+      JOIN lens l ON l.doc_id = t.doc_id CROSS JOIN stats s
+    ),
+    ph_scored AS (
+      SELECT query_id, doc_id,
+             round(sum(idf * (tf * 2.2)
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6)
+               AS score,
+             count(*) AS n_hit
+      FROM phhits GROUP BY 1, 2
+    ),
+    ptoks AS (
+      SELECT doc_id, t[i] AS term, i - 1 AS pos
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           unnest(range(1, len(t) + 1)) AS u(i)
+    ),
+    ph_docs AS (
+      SELECT DISTINCT d.query_id, a.doc_id
+      FROM pdefs d
+      JOIN ptoks a ON a.term = d.p0
+      JOIN ptoks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+                  AND b.term = d.p1
+      JOIN ptoks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+                  AND c.term = d.p2
+    ),
+    ph_top AS (
+      SELECT * FROM (
+        SELECT s.query_id, s.doc_id, s.score, s.n_hit,
+               row_number() OVER (PARTITION BY s.query_id
+                                  ORDER BY s.score DESC, s.doc_id) AS rn
+        FROM ph_scored s JOIN ph_docs m USING (query_id, doc_id))
+      WHERE rn <= 10
+    ),
     -- graded retrieval_eval of the bm25 ranking: qrels = the idf
     -- list's top 3 per query, grade = n_hit (matched-term count)
     qrels AS (
@@ -270,6 +324,8 @@ _TOPK_ORACLE = """
     UNION ALL
     SELECT 'rrf', query_id, doc_id, rrf, n_lists FROM rrf_top
     UNION ALL
+    SELECT 'phrase', query_id, doc_id, score, n_hit FROM ph_top
+    UNION ALL
     SELECT 'eval', query_id || '>precision', NULL, precision_at_k, NULL
     FROM ev
     UNION ALL
@@ -298,6 +354,11 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       (``k1=0`` degenerates the BM25 weight to pure idf — sum of
       matched-term idfs), fused at k=60.  Exercises the score-free
       rank-combine path end-to-end under the hash gate;
+    * ``phrase`` — ``phrase_search`` over quoted 3-token phrases
+      (tokens 2..4 of the same probe docs): eligibility = EXACT
+      adjacency from the positional index (shifted-position
+      intersection; the oracle replays it as a 3-way positional
+      self-join), ranking = BM25 over the phrase's distinct terms;
     * ``eval``   — GRADED ``retrieval_eval`` of the bm25 ranking
       against deterministic qrels (the idf list's top 3 per query,
       grade = matched-term count — genuinely varied grades, so the
@@ -327,10 +388,19 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     docs = load_table(spark, sf_dir, "documents")
+    probe_rows = (
+        docs.where(F.col("doc_id").isin(1, 2, 3))
+        .select("doc_id", "text").collect()
+    )
     probe = {
         f"q{r['doc_id']}": " ".join(r["text"].split(" ")[:5])
-        for r in docs.where(F.col("doc_id").isin(1, 2, 3))
-        .select("doc_id", "text").collect()
+        for r in probe_rows
+    }
+    # quoted-phrase probes: tokens 2..4 of the same docs (ONE collect
+    # serves both probe sets)
+    phrases = {
+        f"q{r['doc_id']}": " ".join(r["text"].split(" ")[1:4])
+        for r in probe_rows
     }
     # ONE corpus pass for BOTH rankings (round 6): the bm25 and
     # pure-idf (k1=0) sums ride the same vocabulary-filtered (doc,
@@ -399,9 +469,18 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             n.cast("long").alias("n"),
         )
 
+    # quoted-phrase retrieval (operators/retrieval.py::phrase_search):
+    # exact-adjacency eligibility from the positional index, BM25
+    # ranking over the phrase's terms — one vocab-filtered positional
+    # corpus pass + the stats scan (see the operator's docstring)
+    from cosmap_spark.operators.retrieval import phrase_search
+
+    phr = phrase_search(docs, phrases, top_n=10)
+
     return (
         orders_top
         .unionByName(shape(bm25, "bm25", F.col("score"), F.col("n_hit")))
         .unionByName(shape(fused, "rrf", F.col("rrf"), F.col("n_lists")))
+        .unionByName(shape(phr, "phrase", F.col("score"), F.col("n_hit")))
         .unionByName(eval_rows)
     )

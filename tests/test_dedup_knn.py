@@ -607,14 +607,25 @@ def test_ngram_jaccard_pins_no_storage_blocks(spark, corpus_with_dups):
     persistent RDDs (delta, because session fixtures legitimately
     cache)."""
     corpus_with_dups.count()  # materialize the FIXTURE's cache first
-    jsc = spark.sparkContext._jsc.sc()
-    before = jsc.getPersistentRDDs().size()
+
+    def rdd_ids() -> set:
+        it = spark.sparkContext._jsc.sc().getPersistentRDDs().keySet().iterator()
+        out = set()
+        while it.hasNext():
+            out.add(it.next())
+        return out
+
+    # compare ID SETS, not counts: the ContextCleaner asynchronously
+    # unpersists OTHER tests' GC'd localCheckpoint blocks at any time,
+    # so a count can legitimately DROP mid-test (observed order-
+    # dependent flake); only NEW pins are this operator's leak
+    before = rdd_ids()
     ngram_jaccard_pairs(corpus_with_dups, threshold=0.8,
                         max_shingle_df=100).count()
     ngram_jaccard_pairs(corpus_with_dups, threshold=0.8).count()
-    after = jsc.getPersistentRDDs().size()
-    assert after == before, (
-        f"ngram_jaccard_pairs pinned {after - before} RDDs; it must not "
+    leaked = rdd_ids() - before
+    assert not leaked, (
+        f"ngram_jaccard_pairs pinned RDDs {sorted(leaked)}; it must not "
         "cache without unpersisting"
     )
 

@@ -58,6 +58,12 @@ BNLJ_ALLOWED = {
     # (guarantee threshold as a scalar) — scalar-subquery shape; the
     # verify join is a broadcast hash join (tests/test_sketch.py)
     "q_approx_sketches",
+    # phrase branch: the 1-row corpus-stats (n_docs, avgdl) crossJoin
+    # inside bm25_scored — the q_tfidf scalar shape; the bm25 branch's
+    # identical crossJoin hides behind its measured eager checkpoint,
+    # the phrase branch's scored frame has a single consumer so a
+    # checkpoint would not pay
+    "q_topk",
     # semantic branch at gate-mandated FULL probe (nprobe = nlist):
     # brute force by definition, so the quantizer is skipped and the
     # constant-size bench set (30 planted rows) broadcasts against the
