@@ -27,6 +27,8 @@ from cosmap_spark.operators.dedup import (  # noqa: F401
     passage_dedup,
     substring_dedup,
     simhash_pairs,
+    winnow_dup_pairs,
+    winnow_fingerprints,
 )
 from cosmap_spark.operators.multimodal import (  # noqa: F401
     image_phash,

@@ -937,10 +937,53 @@ _PASSAGE_DEDUP_ORACLE = f"""
              CAST(n_units - len(kt) AS BIGINT) AS n_affected,
              coalesce(array_to_string(kt, ' '), '') AS text_clean
       FROM substr_kept
+    ),
+    -- winnowing branch (Schleimer et al. 2003): md5-prefix 5-gram
+    -- hashes over empty-filtered tokens, window w=4, rightmost-min
+    -- selection replayed as a positional join + (h ASC, pos DESC)
+    -- rank; text_clean hash-checks the ENTIRE selected set
+    wt AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    wg AS (
+      SELECT doc_id, u.i AS pos,
+             substr(md5(array_to_string(
+               list_slice(toks, u.i + 1, u.i + 5), ' ')), 1, 16) AS h
+      FROM wt, unnest(range(len(toks) - 5 + 1)) AS u(i)
+      WHERE len(toks) >= 5
+    ),
+    wng AS (SELECT doc_id, count(*) AS ng FROM wg GROUP BY 1),
+    wstarts AS (
+      SELECT doc_id, unnest(range(greatest(ng - 4, 0) + 1)) AS s FROM wng
+    ),
+    wwin AS (
+      SELECT st.doc_id, st.s, g.pos, g.h
+      FROM wstarts st JOIN wg g
+        ON g.doc_id = st.doc_id AND g.pos >= st.s AND g.pos < st.s + 4
+    ),
+    wsel AS (
+      SELECT DISTINCT doc_id, pos, h FROM (
+        SELECT doc_id, s, pos, h,
+               row_number() OVER (PARTITION BY doc_id, s
+                                  ORDER BY h ASC, pos DESC) AS rn
+        FROM wwin) WHERE rn = 1
+    ),
+    winnow AS (
+      SELECT doc_id,
+             count(*) AS n_units,
+             count(DISTINCT h) AS n_affected,
+             array_to_string(
+               list(CAST(pos AS VARCHAR) || ':' || h
+                    ORDER BY CAST(pos AS VARCHAR) || ':' || h), ' ')
+               AS text_clean
+      FROM wsel GROUP BY 1
     )
     SELECT 'passage' AS mode, * FROM passage
     UNION ALL
     SELECT 'substring' AS mode, * FROM substr
+    UNION ALL
+    SELECT 'winnow' AS mode, * FROM winnow
 """
 
 
@@ -958,7 +1001,15 @@ def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       8-token windows (operators/dedup.py::substring_dedup): duplicated
       spans caught at every alignment, overlapping loser windows merged
       to maximal spans before cutting; ``n_units`` = tokens,
-      ``n_affected`` = tokens REMOVED.
+      ``n_affected`` = tokens REMOVED;
+    * ``winnow`` — winnowing fingerprints (Schleimer et al., SIGMOD
+      2003 — MOSS) with k=5, w=4
+      (operators/dedup.py::winnow_fingerprints): md5-prefix k-gram
+      hashes, rightmost-min per window; ``n_units`` = selected
+      fingerprints, ``n_affected`` = distinct hashes,
+      ``text_clean`` = the sorted ``pos:hash`` set — the whole
+      selection is hash-verified against the oracle's positional-join
+      replay.
 
     Both branches: globally-first occurrence wins (lexicographic
     (doc_id, position)); exact DuckDB oracle recomputes each from raw
@@ -988,7 +1039,27 @@ def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_removed").alias("n_affected"),
         "text_clean",
     )
-    return p.unionByName(s)
+    from cosmap_spark.operators.dedup import winnow_fingerprints
+
+    wfp = winnow_fingerprints(d, k=5, w=4)
+    win = (
+        wfp.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_units"),
+            F.countDistinct("fp").alias("n_affected"),
+            F.concat_ws(
+                " ",
+                F.sort_array(F.collect_list(
+                    F.concat_ws(":", F.col("pos").cast("string"), "fp")
+                )),
+            ).alias("text_clean"),
+        )
+        .select(
+            F.lit("winnow").alias("mode"),
+            "doc_id", "n_units", "n_affected", "text_clean",
+        )
+    )
+    return p.unionByName(s).unionByName(win)
 
 
 _TFIDF_ORACLE = """

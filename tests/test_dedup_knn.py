@@ -941,3 +941,71 @@ def test_incremental_dedup_refuses_remote_store(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError, match="local-filesystem"):
         incremental_minhash_dedup(spark, df, "s3a://bucket/sigs")
+
+
+def _py_winnow(text, k, w):
+    """Pure-python winnowing reference: md5-prefix k-gram hashes,
+    rightmost-min per window, distinct (pos, hash)."""
+    import hashlib
+
+    toks = [t for t in text.split(" ") if t]
+    if len(toks) < k:
+        return set()
+    hs = [
+        hashlib.md5(" ".join(toks[i:i + k]).encode()).hexdigest()[:16]
+        for i in range(len(toks) - k + 1)
+    ]
+    sel = set()
+    for s in range(max(len(hs) - w, 0) + 1):
+        win = hs[s:s + w]
+        m = min(win)
+        # rightmost occurrence of the window minimum
+        p = s + max(i for i, h in enumerate(win) if h == m)
+        sel.add((p, hs[p]))
+    return sel
+
+
+def test_winnow_fingerprints_matches_reference(spark):
+    """Winnowing vs the pure-python reference across shapes: long doc,
+    shifted copy (position robustness), short-doc single clipped
+    window, sub-k doc (no rows), repeated-gram tie (rightmost wins),
+    and the w+k-1 guarantee on a planted shared run."""
+    from cosmap_spark.operators.dedup import (
+        winnow_dup_pairs,
+        winnow_fingerprints,
+    )
+
+    corpus = {
+        1: "the quick brown fox jumps over the lazy dog again and again",
+        2: "PRE PAD the quick brown fox jumps over the lazy dog TAIL",
+        3: "a b c a b c a b c a b c",   # ties from repeated grams
+        4: "one two three four five",   # exactly k tokens
+        5: "too short",                  # < k -> no fingerprints
+        6: "completely different tokens everywhere here now ok fine",
+    }
+    df = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string"
+    )
+    k, w = 5, 4
+    got = {}
+    for r in winnow_fingerprints(df, k=k, w=w).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    for d, text in corpus.items():
+        want = _py_winnow(text, k, w)
+        assert got.get(d, set()) == want, d
+    # layout independence (map-side op, but pin it anyway)
+    got2 = {}
+    for r in winnow_fingerprints(df.repartition(7), k=k, w=w).collect():
+        got2.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    assert got2 == {d: s for d, s in got.items()}
+    # guarantee: docs 1/2 share an 11-token run >= w+k-1=8 -> a pair
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in winnow_dup_pairs(df, k=k, w=w, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs
+    shared = {h for _, h in got[1]} & {h for _, h in got[2]}
+    assert pairs[(1, 2)] == len(shared) >= 1
+    # df valve: a fingerprint present in > max_fp_df docs is dropped
+    allpairs = winnow_dup_pairs(df, k=k, w=w, min_shared=1, max_fp_df=1)
+    assert allpairs.count() == 0

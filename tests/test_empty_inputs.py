@@ -474,6 +474,14 @@ def _spec_drift_reference(spark):
     ).count() == 0
 
 
+def _spec_winnow(spark):
+    import cosmap_spark.operators as O
+    assert O.winnow_fingerprints(_e(spark, _DOCS)).count() == 0
+    assert O.winnow_dup_pairs(_e(spark, _DOCS)).count() == 0
+    short = spark.createDataFrame([(1, "a b")], _DOCS)  # < k tokens
+    assert O.winnow_fingerprints(short, k=5).count() == 0
+
+
 def _spec_snapshot_drift(spark):
     import pytest
 
@@ -898,6 +906,8 @@ SWEEP = {
     "drift_bin_counts": _spec_drift_reference,
     "drift_reference": _spec_drift_reference,
     "snapshot_drift": _spec_snapshot_drift,
+    "winnow_dup_pairs": _spec_winnow,
+    "winnow_fingerprints": _spec_winnow,
     "maxsim_topk": _spec_maxsim,
     "maxsim_rerank": _spec_maxsim,
     "grouped_changepoint": _spec_grouped_changepoint,
