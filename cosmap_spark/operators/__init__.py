@@ -157,6 +157,7 @@ from cosmap_spark.operators.vocab import (  # noqa: F401
 from cosmap_spark.operators.retrieval import (  # noqa: F401
     bm25_scored,
     bm25_search,
+    bm25_search_weighted,
     bm25_weight,
     build_lex_index,
     maxsim_rerank,
@@ -164,6 +165,7 @@ from cosmap_spark.operators.retrieval import (  # noqa: F401
     phrase_match,
     phrase_search,
     retrieval_eval,
+    rm3_expand,
     rrf_fuse,
     topk_cut,
 )

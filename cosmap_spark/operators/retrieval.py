@@ -455,6 +455,179 @@ def phrase_search(
     return topk_cut(filtered, score_col="score", id_col=id_col, top_n=top_n)
 
 
+def rm3_expand(
+    scored: DataFrame,
+    tf: DataFrame,
+    queries: dict[str, str],
+    *,
+    score_col: str = "score",
+    fb_docs: int = 5,
+    fb_terms: int = 10,
+    lam: float = 0.5,
+) -> DataFrame:
+    """RM3 pseudo-relevance-feedback query expansion (Lavrenko &
+    Croft 2001 relevance models; RM3 interpolation per Abdul-Jaleel
+    et al. 2004) — ``[query_id, term, weight]``, the weighted
+    expanded query ready for :func:`bm25_search_weighted`.
+
+    From the first-pass ranking ``scored`` (a :func:`bm25_scored`
+    frame), the top ``fb_docs`` per query are feedback docs with
+    P(d) ∝ score; the relevance model is
+    ``RM1(t) = Σ_d P(t|d)·P(d)`` with ``P(t|d) = tf/dl`` (dl rides
+    the tf rows — the inline-shaped term table); the top ``fb_terms``
+    terms by (RM1 desc, term asc) interpolate with the uniform
+    original query model: ``w(t) = λ·1/|Q| + (1−λ)·RM1(t)``.
+
+    ENTIRELY in-plan — no collect anywhere: feedback docs are a
+    query-keyed window, their term distributions come from ONE
+    equi-join of the tf table against the broadcast fb set (the scan
+    is fb-doc-pruned, never corpus-wide), term selection is a second
+    query-keyed window.  RM1 is rounded to 6 dp BEFORE ranking and
+    interpolation so the hash-gate replay ranks identical values
+    (the engine-wide float discipline)."""
+    if not queries:
+        raise ValueError("rm3_expand: empty query set")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1]; got {lam}")
+    if "__dl" not in tf.columns:
+        raise ValueError(
+            "rm3_expand: tf must carry __dl (the inline-shaped term "
+            "table bm25_scored builds)"
+        )
+    spark = tf.sparkSession
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col(score_col).desc(), F.col("__d").asc()
+    )
+    fb = (
+        scored.withColumn("__rn", F.row_number().over(wq))
+        .where(F.col("__rn") <= fb_docs)
+        .select("query_id", "__d", F.col(score_col).alias("__s"))
+    )
+    # P(d) denominator: Σ score over the ≤fb_docs feedback docs
+    totals = fb.groupBy("query_id").agg(F.sum("__s").alias("__S"))
+    # term distributions of ONLY the feedback docs: tf ⋈ broadcast(fb)
+    ft = tf.join(F.broadcast(fb), "__d")
+    rm1 = (
+        ft.groupBy("query_id", "term")
+        .agg(
+            F.sum(
+                F.col("tf").cast("double") / F.col("__dl") * F.col("__s")
+            ).alias("__num")
+        )
+        .join(F.broadcast(totals), "query_id")
+        .select(
+            "query_id", "term",
+            F.round(F.col("__num") / F.col("__S"), 6).alias("__rm1"),
+        )
+    )
+    wt = Window.partitionBy("query_id").orderBy(
+        F.col("__rm1").desc(), F.col("term").asc()
+    )
+    top = rm1.withColumn("__tr", F.row_number().over(wt)).where(
+        F.col("__tr") <= fb_terms
+    ).select("query_id", "term", "__rm1")
+    orig_rows = sorted({
+        (qid, t)
+        for qid, q in queries.items()
+        for t in {x for x in q.split(" ") if x}
+    })
+    n_orig = {qid: len({x for x in q.split(" ") if x})
+              for qid, q in queries.items()}
+    orig = spark.createDataFrame(
+        [(qid, t, 1.0 / n_orig[qid]) for qid, t in orig_rows],
+        "query_id string, term string, __pq double",
+    )
+    return (
+        top.join(orig, ["query_id", "term"], "full_outer")
+        .select(
+            "query_id", "term",
+            F.round(
+                F.lit(float(lam)) * F.coalesce("__pq", F.lit(0.0))
+                + F.lit(1.0 - float(lam))
+                * F.coalesce("__rm1", F.lit(0.0)),
+                6,
+            ).alias("weight"),
+        )
+        .where(F.col("weight") > 0)
+    )
+
+
+def bm25_search_weighted(
+    docs: DataFrame | None,
+    qterms: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 10,
+    tf: DataFrame | None = None,
+) -> DataFrame:
+    """Top ``top_n`` docs per query under a WEIGHTED term query —
+    ``score(d) = Σ_t w_t · bm25_t(d)`` over an in-plan
+    ``[query_id, term, weight]`` table (what :func:`rm3_expand`
+    emits) — ``[query_id, doc_id, score, n_hit]``.  The plain
+    :func:`bm25_search` is the ``w ≡ 1`` special case with a
+    driver-side literal query set; this variant takes the query table
+    as a DataFrame because expansion terms are NOT known driver-side
+    (the whole RM3 pipeline stays lazy).
+
+    Same scale shape as :func:`bm25_scored`, with the query-vocab
+    ``isin`` filter replaced by an equi-join against the broadcast
+    term table (the vocabulary is in-plan); the final score rounds to
+    4 dp (an aggregate of an aggregate — the engine's aggregate
+    rounding tier).  Pass ``tf`` (an inline-shaped term table with
+    ``__dl``) to reuse an already-built one; ``docs`` is still needed
+    for the corpus stats scan."""
+    if docs is None and tf is None:
+        raise ValueError("bm25_search_weighted: need docs or tf")
+    if tf is None:
+        toks = docs.select(
+            F.col(id_col).alias("__d"),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+            F.size(tokens(F.col(text_col))).cast("long").alias("__dl"),
+        )
+        tf = toks.groupBy("__d", "term").agg(
+            F.count("*").alias("tf"), F.max("__dl").alias("__dl")
+        )
+    if docs is not None:
+        stats = docs.where(F.col(text_col).isNotNull()).select(
+            F.size(tokens(F.col(text_col))).cast("long").alias("dl")
+        ).agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    else:
+        lens = tf.groupBy("__d").agg(F.max("__dl").alias("dl"))
+        stats = lens.agg(
+            F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+        )
+    q = qterms.select("query_id", "term", "weight")
+    vocab = q.select("term").distinct()
+    dfreq = (
+        tf.join(F.broadcast(vocab), "term")
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    scored = (
+        tf.join(F.broadcast(q), "term")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "__d")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("weight")
+                    * bm25_weight(
+                        F.col("tf"), F.col("df"), F.col("n_docs"),
+                        F.col("__dl"), F.col("avgdl"), k1=k1, b=b,
+                    )
+                ),
+                4,
+            ).alias("score"),
+            F.count("*").alias("n_hit"),
+        )
+    )
+    return topk_cut(scored, score_col="score", id_col=id_col, top_n=top_n)
+
+
 def rrf_fuse(
     rankings: list[DataFrame],
     *,

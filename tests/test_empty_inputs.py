@@ -260,6 +260,17 @@ def _spec_bm25_search(spark):
     assert O.bm25_search(_e(spark, _DOCS), {"q": "a b"}).count() == 0
 
 
+def _spec_rm3(spark):
+    import cosmap_spark.operators as O
+    scored = _e(spark, "query_id string, __d long, score double, n_hit long")
+    tf = _e(spark, "__d long, term string, tf long, __dl long")
+    exp = O.rm3_expand(scored, tf, {"q": "a b"})
+    # empty feedback: only the original terms survive, weight = lam/|Q|
+    rows = {(r["query_id"], r["term"]): r["weight"] for r in exp.collect()}
+    assert rows == {("q", "a"): 0.25, ("q", "b"): 0.25}
+    assert O.bm25_search_weighted(_e(spark, _DOCS), exp).count() == 0
+
+
 def _spec_phrase_match(spark):
     import cosmap_spark.operators as O
     tf, _ = O.build_lex_index(_e(spark, _DOCS), positions=True)
@@ -873,6 +884,8 @@ SWEEP = {
     "perplexity_filter": _spec_perplexity_filter,
     "bm25_search": _spec_bm25_search,
     "phrase_match": _spec_phrase_match,
+    "rm3_expand": _spec_rm3,
+    "bm25_search_weighted": _spec_rm3,
     "phrase_search": _spec_phrase_search,
     "build_lex_index": _spec_build_lex_index,
     "bpe_encode": _spec_bpe_encode,

@@ -662,3 +662,104 @@ def test_maxsim_string_ids(spark):
         (r["qid"], r["doc_id"], r["score"], r["rn"]) for r in df.collect()
     )
     assert key(rr) == key(rr_d) and rr.count() == 8
+
+
+def test_rm3_expansion_matches_python_reference(spark):
+    """RM3 PRF vs a pure-python reference: feedback-doc selection,
+    RM1 weights (P(t|d)·P(d) with score-proportional P(d)),
+    interpolation with the uniform query model, and the weighted
+    second-pass BM25 ranking."""
+    import math
+
+    from cosmap_spark.operators.retrieval import (
+        bm25_scored, bm25_search_weighted, rm3_expand,
+    )
+
+    corpus = {
+        1: "spark query engine runs fast query plans",
+        2: "query engine planner optimizes the query",
+        3: "fast spark jobs and fast plans",
+        4: "cats and dogs and more cats",
+        5: "the engine of the car is fast",
+        6: "planner costs and query rewrite rules",
+    }
+    df = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    queries = {"qa": "query engine", "qb": "fast spark"}
+    fb_docs, fb_terms, lam = 3, 4, 0.6
+
+    scored = bm25_scored(df, queries)
+    t = spark.createDataFrame(
+        [
+            (d, term, sum(1 for x in corpus[d].split(" ") if x == term),
+             len(corpus[d].split(" ")))
+            for d in corpus
+            for term in sorted(set(corpus[d].split(" ")))
+        ],
+        "__d long, term string, tf long, __dl long",
+    )
+    exp = rm3_expand(
+        scored, t, queries, fb_docs=fb_docs, fb_terms=fb_terms, lam=lam
+    )
+    got_w = {
+        (r["query_id"], r["term"]): r["weight"] for r in exp.collect()
+    }
+
+    # ---- python reference ------------------------------------------
+    def py_rm3(query):
+        sc = _py_bm25(corpus, query)
+        fb = sorted(sc.items(), key=lambda kv: (-kv[1][0], kv[0]))[:fb_docs]
+        S = sum(s for _, (s, _) in fb)
+        num = {}
+        for d, (s, _) in fb:
+            toks = corpus[d].split(" ")
+            for term in set(toks):
+                num[term] = num.get(term, 0.0) + (
+                    toks.count(term) / len(toks) * s
+                )
+        rm1 = {t_: round(v / S, 6) for t_, v in num.items()}
+        top = sorted(rm1.items(), key=lambda kv: (-kv[1], kv[0]))[:fb_terms]
+        qt = sorted({x for x in query.split(" ") if x})
+        w = {}
+        for t_, v in top:
+            w[t_] = (1 - lam) * v
+        for t_ in qt:
+            w[t_] = w.get(t_, 0.0) + lam / len(qt)
+        return {t_: round(v, 6) for t_, v in w.items() if round(v, 6) > 0}
+
+    for qid, q in queries.items():
+        want = py_rm3(q)
+        got_q = {t_: w for (g, t_), w in got_w.items() if g == qid}
+        assert set(got_q) == set(want), qid
+        for t_, v in want.items():
+            assert abs(got_q[t_] - v) < 1e-9, (qid, t_)
+
+    # ---- weighted second pass vs reference --------------------------
+    res = bm25_search_weighted(df, exp, top_n=10)
+    got_s = {}
+    for r in res.collect():
+        got_s.setdefault(r["query_id"], {})[r["doc_id"]] = (
+            r["score"], r["n_hit"]
+        )
+    n = len(corpus)
+    avgdl = sum(len(v.split(" ")) for v in corpus.values()) / n
+    for qid, q in queries.items():
+        w = py_rm3(q)
+        dfreq = {
+            t_: sum(1 for v in corpus.values() if t_ in v.split(" "))
+            for t_ in w
+        }
+        for d, text in corpus.items():
+            toks = text.split(" ")
+            s, hits = 0.0, 0
+            for t_, wt in w.items():
+                tfv = toks.count(t_)
+                if not tfv:
+                    continue
+                idf = math.log((n - dfreq[t_] + 0.5) / (dfreq[t_] + 0.5) + 1)
+                s += wt * idf * tfv * 2.2 / (
+                    tfv + 1.2 * (1 - 0.75 + 0.75 * len(toks) / avgdl)
+                )
+                hits += 1
+            if hits:
+                assert abs(got_s[qid][d][0] - round(s, 4)) < 1e-8, (qid, d)
+                assert got_s[qid][d][1] == hits
