@@ -34,7 +34,11 @@ from cosmap_spark.operators.multimodal import (  # noqa: F401
     image_phash,
     phash_dup_pairs,
 )
-from cosmap_spark.operators.graph import degrees, pagerank  # noqa: F401
+from cosmap_spark.operators.graph import (  # noqa: F401
+    degrees,
+    pagerank,
+    triangle_counts,
+)
 from cosmap_spark.operators.intervals import (  # noqa: F401
     coalesce_intervals,
     interval_overlap_join,

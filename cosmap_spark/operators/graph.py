@@ -142,3 +142,93 @@ def pagerank(
             break
     ew.unpersist()
     return ranks.select("node", F.round("rank", 9).alias("rank"))
+
+
+def triangle_counts(
+    edges: DataFrame, *, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over
+    the UNDIRECTED simple graph of ``edges`` —
+    ``[node, degree, n_tri, clust_coeff]`` (coefficient =
+    2·T_v / (d_v·(d_v−1)), 0 when d_v < 2; 6 dp).  Self-loops and
+    duplicate/reverse edges collapse first (one distinct on the
+    canonical (min, max) pair).
+
+    The degree-ordered MapReduce algorithm (Suri & Vassilvitskii, WWW
+    2011): orient every edge from the (degree, id)-SMALLER endpoint to
+    the larger, enumerate wedges only at each triangle's lowest-ordered
+    apex (one self-join of the oriented adjacency on the apex), and
+    close them against the canonical edge set (one more equi-join).
+    Orientation bounds every node's oriented out-degree by O(√m), so
+    wedge count — the quadratic hazard of a naive enumeration at a
+    celebrity node — is O(Σ min(dᵤ, √m)²) = O(m^{3/2}) total, the
+    optimal bound; a degree-10⁷ hub contributes wedges only through
+    its √m lower-ordered neighbors.  Every step is an equi-join or
+    aggregation: exact integer counts, hash-gate replayable
+    (q_setops' ``tri`` branch)."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull()
+               & (F.col("a") != F.col("b")))
+        .select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    # orient by the (degree, id) total order: src = smaller endpoint
+    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("dv"))
+    ed = e.join(du, "u").join(dv, "v")
+    lt = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ed.select(
+        F.when(lt, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(lt, F.col("v")).otherwise(F.col("u")).alias("t"),
+        F.when(lt, F.col("dv")).otherwise(F.col("du")).alias("dt"),
+    )
+    # wedges at the apex: pairs of oriented out-neighbors, each pair
+    # once under the same (degree, id) order
+    o1 = oriented.select("s", F.col("t").alias("x"), F.col("dt").alias("dx"))
+    o2 = oriented.select("s", F.col("t").alias("y"), F.col("dt").alias("dy"))
+    wedges = o1.join(o2, "s").where(
+        (F.col("dx") < F.col("dy"))
+        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    )
+    closing = e.select(
+        F.col("u").alias("__cu"), F.col("v").alias("__cv")
+    )
+    tri = wedges.join(
+        closing,
+        (F.least("x", "y") == F.col("__cu"))
+        & (F.greatest("x", "y") == F.col("__cv")),
+    ).select("s", "x", "y")
+    per_node = (
+        tri.select(F.col("s").alias("node"))
+        .unionAll(tri.select(F.col("x").alias("node")))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_tri"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            F.col("degree").cast("long").alias("degree"),
+            F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_tri"),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    2.0 * F.coalesce("n_tri", F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - 1)),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)).alias("clust_coeff"),
+        )
+    )

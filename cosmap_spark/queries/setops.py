@@ -140,6 +140,57 @@ _SETOPS_ORACLE = """
              (SELECT sum(n_new) FROM catd) AS tb
       FROM catd
     ),
+    -- triangle counting (Suri & Vassilvitskii 2011 degree-ordered
+    -- wedges) over a derived orders graph: u = o_custkey % 200,
+    -- v = o_orderkey % 200, ~2/7 edge sample, self-loops dropped
+    tedges AS (
+      SELECT DISTINCT least(o_custkey % 200, o_orderkey % 200) AS u,
+             greatest(o_custkey % 200, o_orderkey % 200) AS v
+      FROM orders
+      WHERE o_orderkey % 7 < 2 AND o_custkey % 200 <> o_orderkey % 200
+    ),
+    tdeg AS (
+      SELECT node, count(*) AS degree FROM (
+        SELECT u AS node FROM tedges UNION ALL SELECT v FROM tedges)
+      GROUP BY 1
+    ),
+    tor AS (
+      SELECT CASE WHEN du.degree < dv.degree
+                    OR (du.degree = dv.degree AND e.u < e.v)
+                  THEN e.u ELSE e.v END AS s,
+             CASE WHEN du.degree < dv.degree
+                    OR (du.degree = dv.degree AND e.u < e.v)
+                  THEN e.v ELSE e.u END AS t,
+             CASE WHEN du.degree < dv.degree
+                    OR (du.degree = dv.degree AND e.u < e.v)
+                  THEN dv.degree ELSE du.degree END AS dt
+      FROM tedges e
+      JOIN tdeg du ON du.node = e.u JOIN tdeg dv ON dv.node = e.v
+    ),
+    ttri AS (
+      SELECT w.s, w.x, w.y FROM (
+        SELECT a.s, a.t AS x, b.t AS y, a.dt AS dx, b.dt AS dy
+        FROM tor a JOIN tor b ON a.s = b.s
+        WHERE a.dt < b.dt OR (a.dt = b.dt AND a.t < b.t)) w
+      JOIN tedges e
+        ON least(w.x, w.y) = e.u AND greatest(w.x, w.y) = e.v
+    ),
+    tcount AS (
+      SELECT node, count(*) AS n_tri FROM (
+        SELECT s AS node FROM ttri
+        UNION ALL SELECT x FROM ttri
+        UNION ALL SELECT y FROM ttri)
+      GROUP BY 1
+    ),
+    tri AS (
+      SELECT d.node, d.degree, coalesce(c.n_tri, 0) AS n_tri,
+             CASE WHEN d.degree >= 2
+                  THEN CAST(round(round(2.0 * coalesce(c.n_tri, 0)
+                       / (d.degree * (d.degree - 1)), 6)
+                       * 1000000) AS BIGINT)
+                  ELSE 0 END AS coeff_micro
+      FROM tdeg d LEFT JOIN tcount c USING (node)
+    ),
     scd_dim AS (
       SELECT k, nk, bal_c, DATE '2020-01-01' AS vf FROM snap_old
     ),
@@ -240,6 +291,11 @@ _SETOPS_ORACLE = """
                 * 1000000) AS BIGINT) AS VARCHAR)
     FROM catd_tot
     UNION ALL
+    SELECT 'tri', node,
+           CAST(degree AS VARCHAR) || '|' || CAST(n_tri AS VARCHAR)
+           || '|' || CAST(coeff_micro AS VARCHAR)
+    FROM tri
+    UNION ALL
     SELECT 'scd2', k,
            CAST(nk AS VARCHAR) || '|' || CAST(bal_c AS VARCHAR)
            || '|' || CAST(valid_from AS VARCHAR)
@@ -296,7 +352,12 @@ def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
       (c_mktsegment x k%7): top-20 old-side categories keep identity,
       NULL is the ``(null)`` category, everything else — including a
       new-only category — folds into ``(other)``; k = NULL, side =
-      ``category|n_old|n_new|psi_micro``.
+      ``category|n_old|n_new|psi_micro``;
+    * ``tri`` — ``operators/graph.py::triangle_counts``: per-node
+      triangle counts + local clustering coefficient over a
+      deterministic orders-derived graph, computed by the
+      degree-ordered wedge algorithm (Suri & Vassilvitskii 2011);
+      k = node, side = ``degree|n_tri|coeff_micro``.
     """
     c = load_table(spark, sf_dir, "customer")
     s = load_table(spark, sf_dir, "supplier")
@@ -511,6 +572,27 @@ def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             c.where(ck % 10 == 7).select(F.lit("brandnew").alias("cat"))
         )
     )
+    # triangle counting (operators/graph.py::triangle_counts — the
+    # degree-ordered wedge algorithm) over a deterministic graph
+    # derived from orders; coefficient surfaces as integer micro-units
+    from cosmap_spark.operators.graph import triangle_counts
+
+    ok = F.col("o_orderkey")
+    tedges = o.where((ok % 7 < 2) & (F.col("o_custkey") % 200 != ok % 200)).select(
+        (F.col("o_custkey") % 200).alias("src"), (ok % 200).alias("dst")
+    )
+    tri_b = tag(
+        triangle_counts(tedges),
+        "tri", F.col("node"),
+        F.concat_ws(
+            "|",
+            F.col("degree").cast("string"), F.col("n_tri").cast("string"),
+            F.when(F.col("degree") >= 2,
+                   F.round(F.col("clust_coeff") * 1000000).cast("long"))
+            .otherwise(F.lit(0).cast("long")).cast("string"),
+        ),
+    )
+
     drift_cat_b = tag(
         category_drift(cat_old, cat_new, ["cat"], top_n=20),
         "drift_cat", None,
@@ -525,6 +607,6 @@ def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = union_all
     for branch in (union_distinct, intersect, except_, cross, not_in,
                    above_mean, merge_b, cdc_b, rt_b, scd2_b, drift_b,
-                   drift_cat_b):
+                   drift_cat_b, tri_b):
         out = out.unionByName(branch)
     return out

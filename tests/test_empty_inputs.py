@@ -994,6 +994,7 @@ COVERED_ABOVE = {
     "funnel_summary", "funnel_summary_levels", "cohort_retention",
     "train_bpe", "kmv_rollup", "segment_overlap", "opq_train",
     "rotate_vectors",
+    "triangle_counts",  # tests/test_graph.py empty + triangle-free
 }
 
 # documented exclusions: name -> why no empty-input spec applies

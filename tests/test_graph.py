@@ -96,3 +96,50 @@ def test_pagerank_early_convergence_truncates_lineage(spark):
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "Join" not in plan, plan
     assert abs(sum(r["rank"] for r in out.collect()) - 1.0) < 1e-9
+
+
+def test_triangle_counts_matches_python_reference(spark):
+    """triangle_counts vs brute-force itertools over a deterministic
+    random-ish graph: per-node counts, degrees, coefficients; dup /
+    reverse / self edges collapse; layout independence."""
+    from itertools import combinations
+
+    from cosmap_spark.operators.graph import triangle_counts
+
+    raw = [((i * 7) % 23, (i * i + 3) % 23) for i in range(90)]
+    raw += [(b, a) for a, b in raw[:20]] + [(5, 5), (1, 1)]
+    df = spark.createDataFrame(raw, "src long, dst long")
+
+    edges = {tuple(sorted(e)) for e in raw if e[0] != e[1]}
+    adj: dict = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    tri = {n: 0 for n in adj}
+    for u, v, w in combinations(sorted(adj), 3):
+        if v in adj[u] and w in adj[u] and w in adj[v]:
+            tri[u] += 1
+            tri[v] += 1
+            tri[w] += 1
+    for layout in (df, df.repartition(7)):
+        got = {
+            r["node"]: (r["degree"], r["n_tri"], r["clust_coeff"])
+            for r in triangle_counts(layout).collect()
+        }
+        assert set(got) == set(adj)
+        for n in adj:
+            d = len(adj[n])
+            coeff = round(2.0 * tri[n] / (d * (d - 1)), 6) if d >= 2 else 0.0
+            assert got[n] == (d, tri[n], coeff), n
+
+
+def test_triangle_counts_empty_and_triangle_free(spark):
+    from cosmap_spark.operators.graph import triangle_counts
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert triangle_counts(empty).count() == 0
+    path = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    rows = {r["node"]: r["n_tri"] for r in triangle_counts(path).collect()}
+    assert rows == {1: 0, 2: 0, 3: 0, 4: 0}
