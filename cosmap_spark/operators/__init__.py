@@ -111,6 +111,10 @@ from cosmap_spark.operators.sketch import (  # noqa: F401
     quantile_rollup,
     segment_overlap,
 )
+from cosmap_spark.operators.stats_tests import (  # noqa: F401
+    ks_test,
+    welch_ttest,
+)
 from cosmap_spark.operators.tseries import (  # noqa: F401
     changepoints_binseg,
     grouped_changepoint,

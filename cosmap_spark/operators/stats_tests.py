@@ -1,0 +1,214 @@
+"""Two-sample hypothesis tests — the inferential members of the
+monitoring/experimentation pillar (drift family: operators/diff.py;
+behavioral family: operators/funnel.py; this module answers "is the
+difference REAL?").
+
+Both tests follow the engine's exact-integer determinism discipline
+(CLAUDE.md, the ``grouped_changepoint`` family): inputs quantize to
+exact integers first, every statistic is then computed from exact
+integer sums by the SAME expression tree in Spark and DuckDB, so the
+results are bit-identical cross-engine and partition-layout
+independent — statistics sit under the hash gate with no tolerance.
+
+The reference has no statistics surface; these are standard published
+procedures (Kolmogorov–Smirnov two-sample; Welch 1947 unequal-variance
+t with Welch–Satterthwaite degrees of freedom).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ks_test(
+    old: DataFrame,
+    new: DataFrame,
+    cols: list[str],
+    *,
+    quantize_dp: int = 6,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic per column —
+    ``[column, n_old, n_new, d_num, d_stat, lambda_stat]`` where
+    ``d_stat = sup_x |F_old(x) − F_new(x)|``.
+
+    Exactness: values quantize to ``quantize_dp`` decimals as longs;
+    the supremum is computed on the INTEGER numerator
+    ``d_num = max |cum_old·n_new − cum_new·n_old|`` (exact — no float
+    ever enters the argmax), and ``d_stat = d_num/(n_old·n_new)`` is
+    one exact-ratio division.  ``lambda_stat = d·√(n·m/(n+m))`` is the
+    usual asymptotic abscissa (≳1.36 ≈ the 5% critical value; ≳1.63 ≈
+    1%).  NULLs are excluded; a side with no non-null rows raises.
+
+    Scale shape: one stacked map-side pass over both frames, ONE
+    ``groupBy(column, value)`` with map-side combine (the corpus
+    collapses to distinct quantized values before any ordered work),
+    then a column-KEYED cumulative window over the distinct-value
+    table and a per-column max.  The ordered state is
+    O(distinct values per column), never corpus-sized — for genuinely
+    continuous unquantized data at 100 TB, lower ``quantize_dp`` to
+    bound the distinct-value table (the induced error is at most the
+    quantization width in probability).  ``cum·n`` stays within long
+    for n_old·n_new < 2⁶³ (guard documented, not hit below ~3·10⁹
+    rows per side)."""
+    from cosmap_spark.operators.diff import _stack_numeric
+
+    if not cols:
+        raise ValueError("ks_test: no columns given")
+    scale = float(10 ** quantize_dp)
+    both = _stack_numeric(old, cols, "o").unionByName(
+        _stack_numeric(new, cols, "n")
+    )
+    counts = (
+        both.select(
+            "side", "column",
+            F.round(F.col("value") * F.lit(scale)).cast("long").alias("q"),
+        )
+        .groupBy("column", "q")
+        .agg(
+            F.sum(F.when(F.col("side") == "o", 1).otherwise(0))
+            .cast("long").alias("co"),
+            F.sum(F.when(F.col("side") == "n", 1).otherwise(0))
+            .cast("long").alias("cn"),
+        )
+    )
+    w = (
+        Window.partitionBy("column").orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("column")
+    cum = counts.select(
+        "column",
+        F.sum("co").over(w).alias("cum_o"),
+        F.sum("cn").over(w).alias("cum_n"),
+        F.sum("co").over(wall).alias("n_old"),
+        F.sum("cn").over(wall).alias("n_new"),
+    )
+    err = F.raise_error(
+        F.concat(
+            F.lit("ks_test: column "), F.col("column"),
+            F.lit(" has no non-null rows on one side"),
+        )
+    ).cast("long")
+    out = (
+        cum.groupBy("column")
+        .agg(
+            F.max("n_old").alias("n_old"),
+            F.max("n_new").alias("n_new"),
+            F.max(
+                F.abs(
+                    F.col("cum_o") * F.col("n_new")
+                    - F.col("cum_n") * F.col("n_old")
+                )
+            ).alias("d_num"),
+        )
+        .select(
+            "column",
+            F.when(F.col("n_old") > 0, F.col("n_old")).otherwise(err)
+            .alias("n_old"),
+            F.when(F.col("n_new") > 0, F.col("n_new")).otherwise(err)
+            .alias("n_new"),
+            "d_num",
+        )
+    )
+    d = F.col("d_num").cast("double") / (
+        F.col("n_old").cast("double") * F.col("n_new").cast("double")
+    )
+    lam = d * F.sqrt(
+        F.col("n_old").cast("double") * F.col("n_new")
+        / (F.col("n_old") + F.col("n_new"))
+    )
+    return out.select(
+        "column", "n_old", "n_new", "d_num",
+        F.round(d, 6).alias("d_stat"),
+        F.round(lam, 6).alias("lambda_stat"),
+    )
+
+
+def welch_ttest(
+    df: DataFrame,
+    variant_col: str,
+    value_col: str,
+    *,
+    quantize_dp: int = 6,
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test for EVERY unordered
+    pair of variants — the A/B-experiment readout —
+    ``[variant_a, variant_b, n_a, n_b, mean_a, mean_b, t_stat, dof]``
+    (variant_a < variant_b as strings; means 6 dp; t and the
+    Welch–Satterthwaite dof 6 dp; |t| ≳ 1.96 ≈ the 5% two-sided
+    line at large dof).
+
+    Exactness: values quantize to longs; per-variant n/Σq/Σq² are
+    EXACT integer aggregates (Σq² in decimal(38,0) — a long would
+    ANSI-throw past ~10⁶ rows of 6-dp values); every downstream double
+    (mean, sample variance via the closed form (Σq² − (Σq)²/n)/(n−1),
+    t, dof) derives from those integers by one fixed expression tree,
+    so results are bit-identical cross-engine (hash-gate replayable)
+    and layout-independent.  A variant with n < 2 has undefined
+    variance: its pairs surface NULL t/dof rather than raising (both
+    engines agree on the NULL).
+
+    Scale shape: ONE aggregation over the corpus (variants-sized
+    output, map-side combined), then a variants² broadcast self-join —
+    variants are few by construction (an experiment has arms, not
+    millions); NULL variants are excluded."""
+    scale = float(10 ** quantize_dp)
+    q = F.round(F.col(value_col) * F.lit(scale)).cast("long")
+    g = (
+        df.where(F.col(variant_col).isNotNull()
+                 & F.col(value_col).isNotNull())
+        .select(F.col(variant_col).cast("string").alias("variant"),
+                q.alias("q"))
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("q").cast("decimal(20,0)")).alias("s"),
+            F.sum(
+                (F.col("q").cast("decimal(38,0)")
+                 * F.col("q").cast("decimal(38,0)"))
+            ).alias("ss"),
+        )
+    )
+    a = g.select(
+        F.col("variant").alias("variant_a"), F.col("n").alias("na"),
+        F.col("s").alias("sa"), F.col("ss").alias("ssa"),
+    )
+    b = g.select(
+        F.col("variant").alias("variant_b"), F.col("n").alias("nb"),
+        F.col("s").alias("sb"), F.col("ss").alias("ssb"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("variant_a") < F.col("variant_b"))
+
+    def stats(nc, sc, ssc):
+        n = F.col(nc).cast("double")
+        s = F.col(sc).cast("double")
+        ss = F.col(ssc).cast("double")
+        mean = s / n / F.lit(scale)
+        var = F.when(
+            F.col(nc) >= 2,
+            (ss - s * s / n) / (n - F.lit(1.0)) / F.lit(scale * scale),
+        )
+        return mean, var
+
+    mean_a, var_a = stats("na", "sa", "ssa")
+    mean_b, var_b = stats("nb", "sb", "ssb")
+    se2a = var_a / F.col("na").cast("double")
+    se2b = var_b / F.col("nb").cast("double")
+    t = (mean_a - mean_b) / F.sqrt(se2a + se2b)
+    dof = (
+        (se2a + se2b) * (se2a + se2b)
+        / (
+            se2a * se2a / (F.col("na").cast("double") - F.lit(1.0))
+            + se2b * se2b / (F.col("nb").cast("double") - F.lit(1.0))
+        )
+    )
+    return pairs.select(
+        "variant_a", "variant_b",
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(dof, 6).alias("dof"),
+    )

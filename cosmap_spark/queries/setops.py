@@ -140,6 +140,64 @@ _SETOPS_ORACLE = """
              (SELECT sum(n_new) FROM catd) AS tb
       FROM catd
     ),
+    -- two-sample KS between the same snapshots over bal_c: the sup is
+    -- taken on the EXACT integer numerator |cum_o*m - cum_n*n|, so no
+    -- float enters the argmax (stats_tests.ks_test, quantize_dp=0 —
+    -- bal_c is already integer cents)
+    ksc AS (
+      SELECT q, sum(CASE WHEN side = 'o' THEN 1 ELSE 0 END) AS co,
+             sum(CASE WHEN side = 'n' THEN 1 ELSE 0 END) AS cn
+      FROM (SELECT 'o' AS side, bal_c AS q FROM snap_old
+            UNION ALL SELECT 'n' AS side, bal_c FROM snap_new)
+      GROUP BY 1
+    ),
+    kscum AS (
+      SELECT sum(co) OVER w AS cum_o, sum(cn) OVER w AS cum_n,
+             sum(co) OVER () AS n_old, sum(cn) OVER () AS n_new
+      FROM ksc
+      WINDOW w AS (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ),
+    ks AS (
+      SELECT max(n_old) AS n_old, max(n_new) AS n_new,
+             max(abs(cum_o * n_new - cum_n * n_old)) AS d_num
+      FROM kscum
+    ),
+    -- Welch's t for every unordered pair of three derived order arms:
+    -- exact integer n/sum/sum-of-squares per arm, one fixed double
+    -- expression tree downstream (stats_tests.welch_ttest)
+    wel AS (
+      SELECT CASE o_orderkey % 3 WHEN 0 THEN 'a' WHEN 1 THEN 'b'
+             ELSE 'c' END AS variant,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS q
+      FROM orders
+    ),
+    welg AS (
+      SELECT variant, count(*) AS n, sum(q) AS s, sum(q * q) AS ss
+      FROM wel GROUP BY 1
+    ),
+    welp AS (
+      SELECT a.variant AS va, b.variant AS vb, a.n AS na, b.n AS nb,
+             CAST(a.s AS DOUBLE) AS sa, CAST(a.ss AS DOUBLE) AS ssa,
+             CAST(b.s AS DOUBLE) AS sb, CAST(b.ss AS DOUBLE) AS ssb
+      FROM welg a JOIN welg b ON a.variant < b.variant
+    ),
+    welstat AS (
+      SELECT va, vb, na, nb,
+             sa / na / 100.0 AS ma, sb / nb / 100.0 AS mb,
+             ((ssa - sa * sa / na) / (na - 1.0) / 10000.0) / na AS s2a,
+             ((ssb - sb * sb / nb) / (nb - 1.0) / 10000.0) / nb AS s2b
+      FROM welp
+    ),
+    welch AS (
+      SELECT va, vb, na, nb,
+             round(ma, 6) AS ma, round(mb, 6) AS mb,
+             round((ma - mb) / sqrt(s2a + s2b), 6) AS t,
+             round((s2a + s2b) * (s2a + s2b)
+                   / (s2a * s2a / (na - 1.0) + s2b * s2b / (nb - 1.0)),
+                   6) AS dof
+      FROM welstat
+    ),
     -- triangle counting (Suri & Vassilvitskii 2011 degree-ordered
     -- wedges) over a derived orders graph: u = o_custkey % 200,
     -- v = o_orderkey % 200, ~2/7 edge sample, self-loops dropped
@@ -291,6 +349,27 @@ _SETOPS_ORACLE = """
                 * 1000000) AS BIGINT) AS VARCHAR)
     FROM catd_tot
     UNION ALL
+    SELECT 'ks', NULL,
+           CAST(n_old AS VARCHAR) || '|' || CAST(n_new AS VARCHAR)
+           || '|' || CAST(d_num AS VARCHAR) || '|'
+           || CAST(CAST(round(round(CAST(d_num AS DOUBLE)
+                / (CAST(n_old AS DOUBLE) * CAST(n_new AS DOUBLE)), 6)
+                * 1000000) AS BIGINT) AS VARCHAR) || '|'
+           || CAST(CAST(round(round(CAST(d_num AS DOUBLE)
+                / (CAST(n_old AS DOUBLE) * CAST(n_new AS DOUBLE))
+                * sqrt(CAST(n_old AS DOUBLE) * n_new / (n_old + n_new)),
+                6) * 1000000) AS BIGINT) AS VARCHAR)
+    FROM ks
+    UNION ALL
+    SELECT 'welch', NULL,
+           va || '>' || vb || '|' || CAST(na AS VARCHAR) || '|'
+           || CAST(nb AS VARCHAR) || '|'
+           || CAST(CAST(round(ma * 1000000) AS BIGINT) AS VARCHAR) || '|'
+           || CAST(CAST(round(mb * 1000000) AS BIGINT) AS VARCHAR) || '|'
+           || CAST(CAST(round(t * 1000000) AS BIGINT) AS VARCHAR) || '|'
+           || CAST(CAST(round(dof * 1000000) AS BIGINT) AS VARCHAR)
+    FROM welch
+    UNION ALL
     SELECT 'tri', node,
            CAST(degree AS VARCHAR) || '|' || CAST(n_tri AS VARCHAR)
            || '|' || CAST(coeff_micro AS VARCHAR)
@@ -357,7 +436,15 @@ def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
       triangle counts + local clustering coefficient over a
       deterministic orders-derived graph, computed by the
       degree-ordered wedge algorithm (Suri & Vassilvitskii 2011);
-      k = node, side = ``degree|n_tri|coeff_micro``.
+      k = node, side = ``degree|n_tri|coeff_micro``;
+    * ``ks`` — ``operators/stats_tests.py::ks_test``: the two-sample
+      Kolmogorov–Smirnov statistic between the same two snapshots,
+      sup taken on the EXACT integer numerator; side =
+      ``n_old|n_new|d_num|d_micro|lambda_micro``;
+    * ``welch`` — ``stats_tests.py::welch_ttest``: Welch's unequal-
+      variance t for every pair of three derived order arms, all
+      statistics from exact integer sums; side =
+      ``a>b|n_a|n_b|meanA_u|meanB_u|t_u|dof_u``.
     """
     c = load_table(spark, sf_dir, "customer")
     s = load_table(spark, sf_dir, "supplier")
@@ -572,6 +659,44 @@ def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             c.where(ck % 10 == 7).select(F.lit("brandnew").alias("cat"))
         )
     )
+    # two-sample inference over the same fixtures (operators/
+    # stats_tests.py): KS between the snapshots' bal_c (exact integer
+    # sup numerator) and Welch's t across three derived order arms
+    from cosmap_spark.operators.stats_tests import ks_test, welch_ttest
+
+    ks_b = tag(
+        ks_test(old.select("k", "bal_c"), new.select("k", "bal_c"),
+                ["bal_c"], quantize_dp=0),
+        "ks", None,
+        F.concat_ws(
+            "|",
+            F.col("n_old").cast("string"), F.col("n_new").cast("string"),
+            F.col("d_num").cast("string"),
+            F.round(F.col("d_stat") * 1000000).cast("long").cast("string"),
+            F.round(F.col("lambda_stat") * 1000000).cast("long")
+            .cast("string"),
+        ),
+    )
+    arms = o.select(
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("a"))
+        .when(F.col("o_orderkey") % 3 == 1, F.lit("b"))
+        .otherwise(F.lit("c")).alias("variant"),
+        F.col("o_totalprice").alias("value"),
+    )
+    welch_b = tag(
+        welch_ttest(arms, "variant", "value", quantize_dp=2),
+        "welch", None,
+        F.concat_ws(
+            "|",
+            F.concat(F.col("variant_a"), F.lit(">"), F.col("variant_b")),
+            F.col("n_a").cast("string"), F.col("n_b").cast("string"),
+            F.round(F.col("mean_a") * 1000000).cast("long").cast("string"),
+            F.round(F.col("mean_b") * 1000000).cast("long").cast("string"),
+            F.round(F.col("t_stat") * 1000000).cast("long").cast("string"),
+            F.round(F.col("dof") * 1000000).cast("long").cast("string"),
+        ),
+    )
+
     # triangle counting (operators/graph.py::triangle_counts — the
     # degree-ordered wedge algorithm) over a deterministic graph
     # derived from orders; coefficient surfaces as integer micro-units
@@ -607,6 +732,6 @@ def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = union_all
     for branch in (union_distinct, intersect, except_, cross, not_in,
                    above_mean, merge_b, cdc_b, rt_b, scd2_b, drift_b,
-                   drift_cat_b, tri_b):
+                   drift_cat_b, tri_b, ks_b, welch_b):
         out = out.unionByName(branch)
     return out

@@ -995,6 +995,8 @@ COVERED_ABOVE = {
     "train_bpe", "kmv_rollup", "segment_overlap", "opq_train",
     "rotate_vectors",
     "triangle_counts",  # tests/test_graph.py empty + triangle-free
+    "ks_test",          # tests/test_stats_tests.py empty-side raise
+    "welch_ttest",      # tests/test_stats_tests.py singleton/empty arms
 }
 
 # documented exclusions: name -> why no empty-input spec applies

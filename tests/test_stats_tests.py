@@ -1,0 +1,121 @@
+"""Two-sample tests (operators/stats_tests.py): pure-python
+differentials for the KS statistic and Welch's t, exactness across
+layouts, and degenerate contracts."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from cosmap_spark.operators.stats_tests import ks_test, welch_ttest
+
+
+def _py_ks(a, b, dp=6):
+    qa = sorted(round(v * 10**dp) for v in a)
+    qb = sorted(round(v * 10**dp) for v in b)
+    vals = sorted(set(qa) | set(qb))
+    best = 0
+    for v in vals:
+        co = sum(1 for x in qa if x <= v)
+        cn = sum(1 for x in qb if x <= v)
+        best = max(best, abs(co * len(qb) - cn * len(qa)))
+    return best
+
+
+def test_ks_matches_python_and_is_exact(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(31)
+    a = [float(v) for v in rng.normal(0, 1, 300)]
+    b = [float(v) for v in rng.normal(0.4, 1.3, 240)]
+    old = spark.createDataFrame([(i, v) for i, v in enumerate(a)],
+                                "k long, x double")
+    new = spark.createDataFrame([(i, v) for i, v in enumerate(b)],
+                                "k long, x double")
+    for layout in (old, old.repartition(13)):
+        r = ks_test(layout, new, ["x"]).collect()[0]
+        dnum = _py_ks(a, b)
+        assert (r["n_old"], r["n_new"], r["d_num"]) == (300, 240, dnum)
+        d = dnum / (300 * 240)
+        assert r["d_stat"] == round(d, 6)
+        assert r["lambda_stat"] == round(
+            d * math.sqrt(300 * 240 / 540), 6
+        )
+    # identical samples: D exactly zero
+    z = ks_test(old, old, ["x"]).collect()[0]
+    assert z["d_num"] == 0 and z["d_stat"] == 0.0
+    # multi-column stacking + empty-side raise
+    two = old.withColumn("y", F.col("x") * 2)
+    rows = {r["column"]: r["d_num"]
+            for r in ks_test(two, two, ["x", "y"]).collect()}
+    assert rows == {"x": 0, "y": 0}
+    empty = spark.createDataFrame([], "k long, x double")
+    import pyspark
+
+    with pytest.raises(pyspark.errors.exceptions.base.PySparkException,
+                       match="no non-null rows"):
+        ks_test(old, empty, ["x"]).collect()
+
+
+def test_welch_matches_python(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    arms = {
+        "ctl": [float(v) for v in rng.normal(10, 2, 150)],
+        "trt": [float(v) for v in rng.normal(10.6, 3, 120)],
+        "t2": [float(v) for v in rng.normal(9.0, 1, 80)],
+    }
+    df = spark.createDataFrame(
+        [(g, v) for g, vals in arms.items() for v in vals],
+        "variant string, value double",
+    )
+    got = {
+        (r["variant_a"], r["variant_b"]): r
+        for r in welch_ttest(df, "variant", "value").collect()
+    }
+    assert set(got) == {("ctl", "t2"), ("ctl", "trt"), ("t2", "trt")}
+
+    def py_welch(xs, ys, dp=6):
+        qx = [round(v * 10**dp) for v in xs]
+        qy = [round(v * 10**dp) for v in ys]
+        sc = 10.0**dp
+
+        def mv(q):
+            n, s, ss = len(q), float(sum(q)), float(sum(v * v for v in q))
+            mean = s / n / sc
+            var = (ss - s * s / n) / (n - 1.0) / (sc * sc)
+            return n, mean, var
+
+        na, ma, va = mv(qx)
+        nb, mb, vb = mv(qy)
+        sa, sb = va / na, vb / nb
+        t = (ma - mb) / math.sqrt(sa + sb)
+        dof = (sa + sb) ** 2 / (sa * sa / (na - 1) + sb * sb / (nb - 1))
+        return na, nb, round(ma, 6), round(mb, 6), round(t, 6), round(dof, 6)
+
+    for (ga, gb), r in got.items():
+        na, nb, ma, mb, t, dof = py_welch(arms[ga], arms[gb])
+        assert (r["n_a"], r["n_b"]) == (na, nb), (ga, gb)
+        assert (r["mean_a"], r["mean_b"]) == (ma, mb), (ga, gb)
+        assert abs(r["t_stat"] - t) < 1e-9 and abs(r["dof"] - dof) < 1e-6
+    # a clearly-shifted pair is significant, layout-independent
+    assert abs(got[("ctl", "t2")]["t_stat"]) > 3
+    again = {
+        (r["variant_a"], r["variant_b"]): r["t_stat"]
+        for r in welch_ttest(df.repartition(11), "variant", "value").collect()
+    }
+    assert again == {k: r["t_stat"] for k, r in got.items()}
+
+
+def test_welch_degenerate_singleton_arm(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 5.0)], "variant string, value double"
+    )
+    r = welch_ttest(df, "variant", "value").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (2, 1)
+    assert r["t_stat"] is None and r["dof"] is None  # undefined variance
+    empty = spark.createDataFrame([], "variant string, value double")
+    assert welch_ttest(empty, "variant", "value").count() == 0
