@@ -222,6 +222,61 @@ def main() -> None:
     print("graded eval: exponential-gain nDCG@10 = 1.0 with the "
           "grade-3 planted doc ranked above its grade-1 decoy")
 
+    # 7. quoted-phrase + RM3 expansion (round 7) --------------------------
+    # phrase: "<rare> the data" occurs ONLY in each planted doc (the
+    # rare term sits mid-text, followed by the filler restart) — exact
+    # adjacency must return exactly it, while the bag-of-words list is
+    # full of filler-sharing distractors
+    from cosmap_spark.operators.retrieval import (
+        bm25_search_weighted,
+        phrase_search,
+        rm3_expand,
+    )
+
+    phrase_qs = {f"p{i}": f"{t} the data" for i, t in enumerate(RARE)}
+    ph = phrase_search(corpus_docs, phrase_qs, top_n=5)
+    got_ph = {r["query_id"]: r["doc_id"] for r in ph.collect()}
+    assert got_ph == {
+        f"p{i}": PLANT_BASE + i for i in range(len(RARE))
+    }, got_ph
+    print("phrase_search: each quoted rare bigram returns exactly its "
+          "planted doc (exact adjacency from the positional index)")
+
+    # rm3: expansion terms come from the planted doc's own vocabulary,
+    # so the original rare term keeps the dominant weight and the
+    # planted doc stays rank 1 after the weighted second pass
+    from cosmap_spark.functions.text import tokens
+    from cosmap_spark.operators.retrieval import bm25_scored
+
+    sc1 = bm25_scored(corpus_docs, queries)
+    t = tokens(F.col("text"))
+    tfq = (
+        corpus_docs.select(
+            F.col("doc_id").alias("__d"),
+            F.explode(t).alias("term"),
+            F.size(t).cast("long").alias("__dl"),
+        )
+        .groupBy("__d", "term")
+        .agg(F.count("*").alias("tf"), F.max("__dl").alias("__dl"))
+    )
+    expanded = rm3_expand(sc1, tfq, queries, fb_docs=3, fb_terms=8)
+    rm3 = bm25_search_weighted(corpus_docs, expanded, top_n=5, tf=tfq)
+    top_rm3 = {
+        r["query_id"]: r["doc_id"]
+        for r in rm3.collect() if r["n_hit"] and r["query_id"] in truth
+    }
+    w1_rm3 = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    first_rm3 = {
+        r["query_id"]: r["doc_id"]
+        for r in rm3.withColumn("rn", F.row_number().over(w1_rm3))
+        .where("rn = 1").collect()
+    }
+    assert first_rm3 == truth, first_rm3
+    print("rm3_expand + bm25_search_weighted: expansion keeps the "
+          "planted doc rank 1 (no collect between the two passes)")
+
     spark.stop()
     print("retrieval example: all invariants hold")
 
