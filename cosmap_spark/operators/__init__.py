@@ -168,6 +168,7 @@ from cosmap_spark.operators.retrieval import (  # noqa: F401
     bm25_search_weighted,
     bm25_weight,
     build_lex_index,
+    inline_tf,
     maxsim_rerank,
     maxsim_topk,
     phrase_match,

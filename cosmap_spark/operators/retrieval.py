@@ -101,6 +101,48 @@ def build_lex_index(
     return tf, lens
 
 
+def inline_tf(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    positions: bool = False,
+    vocab: list[str] | None = None,
+) -> DataFrame:
+    """The INLINE-shaped term table every one-shot retrieval pass
+    consumes — ``[__d, term, tf, __dl]`` (+ ``pos array<int>`` with
+    ``positions=True``): one tokenizing scan carrying the document
+    length through the explode itself (max() of a per-doc constant in
+    the aggregation), so nothing doc-count-sized is ever joined or
+    broadcast.  ``vocab`` filters terms BELOW the aggregation (term is
+    a grouping key — only vocabulary rows shuffle).  The persisted
+    twin is :func:`build_lex_index` + ``index_store`` (dl in a
+    separate lens table); this is the single definition of the inline
+    shape — bm25_scored / bm25_search_weighted / phrase_search and the
+    ledger's rm3 branch all build through it, so the documented
+    inline ≡ prebuilt row-identity has exactly one expression tree to
+    hold for."""
+    t = tokens(F.col(text_col))
+    if positions:
+        toks = docs.select(
+            F.col(id_col).alias("__d"),
+            F.posexplode(t).alias("__p", "term"),
+            F.size(t).cast("long").alias("__dl"),
+        )
+    else:
+        toks = docs.select(
+            F.col(id_col).alias("__d"),
+            F.explode(t).alias("term"),
+            F.size(t).cast("long").alias("__dl"),
+        )
+    if vocab is not None:
+        toks = toks.where(F.col("term").isin(sorted(set(vocab))))
+    aggs = [F.count("*").alias("tf"), F.max("__dl").alias("__dl")]
+    if positions:
+        aggs.append(F.sort_array(F.collect_list("__p")).alias("pos"))
+    return toks.groupBy("__d", "term").agg(*aggs)
+
+
 def bm25_scored(
     docs: DataFrame | None,
     queries: dict[str, str],
@@ -161,23 +203,12 @@ def bm25_scored(
         if docs is None:
             raise ValueError("bm25_search: need docs or prebuilt")
         spark = docs.sparkSession
-        # ONE tokenizing scan builds the term table WITH the document
-        # length carried alongside (size of the same token array —
-        # projection-level repeats are subexpression-eliminated, so
-        # the text splits once per row): the (doc, term) aggregation
-        # keeps dl as max() of a per-doc constant, the query-vocab
-        # filter still pushes below the aggregate (term is a grouping
-        # key), and the separate doc-length scan AND its corpus-sized
-        # broadcast join disappear from the inline path entirely — at
-        # any corpus scale nothing doc-count-sized is broadcast here
-        toks = docs.select(
-            F.col(id_col).alias("__d"),
-            F.explode(tokens(F.col(text_col))).alias("term"),
-            F.size(tokens(F.col(text_col))).cast("long").alias("__dl"),
-        )
-        tf = toks.groupBy("__d", "term").agg(
-            F.count("*").alias("tf"), F.max("__dl").alias("__dl")
-        )
+        # the inline shape (see inline_tf): dl rides the term table,
+        # the query-vocab filter still pushes below the aggregate, and
+        # the separate doc-length scan AND its corpus-sized broadcast
+        # join disappear — at any corpus scale nothing doc-count-sized
+        # is broadcast here
+        tf = inline_tf(docs, id_col=id_col, text_col=text_col)
         lens = None  # dl rides the tf rows; only stats still scans
     if prebuilt is not None and "n_docs" in prebuilt and "avgdl" in prebuilt:
         stats = spark.createDataFrame(
@@ -414,21 +445,10 @@ def phrase_search(
         vocab = sorted({
             t for q in queries.values() for t in q.split(" ") if t
         })
-        toks = docs.select(
-            F.col(id_col).alias("__d"),
-            F.posexplode(tokens(F.col(text_col))).alias("__p", "term"),
-            F.size(tokens(F.col(text_col))).cast("long").alias("__dl"),
-        )
-        vtf = (
-            toks.where(F.col("term").isin(vocab))
-            .groupBy("__d", "term")
-            .agg(
-                F.count("*").alias("tf"),
-                F.max("__dl").alias("__dl"),
-                F.sort_array(F.collect_list("__p")).alias("pos"),
-            )
-            .localCheckpoint(eager=False)
-        )
+        vtf = inline_tf(
+            docs, id_col=id_col, text_col=text_col,
+            positions=True, vocab=vocab,
+        ).localCheckpoint(eager=False)
         prebuilt = {"tf": vtf}
         scored = bm25_scored(
             docs, queries, id_col=id_col, text_col=text_col,
@@ -482,9 +502,12 @@ def rm3_expand(
     query-keyed window, their term distributions come from ONE
     equi-join of the tf table against the broadcast fb set (the scan
     is fb-doc-pruned, never corpus-wide), term selection is a second
-    query-keyed window.  RM1 is rounded to 6 dp BEFORE ranking and
-    interpolation so the hash-gate replay ranks identical values
-    (the engine-wide float discipline)."""
+    query-keyed window.  RM1 is an ORDER-DEPENDENT double sum feeding
+    a DISCRETE cut, so it is rounded to 4 dp BEFORE ranking and
+    interpolation (the aggregate tier of the engine's float
+    discipline — a 6 dp quantization of an order-dependent sum keeps
+    a last-ulp knife edge that would flip the selected TERM SET
+    cross-engine, not just a list tail)."""
     if not queries:
         raise ValueError("rm3_expand: empty query set")
     if not 0.0 <= lam <= 1.0:
@@ -517,7 +540,7 @@ def rm3_expand(
         .join(F.broadcast(totals), "query_id")
         .select(
             "query_id", "term",
-            F.round(F.col("__num") / F.col("__S"), 6).alias("__rm1"),
+            F.round(F.col("__num") / F.col("__S"), 4).alias("__rm1"),
         )
     )
     wt = Window.partitionBy("query_id").orderBy(
@@ -582,14 +605,7 @@ def bm25_search_weighted(
     if docs is None and tf is None:
         raise ValueError("bm25_search_weighted: need docs or tf")
     if tf is None:
-        toks = docs.select(
-            F.col(id_col).alias("__d"),
-            F.explode(tokens(F.col(text_col))).alias("term"),
-            F.size(tokens(F.col(text_col))).cast("long").alias("__dl"),
-        )
-        tf = toks.groupBy("__d", "term").agg(
-            F.count("*").alias("tf"), F.max("__dl").alias("__dl")
-        )
+        tf = inline_tf(docs, id_col=id_col, text_col=text_col)
     if docs is not None:
         stats = docs.where(F.col(text_col).isNotNull()).select(
             F.size(tokens(F.col(text_col))).cast("long").alias("dl")
@@ -926,7 +942,16 @@ def maxsim_topk(
     however expressed; past broadcast scale run the ANN stage first
     and use ``maxsim_rerank(distributed_queries=True)``, whose joins
     are all equi-joins.  Ids (doc and query) may be any scalar type —
-    string ids flow through natively."""
+    string ids flow through natively.
+
+    Error-contract divergence (the price of zero driver jobs): the
+    closure path validates the query set at the driver — empty set
+    and token-less queries raise at CONSTRUCTION; the distributed
+    path cannot look at the data without running a job, so an empty
+    query table yields an empty RESULT, and a token-less query raises
+    only when some batch pairs it with a kept doc.  Callers owning
+    broken upstream state should validate it themselves before the
+    distributed call."""
     import numpy as np
     import pandas as pd
 

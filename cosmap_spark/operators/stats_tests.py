@@ -51,10 +51,20 @@ def ks_test(
     quantization width in probability).  ``cum·n`` stays within long
     for n_old·n_new < 2⁶³ (guard documented, not hit below ~3·10⁹
     rows per side)."""
-    from cosmap_spark.operators.diff import _stack_numeric
+    from cosmap_spark.operators.diff import _NUMERIC_BASES, _stack_numeric
 
     if not cols:
         raise ValueError("ks_test: no columns given")
+    for df, side in ((old, "old"), (new, "new")):
+        for c in cols:
+            base = df.schema[c].dataType.simpleString().split("(")[0]
+            if base not in _NUMERIC_BASES:
+                raise ValueError(
+                    f"ks_test: column {c!r} on the {side} side is "
+                    f"{base}, not numeric — KS compares ordered "
+                    "distributions (for categorical features use "
+                    "category_drift)"
+                )
     scale = float(10 ** quantize_dp)
     both = _stack_numeric(old, cols, "o").unionByName(
         _stack_numeric(new, cols, "n")
@@ -90,17 +100,28 @@ def ks_test(
             F.lit(" has no non-null rows on one side"),
         )
     ).cast("long")
+    # a column that is all-NULL on BOTH sides yields no count rows at
+    # all, so the raise guard would never evaluate and the column
+    # silently vanish — the literal column grid guarantees every
+    # requested column a row (zero counts), which then raises
+    grid = old.sparkSession.createDataFrame(
+        [(c,) for c in cols], "column string"
+    )
     out = (
-        cum.groupBy("column")
-        .agg(
-            F.max("n_old").alias("n_old"),
-            F.max("n_new").alias("n_new"),
-            F.max(
-                F.abs(
-                    F.col("cum_o") * F.col("n_new")
-                    - F.col("cum_n") * F.col("n_old")
+        grid.join(
+            F.broadcast(
+                cum.groupBy("column").agg(
+                    F.max("n_old").alias("n_old"),
+                    F.max("n_new").alias("n_new"),
+                    F.max(
+                        F.abs(
+                            F.col("cum_o") * F.col("n_new")
+                            - F.col("cum_n") * F.col("n_old")
+                        )
+                    ).alias("d_num"),
                 )
-            ).alias("d_num"),
+            ),
+            "column", "left",
         )
         .select(
             "column",
@@ -108,7 +129,7 @@ def ks_test(
             .alias("n_old"),
             F.when(F.col("n_new") > 0, F.col("n_new")).otherwise(err)
             .alias("n_new"),
-            "d_num",
+            F.coalesce("d_num", F.lit(0)).alias("d_num"),
         )
     )
     d = F.col("d_num").cast("double") / (
@@ -195,13 +216,20 @@ def welch_ttest(
     mean_b, var_b = stats("nb", "sb", "ssb")
     se2a = var_a / F.col("na").cast("double")
     se2b = var_b / F.col("nb").cast("double")
-    t = (mean_a - mean_b) / F.sqrt(se2a + se2b)
-    dof = (
+    # zero POOLED variance (two constant arms) leaves t undefined:
+    # guard explicitly — under the engine's ANSI session the bare
+    # division would throw DIVIDE_BY_ZERO and abort the query, while
+    # DuckDB yields NULL (the q_udtf degenerate-group rule: emit None
+    # where the oracle divides by zero)
+    defined = (se2a + se2b) > 0
+    t = F.when(defined, (mean_a - mean_b) / F.sqrt(se2a + se2b))
+    dof = F.when(
+        defined,
         (se2a + se2b) * (se2a + se2b)
         / (
             se2a * se2a / (F.col("na").cast("double") - F.lit(1.0))
             + se2b * se2b / (F.col("nb").cast("double") - F.lit(1.0))
-        )
+        ),
     )
     return pairs.select(
         "variant_a", "variant_b",

@@ -279,15 +279,17 @@ _TOPK_ORACLE = """
     ),
     -- RM3 pseudo-relevance feedback (Lavrenko & Croft 2001 / RM3
     -- interpolation): feedback = bm25 top-5, P(d) ∝ score,
-    -- RM1(t) = Σ tf/dl·P(d) rounded 6dp BEFORE the (rm1 DESC, term)
-    -- rank, top-10 terms interpolated 0.5/0.5 with the uniform query
-    -- model, then a weighted second-pass BM25 rounded 4dp
+    -- RM1(t) = Σ tf/dl·P(d) rounded 4dp BEFORE the (rm1 DESC, term)
+    -- rank (order-dependent sum feeding a discrete cut — the
+    -- aggregate rounding tier), top-10 terms interpolated 0.5/0.5
+    -- with the uniform query model, then a weighted second-pass BM25
+    -- rounded 4dp
     rmfb AS (SELECT query_id, doc_id, score FROM bm25_top WHERE rn <= 5),
     rms AS (SELECT query_id, sum(score) AS s FROM rmfb GROUP BY 1),
     rm1 AS (
       SELECT f.query_id, t.term,
              round(sum(CAST(t.tf AS DOUBLE) / l.dl * f.score)
-                   / max(ss.s), 6) AS rm1
+                   / max(ss.s), 4) AS rm1
       FROM rmfb f
       JOIN tf t ON t.doc_id = f.doc_id
       JOIN lens l ON l.doc_id = f.doc_id
@@ -546,24 +548,20 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     phr = phrase_search(docs, phrases, top_n=10)
 
     # RM3 pseudo-relevance feedback over the SAME first-pass ranking:
-    # the checkpointed scored frame is stage 1, the inline-shaped tf
-    # table serves both the feedback-term join and the weighted
-    # second pass — everything past the checkpoint is lazy, no collect
+    # the checkpointed scored frame is stage 1; tfq's LINEAGE is
+    # shared by the feedback-term join and the weighted second pass —
+    # the tokenize+aggregate WORK re-runs per consumer (measured
+    # 0.29 s at sf0.1; a corpus-sized checkpoint is refused by the
+    # measured-materialization rule, and the two consumers apply
+    # different filters so nothing smaller can be shared).  Everything
+    # past the scored checkpoint is lazy — no collect between passes
     from cosmap_spark.operators.retrieval import (
         bm25_search_weighted,
+        inline_tf,
         rm3_expand,
     )
 
-    t = tokens(F.col("text"))
-    tfq = (
-        docs.select(
-            F.col("doc_id").alias("__d"),
-            F.explode(t).alias("term"),
-            F.size(t).cast("long").alias("__dl"),
-        )
-        .groupBy("__d", "term")
-        .agg(F.count("*").alias("tf"), F.max("__dl").alias("__dl"))
-    )
+    tfq = inline_tf(docs)
     expanded = rm3_expand(
         scored, tfq, probe, score_col="s_bm25",
         fb_docs=5, fb_terms=10, lam=0.5,

@@ -158,6 +158,11 @@ def _write_group(w: _Writer, children: list[tuple[str, int, int, bytes]]):
     children are (name, oh_address, cache_type, scratch); children must
     already be written.  Returns the group's OH address and its
     (btree, heap) pair for the parent's scratch cache."""
+    if not children:
+        raise ValueError(
+            "hdf5lite: a group must have at least one child (empty "
+            "groups are outside the simple-subset contract)"
+        )
     if len(children) > 2 * _LEAF_K:
         raise ValueError(
             f"hdf5lite: at most {2 * _LEAF_K} links per group "

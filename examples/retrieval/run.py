@@ -245,26 +245,12 @@ def main() -> None:
     # rm3: expansion terms come from the planted doc's own vocabulary,
     # so the original rare term keeps the dominant weight and the
     # planted doc stays rank 1 after the weighted second pass
-    from cosmap_spark.functions.text import tokens
-    from cosmap_spark.operators.retrieval import bm25_scored
+    from cosmap_spark.operators.retrieval import bm25_scored, inline_tf
 
     sc1 = bm25_scored(corpus_docs, queries)
-    t = tokens(F.col("text"))
-    tfq = (
-        corpus_docs.select(
-            F.col("doc_id").alias("__d"),
-            F.explode(t).alias("term"),
-            F.size(t).cast("long").alias("__dl"),
-        )
-        .groupBy("__d", "term")
-        .agg(F.count("*").alias("tf"), F.max("__dl").alias("__dl"))
-    )
+    tfq = inline_tf(corpus_docs)
     expanded = rm3_expand(sc1, tfq, queries, fb_docs=3, fb_terms=8)
     rm3 = bm25_search_weighted(corpus_docs, expanded, top_n=5, tf=tfq)
-    top_rm3 = {
-        r["query_id"]: r["doc_id"]
-        for r in rm3.collect() if r["n_hit"] and r["query_id"] in truth
-    }
     w1_rm3 = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id")
     )

@@ -282,6 +282,13 @@ def _spec_phrase_search(spark):
     assert O.phrase_search(_e(spark, _DOCS), {"q": "a b"}).count() == 0
 
 
+def _spec_inline_tf(spark):
+    import cosmap_spark.operators as O
+    assert O.inline_tf(_e(spark, _DOCS)).count() == 0
+    assert O.inline_tf(_e(spark, _DOCS), positions=True,
+                       vocab=["a"]).count() == 0
+
+
 def _spec_build_lex_index(spark):
     import cosmap_spark.operators as O
     tf, lens = O.build_lex_index(_e(spark, _DOCS))
@@ -888,6 +895,7 @@ SWEEP = {
     "bm25_search_weighted": _spec_rm3,
     "phrase_search": _spec_phrase_search,
     "build_lex_index": _spec_build_lex_index,
+    "inline_tf": _spec_inline_tf,
     "bpe_encode": _spec_bpe_encode,
     "bpe_pair_counts": _spec_bpe_pair_counts,
     "classifier_auc": _spec_classifier_auc,

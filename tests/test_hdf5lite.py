@@ -113,3 +113,12 @@ def test_read_hdf5_directory_default_reader_end_to_end(spark, tmp_path):
     )
     with pytest.raises(Exception, match="part9.hdf5"):
         bad.collect()
+
+
+def test_empty_group_refused(tmp_path):
+    """Review fix: an empty group raises the module's contractual
+    ValueError instead of an IndexError from the heap builder."""
+    with pytest.raises(ValueError, match="at least one child"):
+        write_simple_hdf5(str(tmp_path / "e.hdf5"), {"g": {}})
+    with pytest.raises(ValueError, match="at least one child"):
+        write_simple_hdf5(str(tmp_path / "e2.hdf5"), {})

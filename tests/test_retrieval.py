@@ -716,7 +716,7 @@ def test_rm3_expansion_matches_python_reference(spark):
                 num[term] = num.get(term, 0.0) + (
                     toks.count(term) / len(toks) * s
                 )
-        rm1 = {t_: round(v / S, 6) for t_, v in num.items()}
+        rm1 = {t_: round(v / S, 4) for t_, v in num.items()}
         top = sorted(rm1.items(), key=lambda kv: (-kv[1], kv[0]))[:fb_terms]
         qt = sorted({x for x in query.split(" ") if x})
         w = {}

@@ -119,3 +119,41 @@ def test_welch_degenerate_singleton_arm(spark):
     assert r["t_stat"] is None and r["dof"] is None  # undefined variance
     empty = spark.createDataFrame([], "variant string, value double")
     assert welch_ttest(empty, "variant", "value").count() == 0
+
+
+def test_welch_zero_pooled_variance_yields_null(spark):
+    """Two constant arms (n >= 2 each): t and dof are UNDEFINED and
+    must surface as NULL, not an ANSI DIVIDE_BY_ZERO abort — the
+    cross-engine twin of DuckDB's divide-by-zero NULL (review fix)."""
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 2.0)],
+        "variant string, value double",
+    )
+    r = welch_ttest(df, "variant", "value").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (2, 2)
+    assert (r["mean_a"], r["mean_b"]) == (1.0, 2.0)
+    assert r["t_stat"] is None and r["dof"] is None
+    # one constant arm, one varying: still defined
+    df2 = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 4.0)],
+        "variant string, value double",
+    )
+    r2 = welch_ttest(df2, "variant", "value").collect()[0]
+    assert r2["t_stat"] is not None
+
+
+def test_ks_rejects_non_numeric_and_covers_all_null_column(spark):
+    """Review fixes: a string column refuses with a pointer to
+    category_drift BEFORE any job; a column all-NULL on BOTH sides
+    still surfaces (and raises) instead of silently vanishing."""
+    import pyspark
+
+    s = spark.createDataFrame([(1, "en")], "k long, lang string")
+    with pytest.raises(ValueError, match="category_drift"):
+        ks_test(s, s, ["lang"])
+    df = spark.createDataFrame(
+        [(1.0, None), (2.0, None)], "x double, y double"
+    )
+    with pytest.raises(pyspark.errors.exceptions.base.PySparkException,
+                       match="no non-null rows"):
+        ks_test(df, df, ["x", "y"]).collect()
