@@ -353,29 +353,41 @@ def phrase_match(
     phrase: str,
     *,
     candidates: DataFrame | None = None,
+    slop: int = 0,
 ) -> DataFrame:
-    """Docs containing the EXACT phrase (adjacent tokens, in order) —
-    ``[__d]`` — verified from a POSITIONAL index
-    (``build_lex_index(positions=True)``), never by re-reading text.
+    """Docs containing the phrase — ``[__d]`` — verified from a
+    POSITIONAL index (``build_lex_index(positions=True)``), never by
+    re-reading text.
 
-    The inverted-index phrase algorithm: filter the tf table to the
-    phrase's vocabulary (the filter pushes to ``save_lex_index``'s
-    term-sorted parquet layout — row-group pruning, not a corpus
-    scan), group per doc, require every distinct term present, then
-    intersect shifted position lists — a doc matches iff
+    ``slop=0`` (default) is the EXACT quoted phrase (adjacent tokens,
+    in order): filter the tf table to the phrase's vocabulary (the
+    filter pushes to ``save_lex_index``'s term-sorted parquet layout —
+    row-group pruning, not a corpus scan), group per doc, require
+    every distinct term present, then intersect shifted position
+    lists — a doc matches iff
     ``pos(t₀) ∩ (pos(t₁)−1) ∩ … ∩ (pos(tₙ)−n)`` is non-empty
     (``array_intersect`` is hash-based, O(|pos| sums), evaluated on
     doc-length-bounded arrays).  A one-term phrase degenerates to
     containment.
 
+    ``slop > 0`` is ORDERED proximity: the terms must appear in order
+    with total span ≤ (n−1) + slop tokens ("web retrieval" with
+    slop=1 also matches "web scale retrieval").  Verified by the
+    greedy-earliest chain: for each start p₀ ∈ pos(t₀), each next
+    position is the smallest one strictly after the previous —
+    greedy-minimal next positions minimize the final span, so the
+    check is exact, not heuristic.  Same per-doc arrays, O(n·|pos|)
+    per start.
+
     ``candidates`` (optional, query-sized ``[__d]``) broadcast-joins
     BEFORE the per-doc aggregation — the post-BM25 verify shape: only
-    shortlisted docs ever group, so quoted-phrase filtering of a
-    ranked page costs O(candidates), not O(df of the commonest
-    term)."""
+    shortlisted docs ever group, so phrase filtering of a ranked page
+    costs O(candidates), not O(df of the commonest term)."""
     terms = [t for t in phrase.split(" ") if t]
     if not terms:
         raise ValueError("phrase_match: empty phrase")
+    if slop < 0:
+        raise ValueError(f"phrase_match: slop must be >= 0; got {slop}")
     if "pos" not in tf.columns:
         raise ValueError(
             "phrase_match: tf has no 'pos' column — build the index "
@@ -394,16 +406,38 @@ def phrase_match(
         ).alias("__m"),
         F.count("*").alias("__nt"),
     ).where(F.col("__nt") == len(set(terms)))
-    acc = F.element_at(F.col("__m"), F.lit(terms[0]))
-    for i, t in enumerate(terms[1:], 1):
-        off = F.lit(i)
-        acc = F.array_intersect(
-            acc,
-            F.transform(
-                F.element_at(F.col("__m"), F.lit(t)), lambda x: x - off
+    if slop == 0:
+        acc = F.element_at(F.col("__m"), F.lit(terms[0]))
+        for i, t in enumerate(terms[1:], 1):
+            off = F.lit(i)
+            acc = F.array_intersect(
+                acc,
+                F.transform(
+                    F.element_at(F.col("__m"), F.lit(t)), lambda x: x - off
+                ),
+            )
+        return perdoc.where(F.size(acc) > 0).select("__d")
+    # ordered proximity: greedy-earliest chain per start position;
+    # fold state = last matched position (NULL = chain broken)
+    max_span = F.lit(len(terms) - 1 + slop)
+    rest = F.array(*[F.lit(t) for t in terms[1:]])
+    matched = F.exists(
+        F.element_at(F.col("__m"), F.lit(terms[0])),
+        lambda p0: F.aggregate(
+            rest,
+            p0.cast("int"),
+            lambda acc, t: F.when(
+                acc.isNotNull(),
+                F.array_min(
+                    F.filter(
+                        F.element_at(F.col("__m"), t), lambda x: x > acc
+                    )
+                ),
             ),
         )
-    return perdoc.where(F.size(acc) > 0).select("__d")
+        - p0 <= max_span,
+    )
+    return perdoc.where(matched).select("__d")
 
 
 def phrase_search(
@@ -615,7 +649,14 @@ def bm25_search_weighted(
         stats = lens.agg(
             F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
         )
-    q = qterms.select("query_id", "term", "weight")
+    # the weighted-query table feeds TWO broadcast builds (vocab +
+    # scoring join); when it arrives with an expensive lineage (RM3's
+    # expansion pipeline includes a corpus join) each build re-runs
+    # it — checkpoint the query-sized frame once (measured ~10% off
+    # the rm3 stage at sf0.1; the smallest-post-aggregation rule)
+    q = qterms.select("query_id", "term", "weight").localCheckpoint(
+        eager=False
+    )
     vocab = q.select("term").distinct()
     # ONE corpus pass serves both df counting and scoring: the
     # vocab-joined term table is df-bounded (query-vocabulary rows,

@@ -763,3 +763,63 @@ def test_rm3_expansion_matches_python_reference(spark):
             if hits:
                 assert abs(got_s[qid][d][0] - round(s, 4)) < 1e-8, (qid, d)
                 assert got_s[qid][d][1] == hits
+
+
+def test_phrase_match_slop_differential(spark):
+    """Ordered-proximity (slop) matching vs a python greedy-chain
+    reference: slop=0 ≡ exact adjacency, widening slop adds docs
+    monotonically, order still enforced, repeated terms chain."""
+    from cosmap_spark.operators.retrieval import build_lex_index, phrase_match
+
+    corpus = {
+        1: "web retrieval systems",            # adjacent
+        2: "web scale retrieval systems",      # 1 gap
+        3: "web very large scale retrieval",   # 3 gaps
+        4: "retrieval of web documents",       # wrong order
+        5: "web pages about nothing",          # missing term
+        6: "a web b a retrieval a web retrieval",  # multiple starts
+    }
+    df = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    tf, _ = build_lex_index(df, positions=True)
+    tf = tf.localCheckpoint()
+
+    def py_slop(text, phrase, slop):
+        toks = text.split(" ")
+        terms = phrase.split(" ")
+        pos = {t: [i for i, x in enumerate(toks) if x == t] for t in terms}
+        if any(not pos[t] for t in terms):
+            return False
+        for p0 in pos[terms[0]]:
+            acc = p0
+            ok = True
+            for t in terms[1:]:
+                nxt = [x for x in pos[t] if x > acc]
+                if not nxt:
+                    ok = False
+                    break
+                acc = min(nxt)
+            if ok and acc - p0 <= len(terms) - 1 + slop:
+                return True
+        return False
+
+    for phrase in ["web retrieval", "web scale retrieval", "web a retrieval"]:
+        prev = set()
+        for slop in (0, 1, 2, 3):
+            got = {
+                r["__d"]
+                for r in phrase_match(tf, phrase, slop=slop).collect()
+            }
+            want = {d for d, t in corpus.items() if py_slop(t, phrase, slop)}
+            assert got == want, (phrase, slop, got, want)
+            assert prev <= got  # widening slop only adds docs
+            prev = got
+    # slop=0 equals the dedicated exact path (doc 6 has the adjacent
+    # "web retrieval" at its tail)
+    exact = {r["__d"] for r in phrase_match(tf, "web retrieval").collect()}
+    assert exact == {1, 6}
+    got1 = {r["__d"] for r in phrase_match(tf, "web retrieval", slop=1).collect()}
+    assert got1 == {1, 2, 6}
+    import pytest
+
+    with pytest.raises(ValueError, match="slop"):
+        phrase_match(tf, "web retrieval", slop=-1)
