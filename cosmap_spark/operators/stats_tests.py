@@ -146,6 +146,130 @@ def ks_test(
     )
 
 
+def mann_whitney_u(
+    old: DataFrame,
+    new: DataFrame,
+    cols: list[str],
+    *,
+    quantize_dp: int = 6,
+) -> DataFrame:
+    """Two-sample Mann–Whitney U (Wilcoxon rank-sum) per column —
+    ``[column, n_old, n_new, u2x, u_stat, z_stat]`` — the
+    NONPARAMETRIC sibling of :func:`welch_ttest` (no normality
+    assumption; compares rank distributions, robust to outliers).
+
+    Exactness: values quantize to longs; midranks over the grouped
+    distinct-value table are exact HALF-integers, carried as the
+    INTEGER ``2·rank`` stream, so the doubled statistic
+    ``u2x = 2·R_old − n_old·(n_old+1)`` is an exact long and
+    ``u_stat = u2x/2`` one exact division.  ``z_stat`` is the
+    normal approximation with the standard tie correction
+    ``σ² = (n·m/12)·((N+1) − Σ(t³−t)/(N·(N−1)))`` — the tie sum
+    accumulates in decimal(38,0) (exact for per-value multiplicities
+    up to 10¹²; a long t³ would overflow past t ≈ 2·10⁶), every
+    double derives from exact integers by one fixed expression tree
+    (hash-gate replayable), and an all-ties column (σ = 0) surfaces
+    NULL z rather than dividing by zero.  No continuity correction
+    (both engines would have to agree on its sign; document-level
+    shifts at corpus scale dwarf 0.5 rank).
+
+    Scale shape: identical to :func:`ks_test` — one stacked pass, one
+    ``groupBy(column, value)`` with map-side combine, a column-keyed
+    cumulative window over DISTINCT quantized values, one per-column
+    aggregate.  NULLs excluded; an empty side raises."""
+    from cosmap_spark.operators.diff import _NUMERIC_BASES, _stack_numeric
+
+    if not cols:
+        raise ValueError("mann_whitney_u: no columns given")
+    for df, side in ((old, "old"), (new, "new")):
+        for c in cols:
+            base = df.schema[c].dataType.simpleString().split("(")[0]
+            if base not in _NUMERIC_BASES:
+                raise ValueError(
+                    f"mann_whitney_u: column {c!r} on the {side} side "
+                    f"is {base}, not numeric"
+                )
+    scale = float(10 ** quantize_dp)
+    both = _stack_numeric(old, cols, "o").unionByName(
+        _stack_numeric(new, cols, "n")
+    )
+    counts = (
+        both.select(
+            "side", "column",
+            F.round(F.col("value") * F.lit(scale)).cast("long").alias("q"),
+        )
+        .groupBy("column", "q")
+        .agg(
+            F.sum(F.when(F.col("side") == "o", 1).otherwise(0))
+            .cast("long").alias("co"),
+            F.sum(F.when(F.col("side") == "n", 1).otherwise(0))
+            .cast("long").alias("cn"),
+        )
+    )
+    w = (
+        Window.partitionBy("column").orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = F.col("co") + F.col("cn")
+    # midrank of a tie group in DOUBLED units: 2·cum_before + t + 1
+    ranked = counts.select(
+        "column", "co", "cn",
+        (2 * (F.sum(t).over(w) - t) + t + F.lit(1)).alias("avg2"),
+        t.alias("t"),
+    )
+    agg = ranked.groupBy("column").agg(
+        F.sum("co").alias("n_old"),
+        F.sum("cn").alias("n_new"),
+        F.sum(F.col("co") * F.col("avg2")).alias("r2x"),
+        F.sum(
+            F.col("t").cast("decimal(12,0)")
+            * F.col("t").cast("decimal(12,0)")
+            * F.col("t").cast("decimal(12,0)")
+            - F.col("t").cast("decimal(12,0)")
+        ).cast("decimal(38,0)").alias("tie"),
+    )
+    err = F.raise_error(
+        F.concat(
+            F.lit("mann_whitney_u: column "), F.col("column"),
+            F.lit(" has no non-null rows on one side"),
+        )
+    ).cast("long")
+    grid = old.sparkSession.createDataFrame(
+        [(c,) for c in cols], "column string"
+    )
+    agg = grid.join(F.broadcast(agg), "column", "left").select(
+        "column",
+        F.when(F.col("n_old") > 0, F.col("n_old")).otherwise(err)
+        .alias("n_old"),
+        F.when(F.col("n_new") > 0, F.col("n_new")).otherwise(err)
+        .alias("n_new"),
+        "r2x", "tie",
+    )
+    no = F.col("n_old").cast("double")
+    nn = F.col("n_new").cast("double")
+    big_n = F.col("n_old") + F.col("n_new")
+    u2x = F.col("r2x") - F.col("n_old") * (F.col("n_old") + 1)
+    var = (
+        no * nn / F.lit(12.0)
+        * (
+            (big_n + F.lit(1)).cast("double")
+            - F.col("tie").cast("double")
+            / (big_n.cast("double") * (big_n - F.lit(1)).cast("double"))
+        )
+    )
+    z = F.when(
+        var > 0,
+        (u2x.cast("double") / F.lit(2.0) - no * nn / F.lit(2.0))
+        / F.sqrt(var),
+    )
+    return agg.select(
+        "column", "n_old", "n_new",
+        u2x.alias("u2x"),
+        (u2x.cast("double") / F.lit(2.0)).alias("u_stat"),
+        F.round(z, 6).alias("z_stat"),
+    )
+
+
 def welch_ttest(
     df: DataFrame,
     variant_col: str,

@@ -163,6 +163,33 @@ _SETOPS_ORACLE = """
              max(abs(cum_o * n_new - cum_n * n_old)) AS d_num
       FROM kscum
     ),
+    -- Mann-Whitney U over the same grouped counts as KS: midranks in
+    -- DOUBLED integer units (exact half-integers), doubled-U exact,
+    -- z with the standard tie correction (tie sum in HUGEINT)
+    mwr AS (
+      SELECT co, cn,
+             2 * (sum(co + cn) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) - (co + cn))
+               + (co + cn) + 1 AS avg2,
+             co + cn AS t
+      FROM ksc
+    ),
+    mwa AS (
+      SELECT sum(co) AS n_old, sum(cn) AS n_new,
+             sum(co * avg2) AS r2x,
+             sum(CAST(t AS HUGEINT) * t * t - t) AS tie
+      FROM mwr
+    ),
+    mw AS (
+      SELECT n_old, n_new,
+             r2x - n_old * (n_old + 1) AS u2x,
+             CAST(n_old AS DOUBLE) * CAST(n_new AS DOUBLE) / 12.0
+               * (CAST(n_old + n_new + 1 AS DOUBLE)
+                  - CAST(tie AS DOUBLE)
+                    / (CAST(n_old + n_new AS DOUBLE)
+                       * CAST(n_old + n_new - 1 AS DOUBLE))) AS var
+      FROM mwa
+    ),
     -- Welch's t for every unordered pair of three derived order arms:
     -- exact integer n/sum/sum-of-squares per arm, one fixed double
     -- expression tree downstream (stats_tests.welch_ttest)
@@ -361,6 +388,15 @@ _SETOPS_ORACLE = """
                 6) * 1000000) AS BIGINT) AS VARCHAR)
     FROM ks
     UNION ALL
+    SELECT 'mwu', NULL,
+           CAST(n_old AS VARCHAR) || '|' || CAST(n_new AS VARCHAR)
+           || '|' || CAST(u2x AS VARCHAR) || '|'
+           || CAST(CAST(round(round(
+                (CAST(u2x AS DOUBLE) / 2.0
+                 - CAST(n_old AS DOUBLE) * CAST(n_new AS DOUBLE) / 2.0)
+                / sqrt(var), 6) * 1000000) AS BIGINT) AS VARCHAR)
+    FROM mw
+    UNION ALL
     SELECT 'welch', NULL,
            va || '>' || vb || '|' || CAST(na AS VARCHAR) || '|'
            || CAST(nb AS VARCHAR) || '|'
@@ -441,6 +477,9 @@ def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
       Kolmogorov–Smirnov statistic between the same two snapshots,
       sup taken on the EXACT integer numerator; side =
       ``n_old|n_new|d_num|d_micro|lambda_micro``;
+    * ``mwu`` — ``stats_tests.py::mann_whitney_u``: the rank-sum
+      test between the same snapshots — midranks as exact doubled
+      integers, tie-corrected z; side = ``n_old|n_new|u2x|z_micro``;
     * ``welch`` — ``stats_tests.py::welch_ttest``: Welch's unequal-
       variance t for every pair of three derived order arms, all
       statistics from exact integer sums; side =
@@ -662,7 +701,11 @@ def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two-sample inference over the same fixtures (operators/
     # stats_tests.py): KS between the snapshots' bal_c (exact integer
     # sup numerator) and Welch's t across three derived order arms
-    from cosmap_spark.operators.stats_tests import ks_test, welch_ttest
+    from cosmap_spark.operators.stats_tests import (
+        ks_test,
+        mann_whitney_u,
+        welch_ttest,
+    )
 
     ks_b = tag(
         ks_test(old.select("k", "bal_c"), new.select("k", "bal_c"),
@@ -675,6 +718,17 @@ def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("d_stat") * 1000000).cast("long").cast("string"),
             F.round(F.col("lambda_stat") * 1000000).cast("long")
             .cast("string"),
+        ),
+    )
+    mwu_b = tag(
+        mann_whitney_u(old.select("k", "bal_c"), new.select("k", "bal_c"),
+                       ["bal_c"], quantize_dp=0),
+        "mwu", None,
+        F.concat_ws(
+            "|",
+            F.col("n_old").cast("string"), F.col("n_new").cast("string"),
+            F.col("u2x").cast("string"),
+            F.round(F.col("z_stat") * 1000000).cast("long").cast("string"),
         ),
     )
     arms = o.select(
@@ -732,6 +786,6 @@ def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = union_all
     for branch in (union_distinct, intersect, except_, cross, not_in,
                    above_mean, merge_b, cdc_b, rt_b, scd2_b, drift_b,
-                   drift_cat_b, tri_b, ks_b, welch_b):
+                   drift_cat_b, tri_b, ks_b, mwu_b, welch_b):
         out = out.unionByName(branch)
     return out

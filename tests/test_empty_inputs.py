@@ -1005,6 +1005,7 @@ COVERED_ABOVE = {
     "triangle_counts",  # tests/test_graph.py empty + triangle-free
     "ks_test",          # tests/test_stats_tests.py empty-side raise
     "welch_ttest",      # tests/test_stats_tests.py singleton/empty arms
+    "mann_whitney_u",   # tests/test_stats_tests.py empty-side raise
 }
 
 # documented exclusions: name -> why no empty-input spec applies

@@ -157,3 +157,67 @@ def test_ks_rejects_non_numeric_and_covers_all_null_column(spark):
     with pytest.raises(pyspark.errors.exceptions.base.PySparkException,
                        match="no non-null rows"):
         ks_test(df, df, ["x", "y"]).collect()
+
+
+def test_mann_whitney_matches_python(spark):
+    """MWU vs a pure-python midrank reference: exact doubled-U, the
+    tie-corrected z, heavy-tie data, layout independence, all-ties
+    NULL z, and the empty-side raise."""
+    import numpy as np
+
+    from cosmap_spark.operators.stats_tests import mann_whitney_u
+
+    rng = np.random.default_rng(11)
+    # heavy ties: integer-ish values
+    a = [float(v) for v in rng.integers(0, 12, 180)]
+    b = [float(v) for v in rng.integers(2, 14, 150)]
+    old = spark.createDataFrame([(i, v) for i, v in enumerate(a)],
+                                "k long, x double")
+    new = spark.createDataFrame([(i, v) for i, v in enumerate(b)],
+                                "k long, x double")
+
+    def py_mwu(xs, ys, dp=6):
+        qx = [round(v * 10**dp) for v in xs]
+        qy = [round(v * 10**dp) for v in ys]
+        allv = sorted(qx + qy)
+        # midranks
+        from collections import Counter
+        cnt = Counter(allv)
+        rank = {}
+        seen = 0
+        for v in sorted(cnt):
+            rank[v] = seen + (cnt[v] + 1) / 2.0
+            seen += cnt[v]
+        n, m = len(qx), len(qy)
+        big = n + m
+        r = sum(rank[v] for v in qx)
+        u = r - n * (n + 1) / 2.0
+        tie = sum(c**3 - c for c in cnt.values())
+        var = n * m / 12.0 * ((big + 1) - tie / (big * (big - 1)))
+        z = (u - n * m / 2.0) / math.sqrt(var) if var > 0 else None
+        return u, z
+
+    for layout in (old, old.repartition(9)):
+        r = mann_whitney_u(layout, new, ["x"]).collect()[0]
+        u, z = py_mwu(a, b)
+        assert (r["n_old"], r["n_new"]) == (180, 150)
+        assert r["u2x"] == round(2 * u) and r["u_stat"] == u
+        assert abs(r["z_stat"] - round(z, 6)) < 1e-9
+    # all-ties: z undefined -> NULL; u well-defined
+    c1 = spark.createDataFrame([(i, 5.0) for i in range(4)], "k long, x double")
+    c2 = spark.createDataFrame([(i, 5.0) for i in range(6)], "k long, x double")
+    rc = mann_whitney_u(c1, c2, ["x"]).collect()[0]
+    assert rc["z_stat"] is None and rc["u_stat"] == 4 * 6 / 2.0
+    # symmetry sanity: identical samples give z = 0
+    rs = mann_whitney_u(old, old, ["x"]).collect()[0]
+    assert rs["z_stat"] == 0.0
+    import pyspark
+
+    empty = spark.createDataFrame([], "k long, x double")
+    with pytest.raises(pyspark.errors.exceptions.base.PySparkException,
+                       match="no non-null rows"):
+        mann_whitney_u(old, empty, ["x"]).collect()
+    with pytest.raises(ValueError, match="not numeric"):
+        mann_whitney_u(
+            spark.createDataFrame([(1, "a")], "k long, x string"),
+            spark.createDataFrame([(1, "a")], "k long, x string"), ["x"])
