@@ -148,6 +148,26 @@ def main() -> None:
     print(f"  value PSI = {psi_v} | event_type PSI = {psi_c} "
           "(<0.1 stable, >0.25 shifted)")
 
+    # is the shift REAL? the inference family on the same snapshots
+    # (operators/stats_tests.py — all statistics exact-integer
+    # deterministic): KS (distributional), Mann-Whitney (rank), and
+    # Welch's t across derived arms of the new snapshot
+    from cosmap_spark.operators.stats_tests import (
+        ks_test, mann_whitney_u, welch_ttest,
+    )
+
+    ksr = ks_test(old_snap, new_snap, ["value"]).collect()[0]
+    mwr = mann_whitney_u(old_snap, new_snap, ["value"]).collect()[0]
+    print(f"  KS D = {ksr['d_stat']} (lambda = {ksr['lambda_stat']}, "
+          ">1.36 ~ 5%) | MWU z = {0}".format(mwr["z_stat"]))
+    arms = new_snap.select(
+        F.when(F.rand(7) < 0.5, F.lit("a")).otherwise(F.lit("b"))
+        .alias("variant"), F.col("value"),
+    )
+    wr = welch_ttest(arms, "variant", "value").collect()[0]
+    print(f"  Welch A/A on the new snapshot: t = {wr['t_stat']} "
+          f"(|t| < 1.96 expected — same distribution)")
+
     with tempfile.TemporaryDirectory() as tmp:
         land = os.path.join(tmp, "drift_land")
         new_snap.select("value").coalesce(2).write.parquet(land)
