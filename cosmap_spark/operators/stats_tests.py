@@ -315,6 +315,16 @@ def welch_ttest(
             ).alias("ss"),
         )
     )
+    return _welch_from_moments(g, scale)
+
+
+def _welch_from_moments(g: DataFrame, scale: float) -> DataFrame:
+    """Welch statistics for every unordered arm pair from a
+    ``[variant, n, s, ss]`` exact-integer moment frame — shared by
+    :func:`welch_ttest` and the streaming store reader
+    ``streaming.ops.abtest_state`` (whose accumulators are the same
+    integers, which is what makes the live readout bit-identical to
+    the batch operator)."""
     a = g.select(
         F.col("variant").alias("variant_a"), F.col("n").alias("na"),
         F.col("s").alias("sa"), F.col("ss").alias("ssa"),

@@ -11,6 +11,8 @@ cosmap_spark/queries/streaming_q.py (the oracle can't run streams).
 """
 
 from cosmap_spark.streaming.ops import (  # noqa: F401
+    abtest_state,
+    abtest_stream,
     changepoint_stream,
     drift_alarms,
     drift_state,

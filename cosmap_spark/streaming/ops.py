@@ -1088,6 +1088,130 @@ def drift_alarms(
     )
 
 
+def abtest_stream(stream_df: DataFrame, store_path: str, checkpoint: str,
+                  *, variant_col: str, value_col: str,
+                  quantize_dp: int = 6):
+    """Live A/B experiment monitor — the streaming twin of
+    ``operators.stats_tests.welch_ttest``: per-arm moment accumulators
+    (n, Σq, Σq² over values quantized to exact integers) are merged
+    into a parquet store per micro-batch by INTEGER addition — state
+    is O(arms), history is never re-scanned, and because the sums are
+    exact the live readout (:func:`abtest_state`) is BIT-identical to
+    a one-shot ``welch_ttest`` over the concatenated stream (t, dof,
+    means — all of it; asserted in tests/test_streaming.py).
+
+    Exactly-once via the epoch ledger; the quantization dp is recorded
+    in a sidecar INSIDE the store (the sketch_stream k discipline) and
+    a mismatched resume refuses loudly — merging sums at two different
+    scales would silently corrupt every statistic.  Same driver-local
+    durability contract as ``sketch_stream``; NULL variants/values are
+    excluded (matching the batch operator)."""
+    import json as _json
+    import os
+
+    from cosmap_spark.sinks.writers import (
+        _refuse_interrupted_swap,
+        _require_local,
+        _swap_in,
+    )
+
+    _require_local(store_path, "abtest_stream")
+    scale = float(10 ** quantize_dp)
+
+    def check_dp() -> None:
+        f = os.path.join(store_path, "arms", "_abtest_dp")
+        if os.path.exists(f):
+            with open(f) as fh:
+                stored = int(fh.read().strip())
+            if stored != quantize_dp:
+                raise ValueError(
+                    f"abtest_stream: store at {store_path} was built "
+                    f"with quantize_dp={stored}, resume requested "
+                    f"{quantize_dp} — sums at different scales cannot "
+                    "merge"
+                )
+
+    check_dp()
+
+    def run(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ledger = os.path.join(store_path, "_epochs")
+        done_marker = os.path.join(ledger, f"epoch-{epoch_id}")
+        if os.path.exists(done_marker):
+            return  # replayed epoch: sums already include it
+        check_dp()
+        q = F.round(F.col(value_col) * F.lit(scale)).cast("long")
+        batch = (
+            batch_df.where(F.col(variant_col).isNotNull()
+                           & F.col(value_col).isNotNull())
+            .select(F.col(variant_col).cast("string").alias("variant"),
+                    q.alias("q"))
+            .groupBy("variant")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("q").cast("decimal(20,0)"))
+                .cast("decimal(20,0)").alias("s"),
+                F.sum(
+                    F.col("q").cast("decimal(38,0)")
+                    * F.col("q").cast("decimal(38,0)")
+                ).cast("decimal(38,0)").alias("ss"),
+            )
+        )
+        arms = os.path.join(store_path, "arms")
+        _refuse_interrupted_swap(arms)
+        extra = {"_abtest_dp": str(quantize_dp)}
+        if os.path.exists(arms):
+            old = spark.read.parquet(arms)
+            merged = (
+                old.unionByName(batch)
+                .groupBy("variant")
+                .agg(
+                    F.sum("n").cast("long").alias("n"),
+                    F.sum("s").cast("decimal(20,0)").alias("s"),
+                    F.sum("ss").cast("decimal(38,0)").alias("ss"),
+                )
+            )
+            _swap_in(arms, merged, extra_files=extra)
+        else:
+            import uuid as _uuid
+
+            tmp = f"{arms}.__init_tmp_{_uuid.uuid4().hex}"
+            batch.write.mode("overwrite").parquet(tmp)
+            for name, content in extra.items():
+                with open(os.path.join(tmp, name), "w") as f:
+                    f.write(content)
+            os.makedirs(store_path, exist_ok=True)
+            os.rename(tmp, arms)
+        os.makedirs(ledger, exist_ok=True)
+        with open(done_marker, "w") as f:
+            f.write("ok")
+
+    return (
+        stream_df.writeStream.foreachBatch(run)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def abtest_state(spark: SparkSession, store_path: str) -> DataFrame:
+    """The live Welch readout of an :func:`abtest_stream` store —
+    EXACTLY ``welch_ttest``'s shape and floats for every unordered
+    arm pair: ``[variant_a, variant_b, n_a, n_b, mean_a, mean_b,
+    t_stat, dof]``.  The store holds exact integer sums, so this is
+    bit-identical to the batch operator over all data streamed so
+    far."""
+    import json as _json  # noqa: F401  (symmetry with the writer)
+    import os
+
+    from cosmap_spark.operators.stats_tests import _welch_from_moments
+
+    with open(os.path.join(store_path, "arms", "_abtest_dp")) as f:
+        dp = int(f.read().strip())
+    g = spark.read.parquet(os.path.join(store_path, "arms"))
+    return _welch_from_moments(g, float(10 ** dp))
+
+
 def heavy_hitters_stream(stream_df: DataFrame, store_path: str,
                          checkpoint: str, *, key_col: str, k: int = 64):
     """Streaming maintenance of a persisted Misra-Gries counter store

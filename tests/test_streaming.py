@@ -1776,3 +1776,59 @@ def test_drift_stream_matches_batch_snapshot_drift(spark, tmp_path):
           for r in drift_alarms(spark, store, threshold=0.25).collect()}
     assert al["x"][1] is True and al["x"][0] > 0.25
     assert al["y"][1] is False
+
+
+def test_abtest_stream_matches_batch_welch(spark, tmp_path):
+    """Live A/B monitor: after two micro-batches the store's Welch
+    readout is BIT-identical to the batch welch_ttest over the
+    concatenated stream (exact integer moment sums); replays are
+    no-ops; a mismatched quantize_dp resume refuses."""
+    import pytest
+
+    from cosmap_spark.operators.stats_tests import welch_ttest
+    from cosmap_spark.streaming.ops import abtest_state, abtest_stream
+
+    rows = spark.range(1200).select(
+        F.when(F.col("id") % 3 == 0, F.lit("ctl"))
+        .when(F.col("id") % 3 == 1, F.lit("trt"))
+        .otherwise(F.lit("t2")).alias("variant"),
+        (F.col("id") % 97 / 9.7
+         + F.when(F.col("id") % 3 == 1, 1.5).otherwise(0.0)).alias("value"),
+    ).localCheckpoint()
+    land = tmp_path / "ab_landing"
+    rows.where(F.col("value") < 5).coalesce(1).write.parquet(
+        str(land), mode="append")
+    rows.where(F.col("value") >= 5).coalesce(1).write.parquet(
+        str(land), mode="append")
+
+    store = str(tmp_path / "ab_store")
+    q = abtest_stream(
+        (spark.readStream.schema("variant string, value double")
+         .option("maxFilesPerTrigger", 1).parquet(str(land))),
+        store, str(tmp_path / "ab_ck"), variant_col="variant",
+        value_col="value",
+    )
+    q.awaitTermination(180)
+
+    key = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    live = key(abtest_state(spark, store))
+    batch = key(welch_ttest(rows, "variant", "value"))
+    assert live == batch and len(live) == 3  # exact, t/dof bits included
+
+    # replay via the same checkpoint: the ledger short-circuits
+    q2 = abtest_stream(
+        (spark.readStream.schema("variant string, value double")
+         .option("maxFilesPerTrigger", 1).parquet(str(land))),
+        store, str(tmp_path / "ab_ck"), variant_col="variant",
+        value_col="value",
+    )
+    q2.awaitTermination(180)
+    assert key(abtest_state(spark, store)) == batch
+
+    with pytest.raises(ValueError, match="quantize_dp"):
+        abtest_stream(
+            spark.readStream.schema("variant string, value double")
+            .parquet(str(land)),
+            store, str(tmp_path / "ab_ck2"), variant_col="variant",
+            value_col="value", quantize_dp=2,
+        )
