@@ -21,6 +21,48 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _quantized_counts(
+    old: DataFrame, new: DataFrame, cols: list[str],
+    quantize_dp: int, op: str,
+) -> DataFrame:
+    """Shared front half of the two-sample rank/distribution tests:
+    numeric-type validation, quantization to exact longs, the stacked
+    union, and the ONE ``groupBy(column, q)`` producing per-side
+    counts ``[column, q, co, cn]`` — ks_test and mann_whitney_u
+    compute their statistics from this same frame (and the q_setops
+    oracle computes both from one shared CTE)."""
+    from cosmap_spark.operators.diff import _NUMERIC_BASES, _stack_numeric
+
+    if not cols:
+        raise ValueError(f"{op}: no columns given")
+    for df, side in ((old, "old"), (new, "new")):
+        for c in cols:
+            base = df.schema[c].dataType.simpleString().split("(")[0]
+            if base not in _NUMERIC_BASES:
+                raise ValueError(
+                    f"{op}: column {c!r} on the {side} side is "
+                    f"{base}, not numeric — for categorical features "
+                    "use category_drift"
+                )
+    scale = float(10 ** quantize_dp)
+    both = _stack_numeric(old, cols, "o").unionByName(
+        _stack_numeric(new, cols, "n")
+    )
+    return (
+        both.select(
+            "side", "column",
+            F.round(F.col("value") * F.lit(scale)).cast("long").alias("q"),
+        )
+        .groupBy("column", "q")
+        .agg(
+            F.sum(F.when(F.col("side") == "o", 1).otherwise(0))
+            .cast("long").alias("co"),
+            F.sum(F.when(F.col("side") == "n", 1).otherwise(0))
+            .cast("long").alias("cn"),
+        )
+    )
+
+
 def ks_test(
     old: DataFrame,
     new: DataFrame,
@@ -51,37 +93,7 @@ def ks_test(
     quantization width in probability).  ``cum·n`` stays within long
     for n_old·n_new < 2⁶³ (guard documented, not hit below ~3·10⁹
     rows per side)."""
-    from cosmap_spark.operators.diff import _NUMERIC_BASES, _stack_numeric
-
-    if not cols:
-        raise ValueError("ks_test: no columns given")
-    for df, side in ((old, "old"), (new, "new")):
-        for c in cols:
-            base = df.schema[c].dataType.simpleString().split("(")[0]
-            if base not in _NUMERIC_BASES:
-                raise ValueError(
-                    f"ks_test: column {c!r} on the {side} side is "
-                    f"{base}, not numeric — KS compares ordered "
-                    "distributions (for categorical features use "
-                    "category_drift)"
-                )
-    scale = float(10 ** quantize_dp)
-    both = _stack_numeric(old, cols, "o").unionByName(
-        _stack_numeric(new, cols, "n")
-    )
-    counts = (
-        both.select(
-            "side", "column",
-            F.round(F.col("value") * F.lit(scale)).cast("long").alias("q"),
-        )
-        .groupBy("column", "q")
-        .agg(
-            F.sum(F.when(F.col("side") == "o", 1).otherwise(0))
-            .cast("long").alias("co"),
-            F.sum(F.when(F.col("side") == "n", 1).otherwise(0))
-            .cast("long").alias("cn"),
-        )
-    )
+    counts = _quantized_counts(old, new, cols, quantize_dp, "ks_test")
     w = (
         Window.partitionBy("column").orderBy("q")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -177,34 +189,8 @@ def mann_whitney_u(
     ``groupBy(column, value)`` with map-side combine, a column-keyed
     cumulative window over DISTINCT quantized values, one per-column
     aggregate.  NULLs excluded; an empty side raises."""
-    from cosmap_spark.operators.diff import _NUMERIC_BASES, _stack_numeric
-
-    if not cols:
-        raise ValueError("mann_whitney_u: no columns given")
-    for df, side in ((old, "old"), (new, "new")):
-        for c in cols:
-            base = df.schema[c].dataType.simpleString().split("(")[0]
-            if base not in _NUMERIC_BASES:
-                raise ValueError(
-                    f"mann_whitney_u: column {c!r} on the {side} side "
-                    f"is {base}, not numeric"
-                )
-    scale = float(10 ** quantize_dp)
-    both = _stack_numeric(old, cols, "o").unionByName(
-        _stack_numeric(new, cols, "n")
-    )
-    counts = (
-        both.select(
-            "side", "column",
-            F.round(F.col("value") * F.lit(scale)).cast("long").alias("q"),
-        )
-        .groupBy("column", "q")
-        .agg(
-            F.sum(F.when(F.col("side") == "o", 1).otherwise(0))
-            .cast("long").alias("co"),
-            F.sum(F.when(F.col("side") == "n", 1).otherwise(0))
-            .cast("long").alias("cn"),
-        )
+    counts = _quantized_counts(
+        old, new, cols, quantize_dp, "mann_whitney_u"
     )
     w = (
         Window.partitionBy("column").orderBy("q")

@@ -402,8 +402,10 @@ _SETOPS_ORACLE = """
            || CAST(nb AS VARCHAR) || '|'
            || CAST(CAST(round(ma * 1000000) AS BIGINT) AS VARCHAR) || '|'
            || CAST(CAST(round(mb * 1000000) AS BIGINT) AS VARCHAR) || '|'
-           || CAST(CAST(round(t * 1000000) AS BIGINT) AS VARCHAR) || '|'
-           || CAST(CAST(round(dof * 1000000) AS BIGINT) AS VARCHAR)
+           || coalesce(CAST(CAST(round(t * 1000000) AS BIGINT)
+                           AS VARCHAR), 'null') || '|'
+           || coalesce(CAST(CAST(round(dof * 1000000) AS BIGINT)
+                           AS VARCHAR), 'null')
     FROM welch
     UNION ALL
     SELECT 'tri', node,
@@ -728,7 +730,11 @@ def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "|",
             F.col("n_old").cast("string"), F.col("n_new").cast("string"),
             F.col("u2x").cast("string"),
-            F.round(F.col("z_stat") * 1000000).cast("long").cast("string"),
+            F.coalesce(
+                F.round(F.col("z_stat") * 1000000).cast("long")
+                .cast("string"),
+                F.lit("null"),
+            ),
         ),
     )
     arms = o.select(
@@ -746,8 +752,14 @@ def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_a").cast("string"), F.col("n_b").cast("string"),
             F.round(F.col("mean_a") * 1000000).cast("long").cast("string"),
             F.round(F.col("mean_b") * 1000000).cast("long").cast("string"),
-            F.round(F.col("t_stat") * 1000000).cast("long").cast("string"),
-            F.round(F.col("dof") * 1000000).cast("long").cast("string"),
+            F.coalesce(
+                F.round(F.col("t_stat") * 1000000).cast("long")
+                .cast("string"), F.lit("null"),
+            ),
+            F.coalesce(
+                F.round(F.col("dof") * 1000000).cast("long")
+                .cast("string"), F.lit("null"),
+            ),
         ),
     )
 

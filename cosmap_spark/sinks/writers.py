@@ -277,6 +277,32 @@ def _refuse_interrupted_swap(path: str) -> None:
         )
 
 
+def _bootstrap_store(
+    path: str,
+    df: DataFrame,
+    *,
+    extra_files: dict[str, str] | None = None,
+) -> None:
+    """First-write sibling of :func:`_swap_in` for the streaming
+    stores: write the frame AND its sidecar files into a temp
+    directory, then ONE rename into place — the sidecars can never
+    exist without the data nor the data without its sidecars (a
+    sidecar written AFTER the store once left a crash window where a
+    mismatched-parameter resume passed validation and silently
+    corrupted history — the sketch_stream k lesson).  The parent
+    directory is created if needed."""
+    import os
+    import uuid
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = f"{path}.__init_tmp_{uuid.uuid4().hex}"
+    df.write.mode("overwrite").parquet(tmp)
+    for name, content in (extra_files or {}).items():
+        with open(os.path.join(tmp, name), "w") as f:
+            f.write(content)
+    os.rename(tmp, path)
+
+
 def _swap_in(
     path: str,
     replacement: DataFrame,

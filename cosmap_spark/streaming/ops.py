@@ -874,19 +874,9 @@ def sketch_stream(stream_df: DataFrame, store_path: str, checkpoint: str,
             )
             _swap_in(store, merged, extra_files=extra)
         else:
-            # bootstrap with the same data+sidecar atomicity as the
-            # swap path: a k file written AFTER the store (the old
-            # shape) left a crash window where a store existed with no
-            # recorded k, so a mismatched-k resume passed check_k and
-            # silently capped history
-            import uuid as _uuid
+            from cosmap_spark.sinks.writers import _bootstrap_store
 
-            tmp = f"{store}.__init_tmp_{_uuid.uuid4().hex}"
-            batch.write.mode("overwrite").parquet(tmp)
-            for name, content in (extra or {}).items():
-                with open(os.path.join(tmp, name), "w") as f:
-                    f.write(content)
-            os.rename(tmp, store)
+            _bootstrap_store(store, batch, extra_files=extra)
         os.makedirs(ledger, exist_ok=True)
         with open(done_marker, "w") as f:
             f.write("ok")
@@ -941,6 +931,7 @@ def drift_stream(stream_df: DataFrame, store_path: str, checkpoint: str,
 
     from cosmap_spark.operators.diff import drift_bin_counts, drift_reference
     from cosmap_spark.sinks.writers import (
+        _bootstrap_store,
         _refuse_interrupted_swap,
         _require_local,
         _swap_in,
@@ -968,16 +959,14 @@ def drift_stream(stream_df: DataFrame, store_path: str, checkpoint: str,
         bounds, ref_counts = drift_reference(
             reference, cols, bins=bins, relative_error=relative_error
         )
-        import uuid as _uuid
+        from cosmap_spark.sinks.writers import _bootstrap_store
 
-        tmp = f"{ref_dir}.__init_tmp_{_uuid.uuid4().hex}"
-        ref_counts.write.mode("overwrite").parquet(tmp)
-        with open(os.path.join(tmp, "_drift_meta"), "w") as f:
-            _json.dump(
-                {"cols": list(cols), "bins": bins, "bounds": bounds}, f
-            )
-        os.makedirs(store_path, exist_ok=True)
-        os.rename(tmp, ref_dir)
+        _bootstrap_store(
+            ref_dir, ref_counts,
+            extra_files={"_drift_meta": _json.dumps(
+                {"cols": list(cols), "bins": bins, "bounds": bounds}
+            )},
+        )
 
     def run(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -997,11 +986,7 @@ def drift_stream(stream_df: DataFrame, store_path: str, checkpoint: str,
             )
             _swap_in(counts_dir, merged)
         else:
-            import uuid as _uuid
-
-            tmp = f"{counts_dir}.__init_tmp_{_uuid.uuid4().hex}"
-            batch.write.mode("overwrite").parquet(tmp)
-            os.rename(tmp, counts_dir)
+            _bootstrap_store(counts_dir, batch)
         os.makedirs(ledger, exist_ok=True)
         with open(done_marker, "w") as f:
             f.write("ok")
@@ -1106,10 +1091,10 @@ def abtest_stream(stream_df: DataFrame, store_path: str, checkpoint: str,
     scales would silently corrupt every statistic.  Same driver-local
     durability contract as ``sketch_stream``; NULL variants/values are
     excluded (matching the batch operator)."""
-    import json as _json
     import os
 
     from cosmap_spark.sinks.writers import (
+        _bootstrap_store,
         _refuse_interrupted_swap,
         _require_local,
         _swap_in,
@@ -1173,15 +1158,7 @@ def abtest_stream(stream_df: DataFrame, store_path: str, checkpoint: str,
             )
             _swap_in(arms, merged, extra_files=extra)
         else:
-            import uuid as _uuid
-
-            tmp = f"{arms}.__init_tmp_{_uuid.uuid4().hex}"
-            batch.write.mode("overwrite").parquet(tmp)
-            for name, content in extra.items():
-                with open(os.path.join(tmp, name), "w") as f:
-                    f.write(content)
-            os.makedirs(store_path, exist_ok=True)
-            os.rename(tmp, arms)
+            _bootstrap_store(arms, batch, extra_files=extra)
         os.makedirs(ledger, exist_ok=True)
         with open(done_marker, "w") as f:
             f.write("ok")
@@ -1201,7 +1178,6 @@ def abtest_state(spark: SparkSession, store_path: str) -> DataFrame:
     t_stat, dof]``.  The store holds exact integer sums, so this is
     bit-identical to the batch operator over all data streamed so
     far."""
-    import json as _json  # noqa: F401  (symmetry with the writer)
     import os
 
     from cosmap_spark.operators.stats_tests import _welch_from_moments
@@ -1243,7 +1219,6 @@ def heavy_hitters_stream(stream_df: DataFrame, store_path: str,
     a stream alone."""
     import json as _json
     import os
-    import uuid as _uuid
 
     from cosmap_spark.operators.sketch import merge_mg_tables, mg_summary
 
@@ -1309,13 +1284,10 @@ def heavy_hitters_stream(stream_df: DataFrame, store_path: str,
                 extra_files={meta_name: new_meta},
             )
         else:
-            # bootstrap with the same data+meta atomicity: write to a
-            # temp dir, drop the meta inside, single rename into place
-            tmp = f"{store}.__init_tmp_{_uuid.uuid4().hex}"
-            batch.write.mode("overwrite").parquet(tmp)
-            with open(os.path.join(tmp, meta_name), "w") as f:
-                f.write(new_meta)
-            os.rename(tmp, store)
+            from cosmap_spark.sinks.writers import _bootstrap_store
+
+            _bootstrap_store(store, batch,
+                             extra_files={meta_name: new_meta})
         with open(done_marker, "w") as f:
             f.write("ok")
 

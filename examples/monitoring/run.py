@@ -159,7 +159,7 @@ def main() -> None:
     ksr = ks_test(old_snap, new_snap, ["value"]).collect()[0]
     mwr = mann_whitney_u(old_snap, new_snap, ["value"]).collect()[0]
     print(f"  KS D = {ksr['d_stat']} (lambda = {ksr['lambda_stat']}, "
-          ">1.36 ~ 5%) | MWU z = {0}".format(mwr["z_stat"]))
+          f">1.36 ~ 5%) | MWU z = {mwr['z_stat']}")
     arms = new_snap.select(
         F.when(F.rand(7) < 0.5, F.lit("a")).otherwise(F.lit("b"))
         .alias("variant"), F.col("value"),
