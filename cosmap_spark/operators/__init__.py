@@ -114,6 +114,7 @@ from cosmap_spark.operators.sketch import (  # noqa: F401
 from cosmap_spark.operators.stats_tests import (  # noqa: F401
     ks_test,
     mann_whitney_u,
+    proportion_ztest,
     welch_ttest,
 )
 from cosmap_spark.operators.tseries import (  # noqa: F401

@@ -304,6 +304,73 @@ def welch_ttest(
     return _welch_from_moments(g, scale)
 
 
+def proportion_ztest(
+    df: DataFrame,
+    variant_col: str,
+    success_col: str,
+) -> DataFrame:
+    """Two-proportion z-test for every unordered pair of variants —
+    the CONVERSION-RATE A/B readout —
+    ``[variant_a, variant_b, n_a, n_b, x_a, x_b, rate_a, rate_b,
+    z_stat]`` with the pooled-variance statistic
+    ``z = (p̂_a − p̂_b) / √(p̂(1−p̂)(1/n_a + 1/n_b))``,
+    ``p̂ = (x_a + x_b)/(n_a + n_b)``.
+
+    ``success_col`` is boolean or 0/1 numeric; NULL successes and NULL
+    variants are excluded.  Every input to z is an exact integer
+    (per-arm trial and success counts), so the statistic is
+    bit-deterministic cross-engine (hash-gate exact, q_setops'
+    ``prop`` branch); a degenerate pooled rate (p̂ ∈ {0, 1} — nobody
+    or everybody converted) has zero pooled variance and surfaces
+    NULL z (the welch_ttest zero-variance discipline).  Rates are
+    6 dp.
+
+    Scale shape: ONE aggregation over the corpus (arms-sized output,
+    map-side combined) + an arms² broadcast self-join — identical to
+    :func:`welch_ttest`."""
+    g = (
+        df.where(F.col(variant_col).isNotNull()
+                 & F.col(success_col).isNotNull())
+        .select(
+            F.col(variant_col).cast("string").alias("variant"),
+            F.col(success_col).cast("int").alias("__s"),
+        )
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__s").cast("long").alias("x"),
+        )
+    )
+    a = g.select(
+        F.col("variant").alias("variant_a"), F.col("n").alias("na"),
+        F.col("x").alias("xa"),
+    )
+    b = g.select(
+        F.col("variant").alias("variant_b"), F.col("n").alias("nb"),
+        F.col("x").alias("xb"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("variant_a") < F.col("variant_b"))
+    na = F.col("na").cast("double")
+    nb = F.col("nb").cast("double")
+    pa = F.col("xa").cast("double") / na
+    pb = F.col("xb").cast("double") / nb
+    pool = (F.col("xa") + F.col("xb")).cast("double") / (
+        F.col("na") + F.col("nb")
+    ).cast("double")
+    var = pool * (F.lit(1.0) - pool) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    z = F.when(var > 0, (pa - pb) / F.sqrt(var))
+    return pairs.select(
+        "variant_a", "variant_b",
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.col("xa").cast("long").alias("x_a"),
+        F.col("xb").cast("long").alias("x_b"),
+        F.round(pa, 6).alias("rate_a"),
+        F.round(pb, 6).alias("rate_b"),
+        F.round(z, 6).alias("z_stat"),
+    )
+
+
 def _welch_from_moments(g: DataFrame, scale: float) -> DataFrame:
     """Welch statistics for every unordered arm pair from a
     ``[variant, n, s, ss]`` exact-integer moment frame — shared by

@@ -225,6 +225,37 @@ _SETOPS_ORACLE = """
                    6) AS dof
       FROM welstat
     ),
+    -- two-proportion z for the same three arms, success = fulfilled
+    -- order: exact integer trial/success counts, pooled variance;
+    -- degenerate pooled rates surface a canonical 'null' field
+    prg AS (
+      SELECT CASE o_orderkey % 3 WHEN 0 THEN 'a' WHEN 1 THEN 'b'
+             ELSE 'c' END AS variant,
+             count(*) AS n,
+             sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS x
+      FROM orders GROUP BY 1
+    ),
+    prp AS (
+      SELECT a.variant AS va, b.variant AS vb,
+             a.n AS na, b.n AS nb, a.x AS xa, b.x AS xb,
+             CAST(a.x AS DOUBLE) / CAST(a.n AS DOUBLE) AS pa,
+             CAST(b.x AS DOUBLE) / CAST(b.n AS DOUBLE) AS pb,
+             CAST(a.x + b.x AS DOUBLE) / CAST(a.n + b.n AS DOUBLE) AS pool
+      FROM prg a JOIN prg b ON a.variant < b.variant
+    ),
+    prop AS (
+      SELECT va, vb, na, nb, xa, xb,
+             round(pa, 6) AS ra, round(pb, 6) AS rb,
+             CASE WHEN pool * (1.0 - pool)
+                       * (1.0 / CAST(na AS DOUBLE)
+                          + 1.0 / CAST(nb AS DOUBLE)) > 0
+                  THEN round((pa - pb)
+                       / sqrt(pool * (1.0 - pool)
+                              * (1.0 / CAST(na AS DOUBLE)
+                                 + 1.0 / CAST(nb AS DOUBLE))), 6)
+             END AS z
+      FROM prp
+    ),
     -- triangle counting (Suri & Vassilvitskii 2011 degree-ordered
     -- wedges) over a derived orders graph: u = o_custkey % 200,
     -- v = o_orderkey % 200, ~2/7 edge sample, self-loops dropped
@@ -408,6 +439,16 @@ _SETOPS_ORACLE = """
                            AS VARCHAR), 'null')
     FROM welch
     UNION ALL
+    SELECT 'prop', NULL,
+           va || '>' || vb || '|' || CAST(na AS VARCHAR) || '|'
+           || CAST(nb AS VARCHAR) || '|' || CAST(xa AS VARCHAR) || '|'
+           || CAST(xb AS VARCHAR) || '|'
+           || CAST(CAST(round(ra * 1000000) AS BIGINT) AS VARCHAR) || '|'
+           || CAST(CAST(round(rb * 1000000) AS BIGINT) AS VARCHAR) || '|'
+           || coalesce(CAST(CAST(round(z * 1000000) AS BIGINT)
+                           AS VARCHAR), 'null')
+    FROM prop
+    UNION ALL
     SELECT 'tri', node,
            CAST(degree AS VARCHAR) || '|' || CAST(n_tri AS VARCHAR)
            || '|' || CAST(coeff_micro AS VARCHAR)
@@ -482,6 +523,10 @@ def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     * ``mwu`` — ``stats_tests.py::mann_whitney_u``: the rank-sum
       test between the same snapshots — midranks as exact doubled
       integers, tie-corrected z; side = ``n_old|n_new|u2x|z_micro``;
+    * ``prop`` — ``stats_tests.py::proportion_ztest``: two-proportion
+      z (conversion-rate A/B) across the same arms, success = a
+      fulfilled order; side = ``a>b|n_a|n_b|x_a|x_b|rateA_u|rateB_u|
+      z_micro``;
     * ``welch`` — ``stats_tests.py::welch_ttest``: Welch's unequal-
       variance t for every pair of three derived order arms, all
       statistics from exact integer sums; side =
@@ -706,6 +751,7 @@ def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cosmap_spark.operators.stats_tests import (
         ks_test,
         mann_whitney_u,
+        proportion_ztest,
         welch_ttest,
     )
 
@@ -763,6 +809,31 @@ def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
+    prop_b = tag(
+        proportion_ztest(
+            o.select(
+                F.when(F.col("o_orderkey") % 3 == 0, F.lit("a"))
+                .when(F.col("o_orderkey") % 3 == 1, F.lit("b"))
+                .otherwise(F.lit("c")).alias("variant"),
+                (F.col("o_orderstatus") == "F").alias("ok"),
+            ),
+            "variant", "ok",
+        ),
+        "prop", None,
+        F.concat_ws(
+            "|",
+            F.concat(F.col("variant_a"), F.lit(">"), F.col("variant_b")),
+            F.col("n_a").cast("string"), F.col("n_b").cast("string"),
+            F.col("x_a").cast("string"), F.col("x_b").cast("string"),
+            F.round(F.col("rate_a") * 1000000).cast("long").cast("string"),
+            F.round(F.col("rate_b") * 1000000).cast("long").cast("string"),
+            F.coalesce(
+                F.round(F.col("z_stat") * 1000000).cast("long")
+                .cast("string"), F.lit("null"),
+            ),
+        ),
+    )
+
     # triangle counting (operators/graph.py::triangle_counts — the
     # degree-ordered wedge algorithm) over a deterministic graph
     # derived from orders; coefficient surfaces as integer micro-units
@@ -798,6 +869,6 @@ def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = union_all
     for branch in (union_distinct, intersect, except_, cross, not_in,
                    above_mean, merge_b, cdc_b, rt_b, scd2_b, drift_b,
-                   drift_cat_b, tri_b, ks_b, mwu_b, welch_b):
+                   drift_cat_b, tri_b, ks_b, mwu_b, welch_b, prop_b):
         out = out.unionByName(branch)
     return out

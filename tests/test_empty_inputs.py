@@ -1006,6 +1006,7 @@ COVERED_ABOVE = {
     "ks_test",          # tests/test_stats_tests.py empty-side raise
     "welch_ttest",      # tests/test_stats_tests.py singleton/empty arms
     "mann_whitney_u",   # tests/test_stats_tests.py empty-side raise
+    "proportion_ztest", # tests/test_stats_tests.py degenerate/empty arms
 }
 
 # documented exclusions: name -> why no empty-input spec applies

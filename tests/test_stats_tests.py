@@ -221,3 +221,49 @@ def test_mann_whitney_matches_python(spark):
         mann_whitney_u(
             spark.createDataFrame([(1, "a")], "k long, x string"),
             spark.createDataFrame([(1, "a")], "k long, x string"), ["x"])
+
+
+def test_proportion_ztest_matches_python(spark):
+    """Two-proportion z vs a hand formula, boolean AND 0/1 inputs,
+    degenerate pooled rates -> NULL z, layout independence."""
+    from cosmap_spark.operators.stats_tests import proportion_ztest
+
+    rows = (
+        [("a", 1)] * 120 + [("a", 0)] * 380
+        + [("b", 1)] * 175 + [("b", 0)] * 325
+        + [("c", 0)] * 50                       # zero conversions
+    )
+    df = spark.createDataFrame(rows, "variant string, ok int")
+    got = {
+        (r["variant_a"], r["variant_b"]): r
+        for r in proportion_ztest(df, "variant", "ok").collect()
+    }
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+
+    def py_z(na, xa, nb, xb):
+        pa, pb = xa / na, xb / nb
+        pool = (xa + xb) / (na + nb)
+        var = pool * (1 - pool) * (1 / na + 1 / nb)
+        return round((pa - pb) / math.sqrt(var), 6) if var > 0 else None
+
+    r = got[("a", "b")]
+    assert (r["n_a"], r["x_a"], r["n_b"], r["x_b"]) == (500, 120, 500, 175)
+    assert r["rate_a"] == 0.24 and r["rate_b"] == 0.35
+    assert abs(r["z_stat"] - py_z(500, 120, 500, 175)) < 1e-9
+    assert got[("a", "c")]["z_stat"] == py_z(500, 120, 50, 0)
+    # boolean input and repartition agree
+    bdf = df.select("variant", (F.col("ok") == 1).alias("ok")).repartition(7)
+    again = {
+        (r["variant_a"], r["variant_b"]): r["z_stat"]
+        for r in proportion_ztest(bdf, "variant", "ok").collect()
+    }
+    assert again == {k: v["z_stat"] for k, v in got.items()}
+    # both arms all-failures: pooled rate 0 -> NULL z
+    deg = spark.createDataFrame(
+        [("a", 0)] * 5 + [("b", 0)] * 5, "variant string, ok int"
+    )
+    rd = proportion_ztest(deg, "variant", "ok").collect()[0]
+    assert rd["z_stat"] is None and rd["rate_a"] == 0.0
+    assert proportion_ztest(
+        spark.createDataFrame([], "variant string, ok int"), "variant", "ok"
+    ).count() == 0
