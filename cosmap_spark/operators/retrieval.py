@@ -451,6 +451,7 @@ def phrase_search(
     top_n: int = 10,
     prebuilt: dict | None = None,
     broadcast_lens: bool = True,
+    slop: int = 0,
 ) -> DataFrame:
     """Quoted-phrase retrieval: top ``top_n`` docs per query that
     contain the query as an EXACT phrase, ranked by BM25 over the
@@ -470,7 +471,8 @@ def phrase_search(
     sets equi-join the score table on (query, doc).  ``prebuilt``
     must be a POSITIONAL index (``load_lex_index`` of a
     ``save_lex_index(positions=True)`` store), served as-is — the
-    persisted layout already prunes by term."""
+    persisted layout already prunes by term.  ``slop`` relaxes every
+    query to ordered proximity (see :func:`phrase_match`)."""
     if not queries:
         raise ValueError("phrase_search: empty query set")
     if prebuilt is None:
@@ -501,7 +503,7 @@ def phrase_search(
         )
     matches = None
     for qid, phrase in sorted(queries.items()):
-        m = phrase_match(tf, phrase).select(
+        m = phrase_match(tf, phrase, slop=slop).select(
             F.lit(qid).alias("query_id"), "__d"
         )
         matches = m if matches is None else matches.unionByName(m)
