@@ -168,6 +168,26 @@ def _bin_chain(cols: list[str], bounds: dict[str, list[float]]):
     return barr
 
 
+def _cat_stack(df: DataFrame, cols: list[str], null_label: str) -> DataFrame:
+    """Stack categorical columns to (column, category string) map-side
+    with NULL → ``null_label`` — shared by :func:`category_drift` and
+    the streaming categorical monitor
+    (``streaming.ops.category_drift_stream``)."""
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.coalesce(
+                F.col(c).cast("string"), F.lit(null_label)
+            ).alias("category"),
+        )
+        for c in cols
+    ]
+    return df.select(F.explode(F.array(*structs)).alias("s")).select(
+        F.col("s.column").alias("column"),
+        F.col("s.category").alias("category"),
+    )
+
+
 def _lit_chain(cols: list[str], values: dict[str, float]):
     """When-chain mapping ``column`` to a double literal per column."""
     out = F.when(F.col("column") == cols[0], F.lit(float(values[cols[0]])))
@@ -458,19 +478,8 @@ def category_drift(
                 )
 
     def stacked(df: DataFrame, side: str) -> DataFrame:
-        structs = [
-            F.struct(
-                F.lit(c).alias("column"),
-                F.coalesce(
-                    F.col(c).cast("string"), F.lit(null_label)
-                ).alias("category"),
-            )
-            for c in cols
-        ]
-        return df.select(F.explode(F.array(*structs)).alias("s")).select(
-            F.lit(side).alias("side"),
-            F.col("s.column").alias("column"),
-            F.col("s.category").alias("category"),
+        return _cat_stack(df, cols, null_label).select(
+            F.lit(side).alias("side"), "column", "category"
         )
 
     counts = (

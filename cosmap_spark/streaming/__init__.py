@@ -13,6 +13,8 @@ cosmap_spark/queries/streaming_q.py (the oracle can't run streams).
 from cosmap_spark.streaming.ops import (  # noqa: F401
     abtest_state,
     abtest_stream,
+    category_drift_state,
+    category_drift_stream,
     changepoint_stream,
     drift_alarms,
     drift_state,

@@ -1073,6 +1073,207 @@ def drift_alarms(
     )
 
 
+def category_drift_stream(stream_df: DataFrame, store_path: str,
+                          checkpoint: str, *, cols: list[str],
+                          reference: DataFrame | None = None,
+                          top_n: int = 20,
+                          other_label: str = "(other)",
+                          null_label: str = "(null)"):
+    """The CATEGORICAL twin of :func:`drift_stream` — live PSI for
+    language / source-domain / license mixes: first start FREEZES the
+    reference's category selection (``operators.diff.category_drift``
+    semantics — top-``top_n`` old-side categories by (count DESC,
+    category ASC), NULL a first-class ``null_label`` category,
+    everything else folding into ``other_label``) plus the reference's
+    folded counts; each micro-batch folds against that frozen
+    selection and merges per-(column, category) counts by INTEGER
+    addition.  State is O(cols·(top_n+2)); history never re-scans;
+    exactly-once via the epoch ledger; mismatched cols/top_n/labels on
+    resume refuse loudly.
+
+    Because selection is old-side-only in the batch operator too, the
+    live readout (:func:`category_drift_state`) is BIT-identical to
+    ``category_drift(reference, all_streamed_data)`` — counts AND psi
+    doubles (asserted in tests/test_streaming.py).  Same driver-local
+    durability contract as ``sketch_stream``."""
+    import json as _json
+    import os
+
+    from pyspark.sql import Window as W
+
+    from cosmap_spark.operators.diff import _cat_stack
+    from cosmap_spark.sinks.writers import (
+        _bootstrap_store,
+        _refuse_interrupted_swap,
+        _require_local,
+        _swap_in,
+    )
+
+    _require_local(store_path, "category_drift_stream")
+    ref_dir = os.path.join(store_path, "ref")
+    meta_file = os.path.join(ref_dir, "_catdrift_meta")
+    if os.path.exists(ref_dir):
+        with open(meta_file) as f:
+            meta = _json.load(f)
+        want = {"cols": list(cols), "top_n": top_n,
+                "other_label": other_label, "null_label": null_label}
+        have = {k: meta[k] for k in want}
+        if have != want:
+            raise ValueError(
+                f"category_drift_stream: store at {store_path} was "
+                f"frozen with {have}; resume requested {want}"
+            )
+        selected = {c: set(meta["selected"][c]) for c in cols}
+    else:
+        if reference is None:
+            raise ValueError(
+                "category_drift_stream: no frozen reference at "
+                f"{store_path} — pass reference= on first start"
+            )
+        counts = (
+            _cat_stack(reference, cols, null_label)
+            .groupBy("column", "category")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        rn = F.row_number().over(
+            W.partitionBy("column").orderBy(
+                F.col("n").desc(), F.col("category").asc()
+            )
+        )
+        rows = counts.withColumn("__rn", rn).collect()
+        selected = {
+            c: {r["category"] for r in rows
+                if r["column"] == c and r["__rn"] <= top_n}
+            for c in cols
+        }
+        folded = {}
+        for r in rows:
+            key = (
+                r["column"],
+                r["category"] if r["category"] in selected[r["column"]]
+                else other_label,
+            )
+            folded[key] = folded.get(key, 0) + r["n"]
+        ref_counts = reference.sparkSession.createDataFrame(
+            [(c, cat, n) for (c, cat), n in sorted(folded.items())],
+            "column string, category string, n long",
+        )
+        _bootstrap_store(
+            ref_dir, ref_counts,
+            extra_files={"_catdrift_meta": _json.dumps({
+                "cols": list(cols), "top_n": top_n,
+                "other_label": other_label, "null_label": null_label,
+                "selected": {c: sorted(selected[c]) for c in cols},
+            })},
+        )
+
+    sel_chain = None
+    for c in cols:
+        arr = F.array(*[F.lit(x) for x in sorted(selected[c])])
+        sel_chain = (
+            F.when(F.col("column") == c, arr) if sel_chain is None
+            else sel_chain.when(F.col("column") == c, arr)
+        )
+
+    def run(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ledger = os.path.join(store_path, "_epochs")
+        done_marker = os.path.join(ledger, f"epoch-{epoch_id}")
+        if os.path.exists(done_marker):
+            return
+        batch = (
+            _cat_stack(batch_df, cols, null_label)
+            .select(
+                "column",
+                F.when(
+                    F.array_contains(sel_chain, F.col("category")),
+                    F.col("category"),
+                ).otherwise(F.lit(other_label)).alias("category"),
+            )
+            .groupBy("column", "category")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        counts_dir = os.path.join(store_path, "counts")
+        _refuse_interrupted_swap(counts_dir)
+        if os.path.exists(counts_dir):
+            old = spark.read.parquet(counts_dir)
+            merged = (
+                old.unionByName(batch)
+                .groupBy("column", "category")
+                .agg(F.sum("n").cast("long").alias("n"))
+            )
+            _swap_in(counts_dir, merged)
+        else:
+            _bootstrap_store(counts_dir, batch)
+        os.makedirs(ledger, exist_ok=True)
+        with open(done_marker, "w") as f:
+            f.write("ok")
+
+    return (
+        stream_df.writeStream.foreachBatch(run)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def category_drift_state(spark: SparkSession, store_path: str) -> DataFrame:
+    """The live categorical-PSI table of a
+    :func:`category_drift_stream` store — EXACTLY ``category_drift``'s
+    shape and floats: ``[column, category, n_old, n_new, p_old, p_new,
+    psi_term]``, one row per (column, category) present on either
+    side.  O(cols·categories) — assembled driver-side; a column whose
+    streamed rows are all absent so far raises the batch operator's
+    no-distribution error."""
+    import json as _json
+    import os
+
+    from cosmap_spark.operators.diff import _lit_chain, _psi_terms
+
+    with open(os.path.join(store_path, "ref", "_catdrift_meta")) as f:
+        meta = _json.load(f)
+    cols = meta["cols"]
+    ref = {
+        (r["column"], r["category"]): r["n"]
+        for r in spark.read.parquet(
+            os.path.join(store_path, "ref")
+        ).collect()
+    }
+    counts_dir = os.path.join(store_path, "counts")
+    new = (
+        {
+            (r["column"], r["category"]): r["n"]
+            for r in spark.read.parquet(counts_dir).collect()
+        }
+        if os.path.exists(counts_dir)
+        else {}
+    )
+    totals_a = {c: sum(v for (cc, _), v in ref.items() if cc == c)
+                for c in cols}
+    totals_b = {c: sum(v for (cc, _), v in new.items() if cc == c)
+                for c in cols}
+    for c in cols:
+        if totals_b.get(c, 0) == 0:
+            raise ValueError(
+                f"category_drift_state: column {c!r} has no rows on "
+                "the new side — no distribution to compare"
+            )
+    keys = sorted(set(ref) | set(new))
+    rows = [
+        (c, cat, int(ref.get((c, cat), 0)), int(new.get((c, cat), 0)))
+        for c, cat in keys
+    ]
+    j = spark.createDataFrame(
+        rows, "column string, category string, n_old long, n_new long"
+    )
+    pa = F.col("n_old").cast("double") / _lit_chain(cols, totals_a)
+    pb = F.col("n_new").cast("double") / _lit_chain(cols, totals_b)
+    return j.select(
+        "column", "category", "n_old", "n_new",
+        *_psi_terms(pa, pb, 1e-6),
+    )
+
+
 def abtest_stream(stream_df: DataFrame, store_path: str, checkpoint: str,
                   *, variant_col: str, value_col: str,
                   quantize_dp: int = 6):

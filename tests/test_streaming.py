@@ -1832,3 +1832,72 @@ def test_abtest_stream_matches_batch_welch(spark, tmp_path):
             store, str(tmp_path / "ab_ck2"), variant_col="variant",
             value_col="value", quantize_dp=2,
         )
+
+
+def test_category_drift_stream_matches_batch(spark, tmp_path):
+    """Live categorical PSI: frozen top-N selection + integer count
+    merge -> category_drift_state is BIT-identical to category_drift
+    over reference vs the concatenated stream (selection is old-side-
+    only in the batch operator too); replays no-op; mismatched
+    parameters refuse."""
+    import pytest
+
+    from cosmap_spark.operators.diff import category_drift
+    from cosmap_spark.streaming.ops import (
+        category_drift_state, category_drift_stream,
+    )
+
+    ref = spark.range(900).select(
+        F.when(F.col("id") % 11 == 3, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("lang"), (F.col("id") % 9).cast("string")))
+        .alias("lang"),
+    ).localCheckpoint()
+    streamed = spark.range(700).select(
+        "id",
+        F.when(F.col("id") % 13 == 0, F.lit("brandnew"))
+        .when(F.col("id") % 11 == 5, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("lang"), ((F.col("id") + 2) % 9)
+                            .cast("string"))).alias("lang"),
+    ).localCheckpoint()
+    land = tmp_path / "cat_landing"
+    streamed.where(F.col("id") % 2 == 0).select("lang").coalesce(
+        1).write.parquet(str(land), mode="append")
+    streamed.where(F.col("id") % 2 == 1).select("lang").coalesce(
+        1).write.parquet(str(land), mode="append")
+
+    store = str(tmp_path / "cat_store")
+    with pytest.raises(ValueError, match="reference"):
+        category_drift_stream(
+            spark.readStream.schema("lang string").parquet(str(land)),
+            store, str(tmp_path / "ck0"), cols=["lang"], top_n=6,
+        )
+    q = category_drift_stream(
+        (spark.readStream.schema("lang string")
+         .option("maxFilesPerTrigger", 1).parquet(str(land))),
+        store, str(tmp_path / "ck1"), cols=["lang"], top_n=6,
+        reference=ref,
+    )
+    q.awaitTermination(180)
+
+    key = lambda rows: sorted(map(tuple, rows))  # noqa: E731
+    live = key(category_drift_state(spark, store).collect())
+    batch = key(
+        category_drift(ref, streamed.select("lang"), ["lang"],
+                       top_n=6).collect()
+    )
+    assert live == batch and len(live) > 2  # exact, psi bits included
+
+    # replay via the same checkpoint: ledger short-circuits
+    q2 = category_drift_stream(
+        (spark.readStream.schema("lang string")
+         .option("maxFilesPerTrigger", 1).parquet(str(land))),
+        store, str(tmp_path / "ck1"), cols=["lang"], top_n=6,
+    )
+    q2.awaitTermination(180)
+    assert key(category_drift_state(spark, store).collect()) == batch
+
+    with pytest.raises(ValueError, match="frozen"):
+        category_drift_stream(
+            spark.readStream.schema("lang string").parquet(str(land)),
+            store, str(tmp_path / "ck2"), cols=["lang"], top_n=5,
+        )
