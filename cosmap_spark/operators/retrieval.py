@@ -108,6 +108,8 @@ def inline_tf(
     text_col: str = "text",
     positions: bool = False,
     vocab: list[str] | None = None,
+    vocab_df: DataFrame | None = None,
+    doc_filter: DataFrame | None = None,
 ) -> DataFrame:
     """The INLINE-shaped term table every one-shot retrieval pass
     consumes — ``[__d, term, tf, __dl]`` (+ ``pos array<int>`` with
@@ -115,13 +117,34 @@ def inline_tf(
     length through the explode itself (max() of a per-doc constant in
     the aggregation), so nothing doc-count-sized is ever joined or
     broadcast.  ``vocab`` filters terms BELOW the aggregation (term is
-    a grouping key — only vocabulary rows shuffle).  The persisted
+    a grouping key — only vocabulary rows shuffle).  ``vocab_df`` /
+    ``doc_filter`` are the LAZY twins: in-plan term / doc-id sets
+    (single-column frames, query-sized by contract) applied as
+    broadcast left-semi joins on the PRE-aggregation token table —
+    the shape a second-pass consumer (RM3's expansion vocabulary, the
+    feedback-doc term distributions) needs, because a join placed
+    ABOVE the aggregation cannot push through it: the full corpus
+    (doc, term) agg would evaluate with values (~3× the pruned cost —
+    the round-8 rm3 finding) only to be immediately decimated.
+    ``__dl`` stays the FULL document length under every filter (it is
+    computed in the same projection as the explode, before any
+    semi-join).  The persisted
     twin is :func:`build_lex_index` + ``index_store`` (dl in a
     separate lens table); this is the single definition of the inline
     shape — bm25_scored / bm25_search_weighted / phrase_search and the
     ledger's rm3 branch all build through it, so the documented
     inline ≡ prebuilt row-identity has exactly one expression tree to
     hold for."""
+    if doc_filter is not None:
+        # a doc-id filter restricts WHOLE documents, so it sits
+        # before the tokenize: only surviving docs pay the regex +
+        # explode (the per-doc __dl below is still each survivor's
+        # full length)
+        docs = docs.join(
+            F.broadcast(doc_filter.select(F.col(doc_filter.columns[0])
+                                          .alias(id_col)).distinct()),
+            id_col, "left_semi",
+        )
     t = tokens(F.col(text_col))
     if positions:
         toks = docs.select(
@@ -137,6 +160,11 @@ def inline_tf(
         )
     if vocab is not None:
         toks = toks.where(F.col("term").isin(sorted(set(vocab))))
+    if vocab_df is not None:
+        toks = toks.join(
+            F.broadcast(vocab_df.select("term").distinct()),
+            "term", "left_semi",
+        )
     aggs = [F.count("*").alias("tf"), F.max("__dl").alias("__dl")]
     if positions:
         aggs.append(F.sort_array(F.collect_list("__p")).alias("pos"))
@@ -211,10 +239,14 @@ def bm25_scored(
         tf = inline_tf(docs, id_col=id_col, text_col=text_col)
         lens = None  # dl rides the tf rows; only stats still scans
     if prebuilt is not None and "n_docs" in prebuilt and "avgdl" in prebuilt:
-        stats = spark.createDataFrame(
-            [(int(prebuilt["n_docs"]), float(prebuilt["avgdl"]))],
-            "n_docs LONG, avgdl DOUBLE",
-        )
+        # known scalars: inject as literals — no 1-row frame, no
+        # crossJoin broadcast build (each broadcast exchange is a
+        # serialized driver job in local mode; the rm3 lesson)
+        stats = None
+        stat_cols = [
+            F.lit(int(prebuilt["n_docs"])).alias("n_docs"),
+            F.lit(float(prebuilt["avgdl"])).alias("avgdl"),
+        ]
     elif lens is not None:
         stats = lens.agg(
             F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
@@ -254,9 +286,12 @@ def bm25_scored(
         scored_src = scored_src.join(
             F.broadcast(lens_side) if broadcast_lens else lens_side, "__d"
         )
+    if stats is not None:
+        scored_src = scored_src.crossJoin(F.broadcast(stats))
+    else:
+        scored_src = scored_src.select("*", *stat_cols)
     return (
         scored_src
-        .crossJoin(F.broadcast(stats))
         .groupBy("query_id", "__d")
         .agg(
             *[
@@ -513,13 +548,16 @@ def phrase_search(
 
 def rm3_expand(
     scored: DataFrame,
-    tf: DataFrame,
+    tf: DataFrame | None,
     queries: dict[str, str],
     *,
     score_col: str = "score",
     fb_docs: int = 5,
     fb_terms: int = 10,
     lam: float = 0.5,
+    docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
 ) -> DataFrame:
     """RM3 pseudo-relevance-feedback query expansion (Lavrenko &
     Croft 2001 relevance models; RM3 interpolation per Abdul-Jaleel
@@ -538,7 +576,16 @@ def rm3_expand(
     query-keyed window, their term distributions come from ONE
     equi-join of the tf table against the broadcast fb set (the scan
     is fb-doc-pruned, never corpus-wide), term selection is a second
-    query-keyed window.  RM1 is an ORDER-DEPENDENT double sum feeding
+    query-keyed window.  Pass ``docs`` (the corpus frame the inline
+    ``tf`` was built from) to push the feedback-doc filter BELOW the
+    (doc, term) aggregation as a broadcast left-semi join on the
+    token table — with only ``tf`` the filter is a join ABOVE the
+    aggregate, which a Catalyst filter cannot replace (joins don't
+    push through aggregation), so the full corpus agg evaluates with
+    values first (~3× the pruned cost; measured 2.0 → 0.9 s on the
+    rm3 gate stage at sf0.1).  ``tf`` remains the right input for a
+    PERSISTED index, where value evaluation is a parquet scan, not a
+    tokenize.  RM1 is an ORDER-DEPENDENT double sum feeding
     a DISCRETE cut, so it is rounded to 4 dp BEFORE ranking and
     interpolation (the aggregate tier of the engine's float
     discipline — a 6 dp quantization of an order-dependent sum keeps
@@ -548,35 +595,53 @@ def rm3_expand(
         raise ValueError("rm3_expand: empty query set")
     if not 0.0 <= lam <= 1.0:
         raise ValueError(f"lam must be in [0, 1]; got {lam}")
-    if "__dl" not in tf.columns:
+    if tf is None and docs is None:
+        raise ValueError("rm3_expand: need tf or docs")
+    if tf is not None and "__dl" not in tf.columns:
         raise ValueError(
             "rm3_expand: tf must carry __dl (the inline-shaped term "
             "table bm25_scored builds)"
         )
-    spark = tf.sparkSession
+    spark = (tf if tf is not None else docs).sparkSession
     wq = Window.partitionBy("query_id").orderBy(
         F.col(score_col).desc(), F.col("__d").asc()
     )
+    # P(d) denominator Σ score over the ≤fb_docs feedback docs rides
+    # the SAME query-keyed window pass as the rank cut (__stot per
+    # row), so it needs no separate aggregate + broadcast build — each
+    # broadcast exchange is a serialized driver job in local mode.
+    # NOT named __S: Spark resolves column names CASE-INSENSITIVELY,
+    # so withColumn("__S") would silently REPLACE __s (the round-8
+    # 5×-inflated-RM1 bug)
+    wqs = Window.partitionBy("query_id")
     fb = (
         scored.withColumn("__rn", F.row_number().over(wq))
         .where(F.col("__rn") <= fb_docs)
         .select("query_id", "__d", F.col(score_col).alias("__s"))
+        .withColumn("__stot", F.sum("__s").over(wqs))
     )
-    # P(d) denominator: Σ score over the ≤fb_docs feedback docs
-    totals = fb.groupBy("query_id").agg(F.sum("__s").alias("__S"))
-    # term distributions of ONLY the feedback docs: tf ⋈ broadcast(fb)
-    ft = tf.join(F.broadcast(fb), "__d")
+    # term distributions of ONLY the feedback docs: when docs is in
+    # hand, aggregate ONLY their tokens (doc filter below the agg);
+    # the persisted-index path joins the tf table directly
+    if docs is not None:
+        fbtf = inline_tf(
+            docs, id_col=id_col, text_col=text_col,
+            doc_filter=fb.select("__d"),
+        )
+    else:
+        fbtf = tf
+    ft = fbtf.join(F.broadcast(fb), "__d")
     rm1 = (
         ft.groupBy("query_id", "term")
         .agg(
             F.sum(
                 F.col("tf").cast("double") / F.col("__dl") * F.col("__s")
-            ).alias("__num")
+            ).alias("__num"),
+            F.max("__stot").alias("__stot"),
         )
-        .join(F.broadcast(totals), "query_id")
         .select(
             "query_id", "term",
-            F.round(F.col("__num") / F.col("__S"), 4).alias("__rm1"),
+            F.round(F.col("__num") / F.col("__stot"), 4).alias("__rm1"),
         )
     )
     wt = Window.partitionBy("query_id").orderBy(
@@ -593,20 +658,21 @@ def rm3_expand(
     n_orig = {qid: len({x for x in q.split(" ") if x})
               for qid, q in queries.items()}
     orig = spark.createDataFrame(
-        [(qid, t, 1.0 / n_orig[qid]) for qid, t in orig_rows],
-        "query_id string, term string, __pq double",
+        [(qid, t, lam * (1.0 / n_orig[qid])) for qid, t in orig_rows],
+        "query_id string, term string, __w double",
     )
+    # interpolation as union + one keyed sum instead of a full-outer
+    # join (an SMJ costs two sort exchanges on these tiny sides): each
+    # (query, term) has at most TWO addends — λ·P(t|Q) and
+    # (1−λ)·RM1(t) — and a two-operand IEEE add is order-independent,
+    # so round(sum) is bit-identical to the joined expression
+    parts = top.select(
+        "query_id", "term",
+        (F.lit(1.0 - float(lam)) * F.col("__rm1")).alias("__w"),
+    ).unionByName(orig)
     return (
-        top.join(orig, ["query_id", "term"], "full_outer")
-        .select(
-            "query_id", "term",
-            F.round(
-                F.lit(float(lam)) * F.coalesce("__pq", F.lit(0.0))
-                + F.lit(1.0 - float(lam))
-                * F.coalesce("__rm1", F.lit(0.0)),
-                6,
-            ).alias("weight"),
-        )
+        parts.groupBy("query_id", "term")
+        .agg(F.round(F.sum("__w"), 6).alias("weight"))
         .where(F.col("weight") > 0)
     )
 
@@ -621,6 +687,8 @@ def bm25_search_weighted(
     b: float = 0.75,
     top_n: int = 10,
     tf: DataFrame | None = None,
+    n_docs: int | None = None,
+    avgdl: float | None = None,
 ) -> DataFrame:
     """Top ``top_n`` docs per query under a WEIGHTED term query —
     ``score(d) = Σ_t w_t · bm25_t(d)`` over an in-plan
@@ -636,13 +704,23 @@ def bm25_search_weighted(
     term table (the vocabulary is in-plan); the final score rounds to
     4 dp (an aggregate of an aggregate — the engine's aggregate
     rounding tier).  Pass ``tf`` (an inline-shaped term table with
-    ``__dl``) to reuse an already-built one; ``docs`` is still needed
-    for the corpus stats scan."""
+    ``__dl``) to reuse an already-built one, and ``n_docs``/``avgdl``
+    (two scalars — collect them ONCE from the corpus-stats scan a
+    first pass already ran) to skip re-scanning docs for stats: a
+    second-pass caller (RM3 serving) should pay zero corpus-stats
+    work here."""
     if docs is None and tf is None:
         raise ValueError("bm25_search_weighted: need docs or tf")
-    if tf is None:
-        tf = inline_tf(docs, id_col=id_col, text_col=text_col)
-    if docs is not None:
+    stat_cols = None
+    if n_docs is not None and avgdl is not None:
+        # known scalars → literals: no stats scan, no 1-row broadcast
+        # build (a serialized driver job in local mode)
+        stats = None
+        stat_cols = [
+            F.lit(int(n_docs)).alias("n_docs"),
+            F.lit(float(avgdl)).alias("avgdl"),
+        ]
+    elif docs is not None:
         stats = docs.where(F.col(text_col).isNotNull()).select(
             F.size(tokens(F.col(text_col))).cast("long").alias("dl")
         ).agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
@@ -667,13 +745,33 @@ def bm25_search_weighted(
     # it dfreq and the scoring join each re-run the full tokenize.
     # (A term-keyed window df over the same frame measured ~15%
     # SLOWER than this shape at sf0.1 — the window's sort exchange
-    # costs more than the tiny dfreq broadcast.)
-    hits = tf.join(F.broadcast(vocab), "term").localCheckpoint(eager=False)
+    # costs more than the tiny dfreq broadcast.)  With docs in hand
+    # the in-plan vocabulary pushes BELOW the (doc, term) aggregation
+    # (broadcast left-semi on the token table — a join above the agg
+    # cannot push through it, so the full corpus agg would evaluate
+    # with values at ~3× the pruned cost; the round-8 rm3 finding);
+    # a prebuilt tf joins above as before (persisted indexes prune by
+    # term at the scan).
+    if docs is not None:
+        hits = inline_tf(
+            docs, id_col=id_col, text_col=text_col, vocab_df=vocab
+        ).localCheckpoint(eager=False)
+    else:
+        hits = tf.join(F.broadcast(vocab), "term").localCheckpoint(
+            eager=False
+        )
     dfreq = hits.groupBy("term").agg(F.count("*").alias("df"))
+    # weights and df are both term-keyed query-vocabulary-sized sides:
+    # pre-join them so the scoring pass pays ONE broadcast build (the
+    # inner q ⋈ dfreq join rides inside that build's job)
+    qd = q.join(dfreq, "term")
+    scored = hits.join(F.broadcast(qd), "term")
+    if stats is not None:
+        scored = scored.crossJoin(F.broadcast(stats))
+    else:
+        scored = scored.select("*", *stat_cols)
     scored = (
-        hits.join(F.broadcast(q), "term")
-        .join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(stats))
+        scored
         .groupBy("query_id", "__d")
         .agg(
             F.round(

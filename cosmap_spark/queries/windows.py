@@ -485,10 +485,36 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # query-sized frame is the shape that pays (measured: q_topk
     # 3.94 s -> 2.86 s min-of-5 at sf0.1; the remainder is the one
     # tf-aggregate pass + the corpus-stats scan + the probe collect).
-    scored = bm25_scored(
-        docs, probe,
+    # Round 8: the corpus stats (n_docs, avgdl) are collected ONCE —
+    # two scalars — and injected as literals into all THREE scoring
+    # passes (bm25/idf, phrase, rm3's weighted second pass), which
+    # previously each ran their own corpus-stats tokenize scan plus a
+    # 1-row broadcast build (a serialized driver job in local mode).
+    # Round 8 again: the phrase branch's SCORING rides the same pass —
+    # the phrase probes join the query set under prefixed ids ("p|qN")
+    # and the one corpus term table is positional + filtered to the
+    # UNION vocabulary, so it serves scoring for all six queries AND
+    # the per-phrase position matching (phrase_match filters to its
+    # own terms internally).  One tokenize+aggregate where round 7 ran
+    # three (scoring, phrase scoring, phrase positions).
+    from cosmap_spark.operators.retrieval import inline_tf
+
+    pq = {f"p|{k}": v for k, v in phrases.items()}
+    allq = {**probe, **pq}
+    vocab_all = sorted({t for s in allq.values() for t in s.split(" ") if t})
+    vtf = inline_tf(docs, positions=True, vocab=vocab_all).localCheckpoint(
+        eager=False
+    )
+    srow = docs.where(F.col("text").isNotNull()).select(
+        F.size(tokens(F.col("text"))).cast("long").alias("dl")
+    ).agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")).collect()[0]
+    cstats = {"n_docs": int(srow["n_docs"]), "avgdl": float(srow["avgdl"])}
+    scored_all = bm25_scored(
+        None, allq,
         variants={"s_bm25": (1.2, 0.75), "s_idf": (0.0, 0.75)},
+        prebuilt={"tf": vtf, **cstats},
     ).localCheckpoint(eager=True)
+    scored = scored_all.where(F.col("query_id").isin(sorted(probe)))
     bm25 = topk_cut(scored, score_col="s_bm25", top_n=10)
     idf_list = topk_cut(scored, score_col="s_idf", top_n=10)
     fused = rrf_fuse([bm25, idf_list], k=60, top_n=10)
@@ -539,34 +565,49 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             n.cast("long").alias("n"),
         )
 
-    # quoted-phrase retrieval (operators/retrieval.py::phrase_search):
-    # exact-adjacency eligibility from the positional index, BM25
-    # ranking over the phrase's terms — one vocab-filtered positional
-    # corpus pass + the stats scan (see the operator's docstring)
-    from cosmap_spark.operators.retrieval import phrase_search
+    # quoted-phrase retrieval: eligibility = EXACT adjacency from the
+    # shared positional term table (phrase_match's shifted-position
+    # intersection); ranking = the "p|qN" rows of the SAME scored
+    # checkpoint (phrase_search's composition with the scoring pass
+    # already paid above — dfreq per term is corpus-level, so scoring
+    # six queries in one pass leaves every probe score unchanged)
+    from cosmap_spark.operators.retrieval import phrase_match
 
-    phr = phrase_search(docs, phrases, top_n=10)
+    matches = None
+    for qid, phrase_str in sorted(pq.items()):
+        m = phrase_match(vtf, phrase_str).select(
+            F.lit(qid).alias("query_id"), "__d"
+        )
+        matches = m if matches is None else matches.unionByName(m)
+    phr = topk_cut(
+        scored_all.where(F.col("query_id").isin(sorted(pq)))
+        .join(matches, ["query_id", "__d"]),
+        score_col="s_bm25", top_n=10,
+    ).select(
+        F.substring("query_id", 3, 2147483647).alias("query_id"),
+        "doc_id", "score", "n_hit",
+    )
 
     # RM3 pseudo-relevance feedback over the SAME first-pass ranking:
-    # the checkpointed scored frame is stage 1; tfq's LINEAGE is
-    # shared by the feedback-term join and the weighted second pass —
-    # the tokenize+aggregate WORK re-runs per consumer (measured
-    # 0.29 s at sf0.1; a corpus-sized checkpoint is refused by the
-    # measured-materialization rule, and the two consumers apply
-    # different filters so nothing smaller can be shared).  Everything
-    # past the scored checkpoint is lazy — no collect between passes
+    # the checkpointed scored frame is stage 1; both second-pass
+    # consumers take docs= so their filters (feedback doc ids, the
+    # expansion vocabulary — both lazy in-plan frames) push BELOW the
+    # (doc, term) aggregation as broadcast semi-joins: only the
+    # filtered tokens aggregate, where the round-7 shape joined above
+    # the agg and paid the full corpus agg WITH values twice (~1.4 s
+    # each at sf0.1 vs 0.4 s pruned — the round-8 finding).
+    # Everything past the scored checkpoint stays lazy — no collect
+    # between passes
     from cosmap_spark.operators.retrieval import (
         bm25_search_weighted,
-        inline_tf,
         rm3_expand,
     )
 
-    tfq = inline_tf(docs)
     expanded = rm3_expand(
-        scored, tfq, probe, score_col="s_bm25",
-        fb_docs=5, fb_terms=10, lam=0.5,
+        scored, None, probe, score_col="s_bm25",
+        fb_docs=5, fb_terms=10, lam=0.5, docs=docs,
     )
-    rm3 = bm25_search_weighted(docs, expanded, top_n=10, tf=tfq)
+    rm3 = bm25_search_weighted(docs, expanded, top_n=10, **cstats)
 
     return (
         orders_top

@@ -58,12 +58,6 @@ BNLJ_ALLOWED = {
     # (guarantee threshold as a scalar) — scalar-subquery shape; the
     # verify join is a broadcast hash join (tests/test_sketch.py)
     "q_approx_sketches",
-    # phrase branch: the 1-row corpus-stats (n_docs, avgdl) crossJoin
-    # inside bm25_scored — the q_tfidf scalar shape; the bm25 branch's
-    # identical crossJoin hides behind its measured eager checkpoint,
-    # the phrase branch's scored frame has a single consumer so a
-    # checkpoint would not pay
-    "q_topk",
     # semantic branch at gate-mandated FULL probe (nprobe = nlist):
     # brute force by definition, so the quantizer is skipped and the
     # constant-size bench set (30 planted rows) broadcasts against the
@@ -72,9 +66,9 @@ BNLJ_ALLOWED = {
     # path real deployments run plans broadcast HASH joins on cid
     # (tests/test_dedup_knn.py)
     "q_decontam",
-    # q_topk dropped round 6: the retrieval branches now cut from an
-    # eagerly-checkpointed scored table, so the 1-row-stats BNLJ lives
-    # inside the checkpoint job, not the audited serving plan (the
+    # q_topk dropped (again) round 8: the corpus stats are collected
+    # once and injected as LITERALS into every scoring pass, so no
+    # 1-row-stats crossJoin exists anywhere in the q_topk plan (the
     # standalone bm25_search shape keeps its ≤1-BNLJ budget pinned in
     # tests/test_retrieval.py::test_bm25_plan_shape)
 }
