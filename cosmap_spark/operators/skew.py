@@ -169,13 +169,17 @@ def grouped_topk(
             yield topk_pandas(pdf, keys, order, k)
 
     pruned = df.mapInPandas(prune, df.schema)
-    order = (
+    # a DISTINCT name from the kernel's captured `order` list: PySpark
+    # happens to pickle the UDF eagerly at the mapInPandas call, but a
+    # deferred serialization would hand the closure this Column and
+    # break the local prune — never rebind what a kernel captured
+    win_order = (
         F.col(order_col).asc_nulls_first()
         if ascending
         else F.col(order_col).desc_nulls_last()
     )
     w = Window.partitionBy(*keys).orderBy(
-        order, *[F.col(c).asc() for c in tie_cols]
+        win_order, *[F.col(c).asc() for c in tie_cols]
     )
     return pruned.withColumn(rn_col, F.row_number().over(w)).where(
         F.col(rn_col) <= k

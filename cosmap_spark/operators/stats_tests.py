@@ -206,7 +206,14 @@ def mann_whitney_u(
     agg = ranked.groupBy("column").agg(
         F.sum("co").alias("n_old"),
         F.sum("cn").alias("n_new"),
-        F.sum(F.col("co") * F.col("avg2")).alias("r2x"),
+        # decimal like the tie sum: r2x ~ 2·n_old·N overflows a LONG
+        # (ANSI-throws) near ~1.5e9 rows per side — BELOW ks_test's
+        # documented ~3e9 guard; the decimal accumulator keeps the
+        # rank-sum test alive as long as its sibling
+        F.sum(
+            F.col("co").cast("decimal(19,0)")
+            * F.col("avg2").cast("decimal(19,0)")
+        ).cast("decimal(38,0)").alias("r2x"),
         F.sum(
             F.col("t").cast("decimal(12,0)")
             * F.col("t").cast("decimal(12,0)")
@@ -328,12 +335,26 @@ def proportion_ztest(
     Scale shape: ONE aggregation over the corpus (arms-sized output,
     map-side combined) + an arms² broadcast self-join — identical to
     :func:`welch_ttest`."""
+    # enforce the docstring's 'boolean or 0/1 numeric' contract: a
+    # numeric column holding 2 or -1 would otherwise silently inflate
+    # or deflate the success counts and every downstream rate and z
+    si = F.col(success_col).cast("int")
+    checked = F.when(si.isin(0, 1), si).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("proportion_ztest: success column "),
+                F.lit(success_col),
+                F.lit(" must be boolean or 0/1; got "),
+                si.cast("string"),
+            )
+        ).cast("int")
+    )
     g = (
         df.where(F.col(variant_col).isNotNull()
                  & F.col(success_col).isNotNull())
         .select(
             F.col(variant_col).cast("string").alias("variant"),
-            F.col(success_col).cast("int").alias("__s"),
+            checked.alias("__s"),
         )
         .groupBy("variant")
         .agg(

@@ -750,6 +750,92 @@ def dedup_stream(stream_docs: DataFrame, store_path: str, out_path: str,
     )
 
 
+def _ledgered_loop(stream_df: DataFrame, store_path: str, checkpoint: str,
+                   *, subdir: str, op: str, batch_state, merge_state,
+                   sidecars: dict[str, str] | None = None,
+                   pre_epoch=None):
+    """The shared exactly-once store driver every batch-twin monitor
+    rides (sketch_stream, drift_stream, category_drift_stream,
+    abtest_stream; heavy_hitters_stream keeps its bespoke copy because
+    its sidecar carries batch-dependent state — the running N):
+    per micro-batch, ``batch_state(batch_df)`` reduces the batch to
+    its bounded state frame, ``merge_state(old, batch)`` folds it into
+    the persisted store at ``store_path/subdir``, and the store is
+    atomically swapped (``_swap_in``/``_bootstrap_store``).
+
+    Exactly-once is TWO-layered:
+
+    - the epoch ledger (``_epochs/epoch-<id>`` marker files) is the
+      fast path — a replayed epoch returns before any Spark work;
+    - a ``_last_epoch`` sidecar INSIDE the swapped store closes the
+      ledger's crash window: foreachBatch acknowledges only after
+      ``run`` returns, so a driver crash BETWEEN the completed swap
+      and the marker write re-delivers the epoch — the marker check
+      misses, and without the stamp the batch would merge twice
+      (silent double-counting of monitor state).  The stamp rides the
+      SAME atomic rename as the data (the heavy-hitters/mg-meta
+      discipline), so on replay ``stamp >= epoch_id`` proves the
+      store already contains this epoch: only the marker is restored.
+
+    ``sidecars`` (static name → content, e.g. the kmv k or the A/B
+    quantization dp) are re-written with every swap; ``pre_epoch``
+    (optional callable) runs validation before any work — stores
+    created after stream start still get parameter-checked.  Same
+    driver-local filesystem durability contract as documented on
+    ``sketch_stream``."""
+    import os
+
+    from cosmap_spark.sinks.writers import (
+        _bootstrap_store,
+        _refuse_interrupted_swap,
+        _require_local,
+        _swap_in,
+    )
+
+    _require_local(store_path, op)
+    store = os.path.join(store_path, subdir)
+    stamp_file = os.path.join(store, "_last_epoch")
+
+    def run(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ledger = os.path.join(store_path, "_epochs")
+        done_marker = os.path.join(ledger, f"epoch-{epoch_id}")
+        if os.path.exists(done_marker):
+            return  # replayed epoch: state already includes it
+        if pre_epoch is not None:
+            pre_epoch()
+        _refuse_interrupted_swap(store)
+        os.makedirs(ledger, exist_ok=True)
+        if os.path.exists(stamp_file):
+            with open(stamp_file) as f:
+                last = int(f.read().strip())
+            if last >= epoch_id:
+                # crash landed between the completed swap and the
+                # marker write: the store already contains this epoch
+                # (the stamp swapped in with it) — re-merging would
+                # double-count, so only the marker is restored
+                with open(done_marker, "w") as f:
+                    f.write("ok")
+                return
+        extra = dict(sidecars or {})
+        extra["_last_epoch"] = str(epoch_id)
+        batch = batch_state(batch_df)
+        if os.path.exists(store):
+            old = spark.read.parquet(store)
+            _swap_in(store, merge_state(old, batch), extra_files=extra)
+        else:
+            _bootstrap_store(store, batch, extra_files=extra)
+        with open(done_marker, "w") as f:
+            f.write("ok")
+
+    return (
+        stream_df.writeStream.foreachBatch(run)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def sketch_stream(stream_df: DataFrame, store_path: str, checkpoint: str,
                   *, keys: list[str], col: str, lg_k: int = 12,
                   kind: str = "hll", k: int = 256):
@@ -840,52 +926,25 @@ def sketch_stream(stream_df: DataFrame, store_path: str, checkpoint: str,
         # would silently skip straight past the refusal)
         check_k()
 
-    def run(batch_df: DataFrame, epoch_id: int) -> None:
-        spark = batch_df.sparkSession
-        ledger = os.path.join(store_path, "_epochs")
-        done_marker = os.path.join(ledger, f"epoch-{epoch_id}")
-        if os.path.exists(done_marker):
-            return  # replayed epoch: sketch state already includes it
+    def batch_state(batch_df: DataFrame) -> DataFrame:
         if kind == "kmv":
-            check_k()  # a store created after setup still gets checked
-            batch = kmv_leaf(batch_df, keys, col, k=k)
-        else:
-            batch = batch_df.groupBy(*keys).agg(
-                F.hll_sketch_agg(F.col(col), F.lit(lg_k)).alias("__sk")
-            )
-        store = os.path.join(store_path, "sketches")
-        from cosmap_spark.sinks.writers import (
-            _refuse_interrupted_swap,
-            _swap_in,
+            return kmv_leaf(batch_df, keys, col, k=k)
+        return batch_df.groupBy(*keys).agg(
+            F.hll_sketch_agg(F.col(col), F.lit(lg_k)).alias("__sk")
         )
 
-        # a crash inside a previous epoch's swap leaves only the backup
-        # — falling into the bootstrap branch would overwrite the store
-        # with ONE batch's sketches while the ledger still marks old
-        # epochs done (their data unrecoverable)
-        _refuse_interrupted_swap(store)
-        extra = {"_kmv_k": str(k)} if kind == "kmv" else None
-        if os.path.exists(store):
-            old = spark.read.parquet(store)
-            merged = (
-                merge_kmv_tables(old, batch, keys, k=k)
-                if kind == "kmv"
-                else merge_sketch_tables(old, batch, keys)
-            )
-            _swap_in(store, merged, extra_files=extra)
-        else:
-            from cosmap_spark.sinks.writers import _bootstrap_store
+    def merge_state(old: DataFrame, batch: DataFrame) -> DataFrame:
+        if kind == "kmv":
+            return merge_kmv_tables(old, batch, keys, k=k)
+        return merge_sketch_tables(old, batch, keys)
 
-            _bootstrap_store(store, batch, extra_files=extra)
-        os.makedirs(ledger, exist_ok=True)
-        with open(done_marker, "w") as f:
-            f.write("ok")
-
-    return (
-        stream_df.writeStream.foreachBatch(run)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    return _ledgered_loop(
+        stream_df, store_path, checkpoint,
+        subdir="sketches", op="sketch_stream",
+        batch_state=batch_state, merge_state=merge_state,
+        sidecars={"_kmv_k": str(k)} if kind == "kmv" else None,
+        # a store created after setup still gets parameter-checked
+        pre_epoch=check_k if kind == "kmv" else None,
     )
 
 
@@ -915,7 +974,10 @@ def drift_stream(stream_df: DataFrame, store_path: str, checkpoint: str,
     (``operators.diff.drift_bin_counts`` — map-side stack + one tiny
     groupBy) and merged into ``store_path/counts`` by integer
     addition over O(cols·bins) rows — history is never re-scanned.
-    Exactly-once via the epoch ledger (replayed epochs skip), and
+    Exactly-once via the shared ``_ledgered_loop`` driver (epoch
+    ledger fast path + a ``_last_epoch`` stamp swapped in atomically
+    with the counts, closing the crash window between a completed
+    swap and the marker write), and
     because the merge is plain integer addition over exact counts,
     the monitor state is BIT-identical to a one-shot batch over the
     concatenated stream: ``drift_state(spark, store)`` ≡
@@ -930,12 +992,7 @@ def drift_stream(stream_df: DataFrame, store_path: str, checkpoint: str,
     import os
 
     from cosmap_spark.operators.diff import drift_bin_counts, drift_reference
-    from cosmap_spark.sinks.writers import (
-        _bootstrap_store,
-        _refuse_interrupted_swap,
-        _require_local,
-        _swap_in,
-    )
+    from cosmap_spark.sinks.writers import _require_local
 
     _require_local(store_path, "drift_stream")
     ref_dir = os.path.join(store_path, "ref")
@@ -968,34 +1025,15 @@ def drift_stream(stream_df: DataFrame, store_path: str, checkpoint: str,
             )},
         )
 
-    def run(batch_df: DataFrame, epoch_id: int) -> None:
-        spark = batch_df.sparkSession
-        ledger = os.path.join(store_path, "_epochs")
-        done_marker = os.path.join(ledger, f"epoch-{epoch_id}")
-        if os.path.exists(done_marker):
-            return  # replayed epoch: counts already include it
-        batch = drift_bin_counts(batch_df, cols, bounds)
-        counts_dir = os.path.join(store_path, "counts")
-        _refuse_interrupted_swap(counts_dir)
-        if os.path.exists(counts_dir):
-            old = spark.read.parquet(counts_dir)
-            merged = (
-                old.unionByName(batch)
-                .groupBy("column", "bin")
-                .agg(F.sum("n").cast("long").alias("n"))
-            )
-            _swap_in(counts_dir, merged)
-        else:
-            _bootstrap_store(counts_dir, batch)
-        os.makedirs(ledger, exist_ok=True)
-        with open(done_marker, "w") as f:
-            f.write("ok")
-
-    return (
-        stream_df.writeStream.foreachBatch(run)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    return _ledgered_loop(
+        stream_df, store_path, checkpoint,
+        subdir="counts", op="drift_stream",
+        batch_state=lambda b: drift_bin_counts(b, cols, bounds),
+        merge_state=lambda old, batch: (
+            old.unionByName(batch)
+            .groupBy("column", "bin")
+            .agg(F.sum("n").cast("long").alias("n"))
+        ),
     )
 
 
@@ -1102,12 +1140,7 @@ def category_drift_stream(stream_df: DataFrame, store_path: str,
     from pyspark.sql import Window as W
 
     from cosmap_spark.operators.diff import _cat_stack
-    from cosmap_spark.sinks.writers import (
-        _bootstrap_store,
-        _refuse_interrupted_swap,
-        _require_local,
-        _swap_in,
-    )
+    from cosmap_spark.sinks.writers import _require_local
 
     _require_local(store_path, "category_drift_stream")
     ref_dir = os.path.join(store_path, "ref")
@@ -1146,6 +1179,18 @@ def category_drift_stream(stream_df: DataFrame, store_path: str,
                 if r["column"] == c and r["__rn"] <= top_n}
             for c in cols
         }
+        for c in cols:
+            if not selected[c]:
+                # refuse at freeze time (mirrors the batch operator's
+                # no-distribution error): an empty frozen selection
+                # would otherwise build a zero-element array literal
+                # whose array_contains folds every streamed row into
+                # OTHER — the monitor would start and silently compare
+                # against nothing
+                raise ValueError(
+                    f"category_drift_stream: column {c!r} has no rows "
+                    "in the reference — no distribution to compare"
+                )
         folded = {}
         for r in rows:
             key = (
@@ -1158,6 +1203,8 @@ def category_drift_stream(stream_df: DataFrame, store_path: str,
             [(c, cat, n) for (c, cat), n in sorted(folded.items())],
             "column string, category string, n long",
         )
+        from cosmap_spark.sinks.writers import _bootstrap_store
+
         _bootstrap_store(
             ref_dir, ref_counts,
             extra_files={"_catdrift_meta": _json.dumps({
@@ -1175,13 +1222,8 @@ def category_drift_stream(stream_df: DataFrame, store_path: str,
             else sel_chain.when(F.col("column") == c, arr)
         )
 
-    def run(batch_df: DataFrame, epoch_id: int) -> None:
-        spark = batch_df.sparkSession
-        ledger = os.path.join(store_path, "_epochs")
-        done_marker = os.path.join(ledger, f"epoch-{epoch_id}")
-        if os.path.exists(done_marker):
-            return
-        batch = (
+    def batch_state(batch_df: DataFrame) -> DataFrame:
+        return (
             _cat_stack(batch_df, cols, null_label)
             .select(
                 "column",
@@ -1193,27 +1235,16 @@ def category_drift_stream(stream_df: DataFrame, store_path: str,
             .groupBy("column", "category")
             .agg(F.count(F.lit(1)).alias("n"))
         )
-        counts_dir = os.path.join(store_path, "counts")
-        _refuse_interrupted_swap(counts_dir)
-        if os.path.exists(counts_dir):
-            old = spark.read.parquet(counts_dir)
-            merged = (
-                old.unionByName(batch)
-                .groupBy("column", "category")
-                .agg(F.sum("n").cast("long").alias("n"))
-            )
-            _swap_in(counts_dir, merged)
-        else:
-            _bootstrap_store(counts_dir, batch)
-        os.makedirs(ledger, exist_ok=True)
-        with open(done_marker, "w") as f:
-            f.write("ok")
 
-    return (
-        stream_df.writeStream.foreachBatch(run)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    return _ledgered_loop(
+        stream_df, store_path, checkpoint,
+        subdir="counts", op="category_drift_stream",
+        batch_state=batch_state,
+        merge_state=lambda old, batch: (
+            old.unionByName(batch)
+            .groupBy("column", "category")
+            .agg(F.sum("n").cast("long").alias("n"))
+        ),
     )
 
 
@@ -1286,7 +1317,8 @@ def abtest_stream(stream_df: DataFrame, store_path: str, checkpoint: str,
     a one-shot ``welch_ttest`` over the concatenated stream (t, dof,
     means — all of it; asserted in tests/test_streaming.py).
 
-    Exactly-once via the epoch ledger; the quantization dp is recorded
+    Exactly-once via the shared ``_ledgered_loop`` driver (ledger +
+    atomic ``_last_epoch`` stamp); the quantization dp is recorded
     in a sidecar INSIDE the store (the sketch_stream k discipline) and
     a mismatched resume refuses loudly — merging sums at two different
     scales would silently corrupt every statistic.  Same driver-local
@@ -1294,12 +1326,7 @@ def abtest_stream(stream_df: DataFrame, store_path: str, checkpoint: str,
     excluded (matching the batch operator)."""
     import os
 
-    from cosmap_spark.sinks.writers import (
-        _bootstrap_store,
-        _refuse_interrupted_swap,
-        _require_local,
-        _swap_in,
-    )
+    from cosmap_spark.sinks.writers import _require_local
 
     _require_local(store_path, "abtest_stream")
     scale = float(10 ** quantize_dp)
@@ -1319,15 +1346,9 @@ def abtest_stream(stream_df: DataFrame, store_path: str, checkpoint: str,
 
     check_dp()
 
-    def run(batch_df: DataFrame, epoch_id: int) -> None:
-        spark = batch_df.sparkSession
-        ledger = os.path.join(store_path, "_epochs")
-        done_marker = os.path.join(ledger, f"epoch-{epoch_id}")
-        if os.path.exists(done_marker):
-            return  # replayed epoch: sums already include it
-        check_dp()
+    def batch_state(batch_df: DataFrame) -> DataFrame:
         q = F.round(F.col(value_col) * F.lit(scale)).cast("long")
-        batch = (
+        return (
             batch_df.where(F.col(variant_col).isNotNull()
                            & F.col(value_col).isNotNull())
             .select(F.col(variant_col).cast("string").alias("variant"),
@@ -1343,32 +1364,22 @@ def abtest_stream(stream_df: DataFrame, store_path: str, checkpoint: str,
                 ).cast("decimal(38,0)").alias("ss"),
             )
         )
-        arms = os.path.join(store_path, "arms")
-        _refuse_interrupted_swap(arms)
-        extra = {"_abtest_dp": str(quantize_dp)}
-        if os.path.exists(arms):
-            old = spark.read.parquet(arms)
-            merged = (
-                old.unionByName(batch)
-                .groupBy("variant")
-                .agg(
-                    F.sum("n").cast("long").alias("n"),
-                    F.sum("s").cast("decimal(20,0)").alias("s"),
-                    F.sum("ss").cast("decimal(38,0)").alias("ss"),
-                )
-            )
-            _swap_in(arms, merged, extra_files=extra)
-        else:
-            _bootstrap_store(arms, batch, extra_files=extra)
-        os.makedirs(ledger, exist_ok=True)
-        with open(done_marker, "w") as f:
-            f.write("ok")
 
-    return (
-        stream_df.writeStream.foreachBatch(run)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    return _ledgered_loop(
+        stream_df, store_path, checkpoint,
+        subdir="arms", op="abtest_stream",
+        batch_state=batch_state,
+        merge_state=lambda old, batch: (
+            old.unionByName(batch)
+            .groupBy("variant")
+            .agg(
+                F.sum("n").cast("long").alias("n"),
+                F.sum("s").cast("decimal(20,0)").alias("s"),
+                F.sum("ss").cast("decimal(38,0)").alias("ss"),
+            )
+        ),
+        sidecars={"_abtest_dp": str(quantize_dp)},
+        pre_epoch=check_dp,
     )
 
 

@@ -267,3 +267,33 @@ def test_proportion_ztest_matches_python(spark):
     assert proportion_ztest(
         spark.createDataFrame([], "variant string, ok int"), "variant", "ok"
     ).count() == 0
+
+
+def test_proportion_ztest_rejects_non_binary(spark):
+    """The 'boolean or 0/1 numeric' contract is enforced (round-8
+    advisory): a numeric success column holding 2 must raise instead
+    of silently inflating the success count."""
+    import pytest
+
+    from cosmap_spark.operators.stats_tests import proportion_ztest
+
+    bad = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 0)], "variant string, ok int"
+    )
+    with pytest.raises(Exception, match="must be boolean or 0/1"):
+        proportion_ztest(bad, variant_col="variant",
+                         success_col="ok").collect()
+
+
+def test_mann_whitney_u_accumulates_rank_sum_in_decimal(spark):
+    """r2x ~ 2·n_old·N overflows a LONG near ~1.5e9 rows per side —
+    below ks_test's documented ~3e9 guard; pin the decimal
+    accumulator so the rank-sum test stays alive as long as its
+    sibling."""
+    from cosmap_spark.operators.stats_tests import mann_whitney_u
+
+    old = spark.createDataFrame([(1.0,), (2.0,)], "x double")
+    new = spark.createDataFrame([(2.0,), (3.0,)], "x double")
+    out = mann_whitney_u(old, new, ["x"])
+    u2x_type = dict(out.dtypes)["u2x"]
+    assert u2x_type.startswith("decimal(38"), u2x_type

@@ -1901,3 +1901,82 @@ def test_category_drift_stream_matches_batch(spark, tmp_path):
             spark.readStream.schema("lang string").parquet(str(land)),
             store, str(tmp_path / "ck2"), cols=["lang"], top_n=5,
         )
+
+
+def test_ledgered_loop_crash_window_stamp(spark, tmp_path):
+    """The exactly-once crash window (round-8 advisory): foreachBatch
+    acknowledges only after run() returns, so a driver crash BETWEEN a
+    completed store swap and the done-marker write re-delivers the
+    epoch with the marker missing.  The ``_last_epoch`` stamp — swapped
+    in atomically with the data — must detect that the store already
+    contains the epoch and skip the merge (a second merge would
+    silently double-count the monitor state)."""
+    import os
+
+    from cosmap_spark.operators.diff import snapshot_drift
+    from cosmap_spark.streaming.ops import drift_state, drift_stream
+
+    ref = spark.range(600).select(
+        ((F.col("id") * 37 % 1000) / 10.0).alias("x"),
+    ).localCheckpoint()
+    streamed = spark.range(400).select(
+        "id", ((F.col("id") * 13 % 1000) / 10.0).alias("x"),
+    ).localCheckpoint()
+    land = tmp_path / "cw_landing"
+    streamed.where(F.col("id") % 2 == 0).select("x").coalesce(1).write.parquet(
+        str(land), mode="append"
+    )
+    streamed.where(F.col("id") % 2 == 1).select("x").coalesce(1).write.parquet(
+        str(land), mode="append"
+    )
+    store = str(tmp_path / "cw_store")
+    q = drift_stream(
+        (spark.readStream.schema("x double")
+         .option("maxFilesPerTrigger", 1).parquet(str(land))),
+        store, str(tmp_path / "cw_ck"), cols=["x"], reference=ref,
+    )
+    q.awaitTermination(180)
+    key = lambda rows: sorted(map(tuple, rows))  # noqa: E731
+    batch = key(snapshot_drift(ref, streamed.select("x"), ["x"]).collect())
+    assert key(drift_state(spark, store).collect()) == batch
+
+    # simulate the crash: the last epoch's swap completed (stamp and
+    # counts in place) but its marker write was lost, AND the
+    # checkpoint is gone so the source re-delivers everything
+    markers = sorted(os.listdir(os.path.join(store, "_epochs")))
+    lost = os.path.join(store, "_epochs", markers[-1])
+    os.remove(lost)
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "cw_ck"))
+    q2 = drift_stream(
+        (spark.readStream.schema("x double")
+         .option("maxFilesPerTrigger", 1).parquet(str(land))),
+        store, str(tmp_path / "cw_ck"), cols=["x"],
+    )
+    q2.awaitTermination(180)
+    # state unchanged (no double count) and the lost marker restored
+    assert key(drift_state(spark, store).collect()) == batch
+    assert os.path.exists(lost)
+
+
+def test_category_drift_stream_empty_reference_refuses(spark, tmp_path):
+    """A reference with no rows must refuse at freeze time (round-8
+    advisory): an empty frozen selection would build a zero-element
+    array literal and silently fold every streamed category into
+    OTHER where the batch operator raises."""
+    import pytest
+
+    from cosmap_spark.streaming.ops import category_drift_stream
+
+    empty_ref = spark.createDataFrame([], "lang string")
+    land = tmp_path / "er_landing"
+    spark.createDataFrame([("en",)], "lang string").coalesce(
+        1
+    ).write.parquet(str(land), mode="append")
+    with pytest.raises(ValueError, match="no distribution"):
+        category_drift_stream(
+            spark.readStream.schema("lang string").parquet(str(land)),
+            str(tmp_path / "er_store"), str(tmp_path / "er_ck"),
+            cols=["lang"], reference=empty_ref,
+        )
