@@ -448,3 +448,128 @@ def _welch_from_moments(g: DataFrame, scale: float) -> DataFrame:
         F.round(t, 6).alias("t_stat"),
         F.round(dof, 6).alias("dof"),
     )
+
+
+def chi2_test(
+    old: DataFrame,
+    new: DataFrame,
+    cols: list[str],
+    *,
+    null_label: str = "(null)",
+    units: int = 10 ** 8,
+) -> DataFrame:
+    """Two-sample chi-squared homogeneity test for CATEGORICAL columns
+    — the significance twin of ``diff.category_drift``'s PSI effect
+    size, over the same ``_cat_stack`` front half —
+    ``[column, n_old, n_new, k, dof, chi2_units, chi2]`` with
+    ``chi2 = chi2_units / units``.
+
+    Exact-integer determinism (Pearson 1900, 2×k contingency form):
+    with per-category counts ``(a_i, b_i)``, side totals ``(A, B)``
+    and row totals ``r_i = a_i + b_i``, the statistic reduces to
+    ``χ² = Σ_i D_i² / (r_i·A·B)`` where ``D_i = a_i·B − b_i·A`` is an
+    EXACT integer.  A sum of per-category DOUBLES would be partition-
+    order dependent (the engine's hash-gate discipline forbids it),
+    so the statistic is DEFINED as two-stage integer floor division —
+    ``chi2_units = Σ_i ((D_i² div r_i) · units) div (A·B)`` — which
+    both engines replay bit-identically (all operands non-negative, so
+    truncation ≡ floor in Spark's ``div`` and DuckDB's ``//`` alike).
+    The quantization under-reads the real-valued χ² by at most
+    ``k·(1/(A·B)·units + 1)/units`` — with the default 1e8 units,
+    < 1e-4 even at 10⁴ categories — and is part of the contract, not
+    an implementation detail.
+
+    Scale shape: identical to ``category_drift`` — both sides stack
+    map-side to (side, column, category), ONE ``groupBy(column,
+    category)`` with map-side combine, keyed window totals, one
+    per-column aggregate; zero driver jobs at construction.  Scale
+    bounds (ANSI-loud, never silent): ``D_i² div r_i`` returns BIGINT,
+    so sides up to ~3·10⁹ rows fit (the ks_test guard class);
+    unbounded vocabularies should pre-filter with Misra–Gries heavy
+    hitters exactly as ``category_drift`` documents.  NULL is a
+    first-class ``null_label`` category (a null share moving IS a
+    distribution change); a side with no rows raises; a single
+    observed category has dof 0 and raises (no test exists).
+
+    The reference has no statistics surface; this is the standard
+    published two-sample chi-squared procedure."""
+    from cosmap_spark.operators.diff import _cat_stack
+
+    if not cols:
+        raise ValueError("chi2_test: no columns given")
+    if units < 1:
+        raise ValueError(f"chi2_test: units must be >= 1; got {units}")
+    for df, side in ((old, "old"), (new, "new")):
+        for c in cols:
+            base = df.schema[c].dataType.simpleString().split("(")[0]
+            if base.startswith(("array", "map", "struct")):
+                raise ValueError(
+                    f"chi2_test: column {c!r} on the {side} side is "
+                    f"{base} — categories must be scalar"
+                )
+
+    def stacked(df: DataFrame, side: str) -> DataFrame:
+        return _cat_stack(df, cols, null_label).select(
+            F.lit(side).alias("side"), "column", "category"
+        )
+
+    counts = (
+        stacked(old, "o").unionByName(stacked(new, "n"))
+        .groupBy("column", "category")
+        .agg(
+            F.sum(F.when(F.col("side") == "o", 1).otherwise(0))
+            .cast("long").alias("n_o"),
+            F.sum(F.when(F.col("side") == "n", 1).otherwise(0))
+            .cast("long").alias("n_n"),
+        )
+    )
+    w = Window.partitionBy("column")
+    # NOT a/A: Spark resolves column names case-insensitively (the
+    # rm3 __s/__S lesson), so per-cell and side-total names must differ
+    # in more than case
+    dec = lambda col: col.cast("decimal(19,0)")  # noqa: E731
+    terms = counts.select(
+        "column", "n_o", "n_n",
+        F.sum("n_o").over(w).alias("tot_o"),
+        F.sum("n_n").over(w).alias("tot_n"),
+        (dec(F.col("n_o")) * dec(F.sum("n_n").over(w))
+         - dec(F.col("n_n")) * dec(F.sum("n_o").over(w))).alias("d"),
+    ).selectExpr(
+        "column", "n_o", "n_n", "tot_o", "tot_n",
+        # stage 1 of the defined two-stage floor division: D² div r
+        "(d * d) div (n_o + n_n) AS q1",
+    ).selectExpr(
+        "column", "tot_o", "tot_n",
+        # stage 2: scale to units, divide by the side-total product;
+        # an empty side makes the product 0 — divide by 1 there so
+        # ANSI doesn't throw before the loud no-distribution raise
+        # below (the value is discarded on that path)
+        f"(CAST(q1 AS DECIMAL(38,0)) * {int(units)}) "
+        "div (CASE WHEN tot_o > 0 AND tot_n > 0 THEN "
+        "CAST(tot_o AS DECIMAL(19,0)) * CAST(tot_n AS DECIMAL(19,0)) "
+        "ELSE CAST(1 AS DECIMAL(38,0)) END) AS t_units",
+    )
+    agg = terms.groupBy("column").agg(
+        F.max("tot_o").alias("n_old"),
+        F.max("tot_n").alias("n_new"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum("t_units").cast("long").alias("chi2_units"),
+    )
+    err = F.raise_error(
+        F.concat(
+            F.lit("chi2_test: column "), F.col("column"),
+            F.lit(" has no rows on one side or a single category — "
+                  "no distribution to compare"),
+        )
+    )
+    ok = (F.col("n_old") > 0) & (F.col("n_new") > 0) & (F.col("k") >= 2)
+    return agg.select(
+        "column",
+        F.when(ok, F.col("n_old")).otherwise(err.cast("long"))
+        .alias("n_old"),
+        "n_new", "k",
+        (F.col("k") - 1).cast("long").alias("dof"),
+        "chi2_units",
+        (F.col("chi2_units").cast("double") / F.lit(float(units)))
+        .alias("chi2"),
+    )

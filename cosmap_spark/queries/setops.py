@@ -140,6 +140,24 @@ _SETOPS_ORACLE = """
              (SELECT sum(n_new) FROM catd) AS tb
       FROM catd
     ),
+    -- chi-squared homogeneity over the UNFOLDED category counts
+    -- (stats_tests.chi2_test): the statistic is DEFINED as two-stage
+    -- integer floor division — D^2 // r, scale by units, // (ta*tb) —
+    -- all operands non-negative, so Spark's div and // agree exactly
+    chi_d AS (
+      SELECT n_old AS ca, n_new AS cb,
+             (SELECT sum(n_old) FROM catd_counts) AS ta,
+             (SELECT sum(n_new) FROM catd_counts) AS tb
+      FROM catd_counts
+    ),
+    chi AS (
+      SELECT max(ta) AS n_old, max(tb) AS n_new, count(*) AS k,
+             sum((((CAST(ca AS HUGEINT) * tb - CAST(cb AS HUGEINT) * ta)
+                   * (CAST(ca AS HUGEINT) * tb - CAST(cb AS HUGEINT) * ta))
+                  // (ca + cb)) * 100000000
+                 // (CAST(ta AS HUGEINT) * tb)) AS chi2u
+      FROM chi_d
+    ),
     -- two-sample KS between the same snapshots over bal_c: the sup is
     -- taken on the EXACT integer numerator |cum_o*m - cum_n*n|, so no
     -- float enters the argmax (stats_tests.ks_test, quantize_dp=0 —
@@ -407,6 +425,11 @@ _SETOPS_ORACLE = """
                 * 1000000) AS BIGINT) AS VARCHAR)
     FROM catd_tot
     UNION ALL
+    SELECT 'chi', NULL,
+           CAST(n_old AS VARCHAR) || '|' || CAST(n_new AS VARCHAR) || '|'
+           || CAST(k AS VARCHAR) || '|' || CAST(chi2u AS VARCHAR)
+    FROM chi
+    UNION ALL
     SELECT 'ks', NULL,
            CAST(n_old AS VARCHAR) || '|' || CAST(n_new AS VARCHAR)
            || '|' || CAST(d_num AS VARCHAR) || '|'
@@ -511,6 +534,12 @@ def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
       NULL is the ``(null)`` category, everything else — including a
       new-only category — folds into ``(other)``; k = NULL, side =
       ``category|n_old|n_new|psi_micro``;
+    * ``chi`` — ``stats_tests.py::chi2_test``: two-sample chi-squared
+      homogeneity over the SAME unfolded categorical snapshots as
+      ``drift_cat`` (significance twin of its PSI effect size); the
+      statistic is DEFINED as exact two-stage integer floor division,
+      so the payload is integers only; side =
+      ``n_old|n_new|k|chi2_units``;
     * ``tri`` — ``operators/graph.py::triangle_counts``: per-node
       triangle counts + local clustering coefficient over a
       deterministic orders-derived graph, computed by the
@@ -749,6 +778,7 @@ def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stats_tests.py): KS between the snapshots' bal_c (exact integer
     # sup numerator) and Welch's t across three derived order arms
     from cosmap_spark.operators.stats_tests import (
+        chi2_test,
         ks_test,
         mann_whitney_u,
         proportion_ztest,
@@ -866,9 +896,24 @@ def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
+    # chi-squared homogeneity over the same categorical snapshots
+    # (operators/stats_tests.py::chi2_test) — the significance twin of
+    # drift_cat's PSI effect size; the statistic is DEFINED as exact
+    # two-stage integer floor division, so the payload is integers only
+    chi_b = tag(
+        chi2_test(cat_old, cat_new, ["cat"]),
+        "chi", None,
+        F.concat_ws(
+            "|",
+            F.col("n_old").cast("string"), F.col("n_new").cast("string"),
+            F.col("k").cast("string"),
+            F.col("chi2_units").cast("string"),
+        ),
+    )
+
     out = union_all
     for branch in (union_distinct, intersect, except_, cross, not_in,
                    above_mean, merge_b, cdc_b, rt_b, scd2_b, drift_b,
-                   drift_cat_b, tri_b, ks_b, mwu_b, welch_b, prop_b):
+                   drift_cat_b, chi_b, tri_b, ks_b, mwu_b, welch_b, prop_b):
         out = out.unionByName(branch)
     return out

@@ -297,3 +297,66 @@ def test_mann_whitney_u_accumulates_rank_sum_in_decimal(spark):
     out = mann_whitney_u(old, new, ["x"])
     u2x_type = dict(out.dtypes)["u2x"]
     assert u2x_type.startswith("decimal(38"), u2x_type
+
+
+def test_chi2_test_matches_python(spark):
+    """chi2_test vs an independent pure-python Pearson chi-squared over
+    the same 2xk table, including the two-stage integer-division
+    definition, a planted-shift positive control, and a no-shift
+    negative control."""
+    from collections import Counter
+
+    from cosmap_spark.operators.stats_tests import chi2_test
+
+    o_list = ["a"] * 50 + ["b"] * 30 + ["c"] * 20 + [None] * 10
+    n_list = ["a"] * 30 + ["b"] * 45 + ["c"] * 20 + [None] * 15
+    old = spark.createDataFrame([(x,) for x in o_list], "cat string")
+    new = spark.createDataFrame([(x,) for x in n_list], "cat string")
+    row = chi2_test(old, new, ["cat"]).collect()[0]
+
+    o = Counter(x if x is not None else "(null)" for x in o_list)
+    n = Counter(x if x is not None else "(null)" for x in n_list)
+    cats = set(o) | set(n)
+    ta, tb = sum(o.values()), sum(n.values())
+    big_n = ta + tb
+    ref = sum(
+        (obs - (o.get(c, 0) + n.get(c, 0)) * tot / big_n) ** 2
+        / ((o.get(c, 0) + n.get(c, 0)) * tot / big_n)
+        for c in cats for obs, tot in ((o.get(c, 0), ta), (n.get(c, 0), tb))
+    )
+    two_stage = sum(
+        (((o.get(c, 0) * tb - n.get(c, 0) * ta) ** 2
+          // (o.get(c, 0) + n.get(c, 0))) * 10 ** 8) // (ta * tb)
+        for c in cats
+    )
+    assert row["chi2_units"] == two_stage
+    assert abs(row["chi2"] - ref) < 1e-4  # quantization bound
+    assert row["k"] == 4 and row["dof"] == 3
+    assert (row["n_old"], row["n_new"]) == (ta, tb)
+    # positive control: a planted shift alarms well past the 5%
+    # critical value for dof=3 (~7.81)
+    assert row["chi2"] > 7.81
+    # negative control: identical distributions -> chi2 ~ 0
+    same = chi2_test(old, old, ["cat"]).collect()[0]
+    assert same["chi2"] == 0.0
+
+
+def test_chi2_test_degenerate_refuses(spark):
+    """An empty side or a single observed category has no test."""
+    import pytest
+
+    from cosmap_spark.operators.stats_tests import chi2_test
+
+    old = spark.createDataFrame([("a",), ("b",)], "cat string")
+    empty = spark.createDataFrame([], "cat string")
+    with pytest.raises(Exception, match="no distribution"):
+        chi2_test(old, empty, ["cat"]).collect()
+    mono = spark.createDataFrame([("a",)], "cat string")
+    with pytest.raises(Exception, match="no distribution"):
+        chi2_test(mono, mono, ["cat"]).collect()
+    with pytest.raises(ValueError, match="scalar"):
+        chi2_test(
+            spark.createDataFrame([([1],)], "cat array<int>"),
+            spark.createDataFrame([([1],)], "cat array<int>"),
+            ["cat"],
+        )
