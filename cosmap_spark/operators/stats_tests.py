@@ -11,8 +11,11 @@ results are bit-identical cross-engine and partition-layout
 independent — statistics sit under the hash gate with no tolerance.
 
 The reference has no statistics surface; these are standard published
-procedures (Kolmogorov–Smirnov two-sample; Welch 1947 unequal-variance
-t with Welch–Satterthwaite degrees of freedom).
+procedures (Kolmogorov–Smirnov two-sample; Mann–Whitney–Wilcoxon;
+Welch 1947 unequal-variance t with Welch–Satterthwaite degrees of
+freedom; Pearson 1900 chi-squared; two-proportion z).  :func:`decide`
+layers asymptotic p-values + a ``significant`` verdict on top of any
+of them (kept OUT of the hash gates by design).
 """
 
 from __future__ import annotations
@@ -80,7 +83,9 @@ def ks_test(
     ever enters the argmax), and ``d_stat = d_num/(n_old·n_new)`` is
     one exact-ratio division.  ``lambda_stat = d·√(n·m/(n+m))`` is the
     usual asymptotic abscissa (≳1.36 ≈ the 5% critical value; ≳1.63 ≈
-    1%).  NULLs are excluded; a side with no non-null rows raises.
+    1%) — feed the frame to :func:`decide` for the p-value +
+    ``significant`` verdict surface.  NULLs are excluded; a side with
+    no non-null rows raises.
 
     Scale shape: one stacked map-side pass over both frames, ONE
     ``groupBy(column, value)`` with map-side combine (the corpus
@@ -572,4 +577,124 @@ def chi2_test(
         "chi2_units",
         (F.col("chi2_units").cast("double") / F.lit(float(units)))
         .alias("chi2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decision surface: asymptotic p-values + verdicts (round-8 verdict #3).
+# All pure column arithmetic from PUBLISHED approximations — JVM-side,
+# whole-stage-codegen'd, no Python anywhere.  p-values are intentionally
+# NOT part of any hash-gate payload (the gates check the exact-integer
+# statistics; these doubles are the human-facing layer on top).
+# ---------------------------------------------------------------------------
+
+_INV_SQRT_2PI = 0.3989422804014327
+
+
+def _std_normal_sf(z):
+    """One-sided standard normal survival P(Z > z) for z >= 0 —
+    Abramowitz & Stegun 26.2.17 polynomial (|error| < 7.5e-8)."""
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.2316419) * z)
+    poly = t * (
+        F.lit(0.319381530) + t * (
+            F.lit(-0.356563782) + t * (
+                F.lit(1.781477937) + t * (
+                    F.lit(-1.821255978) + t * F.lit(1.330274429)
+                )
+            )
+        )
+    )
+    return F.lit(_INV_SQRT_2PI) * F.exp(-z * z / F.lit(2.0)) * poly
+
+
+def _p_two_sided_z(z):
+    """Two-sided normal p-value 2·P(Z > |z|), clamped to [0, 1];
+    NULL z (a degenerate statistic) stays NULL."""
+    return F.when(
+        z.isNotNull(),
+        F.least(F.lit(1.0), F.lit(2.0) * _std_normal_sf(F.abs(z))),
+    )
+
+
+def _ks_sf(lam, terms: int = 8):
+    """Kolmogorov asymptotic Q(λ) = 2·Σ_{j≥1} (−1)^{j−1}·e^{−2j²λ²}
+    (Kolmogorov 1933; the limiting null distribution of λ =
+    d·√(nm/(n+m))).  ``terms`` fixed at 8: the series is alternating
+    with e^{−2j²λ²} terms, so the truncation error is below the first
+    dropped term — < 1e-10 for λ ≥ 0.4, and for smaller λ the clamp
+    to 1 dominates (Q → 1 as λ → 0)."""
+    acc = None
+    for j in range(1, terms + 1):
+        term = F.lit(2.0 * (1 if j % 2 == 1 else -1)) * F.exp(
+            F.lit(-2.0 * j * j) * lam * lam
+        )
+        acc = term if acc is None else acc + term
+    return F.greatest(F.lit(0.0), F.least(F.lit(1.0), acc))
+
+
+def _chi2_sf(x, dof):
+    """Upper-tail chi-squared probability via the Wilson–Hilferty
+    (1931) cube-root normal transform: (χ²/ν)^⅓ is ≈ normal with mean
+    1 − 2/(9ν) and variance 2/(9ν).  Relative error a few 1e-3 over
+    the decision-relevant range — a VERDICT approximation, not a
+    numerics library."""
+    nu = dof.cast("double")
+    m = F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * nu)
+    s = F.sqrt(F.lit(2.0) / (F.lit(9.0) * nu))
+    z = (F.pow(x / nu, F.lit(1.0 / 3.0)) - m) / s
+    return F.when(z >= 0, _std_normal_sf(z)).otherwise(
+        F.lit(1.0) - _std_normal_sf(-z)
+    )
+
+
+def _t_p_two_sided(t, dof):
+    """Two-sided Student-t p-value via the normal-deviate
+    approximation z = t·(1 − 1/(4ν)) / √(1 + t²/(2ν))
+    (Abramowitz & Stegun 26.7.8) — |error| a few 1e-3 for ν ≥ 5,
+    the Welch regime the A/B monitor lives in."""
+    nu = dof.cast("double")
+    z = t * (F.lit(1.0) - F.lit(1.0) / (F.lit(4.0) * nu)) / F.sqrt(
+        F.lit(1.0) + t * t / (F.lit(2.0) * nu)
+    )
+    return _p_two_sided_z(z)
+
+
+def decide(df: DataFrame, test: str, *, alpha: float = 0.05) -> DataFrame:
+    """Append the decision surface to a test-statistic frame —
+    ``p_value`` (two-sided asymptotic) and ``significant``
+    (p < alpha) — mirroring ``streaming.ops.drift_alarms``'s
+    ``alarmed`` shape.  ``test`` names which operator produced ``df``:
+
+    - ``"ks"`` (:func:`ks_test`): Kolmogorov Q(λ) of ``lambda_stat``;
+    - ``"mwu"`` (:func:`mann_whitney_u`) / ``"prop"``
+      (:func:`proportion_ztest`): normal two-sided p of ``z_stat``;
+    - ``"welch"`` (:func:`welch_ttest`): t two-sided p of ``t_stat``
+      at ``dof`` (A&S 26.7.8 normal-deviate approximation);
+    - ``"chi2"`` (:func:`chi2_test`): Wilson–Hilferty upper tail of
+      ``chi2`` at ``dof``.
+
+    A NULL statistic (degenerate variance) yields NULL p_value and
+    NULL significant — "cannot decide", never a silent pass/fail.
+    p-values are asymptotic approximations (accuracy noted per
+    helper), kept OUT of every hash-gate payload by design; pytest
+    pins them against pure-python references instead."""
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"decide: alpha must be in (0, 1); got {alpha}")
+    if test == "ks":
+        p = _ks_sf(F.col("lambda_stat"))
+    elif test in ("mwu", "prop"):
+        p = _p_two_sided_z(F.col("z_stat"))
+    elif test == "welch":
+        p = _t_p_two_sided(F.col("t_stat"), F.col("dof"))
+    elif test == "chi2":
+        p = _chi2_sf(F.col("chi2"), F.col("dof"))
+    else:
+        raise ValueError(
+            f"decide: unknown test {test!r} — one of ks/mwu/prop/"
+            "welch/chi2"
+        )
+    return df.select(
+        "*",
+        F.round(p, 6).alias("p_value"),
+        (F.round(p, 6) < F.lit(float(alpha))).alias("significant"),
     )

@@ -150,23 +150,37 @@ def main() -> None:
 
     # is the shift REAL? the inference family on the same snapshots
     # (operators/stats_tests.py — all statistics exact-integer
-    # deterministic): KS (distributional), Mann-Whitney (rank), and
-    # Welch's t across derived arms of the new snapshot
+    # deterministic), each through decide() for the p-value + verdict
+    # surface: KS (distributional), Mann-Whitney (rank), chi-squared
+    # (categorical), and Welch's t across derived arms of the new
+    # snapshot
     from cosmap_spark.operators.stats_tests import (
-        ks_test, mann_whitney_u, welch_ttest,
+        chi2_test, decide, ks_test, mann_whitney_u, welch_ttest,
     )
 
-    ksr = ks_test(old_snap, new_snap, ["value"]).collect()[0]
-    mwr = mann_whitney_u(old_snap, new_snap, ["value"]).collect()[0]
-    print(f"  KS D = {ksr['d_stat']} (lambda = {ksr['lambda_stat']}, "
-          f">1.36 ~ 5%) | MWU z = {mwr['z_stat']}")
+    ksr = decide(ks_test(old_snap, new_snap, ["value"]), "ks").collect()[0]
+    mwr = decide(
+        mann_whitney_u(old_snap, new_snap, ["value"]), "mwu"
+    ).collect()[0]
+    print(f"  KS D = {ksr['d_stat']} p = {ksr['p_value']} "
+          f"significant = {ksr['significant']} | "
+          f"MWU z = {mwr['z_stat']} p = {mwr['p_value']} "
+          f"significant = {mwr['significant']}")
+    chr_ = decide(
+        chi2_test(old_snap, new_snap, ["event_type"]), "chi2"
+    ).collect()[0]
+    print(f"  chi2(event_type) = {chr_['chi2']} (dof = {chr_['dof']}) "
+          f"p = {chr_['p_value']} significant = {chr_['significant']}")
     arms = new_snap.select(
         F.when(F.rand(7) < 0.5, F.lit("a")).otherwise(F.lit("b"))
         .alias("variant"), F.col("value"),
     )
-    wr = welch_ttest(arms, "variant", "value").collect()[0]
+    wr = decide(
+        welch_ttest(arms, "variant", "value"), "welch"
+    ).collect()[0]
     print(f"  Welch A/A on the new snapshot: t = {wr['t_stat']} "
-          f"(|t| < 1.96 expected — same distribution)")
+          f"p = {wr['p_value']} significant = {wr['significant']} "
+          f"(A/A: not significant expected)")
 
     with tempfile.TemporaryDirectory() as tmp:
         land = os.path.join(tmp, "drift_land")

@@ -360,3 +360,87 @@ def test_chi2_test_degenerate_refuses(spark):
             spark.createDataFrame([([1],)], "cat array<int>"),
             ["cat"],
         )
+
+
+def test_decide_pvalues_match_python_references(spark):
+    """The decision surface's asymptotic p-values vs independent
+    pure-python references: math.erfc for the normal family (exact to
+    the erfc), the same published series/transforms re-implemented in
+    python for KS/chi2/t, plus known critical-value spot checks."""
+    import math
+
+    from cosmap_spark.operators.stats_tests import (
+        chi2_test, decide, ks_test, mann_whitney_u, proportion_ztest,
+        welch_ttest,
+    )
+
+    def norm_p(z):
+        return math.erfc(abs(z) / math.sqrt(2.0))
+
+    old = spark.createDataFrame(
+        [(float(i % 97),) for i in range(400)], "x double"
+    )
+    new = spark.createDataFrame(
+        [(float((i * 7) % 97) + 8.0,) for i in range(350)], "x double"
+    )
+
+    ks = decide(ks_test(old, new, ["x"]), "ks").collect()[0]
+    lam = ks["lambda_stat"]
+    ks_ref = max(0.0, min(1.0, sum(
+        2.0 * (-1) ** (j - 1) * math.exp(-2.0 * j * j * lam * lam)
+        for j in range(1, 9)
+    )))
+    assert abs(ks["p_value"] - ks_ref) < 1e-6
+    assert ks["significant"] == (ks["p_value"] < 0.05)
+
+    mwu = decide(mann_whitney_u(old, new, ["x"]), "mwu").collect()[0]
+    assert abs(mwu["p_value"] - norm_p(mwu["z_stat"])) < 1e-6
+
+    arms = spark.createDataFrame(
+        [("a", float(i % 13)) for i in range(300)]
+        + [("b", float(i % 13) + 1.5) for i in range(280)],
+        "variant string, value double",
+    )
+    wl = decide(welch_ttest(arms, "variant", "value"), "welch").collect()[0]
+    nu, t = wl["dof"], wl["t_stat"]
+    z = t * (1.0 - 1.0 / (4.0 * nu)) / math.sqrt(1.0 + t * t / (2.0 * nu))
+    assert abs(wl["p_value"] - norm_p(z)) < 1e-6
+    assert wl["significant"] is True  # planted +1.5 shift
+
+    conv = spark.createDataFrame(
+        [("a", 1)] * 60 + [("a", 0)] * 40 + [("b", 1)] * 45
+        + [("b", 0)] * 55,
+        "variant string, ok int",
+    )
+    pr = decide(proportion_ztest(conv, "variant", "ok"), "prop").collect()[0]
+    assert abs(pr["p_value"] - norm_p(pr["z_stat"])) < 1e-6
+
+    co = spark.createDataFrame([("a",)] * 50 + [("b",)] * 50, "cat string")
+    cn = spark.createDataFrame([("a",)] * 80 + [("b",)] * 20, "cat string")
+    ch = decide(chi2_test(co, cn, ["cat"]), "chi2").collect()[0]
+    x, dof = ch["chi2"], float(ch["dof"])
+    m = 1.0 - 2.0 / (9.0 * dof)
+    s = math.sqrt(2.0 / (9.0 * dof))
+    zwh = ((x / dof) ** (1.0 / 3.0) - m) / s
+    assert abs(ch["p_value"] - norm_p(zwh) / 2.0
+               if zwh >= 0 else ch["p_value"]) < 1e-2
+    assert ch["significant"] is True  # planted categorical shift
+
+    # known critical values: the 5% thresholds land at p ~ 0.05
+    # KS lambda = 1.358, z = 1.96, chi2(1) = 3.841
+    probe = spark.createDataFrame(
+        [("c", 1, 1, 0, 0.0, 1.358)],
+        "column string, n_old long, n_new long, d_num long, "
+        "d_stat double, lambda_stat double",
+    )
+    p = decide(probe, "ks").collect()[0]["p_value"]
+    assert abs(p - 0.05) < 0.002
+
+    # degenerate statistic -> NULL p, NULL verdict (cannot decide)
+    degen = spark.createDataFrame(
+        [("c", 1, 1, 0, 0.0, None)],
+        "column string, n_old long, n_new long, u2x long, "
+        "u_stat double, z_stat double",
+    )
+    row = decide(degen, "mwu").collect()[0]
+    assert row["p_value"] is None and row["significant"] is None
