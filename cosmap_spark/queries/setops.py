@@ -325,6 +325,86 @@ _SETOPS_ORACLE = """
                   ELSE 0 END AS coeff_micro
       FROM tdeg d LEFT JOIN tcount c USING (node)
     ),
+    -- quantized PageRank (graph.pagerank_quantized) over the DIRECTED
+    -- distinct edges of the same orders-derived graph: the iteration
+    -- is DEFINED over exact integers (per-edge r // out_deg, damping
+    -- 85/100 via floor division, dangling mass // N), so unrolling
+    -- the fixed 5 iterations here replays Spark's trajectory
+    -- bit-identically
+    predges AS (
+      SELECT DISTINCT o_custkey % 200 AS s, o_orderkey % 200 AS d
+      FROM orders
+      WHERE o_orderkey % 7 < 2 AND o_custkey % 200 <> o_orderkey % 200
+    ),
+    prnodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT s AS node FROM predges UNION ALL SELECT d FROM predges)
+    ),
+    prdeg AS (SELECT s AS node, count(*) AS odeg FROM predges GROUP BY 1),
+    prn AS (SELECT count(*) AS nn FROM prnodes),
+    pr0 AS (
+      SELECT node, 1000000000000 // nn AS r FROM prnodes CROSS JOIN prn
+    ),
+    pr1 AS (
+      SELECT g.node,
+             (1000000000000 * 15) // (100 * prn.nn)
+             + (85 * (coalesce(c.su, 0) + dg.dang // prn.nn)) // 100 AS r
+      FROM prnodes g CROSS JOIN prn
+      LEFT JOIN (SELECT e.d AS node, sum(p.r // x.odeg) AS su
+                 FROM pr0 p JOIN predges e ON e.s = p.node
+                 JOIN prdeg x ON x.node = p.node GROUP BY 1) c
+        ON c.node = g.node
+      CROSS JOIN (SELECT coalesce(sum(r), 0) AS dang FROM pr0
+                  WHERE node NOT IN (SELECT node FROM prdeg)) dg
+    ),
+    pr2 AS (
+      SELECT g.node,
+             (1000000000000 * 15) // (100 * prn.nn)
+             + (85 * (coalesce(c.su, 0) + dg.dang // prn.nn)) // 100 AS r
+      FROM prnodes g CROSS JOIN prn
+      LEFT JOIN (SELECT e.d AS node, sum(p.r // x.odeg) AS su
+                 FROM pr1 p JOIN predges e ON e.s = p.node
+                 JOIN prdeg x ON x.node = p.node GROUP BY 1) c
+        ON c.node = g.node
+      CROSS JOIN (SELECT coalesce(sum(r), 0) AS dang FROM pr1
+                  WHERE node NOT IN (SELECT node FROM prdeg)) dg
+    ),
+    pr3 AS (
+      SELECT g.node,
+             (1000000000000 * 15) // (100 * prn.nn)
+             + (85 * (coalesce(c.su, 0) + dg.dang // prn.nn)) // 100 AS r
+      FROM prnodes g CROSS JOIN prn
+      LEFT JOIN (SELECT e.d AS node, sum(p.r // x.odeg) AS su
+                 FROM pr2 p JOIN predges e ON e.s = p.node
+                 JOIN prdeg x ON x.node = p.node GROUP BY 1) c
+        ON c.node = g.node
+      CROSS JOIN (SELECT coalesce(sum(r), 0) AS dang FROM pr2
+                  WHERE node NOT IN (SELECT node FROM prdeg)) dg
+    ),
+    pr4 AS (
+      SELECT g.node,
+             (1000000000000 * 15) // (100 * prn.nn)
+             + (85 * (coalesce(c.su, 0) + dg.dang // prn.nn)) // 100 AS r
+      FROM prnodes g CROSS JOIN prn
+      LEFT JOIN (SELECT e.d AS node, sum(p.r // x.odeg) AS su
+                 FROM pr3 p JOIN predges e ON e.s = p.node
+                 JOIN prdeg x ON x.node = p.node GROUP BY 1) c
+        ON c.node = g.node
+      CROSS JOIN (SELECT coalesce(sum(r), 0) AS dang FROM pr3
+                  WHERE node NOT IN (SELECT node FROM prdeg)) dg
+    ),
+    pr5 AS (
+      SELECT g.node,
+             (1000000000000 * 15) // (100 * prn.nn)
+             + (85 * (coalesce(c.su, 0) + dg.dang // prn.nn)) // 100 AS r
+      FROM prnodes g CROSS JOIN prn
+      LEFT JOIN (SELECT e.d AS node, sum(p.r // x.odeg) AS su
+                 FROM pr4 p JOIN predges e ON e.s = p.node
+                 JOIN prdeg x ON x.node = p.node GROUP BY 1) c
+        ON c.node = g.node
+      CROSS JOIN (SELECT coalesce(sum(r), 0) AS dang FROM pr4
+                  WHERE node NOT IN (SELECT node FROM prdeg)) dg
+    ),
     scd_dim AS (
       SELECT k, nk, bal_c, DATE '2020-01-01' AS vf FROM snap_old
     ),
@@ -472,6 +552,9 @@ _SETOPS_ORACLE = """
                            AS VARCHAR), 'null')
     FROM prop
     UNION ALL
+    SELECT 'pr', node, CAST(r AS VARCHAR)
+    FROM pr5
+    UNION ALL
     SELECT 'tri', node,
            CAST(degree AS VARCHAR) || '|' || CAST(n_tri AS VARCHAR)
            || '|' || CAST(coeff_micro AS VARCHAR)
@@ -540,6 +623,12 @@ def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
       statistic is DEFINED as exact two-stage integer floor division,
       so the payload is integers only; side =
       ``n_old|n_new|k|chi2_units``;
+    * ``pr`` — ``operators/graph.py::pagerank_quantized``: PageRank
+      whose ITERATION is defined over exact integers (per-edge
+      ``r div out_deg``, damping 85/100 and dangling mass by floor
+      division, fixed 5 iterations), so the full trajectory is
+      hash-exact against the oracle's unrolled replay; k = node,
+      side = ``rank_units``;
     * ``tri`` — ``operators/graph.py::triangle_counts``: per-node
       triangle counts + local clustering coefficient over a
       deterministic orders-derived graph, computed by the
@@ -873,6 +962,23 @@ def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     tedges = o.where((ok % 7 < 2) & (F.col("o_custkey") % 200 != ok % 200)).select(
         (F.col("o_custkey") % 200).alias("src"), (ok % 200).alias("dst")
     )
+    # quantized PageRank (operators/graph.py::pagerank_quantized) over
+    # the DIRECTED distinct edges of the same derived graph — the
+    # integer-defined iteration makes the full 5-iteration trajectory
+    # hash-exact against the oracle's unrolled replay
+    from cosmap_spark.operators.graph import pagerank_quantized
+
+    pr_edges = o.where(
+        (ok % 7 < 2) & (F.col("o_custkey") % 200 != ok % 200)
+    ).select(
+        (F.col("o_custkey") % 200).alias("src"), (ok % 200).alias("dst")
+    ).distinct()
+    pr_b = tag(
+        pagerank_quantized(pr_edges, iterations=5),
+        "pr", F.col("node"),
+        F.col("rank_units").cast("string"),
+    )
+
     tri_b = tag(
         triangle_counts(tedges),
         "tri", F.col("node"),
@@ -914,6 +1020,7 @@ def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = union_all
     for branch in (union_distinct, intersect, except_, cross, not_in,
                    above_mean, merge_b, cdc_b, rt_b, scd2_b, drift_b,
-                   drift_cat_b, chi_b, tri_b, ks_b, mwu_b, welch_b, prop_b):
+                   drift_cat_b, chi_b, pr_b, tri_b, ks_b, mwu_b, welch_b,
+                   prop_b):
         out = out.unionByName(branch)
     return out

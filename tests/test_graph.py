@@ -143,3 +143,57 @@ def test_triangle_counts_empty_and_triangle_free(spark):
     )
     rows = {r["node"]: r["n_tri"] for r in triangle_counts(path).collect()}
     assert rows == {1: 0, 2: 0, 3: 0, 4: 0}
+
+
+def test_pagerank_quantized_matches_float_and_python(spark):
+    """pagerank_quantized (the gated twin): tracks float pagerank at
+    the same iteration count within the floor-loss bound, is
+    bit-stable across partition layouts, and replays the DEFINED
+    integer dynamics exactly (the same replay the q_setops 'pr'
+    oracle unrolls in SQL)."""
+    from cosmap_spark.operators.graph import pagerank, pagerank_quantized
+
+    E = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 1), (5, 3), (2, 4), (6, 1)]
+    edges = spark.createDataFrame(E, "src long, dst long")
+    q = pagerank_quantized(edges, iterations=5).collect()
+    f = {r["node"]: r["rank"] for r in
+         pagerank(edges, max_iterations=5, tol=0.0).collect()}
+    qd = {r["node"]: r["rank"] for r in q}
+    assert qd.keys() == f.keys()
+    assert max(abs(qd[k] - f[k]) for k in qd) < 1e-8
+
+    # layout determinism: a different partitioning gives the SAME units
+    q2 = {r["node"]: r["rank_units"] for r in
+          pagerank_quantized(edges.repartition(7), iterations=5).collect()}
+    assert q2 == {r["node"]: r["rank_units"] for r in q}
+
+    # pure-python replay of the defined integer dynamics, bit-exact
+    nodes = sorted({x for e in E for x in e})
+    n = len(nodes)
+    od: dict[int, int] = {}
+    for s, _ in E:
+        od[s] = od.get(s, 0) + 1
+    u, dn, dd = 10 ** 12, 85, 100
+    r = {v: u // n for v in nodes}
+    base = (u * (dd - dn)) // (dd * n)
+    for _ in range(5):
+        dang = sum(r[v] for v in nodes if v not in od)
+        c = {v: 0 for v in nodes}
+        for s, d in E:
+            c[d] += r[s] // od[s]
+        r = {v: base + (dn * (c[v] + dang // n)) // dd for v in nodes}
+    assert {row["node"]: row["rank_units"] for row in q} == r
+
+
+def test_pagerank_quantized_validates(spark):
+    import pytest
+
+    from cosmap_spark.operators.graph import pagerank_quantized
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="iterations"):
+        pagerank_quantized(edges, iterations=0)
+    with pytest.raises(ValueError, match="damping"):
+        pagerank_quantized(edges, damping_num=100, damping_den=100)
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert pagerank_quantized(empty, iterations=2).count() == 0
