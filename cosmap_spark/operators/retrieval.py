@@ -1036,6 +1036,7 @@ def maxsim_topk(
     normalize: bool = True,
     batch_k: int | None = None,
     distributed_queries: bool = False,
+    max_queries: int = 4096,
 ) -> DataFrame:
     """ColBERT-style late-interaction retrieval: per query, the top-k
     documents under the MaxSim score
@@ -1092,7 +1093,16 @@ def maxsim_topk(
     query table yields an empty RESULT, and a token-less query raises
     only when some batch pairs it with a kept doc.  Callers owning
     broken upstream state should validate it themselves before the
-    distributed call."""
+    distributed call.
+
+    ``max_queries`` (distributed path only) is the ENFORCED guard on
+    the pair join's replication factor (the ``segment_overlap``
+    contract): the broadcast side carries an in-plan global count, so
+    a query table larger than ``max_queries`` fails the broadcast
+    build LOUDLY — naming ``maxsim_rerank`` as the equi-join
+    alternative — instead of silently replicating every doc's token
+    payload |Q|×.  In-plan (a query-sized window inside the broadcast
+    build) so construction still runs zero driver jobs."""
     import numpy as np
     import pandas as pd
 
@@ -1103,16 +1113,39 @@ def maxsim_topk(
     out_schema = _maxsim_schema(docs, id_col, queries, qid_col)
 
     if distributed_queries:
+        if max_queries < 1:
+            raise ValueError(
+                f"max_queries must be >= 1; got {max_queries}"
+            )
+        # in-plan cardinality guard: the global count rides a window
+        # on the QUERY-SIZED broadcast side, so an oversized query
+        # table fails the broadcast build loudly instead of silently
+        # replicating every doc's token payload |Q|x — and
+        # construction still runs zero driver jobs (the pinned
+        # contract)
+        wq_all = Window.partitionBy()
+        qside = queries.select(
+            F.col(qid_col).alias("__qid"),
+            F.col(qvecs_col).alias("__qv"),
+        ).withColumn("__qn", F.count(F.lit(1)).over(wq_all)).select(
+            F.when(
+                F.col("__qn") <= max_queries, F.col("__qid")
+            ).otherwise(
+                F.raise_error(F.concat(
+                    F.lit("maxsim_topk: "), F.col("__qn").cast("string"),
+                    F.lit(f" queries exceed max_queries={max_queries} "
+                          "— the distributed pair join replicates "
+                          "every doc's token payload per query; run "
+                          "the ANN stage first and use maxsim_rerank "
+                          "(equi-joins), or raise max_queries "
+                          "deliberately"),
+                )).cast(queries.schema[qid_col].dataType)
+            ).alias("__qid"),
+            "__qv",
+        )
         paired = docs.select(
             F.col(id_col).alias("__did"), F.col(vecs_col).alias("__dv")
-        ).crossJoin(
-            F.broadcast(
-                queries.select(
-                    F.col(qid_col).alias("__qid"),
-                    F.col(qvecs_col).alias("__qv"),
-                )
-            )
-        )
+        ).crossJoin(F.broadcast(qside))
 
         def dkernel(batches):
             for pdf in batches:

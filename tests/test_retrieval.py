@@ -823,3 +823,32 @@ def test_phrase_match_slop_differential(spark):
 
     with pytest.raises(ValueError, match="slop"):
         phrase_match(tf, "web retrieval", slop=-1)
+
+
+def test_maxsim_distributed_query_cardinality_guard(spark):
+    """The distributed pair join's enforced max_queries contract
+    (round-8 verdict #8, the segment_overlap pattern): an oversized
+    query table fails LOUDLY at execution naming maxsim_rerank —
+    in-plan, so construction still runs zero driver jobs."""
+    import pytest
+
+    from cosmap_spark.operators.retrieval import maxsim_topk
+
+    ddf = spark.createDataFrame(
+        [(i, [[1.0, 0.0], [0.0, 1.0]]) for i in range(20)],
+        "doc_id long, tvecs array<array<double>>",
+    )
+    qdf = spark.createDataFrame(
+        [(i, [[1.0, 1.0]]) for i in range(6)],
+        "qid long, tvecs array<array<double>>",
+    )
+    df = maxsim_topk(ddf, qdf, k=3, distributed_queries=True,
+                     max_queries=5)  # construction must NOT raise
+    with pytest.raises(Exception, match="max_queries"):
+        df.collect()
+    # under the cap the same call round-trips
+    ok = maxsim_topk(ddf, qdf, k=3, distributed_queries=True,
+                     max_queries=6)
+    assert ok.count() == 18
+    with pytest.raises(ValueError, match="max_queries"):
+        maxsim_topk(ddf, qdf, distributed_queries=True, max_queries=0)
