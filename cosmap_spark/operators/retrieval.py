@@ -1424,3 +1424,132 @@ def maxsim_rerank(
     return scored.withColumn(
         "rn", F.row_number().over(w).cast("long")
     ).select("qid", "doc_id", F.round("score", 6).alias("score"), "rn")
+
+
+def maxsim_rerank_pruned(
+    shortlist: DataFrame,
+    docs: DataFrame,
+    queries: DataFrame,
+    assigned: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    *,
+    prune_k: int,
+    id_col: str = "doc_id",
+    vecs_col: str = "tvecs",
+    qid_col: str = "qid",
+    qvecs_col: str = "tvecs",
+    normalize: bool = True,
+    distributed_queries: bool = False,
+) -> DataFrame:
+    """Centroid-pruned two-stage MaxSim rerank — the PLAID-shaped
+    serving path (Santhanam et al., CIKM 2022: prune candidates with
+    centroid-level approximations before exact late-interaction
+    scoring): the ANN shortlist is first cut to the top ``prune_k``
+    docs per query by a CHEAP centroid proxy, and only the survivors
+    pay :func:`maxsim_rerank`'s exact token-matrix scoring — the
+    third stage of ANN → centroid prune → exact MaxSim.
+
+    The proxy reuses the IVF coarse quantizer's state the index
+    already persists (``knn.ivf_build``'s ``assigned`` ``[nid, cid]``
+    + driver-resident ``centroids``): with one centroid per doc,
+    ``approx(q, d) = Σ_i ⟨q̂ᵢ, ĉ(d)⟩ = ⟨Σ_i q̂ᵢ, ĉ(d)⟩`` — the
+    per-query SUMMED (normalized) token vector dotted with the doc's
+    (normalized) centroid, one in-plan array dot per shortlist row.
+    Matters once |Q|·k·tokens is the serving bottleneck: exact
+    scoring cost drops by shortlist/prune_k while the proxy pass
+    touches no token matrix at all.
+
+    Plan contract: every join stays EQUI (shortlist ⋈ assigned on doc
+    id; broadcast centroid frame on cid; the exact stage's doc/qid
+    equi-joins), the prune window is query-keyed, and construction
+    runs zero driver jobs (the query sum is computed in-plan on the
+    query-sized frame — higher-order functions, no collect).  With
+    ``prune_k`` ≥ the per-query shortlist size the result is
+    bit-identical to the unpruned :func:`maxsim_rerank` (pinned in
+    tests); smaller ``prune_k`` trades recall for cost, with the
+    recall differential pinned on a clustered fixture.
+
+    Proxy resolution — size ``prune_k`` accordingly: one centroid per
+    DOC discriminates BETWEEN clusters, not within one (every doc of
+    a cluster shares the same proxy score; ties fall to doc id), so
+    ``prune_k`` must exceed the expected count of same-cluster
+    candidates in the shortlist — the proxy's job is dropping
+    other-cluster noise cheaply, the exact stage ranks within the
+    cluster.  Full PLAID sharpens this with per-TOKEN centroid bags;
+    that needs a token-level quantizer the pooled IVF index does not
+    persist.  A shortlist doc missing from ``assigned`` is dropped by
+    the inner join — refusing silently-unindexed docs is the safe
+    default (they were nominated by the same index)."""
+    import math
+
+    if prune_k < 1:
+        raise ValueError(f"prune_k must be >= 1; got {prune_k}")
+    if not centroids:
+        raise ValueError("maxsim_rerank_pruned: empty centroid list")
+    spark = shortlist.sparkSession
+    crows = []
+    for cid, vec in centroids:
+        if normalize:
+            n = math.sqrt(sum(float(x) * float(x) for x in vec))
+            vec = [float(x) / n if n > 0 else 0.0 for x in vec]
+        crows.append((int(cid), [float(x) for x in vec]))
+    cframe = spark.createDataFrame(
+        crows, "cid long, __cn array<double>"
+    )
+    # per-query summed (optionally normalized) token vector, in-plan:
+    # queries are query-sized by contract, so the interpreted HOF cost
+    # (the per-element norm re-evaluation Spark's no-CSE-in-lambdas
+    # rule implies) is bounded; zero-norm tokens contribute 0 (the
+    # maxsim contract)
+    zero = F.transform(
+        F.element_at(F.col(qvecs_col), 1), lambda x: x * 0.0
+    )
+
+    def _step(acc, t):
+        if not normalize:
+            return F.zip_with(acc, t, lambda a, x: a + x)
+        n = F.sqrt(F.aggregate(t, F.lit(0.0), lambda a, x: a + x * x))
+        return F.zip_with(
+            acc, t,
+            lambda a, x: a + F.when(n > 0, x / n).otherwise(F.lit(0.0)),
+        )
+
+    qsum = queries.select(
+        F.col(qid_col).alias("qid"),
+        F.aggregate(F.col(qvecs_col), zero, _step).alias("__qs_raw"),
+    )
+    approx = (
+        shortlist.select(
+            F.col(qid_col).alias("qid"), F.col(id_col).alias("doc_id")
+        )
+        .join(
+            assigned.select(F.col("nid").alias("doc_id"), "cid"),
+            "doc_id",
+        )
+        .join(F.broadcast(cframe), "cid")
+        .join(F.broadcast(qsum), "qid")
+        .select(
+            "qid", "doc_id",
+            F.aggregate(
+                F.zip_with(
+                    F.col("__qs_raw"), F.col("__cn"),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0), lambda a, x: a + x,
+            ).alias("__approx"),
+        )
+    )
+    wq = Window.partitionBy("qid").orderBy(
+        F.col("__approx").desc(), F.col("doc_id").asc()
+    )
+    pruned = (
+        approx.withColumn("__pr", F.row_number().over(wq))
+        .where(F.col("__pr") <= prune_k)
+        .select(F.col("qid").alias(qid_col), F.col("doc_id").alias(id_col))
+    )
+    return maxsim_rerank(
+        pruned, docs, queries,
+        id_col=id_col, vecs_col=vecs_col, qid_col=qid_col,
+        qvecs_col=qvecs_col, normalize=normalize,
+        distributed_queries=distributed_queries,
+    )
