@@ -20,10 +20,14 @@ bytes", nothing more.
 SCOPE (loudly enforced, never silently wrong): little-endian files,
 64-bit offsets/lengths, v0 superblock, v1 object headers without
 continuation blocks, groups via v1 B-tree + local heap symbol tables,
-1-D contiguous datasets of float64/float32/int64/int32.  Chunked,
-compressed, v2+ superblocks, attributes, and other datatypes raise
-``ValueError`` naming the unsupported feature — real-world general
-HDF5 still wants h5py (``readers._default_hdf5_reader``).
+1-D datasets of float64/float32/int64/int32 stored CONTIGUOUS or
+CHUNKED (v1 raw-data-chunk B-tree index) with an optional DEFLATE
+filter — the layout most real-world writers (h5py's
+``chunks=True, compression="gzip"`` default path) produce (round-8
+verdict #7).  Other filters (shuffle, fletcher32, szip…), v2+
+superblocks, attributes, and other datatypes raise ``ValueError``
+naming the unsupported feature — fully general HDF5 still wants h5py
+(``readers._default_hdf5_reader``).
 """
 
 from __future__ import annotations
@@ -112,6 +116,44 @@ def _layout_msg(addr: int, nbytes: int) -> bytes:
     return _msg(0x0008, struct.pack("<BBQQ", 3, 1, addr, nbytes))
 
 
+def _chunked_layout_msg(btree_addr: int, chunk_len: int,
+                        elem_size: int) -> bytes:
+    """v3 class-2 (chunked) layout: dimensionality is rank+1, the last
+    chunk dimension is the element size (the spec's convention)."""
+    return _msg(0x0008, struct.pack(
+        "<BBBQII", 3, 2, 2, btree_addr, chunk_len, elem_size
+    ))
+
+
+def _deflate_pipeline_msg(level: int = 6) -> bytes:
+    """v1 filter pipeline with ONE deflate filter (id 1, no name,
+    one client value = compression level, padded to 8)."""
+    return _msg(0x000B, struct.pack(
+        "<BB6x", 1, 1
+    ) + struct.pack("<HHHH", 1, 0, 1, 1) + struct.pack("<Ixxxx", level))
+
+
+def _chunk_btree(w: _Writer, chunks: list[tuple[int, int, int]],
+                 chunk_len: int) -> int:
+    """One level-0 v1 raw-data-chunk B-tree node over ``chunks`` =
+    [(stored_nbytes, elem_offset, data_addr)] for a 1-D dataset
+    (dimensionality 2: offsets carry a trailing 0 for the element
+    dimension); the spec's N+1th key describes the chunk PAST the
+    last.  Padded to the default-K allocation so readers that size
+    nodes from K never run past EOF."""
+    key_size = 8 + 8 * 2
+    body = struct.pack(
+        "<4sBBHQQ", b"TREE", 1, 0, len(chunks), _UNDEF, _UNDEF
+    )
+    for nbytes, off, addr in chunks:
+        body += struct.pack("<IIQQ", nbytes, 0, off, 0)
+        body += struct.pack("<Q", addr)
+    next_off = (chunks[-1][1] + chunk_len) if chunks else 0
+    body += struct.pack("<IIQQ", 0, 0, next_off, 0)
+    full = 24 + (2 * 32) * (key_size + 8) + key_size
+    return w.put(body.ljust(full, b"\x00"))
+
+
 def _heap_block(names: list[str]) -> tuple[bytes, dict[str, int]]:
     """Local heap DATA segment: empty string at offset 0, then each
     name nul-terminated at an 8-aligned offset."""
@@ -182,11 +224,21 @@ def _write_group(w: _Writer, children: list[tuple[str, int, int, bytes]]):
     return oh_addr, btree_addr, heap_addr
 
 
-def write_simple_hdf5(path: str, groups: dict[str, dict[str, np.ndarray]]):
+def write_simple_hdf5(path: str, groups: dict[str, dict[str, np.ndarray]],
+                      *, chunk: int | None = None,
+                      compress: bool = False):
     """Write ``{group_name: {column: 1-D array}}`` as a spec-conformant
-    HDF5 file (v0 superblock, contiguous little-endian data) — the
-    reference's opencosmo layout.  Arrays must be 1-D of
-    float64/float32/int64/int32."""
+    HDF5 file (v0 superblock, little-endian data) — the reference's
+    opencosmo layout.  Arrays must be 1-D of float64/float32/
+    int64/int32.  ``chunk`` switches every dataset to CHUNKED storage
+    (v1 raw-data-chunk B-tree, ``chunk`` elements per chunk, the last
+    chunk padded to full size per the spec); ``compress`` adds the
+    DEFLATE filter (requires ``chunk``) — the fixture twin of the
+    reader's chunked+gzip path."""
+    import zlib
+
+    if compress and chunk is None:
+        raise ValueError("hdf5lite: compress=True requires chunk=")
     w = _Writer()
     w.put(b"\x00" * 96)  # superblock reservation, patched last
 
@@ -203,13 +255,35 @@ def write_simple_hdf5(path: str, groups: dict[str, dict[str, np.ndarray]]):
                     f"hdf5lite: unsupported dtype {dt} for {cname!r} "
                     f"(supported: {sorted(_DT_WRITE)})"
                 )
-            raw = a.astype("<" + a.dtype.str[1:], copy=False).tobytes()
-            data_addr = w.put(raw)
-            oh = w.put(_object_header([
-                _dataspace_msg(len(a)),
-                _datatype_msg(dt),
-                _layout_msg(data_addr, len(raw)),
-            ]))
+            le = a.astype("<" + a.dtype.str[1:], copy=False)
+            esz = le.dtype.itemsize
+            if chunk is None:
+                raw = le.tobytes()
+                data_addr = w.put(raw)
+                lay = _layout_msg(data_addr, len(raw))
+                msgs = [_dataspace_msg(len(a)), _datatype_msg(dt), lay]
+            else:
+                chunks: list[tuple[int, int, int]] = []
+                for off in range(0, max(len(a), 1), chunk):
+                    piece = le[off:off + chunk]
+                    if len(piece) < chunk:  # last chunk pads to full
+                        pad = np.zeros(chunk - len(piece), dtype=le.dtype)
+                        piece = np.concatenate([piece, pad])
+                    raw = piece.tobytes()
+                    if compress:
+                        raw = zlib.compress(raw, 6)
+                    chunks.append((len(raw), off, w.put(raw)))
+                bt = _chunk_btree(w, chunks, chunk)
+                msgs = [
+                    _dataspace_msg(len(a)),
+                    _datatype_msg(dt),
+                    _chunked_layout_msg(bt, chunk, esz),
+                ]
+                if compress:
+                    # filter pipeline must precede use by readers that
+                    # scan messages in order; position is free per spec
+                    msgs.insert(2, _deflate_pipeline_msg())
+            oh = w.put(_object_header(msgs))
             ds_children.append((cname, oh, 0, b""))
         g_oh, g_btree, g_heap = _write_group(w, ds_children)
         group_children.append(
@@ -330,16 +404,98 @@ def _read_dataset(r: _R, oh_at: int, name: str) -> np.ndarray:
         (cls, size)
     ]
     lay = msgs[0x0008]
-    if lay[0] != 3 or lay[1] != 1:
+    if lay[0] != 3 or lay[1] not in (1, 2):
         raise ValueError(
             f"hdf5lite: {name!r} layout (v{lay[0]} class {lay[1]}) is "
-            "not v3 contiguous — chunked/compressed data needs h5py"
+            "not v3 contiguous/chunked — compact or v4 layouts need "
+            "h5py"
         )
-    addr = int.from_bytes(lay[2:10], "little")
-    nbytes = int.from_bytes(lay[10:18], "little")
-    if nbytes != n * size:
-        raise ValueError(f"hdf5lite: {name!r} layout size mismatch")
-    return np.frombuffer(r.buf[addr:addr + nbytes], dtype=np_dt).copy()
+    if lay[1] == 1:
+        addr = int.from_bytes(lay[2:10], "little")
+        nbytes = int.from_bytes(lay[10:18], "little")
+        if nbytes != n * size:
+            raise ValueError(f"hdf5lite: {name!r} layout size mismatch")
+        return np.frombuffer(r.buf[addr:addr + nbytes], dtype=np_dt).copy()
+    return _read_chunked(r, lay, msgs.get(0x000B), name, n, size, np_dt)
+
+
+def _read_chunked(r: _R, lay: bytes, pipeline: bytes | None, name: str,
+                  n: int, size: int, np_dt: str) -> np.ndarray:
+    """Assemble a 1-D chunked dataset: walk the v1 raw-data-chunk
+    B-tree (node type 1), inflate each chunk (DEFLATE only — any
+    other filter refuses naming its id), place by element offset,
+    truncate the padded final chunk to the dataspace length."""
+    import zlib
+
+    ndims = lay[2]
+    if ndims != 2:
+        raise ValueError(
+            f"hdf5lite: {name!r} is chunked with dimensionality "
+            f"{ndims} — only 1-D datasets (dimensionality 2) supported"
+        )
+    bt_addr = int.from_bytes(lay[3:11], "little")
+    chunk_len = int.from_bytes(lay[11:15], "little")
+    esz = int.from_bytes(lay[15:19], "little")
+    if esz != size:
+        raise ValueError(
+            f"hdf5lite: {name!r} chunk element size {esz} != datatype "
+            f"size {size}"
+        )
+    has_deflate = False
+    if pipeline is not None:
+        if pipeline[0] != 1:
+            raise ValueError(
+                f"hdf5lite: {name!r} filter pipeline v{pipeline[0]} — "
+                "only v1 supported (use h5py)"
+            )
+        nf = pipeline[1]
+        pos = 8
+        for _ in range(nf):
+            fid = int.from_bytes(pipeline[pos:pos + 2], "little")
+            namelen = int.from_bytes(pipeline[pos + 2:pos + 4], "little")
+            ncv = int.from_bytes(pipeline[pos + 6:pos + 8], "little")
+            if fid != 1:
+                raise ValueError(
+                    f"hdf5lite: {name!r} uses filter id {fid} — only "
+                    "DEFLATE (1) is supported; shuffle/fletcher32/szip "
+                    "need h5py"
+                )
+            has_deflate = True
+            pos += 8 + (namelen + 7) // 8 * 8 + 4 * ncv
+            if ncv % 2 == 1:
+                pos += 4
+    out = np.zeros(n, dtype=np_dt)
+    key_size = 8 + 8 * ndims
+
+    def walk(at: int) -> None:
+        if r.buf[at:at + 4] != b"TREE":
+            raise ValueError(f"hdf5lite: {name!r} bad chunk B-tree")
+        if r.buf[at + 4] != 1:
+            raise ValueError(
+                f"hdf5lite: {name!r} B-tree node type {r.buf[at + 4]} "
+                "inside a chunk index"
+            )
+        level, used = r.buf[at + 5], r.u(at + 6, 2)
+        pos = at + 24
+        for _ in range(used):
+            nbytes = r.u(pos, 4)
+            mask = r.u(pos + 4, 4)
+            off = r.u(pos + 8, 8)
+            child = r.u(pos + key_size, 8)
+            if level > 0:
+                walk(child)
+            else:
+                raw = bytes(r.buf[child:child + nbytes])
+                if has_deflate and not (mask & 1):
+                    raw = zlib.decompress(raw)
+                arr = np.frombuffer(raw, dtype=np_dt)
+                if off < n:
+                    take = min(chunk_len, n - off, len(arr))
+                    out[off:off + take] = arr[:take]
+            pos += key_size + 8
+
+    walk(bt_addr)
+    return out
 
 
 def read_hdf5_group(file_path: str, dataset_key: str):

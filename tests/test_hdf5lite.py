@@ -122,3 +122,82 @@ def test_empty_group_refused(tmp_path):
         write_simple_hdf5(str(tmp_path / "e.hdf5"), {"g": {}})
     with pytest.raises(ValueError, match="at least one child"):
         write_simple_hdf5(str(tmp_path / "e2.hdf5"), {})
+
+
+CHUNKED = os.path.join(
+    os.path.dirname(__file__), "data", "sample_catalog_chunked.hdf5"
+)
+
+
+def test_reader_decodes_frozen_chunked_gzip_sample():
+    """The committed chunked+DEFLATE sample (chunk=4 over 10 rows —
+    exercises multi-chunk assembly AND final-chunk padding) decodes to
+    exactly these values; the reader contract against STORED bytes
+    (round-8 verdict #7)."""
+    df = read_hdf5_group(CHUNKED, "catalog")
+    assert list(df.columns) == ["halo_id", "mass", "n_sub", "ra"]
+    assert df["ra"].tolist() == [
+        10.5, 20.25, 30.125, 359.9375, 0.0625, 180.5, 90.75, 270.125,
+        45.0, 135.25,
+    ]
+    assert df["halo_id"].tolist() == list(range(101, 111))
+    assert df["mass"].tolist() == [
+        1.5, 2.5, 3.5, 4.5, 5.5, 6.5, 7.5, 8.5, 9.5, 10.5,
+    ]
+    assert df["n_sub"].tolist() == [0, 1, 2, 3, 0, 1, 2, 3, 0, 1]
+    assert read_hdf5_group(CHUNKED, "meta")["version"].tolist() == [8]
+
+
+def test_chunked_matches_contiguous_decode(tmp_path):
+    """The same arrays written contiguous, chunked, and chunked+gzip
+    must decode identically — the chunked path's differential against
+    the proven contiguous one."""
+    rng = np.random.default_rng(17)
+    cols = {
+        "a": rng.normal(size=513).astype("float64"),
+        "b": rng.integers(-1000, 1000, 513).astype("int32"),
+    }
+    outs = []
+    for i, kw in enumerate(
+        [{}, {"chunk": 128}, {"chunk": 128, "compress": True}]
+    ):
+        p = str(tmp_path / f"v{i}.h5")
+        write_simple_hdf5(p, {"g": cols}, **kw)
+        outs.append(read_hdf5_group(p, "g"))
+    for df in outs[1:]:
+        for c in cols:
+            assert np.array_equal(
+                df[c].to_numpy(), outs[0][c].to_numpy()
+            ), c
+    # compressed file is genuinely smaller than raw on compressible data
+    import os as _os
+
+    z = str(tmp_path / "z.h5")
+    r = str(tmp_path / "r.h5")
+    smooth = {"g": {"x": np.zeros(100000, dtype="float64")}}
+    write_simple_hdf5(z, smooth, chunk=4096, compress=True)
+    write_simple_hdf5(r, smooth)
+    assert _os.path.getsize(z) < _os.path.getsize(r) / 4
+
+
+def test_chunked_refusals(tmp_path):
+    """Unsupported filters refuse NAMING the filter id; compress
+    without chunk refuses."""
+    with pytest.raises(ValueError, match="compress=True requires"):
+        write_simple_hdf5(
+            str(tmp_path / "x.h5"),
+            {"g": {"a": np.zeros(4)}}, compress=True,
+        )
+    # hand-corrupt the frozen sample's filter id 1 -> 2 (shuffle) and
+    # expect the loud refusal naming it
+    import struct as _struct
+
+    buf = bytearray(open(CHUNKED, "rb").read())
+    pat = _struct.pack("<BB6xHHHH", 1, 1, 1, 0, 1, 1)
+    at = bytes(buf).find(pat)
+    assert at != -1
+    buf[at + 8:at + 10] = _struct.pack("<H", 2)
+    bad = str(tmp_path / "bad.h5")
+    open(bad, "wb").write(bytes(buf))
+    with pytest.raises(ValueError, match="filter id 2"):
+        read_hdf5_group(bad, "catalog")
