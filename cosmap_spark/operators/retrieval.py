@@ -475,6 +475,106 @@ def phrase_match(
     return perdoc.where(matched).select("__d")
 
 
+def phrase_match_multi(
+    tf: DataFrame,
+    phrases: dict[str, str],
+    *,
+    slop: int = 0,
+) -> DataFrame:
+    """All phrases' match sets in ONE pass — ``[query_id, __d]`` —
+    semantically ``union(phrase_match(tf, p) for p in phrases)`` but
+    with a single vocabulary filter, ONE per-doc grouping, and every
+    phrase's predicate evaluated over the same term→positions map
+    (per-phrase calls each pay their own groupBy + exchange; the
+    ledger's phrase branch fused its three into this — the
+    bm25_scored-variants lesson applied to matching).  Per-phrase
+    verification logic is IDENTICAL to :func:`phrase_match` (shifted-
+    position intersection at slop=0, greedy-earliest chain above);
+    the all-terms-present guard rides a CASE so ANSI ``element_at``
+    never sees a missing key."""
+    if not phrases:
+        raise ValueError("phrase_match_multi: empty phrase set")
+    if slop < 0:
+        raise ValueError(f"phrase_match_multi: slop must be >= 0; got {slop}")
+    if "pos" not in tf.columns:
+        raise ValueError(
+            "phrase_match_multi: tf has no 'pos' column — build the "
+            "index with build_lex_index(positions=True)"
+        )
+    terms_by_q = {}
+    for qid, phrase in sorted(phrases.items()):
+        terms = [t for t in phrase.split(" ") if t]
+        if not terms:
+            raise ValueError(f"phrase_match_multi: empty phrase for {qid!r}")
+        terms_by_q[qid] = terms
+    vocab = sorted({t for ts in terms_by_q.values() for t in ts})
+    perdoc = (
+        tf.where(F.col("term").isin(vocab))
+        .select("__d", "term", "pos")
+        .groupBy("__d")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("term", "pos"))
+            ).alias("__m")
+        )
+    )
+
+    def matched(terms: list[str]):
+        present = None
+        for t in set(terms):
+            c = F.map_contains_key(F.col("__m"), F.lit(t))
+            present = c if present is None else (present & c)
+        if slop == 0:
+            # NOT `lambda x, off=off`: pyspark reads a two-parameter
+            # lambda as the (element, index) form, silently binding
+            # the default to the ARRAY INDEX — a real closure keeps
+            # the shift a captured literal
+            def shift(off: int):
+                return lambda x: x - F.lit(off)
+
+            acc = F.element_at(F.col("__m"), F.lit(terms[0]))
+            for i, t in enumerate(terms[1:], 1):
+                acc = F.array_intersect(
+                    acc,
+                    F.transform(
+                        F.element_at(F.col("__m"), F.lit(t)), shift(i)
+                    ),
+                )
+            hit = F.size(acc) > 0
+        else:
+            max_span = F.lit(len(terms) - 1 + slop)
+            rest = F.array(*[F.lit(t) for t in terms[1:]])
+            hit = F.exists(
+                F.element_at(F.col("__m"), F.lit(terms[0])),
+                lambda p0: F.aggregate(
+                    rest,
+                    p0.cast("int"),
+                    lambda acc, t: F.when(
+                        acc.isNotNull(),
+                        F.array_min(
+                            F.filter(
+                                F.element_at(F.col("__m"), t),
+                                lambda x: x > acc,
+                            )
+                        ),
+                    ),
+                )
+                - p0 <= max_span,
+            )
+        return F.when(present, hit).otherwise(F.lit(False))
+
+    qids = F.filter(
+        F.array(*[
+            F.when(matched(terms), F.lit(qid))
+            for qid, terms in sorted(terms_by_q.items())
+        ]),
+        lambda x: x.isNotNull(),
+    )
+    return (
+        perdoc.select(F.explode(qids).alias("query_id"), "__d")
+    )
+
+
 def phrase_search(
     docs: DataFrame | None,
     queries: dict[str, str],
@@ -536,12 +636,10 @@ def phrase_search(
             "phrase_search: prebuilt index is not positional — save "
             "with save_lex_index(..., positions=True)"
         )
-    matches = None
-    for qid, phrase in sorted(queries.items()):
-        m = phrase_match(tf, phrase, slop=slop).select(
-            F.lit(qid).alias("query_id"), "__d"
-        )
-        matches = m if matches is None else matches.unionByName(m)
+    # ONE fused pass for every phrase's match set (phrase_match_multi:
+    # one vocabulary filter + one per-doc grouping instead of a
+    # groupBy + exchange per phrase)
+    matches = phrase_match_multi(tf, queries, slop=slop)
     filtered = scored.join(matches, ["query_id", "__d"])
     return topk_cut(filtered, score_col="score", id_col=id_col, top_n=top_n)
 

@@ -66,6 +66,38 @@ def _quantized_counts(
     )
 
 
+def one_side_quantized_counts(
+    df: DataFrame, cols: list[str], quantize_dp: int, op: str,
+) -> DataFrame:
+    """ONE side's ``[column, q, n]`` quantized-value counts — the
+    per-micro-batch kernel of the live KS monitor
+    (``streaming.ops.ks_stream``) and the shape its frozen reference
+    persists.  Exact integers, so accumulating them across batches
+    and re-running :func:`ks_from_counts` is BIT-identical to a
+    one-shot :func:`ks_test` over the concatenated data."""
+    from cosmap_spark.operators.diff import _NUMERIC_BASES, _stack_numeric
+
+    if not cols:
+        raise ValueError(f"{op}: no columns given")
+    for c in cols:
+        base = df.schema[c].dataType.simpleString().split("(")[0]
+        if base not in _NUMERIC_BASES:
+            raise ValueError(
+                f"{op}: column {c!r} is {base}, not numeric — for "
+                "categorical features use category_drift"
+            )
+    scale = float(10 ** quantize_dp)
+    return (
+        _stack_numeric(df, cols, "o")
+        .select(
+            "column",
+            F.round(F.col("value") * F.lit(scale)).cast("long").alias("q"),
+        )
+        .groupBy("column", "q")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
 def ks_test(
     old: DataFrame,
     new: DataFrame,
@@ -99,6 +131,15 @@ def ks_test(
     for n_old·n_new < 2⁶³ (guard documented, not hit below ~3·10⁹
     rows per side)."""
     counts = _quantized_counts(old, new, cols, quantize_dp, "ks_test")
+    return ks_from_counts(counts, cols)
+
+
+def ks_from_counts(counts: DataFrame, cols: list[str]) -> DataFrame:
+    """The KS back half over an already-built ``[column, q, co, cn]``
+    quantized-count table — shared by :func:`ks_test` (inline counts)
+    and the live monitor's readout (``streaming.ops.ks_state``, counts
+    accumulated from a stream): one fixed expression tree from exact
+    integers, so stream ≡ batch holds bit-identically."""
     w = (
         Window.partitionBy("column").orderBy("q")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -121,7 +162,7 @@ def ks_test(
     # all, so the raise guard would never evaluate and the column
     # silently vanish — the literal column grid guarantees every
     # requested column a row (zero counts), which then raises
-    grid = old.sparkSession.createDataFrame(
+    grid = counts.sparkSession.createDataFrame(
         [(c,) for c in cols], "column string"
     )
     out = (

@@ -571,14 +571,9 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint (phrase_search's composition with the scoring pass
     # already paid above — dfreq per term is corpus-level, so scoring
     # six queries in one pass leaves every probe score unchanged)
-    from cosmap_spark.operators.retrieval import phrase_match
+    from cosmap_spark.operators.retrieval import phrase_match_multi
 
-    matches = None
-    for qid, phrase_str in sorted(pq.items()):
-        m = phrase_match(vtf, phrase_str).select(
-            F.lit(qid).alias("query_id"), "__d"
-        )
-        matches = m if matches is None else matches.unionByName(m)
+    matches = phrase_match_multi(vtf, pq)
     phr = topk_cut(
         scored_all.where(F.col("query_id").isin(sorted(pq)))
         .join(matches, ["query_id", "__d"]),

@@ -1400,6 +1400,118 @@ def abtest_state(spark: SparkSession, store_path: str) -> DataFrame:
     return _welch_from_moments(g, float(10 ** dp))
 
 
+def ks_stream(stream_df: DataFrame, store_path: str, checkpoint: str,
+              *, cols: list[str], reference: DataFrame | None = None,
+              quantize_dp: int = 6):
+    """Live two-sample Kolmogorov–Smirnov monitor — the inferential
+    sibling of :func:`drift_stream` (PSI measures effect size; KS
+    answers "is the distributional shift statistically real?"), and
+    the first monitor built as pure CONFIG over the shared
+    :func:`_ledgered_loop` (the round-8 consolidation's purpose): the
+    batch kernel is ``stats_tests.one_side_quantized_counts``, the
+    merge is integer addition per (column, q), the sidecar records
+    cols + quantize_dp with loud mismatch refusal.
+
+    First start freezes the reference's quantized-value counts under
+    ``store_path/ref``; each micro-batch's counts accumulate into
+    ``store_path/counts`` — state is O(distinct quantized values per
+    column), the same bound as the batch test (lower ``quantize_dp``
+    for genuinely continuous data).  Because the store holds EXACT
+    integers and the statistic is one fixed expression tree
+    (``ks_from_counts``), :func:`ks_state` is BIT-identical to
+    ``ks_test(reference, all_streamed_data)`` — d_num, d_stat and
+    lambda_stat included (asserted in tests).  Read verdicts with
+    ``decide(ks_state(...), "ks")``.  Exactly-once via the shared
+    driver (ledger + atomic ``_last_epoch`` stamp); same driver-local
+    durability contract as ``sketch_stream``."""
+    import json as _json
+    import os
+
+    from cosmap_spark.operators.stats_tests import (
+        one_side_quantized_counts,
+    )
+    from cosmap_spark.sinks.writers import _bootstrap_store, _require_local
+
+    _require_local(store_path, "ks_stream")
+    ref_dir = os.path.join(store_path, "ref")
+    meta_file = os.path.join(ref_dir, "_ks_meta")
+    if os.path.exists(ref_dir):
+        with open(meta_file) as f:
+            meta = _json.load(f)
+        if meta["cols"] != list(cols) or meta["quantize_dp"] != quantize_dp:
+            raise ValueError(
+                f"ks_stream: store at {store_path} was frozen with "
+                f"cols={meta['cols']}, quantize_dp="
+                f"{meta['quantize_dp']}; resume requested "
+                f"cols={list(cols)}, quantize_dp={quantize_dp}"
+            )
+    else:
+        if reference is None:
+            raise ValueError(
+                "ks_stream: no frozen reference at "
+                f"{store_path} — pass reference= on first start"
+            )
+        ref_counts = one_side_quantized_counts(
+            reference, cols, quantize_dp, "ks_stream"
+        )
+        _bootstrap_store(
+            ref_dir, ref_counts,
+            extra_files={"_ks_meta": _json.dumps(
+                {"cols": list(cols), "quantize_dp": quantize_dp}
+            )},
+        )
+
+    return _ledgered_loop(
+        stream_df, store_path, checkpoint,
+        subdir="counts", op="ks_stream",
+        batch_state=lambda b: one_side_quantized_counts(
+            b, cols, quantize_dp, "ks_stream"
+        ),
+        merge_state=lambda old, batch: (
+            old.unionByName(batch)
+            .groupBy("column", "q")
+            .agg(F.sum("n").cast("long").alias("n"))
+        ),
+    )
+
+
+def ks_state(spark: SparkSession, store_path: str) -> DataFrame:
+    """The live KS table of a :func:`ks_stream` store — EXACTLY
+    ``ks_test``'s shape and floats: ``[column, n_old, n_new, d_num,
+    d_stat, lambda_stat]`` with the frozen reference as the old side
+    and everything streamed so far as the new.  Unlike the
+    O(cols·bins) drift readouts this does NOT assemble driver-side:
+    the count table is O(distinct quantized values), so the full-outer
+    count merge and the cumulative windows run as the same Spark plan
+    ``ks_test`` uses (``ks_from_counts``)."""
+    import json as _json
+    import os
+
+    from cosmap_spark.operators.stats_tests import ks_from_counts
+
+    with open(os.path.join(store_path, "ref", "_ks_meta")) as f:
+        meta = _json.load(f)
+    ref = spark.read.parquet(os.path.join(store_path, "ref")).select(
+        "column", "q", F.col("n").alias("co")
+    )
+    counts_dir = os.path.join(store_path, "counts")
+    if os.path.exists(counts_dir):
+        new = spark.read.parquet(counts_dir).select(
+            "column", "q", F.col("n").alias("cn")
+        )
+    else:
+        new = spark.createDataFrame([], "column string, q long, cn long")
+    counts = (
+        ref.join(new, ["column", "q"], "full_outer")
+        .select(
+            "column", "q",
+            F.coalesce("co", F.lit(0)).cast("long").alias("co"),
+            F.coalesce("cn", F.lit(0)).cast("long").alias("cn"),
+        )
+    )
+    return ks_from_counts(counts, meta["cols"])
+
+
 def heavy_hitters_stream(stream_df: DataFrame, store_path: str,
                          checkpoint: str, *, key_col: str, k: int = 64):
     """Streaming maintenance of a persisted Misra-Gries counter store

@@ -197,6 +197,23 @@ def main() -> None:
         ).collect():
             print(f"  live monitor: column={r['column']} psi={r['psi']} "
                   f"alarmed={r['alarmed']}")
+
+        # the live KS monitor over the same stream: bit-identical to
+        # ks_test(reference, everything streamed), p-value via decide()
+        from cosmap_spark.streaming.ops import ks_state, ks_stream
+
+        q2 = ks_stream(
+            (spark.readStream.schema("value double")
+             .option("maxFilesPerTrigger", 1).parquet(land)),
+            os.path.join(tmp, "ks_store"), os.path.join(tmp, "kck"),
+            cols=["value"], reference=old_snap.select("value"),
+        )
+        q2.awaitTermination(120)
+        kr = decide(
+            ks_state(spark, os.path.join(tmp, "ks_store")), "ks"
+        ).collect()[0]
+        print(f"  live KS: D = {kr['d_stat']} p = {kr['p_value']} "
+              f"significant = {kr['significant']}")
     spark.stop()
 
 

@@ -944,3 +944,48 @@ def test_maxsim_rerank_pruned_identity_and_recall(spark):
         maxsim_rerank_pruned(short, ddf, qdf, assigned, cents, prune_k=0)
     with pytest.raises(ValueError, match="centroid"):
         maxsim_rerank_pruned(short, ddf, qdf, assigned, [], prune_k=5)
+
+
+def test_phrase_match_multi_equals_per_phrase(spark):
+    """phrase_match_multi ≡ union of per-phrase phrase_match on the
+    same positional table, at slop=0 and slop=1, including a
+    single-term phrase and a no-match phrase."""
+    from cosmap_spark.operators.retrieval import (
+        inline_tf, phrase_match, phrase_match_multi,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "web scale retrieval with web retrieval engines"),
+            (2, "retrieval web is reversed here"),
+            (3, "web retrieval appears verbatim"),
+            (4, "nothing relevant at all"),
+            (5, "web"),
+        ],
+        "doc_id long, text string",
+    )
+    phrases = {
+        "p1": "web retrieval",
+        "p2": "retrieval web",
+        "p3": "web",
+        "p4": "absent phrase",
+    }
+    vocab = sorted({t for p in phrases.values() for t in p.split(" ")})
+    tf = inline_tf(docs, positions=True, vocab=vocab)
+    for slop in (0, 1):
+        want = set()
+        for qid, p in phrases.items():
+            for r in phrase_match(tf, p, slop=slop).collect():
+                want.add((qid, r["__d"]))
+        got = {
+            (r["query_id"], r["__d"])
+            for r in phrase_match_multi(tf, phrases, slop=slop).collect()
+        }
+        assert got == want, slop
+
+    import pytest
+
+    with pytest.raises(ValueError, match="empty phrase set"):
+        phrase_match_multi(tf, {})
+    with pytest.raises(ValueError, match="empty phrase for"):
+        phrase_match_multi(tf, {"q": " "})

@@ -1980,3 +1980,64 @@ def test_category_drift_stream_empty_reference_refuses(spark, tmp_path):
             str(tmp_path / "er_store"), str(tmp_path / "er_ck"),
             cols=["lang"], reference=empty_ref,
         )
+
+
+def test_ks_stream_matches_batch_ks_test(spark, tmp_path):
+    """Live KS monitor (round 8 — the first monitor built as pure
+    config over _ledgered_loop): after two micro-batches ks_state is
+    BIT-identical to a one-shot ks_test(reference, concatenated
+    stream) — d_num, d_stat, lambda_stat included; replays are no-ops;
+    mismatched quantize_dp resume refuses; decide() yields a verdict
+    on the planted shift."""
+    import pytest
+
+    from cosmap_spark.operators.stats_tests import decide, ks_test
+    from cosmap_spark.streaming.ops import ks_state, ks_stream
+
+    ref = spark.range(1000).select(
+        ((F.col("id") * 37 % 500) / 10.0).alias("x"),
+    ).localCheckpoint()
+    streamed = spark.range(800).select(
+        "id", ((F.col("id") * 13 % 500) / 10.0 + 9.0).alias("x"),
+    ).localCheckpoint()
+    land = tmp_path / "ks_landing"
+    for half in (0, 1):
+        streamed.where(F.col("id") % 2 == half).select("x").coalesce(
+            1
+        ).write.parquet(str(land), mode="append")
+
+    store = str(tmp_path / "ks_store")
+    with pytest.raises(ValueError, match="reference"):
+        ks_stream(
+            spark.readStream.schema("x double").parquet(str(land)),
+            store, str(tmp_path / "kck0"), cols=["x"],
+        )
+    q = ks_stream(
+        (spark.readStream.schema("x double")
+         .option("maxFilesPerTrigger", 1).parquet(str(land))),
+        store, str(tmp_path / "kck1"), cols=["x"], reference=ref,
+    )
+    q.awaitTermination(180)
+
+    key = lambda rows: sorted(map(tuple, rows))  # noqa: E731
+    live = key(ks_state(spark, store).collect())
+    batch = key(ks_test(ref, streamed.select("x"), ["x"]).collect())
+    assert live == batch  # exact, doubles included
+
+    # replay with the same checkpoint: ledger short-circuits
+    q2 = ks_stream(
+        (spark.readStream.schema("x double")
+         .option("maxFilesPerTrigger", 1).parquet(str(land))),
+        store, str(tmp_path / "kck1"), cols=["x"],
+    )
+    q2.awaitTermination(180)
+    assert key(ks_state(spark, store).collect()) == batch
+
+    with pytest.raises(ValueError, match="frozen"):
+        ks_stream(
+            spark.readStream.schema("x double").parquet(str(land)),
+            store, str(tmp_path / "kck2"), cols=["x"], quantize_dp=2,
+        )
+
+    v = decide(ks_state(spark, store), "ks").collect()[0]
+    assert v["significant"] is True  # the +9.0 planted shift is real
