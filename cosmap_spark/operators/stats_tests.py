@@ -569,6 +569,17 @@ def chi2_test(
             .cast("long").alias("n_n"),
         )
     )
+    return chi2_from_counts(counts, units=units)
+
+
+def chi2_from_counts(counts: DataFrame, *, units: int = 10 ** 8) -> DataFrame:
+    """The chi-squared back half over an already-built
+    ``[column, category, n_o, n_n]`` count table — shared by
+    :func:`chi2_test` (inline counts) and the categorical monitor's
+    significance readout (``streaming.ops.category_drift_chi2``,
+    counts accumulated from a stream against a frozen reference):
+    one fixed integer expression tree, so stream ≡ batch holds
+    bit-identically over the same (folded) category bins."""
     w = Window.partitionBy("column")
     # NOT a/A: Spark resolves column names case-insensitively (the
     # rm3 __s/__S lesson), so per-cell and side-total names must differ

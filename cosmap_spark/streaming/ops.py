@@ -1305,6 +1305,51 @@ def category_drift_state(spark: SparkSession, store_path: str) -> DataFrame:
     )
 
 
+def category_drift_chi2(
+    spark: SparkSession, store_path: str, *, units: int = 10 ** 8,
+) -> DataFrame:
+    """The SIGNIFICANCE readout of a :func:`category_drift_stream`
+    store — two-sample chi-squared homogeneity (``stats_tests.
+    chi2_test`` semantics) between the frozen reference and everything
+    streamed so far, over the SAME folded category bins the monitor
+    maintains (top-N + other + null — the test answers "is the mix
+    over the monitored bins different?", the PSI readout answers "by
+    how much?").  One store, two readouts: no second state, no second
+    scan.  Returns ``[column, n_old, n_new, k, dof, chi2_units,
+    chi2]``; feed to ``decide(..., "chi2")`` for the p-value verdict.
+    Exact integers in, the defined two-stage integer division out —
+    bit-identical to ``chi2_test`` over the concatenated (folded)
+    data."""
+    import json as _json
+    import os
+
+    from cosmap_spark.operators.stats_tests import chi2_from_counts
+
+    with open(os.path.join(store_path, "ref", "_catdrift_meta")) as f:
+        _json.load(f)  # existence/shape validation (raises if absent)
+    ref = spark.read.parquet(os.path.join(store_path, "ref")).select(
+        "column", "category", F.col("n").alias("n_o")
+    )
+    counts_dir = os.path.join(store_path, "counts")
+    if os.path.exists(counts_dir):
+        new = spark.read.parquet(counts_dir).select(
+            "column", "category", F.col("n").alias("n_n")
+        )
+    else:
+        new = spark.createDataFrame(
+            [], "column string, category string, n_n long"
+        )
+    counts = (
+        ref.join(new, ["column", "category"], "full_outer")
+        .select(
+            "column", "category",
+            F.coalesce("n_o", F.lit(0)).cast("long").alias("n_o"),
+            F.coalesce("n_n", F.lit(0)).cast("long").alias("n_n"),
+        )
+    )
+    return chi2_from_counts(counts, units=units)
+
+
 def abtest_stream(stream_df: DataFrame, store_path: str, checkpoint: str,
                   *, variant_col: str, value_col: str,
                   quantize_dp: int = 6):

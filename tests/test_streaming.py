@@ -2041,3 +2041,53 @@ def test_ks_stream_matches_batch_ks_test(spark, tmp_path):
 
     v = decide(ks_state(spark, store), "ks").collect()[0]
     assert v["significant"] is True  # the +9.0 planted shift is real
+
+
+def test_category_drift_chi2_matches_batch(spark, tmp_path):
+    """The categorical monitor's significance readout: chi2 over the
+    store's folded bins is BIT-identical to chi2_test over the same
+    folded counts (replayed here from category_drift's batch output),
+    and decide() flags the planted shift."""
+    from cosmap_spark.operators.diff import category_drift
+    from cosmap_spark.operators.stats_tests import (
+        chi2_from_counts, decide,
+    )
+    from cosmap_spark.streaming.ops import (
+        category_drift_chi2, category_drift_stream,
+    )
+
+    ref = spark.range(900).select(
+        F.concat(F.lit("c"), (F.col("id") % 7).cast("string")).alias("lang")
+    ).localCheckpoint()
+    streamed = spark.range(700).select(
+        "id",
+        F.concat(F.lit("c"), ((F.col("id") * 3 + 1) % 9).cast("string"))
+        .alias("lang"),
+    ).localCheckpoint()
+    land = tmp_path / "cc_landing"
+    for half in (0, 1):
+        streamed.where(F.col("id") % 2 == half).select("lang").coalesce(
+            1
+        ).write.parquet(str(land), mode="append")
+    store = str(tmp_path / "cc_store")
+    q = category_drift_stream(
+        (spark.readStream.schema("lang string")
+         .option("maxFilesPerTrigger", 1).parquet(str(land))),
+        store, str(tmp_path / "cc_ck"), cols=["lang"], top_n=5,
+        reference=ref,
+    )
+    q.awaitTermination(180)
+
+    live = category_drift_chi2(spark, store).collect()[0]
+    # batch twin: chi2 over the SAME folded bins — category_drift's
+    # (column, category, n_old, n_new) output IS that count table
+    folded = category_drift(
+        ref, streamed.select("lang"), ["lang"], top_n=5
+    ).select(
+        "column", "category",
+        F.col("n_old").alias("n_o"), F.col("n_new").alias("n_n"),
+    )
+    batch = chi2_from_counts(folded).collect()[0]
+    assert tuple(live) == tuple(batch)  # exact, chi2 double included
+    v = decide(category_drift_chi2(spark, store), "chi2").collect()[0]
+    assert v["significant"] is True  # planted category shift
