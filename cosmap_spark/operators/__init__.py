@@ -37,6 +37,7 @@ from cosmap_spark.operators.multimodal import (  # noqa: F401
 from cosmap_spark.operators.graph import (  # noqa: F401
     degrees,
     pagerank,
+    pagerank_quantized,
     triangle_counts,
 )
 from cosmap_spark.operators.intervals import (  # noqa: F401
@@ -112,6 +113,8 @@ from cosmap_spark.operators.sketch import (  # noqa: F401
     segment_overlap,
 )
 from cosmap_spark.operators.stats_tests import (  # noqa: F401
+    chi2_test,
+    decide,
     ks_test,
     mann_whitney_u,
     proportion_ztest,
@@ -172,8 +175,10 @@ from cosmap_spark.operators.retrieval import (  # noqa: F401
     build_lex_index,
     inline_tf,
     maxsim_rerank,
+    maxsim_rerank_pruned,
     maxsim_topk,
     phrase_match,
+    phrase_match_multi,
     phrase_search,
     retrieval_eval,
     rm3_expand,

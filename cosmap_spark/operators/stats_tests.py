@@ -569,10 +569,11 @@ def chi2_test(
             .cast("long").alias("n_n"),
         )
     )
-    return chi2_from_counts(counts, units=units)
+    return chi2_from_counts(counts, units=units, cols=cols)
 
 
-def chi2_from_counts(counts: DataFrame, *, units: int = 10 ** 8) -> DataFrame:
+def chi2_from_counts(counts: DataFrame, *, units: int = 10 ** 8,
+                     cols: list[str] | None = None) -> DataFrame:
     """The chi-squared back half over an already-built
     ``[column, category, n_o, n_n]`` count table — shared by
     :func:`chi2_test` (inline counts) and the categorical monitor's
@@ -612,6 +613,17 @@ def chi2_from_counts(counts: DataFrame, *, units: int = 10 ** 8) -> DataFrame:
         F.count(F.lit(1)).alias("k"),
         F.sum("t_units").cast("long").alias("chi2_units"),
     )
+    if cols:
+        # a column with NO rows on either side yields no count rows
+        # at all, so the raise guard below would never evaluate and
+        # the column silently vanish — the literal grid guarantees
+        # every requested column a row (the ks_test all-NULL-grid
+        # rule); count-table callers that cannot name columns get the
+        # observed set
+        grid = counts.sparkSession.createDataFrame(
+            [(c,) for c in cols], "column string"
+        )
+        agg = grid.join(F.broadcast(agg), "column", "left")
     err = F.raise_error(
         F.concat(
             F.lit("chi2_test: column "), F.col("column"),

@@ -1326,7 +1326,7 @@ def category_drift_chi2(
     from cosmap_spark.operators.stats_tests import chi2_from_counts
 
     with open(os.path.join(store_path, "ref", "_catdrift_meta")) as f:
-        _json.load(f)  # existence/shape validation (raises if absent)
+        meta = _json.load(f)
     ref = spark.read.parquet(os.path.join(store_path, "ref")).select(
         "column", "category", F.col("n").alias("n_o")
     )
@@ -1347,7 +1347,7 @@ def category_drift_chi2(
             F.coalesce("n_n", F.lit(0)).cast("long").alias("n_n"),
         )
     )
-    return chi2_from_counts(counts, units=units)
+    return chi2_from_counts(counts, units=units, cols=meta["cols"])
 
 
 def abtest_stream(stream_df: DataFrame, store_path: str, checkpoint: str,

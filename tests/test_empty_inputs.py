@@ -881,6 +881,64 @@ def _spec_mg_summary_merge(spark):
     assert merge_mg_tables(s, s, k=4).count() == 0
 
 
+def _spec_pagerank_quantized(spark):
+    from cosmap_spark.operators.graph import pagerank_quantized
+
+    e = spark.createDataFrame([], "src long, dst long")
+    out = pagerank_quantized(e, iterations=2)
+    assert out.count() == 0
+    assert out.columns == ["node", "rank_units", "rank"]
+
+
+def _spec_chi2_test(spark):
+    import pytest as _pytest
+
+    from cosmap_spark.operators.stats_tests import chi2_test
+
+    e = spark.createDataFrame([], "cat string")
+    with _pytest.raises(Exception, match="no distribution"):
+        chi2_test(e, e, ["cat"]).collect()
+
+
+def _spec_decide(spark):
+    from cosmap_spark.operators.stats_tests import decide
+
+    e = spark.createDataFrame(
+        [], "column string, n_old long, n_new long, u2x long, "
+            "u_stat double, z_stat double"
+    )
+    out = decide(e, "mwu")
+    assert out.count() == 0
+    assert out.columns[-2:] == ["p_value", "significant"]
+
+
+def _spec_maxsim_rerank_pruned(spark):
+    from cosmap_spark.operators.retrieval import maxsim_rerank_pruned
+
+    short = spark.createDataFrame([], "qid long, doc_id long")
+    docs = spark.createDataFrame(
+        [], "doc_id long, tvecs array<array<double>>"
+    )
+    qs = spark.createDataFrame([], "qid long, tvecs array<array<double>>")
+    assigned = spark.createDataFrame([], "nid long, cid long")
+    out = maxsim_rerank_pruned(
+        short, docs, qs, assigned, [(0, [1.0, 0.0])], prune_k=3
+    )
+    assert out.count() == 0
+
+
+def _spec_phrase_match_multi(spark):
+    from cosmap_spark.operators.retrieval import (
+        inline_tf, phrase_match_multi,
+    )
+
+    e = spark.createDataFrame([], "doc_id long, text string")
+    tf = inline_tf(e, positions=True)
+    out = phrase_match_multi(tf, {"q": "a b"})
+    assert out.count() == 0
+    assert out.columns == ["query_id", "__d"]
+
+
 SWEEP = {
     "apply_bpe_merge": _spec_apply_bpe_merge,
     "asof_join": _spec_asof_join,
@@ -907,6 +965,11 @@ SWEEP = {
     "dedup_clusters": _spec_dedup_clusters_empty,
     "degrees": _spec_degrees,
     "pagerank": _spec_pagerank,
+    "pagerank_quantized": _spec_pagerank_quantized,
+    "chi2_test": _spec_chi2_test,
+    "decide": _spec_decide,
+    "maxsim_rerank_pruned": _spec_maxsim_rerank_pruned,
+    "phrase_match_multi": _spec_phrase_match_multi,
     "deterministic_sample": _spec_deterministic_sample,
     "diff_summary": _spec_diff_summary,
     "dsir_sample": _spec_dsir,
