@@ -420,13 +420,16 @@ def main() -> None:
             sections[f"scaling_x{factor}"] = _calibrate()
             for q in SCALING_SET:
                 fn = queries.get(q) or EXTRA_SCALING[q]
-                # one UNTIMED warm run first: the round-6 repro showed
-                # single-JVM steady state for the shuffle-heavy plans
-                # at x10 needs several executions (C2 compilation of
-                # this plan shape at this size — 7.1 s cold min-of-3
-                # vs 3.4 s in an identical back-to-back cycle, stable
-                # calibration throughout; SCALE.md "ngram x10"), so a
-                # bare min-of-3 measures warm-up, not throughput
+                # TWO untimed warm runs first: the round-6 "ngram x10"
+                # repro showed single-JVM steady state for the
+                # shuffle-heavy plans at x10 needs several executions
+                # (C2 compilation of this plan shape at this size),
+                # and the round-8 decontam repro (50.6 → 3.0 → 2.05 →
+                # 1.97 s across consecutive cycles) showed ONE warm
+                # run still leaves the first timed run 1-2 executions
+                # short of steady state — min-of-3 was measuring the
+                # warm-up descent, not throughput
+                fn(spark, fdir).count()
                 fn(spark, fdir).count()
                 best = float("inf")
                 # min-of-3: single-JVM GC pauses at the larger factors
