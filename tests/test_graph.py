@@ -197,3 +197,44 @@ def test_pagerank_quantized_validates(spark):
         pagerank_quantized(edges, damping_num=100, damping_den=100)
     empty = spark.createDataFrame([], "src long, dst long")
     assert pagerank_quantized(empty, iterations=2).count() == 0
+
+
+def test_pagerank_quantized_python_replay_property(spark):
+    """Property test: on random small directed graphs (self-loop-free,
+    dangling nodes included), pagerank_quantized's integer trajectory
+    equals the pure-python replay of the defined dynamics exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cosmap_spark.operators.graph import pagerank_quantized
+
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 5), st.integers(0, 5))
+            .filter(lambda e: e[0] != e[1]),
+            min_size=1, max_size=12, unique=True,
+        ),
+        iters=st.integers(1, 3),
+    )
+    @settings(max_examples=8, deadline=None)
+    def prop(edges, iters):
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["node"]: r["rank_units"] for r in
+               pagerank_quantized(df, iterations=iters).collect()}
+        nodes = sorted({x for e in edges for x in e})
+        n = len(nodes)
+        od: dict[int, int] = {}
+        for s, _ in edges:
+            od[s] = od.get(s, 0) + 1
+        u, dn, dd = 10 ** 12, 85, 100
+        r = {v: u // n for v in nodes}
+        base = (u * (dd - dn)) // (dd * n)
+        for _ in range(iters):
+            dang = sum(r[v] for v in nodes if v not in od)
+            c = {v: 0 for v in nodes}
+            for s, d in edges:
+                c[d] += r[s] // od[s]
+            r = {v: base + (dn * (c[v] + dang // n)) // dd for v in nodes}
+        assert got == r
+
+    prop()

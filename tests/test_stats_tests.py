@@ -444,3 +444,47 @@ def test_decide_pvalues_match_python_references(spark):
     )
     row = decide(degen, "mwu").collect()[0]
     assert row["p_value"] is None and row["significant"] is None
+
+
+def test_chi2_two_stage_matches_python_property(spark):
+    """Property test: on random small 2xk category tables, chi2_test's
+    integer chi2_units equals the pure-python two-stage replay exactly
+    (ties, zero cells on one side, single-category-heavy shapes)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cosmap_spark.operators.stats_tests import chi2_test
+
+    cats = ["a", "b", "c", "d"]
+
+    @given(
+        old_counts=st.lists(
+            st.integers(0, 30), min_size=4, max_size=4
+        ),
+        new_counts=st.lists(
+            st.integers(0, 30), min_size=4, max_size=4
+        ),
+    )
+    @settings(max_examples=12, deadline=None)
+    def prop(old_counts, new_counts):
+        # need 2+ observed categories and both sides non-empty
+        observed = [
+            i for i in range(4) if old_counts[i] + new_counts[i] > 0
+        ]
+        if len(observed) < 2 or sum(old_counts) == 0 or sum(new_counts) == 0:
+            return
+        o_rows = [(cats[i],) for i in range(4) for _ in range(old_counts[i])]
+        n_rows = [(cats[i],) for i in range(4) for _ in range(new_counts[i])]
+        old = spark.createDataFrame(o_rows, "cat string")
+        new = spark.createDataFrame(n_rows, "cat string")
+        row = chi2_test(old, new, ["cat"]).collect()[0]
+        ta, tb = sum(old_counts), sum(new_counts)
+        want = sum(
+            (((old_counts[i] * tb - new_counts[i] * ta) ** 2
+              // (old_counts[i] + new_counts[i])) * 10 ** 8) // (ta * tb)
+            for i in observed
+        )
+        assert row["chi2_units"] == want
+        assert row["k"] == len(observed)
+
+    prop()
