@@ -787,6 +787,7 @@ def bm25_search_weighted(
     tf: DataFrame | None = None,
     n_docs: int | None = None,
     avgdl: float | None = None,
+    vocab: list[str] | None = None,
 ) -> DataFrame:
     """Top ``top_n`` docs per query under a WEIGHTED term query —
     ``score(d) = Σ_t w_t · bm25_t(d)`` over an in-plan
@@ -832,10 +833,13 @@ def bm25_search_weighted(
     # expansion pipeline includes a corpus join) each build re-runs
     # it — checkpoint the query-sized frame once (measured ~10% off
     # the rm3 stage at sf0.1; the smallest-post-aggregation rule)
-    q = qterms.select("query_id", "term", "weight").localCheckpoint(
-        eager=False
-    )
-    vocab = q.select("term").distinct()
+    q = qterms.select("query_id", "term", "weight")
+    if vocab is None:
+        # in-plan expansion lineage: checkpoint the query-sized frame
+        # once against its two broadcast consumers (measured ~10% off
+        # the rm3 stage at sf0.1; the smallest-post-aggregation rule)
+        q = q.localCheckpoint(eager=False)
+    vocab_lazy = q.select("term").distinct()
     # ONE corpus pass serves both df counting and scoring: the
     # vocab-joined term table is df-bounded (query-vocabulary rows,
     # never the corpus), so the lazy checkpoint is the smallest-post-
@@ -850,12 +854,21 @@ def bm25_search_weighted(
     # with values at ~3× the pruned cost; the round-8 rm3 finding);
     # a prebuilt tf joins above as before (persisted indexes prune by
     # term at the scan).
-    if docs is not None:
+    # with a DRIVER-KNOWN vocabulary (the knn_ivfpq prune_scan
+    # pattern — callers whose expansion table is bounded collect it)
+    # the filter is a literal isin: a plain predicate below the agg,
+    # no semi-join build, and no checkpoint needed (the query lineage
+    # is a local relation, nothing expensive re-runs)
+    if vocab is not None and docs is not None:
         hits = inline_tf(
-            docs, id_col=id_col, text_col=text_col, vocab_df=vocab
+            docs, id_col=id_col, text_col=text_col, vocab=vocab
+        )
+    elif docs is not None:
+        hits = inline_tf(
+            docs, id_col=id_col, text_col=text_col, vocab_df=vocab_lazy
         ).localCheckpoint(eager=False)
     else:
-        hits = tf.join(F.broadcast(vocab), "term").localCheckpoint(
+        hits = tf.join(F.broadcast(vocab_lazy), "term").localCheckpoint(
             eager=False
         )
     dfreq = hits.groupBy("term").agg(F.count("*").alias("df"))

@@ -602,7 +602,23 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored, None, probe, score_col="s_bm25",
         fb_docs=5, fb_terms=10, lam=0.5, docs=docs,
     )
-    rm3 = bm25_search_weighted(docs, expanded, top_n=10, **cstats)
+    # the expanded query is BOUNDED by construction (≤ (fb_terms +
+    # |q|)·|Q| ≈ 40 rows), so collect it once — the knn_ivfpq
+    # prune_scan pattern: the expansion vocabulary then pushes as a
+    # LITERAL isin below the tokenize (a plain filter, scan-pushable)
+    # and the weighted pass pays no lazy-checkpoint materialization,
+    # no vocabulary broadcast build, and no semi-join (measured
+    # below-agg semi-join round-8 shape → this: q_topk −0.5 s at
+    # sf0.1 same-session)
+    exp_rows = [(r["query_id"], r["term"], float(r["weight"]))
+                for r in expanded.collect()]
+    q_lit = spark.createDataFrame(
+        exp_rows, "query_id string, term string, weight double"
+    )
+    rm3 = bm25_search_weighted(
+        docs, q_lit, top_n=10,
+        vocab=sorted({t for _, t, _ in exp_rows}), **cstats,
+    )
 
     return (
         orders_top
