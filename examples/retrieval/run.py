@@ -245,12 +245,17 @@ def main() -> None:
     # rm3: expansion terms come from the planted doc's own vocabulary,
     # so the original rare term keeps the dominant weight and the
     # planted doc stays rank 1 after the weighted second pass
-    from cosmap_spark.operators.retrieval import bm25_scored, inline_tf
+    from cosmap_spark.operators.retrieval import bm25_scored
 
     sc1 = bm25_scored(corpus_docs, queries)
-    tfq = inline_tf(corpus_docs)
-    expanded = rm3_expand(sc1, tfq, queries, fb_docs=3, fb_terms=8)
-    rm3 = bm25_search_weighted(corpus_docs, expanded, top_n=5, tf=tfq)
+    # docs= pushes the feedback-doc and expansion-vocabulary filters
+    # BELOW the (doc, term) aggregation (round 8 — a join above an
+    # aggregate can't push through it); inline tf is only the right
+    # input for a PERSISTED index
+    expanded = rm3_expand(
+        sc1, None, queries, fb_docs=3, fb_terms=8, docs=corpus_docs
+    )
+    rm3 = bm25_search_weighted(corpus_docs, expanded, top_n=5)
     w1_rm3 = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id")
     )
