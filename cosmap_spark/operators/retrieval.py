@@ -807,7 +807,11 @@ def bm25_search_weighted(
     (two scalars — collect them ONCE from the corpus-stats scan a
     first pass already ran) to skip re-scanning docs for stats: a
     second-pass caller (RM3 serving) should pay zero corpus-stats
-    work here."""
+    work here.  ``vocab`` (a literal term list — callers whose
+    expansion table is BOUNDED collect it, the knn_ivfpq prune_scan
+    pattern) turns the vocabulary filter into a plain scan-pushable
+    isin below the aggregation and skips the query-lineage
+    checkpoint; omit it for unbounded in-plan expansion tables."""
     if docs is None and tf is None:
         raise ValueError("bm25_search_weighted: need docs or tf")
     stat_cols = None
