@@ -238,6 +238,16 @@ def mann_whitney_u(
     counts = _quantized_counts(
         old, new, cols, quantize_dp, "mann_whitney_u"
     )
+    return mwu_from_counts(counts, cols)
+
+
+def mwu_from_counts(counts: DataFrame, cols: list[str]) -> DataFrame:
+    """The Mann–Whitney back half over an already-built
+    ``[column, q, co, cn]`` quantized-count table — shared by
+    :func:`mann_whitney_u` (inline counts) and the live monitor's
+    rank-sum readout (``streaming.ops.mwu_state`` over a ks_stream
+    store): one fixed expression tree from exact integers, so
+    stream ≡ batch holds bit-identically."""
     w = (
         Window.partitionBy("column").orderBy("q")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -273,7 +283,7 @@ def mann_whitney_u(
             F.lit(" has no non-null rows on one side"),
         )
     ).cast("long")
-    grid = old.sparkSession.createDataFrame(
+    grid = counts.sparkSession.createDataFrame(
         [(c,) for c in cols], "column string"
     )
     agg = grid.join(F.broadcast(agg), "column", "left").select(

@@ -1557,6 +1557,45 @@ def ks_state(spark: SparkSession, store_path: str) -> DataFrame:
     return ks_from_counts(counts, meta["cols"])
 
 
+def mwu_state(spark: SparkSession, store_path: str) -> DataFrame:
+    """The live Mann–Whitney rank-sum readout of the SAME
+    :func:`ks_stream` store — ``mann_whitney_u``'s exact shape and
+    floats between the frozen reference and everything streamed so
+    far.  The quantized-count state already contains everything the
+    rank statistics need (the batch test computes from the identical
+    ``[column, q, co, cn]`` frame), so one store serves BOTH
+    distributional readouts — KS for shape, MWU for location — the
+    one-store-two-readouts pattern of ``category_drift_chi2``.
+    Bit-identical to ``mann_whitney_u(reference, concatenated
+    stream)`` (asserted in tests); feed to ``decide(..., "mwu")``."""
+    import json as _json
+    import os
+
+    from cosmap_spark.operators.stats_tests import mwu_from_counts
+
+    with open(os.path.join(store_path, "ref", "_ks_meta")) as f:
+        meta = _json.load(f)
+    ref = spark.read.parquet(os.path.join(store_path, "ref")).select(
+        "column", "q", F.col("n").alias("co")
+    )
+    counts_dir = os.path.join(store_path, "counts")
+    if os.path.exists(counts_dir):
+        new = spark.read.parquet(counts_dir).select(
+            "column", "q", F.col("n").alias("cn")
+        )
+    else:
+        new = spark.createDataFrame([], "column string, q long, cn long")
+    counts = (
+        ref.join(new, ["column", "q"], "full_outer")
+        .select(
+            "column", "q",
+            F.coalesce("co", F.lit(0)).cast("long").alias("co"),
+            F.coalesce("cn", F.lit(0)).cast("long").alias("cn"),
+        )
+    )
+    return mwu_from_counts(counts, meta["cols"])
+
+
 def heavy_hitters_stream(stream_df: DataFrame, store_path: str,
                          checkpoint: str, *, key_col: str, k: int = 64):
     """Streaming maintenance of a persisted Misra-Gries counter store

@@ -2042,6 +2042,20 @@ def test_ks_stream_matches_batch_ks_test(spark, tmp_path):
     v = decide(ks_state(spark, store), "ks").collect()[0]
     assert v["significant"] is True  # the +9.0 planted shift is real
 
+    # the SAME store serves the rank-sum readout (one store, two
+    # distributional readouts): mwu_state must equal the batch
+    # mann_whitney_u over reference vs the concatenated stream
+    from cosmap_spark.operators.stats_tests import mann_whitney_u
+    from cosmap_spark.streaming.ops import mwu_state
+
+    live_m = key(mwu_state(spark, store).collect())
+    batch_m = key(
+        mann_whitney_u(ref, streamed.select("x"), ["x"]).collect()
+    )
+    assert live_m == batch_m  # exact, z double included
+    vm = decide(mwu_state(spark, store), "mwu").collect()[0]
+    assert vm["significant"] is True
+
 
 def test_category_drift_chi2_matches_batch(spark, tmp_path):
     """The categorical monitor's significance readout: chi2 over the
