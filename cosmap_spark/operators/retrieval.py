@@ -871,6 +871,16 @@ def bm25_search_weighted(
         hits = inline_tf(
             docs, id_col=id_col, text_col=text_col, vocab_df=vocab_lazy
         ).localCheckpoint(eager=False)
+    elif vocab is not None:
+        # prebuilt tf + literal vocab: same prune_scan promise as the
+        # docs path — a plain isin predicate (term-sorted persisted
+        # indexes prune row groups on it), no semi-join build, and q
+        # was correctly left un-checkpointed above (falling through to
+        # the broadcast(vocab_lazy) join here would re-run q's lineage
+        # per broadcast consumer — the round-8 advice finding)
+        hits = tf.where(F.col("term").isin(vocab)).localCheckpoint(
+            eager=False
+        )
     else:
         hits = tf.join(F.broadcast(vocab_lazy), "term").localCheckpoint(
             eager=False

@@ -393,9 +393,15 @@ def proportion_ztest(
     :func:`welch_ttest`."""
     # enforce the docstring's 'boolean or 0/1 numeric' contract: a
     # numeric column holding 2 or -1 would otherwise silently inflate
-    # or deflate the success counts and every downstream rate and z
+    # or deflate the success counts and every downstream rate and z.
+    # Validate the RAW value, not the post-cast one: cast('int')
+    # truncates, so a DOUBLE 0.5 or 1.9 would otherwise slip through
+    # as 0/1 — the round-trip equality (si cast back to the source
+    # type == original) catches fractional inputs too.
+    src_type = df.schema[success_col].dataType
     si = F.col(success_col).cast("int")
-    checked = F.when(si.isin(0, 1), si).otherwise(
+    ok = si.isin(0, 1) & (si.cast(src_type) == F.col(success_col))
+    checked = F.when(ok, si).otherwise(
         F.raise_error(
             F.concat(
                 F.lit("proportion_ztest: success column "),
@@ -539,8 +545,14 @@ def chi2_test(
     map-side to (side, column, category), ONE ``groupBy(column,
     category)`` with map-side combine, keyed window totals, one
     per-column aggregate; zero driver jobs at construction.  Scale
-    bounds (ANSI-loud, never silent): ``D_i² div r_i`` returns BIGINT,
-    so sides up to ~3·10⁹ rows fit (the ks_test guard class);
+    bounds (ANSI-loud, never silent): ``D_i² div r_i`` is an
+    IntegralDivide returning BIGINT, and its value is ≈ χ²ᵢ·A·B, so
+    the bound is DRIFT-DEPENDENT: it ANSI-overflows 2⁶³ once
+    ``A·B·χ²ᵢ > 9.2e18`` — under strong drift (χ² ~ n) that is
+    roughly 10⁶–10⁷ rows per side, while under the null (χ² ~ k)
+    sides into the 10⁹ range fit.  Loud, never wrong — a statistic
+    large enough to overflow is a significance verdict in itself, but
+    callers needing the numeric value at that scale should pre-sample;
     unbounded vocabularies should pre-filter with Misra–Gries heavy
     hitters exactly as ``category_drift`` documents.  NULL is a
     first-class ``null_label`` category (a null share moving IS a
@@ -695,15 +707,20 @@ def _ks_sf(lam, terms: int = 8):
     (Kolmogorov 1933; the limiting null distribution of λ =
     d·√(nm/(n+m))).  ``terms`` fixed at 8: the series is alternating
     with e^{−2j²λ²} terms, so the truncation error is below the first
-    dropped term — < 1e-10 for λ ≥ 0.4, and for smaller λ the clamp
-    to 1 dominates (Q → 1 as λ → 0)."""
+    dropped term — < 2e-6 for λ ≥ 0.3 (< 1e-10 for λ ≥ 0.4).  Below
+    0.3 the 8-term tail does NOT converge (at λ ≈ 0.1 it undershoots
+    Q ≈ 1 by up to ~0.4 with no clamp engaging), so that regime is
+    short-circuited to p = 1.0 exactly — true Q(0.3) = 1.0000 to
+    ~1e-4 and Q → 1 monotonically as λ → 0, so the short-circuit's
+    own error is < 1e-4 and decision-safe (deep not-significant)."""
     acc = None
     for j in range(1, terms + 1):
         term = F.lit(2.0 * (1 if j % 2 == 1 else -1)) * F.exp(
             F.lit(-2.0 * j * j) * lam * lam
         )
         acc = term if acc is None else acc + term
-    return F.greatest(F.lit(0.0), F.least(F.lit(1.0), acc))
+    series = F.greatest(F.lit(0.0), F.least(F.lit(1.0), acc))
+    return F.when(lam < 0.3, F.lit(1.0)).otherwise(series)
 
 
 def _chi2_sf(x, dof):

@@ -765,6 +765,59 @@ def test_rm3_expansion_matches_python_reference(spark):
                 assert got_s[qid][d][1] == hits
 
 
+def test_bm25_weighted_tf_literal_vocab_path(spark):
+    """A prebuilt ``tf`` + literal ``vocab`` must take the isin-filter
+    fast path (the round-8 advice finding: it silently fell through to
+    the broadcast semi-join with an UN-checkpointed query lineage):
+    results identical to the in-plan-vocab tf path, and the plan
+    filters tf by a literal isin instead of building a vocab
+    broadcast."""
+    from cosmap_spark.operators.retrieval import (
+        bm25_search_weighted, inline_tf,
+    )
+
+    corpus = {
+        1: "spark query engine runs fast query plans",
+        2: "query engine planner optimizes the query",
+        3: "fast spark jobs and fast plans",
+        4: "cats and dogs and more cats",
+    }
+    docs = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string"
+    )
+    tf = inline_tf(docs)
+    qterms = spark.createDataFrame(
+        [("qa", "query", 0.7), ("qa", "fast", 0.3)],
+        "query_id string, term string, weight double",
+    )
+    vocab = ["fast", "query"]
+    # plan shape on FRESH frames (the hits checkpoint collapses its
+    # own lineage to a LogicalRDD, so the tf-side filter itself is
+    # not printable — but the checkpoint PRESERVES the plan's
+    # constraints, and InferFiltersFromConstraints propagates the
+    # literal IN through the term equi-join onto the query table:
+    # present exactly when the literal path fired, absent on the
+    # in-plan-vocab shape)
+    plan_lit = (
+        bm25_search_weighted(None, qterms, tf=tf, vocab=vocab, top_n=10)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    plan_lazy = (
+        bm25_search_weighted(None, qterms, tf=tf, top_n=10)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert " IN (" in plan_lit or "INSET" in plan_lit, plan_lit[:2000]
+    assert " IN (" not in plan_lazy and "INSET" not in plan_lazy
+
+    lazy = bm25_search_weighted(None, qterms, tf=tf, top_n=10)
+    lit = bm25_search_weighted(None, qterms, tf=tf, vocab=vocab, top_n=10)
+    rows_lazy = {(r["query_id"], r["doc_id"]): (r["score"], r["n_hit"])
+                 for r in lazy.collect()}
+    rows_lit = {(r["query_id"], r["doc_id"]): (r["score"], r["n_hit"])
+                for r in lit.collect()}
+    assert rows_lit == rows_lazy and rows_lit
+
+
 def test_phrase_match_slop_differential(spark):
     """Ordered-proximity (slop) matching vs a python greedy-chain
     reference: slop=0 ≡ exact adjacency, widening slop adds docs

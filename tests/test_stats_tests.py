@@ -284,6 +284,31 @@ def test_proportion_ztest_rejects_non_binary(spark):
         proportion_ztest(bad, variant_col="variant",
                          success_col="ok").collect()
 
+    # a fractional DOUBLE would truncate to 0/1 via cast('int') and
+    # slip past a post-cast check (round-9 advisory): the raw-value
+    # round-trip guard must also raise on 0.5 / 1.9
+    frac = spark.createDataFrame(
+        [("a", 1.0), ("a", 0.5), ("b", 0.0)],
+        "variant string, ok double",
+    )
+    with pytest.raises(Exception, match="must be boolean or 0/1"):
+        proportion_ztest(frac, variant_col="variant",
+                         success_col="ok").collect()
+    frac2 = spark.createDataFrame(
+        [("a", 1.9), ("a", 0.0), ("b", 1.0)],
+        "variant string, ok double",
+    )
+    with pytest.raises(Exception, match="must be boolean or 0/1"):
+        proportion_ztest(frac2, variant_col="variant",
+                         success_col="ok").collect()
+    # clean doubles and booleans still pass the round-trip guard
+    okd = spark.createDataFrame(
+        [("a", 1.0), ("a", 0.0), ("b", 1.0), ("b", 0.0)],
+        "variant string, ok double",
+    )
+    row = proportion_ztest(okd, "variant", "ok").collect()[0]
+    assert row["n_a"] == 2 and row["x_a"] == 1
+
 
 def test_mann_whitney_u_accumulates_rank_sum_in_decimal(spark):
     """r2x ~ 2·n_old·N overflows a LONG near ~1.5e9 rows per side —
@@ -422,8 +447,13 @@ def test_decide_pvalues_match_python_references(spark):
     m = 1.0 - 2.0 / (9.0 * dof)
     s = math.sqrt(2.0 / (9.0 * dof))
     zwh = ((x / dof) ** (1.0 / 3.0) - m) / s
-    assert abs(ch["p_value"] - norm_p(zwh) / 2.0
-               if zwh >= 0 else ch["p_value"]) < 1e-2
+    # one-sided survival: P(Z > zwh); norm_p is two-sided on |z|, so
+    # the zwh < 0 branch is the complement (parenthesized — the old
+    # `abs(a - b if cond else c)` form degenerated to a vacuous
+    # `abs(p_value) < 1e-2` on the negative branch)
+    ref = (norm_p(zwh) / 2.0 if zwh >= 0
+           else 1.0 - norm_p(zwh) / 2.0)
+    assert abs(ch["p_value"] - ref) < 1e-2
     assert ch["significant"] is True  # planted categorical shift
 
     # known critical values: the 5% thresholds land at p ~ 0.05
@@ -435,6 +465,16 @@ def test_decide_pvalues_match_python_references(spark):
     )
     p = decide(probe, "ks").collect()[0]["p_value"]
     assert abs(p - 0.05) < 0.002
+
+    # small-lambda regime: the 8-term series does not converge below
+    # λ ≈ 0.3 (undershoots Q ≈ 1 by up to ~0.4 near λ = 0.1), so
+    # _ks_sf short-circuits to exactly 1.0 there (round-9 advisory)
+    small = spark.createDataFrame(
+        [("c", 1, 1, 0, 0.0, 0.15)],
+        "column string, n_old long, n_new long, d_num long, "
+        "d_stat double, lambda_stat double",
+    )
+    assert decide(small, "ks").collect()[0]["p_value"] == 1.0
 
     # degenerate statistic -> NULL p, NULL verdict (cannot decide)
     degen = spark.createDataFrame(
