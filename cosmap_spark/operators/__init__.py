@@ -204,6 +204,7 @@ from cosmap_spark.operators.sampler import (  # noqa: F401
 from cosmap_spark.operators.merge import (  # noqa: F401
     latest_per_key,
     merge_upsert,
+    mor_reconcile,
     scd2_apply,
     snapshot_cdc,
 )

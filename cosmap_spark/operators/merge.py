@@ -130,6 +130,53 @@ def merge_upsert(
     return kept.unionByName(upserts)
 
 
+def mor_reconcile(
+    base: DataFrame,
+    deltas: DataFrame,
+    keys: list[str],
+    *,
+    epoch_col: str = "epoch",
+    delete_col: str = "__deleted",
+) -> DataFrame:
+    """Merge-on-read reconciliation: the CURRENT view of a base
+    snapshot plus an ordered stack of delta batches — the pure-plan
+    read side of :mod:`cosmap_spark.sinks.mor`'s store (and usable
+    standalone on any (base, deltas) pair of frames).
+
+    ``deltas`` carries the base columns plus ``epoch_col`` (a monotone
+    batch number — later epochs win) and ``delete_col`` (true rows are
+    tombstones that remove the key).  Within one epoch keys must be
+    unique — the store's append contract, enforced there; violating it
+    makes the winner row partition-order dependent.
+
+    Plan: ONE batch-sized window picks the winner per key across
+    epochs (:func:`latest_per_key` over the DELTAS only), then
+    :func:`merge_upsert` applies it — one broadcast anti equi-join
+    against the base, which therefore never shuffles and streams
+    through untouched.  At 100 TB the cost of a read is O(base scan +
+    delta stack), which is why small deletes/upserts can be O(batch)
+    at write time (the copy-on-write alternative rewrites partitions).
+
+    Idempotence law (pinned in tests/test_mor.py, and what makes the
+    store's compaction crash-safe): re-applying any SUFFIX of the
+    delta stack onto an already-reconciled frame is a no-op —
+    ``mor_reconcile(mor_reconcile(b, D), suffix(D)) ≡
+    mor_reconcile(b, D)``.
+
+    The reference has no mutation story (see module docstring); this
+    is the standard log-structured merge read path (Delta/Iceberg
+    merge-on-read, published design) expressed as DataFrame algebra.
+    """
+    winners = latest_per_key(deltas, keys, seq_col=epoch_col)
+    return merge_upsert(
+        base,
+        winners.drop(epoch_col),
+        keys,
+        delete_col=delete_col,
+        assume_unique=True,
+    )
+
+
 def scd2_apply(
     dim: DataFrame,
     updates: DataFrame,

@@ -405,6 +405,34 @@ _SETOPS_ORACLE = """
       CROSS JOIN (SELECT coalesce(sum(r), 0) AS dang FROM pr4
                   WHERE node NOT IN (SELECT node FROM prdeg)) dg
     ),
+    mor_deltas AS (
+      SELECT k, name, nk, bal_c + 5000 AS bal_c, 1 AS epoch, FALSE AS del
+      FROM snap_old WHERE k % 10 = 5
+      UNION ALL
+      SELECT k, NULL, NULL, NULL, 1, TRUE FROM snap_old WHERE k % 10 = 3
+      UNION ALL
+      SELECT k, name, CAST((nk + 1) % 25 AS INT), bal_c + 10000, 2, FALSE
+      FROM snap_old WHERE k % 10 = 5
+      UNION ALL
+      SELECT k + 1000000, 'NEW#' || CAST(k AS VARCHAR), nk, bal_c + 1,
+             2, FALSE
+      FROM snap_old WHERE k % 10 = 7
+      UNION ALL
+      SELECT k, 'RES#' || CAST(k AS VARCHAR), nk, 42, 2, FALSE
+      FROM snap_old WHERE k % 20 = 3
+    ),
+    mor_win AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY k ORDER BY epoch DESC)
+               AS rn
+        FROM mor_deltas) WHERE rn = 1
+    ),
+    mor_view AS (
+      SELECT o.k, o.name, o.nk, o.bal_c FROM snap_old o
+      WHERE o.k NOT IN (SELECT k FROM mor_deltas)
+      UNION ALL
+      SELECT k, name, nk, bal_c FROM mor_win WHERE NOT del
+    ),
     scd_dim AS (
       SELECT k, nk, bal_c, DATE '2020-01-01' AS vf FROM snap_old
     ),
@@ -483,6 +511,10 @@ _SETOPS_ORACLE = """
     SELECT 'rt', k,
            name || '|' || CAST(nk AS VARCHAR) || '|' || CAST(bal_c AS VARCHAR)
     FROM snap_new
+    UNION ALL
+    SELECT 'mor', k,
+           name || '|' || CAST(nk AS VARCHAR) || '|' || CAST(bal_c AS VARCHAR)
+    FROM mor_view
     UNION ALL
     SELECT 'drift', bin,
            CAST(n_old AS VARCHAR) || '|' || CAST(n_new AS VARCHAR) || '|'
@@ -602,6 +634,10 @@ def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     * ``rt``    — the round-trip law under the hash gate:
       ``merge_upsert(old, snapshot_cdc(old, new)) ≡ new`` (the oracle
       side is ``new`` built directly);
+    * ``mor``   — ``mor_reconcile`` (the merge-on-read read path of
+      ``sinks/mor.py``): a two-epoch delta stack with an override, a
+      tombstone, a resurrection, and inserts — winner-per-key by epoch
+      DESC + one broadcast anti-join; side = the reconciled payload;
     * ``scd2``  — ``scd2_apply``: close-out + new open versions, a
       stale-timestamp loser collapsed per key, a no-op update, a
       LATE (pre-``valid_from``) update ignored, and brand-new keys
@@ -782,6 +818,41 @@ def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         merge_upsert(old, cdc_frame, ["k"], delete_col="deleted",
                      assume_unique=True),
         "rt", k, payload,
+    )
+
+    # merge-on-read reconciliation (operators/merge.py::mor_reconcile —
+    # the pure-plan read side of sinks/mor.py): a two-epoch delta stack
+    # where epoch 2 overrides epoch 1's update (k%10==5), resurrects
+    # half the epoch-1 tombstones (k%20==3, bal 42), keeps the other
+    # half deleted (k%20==13), and inserts fresh keys — the oracle
+    # replays winner-per-key by epoch DESC + anti-join + union
+    from cosmap_spark.operators.merge import mor_reconcile
+
+    def denv(df: DataFrame, epoch: int, deleted: bool) -> DataFrame:
+        return df.select(
+            "k", "name", "nk", "bal_c",
+            F.lit(epoch).cast("long").alias("epoch"),
+            F.lit(deleted).alias("__deleted"),
+        )
+
+    mor_deltas = (
+        denv(upd5.select("k", "name", "nk",
+                         (F.col("bal_c") + 5000).alias("bal_c")), 1, False)
+        .unionByName(denv(old.where(k % 10 == 3).select(
+            "k", F.lit(None).cast("string").alias("name"),
+            F.lit(None).cast("int").alias("nk"),
+            F.lit(None).cast("long").alias("bal_c")), 1, True))
+        .unionByName(denv(upd5.select(
+            "k", "name", ((F.col("nk") + 1) % 25).cast("int").alias("nk"),
+            (F.col("bal_c") + 10000).alias("bal_c")), 2, False))
+        .unionByName(denv(ins7, 2, False))
+        .unionByName(denv(old.where(k % 20 == 3).select(
+            "k", F.concat(F.lit("RES#"), k.cast("string")).alias("name"),
+            "nk", F.lit(42).cast("long").alias("bal_c")), 2, False))
+    )
+    mor_b = tag(
+        mor_reconcile(old, mor_deltas, ["k"], epoch_col="epoch"),
+        "mor", k, payload,
     )
 
     dim = old.select(
@@ -1019,8 +1090,8 @@ def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = union_all
     for branch in (union_distinct, intersect, except_, cross, not_in,
-                   above_mean, merge_b, cdc_b, rt_b, scd2_b, drift_b,
-                   drift_cat_b, chi_b, pr_b, tri_b, ks_b, mwu_b, welch_b,
-                   prop_b):
+                   above_mean, merge_b, cdc_b, rt_b, mor_b, scd2_b,
+                   drift_b, drift_cat_b, chi_b, pr_b, tri_b, ks_b, mwu_b,
+                   welch_b, prop_b):
         out = out.unionByName(branch)
     return out

@@ -1,5 +1,12 @@
 """Output connectors (reference O24/O25) and table maintenance."""
 
+from cosmap_spark.sinks.mor import (  # noqa: F401
+    mor_append,
+    mor_compact,
+    mor_delete_keys,
+    mor_init,
+    mor_read,
+)
 from cosmap_spark.sinks.writers import (  # noqa: F401
     append_csv,
     compact_parquet,

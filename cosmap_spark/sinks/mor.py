@@ -1,0 +1,267 @@
+"""Merge-on-read store: O(batch) deletes/upserts over a parquet base.
+
+The copy-on-write sinks (``writers.merge_upsert`` / ``delete_keys``)
+rewrite every touched partition — correct, but the wrong cost model
+for their own flagship use case: a right-to-be-forgotten delete of a
+handful of keys against a 100 TB table should cost O(keys), not
+O(partitions touched).  This module is the log-structured alternative:
+
+    <store>/
+        base/                   immutable parquet snapshot
+        deltas/epoch=<N>/       one parquet batch per write (upserts
+                                + tombstones, epoch-ordered)
+        _mor_meta.json          keys + schema contract sidecar
+
+Writes (:func:`mor_append`, :func:`mor_delete_keys`) only ever ADD a
+delta directory — base files are never opened (pinned by file-mtime in
+tests/test_mor.py).  Reads (:func:`mor_read`) reconcile in-plan via
+:func:`cosmap_spark.operators.merge.mor_reconcile`: one batch-sized
+winner window over the deltas + one broadcast anti equi-join, so the
+base never shuffles.  :func:`mor_compact` folds the stack back into a
+fresh base when the delta tax on reads grows past taste.
+
+Crash discipline (the store-machinery rules of this package):
+
+* every delta lands fully in a dot-prefixed temp directory (invisible
+  to Spark's file listing) and enters the log by ONE ``os.rename`` —
+  a torn write can never be read;
+* the store itself is created by one rename
+  (``writers._bootstrap_store`` discipline — data and meta sidecar
+  appear together or not at all);
+* compaction swaps the new base in FIRST (``writers._swap_in``'s
+  backup dance), then clears delta epochs OLDEST-FIRST: re-applying a
+  SUFFIX of the delta stack onto the folded base is a no-op (the
+  mor_reconcile idempotence law), so a crash anywhere in the sequence
+  leaves every subsequent read correct.  Clearing NEWEST-first would
+  not be safe: it could leave an old epoch to re-apply stale values
+  over the folded result.
+
+Like the rest of the rename-based machinery this is single-writer and
+local-filesystem only (``writers._require_local`` — object stores want
+a log-backed table format, of which this module is the format-free
+miniature).  The reference has no mutation story at all (read-only
+immutable catalogs, /root/reference/src/cosmap/dataset/__init__.py);
+merge-on-read is the published Delta/Iceberg design re-expressed as
+DataFrame algebra plus a directory log.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cosmap_spark.sinks.writers import (
+    _refuse_interrupted_swap,
+    _require_local,
+    _swap_in,
+)
+
+META_NAME = "_mor_meta.json"
+DELETE_COL = "__deleted"
+_EPOCH_RE = re.compile(r"^epoch=(\d+)$")
+
+
+def _base_dir(path: str) -> str:
+    return os.path.join(path, "base")
+
+
+def _deltas_dir(path: str) -> str:
+    return os.path.join(path, "deltas")
+
+
+def _load_meta(path: str) -> dict:
+    meta_path = os.path.join(path, META_NAME)
+    if not os.path.exists(meta_path):
+        raise ValueError(
+            f"{path!r} is not a merge-on-read store ({META_NAME} "
+            "missing) — create one with mor_init"
+        )
+    with open(meta_path) as f:
+        return json.load(f)
+
+
+def _epochs(path: str) -> list[int]:
+    """Committed delta epochs, ascending.  Dot-prefixed temp dirs from
+    torn writes are structurally excluded by the name pattern."""
+    d = _deltas_dir(path)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in os.listdir(d):
+        m = _EPOCH_RE.match(name)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def mor_init(df: DataFrame, path: str, keys: list[str]) -> None:
+    """Create a merge-on-read store at ``path`` with ``df`` as the
+    base snapshot.  Refuses an existing path (stores are never
+    silently re-initialized — the _require_local lesson).  The whole
+    layout (base parquet, empty delta log, meta sidecar) is staged in
+    a temp directory and enters existence by ONE rename."""
+    _require_local(path, "mor_init")
+    if os.path.exists(path):
+        raise ValueError(f"mor_init: {path!r} already exists")
+    missing = [k for k in keys if k not in df.columns]
+    if missing:
+        raise ValueError(f"mor_init: key columns absent from df: {missing}")
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = f"{path}.__init_tmp_{uuid.uuid4().hex}"
+    df.write.mode("overwrite").parquet(os.path.join(tmp, "base"))
+    os.makedirs(os.path.join(tmp, "deltas"))
+    with open(os.path.join(tmp, META_NAME), "w") as f:
+        # schema rides the sidecar so writes never open a base footer
+        # (the O(batch) write contract, mtime-pinned in tests)
+        json.dump(
+            {
+                "version": 1,
+                "keys": list(keys),
+                "schema": json.loads(df.schema.json()),
+            },
+            f,
+        )
+    os.rename(tmp, path)
+
+
+def mor_append(
+    spark,
+    path: str,
+    batch: DataFrame,
+    *,
+    assume_unique: bool = False,
+) -> int:
+    """Append one delta batch (upserts; rows with a true
+    :data:`DELETE_COL` column are tombstones) as the next epoch.
+    Returns the epoch number.
+
+    Cost: O(batch) — the batch is cast to the base schema (schema
+    drift would poison the delta directory with mixed parquet
+    schemas), validated key-unique (one eager batch-sized job, skipped
+    with ``assume_unique=True`` when uniqueness holds by construction
+    — duplicate keys within one epoch would make the read-side winner
+    partition-order dependent), written to a dot-prefixed temp dir and
+    renamed into the log.  No base file is opened — the schema rides
+    the meta sidecar."""
+    from pyspark.sql.types import StructType
+
+    _require_local(path, "mor_append")
+    meta = _load_meta(path)
+    keys = meta["keys"]
+    base_schema = StructType.fromJson(meta["schema"])
+    if DELETE_COL in batch.columns:
+        flag = F.coalesce(F.col(DELETE_COL), F.lit(False))
+    else:
+        flag = F.lit(False)
+    aligned = batch.select(
+        *[F.col(f.name).cast(f.dataType) for f in base_schema.fields],
+        flag.alias(DELETE_COL),
+    )
+    if not assume_unique:
+        dup = (
+            aligned.groupBy(*keys).count()
+            .filter(F.col("count") > 1).limit(1).count()
+        )
+        if dup:
+            raise ValueError(
+                "mor_append: batch has duplicate keys — collapse to one "
+                "winner per key upstream (operators.merge.latest_per_key)"
+            )
+    epochs = _epochs(path)
+    epoch = (epochs[-1] + 1) if epochs else 1
+    d = _deltas_dir(path)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".tmp_{uuid.uuid4().hex}")
+    aligned.write.mode("overwrite").parquet(tmp)
+    os.rename(tmp, os.path.join(d, f"epoch={epoch}"))
+    return epoch
+
+
+def mor_delete_keys(spark, path: str, keys_df: DataFrame) -> int:
+    """Append a tombstone-only delta for every key in ``keys_df`` —
+    the O(keys) right-to-be-forgotten primitive (the copy-on-write
+    ``writers.delete_keys`` rewrites whole partitions for the same
+    request).  Payload columns are NULL; the read side drops the rows
+    entirely.  Returns the epoch number.
+
+    Deleting a key that is not in the table is harmless (the anti-join
+    removes nothing), which makes re-runs after a partial propagation
+    free — the delete_keys idempotence contract, kept."""
+    from pyspark.sql.types import StructType
+
+    meta = _load_meta(path)
+    keys = meta["keys"]
+    base_schema = StructType.fromJson(meta["schema"])
+    kd = keys_df.select(*keys).distinct()
+    tomb = kd.select(
+        *[
+            F.col(f.name).cast(f.dataType)
+            if f.name in keys
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in base_schema.fields
+        ],
+        F.lit(True).alias(DELETE_COL),
+    )
+    # key-distinct by construction — skip the eager uniqueness job
+    return mor_append(spark, path, tomb, assume_unique=True)
+
+
+def mor_read(spark, path: str) -> DataFrame:
+    """The current view: base with every delta epoch applied, later
+    epochs winning — ONE winner window over the (batch-sized) delta
+    stack + ONE broadcast anti equi-join; the base scan never
+    shuffles (plan-gated in tests/test_mor.py).  With an empty delta
+    log this is exactly the base scan."""
+    from cosmap_spark.operators.merge import mor_reconcile
+
+    _require_local(path, "mor_read")
+    meta = _load_meta(path)
+    _refuse_interrupted_swap(_base_dir(path))
+    base = spark.read.parquet(_base_dir(path))
+    epochs = _epochs(path)
+    if not epochs:
+        return base
+    deltas = spark.read.option("basePath", _deltas_dir(path)).parquet(
+        *[
+            os.path.join(_deltas_dir(path), f"epoch={e}")
+            for e in epochs
+        ]
+    )
+    # partition discovery types epoch as INT; the winner window wants
+    # a stable LONG regardless of epoch magnitude (the partitionBy
+    # round-trip degradation footgun, CLAUDE.md)
+    deltas = deltas.withColumn("epoch", F.col("epoch").cast("long"))
+    return mor_reconcile(
+        base, deltas, meta["keys"], epoch_col="epoch",
+        delete_col=DELETE_COL,
+    )
+
+
+def mor_compact(spark, path: str) -> int:
+    """Fold the delta stack into a fresh base; returns the number of
+    epochs folded.  Sequence (each step crash-safe, see module
+    docstring): materialize the reconciled view to a temp dir, swap it
+    in as the new base (``_swap_in``'s backup dance — read-before-
+    delete), then remove the folded epochs OLDEST-FIRST.  A crash
+    after the swap leaves epochs that re-apply as no-ops (the
+    mor_reconcile idempotence law); a crash before it leaves the store
+    untouched.  Epochs appended AFTER the fold started are not
+    touched (single-writer stores make this moot, but the guard costs
+    one sorted list)."""
+    _require_local(path, "mor_compact")
+    _load_meta(path)
+    _refuse_interrupted_swap(_base_dir(path))
+    epochs = _epochs(path)
+    if not epochs:
+        return 0
+    folded = mor_read(spark, path)
+    _swap_in(_base_dir(path), folded)
+    for e in epochs:  # ascending: only ever leave a SUFFIX behind
+        shutil.rmtree(os.path.join(_deltas_dir(path), f"epoch={e}"))
+    return len(epochs)

@@ -664,6 +664,20 @@ def _spec_merge_upsert(spark):
     assert O.merge_upsert(t, t, ["k"]).count() == 0
 
 
+def _spec_mor_reconcile(spark):
+    import cosmap_spark.operators as O
+    base = _e(spark, "k long, v double")
+    deltas = _e(spark, "k long, v double, epoch long, __deleted boolean")
+    assert O.mor_reconcile(base, deltas, ["k"]).count() == 0
+    one = spark.createDataFrame([(1, 2.0)], "k long, v double")
+    tomb = spark.createDataFrame(
+        [(1, None, 1, True)], "k long, v double, epoch long, __deleted boolean"
+    )
+    assert O.mor_reconcile(one, deltas, ["k"]).count() == 1
+    assert O.mor_reconcile(one, tomb, ["k"]).count() == 0
+    assert O.mor_reconcile(base, tomb, ["k"]).count() == 0
+
+
 def _spec_scd2_apply(spark):
     import cosmap_spark.operators as O
     dim = _e(spark, "k long, a string, valid_from timestamp, "
@@ -1017,6 +1031,7 @@ SWEEP = {
     "latest_per_key": _spec_latest_per_key,
     "leakage_safe_split": _spec_leakage_safe_split,
     "merge_upsert": _spec_merge_upsert,
+    "mor_reconcile": _spec_mor_reconcile,
     "scd2_apply": _spec_scd2_apply,
     "snapshot_cdc": _spec_snapshot_cdc,
     "merge_sketch_tables": _spec_merge_sketch_tables,

@@ -1,0 +1,256 @@
+"""Merge-on-read store (sinks/mor.py + operators/merge.mor_reconcile).
+
+The round-9 contract set:
+  * round-trip law: read(mor_store) ≡ merge_upsert(base, deltas) folded
+    epoch by epoch through the copy-on-write algebra;
+  * O(batch) writes: appends and deletes never OPEN a base file —
+    pinned by file mtime + inode identity;
+  * plan gate: the reconciling read broadcasts the delta side and
+    never shuffles the base scan;
+  * compaction: equal view before/after, idempotent re-application of
+    any delta SUFFIX (the crash-safety law for oldest-first removal).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cosmap_spark.operators.merge import merge_upsert, mor_reconcile
+from cosmap_spark.sinks.mor import (
+    DELETE_COL,
+    mor_append,
+    mor_compact,
+    mor_delete_keys,
+    mor_init,
+    mor_read,
+)
+
+
+def _rows(df):
+    return sorted(
+        tuple(r[c] for c in sorted(df.columns)) for r in df.collect()
+    )
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    base = spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).alias("v"),
+        F.concat(F.lit("name-"), F.col("id").cast("string")).alias("name"),
+    )
+    path = str(tmp_path / "store")
+    mor_init(base, path, ["k"])
+    return path
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        [(k, v, n, d) for k, v, n, d in rows],
+        f"k long, v long, name string, {DELETE_COL} boolean",
+    )
+
+
+def test_mor_round_trip_law(spark, store):
+    """read(store) after N appends ≡ folding each epoch through
+    merge_upsert — the verdict's 'done' criterion."""
+    e1 = _batch(spark, [(5, 555, "upd5", False), (200, 1, "ins200", False),
+                        (7, None, None, True)])
+    e2 = _batch(spark, [(5, 666, "upd5b", False), (9, None, None, True),
+                        (201, 2, "ins201", False)])
+    e3 = _batch(spark, [(200, None, None, True), (9, 99, "back9", False)])
+    assert mor_append(spark, store, e1) == 1
+    assert mor_append(spark, store, e2) == 2
+    assert mor_append(spark, store, e3) == 3
+
+    got = mor_read(spark, store)
+    base = spark.read.parquet(os.path.join(store, "base"))
+    want = base
+    for b in (e1, e2, e3):
+        want = merge_upsert(want, b, ["k"], delete_col=DELETE_COL,
+                            assume_unique=True)
+    assert _rows(got) == _rows(want)
+    assert sorted(got.columns) == sorted(base.columns)
+    # spot semantics: epoch 3 resurrects k=9, tombstones k=200; epoch 2
+    # overrides epoch 1's k=5
+    m = {r["k"]: (r["v"], r["name"]) for r in got.collect()}
+    assert m[5] == (666, "upd5b")
+    assert m[9] == (99, "back9")
+    assert 7 not in m and 200 not in m and m[201] == (2, "ins201")
+
+
+def test_mor_writes_never_touch_base(spark, store):
+    """Appends, deletes AND the reconciling read leave every base file
+    byte-identical and un-rewritten (path set + mtime + size)."""
+
+    def base_state():
+        out = {}
+        bd = os.path.join(store, "base")
+        for name in sorted(os.listdir(bd)):
+            st = os.stat(os.path.join(bd, name))
+            out[name] = (st.st_mtime_ns, st.st_size, st.st_ino)
+        return out
+
+    before = base_state()
+    mor_append(spark, store, _batch(spark, [(1, 11, "u", False)]))
+    mor_delete_keys(
+        spark, store, spark.createDataFrame([(3,), (4,)], "k long")
+    )
+    # 100 base rows − deleted {3,4}; the k=1 upsert replaces in place
+    assert mor_read(spark, store).count() == 98
+    assert base_state() == before
+
+
+def test_mor_delete_is_o_batch_and_idempotent(spark, store):
+    keys = spark.createDataFrame([(10,), (11,), (999999,)], "k long")
+    mor_delete_keys(spark, store, keys)
+    assert mor_read(spark, store).where(F.col("k").isin(10, 11)).count() == 0
+    # absent key harmless; re-run appends another tombstone epoch, view
+    # unchanged (idempotent re-propagation)
+    before = _rows(mor_read(spark, store))
+    mor_delete_keys(spark, store, keys)
+    assert _rows(mor_read(spark, store)) == before
+
+
+def test_mor_read_plan_gate(spark, store):
+    """Delta side broadcast; base scan never shuffles.  Asserted on a
+    fresh (un-executed) plan per the CLAUDE.md AQE rule."""
+    mor_append(spark, store, _batch(spark, [(1, 11, "u", False)]))
+    mor_append(spark, store, _batch(spark, [(2, None, None, True)]))
+    plan = mor_read(spark, store)._jdf.queryExecution().executedPlan() \
+        .toString().split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # the only exchanges are on the delta (window) side, never above
+    # the base scan: walk the pretty-printed tree — the anti-join's
+    # streamed child must be the base parquet scan directly
+    import re
+
+    streamed = re.search(
+        r"BroadcastHashJoin.*LeftAnti[\s\S]{0,400}", plan
+    ).group(0)
+    assert "base" in streamed
+
+
+def test_mor_compact_preserves_view_and_clears_log(spark, store):
+    mor_append(spark, store, _batch(spark, [(5, 555, "u5", False)]))
+    mor_append(spark, store, _batch(spark, [(5, 666, "u5b", False),
+                                            (6, None, None, True)]))
+    before = _rows(mor_read(spark, store))
+    assert mor_compact(spark, store) == 2
+    after = _rows(mor_read(spark, store))
+    assert after == before
+    assert os.listdir(os.path.join(store, "deltas")) == []
+    # compaction of an empty log is a no-op
+    assert mor_compact(spark, store) == 0
+    # the store keeps working after compaction (epoch numbering resets
+    # harmlessly)
+    mor_append(spark, store, _batch(spark, [(5, 777, "u5c", False)]))
+    m = {r["k"]: r["v"] for r in mor_read(spark, store).collect()}
+    assert m[5] == 777 and 6 not in m
+
+
+def test_mor_suffix_reapplication_is_noop(spark, store):
+    """The crash-safety law behind oldest-first epoch removal: a crash
+    after the base swap leaves a SUFFIX of the delta stack, whose
+    re-application must be a no-op — simulated by monkeypatching the
+    removal to die after the first (oldest) epoch."""
+    import shutil as _sh
+
+    import cosmap_spark.sinks.mor as M
+
+    e1 = _batch(spark, [(5, 555, "u5", False), (300, 1, "i300", False)])
+    e2 = _batch(spark, [(5, 666, "u5b", False), (300, None, None, True)])
+    mor_append(spark, store, e1)
+    mor_append(spark, store, e2)
+    want = _rows(mor_read(spark, store))
+
+    calls = {"n": 0}
+    real_rmtree = _sh.rmtree
+
+    def dying_rmtree(p, *a, **kw):
+        if "epoch=" in str(p):
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise RuntimeError("injected crash mid-cleanup")
+        return real_rmtree(p, *a, **kw)
+
+    M.shutil.rmtree, saved = dying_rmtree, M.shutil.rmtree
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            mor_compact(spark, store)
+    finally:
+        M.shutil.rmtree = saved
+    # epoch 1 removed, epoch 2 (the suffix) survived the crash
+    left = os.listdir(os.path.join(store, "deltas"))
+    assert left == ["epoch=2"]
+    # the read is STILL the correct view (e2 re-applies as a no-op)
+    assert _rows(mor_read(spark, store)) == want
+    # and a retried compaction completes and preserves it
+    assert mor_compact(spark, store) == 1
+    assert _rows(mor_read(spark, store)) == want
+
+
+def test_mor_reconcile_idempotence_law(spark):
+    """Pure-algebra twin of the suffix law (pinned independently of
+    the store): reconcile(reconcile(b, D), suffix(D)) ≡
+    reconcile(b, D)."""
+    base = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    d = spark.createDataFrame(
+        [(1, 100, 1, False), (2, None, 1, True),
+         (1, 111, 2, False), (3, 333, 2, False)],
+        f"k long, v long, epoch long, {DELETE_COL} boolean",
+    )
+    full = mor_reconcile(base, d, ["k"], epoch_col="epoch")
+    suffix = d.where(F.col("epoch") == 2)
+    again = mor_reconcile(full, suffix, ["k"], epoch_col="epoch")
+    assert _rows(again) == _rows(full)
+
+
+def test_mor_guards(spark, store, tmp_path):
+    # duplicate keys in one batch refused (winner would be
+    # partition-order dependent)
+    dup = _batch(spark, [(1, 1, "a", False), (1, 2, "b", False)])
+    with pytest.raises(ValueError, match="duplicate keys"):
+        mor_append(spark, store, dup)
+    # re-init refused
+    with pytest.raises(ValueError, match="already exists"):
+        mor_init(spark.range(1).select(F.col("id").alias("k")), store, ["k"])
+    # not-a-store refused loudly
+    with pytest.raises(ValueError, match="not a merge-on-read store"):
+        mor_read(spark, str(tmp_path / "nope"))
+    # remote URIs refused (the _require_local discipline)
+    with pytest.raises(ValueError, match="local-filesystem"):
+        mor_read(spark, "s3a://bucket/store")
+    # missing key column at init
+    with pytest.raises(ValueError, match="key columns absent"):
+        mor_init(spark.range(1), str(tmp_path / "s2"), ["k"])
+
+
+def test_mor_torn_delta_write_invisible(spark, store):
+    """A dot-prefixed temp dir (a torn append) is excluded from the
+    epoch log and from reads."""
+    d = os.path.join(store, "deltas")
+    os.makedirs(os.path.join(d, ".tmp_dead"), exist_ok=True)
+    with open(os.path.join(d, ".tmp_dead", "part-0.parquet"), "w") as f:
+        f.write("garbage")
+    assert mor_read(spark, store).count() == 100
+    e = mor_append(spark, store, _batch(spark, [(1, 11, "u", False)]))
+    assert e == 1
+
+
+def test_mor_schema_alignment(spark, store):
+    """A wider-typed batch (int keys into a long table, extra columns)
+    is cast/pruned to the base schema — mixed-schema poisoning guarded
+    the same way merge_upsert does."""
+    wide = spark.createDataFrame(
+        [(1, 11, "u", "extra")], "k int, v int, name string, junk string"
+    )
+    mor_append(spark, store, wide)
+    row = mor_read(spark, store).where(F.col("k") == 1).collect()[0]
+    assert row["v"] == 11 and "junk" not in row.asDict()
