@@ -19,10 +19,17 @@ from cosmap_spark.streaming.ops import (  # noqa: F401
     drift_alarms,
     drift_state,
     drift_stream,
+    category_drift_chi2,
     enrich_with_dimension,
     events_stream,
     funnel_stream,
+    heavy_hitters_stream,
+    ks_state,
+    ks_stream,
+    monitor_report,
+    mwu_state,
     quality_gate,
+    sketch_stream,
     session_counts,
     sliding_counts,
     stateful_user_counter,

@@ -1520,19 +1520,18 @@ def ks_stream(stream_df: DataFrame, store_path: str, checkpoint: str,
     )
 
 
-def ks_state(spark: SparkSession, store_path: str) -> DataFrame:
-    """The live KS table of a :func:`ks_stream` store — EXACTLY
-    ``ks_test``'s shape and floats: ``[column, n_old, n_new, d_num,
-    d_stat, lambda_stat]`` with the frozen reference as the old side
-    and everything streamed so far as the new.  Unlike the
-    O(cols·bins) drift readouts this does NOT assemble driver-side:
-    the count table is O(distinct quantized values), so the full-outer
-    count merge and the cumulative windows run as the same Spark plan
-    ``ks_test`` uses (``ks_from_counts``)."""
+def _ks_store_counts(
+    spark: SparkSession, store_path: str
+) -> tuple[DataFrame, dict]:
+    """The shared front half of every :func:`ks_stream`-store readout:
+    the merged ``[column, q, co, cn]`` count frame (frozen reference
+    full-outer-joined with everything streamed so far, absent sides
+    zero-filled) plus the store meta.  ``ks_state`` / ``mwu_state``
+    are config over this; the next readout on the same quantized
+    counts (e.g. a live median-shift estimate) is one ``*_from_counts``
+    call away."""
     import json as _json
     import os
-
-    from cosmap_spark.operators.stats_tests import ks_from_counts
 
     with open(os.path.join(store_path, "ref", "_ks_meta")) as f:
         meta = _json.load(f)
@@ -1554,6 +1553,22 @@ def ks_state(spark: SparkSession, store_path: str) -> DataFrame:
             F.coalesce("cn", F.lit(0)).cast("long").alias("cn"),
         )
     )
+    return counts, meta
+
+
+def ks_state(spark: SparkSession, store_path: str) -> DataFrame:
+    """The live KS table of a :func:`ks_stream` store — EXACTLY
+    ``ks_test``'s shape and floats: ``[column, n_old, n_new, d_num,
+    d_stat, lambda_stat]`` with the frozen reference as the old side
+    and everything streamed so far as the new.  Unlike the
+    O(cols·bins) drift readouts this does NOT assemble driver-side:
+    the count table is O(distinct quantized values), so the full-outer
+    count merge and the cumulative windows run as the same Spark plan
+    ``ks_test`` uses (``ks_from_counts`` over
+    :func:`_ks_store_counts`)."""
+    from cosmap_spark.operators.stats_tests import ks_from_counts
+
+    counts, meta = _ks_store_counts(spark, store_path)
     return ks_from_counts(counts, meta["cols"])
 
 
@@ -1563,37 +1578,113 @@ def mwu_state(spark: SparkSession, store_path: str) -> DataFrame:
     floats between the frozen reference and everything streamed so
     far.  The quantized-count state already contains everything the
     rank statistics need (the batch test computes from the identical
-    ``[column, q, co, cn]`` frame), so one store serves BOTH
-    distributional readouts — KS for shape, MWU for location — the
-    one-store-two-readouts pattern of ``category_drift_chi2``.
-    Bit-identical to ``mann_whitney_u(reference, concatenated
-    stream)`` (asserted in tests); feed to ``decide(..., "mwu")``."""
-    import json as _json
-    import os
-
+    ``[column, q, co, cn]`` frame, here :func:`_ks_store_counts`), so
+    one store serves BOTH distributional readouts — KS for shape, MWU
+    for location — the one-store-two-readouts pattern of
+    ``category_drift_chi2``.  Bit-identical to
+    ``mann_whitney_u(reference, concatenated stream)`` (asserted in
+    tests); feed to ``decide(..., "mwu")``."""
     from cosmap_spark.operators.stats_tests import mwu_from_counts
 
-    with open(os.path.join(store_path, "ref", "_ks_meta")) as f:
-        meta = _json.load(f)
-    ref = spark.read.parquet(os.path.join(store_path, "ref")).select(
-        "column", "q", F.col("n").alias("co")
-    )
-    counts_dir = os.path.join(store_path, "counts")
-    if os.path.exists(counts_dir):
-        new = spark.read.parquet(counts_dir).select(
-            "column", "q", F.col("n").alias("cn")
-        )
-    else:
-        new = spark.createDataFrame([], "column string, q long, cn long")
-    counts = (
-        ref.join(new, ["column", "q"], "full_outer")
-        .select(
-            "column", "q",
-            F.coalesce("co", F.lit(0)).cast("long").alias("co"),
-            F.coalesce("cn", F.lit(0)).cast("long").alias("cn"),
-        )
-    )
+    counts, meta = _ks_store_counts(spark, store_path)
     return mwu_from_counts(counts, meta["cols"])
+
+
+def monitor_report(
+    spark: SparkSession,
+    *,
+    drift_store: str | None = None,
+    category_store: str | None = None,
+    abtest_store: str | None = None,
+    ks_store: str | None = None,
+    alpha: float = 0.05,
+    psi_threshold: float = 0.25,
+) -> DataFrame:
+    """ONE verdict table across every live monitor store — the page an
+    on-call user actually reads:
+    ``[monitor, subject, statistic, value, p_value, significant]``.
+
+    Pass whichever stores exist; each contributes its readout(s):
+
+    - ``ks_store`` (a :func:`ks_stream` store): TWO rows per column —
+      the KS shape test (λ, Kolmogorov p) and the MWU location test
+      (z, normal p) from the same quantized counts
+      (:func:`_ks_store_counts`);
+    - ``abtest_store``: Welch's t per arm pair
+      (subject = ``a>b``, A&S 26.7.8 p);
+    - ``category_store``: the PSI effect size per column
+      (``significant`` = psi > ``psi_threshold``, p NULL — PSI has no
+      sampling distribution here) AND the chi-squared significance
+      over the same frozen bins (Wilson–Hilferty p);
+    - ``drift_store``: numeric PSI per column (threshold verdict,
+      p NULL).
+
+    Assembly is a union of the O(columns·arms)-sized readouts — no
+    store is scanned twice, nothing history-sized is touched.  All
+    p-values come from :func:`cosmap_spark.operators.stats_tests.
+    decide` (asymptotic; NULL statistic → NULL verdict, never a
+    silent pass)."""
+    from cosmap_spark.operators.stats_tests import decide
+
+    def shape(df, monitor, subject, statistic, value,
+              p=None, sig=None):
+        return df.select(
+            F.lit(monitor).alias("monitor"),
+            subject.cast("string").alias("subject"),
+            F.lit(statistic).alias("statistic"),
+            value.cast("double").alias("value"),
+            (F.col("p_value") if p is None else p)
+            .cast("double").alias("p_value"),
+            (F.col("significant") if sig is None else sig)
+            .cast("boolean").alias("significant"),
+        )
+
+    parts = []
+    if ks_store is not None:
+        parts.append(shape(
+            decide(ks_state(spark, ks_store), "ks", alpha=alpha),
+            "ks", F.col("column"), "lambda", F.col("lambda_stat"),
+        ))
+        parts.append(shape(
+            decide(mwu_state(spark, ks_store), "mwu", alpha=alpha),
+            "mwu", F.col("column"), "z", F.col("z_stat"),
+        ))
+    if abtest_store is not None:
+        parts.append(shape(
+            decide(abtest_state(spark, abtest_store), "welch",
+                   alpha=alpha),
+            "abtest", F.concat(F.col("variant_a"), F.lit(">"),
+                               F.col("variant_b")),
+            "t", F.col("t_stat"),
+        ))
+    if category_store is not None:
+        psi = (
+            category_drift_state(spark, category_store)
+            .groupBy("column")
+            .agg(F.round(F.sum("psi_term"), 6).alias("psi"))
+        )
+        parts.append(shape(
+            psi, "category_psi", F.col("column"), "psi", F.col("psi"),
+            p=F.lit(None),
+            sig=F.col("psi") > F.lit(float(psi_threshold)),
+        ))
+        parts.append(shape(
+            decide(category_drift_chi2(spark, category_store), "chi2",
+                   alpha=alpha),
+            "category_chi2", F.col("column"), "chi2", F.col("chi2"),
+        ))
+    if drift_store is not None:
+        parts.append(shape(
+            drift_alarms(spark, drift_store, threshold=psi_threshold),
+            "drift_psi", F.col("column"), "psi", F.col("psi"),
+            p=F.lit(None), sig=F.col("alarmed"),
+        ))
+    if not parts:
+        raise ValueError("monitor_report: no store paths given")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def heavy_hitters_stream(stream_df: DataFrame, store_path: str,

@@ -214,6 +214,21 @@ def main() -> None:
         ).collect()[0]
         print(f"  live KS: D = {kr['d_stat']} p = {kr['p_value']} "
               f"significant = {kr['significant']}")
+
+        # == 6. the combined on-call page: one verdict table over every
+        # live store (KS + MWU ride the same quantized-count store)
+        from cosmap_spark.streaming.ops import monitor_report
+
+        print("== 6. monitor_report: all live verdicts on one page ==")
+        for r in monitor_report(
+            spark,
+            drift_store=os.path.join(tmp, "drift_store"),
+            ks_store=os.path.join(tmp, "ks_store"),
+        ).orderBy("monitor", "subject").collect():
+            pv = "-" if r["p_value"] is None else f"{r['p_value']:.4g}"
+            print(f"  {r['monitor']:<12} {r['subject']:<8} "
+                  f"{r['statistic']}={r['value']} p={pv} "
+                  f"significant={r['significant']}")
     spark.stop()
 
 

@@ -2057,6 +2057,98 @@ def test_ks_stream_matches_batch_ks_test(spark, tmp_path):
     assert vm["significant"] is True
 
 
+def test_monitor_report_unifies_all_live_verdicts(spark, tmp_path):
+    """monitor_report (round 9): ONE [monitor, subject, statistic,
+    value, p_value, significant] table across the live stores — each
+    section must match its individual readout exactly, PSI rows carry
+    NULL p by design, and a no-store call refuses."""
+    import pytest
+
+    from cosmap_spark.operators.stats_tests import decide
+    from cosmap_spark.streaming.ops import (
+        abtest_state,
+        abtest_stream,
+        drift_alarms,
+        drift_stream,
+        ks_state,
+        ks_stream,
+        monitor_report,
+    )
+
+    ref = spark.range(600).select(((F.col("id") * 37 % 300) / 10.0)
+                                  .alias("x")).localCheckpoint()
+    streamed = spark.range(500).select(
+        "id", ((F.col("id") * 13 % 300) / 10.0 + 6.0).alias("x"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("arm"),
+    ).localCheckpoint()
+    land = tmp_path / "mr_land"
+    streamed.select("x", "arm").coalesce(1).write.parquet(
+        str(land), mode="append"
+    )
+
+    ks_store = str(tmp_path / "mr_ks")
+    dr_store = str(tmp_path / "mr_drift")
+    ab_store = str(tmp_path / "mr_ab")
+    cat_store = str(tmp_path / "mr_cat")
+    ks_stream(
+        spark.readStream.schema("x double, arm string").parquet(str(land))
+        .select("x"),
+        ks_store, str(tmp_path / "mr_kck"), cols=["x"], reference=ref,
+    ).awaitTermination(180)
+    drift_stream(
+        spark.readStream.schema("x double, arm string").parquet(str(land))
+        .select("x"),
+        dr_store, str(tmp_path / "mr_dck"), cols=["x"], reference=ref,
+    ).awaitTermination(180)
+    abtest_stream(
+        spark.readStream.schema("x double, arm string").parquet(str(land)),
+        ab_store, str(tmp_path / "mr_ack"),
+        variant_col="arm", value_col="x",
+    ).awaitTermination(180)
+    from cosmap_spark.streaming.ops import category_drift_stream
+
+    category_drift_stream(
+        spark.readStream.schema("x double, arm string").parquet(str(land))
+        .select("arm"),
+        cat_store, str(tmp_path / "mr_cck"), cols=["arm"],
+        reference=streamed.select("arm"),
+    ).awaitTermination(180)
+
+    rep = monitor_report(
+        spark, drift_store=dr_store, abtest_store=ab_store,
+        ks_store=ks_store, category_store=cat_store,
+    )
+    assert rep.columns == ["monitor", "subject", "statistic", "value",
+                           "p_value", "significant"]
+    rows = {(r["monitor"], r["subject"]): r for r in rep.collect()}
+    assert set(m for m, _ in rows) == {
+        "ks", "mwu", "abtest", "drift_psi", "category_psi",
+        "category_chi2",
+    }
+    # category reference == streamed mix: a clean not-drifted verdict
+    assert rows[("category_psi", "arm")]["p_value"] is None
+    assert rows[("category_psi", "arm")]["significant"] is False
+    assert rows[("category_chi2", "arm")]["significant"] is False
+
+    kv = decide(ks_state(spark, ks_store), "ks").collect()[0]
+    assert rows[("ks", "x")]["value"] == kv["lambda_stat"]
+    assert rows[("ks", "x")]["p_value"] == kv["p_value"]
+    assert rows[("ks", "x")]["significant"] is True  # planted +6 shift
+    assert rows[("mwu", "x")]["significant"] is True
+
+    av = decide(abtest_state(spark, ab_store), "welch").collect()[0]
+    assert rows[("abtest", "a>b")]["value"] == av["t_stat"]
+    assert rows[("abtest", "a>b")]["p_value"] == av["p_value"]
+
+    dv = drift_alarms(spark, dr_store).collect()[0]
+    drow = rows[("drift_psi", "x")]
+    assert drow["value"] == dv["psi"] and drow["p_value"] is None
+    assert drow["significant"] == dv["alarmed"]
+
+    with pytest.raises(ValueError, match="no store paths"):
+        monitor_report(spark)
+
+
 def test_category_drift_chi2_matches_batch(spark, tmp_path):
     """The categorical monitor's significance readout: chi2 over the
     store's folded bins is BIT-identical to chi2_test over the same
