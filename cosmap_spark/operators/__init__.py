@@ -147,6 +147,7 @@ from cosmap_spark.operators.diff import (  # noqa: F401
     diff_summary,
     drift_bin_counts,
     drift_reference,
+    heavy_hitter_categories,
     snapshot_drift,
 )
 from cosmap_spark.operators.funnel import (  # noqa: F401

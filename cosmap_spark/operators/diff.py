@@ -423,6 +423,91 @@ def snapshot_drift(
     )
 
 
+def heavy_hitter_categories(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    top_n: int = 20,
+    k: int = 1024,
+    null_label: str = "(null)",
+) -> dict[str, list[str]]:
+    """The UNBOUNDED-vocabulary selection path for the categorical
+    drift family: the top-``top_n`` categories per column by exact
+    verified count, derived via Misra-Gries heavy hitters
+    (``sketch.heavy_hitters_sketch``) so no vocabulary-sized state is
+    ever built — feed the result to ``category_drift`` /
+    ``chi2_test`` / ``streaming.ops.category_drift_stream`` as
+    ``frozen_categories=``.
+
+    All columns ride ONE composite-key sketch (column + unit-separator
+    + category over the ``_cat_stack`` frame — two corpus scans total
+    regardless of column count, O(k) state), then the verified EXACT
+    counts rank per column by (count DESC, category ASC) — the same
+    deterministic order the top-N path uses, so whenever every wanted
+    category clears the MG guarantee the selection EQUALS the exact
+    top-N selection (the differential pinned in tests/test_diff.py).
+    The guarantee: a category is certainly present if its count exceeds
+    ``N_stack/(k+1)`` with ``N_stack = rows·len(cols)`` — size ``k``
+    generously (the default 1024 is sketch-sized either way).  NULL is
+    a first-class ``null_label`` category, exactly as the drift
+    operators treat it."""
+    from cosmap_spark.operators.sketch import heavy_hitters_sketch
+
+    if top_n < 1:
+        raise ValueError(f"need top_n >= 1; got {top_n}")
+    if not cols:
+        raise ValueError("heavy_hitter_categories: no columns given")
+    stacked = _cat_stack(df, cols, null_label).select(
+        F.concat(F.col("column"), F.lit("\x1f"), F.col("category"))
+        .alias("ck")
+    )
+    hh = heavy_hitters_sketch(stacked, "ck", k=k)
+    per_col: dict[str, list[tuple[int, str]]] = {c: [] for c in cols}
+    for r in hh.collect():  # O(k) rows by construction
+        col_name, cat = r["ck"].split("\x1f", 1)
+        per_col[col_name].append((int(r["n"]), cat))
+    out = {}
+    for c in cols:
+        ranked = sorted(per_col[c], key=lambda t: (-t[0], t[1]))
+        out[c] = [cat for _, cat in ranked[:top_n]]
+    return out
+
+
+def _frozen_fold(cols: list[str], frozen: dict[str, list[str]],
+                 other_label: str):
+    """The map-side fold expression for a caller-frozen category
+    selection: identity for frozen categories, ``other_label`` for
+    everything else — applied BEFORE any aggregation, so the counts
+    frame is O(cols·(|frozen|+1)) even over an unbounded vocabulary.
+    Shared by ``category_drift``/``chi2_test``'s frozen paths (the
+    stream monitor folds with the equivalent array literal chain)."""
+    keep = None
+    for c in cols:
+        cond = (F.col("column") == c) & F.col("category").isin(
+            [str(x) for x in frozen[c]]
+        )
+        keep = cond if keep is None else keep | cond
+    return F.when(keep, F.col("category")).otherwise(F.lit(other_label))
+
+
+def _check_frozen(cols: list[str], frozen: dict[str, list[str]],
+                  other_label: str, op: str) -> None:
+    missing = [c for c in cols if not frozen.get(c)]
+    if missing:
+        raise ValueError(
+            f"{op}: frozen_categories has no categories for {missing} — "
+            "every column needs a non-empty selection (derive one with "
+            "heavy_hitter_categories)"
+        )
+    tainted = [c for c in cols if other_label in frozen[c]]
+    if tainted:
+        raise ValueError(
+            f"{op}: frozen_categories for {tainted} contains the "
+            f"other_label {other_label!r} — folded and frozen "
+            "categories must not collide"
+        )
+
+
 def category_drift(
     old: DataFrame,
     new: DataFrame,
@@ -432,6 +517,7 @@ def category_drift(
     eps: float = 1e-6,
     other_label: str = "(other)",
     null_label: str = "(null)",
+    frozen_categories: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     """PSI drift for CATEGORICAL columns (language, source domain,
     license, script…) — the same clamped psi terms as
@@ -457,9 +543,17 @@ def category_drift(
     produces the O(vocabulary) counts frame; selection (a keyed
     row_number window), OTHER folding (a second tiny groupBy), and
     per-column totals (keyed window sums) all run on that aggregate.
-    For genuinely unbounded vocabularies where even the counts frame
-    is too big, pre-select candidates with the Misra-Gries heavy
-    hitters (``sketch.misra_gries``) and filter before calling."""
+
+    ``frozen_categories`` ({column: [categories keeping identity]}) is
+    the UNBOUNDED-vocabulary path: the fold to ``other_label`` happens
+    MAP-SIDE BEFORE the aggregation, so the counts frame is
+    O(cols·(|frozen|+1)) and no vocabulary-sized state (aggregate OR
+    selection window) ever exists; ``top_n`` is ignored.  Derive the
+    selection with :func:`heavy_hitter_categories` — when every frozen
+    category clears the MG guarantee the result is IDENTICAL to the
+    exact ``top_n`` path (pinned in tests/test_diff.py).  A frozen
+    category absent from both sides emits no row (nothing to
+    compare)."""
     from pyspark.sql import Window as W
 
     if top_n < 1:
@@ -468,6 +562,9 @@ def category_drift(
         raise ValueError("category_drift: no columns given")
     if other_label == null_label:
         raise ValueError("other_label and null_label must differ")
+    if frozen_categories is not None:
+        _check_frozen(cols, frozen_categories, other_label,
+                      "category_drift")
     for df, side in ((old, "old"), (new, "new")):
         for c in cols:
             base = df.schema[c].dataType.simpleString().split("(")[0]
@@ -482,39 +579,59 @@ def category_drift(
             F.lit(side).alias("side"), "column", "category"
         )
 
-    counts = (
-        stacked(old, "o").unionByName(stacked(new, "n"))
-        .groupBy("column", "category")
-        .agg(
-            F.sum(F.when(F.col("side") == "o", 1).otherwise(0))
-            .cast("long").alias("n_old"),
-            F.sum(F.when(F.col("side") == "n", 1).otherwise(0))
-            .cast("long").alias("n_new"),
+    both = stacked(old, "o").unionByName(stacked(new, "n"))
+    if frozen_categories is not None:
+        # fold BEFORE the aggregation: the grouping key is already the
+        # folded category, so the aggregate is bounded by construction
+        folded = (
+            both.select(
+                "side", "column",
+                _frozen_fold(cols, frozen_categories, other_label)
+                .alias("category"),
+            )
+            .groupBy("column", "category")
+            .agg(
+                F.sum(F.when(F.col("side") == "o", 1).otherwise(0))
+                .cast("long").alias("n_old"),
+                F.sum(F.when(F.col("side") == "n", 1).otherwise(0))
+                .cast("long").alias("n_new"),
+            )
         )
-    )
-    # selection on the vocabulary-sized aggregate: rank OLD-present
-    # categories per column, keep identity for rank <= top_n
-    rn = F.row_number().over(
-        W.partitionBy("column").orderBy(
-            F.col("n_old").desc(), F.col("category").asc()
+    else:
+        counts = (
+            both
+            .groupBy("column", "category")
+            .agg(
+                F.sum(F.when(F.col("side") == "o", 1).otherwise(0))
+                .cast("long").alias("n_old"),
+                F.sum(F.when(F.col("side") == "n", 1).otherwise(0))
+                .cast("long").alias("n_new"),
+            )
         )
-    )
-    folded = (
-        counts.withColumn(
-            "__rn", F.when(F.col("n_old") > 0, rn).otherwise(F.lit(None))
+        # selection on the vocabulary-sized aggregate: rank OLD-present
+        # categories per column, keep identity for rank <= top_n
+        rn = F.row_number().over(
+            W.partitionBy("column").orderBy(
+                F.col("n_old").desc(), F.col("category").asc()
+            )
         )
-        .select(
-            "column",
-            F.when(F.col("__rn") <= top_n, F.col("category"))
-            .otherwise(F.lit(other_label)).alias("category"),
-            "n_old", "n_new",
+        folded = (
+            counts.withColumn(
+                "__rn",
+                F.when(F.col("n_old") > 0, rn).otherwise(F.lit(None)),
+            )
+            .select(
+                "column",
+                F.when(F.col("__rn") <= top_n, F.col("category"))
+                .otherwise(F.lit(other_label)).alias("category"),
+                "n_old", "n_new",
+            )
+            .groupBy("column", "category")
+            .agg(
+                F.sum("n_old").cast("long").alias("n_old"),
+                F.sum("n_new").cast("long").alias("n_new"),
+            )
         )
-        .groupBy("column", "category")
-        .agg(
-            F.sum("n_old").cast("long").alias("n_old"),
-            F.sum("n_new").cast("long").alias("n_new"),
-        )
-    )
     w = W.partitionBy("column")
     ta = F.sum("n_old").over(w)
     tb = F.sum("n_new").over(w)

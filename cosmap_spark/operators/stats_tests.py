@@ -519,6 +519,8 @@ def chi2_test(
     *,
     null_label: str = "(null)",
     units: int = 10 ** 8,
+    frozen_categories: dict[str, list[str]] | None = None,
+    other_label: str = "(other)",
 ) -> DataFrame:
     """Two-sample chi-squared homogeneity test for CATEGORICAL columns
     — the significance twin of ``diff.category_drift``'s PSI effect
@@ -552,21 +554,33 @@ def chi2_test(
     roughly 10⁶–10⁷ rows per side, while under the null (χ² ~ k)
     sides into the 10⁹ range fit.  Loud, never wrong — a statistic
     large enough to overflow is a significance verdict in itself, but
-    callers needing the numeric value at that scale should pre-sample;
-    unbounded vocabularies should pre-filter with Misra–Gries heavy
-    hitters exactly as ``category_drift`` documents.  NULL is a
+    callers needing the numeric value at that scale should pre-sample.
+    For unbounded vocabularies pass ``frozen_categories`` ({column:
+    [categories keeping identity]}, everything else folding map-side
+    into ``other_label`` BEFORE the aggregation — the
+    ``category_drift`` frozen path; derive the selection with
+    ``diff.heavy_hitter_categories``): the count table and dof are
+    then bounded by the selection, and the test answers "is the mix
+    over the monitored bins different?" exactly like the streaming
+    ``category_drift_chi2`` readout.  NULL is a
     first-class ``null_label`` category (a null share moving IS a
     distribution change); a side with no rows raises; a single
     observed category has dof 0 and raises (no test exists).
 
     The reference has no statistics surface; this is the standard
     published two-sample chi-squared procedure."""
-    from cosmap_spark.operators.diff import _cat_stack
+    from cosmap_spark.operators.diff import (
+        _cat_stack,
+        _check_frozen,
+        _frozen_fold,
+    )
 
     if not cols:
         raise ValueError("chi2_test: no columns given")
     if units < 1:
         raise ValueError(f"chi2_test: units must be >= 1; got {units}")
+    if frozen_categories is not None:
+        _check_frozen(cols, frozen_categories, other_label, "chi2_test")
     for df, side in ((old, "old"), (new, "new")):
         for c in cols:
             base = df.schema[c].dataType.simpleString().split("(")[0]
@@ -577,7 +591,17 @@ def chi2_test(
                 )
 
     def stacked(df: DataFrame, side: str) -> DataFrame:
-        return _cat_stack(df, cols, null_label).select(
+        out = _cat_stack(df, cols, null_label)
+        if frozen_categories is not None:
+            # fold BEFORE the aggregation (the category_drift frozen
+            # path): the grouping key is the folded category, so the
+            # count table is bounded by the selection
+            out = out.select(
+                "column",
+                _frozen_fold(cols, frozen_categories, other_label)
+                .alias("category"),
+            )
+        return out.select(
             F.lit(side).alias("side"), "column", "category"
         )
 

@@ -1116,7 +1116,9 @@ def category_drift_stream(stream_df: DataFrame, store_path: str,
                           reference: DataFrame | None = None,
                           top_n: int = 20,
                           other_label: str = "(other)",
-                          null_label: str = "(null)"):
+                          null_label: str = "(null)",
+                          frozen_categories: dict[str, list[str]]
+                          | None = None):
     """The CATEGORICAL twin of :func:`drift_stream` — live PSI for
     language / source-domain / license mixes: first start FREEZES the
     reference's category selection (``operators.diff.category_drift``
@@ -1133,16 +1135,33 @@ def category_drift_stream(stream_df: DataFrame, store_path: str,
     live readout (:func:`category_drift_state`) is BIT-identical to
     ``category_drift(reference, all_streamed_data)`` — counts AND psi
     doubles (asserted in tests/test_streaming.py).  Same driver-local
-    durability contract as ``sketch_stream``."""
+    durability contract as ``sketch_stream``.
+
+    ``frozen_categories`` ({column: [categories keeping identity]} —
+    derive with ``operators.diff.heavy_hitter_categories``) is the
+    UNBOUNDED-vocabulary freeze: the reference folds MAP-SIDE against
+    the caller's selection before any aggregation, so the freeze never
+    builds or collects a vocabulary-sized count frame (the default
+    top-N freeze collects O(reference vocabulary) rows driver-side —
+    fine for bounded mixes, not for open key spaces).  The sidecar
+    records the selection's provenance (``selection_source``); resume
+    with a different selection refuses loudly."""
     import json as _json
     import os
 
     from pyspark.sql import Window as W
 
-    from cosmap_spark.operators.diff import _cat_stack
+    from cosmap_spark.operators.diff import (
+        _cat_stack,
+        _check_frozen,
+        _frozen_fold,
+    )
     from cosmap_spark.sinks.writers import _require_local
 
     _require_local(store_path, "category_drift_stream")
+    if frozen_categories is not None:
+        _check_frozen(cols, frozen_categories, other_label,
+                      "category_drift_stream")
     ref_dir = os.path.join(store_path, "ref")
     meta_file = os.path.join(ref_dir, "_catdrift_meta")
     if os.path.exists(ref_dir):
@@ -1156,6 +1175,15 @@ def category_drift_stream(stream_df: DataFrame, store_path: str,
                 f"category_drift_stream: store at {store_path} was "
                 f"frozen with {have}; resume requested {want}"
             )
+        if frozen_categories is not None and {
+            c: sorted(set(frozen_categories[c])) for c in cols
+        } != {c: sorted(meta["selected"][c]) for c in cols}:
+            raise ValueError(
+                f"category_drift_stream: store at {store_path} was "
+                f"frozen with selection {meta['selected']} "
+                f"(source: {meta.get('selection_source', 'unknown')}); "
+                "resume requested a different frozen_categories set"
+            )
         selected = {c: set(meta["selected"][c]) for c in cols}
     else:
         if reference is None:
@@ -1163,46 +1191,76 @@ def category_drift_stream(stream_df: DataFrame, store_path: str,
                 "category_drift_stream: no frozen reference at "
                 f"{store_path} — pass reference= on first start"
             )
-        counts = (
-            _cat_stack(reference, cols, null_label)
-            .groupBy("column", "category")
-            .agg(F.count(F.lit(1)).alias("n"))
-        )
-        rn = F.row_number().over(
-            W.partitionBy("column").orderBy(
-                F.col("n").desc(), F.col("category").asc()
-            )
-        )
-        rows = counts.withColumn("__rn", rn).collect()
-        selected = {
-            c: {r["category"] for r in rows
-                if r["column"] == c and r["__rn"] <= top_n}
-            for c in cols
-        }
-        for c in cols:
-            if not selected[c]:
-                # refuse at freeze time (mirrors the batch operator's
-                # no-distribution error): an empty frozen selection
-                # would otherwise build a zero-element array literal
-                # whose array_contains folds every streamed row into
-                # OTHER — the monitor would start and silently compare
-                # against nothing
-                raise ValueError(
-                    f"category_drift_stream: column {c!r} has no rows "
-                    "in the reference — no distribution to compare"
+        if frozen_categories is not None:
+            # unbounded-vocabulary freeze: fold BEFORE the aggregation
+            # — the ref-count frame is O(cols·(|frozen|+1)) by
+            # construction and that bounded frame is all that is ever
+            # collected (for the per-column no-rows check)
+            selected = {c: set(frozen_categories[c]) for c in cols}
+            ref_counts = (
+                _cat_stack(reference, cols, null_label)
+                .select(
+                    "column",
+                    _frozen_fold(cols, frozen_categories, other_label)
+                    .alias("category"),
                 )
-        folded = {}
-        for r in rows:
-            key = (
-                r["column"],
-                r["category"] if r["category"] in selected[r["column"]]
-                else other_label,
+                .groupBy("column", "category")
+                .agg(F.count(F.lit(1)).cast("long").alias("n"))
+                .localCheckpoint()
             )
-            folded[key] = folded.get(key, 0) + r["n"]
-        ref_counts = reference.sparkSession.createDataFrame(
-            [(c, cat, n) for (c, cat), n in sorted(folded.items())],
-            "column string, category string, n long",
-        )
+            present = {r["column"] for r in
+                       ref_counts.select("column").distinct().collect()}
+            missing = [c for c in cols if c not in present]
+            if missing:
+                raise ValueError(
+                    f"category_drift_stream: columns {missing} have no "
+                    "rows in the reference — no distribution to compare"
+                )
+            source = "frozen_categories"
+        else:
+            counts = (
+                _cat_stack(reference, cols, null_label)
+                .groupBy("column", "category")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            rn = F.row_number().over(
+                W.partitionBy("column").orderBy(
+                    F.col("n").desc(), F.col("category").asc()
+                )
+            )
+            rows = counts.withColumn("__rn", rn).collect()
+            selected = {
+                c: {r["category"] for r in rows
+                    if r["column"] == c and r["__rn"] <= top_n}
+                for c in cols
+            }
+            for c in cols:
+                if not selected[c]:
+                    # refuse at freeze time (mirrors the batch
+                    # operator's no-distribution error): an empty
+                    # frozen selection would otherwise build a
+                    # zero-element array literal whose array_contains
+                    # folds every streamed row into OTHER — the monitor
+                    # would start and silently compare against nothing
+                    raise ValueError(
+                        f"category_drift_stream: column {c!r} has no "
+                        "rows in the reference — no distribution to "
+                        "compare"
+                    )
+            folded = {}
+            for r in rows:
+                key = (
+                    r["column"],
+                    r["category"]
+                    if r["category"] in selected[r["column"]]
+                    else other_label,
+                )
+                folded[key] = folded.get(key, 0) + r["n"]
+            ref_counts = reference.sparkSession.createDataFrame(
+                [(c, cat, n) for (c, cat), n in sorted(folded.items())],
+                "column string, category string, n long",
+            )
+            source = "reference_top_n"
         from cosmap_spark.sinks.writers import _bootstrap_store
 
         _bootstrap_store(
@@ -1211,6 +1269,7 @@ def category_drift_stream(stream_df: DataFrame, store_path: str,
                 "cols": list(cols), "top_n": top_n,
                 "other_label": other_label, "null_label": null_label,
                 "selected": {c: sorted(selected[c]) for c in cols},
+                "selection_source": source,
             })},
         )
 

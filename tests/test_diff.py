@@ -338,3 +338,84 @@ def test_category_drift_empty_side_raises_on_collect(spark):
     with pytest.raises(pyspark.errors.exceptions.base.PySparkException,
                        match="no distribution"):
         out.collect()
+
+
+def test_heavy_hitter_frozen_categories_match_exact_topn(spark):
+    """The unbounded-vocabulary path (round 9): on a heavy-tailed mix
+    where every top-N category clears the MG guarantee,
+    category_drift(frozen_categories=heavy_hitter_categories(old))
+    is IDENTICAL to the exact top_n path — rows, counts, psi doubles —
+    and its plan carries no vocabulary-sized selection window."""
+    from cosmap_spark.operators.diff import (
+        category_drift,
+        heavy_hitter_categories,
+    )
+
+    # Zipf-ish: 5 heavy categories (hundreds of rows each) + a 400-key
+    # singleton tail; NULLs a real share
+    def mix(shift: int):
+        head = [(f"h{j}",) for j in range(5) for _ in range(300 - 40 * j)]
+        tail = [(f"t{(i + shift)}",) for i in range(400)]
+        nulls = [(None,)] * 60
+        return spark.createDataFrame(head + tail + nulls, "lang string")
+
+    old, new = mix(0), mix(200)
+    hh = heavy_hitter_categories(old, ["lang"], top_n=5, k=64)
+    assert sorted(hh["lang"]) == [f"h{j}" for j in range(5)]
+
+    key = lambda df: sorted(  # noqa: E731
+        (r["column"], r["category"], r["n_old"], r["n_new"],
+         r["p_old"], r["p_new"], r["psi_term"])
+        for r in df.collect()
+    )
+    frozen = category_drift(old, new, ["lang"], frozen_categories=hh)
+    exact = category_drift(old, new, ["lang"], top_n=5)
+    assert key(frozen) == key(exact)
+
+    # bounded state: the frozen plan folds BEFORE the aggregation, so
+    # the vocabulary-sized row_number SELECTION window is gone (the
+    # remaining windows are per-column totals over the BOUNDED folded
+    # aggregate)
+    plan = frozen._jdf.queryExecution().optimizedPlan().toString()
+    assert "row_number" not in plan
+    exact_plan = exact._jdf.queryExecution().optimizedPlan().toString()
+    assert "row_number" in exact_plan  # the contrast keeping this honest
+    assert frozen.count() <= 5 + 2  # frozen + other + (null in other)
+
+
+def test_chi2_frozen_categories_matches_prefolded(spark):
+    """chi2_test(frozen_categories=) equals chi2_test over manually
+    pre-folded inputs (identity for frozen, other for the rest), and
+    dof is bounded by the selection."""
+    from cosmap_spark.operators.stats_tests import chi2_test
+
+    def mk(shift):
+        rows = [(f"h{j % 3}",) for j in range(90)] + [
+            (f"t{(i + shift)}",) for i in range(40)
+        ]
+        return spark.createDataFrame(rows, "lang string")
+
+    old, new = mk(0), mk(20)
+    frozen = {"lang": ["h0", "h1", "h2"]}
+    got = chi2_test(old, new, ["lang"], frozen_categories=frozen) \
+        .collect()[0]
+
+    fold = F.when(F.col("lang").isin(*frozen["lang"]), F.col("lang")) \
+        .otherwise(F.lit("(other)"))
+    want = chi2_test(old.select(fold.alias("lang")),
+                     new.select(fold.alias("lang")), ["lang"]).collect()[0]
+    assert (got["chi2_units"], got["k"], got["dof"]) == (
+        want["chi2_units"], want["k"], want["dof"])
+    assert got["k"] <= 4
+
+
+def test_frozen_categories_guards(spark):
+    from cosmap_spark.operators.diff import category_drift
+    from cosmap_spark.operators.stats_tests import chi2_test
+
+    df = spark.createDataFrame([("a",)], "lang string")
+    with pytest.raises(ValueError, match="non-empty selection"):
+        category_drift(df, df, ["lang"], frozen_categories={"lang": []})
+    with pytest.raises(ValueError, match="must not collide"):
+        chi2_test(df, df, ["lang"],
+                  frozen_categories={"lang": ["(other)"]})

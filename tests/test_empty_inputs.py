@@ -363,6 +363,13 @@ def _spec_pagerank(spark):
     assert O.pagerank(_e(spark, "src long, dst long")).count() == 0
 
 
+def _spec_heavy_hitter_categories(spark):
+    import cosmap_spark.operators as O
+    e = _e(spark, "lang string, src string")
+    got = O.heavy_hitter_categories(e, ["lang", "src"], top_n=3)
+    assert got == {"lang": [], "src": []}
+
+
 def _spec_deterministic_sample(spark):
     import cosmap_spark.operators as O
     assert O.deterministic_sample(
@@ -1001,6 +1008,7 @@ SWEEP = {
     "group_kfold_assign": _spec_group_kfold,
     "kfold_assign": _spec_group_kfold,
     "category_drift": _spec_category_drift,
+    "heavy_hitter_categories": _spec_heavy_hitter_categories,
     "drift_bin_counts": _spec_drift_reference,
     "drift_reference": _spec_drift_reference,
     "snapshot_drift": _spec_snapshot_drift,

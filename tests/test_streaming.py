@@ -2057,6 +2057,77 @@ def test_ks_stream_matches_batch_ks_test(spark, tmp_path):
     assert vm["significant"] is True
 
 
+def test_category_drift_stream_frozen_categories(spark, tmp_path):
+    """The unbounded-vocabulary freeze (round 9): with
+    frozen_categories= the monitor folds the reference MAP-SIDE (no
+    vocabulary collect), the readout is BIT-identical to the batch
+    category_drift over the same frozen selection, the sidecar records
+    the selection's provenance, and a resume with a different
+    selection refuses."""
+    import json
+    import os
+
+    import pytest
+
+    from cosmap_spark.operators.diff import (
+        category_drift,
+        heavy_hitter_categories,
+    )
+    from cosmap_spark.streaming.ops import (
+        category_drift_state,
+        category_drift_stream,
+    )
+
+    # heavy-tailed: 3 heavy categories + a singleton tail per side
+    ref = spark.createDataFrame(
+        [(f"h{j % 3}",) for j in range(120)]
+        + [(f"rt{i}",) for i in range(80)], "lang string",
+    ).localCheckpoint()
+    streamed = spark.createDataFrame(
+        [(f"h{(j + 1) % 3}",) for j in range(100)]
+        + [(f"st{i}",) for i in range(60)], "lang string",
+    ).localCheckpoint()
+    land = tmp_path / "fc_land"
+    streamed.coalesce(1).write.parquet(str(land), mode="append")
+
+    hh = heavy_hitter_categories(ref, ["lang"], top_n=3, k=64)
+    assert sorted(hh["lang"]) == ["h0", "h1", "h2"]
+    store = str(tmp_path / "fc_store")
+    category_drift_stream(
+        (spark.readStream.schema("lang string")
+         .option("maxFilesPerTrigger", 1).parquet(str(land))),
+        store, str(tmp_path / "fc_ck"), cols=["lang"],
+        reference=ref, frozen_categories=hh,
+    ).awaitTermination(180)
+
+    key = lambda rows: sorted(map(tuple, rows))  # noqa: E731
+    live = key(category_drift_state(spark, store).collect())
+    batch = key(category_drift(ref, streamed, ["lang"],
+                               frozen_categories=hh).collect())
+    assert live == batch  # bit-identical, psi doubles included
+
+    with open(os.path.join(store, "ref", "_catdrift_meta")) as f:
+        meta = json.load(f)
+    assert meta["selection_source"] == "frozen_categories"
+    assert sorted(meta["selected"]["lang"]) == ["h0", "h1", "h2"]
+
+    # resume with a different frozen selection refuses loudly
+    with pytest.raises(ValueError, match="different frozen_categories"):
+        category_drift_stream(
+            spark.readStream.schema("lang string").parquet(str(land)),
+            store, str(tmp_path / "fc_ck2"), cols=["lang"],
+            frozen_categories={"lang": ["h0", "h1"]},
+        )
+    # resume with the SAME selection (or none) is fine
+    category_drift_stream(
+        (spark.readStream.schema("lang string")
+         .option("maxFilesPerTrigger", 1).parquet(str(land))),
+        store, str(tmp_path / "fc_ck3"), cols=["lang"],
+        frozen_categories=hh,
+    ).awaitTermination(180)
+    assert key(category_drift_state(spark, store).collect()) == batch
+
+
 def test_monitor_report_unifies_all_live_verdicts(spark, tmp_path):
     """monitor_report (round 9): ONE [monitor, subject, statistic,
     value, p_value, significant] table across the live stores — each
