@@ -29,6 +29,8 @@ from cosmap_spark.streaming.ops import (  # noqa: F401
     monitor_report,
     mwu_state,
     quality_gate,
+    reservoir_state,
+    reservoir_stream,
     sketch_stream,
     session_counts,
     sliding_counts,

@@ -1649,6 +1649,114 @@ def mwu_state(spark: SparkSession, store_path: str) -> DataFrame:
     return mwu_from_counts(counts, meta["cols"])
 
 
+def reservoir_merge(rows: DataFrame, *, k: int, key_cols: list[str],
+                    strata_cols: list[str] | None = None) -> DataFrame:
+    """The min-k fold at the heart of :func:`reservoir_stream`: keep,
+    per stratum, the ``k`` distinct rows with the smallest ``__h``
+    (ties broken by the key columns — the same total order
+    ``operators.sampler.exact_k_sample`` uses, so stream ≡ batch holds
+    exactly).  ``distinct()`` FIRST is what makes the fold idempotent
+    across replays by construction (the KMV property applied to
+    sampling): re-merging rows the state already contains cannot
+    change it — min-k(S ∪ S) = min-k(S) — so this is the rare monitor
+    that is exactly-once even if the epoch ledger were lost.  The
+    flip side of that property is the semantics: the reservoir samples
+    the DISTINCT rows of the stream (an exact duplicate row is one
+    candidate, not two)."""
+    from pyspark.sql import Window as W
+
+    strata = list(strata_cols or [])
+    deduped = rows.distinct()
+    if strata:
+        w = W.partitionBy(*strata).orderBy("__h", *key_cols)
+        return (
+            deduped.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+    # global budget: the TakeOrdered shape (per-partition heap of k,
+    # heap merge), never a global sort
+    return deduped.orderBy("__h", *key_cols).limit(k)
+
+
+def reservoir_stream(stream_df: DataFrame, store_path: str,
+                     checkpoint: str, *, k: int, key_cols: list[str],
+                     strata_cols: list[str] | None = None,
+                     seed: int = 83):
+    """Streaming fixed-size uniform sample — the live twin of
+    ``operators.sampler.exact_k_sample``: maintain, per stratum (or
+    globally), the ``k`` rows with the smallest ``xxhash64(key, seed)``
+    over everything streamed so far, in O(k·strata) state.  Reading
+    the store (:func:`reservoir_state`) at any time yields EXACTLY
+    what the batch operator would return over the concatenated stream
+    (asserted bit-equal in tests) — eval-set carving and debugging
+    slices that stay stable as data keeps arriving, because a row's
+    sampling fate is its hash rank, not its arrival order.
+
+    Exactly-once is DOUBLY held: the shared epoch ledger short-circuits
+    replays like every monitor, and — uniquely — the min-k fold itself
+    is idempotent across replays by construction
+    (:func:`reservoir_merge`: distinct rows, KMV property), so even a
+    lost ledger cannot corrupt the sample.  Keys should uniquely
+    identify rows (it is a SAMPLING key): rows identical in every
+    column count once.
+
+    State/scale shape: each micro-batch folds to its own ≤k(·strata)
+    candidate set batch-side, the store merge touches O(k·strata)
+    rows, history is never re-scanned.  Parameters ride a sidecar and
+    a mismatched resume refuses (the sketch_stream k lesson)."""
+    import json as _json
+    import os
+
+    from cosmap_spark.operators.sampler import _key_hash
+
+    params = {"k": int(k), "key_cols": list(key_cols),
+              "strata_cols": list(strata_cols or []), "seed": int(seed)}
+    meta_path = os.path.join(store_path, "sample", "_reservoir_meta")
+
+    def check_params() -> None:
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                have = _json.load(f)
+            if have != params:
+                raise ValueError(
+                    f"reservoir_stream: store at {store_path} was built "
+                    f"with {have}; resume requested {params}"
+                )
+
+    check_params()
+
+    def batch_state(batch_df: DataFrame) -> DataFrame:
+        hashed = batch_df.withColumn(
+            "__h", _key_hash(list(key_cols), F.lit(int(seed)))
+        )
+        return reservoir_merge(hashed, k=k, key_cols=list(key_cols),
+                               strata_cols=strata_cols)
+
+    def merge_state(old: DataFrame, batch: DataFrame) -> DataFrame:
+        return reservoir_merge(
+            old.unionByName(batch), k=k, key_cols=list(key_cols),
+            strata_cols=strata_cols,
+        )
+
+    return _ledgered_loop(
+        stream_df, store_path, checkpoint,
+        subdir="sample", op="reservoir_stream",
+        batch_state=batch_state, merge_state=merge_state,
+        sidecars={"_reservoir_meta": _json.dumps(params)},
+        pre_epoch=check_params,
+    )
+
+
+def reservoir_state(spark: SparkSession, store_path: str) -> DataFrame:
+    """The current sample of a :func:`reservoir_stream` store — the
+    payload rows without the internal hash rank."""
+    import os
+
+    return spark.read.parquet(os.path.join(store_path, "sample")) \
+        .drop("__h")
+
+
 def monitor_report(
     spark: SparkSession,
     *,

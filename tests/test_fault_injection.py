@@ -313,8 +313,36 @@ def _spec_heavy_hitters(spark, land):
     return start, state, "counters"
 
 
+def _spec_reservoir(spark, land):
+    rows = [
+        spark.range(i * 300, (i + 1) * 300).select(
+            F.col("id").alias("uid"), (F.col("id") % 5).alias("g")
+        )
+        for i in range(3)
+    ]
+    _land_files(spark, land, rows)
+
+    def start(store, ckpt):
+        from cosmap_spark.streaming.ops import reservoir_stream
+
+        stream = (
+            spark.readStream.schema("uid long, g long")
+            .option("maxFilesPerTrigger", 1).parquet(str(land))
+        )
+        return reservoir_stream(stream, str(store), str(ckpt),
+                                k=11, key_cols=["uid"])
+
+    def state(store):
+        return sorted(
+            map(tuple, spark.read.parquet(str(store / "sample")).collect())
+        )
+
+    return start, state, "sample"
+
+
 SPECS = {
     "sketch": _spec_sketch,
+    "reservoir": _spec_reservoir,
     "drift": _spec_drift,
     "category": _spec_category,
     "abtest": _spec_abtest,

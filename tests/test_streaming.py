@@ -2057,6 +2057,90 @@ def test_ks_stream_matches_batch_ks_test(spark, tmp_path):
     assert vm["significant"] is True
 
 
+def test_reservoir_stream_matches_batch_exact_k_sample(spark, tmp_path):
+    """Streaming reservoir (round 9): after three micro-batches the
+    store is EXACTLY exact_k_sample over the concatenated stream (same
+    hash, same total order); the min-k fold is idempotent across
+    replays BY CONSTRUCTION (re-merging already-held rows is a no-op
+    even without the ledger); state is O(k); stratified budgets match
+    the per-stratum batch twin; mismatched-k resume refuses."""
+    import pytest
+
+    from cosmap_spark.operators.sampler import exact_k_sample
+    from cosmap_spark.streaming.ops import (
+        reservoir_merge,
+        reservoir_state,
+        reservoir_stream,
+    )
+
+    rows = spark.range(0, 900).select(
+        F.col("id").alias("uid"),
+        (F.col("id") % 4).alias("grp"),
+        (F.col("id") * 3 % 101).alias("v"),
+    ).localCheckpoint()
+    land = tmp_path / "rs_land"
+    for third in range(3):
+        rows.where(F.col("uid") % 3 == third).coalesce(1).write.parquet(
+            str(land), mode="append"
+        )
+
+    store = str(tmp_path / "rs_store")
+    reservoir_stream(
+        (spark.readStream.schema("uid long, grp long, v long")
+         .option("maxFilesPerTrigger", 1).parquet(str(land))),
+        store, str(tmp_path / "rs_ck"), k=25, key_cols=["uid"],
+    ).awaitTermination(180)
+
+    key = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    live = key(reservoir_state(spark, store))
+    batch = key(exact_k_sample(rows, k=25, key_cols=["uid"]))
+    assert live == batch and len(live) == 25  # O(k) state, exact twin
+
+    # the KMV idempotence law, ledger-free: re-merging any batch the
+    # state already absorbed changes nothing
+    state = spark.read.parquet(f"{store}/sample")
+    replayed = state.limit(10)
+    again = reservoir_merge(state.unionByName(replayed), k=25,
+                            key_cols=["uid"])
+    assert key(again.drop("__h")) == live
+
+    # replay the whole stream on a fresh checkpoint: store byte-stable
+    before = sorted(map(tuple, state.collect()))
+    reservoir_stream(
+        (spark.readStream.schema("uid long, grp long, v long")
+         .option("maxFilesPerTrigger", 1).parquet(str(land))),
+        store, str(tmp_path / "rs_ck2"), k=25, key_cols=["uid"],
+    ).awaitTermination(180)
+    assert sorted(map(tuple,
+                      spark.read.parquet(f"{store}/sample").collect())) \
+        == before
+
+    with pytest.raises(ValueError, match="was built with"):
+        reservoir_stream(
+            spark.readStream.schema("uid long, grp long, v long")
+            .parquet(str(land)),
+            store, str(tmp_path / "rs_ck3"), k=30, key_cols=["uid"],
+        )
+
+    # stratified: per-group budget equals the per-stratum batch twin
+    store2 = str(tmp_path / "rs_store2")
+    reservoir_stream(
+        (spark.readStream.schema("uid long, grp long, v long")
+         .option("maxFilesPerTrigger", 1).parquet(str(land))),
+        store2, str(tmp_path / "rs_ck4"), k=7, key_cols=["uid"],
+        strata_cols=["grp"],
+    ).awaitTermination(180)
+    live2 = key(reservoir_state(spark, store2))
+    want2 = sorted(
+        t
+        for g in range(4)
+        for t in map(tuple, exact_k_sample(
+            rows.where(F.col("grp") == g), k=7, key_cols=["uid"]
+        ).collect())
+    )
+    assert live2 == want2 and len(live2) == 4 * 7
+
+
 def test_category_drift_stream_frozen_categories(spark, tmp_path):
     """The unbounded-vocabulary freeze (round 9): with
     frozen_categories= the monitor folds the reference MAP-SIDE (no
