@@ -132,9 +132,11 @@ from cosmap_spark.operators.index_store import (  # noqa: F401
     lex_append,
     load_ann_index,
     load_lex_index,
+    load_token_bags,
     pq_append,
     save_ann_index,
     save_lex_index,
+    save_token_bags,
 )
 from cosmap_spark.operators.expectations import (  # noqa: F401
     enforce,
@@ -176,7 +178,9 @@ from cosmap_spark.operators.retrieval import (  # noqa: F401
     build_lex_index,
     inline_tf,
     maxsim_rerank,
+    maxsim_rerank_plaid,
     maxsim_rerank_pruned,
+    maxsim_token_quantizer,
     maxsim_topk,
     phrase_match,
     phrase_match_multi,

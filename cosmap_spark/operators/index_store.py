@@ -139,6 +139,65 @@ def save_ann_index(
     os.replace(tmp, os.path.join(path, "manifest.json"))
 
 
+def save_token_bags(
+    path: str,
+    centroids: list[tuple[int, list[float]]],
+    bags: DataFrame,
+    *,
+    normalize: bool = True,
+) -> None:
+    """Persist a :func:`cosmap_spark.operators.retrieval.
+    maxsim_token_quantizer` result beside an index — the token-level
+    centroid vectors plus the per-doc bags ``[nid, bag array<int>]``
+    that :func:`cosmap_spark.operators.retrieval.maxsim_rerank_plaid`
+    consumes.  Same manifest discipline as ``save_ann_index``: the
+    manifest is written last and atomically, so a crash mid-save
+    leaves either no manifest or the previous intact one.  The
+    training ``normalize`` flag travels in the manifest — bags scored
+    under the wrong convention are meaningless, the ``residual`` flag
+    lesson."""
+    spark = bags.sparkSession
+    spark.createDataFrame(
+        [(int(cid), [float(x) for x in vec]) for cid, vec in centroids],
+        "cid INT, cvec ARRAY<DOUBLE>",
+    ).write.mode("overwrite").parquet(
+        os.path.join(path, "plaid_centroids")
+    )
+    bags.write.mode("overwrite").parquet(os.path.join(path, "plaid_bags"))
+    os.makedirs(path, exist_ok=True)
+    manifest = {
+        "components": ["plaid"],
+        "nlist": len(centroids),
+        "normalize": bool(normalize),
+    }
+    tmp = os.path.join(path, ".plaid_manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(path, "plaid_manifest.json"))
+
+
+def load_token_bags(spark: SparkSession, path: str) -> dict:
+    """Reload a ``save_token_bags`` directory: ``{"centroids": [...],
+    "bags": DataFrame, "normalize": bool}`` — pass centroids/bags to
+    ``maxsim_rerank_plaid`` with the recorded ``normalize``.  Loaded
+    serving is asserted row-identical to in-memory artifacts in
+    tests/test_retrieval.py."""
+    with open(os.path.join(path, "plaid_manifest.json")) as f:
+        manifest = json.load(f)
+    cents = [
+        (r["cid"], list(r["cvec"]))
+        for r in spark.read.parquet(
+            os.path.join(path, "plaid_centroids")
+        ).collect()
+    ]
+    cents.sort(key=lambda t: t[0])
+    return {
+        "centroids": cents,
+        "bags": spark.read.parquet(os.path.join(path, "plaid_bags")),
+        "normalize": bool(manifest.get("normalize", True)),
+    }
+
+
 def _require_session(*dfs) -> SparkSession:
     for df in dfs:
         if df is not None:

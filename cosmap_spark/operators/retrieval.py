@@ -1678,3 +1678,207 @@ def maxsim_rerank_pruned(
         qvecs_col=qvecs_col, normalize=normalize,
         distributed_queries=distributed_queries,
     )
+
+
+def _norm_tokens(col, normalize: bool):
+    """Row-normalize each token vector of an ``array<array<double>>``
+    column in-plan (zero-norm tokens → zero vectors, the maxsim
+    contract).  The norm binds via a fresh lambda variable per token,
+    so the no-CSE-in-lambdas rule costs one extra pass per token —
+    bounded by the token count."""
+    if not normalize:
+        return col
+
+    def one(t):
+        n = F.sqrt(F.aggregate(t, F.lit(0.0), lambda a, x: a + x * x))
+        return F.transform(
+            t, lambda x: F.when(n > 0, x / n).otherwise(F.lit(0.0))
+        )
+
+    return F.transform(col, one)
+
+
+def maxsim_token_quantizer(
+    docs: DataFrame,
+    *,
+    nlist: int = 16,
+    id_col: str = "doc_id",
+    vecs_col: str = "tvecs",
+    normalize: bool = True,
+    iters: int = 1,
+    seed: int = 29,
+    seeding: str = "hash",
+) -> tuple[list[tuple[int, list[float]]], DataFrame]:
+    """Train a TOKEN-level coarse quantizer for full-PLAID MaxSim
+    pruning (Santhanam et al., CIKM 2022: candidate scoring against
+    per-token centroid ids): the corpus token vectors (exploded,
+    optionally normalized — train with the SAME ``normalize`` the
+    serving call will use) go through ``knn.ivf_build``, and each
+    document keeps its BAG — the sorted distinct centroid ids its
+    tokens quantize to.  Returns ``(centroids, bags)`` with ``bags =
+    [nid, bag array<int>]``; persist beside the index with
+    ``index_store.save_token_bags``.
+
+    This is the resolution the pooled proxy
+    (:func:`maxsim_rerank_pruned`) documents as its limit: one
+    centroid per DOC discriminates between clusters only, while the
+    bag preserves each doc's token-level composition — the
+    within-cluster signal (differential pinned on a cluster-dense
+    shortlist where the pooled proxy degenerates to doc-id ties).
+
+    Cost/scale: training is ``ivf_build`` over O(corpus tokens) rows
+    (one-time, like any quantizer training); the bag table is one
+    ``collect_set`` aggregation on the assignment — O(docs) rows of
+    ≤ min(tokens, nlist) ints, tiny beside the token matrices."""
+    from cosmap_spark.operators.knn import ivf_build
+
+    if nlist < 1:
+        raise ValueError(f"nlist must be >= 1; got {nlist}")
+    tok = docs.where(F.col(vecs_col).isNotNull()).select(
+        F.col(id_col).alias("__did"),
+        F.posexplode(_norm_tokens(F.col(vecs_col), normalize))
+        .alias("__pos", "__t"),
+    ).select(
+        # composite token id: unique, deterministic, hashable by
+        # ivf_build's seed sampler for any scalar doc-id type
+        F.concat(F.col("__did").cast("string"), F.lit("\x1f"),
+                 F.col("__pos").cast("string")).alias("tok_id"),
+        "__did", "__t",
+    )
+    cents, assigned = ivf_build(
+        tok, nlist=nlist, iters=iters, id_col="tok_id", vec_col="__t",
+        seed=seed, seeding=seeding,
+    )
+    bags = (
+        assigned.select(F.col("nid").alias("tok_id"), "cid")
+        .join(tok.select("tok_id", "__did"), "tok_id")
+        .groupBy("__did")
+        .agg(F.sort_array(F.collect_set("cid")).alias("bag"))
+        .select(F.col("__did").alias("nid"), "bag")
+    )
+    return cents, bags
+
+
+def maxsim_rerank_plaid(
+    shortlist: DataFrame,
+    docs: DataFrame,
+    queries: DataFrame,
+    bags: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    *,
+    prune_k: int,
+    id_col: str = "doc_id",
+    vecs_col: str = "tvecs",
+    qid_col: str = "qid",
+    qvecs_col: str = "tvecs",
+    normalize: bool = True,
+    distributed_queries: bool = False,
+) -> DataFrame:
+    """Token-level centroid-pruned MaxSim rerank — full PLAID: the ANN
+    shortlist is cut to the top ``prune_k`` docs per query by
+
+        approx(q, d) = Σ_i max_{c ∈ bag(d)} ⟨q̂ᵢ, ĉ⟩
+
+    (each query token scored against the doc's token-CENTROID bag from
+    :func:`maxsim_token_quantizer`), and only the survivors pay
+    :func:`maxsim_rerank`'s exact token-matrix scoring.  Strictly
+    sharper than the pooled proxy of :func:`maxsim_rerank_pruned`:
+    approx preserves per-token structure, so it discriminates WITHIN a
+    cluster (the pooled proxy's documented resolution limit — pinned
+    by a cluster-dense-shortlist differential the pooled proxy fails).
+
+    Plan contract (the pruned-rerank discipline, plan-gated in tests):
+    all equi-joins — shortlist ⋈ bags on doc id, the per-query
+    sim-table broadcast on qid — zero driver jobs at construction, and
+    the proxy touches no token MATRIX: the doc side contributes only
+    its ≤ min(tokens, nlist)-int bag.  Per query the similarity table
+    ⟨q̂ᵢ, ĉ⟩ is computed in-plan (query ⨯ broadcast centroid frame —
+    |Q|·nlist rows, query-sized by the maxsim contract) and rides a
+    broadcast map keyed by centroid id; the per-row fold is
+    higher-order functions only (element-wise max across the bag's
+    sim rows, then a sequential sum — HOF ``aggregate`` is sequential
+    by definition, the engine's dot-product determinism rule).  With
+    ``prune_k`` ≥ the per-query shortlist size the result is
+    bit-identical to the unpruned rerank (pinned).  A shortlist doc
+    missing from ``bags`` is dropped by the inner join (the
+    maxsim_rerank_pruned contract: silently-unindexed docs refuse)."""
+    import math
+
+    if prune_k < 1:
+        raise ValueError(f"prune_k must be >= 1; got {prune_k}")
+    if not centroids:
+        raise ValueError("maxsim_rerank_plaid: empty centroid list")
+    spark = shortlist.sparkSession
+    crows = []
+    for cid, vec in centroids:
+        if normalize:
+            n = math.sqrt(sum(float(x) * float(x) for x in vec))
+            vec = [float(x) / n if n > 0 else 0.0 for x in vec]
+        crows.append((int(cid), [float(x) for x in vec]))
+    cframe = spark.createDataFrame(crows, "cid int, __cn array<double>")
+
+    # per (query, centroid): the per-token sim row ⟨q̂ᵢ, ĉ⟩ — a
+    # query-sized ⨯ nlist frame, folded into one broadcast map per
+    # query keyed by centroid id (array_sort pins collect_list's
+    # partition-dependent order before map construction)
+    qn = queries.select(
+        F.col(qid_col).alias("qid"),
+        _norm_tokens(F.col(qvecs_col), normalize).alias("__qt"),
+    )
+    qsims = qn.crossJoin(F.broadcast(cframe)).select(
+        "qid", "cid",
+        F.transform(
+            "__qt",
+            lambda t: F.aggregate(
+                F.zip_with(t, F.col("__cn"), lambda a, b: a * b),
+                F.lit(0.0), lambda a, x: a + x,
+            ),
+        ).alias("__sims"),
+    )
+    simmap = qsims.groupBy("qid").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("cid", "__sims")))
+        ).alias("__sm")
+    )
+
+    arrs = F.transform(
+        F.col("bag"), lambda c: F.element_at(F.col("__sm"), c)
+    )
+    folded = F.aggregate(
+        F.slice(arrs, 2, F.greatest(F.size(arrs) - 1, F.lit(0))),
+        F.element_at(arrs, 1),
+        lambda acc, a: F.zip_with(acc, a, lambda x, y: F.greatest(x, y)),
+    )
+    # the bag table is corpus-sized; the shortlist is query·k-sized by
+    # contract — broadcast it so the bags stream through one hash probe
+    # (an unhinted join plans SMJ pre-AQE: a corpus-wide sort for a
+    # shortlist lookup)
+    approx = (
+        bags.select(F.col("nid").alias("doc_id"), "bag")
+        .join(
+            F.broadcast(shortlist.select(
+                F.col(qid_col).alias("qid"), F.col(id_col).alias("doc_id")
+            )),
+            "doc_id",
+        )
+        .join(F.broadcast(simmap), "qid")
+        .select(
+            "qid", "doc_id",
+            F.aggregate(folded, F.lit(0.0), lambda a, x: a + x)
+            .alias("__approx"),
+        )
+    )
+    wq = Window.partitionBy("qid").orderBy(
+        F.col("__approx").desc(), F.col("doc_id").asc()
+    )
+    pruned = (
+        approx.withColumn("__pr", F.row_number().over(wq))
+        .where(F.col("__pr") <= prune_k)
+        .select(F.col("qid").alias(qid_col), F.col("doc_id").alias(id_col))
+    )
+    return maxsim_rerank(
+        pruned, docs, queries,
+        id_col=id_col, vecs_col=vecs_col, qid_col=qid_col,
+        qvecs_col=qvecs_col, normalize=normalize,
+        distributed_queries=distributed_queries,
+    )

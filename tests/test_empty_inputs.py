@@ -948,6 +948,21 @@ def _spec_maxsim_rerank_pruned(spark):
     assert out.count() == 0
 
 
+def _spec_maxsim_rerank_plaid(spark):
+    from cosmap_spark.operators.retrieval import maxsim_rerank_plaid
+
+    short = spark.createDataFrame([], "qid long, doc_id long")
+    docs = spark.createDataFrame(
+        [], "doc_id long, tvecs array<array<double>>"
+    )
+    qs = spark.createDataFrame([], "qid long, tvecs array<array<double>>")
+    bags = spark.createDataFrame([], "nid long, bag array<int>")
+    out = maxsim_rerank_plaid(
+        short, docs, qs, bags, [(0, [1.0, 0.0])], prune_k=3
+    )
+    assert out.count() == 0
+
+
 def _spec_phrase_match_multi(spark):
     from cosmap_spark.operators.retrieval import (
         inline_tf, phrase_match_multi,
@@ -990,6 +1005,7 @@ SWEEP = {
     "chi2_test": _spec_chi2_test,
     "decide": _spec_decide,
     "maxsim_rerank_pruned": _spec_maxsim_rerank_pruned,
+    "maxsim_rerank_plaid": _spec_maxsim_rerank_plaid,
     "phrase_match_multi": _spec_phrase_match_multi,
     "deterministic_sample": _spec_deterministic_sample,
     "diff_summary": _spec_diff_summary,
@@ -1126,6 +1142,12 @@ EXCLUDED = {
     "semantic_dedup_balance": "same (k-means training)",
     "semantic_dedup_pairs": "same (k-means training)",
     "pq_train": "trains codebooks; empty corpus raises by design",
+    "maxsim_token_quantizer": "trains a token-level coarse quantizer "
+                              "(ivf_build); empty corpus raises by "
+                              "design",
+    "save_token_bags": "I/O plumbing; round-trip covered in "
+                       "tests/test_retrieval.py",
+    "load_token_bags": "same",
     "train_quality_classifier": "trains a model; empty labeled set "
                                 "raises by design",
 }

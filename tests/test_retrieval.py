@@ -999,6 +999,164 @@ def test_maxsim_rerank_pruned_identity_and_recall(spark):
         maxsim_rerank_pruned(short, ddf, qdf, assigned, [], prune_k=5)
 
 
+def _plaid_subtopic_fixture(spark, seed=17):
+    """Clusters WITH sub-topic structure: 4 main clusters × 4
+    sub-centers each; every doc's tokens come from two of its
+    cluster's sub-centers.  Within-cluster ranking is then a real
+    signal (which sub-topics a doc covers) — learnable by a
+    token-level quantizer, invisible to one pooled centroid per
+    cluster."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(4, 8)) * 6
+    subs = rng.normal(size=(4, 4, 8)) * 2.5  # per-cluster sub-offsets
+    docs_rows = []
+    for i in range(120):
+        k = i % 4
+        sa, sb = (i // 4) % 4, (i // 16) % 4
+        toks = np.stack([
+            centers[k] + subs[k][sa] + rng.normal(size=8) * 0.3,
+            centers[k] + subs[k][sa] + rng.normal(size=8) * 0.3,
+            centers[k] + subs[k][sb] + rng.normal(size=8) * 0.3,
+        ])
+        docs_rows.append((i, [[float(x) for x in t] for t in toks]))
+    ddf = spark.createDataFrame(
+        docs_rows, "doc_id long, tvecs array<array<double>>"
+    )
+    pooled = spark.createDataFrame(
+        [(i, [float(x) for x in np.mean(np.array(r[1]), axis=0)])
+         for i, r in enumerate(docs_rows)],
+        "vec_id long, embedding array<double>",
+    )
+    qdf = spark.createDataFrame(
+        [(j, [[float(x) for x in
+               (centers[j % 4] + subs[j % 4][s] + rng.normal(size=8) * 0.2)]
+              for s in (0, 1)])
+         for j in range(3)],
+        "qid long, tvecs array<array<double>>",
+    )
+    return ddf, pooled, qdf
+
+
+def test_maxsim_plaid_token_bags(spark, tmp_path):
+    """Full-PLAID token-level pruning (round 9): bit-identity to the
+    unpruned rerank at prune_k >= |shortlist|; on the clustered
+    fixture recall at cluster-sized prune_k is at least the pooled
+    proxy's; on a CLUSTER-DENSE shortlist (every candidate in ONE doc
+    cluster — the pooled proxy's documented resolution limit, where
+    its scores tie and pruning degenerates to doc-id order) the token
+    bags keep recall high while the pooled proxy fails; plan gates
+    (equi-joins, zero driver jobs); index_store round-trip of the
+    bags serves row-identically."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cosmap_spark.operators.index_store import (
+        load_token_bags, save_token_bags,
+    )
+    from cosmap_spark.operators.knn import ivf_build
+    from cosmap_spark.operators.retrieval import (
+        maxsim_rerank,
+        maxsim_rerank_plaid,
+        maxsim_rerank_pruned,
+        maxsim_token_quantizer,
+    )
+
+    ddf, pooled, qdf = _plaid_subtopic_fixture(spark)
+    tcents, bags = maxsim_token_quantizer(ddf, nlist=16, iters=2)
+    bags = bags.localCheckpoint()
+    short = qdf.select("qid").crossJoin(
+        ddf.select("doc_id")
+    ).localCheckpoint()
+
+    key = lambda rows: sorted(map(tuple, rows))  # noqa: E731
+    full = maxsim_rerank(short, ddf, qdf).collect()
+    same = maxsim_rerank_plaid(
+        short, ddf, qdf, bags, tcents, prune_k=120
+    ).collect()
+    assert key(full) == key(same)  # identity at prune_k >= |shortlist|
+
+    def topn(rows, n=5):
+        d = {}
+        for r in rows:
+            d.setdefault(r["qid"], []).append((r["rn"], r["doc_id"]))
+        return {q: {doc for rn, doc in sorted(v)[:n]} for q, v in d.items()}
+
+    def recall(rows, ref_rows):
+        t_ref, t_got = topn(ref_rows), topn(rows)
+        return sum(len(t_ref[q] & t_got[q]) for q in t_ref) / sum(
+            len(t_ref[q]) for q in t_ref
+        )
+
+    # cross-cluster shortlist at cluster-sized prune_k: token bags at
+    # least match the pooled proxy
+    pcents, assigned = ivf_build(pooled, nlist=4, iters=2)
+    assigned = assigned.localCheckpoint()
+    r_pooled = recall(maxsim_rerank_pruned(
+        short, ddf, qdf, assigned, pcents, prune_k=35).collect(), full)
+    r_plaid = recall(maxsim_rerank_plaid(
+        short, ddf, qdf, bags, tcents, prune_k=35).collect(), full)
+    assert r_plaid >= r_pooled >= 0.9, (r_plaid, r_pooled)
+
+    # cluster-dense shortlist: all 30 candidates of query 0's own doc
+    # cluster (doc_id % 4 == 0) — every pooled proxy score ties (same
+    # centroid), so at prune_k=8 it prunes by doc-id order; the token
+    # bags rank within the cluster
+    q0 = qdf.where(F.col("qid") == 0)
+    dense = q0.select("qid").crossJoin(
+        ddf.where(F.col("doc_id") % 4 == 0).select("doc_id")
+    ).localCheckpoint()
+    dense_full = maxsim_rerank(dense, ddf, q0).collect()
+    r_pooled_d = recall(maxsim_rerank_pruned(
+        dense, ddf, q0, assigned, pcents, prune_k=8).collect(),
+        dense_full)
+    r_plaid_d = recall(maxsim_rerank_plaid(
+        dense, ddf, q0, bags, tcents, prune_k=8).collect(), dense_full)
+    assert r_plaid_d > r_pooled_d, (r_plaid_d, r_pooled_d)
+    assert r_plaid_d >= 0.8, r_plaid_d
+
+    # plan gates: equi-joins only, zero driver jobs at construction
+    jobs_before = spark.sparkContext._jsc.sc().statusTracker() \
+        .getJobIdsForGroup(None)
+    frame = maxsim_rerank_plaid(
+        dense, ddf, q0, bags, tcents, prune_k=8,
+        distributed_queries=True,
+    )
+    jobs_after = spark.sparkContext._jsc.sc().statusTracker() \
+        .getJobIdsForGroup(None)
+    assert len(jobs_after) == len(jobs_before)
+    plan = frame._sc._jvm.PythonSQLUtils.explainString(
+        frame._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan
+    # exactly ONE nested-loop join: the |Q|×nlist sim-table build
+    # against the literal centroid frame (the constant-size class
+    # CLAUDE.md documents); the proxy's shortlist/bags/simmap joins
+    # are all broadcast-hash (the SMJs below it belong to
+    # maxsim_rerank's exact stage, same as the pooled variant)
+    # (formatted explain prints each node twice: tree line + details)
+    assert plan.count("BroadcastNestedLoopJoin") == 2
+
+    # index_store round-trip: loaded bags/centroids serve identically
+    store = str(tmp_path / "plaid_store")
+    save_token_bags(store, tcents, bags)
+    loaded = load_token_bags(spark, store)
+    assert loaded["normalize"] is True
+    again = maxsim_rerank_plaid(
+        dense, ddf, q0, loaded["bags"], loaded["centroids"], prune_k=8,
+        normalize=loaded["normalize"],
+    ).collect()
+    direct = maxsim_rerank_plaid(
+        dense, ddf, q0, bags, tcents, prune_k=8).collect()
+    assert key(again) == key(direct)
+
+    with pytest.raises(ValueError, match="prune_k"):
+        maxsim_rerank_plaid(dense, ddf, q0, bags, tcents, prune_k=0)
+    with pytest.raises(ValueError, match="centroid"):
+        maxsim_rerank_plaid(dense, ddf, q0, bags, [], prune_k=5)
+
+
 def test_phrase_match_multi_equals_per_phrase(spark):
     """phrase_match_multi ≡ union of per-phrase phrase_match on the
     same positional table, at slop=0 and slop=1, including a
