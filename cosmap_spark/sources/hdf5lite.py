@@ -24,9 +24,13 @@ continuation blocks, groups via v1 B-tree + local heap symbol tables,
 CHUNKED (v1 raw-data-chunk B-tree index) with an optional DEFLATE
 filter — the layout most real-world writers (h5py's
 ``chunks=True, compression="gzip"`` default path) produce (round-8
-verdict #7).  Other filters (shuffle, fletcher32, szip…), v2+
-superblocks, attributes, and other datatypes raise ``ValueError``
-naming the unsupported feature — fully general HDF5 still wants h5py
+verdict #7) — plus VARIABLE-LENGTH STRING datasets (class-9 vlen
+string descriptors + v1 global-heap collections, contiguous
+descriptors — the layout h5py writes for ``str`` columns; round-9
+verdict #7: real catalogs carry string columns).  Other filters
+(shuffle, fletcher32, szip…), vlen SEQUENCES, compound dtypes, v2+
+superblocks, and attributes raise ``ValueError`` naming the
+unsupported feature — fully general HDF5 still wants h5py
 (``readers._default_hdf5_reader``).
 """
 
@@ -58,6 +62,36 @@ _DT_WRITE = {
         8,
     ),
 }
+
+
+def _vlen_string_datatype_msg() -> bytes:
+    """Class-9 (variable-length) v1 datatype for a null-terminated
+    ASCII/UTF-8 string: bit field type=1 (string), padding=0,
+    charset=0; element size 16 (the vlen descriptor: 4-byte length +
+    8-byte global-heap collection address + 4-byte object index);
+    properties carry the BASE type — a class-3 v1 string of size 1."""
+    base = bytes([0x13, 0, 0, 0]) + struct.pack("<I", 1)
+    head = bytes([(1 << 4) | 9, 0x01, 0x00, 0x00]) + struct.pack("<I", 16)
+    return _msg(0x0003, head + base)
+
+
+def _gcol(w: "_Writer", items: list[bytes]) -> tuple[int, list[int]]:
+    """Write one global-heap collection holding ``items`` (object
+    indexes 1..n); returns (collection address, indexes).  Collections
+    are padded to libhdf5's 4096-byte minimum with a free-space object
+    (index 0) so h5py parses the same bytes."""
+    objs = b""
+    idxs = []
+    for i, data in enumerate(items, start=1):
+        objs += struct.pack("<HH4xQ", i, 1, len(data)) + _pad8(data)
+        idxs.append(i)
+    used = 16 + len(objs)
+    total = max(4096, used + 16)
+    free = total - used
+    objs += struct.pack("<HH4xQ", 0, 0, free) + b"\x00" * (free - 16)
+    addr = w.put(b"GCOL" + bytes([1, 0, 0, 0])
+                 + struct.pack("<Q", total) + objs)
+    return addr, idxs
 
 
 def _pad8(b: bytes) -> bytes:
@@ -249,11 +283,42 @@ def write_simple_hdf5(path: str, groups: dict[str, dict[str, np.ndarray]],
             a = np.ascontiguousarray(arr)
             if a.ndim != 1:
                 raise ValueError(f"hdf5lite: {cname!r} must be 1-D")
+            if a.dtype.kind in ("U", "O"):
+                # variable-length string dataset: one global-heap
+                # collection per column holds the bytes, the dataset's
+                # raw data is the 16-byte (length, collection address,
+                # object index) descriptors — the layout h5py writes
+                # for str columns.  Always CONTIGUOUS (chunked vlen
+                # descriptors are out of scope — and would buy nothing:
+                # the payload bytes live in the heap either way).
+                vals = []
+                for v in a.tolist():
+                    if not isinstance(v, str):
+                        raise ValueError(
+                            f"hdf5lite: {cname!r} has a non-string "
+                            f"element {v!r} — vlen columns hold str "
+                            "only (encode NULLs upstream)"
+                        )
+                    vals.append(v.encode("utf-8"))
+                gaddr, idxs = _gcol(w, vals)
+                desc = b"".join(
+                    struct.pack("<IQI", len(vals[i]), gaddr, idxs[i])
+                    for i in range(len(vals))
+                )
+                data_addr = w.put(desc)
+                msgs = [
+                    _dataspace_msg(len(a)),
+                    _vlen_string_datatype_msg(),
+                    _layout_msg(data_addr, len(desc)),
+                ]
+                oh = w.put(_object_header(msgs))
+                ds_children.append((cname, oh, 0, b""))
+                continue
             dt = a.dtype.name
             if dt not in _DT_WRITE:
                 raise ValueError(
                     f"hdf5lite: unsupported dtype {dt} for {cname!r} "
-                    f"(supported: {sorted(_DT_WRITE)})"
+                    f"(supported: {sorted(_DT_WRITE)} + str)"
                 )
             le = a.astype("<" + a.dtype.str[1:], copy=False)
             esz = le.dtype.itemsize
@@ -393,6 +458,8 @@ def _read_dataset(r: _R, oh_at: int, name: str) -> np.ndarray:
     dt = msgs[0x0003]
     cls, ver = dt[0] & 0x0F, dt[0] >> 4
     size = int.from_bytes(dt[4:8], "little")
+    if cls == 9:
+        return _read_vlen_strings(r, msgs, dt, ver, size, n, name)
     order_be = dt[1] & 0x01
     if ver != 1 or cls not in (0, 1) or order_be or size not in (4, 8):
         raise ValueError(
@@ -417,6 +484,85 @@ def _read_dataset(r: _R, oh_at: int, name: str) -> np.ndarray:
             raise ValueError(f"hdf5lite: {name!r} layout size mismatch")
         return np.frombuffer(r.buf[addr:addr + nbytes], dtype=np_dt).copy()
     return _read_chunked(r, lay, msgs.get(0x000B), name, n, size, np_dt)
+
+
+def _read_vlen_strings(r: _R, msgs: dict, dt: bytes, ver: int,
+                       size: int, n: int, name: str) -> np.ndarray:
+    """Decode a class-9 variable-length STRING dataset: 16-byte
+    (length, global-heap collection address, object index) descriptors
+    stored contiguous, payload bytes in GCOL collections — the layout
+    h5py writes for ``str`` columns.  Scope, loudly: vlen type must be
+    string (vlen SEQUENCE needs h5py), descriptors contiguous (chunked
+    vlen needs h5py), base type a 1-byte string."""
+    vtype = dt[1] & 0x0F
+    if ver != 1 or vtype != 1 or size != 16:
+        raise ValueError(
+            f"hdf5lite: {name!r} variable-length datatype (v{ver}, "
+            f"vlen type {vtype}, size {size}) outside the vlen-STRING "
+            "subset — vlen sequences need h5py"
+        )
+    base_cls = dt[8] & 0x0F
+    if base_cls != 3:
+        raise ValueError(
+            f"hdf5lite: {name!r} vlen base type class {base_cls} — "
+            "only string (3) supported; use h5py"
+        )
+    lay = msgs[0x0008]
+    if lay[0] != 3 or lay[1] != 1:
+        raise ValueError(
+            f"hdf5lite: {name!r} vlen strings with layout class "
+            f"{lay[1]} — only contiguous descriptors supported "
+            "(chunked vlen needs h5py)"
+        )
+    addr = int.from_bytes(lay[2:10], "little")
+    nbytes = int.from_bytes(lay[10:18], "little")
+    if nbytes != n * 16:
+        raise ValueError(f"hdf5lite: {name!r} vlen layout size mismatch")
+    heaps: dict[int, dict[int, bytes]] = {}
+
+    def heap_objects(at: int) -> dict[int, bytes]:
+        got = heaps.get(at)
+        if got is not None:
+            return got
+        if r.buf[at:at + 4] != b"GCOL":
+            raise ValueError(
+                f"hdf5lite: {name!r} bad global-heap signature at {at}"
+            )
+        if r.buf[at + 4] != 1:
+            raise ValueError(
+                f"hdf5lite: global heap v{r.buf[at + 4]} — only v1 "
+                "supported (use h5py)"
+            )
+        total = r.u(at + 8, 8)
+        pos, end = at + 16, at + total
+        objs: dict[int, bytes] = {}
+        while pos + 16 <= end:
+            idx = r.u(pos, 2)
+            osize = r.u(pos + 8, 8)
+            if idx == 0:
+                break  # free-space object terminates the collection
+            objs[idx] = bytes(r.buf[pos + 16:pos + 16 + osize])
+            pos += 16 + (osize + 7) // 8 * 8
+        heaps[at] = objs
+        return objs
+
+    out = np.empty(n, dtype=object)
+    for i in range(n):
+        d = addr + i * 16
+        length = r.u(d, 4)
+        gaddr = r.u(d + 4, 8)
+        idx = r.u(d + 12, 4)
+        if length == 0 and gaddr == 0:
+            out[i] = ""  # h5py writes null descriptors for ""
+            continue
+        objs = heap_objects(gaddr)
+        if idx not in objs:
+            raise ValueError(
+                f"hdf5lite: {name!r} element {i} references missing "
+                f"global-heap object {idx} at {gaddr}"
+            )
+        out[i] = objs[idx][:length].decode("utf-8")
+    return out
 
 
 def _read_chunked(r: _R, lay: bytes, pipeline: bytes | None, name: str,

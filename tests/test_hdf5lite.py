@@ -59,7 +59,7 @@ def test_refusals_name_the_feature(tmp_path):
     with pytest.raises(ValueError, match="1-D"):
         write_simple_hdf5(p, {"g": {"m": np.zeros((2, 2))}})
     with pytest.raises(ValueError, match="unsupported dtype"):
-        write_simple_hdf5(p, {"g": {"s": np.array(["a"], dtype=object)}})
+        write_simple_hdf5(p, {"g": {"s": np.zeros(2, dtype=np.uint16)}})
     with pytest.raises(ValueError, match="at most"):
         write_simple_hdf5(
             p, {"g": {f"c{i}": np.zeros(1) for i in range(9)}}
@@ -201,3 +201,96 @@ def test_chunked_refusals(tmp_path):
     open(bad, "wb").write(bytes(buf))
     with pytest.raises(ValueError, match="filter id 2"):
         read_hdf5_group(bad, "catalog")
+
+
+STRINGS = os.path.join(
+    os.path.dirname(__file__), "data", "sample_catalog_strings.hdf5"
+)
+
+
+def test_reader_decodes_frozen_strings_sample():
+    """Round-9 verdict #7: variable-length string datasets (class-9
+    vlen descriptors + global-heap collections).  The committed binary
+    sample pins the reader contract against STORED bytes — string and
+    numeric columns side by side, empty string and non-ASCII
+    included."""
+    df = read_hdf5_group(STRINGS, "catalog")
+    assert list(df.columns) == ["halo_id", "name", "ra", "survey"]
+    assert df["halo_id"].tolist() == [101, 202, 303, 404]
+    assert df["name"].tolist() == ["halo-a", "", "cluster β", "x" * 40]
+    assert df["survey"].tolist() == ["deep", "wide", "deep", "wide"]
+    assert df["ra"].tolist() == [10.5, 20.25, 30.125, 359.9375]
+
+
+def test_vlen_strings_round_trip_and_h5py_differential(tmp_path):
+    """Writer -> reader round trip for vlen strings (many rows so the
+    global-heap collection exceeds one 4096-byte minimum block is NOT
+    required — one collection holds them; sizes vary 0..100 chars);
+    when h5py is installed the same bytes must parse identically
+    (env-gated, the hdf5lite differential discipline)."""
+    vals = ["s%d-%s" % (i, "ab" * (i % 50)) for i in range(200)]
+    vals[7] = ""
+    vals[13] = "ünïcodé-β"
+    p = str(tmp_path / "vl.hdf5")
+    write_simple_hdf5(p, {"g": {
+        "s": np.array(vals, dtype=object),
+        "k": np.arange(200, dtype=np.int64),
+    }})
+    df = read_hdf5_group(p, "g")
+    assert df["s"].tolist() == vals
+    assert df["k"].tolist() == list(range(200))
+    try:
+        import h5py
+    except ImportError:
+        return
+    with h5py.File(p, "r") as f:  # pragma: no cover - needs h5py
+        got = [x.decode("utf-8") if isinstance(x, bytes) else str(x)
+               for x in f["g"]["s"][...]]
+        assert got == vals
+        assert f["g"]["k"][...].tolist() == list(range(200))
+
+
+def test_vlen_string_refusals(tmp_path):
+    # non-string element refused at write (NULLs must be encoded
+    # upstream)
+    with pytest.raises(ValueError, match="non-string"):
+        write_simple_hdf5(str(tmp_path / "n.hdf5"), {"g": {
+            "s": np.array(["a", None], dtype=object)}})
+    # a vlen SEQUENCE (vlen type 0) is refused naming the subset
+    p = str(tmp_path / "seq.hdf5")
+    write_simple_hdf5(p, {"g": {"s": np.array(["ab"], dtype=object)}})
+    with open(p, "rb") as f:
+        raw = bytearray(f.read())
+    # flip the vlen datatype's bit-field type nibble (string=1 -> 0)
+    sig = bytes([(1 << 4) | 9, 0x01])
+    at = raw.index(sig)
+    raw[at + 1] = 0x00
+    bad = str(tmp_path / "seq2.hdf5")
+    with open(bad, "wb") as f:
+        f.write(raw)
+    with pytest.raises(ValueError, match="vlen sequences need h5py"):
+        read_hdf5_group(bad, "g")
+
+
+def test_read_hdf5_directory_with_string_column(spark, tmp_path):
+    """O2 ingest end-to-end with a string column in the declared
+    schema — the real-catalog shape the round-9 extension exists
+    for."""
+    from cosmap_spark.sources.readers import read_hdf5_directory
+
+    for i, (ids, names) in enumerate((
+        ([1, 2], ["alpha", "beta"]), ([3], ["gamma"]),
+    )):
+        write_simple_hdf5(
+            str(tmp_path / f"part{i}.hdf5"),
+            {"catalog": {
+                "halo_id": np.array(ids, dtype=np.int64),
+                "name": np.array(names, dtype=object),
+            }},
+        )
+    df = read_hdf5_directory(
+        spark, str(tmp_path), "halo_id long, name string",
+        dataset_key="catalog",
+    )
+    got = sorted((r["halo_id"], r["name"]) for r in df.collect())
+    assert got == [(1, "alpha"), (2, "beta"), (3, "gamma")]
