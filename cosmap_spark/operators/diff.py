@@ -457,6 +457,15 @@ def heavy_hitter_categories(
         raise ValueError(f"need top_n >= 1; got {top_n}")
     if not cols:
         raise ValueError("heavy_hitter_categories: no columns given")
+    # the composite key splits on the FIRST unit separator, so a
+    # category containing \\x1f round-trips — but a COLUMN NAME
+    # containing it would mis-split every key it anchors
+    bad = [c for c in cols if "\x1f" in c]
+    if bad:
+        raise ValueError(
+            f"heavy_hitter_categories: column names {bad} contain the "
+            "\\x1f composite-key separator"
+        )
     stacked = _cat_stack(df, cols, null_label).select(
         F.concat(F.col("column"), F.lit("\x1f"), F.col("category"))
         .alias("ck")

@@ -243,6 +243,48 @@ def mor_read(spark, path: str) -> DataFrame:
     )
 
 
+def mor_vacuum(path: str, *, min_age_seconds: float = 3600.0) -> list[str]:
+    """Remove crash debris — temp directories a died writer leaked
+    (``<store>.__init_tmp_*`` siblings, ``deltas/.tmp_*``,
+    ``base.__merge_tmp_*``) — returning the removed paths.  Debris is
+    INVISIBLE to readers by construction (dot-prefixed / non-``epoch=``
+    names), so vacuuming is purely a disk-space concern and safe to
+    run any time older than ``min_age_seconds`` (the age guard keeps a
+    LIVE writer's in-flight temp dir out of the blast radius; pass 0
+    only when no writer can be running).  A pending
+    ``base.__merge_backup`` is NEVER touched: it is either the
+    interrupted-swap recovery copy (the refusal path tells the
+    operator to restore it) or a completed swap's stale backup that
+    the next swap clears itself."""
+    import time
+
+    _require_local(path, "mor_vacuum")
+    _load_meta(path)
+    now = time.time()
+    removed = []
+
+    def sweep(parent: str, match) -> None:
+        if not os.path.isdir(parent):
+            return
+        for name in os.listdir(parent):
+            full = os.path.join(parent, name)
+            if not match(name) or not os.path.isdir(full):
+                continue
+            if now - os.stat(full).st_mtime < min_age_seconds:
+                continue
+            shutil.rmtree(full)
+            removed.append(full)
+
+    # a died mor_init leaves `<store>.__init_tmp_*` as a SIBLING of
+    # the store path; compaction temp dirs live inside it
+    parent = os.path.dirname(os.path.abspath(path)) or "."
+    stem = os.path.basename(os.path.abspath(path))
+    sweep(parent, lambda n: n.startswith(f"{stem}.__init_tmp_"))
+    sweep(path, lambda n: "__merge_tmp_" in n)
+    sweep(_deltas_dir(path), lambda n: n.startswith(".tmp_"))
+    return removed
+
+
 def mor_compact(spark, path: str) -> int:
     """Fold the delta stack into a fresh base; returns the number of
     epochs folded.  Sequence (each step crash-safe, see module

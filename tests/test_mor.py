@@ -254,3 +254,36 @@ def test_mor_schema_alignment(spark, store):
     mor_append(spark, store, wide)
     row = mor_read(spark, store).where(F.col("k") == 1).collect()[0]
     assert row["v"] == 11 and "junk" not in row.asDict()
+
+
+def test_mor_vacuum_removes_debris_only(spark, store):
+    """Vacuum removes leaked temp dirs (died init/compact/append) and
+    nothing else; the age guard protects in-flight writers; a pending
+    merge backup is never touched."""
+    import shutil as _sh
+
+    from cosmap_spark.sinks.mor import mor_vacuum
+
+    mor_append(spark, store, _batch(spark, [(1, 11, "u", False)]))
+    # plant debris of all three classes
+    os.makedirs(f"{store}.__init_tmp_dead")
+    os.makedirs(os.path.join(store, "base.__merge_tmp_dead"))
+    os.makedirs(os.path.join(store, "deltas", ".tmp_dead"))
+    # plant a pending backup (must survive)
+    _sh.copytree(os.path.join(store, "base"),
+                 os.path.join(store, "base.__merge_backup"))
+
+    # fresh debris survives the age guard
+    assert mor_vacuum(store, min_age_seconds=3600) == []
+    removed = sorted(os.path.basename(p)
+                     for p in mor_vacuum(store, min_age_seconds=0))
+    assert removed == sorted([
+        f"{os.path.basename(store)}.__init_tmp_dead",
+        "base.__merge_tmp_dead", ".tmp_dead",
+    ])
+    assert os.path.exists(os.path.join(store, "base.__merge_backup"))
+    assert not os.path.exists(f"{store}.__init_tmp_dead")
+    assert not os.path.exists(os.path.join(store, "deltas", ".tmp_dead"))
+    # the store still reads and the real delta survived
+    assert mor_read(spark, store).count() == 100
+    assert os.path.exists(os.path.join(store, "deltas", "epoch=1"))
