@@ -183,6 +183,36 @@ def main() -> None:
         assert live_rows == {upd_key: "LIVE-2"}  # updated; tombstone applied
         print("upsert_stream: two CDC micro-batches applied live")
 
+        # 6. merge-on-read: O(keys) deletes, read-time reconcile ------------
+        # (round 9: the copy-on-write path above rewrites touched
+        # partitions; the MOR store only APPENDS a delta epoch — the
+        # right-to-be-forgotten shape at 100 TB)
+        from cosmap_spark.sinks.mor import (
+            mor_compact, mor_delete_keys, mor_init, mor_read, mor_vacuum,
+        )
+
+        mstore = os.path.join(root, "mor_table")
+        mor_init(snap, mstore, ["c_custkey"])
+        base_dir = os.path.join(mstore, "base")
+        before = {f: os.stat(os.path.join(base_dir, f)).st_mtime_ns
+                  for f in os.listdir(base_dir)}
+        forget = spark.createDataFrame([(upd_key,)], "c_custkey long")
+        mor_delete_keys(spark, mstore, forget)
+        after = {f: os.stat(os.path.join(base_dir, f)).st_mtime_ns
+                 for f in os.listdir(base_dir)}
+        assert before == after  # no base file touched by the delete
+        assert mor_read(spark, mstore).where(
+            F.col("c_custkey") == upd_key
+        ).count() == 0
+        n_folded = mor_compact(spark, mstore)
+        assert mor_read(spark, mstore).where(
+            F.col("c_custkey") == upd_key
+        ).count() == 0
+        debris = mor_vacuum(mstore, min_age_seconds=0)
+        print(f"merge-on-read: O(keys) delete touched no base file; "
+              f"compaction folded {n_folded} epoch(s); vacuum removed "
+              f"{len(debris)} debris dir(s)")
+
     spark.stop()
     print("lakehouse example: all invariants hold")
 
