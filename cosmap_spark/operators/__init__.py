@@ -204,6 +204,7 @@ from cosmap_spark.operators.sampler import (  # noqa: F401
     temperature_mixture,
     uniform_box_samples,
     uniform_sphere_samples,
+    weighted_k_sample,
     weighted_sample,
 )
 from cosmap_spark.operators.merge import (  # noqa: F401

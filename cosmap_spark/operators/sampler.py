@@ -527,6 +527,57 @@ def exact_k_sample(
     )
 
 
+def _es_rank(weight_col: str, key_cols: list[str], seed: int) -> Column:
+    """The Efraimidis–Spirakis exponential rank ``r = −ln(u)/w`` with a
+    DETERMINISTIC hash-uniform ``u ∈ (0, 1]`` (the +1 shift keeps u off
+    0, whose rank would be +inf — a random zero-probability row) —
+    shared by :func:`weighted_k_sample` and the streaming reservoir's
+    weighted mode, which is what makes the live sample bit-equal to the
+    batch one.  Invalid weights (NULL/NaN/≤0) rank NULL — the caller
+    drops them (the weighted_sample NULL-drop contract).  Stream id 7
+    (unique among this module's samplers)."""
+    h = _key_hash(key_cols, F.lit(seed), F.lit(7))
+    u = (F.pmod(h, F.lit(_HASH_BUCKETS)).cast("double") + F.lit(1.0)) \
+        / F.lit(float(_HASH_BUCKETS))
+    w = F.col(weight_col).cast("double")
+    return F.when(
+        w.isNotNull() & ~F.isnan(w) & (w > 0), -F.ln(u) / w
+    )
+
+
+def weighted_k_sample(
+    df: DataFrame,
+    *,
+    k: int,
+    weight_col: str,
+    key_cols: list[str],
+    seed: int = 83,
+) -> DataFrame:
+    """EXACTLY ``k`` rows with inclusion odds increasing in
+    ``weight_col`` — the fixed-budget twin of :func:`weighted_sample`
+    (which keeps a binomially-varying count): the k rows with the
+    smallest Efraimidis–Spirakis rank ``−ln(u)/w`` (A-ES, Efraimidis &
+    Spirakis 2006 — a weighted reservoir without sequential state),
+    ``u`` a deterministic hash of the key, so the sample is
+    partition-layout independent, stable across runs/clusters, and
+    MONOTONE in a row's own weight (raising a doc's score can only
+    pull its rank down, never evict it).  Invalid weights (NULL, NaN,
+    ≤ 0) never sample.  Same TakeOrdered plan shape as
+    :func:`exact_k_sample`; ties (astronomically unlikely) break by
+    key.  The live twin is ``streaming.ops.reservoir_stream(
+    weight_col=)`` — bit-equal by the shared rank."""
+    if k < 1:
+        raise ValueError(f"need k >= 1; got {k}")
+    r = _es_rank(weight_col, key_cols, seed)
+    return (
+        df.withColumn("__r", r)
+        .where(F.col("__r").isNotNull())
+        .orderBy("__r", *key_cols)
+        .limit(k)
+        .drop("__r")
+    )
+
+
 def equi_depth_bin(
     df: DataFrame,
     col: str,

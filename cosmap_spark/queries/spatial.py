@@ -203,9 +203,11 @@ def q_samplers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rectangle shape, src/cosmap/config/models/geometry.py:44-63, its
     validator bug fixed per SURVEY.md §4.2), and the deterministic
     table-sampling family: stratified, temperature-flattened mixture,
-    per-row weighted, token-budget selection, k-fold assignment
-    (fold-0 summary), and DSIR importance resampling (hashed-ngram
-    target/raw likelihood ratio + Gumbel top-k — operators/dsir.py).
+    per-row weighted (rate-based) and fixed-budget weighted
+    (Efraimidis–Spirakis A-ES, round 9), token-budget selection,
+    k-fold assignment (fold-0 summary), and DSIR importance resampling
+    (hashed-ngram target/raw likelihood ratio + Gumbel top-k —
+    operators/dsir.py).
     All hash-seeded — deterministic under any partitioning; per-sampler
     statistical properties are property-tested (tests/test_sampler.py,
     tests/test_kfold.py, tests/test_dsir.py)."""
@@ -273,12 +275,22 @@ def q_samplers(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
         k_per_cluster=10, nlist=8,
     )
+    # fixed-budget weighted sample (round 9): Efraimidis–Spirakis
+    # A-ES over the same length-derived weight as `weighted` — the
+    # hard-row-budget twin; live twin reservoir_stream(weight_col=)
+    from cosmap_spark.operators.sampler import weighted_k_sample
+
+    wks = weighted_k_sample(
+        docs.select("doc_id", (F.length("text") / 500.0).alias("w")),
+        k=200, weight_col="w", key_cols=["doc_id"],
+    )
     return (
         _region_summary(sphere, "sphere")
         .unionByName(_region_summary(box, "box"))
         .unionByName(table_summary(strat, "stratified"))
         .unionByName(table_summary(mix, "temperature_mixture"))
         .unionByName(table_summary(weighted, "weighted"))
+        .unionByName(table_summary(wks, "weighted_k"))
         .unionByName(table_summary(budget, "token_budget"))
         .unionByName(table_summary(fold0, "kfold_fold0"))
         .unionByName(table_summary(dsir, "dsir_importance"))

@@ -1682,6 +1682,7 @@ def reservoir_merge(rows: DataFrame, *, k: int, key_cols: list[str],
 def reservoir_stream(stream_df: DataFrame, store_path: str,
                      checkpoint: str, *, k: int, key_cols: list[str],
                      strata_cols: list[str] | None = None,
+                     weight_col: str | None = None,
                      seed: int = 83):
     """Streaming fixed-size uniform sample — the live twin of
     ``operators.sampler.exact_k_sample``: maintain, per stratum (or
@@ -1701,6 +1702,13 @@ def reservoir_stream(stream_df: DataFrame, store_path: str,
     identify rows (it is a SAMPLING key): rows identical in every
     column count once.
 
+    ``weight_col`` switches the rank to the Efraimidis–Spirakis
+    ``−ln(u)/w`` (the ``operators.sampler.weighted_k_sample`` twin —
+    shared rank expression, so the live sample is bit-equal to the
+    batch one over the concatenated stream); invalid weights
+    (NULL/NaN/≤0) never enter the reservoir.  The min-k idempotence
+    holds identically — the rank is a pure function of (key, weight).
+
     State/scale shape: each micro-batch folds to its own ≤k(·strata)
     candidate set batch-side, the store merge touches O(k·strata)
     rows, history is never re-scanned.  Parameters ride a sidecar and
@@ -1708,10 +1716,11 @@ def reservoir_stream(stream_df: DataFrame, store_path: str,
     import json as _json
     import os
 
-    from cosmap_spark.operators.sampler import _key_hash
+    from cosmap_spark.operators.sampler import _es_rank, _key_hash
 
     params = {"k": int(k), "key_cols": list(key_cols),
-              "strata_cols": list(strata_cols or []), "seed": int(seed)}
+              "strata_cols": list(strata_cols or []),
+              "weight_col": weight_col, "seed": int(seed)}
     meta_path = os.path.join(store_path, "sample", "_reservoir_meta")
 
     def check_params() -> None:
@@ -1727,8 +1736,12 @@ def reservoir_stream(stream_df: DataFrame, store_path: str,
     check_params()
 
     def batch_state(batch_df: DataFrame) -> DataFrame:
-        hashed = batch_df.withColumn(
-            "__h", _key_hash(list(key_cols), F.lit(int(seed)))
+        if weight_col is not None:
+            rank = _es_rank(weight_col, list(key_cols), int(seed))
+        else:
+            rank = _key_hash(list(key_cols), F.lit(int(seed)))
+        hashed = batch_df.withColumn("__h", rank).where(
+            F.col("__h").isNotNull()
         )
         return reservoir_merge(hashed, k=k, key_cols=list(key_cols),
                                strata_cols=strata_cols)

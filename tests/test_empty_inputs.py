@@ -845,6 +845,14 @@ def _spec_uniform_samplers(spark):
     assert O.uniform_box_samples(spark, 0).count() == 0
 
 
+def _spec_weighted_k_sample(spark):
+    import cosmap_spark.operators as O
+    e = _e(spark, "doc_id long, w double")
+    assert O.weighted_k_sample(
+        e, k=3, weight_col="w", key_cols=["doc_id"]
+    ).count() == 0
+
+
 def _spec_weighted_sample(spark):
     import cosmap_spark.operators as O
     e = _e(spark, "doc_id long, w double")
@@ -1084,6 +1092,7 @@ SWEEP = {
     "uniform_box_samples": _spec_uniform_samplers,
     "uniform_sphere_samples": _spec_uniform_samplers,
     "weighted_sample": _spec_weighted_sample,
+    "weighted_k_sample": _spec_weighted_k_sample,
     "write_zordered": _spec_zorder,
     "zorder_key": _spec_zorder,
     "bm25_scored": _spec_bm25_scored,

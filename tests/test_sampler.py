@@ -452,3 +452,72 @@ def test_negative_pairs_never_duplicates(spark):
     from collections import Counter
 
     assert max(Counter(a for a, _ in pairs).values()) <= 2
+
+
+def test_weighted_k_sample_reference_and_monotone(spark):
+    """weighted_k_sample (round 9, Efraimidis–Spirakis A-ES): equals a
+    python replay of its own rank definition over collected uniforms
+    (top-k by -ln(u)/w, ties by key); exactly k rows; invalid weights
+    (NULL/NaN/<=0) never sample; raising one row's weight never evicts
+    it (monotone in own weight); layout-independent."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from cosmap_spark.operators.sampler import (
+        _HASH_BUCKETS, _key_hash, weighted_k_sample,
+    )
+
+    df = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") % 17 + 1) / 17.0).alias("w"),
+    )
+    got = sorted(r["doc_id"] for r in weighted_k_sample(
+        df, k=40, weight_col="w", key_cols=["doc_id"], seed=9
+    ).collect())
+    assert len(got) == 40
+
+    # python replay from the same hash stream
+    us = {
+        r["doc_id"]: ((r["h"] % _HASH_BUCKETS) + 1.0) / _HASH_BUCKETS
+        for r in df.select(
+            "doc_id",
+            F.pmod(_key_hash(["doc_id"], F.lit(9), F.lit(7)),
+                   F.lit(_HASH_BUCKETS)).alias("h"),
+        ).collect()
+    }
+    ws = {r["doc_id"]: r["w"] for r in df.collect()}
+    ranked = sorted(
+        (-math.log(us[d]) / ws[d], d) for d in ws
+    )
+    want = sorted(d for _, d in ranked[:40])
+    assert got == want
+
+    # invalid weights never sample; k clamps to the valid rows
+    bad = spark.createDataFrame(
+        [(1, 1.0), (2, None), (3, float("nan")), (4, 0.0), (5, -1.0)],
+        "doc_id long, w double",
+    )
+    kept = sorted(r["doc_id"] for r in weighted_k_sample(
+        bad, k=5, weight_col="w", key_cols=["doc_id"]
+    ).collect())
+    assert kept == [1]
+
+    # monotone in own weight: boost one UNSAMPLED row far enough and it
+    # enters; no SAMPLED row is ever evicted by raising its own weight
+    out = set(got)
+    loser = next(d for d in ws if d not in out)
+    boosted = df.withColumn(
+        "w", F.when(F.col("doc_id") == loser, 1e6).otherwise(F.col("w"))
+    )
+    got2 = {r["doc_id"] for r in weighted_k_sample(
+        boosted, k=40, weight_col="w", key_cols=["doc_id"], seed=9
+    ).collect()}
+    assert loser in got2
+
+    # layout independence
+    got3 = sorted(r["doc_id"] for r in weighted_k_sample(
+        df.repartition(13), k=40, weight_col="w", key_cols=["doc_id"],
+        seed=9
+    ).collect())
+    assert got3 == got

@@ -2141,6 +2141,57 @@ def test_reservoir_stream_matches_batch_exact_k_sample(spark, tmp_path):
     assert live2 == want2 and len(live2) == 4 * 7
 
 
+def test_reservoir_stream_weighted_matches_batch(spark, tmp_path):
+    """The weighted reservoir (round 9): reservoir_stream(weight_col=)
+    over three micro-batches equals weighted_k_sample over the
+    concatenated stream (shared Efraimidis–Spirakis rank); invalid
+    weights never enter; resume with a different weight_col refuses."""
+    import pytest
+
+    from cosmap_spark.operators.sampler import weighted_k_sample
+    from cosmap_spark.streaming.ops import (
+        reservoir_state,
+        reservoir_stream,
+    )
+
+    rows = spark.range(0, 600).select(
+        F.col("id").alias("uid"),
+        ((F.col("id") % 23 + 1) / 23.0).alias("w"),
+    ).localCheckpoint()
+    # plant invalid weights: they must never sample
+    rows = rows.withColumn(
+        "w", F.when(F.col("uid") % 50 == 0, F.lit(None)).otherwise(
+            F.col("w"))
+    ).localCheckpoint()
+    land = tmp_path / "wrs_land"
+    for third in range(3):
+        rows.where(F.col("uid") % 3 == third).coalesce(1).write.parquet(
+            str(land), mode="append"
+        )
+
+    store = str(tmp_path / "wrs_store")
+    reservoir_stream(
+        (spark.readStream.schema("uid long, w double")
+         .option("maxFilesPerTrigger", 1).parquet(str(land))),
+        store, str(tmp_path / "wrs_ck"), k=30, key_cols=["uid"],
+        weight_col="w",
+    ).awaitTermination(180)
+
+    key = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    live = key(reservoir_state(spark, store))
+    batch = key(weighted_k_sample(rows, k=30, weight_col="w",
+                                  key_cols=["uid"]))
+    assert live == batch and len(live) == 30
+    assert all(w is not None for _, w in live)
+
+    with pytest.raises(ValueError, match="was built with"):
+        reservoir_stream(
+            spark.readStream.schema("uid long, w double")
+            .parquet(str(land)),
+            store, str(tmp_path / "wrs_ck2"), k=30, key_cols=["uid"],
+        )
+
+
 def test_category_drift_stream_frozen_categories(spark, tmp_path):
     """The unbounded-vocabulary freeze (round 9): with
     frozen_categories= the monitor folds the reference MAP-SIDE (no
