@@ -489,18 +489,46 @@ def _frozen_fold(cols: list[str], frozen: dict[str, list[str]],
     everything else — applied BEFORE any aggregation, so the counts
     frame is O(cols·(|frozen|+1)) even over an unbounded vocabulary.
     Shared by ``category_drift``/``chi2_test``'s frozen paths (the
-    stream monitor folds with the equivalent array literal chain)."""
+    stream monitor folds with the equivalent array literal chain).
+    Callers must have canonicalized the selection via
+    :func:`_check_frozen` first — values here are exact strings."""
     keep = None
     for c in cols:
         cond = (F.col("column") == c) & F.col("category").isin(
-            [str(x) for x in frozen[c]]
+            list(frozen[c])
         )
         keep = cond if keep is None else keep | cond
     return F.when(keep, F.col("category")).otherwise(F.lit(other_label))
 
 
+def _canon_category(v, op: str) -> str:
+    """Canonicalize ONE frozen-category value to the exact string
+    ``_cat_stack``'s ``cast('string')`` produces.  Python ``str()`` is
+    NOT that function — ``str(True)`` is ``'True'`` while Spark casts
+    to ``'true'``, which would silently fold every boolean row into
+    OTHER and mask all drift (round-9 review finding, reproduced).
+    str/bool/int render identically in both worlds; anything else
+    (floats: Spark ``'1.0E-5'`` vs python ``'1e-05'`` — the CLAUDE.md
+    double→varchar trap) is REFUSED: cast the column upstream and
+    pass canonical strings."""
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return "true" if v else "false"
+    if isinstance(v, str):
+        return v
+    if isinstance(v, int):
+        return str(v)
+    raise ValueError(
+        f"{op}: frozen category {v!r} ({type(v).__name__}) has no "
+        "canonical string rendering shared by Spark's cast and python "
+        "— pass categories as strings (cast the column upstream)"
+    )
+
+
 def _check_frozen(cols: list[str], frozen: dict[str, list[str]],
-                  other_label: str, op: str) -> None:
+                  other_label: str, op: str) -> dict[str, list[str]]:
+    """Validate AND canonicalize a frozen selection; returns the
+    all-strings dict every consumer (fold expressions, sidecars,
+    resume comparisons) must use."""
     missing = [c for c in cols if not frozen.get(c)]
     if missing:
         raise ValueError(
@@ -508,13 +536,17 @@ def _check_frozen(cols: list[str], frozen: dict[str, list[str]],
             "every column needs a non-empty selection (derive one with "
             "heavy_hitter_categories)"
         )
-    tainted = [c for c in cols if other_label in frozen[c]]
+    canon = {
+        c: [_canon_category(v, op) for v in frozen[c]] for c in cols
+    }
+    tainted = [c for c in cols if other_label in canon[c]]
     if tainted:
         raise ValueError(
             f"{op}: frozen_categories for {tainted} contains the "
             f"other_label {other_label!r} — folded and frozen "
             "categories must not collide"
         )
+    return canon
 
 
 def category_drift(
@@ -572,8 +604,9 @@ def category_drift(
     if other_label == null_label:
         raise ValueError("other_label and null_label must differ")
     if frozen_categories is not None:
-        _check_frozen(cols, frozen_categories, other_label,
-                      "category_drift")
+        frozen_categories = _check_frozen(
+            cols, frozen_categories, other_label, "category_drift"
+        )
     for df, side in ((old, "old"), (new, "new")):
         for c in cols:
             base = df.schema[c].dataType.simpleString().split("(")[0]

@@ -150,30 +150,48 @@ def save_token_bags(
     maxsim_token_quantizer` result beside an index — the token-level
     centroid vectors plus the per-doc bags ``[nid, bag array<int>]``
     that :func:`cosmap_spark.operators.retrieval.maxsim_rerank_plaid`
-    consumes.  Same manifest discipline as ``save_ann_index``: the
-    manifest is written last and atomically, so a crash mid-save
-    leaves either no manifest or the previous intact one.  The
-    training ``normalize`` flag travels in the manifest — bags scored
-    under the wrong convention are meaningless, the ``residual`` flag
-    lesson."""
+    consumes.  All three artifacts (centroids, bags, manifest with the
+    training ``normalize`` flag — bags scored under the wrong
+    convention are meaningless, the ``residual`` flag lesson) live in
+    ONE ``<path>/plaid`` directory, staged fully in a temp dir and
+    swapped in atomically (the writers backup-rename discipline):
+    a crash mid-RE-save can never leave new data under an old
+    manifest (the round-9 review finding with the manifest-last
+    variant)."""
+    import shutil
+    import uuid
+
     spark = bags.sparkSession
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, f".plaid_tmp_{uuid.uuid4().hex}")
     spark.createDataFrame(
         [(int(cid), [float(x) for x in vec]) for cid, vec in centroids],
         "cid INT, cvec ARRAY<DOUBLE>",
-    ).write.mode("overwrite").parquet(
-        os.path.join(path, "plaid_centroids")
-    )
-    bags.write.mode("overwrite").parquet(os.path.join(path, "plaid_bags"))
-    os.makedirs(path, exist_ok=True)
-    manifest = {
-        "components": ["plaid"],
-        "nlist": len(centroids),
-        "normalize": bool(normalize),
-    }
-    tmp = os.path.join(path, ".plaid_manifest.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, os.path.join(path, "plaid_manifest.json"))
+    ).write.mode("overwrite").parquet(os.path.join(tmp, "centroids"))
+    bags.write.mode("overwrite").parquet(os.path.join(tmp, "bags"))
+    with open(os.path.join(tmp, "manifest.json"), "w") as f:
+        json.dump(
+            {
+                "components": ["plaid"],
+                "nlist": len(centroids),
+                "normalize": bool(normalize),
+            },
+            f,
+        )
+    live = os.path.join(path, "plaid")
+    if not os.path.exists(live):
+        os.rename(tmp, live)
+        return
+    backup = f"{live}.__backup"
+    if os.path.exists(backup):
+        shutil.rmtree(backup)  # stale from a crash after a completed swap
+    os.rename(live, backup)
+    try:
+        os.rename(tmp, live)
+    except BaseException:
+        os.rename(backup, live)
+        raise
+    shutil.rmtree(backup)
 
 
 def load_token_bags(spark: SparkSession, path: str) -> dict:
@@ -182,18 +200,19 @@ def load_token_bags(spark: SparkSession, path: str) -> dict:
     ``maxsim_rerank_plaid`` with the recorded ``normalize``.  Loaded
     serving is asserted row-identical to in-memory artifacts in
     tests/test_retrieval.py."""
-    with open(os.path.join(path, "plaid_manifest.json")) as f:
+    live = os.path.join(path, "plaid")
+    with open(os.path.join(live, "manifest.json")) as f:
         manifest = json.load(f)
     cents = [
         (r["cid"], list(r["cvec"]))
         for r in spark.read.parquet(
-            os.path.join(path, "plaid_centroids")
+            os.path.join(live, "centroids")
         ).collect()
     ]
     cents.sort(key=lambda t: t[0])
     return {
         "centroids": cents,
-        "bags": spark.read.parquet(os.path.join(path, "plaid_bags")),
+        "bags": spark.read.parquet(os.path.join(live, "bags")),
         "normalize": bool(manifest.get("normalize", True)),
     }
 

@@ -1683,16 +1683,28 @@ def maxsim_rerank_pruned(
 def _norm_tokens(col, normalize: bool):
     """Row-normalize each token vector of an ``array<array<double>>``
     column in-plan (zero-norm tokens → zero vectors, the maxsim
-    contract).  The norm binds via a fresh lambda variable per token,
-    so the no-CSE-in-lambdas rule costs one extra pass per token —
-    bounded by the token count."""
+    contract).  The norm is BOUND once per token via the
+    single-element-array + transform trick — referenced inside the
+    per-element lambda it would re-run its O(dim) aggregate per
+    element, twice (the no-CSE-in-lambdas rule: an O(dim²)-per-token
+    blowup over the whole corpus in maxsim_token_quantizer — the
+    round-9 review finding)."""
     if not normalize:
         return col
 
     def one(t):
-        n = F.sqrt(F.aggregate(t, F.lit(0.0), lambda a, x: a + x * x))
-        return F.transform(
-            t, lambda x: F.when(n > 0, x / n).otherwise(F.lit(0.0))
+        return F.element_at(
+            F.transform(
+                F.array(
+                    F.sqrt(F.aggregate(t, F.lit(0.0),
+                                       lambda a, x: a + x * x))
+                ),
+                lambda n: F.transform(
+                    t,
+                    lambda x: F.when(n > 0, x / n).otherwise(F.lit(0.0)),
+                ),
+            ),
+            1,
         )
 
     return F.transform(col, one)

@@ -580,7 +580,9 @@ def chi2_test(
     if units < 1:
         raise ValueError(f"chi2_test: units must be >= 1; got {units}")
     if frozen_categories is not None:
-        _check_frozen(cols, frozen_categories, other_label, "chi2_test")
+        frozen_categories = _check_frozen(
+            cols, frozen_categories, other_label, "chi2_test"
+        )
     for df, side in ((old, "old"), (new, "new")):
         for c in cols:
             base = df.schema[c].dataType.simpleString().split("(")[0]

@@ -112,6 +112,18 @@ def mor_init(df: DataFrame, path: str, keys: list[str]) -> None:
     missing = [k for k in keys if k not in df.columns]
     if missing:
         raise ValueError(f"mor_init: key columns absent from df: {missing}")
+    # reserved names poison the store later, not now: a base 'epoch'
+    # column collides with the delta log's partition column on every
+    # read, a base DELETE_COL duplicates mor_append's flag — refuse at
+    # init (case-insensitive, Spark's resolution; review finding)
+    reserved = {DELETE_COL.lower(), "epoch"}
+    clash = [c for c in df.columns if c.lower() in reserved]
+    if clash:
+        raise ValueError(
+            f"mor_init: base columns {clash} collide with the store's "
+            f"reserved names ({DELETE_COL!r}, 'epoch') — rename them "
+            "upstream"
+        )
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     tmp = f"{path}.__init_tmp_{uuid.uuid4().hex}"
     df.write.mode("overwrite").parquet(os.path.join(tmp, "base"))
@@ -255,11 +267,18 @@ def mor_vacuum(path: str, *, min_age_seconds: float = 3600.0) -> list[str]:
     ``base.__merge_backup`` is NEVER touched: it is either the
     interrupted-swap recovery copy (the refusal path tells the
     operator to restore it) or a completed swap's stale backup that
-    the next swap clears itself."""
+    the next swap clears itself.
+
+    Works even when the store itself never came into existence — a
+    died ``mor_init`` leaves ONLY the ``<store>.__init_tmp_*`` sibling
+    (the exact crash class this function exists for; round-9 review
+    finding: requiring the meta here made that debris unvacuumable);
+    the inside-the-store sweeps simply find nothing."""
     import time
 
     _require_local(path, "mor_vacuum")
-    _load_meta(path)
+    if os.path.exists(path):
+        _load_meta(path)  # an existing non-store path refuses loudly
     now = time.time()
     removed = []
 

@@ -1160,8 +1160,15 @@ def category_drift_stream(stream_df: DataFrame, store_path: str,
 
     _require_local(store_path, "category_drift_stream")
     if frozen_categories is not None:
-        _check_frozen(cols, frozen_categories, other_label,
-                      "category_drift_stream")
+        # canonicalized to the exact strings _cat_stack casts to —
+        # every downstream consumer (the fold, the sidecar, the resume
+        # comparison, the sel_chain array literals) sees strings only,
+        # so the batch fold and the stream's array_contains agree on
+        # type AND rendering (round-9 review findings 1+2)
+        frozen_categories = _check_frozen(
+            cols, frozen_categories, other_label,
+            "category_drift_stream",
+        )
     ref_dir = os.path.join(store_path, "ref")
     meta_file = os.path.join(ref_dir, "_catdrift_meta")
     if os.path.exists(ref_dir):
@@ -1275,7 +1282,11 @@ def category_drift_stream(stream_df: DataFrame, store_path: str,
 
     sel_chain = None
     for c in cols:
-        arr = F.array(*[F.lit(x) for x in sorted(selected[c])])
+        # selected values are canonical STRINGS by construction (meta
+        # stores strings; frozen selections canonicalize at entry), so
+        # the array literal is array<string> and array_contains against
+        # the string category column type-checks
+        arr = F.array(*[F.lit(str(x)) for x in sorted(selected[c])])
         sel_chain = (
             F.when(F.col("column") == c, arr) if sel_chain is None
             else sel_chain.when(F.col("column") == c, arr)
@@ -1689,10 +1700,16 @@ def reservoir_stream(stream_df: DataFrame, store_path: str,
     globally), the ``k`` rows with the smallest ``xxhash64(key, seed)``
     over everything streamed so far, in O(k·strata) state.  Reading
     the store (:func:`reservoir_state`) at any time yields EXACTLY
-    what the batch operator would return over the concatenated stream
-    (asserted bit-equal in tests) — eval-set carving and debugging
-    slices that stay stable as data keeps arriving, because a row's
-    sampling fate is its hash rank, not its arrival order.
+    what the batch operator would return over the DISTINCT rows of the
+    concatenated stream (asserted bit-equal in tests) — eval-set
+    carving and debugging slices that stay stable as data keeps
+    arriving, because a row's sampling fate is its hash rank, not its
+    arrival order.  The distinctness qualifier is the price of replay
+    idempotence (see :func:`reservoir_merge`): an exact duplicate row
+    delivered twice counts ONCE here, while ``exact_k_sample`` over a
+    concatenation containing it twice would give it two slots — with
+    a unique sampling key (the intended use) the twin is
+    unconditional.
 
     Exactly-once is DOUBLY held: the shared epoch ledger short-circuits
     replays like every monitor, and — uniquely — the min-k fold itself
@@ -1788,8 +1805,9 @@ def monitor_report(
 
     - ``ks_store`` (a :func:`ks_stream` store): TWO rows per column —
       the KS shape test (λ, Kolmogorov p) and the MWU location test
-      (z, normal p) from the same quantized counts
-      (:func:`_ks_store_counts`);
+      (z, normal p) from ONE shared quantized-count frame
+      (:func:`_ks_store_counts`, built once and fed to both
+      ``*_from_counts`` back halves);
     - ``abtest_store``: Welch's t per arm pair
       (subject = ``a>b``, A&S 26.7.8 p);
     - ``category_store``: the PSI effect size per column
@@ -1821,12 +1839,20 @@ def monitor_report(
 
     parts = []
     if ks_store is not None:
+        from cosmap_spark.operators.stats_tests import (
+            ks_from_counts,
+            mwu_from_counts,
+        )
+
+        counts, meta = _ks_store_counts(spark, ks_store)
         parts.append(shape(
-            decide(ks_state(spark, ks_store), "ks", alpha=alpha),
+            decide(ks_from_counts(counts, meta["cols"]), "ks",
+                   alpha=alpha),
             "ks", F.col("column"), "lambda", F.col("lambda_stat"),
         ))
         parts.append(shape(
-            decide(mwu_state(spark, ks_store), "mwu", alpha=alpha),
+            decide(mwu_from_counts(counts, meta["cols"]), "mwu",
+                   alpha=alpha),
             "mwu", F.col("column"), "z", F.col("z_stat"),
         ))
     if abtest_store is not None:

@@ -419,3 +419,33 @@ def test_frozen_categories_guards(spark):
     with pytest.raises(ValueError, match="must not collide"):
         chi2_test(df, df, ["lang"],
                   frozen_categories={"lang": ["(other)"]})
+
+
+def test_frozen_categories_non_string_values(spark):
+    """Round-9 review finding 1 (reproduced live): python str() is NOT
+    Spark's cast — str(True)='True' vs Spark 'true' silently folded
+    every boolean row into OTHER and masked all drift.  Canonicalized
+    bool/int frozen values must detect a planted boolean shift; floats
+    refuse (no shared canonical rendering — the CLAUDE.md
+    double→varchar trap)."""
+    from cosmap_spark.operators.diff import category_drift
+
+    old = spark.createDataFrame([(True,)] * 30 + [(False,)] * 10,
+                                "flag boolean")
+    new = spark.createDataFrame([(True,)] * 10 + [(False,)] * 30,
+                                "flag boolean")
+    rows = {r["category"]: (r["n_old"], r["n_new"])
+            for r in category_drift(
+                old, new, ["flag"],
+                frozen_categories={"flag": [True, False]}).collect()}
+    assert rows == {"true": (30, 10), "false": (10, 30)}  # NOT (other)
+
+    iold = spark.createDataFrame([(1,)] * 20 + [(2,)] * 20, "k int")
+    inew = spark.createDataFrame([(1,)] * 30 + [(2,)] * 10, "k int")
+    irows = {r["category"] for r in category_drift(
+        iold, inew, ["k"], frozen_categories={"k": [1, 2]}).collect()}
+    assert irows == {"1", "2"}
+
+    with pytest.raises(ValueError, match="canonical string"):
+        category_drift(old, new, ["flag"],
+                       frozen_categories={"flag": [1.5]})

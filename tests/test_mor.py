@@ -287,3 +287,37 @@ def test_mor_vacuum_removes_debris_only(spark, store):
     # the store still reads and the real delta survived
     assert mor_read(spark, store).count() == 100
     assert os.path.exists(os.path.join(store, "deltas", "epoch=1"))
+
+
+def test_mor_vacuum_cleans_died_init(spark, tmp_path):
+    """Round-9 review finding: a died mor_init leaves ONLY the
+    .__init_tmp_* sibling — the store never existed — and vacuum must
+    still clean it (requiring the meta made that debris
+    unvacuumable)."""
+    from cosmap_spark.sinks.mor import mor_vacuum
+
+    path = str(tmp_path / "never_born")
+    os.makedirs(f"{path}.__init_tmp_dead")
+    removed = mor_vacuum(path, min_age_seconds=0)
+    assert [os.path.basename(p) for p in removed] == [
+        "never_born.__init_tmp_dead"
+    ]
+    # an existing non-store path still refuses loudly
+    os.makedirs(path)
+    with pytest.raises(ValueError, match="not a merge-on-read store"):
+        mor_vacuum(path, min_age_seconds=0)
+
+
+def test_mor_init_refuses_reserved_columns(spark, tmp_path):
+    """Round-9 review finding: a base 'epoch' column collides with the
+    delta log's partition column on every read; a base __deleted
+    duplicates the tombstone flag — refuse at init, case-insensitively
+    (Spark resolves names case-insensitively)."""
+    bad1 = spark.range(3).select(F.col("id").alias("k"),
+                                 F.col("id").alias("epoch"))
+    with pytest.raises(ValueError, match="reserved"):
+        mor_init(bad1, str(tmp_path / "s1"), ["k"])
+    bad2 = spark.range(3).select(F.col("id").alias("k"),
+                                 F.lit(False).alias("__Deleted"))
+    with pytest.raises(ValueError, match="reserved"):
+        mor_init(bad2, str(tmp_path / "s2"), ["k"])

@@ -1156,6 +1156,34 @@ def test_maxsim_plaid_token_bags(spark, tmp_path):
     with pytest.raises(ValueError, match="centroid"):
         maxsim_rerank_plaid(dense, ddf, q0, bags, [], prune_k=5)
 
+    # round-9 review finding: a crash mid-RE-save must never leave new
+    # data under the old manifest — the whole plaid dir swaps as one
+    # unit, and a failed swap restores the previous version intact
+    import os as _os
+
+    real_rename = _os.rename
+    calls = {"n": 0}
+
+    def dying_rename(a, b):
+        # the FIRST rename targeting the live dir is tmp→live (die
+        # there, mid-window); the second is the except-path restore
+        # backup→live (must succeed)
+        if str(b).endswith("/plaid"):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("injected crash at swap")
+        return real_rename(a, b)
+
+    _os.rename = dying_rename
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            save_token_bags(store, tcents, bags, normalize=False)
+    finally:
+        _os.rename = real_rename
+    restored = load_token_bags(spark, store)
+    assert restored["normalize"] is True  # the OLD save, intact
+    assert sorted(r["nid"] for r in restored["bags"].limit(3).collect())
+
 
 def test_phrase_match_multi_equals_per_phrase(spark):
     """phrase_match_multi ≡ union of per-phrase phrase_match on the

@@ -2262,6 +2262,29 @@ def test_category_drift_stream_frozen_categories(spark, tmp_path):
     ).awaitTermination(180)
     assert key(category_drift_state(spark, store).collect()) == batch
 
+    # round-9 review finding 2 (reproduced live): NON-STRING frozen
+    # values used to freeze fine and then kill every micro-batch with
+    # an array_contains type mismatch — canonicalization must make an
+    # int selection run end-to-end and match the batch twin
+    iref = spark.range(200).select((F.col("id") % 3).cast("int")
+                                   .alias("b")).localCheckpoint()
+    istream = spark.range(150).select((F.col("id") % 4).cast("int")
+                                      .alias("b")).localCheckpoint()
+    iland = tmp_path / "fci_land"
+    istream.coalesce(1).write.parquet(str(iland), mode="append")
+    istore = str(tmp_path / "fci_store")
+    category_drift_stream(
+        (spark.readStream.schema("b int")
+         .option("maxFilesPerTrigger", 1).parquet(str(iland))),
+        istore, str(tmp_path / "fci_ck"), cols=["b"],
+        reference=iref, frozen_categories={"b": [0, 1, 2]},
+    ).awaitTermination(180)
+    ilive = key(category_drift_state(spark, istore).collect())
+    ibatch = key(category_drift(iref, istream, ["b"],
+                                frozen_categories={"b": [0, 1, 2]})
+                 .collect())
+    assert ilive == ibatch and ilive  # ran, matched, non-empty
+
 
 def test_monitor_report_unifies_all_live_verdicts(spark, tmp_path):
     """monitor_report (round 9): ONE [monitor, subject, statistic,
