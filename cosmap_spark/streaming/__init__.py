@@ -27,6 +27,7 @@ from cosmap_spark.streaming.ops import (  # noqa: F401
     ks_state,
     ks_stream,
     monitor_report,
+    mor_ingest_stream,
     mwu_state,
     quality_gate,
     reservoir_state,

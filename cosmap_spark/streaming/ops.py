@@ -2213,6 +2213,60 @@ def load_appended_lex(spark: SparkSession, index_path: str) -> dict:
     return out
 
 
+def mor_ingest_stream(changes: DataFrame, store_path: str,
+                      checkpoint: str, *, seq_col: str | None = None):
+    """Streaming CDC into a merge-on-read store — the MOR twin of
+    :func:`upsert_stream`: each micro-batch APPENDS one delta epoch
+    (``sinks.mor.mor_append`` — O(batch), no base file opened, one
+    rename) instead of rewriting the table; reads reconcile via
+    ``mor_read`` and ``mor_compact`` folds the log on whatever cadence
+    taste dictates.  The change envelope is the store schema plus the
+    optional ``__deleted`` tombstone flag and an optional ``seq_col``
+    (collapses within-batch duplicate keys to the latest —
+    ``latest_per_key``; without it batches must be key-unique, which
+    ``mor_append`` validates).
+
+    Exactly-once is DOUBLY held, like the reservoir: the epoch ledger
+    (``_epochs`` markers beside the store) short-circuits replays
+    before any Spark work, and even a marker lost to the
+    crash-after-append window is harmless — the re-delivered batch
+    appends a SECOND identical delta epoch whose application is a
+    no-op under the reconcile algebra (the suffix-idempotence law
+    pinned in tests/test_mor.py), so the view can never double-apply.
+    The store must already exist (``mor_init`` first — a stream must
+    not invent the base snapshot's schema)."""
+    import os
+
+    from cosmap_spark.operators.merge import latest_per_key
+    from cosmap_spark.sinks.mor import _load_meta, mor_append
+    from cosmap_spark.sinks.writers import _require_local
+
+    _require_local(store_path, "mor_ingest_stream")
+    keys = _load_meta(store_path)["keys"]
+
+    def run(batch_df: DataFrame, epoch_id: int) -> None:
+        ledger = os.path.join(store_path, "_epochs")
+        marker = os.path.join(ledger, f"epoch-{epoch_id}")
+        if os.path.exists(marker):
+            return  # replayed epoch: the log already contains it
+        os.makedirs(ledger, exist_ok=True)
+        spark = batch_df.sparkSession
+        if seq_col is not None:
+            batch = latest_per_key(batch_df, keys, seq_col=seq_col)
+            mor_append(spark, store_path, batch, assume_unique=True)
+        else:
+            mor_append(spark, store_path, batch_df)
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    return (
+        changes.writeStream.foreachBatch(run)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def _batch_fingerprint(batch_df: DataFrame) -> str:
     """Order-independent content fingerprint of a micro-batch: row
     count + XOR + SUM of per-row xxhash64 over every column.  Two

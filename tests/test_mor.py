@@ -321,3 +321,67 @@ def test_mor_init_refuses_reserved_columns(spark, tmp_path):
                                  F.lit(False).alias("__Deleted"))
     with pytest.raises(ValueError, match="reserved"):
         mor_init(bad2, str(tmp_path / "s2"), ["k"])
+
+
+def test_mor_ingest_stream(spark, store, tmp_path):
+    """Streaming CDC into the MOR store: two micro-batches land as two
+    delta epochs; the view equals the batch-algebra fold; a replay on
+    a fresh checkpoint is short-circuited by the ledger; a LOST ledger
+    marker double-appends harmlessly (suffix idempotence); seq_col
+    collapses within-batch duplicate keys."""
+    import shutil as _sh
+
+    from cosmap_spark.streaming.ops import mor_ingest_stream
+
+    schema = f"k long, v long, name string, {DELETE_COL} boolean, seq long"
+    land = tmp_path / "mis_land"
+    b1 = spark.createDataFrame(
+        [(5, 500, "old5", False, 1), (5, 555, "new5", False, 2),
+         (300, 1, "i300", False, 1)], schema)
+    b2 = spark.createDataFrame(
+        [(7, None, None, True, 1), (5, 666, "newest5", False, 1)], schema)
+    b1.coalesce(1).write.parquet(str(land), mode="append")
+    b2.coalesce(1).write.parquet(str(land), mode="append")
+
+    mor_ingest_stream(
+        (spark.readStream.schema(schema)
+         .option("maxFilesPerTrigger", 1).parquet(str(land))),
+        store, str(tmp_path / "mis_ck"), seq_col="seq",
+    ).awaitTermination(180)
+
+    m = {r["k"]: (r["v"], r["name"])
+         for r in mor_read(spark, store).collect()}
+    assert m[300] == (1, "i300") and 7 not in m
+    assert m[5] in ((555, "new5"), (666, "newest5"))
+    want = _rows(mor_read(spark, store))
+    n_epochs = len(os.listdir(os.path.join(store, "deltas")))
+    assert n_epochs == 2
+
+    # fresh checkpoint: the ledger short-circuits every epoch
+    mor_ingest_stream(
+        (spark.readStream.schema(schema)
+         .option("maxFilesPerTrigger", 1).parquet(str(land))),
+        store, str(tmp_path / "mis_ck2"), seq_col="seq",
+    ).awaitTermination(180)
+    assert len(os.listdir(os.path.join(store, "deltas"))) == n_epochs
+    assert _rows(mor_read(spark, store)) == want
+
+    # lost marker (the crash-after-append window): the re-delivered
+    # batch appends a SECOND identical epoch — and the view is
+    # unchanged by suffix idempotence
+    _sh.rmtree(os.path.join(store, "_epochs"))
+    mor_ingest_stream(
+        (spark.readStream.schema(schema)
+         .option("maxFilesPerTrigger", 1).parquet(str(land))),
+        store, str(tmp_path / "mis_ck3"), seq_col="seq",
+    ).awaitTermination(180)
+    assert len(os.listdir(os.path.join(store, "deltas"))) == 2 * n_epochs
+    assert _rows(mor_read(spark, store)) == want
+
+    # store must pre-exist
+    import pytest as _pt
+    with _pt.raises(ValueError, match="not a merge-on-read store"):
+        mor_ingest_stream(
+            spark.readStream.schema(schema).parquet(str(land)),
+            str(tmp_path / "nostore"), str(tmp_path / "mis_ck4"),
+        )
