@@ -304,7 +304,10 @@ def mor_vacuum(path: str, *, min_age_seconds: float = 3600.0) -> list[str]:
     return removed
 
 
-def mor_compact(spark, path: str) -> int:
+def mor_compact(spark, path: str, *,
+                zorder_cols: list[str] | None = None,
+                bits: int = 8,
+                num_files: int | None = None) -> int:
     """Fold the delta stack into a fresh base; returns the number of
     epochs folded.  Sequence (each step crash-safe, see module
     docstring): materialize the reconciled view to a temp dir, swap it
@@ -314,7 +317,15 @@ def mor_compact(spark, path: str) -> int:
     mor_reconcile idempotence law); a crash before it leaves the store
     untouched.  Epochs appended AFTER the fold started are not
     touched (single-writer stores make this moot, but the guard costs
-    one sorted list)."""
+    one sorted list).
+
+    ``zorder_cols`` makes compaction the OPTIMIZE-with-ZORDER pass
+    (the ``compact_parquet`` move): the folded view is clustered on a
+    Morton key via ``operators.layout.write_zordered`` (quantile-rank
+    strategy — skew-robust) into ``num_files`` files before the same
+    swap, so folding the log and restoring min/max scan selectivity
+    are ONE base rewrite instead of two.  With ``zorder_cols=None``
+    a ``num_files`` alone coalesces the fold (small-file control)."""
     _require_local(path, "mor_compact")
     _load_meta(path)
     _refuse_interrupted_swap(_base_dir(path))
@@ -322,7 +333,34 @@ def mor_compact(spark, path: str) -> int:
     if not epochs:
         return 0
     folded = mor_read(spark, path)
-    _swap_in(_base_dir(path), folded)
+    if zorder_cols is not None:
+        # stage the clustered rewrite ourselves, then the same
+        # backup-rename swap _swap_in performs (its write path is a
+        # plain parquet write; the z-order shuffle needs the layout
+        # writer) — identical crash windows, covered by the same
+        # refusal/restore discipline
+        import uuid
+
+        from cosmap_spark.operators.layout import write_zordered
+
+        base = _base_dir(path)
+        tmp = f"{base}.__merge_tmp_{uuid.uuid4().hex}"
+        write_zordered(folded, tmp, zorder_cols, bits=bits,
+                       num_files=num_files or 64)
+        backup = f"{base}.__merge_backup"
+        if os.path.exists(backup):
+            shutil.rmtree(backup)  # stale after a completed swap
+        os.rename(base, backup)
+        try:
+            os.rename(tmp, base)
+        except BaseException:
+            os.rename(backup, base)
+            raise
+        shutil.rmtree(backup)
+    else:
+        if num_files is not None:
+            folded = folded.coalesce(int(num_files))
+        _swap_in(_base_dir(path), folded)
     for e in epochs:  # ascending: only ever leave a SUFFIX behind
         shutil.rmtree(os.path.join(_deltas_dir(path), f"epoch={e}"))
     return len(epochs)

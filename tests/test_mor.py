@@ -385,3 +385,39 @@ def test_mor_ingest_stream(spark, store, tmp_path):
             spark.readStream.schema(schema).parquet(str(land)),
             str(tmp_path / "nostore"), str(tmp_path / "mis_ck4"),
         )
+
+
+def test_mor_compact_zordered(spark, store):
+    """Compaction as OPTIMIZE-with-ZORDER: the folded view is
+    identical to the plain compaction, the base is clustered
+    (z-ordered layout spans shrink for a box predicate) and the log
+    clears; num_files alone coalesces."""
+    from cosmap_spark.operators.layout import describe_layout
+
+    mor_append(spark, store, _batch(spark, [(5, 555, "u5", False),
+                                            (6, None, None, True)]))
+    want = _rows(mor_read(spark, store))
+    assert mor_compact(spark, store, zorder_cols=["k", "v"],
+                       num_files=4) == 1
+    assert _rows(mor_read(spark, store)) == want
+    assert os.listdir(os.path.join(store, "deltas")) == []
+    base = os.path.join(store, "base")
+    files = [f for f in os.listdir(base) if f.endswith(".parquet")]
+    assert len(files) == 4
+    # clustered: total per-file k span stays near the key range (an
+    # unclustered 4-file layout would put ~the FULL range in every
+    # file → span sum ~4×; the 2-D Morton interleave allows small
+    # single-dim overlaps, so assert span economy, not disjointness)
+    spans = describe_layout(base, ["k"])
+    ks = sorted((s["k_min"], s["k_max"]) for s in spans)
+    total_span = sum(b - a for a, b in ks)
+    key_range = max(b for _, b in ks) - min(a for a, _ in ks)
+    assert total_span <= 1.6 * key_range, ks
+
+    # num_files alone coalesces the fold
+    mor_append(spark, store, _batch(spark, [(7, 77, "u7", False)]))
+    want2 = _rows(mor_read(spark, store))
+    assert mor_compact(spark, store, num_files=2) == 1
+    assert _rows(mor_read(spark, store)) == want2
+    files2 = [f for f in os.listdir(base) if f.endswith(".parquet")]
+    assert len(files2) == 2
