@@ -154,13 +154,22 @@ def save_token_bags(
     training ``normalize`` flag — bags scored under the wrong
     convention are meaningless, the ``residual`` flag lesson) live in
     ONE ``<path>/plaid`` directory, staged fully in a temp dir and
-    swapped in atomically (the writers backup-rename discipline):
-    a crash mid-RE-save can never leave new data under an old
-    manifest (the round-9 review finding with the manifest-last
-    variant)."""
-    import shutil
+    swapped in atomically (``writers._swap_dir_in`` — the shared
+    backup-rename back half, standard ``.__merge_backup`` suffix so
+    the interrupted-swap refusal covers it): a crash mid-RE-save can
+    never leave new data under an old manifest (the round-9 review
+    finding with the manifest-last variant)."""
     import uuid
 
+    from cosmap_spark.sinks.writers import (
+        _refuse_interrupted_swap,
+        _require_local,
+        _swap_dir_in,
+    )
+
+    _require_local(path, "save_token_bags")
+    live = os.path.join(path, "plaid")
+    _refuse_interrupted_swap(live)
     spark = bags.sparkSession
     os.makedirs(path, exist_ok=True)
     tmp = os.path.join(path, f".plaid_tmp_{uuid.uuid4().hex}")
@@ -178,20 +187,10 @@ def save_token_bags(
             },
             f,
         )
-    live = os.path.join(path, "plaid")
     if not os.path.exists(live):
         os.rename(tmp, live)
         return
-    backup = f"{live}.__backup"
-    if os.path.exists(backup):
-        shutil.rmtree(backup)  # stale from a crash after a completed swap
-    os.rename(live, backup)
-    try:
-        os.rename(tmp, live)
-    except BaseException:
-        os.rename(backup, live)
-        raise
-    shutil.rmtree(backup)
+    _swap_dir_in(live, tmp)
 
 
 def load_token_bags(spark: SparkSession, path: str) -> dict:
@@ -200,7 +199,19 @@ def load_token_bags(spark: SparkSession, path: str) -> dict:
     ``maxsim_rerank_plaid`` with the recorded ``normalize``.  Loaded
     serving is asserted row-identical to in-memory artifacts in
     tests/test_retrieval.py."""
+    from cosmap_spark.sinks.writers import _refuse_interrupted_swap
+
     live = os.path.join(path, "plaid")
+    _refuse_interrupted_swap(live)
+    if not os.path.exists(live) and os.path.exists(
+        os.path.join(path, "plaid_manifest.json")
+    ):
+        raise ValueError(
+            f"load_token_bags: {path!r} holds the pre-release flat "
+            "plaid_* layout (round-9 interim) — re-save with "
+            "save_token_bags (the artifacts now live under "
+            "<path>/plaid as one atomic unit)"
+        )
     with open(os.path.join(live, "manifest.json")) as f:
         manifest = json.load(f)
     cents = [

@@ -334,29 +334,20 @@ def mor_compact(spark, path: str, *,
         return 0
     folded = mor_read(spark, path)
     if zorder_cols is not None:
-        # stage the clustered rewrite ourselves, then the same
-        # backup-rename swap _swap_in performs (its write path is a
-        # plain parquet write; the z-order shuffle needs the layout
-        # writer) — identical crash windows, covered by the same
-        # refusal/restore discipline
+        # stage the clustered rewrite ourselves (the z-order shuffle
+        # needs the layout writer, not _swap_in's plain parquet write),
+        # then the SHARED backup-rename back half — identical crash
+        # windows, one implementation (writers._swap_dir_in)
         import uuid
 
         from cosmap_spark.operators.layout import write_zordered
+        from cosmap_spark.sinks.writers import _swap_dir_in
 
         base = _base_dir(path)
         tmp = f"{base}.__merge_tmp_{uuid.uuid4().hex}"
         write_zordered(folded, tmp, zorder_cols, bits=bits,
                        num_files=num_files or 64)
-        backup = f"{base}.__merge_backup"
-        if os.path.exists(backup):
-            shutil.rmtree(backup)  # stale after a completed swap
-        os.rename(base, backup)
-        try:
-            os.rename(tmp, base)
-        except BaseException:
-            os.rename(backup, base)
-            raise
-        shutil.rmtree(backup)
+        _swap_dir_in(base, tmp)
     else:
         if num_files is not None:
             folded = folded.coalesce(int(num_files))

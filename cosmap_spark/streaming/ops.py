@@ -2227,14 +2227,19 @@ def mor_ingest_stream(changes: DataFrame, store_path: str,
     ``mor_append`` validates).
 
     Exactly-once is DOUBLY held, like the reservoir: the epoch ledger
-    (``_epochs`` markers beside the store) short-circuits replays
-    before any Spark work, and even a marker lost to the
+    (``_epochs`` markers beside the store, each recording the batch's
+    content FINGERPRINT — ``upsert_stream``'s discipline, because
+    epoch ids alone cannot distinguish a replay from NEW data landing
+    under a reused id after a checkpoint rebuild) short-circuits
+    replays before any Spark work, and even a marker lost to the
     crash-after-append window is harmless — the re-delivered batch
     appends a SECOND identical delta epoch whose application is a
     no-op under the reconcile algebra (the suffix-idempotence law
     pinned in tests/test_mor.py), so the view can never double-apply.
-    The store must already exist (``mor_init`` first — a stream must
-    not invent the base snapshot's schema)."""
+    A marker hit with a DIFFERENT fingerprint raises instead of
+    silently dropping genuine data.  The store must already exist
+    (``mor_init`` first — a stream must not invent the base
+    snapshot's schema)."""
     import os
 
     from cosmap_spark.operators.merge import latest_per_key
@@ -2247,8 +2252,21 @@ def mor_ingest_stream(changes: DataFrame, store_path: str,
     def run(batch_df: DataFrame, epoch_id: int) -> None:
         ledger = os.path.join(store_path, "_epochs")
         marker = os.path.join(ledger, f"epoch-{epoch_id}")
+        fp = _batch_fingerprint(batch_df)  # one batch-sized job
         if os.path.exists(marker):
-            return  # replayed epoch: the log already contains it
+            with open(marker) as f:
+                recorded = f.read().strip()
+            if recorded == fp:
+                return  # replayed epoch: the log already contains it
+            raise ValueError(
+                f"mor_ingest_stream: epoch {epoch_id} marker exists "
+                "but the batch content differs from what was appended "
+                "— a rebuilt checkpoint is re-delivering NEW data "
+                "under a completed epoch id.  Refusing to silently "
+                f"drop it; remove the ledger {ledger!r} together with "
+                "the checkpoint to re-apply from a clean slate (extra "
+                "re-appends are harmless — suffix idempotence)."
+            )
         os.makedirs(ledger, exist_ok=True)
         spark = batch_df.sparkSession
         if seq_col is not None:
@@ -2257,7 +2275,7 @@ def mor_ingest_stream(changes: DataFrame, store_path: str,
         else:
             mor_append(spark, store_path, batch_df)
         with open(marker, "w") as f:
-            f.write("ok")
+            f.write(fp)
 
     return (
         changes.writeStream.foreachBatch(run)

@@ -386,6 +386,23 @@ def test_mor_ingest_stream(spark, store, tmp_path):
             str(tmp_path / "nostore"), str(tmp_path / "mis_ck4"),
         )
 
+    # NEW data under a reused epoch id (a rebuilt checkpoint after
+    # more files landed) must RAISE, never be silently dropped — the
+    # upsert_stream fingerprint discipline (round-9 review finding):
+    # a fresh checkpoint with maxFilesPerTrigger unset delivers ALL
+    # files as one epoch 0, whose content differs from the recorded
+    # epoch-0 batch
+    b3 = spark.createDataFrame([(8, 88, "i8", False, 1)], schema)
+    b3.coalesce(1).write.parquet(str(land), mode="append")
+    q = mor_ingest_stream(
+        spark.readStream.schema(schema).parquet(str(land)),
+        store, str(tmp_path / "mis_ck5"), seq_col="seq",
+    )
+    with _pt.raises(Exception, match="re-delivering NEW data"):
+        q.awaitTermination()
+    # the refused batch appended nothing
+    assert _rows(mor_read(spark, store)) == want
+
 
 def test_mor_compact_zordered(spark, store):
     """Compaction as OPTIMIZE-with-ZORDER: the folded view is
