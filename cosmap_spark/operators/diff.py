@@ -525,10 +525,19 @@ def _canon_category(v, op: str) -> str:
 
 
 def _check_frozen(cols: list[str], frozen: dict[str, list[str]],
-                  other_label: str, op: str) -> dict[str, list[str]]:
+                  other_label: str, op: str,
+                  null_label: str | None = None) -> dict[str, list[str]]:
     """Validate AND canonicalize a frozen selection; returns the
     all-strings dict every consumer (fold expressions, sidecars,
-    resume comparisons) must use."""
+    resume comparisons) must use.  ``null_label`` (when given) is
+    checked against ``other_label`` here so every frozen consumer gets
+    the guard for free: other_label == null_label would silently merge
+    the OTHER fold into the null bucket (round-9 advice on
+    chi2_test)."""
+    if null_label is not None and other_label == null_label:
+        raise ValueError(
+            f"{op}: other_label and null_label must differ"
+        )
     missing = [c for c in cols if not frozen.get(c)]
     if missing:
         raise ValueError(
@@ -605,7 +614,8 @@ def category_drift(
         raise ValueError("other_label and null_label must differ")
     if frozen_categories is not None:
         frozen_categories = _check_frozen(
-            cols, frozen_categories, other_label, "category_drift"
+            cols, frozen_categories, other_label, "category_drift",
+            null_label=null_label,
         )
     for df, side in ((old, "old"), (new, "new")):
         for c in cols:

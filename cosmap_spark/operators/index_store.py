@@ -172,6 +172,24 @@ def save_token_bags(
     _refuse_interrupted_swap(live)
     spark = bags.sparkSession
     os.makedirs(path, exist_ok=True)
+    # sweep debris from CRASHED prior saves (round-9 advice: unlike the
+    # MOR store there was no vacuum path for .plaid_tmp_* orphans, so
+    # repeated crashed re-saves accumulated full-size copies).  Age
+    # guard mirrors mor_vacuum's: an hour-old temp dir cannot belong to
+    # a live single-writer save; dot-prefixed names are invisible to
+    # readers, so the sweep is purely a disk-space concern.
+    import shutil
+    import time
+
+    now = time.time()
+    for name in os.listdir(path):
+        full = os.path.join(path, name)
+        if (
+            name.startswith(".plaid_tmp_")
+            and os.path.isdir(full)
+            and now - os.stat(full).st_mtime >= 3600.0
+        ):
+            shutil.rmtree(full)
     tmp = os.path.join(path, f".plaid_tmp_{uuid.uuid4().hex}")
     spark.createDataFrame(
         [(int(cid), [float(x) for x in vec]) for cid, vec in centroids],

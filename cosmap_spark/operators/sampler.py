@@ -529,16 +529,19 @@ def exact_k_sample(
 
 def _es_rank(weight_col: str, key_cols: list[str], seed: int) -> Column:
     """The Efraimidis–Spirakis exponential rank ``r = −ln(u)/w`` with a
-    DETERMINISTIC hash-uniform ``u ∈ (0, 1]`` (the +1 shift keeps u off
-    0, whose rank would be +inf — a random zero-probability row) —
-    shared by :func:`weighted_k_sample` and the streaming reservoir's
-    weighted mode, which is what makes the live sample bit-equal to the
-    batch one.  Invalid weights (NULL/NaN/≤0) rank NULL — the caller
-    drops them (the weighted_sample NULL-drop contract).  Stream id 7
+    DETERMINISTIC hash-uniform ``u`` strictly inside (0, 1): the +1
+    shift keeps u off 0 (rank +inf — a random zero-probability row) and
+    the B+1 denominator keeps it off 1 (rank EXACTLY 0 — a row that
+    would sample regardless of weight, violating the weight-monotone
+    inclusion contract at the endpoint; round-9 advice) — shared by
+    :func:`weighted_k_sample` and the streaming reservoir's weighted
+    mode, which is what makes the live sample bit-equal to the batch
+    one.  Invalid weights (NULL/NaN/≤0) rank NULL — the caller drops
+    them (the weighted_sample NULL-drop contract).  Stream id 7
     (unique among this module's samplers)."""
     h = _key_hash(key_cols, F.lit(seed), F.lit(7))
     u = (F.pmod(h, F.lit(_HASH_BUCKETS)).cast("double") + F.lit(1.0)) \
-        / F.lit(float(_HASH_BUCKETS))
+        / F.lit(float(_HASH_BUCKETS) + 1.0)
     w = F.col(weight_col).cast("double")
     return F.when(
         w.isNotNull() & ~F.isnan(w) & (w > 0), -F.ln(u) / w

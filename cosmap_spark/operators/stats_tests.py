@@ -579,9 +579,15 @@ def chi2_test(
         raise ValueError("chi2_test: no columns given")
     if units < 1:
         raise ValueError(f"chi2_test: units must be >= 1; got {units}")
+    # other_label only matters under a freeze, but the guard is
+    # unconditional like category_drift's: a colliding pair is a caller
+    # bug regardless of which path runs (round-10 advice fix)
+    if other_label == null_label:
+        raise ValueError("chi2_test: other_label and null_label must differ")
     if frozen_categories is not None:
         frozen_categories = _check_frozen(
-            cols, frozen_categories, other_label, "chi2_test"
+            cols, frozen_categories, other_label, "chi2_test",
+            null_label=null_label,
         )
     for df, side in ((old, "old"), (new, "new")):
         for c in cols:

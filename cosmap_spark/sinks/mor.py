@@ -67,6 +67,27 @@ DELETE_COL = "__deleted"
 _EPOCH_RE = re.compile(r"^epoch=(\d+)$")
 
 
+def _refuse_null_keys(df: DataFrame, keys: list[str], op: str) -> None:
+    """NULL merge-key values are REJECTED store-wide (one eager
+    limit(1) job, the duplicate-key guard's shape): the read side's
+    reconcile uses null-UNSAFE equi anti-join semantics, so a NULL-key
+    delta could never replace or tombstone a NULL-key base row — each
+    epoch would silently accumulate duplicate NULL-key rows and
+    NULL-key deletes would be no-ops while the winner window treats
+    NULL as a real key (round-9 advice: inconsistent, silently wrong
+    view).  Refusing at the write boundary keeps the whole algebra on
+    one join semantic."""
+    cond = F.lit(False)
+    for k in keys:
+        cond = cond | F.col(k).isNull()
+    if df.where(cond).limit(1).count():
+        raise ValueError(
+            f"{op}: NULL values in merge-key column(s) {keys} — the "
+            "merge-on-read reconcile is null-unsafe by contract; fill "
+            "or drop NULL-key rows upstream"
+        )
+
+
 def _base_dir(path: str) -> str:
     return os.path.join(path, "base")
 
@@ -124,6 +145,7 @@ def mor_init(df: DataFrame, path: str, keys: list[str]) -> None:
             f"reserved names ({DELETE_COL!r}, 'epoch') — rename them "
             "upstream"
         )
+    _refuse_null_keys(df, list(keys), "mor_init")
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     tmp = f"{path}.__init_tmp_{uuid.uuid4().hex}"
     df.write.mode("overwrite").parquet(os.path.join(tmp, "base"))
@@ -175,6 +197,9 @@ def mor_append(
         *[F.col(f.name).cast(f.dataType) for f in base_schema.fields],
         flag.alias(DELETE_COL),
     )
+    # the null-key refusal runs even under assume_unique (tombstone
+    # batches from mor_delete_keys carry caller-supplied keys too)
+    _refuse_null_keys(aligned, keys, "mor_append")
     if not assume_unique:
         dup = (
             aligned.groupBy(*keys).count()

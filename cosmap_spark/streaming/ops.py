@@ -1159,6 +1159,10 @@ def category_drift_stream(stream_df: DataFrame, store_path: str,
     from cosmap_spark.sinks.writers import _require_local
 
     _require_local(store_path, "category_drift_stream")
+    if other_label == null_label:
+        raise ValueError(
+            "category_drift_stream: other_label and null_label must differ"
+        )
     if frozen_categories is not None:
         # canonicalized to the exact strings _cat_stack casts to —
         # every downstream consumer (the fold, the sidecar, the resume
@@ -1167,7 +1171,7 @@ def category_drift_stream(stream_df: DataFrame, store_path: str,
         # type AND rendering (round-9 review findings 1+2)
         frozen_categories = _check_frozen(
             cols, frozen_categories, other_label,
-            "category_drift_stream",
+            "category_drift_stream", null_label=null_label,
         )
     ref_dir = os.path.join(store_path, "ref")
     meta_file = os.path.join(ref_dir, "_catdrift_meta")
@@ -2274,8 +2278,7 @@ def mor_ingest_stream(changes: DataFrame, store_path: str,
             mor_append(spark, store_path, batch, assume_unique=True)
         else:
             mor_append(spark, store_path, batch_df)
-        with open(marker, "w") as f:
-            f.write(fp)
+        _write_marker_atomic(marker, fp)
 
     return (
         changes.writeStream.foreachBatch(run)
@@ -2283,6 +2286,24 @@ def mor_ingest_stream(changes: DataFrame, store_path: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _write_marker_atomic(marker: str, content: str) -> None:
+    """Write a ledger marker whose CONTENT is compared on replay
+    (fingerprint markers) via dot-prefixed temp + ``os.rename``: a
+    torn plain write would leave a partial fingerprint that differs
+    from the replayed batch, turning a harmless replay window into the
+    hard 'marker exists but content differs' stop (round-9 advice).
+    Existence-only markers ('ok') don't need this — a torn one still
+    exists, which is the only fact checked."""
+    import os
+    import uuid
+
+    d = os.path.dirname(marker)
+    tmp = os.path.join(d, f".{os.path.basename(marker)}.{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        f.write(content)
+    os.rename(tmp, marker)
 
 
 def _batch_fingerprint(batch_df: DataFrame) -> str:
@@ -2420,8 +2441,7 @@ def upsert_stream(changes: DataFrame, table_path: str, checkpoint: str,
         else:
             merged.write.mode("overwrite").parquet(table_path)
         os.makedirs(ledger, exist_ok=True)
-        with open(done_marker, "w") as f:
-            f.write(fp)
+        _write_marker_atomic(done_marker, fp)
 
     return (
         changes.writeStream.foreachBatch(run)

@@ -498,3 +498,39 @@ def test_lex_positional_save_load_append_phrase_identity(spark, tmp_path):
     assert bow["positional"] is False
     with pytest.raises(ValueError, match="positional"):
         phrase_search(None, queries, top_n=5, prebuilt=bow)
+
+
+def test_save_token_bags_sweeps_stale_plaid_debris(spark, tmp_path):
+    """Crashed prior saves leave full-size .plaid_tmp_* orphans with no
+    vacuum path (round-10 advice fix): save_token_bags now sweeps
+    stale (>1h) siblings on entry, while a FRESH temp dir — a live
+    writer's in-flight stage under a concurrent-caller mistake — is
+    left alone."""
+    import os
+    import time
+
+    from cosmap_spark.operators.index_store import (
+        load_token_bags,
+        save_token_bags,
+    )
+
+    store = str(tmp_path / "store")
+    os.makedirs(store)
+    stale = os.path.join(store, ".plaid_tmp_deadbeef")
+    os.makedirs(stale)
+    with open(os.path.join(stale, "junk"), "w") as f:
+        f.write("x" * 10)
+    old = time.time() - 7200
+    os.utime(stale, (old, old))
+    fresh = os.path.join(store, ".plaid_tmp_livewriter")
+    os.makedirs(fresh)
+
+    bags = spark.createDataFrame(
+        [(0, [0, 1]), (1, [1])], "nid long, bag array<int>"
+    )
+    save_token_bags(store, [(0, [1.0, 0.0]), (1, [0.0, 1.0])], bags)
+
+    assert not os.path.exists(stale)       # swept
+    assert os.path.exists(fresh)           # age-guarded: kept
+    loaded = load_token_bags(spark, store)
+    assert sorted(r["nid"] for r in loaded["bags"].collect()) == [0, 1]

@@ -438,3 +438,36 @@ def test_mor_compact_zordered(spark, store):
     assert _rows(mor_read(spark, store)) == want2
     files2 = [f for f in os.listdir(base) if f.endswith(".parquet")]
     assert len(files2) == 2
+
+
+def test_mor_null_keys_refused(spark, store, tmp_path):
+    """NULL merge-key values are rejected at every write boundary
+    (round-10 advice fix): the reconcile's equi anti-join is
+    null-unsafe, so a NULL-key delta could never replace or tombstone
+    a NULL-key base row — the store refuses instead of accumulating a
+    silently wrong view."""
+    # init with a NULL key in the base
+    base = spark.createDataFrame(
+        [(1, 10), (None, 20)], "k long, v long"
+    )
+    with pytest.raises(ValueError, match="NULL values in merge-key"):
+        mor_init(base, str(tmp_path / "nullstore"), ["k"])
+    assert not os.path.exists(str(tmp_path / "nullstore"))
+
+    # append with a NULL key
+    bad = spark.createDataFrame(
+        [(None, 1, "x", False)],
+        f"k long, v long, name string, {DELETE_COL} boolean",
+    )
+    with pytest.raises(ValueError, match="NULL values in merge-key"):
+        mor_append(spark, store, bad)
+
+    # delete with a NULL key (flows through mor_append's tombstone
+    # path, which skips the dup check but NOT the null check)
+    keys = spark.createDataFrame([(None,), (5,)], "k long")
+    with pytest.raises(ValueError, match="NULL values in merge-key"):
+        mor_delete_keys(spark, store, keys)
+
+    # no epoch was committed by any refused write
+    from cosmap_spark.sinks.mor import _epochs
+    assert _epochs(store) == []

@@ -479,7 +479,7 @@ def test_weighted_k_sample_reference_and_monotone(spark):
 
     # python replay from the same hash stream
     us = {
-        r["doc_id"]: ((r["h"] % _HASH_BUCKETS) + 1.0) / _HASH_BUCKETS
+        r["doc_id"]: ((r["h"] % _HASH_BUCKETS) + 1.0) / (_HASH_BUCKETS + 1.0)
         for r in df.select(
             "doc_id",
             F.pmod(_key_hash(["doc_id"], F.lit(9), F.lit(7)),

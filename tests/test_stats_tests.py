@@ -385,6 +385,16 @@ def test_chi2_test_degenerate_refuses(spark):
             spark.createDataFrame([([1],)], "cat array<int>"),
             ["cat"],
         )
+    # other_label == null_label would silently merge the OTHER fold
+    # into the null bucket (round-10 advice fix, centralized in
+    # diff._check_frozen so every frozen consumer gets it)
+    with pytest.raises(ValueError, match="must differ"):
+        chi2_test(old, old.union(old), ["cat"],
+                  null_label="(x)", other_label="(x)")
+    with pytest.raises(ValueError, match="must differ"):
+        chi2_test(old, old.union(old), ["cat"],
+                  null_label="(x)", other_label="(x)",
+                  frozen_categories={"cat": ["a"]})
 
 
 def test_decide_pvalues_match_python_references(spark):

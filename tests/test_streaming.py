@@ -2426,3 +2426,42 @@ def test_category_drift_chi2_matches_batch(spark, tmp_path):
     assert tuple(live) == tuple(batch)  # exact, chi2 double included
     v = decide(category_drift_chi2(spark, store), "chi2").collect()[0]
     assert v["significant"] is True  # planted category shift
+
+
+def test_fingerprint_marker_write_is_atomic(tmp_path):
+    """Fingerprint ledger markers (mor_ingest_stream / upsert_stream)
+    must never be observable torn: a partial marker would differ from
+    the replayed batch's fingerprint and turn a harmless replay window
+    into the hard 'content differs' stop (round-10 advice fix).  The
+    write stages to a dot-prefixed temp and renames — a crash at the
+    rename boundary leaves NO marker (replay re-appends harmlessly,
+    suffix idempotence) and a retry lands the full content."""
+    import os
+
+    from cosmap_spark.streaming.ops import _write_marker_atomic
+
+    ledger = str(tmp_path / "_epochs")
+    os.makedirs(ledger)
+    marker = os.path.join(ledger, "epoch-0")
+
+    real_rename = os.rename
+
+    def dying_rename(a, b):
+        raise RuntimeError("injected crash at marker publish")
+
+    os.rename = dying_rename
+    try:
+        try:
+            _write_marker_atomic(marker, "fp-abc123")
+        except RuntimeError:
+            pass
+        assert not os.path.exists(marker)  # torn marker never visible
+    finally:
+        os.rename = real_rename
+
+    _write_marker_atomic(marker, "fp-abc123")
+    with open(marker) as f:
+        assert f.read() == "fp-abc123"
+    # temp files are dot-prefixed (never mistaken for a marker)
+    leftovers = [n for n in os.listdir(ledger) if n != "epoch-0"]
+    assert all(n.startswith(".") for n in leftovers)
