@@ -364,6 +364,13 @@ def main() -> None:
     from cosmap_spark.queries.llm_ops import knn_ann_union
     from cosmap_spark.tables import load_table
 
+    # drain the headline section's garbage before timing this cell:
+    # the round-10 paired cross-tree A/B (SCALE.md "Round 10") showed
+    # the serve leg at ~2.5-3.3 s on a FRESH session in BOTH the r8 and
+    # r10 trees, while the in-bench cell read 6.0-6.2 s in r9/r10 runs
+    # and 2.9 s in r8's — the spread is post-headline JVM state (heap
+    # churn from 19 query plans), not the serve plan
+    spark._jvm.System.gc()
     sections["knn_split"] = _calibrate()
     emb = load_table(spark, sf_dir, "embeddings")
     t0 = time.perf_counter()
