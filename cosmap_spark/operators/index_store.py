@@ -145,6 +145,8 @@ def save_token_bags(
     bags: DataFrame,
     *,
     normalize: bool = True,
+    backend: str = "rename",
+    fs=None,
 ) -> None:
     """Persist a :func:`cosmap_spark.operators.retrieval.
     maxsim_token_quantizer` result beside an index — the token-level
@@ -158,7 +160,17 @@ def save_token_bags(
     backup-rename back half, standard ``.__merge_backup`` suffix so
     the interrupted-swap refusal covers it): a crash mid-RE-save can
     never leave new data under an old manifest (the round-9 review
-    finding with the manifest-last variant)."""
+    finding with the manifest-last variant).
+
+    ``backend="manifest"`` commits through the manifest-pointer
+    protocol instead (:mod:`cosmap_spark.sinks.commit` — the index
+    store ported through the StoreCommit seam, round-9 verdict task
+    #2): centroids and bags land in immutable ``data/<uuid>`` dirs
+    under ``<path>/plaid`` and ONE CAS-published manifest names them —
+    no directory rename anywhere, re-saves just publish the next
+    version, crashed saves leak only reachability-vacuumable orphans
+    (``ManifestStore(<path>/plaid).vacuum()``), and the layout works
+    on an object store once a ``CommitFS`` is supplied."""
     import uuid
 
     from cosmap_spark.sinks.writers import (
@@ -167,10 +179,49 @@ def save_token_bags(
         _swap_dir_in,
     )
 
-    _require_local(path, "save_token_bags")
+    if backend not in ("rename", "manifest"):
+        raise ValueError(f"save_token_bags: unknown backend {backend!r}")
     live = os.path.join(path, "plaid")
-    _refuse_interrupted_swap(live)
     spark = bags.sparkSession
+    if backend == "manifest":
+        from cosmap_spark.sinks.commit import ManifestStore
+
+        if fs is None and os.path.exists(
+            os.path.join(live, "manifest.json")
+        ):
+            raise ValueError(
+                f"save_token_bags: {live!r} is an existing rename-"
+                "layout plaid store — refusing to overlay a manifest "
+                "store on it"
+            )
+        ms = ManifestStore(live, fs)
+        version = ms.versions()[-1] if ms.exists() else 0
+        crel, ctarget = ms.new_data_dir()
+        spark.createDataFrame(
+            [(int(cid), [float(x) for x in vec]) for cid, vec in centroids],
+            "cid INT, cvec ARRAY<DOUBLE>",
+        ).write.mode("overwrite").parquet(os.path.join(ctarget))
+        brel, btarget = ms.new_data_dir()
+        bags.write.mode("overwrite").parquet(btarget)
+        ms.publish(
+            {
+                "components": ["plaid"],
+                "nlist": len(centroids),
+                "normalize": bool(normalize),
+                "centroids": crel,
+                "bags": brel,
+                "data_dirs": [crel, brel],
+            },
+            expected_version=version,
+        )
+        return
+    _require_local(path, "save_token_bags")
+    if os.path.isdir(os.path.join(live, "_manifests")):
+        raise ValueError(
+            f"save_token_bags: {live!r} is an existing manifest-layout "
+            "plaid store — pass backend='manifest'"
+        )
+    _refuse_interrupted_swap(live)
     os.makedirs(path, exist_ok=True)
     # sweep debris from CRASHED prior saves (round-9 advice: unlike the
     # MOR store there was no vacuum path for .plaid_tmp_* orphans, so
@@ -211,38 +262,47 @@ def save_token_bags(
     _swap_dir_in(live, tmp)
 
 
-def load_token_bags(spark: SparkSession, path: str) -> dict:
+def load_token_bags(spark: SparkSession, path: str, *, fs=None) -> dict:
     """Reload a ``save_token_bags`` directory: ``{"centroids": [...],
     "bags": DataFrame, "normalize": bool}`` — pass centroids/bags to
     ``maxsim_rerank_plaid`` with the recorded ``normalize``.  Loaded
     serving is asserted row-identical to in-memory artifacts in
-    tests/test_retrieval.py."""
+    tests/test_retrieval.py.  The commit backend is probed from the
+    layout (rename-swap ``manifest.json`` vs manifest-pointer
+    ``_manifests/``), so readers need no out-of-band knowledge."""
     from cosmap_spark.sinks.writers import _refuse_interrupted_swap
 
     live = os.path.join(path, "plaid")
-    _refuse_interrupted_swap(live)
-    if not os.path.exists(live) and os.path.exists(
-        os.path.join(path, "plaid_manifest.json")
-    ):
-        raise ValueError(
-            f"load_token_bags: {path!r} holds the pre-release flat "
-            "plaid_* layout (round-9 interim) — re-save with "
-            "save_token_bags (the artifacts now live under "
-            "<path>/plaid as one atomic unit)"
-        )
-    with open(os.path.join(live, "manifest.json")) as f:
-        manifest = json.load(f)
+    if fs is not None or os.path.isdir(os.path.join(live, "_manifests")):
+        from cosmap_spark.sinks.commit import ManifestStore
+
+        _, man = ManifestStore(live, fs).latest()
+        cdir = os.path.join(live, man["centroids"])
+        bdir = os.path.join(live, man["bags"])
+    else:
+        _refuse_interrupted_swap(live)
+        if not os.path.exists(live) and os.path.exists(
+            os.path.join(path, "plaid_manifest.json")
+        ):
+            raise ValueError(
+                f"load_token_bags: {path!r} holds the pre-release flat "
+                "plaid_* layout (round-9 interim) — re-save with "
+                "save_token_bags (the artifacts now live under "
+                "<path>/plaid as one atomic unit)"
+            )
+        with open(os.path.join(live, "manifest.json")) as f:
+            man = json.load(f)
+        cdir = os.path.join(live, "centroids")
+        bdir = os.path.join(live, "bags")
     cents = [
         (r["cid"], list(r["cvec"]))
-        for r in spark.read.parquet(
-            os.path.join(live, "centroids")
-        ).collect()
+        for r in spark.read.parquet(cdir).collect()
     ]
     cents.sort(key=lambda t: t[0])
     return {
         "centroids": cents,
-        "bags": spark.read.parquet(os.path.join(live, "bags")),
-        "normalize": bool(manifest.get("normalize", True)),
+        "bags": spark.read.parquet(bdir),
+        "normalize": bool(man.get("normalize", True)),
     }
 
 

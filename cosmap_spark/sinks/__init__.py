@@ -1,5 +1,10 @@
 """Output connectors (reference O24/O25) and table maintenance."""
 
+from cosmap_spark.sinks.commit import (  # noqa: F401
+    CommitConflict,
+    LocalFS,
+    ManifestStore,
+)
 from cosmap_spark.sinks.mor import (  # noqa: F401
     mor_append,
     mor_compact,

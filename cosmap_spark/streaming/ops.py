@@ -2247,11 +2247,14 @@ def mor_ingest_stream(changes: DataFrame, store_path: str,
     import os
 
     from cosmap_spark.operators.merge import latest_per_key
-    from cosmap_spark.sinks.mor import _load_meta, mor_append
+    from cosmap_spark.sinks.mor import _meta_for, mor_append
     from cosmap_spark.sinks.writers import _require_local
 
+    # the epoch LEDGER here is os-based regardless of the store's own
+    # commit backend (both backends work for the appends themselves) —
+    # a remote store with a CommitFS still needs its ledger local
     _require_local(store_path, "mor_ingest_stream")
-    keys = _load_meta(store_path)["keys"]
+    keys = _meta_for(store_path)["keys"]
 
     def run(batch_df: DataFrame, epoch_id: int) -> None:
         ledger = os.path.join(store_path, "_epochs")

@@ -440,3 +440,124 @@ def test_stale_backup_cleared_after_completed_swap(spark, tmp_path):
     assert not os.path.exists(f"{path}.__merge_backup")
     got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
     assert got[1] == 111 and len(got) == 20
+
+
+# ---------------------------------------------------------------------------
+# manifest-backend column: mor_ingest_stream into a manifest-pointer
+# store (sinks/commit.py), killed inside the commit protocol
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("step", ["before_publish", "before_marker"])
+def test_mor_manifest_ingest_kill_matrix(spark, tmp_path, step):
+    """The manifest backend's two ordered crash windows under the
+    streaming CDC ingest, restart-equality against a golden no-crash
+    run (the kill-matrix discipline):
+
+      before_publish  delta data dir fully written, death before the
+                      CAS publish — the store is UNCHANGED (nothing
+                      references the dir); resume re-delivers the
+                      batch, a fresh dir commits, the orphan is
+                      vacuum-eligible.
+      before_marker   publish complete, death before the ledger
+                      marker — resume re-delivers and appends a SECOND
+                      identical epoch, a view no-op by the suffix-
+                      idempotence law (the rename backend's
+                      crash-after-append window, same contract).
+    """
+    import cosmap_spark.sinks.commit as C
+    import cosmap_spark.streaming.ops as SO
+    from cosmap_spark.sinks.mor import mor_init, mor_read, mor_vacuum
+    from cosmap_spark.streaming.ops import mor_ingest_stream
+
+    schema = "k long, v long, seq long"
+
+    def batches(land):
+        b1 = spark.createDataFrame(
+            [(1, 10, 1), (2, 20, 1)], schema)
+        b2 = spark.createDataFrame(
+            [(1, 11, 2), (3, 30, 1)], schema)
+        _land_files(spark, land, [b1, b2])
+
+    def start(store, ckpt, land):
+        return mor_ingest_stream(
+            (spark.readStream.schema(schema)
+             .option("maxFilesPerTrigger", 1).parquet(str(land))),
+            str(store), str(ckpt), seq_col="seq",
+        )
+
+    def init(store):
+        mor_init(
+            spark.createDataFrame([(0, 0, 0)], schema), str(store),
+            ["k"], backend="manifest",
+        )
+
+    def view(store):
+        return sorted(
+            (r["k"], r["v"]) for r in mor_read(spark, str(store)).collect()
+        )
+
+    # golden no-crash run
+    gland = tmp_path / "gold_land"
+    batches(gland)
+    init(tmp_path / "gold_store")
+    assert _await(start(tmp_path / "gold_store",
+                        tmp_path / "gold_ckpt", gland)) is None
+    golden = view(tmp_path / "gold_store")
+
+    land = tmp_path / f"{step}_land"
+    batches(land)
+    store = tmp_path / f"{step}_store"
+    ckpt = tmp_path / f"{step}_ckpt"
+    init(store)
+
+    if step == "before_publish":
+        real = C.LocalFS.publish_exclusive
+        calls = {"n": 0}
+
+        def dying(self, p, content):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise KillPoint(step)
+            return real(self, p, content)
+
+        C.LocalFS.publish_exclusive = dying
+        try:
+            err = _await(start(store, ckpt, land))
+        finally:
+            C.LocalFS.publish_exclusive = real
+        assert err is not None and "KillPoint" in err
+        # store unchanged: still only manifest v1, view = base row
+        from cosmap_spark.sinks.commit import ManifestStore
+
+        assert ManifestStore(str(store)).versions() == [1]
+        assert view(store) == [(0, 0)]
+        # the orphan dir exists and is vacuum-eligible
+        assert len(os.listdir(store / "data")) == 2
+        assert len(mor_vacuum(str(store), min_age_seconds=0)) == 1
+    else:  # before_marker
+        real = SO._write_marker_atomic
+        calls = {"n": 0}
+
+        def dying_marker(marker, content):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise KillPoint(step)
+            return real(marker, content)
+
+        SO._write_marker_atomic = dying_marker
+        try:
+            err = _await(start(store, ckpt, land))
+        finally:
+            SO._write_marker_atomic = real
+        assert err is not None and "KillPoint" in err
+
+    # resume on the SAME checkpoint completes and equals golden
+    assert _await(start(store, ckpt, land)) is None
+    assert view(store) == golden, step
+    if step == "before_marker":
+        # the double-append is visible in the log (two dirs for the
+        # replayed epoch) but invisible in the view — suffix idempotence
+        from cosmap_spark.sinks.commit import ManifestStore
+
+        n = len(ManifestStore(str(store)).latest()[1]["epochs"])
+        assert n == 3  # 2 batches + 1 replayed duplicate

@@ -534,3 +534,68 @@ def test_save_token_bags_sweeps_stale_plaid_debris(spark, tmp_path):
     assert os.path.exists(fresh)           # age-guarded: kept
     loaded = load_token_bags(spark, store)
     assert sorted(r["nid"] for r in loaded["bags"].collect()) == [0, 1]
+
+
+def test_token_bags_manifest_backend(spark, tmp_path):
+    """The plaid index store through the StoreCommit seam (round-10):
+    manifest-backend saves commit by CAS-publishing a version — loaded
+    serving identical to rename-backend loading, re-saves publish the
+    next version with the previous still readable until expiry, a
+    crash before publish leaves the OLD version serving and only a
+    vacuumable orphan, and the two layouts refuse to overlay each
+    other."""
+    import os
+
+    import pytest
+
+    import cosmap_spark.sinks.commit as C
+    from cosmap_spark.sinks.commit import ManifestStore
+    from cosmap_spark.operators.index_store import (
+        load_token_bags,
+        save_token_bags,
+    )
+
+    bags = spark.createDataFrame(
+        [(0, [0, 1]), (1, [1])], "nid long, bag array<int>"
+    )
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+
+    mstore = str(tmp_path / "m")
+    save_token_bags(mstore, cents, bags, backend="manifest")
+    loaded = load_token_bags(spark, mstore)
+    rstore = str(tmp_path / "r")
+    save_token_bags(rstore, cents, bags)
+    ref = load_token_bags(spark, rstore)
+    assert loaded["centroids"] == ref["centroids"]
+    assert loaded["normalize"] is ref["normalize"]
+    assert sorted(map(tuple, loaded["bags"].collect())) == \
+        sorted(map(tuple, ref["bags"].collect()))
+
+    # re-save publishes v2 (normalize flips); no rename happened
+    save_token_bags(mstore, cents, bags, normalize=False,
+                    backend="manifest")
+    ms = ManifestStore(os.path.join(mstore, "plaid"))
+    assert ms.versions() == [1, 2]
+    assert load_token_bags(spark, mstore)["normalize"] is False
+
+    # crash before publish: v2 keeps serving, orphans vacuumable
+    real = C.LocalFS.publish_exclusive
+
+    def dying(self, p, content):
+        raise RuntimeError("injected crash before publish")
+
+    C.LocalFS.publish_exclusive = dying
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            save_token_bags(mstore, cents, bags, backend="manifest")
+    finally:
+        C.LocalFS.publish_exclusive = real
+    assert ms.versions() == [1, 2]
+    assert load_token_bags(spark, mstore)["normalize"] is False
+    assert len(ms.vacuum(min_age_seconds=0)) == 2  # centroids + bags
+
+    # layouts refuse to overlay
+    with pytest.raises(ValueError, match="manifest-layout"):
+        save_token_bags(mstore, cents, bags)
+    with pytest.raises(ValueError, match="rename-layout"):
+        save_token_bags(rstore, cents, bags, backend="manifest")

@@ -35,16 +35,53 @@ def _rows(df):
     )
 
 
-@pytest.fixture()
-def store(spark, tmp_path):
+@pytest.fixture(params=["rename", "manifest"])
+def store(spark, tmp_path, request):
+    """One MOR store per commit backend — every behavioral test runs
+    against BOTH the rename layout and the manifest-pointer layout
+    (round-9 verdict task #2's 'both backends green' criterion);
+    backend-specific crash mechanics skip the other param and are
+    covered by their own tests."""
     base = spark.range(0, 100).select(
         F.col("id").alias("k"),
         (F.col("id") * 10).alias("v"),
         F.concat(F.lit("name-"), F.col("id").cast("string")).alias("name"),
     )
     path = str(tmp_path / "store")
-    mor_init(base, path, ["k"])
+    mor_init(base, path, ["k"], backend=request.param)
     return path
+
+
+def _kind(path: str) -> str:
+    from cosmap_spark.sinks.mor import _store_kind
+
+    return _store_kind(path)
+
+
+def _n_epochs(path: str) -> int:
+    """Committed epoch count on either backend."""
+    from cosmap_spark.sinks.commit import ManifestStore
+    from cosmap_spark.sinks.mor import _epochs
+
+    if _kind(path) == "manifest":
+        return len(ManifestStore(path).latest()[1]["epochs"])
+    return len(_epochs(path))
+
+
+def _skip_unless_rename(path: str, why: str) -> None:
+    if _kind(path) != "rename":
+        pytest.skip(f"rename-backend mechanics: {why}")
+
+
+def _base_dir_of(path: str) -> str:
+    """The CURRENT base data directory on either backend (the manifest
+    backend's moves with every compaction — re-resolve after one)."""
+    from cosmap_spark.sinks.commit import ManifestStore
+
+    if _kind(path) == "manifest":
+        ms = ManifestStore(path)
+        return ms.data_path(ms.latest()[1]["base"])
+    return os.path.join(path, "base")
 
 
 def _batch(spark, rows):
@@ -62,12 +99,12 @@ def test_mor_round_trip_law(spark, store):
     e2 = _batch(spark, [(5, 666, "upd5b", False), (9, None, None, True),
                         (201, 2, "ins201", False)])
     e3 = _batch(spark, [(200, None, None, True), (9, 99, "back9", False)])
+    base = mor_read(spark, store)  # empty log ⇒ exactly the base
     assert mor_append(spark, store, e1) == 1
     assert mor_append(spark, store, e2) == 2
     assert mor_append(spark, store, e3) == 3
 
     got = mor_read(spark, store)
-    base = spark.read.parquet(os.path.join(store, "base"))
     want = base
     for b in (e1, e2, e3):
         want = merge_upsert(want, b, ["k"], delete_col=DELETE_COL,
@@ -83,15 +120,19 @@ def test_mor_round_trip_law(spark, store):
 
 
 def test_mor_writes_never_touch_base(spark, store):
-    """Appends, deletes AND the reconciling read leave every base file
-    byte-identical and un-rewritten (path set + mtime + size)."""
+    """Appends, deletes AND the reconciling read leave every
+    pre-existing store file byte-identical and un-rewritten (path set
+    + mtime + size + inode): the rename backend's base files, the
+    manifest backend's immutable data dirs AND published manifests —
+    writes only ever ADD."""
 
     def base_state():
         out = {}
-        bd = os.path.join(store, "base")
-        for name in sorted(os.listdir(bd)):
-            st = os.stat(os.path.join(bd, name))
-            out[name] = (st.st_mtime_ns, st.st_size, st.st_ino)
+        for d, _, names in os.walk(store):
+            for name in names:
+                full = os.path.join(d, name)
+                st = os.stat(full)
+                out[full] = (st.st_mtime_ns, st.st_size, st.st_ino)
         return out
 
     before = base_state()
@@ -101,7 +142,9 @@ def test_mor_writes_never_touch_base(spark, store):
     )
     # 100 base rows − deleted {3,4}; the k=1 upsert replaces in place
     assert mor_read(spark, store).count() == 98
-    assert base_state() == before
+    after = base_state()
+    # writes ADD files; every pre-existing file is untouched
+    assert {p: after.get(p) for p in before} == before
 
 
 def test_mor_delete_is_o_batch_and_idempotent(spark, store):
@@ -132,7 +175,10 @@ def test_mor_read_plan_gate(spark, store):
     streamed = re.search(
         r"BroadcastHashJoin.*LeftAnti[\s\S]{0,400}", plan
     ).group(0)
-    assert "base" in streamed
+    # the base scan feeds the anti-join DIRECTLY (its first child is
+    # the parquet FileScan, not an exchange) — true on both layouts
+    first_child = streamed.splitlines()[1]
+    assert "FileScan parquet" in first_child, streamed
 
 
 def test_mor_compact_preserves_view_and_clears_log(spark, store):
@@ -143,7 +189,7 @@ def test_mor_compact_preserves_view_and_clears_log(spark, store):
     assert mor_compact(spark, store) == 2
     after = _rows(mor_read(spark, store))
     assert after == before
-    assert os.listdir(os.path.join(store, "deltas")) == []
+    assert _n_epochs(store) == 0
     # compaction of an empty log is a no-op
     assert mor_compact(spark, store) == 0
     # the store keeps working after compaction (epoch numbering resets
@@ -161,6 +207,12 @@ def test_mor_suffix_reapplication_is_noop(spark, store):
     import shutil as _sh
 
     import cosmap_spark.sinks.mor as M
+
+    _skip_unless_rename(
+        store, "manifest compaction has no epoch-removal step to "
+        "crash (one CAS publish; window pinned in "
+        "test_mor_manifest_publish_crash_window)"
+    )
 
     e1 = _batch(spark, [(5, 555, "u5", False), (300, 1, "i300", False)])
     e2 = _batch(spark, [(5, 666, "u5b", False), (300, None, None, True)])
@@ -197,7 +249,7 @@ def test_mor_suffix_reapplication_is_noop(spark, store):
 def test_mor_reconcile_idempotence_law(spark):
     """Pure-algebra twin of the suffix law (pinned independently of
     the store): reconcile(reconcile(b, D), suffix(D)) ≡
-    reconcile(b, D)."""
+    reconcile(b, D).  Backend-independent algebra (no store)."""
     base = spark.range(0, 50).select(
         F.col("id").alias("k"), (F.col("id") * 2).alias("v")
     )
@@ -224,8 +276,9 @@ def test_mor_guards(spark, store, tmp_path):
     # not-a-store refused loudly
     with pytest.raises(ValueError, match="not a merge-on-read store"):
         mor_read(spark, str(tmp_path / "nope"))
-    # remote URIs refused (the _require_local discipline)
-    with pytest.raises(ValueError, match="local-filesystem"):
+    # remote URIs without a CommitFS refuse with the seam named (the
+    # backend-dispatch replacement for the blanket _require_local)
+    with pytest.raises(ValueError, match="CommitFS"):
         mor_read(spark, "s3a://bucket/store")
     # missing key column at init
     with pytest.raises(ValueError, match="key columns absent"):
@@ -233,12 +286,20 @@ def test_mor_guards(spark, store, tmp_path):
 
 
 def test_mor_torn_delta_write_invisible(spark, store):
-    """A dot-prefixed temp dir (a torn append) is excluded from the
-    epoch log and from reads."""
-    d = os.path.join(store, "deltas")
-    os.makedirs(os.path.join(d, ".tmp_dead"), exist_ok=True)
-    with open(os.path.join(d, ".tmp_dead", "part-0.parquet"), "w") as f:
-        f.write("garbage")
+    """A died writer's debris is structurally invisible to reads on
+    both backends: a dot-prefixed temp dir in the rename layout's
+    delta log; an unreferenced data dir (written but never published)
+    in the manifest layout."""
+    if _kind(store) == "manifest":
+        dead = os.path.join(store, "data", "deadbeefcafe")
+        os.makedirs(dead)
+        with open(os.path.join(dead, "part-0.parquet"), "w") as f:
+            f.write("garbage")
+    else:
+        d = os.path.join(store, "deltas")
+        os.makedirs(os.path.join(d, ".tmp_dead"), exist_ok=True)
+        with open(os.path.join(d, ".tmp_dead", "part-0.parquet"), "w") as f:
+            f.write("garbage")
     assert mor_read(spark, store).count() == 100
     e = mor_append(spark, store, _batch(spark, [(1, 11, "u", False)]))
     assert e == 1
@@ -264,6 +325,10 @@ def test_mor_vacuum_removes_debris_only(spark, store):
 
     from cosmap_spark.sinks.mor import mor_vacuum
 
+    _skip_unless_rename(
+        store, "manifest vacuum is reachability-based "
+        "(test_mor_manifest_vacuum_and_history)"
+    )
     mor_append(spark, store, _batch(spark, [(1, 11, "u", False)]))
     # plant debris of all three classes
     os.makedirs(f"{store}.__init_tmp_dead")
@@ -354,7 +419,7 @@ def test_mor_ingest_stream(spark, store, tmp_path):
     assert m[300] == (1, "i300") and 7 not in m
     assert m[5] in ((555, "new5"), (666, "newest5"))
     want = _rows(mor_read(spark, store))
-    n_epochs = len(os.listdir(os.path.join(store, "deltas")))
+    n_epochs = _n_epochs(store)
     assert n_epochs == 2
 
     # fresh checkpoint: the ledger short-circuits every epoch
@@ -363,7 +428,7 @@ def test_mor_ingest_stream(spark, store, tmp_path):
          .option("maxFilesPerTrigger", 1).parquet(str(land))),
         store, str(tmp_path / "mis_ck2"), seq_col="seq",
     ).awaitTermination(180)
-    assert len(os.listdir(os.path.join(store, "deltas"))) == n_epochs
+    assert _n_epochs(store) == n_epochs
     assert _rows(mor_read(spark, store)) == want
 
     # lost marker (the crash-after-append window): the re-delivered
@@ -375,7 +440,7 @@ def test_mor_ingest_stream(spark, store, tmp_path):
          .option("maxFilesPerTrigger", 1).parquet(str(land))),
         store, str(tmp_path / "mis_ck3"), seq_col="seq",
     ).awaitTermination(180)
-    assert len(os.listdir(os.path.join(store, "deltas"))) == 2 * n_epochs
+    assert _n_epochs(store) == 2 * n_epochs
     assert _rows(mor_read(spark, store)) == want
 
     # store must pre-exist
@@ -417,8 +482,8 @@ def test_mor_compact_zordered(spark, store):
     assert mor_compact(spark, store, zorder_cols=["k", "v"],
                        num_files=4) == 1
     assert _rows(mor_read(spark, store)) == want
-    assert os.listdir(os.path.join(store, "deltas")) == []
-    base = os.path.join(store, "base")
+    assert _n_epochs(store) == 0
+    base = _base_dir_of(store)
     files = [f for f in os.listdir(base) if f.endswith(".parquet")]
     assert len(files) == 4
     # clustered: total per-file k span stays near the key range (an
@@ -436,7 +501,8 @@ def test_mor_compact_zordered(spark, store):
     want2 = _rows(mor_read(spark, store))
     assert mor_compact(spark, store, num_files=2) == 1
     assert _rows(mor_read(spark, store)) == want2
-    files2 = [f for f in os.listdir(base) if f.endswith(".parquet")]
+    base2 = _base_dir_of(store)
+    files2 = [f for f in os.listdir(base2) if f.endswith(".parquet")]
     assert len(files2) == 2
 
 
@@ -469,5 +535,211 @@ def test_mor_null_keys_refused(spark, store, tmp_path):
         mor_delete_keys(spark, store, keys)
 
     # no epoch was committed by any refused write
-    from cosmap_spark.sinks.mor import _epochs
-    assert _epochs(store) == []
+    assert _n_epochs(store) == 0
+
+
+def test_mor_manifest_publish_crash_window(spark, tmp_path):
+    """The manifest backend's ONE crash window, both halves pinned:
+
+    * die AFTER the data write, BEFORE the publish → the store is
+      byte-for-byte unchanged for readers (the orphan dir is invisible
+      — nothing references it), vacuum reclaims it, and a retried
+      append lands cleanly;
+    * the publish itself is all-or-nothing (os.link locally /
+      conditional PUT on an object store) — a torn manifest can only
+      live in the dot-prefixed staging file, which version listings
+      structurally ignore."""
+    import cosmap_spark.sinks.commit as C
+    from cosmap_spark.sinks.commit import ManifestStore
+    from cosmap_spark.sinks.mor import mor_vacuum
+
+    path = str(tmp_path / "mstore")
+    base = spark.range(0, 20).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v"),
+        F.lit("x").alias("name"),
+    )
+    mor_init(base, path, ["k"], backend="manifest")
+    want = _rows(mor_read(spark, path))
+
+    real_publish = C.LocalFS.publish_exclusive
+
+    def dying_publish(self, p, content):
+        raise RuntimeError("injected crash before publish")
+
+    C.LocalFS.publish_exclusive = dying_publish
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            mor_append(spark, path, _batch(spark, [(1, 11, "u", False)]))
+    finally:
+        C.LocalFS.publish_exclusive = real_publish
+
+    # unchanged view, version still 1, orphan dir present but invisible
+    ms = ManifestStore(path)
+    assert ms.versions() == [1]
+    assert _rows(mor_read(spark, path)) == want
+    data_dirs = os.listdir(os.path.join(path, "data"))
+    assert len(data_dirs) == 2  # base + orphan
+    # vacuum reclaims the orphan (age 0: no live writer here)
+    removed = mor_vacuum(path, min_age_seconds=0)
+    assert len(removed) == 1
+    assert len(os.listdir(os.path.join(path, "data"))) == 1
+    # the retried append commits
+    assert mor_append(spark, path, _batch(spark, [(1, 11, "u", False)])) == 1
+    m = {r["k"]: r["v"] for r in mor_read(spark, path).collect()}
+    assert m[1] == 11
+
+    # torn publish staging: a dot-prefixed partial file is ignored
+    with open(os.path.join(path, "_manifests", ".v000000099.json.x"),
+              "w") as f:
+        f.write('{"version": 99, "epochs"')  # torn JSON
+    assert ManifestStore(path).versions() == [1, 2]
+    assert _rows(mor_read(spark, path)) is not None
+
+
+def test_mor_manifest_cas_conflict_and_concurrent_append(spark, tmp_path):
+    """Concurrent-writer serialization, both backends:
+
+    * manifest: the version CAS — publishing against a stale expected
+      version raises CommitConflict and changes nothing;
+    * rename: the epoch-dir rename — a writer that computed an epoch a
+      concurrent winner already committed gets a loud ValueError (the
+      round-9 'single-writer by assumption' is now enforced), and its
+      staging debris is cleaned up."""
+    from cosmap_spark.sinks.commit import CommitConflict, ManifestStore
+
+    path = str(tmp_path / "mstore")
+    base = spark.range(0, 10).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v"),
+        F.lit("x").alias("name"),
+    )
+    mor_init(base, path, ["k"], backend="manifest")
+    ms = ManifestStore(path)
+    v, man = ms.latest()
+    # writer A commits normally
+    mor_append(spark, path, _batch(spark, [(1, 11, "a", False)]))
+    # writer B, still holding the stale manifest, loses the CAS
+    with pytest.raises(CommitConflict, match="concurrent"):
+        ms.publish({**man, "epochs": [], "data_dirs": man["data_dirs"]},
+                   expected_version=v)
+    assert ms.latest()[0] == 2  # B changed nothing
+
+    # rename backend: stale epoch listing → loud refusal, no debris
+    import cosmap_spark.sinks.mor as M
+
+    rpath = str(tmp_path / "rstore")
+    mor_init(base, rpath, ["k"])
+    mor_append(spark, rpath, _batch(spark, [(1, 11, "a", False)]))
+    real_epochs = M._epochs
+    M._epochs = lambda p: []  # writer B listed before A committed
+    try:
+        with pytest.raises(ValueError, match="concurrent writer"):
+            mor_append(spark, rpath, _batch(spark, [(2, 22, "b", False)]))
+    finally:
+        M._epochs = real_epochs
+    # A's epoch intact, B left no staging debris, a retry claims 2
+    assert sorted(os.listdir(os.path.join(rpath, "deltas"))) == ["epoch=1"]
+    assert mor_append(spark, rpath, _batch(spark, [(2, 22, "b", False)])) == 2
+    m = {r["k"]: r["v"] for r in mor_read(spark, rpath).collect()}
+    assert m[1] == 11 and m[2] == 22
+
+
+def test_mor_rename_concurrent_append_threads(spark, tmp_path):
+    """The enforced single-writer contract under a REAL race: two
+    threads appending simultaneously either serialize onto distinct
+    epochs or exactly one loses loudly — never two writers sharing an
+    epoch, never silent data loss."""
+    import threading
+
+    path = str(tmp_path / "rstore")
+    base = spark.range(0, 10).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v"),
+        F.lit("x").alias("name"),
+    )
+    mor_init(base, path, ["k"])
+    results: dict[str, object] = {}
+
+    def run(tag, batch):
+        try:
+            results[tag] = mor_append(spark, path, batch)
+        except ValueError as e:
+            results[tag] = e
+
+    t1 = threading.Thread(
+        target=run, args=("a", _batch(spark, [(1, 11, "a", False)])))
+    t2 = threading.Thread(
+        target=run, args=("b", _batch(spark, [(2, 22, "b", False)])))
+    t1.start(); t2.start(); t1.join(); t2.join()
+
+    got = [results["a"], results["b"]]
+    epochs_committed = sorted(
+        int(n.split("=")[1])
+        for n in os.listdir(os.path.join(path, "deltas"))
+        if n.startswith("epoch=")
+    )
+    oks = [r for r in got if isinstance(r, int)]
+    # distinct epochs for every winner; every committed dir accounted
+    assert sorted(oks) == epochs_committed
+    assert len(set(oks)) == len(oks)
+    # losers (if any) raised the loud contract error
+    for r in got:
+        if not isinstance(r, int):
+            assert "concurrent writer" in str(r)
+    # the view contains exactly the winners' rows
+    m = {r["k"]: r["v"] for r in mor_read(spark, path).collect()}
+    if isinstance(results["a"], int):
+        assert m[1] == 11
+    if isinstance(results["b"], int):
+        assert m[2] == 22
+
+
+def test_mor_manifest_time_travel_and_history(spark, tmp_path):
+    """Version-pinned reads: every published manifest stays readable —
+    including ACROSS a compaction (the folded view replaces the log
+    for new readers; historical versions still reconcile from the
+    retained dirs).  expire_versions + vacuum then reclaim, oldest
+    first, and the latest view is never touched."""
+    from cosmap_spark.sinks.commit import ManifestStore
+    from cosmap_spark.sinks.mor import mor_vacuum
+
+    path = str(tmp_path / "mstore")
+    base = spark.range(0, 10).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v"),
+        F.lit("x").alias("name"),
+    )
+    mor_init(base, path, ["k"], backend="manifest")
+    v1 = _rows(mor_read(spark, path))
+    mor_append(spark, path, _batch(spark, [(1, 111, "u1", False)]))
+    v2 = _rows(mor_read(spark, path))
+    mor_delete_keys(spark, path, spark.createDataFrame([(2,)], "k long"))
+    v3 = _rows(mor_read(spark, path))
+    assert mor_compact(spark, path) == 2
+    v4 = _rows(mor_read(spark, path))
+    assert v4 == v3
+
+    assert _rows(mor_read(spark, path, version=1)) == v1
+    assert _rows(mor_read(spark, path, version=2)) == v2
+    assert _rows(mor_read(spark, path, version=3)) == v3
+    assert _rows(mor_read(spark, path, version=4)) == v4
+
+    ms = ManifestStore(path)
+    assert ms.versions() == [1, 2, 3, 4]
+    # keep only the latest 1 version; vacuum reclaims released dirs
+    assert ms.expire_versions(keep_last=1) == [1, 2, 3]
+    assert ms.versions() == [4]
+    removed = mor_vacuum(path, min_age_seconds=0)
+    # v4's base is the only referenced dir left; 3 dirs released
+    # (original base + two delta epochs)
+    assert len(removed) == 3
+    assert len(os.listdir(os.path.join(path, "data"))) == 1
+    assert _rows(mor_read(spark, path)) == v4
+    # an expired version is gone (manifest file removed) — the pinned
+    # read fails loudly, never silently serves something else
+    with pytest.raises(Exception,
+                       match="not exist|PATH_NOT_FOUND|No such file"):
+        mor_read(spark, path, version=2).collect()
+
+    # rename backend refuses version pins honestly
+    rpath = str(tmp_path / "rstore")
+    mor_init(base, rpath, ["k"])
+    with pytest.raises(ValueError, match="version-pinned"):
+        mor_read(spark, rpath, version=1)
