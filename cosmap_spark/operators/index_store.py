@@ -537,6 +537,7 @@ def lex_append(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    allow_new_columns: bool = False,
 ) -> None:
     """Incrementally maintain a persisted lexical index: tokenize ONLY
     the new batch and merge it in — history is never re-tokenized.
@@ -562,7 +563,17 @@ def lex_append(
     Layout note: appended/rewritten files are NOT term-sorted, so the
     term-pruning layout ``save_lex_index`` establishes degrades by the
     appended fraction; re-save (compact) periodically, exactly like
-    any sorted-layout table under append load."""
+    any sorted-layout table under append load.
+
+    ``allow_new_columns=True`` forwards the sink-level ADD-only schema
+    evolution (``writers.merge_upsert``) to the tf/lens merges: a
+    batch built by a NEWER ``build_lex_index`` that emits extra
+    posting columns widens the stored tables (old rows NULL there)
+    instead of silently dropping the columns in alignment.  The
+    positional/bag-of-words SHAPE still follows the manifest (a
+    positional store gets positional batches), because phrase-query
+    capability is all-or-nothing — a half-positional index would
+    silently miss phrases over its NULL-pos rows."""
     from cosmap_spark.operators.retrieval import build_lex_index
     from cosmap_spark.sinks import writers
 
@@ -575,10 +586,12 @@ def lex_append(
         new_docs, id_col=id_col, text_col=text_col, positions=positional
     )
     writers.merge_upsert(
-        spark, os.path.join(path, "lex_tf"), tf_new, ["__d"]
+        spark, os.path.join(path, "lex_tf"), tf_new, ["__d"],
+        allow_new_columns=allow_new_columns,
     )
     writers.merge_upsert(
-        spark, os.path.join(path, "lex_lens"), lens_new, ["__d"]
+        spark, os.path.join(path, "lex_lens"), lens_new, ["__d"],
+        allow_new_columns=allow_new_columns,
     )
     # a batch doc with NULL text is a RETRACTION: build_lex_index
     # emits zero rows for it, so the merge above never replaces its

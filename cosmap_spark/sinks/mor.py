@@ -205,6 +205,7 @@ def mor_init(df: DataFrame, path: str, keys: list[str], *,
     _check_base_columns(df, list(keys), "mor_init")
     meta = {
         "version": 1,
+        "min_reader_version": 1,
         "keys": list(keys),
         "schema": json.loads(df.schema.json()),
     }
@@ -242,6 +243,64 @@ def mor_init(df: DataFrame, path: str, keys: list[str], *,
     os.rename(tmp, path)
 
 
+SUPPORTED_READER_VERSION = 2  # bumped by schema widening (round 10)
+
+
+def _check_reader_version(meta: dict, op: str) -> None:
+    """The Delta-protocol reader-version gate: a store written by a
+    NEWER format than this code understands must refuse loudly, never
+    misread (round-9 verdict task #4's old-reader-new-store leg).
+    Plain stores carry 1; schema-widened stores carry 2."""
+    need = int(meta.get("min_reader_version", 1))
+    if need > SUPPORTED_READER_VERSION:
+        raise ValueError(
+            f"{op}: store requires reader version {need} but this "
+            f"build supports ≤ {SUPPORTED_READER_VERSION} — upgrade "
+            "the engine before touching this store"
+        )
+
+
+def _widened_schema(meta: dict, batch: DataFrame, op: str) -> dict:
+    """Schema evolution, ADD-columns-only: new batch columns append to
+    the store schema as nullable fields; anything else — a type CHANGE
+    on an existing column, a case-insensitive name collision, a
+    reserved name — refuses loudly.  Returns the widened schema json
+    (or ``meta['schema']`` unchanged when the batch adds nothing)."""
+    from pyspark.sql.types import StructType
+
+    base_schema = StructType.fromJson(meta["schema"])
+    have = {f.name.lower() for f in base_schema.fields}
+    reserved = {DELETE_COL.lower(), "epoch"}
+    new_fields = []
+    for f in batch.schema.fields:
+        low = f.name.lower()
+        if low in have:
+            exact = next(
+                bf for bf in base_schema.fields
+                if bf.name.lower() == low
+            )
+            if exact.name != f.name:
+                raise ValueError(
+                    f"{op}: batch column {f.name!r} collides case-"
+                    f"insensitively with store column {exact.name!r} "
+                    "(Spark resolves names case-insensitively)"
+                )
+            continue
+        if low in reserved:
+            raise ValueError(
+                f"{op}: new column {f.name!r} collides with the "
+                f"store's reserved names ({DELETE_COL!r}, 'epoch')"
+            )
+        new_fields.append(f)
+    if not new_fields:
+        return meta["schema"]
+    widened = StructType(
+        list(base_schema.fields)
+        + [type(f)(f.name, f.dataType, True) for f in new_fields]
+    )
+    return json.loads(widened.json())
+
+
 def _align_batch(batch: DataFrame, meta: dict, keys: list[str],
                  assume_unique: bool) -> DataFrame:
     """The backend-shared write-side contract: cast to the store
@@ -250,16 +309,32 @@ def _align_batch(batch: DataFrame, meta: dict, keys: list[str],
     under ``assume_unique`` — tombstone batches carry caller-supplied
     keys too), refuse duplicate keys (one eager batch-sized job;
     duplicates within one epoch would make the read-side winner
-    partition-order dependent)."""
+    partition-order dependent).
+
+    A schema column ABSENT from the batch fills with a typed NULL
+    (key columns excepted — those refuse): upserts replace rows
+    wholesale, so a producer still writing the pre-widening shape
+    sets the widened columns to NULL, which is exactly the schema-
+    evolution contract (Delta's mergeSchema append behavior)."""
     from pyspark.sql.types import StructType
 
     base_schema = StructType.fromJson(meta["schema"])
+    have = set(batch.columns)
+    missing_keys = [k for k in keys if k not in have]
+    if missing_keys:
+        raise ValueError(
+            f"mor_append: batch is missing key column(s) {missing_keys}"
+        )
     if DELETE_COL in batch.columns:
         flag = F.coalesce(F.col(DELETE_COL), F.lit(False))
     else:
         flag = F.lit(False)
     aligned = batch.select(
-        *[F.col(f.name).cast(f.dataType) for f in base_schema.fields],
+        *[
+            (F.col(f.name) if f.name in have else F.lit(None))
+            .cast(f.dataType).alias(f.name)
+            for f in base_schema.fields
+        ],
         flag.alias(DELETE_COL),
     )
     _refuse_null_keys(aligned, keys, "mor_append")
@@ -282,6 +357,7 @@ def mor_append(
     batch: DataFrame,
     *,
     assume_unique: bool = False,
+    allow_new_columns: bool = False,
     fs=None,
 ) -> int:
     """Append one delta batch (upserts; rows with a true
@@ -306,13 +382,31 @@ def mor_append(
     path) lands in an immutable ``data/<uuid>`` dir and commits by
     CAS-publishing the next manifest; a concurrent committer loses the
     CAS (:class:`cosmap_spark.sinks.commit.CommitConflict`) and its
-    orphan dir is vacuumable."""
+    orphan dir is vacuumable.
+
+    ``allow_new_columns=True`` is schema evolution, ADD-only: batch
+    columns the store does not have widen the store schema as nullable
+    fields (type changes and case-fold collisions refuse); old epochs
+    and the base read back with NULL fill; the store's
+    ``min_reader_version`` bumps to 2 so a pre-widening engine refuses
+    the store instead of misreading it.  A column absent from any
+    LATER batch writes NULL (rows replace wholesale — the upsert
+    contract)."""
     kind = _store_kind(path, fs)
     if kind == "manifest":
         ms = _manifest_store(path, fs)
         version, man = ms.latest()
+        _check_reader_version(man, "mor_append")
         keys = man["keys"]
-        aligned = _align_batch(batch, man, keys, assume_unique)
+        schema_json = man["schema"]
+        min_reader = int(man.get("min_reader_version", 1))
+        if allow_new_columns:
+            schema_json = _widened_schema(man, batch, "mor_append")
+            if schema_json != man["schema"]:
+                min_reader = max(min_reader, 2)
+        aligned = _align_batch(
+            batch, {**man, "schema": schema_json}, keys, assume_unique
+        )
         epochs = [e["epoch"] for e in man["epochs"]]
         epoch = (max(epochs) + 1) if epochs else 1
         rel, target = ms.new_data_dir()
@@ -320,7 +414,9 @@ def mor_append(
             "epoch", F.lit(epoch).cast("long")
         ).write.mode("overwrite").parquet(target)
         new_man = {
-            **{k: man[k] for k in ("keys", "schema", "base")},
+            **{k: man[k] for k in ("keys", "base")},
+            "schema": schema_json,
+            "min_reader_version": min_reader,
             "epochs": man["epochs"] + [{"epoch": epoch, "dir": rel}],
             "data_dirs": man["data_dirs"] + [rel],
         }
@@ -328,7 +424,26 @@ def mor_append(
         return epoch
     _require_local(path, "mor_append")
     meta = _load_meta(path)
+    _check_reader_version(meta, "mor_append")
     keys = meta["keys"]
+    if allow_new_columns:
+        widened = _widened_schema(meta, batch, "mor_append")
+        if widened != meta["schema"]:
+            meta = {
+                **meta, "schema": widened,
+                "min_reader_version": max(
+                    int(meta.get("min_reader_version", 1)), 2
+                ),
+            }
+            # meta update FIRST, atomically (one-file os.replace): if
+            # the epoch commit below dies, a widened meta over an
+            # unwidened log is harmless (read-side NULL fill), while
+            # the reverse — a widened epoch under an old meta — would
+            # silently drop the new columns on every read
+            tmp = os.path.join(path, f".{META_NAME}.{uuid.uuid4().hex}")
+            with open(tmp, "w") as f:
+                json.dump(meta, f)
+            os.replace(tmp, os.path.join(path, META_NAME))
     aligned = _align_batch(batch, meta, keys, assume_unique)
     epochs = _epochs(path)
     epoch = (epochs[-1] + 1) if epochs else 1
@@ -389,6 +504,26 @@ def mor_delete_keys(spark, path: str, keys_df: DataFrame, *,
     return mor_append(spark, path, tomb, assume_unique=True, fs=fs)
 
 
+def _fill_to_schema(df: DataFrame, schema_json: dict,
+                    extra: list[str] = ()) -> DataFrame:
+    """Read-side NULL fill for schema evolution: columns the CURRENT
+    store schema has but ``df`` (an old base / old epochs) lacks
+    surface as typed NULLs, in schema order; ``extra`` columns
+    (tombstone flag, epoch) pass through."""
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(schema_json)
+    have = set(df.columns)
+    return df.select(
+        *[
+            F.col(f.name) if f.name in have
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ],
+        *[F.col(c) for c in extra],
+    )
+
+
 def mor_read(spark, path: str, *, version: int | None = None,
              fs=None) -> DataFrame:
     """The current view: base with every delta epoch applied, later
@@ -410,18 +545,25 @@ def mor_read(spark, path: str, *, version: int | None = None,
             _, man = ms.latest()
         else:
             man = ms.read_version(version)
-        base = spark.read.parquet(ms.data_path(man["base"]))
+        _check_reader_version(man, "mor_read")
+        # old base / old epochs NULL-fill the widened columns
+        base = _fill_to_schema(
+            spark.read.parquet(ms.data_path(man["base"])), man["schema"]
+        )
         if not man["epochs"]:
             return base
         # the epoch column was written INTO each delta (long literal),
         # so one multi-dir read needs no partition discovery and no
-        # INT-degradation cast (the partitionBy round-trip footgun)
-        deltas = spark.read.parquet(
+        # INT-degradation cast (the partitionBy round-trip footgun);
+        # mergeSchema unions pre- and post-widening epoch schemas
+        deltas = spark.read.option("mergeSchema", "true").parquet(
             *[ms.data_path(e["dir"]) for e in man["epochs"]]
         )
         return mor_reconcile(
-            base, deltas, man["keys"], epoch_col="epoch",
-            delete_col=DELETE_COL,
+            base,
+            _fill_to_schema(deltas, man["schema"],
+                            extra=[DELETE_COL, "epoch"]),
+            man["keys"], epoch_col="epoch", delete_col=DELETE_COL,
         )
     if version is not None:
         raise ValueError(
@@ -430,24 +572,32 @@ def mor_read(spark, path: str, *, version: int | None = None,
         )
     _require_local(path, "mor_read")
     meta = _load_meta(path)
+    _check_reader_version(meta, "mor_read")
     _refuse_interrupted_swap(_base_dir(path))
-    base = spark.read.parquet(_base_dir(path))
+    base = _fill_to_schema(
+        spark.read.parquet(_base_dir(path)), meta["schema"]
+    )
     epochs = _epochs(path)
     if not epochs:
         return base
-    deltas = spark.read.option("basePath", _deltas_dir(path)).parquet(
-        *[
-            os.path.join(_deltas_dir(path), f"epoch={e}")
-            for e in epochs
-        ]
+    deltas = (
+        spark.read.option("mergeSchema", "true")
+        .option("basePath", _deltas_dir(path)).parquet(
+            *[
+                os.path.join(_deltas_dir(path), f"epoch={e}")
+                for e in epochs
+            ]
+        )
     )
     # partition discovery types epoch as INT; the winner window wants
     # a stable LONG regardless of epoch magnitude (the partitionBy
     # round-trip degradation footgun, CLAUDE.md)
     deltas = deltas.withColumn("epoch", F.col("epoch").cast("long"))
     return mor_reconcile(
-        base, deltas, meta["keys"], epoch_col="epoch",
-        delete_col=DELETE_COL,
+        base,
+        _fill_to_schema(deltas, meta["schema"],
+                        extra=[DELETE_COL, "epoch"]),
+        meta["keys"], epoch_col="epoch", delete_col=DELETE_COL,
     )
 
 
@@ -566,6 +716,9 @@ def mor_compact(spark, path: str, *,
         ms.publish(
             {
                 **{k: man[k] for k in ("keys", "schema")},
+                "min_reader_version": int(
+                    man.get("min_reader_version", 1)
+                ),
                 "base": rel, "epochs": [],
                 "data_dirs": [rel],
             },

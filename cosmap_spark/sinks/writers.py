@@ -126,7 +126,8 @@ def describe_layout(path: str, columns: list[str]) -> list[dict]:
     return _dl(path, columns)
 
 
-def merge_upsert(spark, path: str, updates: DataFrame, keys: list[str]) -> None:
+def merge_upsert(spark, path: str, updates: DataFrame, keys: list[str],
+                 *, allow_new_columns: bool = False) -> None:
     """Keyed upsert into a parquet directory — MERGE INTO semantics
     (update-or-insert by key; updates win, unmatched existing rows
     survive) without a transactional table format.
@@ -151,7 +152,14 @@ def merge_upsert(spark, path: str, updates: DataFrame, keys: list[str]) -> None:
     plain filesystem; a log-backed format (Delta/Iceberg) is the real
     fix at production scale, and this helper is the format-free
     approximation.  At scale with a partitioned table, run
-    per-partition so only touched partitions rewrite."""
+    per-partition so only touched partitions rewrite.
+
+    ``allow_new_columns=True`` is ADD-only schema evolution: update
+    columns the table lacks widen it (existing rows read back NULL
+    there); without the flag extra update columns are DROPPED by the
+    alignment (the historical contract).  A widening merge always
+    rewrites (the table itself changes shape), so the pure-insert
+    append fast path applies only when no widening is needed."""
     import os
 
     from cosmap_spark.operators.merge import merge_upsert as _merge_plan
@@ -162,6 +170,30 @@ def merge_upsert(spark, path: str, updates: DataFrame, keys: list[str]) -> None:
         updates.write.mode("overwrite").parquet(path)
         return
     existing = spark.read.parquet(path)
+    if allow_new_columns:
+        new_cols = [
+            f for f in updates.schema.fields
+            if f.name.lower() not in {c.lower() for c in existing.columns}
+        ]
+        if new_cols:
+            # widen the existing side with typed NULLs (the update's
+            # types define the new fields); existing fields still
+            # align to the table's types below.  The table changes
+            # shape, so this is always a rewrite — no append fast path
+            existing = existing.select(
+                "*",
+                *[F.lit(None).cast(f.dataType).alias(f.name)
+                  for f in new_cols],
+            )
+            updates = updates.select(
+                *[F.col(f.name).cast(f.dataType)
+                  for f in existing.schema.fields]
+            )
+            _swap_in(
+                path,
+                _merge_plan(existing, updates, keys, assume_unique=True),
+            )
+            return
     # align updates to the EXISTING column order AND types: appending
     # files with wider types (e.g. long keys into an int table) would
     # poison the directory with mixed parquet schemas that fail on read

@@ -388,3 +388,70 @@ def test_ingest_catalog_files_per_zone(spark, tmp_path):
     a = sorted(r["object_id"] for r in spark.read.parquet(one).collect())
     b = sorted(r["object_id"] for r in spark.read.parquet(many).collect())
     assert a == b
+
+
+def test_merge_upsert_allow_new_columns(spark, tmp_path):
+    """Sink-level ADD-only schema evolution (round-9 verdict task #4):
+    with the flag, an update batch carrying a new column widens the
+    table (existing rows NULL there); without it, extra columns are
+    dropped by the alignment (the historical contract, unchanged).
+    An old-shaped batch merged into the WIDENED table errors loudly
+    (alignment needs every table column) — pinned so the failure mode
+    stays a hard error, never a silent drop."""
+    import pytest
+
+    from cosmap_spark.sinks.writers import merge_upsert
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame([(1, 10), (2, 20)], "k long, v long") \
+        .write.parquet(path)
+
+    wide = spark.createDataFrame([(2, 21, "b"), (3, 30, "c")],
+                                 "k long, v long, tag string")
+    # without the flag: dropped
+    merge_upsert(spark, path, wide, ["k"])
+    assert "tag" not in spark.read.parquet(path).columns
+
+    # with the flag: widened, old rows NULL
+    merge_upsert(spark, path, wide, ["k"], allow_new_columns=True)
+    got = {r["k"]: (r["v"], r["tag"])
+           for r in spark.read.parquet(path).collect()}
+    assert got == {1: (10, None), 2: (21, "b"), 3: (30, "c")}
+
+    # an old-shaped batch against the widened table is LOUD (the
+    # alignment needs every table column) — callers add the column
+    # or use the flag path upstream
+    old_shaped = spark.createDataFrame([(4, 40)], "k long, v long")
+    with pytest.raises(Exception, match="tag|UNRESOLVED"):
+        merge_upsert(spark, path, old_shaped, ["k"])
+
+
+def test_lex_append_forwards_allow_new_columns(spark, tmp_path):
+    """lex_append's schema-evolution pass-through: with matching
+    schemas the flag is inert (appended ≡ rebuilt, same as the round-8
+    pinning), and the underlying sink accepts it."""
+    from cosmap_spark.operators.index_store import (
+        lex_append, load_lex_index, save_lex_index,
+    )
+    from cosmap_spark.operators.retrieval import build_lex_index
+
+    docs1 = spark.createDataFrame(
+        [(1, "red fox jumps"), (2, "lazy dog sleeps")],
+        "doc_id long, text string",
+    )
+    docs2 = spark.createDataFrame(
+        [(3, "red dog barks")], "doc_id long, text string",
+    )
+    path = str(tmp_path / "lex")
+    tf, lens = build_lex_index(docs1, id_col="doc_id", text_col="text")
+    save_lex_index(path, tf)
+    lex_append(spark, path, docs2, id_col="doc_id", text_col="text",
+               allow_new_columns=True)
+    loaded = load_lex_index(spark, path)
+
+    tf_all, _ = build_lex_index(
+        docs1.union(docs2), id_col="doc_id", text_col="text"
+    )
+    want = sorted(map(tuple, tf_all.collect()))
+    assert sorted(map(tuple, loaded["tf"].collect())) == want
+    assert loaded["n_docs"] == 3
