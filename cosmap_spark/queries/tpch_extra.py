@@ -247,3 +247,359 @@ def q_tpch_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@_extra(
+    "q_tpch_min_cost_supplier",
+    oracle="""
+    WITH offers AS (
+        SELECT l.l_partkey, l.l_suppkey,
+               min(l.l_extendedprice / l.l_quantity) AS unit_cost
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY l.l_partkey, l.l_suppkey
+    )
+    SELECT p.p_partkey, s.s_name, round(o.unit_cost, 4) AS unit_cost
+    FROM offers o
+    JOIN part p ON p.p_partkey = o.l_partkey
+    JOIN supplier s ON s.s_suppkey = o.l_suppkey
+    WHERE p.p_size <= 5
+      AND o.unit_cost = (SELECT min(o2.unit_cost) FROM offers o2
+                         WHERE o2.l_partkey = o.l_partkey)
+    """,
+)
+def q_tpch_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — the correlated scalar MIN (cheapest supplier
+    per part within a region; the trimmed schema's lineitem stands in
+    for partsupp, unit cost for ps_supplycost).  The textbook plan
+    re-runs the min per outer row; the 100 TB plan computes the
+    region-restricted offer table ONCE, takes ONE grouped min per
+    part, and equi-joins back on (part, cost) — two aggregations and a
+    hash join, no re-evaluation.  The double-equality join is safe
+    cross-engine: both sides derive from the identical IEEE division
+    and an order-independent MIN."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    region_supp = (
+        s.join(n, s["s_nationkey"] == n["n_nationkey"])
+        .join(r, n["n_regionkey"] == r["r_regionkey"])
+        .select("s_suppkey", "s_name")
+    )
+    offers = (
+        li.join(
+            region_supp.select(F.col("s_suppkey").alias("l_suppkey")),
+            "l_suppkey", "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+             .alias("unit_cost"))
+    )
+    # rename the grouped side's key: best derives from offers' own
+    # lineage, so a same-name join condition is an ambiguous self-join
+    best = offers.groupBy("l_partkey").agg(
+        F.min("unit_cost").alias("best_cost")
+    ).select(F.col("l_partkey").alias("best_partkey"), "best_cost")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_size") <= 5)
+    return (
+        offers.join(
+            best,
+            (offers["l_partkey"] == F.col("best_partkey"))
+            & (offers["unit_cost"] == F.col("best_cost")),
+        )
+        .join(p, offers["l_partkey"] == p["p_partkey"])
+        .join(region_supp,
+              offers["l_suppkey"] == region_supp["s_suppkey"])
+        .select(
+            "p_partkey", "s_name",
+            F.round(offers["unit_cost"], 4).alias("unit_cost"),
+        )
+    )
+
+
+@_extra(
+    "q_tpch_volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           round(sum(volume), 2) AS revenue
+    FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(year(l.l_shipdate) AS INT) AS l_year,
+                 l.l_extendedprice * (1 - l.l_discount) AS volume
+          FROM lineitem l
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+          JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+          WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                 OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            AND l.l_shipdate BETWEEN DATE '1995-01-01'
+                                 AND DATE '1996-12-31') t
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_tpch_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape — the multi-way star join with date arithmetic
+    and a symmetric nation-pair predicate: lineitem joins supplier,
+    orders, customer and nation TWICE (aliased dimension reuse), the
+    ship-date range sits on the fact scan (pushed filter), the
+    nation-pair disjunction evaluates after the two tiny dimension
+    joins, and one grouped sum per (supp, cust, year) finishes it.
+    Both nation sides broadcast; the fact table shuffles once for the
+    orders join and once for the final aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").between("1995-01-01", "1996-12-31")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("nk1"),
+                  F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("nk2"),
+                  F.col("n_name").alias("cust_nation"))
+    pair = (
+        ((F.col("supp_nation") == "NATION_1")
+         & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2")
+           & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n1), s["s_nationkey"] == F.col("nk1"))
+        .join(F.broadcast(n2), c["c_nationkey"] == F.col("nk2"))
+        .where(pair)
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"))
+    )
+
+
+@_extra(
+    "q_tpch_market_share",
+    oracle="""
+    SELECT l_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume
+                          ELSE 0 END) / sum(volume), 4) AS mkt_share
+    FROM (SELECT CAST(year(o.o_orderdate) AS INT) AS l_year,
+                 l.l_extendedprice * (1 - l.l_discount) AS volume,
+                 n1.n_name AS supp_nation
+          FROM lineitem l
+          JOIN part p ON p.p_partkey = l.l_partkey
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+          JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+          JOIN region r ON r.r_regionkey = n2.n_regionkey
+          WHERE r.r_name = 'ASIA' AND p.p_size <= 10
+            AND o.o_orderdate BETWEEN DATE '1995-01-01'
+                                  AND DATE '1996-12-31') t
+    GROUP BY l_year
+    """,
+)
+def q_tpch_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — market share: one nation's fraction of the
+    total qualifying volume per year.  The share's numerator is a
+    CONDITIONAL SUM inside the same groupBy as the denominator (the
+    bm25 variants= lesson: sibling agg columns above one exchange,
+    never two aggregations), so the whole query is the star join plus
+    ONE aggregate.  The customer-side region restriction reuses the
+    aliased-nation trick from Q7."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_size") <= 10)
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").between("1995-01-01", "1996-12-31")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n1 = n.select(F.col("n_nationkey").alias("nk1"),
+                  F.col("n_name").alias("supp_nation"))
+    n2 = (
+        n.join(r, n["n_regionkey"] == r["r_regionkey"])
+        .select(F.col("n_nationkey").alias("nk2"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"], "left_semi")
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n1), s["s_nationkey"] == F.col("nk1"))
+        .join(F.broadcast(n2), c["c_nationkey"] == F.col("nk2"),
+              "left_semi")
+        .groupBy(F.year("o_orderdate").alias("l_year"))
+        .agg(F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_1", vol)
+                  .otherwise(F.lit(0.0)))
+            / F.sum(vol), 4
+        ).alias("mkt_share"))
+    )
+
+
+@_extra(
+    "q_tpch_top_supplier",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1996-03-31'
+        GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name,
+           round(r.total_revenue, 2) AS total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q_tpch_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — the view/CTE max: per-supplier quarterly
+    revenue, keep the supplier(s) at the maximum.  The CTE computes
+    ONCE and feeds both the outer join and the scalar max (Catalyst
+    sees one aggregation lineage; the max is a 1-row broadcast — the
+    intended constant-size BroadcastNestedLoopJoin class, same as
+    q_tpch_idle_customers' scalar).  The max-equality filter is
+    self-consistent per engine (the max is of its OWN sums), so the
+    selected supplier set matches cross-engine even though a double
+    sum is order-dependent in its last ulp."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").between("1996-01-01", "1996-03-31")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    revenue = li.groupBy(
+        F.col("l_suppkey").alias("supplier_no")
+    ).agg(F.sum(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).alias("total_revenue"))
+    top = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        s.join(revenue, s["s_suppkey"] == revenue["supplier_no"])
+        .join(F.broadcast(top))
+        .where(F.col("total_revenue") == F.col("max_rev"))
+        .select(
+            "s_suppkey", "s_name",
+            F.round("total_revenue", 2).alias("total_revenue"),
+        )
+    )
+
+
+@_extra(
+    "q_tpch_bulk_suppliers",
+    oracle="""
+    SELECT s.s_name, round(s.s_acctbal, 2) AS s_acctbal
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+        SELECT l.l_suppkey FROM lineitem l
+        WHERE l.l_partkey IN (SELECT p_partkey FROM part
+                              WHERE p_size <= 5)
+          AND l.l_shipdate >= DATE '1996-01-01'
+        GROUP BY l.l_suppkey
+        HAVING sum(l.l_quantity) > 100)
+      AND s.s_nationkey IN (SELECT n_nationkey FROM nation
+                            WHERE n_name IN ('NATION_1', 'NATION_2',
+                                             'NATION_3'))
+    """,
+)
+def q_tpch_bulk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape — the NESTED IN chain (part-IN inside a grouped
+    lineitem-IN inside supplier, plus a nation IN): each IN
+    decorrelates to a LEFT-SEMI hash join, innermost first — parts
+    semi-restrict the fact scan, one grouped HAVING produces the
+    qualifying supplier keys, and supplier semi-joins that set and the
+    (tiny, broadcast) nation selection.  Three semi joins, one
+    aggregate, zero subquery re-evaluation."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    small_parts = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_size") <= 5)
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    bulk = (
+        li.join(small_parts, "l_partkey", "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .where(F.col("q") > 100)
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+    )
+    nkeys = (
+        load_table(spark, sf_dir, "nation")
+        .where(F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))
+        .select(F.col("n_nationkey").alias("s_nationkey"))
+    )
+    return (
+        s.join(bulk, "s_suppkey", "left_semi")
+        .join(F.broadcast(nkeys), "s_nationkey", "left_semi")
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+    )
+
+
+@_extra(
+    "q_tpch_waiting_suppliers",
+    oracle="""
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    """,
+)
+def q_tpch_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — the EXISTS + NOT-EXISTS chain with an
+    INEQUALITY correlation (another supplier in the same order /
+    no OTHER supplier also at fault): the inequality means a plain
+    semi/anti on the order key is wrong, and the textbook plan is a
+    per-row re-probe.  The published decorrelation is per-ORDER
+    supplier statistics computed once —
+
+      EXISTS other supplier        ≡ n_suppliers(order) ≥ 2
+      NOT EXISTS other at fault    ≡ n_fault_suppliers(order) = 1
+                                     (l1's own supplier is at fault
+                                      and in the set, so "only me")
+
+    — ONE distinct-count aggregate per order, equi-joined back; the
+    fact table shuffles by order key once for the stats and once for
+    the probe join."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_fault"),
+    )
+    l1 = li.where(F.col("l_returnflag") == "R")
+    return (
+        l1.join(o, l1["l_orderkey"] == o["o_orderkey"])
+        .join(per_order, "l_orderkey")
+        .where((F.col("n_supps") >= 2) & (F.col("n_fault") == 1))
+        .join(s, l1["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )

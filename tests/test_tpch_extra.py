@@ -35,7 +35,7 @@ def test_extra_plan_decorrelated(name, spark):
         df._jdf.queryExecution(), "formatted"
     )
     assert "CartesianProduct" not in plan, name
-    if name != "q_tpch_idle_customers":
+    if name not in ("q_tpch_idle_customers", "q_tpch_top_supplier"):
         # (the 1-row scalar broadcast there is the intended plan)
         assert "BroadcastNestedLoopJoin" not in plan, name
 
@@ -46,6 +46,8 @@ def test_semi_anti_joins_present(spark):
         "q_tpch_priority": "LeftSemi",
         "q_tpch_parts_supp": "LeftAnti",
         "q_tpch_big_orders": "LeftSemi",
+        "q_tpch_bulk_suppliers": "LeftSemi",
+        "q_tpch_idle_customers": "LeftAnti",
     }
     for name, jt in expect.items():
         df = EXTRA_QUERIES[name](spark, SF_DIR)
