@@ -228,12 +228,14 @@ class ManifestStore:
                 refs.add(rel)
         return refs
 
-    def vacuum(self, *, min_age_seconds: float = 3600.0) -> list[str]:
+    def vacuum(self, *, min_age_seconds: float = 3600.0,
+               dry_run: bool = False) -> list[str]:
         """Remove data dirs no RETAINED manifest references (orphans
         from died writers, plus dirs released by
         :meth:`expire_versions`).  Age-guarded like ``mor_vacuum``: a
         younger dir may be a live writer's staged-but-unpublished
-        commit.  Manifests themselves are never touched here."""
+        commit.  Manifests themselves are never touched here.
+        ``dry_run=True`` reports without removing."""
         refs = self._referenced()
         removed = []
         now = time.time()
@@ -245,7 +247,8 @@ class ManifestStore:
                 continue
             if now - self.fs.mtime(full) < min_age_seconds:
                 continue
-            self.fs.remove_tree(full)
+            if not dry_run:
+                self.fs.remove_tree(full)
             removed.append(full)
         return removed
 

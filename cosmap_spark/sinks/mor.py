@@ -602,7 +602,7 @@ def mor_read(spark, path: str, *, version: int | None = None,
 
 
 def mor_vacuum(path: str, *, min_age_seconds: float = 3600.0,
-               fs=None) -> list[str]:
+               dry_run: bool = False, fs=None) -> list[str]:
     """Remove crash debris — temp directories a died writer leaked
     (``<store>.__init_tmp_*`` siblings, ``deltas/.tmp_*``,
     ``base.__merge_tmp_*``) — returning the removed paths.  Debris is
@@ -625,7 +625,10 @@ def mor_vacuum(path: str, *, min_age_seconds: float = 3600.0,
     Manifest-backend stores delegate to the commit layer's
     reachability vacuum (data dirs no retained manifest references —
     died-before-publish orphans and dirs released by history expiry),
-    same age guard."""
+    same age guard.
+
+    ``dry_run=True`` only REPORTS what would be removed (the
+    store-health readout's debris count) — nothing is touched."""
     import time
 
     if fs is not None or (
@@ -634,7 +637,7 @@ def mor_vacuum(path: str, *, min_age_seconds: float = 3600.0,
         and _manifest_store(path, fs).exists()
     ):
         return _manifest_store(path, fs).vacuum(
-            min_age_seconds=min_age_seconds
+            min_age_seconds=min_age_seconds, dry_run=dry_run
         )
     _require_local(path, "mor_vacuum")
     if os.path.exists(path):
@@ -651,7 +654,8 @@ def mor_vacuum(path: str, *, min_age_seconds: float = 3600.0,
                 continue
             if now - os.stat(full).st_mtime < min_age_seconds:
                 continue
-            shutil.rmtree(full)
+            if not dry_run:
+                shutil.rmtree(full)
             removed.append(full)
 
     # a died mor_init leaves `<store>.__init_tmp_*` as a SIBLING of

@@ -27,6 +27,7 @@ from cosmap_spark.streaming.ops import (  # noqa: F401
     ks_state,
     ks_stream,
     monitor_report,
+    store_health,
     mor_ingest_stream,
     mwu_state,
     quality_gate,

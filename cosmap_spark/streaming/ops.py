@@ -1800,6 +1800,7 @@ def monitor_report(
     ks_store: str | None = None,
     alpha: float = 0.05,
     psi_threshold: float = 0.25,
+    health_stores: dict[str, str] | None = None,
 ) -> DataFrame:
     """ONE verdict table across every live monitor store — the page an
     on-call user actually reads:
@@ -1889,12 +1890,161 @@ def monitor_report(
             "drift_psi", F.col("column"), "psi", F.col("psi"),
             p=F.lit(None), sig=F.col("alarmed"),
         ))
+    if health_stores:
+        parts.append(store_health(spark, health_stores))
     if not parts:
         raise ValueError("monitor_report: no store paths given")
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def store_health(spark: SparkSession, stores: dict[str, str], *,
+                 compact_after: int = 10) -> DataFrame:
+    """The MAINTENANCE half of the one-page readout (round-9 verdict
+    task #8): the facts an operator acts on, per store, in
+    ``monitor_report``'s exact schema so the two union —
+    ``[monitor='health', subject=<store name>, statistic=<fact>,
+    value, p_value=NULL, significant=<needs action>]``.
+
+    Facts by store kind (probed from the layout):
+
+    - merge-on-read (either commit backend): ``mor_epochs`` (delta
+      stack depth; significant once ≥ ``compact_after`` — compact me),
+      ``mor_oldest_delta_age_s``, ``debris_dirs`` (vacuum dry-run;
+      significant when > 0 — vacuum me), ``manifest_versions`` /
+      ``orphan_data_dirs`` on the manifest backend (orphans
+      significant — expire/vacuum me);
+    - any rename-machinery store: ``pending_interrupted_swap``
+      (backup present with the live dir MISSING — significant, the
+      one state needing a manual restore), ``ledger_last_epoch``;
+    - monitor stores additionally report ``rows:<subdir>`` per state
+      table (monitor state is O(cols·bins)-sized, so counting is
+      cheap; MOR bases are table-sized and deliberately NEVER counted
+      here — health must not cost a scan).
+
+    Everything else is driver-local filesystem listings — zero Spark
+    jobs except the small state-table counts."""
+    import os as _os
+
+    from cosmap_spark.sinks.mor import META_NAME, mor_vacuum
+
+    rows: list[tuple] = []
+
+    def fact(name: str, stat: str, value, sig: bool) -> None:
+        rows.append((
+            "health", name, stat,
+            None if value is None else float(value), None, bool(sig),
+        ))
+
+    def ledger_last(path: str) -> int | None:
+        led = _os.path.join(path, "_epochs")
+        if not _os.path.isdir(led):
+            return None
+        es = [
+            int(n.split("-", 1)[1])
+            for n in _os.listdir(led)
+            if n.startswith("epoch-") and n.split("-", 1)[1].isdigit()
+        ]
+        return max(es) if es else None
+
+    for name, path in stores.items():
+        is_mor_rename = _os.path.exists(_os.path.join(path, META_NAME))
+        is_mor_manifest = (
+            not is_mor_rename
+            and _os.path.isdir(_os.path.join(path, "_manifests"))
+            and _os.path.exists(_os.path.join(path, META_NAME)) is False
+        )
+        if is_mor_rename or is_mor_manifest:
+            from cosmap_spark.sinks.commit import ManifestStore
+            from cosmap_spark.sinks.mor import _epochs
+
+            if is_mor_manifest:
+                ms = ManifestStore(path)
+                _, man = ms.latest()
+                # non-MOR manifest stores (e.g. the plaid index) carry
+                # no epoch log — they still report versions + orphans
+                man_epochs = man.get("epochs", [])
+                epochs = [e["epoch"] for e in man_epochs]
+                fact(name, "manifest_versions", len(ms.versions()), False)
+                orphans = ms.vacuum(dry_run=True)  # default age guard
+                fact(name, "orphan_data_dirs", len(orphans),
+                     len(orphans) > 0)
+                oldest_age = None
+                if man_epochs:
+                    import time as _time
+
+                    oldest = min(
+                        _os.stat(ms.data_path(e["dir"])).st_mtime
+                        for e in man_epochs
+                    )
+                    oldest_age = _time.time() - oldest
+                if "epochs" not in man:
+                    continue  # no delta-log facts for non-MOR manifests
+            else:
+                epochs = _epochs(path)
+                debris = mor_vacuum(path, dry_run=True)  # age-guarded
+                fact(name, "debris_dirs", len(debris), len(debris) > 0)
+                oldest_age = None
+                if epochs:
+                    import time as _time
+
+                    oldest = _os.stat(_os.path.join(
+                        path, "deltas", f"epoch={epochs[0]}"
+                    )).st_mtime
+                    oldest_age = _time.time() - oldest
+                base = _os.path.join(path, "base")
+                fact(name, "pending_interrupted_swap",
+                     int(_os.path.exists(f"{base}.__merge_backup")
+                         and not _os.path.exists(base)),
+                     _os.path.exists(f"{base}.__merge_backup")
+                     and not _os.path.exists(base))
+            fact(name, "mor_epochs", len(epochs),
+                 len(epochs) >= compact_after)
+            if oldest_age is not None:
+                fact(name, "mor_oldest_delta_age_s",
+                     round(oldest_age, 1), False)
+            le = ledger_last(path)
+            if le is not None:
+                fact(name, "ledger_last_epoch", le, False)
+            continue
+        # generic monitor store: ledger + per-state-table row counts +
+        # interrupted-swap flags on each state subdir
+        le = ledger_last(path)
+        if le is not None:
+            fact(name, "ledger_last_epoch", le, False)
+        if _os.path.isdir(path):
+            for sub in sorted(_os.listdir(path)):
+                full = _os.path.join(path, sub)
+                if sub.startswith(("_", ".")) or not _os.path.isdir(full):
+                    continue
+                if sub.endswith("__merge_backup"):
+                    live = full[: -len(".__merge_backup")]
+                    interrupted = not _os.path.exists(live)
+                    fact(name, f"pending_interrupted_swap:{sub}",
+                         int(interrupted), interrupted)
+                    continue
+                if any(
+                    f.endswith(".parquet")
+                    for f in _os.listdir(full)
+                    if _os.path.isfile(_os.path.join(full, f))
+                ):
+                    n = spark.read.parquet(full).count()
+                    fact(name, f"rows:{sub}", n, False)
+    from pyspark.sql.types import (
+        BooleanType, DoubleType, StringType, StructField, StructType,
+    )
+
+    schema = StructType([
+        StructField("monitor", StringType()),
+        StructField("subject", StringType()),
+        StructField("statistic", StringType()),
+        StructField("value", DoubleType()),
+        StructField("p_value", DoubleType()),
+        StructField("significant", BooleanType()),
+    ])
+    return spark.createDataFrame(rows, schema)
 
 
 def heavy_hitters_stream(stream_df: DataFrame, store_path: str,

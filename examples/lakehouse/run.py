@@ -213,6 +213,35 @@ def main() -> None:
               f"compaction folded {n_folded} epoch(s); vacuum removed "
               f"{len(debris)} debris dir(s)")
 
+        # 7. manifest-pointer backend + the store-health page -----------
+        # (round 10: the object-store-shaped commit — immutable data
+        # dirs, one CAS-published manifest per commit, time travel)
+        from cosmap_spark.sinks.commit import ManifestStore
+        from cosmap_spark.streaming.ops import store_health
+
+        vstore = os.path.join(root, "mor_versioned")
+        mor_init(snap, vstore, ["c_custkey"], backend="manifest")
+        mor_delete_keys(spark, vstore, forget)
+        assert mor_read(spark, vstore).where(
+            F.col("c_custkey") == upd_key
+        ).count() == 0
+        # version 1 (pre-delete) is still readable — time travel
+        assert mor_read(spark, vstore, version=1).where(
+            F.col("c_custkey") == upd_key
+        ).count() == 1
+        mor_compact(spark, vstore)
+        ms = ManifestStore(vstore)
+        print(f"manifest store: {len(ms.versions())} versions published, "
+              "no data rename anywhere")
+
+        print("store health (the maintenance page an operator acts on):")
+        for r in store_health(
+            spark, {"mor_table": mstore, "mor_versioned": vstore}
+        ).orderBy("subject", "statistic").collect():
+            flag = "  <-- act" if r["significant"] else ""
+            print(f"  {r['subject']:<14} {r['statistic']:<28} "
+                  f"{r['value']}{flag}")
+
     spark.stop()
     print("lakehouse example: all invariants hold")
 

@@ -2465,3 +2465,84 @@ def test_fingerprint_marker_write_is_atomic(tmp_path):
     # temp files are dot-prefixed (never mistaken for a marker)
     leftovers = [n for n in os.listdir(ledger) if n != "epoch-0"]
     assert all(n.startswith(".") for n in leftovers)
+
+
+def test_store_health_page(spark, tmp_path):
+    """store_health (round-10): one maintenance table in
+    monitor_report's schema — epoch depth (significant at the
+    compact_after threshold), debris / orphan counts (significant when
+    > 0), the interrupted-swap flag, ledger last-epoch, and per-state
+    row counts for monitor stores; MOR bases are never scanned."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cosmap_spark.sinks.mor import (
+        DELETE_COL, mor_append, mor_init,
+    )
+    from cosmap_spark.streaming.ops import monitor_report, store_health
+
+    base = spark.range(0, 20).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    batch = spark.createDataFrame(
+        [(1, 99, False)], f"k long, v long, {DELETE_COL} boolean"
+    )
+
+    rstore = str(tmp_path / "r")
+    mor_init(base, rstore, ["k"])
+    mor_append(spark, rstore, batch)
+    dead = os.path.join(rstore, "deltas", ".tmp_dead")
+    os.makedirs(dead)
+    os.utime(dead, (1, 1))  # age past the vacuum guard
+
+    mstore = str(tmp_path / "m")
+    mor_init(base, mstore, ["k"], backend="manifest")
+    mor_append(spark, mstore, batch)
+    # orphan data dir (died-before-publish)
+    orphan = os.path.join(mstore, "data", "orphan123")
+    os.makedirs(orphan)
+    os.utime(orphan, (1, 1))
+
+    # a fake monitor store: one state table + a ledger + an
+    # interrupted swap (backup present, live missing)
+    mon = str(tmp_path / "mon")
+    base.limit(5).write.parquet(os.path.join(mon, "state"))
+    os.makedirs(os.path.join(mon, "_epochs"))
+    for e in (0, 1, 2):
+        with open(os.path.join(mon, "_epochs", f"epoch-{e}"), "w") as f:
+            f.write("ok")
+    os.rename(os.path.join(mon, "state"),
+              os.path.join(mon, "state.__merge_backup"))
+
+    h = store_health(
+        spark, {"r": rstore, "m": mstore, "mon": mon}, compact_after=1
+    )
+    rows = {(r["subject"], r["statistic"]): (r["value"], r["significant"])
+            for r in h.collect()}
+
+    assert rows[("r", "mor_epochs")] == (1.0, True)  # >= compact_after
+    assert rows[("r", "debris_dirs")] == (1.0, True)
+    assert rows[("r", "pending_interrupted_swap")] == (0.0, False)
+    assert ("r", "mor_oldest_delta_age_s") in rows
+
+    assert rows[("m", "mor_epochs")] == (1.0, True)
+    assert rows[("m", "manifest_versions")] == (2.0, False)
+    assert rows[("m", "orphan_data_dirs")] == (1.0, True)
+
+    assert rows[("mon", "ledger_last_epoch")] == (2.0, False)
+    assert rows[("mon", "pending_interrupted_swap:state.__merge_backup")] \
+        == (1.0, True)
+
+    # monitor_report unions the health rows in the same schema
+    rep = monitor_report(spark, health_stores={"r": rstore})
+    assert rep.columns == ["monitor", "subject", "statistic", "value",
+                           "p_value", "significant"]
+    assert rep.where(F.col("monitor") == "health").count() >= 3
+
+    # monitor store with a LIVE state table reports its row count
+    os.rename(os.path.join(mon, "state.__merge_backup"),
+              os.path.join(mon, "state"))
+    h2 = store_health(spark, {"mon": mon})
+    rows2 = {r["statistic"]: r["value"] for r in h2.collect()}
+    assert rows2["rows:state"] == 5.0
