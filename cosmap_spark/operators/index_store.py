@@ -200,7 +200,7 @@ def save_token_bags(
         spark.createDataFrame(
             [(int(cid), [float(x) for x in vec]) for cid, vec in centroids],
             "cid INT, cvec ARRAY<DOUBLE>",
-        ).write.mode("overwrite").parquet(os.path.join(ctarget))
+        ).write.mode("overwrite").parquet(ctarget)
         brel, btarget = ms.new_data_dir()
         bags.write.mode("overwrite").parquet(btarget)
         ms.publish(

@@ -426,9 +426,31 @@ def mor_append(
     meta = _load_meta(path)
     _check_reader_version(meta, "mor_append")
     keys = meta["keys"]
+    widen_lock = None
     if allow_new_columns:
         widened = _widened_schema(meta, batch, "mor_append")
         if widened != meta["schema"]:
+            # widening is a read-modify-write of the meta sidecar, so
+            # two concurrent WIDENERS could clobber each other's column
+            # additions BEFORE the epoch-commit rename enforcement
+            # fires (round-10 self-review) — serialize wideners with an
+            # exclusive-create lock dir.  Plain appends never take it
+            # (they don't touch meta; an old-shaped epoch under a
+            # widened meta is the normal NULL-fill case).
+            widen_lock = os.path.join(path, ".widen_lock")
+            try:
+                os.mkdir(widen_lock)
+            except FileExistsError:
+                raise ValueError(
+                    "mor_append: another schema-widening append holds "
+                    f"{widen_lock!r} (or a crashed widener leaked it — "
+                    "mor_vacuum sweeps stale locks, or remove it after "
+                    "confirming no writer is live)"
+                )
+            # re-read under the lock: a previous widener may have
+            # added columns after our first read
+            meta = _load_meta(path)
+            widened = _widened_schema(meta, batch, "mor_append")
             meta = {
                 **meta, "schema": widened,
                 "min_reader_version": max(
@@ -444,26 +466,34 @@ def mor_append(
             with open(tmp, "w") as f:
                 json.dump(meta, f)
             os.replace(tmp, os.path.join(path, META_NAME))
-    aligned = _align_batch(batch, meta, keys, assume_unique)
-    epochs = _epochs(path)
-    epoch = (epochs[-1] + 1) if epochs else 1
-    d = _deltas_dir(path)
-    os.makedirs(d, exist_ok=True)
-    tmp = os.path.join(d, f".tmp_{uuid.uuid4().hex}")
-    aligned.write.mode("overwrite").parquet(tmp)
-    final = os.path.join(d, f"epoch={epoch}")
     try:
-        os.rename(tmp, final)
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)
-        raise ValueError(
-            f"mor_append: epoch {epoch} was committed by a concurrent "
-            "writer between this append's epoch listing and its commit "
-            "— the rename backend serializes writers per epoch; retry "
-            "the append (it will claim the next epoch), or use "
-            "backend='manifest' for CAS-serialized concurrent commits"
-        )
-    return epoch
+        aligned = _align_batch(batch, meta, keys, assume_unique)
+        epochs = _epochs(path)
+        epoch = (epochs[-1] + 1) if epochs else 1
+        d = _deltas_dir(path)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".tmp_{uuid.uuid4().hex}")
+        aligned.write.mode("overwrite").parquet(tmp)
+        final = os.path.join(d, f"epoch={epoch}")
+        try:
+            os.rename(tmp, final)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise ValueError(
+                f"mor_append: epoch {epoch} was committed by a "
+                "concurrent writer between this append's epoch listing "
+                "and its commit — the rename backend serializes writers "
+                "per epoch; retry the append (it will claim the next "
+                "epoch), or use backend='manifest' for CAS-serialized "
+                "concurrent commits"
+            )
+        return epoch
+    finally:
+        if widen_lock is not None:
+            try:
+                os.rmdir(widen_lock)
+            except OSError:
+                pass
 
 
 def _meta_for(path: str, fs=None) -> dict:
@@ -664,6 +694,8 @@ def mor_vacuum(path: str, *, min_age_seconds: float = 3600.0,
     stem = os.path.basename(os.path.abspath(path))
     sweep(parent, lambda n: n.startswith(f"{stem}.__init_tmp_"))
     sweep(path, lambda n: "__merge_tmp_" in n)
+    # a crashed schema-widening append leaks its exclusivity lock
+    sweep(path, lambda n: n == ".widen_lock")
     sweep(_deltas_dir(path), lambda n: n.startswith(".tmp_"))
     return removed
 

@@ -1954,7 +1954,6 @@ def store_health(spark: SparkSession, stores: dict[str, str], *,
         is_mor_manifest = (
             not is_mor_rename
             and _os.path.isdir(_os.path.join(path, "_manifests"))
-            and _os.path.exists(_os.path.join(path, META_NAME)) is False
         )
         if is_mor_rename or is_mor_manifest:
             from cosmap_spark.sinks.commit import ManifestStore
