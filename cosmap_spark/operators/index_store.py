@@ -39,6 +39,8 @@ def save_ann_index(
     opq=None,
     opq_codebooks=None,
     opq_coded: DataFrame | None = None,
+    backend: str = "rename",
+    fs=None,
 ) -> None:
     """Write the given artifacts under ``path`` (parquet + manifest).
     ``index`` is an ``ivf_build`` result ``(centroids, assigned)``;
@@ -55,7 +57,49 @@ def save_ann_index(
     corpus): the rotation is O(d²) driver state like the codebooks,
     and codes produced under a rotation are meaningless without it —
     storing them together is what makes a loaded OPQ serve
-    row-identical to the in-memory one."""
+    row-identical to the in-memory one.
+
+    Commit backends (``backend=``): the default ``"rename"`` keeps
+    the historical in-place layout (components overwritten, manifest
+    written last and atomically) — safe for first saves and ADDING
+    components, but a crash mid-RE-save can mix component GENERATIONS
+    under the intact old manifest (new codebooks + old coded corpus =
+    silently wrong distances).  ``"manifest"`` closes that hole with
+    the commit protocol (:mod:`cosmap_spark.sinks.commit`): every
+    component of a save lands in its own immutable ``data/<uuid>``
+    dir and ONE CAS-published manifest names the complete generation —
+    readers see the old save or the new one, never a mix, and crashed
+    saves leak only reachability-vacuumable orphans."""
+    if backend not in ("rename", "manifest"):
+        raise ValueError(f"save_ann_index: unknown backend {backend!r}")
+    dirs: dict[str, str] = {}
+    ms = None
+    if backend == "manifest":
+        from cosmap_spark.sinks.commit import ManifestStore
+
+        if fs is None and os.path.exists(
+            os.path.join(path, "manifest.json")
+        ):
+            raise ValueError(
+                f"save_ann_index: {path!r} is an existing rename-"
+                "layout index — refusing to overlay a manifest store"
+            )
+        ms = ManifestStore(path, fs)
+
+        def dest(name: str) -> str:
+            rel, target = ms.new_data_dir()
+            dirs[name] = rel
+            return target
+    else:
+        if os.path.isdir(os.path.join(path, "_manifests")):
+            raise ValueError(
+                f"save_ann_index: {path!r} is an existing manifest-"
+                "layout index — pass backend='manifest'"
+            )
+
+        def dest(name: str) -> str:
+            return os.path.join(path, name)
+
     manifest: dict = {"components": []}
     if residual:
         manifest["residual"] = True
@@ -66,10 +110,8 @@ def save_ann_index(
         spark.createDataFrame(
             [(int(cid), [float(x) for x in vec]) for cid, vec in cents],
             "cid INT, cvec ARRAY<DOUBLE>",
-        ).write.mode("overwrite").parquet(os.path.join(path, "ivf_centroids"))
-        assigned.write.mode("overwrite").parquet(
-            os.path.join(path, "ivf_assigned")
-        )
+        ).write.mode("overwrite").parquet(dest("ivf_centroids"))
+        assigned.write.mode("overwrite").parquet(dest("ivf_assigned"))
         manifest["components"].append("ivf")
         manifest["nlist"] = len(cents)
     if codebooks is not None:
@@ -81,7 +123,7 @@ def save_ann_index(
         spark = spark or _require_session(lsh_index, coded)
         spark.createDataFrame(
             rows, "s INT, code INT, vals ARRAY<DOUBLE>"
-        ).write.mode("overwrite").parquet(os.path.join(path, "pq_codebooks"))
+        ).write.mode("overwrite").parquet(dest("pq_codebooks"))
         manifest["components"].append("pq")
         manifest["m"] = len(codebooks)
         manifest["ksub"] = len(codebooks[0])
@@ -89,22 +131,21 @@ def save_ann_index(
         # partitionBy(cid): the inverted lists become DIRECTORIES, so a
         # probe-pruned serve (knn_ivfpq(prune_scan=True)) skips whole
         # lists at the file-listing level — the on-disk layout the
-        # SCALE.md §Similarity search story promises
+        # SCALE.md §Similarity search story promises (preserved inside
+        # the manifest backend's immutable component dir)
         coded.write.mode("overwrite").partitionBy("cid").parquet(
-            os.path.join(path, "pq_coded")
+            dest("pq_coded")
         )
         manifest["components"].append("coded")
     if lsh_index is not None:
-        lsh_index.write.mode("overwrite").parquet(
-            os.path.join(path, "lsh_buckets")
-        )
+        lsh_index.write.mode("overwrite").parquet(dest("lsh_buckets"))
         manifest["components"].append("lsh")
     if opq is not None:
         spark = spark or _require_session(lsh_index, coded, opq_coded)
         spark.createDataFrame(
             [(i, [float(x) for x in row]) for i, row in enumerate(opq)],
             "i INT, row ARRAY<DOUBLE>",
-        ).write.mode("overwrite").parquet(os.path.join(path, "opq_rotation"))
+        ).write.mode("overwrite").parquet(dest("opq_rotation"))
         manifest["components"].append("opq")
         manifest["opq_dim"] = len(opq)
     if opq_codebooks is not None:
@@ -116,18 +157,22 @@ def save_ann_index(
         spark = spark or _require_session(lsh_index, coded, opq_coded)
         spark.createDataFrame(
             rows, "s INT, code INT, vals ARRAY<DOUBLE>"
-        ).write.mode("overwrite").parquet(
-            os.path.join(path, "opq_codebooks")
-        )
+        ).write.mode("overwrite").parquet(dest("opq_codebooks"))
         manifest["components"].append("opq_pq")
         manifest["opq_m"] = len(opq_codebooks)
         manifest["opq_ksub"] = len(opq_codebooks[0])
     if opq_coded is not None:
         # flat OPQ-PQ has no inverted lists to prune — plain layout
-        opq_coded.write.mode("overwrite").parquet(
-            os.path.join(path, "opq_coded")
-        )
+        opq_coded.write.mode("overwrite").parquet(dest("opq_coded"))
         manifest["components"].append("opq_coded")
+    if ms is not None:
+        version = ms.versions()[-1] if ms.exists() else 0
+        ms.publish(
+            {**manifest, "dirs": dirs,
+             "data_dirs": sorted(dirs.values())},
+            expected_version=version,
+        )
+        return
     os.makedirs(path, exist_ok=True)
     # manifest last AND atomically (tmp + rename): it is the marker
     # that the parquet components are complete — a crash mid-save must
@@ -320,62 +365,78 @@ def _require_session(*dfs) -> SparkSession:
     return spark
 
 
-def load_ann_index(spark: SparkSession, path: str) -> dict:
+def load_ann_index(spark: SparkSession, path: str, *,
+                   version: int | None = None, fs=None) -> dict:
     """Reload a ``save_ann_index`` directory.  Returns a dict whose
     keys mirror ``knn_ann_union``'s keyword arguments — pass it
     through as ``knn_ann_union(spark, sf_dir, **loaded)``; components
     absent from the manifest are simply missing from the dict (the
     consumer then retrains or rejects).  Loaded serve results are
     asserted row-identical to in-memory artifacts in
-    tests/test_index_store.py."""
-    with open(os.path.join(path, "manifest.json")) as f:
-        manifest = json.load(f)
+    tests/test_index_store.py.  The commit backend is probed from the
+    layout (in-place ``manifest.json`` vs ``_manifests/``), so readers
+    need no out-of-band knowledge; ``version=`` pins a manifest-
+    backend load to a historical save."""
+    if fs is not None or os.path.isdir(os.path.join(path, "_manifests")):
+        from cosmap_spark.sinks.commit import ManifestStore
+
+        ms = ManifestStore(path, fs)
+        if version is None:
+            _, manifest = ms.latest()
+        else:
+            manifest = ms.read_version(version)
+
+        def src(name: str) -> str:
+            return ms.data_path(manifest["dirs"][name])
+    else:
+        if version is not None:
+            raise ValueError(
+                "load_ann_index: version-pinned loads need the "
+                "manifest backend (the rename layout keeps no history)"
+            )
+        with open(os.path.join(path, "manifest.json")) as f:
+            manifest = json.load(f)
+
+        def src(name: str) -> str:
+            return os.path.join(path, name)
+
     out: dict = {}
     if "ivf" in manifest["components"]:
         cents = [
             (r["cid"], list(r["cvec"]))
-            for r in spark.read.parquet(os.path.join(path, "ivf_centroids"))
+            for r in spark.read.parquet(src("ivf_centroids"))
             .orderBy("cid")
             .collect()
         ]
-        assigned = spark.read.parquet(os.path.join(path, "ivf_assigned"))
+        assigned = spark.read.parquet(src("ivf_assigned"))
         out["index"] = (cents, assigned)
     if "pq" in manifest["components"]:
-        rows = spark.read.parquet(
-            os.path.join(path, "pq_codebooks")
-        ).collect()
+        rows = spark.read.parquet(src("pq_codebooks")).collect()
         m, ksub = manifest["m"], manifest["ksub"]
         books = [[None] * ksub for _ in range(m)]
         for r in rows:
             books[r["s"]][r["code"]] = list(r["vals"])
         out["codebooks"] = books
     if "coded" in manifest["components"]:
-        coded = spark.read.parquet(os.path.join(path, "pq_coded"))
+        coded = spark.read.parquet(src("pq_coded"))
         # the discovered partition column comes back as INT; the
         # in-memory contract (and pq_append's unionByName) is LONG
         out["coded"] = coded.withColumn("cid", F.col("cid").cast("long"))
     if "lsh" in manifest["components"]:
-        out["lsh_index"] = spark.read.parquet(
-            os.path.join(path, "lsh_buckets")
-        )
+        out["lsh_index"] = spark.read.parquet(src("lsh_buckets"))
     if "opq" in manifest["components"]:
-        rows = spark.read.parquet(
-            os.path.join(path, "opq_rotation")
-        ).orderBy("i").collect()
+        rows = spark.read.parquet(src("opq_rotation")) \
+            .orderBy("i").collect()
         out["opq_rot"] = [list(r["row"]) for r in rows]
     if "opq_pq" in manifest["components"]:
-        rows = spark.read.parquet(
-            os.path.join(path, "opq_codebooks")
-        ).collect()
+        rows = spark.read.parquet(src("opq_codebooks")).collect()
         m, ksub = manifest["opq_m"], manifest["opq_ksub"]
         books = [[None] * ksub for _ in range(m)]
         for r in rows:
             books[r["s"]][r["code"]] = list(r["vals"])
         out["opq_books"] = books
     if "opq_coded" in manifest["components"]:
-        out["opq_coded"] = spark.read.parquet(
-            os.path.join(path, "opq_coded")
-        )
+        out["opq_coded"] = spark.read.parquet(src("opq_coded"))
     if manifest.get("residual"):
         out["residual"] = True
     return out

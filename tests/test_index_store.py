@@ -599,3 +599,88 @@ def test_token_bags_manifest_backend(spark, tmp_path):
         save_token_bags(mstore, cents, bags)
     with pytest.raises(ValueError, match="rename-layout"):
         save_token_bags(rstore, cents, bags, backend="manifest")
+
+
+def test_ann_index_manifest_backend(spark, tmp_path):
+    """The ANN index store through the StoreCommit seam (round-10):
+    manifest-backend saves serve row-identically to rename-backend
+    loads; a RE-save publishes a complete new generation atomically —
+    the rename layout's mixed-generation crash hazard (new codebooks
+    under the old coded corpus) structurally cannot happen: a crash
+    before the publish leaves the previous generation serving intact,
+    orphans vacuumable, and the superseded generation stays loadable
+    by version until expiry."""
+    import os
+
+    import pytest
+
+    import cosmap_spark.sinks.commit as C
+    from cosmap_spark.sinks.commit import ManifestStore
+
+    emb = load_table(spark, SF, "embeddings")
+    cents, assigned = ivf_build(emb, nlist=16, iters=1)
+    assigned = assigned.localCheckpoint(eager=True)
+    books = pq_train(emb, m=16, ksub=64, iters=1, dim=64)
+    coded = pq_encode(
+        assigned, books, id_col="nid", vec_col="nvec", keep=["cid"]
+    ).localCheckpoint(eager=True)
+    lsh_idx = lsh_build(emb, dim=64).localCheckpoint(eager=True)
+    art = dict(index=(cents, assigned), codebooks=books,
+               lsh_index=lsh_idx, coded=coded)
+
+    rpath, mpath = str(tmp_path / "r"), str(tmp_path / "m")
+    save_ann_index(rpath, **art)
+    save_ann_index(mpath, **art, backend="manifest")
+
+    opq_art = _opq_artifacts(spark, emb)
+    ref = knn_ann_union(spark, SF, tsearch=False,
+                        **load_ann_index(spark, rpath), **opq_art)
+    got = knn_ann_union(spark, SF, tsearch=False,
+                        **load_ann_index(spark, mpath), **opq_art)
+    assert _rows(ref) == _rows(got) and got.count() > 0
+
+    # a crashed RE-save (new components written, publish dies) leaves
+    # the v1 generation serving — never a component mix
+    books2 = pq_train(emb, m=16, ksub=32, iters=1, dim=64)
+    coded2 = pq_encode(
+        assigned, books2, id_col="nid", vec_col="nvec", keep=["cid"]
+    )
+    real = C.LocalFS.publish_exclusive
+
+    def dying(self, p, content):
+        raise RuntimeError("injected crash before publish")
+
+    C.LocalFS.publish_exclusive = dying
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            save_ann_index(mpath, index=(cents, assigned),
+                           codebooks=books2, lsh_index=lsh_idx,
+                           coded=coded2, backend="manifest")
+    finally:
+        C.LocalFS.publish_exclusive = real
+    ms = ManifestStore(mpath)
+    assert ms.versions() == [1]
+    still = load_ann_index(spark, mpath)
+    assert still["codebooks"] == [
+        [list(map(float, c)) for c in s] for s in books
+    ]  # ksub=64 generation, untouched
+    orphans = ms.vacuum(min_age_seconds=0, dry_run=True)
+    # the crashed save's five component dirs (ivf contributes two)
+    assert len(orphans) == 5
+
+    # a completed RE-save: v2 serves, v1 stays loadable by version
+    save_ann_index(mpath, index=(cents, assigned), codebooks=books2,
+                   lsh_index=lsh_idx, coded=coded2, backend="manifest")
+    assert ms.versions() == [1, 2]
+    assert load_ann_index(spark, mpath)["codebooks"][0].__len__() == 32
+    assert len(load_ann_index(spark, mpath, version=1)
+               ["codebooks"][0]) == 64
+
+    # layouts refuse to overlay; rename layout refuses version pins
+    with pytest.raises(ValueError, match="manifest-layout"):
+        save_ann_index(mpath, **art)
+    with pytest.raises(ValueError, match="rename-layout"):
+        save_ann_index(rpath, **art, backend="manifest")
+    with pytest.raises(ValueError, match="version-pinned"):
+        load_ann_index(spark, rpath, version=1)
+    assert not os.path.exists(os.path.join(mpath, "manifest.json"))
