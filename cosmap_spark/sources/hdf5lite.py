@@ -28,7 +28,8 @@ verdict #7) — plus VARIABLE-LENGTH STRING datasets (class-9 vlen
 string descriptors + v1 global-heap collections, contiguous
 descriptors — the layout h5py writes for ``str`` columns; round-9
 verdict #7: real catalogs carry string columns).  Other filters
-(shuffle, fletcher32, szip…), vlen SEQUENCES, compound dtypes, v2+
+(shuffle, fletcher32, szip…), vlen SEQUENCES, non-scalar or chunked
+compound members, v2+
 superblocks, and attributes raise ``ValueError`` naming the
 unsupported feature — fully general HDF5 still wants h5py
 (``readers._default_hdf5_reader``).
@@ -144,6 +145,33 @@ def _datatype_msg(dt: str) -> bytes:
     cls, bits, props, size = _DT_WRITE[dt]
     head = bytes([(1 << 4) | cls]) + bits + struct.pack("<I", size)
     return _msg(0x0003, head + props)
+
+
+def _compound_datatype_msg(dtype: "np.dtype") -> bytes:
+    """Class-6 COMPOUND datatype message, v1 member encoding (the
+    recarray layout survey catalogs carry): per member — name
+    NUL-terminated and padded to 8, 4-byte byte offset, dimensionality
+    byte + reserved, dimension permutation, reserved, four 4-byte dim
+    sizes (all zero for scalar members), then the member's own full
+    datatype description (8-byte header + class properties).  Members
+    must be the supported little-endian int/float 32/64 scalars."""
+    members = b""
+    for name in dtype.names:
+        fdt, off = dtype.fields[name][0], dtype.fields[name][1]
+        if fdt.name not in _DT_WRITE:
+            raise ValueError(
+                f"hdf5lite: compound member {name!r} dtype {fdt.name} "
+                f"unsupported (supported: {sorted(_DT_WRITE)})"
+            )
+        cls, bits, props, size = _DT_WRITE[fdt.name]
+        nm = name.encode("ascii") + b"\x00"
+        members += _pad8(nm)
+        members += struct.pack("<IB3xI4xIIII", off, 0, 0, 0, 0, 0, 0)
+        members += bytes([(1 << 4) | cls]) + bits \
+            + struct.pack("<I", size) + props
+    head = bytes([(1 << 4) | 6]) + struct.pack("<H", len(dtype.names)) \
+        + b"\x00" + struct.pack("<I", dtype.itemsize)
+    return _msg(0x0003, head + members)
 
 
 def _layout_msg(addr: int, nbytes: int) -> bytes:
@@ -283,6 +311,28 @@ def write_simple_hdf5(path: str, groups: dict[str, dict[str, np.ndarray]],
             a = np.ascontiguousarray(arr)
             if a.ndim != 1:
                 raise ValueError(f"hdf5lite: {cname!r} must be 1-D")
+            if a.dtype.names:
+                # COMPOUND (structured/recarray) dataset: one class-6
+                # datatype, records contiguous at the dtype's own
+                # offsets/itemsize.  Chunked compound is out of scope
+                # (refuse loudly) — catalogs carry compound tables
+                # contiguous.
+                if chunk is not None:
+                    raise ValueError(
+                        f"hdf5lite: {cname!r} is compound — chunked "
+                        "compound datasets are unsupported (write "
+                        "contiguous, or use h5py)"
+                    )
+                raw = a.tobytes()
+                data_addr = w.put(raw)
+                msgs = [
+                    _dataspace_msg(len(a)),
+                    _compound_datatype_msg(a.dtype),
+                    _layout_msg(data_addr, len(raw)),
+                ]
+                oh = w.put(_object_header(msgs))
+                ds_children.append((cname, oh, 0, b""))
+                continue
             if a.dtype.kind in ("U", "O"):
                 # variable-length string dataset: one global-heap
                 # collection per column holds the bytes, the dataset's
@@ -460,6 +510,8 @@ def _read_dataset(r: _R, oh_at: int, name: str) -> np.ndarray:
     size = int.from_bytes(dt[4:8], "little")
     if cls == 9:
         return _read_vlen_strings(r, msgs, dt, ver, size, n, name)
+    if cls == 6:
+        return _read_compound(r, msgs, dt, ver, size, n, name)
     order_be = dt[1] & 0x01
     if ver != 1 or cls not in (0, 1) or order_be or size not in (4, 8):
         raise ValueError(
@@ -484,6 +536,72 @@ def _read_dataset(r: _R, oh_at: int, name: str) -> np.ndarray:
             raise ValueError(f"hdf5lite: {name!r} layout size mismatch")
         return np.frombuffer(r.buf[addr:addr + nbytes], dtype=np_dt).copy()
     return _read_chunked(r, lay, msgs.get(0x000B), name, n, size, np_dt)
+
+
+def _read_compound(r: _R, msgs: dict, dt: bytes, ver: int,
+                   size: int, n: int, name: str) -> np.ndarray:
+    """Decode a class-6 COMPOUND dataset (the recarray layout survey
+    catalogs carry) into a numpy structured array: parse the v1 member
+    list (padded name, byte offset, scalar-only dims, nested member
+    datatype), build the structured dtype AT THE RECORDED OFFSETS and
+    itemsize (padding-faithful — h5py-written compounds may carry
+    alignment gaps), and view the contiguous records.  Scope, loudly:
+    v1 members of the little-endian int/float 32/64 subset, scalar
+    (dimensionality 0), contiguous layout; anything else names itself
+    and defers to h5py."""
+    if ver != 1:
+        raise ValueError(
+            f"hdf5lite: {name!r} compound datatype v{ver} — only v1 "
+            "member encoding supported (use h5py)"
+        )
+    nmembers = dt[1] | (dt[2] << 8)
+    pos = 8
+    names: list[str] = []
+    formats: list[str] = []
+    offsets: list[int] = []
+    for _ in range(nmembers):
+        end = dt.index(b"\x00", pos)
+        mname = dt[pos:end].decode("utf-8")
+        pos += ((end - pos) // 8 + 1) * 8  # name + NUL, padded to 8
+        off = int.from_bytes(dt[pos:pos + 4], "little")
+        dimensionality = dt[pos + 4]
+        if dimensionality != 0:
+            raise ValueError(
+                f"hdf5lite: {name!r} compound member {mname!r} has "
+                f"dimensionality {dimensionality} — only scalar "
+                "members supported (use h5py)"
+            )
+        pos += 4 + 4 + 4 + 4 + 16  # offset+dim/resv+perm+resv+dims
+        mcls, mver = dt[pos] & 0x0F, dt[pos] >> 4
+        m_be = dt[pos + 1] & 0x01
+        msize = int.from_bytes(dt[pos + 4:pos + 8], "little")
+        if mver != 1 or mcls not in (0, 1) or m_be or msize not in (4, 8):
+            raise ValueError(
+                f"hdf5lite: {name!r} compound member {mname!r} "
+                f"(class {mcls}, v{mver}, {msize} bytes, "
+                f"{'BE' if m_be else 'LE'}) outside the supported "
+                "little-endian int/float 32/64 subset — use h5py"
+            )
+        pos += 8 + (4 if mcls == 0 else 12)
+        names.append(mname)
+        offsets.append(off)
+        formats.append(
+            {(0, 4): "<i4", (0, 8): "<i8",
+             (1, 4): "<f4", (1, 8): "<f8"}[(mcls, msize)]
+        )
+    lay = msgs[0x0008]
+    if lay[0] != 3 or lay[1] != 1:
+        raise ValueError(
+            f"hdf5lite: {name!r} compound with layout class {lay[1]} "
+            "— only contiguous supported (chunked compound needs h5py)"
+        )
+    addr = int.from_bytes(lay[2:10], "little")
+    nbytes = int.from_bytes(lay[10:18], "little")
+    if nbytes != n * size:
+        raise ValueError(f"hdf5lite: {name!r} compound size mismatch")
+    np_dtype = np.dtype({"names": names, "formats": formats,
+                         "offsets": offsets, "itemsize": size})
+    return np.frombuffer(r.buf[addr:addr + nbytes], dtype=np_dtype).copy()
 
 
 def _read_vlen_strings(r: _R, msgs: dict, dt: bytes, ver: int,
@@ -671,6 +789,24 @@ def read_hdf5_group(file_path: str, dataset_key: str):
             f"(has {sorted(groups)})"
         )
     cols = _group_links(r, groups[dataset_key])
-    return pd.DataFrame(
-        {name: _read_dataset(r, at, name) for name, at in sorted(cols.items())}
-    )
+    data: dict = {}
+    for name, at in sorted(cols.items()):
+        arr = _read_dataset(r, at, name)
+        if arr.dtype.names:
+            # a COMPOUND dataset is a table-in-a-dataset (the recarray
+            # catalog layout): its members surface as bare columns —
+            # matching what the h5py path would need the caller to do,
+            # and what the declared-schema ingest expects
+            expanded = {m: arr[m].copy() for m in arr.dtype.names}
+        else:
+            expanded = {name: arr}
+        for cname, carr in expanded.items():
+            if cname in data:
+                raise ValueError(
+                    f"hdf5lite: column {cname!r} appears more than "
+                    f"once in group {dataset_key!r} (compound member "
+                    "names collide with dataset names) — use h5py and "
+                    "a custom reader"
+                )
+            data[cname] = carr
+    return pd.DataFrame(data)

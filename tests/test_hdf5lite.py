@@ -294,3 +294,76 @@ def test_read_hdf5_directory_with_string_column(spark, tmp_path):
     )
     got = sorted((r["halo_id"], r["name"]) for r in df.collect())
     assert got == [(1, "alpha"), (2, "beta"), (3, "gamma")]
+
+
+def test_compound_round_trip_and_padding(tmp_path):
+    """Class-6 COMPOUND datasets (round-10: the recarray catalog
+    layout): writer→reader round trip for a packed structured array
+    AND an offset-padded one (alignment gaps between members — what
+    h5py writes for aligned dtypes); members surface as bare columns
+    next to plain datasets; name collisions and the unsupported
+    shapes refuse loudly."""
+    p = str(tmp_path / "c.hdf5")
+    rec = np.zeros(4, dtype=[("halo_id", "<i8"), ("ra", "<f8"),
+                             ("n_sub", "<i4"), ("mass", "<f4")])
+    rec["halo_id"] = [11, 22, 33, 44]
+    rec["ra"] = [1.5, 2.25, 3.125, 359.9]
+    rec["n_sub"] = [3, 1, 4, 1]
+    rec["mass"] = [0.5, 1.5, 2.5, 3.5]
+    extra = np.array([7.0, 8.0, 9.0, 10.0])
+    write_simple_hdf5(p, {"catalog": {"table": rec, "z": extra}})
+    df = read_hdf5_group(p, "catalog")
+    assert sorted(df.columns) == ["halo_id", "mass", "n_sub", "ra", "z"]
+    assert df["halo_id"].tolist() == [11, 22, 33, 44]
+    assert df["ra"].tolist() == [1.5, 2.25, 3.125, 359.9]
+    assert df["n_sub"].tolist() == [3, 1, 4, 1]
+    assert df["mass"].tolist() == [0.5, 1.5, 2.5, 3.5]
+    assert df["z"].tolist() == [7.0, 8.0, 9.0, 10.0]
+    assert [str(df[c].dtype) for c in
+            ["halo_id", "ra", "n_sub", "mass"]] == [
+        "int64", "float64", "int32", "float32",
+    ]
+
+    # offset-padded dtype: an i4 member followed by an 8-aligned f8
+    # leaves a 4-byte gap; offsets and itemsize must round-trip
+    padded = np.dtype({"names": ["a", "b"], "formats": ["<i4", "<f8"],
+                       "offsets": [0, 8], "itemsize": 16})
+    rec2 = np.zeros(3, dtype=padded)
+    rec2["a"] = [1, 2, 3]
+    rec2["b"] = [0.25, 0.5, 0.75]
+    p2 = str(tmp_path / "pad.hdf5")
+    write_simple_hdf5(p2, {"g": {"t": rec2}})
+    df2 = read_hdf5_group(p2, "g")
+    assert df2["a"].tolist() == [1, 2, 3]
+    assert df2["b"].tolist() == [0.25, 0.5, 0.75]
+
+    # refusals: chunked compound (writer), unsupported member dtype,
+    # member/dataset column collision (reader)
+    with pytest.raises(ValueError, match="chunked"):
+        write_simple_hdf5(str(tmp_path / "x1.hdf5"),
+                          {"g": {"t": rec}}, chunk=2)
+    bad = np.zeros(2, dtype=[("s", "S4")])
+    with pytest.raises(ValueError, match="unsupported"):
+        write_simple_hdf5(str(tmp_path / "x2.hdf5"), {"g": {"t": bad}})
+    p3 = str(tmp_path / "x3.hdf5")
+    write_simple_hdf5(p3, {"g": {"t": rec2, "a": extra[:3]}})
+    with pytest.raises(ValueError, match="more than once"):
+        read_hdf5_group(p3, "g")
+
+
+def test_read_hdf5_directory_with_compound_column(spark, tmp_path):
+    """O2 ingest end-to-end over a compound-dataset file: the declared
+    schema projects the EXPANDED member columns through mapInPandas."""
+    from cosmap_spark.sources.readers import read_hdf5_directory
+
+    rec = np.zeros(5, dtype=[("halo_id", "<i8"), ("mass", "<f8")])
+    rec["halo_id"] = np.arange(5)
+    rec["mass"] = np.arange(5) * 1.5
+    write_simple_hdf5(str(tmp_path / "part0.hdf5"),
+                      {"catalog": {"table": rec}})
+    got = read_hdf5_directory(
+        spark, str(tmp_path), "halo_id long, mass double",
+        dataset_key="catalog",
+    )
+    rows = sorted((r["halo_id"], r["mass"]) for r in got.collect())
+    assert rows == [(i, i * 1.5) for i in range(5)]
