@@ -603,3 +603,217 @@ def q_tpch_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+@_extra(
+    "q_tpch_product_profit",
+    oracle="""
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)
+                     - 0.8 * p.p_retailprice * l.l_quantity), 2)
+             AS sum_profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY nation, o_year
+    """,
+)
+def q_tpch_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape — product-type profit by (nation, year): a
+    four-way star join with a substring predicate on the part
+    dimension and an arithmetic measure (the trimmed schema's
+    ``0.8 * p_retailprice * l_quantity`` stands in for
+    ``ps_supplycost * l_quantity``).  The part filter sits on the
+    dimension scan (substring predicates don't prune row groups, but
+    the filtered dimension broadcasts); the fact table shuffles only
+    for the orders join and the final aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").contains("red")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.8) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+    )
+
+
+@_extra(
+    "q_tpch_important_parts",
+    oracle="""
+    WITH pv AS (
+        SELECT l.l_partkey,
+               sum(l.l_extendedprice * l.l_quantity) AS val
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name IN ('NATION_1', 'NATION_2')
+        GROUP BY l.l_partkey)
+    SELECT l_partkey, round(val, 2) AS val
+    FROM pv
+    WHERE val > (SELECT 0.001 * sum(val) FROM pv)
+    """,
+)
+def q_tpch_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — the scalar-subquery-in-HAVING: per-part value
+    within a nation group, keeping parts above a FRACTION of the
+    group's total.  The per-part aggregate computes once; the total is
+    ONE further aggregation of it (never a second fact scan) joined
+    back as a 1-row broadcast — the intended constant-size
+    BroadcastNestedLoopJoin class."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    pv = (
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"],
+              "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(
+            F.col("l_extendedprice") * F.col("l_quantity")
+        ).alias("val"))
+    )
+    total = pv.agg((F.lit(0.001) * F.sum("val")).alias("cut"))
+    return (
+        pv.join(F.broadcast(total))
+        .where(F.col("val") > F.col("cut"))
+        .select("l_partkey", F.round("val", 2).alias("val"))
+    )
+
+
+@_extra(
+    "q_tpch_shipmode_priority",
+    oracle="""
+    SELECT l.l_linestatus AS linestatus,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+    GROUP BY linestatus
+    """,
+)
+def q_tpch_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape — the conditional-count pivot after a fact-fact
+    join: per line status (the trimmed schema's ship-mode stand-in),
+    urgent and non-urgent order counts as SIBLING conditional sums of
+    one aggregate (the bm25 variants= rule), date range pushed to the
+    lineitem scan."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").between("1996-01-01", "1996-12-31")
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy(F.col("l_linestatus").alias("linestatus"))
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0))
+            .cast("long").alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0))
+            .cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@_extra(
+    "q_tpch_promo_revenue",
+    oracle="""
+    SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+             AS promo_revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate BETWEEN DATE '1996-03-01' AND DATE '1996-03-31'
+    """,
+)
+def q_tpch_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — promotion revenue share: a conditional-sum
+    NUMERATOR over the same rows as the denominator, both sibling agg
+    columns of ONE month-filtered join (two aggregations over one scan
+    would be the naive translation).  Date range on the fact scan;
+    the part dimension joins broadcast-sized."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").between("1996-03-01", "1996-03-31")
+    )
+    p = load_table(spark, sf_dir, "part")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .agg(F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", vol)
+                    .otherwise(F.lit(0.0)))
+            / F.sum(vol), 4,
+        ).alias("promo_revenue"))
+    )
+
+
+@_extra(
+    "q_tpch_disjunctive_revenue",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+             AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q_tpch_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — the three-way DISJUNCTION of conjunctive
+    (brand, size, quantity) envelopes: the classic predicate-
+    normalization test.  The common superset predicates (size >= 1,
+    quantity within the union envelope) are factored ONTO THE SCANS so
+    both sides prune before the join; the exact disjunction remains as
+    the post-join residual.  One equi-join, one global sum — never a
+    union of three scans."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_quantity").between(1, 30)
+    )
+    p = load_table(spark, sf_dir, "part").where(
+        F.col("p_size").between(1, 15)
+        & F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+    )
+    arm = (
+        ((F.col("p_brand") == "Brand#1")
+         & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2")
+           & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3")
+           & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .where(arm)
+        .agg(F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+            2,
+        ).alias("revenue"))
+    )

@@ -35,7 +35,8 @@ def test_extra_plan_decorrelated(name, spark):
         df._jdf.queryExecution(), "formatted"
     )
     assert "CartesianProduct" not in plan, name
-    if name not in ("q_tpch_idle_customers", "q_tpch_top_supplier"):
+    if name not in ("q_tpch_idle_customers", "q_tpch_top_supplier",
+                    "q_tpch_important_parts"):
         # (the 1-row scalar broadcast there is the intended plan)
         assert "BroadcastNestedLoopJoin" not in plan, name
 
