@@ -274,6 +274,11 @@ def _widened_schema(meta: dict, batch: DataFrame, op: str) -> dict:
     new_fields = []
     for f in batch.schema.fields:
         low = f.name.lower()
+        if low == DELETE_COL.lower():
+            # the tombstone flag is the batch's CONTROL channel, not a
+            # payload column — _align_batch consumes it; widening must
+            # neither add it to the schema nor refuse it as reserved
+            continue
         if low in have:
             exact = next(
                 bf for bf in base_schema.fields

@@ -224,7 +224,13 @@ def main() -> None:
             spark,
             drift_store=os.path.join(tmp, "drift_store"),
             ks_store=os.path.join(tmp, "ks_store"),
-        ).orderBy("monitor", "subject").collect():
+            # the round-10 maintenance half: ledger positions, state
+            # sizes, swap/debris flags for the same stores
+            health_stores={
+                "drift": os.path.join(tmp, "drift_store"),
+                "ks": os.path.join(tmp, "ks_store"),
+            },
+        ).orderBy("monitor", "subject", "statistic").collect():
             pv = "-" if r["p_value"] is None else f"{r['p_value']:.4g}"
             print(f"  {r['monitor']:<12} {r['subject']:<8} "
                   f"{r['statistic']}={r['value']} p={pv} "

@@ -793,6 +793,19 @@ def test_mor_schema_evolution(spark, store):
     m = {r["k"]: r["score"] for r in mor_read(spark, store).collect()}
     assert m[1] == 0.9
 
+    # a widening batch that CARRIES the tombstone flag must not hit
+    # the reserved-name refusal (the flag is the control channel,
+    # consumed by alignment — round-10 second-pass finding)
+    wide_tomb = spark.createDataFrame(
+        [(4, 44, "t", 0.1, 7, False)],
+        f"k long, v long, name string, score double, extra2 long, "
+        f"{DELETE_COL} boolean",
+    )
+    mor_append(spark, store, wide_tomb, allow_new_columns=True)
+    row4 = mor_read(spark, store).where(F.col("k") == 4).collect()[0]
+    assert row4["extra2"] == 7 and "extra2" in mor_read(
+        spark, store).columns
+
     # refusals: case-fold collision, reserved names
     bad_case = spark.createDataFrame([(1, 5)], "k long, V long")
     with pytest.raises(ValueError, match="case-insensitively"):
@@ -944,3 +957,103 @@ def test_mor_concurrent_wideners_serialized(spark, tmp_path):
     assert m[1] == (0.5, None) and m[2] == (None, "en")
     # lock released after each widen
     assert not os.path.exists(os.path.join(path, ".widen_lock"))
+
+
+def test_mor_manifest_custom_commitfs(spark, tmp_path):
+    """The CommitFS seam is real: a custom fs that keeps ALL manifest
+    state in an in-memory dict (no manifest ever touches the local
+    filesystem — only Spark's data-dir IO does) drives the full MOR
+    lifecycle through `fs=`.  This is the object-store port contract
+    mechanically exercised: everything the protocol needs goes through
+    the five calls, including the publish CAS."""
+    from cosmap_spark.sinks.commit import CommitConflict
+    from cosmap_spark.sinks.mor import mor_vacuum
+
+    class DictFS:
+        """listdir/exists/read_text/makedirs/publish_exclusive over an
+        in-memory object map, plus the two vacuum helpers."""
+
+        def __init__(self):
+            self.objects: dict[str, str] = {}
+
+        def listdir(self, path):
+            import os as _os
+
+            pref = path.rstrip("/") + "/"
+            names = {
+                k[len(pref):].split("/", 1)[0]
+                for k in self.objects if k.startswith(pref)
+            }
+            # data dirs live on the real fs (Spark wrote them)
+            if _os.path.isdir(path):
+                names |= set(_os.listdir(path))
+            return sorted(names)
+
+        def exists(self, path):
+            import os as _os
+
+            return path in self.objects or _os.path.exists(path)
+
+        def read_text(self, path):
+            return self.objects[path]
+
+        def makedirs(self, path):
+            pass  # object stores have no directories
+
+        def publish_exclusive(self, path, content):
+            if path in self.objects:
+                raise CommitConflict(f"{path} already published")
+            self.objects[path] = content
+
+        def remove_tree(self, path):
+            import os as _os
+            import shutil as _sh
+
+            self.objects.pop(path, None)
+            if _os.path.isdir(path):
+                _sh.rmtree(path)
+
+        def mtime(self, path):
+            import os as _os
+
+            return _os.stat(path).st_mtime
+
+    fs = DictFS()
+    path = str(tmp_path / "dictstore")
+    base = spark.range(0, 20).select(
+        F.col("id").alias("k"), (F.col("id") * 5).alias("v"),
+        F.lit("x").alias("name"),
+    )
+    mor_init(base, path, ["k"], backend="manifest", fs=fs)
+    # no manifest file on the local filesystem — the dict holds them
+    assert not os.path.exists(os.path.join(path, "_manifests"))
+    assert len(fs.objects) == 1
+
+    mor_append(spark, path, _batch(spark, [(1, 11, "u", False)]), fs=fs)
+    mor_delete_keys(spark, path,
+                    spark.createDataFrame([(2,)], "k long"), fs=fs)
+    got = {r["k"]: r["v"] for r in mor_read(spark, path, fs=fs).collect()}
+    assert got[1] == 11 and 2 not in got and len(got) == 19
+
+    v2 = _rows(mor_read(spark, path, version=2, fs=fs))
+    assert mor_compact(spark, path, fs=fs) == 2
+    assert {r["k"]: r["v"]
+            for r in mor_read(spark, path, fs=fs).collect()} == got
+    assert _rows(mor_read(spark, path, version=2, fs=fs)) == v2
+
+    # the CAS still serializes (publish against a stale version)
+    from cosmap_spark.sinks.mor import _manifest_store
+
+    ms = _manifest_store(path, fs)
+    v, man = ms.latest()
+    with pytest.raises(CommitConflict):
+        ms.publish(man, expected_version=v - 1)
+
+    # history retained ⇒ nothing is an orphan yet; expiry releases the
+    # folded generation, then the seam's reachability vacuum reclaims
+    assert mor_vacuum(path, min_age_seconds=0, fs=fs) == []
+    assert ms.expire_versions(keep_last=1) == [1, 2, 3]
+    removed = mor_vacuum(path, min_age_seconds=0, fs=fs)
+    assert len(removed) == 3  # original base + two delta epochs
+    assert {r["k"]: r["v"]
+            for r in mor_read(spark, path, fs=fs).collect()} == got
