@@ -433,6 +433,30 @@ _SETOPS_ORACLE = """
       UNION ALL
       SELECT k, name, nk, bal_c FROM mor_win WHERE NOT del
     ),
+    morw_deltas AS (
+      SELECT k, name, nk, bal_c + 5000 AS bal_c,
+             CAST(NULL AS BIGINT) AS score, 1 AS epoch, FALSE AS del
+      FROM snap_old WHERE k % 10 = 5
+      UNION ALL
+      SELECT k, name, nk, bal_c + 7, abs(bal_c) % 997, 2, FALSE
+      FROM snap_old WHERE k % 10 = 7
+      UNION ALL
+      SELECT k, NULL, NULL, NULL, NULL, 2, TRUE
+      FROM snap_old WHERE k % 10 = 3
+    ),
+    morw_win AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY k ORDER BY epoch DESC)
+               AS rn
+        FROM morw_deltas) WHERE rn = 1
+    ),
+    morw_view AS (
+      SELECT o.k, o.name, o.nk, o.bal_c, CAST(NULL AS BIGINT) AS score
+      FROM snap_old o
+      WHERE o.k NOT IN (SELECT k FROM morw_deltas)
+      UNION ALL
+      SELECT k, name, nk, bal_c, score FROM morw_win WHERE NOT del
+    ),
     scd_dim AS (
       SELECT k, nk, bal_c, DATE '2020-01-01' AS vf FROM snap_old
     ),
@@ -515,6 +539,12 @@ _SETOPS_ORACLE = """
     SELECT 'mor', k,
            name || '|' || CAST(nk AS VARCHAR) || '|' || CAST(bal_c AS VARCHAR)
     FROM mor_view
+    UNION ALL
+    SELECT 'morw', k,
+           name || '|' || CAST(nk AS VARCHAR) || '|'
+           || CAST(bal_c AS VARCHAR) || '|'
+           || coalesce(CAST(score AS VARCHAR), 'null')
+    FROM morw_view
     UNION ALL
     SELECT 'drift', bin,
            CAST(n_old AS VARCHAR) || '|' || CAST(n_new AS VARCHAR) || '|'
@@ -634,6 +664,12 @@ def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     * ``rt``    — the round-trip law under the hash gate:
       ``merge_upsert(old, snapshot_cdc(old, new)) ≡ new`` (the oracle
       side is ``new`` built directly);
+    * ``morw``  — the SCHEMA-WIDENED reconcile (round 10,
+      ``mor_append(allow_new_columns=)``'s read contract): epoch 2
+      adds a ``score`` column; base and epoch 1 surface typed NULLs
+      there, the winner window and anti-join run over the widened
+      shape, and the nullable field coalesces to a ``'null'`` token
+      in the payload on both engines;
     * ``mor``   — ``mor_reconcile`` (the merge-on-read read path of
       ``sinks/mor.py``): a two-epoch delta stack with an override, a
       tombstone, a resurrection, and inserts — winner-per-key by epoch
@@ -853,6 +889,49 @@ def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     mor_b = tag(
         mor_reconcile(old, mor_deltas, ["k"], epoch_col="epoch"),
         "mor", k, payload,
+    )
+
+    # schema-WIDENED reconcile (round 10, mor_append(allow_new_columns)
+    # read contract as pure algebra): epoch 2 adds a 'score' column;
+    # the base and epoch 1 surface typed NULLs there (mor_read's
+    # _fill_to_schema), and the winner window / anti-join run over the
+    # widened shape.  The score payload field coalesces to a canonical
+    # 'null' token on BOTH sides (concat_ws silently DROPS null fields
+    # while DuckDB || nulls the string — the q_setops mwu/welch rule).
+    base_w = old.select(
+        "k", "name", "nk", "bal_c",
+        F.lit(None).cast("long").alias("score"),
+    )
+
+    def wenv(df: DataFrame, epoch: int, deleted: bool) -> DataFrame:
+        return df.select(
+            "k", "name", "nk", "bal_c", "score",
+            F.lit(epoch).cast("long").alias("epoch"),
+            F.lit(deleted).alias("__deleted"),
+        )
+
+    morw_deltas = (
+        wenv(upd5.select(
+            "k", "name", "nk", (F.col("bal_c") + 5000).alias("bal_c"),
+            F.lit(None).cast("long").alias("score")), 1, False)
+        .unionByName(wenv(old.where(k % 10 == 7).select(
+            "k", "name", "nk", (F.col("bal_c") + 7).alias("bal_c"),
+            (F.abs(F.col("bal_c")) % 997).cast("long").alias("score")),
+            2, False))
+        .unionByName(wenv(old.where(k % 10 == 3).select(
+            "k", F.lit(None).cast("string").alias("name"),
+            F.lit(None).cast("int").alias("nk"),
+            F.lit(None).cast("long").alias("bal_c"),
+            F.lit(None).cast("long").alias("score")), 2, True))
+    )
+    morw_b = tag(
+        mor_reconcile(base_w, morw_deltas, ["k"], epoch_col="epoch"),
+        "morw", k,
+        F.concat_ws(
+            "|", F.col("name"), F.col("nk").cast("string"),
+            F.col("bal_c").cast("string"),
+            F.coalesce(F.col("score").cast("string"), F.lit("null")),
+        ),
     )
 
     dim = old.select(
@@ -1090,8 +1169,8 @@ def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = union_all
     for branch in (union_distinct, intersect, except_, cross, not_in,
-                   above_mean, merge_b, cdc_b, rt_b, mor_b, scd2_b,
-                   drift_b, drift_cat_b, chi_b, pr_b, tri_b, ks_b, mwu_b,
-                   welch_b, prop_b):
+                   above_mean, merge_b, cdc_b, rt_b, mor_b, morw_b,
+                   scd2_b, drift_b, drift_cat_b, chi_b, pr_b, tri_b,
+                   ks_b, mwu_b, welch_b, prop_b):
         out = out.unionByName(branch)
     return out
