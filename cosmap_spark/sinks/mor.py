@@ -739,11 +739,14 @@ def mor_compact(spark, path: str, *,
     manifest."""
     kind = _store_kind(path, fs)
     if kind == "manifest":
+        from cosmap_spark.sinks.commit import CommitConflict
+
         ms = _manifest_store(path, fs)
         version, man = ms.latest()
         if not man["epochs"]:
             return 0
         folded = mor_read(spark, path, version=version, fs=fs)
+        folded_max = max(e["epoch"] for e in man["epochs"])
         rel, target = ms.new_data_dir()
         if zorder_cols is not None:
             from cosmap_spark.operators.layout import write_zordered
@@ -754,18 +757,39 @@ def mor_compact(spark, path: str, *,
             if num_files is not None:
                 folded = folded.coalesce(int(num_files))
             folded.write.mode("overwrite").parquet(target)
-        ms.publish(
-            {
-                **{k: man[k] for k in ("keys", "schema")},
-                "min_reader_version": int(
-                    man.get("min_reader_version", 1)
-                ),
-                "base": rel, "epochs": [],
-                "data_dirs": [rel],
-            },
-            expected_version=version,
+        # publish with a bounded CAS-retry: a concurrent append that
+        # won the version race is NOT lost — the retry re-reads the
+        # latest manifest and keeps every epoch NEWER than the fold's
+        # snapshot as the new base's suffix (applying a suffix to the
+        # folded view is exactly the reconcile idempotence story), and
+        # adopts the latest schema/min_reader (the append may have
+        # widened; the folded base then reads back NULL-filled)
+        cur_version, cur = version, man
+        for _ in range(5):
+            suffix = [e for e in cur["epochs"]
+                      if e["epoch"] > folded_max]
+            try:
+                ms.publish(
+                    {
+                        "keys": cur["keys"],
+                        "schema": cur["schema"],
+                        "min_reader_version": int(
+                            cur.get("min_reader_version", 1)
+                        ),
+                        "base": rel,
+                        "epochs": suffix,
+                        "data_dirs": [rel] + [e["dir"] for e in suffix],
+                    },
+                    expected_version=cur_version,
+                )
+                return len(man["epochs"])
+            except CommitConflict:
+                cur_version, cur = ms.latest()
+        raise CommitConflict(
+            "mor_compact: lost the publish CAS 5 times in a row to "
+            "concurrent writers — the store is append-hot; retry "
+            "compaction later (the staged fold is a vacuumable orphan)"
         )
-        return len(man["epochs"])
     _require_local(path, "mor_compact")
     _load_meta(path)
     _refuse_interrupted_swap(_base_dir(path))

@@ -1057,3 +1057,55 @@ def test_mor_manifest_custom_commitfs(spark, tmp_path):
     assert len(removed) == 3  # original base + two delta epochs
     assert {r["k"]: r["v"]
             for r in mor_read(spark, path, fs=fs).collect()} == got
+
+
+def test_mor_manifest_compact_race_keeps_concurrent_append(spark, tmp_path):
+    """A compaction racing a concurrent append must lose the CAS and
+    RETRY preserving the appended epoch as the folded base's suffix —
+    never publish an epochs=[] manifest that silently drops data.
+    Simulated by injecting an append between the fold and the first
+    publish attempt."""
+    import cosmap_spark.sinks.commit as C
+    from cosmap_spark.sinks.commit import ManifestStore
+
+    path = str(tmp_path / "mstore")
+    base = spark.range(0, 20).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v"),
+        F.lit("x").alias("name"),
+    )
+    mor_init(base, path, ["k"], backend="manifest")
+    mor_append(spark, path, _batch(spark, [(1, 111, "u1", False)]))
+
+    raced = spark.createDataFrame(
+        [(2, 222, "u2", False)],
+        f"k long, v long, name string, {DELETE_COL} boolean",
+    )
+    real = C.LocalFS.publish_exclusive
+    state = {"injected": False}
+
+    def racing_publish(self, p, content):
+        import json as _json
+
+        body = _json.loads(content)
+        # inject the rival append exactly once, before the COMPACT's
+        # first publish (identified by its empty epoch suffix)
+        if not state["injected"] and body.get("epochs") == []:
+            state["injected"] = True
+            C.LocalFS.publish_exclusive = real
+            try:
+                mor_append(spark, path, raced)
+            finally:
+                C.LocalFS.publish_exclusive = racing_publish
+        return real(self, p, content)
+
+    C.LocalFS.publish_exclusive = racing_publish
+    try:
+        assert mor_compact(spark, path) == 1  # folded the PRE-race epoch
+    finally:
+        C.LocalFS.publish_exclusive = real
+
+    # both the folded update AND the raced append survive
+    m = {r["k"]: r["v"] for r in mor_read(spark, path).collect()}
+    assert m[1] == 111 and m[2] == 222
+    _, man = ManifestStore(path).latest()
+    assert [e["epoch"] for e in man["epochs"]] == [2]  # the suffix
