@@ -1109,3 +1109,84 @@ def test_mor_manifest_compact_race_keeps_concurrent_append(spark, tmp_path):
     assert m[1] == 111 and m[2] == 222
     _, man = ManifestStore(path).latest()
     assert [e["epoch"] for e in man["epochs"]] == [2]  # the suffix
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_mor_model_differential_random_ops(spark, store, seed):
+    """Model-based differential: a seeded random sequence of
+    upsert/delete/widen/compact/vacuum/expire operations against a
+    plain python dict model — after EVERY operation the store view
+    equals the model exactly (keys, values, widened columns, NULLs).
+    Runs on both backends via the parametrized fixture; the manifest
+    param also exercises history expiry mid-sequence."""
+    import random
+
+    rng = random.Random(seed)
+    # model: k -> dict of column values (the fixture's base)
+    model = {
+        k: {"v": k * 10, "name": f"name-{k}", "score": None}
+        for k in range(100)
+    }
+    widened = False
+
+    def check():
+        view = mor_read(spark, store)
+        cols = ["k", "v", "name"] + (["score"] if widened else [])
+        got = {
+            r["k"]: {c: r[c] for c in cols if c != "k"}
+            for r in view.collect()
+        }
+        want = {
+            k: {c: row[c] for c in cols if c != "k"}
+            for k, row in model.items()
+        }
+        assert got == want, f"seed {seed}: view diverged from model"
+
+    next_name = [1000]
+    for step in range(12):
+        op = rng.choice(
+            ["upsert", "upsert", "delete", "widen", "compact", "vacuum"]
+        )
+        if op == "upsert":
+            ks = rng.sample(sorted(model) or [0], min(3, max(1, len(model))))
+            ks += [max(model, default=0) + 1 + step * 7]  # one insert
+            rows = []
+            for kk in sorted(set(ks)):
+                nm = f"n{next_name[0]}"
+                next_name[0] += 1
+                rows.append((kk, rng.randrange(10_000), nm, False))
+                model[kk] = {"v": rows[-1][1], "name": nm, "score": None}
+            mor_append(spark, store, _batch(spark, rows))
+        elif op == "delete":
+            if not model:
+                continue
+            ks = rng.sample(sorted(model), min(2, len(model)))
+            mor_delete_keys(
+                spark, store,
+                spark.createDataFrame([(kk,) for kk in ks], "k long"),
+            )
+            for kk in ks:
+                model.pop(kk)
+        elif op == "widen":
+            kk = max(model, default=0) + 500 + step
+            sc = rng.randrange(100)
+            wide = spark.createDataFrame(
+                [(kk, 1, "w", sc)],
+                "k long, v long, name string, score long",
+            )
+            mor_append(spark, store, wide, allow_new_columns=True)
+            if not widened:
+                # pre-widen rows surface NULL score
+                widened = True
+            model[kk] = {"v": 1, "name": "w", "score": sc}
+        elif op == "compact":
+            mor_compact(spark, store)
+        elif op == "vacuum":
+            from cosmap_spark.sinks.mor import mor_vacuum
+
+            if _kind(store) == "manifest" and rng.random() < 0.5:
+                from cosmap_spark.sinks.commit import ManifestStore
+
+                ManifestStore(store).expire_versions(keep_last=1)
+            mor_vacuum(store, min_age_seconds=0)
+        check()
