@@ -529,7 +529,8 @@ def _write_lex_manifest(
 
 
 def save_lex_index(
-    path: str, tf: DataFrame, lens: DataFrame | None = None
+    path: str, tf: DataFrame, lens: DataFrame | None = None, *,
+    backend: str = "rename", fs=None,
 ) -> None:
     """Persist a lexical index (``retrieval.build_lex_index`` result)
     under ``path``: the (doc, term, tf) table lands REPARTITIONED AND
@@ -551,8 +552,64 @@ def save_lex_index(
     ``pos array<int>``) persists as-is; the manifest records
     ``positional`` so ``load_lex_index`` can assert phrase-query
     capability and ``lex_append`` builds batches with the matching
-    schema."""
+    schema.
+
+    ``backend="manifest"`` commits through the manifest-pointer
+    protocol (:mod:`cosmap_spark.sinks.commit`, the same seam as the
+    ANN store): the tf and lens tables land in immutable data dirs and
+    ONE CAS publish names the complete generation — the rename
+    layout's re-save hazard (a crash between the tf and lens writes
+    leaves a NEW tf under OLD lens/stats: silently wrong BM25 norms)
+    structurally cannot happen.  Incremental maintenance
+    (``lex_append``) is rename-backend-only for now — the published
+    segment-stack design (dir list + tombstone set per generation)
+    is the object-store path, re-save the generation meanwhile."""
     spark = tf.sparkSession
+    if backend not in ("rename", "manifest"):
+        raise ValueError(f"save_lex_index: unknown backend {backend!r}")
+    if backend == "manifest":
+        from cosmap_spark.sinks.commit import ManifestStore
+
+        if fs is None and os.path.exists(
+            os.path.join(path, "manifest.json")
+        ):
+            raise ValueError(
+                f"save_lex_index: {path!r} is an existing rename-"
+                "layout index — refusing to overlay a manifest store"
+            )
+        ms = ManifestStore(path, fs)
+        trel, ttarget = ms.new_data_dir()
+        tf.repartition(F.col("term")).sortWithinPartitions(
+            "term"
+        ).write.mode("overwrite").parquet(ttarget)
+        if lens is None:
+            lens = (
+                spark.read.parquet(ttarget)
+                .groupBy("__d").agg(F.sum("tf").alias("dl"))
+            )
+        lrel, ltarget = ms.new_data_dir()
+        lens.write.mode("overwrite").parquet(ltarget)
+        row = spark.read.parquet(ltarget).agg(
+            F.count("*").alias("n"), F.sum("dl").alias("t")
+        ).collect()[0]
+        version = ms.versions()[-1] if ms.exists() else 0
+        ms.publish(
+            {
+                "components": ["lex"],
+                "n_docs": int(row["n"] or 0),
+                "total_len": int(row["t"] or 0),
+                "positional": "pos" in tf.columns,
+                "dirs": {"lex_tf": trel, "lex_lens": lrel},
+                "data_dirs": [trel, lrel],
+            },
+            expected_version=version,
+        )
+        return
+    if os.path.isdir(os.path.join(path, "_manifests")):
+        raise ValueError(
+            f"save_lex_index: {path!r} is an existing manifest-layout "
+            "index — pass backend='manifest'"
+        )
     tf.repartition(F.col("term")).sortWithinPartitions("term").write.mode(
         "overwrite"
     ).parquet(os.path.join(path, "lex_tf"))
@@ -569,20 +626,41 @@ def save_lex_index(
     )
 
 
-def load_lex_index(spark: SparkSession, path: str) -> dict:
+def load_lex_index(spark: SparkSession, path: str, *,
+                   version: int | None = None, fs=None) -> dict:
     """Reload a ``save_lex_index`` directory as the ``prebuilt`` dict
     ``retrieval.bm25_search`` accepts: ``tf``/``lens`` frames plus the
     manifest's ``n_docs`` and the derived ``avgdl`` (``total_len /
     n_docs`` — the exact division the inline ``avg("dl")`` performs on
     integer lengths, so loaded serving is row-identical to in-memory,
-    pinned in tests/test_index_store.py)."""
-    with open(os.path.join(path, "manifest.json")) as f:
-        manifest = json.load(f)
+    pinned in tests/test_index_store.py).  The commit backend is
+    probed from the layout; ``version=`` pins a manifest-backend load
+    to a historical generation."""
+    if fs is not None or os.path.isdir(os.path.join(path, "_manifests")):
+        from cosmap_spark.sinks.commit import ManifestStore
+
+        ms = ManifestStore(path, fs)
+        manifest = (
+            ms.latest()[1] if version is None
+            else ms.read_version(version)
+        )
+        tf_dir = ms.data_path(manifest["dirs"]["lex_tf"])
+        lens_dir = ms.data_path(manifest["dirs"]["lex_lens"])
+    else:
+        if version is not None:
+            raise ValueError(
+                "load_lex_index: version-pinned loads need the "
+                "manifest backend (the rename layout keeps no history)"
+            )
+        with open(os.path.join(path, "manifest.json")) as f:
+            manifest = json.load(f)
+        tf_dir = os.path.join(path, "lex_tf")
+        lens_dir = os.path.join(path, "lex_lens")
     if "lex" not in manifest["components"]:
         raise ValueError(f"{path}: not a lexical index (see manifest)")
     out = {
-        "tf": spark.read.parquet(os.path.join(path, "lex_tf")),
-        "lens": spark.read.parquet(os.path.join(path, "lex_lens")),
+        "tf": spark.read.parquet(tf_dir),
+        "lens": spark.read.parquet(lens_dir),
         "n_docs": manifest["n_docs"],
         "positional": bool(manifest.get("positional", False)),
     }
@@ -638,6 +716,13 @@ def lex_append(
     from cosmap_spark.operators.retrieval import build_lex_index
     from cosmap_spark.sinks import writers
 
+    if os.path.isdir(os.path.join(path, "_manifests")):
+        raise ValueError(
+            f"lex_append: {path!r} is a manifest-backend lexical index "
+            "— incremental maintenance is rename-backend-only for now; "
+            "re-save the merged generation (save_lex_index(backend="
+            "'manifest')) or keep the index on the rename backend"
+        )
     # the batch must match the stored schema: a positional store
     # (manifest flag) gets positional batches, a bag-of-words store
     # plain ones — mixing would fail the path-level merge's unionByName

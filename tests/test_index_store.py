@@ -684,3 +684,70 @@ def test_ann_index_manifest_backend(spark, tmp_path):
     with pytest.raises(ValueError, match="version-pinned"):
         load_ann_index(spark, rpath, version=1)
     assert not os.path.exists(os.path.join(mpath, "manifest.json"))
+
+
+def test_lex_index_manifest_backend(spark, tmp_path):
+    """The lexical index through the commit seam: manifest-backend
+    saves serve identically to rename-backend ones; a crashed RE-save
+    leaves the old generation intact (the rename layout's tf/lens
+    generation-mix hazard cannot happen); lex_append refuses manifest
+    stores loudly (segment-stack maintenance is the documented future
+    path); version-pinned loads work."""
+    import pytest
+
+    import cosmap_spark.sinks.commit as C
+    from cosmap_spark.operators.index_store import (
+        lex_append, load_lex_index, save_lex_index,
+    )
+    from cosmap_spark.operators.retrieval import build_lex_index
+    from cosmap_spark.sinks.commit import ManifestStore
+
+    docs = spark.createDataFrame(
+        [(1, "red fox jumps high"), (2, "lazy dog sleeps")],
+        "doc_id long, text string",
+    )
+    tf, _ = build_lex_index(docs, id_col="doc_id", text_col="text")
+
+    rpath, mpath = str(tmp_path / "r"), str(tmp_path / "m")
+    save_lex_index(rpath, tf)
+    save_lex_index(mpath, tf, backend="manifest")
+    ref, got = load_lex_index(spark, rpath), load_lex_index(spark, mpath)
+    assert sorted(map(tuple, got["tf"].collect())) == \
+        sorted(map(tuple, ref["tf"].collect()))
+    assert got["n_docs"] == ref["n_docs"] == 2
+    assert got["avgdl"] == ref["avgdl"]
+
+    # crashed re-save: old generation serves, version count unchanged
+    docs2 = docs.union(spark.createDataFrame(
+        [(3, "quick red dog")], "doc_id long, text string"))
+    tf2, _ = build_lex_index(docs2, id_col="doc_id", text_col="text")
+    real = C.LocalFS.publish_exclusive
+
+    def dying(self, p, content):
+        raise RuntimeError("injected crash before publish")
+
+    C.LocalFS.publish_exclusive = dying
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            save_lex_index(mpath, tf2, backend="manifest")
+    finally:
+        C.LocalFS.publish_exclusive = real
+    ms = ManifestStore(mpath)
+    assert ms.versions() == [1]
+    assert load_lex_index(spark, mpath)["n_docs"] == 2
+
+    # completed re-save: v2 serves, v1 pinnable
+    save_lex_index(mpath, tf2, backend="manifest")
+    assert load_lex_index(spark, mpath)["n_docs"] == 3
+    assert load_lex_index(spark, mpath, version=1)["n_docs"] == 2
+
+    # lex_append refuses manifest stores with guidance
+    more = spark.createDataFrame([(4, "new doc")],
+                                 "doc_id long, text string")
+    with pytest.raises(ValueError, match="rename-backend-only"):
+        lex_append(spark, mpath, more, id_col="doc_id", text_col="text")
+    # overlay refusals both ways
+    with pytest.raises(ValueError, match="manifest-layout"):
+        save_lex_index(mpath, tf)
+    with pytest.raises(ValueError, match="rename-layout"):
+        save_lex_index(rpath, tf, backend="manifest")
