@@ -560,10 +560,12 @@ def save_lex_index(
     ONE CAS publish names the complete generation — the rename
     layout's re-save hazard (a crash between the tf and lens writes
     leaves a NEW tf under OLD lens/stats: silently wrong BM25 norms)
-    structurally cannot happen.  Incremental maintenance
-    (``lex_append``) is rename-backend-only for now — the published
-    segment-stack design (dir list + tombstone set per generation)
-    is the object-store path, re-save the generation meanwhile."""
+    structurally cannot happen.  Incremental maintenance on this
+    backend is the SEGMENT STACK (``lex_append`` appends immutable
+    segments; ``_lex_resolve_segments`` reconciles latest-unit-wins);
+    re-saving the loaded reconciled tf through this function IS the
+    compaction — it publishes a folded, term-sorted generation with
+    no ``segments`` list."""
     spark = tf.sparkSession
     if backend not in ("rename", "manifest"):
         raise ValueError(f"save_lex_index: unknown backend {backend!r}")
@@ -626,6 +628,49 @@ def save_lex_index(
     )
 
 
+def _lex_resolve_segments(spark: SparkSession, ms, manifest: dict):
+    """Reconcile a manifest-backend lexical index's SEGMENT STACK into
+    (tf, lens) frames — the Lucene/ES segment model as DataFrame
+    algebra: unit 0 is the saved base, units 1..N the appended
+    segments in publish order; a doc's postings come from the LATEST
+    unit whose ``drop`` list contains it (each segment's drop list =
+    every doc id its batch carried, so re-submits replace wholesale
+    and retractions — batch docs tokenizing to nothing — vanish).
+    Each unit anti-joins the UNION of all LATER drop lists: doc-count-
+    sized sets, broadcast, so the token tables never shuffle."""
+    segs = manifest.get("segments", [])
+    units = [(ms.data_path(manifest["dirs"]["lex_tf"]),
+              ms.data_path(manifest["dirs"]["lex_lens"]))] + [
+        (ms.data_path(s["tf"]), ms.data_path(s["lens"])) for s in segs
+    ]
+    drops = [
+        spark.read.parquet(ms.data_path(s["drop"])).select("__d")
+        for s in segs
+    ]
+    tf_parts, lens_parts = [], []
+    for i, (tdir, ldir) in enumerate(units):
+        t = spark.read.parquet(tdir)
+        ln = spark.read.parquet(ldir)
+        later = drops[i:]  # unit i is overridden by segments i+1..N,
+        # whose drop lists are drops[i:] (drops[j] belongs to unit j+1)
+        if later:
+            killset = later[0]
+            for d in later[1:]:
+                killset = killset.unionByName(d)
+            killset = killset.distinct()
+            t = t.join(F.broadcast(killset), "__d", "left_anti")
+            ln = ln.join(F.broadcast(killset), "__d", "left_anti")
+        tf_parts.append(t)
+        lens_parts.append(ln)
+    tf = tf_parts[0]
+    for t in tf_parts[1:]:
+        tf = tf.unionByName(t)
+    lens = lens_parts[0]
+    for ln in lens_parts[1:]:
+        lens = lens.unionByName(ln)
+    return tf, lens
+
+
 def load_lex_index(spark: SparkSession, path: str, *,
                    version: int | None = None, fs=None) -> dict:
     """Reload a ``save_lex_index`` directory as the ``prebuilt`` dict
@@ -644,8 +689,9 @@ def load_lex_index(spark: SparkSession, path: str, *,
             ms.latest()[1] if version is None
             else ms.read_version(version)
         )
-        tf_dir = ms.data_path(manifest["dirs"]["lex_tf"])
-        lens_dir = ms.data_path(manifest["dirs"]["lex_lens"])
+        if "lex" not in manifest["components"]:
+            raise ValueError(f"{path}: not a lexical index (see manifest)")
+        tf, lens = _lex_resolve_segments(spark, ms, manifest)
     else:
         if version is not None:
             raise ValueError(
@@ -654,13 +700,13 @@ def load_lex_index(spark: SparkSession, path: str, *,
             )
         with open(os.path.join(path, "manifest.json")) as f:
             manifest = json.load(f)
-        tf_dir = os.path.join(path, "lex_tf")
-        lens_dir = os.path.join(path, "lex_lens")
-    if "lex" not in manifest["components"]:
-        raise ValueError(f"{path}: not a lexical index (see manifest)")
+        if "lex" not in manifest["components"]:
+            raise ValueError(f"{path}: not a lexical index (see manifest)")
+        tf = spark.read.parquet(os.path.join(path, "lex_tf"))
+        lens = spark.read.parquet(os.path.join(path, "lex_lens"))
     out = {
-        "tf": spark.read.parquet(tf_dir),
-        "lens": spark.read.parquet(lens_dir),
+        "tf": tf,
+        "lens": lens,
         "n_docs": manifest["n_docs"],
         "positional": bool(manifest.get("positional", False)),
     }
@@ -677,6 +723,7 @@ def lex_append(
     id_col: str = "doc_id",
     text_col: str = "text",
     allow_new_columns: bool = False,
+    fs=None,
 ) -> None:
     """Incrementally maintain a persisted lexical index: tokenize ONLY
     the new batch and merge it in — history is never re-tokenized.
@@ -716,13 +763,57 @@ def lex_append(
     from cosmap_spark.operators.retrieval import build_lex_index
     from cosmap_spark.sinks import writers
 
-    if os.path.isdir(os.path.join(path, "_manifests")):
-        raise ValueError(
-            f"lex_append: {path!r} is a manifest-backend lexical index "
-            "— incremental maintenance is rename-backend-only for now; "
-            "re-save the merged generation (save_lex_index(backend="
-            "'manifest')) or keep the index on the rename backend"
+    if fs is not None or os.path.isdir(os.path.join(path, "_manifests")):
+        # manifest backend: SEGMENT-STACK maintenance (the Lucene/ES
+        # model on the commit protocol) — tokenize ONLY the batch,
+        # write one immutable segment (tf + lens + drop list = the
+        # batch's doc ids, covering re-submits AND retractions), and
+        # CAS-publish; the read side reconciles latest-unit-wins via
+        # broadcast anti-joins (_lex_resolve_segments).  O(batch) data
+        # written, no history re-read except the doc-count-sized lens
+        # reconcile for the manifest stats.  Re-SAVING the loaded
+        # reconciled tf (save_lex_index(backend='manifest')) is the
+        # compaction that folds the stack and restores term order.
+        if allow_new_columns:
+            raise ValueError(
+                "lex_append: allow_new_columns is rename-backend-only "
+                "— on the manifest backend widen by re-saving a folded "
+                "generation (segments must share one schema)"
+            )
+        from cosmap_spark.sinks.commit import ManifestStore
+
+        ms = ManifestStore(path, fs)
+        version, man = ms.latest()
+        positional = bool(man.get("positional", False))
+        tf_new, lens_new = build_lex_index(
+            new_docs, id_col=id_col, text_col=text_col,
+            positions=positional,
         )
+        drop = new_docs.select(
+            F.col(id_col).alias("__d")
+        ).where(F.col("__d").isNotNull()).distinct()
+        trel, ttarget = ms.new_data_dir()
+        tf_new.write.mode("overwrite").parquet(ttarget)
+        lrel, ltarget = ms.new_data_dir()
+        lens_new.write.mode("overwrite").parquet(ltarget)
+        drel, dtarget = ms.new_data_dir()
+        drop.write.mode("overwrite").parquet(dtarget)
+        new_seg = {"tf": trel, "lens": lrel, "drop": drel}
+        new_man = {
+            **{k: man[k] for k in
+               ("components", "positional", "dirs")},
+            "segments": man.get("segments", []) + [new_seg],
+            "data_dirs": man["data_dirs"] + [trel, lrel, drel],
+        }
+        # corpus stats of the RECONCILED view (doc-count-sized scans)
+        _, lens_all = _lex_resolve_segments(spark, ms, new_man)
+        row = lens_all.agg(
+            F.count("*").alias("n"), F.sum("dl").alias("t")
+        ).collect()[0]
+        new_man["n_docs"] = int(row["n"] or 0)
+        new_man["total_len"] = int(row["t"] or 0)
+        ms.publish(new_man, expected_version=version)
+        return
     # the batch must match the stored schema: a positional store
     # (manifest flag) gets positional batches, a bag-of-words store
     # plain ones — mixing would fail the path-level merge's unionByName

@@ -741,13 +741,87 @@ def test_lex_index_manifest_backend(spark, tmp_path):
     assert load_lex_index(spark, mpath)["n_docs"] == 3
     assert load_lex_index(spark, mpath, version=1)["n_docs"] == 2
 
-    # lex_append refuses manifest stores with guidance
-    more = spark.createDataFrame([(4, "new doc")],
-                                 "doc_id long, text string")
-    with pytest.raises(ValueError, match="rename-backend-only"):
-        lex_append(spark, mpath, more, id_col="doc_id", text_col="text")
-    # overlay refusals both ways
+    # overlay refusals both ways; manifest widening refuses with
+    # guidance (segments must share one schema)
     with pytest.raises(ValueError, match="manifest-layout"):
         save_lex_index(mpath, tf)
     with pytest.raises(ValueError, match="rename-layout"):
         save_lex_index(rpath, tf, backend="manifest")
+    more = spark.createDataFrame([(4, "new doc")],
+                                 "doc_id long, text string")
+    with pytest.raises(ValueError, match="rename-backend-only"):
+        lex_append(spark, mpath, more, id_col="doc_id",
+                   text_col="text", allow_new_columns=True)
+
+
+def test_lex_segment_stack_appends_equal_rebuild(spark, tmp_path):
+    """Manifest-backend incremental maintenance — the segment stack
+    (round-10): appends write ONE immutable segment each (tf + lens +
+    drop list) and the reconciled view equals an index rebuilt from
+    scratch on the merged corpus, through fresh ids, a re-submitted
+    doc (wholesale replacement), and a NULL-text retraction; corpus
+    stats track the reconciled view; every prior version stays
+    pinnable; re-saving the loaded tf folds the stack (compaction)."""
+    from cosmap_spark.operators.index_store import (
+        lex_append, load_lex_index, save_lex_index,
+    )
+    from cosmap_spark.operators.retrieval import build_lex_index
+    from cosmap_spark.sinks.commit import ManifestStore
+
+    def lex_rows(d):
+        return sorted(map(tuple, d["tf"].collect()))
+
+    d1 = spark.createDataFrame(
+        [(1, "red fox jumps"), (2, "lazy dog sleeps")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "seg")
+    tf1, _ = build_lex_index(d1, id_col="doc_id", text_col="text")
+    save_lex_index(path, tf1, backend="manifest")
+
+    # fresh-id append
+    d2 = spark.createDataFrame([(3, "quick red dog barks")],
+                               "doc_id long, text string")
+    lex_append(spark, path, d2, id_col="doc_id", text_col="text")
+    # re-submit doc 1 with NEW text + retract doc 2 (NULL text)
+    d3 = spark.createDataFrame([(1, "red red wine"), (2, None)],
+                               "doc_id long, text string")
+    lex_append(spark, path, d3, id_col="doc_id", text_col="text")
+
+    merged = spark.createDataFrame(
+        [(1, "red red wine"), (3, "quick red dog barks")],
+        "doc_id long, text string",
+    )
+    tf_want, _ = build_lex_index(merged, id_col="doc_id",
+                                 text_col="text")
+    got = load_lex_index(spark, path)
+    assert lex_rows(got) == sorted(map(tuple, tf_want.collect()))
+    assert got["n_docs"] == 2
+    assert got["avgdl"] == (3 + 4) / 2  # dl(1)=3, dl(3)=4
+
+    # history: v1 (2 docs), v2 (+doc 3), v3 (resubmit+retract)
+    ms = ManifestStore(path)
+    assert ms.versions() == [1, 2, 3]
+    assert load_lex_index(spark, path, version=1)["n_docs"] == 2
+    assert load_lex_index(spark, path, version=2)["n_docs"] == 3
+    assert len(ms.latest()[1]["segments"]) == 2
+
+    # serving through bm25 works on the reconciled frames
+    from cosmap_spark.operators.retrieval import bm25_search
+
+    hits = bm25_search(None, {"q0": "red"}, top_n=5, prebuilt=got)
+    assert {r["doc_id"] for r in hits.collect()} == {1, 3}
+
+    # compaction: re-save the loaded reconciled tf — folded, no
+    # segments, same view; old versions expire + vacuum cleanly
+    want_rows = lex_rows(got)  # materialize BEFORE vacuuming the
+    # segment dirs this frame's lineage reads
+    save_lex_index(path, got["tf"], backend="manifest")
+    folded = load_lex_index(spark, path)
+    assert lex_rows(folded) == want_rows
+    assert "segments" not in ms.latest()[1] \
+        or ms.latest()[1]["segments"] == []
+    ms.expire_versions(keep_last=1)
+    removed = ms.vacuum(min_age_seconds=0)
+    assert len(removed) >= 6  # base pair + two segments' dirs
+    assert lex_rows(load_lex_index(spark, path)) == want_rows
