@@ -751,6 +751,11 @@ def lex_append(
     appended fraction; re-save (compact) periodically, exactly like
     any sorted-layout table under append load.
 
+    On a MANIFEST-backend store this function takes the segment-stack
+    path documented in its body (immutable per-batch segments, CAS
+    publish, latest-unit-wins reconcile at read time) — same external
+    contract, object-store-safe commit.
+
     ``allow_new_columns=True`` forwards the sink-level ADD-only schema
     evolution (``writers.merge_upsert``) to the tf/lens merges: a
     batch built by a NEWER ``build_lex_index`` that emits extra
