@@ -177,6 +177,73 @@ def mor_reconcile(
     )
 
 
+def change_feed(
+    view_from: DataFrame,
+    deltas: DataFrame,
+    keys: list[str],
+    *,
+    epoch_col: str = "epoch",
+    delete_col: str = "__deleted",
+    change_type_col: str = "_change_type",
+    materialize: bool = True,
+) -> DataFrame:
+    """The NET change classification between a snapshot and the view
+    after an ordered delta stack — the algebra under
+    :func:`cosmap_spark.sinks.mor.mor_changes` (Delta Lake's
+    Change-Data-Feed vocabulary), usable standalone on any
+    (snapshot, deltas) pair shaped like :func:`mor_reconcile`'s inputs.
+
+    Output = ``view_from``'s columns plus ``change_type_col`` ∈
+    {``insert``, ``update_preimage``, ``update_postimage``,
+    ``delete``}: one verdict per key — the winner row per key across
+    the stack (later epochs win, :func:`latest_per_key`), classified
+    against ``view_from`` membership.  A tombstone of a key absent
+    from the snapshot emits nothing (deleting the non-existent is a
+    no-op, the store's delete idempotence contract).
+
+    Law (pinned in tests/test_merge.py): applying the feed to the
+    snapshot — drop every touched key, union the ``insert`` +
+    ``update_postimage`` rows — reproduces
+    ``mor_reconcile(view_from, deltas)`` exactly.
+
+    Plan shape: the winner window is stack-sized; the snapshot is
+    scanned ONCE (inner join against the broadcast winner keys —
+    batch-sized output); every later join is batch × batch.
+    ``materialize`` localCheckpoints that matched frame (it has two
+    consumers: pre-image rows and the matched key set — the smallest-
+    post-aggregation rule); pass ``False`` to stay fully lazy when the
+    snapshot lineage is cheap to re-run (e.g. the correctness gate's
+    in-memory fixtures)."""
+    winners = latest_per_key(deltas, keys, seq_col=epoch_col).drop(
+        epoch_col
+    )
+    pre = view_from.join(
+        F.broadcast(winners.select(*keys, delete_col)), keys, "inner"
+    )
+    if materialize:
+        pre = pre.localCheckpoint()
+    matched = pre.select(*keys).distinct()
+    cols = list(view_from.columns)
+
+    def tag(df: DataFrame, kind: str) -> DataFrame:
+        return df.select(*cols, F.lit(kind).alias(change_type_col))
+
+    alive = winners.where(~F.coalesce(F.col(delete_col), F.lit(False)))
+    return (
+        tag(pre.where(F.coalesce(F.col(delete_col), F.lit(False))),
+            "delete")
+        .unionByName(tag(
+            pre.where(~F.coalesce(F.col(delete_col), F.lit(False))),
+            "update_preimage"))
+        .unionByName(tag(
+            alive.join(F.broadcast(matched), keys, "left_semi"),
+            "update_postimage"))
+        .unionByName(tag(
+            alive.join(F.broadcast(matched), keys, "left_anti"),
+            "insert"))
+    )
+
+
 def scd2_apply(
     dim: DataFrame,
     updates: DataFrame,

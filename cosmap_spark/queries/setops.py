@@ -433,6 +433,24 @@ _SETOPS_ORACLE = """
       UNION ALL
       SELECT k, name, nk, bal_c FROM mor_win WHERE NOT del
     ),
+    morc_pre AS (
+      SELECT o.k, o.name, o.nk, o.bal_c, w.del
+      FROM snap_old o JOIN mor_win w ON o.k = w.k
+    ),
+    morc AS (
+      SELECT k, name, nk, bal_c, 'delete' AS ct FROM morc_pre WHERE del
+      UNION ALL
+      SELECT k, name, nk, bal_c, 'update_preimage' FROM morc_pre
+      WHERE NOT del
+      UNION ALL
+      SELECT w.k, w.name, w.nk, w.bal_c, 'update_postimage'
+      FROM mor_win w
+      WHERE NOT w.del AND w.k IN (SELECT k FROM morc_pre)
+      UNION ALL
+      SELECT w.k, w.name, w.nk, w.bal_c, 'insert'
+      FROM mor_win w
+      WHERE NOT w.del AND w.k NOT IN (SELECT k FROM morc_pre)
+    ),
     morw_deltas AS (
       SELECT k, name, nk, bal_c + 5000 AS bal_c,
              CAST(NULL AS BIGINT) AS score, 1 AS epoch, FALSE AS del
@@ -539,6 +557,11 @@ _SETOPS_ORACLE = """
     SELECT 'mor', k,
            name || '|' || CAST(nk AS VARCHAR) || '|' || CAST(bal_c AS VARCHAR)
     FROM mor_view
+    UNION ALL
+    SELECT 'morc', k,
+           ct || '|' || name || '|' || CAST(nk AS VARCHAR)
+           || '|' || CAST(bal_c AS VARCHAR)
+    FROM morc
     UNION ALL
     SELECT 'morw', k,
            name || '|' || CAST(nk AS VARCHAR) || '|'
@@ -674,6 +697,11 @@ def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
       ``sinks/mor.py``): a two-epoch delta stack with an override, a
       tombstone, a resurrection, and inserts — winner-per-key by epoch
       DESC + one broadcast anti-join; side = the reconciled payload;
+    * ``morc``  — ``merge.change_feed`` over the SAME delta stack
+      (the algebra under ``sinks/mor.mor_changes``, Delta CDF
+      vocabulary): net winner per key classified against the snapshot
+      — ``insert`` / ``update_preimage`` / ``update_postimage`` /
+      ``delete`` rows; side = ``type|name|nk|bal_c``;
     * ``scd2``  — ``scd2_apply``: close-out + new open versions, a
       stale-timestamp loser collapsed per key, a no-op update, a
       LATE (pre-``valid_from``) update ignored, and brand-new keys
@@ -889,6 +917,25 @@ def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     mor_b = tag(
         mor_reconcile(old, mor_deltas, ["k"], epoch_col="epoch"),
         "mor", k, payload,
+    )
+
+    # NET change feed over the SAME fixture (operators/merge.py::
+    # change_feed — the algebra under sinks/mor.mor_changes, Delta's
+    # CDF vocabulary): the winner per key classified against the
+    # snapshot — update pre/post pairs for overridden keys, deletes
+    # with pre-images for surviving tombstones, inserts for fresh
+    # keys; a tombstone-then-resurrect key nets to one update pair.
+    # materialize=False: the gate fixture's lineage is one customer
+    # scan — a checkpoint would cost more than the recompute.
+    from cosmap_spark.operators.merge import change_feed
+
+    morc_b = tag(
+        change_feed(old, mor_deltas, ["k"], epoch_col="epoch",
+                    materialize=False),
+        "morc", k,
+        F.concat_ws("|", F.col("_change_type"), F.col("name"),
+                    F.col("nk").cast("string"),
+                    F.col("bal_c").cast("string")),
     )
 
     # schema-WIDENED reconcile (round 10, mor_append(allow_new_columns)
@@ -1169,7 +1216,8 @@ def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = union_all
     for branch in (union_distinct, intersect, except_, cross, not_in,
-                   above_mean, merge_b, cdc_b, rt_b, mor_b, morw_b,
+                   above_mean, merge_b, cdc_b, rt_b, mor_b, morc_b,
+                   morw_b,
                    scd2_b, drift_b, drift_cat_b, chi_b, pr_b, tri_b,
                    ks_b, mwu_b, welch_b, prop_b):
         out = out.unionByName(branch)

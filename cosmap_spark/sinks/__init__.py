@@ -7,6 +7,7 @@ from cosmap_spark.sinks.commit import (  # noqa: F401
 )
 from cosmap_spark.sinks.mor import (  # noqa: F401
     mor_append,
+    mor_changes,
     mor_compact,
     mor_delete_keys,
     mor_init,

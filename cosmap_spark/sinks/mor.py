@@ -224,7 +224,8 @@ def mor_init(df: DataFrame, path: str, keys: list[str], *,
         rel, target = ms.new_data_dir()
         df.write.mode("overwrite").parquet(target)
         ms.publish(
-            {**meta, "base": rel, "epochs": [], "data_dirs": [rel]},
+            {**meta, "base": rel, "epochs": [], "max_epoch": 0,
+             "data_dirs": [rel]},
             expected_version=0,
         )
         return
@@ -385,9 +386,15 @@ def mor_append(
     Manifest backend: the batch (with an explicit ``epoch`` LONG
     column — manifests name dirs, so the epoch cannot ride a partition
     path) lands in an immutable ``data/<uuid>`` dir and commits by
-    CAS-publishing the next manifest; a concurrent committer loses the
-    CAS (:class:`cosmap_spark.sinks.commit.CommitConflict`) and its
-    orphan dir is vacuumable.
+    CAS-publishing the next manifest.  Losing the CAS to a concurrent
+    committer self-heals with a bounded retry (re-read, re-align,
+    REWRITE under the next epoch number — the number is baked into the
+    parquet — and re-publish; five attempts, then a loud
+    :class:`cosmap_spark.sinks.commit.CommitConflict`); lost attempts
+    leak only vacuumable orphan dirs.  Epoch numbers ride a monotone
+    ``max_epoch`` watermark, so they never recycle across compactions
+    and epoch order == commit order globally (what
+    :func:`mor_changes`' feed ordering rests on).
 
     ``allow_new_columns=True`` is schema evolution, ADD-only: batch
     columns the store does not have widen the store schema as nullable
@@ -399,34 +406,60 @@ def mor_append(
     contract)."""
     kind = _store_kind(path, fs)
     if kind == "manifest":
+        from cosmap_spark.sinks.commit import CommitConflict
+
         ms = _manifest_store(path, fs)
-        version, man = ms.latest()
-        _check_reader_version(man, "mor_append")
-        keys = man["keys"]
-        schema_json = man["schema"]
-        min_reader = int(man.get("min_reader_version", 1))
-        if allow_new_columns:
-            schema_json = _widened_schema(man, batch, "mor_append")
-            if schema_json != man["schema"]:
-                min_reader = max(min_reader, 2)
-        aligned = _align_batch(
-            batch, {**man, "schema": schema_json}, keys, assume_unique
-        )
-        epochs = [e["epoch"] for e in man["epochs"]]
-        epoch = (max(epochs) + 1) if epochs else 1
-        rel, target = ms.new_data_dir()
-        aligned.withColumn(
-            "epoch", F.lit(epoch).cast("long")
-        ).write.mode("overwrite").parquet(target)
-        new_man = {
-            **{k: man[k] for k in ("keys", "base")},
-            "schema": schema_json,
-            "min_reader_version": min_reader,
-            "epochs": man["epochs"] + [{"epoch": epoch, "dir": rel}],
-            "data_dirs": man["data_dirs"] + [rel],
-        }
-        ms.publish(new_man, expected_version=version)
-        return epoch
+        # bounded CAS-retry (mor_compact's loop, mirrored): losing the
+        # publish race means OUR manifest never landed, so re-reading
+        # the latest state, re-aligning and re-publishing is always
+        # safe — the lost attempt's data dir becomes a vacuumable
+        # orphan.  Each retry REWRITES the batch: the epoch number is
+        # baked into the parquet, so a stale staging dir cannot be
+        # republished under a new number.
+        last: Exception | None = None
+        for _ in range(5):
+            version, man = ms.latest()
+            _check_reader_version(man, "mor_append")
+            keys = man["keys"]
+            schema_json = man["schema"]
+            min_reader = int(man.get("min_reader_version", 1))
+            if allow_new_columns:
+                schema_json = _widened_schema(man, batch, "mor_append")
+                if schema_json != man["schema"]:
+                    min_reader = max(min_reader, 2)
+            aligned = _align_batch(
+                batch, {**man, "schema": schema_json}, keys, assume_unique
+            )
+            # monotone epoch watermark: numbers NEVER recycle across
+            # compactions on this backend (pre-watermark behavior was
+            # max(live list) + 1, which restarts at 1 after a fold), so
+            # epoch order == commit order globally — what mor_changes'
+            # feed ordering rests on.  Old manifests without the field
+            # fall back to the live list's max.
+            epochs = [e["epoch"] for e in man["epochs"]]
+            epoch = int(man.get("max_epoch", max(epochs, default=0))) + 1
+            rel, target = ms.new_data_dir()
+            aligned.withColumn(
+                "epoch", F.lit(epoch).cast("long")
+            ).write.mode("overwrite").parquet(target)
+            new_man = {
+                **{k: man[k] for k in ("keys", "base")},
+                "schema": schema_json,
+                "min_reader_version": min_reader,
+                "max_epoch": epoch,
+                "epochs": man["epochs"] + [{"epoch": epoch, "dir": rel}],
+                "data_dirs": man["data_dirs"] + [rel],
+            }
+            try:
+                ms.publish(new_man, expected_version=version)
+                return epoch
+            except CommitConflict as e:
+                last = e
+        raise CommitConflict(
+            "mor_append: lost the publish CAS 5 times in a row to "
+            "concurrent writers — the store is commit-hot; retry later "
+            "(the staged batches are vacuumable orphans)"
+        ) from last
     _require_local(path, "mor_append")
     meta = _load_meta(path)
     _check_reader_version(meta, "mor_append")
@@ -636,6 +669,116 @@ def mor_read(spark, path: str, *, version: int | None = None,
     )
 
 
+CHANGE_TYPE_COL = "_change_type"
+
+
+def mor_changes(spark, path: str, *, from_version: int,
+                to_version: int | None = None, fs=None) -> DataFrame:
+    """The NET change feed between two manifest versions — the
+    Delta-Lake Change-Data-Feed analog (``table_changes``), free here
+    because the store's deltas ARE the change files: rows that turn
+    ``mor_read(version=from_version)`` into
+    ``mor_read(version=to_version)``, tagged by :data:`CHANGE_TYPE_COL`
+    in Delta's vocabulary — ``insert``, ``update_preimage`` /
+    ``update_postimage`` (one row each per updated key), ``delete``
+    (the pre-image).  Manifest backend only (the rename backend keeps
+    no history).
+
+    NET means one verdict per key across the whole range: a key
+    upserted then tombstoned inside the range surfaces as a single
+    ``delete`` (or nothing, if it never existed at ``from_version``) —
+    the consumer-facing contract of an incremental downstream sync,
+    where replaying intermediate states is wasted work.
+
+    The feed is assembled from the ORIGINAL epoch dirs, collected by
+    walking every manifest in ``(from_version, to_version]`` and
+    taking each epoch dir on first appearance — so epochs folded away
+    by an interleaved compaction are still found (their dirs stay
+    reachable through history until ``expire_versions`` + vacuum),
+    and a pure-compaction range correctly yields an EMPTY feed.  If
+    any manifest in the range has been expired the walk refuses
+    loudly rather than silently skipping commits.
+
+    Plan shape (the O(changes) contract): the collected epoch stack is
+    batch-sized; one window picks the net winner per key; the
+    ``from_version`` view is scanned ONCE (an inner join against the
+    broadcast winner keys, batch-sized output, localCheckpointed as
+    the smallest multi-consumer frame — the q_topk rule); every
+    subsequent join is batch × batch.  The base never shuffles.  The
+    classification itself is :func:`cosmap_spark.operators.merge.
+    change_feed` (gated hash-exact as q_setops' ``morc`` branch)."""
+    from cosmap_spark.operators.merge import change_feed
+
+    if _store_kind(path, fs) != "manifest":
+        raise ValueError(
+            "mor_changes: the change feed needs the manifest backend "
+            "(the rename backend keeps no version history)"
+        )
+    ms = _manifest_store(path, fs)
+    published = ms.versions()
+    if to_version is None:
+        to_version = published[-1]
+    if from_version > to_version:
+        raise ValueError(
+            f"mor_changes: from_version {from_version} > to_version "
+            f"{to_version}"
+        )
+    need = set(range(from_version, to_version + 1))
+    missing = sorted(need - set(published))
+    if missing:
+        raise ValueError(
+            f"mor_changes: manifest version(s) {missing} have been "
+            "expired — the feed cannot prove completeness over a "
+            "gapped history; lower keep_last pressure or re-sync from "
+            "a full read"
+        )
+    man_to = ms.read_version(to_version)
+    _check_reader_version(man_to, "mor_changes")
+    schema_json = man_to["schema"]
+    keys = man_to["keys"]
+
+    from pyspark.sql.types import StructType
+
+    out_fields = StructType.fromJson(schema_json).fields
+    # list() copy: StructType stores the passed list by reference and
+    # .add appends IN PLACE — without it out_fields itself would gain
+    # the change-type field and tag() would select a ghost column
+    empty_schema = StructType(list(out_fields)).add(
+        CHANGE_TYPE_COL, "string"
+    )
+
+    # collect epoch dirs on FIRST appearance, in publish order — dir
+    # identity, not epoch number (pre-watermark numbers can recycle)
+    seen = {e["dir"] for e in ms.read_version(from_version)["epochs"]}
+    collected: list[dict] = []
+    for v in range(from_version + 1, to_version + 1):
+        for e in ms.read_version(v)["epochs"]:
+            if e["dir"] not in seen:
+                seen.add(e["dir"])
+                collected.append(e)
+    if not collected:
+        return spark.createDataFrame([], empty_schema)
+
+    parts = []
+    for seq, e in enumerate(collected):
+        part = spark.read.parquet(ms.data_path(e["dir"]))
+        parts.append(
+            _fill_to_schema(part, schema_json, extra=[DELETE_COL])
+            .withColumn("__seq", F.lit(seq).cast("long"))
+        )
+    stack = parts[0]
+    for p in parts[1:]:
+        stack = stack.unionByName(p)
+    view_from = _fill_to_schema(
+        mor_read(spark, path, version=from_version, fs=fs), schema_json
+    )
+    return change_feed(
+        view_from, stack, keys,
+        epoch_col="__seq", delete_col=DELETE_COL,
+        change_type_col=CHANGE_TYPE_COL,
+    )
+
+
 def mor_vacuum(path: str, *, min_age_seconds: float = 3600.0,
                dry_run: bool = False, fs=None) -> list[str]:
     """Remove crash debris — temp directories a died writer leaked
@@ -759,15 +902,22 @@ def mor_compact(spark, path: str, *,
             folded.write.mode("overwrite").parquet(target)
         # publish with a bounded CAS-retry: a concurrent append that
         # won the version race is NOT lost — the retry re-reads the
-        # latest manifest and keeps every epoch NEWER than the fold's
-        # snapshot as the new base's suffix (applying a suffix to the
-        # folded view is exactly the reconcile idempotence story), and
-        # adopts the latest schema/min_reader (the append may have
-        # widened; the folded base then reads back NULL-filled)
+        # latest manifest and keeps every epoch the fold did not cover
+        # as the new base's suffix (applying a suffix to the folded
+        # view is exactly the reconcile idempotence story), and adopts
+        # the latest schema/min_reader (the append may have widened;
+        # the folded base then reads back NULL-filled).  The suffix is
+        # identified by immutable DIR NAME, not epoch number: on a
+        # pre-watermark store numbers recycle after a fold, so an
+        # `epoch > folded_max` test against an INTERLEAVED concurrent
+        # compaction's renumbered appends would silently DROP them from
+        # the retry's publish (round-10 self-review data-loss fix,
+        # regression-pinned in tests/test_mor.py).
+        folded_dirs = {e["dir"] for e in man["epochs"]}
         cur_version, cur = version, man
         for _ in range(5):
             suffix = [e for e in cur["epochs"]
-                      if e["epoch"] > folded_max]
+                      if e["dir"] not in folded_dirs]
             try:
                 ms.publish(
                     {
@@ -776,6 +926,11 @@ def mor_compact(spark, path: str, *,
                         "min_reader_version": int(
                             cur.get("min_reader_version", 1)
                         ),
+                        "max_epoch": int(cur.get(
+                            "max_epoch",
+                            max([e["epoch"] for e in cur["epochs"]],
+                                default=folded_max),
+                        )),
                         "base": rel,
                         "epochs": suffix,
                         "data_dirs": [rel] + [e["dir"] for e in suffix],

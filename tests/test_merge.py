@@ -568,3 +568,51 @@ def test_scd2_tracked_empty_list_refused(spark):
     )
     with pytest.raises(ValueError, match="tracked"):
         scd2_apply(dim, upd, ["k"], tracked=[], ts_col="ts")
+
+
+def test_change_feed_apply_law_and_classification(spark):
+    """merge.change_feed (the algebra under sinks/mor.mor_changes):
+    one verdict per key — delete with pre-image, update pre/post pair,
+    insert — and the apply law: dropping every touched key from the
+    snapshot and unioning insert+update_postimage rows reproduces
+    mor_reconcile(snapshot, deltas) exactly.  A tombstone of an absent
+    key emits nothing; a tombstone-then-resurrect key nets to one
+    update pair."""
+    from cosmap_spark.operators.merge import change_feed, mor_reconcile
+
+    snap = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30), (4, 40)], "k long, v long"
+    )
+    deltas = spark.createDataFrame(
+        [
+            (1, 11, 1, False),   # update (overridden by epoch 2)
+            (1, 12, 2, False),   # final update value
+            (2, None, 1, True),  # delete
+            (3, None, 1, True),  # tombstone...
+            (3, 33, 2, False),   # ...then resurrect -> net update
+            (5, 50, 2, False),   # insert
+            (9, None, 2, True),  # delete of an absent key -> nothing
+        ],
+        "k long, v long, epoch long, __deleted boolean",
+    )
+    feed = change_feed(snap, deltas, ["k"], materialize=False)
+    got = {(r["k"], r["_change_type"]): r["v"] for r in feed.collect()}
+    assert got == {
+        (1, "update_preimage"): 10,
+        (1, "update_postimage"): 12,
+        (2, "delete"): 20,
+        (3, "update_preimage"): 30,
+        (3, "update_postimage"): 33,
+        (5, "insert"): 50,
+    }
+
+    touched = feed.where(
+        F.col("_change_type").isin("delete", "update_postimage", "insert")
+    ).select("k").distinct()
+    applied = snap.join(F.broadcast(touched), ["k"], "left_anti") \
+        .unionByName(
+            feed.where(F.col("_change_type").isin(
+                "update_postimage", "insert")).select("k", "v"))
+    want = mor_reconcile(snap, deltas, ["k"])
+    assert sorted((r["k"], r["v"]) for r in applied.collect()) == \
+        sorted((r["k"], r["v"]) for r in want.collect())

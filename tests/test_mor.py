@@ -1190,3 +1190,284 @@ def test_mor_model_differential_random_ops(spark, store, seed):
                 ManifestStore(store).expire_versions(keep_last=1)
             mor_vacuum(store, min_age_seconds=0)
         check()
+
+
+def test_mor_manifest_epoch_watermark_never_recycles(spark, tmp_path):
+    """Epoch numbers on the manifest backend ride a monotone watermark:
+    a compaction empties the live epoch list but the NEXT append claims
+    max_epoch + 1, never 1 again — epoch order == commit order globally
+    (what mor_changes' feed ordering and mor_compact's retry reasoning
+    rest on)."""
+    from cosmap_spark.sinks.commit import ManifestStore
+
+    path = str(tmp_path / "mstore")
+    base = spark.range(0, 10).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v"),
+        F.lit("x").alias("name"),
+    )
+    mor_init(base, path, ["k"], backend="manifest")
+    assert mor_append(spark, path, _batch(spark, [(1, 11, "a", False)])) == 1
+    assert mor_append(spark, path, _batch(spark, [(2, 22, "b", False)])) == 2
+    assert mor_compact(spark, path) == 2
+    assert ManifestStore(path).latest()[1]["epochs"] == []
+    # post-compaction append continues the sequence
+    assert mor_append(spark, path, _batch(spark, [(3, 33, "c", False)])) == 3
+    assert ManifestStore(path).latest()[1]["max_epoch"] == 3
+
+
+def test_mor_manifest_append_cas_retry_self_heals(spark, tmp_path):
+    """An append that loses the publish CAS re-reads, REWRITES the
+    batch under the next epoch number and re-publishes — concurrent
+    appends both land (Delta's commit-retry loop), with distinct
+    epochs and only vacuumable orphans left behind."""
+    import cosmap_spark.sinks.commit as C
+    from cosmap_spark.sinks.commit import ManifestStore
+
+    path = str(tmp_path / "mstore")
+    base = spark.range(0, 10).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v"),
+        F.lit("x").alias("name"),
+    )
+    mor_init(base, path, ["k"], backend="manifest")
+
+    rival = _batch(spark, [(7, 777, "rival", False)])
+    real = C.LocalFS.publish_exclusive
+    state = {"injected": False}
+
+    def racing_publish(self, p, content):
+        # inject a rival append exactly once, before OUR first publish
+        if not state["injected"]:
+            state["injected"] = True
+            C.LocalFS.publish_exclusive = real
+            try:
+                assert mor_append(spark, path, rival) == 1
+            finally:
+                C.LocalFS.publish_exclusive = racing_publish
+        return real(self, p, content)
+
+    C.LocalFS.publish_exclusive = racing_publish
+    try:
+        # loses v2 to the rival, retries, lands as epoch 2
+        got = mor_append(spark, path, _batch(spark, [(8, 888, "me", False)]))
+    finally:
+        C.LocalFS.publish_exclusive = real
+    assert got == 2
+    m = {r["k"]: r["v"] for r in mor_read(spark, path).collect()}
+    assert m[7] == 777 and m[8] == 888
+    _, man = ManifestStore(path).latest()
+    assert [e["epoch"] for e in man["epochs"]] == [1, 2]
+    # the lost first attempt's staging dir is an unreferenced orphan
+    orphans = ManifestStore(path).vacuum(min_age_seconds=0, dry_run=True)
+    assert len(orphans) == 1
+
+
+def test_mor_manifest_compact_race_with_interleaved_compact(spark, tmp_path):
+    """The round-10 data-loss regression: compact C folds a snapshot,
+    then loses the CAS to an interleaved compact A *plus* an append D
+    (whose epoch number, on a pre-watermark store, would RECYCLE to a
+    value inside C's folded range).  C's retry must identify the
+    surviving suffix by immutable dir name — an `epoch > folded_max`
+    test would silently drop D's rows from the published view."""
+    import cosmap_spark.sinks.commit as C
+    from cosmap_spark.sinks.commit import ManifestStore
+
+    path = str(tmp_path / "mstore")
+    base = spark.range(0, 10).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v"),
+        F.lit("x").alias("name"),
+    )
+    mor_init(base, path, ["k"], backend="manifest")
+    mor_append(spark, path, _batch(spark, [(1, 11, "a", False)]))
+    mor_append(spark, path, _batch(spark, [(2, 22, "b", False)]))
+    # simulate a PRE-WATERMARK store: the rival append below must claim
+    # a recycled epoch number inside C's folded range [1, 2]
+    ms = ManifestStore(path)
+    v, man = ms.latest()
+    man.pop("max_epoch", None)
+    ms.publish(man, expected_version=v)
+
+    raced = _batch(spark, [(100, 333, "d", False)])
+    real = C.LocalFS.publish_exclusive
+    state = {"injected": False}
+
+    def racing_publish(self, p, content):
+        import json as _json
+
+        body = _json.loads(content)
+        if not state["injected"] and body.get("epochs") == []:
+            state["injected"] = True
+            C.LocalFS.publish_exclusive = real
+            try:
+                # rival compact A folds the same snapshot...
+                assert mor_compact(spark, path) == 2
+                # ...and append D lands on the folded store with a
+                # RECYCLED epoch number (pre-watermark manifests)
+                ms2 = ManifestStore(path)
+                v2, man2 = ms2.latest()
+                man2.pop("max_epoch", None)
+                ms2.publish(man2, expected_version=v2)
+                assert mor_append(spark, path, raced) == 1
+            finally:
+                C.LocalFS.publish_exclusive = racing_publish
+        return real(self, p, content)
+
+    C.LocalFS.publish_exclusive = racing_publish
+    try:
+        assert mor_compact(spark, path) == 2
+    finally:
+        C.LocalFS.publish_exclusive = real
+
+    # D's raced append SURVIVES the retried publish
+    m = {r["k"]: r["v"] for r in mor_read(spark, path).collect()}
+    assert m[100] == 333, "interleaved-compact retry dropped the append"
+    assert m[1] == 11 and m[2] == 22 and len(m) == 11
+
+
+def _apply_changes(view_from, changes, keys):
+    """The consumer-side law: view_from minus touched keys plus the
+    post-image rows == view_to."""
+    from cosmap_spark.sinks.mor import CHANGE_TYPE_COL
+
+    touched = changes.where(
+        F.col(CHANGE_TYPE_COL).isin("delete", "update_postimage", "insert")
+    ).select(*keys).distinct()
+    posts = changes.where(
+        F.col(CHANGE_TYPE_COL).isin("update_postimage", "insert")
+    ).drop(CHANGE_TYPE_COL)
+    return view_from.join(
+        F.broadcast(touched), keys, "left_anti"
+    ).unionByName(posts)
+
+
+def test_mor_changes_basic_and_apply_law(spark, tmp_path):
+    """mor_changes between two versions: inserts, update pre/post
+    pairs, deletes — and applying the feed to the from-view reproduces
+    the to-view exactly (the CDC apply law)."""
+    from cosmap_spark.sinks.mor import CHANGE_TYPE_COL, mor_changes
+
+    path = str(tmp_path / "mstore")
+    base = spark.range(0, 10).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v"),
+        F.lit("x").alias("name"),
+    )
+    mor_init(base, path, ["k"], backend="manifest")          # v1
+    mor_append(spark, path, _batch(
+        spark, [(1, 111, "upd", False), (100, 1000, "new", False)]))  # v2
+    mor_delete_keys(spark, path,
+                    spark.createDataFrame([(2,)], "k long"))  # v3
+
+    ch = mor_changes(spark, path, from_version=1)
+    got = {(r["k"], r[CHANGE_TYPE_COL]): (r["v"], r["name"])
+           for r in ch.collect()}
+    assert got[(100, "insert")] == (1000, "new")
+    assert got[(1, "update_preimage")] == (10, "x")
+    assert got[(1, "update_postimage")] == (111, "upd")
+    assert got[(2, "delete")] == (20, "x")
+    assert len(got) == 4
+
+    applied = _apply_changes(
+        mor_read(spark, path, version=1), ch, ["k"])
+    assert _rows(applied) == _rows(mor_read(spark, path, version=3))
+
+
+def test_mor_changes_net_semantics(spark, tmp_path):
+    """NET feed: insert-then-delete inside the range vanishes; two
+    updates collapse to one pair carrying the FINAL value; a delete of
+    a key absent at from_version emits nothing."""
+    from cosmap_spark.sinks.mor import CHANGE_TYPE_COL, mor_changes
+
+    path = str(tmp_path / "mstore")
+    base = spark.range(0, 5).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v"),
+        F.lit("x").alias("name"),
+    )
+    mor_init(base, path, ["k"], backend="manifest")            # v1
+    mor_append(spark, path, _batch(spark, [(50, 1, "a", False)]))   # v2
+    mor_append(spark, path, _batch(spark, [(50, 2, "b", False),
+                                           (1, 100, "u1", False)]))  # v3
+    mor_delete_keys(spark, path,
+                    spark.createDataFrame([(50,), (99,)], "k long"))  # v4
+    mor_append(spark, path, _batch(spark, [(1, 200, "u2", False)]))  # v5
+
+    ch = mor_changes(spark, path, from_version=1, to_version=5)
+    got = {(r["k"], r[CHANGE_TYPE_COL]): r["v"] for r in ch.collect()}
+    # 50: inserted then deleted -> nothing; 99: never existed -> nothing
+    assert not any(k == 50 or k == 99 for k, _ in got)
+    # 1: two updates -> ONE pair with the final value
+    assert got[(1, "update_preimage")] == 10
+    assert got[(1, "update_postimage")] == 200
+    assert len(got) == 2
+
+    applied = _apply_changes(
+        mor_read(spark, path, version=1), ch, ["k"])
+    assert _rows(applied) == _rows(mor_read(spark, path, version=5))
+
+
+def test_mor_changes_across_compaction_and_empty_ranges(spark, tmp_path):
+    """Epochs folded away by an interleaved compaction are still fed
+    (collected by dir on first appearance through the version walk); a
+    pure-compaction range yields an EMPTY feed; expired history and
+    the rename backend refuse loudly."""
+    from cosmap_spark.sinks.commit import ManifestStore
+    from cosmap_spark.sinks.mor import mor_changes
+
+    path = str(tmp_path / "mstore")
+    base = spark.range(0, 10).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v"),
+        F.lit("x").alias("name"),
+    )
+    mor_init(base, path, ["k"], backend="manifest")             # v1
+    mor_append(spark, path, _batch(spark, [(1, 111, "u", False)]))  # v2
+    assert mor_compact(spark, path) == 1                        # v3
+    mor_append(spark, path, _batch(spark, [(2, 222, "w", False)]))  # v4
+
+    ch = mor_changes(spark, path, from_version=1, to_version=4)
+    applied = _apply_changes(
+        mor_read(spark, path, version=1), ch, ["k"])
+    assert _rows(applied) == _rows(mor_read(spark, path, version=4))
+    ks = sorted(r["k"] for r in ch.collect())
+    assert 1 in ks and 2 in ks  # the folded epoch's update is fed
+
+    # pure-compaction range: the view did not change
+    assert mor_changes(spark, path, from_version=2,
+                       to_version=3).count() == 0
+
+    # rename backend refuses (no history)
+    rpath = str(tmp_path / "rstore")
+    mor_init(base, rpath, ["k"])
+    with pytest.raises(ValueError, match="manifest backend"):
+        mor_changes(spark, rpath, from_version=1)
+
+    # expired history refuses loudly
+    ManifestStore(path).expire_versions(keep_last=1)
+    with pytest.raises(ValueError, match="expired"):
+        mor_changes(spark, path, from_version=1, to_version=4)
+
+
+def test_mor_changes_schema_widening(spark, tmp_path):
+    """A widening append inside the range: pre-images NULL-fill the
+    new column (the to-version schema governs the feed shape) and the
+    apply law still holds."""
+    from cosmap_spark.sinks.mor import CHANGE_TYPE_COL, mor_changes
+
+    path = str(tmp_path / "mstore")
+    base = spark.range(0, 5).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v"),
+        F.lit("x").alias("name"),
+    )
+    mor_init(base, path, ["k"], backend="manifest")             # v1
+    wide = spark.createDataFrame([(1, 111, "u", 0.5)],
+                                 "k long, v long, name string, score double")
+    mor_append(spark, path, wide, allow_new_columns=True)       # v2
+
+    ch = mor_changes(spark, path, from_version=1, to_version=2)
+    assert "score" in ch.columns
+    got = {r[CHANGE_TYPE_COL]: (r["v"], r["score"]) for r in ch.collect()}
+    assert got["update_preimage"] == (10, None)
+    assert got["update_postimage"] == (111, 0.5)
+
+    applied = _apply_changes(
+        mor_read(spark, path, version=1).withColumn(
+            "score", F.lit(None).cast("double")),
+        ch, ["k"])
+    assert _rows(applied) == _rows(mor_read(spark, path, version=2))
