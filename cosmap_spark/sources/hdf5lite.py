@@ -27,9 +27,11 @@ filter — the layout most real-world writers (h5py's
 verdict #7) — plus VARIABLE-LENGTH STRING datasets (class-9 vlen
 string descriptors + v1 global-heap collections, contiguous
 descriptors — the layout h5py writes for ``str`` columns; round-9
-verdict #7: real catalogs carry string columns).  Other filters
-(shuffle, fletcher32, szip…), vlen SEQUENCES, non-scalar or chunked
-compound members, v2+
+verdict #7: real catalogs carry string columns) and VARIABLE-LENGTH
+SEQUENCES of the numeric subset (class-9 vlen type 0 — the
+``h5py.vlen_dtype(np.float64)`` ragged-array layout, e.g. per-row
+embeddings; round 10).  Other filters (shuffle, fletcher32, szip…),
+non-scalar or chunked compound members, v2+
 superblocks, and attributes raise ``ValueError`` naming the
 unsupported feature — fully general HDF5 still wants h5py
 (``readers._default_hdf5_reader``).
@@ -73,6 +75,20 @@ def _vlen_string_datatype_msg() -> bytes:
     properties carry the BASE type — a class-3 v1 string of size 1."""
     base = bytes([0x13, 0, 0, 0]) + struct.pack("<I", 1)
     head = bytes([(1 << 4) | 9, 0x01, 0x00, 0x00]) + struct.pack("<I", 16)
+    return _msg(0x0003, head + base)
+
+
+def _vlen_sequence_datatype_msg(base_dt: str) -> bytes:
+    """Class-9 (variable-length) v1 datatype for a SEQUENCE of a
+    numeric base type: bit field type=0 (sequence); element size 16
+    (the vlen descriptor: 4-byte element count + 8-byte global-heap
+    collection address + 4-byte object index); properties carry the
+    base type's full description (class-0/1 v1 header + properties) —
+    the layout h5py writes for ``h5py.vlen_dtype(np.float64)`` ragged
+    columns."""
+    cls, bits, props, size = _DT_WRITE[base_dt]
+    base = bytes([(1 << 4) | cls]) + bits + struct.pack("<I", size) + props
+    head = bytes([(1 << 4) | 9, 0x00, 0x00, 0x00]) + struct.pack("<I", 16)
     return _msg(0x0003, head + base)
 
 
@@ -334,15 +350,69 @@ def write_simple_hdf5(path: str, groups: dict[str, dict[str, np.ndarray]],
                 ds_children.append((cname, oh, 0, b""))
                 continue
             if a.dtype.kind in ("U", "O"):
-                # variable-length string dataset: one global-heap
-                # collection per column holds the bytes, the dataset's
-                # raw data is the 16-byte (length, collection address,
-                # object index) descriptors — the layout h5py writes
-                # for str columns.  Always CONTIGUOUS (chunked vlen
-                # descriptors are out of scope — and would buy nothing:
-                # the payload bytes live in the heap either way).
+                # variable-length dataset: one global-heap collection
+                # per column holds the payloads, the dataset's raw data
+                # is the 16-byte (element count, collection address,
+                # object index) descriptors.  STRING cells (str) take
+                # the class-9 vlen-string form h5py writes for str
+                # columns; SEQUENCE cells (list/ndarray of a supported
+                # numeric dtype — the ragged-embedding catalog shape)
+                # take the vlen-sequence form of
+                # ``h5py.vlen_dtype(np.float64)``.  Always CONTIGUOUS
+                # (chunked vlen descriptors are out of scope — and
+                # would buy nothing: the payload bytes live in the
+                # heap either way).  An all-empty object column is
+                # ambiguous and defaults to strings.
+                elems = a.tolist()
+                if elems and isinstance(elems[0], (list, np.ndarray)):
+                    cells = []
+                    for v in elems:
+                        if not isinstance(v, (list, np.ndarray)):
+                            raise ValueError(
+                                f"hdf5lite: {cname!r} mixes sequence "
+                                f"and non-sequence elements ({v!r}) — "
+                                "a vlen column is all-str or "
+                                "all-sequence"
+                            )
+                        cells.append(np.asarray(v))
+                    base = np.result_type(
+                        *([c.dtype for c in cells if c.size] or
+                          [np.float64])
+                    )
+                    if np.dtype(base).name not in _DT_WRITE:
+                        raise ValueError(
+                            f"hdf5lite: {cname!r} vlen sequence base "
+                            f"dtype {np.dtype(base).name} unsupported "
+                            f"(supported: {sorted(_DT_WRITE)})"
+                        )
+                    le_str = "<" + np.dtype(base).str[1:]
+                    cells = [
+                        np.ascontiguousarray(c.astype(le_str, copy=False))
+                        for c in cells
+                    ]
+                    payloads = [c.tobytes() for c in cells]
+                    non_empty = [b for b in payloads if b]
+                    gaddr, idxs = (
+                        _gcol(w, non_empty) if non_empty else (0, [])
+                    )
+                    it = iter(idxs)
+                    desc = b"".join(
+                        struct.pack("<IQI", 0, 0, 0) if not b
+                        # empty cell: the null descriptor h5py writes
+                        else struct.pack("<IQI", len(c), gaddr, next(it))
+                        for c, b in zip(cells, payloads)
+                    )
+                    data_addr = w.put(desc)
+                    msgs = [
+                        _dataspace_msg(len(a)),
+                        _vlen_sequence_datatype_msg(np.dtype(base).name),
+                        _layout_msg(data_addr, len(desc)),
+                    ]
+                    oh = w.put(_object_header(msgs))
+                    ds_children.append((cname, oh, 0, b""))
+                    continue
                 vals = []
-                for v in a.tolist():
+                for v in elems:
                     if not isinstance(v, str):
                         raise ValueError(
                             f"hdf5lite: {cname!r} has a non-string "
@@ -606,25 +676,44 @@ def _read_compound(r: _R, msgs: dict, dt: bytes, ver: int,
 
 def _read_vlen_strings(r: _R, msgs: dict, dt: bytes, ver: int,
                        size: int, n: int, name: str) -> np.ndarray:
-    """Decode a class-9 variable-length STRING dataset: 16-byte
-    (length, global-heap collection address, object index) descriptors
-    stored contiguous, payload bytes in GCOL collections — the layout
-    h5py writes for ``str`` columns.  Scope, loudly: vlen type must be
-    string (vlen SEQUENCE needs h5py), descriptors contiguous (chunked
-    vlen needs h5py), base type a 1-byte string."""
+    """Decode a class-9 variable-length dataset: 16-byte (element
+    count, global-heap collection address, object index) descriptors
+    stored contiguous, payload bytes in GCOL collections.  Two vlen
+    types, the layouts h5py writes: STRING (``str`` columns — utf-8
+    cells) and SEQUENCE of a supported numeric base type
+    (``h5py.vlen_dtype(...)`` — ragged-array cells, e.g. per-row
+    embeddings; round-10 extension).  Scope, loudly: descriptors
+    contiguous (chunked vlen needs h5py); string base a 1-byte string;
+    sequence base in the little-endian int/float 32/64 subset."""
     vtype = dt[1] & 0x0F
-    if ver != 1 or vtype != 1 or size != 16:
+    if ver != 1 or vtype not in (0, 1) or size != 16:
         raise ValueError(
             f"hdf5lite: {name!r} variable-length datatype (v{ver}, "
-            f"vlen type {vtype}, size {size}) outside the vlen-STRING "
-            "subset — vlen sequences need h5py"
+            f"vlen type {vtype}, size {size}) outside the vlen "
+            "string/sequence subset — use h5py"
         )
     base_cls = dt[8] & 0x0F
-    if base_cls != 3:
-        raise ValueError(
-            f"hdf5lite: {name!r} vlen base type class {base_cls} — "
-            "only string (3) supported; use h5py"
-        )
+    seq_dt = None
+    if vtype == 1:
+        if base_cls != 3:
+            raise ValueError(
+                f"hdf5lite: {name!r} vlen base type class {base_cls} "
+                "— only string (3) supported; use h5py"
+            )
+    else:
+        base_ver = dt[8] >> 4
+        base_be = dt[9] & 0x01
+        base_size = int.from_bytes(dt[12:16], "little")
+        if (base_ver != 1 or base_cls not in (0, 1) or base_be
+                or base_size not in (4, 8)):
+            raise ValueError(
+                f"hdf5lite: {name!r} vlen sequence base type (class "
+                f"{base_cls}, v{base_ver}, {base_size} bytes, "
+                f"{'BE' if base_be else 'LE'}) outside the supported "
+                "little-endian int/float 32/64 subset — use h5py"
+            )
+        seq_dt = {(0, 4): "<i4", (0, 8): "<i8",
+                  (1, 4): "<f4", (1, 8): "<f8"}[(base_cls, base_size)]
     lay = msgs[0x0008]
     if lay[0] != 3 or lay[1] != 1:
         raise ValueError(
@@ -664,6 +753,7 @@ def _read_vlen_strings(r: _R, msgs: dict, dt: bytes, ver: int,
         heaps[at] = objs
         return objs
 
+    esz = 1 if seq_dt is None else int(np.dtype(seq_dt).itemsize)
     out = np.empty(n, dtype=object)
     for i in range(n):
         d = addr + i * 16
@@ -671,7 +761,8 @@ def _read_vlen_strings(r: _R, msgs: dict, dt: bytes, ver: int,
         gaddr = r.u(d + 4, 8)
         idx = r.u(d + 12, 4)
         if length == 0 and gaddr == 0:
-            out[i] = ""  # h5py writes null descriptors for ""
+            # h5py writes null descriptors for "" / empty sequences
+            out[i] = "" if seq_dt is None else np.empty(0, dtype=seq_dt)
             continue
         objs = heap_objects(gaddr)
         if idx not in objs:
@@ -679,7 +770,17 @@ def _read_vlen_strings(r: _R, msgs: dict, dt: bytes, ver: int,
                 f"hdf5lite: {name!r} element {i} references missing "
                 f"global-heap object {idx} at {gaddr}"
             )
-        out[i] = objs[idx][:length].decode("utf-8")
+        raw = objs[idx][:length * esz]
+        if seq_dt is None:
+            out[i] = raw.decode("utf-8")
+        else:
+            if len(raw) != length * esz:
+                raise ValueError(
+                    f"hdf5lite: {name!r} element {i} vlen sequence "
+                    f"payload shorter than its descriptor ({len(raw)} "
+                    f"< {length * esz} bytes)"
+                )
+            out[i] = np.frombuffer(raw, dtype=seq_dt).copy()
     return out
 
 

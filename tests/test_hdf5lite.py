@@ -256,19 +256,21 @@ def test_vlen_string_refusals(tmp_path):
     with pytest.raises(ValueError, match="non-string"):
         write_simple_hdf5(str(tmp_path / "n.hdf5"), {"g": {
             "s": np.array(["a", None], dtype=object)}})
-    # a vlen SEQUENCE (vlen type 0) is refused naming the subset
+    # a vlen SEQUENCE whose base type is a STRING is outside the
+    # sequence subset (sequences carry the numeric base types) — built
+    # by flipping a written vlen-string's bit-field type nibble
+    # (string=1 -> sequence=0), which leaves the class-3 base behind
     p = str(tmp_path / "seq.hdf5")
     write_simple_hdf5(p, {"g": {"s": np.array(["ab"], dtype=object)}})
     with open(p, "rb") as f:
         raw = bytearray(f.read())
-    # flip the vlen datatype's bit-field type nibble (string=1 -> 0)
     sig = bytes([(1 << 4) | 9, 0x01])
     at = raw.index(sig)
     raw[at + 1] = 0x00
     bad = str(tmp_path / "seq2.hdf5")
     with open(bad, "wb") as f:
         f.write(raw)
-    with pytest.raises(ValueError, match="vlen sequences need h5py"):
+    with pytest.raises(ValueError, match="sequence base type"):
         read_hdf5_group(bad, "g")
 
 
@@ -367,3 +369,91 @@ def test_read_hdf5_directory_with_compound_column(spark, tmp_path):
     )
     rows = sorted((r["halo_id"], r["mass"]) for r in got.collect())
     assert rows == [(i, i * 1.5) for i in range(5)]
+
+
+VLEN_SEQ = os.path.join(os.path.dirname(__file__), "data",
+                        "sample_catalog_vlen.hdf5")
+
+
+def test_vlen_sequences_round_trip(tmp_path):
+    """Round-10: class-9 vlen SEQUENCE datasets (the
+    ``h5py.vlen_dtype(np.float64)`` ragged-array layout — per-row
+    embeddings in a catalog).  Writer→reader round trip for float64
+    and int32 base types, ragged lengths, an EMPTY cell (the null
+    descriptor), next to plain and string columns."""
+    p = str(tmp_path / "v.hdf5")
+    emb = np.empty(4, dtype=object)
+    emb[0] = np.array([0.5, -1.25, 3.0])
+    emb[1] = np.array([], dtype=np.float64)
+    emb[2] = np.array([2.0])
+    emb[3] = np.array([1.0, 2.0, 3.0, 4.0, 5.0])
+    hits = np.empty(4, dtype=object)
+    for i, v in enumerate(([1, 2], [3], [], [7, 8, 9])):
+        hits[i] = np.array(v, dtype=np.int32)
+    write_simple_hdf5(p, {"catalog": {
+        "halo_id": np.array([1, 2, 3, 4], dtype=np.int64),
+        "name": np.array(["a", "b", "c", "d"], dtype=object),
+        "emb": emb,
+        "hits": hits,
+    }})
+    df = read_hdf5_group(p, "catalog")
+    assert [list(x) for x in df["emb"]] == [
+        [0.5, -1.25, 3.0], [], [2.0], [1.0, 2.0, 3.0, 4.0, 5.0]]
+    assert df["emb"][0].dtype == np.float64
+    assert [list(x) for x in df["hits"]] == [[1, 2], [3], [], [7, 8, 9]]
+    assert df["hits"][0].dtype == np.int32
+    assert df["name"].tolist() == ["a", "b", "c", "d"]
+
+
+def test_vlen_sequence_refusals(tmp_path):
+    """Mixed str/sequence cells and unsupported base dtypes refuse
+    loudly at write time."""
+    mixed = np.empty(2, dtype=object)
+    mixed[0] = np.array([1.0])
+    mixed[1] = "not a sequence"
+    with pytest.raises(ValueError, match="mixes sequence"):
+        write_simple_hdf5(str(tmp_path / "m.hdf5"),
+                          {"g": {"c": mixed}})
+    bad = np.empty(1, dtype=object)
+    bad[0] = np.array([1 + 2j])
+    with pytest.raises(ValueError, match="base dtype"):
+        write_simple_hdf5(str(tmp_path / "b.hdf5"), {"g": {"c": bad}})
+
+
+def test_reader_decodes_frozen_vlen_sequence_sample():
+    """The committed binary sample pins the vlen-sequence reader
+    contract against STORED bytes (ragged float64 embeddings with an
+    empty cell beside id/string columns)."""
+    df = read_hdf5_group(VLEN_SEQ, "catalog")
+    assert list(df.columns) == ["emb", "halo_id", "tag"]
+    assert df["halo_id"].tolist() == [11, 22, 33]
+    assert df["tag"].tolist() == ["p", "q", "r"]
+    assert [list(x) for x in df["emb"]] == [
+        [1.5, 2.5], [], [-0.25, 0.75, 9.0]]
+
+
+def test_read_hdf5_directory_with_vlen_sequence_column(spark, tmp_path):
+    """O2 ingest end-to-end with a ragged array column declared as
+    array<double> — the embeddings-in-catalog shape; the object-array
+    cells flow through the Arrow mapInPandas boundary as list values."""
+    from cosmap_spark.sources.readers import read_hdf5_directory
+
+    for i, (ids, embs) in enumerate((
+        ([1, 2], [[0.5, 1.5], []]), ([3], [[9.0]]),
+    )):
+        col = np.empty(len(embs), dtype=object)
+        for j, e in enumerate(embs):
+            col[j] = np.array(e, dtype=np.float64)
+        write_simple_hdf5(
+            str(tmp_path / f"part{i}.hdf5"),
+            {"catalog": {
+                "halo_id": np.array(ids, dtype=np.int64),
+                "emb": col,
+            }},
+        )
+    df = read_hdf5_directory(
+        spark, str(tmp_path), "halo_id long, emb array<double>",
+        dataset_key="catalog",
+    )
+    got = sorted((r["halo_id"], list(r["emb"])) for r in df.collect())
+    assert got == [(1, [0.5, 1.5]), (2, []), (3, [9.0])]
