@@ -768,6 +768,18 @@ def lex_append(
     from cosmap_spark.operators.retrieval import build_lex_index
     from cosmap_spark.sinks import writers
 
+    # a NULL doc id is unaddressable: its postings survive every
+    # doc-keyed anti-join / upsert (equi-joins never match NULL), so
+    # each append would silently ACCUMULATE another copy that no
+    # re-submit or retraction can ever replace — refuse at the write
+    # boundary, the mor-store null-key rule (one eager batch-sized job)
+    if new_docs.where(F.col(id_col).isNull()).limit(1).count():
+        raise ValueError(
+            f"lex_append: NULL values in id column {id_col!r} — "
+            "doc-keyed index maintenance is null-unsafe by contract; "
+            "drop or fill NULL-id rows upstream (a RETRACTION is a "
+            "NULL-text row with a real id)"
+        )
     if fs is not None or os.path.isdir(os.path.join(path, "_manifests")):
         # manifest backend: SEGMENT-STACK maintenance (the Lucene/ES
         # model on the commit protocol) — tokenize ONLY the batch,

@@ -825,3 +825,29 @@ def test_lex_segment_stack_appends_equal_rebuild(spark, tmp_path):
     removed = ms.vacuum(min_age_seconds=0)
     assert len(removed) >= 6  # base pair + two segments' dirs
     assert lex_rows(load_lex_index(spark, path)) == want_rows
+
+
+def test_lex_append_refuses_null_doc_ids(spark, tmp_path):
+    """A NULL doc id is unaddressable (doc-keyed equi-joins never
+    match NULL): without the guard each append would silently
+    accumulate another copy of the NULL-id postings that no re-submit
+    or retraction could ever replace.  Refused on BOTH backends; a
+    NULL-TEXT row with a real id (the retraction form) stays legal."""
+    import pytest
+
+    from cosmap_spark.operators.index_store import lex_append, save_lex_index
+    from cosmap_spark.operators.retrieval import build_lex_index
+
+    base = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha gamma")], "doc_id long, text string"
+    )
+    bad = spark.createDataFrame([(None, "ghost doc")],
+                                "doc_id long, text string")
+    for backend, name in (("rename", "lex_r"), ("manifest", "lex_m")):
+        p = str(tmp_path / name)
+        save_lex_index(p, *build_lex_index(base), backend=backend)
+        with pytest.raises(ValueError, match="NULL values in id column"):
+            lex_append(spark, p, bad)
+        # a retraction (real id, NULL text) still goes through
+        lex_append(spark, p, spark.createDataFrame(
+            [(1, None)], "doc_id long, text string"))
