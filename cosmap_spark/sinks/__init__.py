@@ -12,6 +12,7 @@ from cosmap_spark.sinks.mor import (  # noqa: F401
     mor_delete_keys,
     mor_init,
     mor_read,
+    mor_sync,
     mor_vacuum,
 )
 from cosmap_spark.sinks.writers import (  # noqa: F401

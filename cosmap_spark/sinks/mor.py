@@ -779,6 +779,122 @@ def mor_changes(spark, path: str, *, from_version: int,
     )
 
 
+def mor_sync(
+    spark,
+    src_path: str,
+    dst_path: str,
+    *,
+    dst_backend: str = "rename",
+    src_fs=None,
+    dst_fs=None,
+) -> dict:
+    """Incrementally propagate a source MOR store into a downstream
+    MOR store — the materialized-view-maintenance primitive a CDC feed
+    exists for (Delta's ``table_changes``-driven downstream sync):
+    each call reads the NET changes since the last synced source
+    version (:func:`mor_changes`), applies them as ONE upsert/tombstone
+    epoch on the destination, and advances a version cursor.  Cost is
+    O(changes), never a source re-copy.
+
+    The cursor is itself a tiny :class:`~cosmap_spark.sinks.commit.
+    ManifestStore` at ``<dst_path>.sync`` (CAS-published versions), so
+    every crash window replays safely:
+
+    * die after the destination append, before the cursor publish →
+      the replay re-applies the SAME net batch as another epoch, which
+      is a view-level no-op (upsert/tombstone idempotence — the
+      mor_reconcile suffix law), then advances the cursor: exactly-once
+      EFFECT, at-least-once epochs;
+    * bootstrap publishes the cursor FIRST, then initializes the
+      destination from the source view PINNED at the cursor's version
+      — a crash between the two leaves a cursor without a store, which
+      the replay completes deterministically (the reverse order would
+      leave a store whose source version is unknowable);
+    * two concurrent syncs serialize on the cursor CAS (the loser
+      must re-read; its duplicate epoch, if any, is again a no-op).
+
+    The source must be a manifest-backend store (the feed needs
+    history); the destination may use either backend
+    (``dst_backend`` applies only at bootstrap).  Source schema
+    widening flows through (``allow_new_columns``).  Returns
+    ``{"from_version", "to_version", "applied"}`` — ``applied`` is
+    False for an up-to-date or pure-compaction range."""
+    from cosmap_spark.sinks.commit import ManifestStore
+
+    if _store_kind(src_path, src_fs) != "manifest":
+        raise ValueError(
+            "mor_sync: the source must be a manifest-backend store "
+            "(the change feed needs version history)"
+        )
+    src = _manifest_store(src_path, src_fs)
+    src_version, src_man = src.latest()
+    cursor = ManifestStore(dst_path.rstrip("/") + ".sync", dst_fs)
+
+    if not cursor.exists():
+        # bootstrap leg 1: pin the source version FIRST (see docstring)
+        cursor.publish({"src_version": src_version}, expected_version=0)
+        cur_v, cur = 1, {"src_version": src_version}
+    else:
+        cur_v, cur = cursor.latest()
+    synced = int(cur["src_version"])
+
+    dst_exists = True
+    try:
+        _store_kind(dst_path, dst_fs)
+    except ValueError:
+        dst_exists = False
+    if not dst_exists:
+        # bootstrap leg 2: initialize from the PINNED version (the
+        # source may have advanced since leg 1 — the next sync call
+        # catches up incrementally)
+        mor_init(
+            mor_read(spark, src_path, version=synced, fs=src_fs),
+            dst_path, src_man["keys"], backend=dst_backend, fs=dst_fs,
+        )
+        return {"from_version": None, "to_version": synced,
+                "applied": True}
+
+    dst_keys = _meta_for(dst_path, dst_fs)["keys"]
+    if list(dst_keys) != list(src_man["keys"]):
+        raise ValueError(
+            f"mor_sync: key mismatch — source {src_man['keys']} vs "
+            f"destination {dst_keys}"
+        )
+    if src_version == synced:
+        return {"from_version": synced, "to_version": synced,
+                "applied": False}
+
+    feed = mor_changes(spark, src_path, from_version=synced,
+                       to_version=src_version, fs=src_fs)
+    keys = list(src_man["keys"])
+    payload = [c for c in feed.columns
+               if c not in keys and c != CHANGE_TYPE_COL]
+    batch = (
+        feed.where(F.col(CHANGE_TYPE_COL).isin(
+            "insert", "update_postimage"))
+        .select(*keys, *payload, F.lit(False).alias(DELETE_COL))
+        .unionByName(
+            feed.where(F.col(CHANGE_TYPE_COL) == "delete")
+            .select(
+                *keys,
+                *[F.lit(None).cast(dict(feed.dtypes)[c]).alias(c)
+                  for c in payload],
+                F.lit(True).alias(DELETE_COL),
+            )
+        )
+    )
+    applied = False
+    if batch.limit(1).count():
+        # the net feed is key-unique by construction (one verdict per
+        # key, and a key is never both post-image and delete)
+        mor_append(spark, dst_path, batch, assume_unique=True,
+                   allow_new_columns=True, fs=dst_fs)
+        applied = True
+    cursor.publish({"src_version": src_version}, expected_version=cur_v)
+    return {"from_version": synced, "to_version": src_version,
+            "applied": applied}
+
+
 def mor_vacuum(path: str, *, min_age_seconds: float = 3600.0,
                dry_run: bool = False, fs=None) -> list[str]:
     """Remove crash debris — temp directories a died writer leaked

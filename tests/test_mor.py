@@ -1471,3 +1471,136 @@ def test_mor_changes_schema_widening(spark, tmp_path):
             "score", F.lit(None).cast("double")),
         ch, ["k"])
     assert _rows(applied) == _rows(mor_read(spark, path, version=2))
+
+
+@pytest.mark.parametrize("dst_backend", ["rename", "manifest"])
+def test_mor_sync_bootstrap_and_incremental(spark, tmp_path, dst_backend):
+    """mor_sync: bootstrap copies the pinned source view, each later
+    call applies exactly the net changes (one destination epoch), a
+    pure-compaction source range advances the cursor with no epoch,
+    and source schema widening flows through."""
+    from cosmap_spark.sinks.mor import mor_sync
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    base = spark.range(0, 20).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v"),
+        F.lit("x").alias("name"),
+    )
+    mor_init(base, src, ["k"], backend="manifest")
+
+    r = mor_sync(spark, src, dst, dst_backend=dst_backend)
+    assert r["applied"] and r["to_version"] == 1
+    assert _rows(mor_read(spark, dst)) == _rows(mor_read(spark, src))
+
+    # up to date: no-op
+    r = mor_sync(spark, src, dst)
+    assert not r["applied"] and r["from_version"] == r["to_version"] == 1
+
+    # incremental: upserts + delete -> ONE destination epoch
+    mor_append(spark, src, _batch(
+        spark, [(1, 111, "u", False), (100, 1000, "new", False)]))
+    mor_delete_keys(spark, src, spark.createDataFrame([(2,)], "k long"))
+    before = _n_epochs(dst)
+    r = mor_sync(spark, src, dst)
+    assert r["applied"] and (r["from_version"], r["to_version"]) == (1, 3)
+    assert _n_epochs(dst) == before + 1
+    assert _rows(mor_read(spark, dst)) == _rows(mor_read(spark, src))
+
+    # pure compaction on the source: cursor advances, no epoch
+    assert mor_compact(spark, src) == 2
+    before = _n_epochs(dst)
+    r = mor_sync(spark, src, dst)
+    assert not r["applied"] and r["to_version"] == 4
+    assert _n_epochs(dst) == before
+
+    # source widening flows through allow_new_columns
+    wide = spark.createDataFrame(
+        [(3, 333, "w", 7)], "k long, v long, name string, score long"
+    )
+    mor_append(spark, src, wide, allow_new_columns=True)
+    r = mor_sync(spark, src, dst)
+    assert r["applied"]
+    assert _rows(mor_read(spark, dst)) == _rows(mor_read(spark, src))
+    assert "score" in mor_read(spark, dst).columns
+
+
+def test_mor_sync_replay_windows(spark, tmp_path):
+    """The two crash windows replay to the same final state:
+
+    * die AFTER the destination append, BEFORE the cursor publish —
+      the replay re-applies the net batch (extra epoch, view no-op)
+      and advances the cursor;
+    * bootstrap die AFTER the cursor publish, BEFORE the destination
+      init — the replay initializes from the PINNED version even
+      though the source advanced meanwhile, and the next sync catches
+      up."""
+    from cosmap_spark.sinks.commit import ManifestStore
+    from cosmap_spark.sinks.mor import mor_sync
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    base = spark.range(0, 10).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v"),
+        F.lit("x").alias("name"),
+    )
+    mor_init(base, src, ["k"], backend="manifest")
+    mor_sync(spark, src, dst)
+    mor_append(spark, src, _batch(spark, [(1, 111, "u", False)]))
+
+    # window 1: cursor publish dies after the append
+    real = ManifestStore.publish
+    def dying(self, manifest, *, expected_version):
+        if "src_version" in manifest:
+            raise RuntimeError("injected: died before cursor publish")
+        return real(self, manifest, expected_version=expected_version)
+    ManifestStore.publish = dying
+    try:
+        with pytest.raises(RuntimeError, match="injected"):
+            mor_sync(spark, src, dst)
+    finally:
+        ManifestStore.publish = real
+    # the append LANDED but the cursor did not move
+    assert _n_epochs(dst) == 1
+    assert ManifestStore(dst + ".sync").latest()[1]["src_version"] == 1
+    # replay: same batch re-applied (second epoch), view converges
+    r = mor_sync(spark, src, dst)
+    assert r["applied"] and _n_epochs(dst) == 2
+    assert _rows(mor_read(spark, dst)) == _rows(mor_read(spark, src))
+    assert ManifestStore(dst + ".sync").latest()[1]["src_version"] == 2
+
+    # window 2: bootstrap cursor exists, store missing
+    dst2 = str(tmp_path / "dst2")
+    ManifestStore(dst2 + ".sync").publish(
+        {"src_version": 1}, expected_version=0)
+    mor_append(spark, src, _batch(spark, [(5, 555, "w", False)]))  # v3
+    r = mor_sync(spark, src, dst2)
+    # initialized from the PINNED v1, not the advanced source head
+    assert r["to_version"] == 1
+    assert _rows(mor_read(spark, dst2)) == \
+        _rows(mor_read(spark, src, version=1))
+    r = mor_sync(spark, src, dst2)  # catch-up
+    assert r["applied"] and r["to_version"] == 3
+    assert _rows(mor_read(spark, dst2)) == _rows(mor_read(spark, src))
+
+
+def test_mor_sync_guards(spark, tmp_path):
+    """Rename-backend sources and key-mismatched destinations refuse
+    loudly."""
+    from cosmap_spark.sinks.mor import mor_sync
+
+    base = spark.range(0, 5).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v"),
+        F.lit("x").alias("name"),
+    )
+    rsrc = str(tmp_path / "rsrc")
+    mor_init(base, rsrc, ["k"])
+    with pytest.raises(ValueError, match="manifest-backend"):
+        mor_sync(spark, rsrc, str(tmp_path / "d"))
+
+    msrc = str(tmp_path / "msrc")
+    mor_init(base, msrc, ["k"], backend="manifest")
+    other = str(tmp_path / "other")
+    mor_init(base.withColumnRenamed("k", "kk"), other, ["kk"])
+    with pytest.raises(ValueError, match="key mismatch"):
+        mor_sync(spark, msrc, other)
