@@ -234,6 +234,31 @@ def main() -> None:
         print(f"manifest store: {len(ms.versions())} versions published, "
               "no data rename anywhere")
 
+        # 8. change feed + incremental downstream sync -------------------
+        # (round 10: mor_changes is the Delta-CDF analog — net
+        # insert/update/delete rows between two versions, assembled
+        # from the retained epoch dirs even across the compaction
+        # above; mor_sync drives a downstream replica from it at
+        # O(changes) per call with a crash-safe CAS cursor)
+        from cosmap_spark.sinks.mor import mor_changes, mor_sync
+
+        feed = mor_changes(spark, vstore, from_version=1)
+        by_type = {
+            r["_change_type"]: r["cnt"]
+            for r in feed.groupBy("_change_type")
+            .agg(F.count("*").alias("cnt")).collect()
+        }
+        assert by_type.get("delete", 0) == 1  # the forgotten key
+        print(f"change feed v1->head: {by_type}")
+
+        replica = os.path.join(root, "mor_replica")
+        r1 = mor_sync(spark, vstore, replica)       # bootstrap
+        r2 = mor_sync(spark, vstore, replica)       # up to date
+        assert r1["applied"] and not r2["applied"]
+        assert mor_read(spark, replica).count() == \
+            mor_read(spark, vstore).count()
+        print("downstream replica synced: bootstrap + no-op catch-up")
+
         print("store health (the maintenance page an operator acts on):")
         for r in store_health(
             spark, {"mor_table": mstore, "mor_versioned": vstore}
