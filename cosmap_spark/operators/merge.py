@@ -214,6 +214,17 @@ def change_feed(
     post-aggregation rule); pass ``False`` to stay fully lazy when the
     snapshot lineage is cheap to re-run (e.g. the correctness gate's
     in-memory fixtures)."""
+    # the snapshot must not carry the operator's control/output names:
+    # a delete_col collision makes the pre-image filter ambiguous, a
+    # change_type_col collision yields a duplicate output column (e.g.
+    # a feed's own output fed back in)
+    clash = [c for c in (delete_col, epoch_col, change_type_col)
+             if c in view_from.columns]
+    if clash:
+        raise ValueError(
+            f"change_feed: snapshot columns {clash} collide with the "
+            "operator's control/output columns — rename them upstream"
+        )
     winners = latest_per_key(deltas, keys, seq_col=epoch_col).drop(
         epoch_col
     )

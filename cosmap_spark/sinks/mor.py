@@ -716,6 +716,11 @@ def mor_changes(spark, path: str, *, from_version: int,
         )
     ms = _manifest_store(path, fs)
     published = ms.versions()
+    if from_version < 1:
+        raise ValueError(
+            f"mor_changes: from_version must be ≥ 1 (manifest versions "
+            f"start at 1); got {from_version}"
+        )
     if to_version is None:
         to_version = published[-1]
     if from_version > to_version:

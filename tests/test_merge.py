@@ -616,3 +616,21 @@ def test_change_feed_apply_law_and_classification(spark):
     want = mor_reconcile(snap, deltas, ["k"])
     assert sorted((r["k"], r["v"]) for r in applied.collect()) == \
         sorted((r["k"], r["v"]) for r in want.collect())
+
+
+def test_change_feed_refuses_colliding_snapshot_columns(spark):
+    """A snapshot carrying the operator's control/output names would
+    make the pre-image filter ambiguous (delete col) or duplicate an
+    output column (change type) — refused loudly."""
+    import pytest
+
+    from cosmap_spark.operators.merge import change_feed
+
+    deltas = spark.createDataFrame(
+        [(1, 1, 1, False)], "k long, v long, epoch long, __deleted boolean"
+    )
+    for bad in ("__deleted", "_change_type", "epoch"):
+        snap = spark.range(1).select(
+            F.col("id").alias("k"), F.lit(0).alias(bad))
+        with pytest.raises(ValueError, match="collide"):
+            change_feed(snap, deltas, ["k"], materialize=False)
