@@ -11,6 +11,7 @@ from cosmap_spark.sinks.mor import (  # noqa: F401
     mor_compact,
     mor_delete_keys,
     mor_init,
+    mor_maintain,
     mor_read,
     mor_sync,
     mor_vacuum,

@@ -969,6 +969,51 @@ def mor_vacuum(path: str, *, min_age_seconds: float = 3600.0,
     return removed
 
 
+def mor_maintain(
+    spark,
+    path: str,
+    *,
+    compact_after: int = 10,
+    vacuum_age_seconds: float = 3600.0,
+    expire_keep_last: int | None = None,
+    zorder_cols: list[str] | None = None,
+    num_files: int | None = None,
+    fs=None,
+) -> dict:
+    """One maintenance call applying the store-health page's advice
+    (``streaming.ops.store_health`` flags → actions): compact when the
+    delta stack is ≥ ``compact_after`` epochs deep, expire manifest
+    history to ``expire_keep_last`` versions (manifest backend only;
+    ``None`` keeps everything — expiry cuts off ``mor_read(version=)``
+    time travel and ``mor_changes`` feeds older than the horizon, so
+    it is opt-in), then vacuum debris/orphans older than
+    ``vacuum_age_seconds``.  Ordering matters: expiry BEFORE vacuum so
+    dirs released by dropped versions are reclaimed in the same call.
+    Each step is individually crash-safe (their own contracts), so
+    this helper adds no new crash window.  Returns
+    ``{"compacted_epochs", "expired_versions", "vacuumed"}``."""
+    out = {"compacted_epochs": 0, "expired_versions": [],
+           "vacuumed": []}
+    kind = _store_kind(path, fs)
+    if kind == "manifest":
+        _, man = _manifest_store(path, fs).latest()
+        depth = len(man["epochs"])
+    else:
+        depth = len(_epochs(path))
+    if depth >= compact_after:
+        out["compacted_epochs"] = mor_compact(
+            spark, path, zorder_cols=zorder_cols, num_files=num_files,
+            fs=fs,
+        )
+    if expire_keep_last is not None and kind == "manifest":
+        out["expired_versions"] = _manifest_store(path, fs) \
+            .expire_versions(keep_last=expire_keep_last)
+    out["vacuumed"] = mor_vacuum(
+        path, min_age_seconds=vacuum_age_seconds, fs=fs
+    )
+    return out
+
+
 def mor_compact(spark, path: str, *,
                 zorder_cols: list[str] | None = None,
                 bits: int = 8,

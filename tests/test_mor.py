@@ -1604,3 +1604,34 @@ def test_mor_sync_guards(spark, tmp_path):
     mor_init(base.withColumnRenamed("k", "kk"), other, ["kk"])
     with pytest.raises(ValueError, match="key mismatch"):
         mor_sync(spark, msrc, other)
+
+
+def test_mor_maintain_policy(spark, store):
+    """mor_maintain applies the health page's advice in one call:
+    below the threshold nothing compacts; at it the stack folds,
+    history expires (manifest, opt-in), and debris vacuums — each step
+    riding its own crash-safe contract."""
+    from cosmap_spark.sinks.mor import mor_maintain
+
+    for i in range(3):
+        mor_append(spark, store,
+                   _batch(spark, [(i, 1000 + i, "m", False)]))
+    r = mor_maintain(spark, store, compact_after=10,
+                     vacuum_age_seconds=0)
+    assert r["compacted_epochs"] == 0 and _n_epochs(store) == 3
+
+    kwargs = {"compact_after": 3, "vacuum_age_seconds": 0}
+    if _kind(store) == "manifest":
+        kwargs["expire_keep_last"] = 1
+    r = mor_maintain(spark, store, **kwargs)
+    assert r["compacted_epochs"] == 3 and _n_epochs(store) == 0
+    m = {row["k"]: row["v"] for row in mor_read(spark, store).collect()}
+    assert m[0] == 1000 and m[1] == 1001 and m[2] == 1002
+    if _kind(store) == "manifest":
+        from cosmap_spark.sinks.commit import ManifestStore
+
+        assert r["expired_versions"]  # history trimmed to the fold
+        assert len(ManifestStore(store).versions()) == 1
+        # expiry before vacuum: released dirs reclaimed in WITHIN the
+        # same call — only the live base remains under data/
+        assert len(os.listdir(os.path.join(store, "data"))) == 1
