@@ -250,6 +250,20 @@ class ManifestStore:
             if not dry_run:
                 self.fs.remove_tree(full)
             removed.append(full)
+        # publish staging debris: a publish that died INSIDE the write
+        # (before the link/PUT) leaks its dot-prefixed staging file in
+        # _manifests — invisible to version listings, but it would
+        # accumulate forever (round-10 self-review); same age guard
+        mdir = self._mdir()
+        for name in self.fs.listdir(mdir):
+            if not name.startswith("."):
+                continue
+            full = os.path.join(mdir, name)
+            if now - self.fs.mtime(full) < min_age_seconds:
+                continue
+            if not dry_run:
+                self.fs.remove_tree(full)
+            removed.append(full)
         return removed
 
     def expire_versions(self, *, keep_last: int = 10) -> list[int]:

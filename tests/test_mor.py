@@ -1635,3 +1635,36 @@ def test_mor_maintain_policy(spark, store):
         # expiry before vacuum: released dirs reclaimed in WITHIN the
         # same call — only the live base remains under data/
         assert len(os.listdir(os.path.join(store, "data"))) == 1
+
+
+def test_manifest_vacuum_sweeps_publish_staging_debris(spark, tmp_path):
+    """A publish that died INSIDE the staging write leaks a
+    dot-prefixed file in _manifests — invisible to version listings
+    but previously never reclaimed.  The reachability vacuum now
+    sweeps it (age-guarded); fresh staging files and published
+    versions are untouched."""
+    import time
+
+    from cosmap_spark.sinks.commit import ManifestStore
+
+    path = str(tmp_path / "mstore")
+    base = spark.range(0, 5).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v"),
+        F.lit("x").alias("name"),
+    )
+    mor_init(base, path, ["k"], backend="manifest")
+    ms = ManifestStore(path)
+    mdir = os.path.join(path, "_manifests")
+    stale = os.path.join(mdir, ".v000000002.json.deadbeef")
+    fresh = os.path.join(mdir, ".v000000002.json.cafe")
+    for p in (stale, fresh):
+        with open(p, "w") as f:
+            f.write("{}")
+    old = time.time() - 7200
+    os.utime(stale, (old, old))
+    removed = ms.vacuum(min_age_seconds=3600)
+    assert stale in removed and fresh not in removed
+    assert not os.path.exists(stale) and os.path.exists(fresh)
+    assert ms.versions() == [1]  # published history untouched
+    # the store still reads
+    assert mor_read(spark, path).count() == 5
