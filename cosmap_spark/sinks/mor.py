@@ -835,19 +835,29 @@ def mor_sync(
     src_version, src_man = src.latest()
     cursor = ManifestStore(dst_path.rstrip("/") + ".sync", dst_fs)
 
+    dst_exists = True
+    try:
+        _store_kind(dst_path, dst_fs)
+    except ValueError:
+        dst_exists = False
+
     if not cursor.exists():
+        if dst_exists:
+            # an existing destination with NO cursor has unknowable
+            # provenance — declaring it in-sync with the source head
+            # would be silently wrong for any content mismatch
+            raise ValueError(
+                f"mor_sync: {dst_path!r} exists but has no sync cursor "
+                f"({dst_path}.sync) — refusing to adopt a store of "
+                "unknown provenance; point dst_path somewhere fresh "
+                "(or remove the store to re-bootstrap)"
+            )
         # bootstrap leg 1: pin the source version FIRST (see docstring)
         cursor.publish({"src_version": src_version}, expected_version=0)
         cur_v, cur = 1, {"src_version": src_version}
     else:
         cur_v, cur = cursor.latest()
     synced = int(cur["src_version"])
-
-    dst_exists = True
-    try:
-        _store_kind(dst_path, dst_fs)
-    except ValueError:
-        dst_exists = False
     if not dst_exists:
         # bootstrap leg 2: initialize from the PINNED version (the
         # source may have advanced since leg 1 — the next sync call
@@ -869,8 +879,20 @@ def mor_sync(
         return {"from_version": synced, "to_version": synced,
                 "applied": False}
 
-    feed = mor_changes(spark, src_path, from_version=synced,
-                       to_version=src_version, fs=src_fs)
+    try:
+        feed = mor_changes(spark, src_path, from_version=synced,
+                           to_version=src_version, fs=src_fs)
+    except ValueError as e:
+        if "expired" in str(e):
+            raise ValueError(
+                f"mor_sync: the source history needed to catch up has "
+                f"been expired (cursor at v{synced}, earliest retained "
+                f"v{min(src.versions())}) — re-bootstrap the replica: "
+                f"remove {dst_path!r} and {dst_path}.sync, then sync "
+                "again (a full copy; keep expire_keep_last above the "
+                "sync cadence to avoid this)"
+            ) from e
+        raise
     keys = list(src_man["keys"])
     payload = [c for c in feed.columns
                if c not in keys and c != CHANGE_TYPE_COL]

@@ -1602,6 +1602,13 @@ def test_mor_sync_guards(spark, tmp_path):
     mor_init(base, msrc, ["k"], backend="manifest")
     other = str(tmp_path / "other")
     mor_init(base.withColumnRenamed("k", "kk"), other, ["kk"])
+    # give the mismatched store a cursor so the provenance guard
+    # (tested separately) does not fire first — the key check must
+    # still refuse
+    from cosmap_spark.sinks.commit import ManifestStore
+
+    ManifestStore(other + ".sync").publish(
+        {"src_version": 1}, expected_version=0)
     with pytest.raises(ValueError, match="key mismatch"):
         mor_sync(spark, msrc, other)
 
@@ -1668,3 +1675,35 @@ def test_manifest_vacuum_sweeps_publish_staging_debris(spark, tmp_path):
     assert ms.versions() == [1]  # published history untouched
     # the store still reads
     assert mor_read(spark, path).count() == 5
+
+
+def test_mor_sync_provenance_and_expiry_guards(spark, tmp_path):
+    """Two silent-wrongness windows closed (round-10 self-review):
+    an existing destination with NO cursor is refused (adopting it
+    would declare arbitrary content in-sync with the source head),
+    and a cursor lagging past the source's expired history gets the
+    re-bootstrap guidance, not a generic expiry error."""
+    from cosmap_spark.sinks.commit import ManifestStore
+    from cosmap_spark.sinks.mor import mor_sync
+
+    base = spark.range(0, 5).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v"),
+        F.lit("x").alias("name"),
+    )
+    src = str(tmp_path / "src")
+    mor_init(base, src, ["k"], backend="manifest")
+
+    # destination exists, cursor does not -> refuse to adopt
+    orphan = str(tmp_path / "orphan")
+    mor_init(base.where(F.col("k") < 2), orphan, ["k"])
+    with pytest.raises(ValueError, match="unknown provenance"):
+        mor_sync(spark, src, orphan)
+
+    # cursor lags past the expired horizon -> re-bootstrap guidance
+    dst = str(tmp_path / "dst")
+    mor_sync(spark, src, dst)
+    mor_append(spark, src, _batch(spark, [(1, 111, "u", False)]))
+    mor_append(spark, src, _batch(spark, [(2, 222, "w", False)]))
+    ManifestStore(src).expire_versions(keep_last=1)
+    with pytest.raises(ValueError, match="re-bootstrap"):
+        mor_sync(spark, src, dst)
