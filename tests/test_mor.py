@@ -1118,7 +1118,12 @@ def test_mor_model_differential_random_ops(spark, store, seed):
     plain python dict model — after EVERY operation the store view
     equals the model exactly (keys, values, widened columns, NULLs).
     Runs on both backends via the parametrized fixture; the manifest
-    param also exercises history expiry mid-sequence."""
+    param also exercises history expiry mid-sequence, PLUS (round-10
+    continuation) a downstream replica kept current by mor_sync under
+    the same random schedule — including the documented re-bootstrap
+    recovery when expiry cuts the cursor's history — and the
+    change-feed apply law over the retained version range at the
+    end."""
     import random
 
     rng = random.Random(seed)
@@ -1141,6 +1146,34 @@ def test_mor_model_differential_random_ops(spark, store, seed):
             for k, row in model.items()
         }
         assert got == want, f"seed {seed}: view diverged from model"
+
+    replica = store + "_replica"
+
+    def model_rows():
+        cols = ["v", "name"] + (["score"] if widened else [])
+        return {
+            k: {c: row[c] for c in cols} for k, row in model.items()
+        }
+
+    def sync_and_check():
+        import shutil as _sh
+
+        from cosmap_spark.sinks.mor import mor_sync
+
+        try:
+            mor_sync(spark, store, replica)
+        except ValueError as e:
+            # expiry cut the cursor's history: the documented recovery
+            assert "re-bootstrap" in str(e), f"seed {seed}: {e}"
+            _sh.rmtree(replica, ignore_errors=True)
+            _sh.rmtree(replica + ".sync", ignore_errors=True)
+            mor_sync(spark, store, replica)
+        cols = ["k", "v", "name"] + (["score"] if widened else [])
+        got = {
+            r["k"]: {c: r[c] for c in cols if c != "k"}
+            for r in mor_read(spark, replica).collect()
+        }
+        assert got == model_rows(), f"seed {seed}: replica diverged"
 
     next_name = [1000]
     for step in range(12):
@@ -1190,6 +1223,31 @@ def test_mor_model_differential_random_ops(spark, store, seed):
                 ManifestStore(store).expire_versions(keep_last=1)
             mor_vacuum(store, min_age_seconds=0)
         check()
+        if _kind(store) == "manifest" and (
+            rng.random() < 0.4 or step == 11
+        ):
+            sync_and_check()
+
+    # change-feed apply law over the retained version range (expiry
+    # keeps a contiguous suffix, so the walk never gaps): applying
+    # the feed to the oldest retained view reproduces the head
+    if _kind(store) == "manifest":
+        from cosmap_spark.sinks.commit import ManifestStore
+        from cosmap_spark.sinks.mor import CHANGE_TYPE_COL, mor_changes
+
+        vs = ManifestStore(store).versions()
+        lo, hi = vs[0], vs[-1]
+        if hi > lo:
+            feed = mor_changes(spark, store, from_version=lo,
+                               to_version=hi)
+            v_lo = mor_read(spark, store, version=lo)
+            for c, t in feed.dtypes:  # lo may predate a widening
+                if c != CHANGE_TYPE_COL and c not in v_lo.columns:
+                    v_lo = v_lo.withColumn(c, F.lit(None).cast(t))
+            applied = _apply_changes(v_lo, feed, ["k"])
+            assert _rows(applied) == _rows(
+                mor_read(spark, store, version=hi)
+            ), f"seed {seed}: change-feed apply law diverged"
 
 
 def test_mor_manifest_epoch_watermark_never_recycles(spark, tmp_path):
