@@ -1212,3 +1212,30 @@ def test_opq_train_empty_raises_cleanly(spark):
     assert rotate_vectors(
         df, [[1.0 if i == j else 0.0 for j in range(64)] for i in range(64)]
     ).count() == 0
+
+
+def test_change_feed_empty_sides(spark):
+    """merge.change_feed: an EMPTY delta stack yields an empty feed
+    with the full output schema; an empty snapshot classifies every
+    live winner as an insert and every tombstone as nothing."""
+    from pyspark.sql import functions as F
+
+    from cosmap_spark.operators.merge import change_feed
+
+    snap = spark.createDataFrame([(1, 10)], "k long, v long")
+    empty_deltas = spark.createDataFrame(
+        [], "k long, v long, epoch long, __deleted boolean"
+    )
+    feed = change_feed(snap, empty_deltas, ["k"], materialize=False)
+    assert feed.count() == 0
+    assert feed.columns == ["k", "v", "_change_type"]
+
+    empty_snap = spark.createDataFrame([], "k long, v long")
+    deltas = spark.createDataFrame(
+        [(5, 50, 1, False), (6, None, 1, True)],
+        "k long, v long, epoch long, __deleted boolean",
+    )
+    feed = change_feed(empty_snap, deltas, ["k"], materialize=False)
+    got = {(r["k"], r["_change_type"]) for r in feed.collect()}
+    assert got == {(5, "insert")}
+    assert feed.where(F.col("_change_type") != "insert").count() == 0

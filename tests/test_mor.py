@@ -959,6 +959,59 @@ def test_mor_concurrent_wideners_serialized(spark, tmp_path):
     assert not os.path.exists(os.path.join(path, ".widen_lock"))
 
 
+class DictFS:
+    """listdir/exists/read_text/makedirs/publish_exclusive over an
+    in-memory object map, plus the two vacuum helpers."""
+
+    def __init__(self):
+        self.objects: dict[str, str] = {}
+
+    def listdir(self, path):
+        import os as _os
+
+        pref = path.rstrip("/") + "/"
+        names = {
+            k[len(pref):].split("/", 1)[0]
+            for k in self.objects if k.startswith(pref)
+        }
+        # data dirs live on the real fs (Spark wrote them)
+        if _os.path.isdir(path):
+            names |= set(_os.listdir(path))
+        return sorted(names)
+
+    def exists(self, path):
+        import os as _os
+
+        return path in self.objects or _os.path.exists(path)
+
+    def read_text(self, path):
+        return self.objects[path]
+
+    def makedirs(self, path):
+        pass  # object stores have no directories
+
+    def publish_exclusive(self, path, content):
+        from cosmap_spark.sinks.commit import CommitConflict
+
+        if path in self.objects:
+            raise CommitConflict(f"{path} already published")
+        self.objects[path] = content
+
+    def remove_tree(self, path):
+        import os as _os
+        import shutil as _sh
+
+        self.objects.pop(path, None)
+        if _os.path.isdir(path):
+            _sh.rmtree(path)
+
+    def mtime(self, path):
+        import os as _os
+
+        return _os.stat(path).st_mtime
+
+
+
 def test_mor_manifest_custom_commitfs(spark, tmp_path):
     """The CommitFS seam is real: a custom fs that keeps ALL manifest
     state in an in-memory dict (no manifest ever touches the local
@@ -968,55 +1021,6 @@ def test_mor_manifest_custom_commitfs(spark, tmp_path):
     the five calls, including the publish CAS."""
     from cosmap_spark.sinks.commit import CommitConflict
     from cosmap_spark.sinks.mor import mor_vacuum
-
-    class DictFS:
-        """listdir/exists/read_text/makedirs/publish_exclusive over an
-        in-memory object map, plus the two vacuum helpers."""
-
-        def __init__(self):
-            self.objects: dict[str, str] = {}
-
-        def listdir(self, path):
-            import os as _os
-
-            pref = path.rstrip("/") + "/"
-            names = {
-                k[len(pref):].split("/", 1)[0]
-                for k in self.objects if k.startswith(pref)
-            }
-            # data dirs live on the real fs (Spark wrote them)
-            if _os.path.isdir(path):
-                names |= set(_os.listdir(path))
-            return sorted(names)
-
-        def exists(self, path):
-            import os as _os
-
-            return path in self.objects or _os.path.exists(path)
-
-        def read_text(self, path):
-            return self.objects[path]
-
-        def makedirs(self, path):
-            pass  # object stores have no directories
-
-        def publish_exclusive(self, path, content):
-            if path in self.objects:
-                raise CommitConflict(f"{path} already published")
-            self.objects[path] = content
-
-        def remove_tree(self, path):
-            import os as _os
-            import shutil as _sh
-
-            self.objects.pop(path, None)
-            if _os.path.isdir(path):
-                _sh.rmtree(path)
-
-        def mtime(self, path):
-            import os as _os
-
-            return _os.stat(path).st_mtime
 
     fs = DictFS()
     path = str(tmp_path / "dictstore")
@@ -1765,3 +1769,36 @@ def test_mor_sync_provenance_and_expiry_guards(spark, tmp_path):
     ManifestStore(src).expire_versions(keep_last=1)
     with pytest.raises(ValueError, match="re-bootstrap"):
         mor_sync(spark, src, dst)
+
+
+def test_mor_sync_over_custom_commitfs(spark, tmp_path):
+    """The full sync loop — source manifests, destination manifests,
+    AND the cursor store — runs through one injected CommitFS with no
+    manifest ever touching the local filesystem: the object-store port
+    contract for the whole CDC replication path."""
+    from cosmap_spark.sinks.mor import mor_sync
+
+    fs = DictFS()
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    base = spark.range(0, 10).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v"),
+        F.lit("x").alias("name"),
+    )
+    mor_init(base, src, ["k"], backend="manifest", fs=fs)
+    r = mor_sync(spark, src, dst, dst_backend="manifest",
+                 src_fs=fs, dst_fs=fs)
+    assert r["applied"]
+    mor_append(spark, src, _batch(spark, [(1, 111, "u", False)]), fs=fs)
+    mor_delete_keys(spark, src,
+                    spark.createDataFrame([(2,)], "k long"), fs=fs)
+    r = mor_sync(spark, src, dst, src_fs=fs, dst_fs=fs)
+    assert r["applied"] and r["to_version"] == 3
+    assert _rows(mor_read(spark, dst, fs=fs)) == \
+        _rows(mor_read(spark, src, fs=fs))
+    # every manifest (source, destination, cursor) lives in the dict
+    assert not os.path.isdir(os.path.join(src, "_manifests"))
+    assert not os.path.isdir(os.path.join(dst, "_manifests"))
+    assert not os.path.isdir(dst + ".sync")
+    assert any("/_manifests/" in k and k.startswith(dst + ".sync")
+               for k in fs.objects)
