@@ -21,16 +21,16 @@ SCOPE (loudly enforced, never silently wrong): little-endian files,
 64-bit offsets/lengths, v0 superblock, v1 object headers without
 continuation blocks, groups via v1 B-tree + local heap symbol tables,
 1-D datasets of float64/float32/int64/int32 stored CONTIGUOUS or
-CHUNKED (v1 raw-data-chunk B-tree index) with an optional DEFLATE
-filter — the layout most real-world writers (h5py's
-``chunks=True, compression="gzip"`` default path) produce (round-8
+CHUNKED (v1 raw-data-chunk B-tree index) with optional DEFLATE and
+byte-SHUFFLE filters — the layouts most real-world writers (h5py's
+``chunks=True, compression="gzip", shuffle=True`` path) produce (round-8
 verdict #7) — plus VARIABLE-LENGTH STRING datasets (class-9 vlen
 string descriptors + v1 global-heap collections, contiguous
 descriptors — the layout h5py writes for ``str`` columns; round-9
 verdict #7: real catalogs carry string columns) and VARIABLE-LENGTH
 SEQUENCES of the numeric subset (class-9 vlen type 0 — the
 ``h5py.vlen_dtype(np.float64)`` ragged-array layout, e.g. per-row
-embeddings; round 10).  Other filters (shuffle, fletcher32, szip…),
+embeddings; round 10).  Other filters (fletcher32, szip…),
 non-scalar or chunked compound members, v2+
 superblocks, and attributes raise ``ValueError`` naming the
 unsupported feature — fully general HDF5 still wants h5py
@@ -203,12 +203,31 @@ def _chunked_layout_msg(btree_addr: int, chunk_len: int,
     ))
 
 
-def _deflate_pipeline_msg(level: int = 6) -> bytes:
-    """v1 filter pipeline with ONE deflate filter (id 1, no name,
-    one client value = compression level, padded to 8)."""
-    return _msg(0x000B, struct.pack(
-        "<BB6x", 1, 1
-    ) + struct.pack("<HHHH", 1, 0, 1, 1) + struct.pack("<Ixxxx", level))
+def _pipeline_msg(filters: list[tuple[int, list[int]]]) -> bytes:
+    """v1 filter pipeline message: per filter — id, no name, flags 0,
+    client values (each 4 bytes, padded to an even count per spec).
+    Filters apply in LIST ORDER on write; readers invert in reverse."""
+    body = struct.pack("<BB6x", 1, len(filters))
+    for fid, cvs in filters:
+        body += struct.pack("<HHHH", fid, 0, 1, len(cvs))
+        for cv in cvs:
+            body += struct.pack("<I", cv)
+        if len(cvs) % 2 == 1:
+            body += b"\x00\x00\x00\x00"
+    return _msg(0x000B, body)
+
+
+def _shuffle_bytes(raw: bytes, esz: int) -> bytes:
+    """The HDF5 SHUFFLE filter (id 2): transpose an element-major byte
+    block to byte-position-major — all first bytes, then all second
+    bytes… — so slowly-varying high bytes of numeric data become long
+    runs DEFLATE compresses well (the h5py ``shuffle=True`` default
+    companion to gzip)."""
+    return np.frombuffer(raw, dtype=np.uint8).reshape(-1, esz).T.tobytes()
+
+
+def _unshuffle_bytes(raw: bytes, esz: int) -> bytes:
+    return np.frombuffer(raw, dtype=np.uint8).reshape(esz, -1).T.tobytes()
 
 
 def _chunk_btree(w: _Writer, chunks: list[tuple[int, int, int]],
@@ -304,19 +323,24 @@ def _write_group(w: _Writer, children: list[tuple[str, int, int, bytes]]):
 
 def write_simple_hdf5(path: str, groups: dict[str, dict[str, np.ndarray]],
                       *, chunk: int | None = None,
-                      compress: bool = False):
+                      compress: bool = False,
+                      shuffle: bool = False):
     """Write ``{group_name: {column: 1-D array}}`` as a spec-conformant
     HDF5 file (v0 superblock, little-endian data) — the reference's
     opencosmo layout.  Arrays must be 1-D of float64/float32/
     int64/int32.  ``chunk`` switches every dataset to CHUNKED storage
     (v1 raw-data-chunk B-tree, ``chunk`` elements per chunk, the last
     chunk padded to full size per the spec); ``compress`` adds the
-    DEFLATE filter (requires ``chunk``) — the fixture twin of the
-    reader's chunked+gzip path."""
+    DEFLATE filter and ``shuffle`` the byte-SHUFFLE filter before it
+    (both require ``chunk``; shuffle+gzip is h5py's recommended
+    numeric default and typically compresses markedly better) — the
+    fixture twins of the reader's filtered chunk paths."""
     import zlib
 
-    if compress and chunk is None:
-        raise ValueError("hdf5lite: compress=True requires chunk=")
+    if (compress or shuffle) and chunk is None:
+        raise ValueError(
+            "hdf5lite: compress=True/shuffle=True require chunk="
+        )
     w = _Writer()
     w.put(b"\x00" * 96)  # superblock reservation, patched last
 
@@ -455,6 +479,8 @@ def write_simple_hdf5(path: str, groups: dict[str, dict[str, np.ndarray]],
                         pad = np.zeros(chunk - len(piece), dtype=le.dtype)
                         piece = np.concatenate([piece, pad])
                     raw = piece.tobytes()
+                    if shuffle:  # pipeline order: shuffle, then deflate
+                        raw = _shuffle_bytes(raw, esz)
                     if compress:
                         raw = zlib.compress(raw, 6)
                     chunks.append((len(raw), off, w.put(raw)))
@@ -464,10 +490,13 @@ def write_simple_hdf5(path: str, groups: dict[str, dict[str, np.ndarray]],
                     _datatype_msg(dt),
                     _chunked_layout_msg(bt, chunk, esz),
                 ]
-                if compress:
+                if compress or shuffle:
                     # filter pipeline must precede use by readers that
                     # scan messages in order; position is free per spec
-                    msgs.insert(2, _deflate_pipeline_msg())
+                    msgs.insert(2, _pipeline_msg(
+                        ([(2, [esz])] if shuffle else [])
+                        + ([(1, [6])] if compress else [])
+                    ))
             oh = w.put(_object_header(msgs))
             ds_children.append((cname, oh, 0, b""))
         g_oh, g_btree, g_heap = _write_group(w, ds_children)
@@ -787,9 +816,10 @@ def _read_vlen_strings(r: _R, msgs: dict, dt: bytes, ver: int,
 def _read_chunked(r: _R, lay: bytes, pipeline: bytes | None, name: str,
                   n: int, size: int, np_dt: str) -> np.ndarray:
     """Assemble a 1-D chunked dataset: walk the v1 raw-data-chunk
-    B-tree (node type 1), inflate each chunk (DEFLATE only — any
-    other filter refuses naming its id), place by element offset,
-    truncate the padded final chunk to the dataspace length."""
+    B-tree (node type 1), invert each chunk's filter pipeline in
+    reverse order (DEFLATE and byte-SHUFFLE — any other filter refuses
+    naming its id), place by element offset, truncate the padded final
+    chunk to the dataspace length."""
     import zlib
 
     ndims = lay[2]
@@ -806,7 +836,10 @@ def _read_chunked(r: _R, lay: bytes, pipeline: bytes | None, name: str,
             f"hdf5lite: {name!r} chunk element size {esz} != datatype "
             f"size {size}"
         )
-    has_deflate = False
+    # ordered (filter id, client values) list; filters applied in
+    # pipeline order on write, so the read side inverts them REVERSED,
+    # honoring each chunk's skip-mask bit (bit i = pipeline slot i)
+    filters: list[tuple[int, list[int]]] = []
     if pipeline is not None:
         if pipeline[0] != 1:
             raise ValueError(
@@ -819,13 +852,19 @@ def _read_chunked(r: _R, lay: bytes, pipeline: bytes | None, name: str,
             fid = int.from_bytes(pipeline[pos:pos + 2], "little")
             namelen = int.from_bytes(pipeline[pos + 2:pos + 4], "little")
             ncv = int.from_bytes(pipeline[pos + 6:pos + 8], "little")
-            if fid != 1:
+            if fid not in (1, 2):
                 raise ValueError(
                     f"hdf5lite: {name!r} uses filter id {fid} — only "
-                    "DEFLATE (1) is supported; shuffle/fletcher32/szip "
-                    "need h5py"
+                    "DEFLATE (1) and SHUFFLE (2) are supported; "
+                    "fletcher32/szip need h5py"
                 )
-            has_deflate = True
+            cvs = [
+                int.from_bytes(
+                    pipeline[pos + 8 + 4 * i:pos + 12 + 4 * i], "little"
+                )
+                for i in range(ncv)
+            ]
+            filters.append((fid, cvs))
             pos += 8 + (namelen + 7) // 8 * 8 + 4 * ncv
             if ncv % 2 == 1:
                 pos += 4
@@ -851,8 +890,16 @@ def _read_chunked(r: _R, lay: bytes, pipeline: bytes | None, name: str,
                 walk(child)
             else:
                 raw = bytes(r.buf[child:child + nbytes])
-                if has_deflate and not (mask & 1):
-                    raw = zlib.decompress(raw)
+                for i in range(len(filters) - 1, -1, -1):
+                    if mask & (1 << i):
+                        continue  # this chunk skipped pipeline slot i
+                    fid, cvs = filters[i]
+                    if fid == 1:
+                        raw = zlib.decompress(raw)
+                    else:  # 2: byte shuffle; cv[0] = element size
+                        raw = _unshuffle_bytes(
+                            raw, cvs[0] if cvs else size
+                        )
                 arr = np.frombuffer(raw, dtype=np_dt)
                 if off < n:
                     take = min(chunk_len, n - off, len(arr))

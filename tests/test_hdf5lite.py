@@ -159,7 +159,9 @@ def test_chunked_matches_contiguous_decode(tmp_path):
     }
     outs = []
     for i, kw in enumerate(
-        [{}, {"chunk": 128}, {"chunk": 128, "compress": True}]
+        [{}, {"chunk": 128}, {"chunk": 128, "compress": True},
+         {"chunk": 128, "shuffle": True},
+         {"chunk": 128, "compress": True, "shuffle": True}]
     ):
         p = str(tmp_path / f"v{i}.h5")
         write_simple_hdf5(p, {"g": cols}, **kw)
@@ -178,29 +180,42 @@ def test_chunked_matches_contiguous_decode(tmp_path):
     write_simple_hdf5(z, smooth, chunk=4096, compress=True)
     write_simple_hdf5(r, smooth)
     assert _os.path.getsize(z) < _os.path.getsize(r) / 4
+    # shuffle+gzip beats gzip alone on slowly-varying numeric data
+    # (the filter's whole point: high bytes become long runs)
+    ramp = {"g": {"x": (np.arange(100000) * 1e-3).astype("float64")}}
+    zs = str(tmp_path / "zs.h5")
+    zp = str(tmp_path / "zp.h5")
+    write_simple_hdf5(zs, ramp, chunk=4096, compress=True, shuffle=True)
+    write_simple_hdf5(zp, ramp, chunk=4096, compress=True)
+    assert _os.path.getsize(zs) < _os.path.getsize(zp)
 
 
 def test_chunked_refusals(tmp_path):
     """Unsupported filters refuse NAMING the filter id; compress
     without chunk refuses."""
-    with pytest.raises(ValueError, match="compress=True requires"):
+    with pytest.raises(ValueError, match="require chunk"):
         write_simple_hdf5(
             str(tmp_path / "x.h5"),
             {"g": {"a": np.zeros(4)}}, compress=True,
         )
-    # hand-corrupt the frozen sample's filter id 1 -> 2 (shuffle) and
-    # expect the loud refusal naming it
+    # hand-corrupt the frozen sample's filter id 1 -> 3 (fletcher32)
+    # and expect the loud refusal naming it (shuffle, id 2, is now a
+    # SUPPORTED filter — see test_chunked_matches_contiguous_decode)
     import struct as _struct
 
     buf = bytearray(open(CHUNKED, "rb").read())
     pat = _struct.pack("<BB6xHHHH", 1, 1, 1, 0, 1, 1)
     at = bytes(buf).find(pat)
     assert at != -1
-    buf[at + 8:at + 10] = _struct.pack("<H", 2)
+    buf[at + 8:at + 10] = _struct.pack("<H", 3)
     bad = str(tmp_path / "bad.h5")
     open(bad, "wb").write(bytes(buf))
-    with pytest.raises(ValueError, match="filter id 2"):
+    with pytest.raises(ValueError, match="filter id 3"):
         read_hdf5_group(bad, "catalog")
+    # shuffle without chunk refuses like compress without chunk
+    with pytest.raises(ValueError, match="require chunk"):
+        write_simple_hdf5(str(tmp_path / "s.h5"),
+                          {"g": {"a": np.zeros(4)}}, shuffle=True)
 
 
 STRINGS = os.path.join(
