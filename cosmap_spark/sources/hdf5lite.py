@@ -203,13 +203,21 @@ def _chunked_layout_msg(btree_addr: int, chunk_len: int,
     ))
 
 
-def _pipeline_msg(filters: list[tuple[int, list[int]]]) -> bytes:
-    """v1 filter pipeline message: per filter — id, no name, flags 0,
-    client values (each 4 bytes, padded to an even count per spec).
-    Filters apply in LIST ORDER on write; readers invert in reverse."""
+def _pipeline_msg(filters: list[tuple[int, list[int]]],
+                  names: list[str] | None = None) -> bytes:
+    """v1 filter pipeline message: per filter — id, optional name
+    (NUL-terminated, 8-padded; built-ins normally carry none), flags
+    0, client values (each 4 bytes, padded to an even count per
+    spec).  Filters apply in LIST ORDER on write; readers invert in
+    reverse.  ``names`` exists for the reader's named-filter
+    round-trip test — the spec permits names on any filter and the
+    parser must skip them to find the client values."""
     body = struct.pack("<BB6x", 1, len(filters))
-    for fid, cvs in filters:
-        body += struct.pack("<HHHH", fid, 0, 1, len(cvs))
+    for i, (fid, cvs) in enumerate(filters):
+        nm = b""
+        if names and names[i]:
+            nm = _pad8(names[i].encode("ascii") + b"\x00")
+        body += struct.pack("<HHHH", fid, len(nm), 1, len(cvs)) + nm
         for cv in cvs:
             body += struct.pack("<I", cv)
         if len(cvs) % 2 == 1:
@@ -858,14 +866,18 @@ def _read_chunked(r: _R, lay: bytes, pipeline: bytes | None, name: str,
                     "DEFLATE (1) and SHUFFLE (2) are supported; "
                     "fletcher32/szip need h5py"
                 )
+            # client values sit AFTER the (8-padded) name — reading
+            # them at pos+8 is only right for the nameless built-ins
+            # our own writer emits (round-10 self-review)
+            base = pos + 8 + (namelen + 7) // 8 * 8 if namelen else pos + 8
             cvs = [
                 int.from_bytes(
-                    pipeline[pos + 8 + 4 * i:pos + 12 + 4 * i], "little"
+                    pipeline[base + 4 * i:base + 4 + 4 * i], "little"
                 )
                 for i in range(ncv)
             ]
             filters.append((fid, cvs))
-            pos += 8 + (namelen + 7) // 8 * 8 + 4 * ncv
+            pos = base + 4 * ncv
             if ncv % 2 == 1:
                 pos += 4
     out = np.zeros(n, dtype=np_dt)

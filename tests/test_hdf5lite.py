@@ -472,3 +472,37 @@ def test_read_hdf5_directory_with_vlen_sequence_column(spark, tmp_path):
     )
     got = sorted((r["halo_id"], list(r["emb"])) for r in df.collect())
     assert got == [(1, [0.5, 1.5]), (2, []), (3, [9.0])]
+
+
+def test_named_filter_pipeline_parses(tmp_path):
+    """The spec permits a NAME on any pipeline filter (8-padded,
+    between the header and the client values); the parser must skip it
+    to find the client values — reading them at a fixed offset only
+    works for the nameless built-ins our writer normally emits.
+    Pinned by patching the writer to emit named shuffle+deflate
+    filters and requiring a bit-identical decode."""
+    import cosmap_spark.sources.hdf5lite as H
+
+    rng = np.random.default_rng(31)
+    cols = {"a": (np.arange(300) * 0.5).astype("float64"),
+            "b": rng.integers(-99, 99, 300).astype("int32")}
+    plain = str(tmp_path / "plain.h5")
+    write_simple_hdf5(plain, {"g": cols}, chunk=64, compress=True,
+                      shuffle=True)
+
+    real = H._pipeline_msg
+
+    def named(filters, names=None):
+        return real(filters, names=["shuffle", "deflate"][:len(filters)])
+
+    H._pipeline_msg = named
+    try:
+        namedf = str(tmp_path / "named.h5")
+        write_simple_hdf5(namedf, {"g": cols}, chunk=64, compress=True,
+                          shuffle=True)
+    finally:
+        H._pipeline_msg = real
+    a = read_hdf5_group(plain, "g")
+    b = read_hdf5_group(namedf, "g")
+    for c in cols:
+        assert np.array_equal(a[c].to_numpy(), b[c].to_numpy()), c
