@@ -150,6 +150,19 @@ def _refuse_null_keys(df: DataFrame, keys: list[str], op: str) -> None:
         )
 
 
+def _require_mor_manifest(man: dict, path: str, op: str) -> None:
+    """A published manifest alone does not make a MOR store — the ANN,
+    plaid, and lexical index stores ride the same commit protocol.
+    Without this check every mor_* verb on one of those dies with a
+    bare KeyError naming nothing (round-10 self-review)."""
+    if "keys" not in man or "base" not in man:
+        raise ValueError(
+            f"{op}: {path!r} is a manifest store but not a "
+            "merge-on-read store (its manifest has no keys/base — an "
+            "index store?)"
+        )
+
+
 def _base_dir(path: str) -> str:
     return os.path.join(path, "base")
 
@@ -419,6 +432,7 @@ def mor_append(
         last: Exception | None = None
         for _ in range(5):
             version, man = ms.latest()
+            _require_mor_manifest(man, path, "mor_append")
             _check_reader_version(man, "mor_append")
             keys = man["keys"]
             schema_json = man["schema"]
@@ -538,7 +552,9 @@ def _meta_for(path: str, fs=None) -> dict:
     """The store contract (keys + schema) from whichever backend owns
     ``path`` — rename sidecar or latest manifest."""
     if _store_kind(path, fs) == "manifest":
-        return _manifest_store(path, fs).latest()[1]
+        man = _manifest_store(path, fs).latest()[1]
+        _require_mor_manifest(man, path, "mor store access")
+        return man
     return _load_meta(path)
 
 
@@ -613,6 +629,7 @@ def mor_read(spark, path: str, *, version: int | None = None,
             _, man = ms.latest()
         else:
             man = ms.read_version(version)
+        _require_mor_manifest(man, path, "mor_read")
         _check_reader_version(man, "mor_read")
         # old base / old epochs NULL-fill the widened columns
         base = _fill_to_schema(
@@ -1074,6 +1091,7 @@ def mor_compact(spark, path: str, *,
 
         ms = _manifest_store(path, fs)
         version, man = ms.latest()
+        _require_mor_manifest(man, path, "mor_compact")
         if not man["epochs"]:
             return 0
         folded = mor_read(spark, path, version=version, fs=fs)

@@ -1802,3 +1802,27 @@ def test_mor_sync_over_custom_commitfs(spark, tmp_path):
     assert not os.path.isdir(dst + ".sync")
     assert any("/_manifests/" in k and k.startswith(dst + ".sync")
                for k in fs.objects)
+
+
+def test_mor_verbs_refuse_non_mor_manifest_store(spark, tmp_path):
+    """A plaid/ANN/lex index store rides the same commit protocol;
+    mor_* verbs on one must refuse naming the mismatch, not die with a
+    bare KeyError."""
+    from cosmap_spark.operators.index_store import save_lex_index
+    from cosmap_spark.operators.retrieval import build_lex_index
+    from cosmap_spark.sinks.mor import mor_compact
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma")], "doc_id long, text string"
+    )
+    p = str(tmp_path / "lexstore")
+    save_lex_index(p, *build_lex_index(docs), backend="manifest")
+    for fn in (
+        lambda: mor_read(spark, p),
+        lambda: mor_append(spark, p, docs),
+        lambda: mor_compact(spark, p),
+        lambda: mor_delete_keys(
+            spark, p, spark.createDataFrame([(1,)], "doc_id long")),
+    ):
+        with pytest.raises(ValueError, match="not a.*merge-on-read"):
+            fn()
