@@ -478,3 +478,260 @@ def snapshot_cdc(
         .select(*new.columns, delete_col)
     )
     return upserts.unionByName(tombstones)
+
+
+def agg_snapshot(
+    df: DataFrame,
+    group_by: list[str],
+    aggs: dict[str, tuple[str, str | None]],
+) -> DataFrame:
+    """The canonical self-maintainable aggregate of ``df`` — the shape
+    :func:`apply_agg_delta` consumes and produces, so that
+    ``apply_agg_delta(agg_snapshot(v0), change_feed(v0, D)) ≡
+    agg_snapshot(mor_reconcile(v0, D))`` (the incremental-view-
+    maintenance law, pinned in tests/test_merge.py).
+
+    ``aggs`` maps each output column to ``(kind, source_col)``:
+
+    * ``("count", None)``      — ``COUNT(*)``; at least one required
+      (it is the LIVENESS witness — a group whose row count reaches 0
+      vanishes from the maintained view, exactly as it would from a
+      fresh ``GROUP BY``);
+    * ``("countnn", col)``     — ``COUNT(col)`` (non-null rows);
+    * ``("sum", col)``         — ``SUM(col)`` with SQL null semantics
+      (NULL over an empty / all-null group).  Every ``("sum", col)``
+      REQUIRES a ``("countnn", col)`` sibling somewhere in ``aggs`` —
+      without the non-null count the maintainer cannot decide when an
+      incrementally-updated sum has gone all-null and must surface
+      NULL instead of 0 (re-aggregation would be the only alternative,
+      which is the O(table) cost this operator exists to avoid).
+
+    ``min``/``max`` are deliberately ABSENT: they are not
+    self-maintainable under deletes (retracting the current extremum
+    forces a full re-scan of the group) — the standard IVM
+    restriction; keep such columns on a periodic full refresh.
+    ``avg`` needs no kind: it is ``sum/countnn``, derivable from the
+    maintained state.
+    """
+    _check_agg_spec(df.columns, group_by, aggs)
+    exprs = []
+    for out, (kind, col) in aggs.items():
+        if kind == "count":
+            exprs.append(F.count(F.lit(1)).alias(out))
+        elif kind == "countnn":
+            exprs.append(F.count(F.col(col)).alias(out))
+        else:  # sum
+            exprs.append(F.sum(F.col(col)).alias(out))
+    return df.groupBy(*group_by).agg(*exprs)
+
+
+def _check_agg_spec(
+    columns: list[str],
+    group_by: list[str],
+    aggs: dict[str, tuple[str, str | None]],
+) -> None:
+    if not group_by:
+        raise ValueError("agg maintenance: group_by must be non-empty")
+    kinds = {"count", "countnn", "sum"}
+    counted_cols = {c for (k, c) in aggs.values() if k == "countnn"}
+    has_count = False
+    for out, (kind, col) in aggs.items():
+        if kind not in kinds:
+            raise ValueError(
+                f"agg maintenance: kind {kind!r} for {out!r} is not "
+                f"self-maintainable under deletes — supported: "
+                f"{sorted(kinds)} (min/max need a full refresh)"
+            )
+        if kind == "count":
+            if col is not None:
+                raise ValueError(
+                    f"agg maintenance: ('count', None) takes no source "
+                    f"column; got {col!r} for {out!r} — use 'countnn' "
+                    "for COUNT(col)"
+                )
+            has_count = True
+            continue
+        if col is None or col not in columns:
+            raise ValueError(
+                f"agg maintenance: source column {col!r} for {out!r} "
+                f"not in input columns"
+            )
+        if col in group_by:
+            raise ValueError(
+                f"agg maintenance: {out!r} aggregates grouping column "
+                f"{col!r} — constant within a group; aggregate a "
+                "payload column instead"
+            )
+        if kind == "sum" and col not in counted_cols:
+            raise ValueError(
+                f"agg maintenance: ('sum', {col!r}) needs a "
+                f"('countnn', {col!r}) sibling in aggs — the non-null "
+                "count is the only way to surface SQL's NULL for a "
+                "group whose values went all-null under deletes"
+            )
+        if out in group_by:
+            raise ValueError(
+                f"agg maintenance: output {out!r} collides with a "
+                "grouping column"
+            )
+
+
+def apply_agg_delta(
+    snapshot: DataFrame,
+    feed: DataFrame,
+    group_by: list[str],
+    aggs: dict[str, tuple[str, str | None]],
+    *,
+    change_type_col: str = "_change_type",
+) -> DataFrame:
+    """Incremental view maintenance for distributive aggregates: fold
+    a NET change feed (:func:`change_feed` / ``sinks.mor.mor_changes``
+    — Delta CDF vocabulary) into a maintained ``GROUP BY`` snapshot at
+    **O(changes)** cost, never re-scanning the table the snapshot
+    summarizes.
+
+    ``snapshot`` is :func:`agg_snapshot`'s output for the pre-feed
+    state; the result is :func:`agg_snapshot`'s output for the
+    post-feed state (the law pinned in tests/test_merge.py), so calls
+    chain across refreshes.
+
+    Semantics: each feed row contributes with sign +1 (``insert`` /
+    ``update_postimage``) or −1 (``delete`` / ``update_preimage``) to
+    its GROUP's running count / non-null count / sum — an update that
+    MOVES a row between groups therefore decrements the old group and
+    increments the new one (the pre/post pair lands in different
+    groups).  Groups whose row count reaches 0 disappear; groups whose
+    sum goes all-null surface NULL (via the mandatory ``countnn``
+    sibling).  An unknown change-type token raises at execution (a
+    silently dropped verdict would corrupt every later refresh).
+
+    Plan shape: the feed collapses to ONE batch-sized aggregation of
+    per-group deltas; the snapshot is scanned once through a LEFT
+    null-safe equi-join against the broadcast delta frame (untouched
+    groups stream through with zero deltas — no shuffle of the
+    snapshot), unioned with the anti side (brand-new groups).  NULL
+    grouping values are real groups (SQL semantics) — hence the
+    null-safe (``<=>``) join keys.
+
+    A negative resulting row count raises at execution: it means the
+    feed was not NET (or was applied twice) — the maintained view
+    would silently diverge forever otherwise.  For the store-level
+    wrapper with a crash-safe cursor see
+    :func:`cosmap_spark.sinks.mor.mor_sync_agg`.
+    """
+    _check_agg_spec(feed.columns, group_by, aggs)
+    missing = [c for c in list(group_by) + list(aggs)
+               if c not in snapshot.columns]
+    if missing:
+        raise ValueError(
+            f"apply_agg_delta: snapshot lacks column(s) {missing} — "
+            "it must be agg_snapshot's output for the same spec"
+        )
+    ct = F.col(change_type_col)
+    sign = (
+        F.when(ct.isin("insert", "update_postimage"), F.lit(1))
+        .when(ct.isin("delete", "update_preimage"), F.lit(-1))
+        .otherwise(
+            F.assert_true(
+                F.lit(False),
+                F.concat(F.lit("apply_agg_delta: unknown change type "),
+                         ct),
+            ).cast("int")
+        )
+    )
+    d_exprs = []
+    for out, (kind, col) in aggs.items():
+        if kind == "count":
+            d_exprs.append(F.sum(sign).alias(f"__d_{out}"))
+        elif kind == "countnn":
+            d_exprs.append(
+                F.sum(
+                    F.when(F.col(col).isNotNull(), sign).otherwise(0)
+                ).alias(f"__d_{out}")
+            )
+        else:  # sum: nulls contribute nothing (SQL SUM ignores them)
+            d_exprs.append(
+                F.sum(
+                    F.when(
+                        F.col(col).isNotNull(),
+                        sign.cast("long") * F.col(col),
+                    ).otherwise(F.lit(0) * F.col(col))
+                ).alias(f"__d_{out}")
+            )
+    deltas = feed.groupBy(
+        *[F.col(g).alias(f"__g_{g}") for g in group_by]
+    ).agg(*d_exprs)
+
+    # which countnn entry witnesses each sum's nullability
+    nn_for = {c: o for o, (k, c) in aggs.items() if k == "countnn"}
+    count_out = next(o for o, (k, _) in aggs.items() if k == "count")
+
+    neg_assert = F.assert_true(
+        F.lit(False),
+        F.lit("apply_agg_delta: group count went negative — feed is "
+              "not NET or was applied twice"),
+    ).cast("long")
+
+    def merged(old_side: DataFrame, anti: bool) -> DataFrame:
+        cols = []
+        for g in group_by:
+            cols.append(
+                (F.col(f"__g_{g}") if anti else F.col(g)).alias(g)
+            )
+        new_by_out = {}
+        for out, (kind, col) in aggs.items():
+            old = F.lit(0) if anti else F.coalesce(F.col(out), F.lit(0))
+            new_by_out[out] = old + F.coalesce(
+                F.col(f"__d_{out}"), F.lit(0)
+            )
+        for out, (kind, col) in aggs.items():
+            v = new_by_out[out]
+            if kind == "sum":
+                v = F.when(new_by_out[nn_for[col]] > 0, v)
+            elif out == count_out and anti:
+                # the assert must be CONDITIONED ON the join's
+                # presence witness: a guard referencing only the delta
+                # side travels with the pushed-down liveness filter
+                # BELOW the join and fires for groups the join was
+                # about to exclude (observed live: the dying group's
+                # −1 delta asserted before the anti semantics applied)
+                v = F.when(
+                    F.col("__e_present").isNull() & (v < 0), neg_assert
+                ).otherwise(v)
+            elif out == count_out:
+                # references both join sides — cannot sink below it
+                v = F.when(v >= 0, v).otherwise(neg_assert)
+            cols.append(v.alias(out))
+        return old_side.select(*cols)
+
+    cond = None
+    for g in group_by:
+        c = snapshot[g].eqNullSafe(deltas[f"__g_{g}"])
+        cond = c if cond is None else (cond & c)
+    touched_and_kept = merged(
+        snapshot.join(F.broadcast(deltas), cond, "left"), anti=False
+    )
+    # the fresh side is a LEFT join + presence-witness filter rather
+    # than a left_anti: the anti output carries only delta-side
+    # columns, so the negative-count guard there could be pushed below
+    # the join (see comment in merged()); the witness column pins the
+    # guard above it.  The probe's key columns are ALIAS-RENAMED —
+    # snapshot and feed share lineage (both derive from the maintained
+    # table), and fresh named attributes are immune to the self-join
+    # attribute-dedup ambiguity an exprId-bound reference risks.
+    existing = F.broadcast(snapshot.select(
+        *[F.col(g).alias(f"__e_{g}") for g in group_by],
+        F.lit(True).alias("__e_present"),
+    ))
+    fresh = merged(
+        deltas.join(
+            existing,
+            [F.col(f"__g_{g}").eqNullSafe(F.col(f"__e_{g}"))
+             for g in group_by],
+            "left",
+        ).where(F.col("__e_present").isNull()),
+        anti=True,
+    )
+    return touched_and_kept.unionByName(fresh).where(
+        F.col(count_out) > 0
+    )

@@ -634,3 +634,144 @@ def test_change_feed_refuses_colliding_snapshot_columns(spark):
             F.col("id").alias("k"), F.lit(0).alias(bad))
         with pytest.raises(ValueError, match="collide"):
             change_feed(snap, deltas, ["k"], materialize=False)
+
+
+def test_apply_agg_delta_ivm_law(spark):
+    """The incremental-view-maintenance law: folding change_feed's NET
+    verdicts into agg_snapshot(v0) reproduces agg_snapshot over the
+    reconciled post state — including a group-MOVING update (pre/post
+    land in different groups), a group dying (count -> 0), a brand-new
+    group, a NULL grouping value as a real group, and a sum going
+    all-null (surfaces SQL NULL via the countnn witness)."""
+    from cosmap_spark.operators.merge import (
+        agg_snapshot, apply_agg_delta, change_feed, mor_reconcile,
+    )
+
+    snap = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "b", None),
+         (5, None, 50), (6, "c", 60)],
+        "k long, g string, v long",
+    )
+    deltas = spark.createDataFrame(
+        [
+            (2, "b", 21, 1, False),    # moves a -> b
+            (3, None, 31, 1, False),   # moves b -> null group
+            (6, None, None, 1, True),  # group c dies
+            (7, "d", 70, 1, False),    # new group d
+            (8, "a", None, 2, False),  # null value joins a
+            (1, "a", None, 2, False),  # a's only non-null v removed
+        ],
+        "k long, g string, v long, epoch long, __deleted boolean",
+    )
+    spec = {"c": ("count", None), "nn": ("countnn", "v"),
+            "s": ("sum", "v")}
+    feed = change_feed(snap, deltas, ["k"], materialize=False)
+    got = apply_agg_delta(
+        agg_snapshot(snap, ["g"], spec), feed, ["g"], spec
+    )
+    want = agg_snapshot(
+        mor_reconcile(snap, deltas, ["k"]), ["g"], spec
+    )
+    cols = ["g", "c", "nn", "s"]
+
+    def rows_by_str(df):
+        return sorted(
+            [tuple(r[c] for c in cols) for r in df.collect()], key=str
+        )
+
+    assert rows_by_str(got) == rows_by_str(want)
+    rows = {r["g"]: (r["c"], r["nn"], r["s"]) for r in got.collect()}
+    assert "c" not in rows                       # died
+    assert rows["a"][2] is None and rows["a"][0] == 2  # all-null sum
+    assert rows["d"] == (1, 1, 70)               # fresh group
+    assert None in rows                          # null group is real
+
+
+def test_apply_agg_delta_chains_across_refreshes(spark):
+    """apply_agg_delta's output is agg_snapshot-shaped, so refreshes
+    chain: two incremental folds equal one direct aggregate of the
+    final state."""
+    from cosmap_spark.operators.merge import (
+        agg_snapshot, apply_agg_delta, change_feed, mor_reconcile,
+    )
+
+    snap = spark.createDataFrame(
+        [(i, i % 3, i * 10) for i in range(12)], "k long, g int, v long"
+    )
+    d1 = spark.createDataFrame(
+        [(0, 1, 5, 1, False), (3, None, None, 1, True)],
+        "k long, g int, v long, epoch long, __deleted boolean",
+    )
+    d2 = spark.createDataFrame(
+        [(0, 2, 7, 1, False), (20, 0, 200, 1, False)],
+        "k long, g int, v long, epoch long, __deleted boolean",
+    )
+    spec = {"c": ("count", None), "nn": ("countnn", "v"),
+            "s": ("sum", "v")}
+    v1 = mor_reconcile(snap, d1, ["k"]).localCheckpoint()
+    a1 = apply_agg_delta(
+        agg_snapshot(snap, ["g"], spec),
+        change_feed(snap, d1, ["k"], materialize=False), ["g"], spec,
+    )
+    a2 = apply_agg_delta(
+        a1, change_feed(v1, d2, ["k"], materialize=False), ["g"], spec
+    )
+    want = agg_snapshot(mor_reconcile(v1, d2, ["k"]), ["g"], spec)
+    cols = ["g", "c", "nn", "s"]
+    assert _sorted_rows(a2, cols) == _sorted_rows(want, cols)
+
+
+def test_apply_agg_delta_spec_validation(spark):
+    """The spec guards: sum without its countnn witness, min/max,
+    missing count liveness entry, aggregating a grouping column, and
+    an unknown change type raising at EXECUTION (not silently
+    dropped)."""
+    from cosmap_spark.operators.merge import agg_snapshot, apply_agg_delta
+
+    df = spark.createDataFrame([(1, "a", 2)], "k long, g string, v long")
+    with pytest.raises(ValueError, match="countnn"):
+        agg_snapshot(df, ["g"], {"c": ("count", None), "s": ("sum", "v")})
+    with pytest.raises(ValueError, match="not self-maintainable"):
+        agg_snapshot(df, ["g"], {"c": ("count", None), "m": ("min", "v")})
+    with pytest.raises(StopIteration):
+        # no ("count", None) liveness entry -> refused (surface the
+        # first-found error: next() on an empty generator)
+        apply_agg_delta(
+            agg_snapshot(df, ["g"], {"nn": ("countnn", "v")}),
+            df.withColumn("_change_type", F.lit("insert")),
+            ["g"], {"nn": ("countnn", "v")},
+        )
+    with pytest.raises(ValueError, match="grouping column"):
+        agg_snapshot(df, ["g"], {"c": ("count", None),
+                                 "nn": ("countnn", "g")})
+    feed = df.withColumn("_change_type", F.lit("upsert"))
+    out = apply_agg_delta(
+        agg_snapshot(df, ["g"], {"c": ("count", None)}),
+        feed, ["g"], {"c": ("count", None)},
+    )
+    with pytest.raises(Exception, match="unknown change type"):
+        out.collect()
+
+
+def test_apply_agg_delta_double_apply_raises(spark):
+    """Re-applying a feed that deletes rows drives a group count
+    negative — caught at execution, because a silently wrong
+    maintained view would diverge forever."""
+    from cosmap_spark.operators.merge import (
+        agg_snapshot, apply_agg_delta, change_feed,
+    )
+
+    snap = spark.createDataFrame([(1, "a", 1)], "k long, g string, v long")
+    deltas = spark.createDataFrame(
+        [(1, None, None, 1, True)],
+        "k long, g string, v long, epoch long, __deleted boolean",
+    )
+    spec = {"c": ("count", None)}
+    feed = change_feed(snap, deltas, ["k"], materialize=False) \
+        .localCheckpoint()
+    once = apply_agg_delta(agg_snapshot(snap, ["g"], spec), feed,
+                           ["g"], spec)
+    assert once.count() == 0
+    twice = apply_agg_delta(once, feed, ["g"], spec)
+    with pytest.raises(Exception, match="negative"):
+        twice.collect()
