@@ -576,6 +576,52 @@ def _check_agg_spec(
             )
 
 
+def _agg_deltas(
+    feed: DataFrame,
+    group_by: list[str],
+    aggs: dict[str, tuple[str, str | None]],
+    change_type_col: str,
+) -> DataFrame:
+    """One batch-sized aggregation of per-group deltas from a NET
+    change feed: keys aliased ``__g_<g>``, one ``__d_<out>`` per agg
+    entry (shared by :func:`apply_agg_delta` and
+    ``sinks.mor.mor_sync_agg``).  An unknown change-type token raises
+    at execution."""
+    ct = F.col(change_type_col)
+    sign = (
+        F.when(ct.isin("insert", "update_postimage"), F.lit(1))
+        .when(ct.isin("delete", "update_preimage"), F.lit(-1))
+        .otherwise(
+            F.assert_true(
+                F.lit(False),
+                F.concat(F.lit("agg delta: unknown change type "), ct),
+            ).cast("int")
+        )
+    )
+    d_exprs = []
+    for out, (kind, col) in aggs.items():
+        if kind == "count":
+            d_exprs.append(F.sum(sign).alias(f"__d_{out}"))
+        elif kind == "countnn":
+            d_exprs.append(
+                F.sum(
+                    F.when(F.col(col).isNotNull(), sign).otherwise(0)
+                ).alias(f"__d_{out}")
+            )
+        else:  # sum: nulls contribute nothing (SQL SUM ignores them)
+            d_exprs.append(
+                F.sum(
+                    F.when(
+                        F.col(col).isNotNull(),
+                        sign.cast("long") * F.col(col),
+                    ).otherwise(F.lit(0) * F.col(col))
+                ).alias(f"__d_{out}")
+            )
+    return feed.groupBy(
+        *[F.col(g).alias(f"__g_{g}") for g in group_by]
+    ).agg(*d_exprs)
+
+
 def apply_agg_delta(
     snapshot: DataFrame,
     feed: DataFrame,
@@ -627,40 +673,7 @@ def apply_agg_delta(
             f"apply_agg_delta: snapshot lacks column(s) {missing} — "
             "it must be agg_snapshot's output for the same spec"
         )
-    ct = F.col(change_type_col)
-    sign = (
-        F.when(ct.isin("insert", "update_postimage"), F.lit(1))
-        .when(ct.isin("delete", "update_preimage"), F.lit(-1))
-        .otherwise(
-            F.assert_true(
-                F.lit(False),
-                F.concat(F.lit("apply_agg_delta: unknown change type "),
-                         ct),
-            ).cast("int")
-        )
-    )
-    d_exprs = []
-    for out, (kind, col) in aggs.items():
-        if kind == "count":
-            d_exprs.append(F.sum(sign).alias(f"__d_{out}"))
-        elif kind == "countnn":
-            d_exprs.append(
-                F.sum(
-                    F.when(F.col(col).isNotNull(), sign).otherwise(0)
-                ).alias(f"__d_{out}")
-            )
-        else:  # sum: nulls contribute nothing (SQL SUM ignores them)
-            d_exprs.append(
-                F.sum(
-                    F.when(
-                        F.col(col).isNotNull(),
-                        sign.cast("long") * F.col(col),
-                    ).otherwise(F.lit(0) * F.col(col))
-                ).alias(f"__d_{out}")
-            )
-    deltas = feed.groupBy(
-        *[F.col(g).alias(f"__g_{g}") for g in group_by]
-    ).agg(*d_exprs)
+    deltas = _agg_deltas(feed, group_by, aggs, change_type_col)
 
     # which countnn entry witnesses each sum's nullability
     nn_for = {c: o for o, (k, c) in aggs.items() if k == "countnn"}

@@ -475,6 +475,11 @@ _SETOPS_ORACLE = """
       UNION ALL
       SELECT k, name, nk, bal_c, score FROM morw_win WHERE NOT del
     ),
+    ivm AS (
+      SELECT nk, COUNT(*) AS cnt, COUNT(bal_c) AS nn,
+             CAST(SUM(bal_c) AS BIGINT) AS sb
+      FROM mor_view GROUP BY nk
+    ),
     scd_dim AS (
       SELECT k, nk, bal_c, DATE '2020-01-01' AS vf FROM snap_old
     ),
@@ -568,6 +573,11 @@ _SETOPS_ORACLE = """
            || CAST(bal_c AS VARCHAR) || '|'
            || coalesce(CAST(score AS VARCHAR), 'null')
     FROM morw_view
+    UNION ALL
+    SELECT 'ivm', nk,
+           CAST(cnt AS VARCHAR) || '|' || CAST(nn AS VARCHAR) || '|'
+           || coalesce(CAST(sb AS VARCHAR), 'null')
+    FROM ivm
     UNION ALL
     SELECT 'drift', bin,
            CAST(n_old AS VARCHAR) || '|' || CAST(n_new AS VARCHAR) || '|'
@@ -702,6 +712,12 @@ def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
       vocabulary): net winner per key classified against the snapshot
       — ``insert`` / ``update_preimage`` / ``update_postimage`` /
       ``delete`` rows; side = ``type|name|nk|bal_c``;
+    * ``ivm``   — ``merge.apply_agg_delta`` (incremental aggregate
+      view maintenance, the algebra under ``sinks/mor.mor_sync_agg``):
+      the SAME change feed folded into the maintained per-``nk``
+      count / non-null count / sum of the snapshot; the oracle is the
+      DIRECT ``GROUP BY`` over the post state, so the gate checks the
+      IVM law itself; k = nk, side = ``cnt|nn|sum-or-null``;
     * ``scd2``  — ``scd2_apply``: close-out + new open versions, a
       stale-timestamp loser collapsed per key, a no-op update, a
       LATE (pre-``valid_from``) update ignored, and brand-new keys
@@ -981,6 +997,33 @@ def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
+    # incremental aggregate view maintenance (round 10,
+    # operators/merge.py::apply_agg_delta — the algebra under
+    # sinks/mor.mor_sync_agg): fold the SAME change feed into the
+    # maintained per-nk aggregate of the snapshot; the oracle computes
+    # the direct GROUP BY over the post state (mor_view), so the gate
+    # checks the IVM law itself, not a replay of the same algebra.
+    # The sum payload coalesces to a 'null' token (q_setops rule).
+    from cosmap_spark.operators.merge import agg_snapshot, apply_agg_delta
+
+    ivm_spec = {
+        "cnt": ("count", None),
+        "nn": ("countnn", "bal_c"),
+        "sb": ("sum", "bal_c"),
+    }
+    ivm_b = tag(
+        apply_agg_delta(
+            agg_snapshot(old, ["nk"], ivm_spec),
+            change_feed(old, mor_deltas, ["k"], materialize=False),
+            ["nk"], ivm_spec,
+        ),
+        "ivm", F.col("nk"),
+        F.concat_ws(
+            "|", F.col("cnt").cast("string"), F.col("nn").cast("string"),
+            F.coalesce(F.col("sb").cast("string"), F.lit("null")),
+        ),
+    )
+
     dim = old.select(
         "k", "nk", "bal_c",
         F.to_date(F.lit("2020-01-01")).alias("valid_from"),
@@ -1217,7 +1260,7 @@ def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = union_all
     for branch in (union_distinct, intersect, except_, cross, not_in,
                    above_mean, merge_b, cdc_b, rt_b, mor_b, morc_b,
-                   morw_b,
+                   morw_b, ivm_b,
                    scd2_b, drift_b, drift_cat_b, chi_b, pr_b, tri_b,
                    ks_b, mwu_b, welch_b, prop_b):
         out = out.unionByName(branch)

@@ -939,6 +939,237 @@ def mor_sync(
             "applied": applied}
 
 
+def _canon_agg_spec(
+    group_by: list[str], aggs: dict[str, tuple[str, str | None]]
+) -> dict:
+    return {
+        "group_by": list(group_by),
+        "aggs": {out: [kind, col] for out, (kind, col) in aggs.items()},
+    }
+
+
+def mor_sync_agg(
+    spark,
+    src_path: str,
+    dst_path: str,
+    *,
+    group_by: list[str],
+    aggs: dict[str, tuple[str, str | None]],
+    src_fs=None,
+    dst_fs=None,
+) -> dict:
+    """Maintain a downstream AGGREGATE of a MOR store incrementally —
+    a materialized ``GROUP BY`` view refreshed at **O(changes +
+    aggregate-touched)** per call, never re-scanning the source table
+    (the IVM twin of :func:`mor_sync`, which replicates rows).  The
+    destination is itself a manifest-backend MOR store keyed by
+    ``group_by`` whose current view always equals
+    ``operators.merge.agg_snapshot(mor_read(src), group_by, aggs)``
+    (the law pinned in tests/test_mor.py).  ``aggs`` follows
+    :func:`~cosmap_spark.operators.merge.agg_snapshot`'s spec: count /
+    countnn / sum only (min/max are not self-maintainable under
+    deletes), every sum with its countnn witness.
+
+    Each refresh reads the NET feed since the last synced source
+    version (:func:`mor_changes`), folds it into per-group deltas (one
+    batch-sized aggregation), joins the deltas against the maintained
+    aggregate PINNED at the cursor's destination version, and appends
+    ONE epoch of ABSOLUTE post-image rows (plus tombstones for groups
+    whose row count reached 0).  Absolute values — not deltas — are
+    what make the crash windows safe:
+
+    * die after the append, before the cursor publish → the replay
+      recomputes the SAME absolute rows from the same pinned
+      destination version (the crashed epoch is invisible at that
+      version) and appends them again: an idempotent upsert, so the
+      view is unchanged — exactly-once EFFECT, at-least-once epochs.
+      A delta-valued epoch would double-apply here, which is why the
+      destination must be manifest-backend (the replay needs
+      ``mor_read(version=)``);
+    * bootstrap publishes the cursor FIRST (source version pinned),
+      then initializes the destination with the full aggregate at that
+      version — each crash point replays deterministically, same
+      ordering argument as :func:`mor_sync`.
+
+    The cursor (``<dst_path>.aggsync``) also records the spec;
+    refreshing with a different ``group_by``/``aggs`` refuses (the
+    frozen-parameter provenance discipline).  NULL grouping values are
+    refused — they cannot be MOR merge keys; maintain such a view with
+    :func:`~cosmap_spark.operators.merge.apply_agg_delta` directly.
+
+    Published design: self-maintainable distributive aggregates over a
+    CDC feed (classic IVM; Delta Lake's aggregate-redirect pattern).
+    """
+    from cosmap_spark.operators.merge import (
+        _agg_deltas, _check_agg_spec, agg_snapshot,
+    )
+    from cosmap_spark.sinks.commit import ManifestStore
+
+    if _store_kind(src_path, src_fs) != "manifest":
+        raise ValueError(
+            "mor_sync_agg: the source must be a manifest-backend "
+            "store (the change feed needs version history)"
+        )
+    src = _manifest_store(src_path, src_fs)
+    src_version, src_man = src.latest()
+    src_cols = [f["name"] for f in src_man["schema"]["fields"]]
+    _check_agg_spec(src_cols, group_by, aggs)
+    missing = [g for g in group_by if g not in src_cols]
+    if missing:
+        raise ValueError(
+            f"mor_sync_agg: group column(s) {missing} not in source "
+            "schema"
+        )
+    spec = _canon_agg_spec(group_by, aggs)
+    cursor = ManifestStore(dst_path.rstrip("/") + ".aggsync", dst_fs)
+
+    dst_exists = True
+    try:
+        _store_kind(dst_path, dst_fs)
+    except ValueError:
+        dst_exists = False
+
+    def dst_version_now() -> int:
+        return _manifest_store(dst_path, dst_fs).latest()[0]
+
+    if not cursor.exists():
+        if dst_exists:
+            raise ValueError(
+                f"mor_sync_agg: {dst_path!r} exists but has no sync "
+                f"cursor ({dst_path}.aggsync) — refusing to adopt a "
+                "store of unknown provenance"
+            )
+        # leg 1: pin the source version (and the spec) FIRST
+        cursor.publish(
+            {"src_version": src_version, "dst_version": None,
+             "spec": spec},
+            expected_version=0,
+        )
+        cur_v, cur = 1, {"src_version": src_version,
+                         "dst_version": None, "spec": spec}
+    else:
+        cur_v, cur = cursor.latest()
+        if cur["spec"] != spec:
+            raise ValueError(
+                f"mor_sync_agg: spec mismatch — cursor records "
+                f"{cur['spec']} but this call passed {spec}; a "
+                "different aggregate needs a fresh destination"
+            )
+    synced = int(cur["src_version"])
+
+    if cur["dst_version"] is None:
+        # bootstrap leg 2 (or its replay): build the full aggregate at
+        # the PINNED version, then record the destination version
+        if not dst_exists:
+            snap0 = agg_snapshot(
+                mor_read(spark, src_path, version=synced, fs=src_fs),
+                list(group_by), aggs,
+            )
+            mor_init(snap0, dst_path, list(group_by),
+                     backend="manifest", fs=dst_fs)
+        cursor.publish(
+            {"src_version": synced, "dst_version": dst_version_now(),
+             "spec": spec},
+            expected_version=cur_v,
+        )
+        return {"from_version": None, "to_version": synced,
+                "applied": True}
+
+    if src_version == synced:
+        return {"from_version": synced, "to_version": synced,
+                "applied": False}
+
+    try:
+        feed = mor_changes(spark, src_path, from_version=synced,
+                           to_version=src_version, fs=src_fs)
+    except ValueError as e:
+        if "expired" in str(e):
+            raise ValueError(
+                "mor_sync_agg: the source history needed to catch up "
+                f"has been expired (cursor at v{synced}) — remove "
+                f"{dst_path!r} and {dst_path}.aggsync and sync again "
+                "(a full re-aggregation)"
+            ) from e
+        raise
+    null_groups = feed.where(
+        F.lit(False) | _any_null(group_by)
+    ).limit(1).count()
+    if null_groups:
+        raise ValueError(
+            "mor_sync_agg: NULL grouping value in the change feed — "
+            "aggregate-store keys cannot be NULL; maintain such a "
+            "view with operators.merge.apply_agg_delta on frames"
+        )
+    dl = _agg_deltas(feed, list(group_by), aggs, CHANGE_TYPE_COL)
+
+    old = mor_read(spark, dst_path,
+                   version=int(cur["dst_version"]), fs=dst_fs)
+    joined = dl.join(
+        old,
+        [F.col(f"__g_{g}") == F.col(g) for g in group_by],
+        "left",
+    )
+    count_out = next(o for o, (k, _) in aggs.items() if k == "count")
+    nn_for = {c: o for o, (k, c) in aggs.items() if k == "countnn"}
+    new_by_out = {
+        out: F.coalesce(F.col(out), F.lit(0))
+        + F.coalesce(F.col(f"__d_{out}"), F.lit(0))
+        for out in aggs
+    }
+    proj = [F.col(f"__g_{g}").alias(g) for g in group_by]
+    for out, (kind, col) in aggs.items():
+        v = new_by_out[out]
+        if kind == "sum":
+            v = F.when(new_by_out[nn_for[col]] > 0, v)
+        elif out == count_out:
+            v = F.when(v >= 0, v).otherwise(
+                F.assert_true(
+                    F.lit(False),
+                    F.lit("mor_sync_agg: group count went negative — "
+                          "source feed inconsistent with maintained "
+                          "aggregate"),
+                ).cast("long")
+            )
+        proj.append(v.alias(out))
+    # old's presence witness: the maintained count is never NULL for
+    # an existing group, so col(count_out) from the old side is the
+    # matched marker (pre-projection)
+    touched = joined.select(
+        *proj, F.col(count_out).isNotNull().alias("__was_present")
+    ).localCheckpoint()
+    upserts = touched.where(F.col(count_out) > 0).select(
+        *group_by, *aggs, F.lit(False).alias(DELETE_COL)
+    )
+    tombstones = touched.where(
+        (F.col(count_out) == 0) & F.col("__was_present")
+    ).select(
+        *group_by,
+        *[F.lit(None).cast(dict(touched.dtypes)[out]).alias(out)
+          for out in aggs],
+        F.lit(True).alias(DELETE_COL),
+    )
+    batch = upserts.unionByName(tombstones)
+    applied = False
+    if batch.limit(1).count():
+        mor_append(spark, dst_path, batch, assume_unique=True,
+                   fs=dst_fs)
+        applied = True
+    cursor.publish(
+        {"src_version": src_version, "dst_version": dst_version_now(),
+         "spec": spec},
+        expected_version=cur_v,
+    )
+    return {"from_version": synced, "to_version": src_version,
+            "applied": applied}
+
+
+def _any_null(cols: list[str]):
+    out = F.lit(False)
+    for c in cols:
+        out = out | F.col(c).isNull()
+    return out
+
+
 def mor_vacuum(path: str, *, min_age_seconds: float = 3600.0,
                dry_run: bool = False, fs=None) -> list[str]:
     """Remove crash debris — temp directories a died writer leaked

@@ -1826,3 +1826,185 @@ def test_mor_verbs_refuse_non_mor_manifest_store(spark, tmp_path):
     ):
         with pytest.raises(ValueError, match="not a.*merge-on-read"):
             fn()
+
+
+def _agg_spec():
+    return {"c": ("count", None), "nn": ("countnn", "v"),
+            "s": ("sum", "v")}
+
+
+def _agg_law(spark, src, dst):
+    from cosmap_spark.operators.merge import agg_snapshot
+
+    want = agg_snapshot(mor_read(spark, src), ["g"], _agg_spec())
+    assert _rows(mor_read(spark, dst)) == _rows(want)
+
+
+def _gbatch(spark, rows):
+    return spark.createDataFrame(
+        rows, "k long, g string, v long, __deleted boolean"
+    )
+
+
+def test_mor_sync_agg_law_and_incremental(spark, tmp_path):
+    """mor_sync_agg maintains agg_snapshot(src) as a MOR store: the
+    law holds after bootstrap and after each refresh — value updates,
+    group-moving updates, a group dying (tombstone epoch), a fresh
+    group, a sum going all-null — with exactly ONE destination epoch
+    per applied refresh and a cursor-only advance for a
+    pure-compaction range."""
+    from cosmap_spark.sinks.mor import mor_sync_agg
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "agg")
+    base = spark.range(0, 20).select(
+        F.col("id").alias("k"),
+        F.chr(F.lit(97) + (F.col("id") % 4)).alias("g"),
+        (F.col("id") * 10).alias("v"),
+    ).unionByName(spark.createDataFrame(
+        [(50, "z", None)], "k long, g string, v long"))
+    mor_init(base, src, ["k"], backend="manifest")
+
+    r = mor_sync_agg(spark, src, dst, group_by=["g"], aggs=_agg_spec())
+    assert r["applied"]
+    _agg_law(spark, src, dst)
+    # the all-null singleton group surfaces SQL NULL at bootstrap
+    z = mor_read(spark, dst).where(F.col("g") == "z").collect()[0]
+    assert (z["c"], z["nn"], z["s"]) == (1, 0, None)
+
+    r = mor_sync_agg(spark, src, dst, group_by=["g"], aggs=_agg_spec())
+    assert not r["applied"]
+
+    # refresh: update in place, move b->a, fresh group, kill z,
+    # and drive group d all-null
+    mor_append(spark, src, _gbatch(spark, [
+        (1, "b", 210, False),          # value update within b
+        (2, "a", 20, False),           # moves c -> a
+        (60, "n", 600, False),         # fresh group n
+        (50, None, None, True),        # kills z
+        (3, "d", None, False), (7, "d", None, False),
+        (11, "d", None, False), (15, "d", None, False),
+        (19, "d", None, False),        # d goes all-null
+    ]))
+    before = _n_epochs(dst)
+    r = mor_sync_agg(spark, src, dst, group_by=["g"], aggs=_agg_spec())
+    assert r["applied"] and _n_epochs(dst) == before + 1
+    _agg_law(spark, src, dst)
+    got = {r["g"]: (r["c"], r["nn"], r["s"])
+           for r in mor_read(spark, dst).collect()}
+    assert "z" not in got                       # tombstoned
+    assert got["n"] == (1, 1, 600)              # fresh
+    assert got["d"] == (5, 0, None)             # all-null sum
+    assert got["a"][0] == 6 and got["c"][0] == 4  # group move
+
+    # pure compaction: cursor advances, no destination epoch
+    mor_compact(spark, src)
+    before = _n_epochs(dst)
+    r = mor_sync_agg(spark, src, dst, group_by=["g"], aggs=_agg_spec())
+    assert not r["applied"] and _n_epochs(dst) == before
+
+    # chained refresh after compaction
+    mor_append(spark, src, _gbatch(spark, [(60, None, None, True)]))
+    r = mor_sync_agg(spark, src, dst, group_by=["g"], aggs=_agg_spec())
+    assert r["applied"]
+    _agg_law(spark, src, dst)
+    assert "n" not in {r["g"] for r in mor_read(spark, dst).collect()}
+
+
+def test_mor_sync_agg_replay_windows(spark, tmp_path):
+    """Crash after the destination append, before the cursor publish:
+    the replay recomputes the SAME absolute rows from the pinned
+    destination version and re-appends them — idempotent upsert, view
+    unchanged (exactly-once effect, at-least-once epochs).  Bootstrap
+    leg-1-only crash (cursor without store) completes at the PINNED
+    source version."""
+    from cosmap_spark.sinks.commit import ManifestStore
+    from cosmap_spark.sinks.mor import _canon_agg_spec, mor_sync_agg
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "agg")
+    base = spark.range(0, 12).select(
+        F.col("id").alias("k"),
+        F.chr(F.lit(97) + (F.col("id") % 3)).alias("g"),
+        (F.col("id") * 10).alias("v"),
+    )
+    mor_init(base, src, ["k"], backend="manifest")
+    mor_sync_agg(spark, src, dst, group_by=["g"], aggs=_agg_spec())
+    mor_append(spark, src, _gbatch(spark, [
+        (1, "b", 111, False), (0, None, None, True)]))
+
+    real = ManifestStore.publish
+
+    def dying(self, manifest, *, expected_version):
+        if "spec" in manifest:
+            raise RuntimeError("injected: died before cursor publish")
+        return real(self, manifest, expected_version=expected_version)
+
+    ManifestStore.publish = dying
+    try:
+        with pytest.raises(RuntimeError, match="injected"):
+            mor_sync_agg(spark, src, dst, group_by=["g"],
+                         aggs=_agg_spec())
+    finally:
+        ManifestStore.publish = real
+    # the epoch LANDED but the cursor did not move
+    assert _n_epochs(dst) == 1
+    assert ManifestStore(dst + ".aggsync").latest()[1]["src_version"] == 1
+    # replay: same absolute rows re-appended, view converges
+    r = mor_sync_agg(spark, src, dst, group_by=["g"], aggs=_agg_spec())
+    assert r["applied"] and _n_epochs(dst) == 2
+    _agg_law(spark, src, dst)
+
+    # bootstrap leg-1-only crash: cursor pinned at v1, source advanced
+    dst2 = str(tmp_path / "agg2")
+    ManifestStore(dst2 + ".aggsync").publish(
+        {"src_version": 1, "dst_version": None,
+         "spec": _canon_agg_spec(["g"], _agg_spec())},
+        expected_version=0,
+    )
+    r = mor_sync_agg(spark, src, dst2, group_by=["g"], aggs=_agg_spec())
+    assert r["to_version"] == 1          # the PINNED version, not head
+    from cosmap_spark.operators.merge import agg_snapshot
+
+    want = agg_snapshot(mor_read(spark, src, version=1), ["g"],
+                        _agg_spec())
+    assert _rows(mor_read(spark, dst2)) == _rows(want)
+    r = mor_sync_agg(spark, src, dst2, group_by=["g"], aggs=_agg_spec())
+    assert r["applied"]
+    _agg_law(spark, src, dst2)
+
+
+def test_mor_sync_agg_guards(spark, tmp_path):
+    """Rename-backend source, spec drift, adopting a cursor-less
+    destination, and NULL grouping values in the feed all refuse."""
+    from cosmap_spark.sinks.mor import mor_sync_agg
+
+    base = spark.range(0, 6).select(
+        F.col("id").alias("k"), F.lit("a").alias("g"),
+        (F.col("id") * 10).alias("v"),
+    )
+    rsrc = str(tmp_path / "rsrc")
+    mor_init(base, rsrc, ["k"])
+    with pytest.raises(ValueError, match="manifest-backend"):
+        mor_sync_agg(spark, rsrc, str(tmp_path / "d"),
+                     group_by=["g"], aggs=_agg_spec())
+
+    src = str(tmp_path / "src")
+    mor_init(base, src, ["k"], backend="manifest")
+    dst = str(tmp_path / "agg")
+    mor_sync_agg(spark, src, dst, group_by=["g"], aggs=_agg_spec())
+    with pytest.raises(ValueError, match="spec mismatch"):
+        mor_sync_agg(spark, src, dst, group_by=["g"],
+                     aggs={"c": ("count", None)})
+
+    orphan = str(tmp_path / "orphan")
+    mor_init(base.select("g", "v").groupBy("g").count(), orphan, ["g"],
+             backend="manifest")
+    with pytest.raises(ValueError, match="provenance"):
+        mor_sync_agg(spark, src, orphan, group_by=["g"],
+                     aggs=_agg_spec())
+
+    # NULL grouping value arriving through the feed refuses loudly
+    mor_append(spark, src, _gbatch(spark, [(1, None, 99, False)]))
+    with pytest.raises(ValueError, match="NULL grouping"):
+        mor_sync_agg(spark, src, dst, group_by=["g"], aggs=_agg_spec())
