@@ -445,6 +445,12 @@ def q_knn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
       streams through one Arrow pass with a per-batch local top-k
       under a total order;
 
+    * ``bq`` — BINARY-QUANTIZED compressed exhaustive scan
+      (operators/knn.py::knn_binary): sign-bit words (32× vs float32),
+      JVM ``bit_count(xor)`` Hamming shortlist, exact cosine re-rank —
+      train-free and bucket-free, the no-recall-cliff member; equals
+      brute force EXACTLY once rerank ≥ corpus (pinned);
+
     * ``tsearch`` — the TIME-SERIES member of the family: top-5
       z-normalized subsequence matches to two fixed probe patterns
       over the events value series (operators/tseries.py,
@@ -472,6 +478,7 @@ def knn_ann_union(
     opq_rot=None,
     opq_books=None,
     opq_coded=None,
+    bq_bits=None,
 ) -> DataFrame:
     """The q_knn_ann plan, with the trained/derived artifacts
     injectable: ``index`` an ``ivf_build`` result, ``codebooks`` a
@@ -603,9 +610,21 @@ def knn_ann_union(
             )
         ).cast("long").alias("rn"),
     ).where(F.col("rn") <= 5)
+    # bq — binary-quantized compressed exhaustive scan (knn_binary):
+    # sign-bit words + JVM bit_count(xor) Hamming shortlist + exact
+    # cosine re-rank.  No training and no bucketing — the family's
+    # no-recall-cliff member; the scan reads one LONG per vector.
+    from cosmap_spark.operators.knn import knn_binary
+
+    bq = knn_binary(
+        emb, queries, k=5, dim=64, rerank=100, prebuilt_bits=bq_bits,
+    ).select(
+        F.lit("bq").alias("method"), "qid", "nid",
+        F.col("sim").alias("score"), "rn",
+    )
     out = (
         lsh.unionByName(ivf).unionByName(ivfpq).unionByName(opq)
-        .unionByName(colbert)
+        .unionByName(colbert).unionByName(bq)
     )
     if tsearch:
         # no trainable artifact: bench's train/serve split passes

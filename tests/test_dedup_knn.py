@@ -1009,3 +1009,55 @@ def test_winnow_fingerprints_matches_reference(spark):
     # df valve: a fingerprint present in > max_fp_df docs is dropped
     allpairs = winnow_dup_pairs(df, k=k, w=w, min_shared=1, max_fp_df=1)
     assert allpairs.count() == 0
+
+
+def test_knn_binary_recall_and_exactness_law(spark):
+    """Binary-quantized scan (knn_binary): recall ≥ 0.9 vs brute force
+    at a 20% shortlist, and the EXACTNESS LAW — with rerank ≥ corpus
+    the shortlist is everything, so the result must equal brute force
+    bit-for-bit (same sims, same ranks).  Prebuilt bits injection
+    serves identically to the inline path."""
+    from cosmap_spark.operators.knn import binarize_vectors, knn_binary
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    exact_rows = knn_bruteforce(emb, q, k=5).collect()
+    exact = {(r["qid"], r["nid"]) for r in exact_rows}
+
+    approx = {
+        (r["qid"], r["nid"])
+        for r in knn_binary(emb, q, k=5, rerank=100).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"binary-quantized recall {recall}"
+
+    full = knn_binary(emb, q, k=5, rerank=500).collect()
+    assert sorted((r["qid"], r["nid"], r["sim"], r["rn"]) for r in full) \
+        == sorted((r["qid"], r["nid"], r["sim"], r["rn"])
+                  for r in exact_rows)
+
+    bits = binarize_vectors(emb, dim=64).localCheckpoint()
+    served = {
+        (r["qid"], r["nid"])
+        for r in knn_binary(emb, q, k=5, rerank=100,
+                            prebuilt_bits=bits).collect()
+    }
+    assert served == approx
+
+
+def test_knn_binary_guards_and_plan(spark):
+    """dim not a multiple of 64 refuses; the serve plan has no
+    nested-loop join and no corpus-sized exchange — the only joins are
+    the broadcast shortlist/query equi-joins."""
+    from cosmap_spark.operators.knn import binarize_vectors, knn_binary
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    with pytest.raises(ValueError, match="multiple of 64"):
+        binarize_vectors(emb, dim=60)
+
+    q = emb.where(F.col("vec_id") < 3)
+    plan = knn_binary(emb, q, k=5, rerank=50)._jdf.queryExecution() \
+        .executedPlan().toString().split("== Initial Plan ==")[0]
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
