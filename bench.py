@@ -389,6 +389,10 @@ def main() -> None:
     opq_coded = pq_encode(
         rotate_vectors(emb, opq_rot), opq_books
     ).localCheckpoint(eager=True)
+    # binary-quantization words (the bq branch's persisted artifact)
+    from cosmap_spark.operators.knn import binarize_vectors
+
+    bq_bits = binarize_vectors(emb, dim=64).localCheckpoint(eager=True)
     train_t = time.perf_counter() - t0
     serve_t = float("inf")
     for _ in range(2):
@@ -397,6 +401,7 @@ def main() -> None:
             spark, sf_dir, index=index, codebooks=books,
             lsh_index=lsh_idx, coded=coded, tsearch=False,
             opq_rot=opq_rot, opq_books=opq_books, opq_coded=opq_coded,
+            bq_bits=bq_bits,
         ).count()
         serve_t = min(serve_t, time.perf_counter() - t0)
     split = {"train": round(train_t, 3), "serve": round(serve_t, 3)}

@@ -39,6 +39,7 @@ def save_ann_index(
     opq=None,
     opq_codebooks=None,
     opq_coded: DataFrame | None = None,
+    bq_bits: DataFrame | None = None,
     backend: str = "rename",
     fs=None,
 ) -> None:
@@ -165,6 +166,11 @@ def save_ann_index(
         # flat OPQ-PQ has no inverted lists to prune — plain layout
         opq_coded.write.mode("overwrite").parquet(dest("opq_coded"))
         manifest["components"].append("opq_coded")
+    if bq_bits is not None:
+        # binarize_vectors words (the knn_binary serve artifact): one
+        # LONG array per id — the 32x-compressed scan column
+        bq_bits.write.mode("overwrite").parquet(dest("bq_bits"))
+        manifest["components"].append("bq")
     if ms is not None:
         version = ms.versions()[-1] if ms.exists() else 0
         ms.publish(
@@ -437,6 +443,8 @@ def load_ann_index(spark: SparkSession, path: str, *,
         out["opq_books"] = books
     if "opq_coded" in manifest["components"]:
         out["opq_coded"] = spark.read.parquet(src("opq_coded"))
+    if "bq" in manifest["components"]:
+        out["bq_bits"] = spark.read.parquet(src("bq_bits"))
     if manifest.get("residual"):
         out["residual"] = True
     return out

@@ -52,14 +52,18 @@ def test_save_load_serve_identical(spark, tmp_path):
         assigned, books, id_col="nid", vec_col="nvec", keep=["cid"]
     ).localCheckpoint(eager=True)
     lsh_idx = lsh_build(emb, dim=64).localCheckpoint(eager=True)
+    from cosmap_spark.operators.knn import binarize_vectors
+
+    bits = binarize_vectors(emb, dim=64).localCheckpoint(eager=True)
 
     p = str(tmp_path / "index")
     save_ann_index(
         p, index=(cents, assigned), codebooks=books,
-        lsh_index=lsh_idx, coded=coded,
+        lsh_index=lsh_idx, coded=coded, bq_bits=bits,
     )
     loaded = load_ann_index(spark, p)
-    assert set(loaded) == {"index", "codebooks", "lsh_index", "coded"}
+    assert set(loaded) == {"index", "codebooks", "lsh_index", "coded",
+                           "bq_bits"}
     assert loaded["codebooks"] == [[list(map(float, c)) for c in s] for s in books]
     # ivf_build returns centroids in collect order; identity is the
     # cid→vector mapping, not the list order
@@ -73,7 +77,8 @@ def test_save_load_serve_identical(spark, tmp_path):
     opq_art = _opq_artifacts(spark, emb)
     mem = knn_ann_union(
         spark, SF, index=(cents, assigned), codebooks=books,
-        lsh_index=lsh_idx, coded=coded, tsearch=False, **opq_art,
+        lsh_index=lsh_idx, coded=coded, tsearch=False, bq_bits=bits,
+        **opq_art,
     )
     disk = knn_ann_union(spark, SF, tsearch=False, **loaded, **opq_art)
     assert _rows(mem) == _rows(disk) and mem.count() > 0
