@@ -629,6 +629,7 @@ def apply_agg_delta(
     aggs: dict[str, tuple[str, str | None]],
     *,
     change_type_col: str = "_change_type",
+    materialize: bool = True,
 ) -> DataFrame:
     """Incremental view maintenance for distributive aggregates: fold
     a NET change feed (:func:`change_feed` / ``sinks.mor.mor_changes``
@@ -674,6 +675,21 @@ def apply_agg_delta(
             "it must be agg_snapshot's output for the same spec"
         )
     deltas = _agg_deltas(feed, group_by, aggs, change_type_col)
+    if materialize:
+        # the delta aggregate is the smallest multi-consumer frame
+        # (touched-group join AND fresh-group probe both read it) and
+        # it is GROUP-count sized; checkpointing it evaluates the feed
+        # lineage ONCE and keeps two copies of the feed's (often
+        # deeply unioned) plan out of this operator's tree — measured
+        # on the q_setops gate fixture: the un-materialized twin
+        # re-plans the nested feed twice and dominates the branch's
+        # cost.  Pass False only when the feed lineage is trivially
+        # cheap AND laziness matters (pure-algebra unit laws).
+        # eager=False: the plan truncates IMMEDIATELY (that is the
+        # cost being cut) while execution stays lazy, so in-plan
+        # guards (unknown change type) still surface at the first
+        # action rather than at operator-build time.
+        deltas = deltas.localCheckpoint(eager=False)
 
     # which countnn entry witnesses each sum's nullability
     nn_for = {c: o for o, (k, c) in aggs.items() if k == "countnn"}

@@ -744,13 +744,15 @@ def test_apply_agg_delta_spec_validation(spark):
     with pytest.raises(ValueError, match="grouping column"):
         agg_snapshot(df, ["g"], {"c": ("count", None),
                                  "nn": ("countnn", "g")})
+    # a LITERAL bogus type folds at planning (raises at build); a
+    # column-valued one raises at the first action — both loud, never
+    # silently dropped
     feed = df.withColumn("_change_type", F.lit("upsert"))
-    out = apply_agg_delta(
-        agg_snapshot(df, ["g"], {"c": ("count", None)}),
-        feed, ["g"], {"c": ("count", None)},
-    )
     with pytest.raises(Exception, match="unknown change type"):
-        out.collect()
+        apply_agg_delta(
+            agg_snapshot(df, ["g"], {"c": ("count", None)}),
+            feed, ["g"], {"c": ("count", None)},
+        ).collect()
 
 
 def test_apply_agg_delta_double_apply_raises(spark):
