@@ -259,9 +259,52 @@ def main() -> None:
             mor_read(spark, vstore).count()
         print("downstream replica synced: bootstrap + no-op catch-up")
 
+        # 9. maintained aggregate view (IVM) -----------------------------
+        # (round 10: mor_sync_agg keeps a GROUP BY of the source store
+        # fresh at O(changes + touched groups) per refresh — the
+        # dashboard aggregate that never re-scans the table; each
+        # refresh appends ONE epoch of absolute post-image rows)
+        from cosmap_spark.operators.merge import agg_snapshot
+        from cosmap_spark.sinks.mor import mor_append, mor_sync_agg
+
+        spec = {"customers": ("count", None),
+                "bal_cnt": ("countnn", "c_acctbal"),
+                "bal_sum": ("sum", "c_acctbal")}
+        aggview = os.path.join(root, "mor_agg")
+        mor_sync_agg(spark, vstore, aggview,
+                     group_by=["c_nationkey"], aggs=spec)
+        # an O(batch) source change, then an O(changes) refresh
+        movers = mor_read(spark, vstore).limit(3).select(
+            "c_custkey",
+            F.lit(99).cast(dict(snap.dtypes)["c_nationkey"])
+            .alias("c_nationkey"),
+            *[c for c in snap.columns
+              if c not in ("c_custkey", "c_nationkey")],
+            F.lit(False).alias("__deleted"),
+        )
+        mor_append(spark, vstore, movers)
+        r = mor_sync_agg(spark, vstore, aggview,
+                         group_by=["c_nationkey"], aggs=spec)
+        assert r["applied"]
+        got = {r["c_nationkey"]: (r["customers"], r["bal_sum"])
+               for r in mor_read(spark, aggview).collect()}
+        want = {r["c_nationkey"]: (r["customers"], r["bal_sum"])
+                for r in agg_snapshot(
+                    mor_read(spark, vstore), ["c_nationkey"], spec
+                ).collect()}
+        assert set(got) == set(want) and got[99][0] == 3
+        assert all(
+            got[k][0] == want[k][0]
+            and abs((got[k][1] or 0) - (want[k][1] or 0)) < 1e-6
+            for k in want
+        )
+        print(f"maintained aggregate: {len(got)} nation rows, "
+              "incremental refresh == direct GROUP BY")
+
         print("store health (the maintenance page an operator acts on):")
         for r in store_health(
-            spark, {"mor_table": mstore, "mor_versioned": vstore}
+            spark, {"mor_table": mstore, "mor_versioned": vstore,
+                    "mor_agg": aggview}
         ).orderBy("subject", "statistic").collect():
             flag = "  <-- act" if r["significant"] else ""
             print(f"  {r['subject']:<14} {r['statistic']:<28} "
