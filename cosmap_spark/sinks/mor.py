@@ -850,6 +850,7 @@ def mor_sync(
         )
     src = _manifest_store(src_path, src_fs)
     src_version, src_man = src.latest()
+    src_key = _src_key(src_path, src_fs)
     cursor = ManifestStore(dst_path.rstrip("/") + ".sync", dst_fs)
 
     dst_exists = True
@@ -870,10 +871,14 @@ def mor_sync(
                 "(or remove the store to re-bootstrap)"
             )
         # bootstrap leg 1: pin the source version FIRST (see docstring)
-        cursor.publish({"src_version": src_version}, expected_version=0)
+        cursor.publish(
+            {"src_version": src_version, "src_path": src_key},
+            expected_version=0,
+        )
         cur_v, cur = 1, {"src_version": src_version}
     else:
         cur_v, cur = cursor.latest()
+        _check_cursor_src(cur, src_key, "mor_sync")
     synced = int(cur["src_version"])
     if not dst_exists:
         # bootstrap leg 2: initialize from the PINNED version (the
@@ -934,9 +939,35 @@ def mor_sync(
         mor_append(spark, dst_path, batch, assume_unique=True,
                    allow_new_columns=True, fs=dst_fs)
         applied = True
-    cursor.publish({"src_version": src_version}, expected_version=cur_v)
+    cursor.publish(
+        {"src_version": src_version, "src_path": src_key},
+        expected_version=cur_v,
+    )
     return {"from_version": synced, "to_version": src_version,
             "applied": applied}
+
+
+def _src_key(src_path: str, src_fs) -> str:
+    """The cursor's source-identity token: absolute for plain local
+    paths (two spellings of one directory must not look like two
+    sources), verbatim under a custom CommitFS (its namespace is
+    opaque here)."""
+    return src_path if src_fs is not None else os.path.abspath(src_path)
+
+
+def _check_cursor_src(cur: dict, src_key: str, op: str) -> None:
+    """Refuse syncing a destination from a DIFFERENT source than the
+    one its cursor records — silently mixing sources would corrupt the
+    replica with no error.  Cursors published before the stamp existed
+    (no ``src_path`` key) are adopted and stamped on the next
+    publish."""
+    recorded = cur.get("src_path")
+    if recorded is not None and recorded != src_key:
+        raise ValueError(
+            f"{op}: cursor records source {recorded!r} but this call "
+            f"passed {src_key!r} — a destination tracks ONE source; "
+            "point dst_path somewhere fresh to sync from another"
+        )
 
 
 def _canon_agg_spec(
@@ -1012,6 +1043,7 @@ def mor_sync_agg(
         )
     src = _manifest_store(src_path, src_fs)
     src_version, src_man = src.latest()
+    src_key = _src_key(src_path, src_fs)
     src_cols = [f["name"] for f in src_man["schema"]["fields"]]
     _check_agg_spec(src_cols, group_by, aggs)
     missing = [g for g in group_by if g not in src_cols]
@@ -1042,13 +1074,14 @@ def mor_sync_agg(
         # leg 1: pin the source version (and the spec) FIRST
         cursor.publish(
             {"src_version": src_version, "dst_version": None,
-             "spec": spec},
+             "spec": spec, "src_path": src_key},
             expected_version=0,
         )
         cur_v, cur = 1, {"src_version": src_version,
                          "dst_version": None, "spec": spec}
     else:
         cur_v, cur = cursor.latest()
+        _check_cursor_src(cur, src_key, "mor_sync_agg")
         if cur["spec"] != spec:
             raise ValueError(
                 f"mor_sync_agg: spec mismatch — cursor records "
@@ -1069,7 +1102,7 @@ def mor_sync_agg(
                      backend="manifest", fs=dst_fs)
         cursor.publish(
             {"src_version": synced, "dst_version": dst_version_now(),
-             "spec": spec},
+             "spec": spec, "src_path": src_key},
             expected_version=cur_v,
         )
         return {"from_version": None, "to_version": synced,
@@ -1156,7 +1189,7 @@ def mor_sync_agg(
         applied = True
     cursor.publish(
         {"src_version": src_version, "dst_version": dst_version_now(),
-         "spec": spec},
+         "spec": spec, "src_path": src_key},
         expected_version=cur_v,
     )
     return {"from_version": synced, "to_version": src_version,

@@ -1922,7 +1922,12 @@ def store_health(spark: SparkSession, stores: dict[str, str], *,
     - monitor stores additionally report ``rows:<subdir>`` per state
       table (monitor state is O(cols·bins)-sized, so counting is
       cheap; MOR bases are table-sized and deliberately NEVER counted
-      here — health must not cost a scan).
+      here — health must not cost a scan);
+    - sync destinations (a ``<path>.sync`` / ``<path>.aggsync`` cursor
+      beside the store) report ``sync_src_version`` /
+      ``aggsync_src_version`` and, via the cursor's ``src_path``
+      stamp, ``*_lag_versions`` = source head − synced (significant
+      when behind — sync me).
 
     Everything else is driver-local filesystem listings — zero Spark
     jobs except the small state-table counts."""
@@ -1949,7 +1954,29 @@ def store_health(spark: SparkSession, stores: dict[str, str], *,
         ]
         return max(es) if es else None
 
+    def sync_facts(name: str, path: str) -> None:
+        # a replica / maintained-aggregate destination carries its
+        # cursor BESIDE the store (<path>.sync / <path>.aggsync); the
+        # round-10 src_path stamp lets health compute staleness —
+        # source head minus synced version, significant when behind
+        from cosmap_spark.sinks.commit import ManifestStore
+
+        for suffix in (".sync", ".aggsync"):
+            cpath = path.rstrip("/") + suffix
+            if not _os.path.isdir(_os.path.join(cpath, "_manifests")):
+                continue
+            cur = ManifestStore(cpath).latest()[1]
+            synced = int(cur["src_version"])
+            kind = suffix[1:]
+            fact(name, f"{kind}_src_version", synced, False)
+            sp = cur.get("src_path")
+            if sp and _os.path.isdir(_os.path.join(sp, "_manifests")):
+                head = ManifestStore(sp).versions()[-1]
+                fact(name, f"{kind}_lag_versions", head - synced,
+                     head > synced)
+
     for name, path in stores.items():
+        sync_facts(name, path)
         is_mor_rename = _os.path.exists(_os.path.join(path, META_NAME))
         is_mor_manifest = (
             not is_mor_rename

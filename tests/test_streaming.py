@@ -2546,3 +2546,75 @@ def test_store_health_page(spark, tmp_path):
     h2 = store_health(spark, {"mon": mon})
     rows2 = {r["statistic"]: r["value"] for r in h2.collect()}
     assert rows2["rows:state"] == 5.0
+
+
+def test_store_health_sync_staleness(spark, tmp_path):
+    """Replica / maintained-aggregate destinations report their sync
+    cursor's source version and STALENESS (source head − synced,
+    significant when behind) — the round-10 src_path stamp makes the
+    lag computable from the cursor alone."""
+    from pyspark.sql import functions as F
+
+    from cosmap_spark.sinks.mor import (
+        DELETE_COL, mor_append, mor_init, mor_sync, mor_sync_agg,
+    )
+    from cosmap_spark.streaming.ops import store_health
+
+    src = str(tmp_path / "src")
+    base = spark.range(0, 20).select(
+        F.col("id").alias("k"), F.lit("a").alias("g"),
+        (F.col("id") * 2).alias("v"),
+    )
+    mor_init(base, src, ["k"], backend="manifest")
+    rep = str(tmp_path / "rep")
+    agg = str(tmp_path / "agg")
+    mor_sync(spark, src, rep)
+    mor_sync_agg(spark, src, agg, group_by=["g"],
+                 aggs={"c": ("count", None)})
+
+    def lag(store):
+        h = store_health(spark, {"s": store})
+        return {r["statistic"]: (r["value"], r["significant"])
+                for r in h.collect()}
+
+    assert lag(rep)["sync_lag_versions"] == (0.0, False)
+    assert lag(agg)["aggsync_lag_versions"] == (0.0, False)
+
+    mor_append(spark, src, spark.createDataFrame(
+        [(1, "a", 99, False)],
+        f"k long, g string, v long, {DELETE_COL} boolean",
+    ))
+    assert lag(rep)["sync_lag_versions"] == (1.0, True)
+    assert lag(agg)["aggsync_lag_versions"] == (1.0, True)
+    mor_sync(spark, src, rep)
+    assert lag(rep)["sync_lag_versions"] == (0.0, False)
+
+
+def test_mor_sync_cross_source_refused(spark, tmp_path):
+    """A destination tracks ONE source: syncing it from a different
+    store refuses loudly (the cursor's src_path stamp) — for both
+    mor_sync and mor_sync_agg."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from cosmap_spark.sinks.mor import mor_init, mor_sync, mor_sync_agg
+
+    base = spark.range(0, 10).select(
+        F.col("id").alias("k"), F.lit("a").alias("g"),
+        (F.col("id") * 2).alias("v"),
+    )
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    mor_init(base, a, ["k"], backend="manifest")
+    mor_init(base, b, ["k"], backend="manifest")
+
+    rep = str(tmp_path / "rep")
+    mor_sync(spark, a, rep)
+    with _pytest.raises(ValueError, match="ONE source"):
+        mor_sync(spark, b, rep)
+
+    agg = str(tmp_path / "agg")
+    spec = {"c": ("count", None)}
+    mor_sync_agg(spark, a, agg, group_by=["g"], aggs=spec)
+    with _pytest.raises(ValueError, match="ONE source"):
+        mor_sync_agg(spark, b, agg, group_by=["g"], aggs=spec)
