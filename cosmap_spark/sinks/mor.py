@@ -1272,6 +1272,62 @@ def mor_vacuum(path: str, *, min_age_seconds: float = 3600.0,
     return removed
 
 
+def mor_restore(spark, path: str, *, version: int, fs=None) -> dict:
+    """RESTORE the store's current view to a historical ``version`` by
+    appending ONE COMPENSATING delta epoch — Delta Lake's ``RESTORE``
+    expressed in the store's own algebra rather than as manifest
+    surgery, which is what keeps every downstream contract intact:
+
+    * history is preserved (the restore is a NEW version; every
+      pre-restore version stays readable);
+    * the change feed sees the restore as ordinary net changes — a
+      manifest-pointer rollback would be INVISIBLE to
+      :func:`mor_changes` (its epoch-dir walk collects dirs on first
+      appearance, so re-listing old dirs yields an empty feed while
+      the view silently changed);
+    * downstream replicas (:func:`mor_sync`) and maintained
+      aggregates (:func:`mor_sync_agg`) therefore converge on their
+      next ordinary refresh;
+    * compaction folds the compensating epoch like any other.
+
+    The epoch is the MINIMAL batch (``operators.merge.snapshot_cdc``
+    between the current view and the view at ``version``):
+    delta-sized, never table-sized — restoring yesterday's version of
+    a 100 TB store costs the two view scans plus O(rows that changed
+    since).  A store whose schema WIDENED since ``version`` keeps the
+    widened schema; the restored rows surface NULL in the new columns
+    (the value they had at ``version``).  Idempotent: restoring to
+    the current content appends nothing.  Manifest backend only
+    (``mor_read(version=)`` needs history); an expired ``version``
+    refuses loudly through the manifest store.
+
+    Returns ``{"restored_to", "head_before", "applied"}``."""
+    from cosmap_spark.operators.merge import snapshot_cdc
+
+    if _store_kind(path, fs) != "manifest":
+        raise ValueError(
+            "mor_restore: time travel needs the manifest backend "
+            "(the rename backend keeps no version history)"
+        )
+    ms = _manifest_store(path, fs)
+    head, man = ms.latest()
+    _require_mor_manifest(man, path, "mor_restore")
+    _check_reader_version(man, "mor_restore")
+    keys = list(man["keys"])
+    current = mor_read(spark, path, fs=fs)
+    target = _fill_to_schema(
+        mor_read(spark, path, version=version, fs=fs), man["schema"]
+    )
+    batch = snapshot_cdc(current, target, keys, delete_col=DELETE_COL)
+    applied = False
+    if batch.limit(1).count():
+        # cdc batches are key-unique by construction
+        mor_append(spark, path, batch, assume_unique=True, fs=fs)
+        applied = True
+    return {"restored_to": version, "head_before": head,
+            "applied": applied}
+
+
 def mor_maintain(
     spark,
     path: str,

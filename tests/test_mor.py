@@ -2008,3 +2008,80 @@ def test_mor_sync_agg_guards(spark, tmp_path):
     mor_append(spark, src, _gbatch(spark, [(1, None, 99, False)]))
     with pytest.raises(ValueError, match="NULL grouping"):
         mor_sync_agg(spark, src, dst, group_by=["g"], aggs=_agg_spec())
+
+
+def test_mor_restore_round_trip_and_feed(spark, tmp_path):
+    """mor_restore: the view equals the historical version afterwards,
+    history stays intact (the restore IS a new version), the change
+    feed classifies it as ordinary net changes, a downstream replica
+    converges on its next sync, and re-restoring is a no-op."""
+    from cosmap_spark.sinks.mor import mor_restore, mor_sync
+
+    src = str(tmp_path / "src")
+    base = spark.range(0, 20).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).alias("v"),
+        F.lit("x").alias("name"),
+    )
+    mor_init(base, src, ["k"], backend="manifest")          # v1
+    rep = str(tmp_path / "rep")
+    mor_sync(spark, src, rep)
+    mor_append(spark, src, _batch(
+        spark, [(1, 111, "u", False), (100, 1000, "new", False)]))  # v2
+    mor_delete_keys(spark, src, spark.createDataFrame([(2,)], "k long"))  # v3
+    mor_sync(spark, src, rep)
+
+    r = mor_restore(spark, src, version=1)
+    assert r["applied"] and r["head_before"] == 3
+    assert _rows(mor_read(spark, src)) == \
+        _rows(mor_read(spark, src, version=1))
+    # history intact: the pre-restore head still reads
+    assert any(r["k"] == 100
+               for r in mor_read(spark, src, version=3).collect())
+
+    # the feed across the restore nets to the compensating changes
+    from cosmap_spark.sinks.mor import CHANGE_TYPE_COL, mor_changes
+
+    feed = {(r["k"], r[CHANGE_TYPE_COL])
+            for r in mor_changes(spark, src, from_version=3).collect()}
+    assert (100, "delete") in feed          # the insert is rolled back
+    assert (2, "insert") in feed            # the delete is rolled back
+    assert (1, "update_postimage") in feed  # the update is rolled back
+
+    # replica converges through an ORDINARY sync
+    mor_sync(spark, src, rep)
+    assert _rows(mor_read(spark, rep)) == _rows(mor_read(spark, src))
+
+    # idempotent: restoring to current content appends nothing
+    r2 = mor_restore(spark, src, version=1)
+    assert not r2["applied"]
+
+
+def test_mor_restore_widened_store_and_guards(spark, tmp_path):
+    """Restoring past a schema widening keeps the widened schema with
+    NULLs in the new column; the rename backend refuses."""
+    from cosmap_spark.sinks.mor import mor_restore
+
+    src = str(tmp_path / "src")
+    base = spark.range(0, 8).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v"),
+        F.lit("x").alias("name"),
+    )
+    mor_init(base, src, ["k"], backend="manifest")          # v1
+    wide = spark.createDataFrame(
+        [(3, 333, "w", 7)], "k long, v long, name string, score long"
+    )
+    mor_append(spark, src, wide, allow_new_columns=True)    # v2
+
+    r = mor_restore(spark, src, version=1)
+    assert r["applied"]
+    view = mor_read(spark, src)
+    assert "score" in view.columns
+    assert view.where(F.col("score").isNotNull()).count() == 0
+    assert _rows(view.drop("score")) == \
+        _rows(mor_read(spark, src, version=1))
+
+    rstore = str(tmp_path / "r")
+    mor_init(base, rstore, ["k"])
+    with pytest.raises(ValueError, match="manifest backend"):
+        mor_restore(spark, rstore, version=1)
