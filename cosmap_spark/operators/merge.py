@@ -748,9 +748,25 @@ def apply_agg_delta(
     # snapshot and feed share lineage (both derive from the maintained
     # table), and fresh named attributes are immune to the self-join
     # attribute-dedup ambiguity an exprId-bound reference risks.
-    existing = F.broadcast(snapshot.select(
-        *[F.col(g).alias(f"__e_{g}") for g in group_by],
-        F.lit(True).alias("__e_present"),
+    # SCALE: the witness frame is restricted to the delta groups FIRST
+    # (snapshot keys ⋉ broadcast delta keys — a column-pruned stream
+    # of the snapshot, batch-sized output), so the broadcast below is
+    # batch-sized even when the maintained aggregate has millions of
+    # groups; broadcasting the full snapshot key set would make
+    # refresh cost scale with the aggregate, not the change batch.
+    snap_keys = snapshot.select(
+        *[F.col(g).alias(f"__e_{g}") for g in group_by]
+    )
+    matched_keys = snap_keys.join(
+        F.broadcast(deltas.select(
+            *[F.col(f"__g_{g}") for g in group_by]
+        )),
+        [F.col(f"__e_{g}").eqNullSafe(F.col(f"__g_{g}"))
+         for g in group_by],
+        "left_semi",
+    )
+    existing = F.broadcast(matched_keys.select(
+        "*", F.lit(True).alias("__e_present")
     ))
     fresh = merged(
         deltas.join(

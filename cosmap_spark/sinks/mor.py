@@ -1133,10 +1133,27 @@ def mor_sync_agg(
             "aggregate-store keys cannot be NULL; maintain such a "
             "view with operators.merge.apply_agg_delta on frames"
         )
-    dl = _agg_deltas(feed, list(group_by), aggs, CHANGE_TYPE_COL)
+    # checkpoint the batch-sized delta aggregate: it feeds both the
+    # touched-group restriction and the outer join below, and a lazy
+    # checkpoint keeps two copies of the feed's plan out of the tree
+    # (the apply_agg_delta plan-size lesson)
+    dl = _agg_deltas(
+        feed, list(group_by), aggs, CHANGE_TYPE_COL
+    ).localCheckpoint(eager=False)
 
-    old = mor_read(spark, dst_path,
-                   version=int(cur["dst_version"]), fs=dst_fs)
+    # restrict the maintained aggregate to TOUCHED groups first (one
+    # broadcast semi-join — the aggregate streams through, output
+    # batch-sized), so the outer join below is batch × batch and the
+    # refresh never shuffles or broadcasts the aggregate itself
+    old = mor_read(
+        spark, dst_path, version=int(cur["dst_version"]), fs=dst_fs
+    ).join(
+        F.broadcast(dl.select(
+            *[F.col(f"__g_{g}").alias(g) for g in group_by]
+        )),
+        list(group_by),
+        "left_semi",
+    )
     joined = dl.join(
         old,
         [F.col(f"__g_{g}") == F.col(g) for g in group_by],
