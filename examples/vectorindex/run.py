@@ -73,9 +73,13 @@ def main() -> None:
 
     with tempfile.TemporaryDirectory() as tmp:
         path = os.path.join(tmp, "ann_index")
-        # 2. persist (cid-partitioned coded store + residual flag)
+        # 2. persist (cid-partitioned coded store + residual flag +
+        # the binary-quantization words for the compressed-scan path)
+        from cosmap_spark.operators.knn import binarize_vectors, knn_binary
+
+        bits = binarize_vectors(base, dim=64)
         save_ann_index(path, index=(cents, assigned), codebooks=books,
-                       coded=coded, residual=True)
+                       coded=coded, residual=True, bq_bits=bits)
         loaded = load_ann_index(spark, path)
         print(f"== persisted components: residual={loaded['residual']}, "
               f"coded lists on disk: "
@@ -118,6 +122,18 @@ def main() -> None:
         recall = len(got & want) / max(len(want), 1)
         print(f"== recall@5 vs brute force after append: {recall:.2f} ==")
         assert recall >= 0.5, "persisted+appended index recall degraded"
+
+        # 5b. binary-quantized compressed scan off the SAME store:
+        # Hamming over the persisted sign-bit words shortlists, exact
+        # cosine re-ranks — no training, no bucketing, no recall cliff
+        bq = knn_binary(base, queries, k=5, rerank=100,
+                        prebuilt_bits=loaded["bq_bits"])
+        got_bq = {(r["qid"], r["nid"]) for r in bq.collect()}
+        want_base = {(r["qid"], r["nid"])
+                     for r in knn_bruteforce(base, queries, k=5).collect()}
+        r_bq = len(got_bq & want_base) / max(len(want_base), 1)
+        print(f"== binary-quantized recall@5 (20% shortlist): {r_bq:.2f} ==")
+        assert r_bq >= 0.8, "binary-quantized scan recall degraded"
 
         # 6. OPQ (round 6): learn an orthogonal rotation on a
         # deterministic hash-sample (the FAISS OPQ pre-transform),
