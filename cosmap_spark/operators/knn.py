@@ -1010,12 +1010,16 @@ def knn_binary(
     Plan shape (the 100 TB contract): queries ship as ONE parsed
     literal (batch-sized — same trick as the ADC LUTs), so scoring is
     a generator over the bits scan — corpus×|Q| Hamming rows exist
-    only inside the map stage; the per-partition Arrow partial top-k
-    (``pq._local_topk``, the shared (dist, nid) total order) cuts the
-    exchange to O(partitions·|Q|·rerank) triples; the float vectors
-    are read ONLY by the shortlist re-rank joins (broadcast equi-joins
-    on nid/qid, batch-sized output).  Hamming itself is
-    ``bit_count(xor)`` per word — JVM, whole-stage codegen.
+    only inside the map stage; the shortlist window's ``row_number ≤
+    rerank`` triggers Spark's WindowGroupLimit rewrite (plan-asserted
+    in tests), which applies the (dist, nid) top-k PER MAP PARTITION
+    before the exchange — the exchange carries
+    O(partitions·|Q|·rerank) triples, wholly JVM (no Arrow stage: a
+    mapInPandas partial top-k measured 2.4× slower end-to-end purely
+    on Python-worker overhead); the float vectors are read ONLY by
+    the shortlist re-rank joins (broadcast equi-joins on nid/qid,
+    batch-sized output).  Hamming itself is ``bit_count(xor)`` per
+    word — whole-stage codegen.
 
     Output matches ``knn_lsh``: (qid, nid, sim, rn), sim = exact
     cosine rounded 6 dp, self-matches excluded, ties broken by nid.
@@ -1024,8 +1028,6 @@ def knn_binary(
     frame (the serve path).  Recall vs brute force is pinned in
     tests/test_dedup_knn.py.
     """
-    from cosmap_spark.operators.pq import _ADC_SCHEMA, _local_topk
-
     bits = (
         prebuilt_bits
         if prebuilt_bits is not None
@@ -1069,12 +1071,11 @@ def knn_binary(
         )
         .where(F.col("qid") != F.col("nid"))
     )
-    partial = scored.mapInPandas(_local_topk(rerank), _ADC_SCHEMA)
     w_short = Window.partitionBy("qid").orderBy(
         F.col("dist").asc(), F.col("nid").asc()
     )
     shortlist = (
-        partial.withColumn("__rn", F.row_number().over(w_short))
+        scored.withColumn("__rn", F.row_number().over(w_short))
         .where(F.col("__rn") <= rerank)
         .select("qid", "nid")
     )

@@ -1061,3 +1061,9 @@ def test_knn_binary_guards_and_plan(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+    # the shortlist's map-side partial top-k: WindowGroupLimit must
+    # fire (it is what bounds the exchange to
+    # O(partitions * |Q| * rerank) — without it the shuffle carries
+    # every corpus x query Hamming row)
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
