@@ -400,9 +400,16 @@ def embedding_dup_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    va = b.select(F.col("id").alias("id_a"), F.col("vec").alias("va"))
-    vb = b.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"))
-    sim = F.round(cosine_similarity(F.col("va"), F.col("vb")), 6)
+    # Per-side norms once per row (round 10; the knn_bruteforce
+    # discipline) — the threshold filter is pushed into the vector
+    # joins' condition, so the naive per-pair cosine evaluated its
+    # norm folds twice per candidate pair; bit-identical values.
+    va = b.select(F.col("id").alias("id_a"), F.col("vec").alias("va"),
+                  norm(F.col("vec")).alias("__na"))
+    vb = b.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"),
+                  norm(F.col("vec")).alias("__nb"))
+    den = F.col("__na") * F.col("__nb")
+    sim = F.round(F.when(den > 0, dot(F.col("va"), F.col("vb")) / den), 6)
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
@@ -718,12 +725,22 @@ def knn_ivf(
         "qvec",
         F.explode(F.transform(probes, lambda s: -s["negcid"])).alias("cid"),
     )
+    # Per-SIDE norms, computed once per row below the probe join (the
+    # knn_bruteforce discipline, applied here in round 10): the naive
+    # cosine re-derives ‖q‖ and ‖n‖ inside every (query, candidate)
+    # pair — 4 extra interpreted HOF folds per pair (den appears in
+    # both the guard and the division) where one dot fold suffices.
+    # Bit-identical: same sqrt/multiply on the same doubles.
     cand = (
-        assigned.join(F.broadcast(q), "cid")
+        assigned.withColumn("__nn", norm(F.col("nvec")))
+        .join(F.broadcast(q.withColumn("__qn", norm(F.col("qvec")))), "cid")
         .where(F.col("nid") != F.col("qid"))
-        .select("qid", "nid", "qvec", "nvec")
+        .select("qid", "nid", "qvec", "nvec", "__qn", "__nn")
     )
-    sim = F.round(cosine_similarity(F.col("qvec"), F.col("nvec")), 6)
+    den = F.col("__qn") * F.col("__nn")
+    sim = F.round(
+        F.when(den > 0, dot(F.col("qvec"), F.col("nvec")) / den), 6
+    )
     scored = cand.select("qid", "nid", sim.alias("sim"))
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
     return (
@@ -777,13 +794,22 @@ def semantic_dedup_pairs(
         corpus, nlist=nlist, iters=iters, id_col=id_col, vec_col=vec_col,
         seed=seed, seeding=seeding,
     )
+    # Per-side norms once per row (round 10; the knn_bruteforce
+    # discipline): the within-cluster join is the quadratic term, and
+    # the naive cosine pays 4 norm folds per PAIR — worse, the
+    # threshold filter is pushed into the join condition, doubling the
+    # whole expression.  One norm per row + one dot per pair instead;
+    # values bit-identical (same sqrt/multiply on the same doubles).
     a = assigned.select(
-        "cid", F.col("nid").alias("id_a"), F.col("nvec").alias("va")
+        "cid", F.col("nid").alias("id_a"), F.col("nvec").alias("va"),
+        norm(F.col("nvec")).alias("__na"),
     )
     b = assigned.select(
-        "cid", F.col("nid").alias("id_b"), F.col("nvec").alias("vb")
+        "cid", F.col("nid").alias("id_b"), F.col("nvec").alias("vb"),
+        norm(F.col("nvec")).alias("__nb"),
     )
-    sim = F.round(cosine_similarity(F.col("va"), F.col("vb")), 6)
+    den = F.col("__na") * F.col("__nb")
+    sim = F.round(F.when(den > 0, dot(F.col("va"), F.col("vb")) / den), 6)
     return (
         a.join(b, "cid")
         .where(F.col("id_a") < F.col("id_b"))
@@ -859,9 +885,22 @@ def semantic_contamination(
             "bench_id", "bvec",
             F.explode(F.transform(probes, lambda s: -s["negcid"])).alias("cid"),
         )
-    sim = F.round(cosine_similarity(F.col("nvec"), F.col("bvec")), 6)
+    # Per-side norms once per row (round 10): the threshold filter is
+    # pushed into the join CONDITION, so the naive cosine evaluated the
+    # full 5-fold expression twice per (corpus, bench) pair — ~10
+    # interpreted HOF folds of dim elements each.  With ‖n‖ projected
+    # below the join (once per corpus row) and ‖b‖ computed inside the
+    # broadcast build (once per bench row), a pair costs one dot fold
+    # in the condition plus one for survivors.  Bit-identical: same
+    # sqrt/multiply on the same doubles, and the oracle's
+    # ``cosine_sql`` replay is unchanged.
+    den = F.col("__nn") * F.col("__bn")
+    sim = F.round(
+        F.when(den > 0, dot(F.col("nvec"), F.col("bvec")) / den), 6
+    )
     return (
-        assigned.join(F.broadcast(b), "cid")
+        assigned.withColumn("__nn", norm(F.col("nvec")))
+        .join(F.broadcast(b.withColumn("__bn", norm(F.col("bvec")))), "cid")
         .select(
             F.col("nid").alias("corpus_id"), "bench_id", sim.alias("sim")
         )

@@ -491,146 +491,179 @@ def knn_ann_union(
     search cost a fully persisted index delivers — query-side
     bucketing/probing + candidate scoring + re-rank, nothing
     corpus-sized recomputed."""
-    from cosmap_spark.operators.knn import ivf_build
+    # Round 10 (optimization): the whole union is assembled on a thread
+    # pool.  Profiling showed q_knn_ann's cell is ~2/3 DRIVER-side
+    # build — artifact-training collect jobs plus each branch's
+    # query-side collects (ADC qrows, binarized query words, MaxSim
+    # query matrices) and py4j plan construction — executed serially,
+    # and only ~1/3 the actual union execution.  All of those driver
+    # jobs are independent (guide §2.6 "overlap independent jobs"), so
+    # training AND branch construction now run concurrently, with
+    # futures expressing the only real dependencies (ivf→{ivf,ivfpq},
+    # pq_train→ivfpq, opq_train→opq).  Results are deterministic —
+    # identical params/seeds to the sequential calls this replaces,
+    # pinned by the rows-only gate plus tests/test_pq.py determinism.
+    # max_workers covers every task (3 training + 7 branches) so a
+    # branch blocking on a training future can never starve the
+    # training task itself.
+    from concurrent.futures import ThreadPoolExecutor
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") < 10)
-    lsh = knn_lsh(
-        emb, queries, k=5, dim=64, prebuilt_buckets=lsh_index, multiprobe=1
-    ).select(
-        F.lit("lsh").alias("method"), "qid", "nid",
-        F.col("sim").alias("score"), "rn",
-    )
-    # one trained coarse quantizer serves BOTH ivf and ivfpq — the
-    # persisted-index pattern (train once, search many)
-    if index is None and codebooks is None and coded is None:
-        # the self-contained gate path trains BOTH artifacts; their
-        # driver-side collect jobs are independent, so overlap them on
-        # two submitter threads (Spark schedules concurrent jobs fine;
-        # results are deterministic — identical params/seeds to the
-        # sequential calls this replaces, pinned by the rows-only gate
-        # plus tests/test_pq.py determinism)
-        from concurrent.futures import ThreadPoolExecutor
-
-        from cosmap_spark.operators.pq import opq_train_gate, pq_train
-
-        with ThreadPoolExecutor(max_workers=2) as ex:
-            fut = ex.submit(
-                pq_train, emb, m=16, ksub=64, iters=1, dim=64, seed=41
-            )
-            if opq_rot is None or opq_books is None:
-                # OPQ trains on a deterministic hash-sample (the
-                # standard FAISS practice; encode/search still cover
-                # the full corpus), overlapped with the other
-                # artifact builds — pq.opq_train_gate is the single
-                # source of the gate parameters
-                opq_fut = ex.submit(opq_train_gate, emb)
-            else:
-                opq_fut = None
-            # NOTE: the lazy `assigned` is deliberately NOT
-            # localCheckpoint'ed even though the ivf and ivfpq branches
-            # each evaluate it (map-side work has no exchange for AQE
-            # to reuse): measured, materializing it is a net LOSS
-            # (sf0.1 3.3 s → 4.9 s; worse at 10× — the eager job +
-            # ~100 MB of vector blocks cost more than the re-run
-            # matmul, and repeated invocations churn storage until the
-            # GC reclaims them).  bench.py's train/serve split, which
-            # reuses the artifacts MANY times, is where
-            # materialization pays.
-            index = ivf_build(emb, nlist=16, iters=1)
-            codebooks = fut.result()
-            if opq_fut is not None:
-                opq_rot, opq_books = opq_fut.result()
-    elif index is None:
-        index = ivf_build(emb, nlist=16, iters=1)
-    ivf = knn_ivf(emb, queries, k=5, nlist=16, nprobe=8, prebuilt=index).select(
-        F.lit("ivf").alias("method"), "qid", "nid",
-        F.col("sim").alias("score"), "rn",
-    )
-    # Honest-recall parameters, floor 0.9 pinned at EXACTLY these values
-    # in tests/test_pq.py (measured 0.98): m=16/ksub=64 codebooks (m=8/
-    # ksub=16 under-delivered at 0.62), R=100 exact refine, nprobe=14.
-    # The i.i.d. test embeddings are the IVF-hostile extreme — nearest
-    # neighbors of a uniform query barely co-locate, so recall ≥ 0.9
-    # costs probing 14/16 lists HERE; real embedding corpora cluster,
-    # where nprobe/nlist of a few percent reaches the same recall.
-    ivfpq = knn_ivfpq(
-        emb, queries, k=5, nlist=16, nprobe=14, m=16, ksub=64, rerank=100,
-        prebuilt=index, codebooks=codebooks, coded=coded, residual=residual,
-    ).select(
-        F.lit("ivfpq").alias("method"), "qid", "nid",
-        (-F.col("dist")).alias("score"), "rn",
-    )
-    # opq — FLAT OPQ-PQ (rotation + codes + ADC + exact refine, no
-    # coarse quantizer: FAISS's "OPQ8,PQ8" factory string): the learned
-    # orthogonal rotation decorrelates subspaces before coding.  The
-    # rotation/codebooks are injectable like every other artifact;
-    # self-trained on a hash-sample above otherwise.
+    from cosmap_spark.operators.knn import ivf_build, knn_binary
     from cosmap_spark.operators.pq import (
         opq_train_gate,
         pq_adc_topk,
         pq_encode,
         rotate_vectors,
+        pq_train,
     )
-
-    if opq_rot is None or opq_books is None:
-        opq_rot, opq_books = opq_train_gate(emb)
-    rot_emb = rotate_vectors(emb, opq_rot)
-    rot_q = rotate_vectors(queries, opq_rot)
-    if opq_coded is None:
-        opq_coded = pq_encode(rot_emb, opq_books)
-    opq = pq_adc_topk(
-        opq_coded, rot_q, opq_books, k=5, rerank=100, vectors=rot_emb,
-    ).select(
-        F.lit("opq").alias("method"), "qid", "nid",
-        (-F.col("dist")).alias("score"), "rn",
-    )
-    # colbert — late-interaction MaxSim over a multi-vector VIEW of the
-    # same embeddings: 64 dims reshaped to 4 tokens × 16 dims (slice is
-    # 1-based).  No trainable artifact — the corpus pass IS the serve.
     from cosmap_spark.operators.retrieval import maxsim_topk
 
-    tvecs = F.transform(
-        F.sequence(F.lit(0), F.lit(3)),
-        lambda i: F.slice("embedding", i * 16 + 1, 16),
-    ).alias("tvecs")
-    colbert = maxsim_topk(
-        emb.select(F.col("vec_id").alias("doc_id"), tvecs),
-        emb.where(F.col("vec_id") < 10).select(
-            F.col("vec_id").alias("qid"), tvecs
-        ),
-        k=6,  # 6 because self-match ranks first; drop it below for 5
-    ).where(F.col("qid") != F.col("doc_id")).select(
-        F.lit("colbert").alias("method"), "qid",
-        F.col("doc_id").alias("nid"), F.col("score"),
-        # re-rank after the self-row drop so rn stays 1..5 contiguous
-        F.row_number().over(
-            Window.partitionBy("qid").orderBy(
-                F.col("score").desc(), F.col("doc_id").asc()
-            )
-        ).cast("long").alias("rn"),
-    ).where(F.col("rn") <= 5)
-    # bq — binary-quantized compressed exhaustive scan (knn_binary):
-    # sign-bit words + JVM bit_count(xor) Hamming shortlist + exact
-    # cosine re-rank.  No training and no bucketing — the family's
-    # no-recall-cliff member; the scan reads one LONG per vector.
-    from cosmap_spark.operators.knn import knn_binary
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    with ThreadPoolExecutor(max_workers=10) as ex:
+        # --- artifact futures (gate path trains; bench injects) ------
+        # one trained coarse quantizer serves BOTH ivf and ivfpq — the
+        # persisted-index pattern (train once, search many)
+        gate = index is None and codebooks is None and coded is None
+        fut_index = (
+            ex.submit(ivf_build, emb, nlist=16, iters=1)
+            if index is None else None
+        )
+        fut_pq = (
+            ex.submit(pq_train, emb, m=16, ksub=64, iters=1, dim=64, seed=41)
+            if gate else None
+        )
+        # OPQ trains on a deterministic hash-sample (the standard FAISS
+        # practice; encode/search still cover the full corpus) —
+        # pq.opq_train_gate is the single source of the gate parameters
+        fut_opq = (
+            ex.submit(opq_train_gate, emb)
+            if (opq_rot is None or opq_books is None) else None
+        )
+        # NOTE: the lazy `assigned` is deliberately NOT
+        # localCheckpoint'ed even though the ivf and ivfpq branches
+        # each evaluate it (map-side work has no exchange for AQE
+        # to reuse): measured, materializing it is a net LOSS
+        # (sf0.1 3.3 s → 4.9 s; worse at 10× — the eager job +
+        # ~100 MB of vector blocks cost more than the re-run
+        # matmul, and repeated invocations churn storage until the
+        # GC reclaims them).  bench.py's train/serve split, which
+        # reuses the artifacts MANY times, is where
+        # materialization pays.
 
-    bq = knn_binary(
-        emb, queries, k=5, dim=64, rerank=100, prebuilt_bits=bq_bits,
-    ).select(
-        F.lit("bq").alias("method"), "qid", "nid",
-        F.col("sim").alias("score"), "rn",
-    )
-    out = (
-        lsh.unionByName(ivf).unionByName(ivfpq).unionByName(opq)
-        .unionByName(colbert).unionByName(bq)
-    )
-    if tsearch:
-        # no trainable artifact: bench's train/serve split passes
-        # tsearch=False so the serve number isolates the
-        # persisted-ANN-index path this function exists to measure
-        out = out.unionByName(_tsearch_branch(spark, sf_dir))
+        # --- branch builders (each runs its own collects) -------------
+        def _lsh():
+            return knn_lsh(
+                emb, queries, k=5, dim=64, prebuilt_buckets=lsh_index,
+                multiprobe=1,
+            ).select(
+                F.lit("lsh").alias("method"), "qid", "nid",
+                F.col("sim").alias("score"), "rn",
+            )
+
+        def _ivf():
+            idx = fut_index.result() if fut_index is not None else index
+            return knn_ivf(
+                emb, queries, k=5, nlist=16, nprobe=8, prebuilt=idx
+            ).select(
+                F.lit("ivf").alias("method"), "qid", "nid",
+                F.col("sim").alias("score"), "rn",
+            )
+
+        # Honest-recall parameters, floor 0.9 pinned at EXACTLY these
+        # values in tests/test_pq.py (measured 0.98): m=16/ksub=64
+        # codebooks (m=8/ksub=16 under-delivered at 0.62), R=100 exact
+        # refine, nprobe=14.  The i.i.d. test embeddings are the
+        # IVF-hostile extreme — nearest neighbors of a uniform query
+        # barely co-locate, so recall ≥ 0.9 costs probing 14/16 lists
+        # HERE; real embedding corpora cluster, where nprobe/nlist of a
+        # few percent reaches the same recall.
+        def _ivfpq():
+            idx = fut_index.result() if fut_index is not None else index
+            books = fut_pq.result() if fut_pq is not None else codebooks
+            return knn_ivfpq(
+                emb, queries, k=5, nlist=16, nprobe=14, m=16, ksub=64,
+                rerank=100, prebuilt=idx, codebooks=books, coded=coded,
+                residual=residual,
+            ).select(
+                F.lit("ivfpq").alias("method"), "qid", "nid",
+                (-F.col("dist")).alias("score"), "rn",
+            )
+
+        # opq — FLAT OPQ-PQ (rotation + codes + ADC + exact refine, no
+        # coarse quantizer: FAISS's "OPQ8,PQ8" factory string): the
+        # learned orthogonal rotation decorrelates subspaces before
+        # coding.  The rotation/codebooks are injectable like every
+        # other artifact; self-trained on a hash-sample otherwise.
+        def _opq():
+            rot, books = (
+                fut_opq.result() if fut_opq is not None
+                else (opq_rot, opq_books)
+            )
+            rot_emb = rotate_vectors(emb, rot)
+            rot_q = rotate_vectors(queries, rot)
+            oc = opq_coded if opq_coded is not None else pq_encode(
+                rot_emb, books
+            )
+            return pq_adc_topk(
+                oc, rot_q, books, k=5, rerank=100, vectors=rot_emb,
+            ).select(
+                F.lit("opq").alias("method"), "qid", "nid",
+                (-F.col("dist")).alias("score"), "rn",
+            )
+
+        # colbert — late-interaction MaxSim over a multi-vector VIEW of
+        # the same embeddings: 64 dims reshaped to 4 tokens × 16 dims
+        # (slice is 1-based).  No trainable artifact — the corpus pass
+        # IS the serve.
+        def _colbert():
+            tvecs = F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda i: F.slice("embedding", i * 16 + 1, 16),
+            ).alias("tvecs")
+            return maxsim_topk(
+                emb.select(F.col("vec_id").alias("doc_id"), tvecs),
+                emb.where(F.col("vec_id") < 10).select(
+                    F.col("vec_id").alias("qid"), tvecs
+                ),
+                k=6,  # 6: self-match ranks first; dropped below for 5
+            ).where(F.col("qid") != F.col("doc_id")).select(
+                F.lit("colbert").alias("method"), "qid",
+                F.col("doc_id").alias("nid"), F.col("score"),
+                # re-rank after the self-row drop: rn stays 1..5
+                F.row_number().over(
+                    Window.partitionBy("qid").orderBy(
+                        F.col("score").desc(), F.col("doc_id").asc()
+                    )
+                ).cast("long").alias("rn"),
+            ).where(F.col("rn") <= 5)
+
+        # bq — binary-quantized compressed exhaustive scan (knn_binary):
+        # sign-bit words + JVM bit_count(xor) Hamming shortlist + exact
+        # cosine re-rank.  No training and no bucketing — the family's
+        # no-recall-cliff member; the scan reads one LONG per vector.
+        def _bq():
+            return knn_binary(
+                emb, queries, k=5, dim=64, rerank=100,
+                prebuilt_bits=bq_bits,
+            ).select(
+                F.lit("bq").alias("method"), "qid", "nid",
+                F.col("sim").alias("score"), "rn",
+            )
+
+        futs = [
+            ex.submit(b)
+            for b in (_lsh, _ivf, _ivfpq, _opq, _colbert, _bq)
+        ]
+        if tsearch:
+            # no trainable artifact: bench's train/serve split passes
+            # tsearch=False so the serve number isolates the
+            # persisted-ANN-index path this function exists to measure
+            futs.append(ex.submit(_tsearch_branch, spark, sf_dir))
+        branches = [f.result() for f in futs]
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
     return out
 
 

@@ -479,80 +479,119 @@ def q_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n")),
         "late", None, F.col("event_type"), F.col("n"), None,
     )
-    fu = funnel(ev, steps, horizon="2 days")
-    fsteps = (
-        fu.select(
-            "user_id",
-            F.posexplode(F.array("ts_1", "ts_2", "ts_3")).alias("i", "__sts"),
-        )
-        .where(F.col("__sts").isNotNull())
-    )
-    funnel_rows = shape(
-        fsteps, "funnel", F.unix_timestamp("__sts"), F.col("user_id"),
-        F.col("i") + 1, None,
-    )
-    fsum = shape(
-        funnel_summary(fu, len(steps)), "funnel_sum", F.col("step"), None,
-        F.col("n_users"), F.col("conversion_from_start"),
-    )
-    wf = shape(
-        funnel_sliding(ev, steps, horizon="2 days"), "wfunnel",
-        F.unix_timestamp("anchor_ts"), F.col("user_id"),
-        F.col("steps_completed"), None,
-    )
-    coh = shape(
-        cohort_retention(ev, period="week", max_periods=8), "cohort",
-        F.unix_timestamp("cohort"), F.col("period_n"),
-        F.col("n_active"), F.col("retention"),
-    )
-    trans = shape(
-        event_transitions(ev), "trans", None,
-        F.concat_ws(">", "from_type", "to_type"), F.col("n"), F.col("p"),
-    )
-    lat = funnel_latency(fu, len(steps), quantiles=())
-    lat_prev = shape(
-        lat, "latency", F.col("step"), F.lit("from_prev"),
-        F.col("n_users"), F.col("mean_from_prev"),
-    )
-    lat_start = shape(
-        lat, "latency", F.col("step"), F.lit("from_start"),
-        F.col("n_users"), F.col("mean_from_start"),
-    )
-    pth = shape(
-        event_paths(ev, k=3, top_n=20), "paths", None, F.col("path"),
-        F.col("n"), None,
-    )
-    att = shape(
-        attribution(
-            ev,
-            models=("first", "last", "linear", "position", "time_decay"),
-        ),
-        "attr", None,
-        F.concat_ws(">", "model", "touch"), F.col("n"), F.col("share"),
-    )
+    # Round 10 (optimization): the expensive branch CONSTRUCTIONS run
+    # on a thread pool (guide §2.6 — overlap independent driver work).
+    # Profiling the assembly: changepoints_binseg alone is ~1.8 s of
+    # per-round eager localCheckpoint jobs and the funnel/attribution/
+    # changepoint constructions another ~1.3 s of serial py4j plan
+    # building — ~5.5 s build vs ~2.4 s execute for the whole query.
+    # Every builder below is independent (binseg's jobs run on executor
+    # threads while the others' py4j calls proceed), and each produces
+    # the IDENTICAL lazy plan the sequential assembly produced, so the
+    # union — and the hash-checked result — is unchanged.
+    from concurrent.futures import ThreadPoolExecutor
+
     from cosmap_spark.operators.tseries import (
         changepoints_binseg,
         grouped_changepoint,
     )
 
-    chg = shape(
-        grouped_changepoint(
-            ev, ["user_id"], order_cols=["ts", "event_id"],
-            val_col="value", min_len=8,
-        ),
-        "chgpt", F.unix_timestamp("ts"), F.col("user_id"),
-        F.col("cp_pos"), F.round(F.col("stat"), 4),
-    )
-    chg2 = shape(
-        changepoints_binseg(
-            ev, ["user_id"], order_cols=["ts", "event_id"],
-            val_col="value", max_changepoints=2, min_seg=4,
-        ),
-        "chgpt2", F.unix_timestamp("ts"),
-        F.concat_ws("#", F.col("user_id").cast("string"),
-                    F.col("iter").cast("string")),
-        F.col("cp_pos"), F.round(F.col("stat"), 4),
-    )
+    def _fu_branches():
+        fu = funnel(ev, steps, horizon="2 days")
+        fsteps = (
+            fu.select(
+                "user_id",
+                F.posexplode(F.array("ts_1", "ts_2", "ts_3"))
+                .alias("i", "__sts"),
+            )
+            .where(F.col("__sts").isNotNull())
+        )
+        funnel_rows = shape(
+            fsteps, "funnel", F.unix_timestamp("__sts"), F.col("user_id"),
+            F.col("i") + 1, None,
+        )
+        fsum = shape(
+            funnel_summary(fu, len(steps)), "funnel_sum", F.col("step"),
+            None, F.col("n_users"), F.col("conversion_from_start"),
+        )
+        lat = funnel_latency(fu, len(steps), quantiles=())
+        lat_prev = shape(
+            lat, "latency", F.col("step"), F.lit("from_prev"),
+            F.col("n_users"), F.col("mean_from_prev"),
+        )
+        lat_start = shape(
+            lat, "latency", F.col("step"), F.lit("from_start"),
+            F.col("n_users"), F.col("mean_from_start"),
+        )
+        return funnel_rows, fsum, lat_prev, lat_start
+
+    def _wf():
+        return shape(
+            funnel_sliding(ev, steps, horizon="2 days"), "wfunnel",
+            F.unix_timestamp("anchor_ts"), F.col("user_id"),
+            F.col("steps_completed"), None,
+        )
+
+    def _att():
+        return shape(
+            attribution(
+                ev,
+                models=("first", "last", "linear", "position",
+                        "time_decay"),
+            ),
+            "attr", None,
+            F.concat_ws(">", "model", "touch"), F.col("n"),
+            F.col("share"),
+        )
+
+    def _chg():
+        return shape(
+            grouped_changepoint(
+                ev, ["user_id"], order_cols=["ts", "event_id"],
+                val_col="value", min_len=8,
+            ),
+            "chgpt", F.unix_timestamp("ts"), F.col("user_id"),
+            F.col("cp_pos"), F.round(F.col("stat"), 4),
+        )
+
+    def _chg2():
+        return shape(
+            changepoints_binseg(
+                ev, ["user_id"], order_cols=["ts", "event_id"],
+                val_col="value", max_changepoints=2, min_seg=4,
+            ),
+            "chgpt2", F.unix_timestamp("ts"),
+            F.concat_ws("#", F.col("user_id").cast("string"),
+                        F.col("iter").cast("string")),
+            F.col("cp_pos"), F.round(F.col("stat"), 4),
+        )
+
+    with ThreadPoolExecutor(max_workers=5) as ex:
+        f_chg2 = ex.submit(_chg2)  # first in: the long pole
+        f_fu = ex.submit(_fu_branches)
+        f_att = ex.submit(_att)
+        f_chg = ex.submit(_chg)
+        f_wf = ex.submit(_wf)
+        # cheap lazy branches stay on the calling thread, overlapping
+        # the pool work
+        coh = shape(
+            cohort_retention(ev, period="week", max_periods=8), "cohort",
+            F.unix_timestamp("cohort"), F.col("period_n"),
+            F.col("n_active"), F.col("retention"),
+        )
+        trans = shape(
+            event_transitions(ev), "trans", None,
+            F.concat_ws(">", "from_type", "to_type"), F.col("n"),
+            F.col("p"),
+        )
+        pth = shape(
+            event_paths(ev, k=3, top_n=20), "paths", None, F.col("path"),
+            F.col("n"), None,
+        )
+        funnel_rows, fsum, lat_prev, lat_start = f_fu.result()
+        wf, att, chg, chg2 = (
+            f_wf.result(), f_att.result(), f_chg.result(), f_chg2.result()
+        )
     return (
         tumble.unionByName(slide).unionByName(late)
         .unionByName(funnel_rows).unionByName(fsum)

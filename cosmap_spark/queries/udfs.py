@@ -111,9 +111,21 @@ def q_udtf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
 
     li = load_table(spark, sf_dir, "lineitem")
-    result = li.groupBy("l_suppkey").applyInPandas(
-        normalize,
-        schema="l_orderkey long, l_linenumber int, l_suppkey long, zscore double",
+    # Project BEFORE the grouped-map boundary (guide §4.1): Spark
+    # cannot see which columns the Python function touches, so an
+    # un-projected applyInPandas shuffles and ships every lineitem
+    # column (11) to the workers; the explicit select narrows the
+    # scan's ReadSchema, the exchange, and the Arrow transfer to the
+    # 4 columns the kernel reads — same rows, same output.
+    result = (
+        li.select("l_orderkey", "l_linenumber", "l_suppkey",
+                  "l_extendedprice")
+        .groupBy("l_suppkey")
+        .applyInPandas(
+            normalize,
+            schema="l_orderkey long, l_linenumber int, l_suppkey long,"
+                   " zscore double",
+        )
     )
     return result.withColumn("zscore", F.round("zscore", 6))
 
