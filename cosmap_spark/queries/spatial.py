@@ -161,24 +161,36 @@ def q_cone_search(spark: SparkSession, sf_dir: str) -> DataFrame:
       Zones cell join, nearest match per left row) against a
       deterministic 5-arcsec-displaced twin catalog the oracle
       reconstructs with identical IEEE arithmetic."""
+    # Round 10 (optimization): the two branch CONSTRUCTIONS — each a
+    # large spherical-trig expression tree (~0.5 s of serial py4j plan
+    # building, no collects) — overlap on one pool thread (guide §2.6).
+    # Plans and results unchanged.
+    from concurrent.futures import ThreadPoolExecutor
+
     cat = catalog_df(spark, sf_dir)
-    cone = cone_search(cat, samples_df(spark, sf_dir)).select(
-        F.lit("cone").alias("method"),
-        F.col("sample_id").alias("id_l"),
-        F.col("object_id").alias("id_r"),
-        F.round("sep_deg", 6).alias("sep"),
-    )
-    twin = cat.select(
-        (F.col("object_id") + 1_000_000).alias("object_id"),
-        "ra",
-        (F.col("dec") + F.lit(5.0) / F.lit(3600.0)).alias("dec"),
-    )
-    xm = crossmatch(cat, twin, radius_arcsec=30.0).select(
-        F.lit("xmatch").alias("method"),
-        F.col("l_id").alias("id_l"),
-        F.col("r_id").alias("id_r"),
-        F.round("sep_arcsec", 6).alias("sep"),
-    )
+
+    def _cone():
+        return cone_search(cat, samples_df(spark, sf_dir)).select(
+            F.lit("cone").alias("method"),
+            F.col("sample_id").alias("id_l"),
+            F.col("object_id").alias("id_r"),
+            F.round("sep_deg", 6).alias("sep"),
+        )
+
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        fut_cone = ex.submit(_cone)
+        twin = cat.select(
+            (F.col("object_id") + 1_000_000).alias("object_id"),
+            "ra",
+            (F.col("dec") + F.lit(5.0) / F.lit(3600.0)).alias("dec"),
+        )
+        xm = crossmatch(cat, twin, radius_arcsec=30.0).select(
+            F.lit("xmatch").alias("method"),
+            F.col("l_id").alias("id_l"),
+            F.col("r_id").alias("id_r"),
+            F.round("sep_arcsec", 6).alias("sep"),
+        )
+        cone = fut_cone.result()
     return cone.unionByName(xm)
 
 
