@@ -108,6 +108,7 @@ def _bucketize(
     planes: int,
     seed: int,
     dim: int,
+    with_norm: bool = False,
 ) -> DataFrame:
     """(id, vec, tbl, bucket) rows: `tables` sign-pattern bucket ids per
     vector from `planes` pseudo-random hyperplanes each.
@@ -122,7 +123,14 @@ def _bucketize(
     plan compile per query plus dim × tables × planes interpreted
     lambda steps per row, while the numpy form is a BLAS call over an
     Arrow batch.  The same trade drives the multimodal decode kernels
-    (operators/multimodal.py)."""
+    (operators/multimodal.py).
+
+    ``with_norm=True`` additionally carries ``{prefix}norm`` = ‖vec‖,
+    computed ONCE per input row BELOW the per-table explode (round 11:
+    the same norm hoist as knn_ivf/knn_bruteforce — the re-rank cosine
+    then pays one dot fold per candidate pair instead of re-deriving
+    both norms per pair; a persisted ``lsh_build`` index stores the
+    norm, so serving never recomputes it)."""
     mat, bit_weights = _plane_matrix(tables, planes, seed, dim)
 
     @F.pandas_udf("array<bigint>")
@@ -134,15 +142,21 @@ def _bucketize(
         packed = signs.reshape(len(v), -1, len(bit_weights)) @ bit_weights
         return pd.Series(list(packed.astype(np.int64)))
 
+    # the norm is projected in the SAME pre-explode select as the
+    # kernel call so it is evaluated once per input row and carried as
+    # DATA through the Generate, never re-derived per (row, table)
+    extra = [norm(F.col(vec_col)).alias(f"{prefix}norm")] if with_norm else []
     return (
         df.select(
             F.col(id_col).alias(f"{prefix}id"),
             F.col(vec_col).alias(f"{prefix}vec"),
+            *extra,
+            _buckets(F.col(vec_col)).alias("__buckets"),
         )
-        .withColumn("__buckets", _buckets(F.col(f"{prefix}vec")))
         .select(
             f"{prefix}id",
             f"{prefix}vec",
+            *([f"{prefix}norm"] if with_norm else []),
             F.posexplode("__buckets").alias("tbl", "bucket"),
         )
     )
@@ -159,6 +173,7 @@ def _bucketize_multiprobe(
     seed: int,
     dim: int,
     probes: int,
+    with_norm: bool = False,
 ) -> DataFrame:
     """Query-side multi-probe bucketing (Lv et al., VLDB'07): per
     table, the base sign-pattern bucket PLUS ``probes`` perturbed
@@ -192,14 +207,18 @@ def _bucketize_multiprobe(
             out.append(rows)
         return pd.Series(out)
 
+    extra = [norm(F.col(vec_col)).alias(f"{prefix}norm")] if with_norm else []
     return (
         df.select(
             F.col(id_col).alias(f"{prefix}id"),
             F.col(vec_col).alias(f"{prefix}vec"),
+            *extra,
+            _probe_buckets(F.col(vec_col)).alias("__bs"),
         )
-        .withColumn("__b", F.explode(_probe_buckets(F.col(f"{prefix}vec"))))
+        .withColumn("__b", F.explode("__bs"))
         .select(
             f"{prefix}id", f"{prefix}vec",
+            *([f"{prefix}norm"] if with_norm else []),
             F.col("__b.tbl").alias("tbl"),
             F.col("__b.bucket").alias("bucket"),
         )
@@ -216,13 +235,21 @@ def lsh_build(
     planes: int = 8,
     seed: int = 13,
 ) -> DataFrame:
-    """The corpus-side LSH index — ``(nid, nvec, tbl, bucket)`` — for
-    :func:`knn_lsh`'s ``prebuilt_buckets``: build once, persist, serve
-    many (the plane normals are seed-derived constants, so any session
-    can rebuild the query side consistently)."""
+    """The corpus-side LSH index — ``(nid, nvec, nnorm, tbl, bucket)``
+    — for :func:`knn_lsh`'s ``prebuilt_buckets``: build once, persist,
+    serve many (the plane normals are seed-derived constants, so any
+    session can rebuild the query side consistently).
+
+    Schema v2 (round 11): ``nnorm`` = ‖nvec‖ is computed once at BUILD
+    time and persisted, so serving pays one dot fold per candidate
+    pair instead of two extra norm folds.  Column presence IS the
+    version: :func:`knn_lsh` detects a v1 table (no ``nnorm``) and
+    derives the column on load — v1 indexes keep working, bit-
+    identically, at one extra fold per index row."""
     return _bucketize(
         corpus, "n", id_col=id_col, vec_col=vec_col,
         tables=tables, planes=planes, seed=seed, dim=dim,
+        with_norm=True,
     )
 
 
@@ -268,24 +295,54 @@ def knn_lsh(
     kw = dict(id_col=id_col, vec_col=vec_col, tables=tables, planes=planes,
               seed=seed, dim=dim)
     cb = prebuilt_buckets if prebuilt_buckets is not None else _bucketize(
-        corpus, "n", **kw
+        corpus, "n", with_norm=not quantize, **kw
     )
     if quantize:
         cb = cb.withColumn("nvec", quantize_int8(F.col("nvec")))
-    qb = (
-        _bucketize_multiprobe(queries, "q", probes=multiprobe, **kw)
-        if multiprobe > 0
-        else _bucketize(queries, "q", **kw)
-    )
-    cand = (
-        cb.join(F.broadcast(qb), ["tbl", "bucket"])
-        .where(F.col("nid") != F.col("qid"))
-        .select("qid", "qvec", "nid", "nvec")
-        .distinct()
-    )
-    nv = dequantize_int8(F.col("nvec")) if quantize else F.col("nvec")
-    sim = F.round(cosine_similarity(F.col("qvec"), nv), 6)
-    scored = cand.select("qid", "nid", sim.alias("sim"))
+        # the re-rank cosine runs on the DEQUANTIZED vector, whose norm
+        # differs from the stored full-precision one — the per-pair
+        # fold stays (bit-compat with the pre-norm-hoist results)
+        nv = dequantize_int8(F.col("nvec"))
+        sim = F.round(cosine_similarity(F.col("qvec"), nv), 6)
+        qb = (
+            _bucketize_multiprobe(queries, "q", probes=multiprobe, **kw)
+            if multiprobe > 0
+            else _bucketize(queries, "q", **kw)
+        )
+        cand = (
+            cb.join(F.broadcast(qb), ["tbl", "bucket"])
+            .where(F.col("nid") != F.col("qid"))
+            .select("qid", "qvec", "nid", "nvec")
+            .distinct()
+        )
+        scored = cand.select("qid", "nid", sim.alias("sim"))
+    else:
+        # round 11 norm hoist (guide §3 / §1.2, the knn_ivf pattern):
+        # ‖q‖ rides the (tiny, broadcast) query bucket rows, ‖n‖ is
+        # either the persisted v2 index column or derived ONCE per
+        # index row for v1 tables — the quadratic candidate re-rank
+        # then pays a single dot fold per pair.  Bit-identical: same
+        # sqrt/multiply on the same doubles as the inline form.
+        if "nnorm" not in cb.columns:
+            cb = cb.withColumn("nnorm", norm(F.col("nvec")))
+        qb = (
+            _bucketize_multiprobe(
+                queries, "q", probes=multiprobe, with_norm=True, **kw
+            )
+            if multiprobe > 0
+            else _bucketize(queries, "q", with_norm=True, **kw)
+        )
+        cand = (
+            cb.join(F.broadcast(qb), ["tbl", "bucket"])
+            .where(F.col("nid") != F.col("qid"))
+            .select("qid", "qvec", "qnorm", "nid", "nvec", "nnorm")
+            .distinct()
+        )
+        den = F.col("qnorm") * F.col("nnorm")
+        sim = F.round(
+            F.when(den > 0, dot(F.col("qvec"), F.col("nvec")) / den), 6
+        )
+        scored = cand.select("qid", "nid", sim.alias("sim"))
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
     return (
         scored.withColumn("rn", F.row_number().over(w))

@@ -503,9 +503,10 @@ def knn_ann_union(
     # pq_train→ivfpq, opq_train→opq).  Results are deterministic —
     # identical params/seeds to the sequential calls this replaces,
     # pinned by the rows-only gate plus tests/test_pq.py determinism.
-    # max_workers covers every task (3 training + 7 branches) so a
-    # branch blocking on a training future can never starve the
-    # training task itself.
+    # max_workers covers every task (_N_POOL_TASKS: 3 training + 7
+    # branches) so a branch blocking on a training future can never
+    # starve the training task itself; the assert below the branch
+    # submits keeps the bound honest if a branch is ever added.
     from concurrent.futures import ThreadPoolExecutor
 
     from cosmap_spark.operators.knn import ivf_build, knn_binary
@@ -520,7 +521,8 @@ def knn_ann_union(
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
-    with ThreadPoolExecutor(max_workers=10) as ex:
+    _N_POOL_TASKS = 10  # 3 training + 6 branch builders + tsearch
+    with ThreadPoolExecutor(max_workers=_N_POOL_TASKS) as ex:
         # --- artifact futures (gate path trains; bench injects) ------
         # one trained coarse quantizer serves BOTH ivf and ivfpq — the
         # persisted-index pattern (train once, search many)
@@ -660,6 +662,16 @@ def knn_ann_union(
             # tsearch=False so the serve number isolates the
             # persisted-ANN-index path this function exists to measure
             futs.append(ex.submit(_tsearch_branch, spark, sf_dir))
+        # starvation guard (round-11 ADVICE): every submitted task must
+        # have a pool slot, or a late-submitted branch blocking on a
+        # training future could deadlock behind it
+        n_training = sum(
+            f is not None for f in (fut_index, fut_pq, fut_opq)
+        )
+        assert n_training + len(futs) <= _N_POOL_TASKS, (
+            f"knn_ann_union pool undersized: {n_training} training + "
+            f"{len(futs)} branches > max_workers={_N_POOL_TASKS}"
+        )
         branches = [f.result() for f in futs]
     out = branches[0]
     for b in branches[1:]:

@@ -161,36 +161,31 @@ def q_cone_search(spark: SparkSession, sf_dir: str) -> DataFrame:
       Zones cell join, nearest match per left row) against a
       deterministic 5-arcsec-displaced twin catalog the oracle
       reconstructs with identical IEEE arithmetic."""
-    # Round 10 (optimization): the two branch CONSTRUCTIONS — each a
-    # large spherical-trig expression tree (~0.5 s of serial py4j plan
-    # building, no collects) — overlap on one pool thread (guide §2.6).
-    # Plans and results unchanged.
-    from concurrent.futures import ThreadPoolExecutor
-
+    # Round 11: the round-10 one-thread overlap of the two branch
+    # constructions is REVERTED — the interleaved cross-tree A/B
+    # (SCALE.md round 11) could not reproduce a gain above the
+    # sandbox's ±40% cell-noise floor (medians 0.87-0.91 thread/seq,
+    # single pairs swinging 0.43-4.2×), and ~0.5 s of overlapped py4j
+    # expression building does not justify a per-call thread pool.
     cat = catalog_df(spark, sf_dir)
 
-    def _cone():
-        return cone_search(cat, samples_df(spark, sf_dir)).select(
-            F.lit("cone").alias("method"),
-            F.col("sample_id").alias("id_l"),
-            F.col("object_id").alias("id_r"),
-            F.round("sep_deg", 6).alias("sep"),
-        )
-
-    with ThreadPoolExecutor(max_workers=1) as ex:
-        fut_cone = ex.submit(_cone)
-        twin = cat.select(
-            (F.col("object_id") + 1_000_000).alias("object_id"),
-            "ra",
-            (F.col("dec") + F.lit(5.0) / F.lit(3600.0)).alias("dec"),
-        )
-        xm = crossmatch(cat, twin, radius_arcsec=30.0).select(
-            F.lit("xmatch").alias("method"),
-            F.col("l_id").alias("id_l"),
-            F.col("r_id").alias("id_r"),
-            F.round("sep_arcsec", 6).alias("sep"),
-        )
-        cone = fut_cone.result()
+    cone = cone_search(cat, samples_df(spark, sf_dir)).select(
+        F.lit("cone").alias("method"),
+        F.col("sample_id").alias("id_l"),
+        F.col("object_id").alias("id_r"),
+        F.round("sep_deg", 6).alias("sep"),
+    )
+    twin = cat.select(
+        (F.col("object_id") + 1_000_000).alias("object_id"),
+        "ra",
+        (F.col("dec") + F.lit(5.0) / F.lit(3600.0)).alias("dec"),
+    )
+    xm = crossmatch(cat, twin, radius_arcsec=30.0).select(
+        F.lit("xmatch").alias("method"),
+        F.col("l_id").alias("id_l"),
+        F.col("r_id").alias("id_r"),
+        F.round("sep_arcsec", 6).alias("sep"),
+    )
     return cone.unionByName(xm)
 
 

@@ -458,26 +458,44 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     docs = load_table(spark, sf_dir, "documents")
-    # Round 10 (optimization): the two driver-side setup jobs — the
-    # probe collect and the corpus-stats collect — are independent, so
-    # they run CONCURRENTLY (guide §2.6); the RM3 expansion collect
-    # below likewise overlaps the construction of the other branches.
-    # Same jobs, same literals, same plans — only the serial driver
-    # timeline shrinks.
-    from concurrent.futures import ThreadPoolExecutor
-
-    _stats_pool = ThreadPoolExecutor(max_workers=1)
-    _fut_stats = _stats_pool.submit(
-        lambda: docs.where(F.col("text").isNotNull()).select(
-            F.size(tokens(F.col("text"))).cast("long").alias("dl")
-        ).agg(
-            F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
-        ).collect()[0]
+    # Round 11: the round-10 thread overlaps (stats collect vs probe
+    # collect; early RM3 collect) are REVERTED — the interleaved
+    # cross-tree A/B (SCALE.md round 11) read contradictory medians
+    # (raw 0.71 favoring threads, cal-adjusted 1.17 against) with
+    # single pairs swinging 0.56-2.5×: the effect is below the
+    # sandbox's cell-noise floor.  Replaced with a DETERMINISTIC
+    # driver-job reduction (guide §2.6's goal without its concurrency
+    # surface): the probe rows and the corpus stats ride ONE unioned
+    # collect (two independent subplans, one job — their stages run in
+    # parallel inside it), and the scored checkpoint below is LAZY
+    # (eager=False), folding its materialization into the RM3
+    # expansion collect.  4 driver-blocking setup jobs become 2; the
+    # returned frame's literals, plan, and hash-gated rows are
+    # identical.
+    stats_agg = (
+        docs.where(F.col("text").isNotNull())
+        .select(F.size(tokens(F.col("text"))).cast("long").alias("dl"))
+        .agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
     )
-    probe_rows = (
+    setup_rows = (
         docs.where(F.col("doc_id").isin(1, 2, 3))
-        .select("doc_id", "text").collect()
+        .select(
+            F.lit("p").alias("kind"), "doc_id", "text",
+            F.lit(None).cast("long").alias("n_docs"),
+            F.lit(None).cast("double").alias("avgdl"),
+        )
+        .unionByName(
+            stats_agg.select(
+                F.lit("s").alias("kind"),
+                F.lit(None).cast("long").alias("doc_id"),
+                F.lit(None).cast("string").alias("text"),
+                "n_docs", "avgdl",
+            )
+        )
+        .collect()
     )
+    srow = next(r for r in setup_rows if r["kind"] == "s")
+    probe_rows = [r for r in setup_rows if r["kind"] == "p"]
     probe = {
         f"q{r['doc_id']}": " ".join(r["text"].split(" ")[:5])
         for r in probe_rows
@@ -521,32 +539,24 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vtf = inline_tf(docs, positions=True, vocab=vocab_all).localCheckpoint(
         eager=False
     )
-    srow = _fut_stats.result()
-    _stats_pool.shutdown(wait=False)
     cstats = {"n_docs": int(srow["n_docs"]), "avgdl": float(srow["avgdl"])}
+    # eager=False (round 11): the first consumer is the RM3 expansion
+    # collect just below, which materializes the checkpoint blocks as
+    # part of its own job — the separate eager materialization job is
+    # gone; every later consumer still cuts from the ~10²-row cached
+    # frame exactly as before
     scored_all = bm25_scored(
         None, allq,
         variants={"s_bm25": (1.2, 0.75), "s_idf": (0.0, 0.75)},
         prebuilt={"tf": vtf, **cstats},
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     scored = scored_all.where(F.col("query_id").isin(sorted(probe)))
-    # RM3's bounded expansion collect (the one remaining driver job)
-    # starts NOW on a pool thread and overlaps the lazy construction of
-    # every other branch below; the collect consumes only the already-
-    # materialized scored checkpoint + one vocabulary-pruned tf pass.
+    # RM3's bounded expansion collect happens below at its consumption
+    # point (the one remaining setup job): it consumes the scored
+    # checkpoint — materializing it as a side effect (eager=False) —
+    # plus one vocabulary-pruned tf pass.
     from cosmap_spark.operators.retrieval import rm3_expand
 
-    _rm3_pool = ThreadPoolExecutor(max_workers=1)
-
-    def _expand_rows():
-        expanded = rm3_expand(
-            scored, None, probe, score_col="s_bm25",
-            fb_docs=5, fb_terms=10, lam=0.5, docs=docs,
-        )
-        return [(r["query_id"], r["term"], float(r["weight"]))
-                for r in expanded.collect()]
-
-    _fut_exp = _rm3_pool.submit(_expand_rows)
     bm25 = topk_cut(scored, score_col="s_bm25", top_n=10)
     idf_list = topk_cut(scored, score_col="s_idf", top_n=10)
     fused = rrf_fuse([bm25, idf_list], k=60, top_n=10)
@@ -636,8 +646,12 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # below-agg semi-join round-8 shape → this: q_topk −0.5 s at
     # sf0.1 same-session).  The collect itself was launched above,
     # before the other branches' construction.
-    exp_rows = _fut_exp.result()
-    _rm3_pool.shutdown(wait=False)
+    expanded = rm3_expand(
+        scored, None, probe, score_col="s_bm25",
+        fb_docs=5, fb_terms=10, lam=0.5, docs=docs,
+    )
+    exp_rows = [(r["query_id"], r["term"], float(r["weight"]))
+                for r in expanded.collect()]
     q_lit = spark.createDataFrame(
         exp_rows, "query_id string, term string, weight double"
     )

@@ -17,6 +17,24 @@ from cosmap_spark.tables import TABLES  # noqa: E402
 SF_DIR = os.environ.get("COSMAP_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
+def pytest_collection_modifyitems(config, items):
+    """Two-tier suite (round 11): the DEFAULT run (`pytest tests/`) is
+    the driver-completable gate — parity mirror, plan audit, and the
+    unit tests — and must stay within a ~15 min budget.  Long-running
+    model-based/property/e2e tests carry ``@pytest.mark.slow`` and run
+    only when ``COSMAP_RUN_SLOW=1`` (the full ~70 min tier; CI/round
+    close).  The round-10 suite had grown ~10× past the driver's gate
+    budget and its pytest run truncated un-inspectably at 36%."""
+    if os.environ.get("COSMAP_RUN_SLOW"):
+        return
+    skip = pytest.mark.skip(
+        reason="slow tier (set COSMAP_RUN_SLOW=1 to run)"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def spark():
     import tempfile

@@ -230,6 +230,28 @@ def test_persisted_artifacts_equal_self_built(spark, emb):
     assert la == lb
 
 
+def test_lsh_v1_bucket_table_serves_identically(spark, emb):
+    """Round 11: ``lsh_build`` persists ``nnorm`` (schema v2) so the
+    re-rank cosine pays one dot fold per pair.  A v1 table (no
+    ``nnorm`` column — any index persisted before round 11) must serve
+    bit-identically: ``knn_lsh`` derives the column on load.  Also pins
+    the v2 schema and that multiprobe works against both versions."""
+    from cosmap_spark.operators.knn import knn_lsh, lsh_build
+
+    queries = emb.where(F.col("vec_id") < 6)
+    v2 = lsh_build(emb).localCheckpoint(eager=True)
+    assert "nnorm" in v2.columns  # the persisted v2 contract
+    v1 = v2.drop("nnorm")  # exactly what a pre-round-11 table loads as
+    for probes in (0, 1):
+        a = sorted(map(tuple, knn_lsh(
+            emb, queries, k=5, prebuilt_buckets=v2, multiprobe=probes
+        ).collect()))
+        b = sorted(map(tuple, knn_lsh(
+            emb, queries, k=5, prebuilt_buckets=v1, multiprobe=probes
+        ).collect()))
+        assert a == b and len(a) > 0
+
+
 def test_coded_without_matching_artifacts_rejected(spark, emb, books):
     from cosmap_spark.operators.knn import ivf_build
     from cosmap_spark.operators.pq import pq_encode

@@ -1,12 +1,13 @@
 #!/usr/bin/env python
 """Capture ``explain("formatted")`` for declared queries into
-``plans/r10/<name>_<tag>.txt`` (judge-checkable plan evidence for the
-optimization round).
+``plans/$COSMAP_PLAN_ROUND/<name>_<tag>.txt`` (judge-checkable plan
+evidence for the optimization round; round dir defaults to r11).
 
 Usage::
 
     python tools/capture_plans.py before [query ...]
     python tools/capture_plans.py after  [query ...]
+    COSMAP_PLAN_ROUND=r12 python tools/capture_plans.py after q_topk
 
 With no query names, captures ALL registered queries.  Plans are built
 against $SPARK_GRAFT_SF_DIR (default sf0.1) on a bench-shaped session;
@@ -27,7 +28,8 @@ def main() -> None:
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r10")
+        os.path.abspath(__file__))), "plans",
+        os.environ.get("COSMAP_PLAN_ROUND", "r11"))
     os.makedirs(out_dir, exist_ok=True)
 
     from cosmap_spark.session import get_spark
